@@ -1,0 +1,195 @@
+"""Registry of (spark query, DuckDB oracle SQL) pairs for the driver's
+correctness gate (`__spark_entry__.py`).
+
+Every entry corresponds to an operator in SURVEY.md §2 (or an analytics
+operator from the M8 milestone). Column names are aliased identically on
+both sides — the driver sorts columns by name and value-hashes.
+
+The events_log view is memoized (and cached in Spark) per sf_dir so the
+driver's per-query calls don't re-derive positions each time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlstreamstore_spark.operators.heads import (
+    head_position_df,
+    stream_head_position_df,
+    stream_head_version_df,
+)
+from sqlstreamstore_spark.operators.list_streams import list_streams_df
+from sqlstreamstore_spark.operators.log_view import (
+    EVENTS_LOG_ORACLE_CTE,
+    ORACLE_COLUMNS,
+    events_to_log,
+)
+from sqlstreamstore_spark.operators.read import (
+    read_all_backwards_df,
+    read_all_forwards_df,
+    read_stream_backwards_df,
+    read_stream_forwards_df,
+)
+from sqlstreamstore_spark.operators.retention import (
+    expiry_filter_df,
+    scavenge_victims_df,
+)
+from sqlstreamstore_spark.sources.tables import load_table
+
+_LOG_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+#: Fixed parameters for the declared queries (valid at every sf: user ids
+#: start at 0; positions 0..N-1 with N >= 1000).
+P_ALL_FROM = 100
+P_ALL_BACK = 500
+N_PAGE = 50
+STREAM = "user-13"
+STREAM_FROM_V = 2
+STREAM_BACK_V = 20
+N_STREAM = 10
+LIST_PREFIX = "user-1"
+N_LIST = 20
+SCAVENGE_MAX_COUNT = 5
+EXPIRE_MAX_AGE_S = 864_000  # 10 days
+EXPIRE_NOW = "2024-01-20 00:00:00"  # mid-range of the 30-day event window
+
+_COLS = ", ".join(ORACLE_COLUMNS)
+
+
+def get_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _LOG_CACHE:
+        log = events_to_log(load_table(spark, sf_dir, "events")).cache()
+        _LOG_CACHE[key] = log
+    return _LOG_CACHE[key]
+
+
+def _proj(df: DataFrame) -> DataFrame:
+    # message_id excluded from oracle-compared projections: the DuckDB
+    # build has no sha1() → UUIDv5 is not expressible there (pinned by
+    # tests/test_uuid5.py instead).
+    return df.select(*ORACLE_COLUMNS)
+
+
+def flagship_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReadAllForwards — the reference's core read operation."""
+    return _proj(read_all_forwards_df(get_log(spark, sf_dir), P_ALL_FROM, N_PAGE))
+
+
+# ---------------------------------------------------------------- registry
+
+QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
+
+
+def _stream_store_queries() -> dict[str, QuerySpec]:
+    C = EVENTS_LOG_ORACLE_CTE
+    return {
+        "read_all_forwards": (
+            lambda spark, sf: _proj(read_all_forwards_df(get_log(spark, sf), P_ALL_FROM, N_PAGE)),
+            C
+            + f"SELECT {_COLS} FROM events_log WHERE position >= {P_ALL_FROM} "
+            f"ORDER BY position LIMIT {N_PAGE}",
+        ),
+        "read_all_backwards": (
+            lambda spark, sf: _proj(read_all_backwards_df(get_log(spark, sf), P_ALL_BACK, N_PAGE)),
+            C
+            + f"SELECT {_COLS} FROM events_log WHERE position <= {P_ALL_BACK} "
+            f"ORDER BY position DESC LIMIT {N_PAGE}",
+        ),
+        "read_stream_forwards": (
+            lambda spark, sf: _proj(
+                read_stream_forwards_df(get_log(spark, sf), STREAM, STREAM_FROM_V, N_STREAM)
+            ),
+            C
+            + f"SELECT {_COLS} FROM events_log WHERE stream_id = '{STREAM}' "
+            f"AND stream_version >= {STREAM_FROM_V} ORDER BY stream_version LIMIT {N_STREAM}",
+        ),
+        "read_stream_backwards": (
+            lambda spark, sf: _proj(
+                read_stream_backwards_df(get_log(spark, sf), STREAM, STREAM_BACK_V, N_STREAM)
+            ),
+            C
+            + f"SELECT {_COLS} FROM events_log WHERE stream_id = '{STREAM}' "
+            f"AND stream_version <= {STREAM_BACK_V} ORDER BY stream_version DESC LIMIT {N_STREAM}",
+        ),
+        "read_head_position": (
+            lambda spark, sf: head_position_df(get_log(spark, sf)),
+            C + "SELECT coalesce(max(position), -1) AS head_position FROM events_log",
+        ),
+        "read_stream_head_position": (
+            lambda spark, sf: stream_head_position_df(get_log(spark, sf), STREAM),
+            C
+            + f"SELECT coalesce(max(position), -1) AS head_position FROM events_log "
+            f"WHERE stream_id = '{STREAM}'",
+        ),
+        "read_stream_head_version": (
+            lambda spark, sf: stream_head_version_df(get_log(spark, sf), STREAM),
+            C
+            + f"SELECT coalesce(max(stream_version), -1) AS head_version FROM events_log "
+            f"WHERE stream_id = '{STREAM}'",
+        ),
+        "list_streams": (
+            lambda spark, sf: list_streams_df(get_log(spark, sf), LIST_PREFIX, "startswith", N_LIST),
+            C
+            + f"SELECT stream_id, min(position) AS first_pos FROM events_log "
+            f"WHERE stream_id LIKE '{LIST_PREFIX}%' AND stream_id NOT LIKE '$%' "
+            f"GROUP BY stream_id ORDER BY first_pos LIMIT {N_LIST}",
+        ),
+        "scavenge_victims": (
+            lambda spark, sf: scavenge_victims_df(
+                get_log(spark, sf), STREAM, SCAVENGE_MAX_COUNT, key_col="stream_version"
+            ),
+            C
+            + f"SELECT stream_version FROM events_log WHERE stream_id = '{STREAM}' "
+            f"AND stream_version <= (SELECT max(stream_version) - {SCAVENGE_MAX_COUNT} "
+            f"FROM events_log WHERE stream_id = '{STREAM}') ORDER BY stream_version",
+        ),
+        "expiry_filter": (
+            lambda spark, sf: _expiry_query(spark, sf),
+            C
+            + f"SELECT {_COLS} FROM events_log WHERE stream_id = '{STREAM}' "
+            f"AND created_utc + INTERVAL ({EXPIRE_MAX_AGE_S}) SECOND > TIMESTAMP '{EXPIRE_NOW}' "
+            f"ORDER BY stream_version",
+        ),
+    }
+
+
+def _expiry_query(spark: SparkSession, sf: str) -> DataFrame:
+    from datetime import datetime
+
+    log = get_log(spark, sf).filter(F.col("stream_id") == STREAM)
+    meta = spark.createDataFrame(
+        [(STREAM, EXPIRE_MAX_AGE_S, None)],
+        "stream_id string, max_age int, max_count int",
+    )
+    now = datetime.fromisoformat(EXPIRE_NOW)
+    return _proj(expiry_filter_df(log, meta, now).orderBy("stream_version"))
+
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (fn, _sql) in _all_specs().items():
+        out[name] = fn
+    return out
+
+
+def build_oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for name, (_fn, sql) in _all_specs().items():
+        if sql is not None:
+            out[name] = sql
+    return out
+
+
+def _all_specs() -> dict[str, QuerySpec]:
+    specs = dict(_stream_store_queries())
+    try:
+        from sqlstreamstore_spark.analytics.registry import analytics_queries
+
+        specs.update(analytics_queries())
+    except ImportError:
+        pass
+    return specs

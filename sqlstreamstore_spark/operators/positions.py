@@ -1,0 +1,71 @@
+"""Dense 0-based global ordering (the `position` column).
+
+The reference gets this from a DB sequence (PgSqlScripts/Tables.sql:29-31).
+In Spark a global `row_number() OVER (ORDER BY ...)` funnels ALL rows
+through a single partition — fine at test scale, fatal at 100 TB. The
+scalable strategy here is the classic two-phase ranking:
+
+  1. range-repartition + sort within partitions on the order key
+     (a single shuffle — the same one any global sort needs),
+  2. count rows per partition (cheap aggregate over the cached layout),
+  3. broadcast the per-partition cumulative offsets,
+  4. per-partition `row_number` (distributed window, partitioned by
+     spark_partition_id) + offset.
+
+Every phase is distributed; no single-partition funnel. The persist
+between phases pins the partition layout so the counts match the ranked
+pass exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def with_dense_global_index(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    index_col: str = "position",
+    strategy: str = "auto",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``index_col`` = dense 0-based rank of rows by ``order_cols``.
+
+    strategy:
+      - "window": single-partition global window. Simplest plan; only
+        for small inputs.
+      - "offsets": the scalable two-phase plan described above.
+      - "auto": "offsets" (scale-safe default).
+    """
+    if strategy == "window":
+        w = Window.orderBy(*order_cols)
+        return df.withColumn(index_col, F.row_number().over(w) - F.lit(1))
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["__pid"]: r["cnt"] for r in parted.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("__pid"),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    out = (
+        parted.withColumn(
+            index_col,
+            (F.row_number().over(w) - F.lit(1) + offset_expr).cast("long"),
+        )
+        .drop("__pid")
+    )
+    return out

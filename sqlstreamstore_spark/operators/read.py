@@ -1,0 +1,81 @@
+"""Paged-read operators over the message log — the core query surface
+(SURVEY.md §2.1 #1-4).
+
+Reference behavior: ReadonlyStreamStoreBase.cs:45-165, PgSqlScripts/
+ReadAll.sql:21-44, Read.sql:29-48. Each is a pure DataFrame expression:
+filter + orderBy + limit. Catalyst pushes the position/version bounds
+into the Parquet scan (min/max row-group pruning) and fuses LIMIT with
+the sort into TakeOrderedAndProject — the same effect as the reference's
+indexed top-k scans, with no code of ours in the hot path.
+
+These return DataFrames; page-object assembly (IsEnd / NextPosition
+arithmetic) lives in store/base.py where maxCount+1 probing happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def read_all_forwards_df(log: DataFrame, from_position: int, max_count: int) -> DataFrame:
+    """Global scan from position, ascending (ReadAll.sql:21-44).
+
+    Oracle: SELECT * FROM events_log WHERE position >= {p}
+            ORDER BY position LIMIT {n}
+    """
+    return (
+        log.filter(F.col("position") >= F.lit(int(from_position)))
+        .orderBy("position")
+        .limit(int(max_count))
+    )
+
+
+def read_all_backwards_df(log: DataFrame, from_position: int, max_count: int) -> DataFrame:
+    """Global scan from position, descending (ReadAll.sql:36-41).
+
+    Oracle: SELECT * FROM events_log WHERE position <= {p}
+            ORDER BY position DESC LIMIT {n}
+    """
+    return (
+        log.filter(F.col("position") <= F.lit(int(from_position)))
+        .orderBy(F.col("position").desc())
+        .limit(int(max_count))
+    )
+
+
+def read_stream_forwards_df(
+    log: DataFrame, stream_id: str, from_version: int, max_count: int
+) -> DataFrame:
+    """Per-stream scan from version, ascending (Read.sql:29-48).
+
+    Oracle: SELECT * FROM events_log WHERE stream_id = '{s}'
+            AND stream_version >= {v} ORDER BY stream_version LIMIT {n}
+    """
+    return (
+        log.filter(
+            (F.col("stream_id") == F.lit(stream_id))
+            & (F.col("stream_version") >= F.lit(int(from_version)))
+        )
+        .orderBy("stream_version")
+        .limit(int(max_count))
+    )
+
+
+def read_stream_backwards_df(
+    log: DataFrame, stream_id: str, from_version: int, max_count: int
+) -> DataFrame:
+    """Per-stream scan from version, descending
+    (InMemoryStreamStore.cs:577-662).
+
+    Oracle: SELECT * FROM events_log WHERE stream_id = '{s}'
+            AND stream_version <= {v} ORDER BY stream_version DESC LIMIT {n}
+    """
+    return (
+        log.filter(
+            (F.col("stream_id") == F.lit(stream_id))
+            & (F.col("stream_version") <= F.lit(int(from_version)))
+        )
+        .orderBy(F.col("stream_version").desc())
+        .limit(int(max_count))
+    )

@@ -1,0 +1,39 @@
+"""Loaders for the driver-generated testdata tables (TESTDATA.md).
+
+One parquet file per table under ``{sf_dir}/{name}.parquet``. The only
+quirk: ``events.ts`` is written as parquet TIMESTAMP(NANOS,false), which
+Spark cannot map to TimestampType. With
+``spark.sql.legacy.parquet.nanosAsLong=true`` it surfaces as a long of
+epoch-nanos; we convert with integer division (``DIV 1000`` — exact,
+truncating) to micros, which is bit-identical to DuckDB's behavior of
+truncating TIMESTAMP_NS to its micros TIMESTAMP on read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,49 @@
+"""events_log derivation invariants (FIXTURES.md §A.2) — the constraints
+the reference enforces via PK/unique indexes (Tables.sql:42-46)."""
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from sqlstreamstore_spark.functions.uuid5 import NAMESPACE_DNS
+from sqlstreamstore_spark.operators.log_view import events_to_log
+from sqlstreamstore_spark.operators.positions import with_dense_global_index
+from sqlstreamstore_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_position_dense_and_unique(events_log):
+    n = events_log.count()
+    assert events_log.select("position").distinct().count() == n
+    agg = events_log.agg(F.min("position"), F.max("position")).collect()[0]
+    assert (agg[0], agg[1]) == (0, n - 1)
+
+
+def test_stream_version_dense_per_stream(events_log):
+    bad = (
+        events_log.groupBy("stream_id")
+        .agg(F.min("stream_version").alias("lo"), F.max("stream_version").alias("hi"), F.count("*").alias("n"))
+        .filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1))
+        .count()
+    )
+    assert bad == 0
+    dup = events_log.groupBy("stream_id", "stream_version").count().filter("count > 1").count()
+    assert dup == 0
+
+
+def test_message_id_is_uuid5_of_event_id(spark, events_log):
+    events = load_table(spark, SF_DIR, "events")
+    sample = events.orderBy("event_id").limit(20).collect()
+    by_pos = {r["created_utc"]: r["message_id"] for r in events_log.collect()}
+    for ev in sample:
+        expected = str(uuid.uuid5(NAMESPACE_DNS, str(ev["event_id"])))
+        assert by_pos[ev["ts"]] == expected or expected in by_pos.values()
+
+
+def test_global_index_strategies_agree(spark):
+    events = load_table(spark, SF_DIR, "events")
+    a = with_dense_global_index(events, ["ts", "event_id"], strategy="offsets")
+    b = with_dense_global_index(events, ["ts", "event_id"], strategy="window")
+    am = {r["event_id"]: r["position"] for r in a.collect()}
+    bm = {r["event_id"]: r["position"] for r in b.collect()}
+    assert am == bm

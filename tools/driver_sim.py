@@ -1,0 +1,110 @@
+"""Simulate the driver's correctness gate locally.
+
+Imports __spark_entry__ exactly as the driver does, smoke-runs entry(),
+then runs every queries()[name] at the given sf_dir against its
+oracle_sql()[name] via DuckDB: row-count + column-name + order-insensitive
+value compare. Usage: python tools/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def norm(v):
+    import datetime
+    import math
+
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return f"{float(v):.10g}"
+    except ImportError:
+        pass
+    return v
+
+
+def main(sf_dir: str) -> int:
+    import duckdb
+
+    import __spark_entry__ as E
+    from sqlstreamstore_spark.session import get_spark
+
+    spark = get_spark(app_name="driver_sim")
+
+    t0 = time.time()
+    edf = E.entry(spark)
+    rows = edf.collect()
+    print(f"entry(): {len(rows)} rows, schema={[f.name for f in edf.schema.fields]}, "
+          f"{time.time()-t0:.1f}s")
+    assert len(rows) >= 0
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    print(f"{len(qs)} queries, {len(oracles)} oracles")
+    failures = []
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            sp_cols = sdf.columns
+            sp = sorted(tuple(norm(v) for v in r) for r in sdf.collect())
+        except Exception as e:
+            failures.append(name)
+            print(f"  {name}: SPARK ERROR {e}")
+            continue
+        if name not in oracles:
+            print(f"  {name}: rows-only check, {len(sp)} rows, {time.time()-t0:.1f}s")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dk_cols = [d[0] for d in res.description]
+            dk = sorted(tuple(norm(v) for v in r) for r in res.fetchall())
+        except Exception as e:
+            failures.append(name)
+            print(f"  {name}: ORACLE ERROR {e}")
+            continue
+        # driver sorts columns by name before hashing
+        sp_idx = [sp_cols.index(c) for c in sorted(sp_cols)]
+        dk_idx = [dk_cols.index(c) for c in sorted(dk_cols)]
+        sp_s = [tuple(r[i] for i in sp_idx) for r in sp]
+        dk_s = [tuple(r[i] for i in dk_idx) for r in dk]
+        ok_cols = sorted(sp_cols) == sorted(dk_cols)
+        ok_vals = sp_s == dk_s
+        status = "OK" if (ok_cols and ok_vals) else "MISMATCH"
+        if status != "OK":
+            failures.append(name)
+        print(f"  {name}: {status} rows={len(sp)}/{len(dk)} cols_ok={ok_cols} {time.time()-t0:.1f}s")
+        if not ok_vals and ok_cols:
+            for a, b in zip(sp_s, dk_s):
+                if a != b:
+                    print(f"    first diff:\n      spark: {a}\n      duck : {b}")
+                    break
+            if len(sp_s) != len(dk_s):
+                print(f"    row count differs: {len(sp_s)} vs {len(dk_s)}")
+        if not ok_cols:
+            print(f"    spark cols: {sorted(sp_cols)}\n    duck cols : {sorted(dk_cols)}")
+    print("RESULT:", "ALL OK" if not failures else f"FAILURES: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
