@@ -1,0 +1,339 @@
+"""Analytics entries for the driver's correctness gate.
+
+Every oracle is ANSI SQL DuckDB runs over the pre-registered views
+(region nation customer supplier part orders lineitem events documents
+embeddings). Aliases match the Spark side exactly; money math follows
+the decimal-exact strategy (see tpch.py docstring); ratio/score columns
+are double(int)/double(int) or sequential-fold doubles, identical in
+both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlstreamstore_spark.analytics import dedup, events, similarity, text, tpch
+from sqlstreamstore_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return load_table(spark, sf, name)
+
+
+# -------------------------------------------------------------- TPC-H
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+_Q3_SQL = """
+SELECT l_orderkey, o_orderdate,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+_Q6_SQL = """
+SELECT coalesce(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 0.0) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN CAST(0.03 AS DECIMAL(4,2)) AND CAST(0.07 AS DECIMAL(4,2))
+  AND l_quantity < 24.0
+"""
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+_Q4_SEMI_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45.0)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+_TOPK_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) t
+WHERE rk <= 3
+ORDER BY o_custkey, rk
+"""
+
+# -------------------------------------------------------------- events
+
+_SESSIONS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events)
+SELECT user_id,
+       CAST(sum(is_new) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+_EVENTS_DAY_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY date_trunc('day', ts), event_type
+ORDER BY day, event_type
+"""
+
+# -------------------------------------------------------------- text
+
+_STOP_SQL = "('the','a','and','of','to','in','is','for','on','with')"
+
+_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars_computed,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens
+FROM documents ORDER BY doc_id
+"""
+
+_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       CAST(len(w) AS INTEGER) AS n_tokens,
+       CAST(len(list_filter(w, x -> x IN {_STOP_SQL})) AS INTEGER) AS n_stopwords,
+       CAST(len(list_filter(w, x -> x IN {_STOP_SQL})) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS stopword_ratio,
+       CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS distinct_ratio
+FROM t ORDER BY doc_id
+"""
+
+_LANGID_SQL = f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+     s AS (SELECT doc_id, lang,
+                  CAST(len(list_filter(w, x -> x IN {_STOP_SQL})) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS en_score
+           FROM t)
+SELECT doc_id, lang, en_score,
+       CASE WHEN en_score >= 0.15 THEN 'en' ELSE 'other' END AS pred_lang
+FROM s ORDER BY doc_id
+"""
+
+_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+# -------------------------------------------------------------- dedup
+
+_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_dups
+FROM documents
+GROUP BY md5(text)
+ORDER BY keep_doc_id
+LIMIT 500
+"""
+
+_NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 300
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+  FROM toks WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_inter,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+           JOIN sizes sb ON inter.doc_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+ORDER BY doc_a, doc_b
+"""
+
+# -------------------------------------------------------------- similarity
+
+_SIM_TOPK_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+FROM embeddings, q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+_KNN_JOIN_SQL = """
+WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT qs.qid, e.vec_id AS cid,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), qs.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(qs.qv, qs.qv))) AS cosine
+  FROM embeddings e, qs WHERE e.vec_id <> qs.qid
+)
+SELECT qid, cid, cosine, rk FROM (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+  FROM scored) t
+WHERE rk <= 5
+ORDER BY qid, rk
+"""
+
+
+def _knn_join_query(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    out = similarity.knn_join_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return out.select("qid", "cid", "cosine", "rk")
+
+
+def _sim_topk_query(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.cosine_topk_bruteforce(emb, [float(x) for x in qvec], k=10)
+
+
+def _sim_topk_lsh_query(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.cosine_topk_lsh(emb, [float(x) for x in qvec], k=10, bits=4)
+
+
+def analytics_queries():
+    """name → (spark_fn, oracle_sql | None). None = rows-only check
+    (non-SQL-expressible: engine-specific hash families)."""
+    return {
+        # TPC-H
+        "tpch_q1": (lambda s, sf: tpch.q1_pricing_summary(_t(s, sf, "lineitem")), _Q1_SQL),
+        "tpch_q3": (
+            lambda s, sf: tpch.q3_shipping_priority(
+                _t(s, sf, "customer"), _t(s, sf, "orders"), _t(s, sf, "lineitem")
+            ),
+            _Q3_SQL,
+        ),
+        "tpch_q5": (
+            lambda s, sf: tpch.q5_local_supplier_volume(
+                _t(s, sf, "customer"), _t(s, sf, "orders"), _t(s, sf, "lineitem"),
+                _t(s, sf, "supplier"), _t(s, sf, "nation"), _t(s, sf, "region"),
+            ),
+            _Q5_SQL,
+        ),
+        "tpch_q6": (lambda s, sf: tpch.q6_forecast_revenue(_t(s, sf, "lineitem")), _Q6_SQL),
+        "tpch_q10": (
+            lambda s, sf: tpch.q10_returned_items(
+                _t(s, sf, "customer"), _t(s, sf, "orders"), _t(s, sf, "lineitem"), _t(s, sf, "nation")
+            ),
+            _Q10_SQL,
+        ),
+        "tpch_q4_semijoin": (
+            lambda s, sf: tpch.order_priority_with_lineitems(_t(s, sf, "orders"), _t(s, sf, "lineitem")),
+            _Q4_SEMI_SQL,
+        ),
+        "tpch_rollup": (lambda s, sf: tpch.rollup_returns(_t(s, sf, "lineitem")), _ROLLUP_SQL),
+        "topk_orders_per_customer": (
+            lambda s, sf: tpch.top_orders_per_customer(_t(s, sf, "orders")),
+            _TOPK_ORDERS_SQL,
+        ),
+        # events
+        "sessions_per_user": (
+            lambda s, sf: events.sessions_per_user(_t(s, sf, "events")),
+            _SESSIONS_SQL,
+        ),
+        "events_per_type_day": (
+            lambda s, sf: events.events_per_type_day(_t(s, sf, "events")),
+            _EVENTS_DAY_SQL,
+        ),
+        # text
+        "text_token_stats": (lambda s, sf: text.token_stats(_t(s, sf, "documents")), _TOKEN_STATS_SQL),
+        "text_quality": (lambda s, sf: text.quality_score(_t(s, sf, "documents")), _QUALITY_SQL),
+        "text_langid": (lambda s, sf: text.language_id(_t(s, sf, "documents")), _LANGID_SQL),
+        "text_fingerprint": (lambda s, sf: text.fingerprint(_t(s, sf, "documents")), _FINGERPRINT_SQL),
+        # dedup
+        "dedup_exact": (
+            lambda s, sf: dedup.exact_dedup_groups(_t(s, sf, "documents")),
+            _EXACT_DEDUP_SQL,
+        ),
+        "dedup_ngram_jaccard": (
+            lambda s, sf: dedup.ngram_jaccard_pairs(
+                _t(s, sf, "documents").filter(F.col("doc_id") < 300), threshold=0.2
+            ),
+            _NGRAM_JACCARD_SQL,
+        ),
+        "dedup_minhash_lsh": (
+            lambda s, sf: dedup.minhash_dedup_pairs(
+                _t(s, sf, "documents").filter(F.col("doc_id") < 300), threshold=0.2
+            ),
+            None,  # xxhash64 families aren't expressible in DuckDB
+        ),
+        "dedup_simhash": (
+            lambda s, sf: dedup.simhash_near_pairs(
+                _t(s, sf, "documents").filter(F.col("doc_id") < 300), max_hamming=12
+            ),
+            None,
+        ),
+        # similarity
+        "sim_cosine_topk": (_sim_topk_query, _SIM_TOPK_SQL),
+        "sim_knn_join": (_knn_join_query, _KNN_JOIN_SQL),
+        "sim_cosine_topk_lsh": (_sim_topk_lsh_query, None),
+    }

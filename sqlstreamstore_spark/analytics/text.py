@@ -1,0 +1,82 @@
+"""Text-analysis operators over the `documents` table (FIXTURES.md §C) —
+the language-ID / quality-scoring / token-counting / fingerprinting
+stage of an LLM training-data pipeline.
+
+Everything here is built-in column functions (split/filter/size/md5/
+regexp_replace) — per-row, embarrassingly parallel, whole-stage
+codegen'd; no UDFs, no shuffles except the final order-by for the
+deterministic gate projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny English function-word set for the n-gram-free language heuristic
+#: and the stopword-ratio quality feature.
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"]
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Whitespace token count + char stats per document."""
+    toks = _tokens()
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars_computed"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    ).orderBy("doc_id")
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Length / stopword-ratio / distinct-ratio quality features.
+
+    Ratios are double(int)/double(int) — bit-identical across engines.
+    """
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_distinct = F.size(F.array_distinct(toks))
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
+        (n_distinct.cast("double") / n_tokens.cast("double")).alias("distinct_ratio"),
+    ).orderBy("doc_id")
+
+
+def language_id(documents: DataFrame, threshold: float = 0.15) -> DataFrame:
+    """Heuristic language ID: stopword hit-rate over the English
+    function-word set; >= threshold → 'en'."""
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    score = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
+        / F.size(toks).cast("double")
+    )
+    return documents.select(
+        "doc_id",
+        "lang",
+        score.alias("en_score"),
+        F.when(score >= threshold, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Canonical-form document fingerprint: lowercase, strip non
+    [a-z0-9 ], collapse runs of spaces, md5. Identical docs (modulo
+    formatting) share a fingerprint — the join key for exact dedup."""
+    normalized = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+    )
+    return documents.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+    ).orderBy("doc_id")

@@ -15,25 +15,26 @@ sys.path.insert(0, "/root/repo")
 
 
 def norm(v):
+    """Normalize any cell to a string so rows sort/compare uniformly."""
     import datetime
+    import decimal
     import math
 
+    if v is None:
+        return "\x00none"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return f"{v:.10g}"
+    if isinstance(v, decimal.Decimal):
+        return f"{float(v):.10g}"
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day).isoformat()
     if isinstance(v, (list, tuple)):
-        return tuple(norm(x) for x in v)
-    try:
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return f"{float(v):.10g}"
-    except ImportError:
-        pass
-    return v
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    return str(v)
 
 
 def main(sf_dir: str) -> int:
