@@ -1,0 +1,308 @@
+"""SparkParquetStreamStore — the engine's durable store: an append-only
+Parquet log + a tiny JSON manifest, committed by a serialized
+single-writer protocol (SURVEY.md §3.2's Spark design).
+
+Architecture (vs the reference's RDBMS backends):
+  - WRITE path: driver-side commit protocol. The append decision (§2.3)
+    runs in Python; the batch is written as one Parquet file (pyarrow —
+    a driver-local columnar write, no Spark job for a handful of rows);
+    the manifest (head position, per-stream heads, file list, deletion
+    sets) is swapped atomically via write-temp + rename. Dense positions
+    are assigned here, so the reference's gap detection/3s-stabilization
+    (ReadonlyStreamStoreBase.cs:65-89) is unnecessary by construction.
+  - READ path: a Spark DataFrame over the manifest's file list with
+    deletion filters — every paged read is the declarative expression
+    from operators/read.py; Catalyst pushes position/version bounds into
+    the Parquet scan (row-group min/max pruning works because files are
+    position-ordered by construction).
+  - DELETES are O(1) logical (deletion sets in the manifest, anti-joined
+    on read) — the Delta-style deletion-vector approach; `compact()`
+    rewrites files to apply them physically and to merge small commit
+    files (maintenance, like the reference's async scavenge queue).
+
+Scale notes: the manifest holds per-stream heads — O(#streams), the
+same cardinality the reference keeps in its `streams` table
+(Tables.sql:4-15). The id-window cache used by idempotency checks loads
+one stream's ids on demand (the analog of the reference's indexed
+(stream, message_id) lookups, Tables.sql:45)."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import uuid as _uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlstreamstore_spark.schema import MESSAGES_SCHEMA
+from sqlstreamstore_spark.store.base import StreamStore
+from sqlstreamstore_spark.store.messages import NewStreamMessage, StreamMessage
+
+
+class SparkParquetStreamStore(StreamStore):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        get_utc_now: Callable[[], _dt.datetime] | None = None,
+    ):
+        super().__init__(get_utc_now)
+        self.spark = spark
+        self.path = path
+        self._data_dir = os.path.join(path, "data")
+        self._manifest_path = os.path.join(path, "manifest.json")
+        os.makedirs(self._data_dir, exist_ok=True)
+        self._manifest = self._load_manifest()
+        self._ids_cache: dict[str, list[str]] = {}
+        self._log_cache: DataFrame | None = None
+        self._log_cache_version = -1
+        self.on_appended: Callable[[], None] | None = None
+
+    # -------------------------------------------------------------- manifest
+
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {
+            "version": 0,
+            "head_position": -1,
+            "streams": {},
+            "files": [],
+            "deleted_streams": [],
+            "deleted_messages": {},
+        }
+
+    def _save_manifest(self) -> None:
+        self._manifest["version"] += 1
+        tmp = self._manifest_path + f".tmp.{_uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(self._manifest, f)
+        os.replace(tmp, self._manifest_path)
+
+    # ------------------------------------------------------------------- log
+
+    def log_df(self) -> DataFrame:
+        """The live message log as a DataFrame (deletion filters applied).
+        This is the store's analytics surface — feed it to any operator."""
+        if self._log_cache is not None and self._log_cache_version == self._manifest["version"]:
+            return self._log_cache
+        m = self._manifest
+        if not m["files"]:
+            df = self.spark.createDataFrame([], MESSAGES_SCHEMA)
+        else:
+            paths = [os.path.join(self._data_dir, fn) for fn in m["files"]]
+            df = self.spark.read.schema(MESSAGES_SCHEMA).parquet(*paths)
+            if m["deleted_streams"]:
+                df = df.filter(~F.col("stream_id").isin(m["deleted_streams"]))
+            pairs = [
+                (sid, mid)
+                for sid, mids in m["deleted_messages"].items()
+                for mid in mids
+            ]
+            if pairs:
+                dead = self.spark.createDataFrame(pairs, "stream_id string, message_id string")
+                df = df.join(F.broadcast(dead), ["stream_id", "message_id"], "left_anti")
+        self._log_cache = df
+        self._log_cache_version = m["version"]
+        return df
+
+    # -------------------------------------------------------------- backend
+
+    def _head_position(self) -> int:
+        return self._manifest["head_position"]
+
+    def _stream_head(self, stream_id: str):
+        s = self._manifest["streams"].get(stream_id)
+        return (s["version"], s["position"]) if s else None
+
+    def _stream_stored_ids(self, stream_id: str) -> list[str]:
+        if stream_id not in self._ids_cache:
+            rows = (
+                self.log_df()
+                .filter(F.col("stream_id") == stream_id)
+                .orderBy("stream_version")
+                .select("message_id")
+                .collect()
+            )
+            self._ids_cache[stream_id] = [r[0] for r in rows]
+        return self._ids_cache[stream_id]
+
+    def _rows_to_messages(self, rows) -> list[StreamMessage]:
+        return [
+            StreamMessage(
+                stream_id=r["stream_id"], message_id=r["message_id"],
+                stream_version=r["stream_version"], position=r["position"],
+                created_utc=r["created_utc"], type=r["type"],
+                json_metadata=r["json_metadata"], json_data=r["json_data"],
+            )
+            for r in rows
+        ]
+
+    def _read_stream_slice(self, stream_id, from_version, count, forwards):
+        df = self.log_df().filter(F.col("stream_id") == stream_id)
+        if forwards:
+            df = (
+                df.filter(F.col("stream_version") >= from_version)
+                .orderBy("stream_version")
+            )
+        else:
+            df = (
+                df.filter(F.col("stream_version") <= from_version)
+                .orderBy(F.col("stream_version").desc())
+            )
+        return self._rows_to_messages(df.limit(count).collect())
+
+    def _read_all_slice(self, from_position, count, forwards):
+        df = self.log_df()
+        if forwards:
+            df = df.filter(F.col("position") >= from_position).orderBy("position")
+        else:
+            df = df.filter(F.col("position") <= from_position).orderBy(F.col("position").desc())
+        return self._rows_to_messages(df.limit(count).collect())
+
+    def _commit_messages(self, stream_id, base_version, base_position, messages, created_utc):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        version, position = base_version, base_position
+        if messages:
+            rows = []
+            for nm in messages:
+                version += 1
+                position += 1
+                rows.append(
+                    {
+                        "position": position,
+                        "stream_id": stream_id,
+                        "stream_version": version,
+                        "message_id": nm.message_id,
+                        "created_utc": created_utc,
+                        "type": nm.type,
+                        "json_data": nm.json_data,
+                        "json_metadata": nm.json_metadata,
+                    }
+                )
+            table = pa.Table.from_pylist(
+                rows,
+                schema=pa.schema(
+                    [
+                        pa.field("position", pa.int64(), False),
+                        pa.field("stream_id", pa.string(), False),
+                        pa.field("stream_version", pa.int32(), False),
+                        pa.field("message_id", pa.string(), False),
+                        pa.field("created_utc", pa.timestamp("us"), False),
+                        pa.field("type", pa.string(), False),
+                        pa.field("json_data", pa.string(), False),
+                        pa.field("json_metadata", pa.string(), True),
+                    ]
+                ),
+            )
+            fname = f"batch-{self._manifest['version'] + 1:08d}-{position:012d}.parquet"
+            pq.write_table(table, os.path.join(self._data_dir, fname))
+            self._manifest["files"].append(fname)
+            self._manifest["head_position"] = position
+
+        s = self._manifest["streams"].setdefault(
+            stream_id,
+            {"version": -1, "position": -1, "first_position": None, "count": 0},
+        )
+        if messages:
+            s["version"] = version
+            s["position"] = position
+            if s["first_position"] is None:
+                s["first_position"] = base_position + 1
+            s["count"] += len(messages)
+            if stream_id in self._ids_cache:
+                self._ids_cache[stream_id].extend(nm.message_id for nm in messages)
+        self._save_manifest()
+        if messages and self.on_appended:
+            self.on_appended()
+        return version, position
+
+    def _delete_stream_rows(self, stream_id) -> bool:
+        s = self._manifest["streams"].pop(stream_id, None)
+        self._ids_cache.pop(stream_id, None)
+        if s is None:
+            return False
+        had_rows = s["count"] > 0
+        if had_rows:
+            self._manifest["deleted_streams"].append(stream_id)
+        self._manifest["deleted_messages"].pop(stream_id, None)
+        self._save_manifest()
+        return had_rows
+
+    def _delete_message_row(self, stream_id, message_id) -> bool:
+        ids = self._stream_stored_ids(stream_id)
+        if message_id not in ids:
+            return False
+        ids.remove(message_id)
+        self._manifest["deleted_messages"].setdefault(stream_id, []).append(message_id)
+        s = self._manifest["streams"].get(stream_id)
+        if s:
+            s["count"] = max(0, s["count"] - 1)
+        self._save_manifest()
+        return True
+
+    def _list_stream_ids(self, pattern, kind, max_count, continuation):
+        rows = []
+        for sid, s in self._manifest["streams"].items():
+            if sid.startswith("$") or s["first_position"] is None:
+                continue
+            if pattern and kind == "startswith" and not sid.startswith(pattern):
+                continue
+            if pattern and kind == "endswith" and not sid.endswith(pattern):
+                continue
+            if s["first_position"] <= continuation:
+                continue
+            rows.append((sid, s["first_position"]))
+        rows.sort(key=lambda r: r[1])
+        return rows[:max_count]
+
+    def _point_json_data(self, stream_id, message_id):
+        rows = (
+            self.log_df()
+            .filter((F.col("stream_id") == stream_id) & (F.col("message_id") == message_id))
+            .select("json_data")
+            .collect()
+        )
+        return rows[0][0] if rows else None
+
+    # ---------------------------------------------------------- maintenance
+
+    def compact(self, target_files: int | None = None) -> None:
+        """Apply deletion sets physically and merge small commit files:
+        rewrite the live log sorted by position into ~target_files
+        Parquet files (range-partitioned on position so row-group stats
+        stay selective), then swap the manifest. The analog of the
+        reference's async purge/scavenge queue (Infrastructure/
+        TaskQueue.cs) as an explicit maintenance operation."""
+        live = self.log_df().orderBy("position")
+        tmp_dir = os.path.join(self.path, f"compact-{_uuid.uuid4().hex}")
+        n = target_files or max(1, self.spark.sparkContext.defaultParallelism)
+        live.repartitionByRange(n, "position").sortWithinPartitions("position").write.parquet(
+            tmp_dir
+        )
+        new_files = []
+        for i, fn in enumerate(sorted(os.listdir(tmp_dir))):
+            if not fn.endswith(".parquet"):
+                continue
+            new_name = f"compacted-{self._manifest['version']:08d}-{i:05d}.parquet"
+            os.replace(os.path.join(tmp_dir, fn), os.path.join(self._data_dir, new_name))
+            new_files.append(new_name)
+        old_files = list(self._manifest["files"])
+        self._manifest["files"] = new_files
+        self._manifest["deleted_streams"] = []
+        self._manifest["deleted_messages"] = {}
+        self._save_manifest()
+        for fn in old_files:
+            try:
+                os.remove(os.path.join(self._data_dir, fn))
+            except OSError:
+                pass
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)

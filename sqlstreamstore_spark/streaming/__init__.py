@@ -1,0 +1,13 @@
+from sqlstreamstore_spark.streaming.subscriptions import (
+    PollingNotifier,
+    SubscriptionDroppedReason,
+    subscribe_to_all,
+    subscribe_to_stream,
+)
+
+__all__ = [
+    "PollingNotifier",
+    "SubscriptionDroppedReason",
+    "subscribe_to_all",
+    "subscribe_to_stream",
+]

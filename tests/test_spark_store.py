@@ -1,0 +1,133 @@
+"""SparkParquetStreamStore parity: drive the same scenario through the
+in-memory spec store and the Parquet-backed Spark store; every
+observable (pages, heads, metadata, tombstones, list) must agree —
+the same differential technique as the reference's backend-agnostic
+acceptance suite (tests/SqlStreamStore.AcceptanceTests/)."""
+
+import datetime as dt
+import uuid
+
+import pytest
+
+from sqlstreamstore_spark.exceptions import WrongExpectedVersionError
+from sqlstreamstore_spark.schema import ExpectedVersion
+from sqlstreamstore_spark.store import (
+    InMemoryStreamStore,
+    NewStreamMessage,
+    SparkParquetStreamStore,
+)
+
+
+def msgs(*ns):
+    return [NewStreamMessage(str(uuid.UUID(int=n)), f"t{n}", f'{{"n":{n}}}') for n in ns]
+
+
+class Clock:
+    def __init__(self):
+        self.now = dt.datetime(2024, 1, 1)
+
+    def __call__(self):
+        return self.now
+
+
+def page_obs(p):
+    if hasattr(p, "next_position"):
+        return (p.from_position, p.next_position, p.is_end,
+                [(m.position, m.stream_id, m.stream_version, m.message_id,
+                  m.type, m.json_data, m.created_utc) for m in p.messages])
+    return (p.status, p.from_stream_version, p.next_stream_version,
+            p.last_stream_version, p.last_stream_position, p.is_end,
+            [(m.position, m.stream_version, m.message_id, m.json_data) for m in p.messages])
+
+
+@pytest.fixture
+def stores(spark, tmp_path):
+    clock_a, clock_b = Clock(), Clock()
+    yield (
+        InMemoryStreamStore(get_utc_now=clock_a),
+        SparkParquetStreamStore(spark, str(tmp_path / "store"), get_utc_now=clock_b),
+        (clock_a, clock_b),
+    )
+
+
+def both(stores, fn):
+    mem, spk, _ = stores
+    ra = fn(mem)
+    rb = fn(spk)
+    return ra, rb
+
+
+def test_full_scenario_parity(stores):
+    mem, spk, (clock_a, clock_b) = stores
+
+    for s in (mem, spk):
+        s.append_to_stream("orders-1", ExpectedVersion.NO_STREAM, msgs(1, 2, 3))
+        s.append_to_stream("orders-2", ExpectedVersion.NO_STREAM, msgs(4, 5))
+        s.append_to_stream("orders-1", 2, msgs(6))
+        # idempotent repeat
+        r = s.append_to_stream("orders-1", ExpectedVersion.NO_STREAM, msgs(1, 2, 3))
+        assert r.current_version == 3
+        with pytest.raises(WrongExpectedVersionError):
+            s.append_to_stream("orders-1", 0, msgs(9))
+        s.set_stream_metadata("orders-2", ExpectedVersion.NO_STREAM, max_count=1)
+        s.delete_message("orders-1", str(uuid.UUID(int=2)))
+
+    for fn in [
+        lambda s: s.read_head_position(),
+        lambda s: s.read_stream_head_version("orders-1"),
+        lambda s: s.read_stream_head_position("orders-1"),
+        lambda s: page_obs(s.read_all_forwards(0, 100)),
+        lambda s: page_obs(s.read_all_backwards(-1, 3)),
+        lambda s: page_obs(s.read_stream_forwards("orders-1", 0, 2)),
+        lambda s: page_obs(s.read_stream_backwards("orders-1", -1, 2)),
+        lambda s: page_obs(s.read_stream_forwards("orders-2", 0, 10)),
+        lambda s: page_obs(s.read_stream_forwards("missing", 0, 10)),
+        lambda s: s.list_streams()[0],
+        lambda s: (lambda m: (m.max_age, m.max_count, m.metadata_stream_version))(
+            s.get_stream_metadata("orders-2")),
+    ]:
+        a, b = both((mem, spk, None), fn)
+        assert a == b, f"{a!r} != {b!r}"
+
+
+def test_delete_stream_parity(stores):
+    mem, spk, _ = stores
+    for s in (mem, spk):
+        s.append_to_stream("a", ExpectedVersion.NO_STREAM, msgs(1, 2))
+        s.append_to_stream("b", ExpectedVersion.NO_STREAM, msgs(3))
+        s.delete_stream("a")
+    for fn in [
+        lambda s: page_obs(s.read_all_forwards(0, 100)),
+        lambda s: s.read_stream_forwards("a", 0, 10).status,
+        lambda s: s.list_streams()[0],
+        lambda s: [(m.type, m.json_data) for m in
+                   s.read_stream_forwards("$deleted", 0, 10).messages],
+    ]:
+        a, b = both((mem, spk, None), fn)
+        assert a == b, f"{a!r} != {b!r}"
+
+
+def test_spark_store_survives_reopen(spark, tmp_path):
+    path = str(tmp_path / "store2")
+    s1 = SparkParquetStreamStore(spark, path)
+    s1.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(1, 2, 3))
+    s2 = SparkParquetStreamStore(spark, path)
+    assert s2.read_head_position() == 2
+    page = s2.read_stream_forwards("s", 0, 10)
+    assert [m.stream_version for m in page.messages] == [0, 1, 2]
+    # idempotency works across restarts (ids reloaded from parquet)
+    r = s2.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(1, 2, 3))
+    assert r.current_version == 2
+
+
+def test_spark_store_compaction(spark, tmp_path):
+    s = SparkParquetStreamStore(spark, str(tmp_path / "store3"))
+    for i in range(5):
+        s.append_to_stream("s", ExpectedVersion.ANY, msgs(i * 2 + 1, i * 2 + 2))
+    s.delete_message("s", str(uuid.UUID(int=1)))
+    before = page_obs(s.read_all_forwards(0, 100))
+    s.compact(target_files=2)
+    after = page_obs(s.read_all_forwards(0, 100))
+    assert before == after
+    assert len(s._manifest["files"]) == 2
+    assert s._manifest["deleted_messages"] == {}

@@ -1,0 +1,113 @@
+"""Page-field arithmetic parity (ReadAllPage/ReadStreamPage), modeled on
+the AcceptanceTests.ReadStream.cs / ReadAll.cs theories."""
+
+import uuid
+
+import pytest
+
+from sqlstreamstore_spark.schema import ExpectedVersion, Position, StreamVersion
+from sqlstreamstore_spark.store import InMemoryStreamStore, NewStreamMessage
+
+
+def msgs(*ns):
+    return [NewStreamMessage(str(uuid.UUID(int=n)), f"t{n}", f'{{"n":{n}}}') for n in ns]
+
+
+@pytest.fixture
+def store():
+    s = InMemoryStreamStore()
+    s.append_to_stream("s1", ExpectedVersion.NO_STREAM, msgs(1, 2, 3, 4, 5))
+    s.append_to_stream("s2", ExpectedVersion.NO_STREAM, msgs(6, 7, 8))
+    return s
+
+
+# ---------------------------------------------------------------- stream
+
+
+def test_read_stream_forwards_paging(store):
+    p1 = store.read_stream_forwards("s1", 0, 2)
+    assert [m.stream_version for m in p1.messages] == [0, 1]
+    assert (p1.next_stream_version, p1.last_stream_version, p1.is_end) == (2, 4, False)
+    p2 = p1.read_next()
+    assert [m.stream_version for m in p2.messages] == [2, 3]
+    p3 = p2.read_next()
+    assert [m.stream_version for m in p3.messages] == [4]
+    assert (p3.next_stream_version, p3.is_end) == (5, True)
+
+
+def test_read_stream_forwards_past_end(store):
+    p = store.read_stream_forwards("s1", 10, 2)
+    assert p.messages == []
+    assert (p.next_stream_version, p.last_stream_version, p.is_end) == (5, 4, True)
+
+
+def test_read_stream_backwards_paging(store):
+    p1 = store.read_stream_backwards("s1", StreamVersion.END, 2)
+    assert [m.stream_version for m in p1.messages] == [4, 3]
+    assert (p1.next_stream_version, p1.is_end) == (2, False)
+    p2 = p1.read_next()
+    assert [m.stream_version for m in p2.messages] == [2, 1]
+    p3 = p2.read_next()
+    assert [m.stream_version for m in p3.messages] == [0]
+    assert (p3.next_stream_version, p3.is_end) == (-1, True)
+
+
+def test_read_stream_not_found(store):
+    p = store.read_stream_forwards("nope", 0, 10)
+    assert p.status == "StreamNotFound"
+    assert (p.next_stream_version, p.last_stream_version, p.is_end) == (-1, -1, True)
+
+
+def test_last_stream_position(store):
+    p = store.read_stream_forwards("s2", 0, 10)
+    assert p.last_stream_position == 7  # global positions 5,6,7
+
+
+# ------------------------------------------------------------------- all
+
+
+def test_read_all_forwards_paging(store):
+    p1 = store.read_all_forwards(Position.START, 3)
+    assert [m.position for m in p1.messages] == [0, 1, 2]
+    assert (p1.next_position, p1.is_end) == (3, False)
+    p2 = p1.read_next()
+    assert [m.position for m in p2.messages] == [3, 4, 5]
+    p3 = p2.read_next()
+    assert [m.position for m in p3.messages] == [6, 7]
+    assert (p3.next_position, p3.is_end) == (8, True)
+
+
+def test_read_all_forwards_empty_store():
+    p = InMemoryStreamStore().read_all_forwards(0, 10)
+    assert (p.from_position, p.next_position, p.is_end, p.messages) == (0, 0, True, [])
+
+
+def test_read_all_forwards_past_end(store):
+    p = store.read_all_forwards(100, 10)
+    assert (p.from_position, p.next_position, p.is_end, p.messages) == (100, 100, True, [])
+
+
+def test_read_all_backwards_paging(store):
+    p1 = store.read_all_backwards(Position.END, 3)
+    assert [m.position for m in p1.messages] == [7, 6, 5]
+    assert (p1.next_position, p1.is_end) == (4, False)
+    p2 = p1.read_next()
+    assert [m.position for m in p2.messages] == [4, 3, 2]
+    p3 = p2.read_next()
+    assert [m.position for m in p3.messages] == [1, 0]
+    assert (p3.next_position, p3.is_end) == (0, True)
+
+
+def test_read_all_ordering_matches_append_order(store):
+    p = store.read_all_forwards(0, 100)
+    assert [m.stream_id for m in p.messages] == ["s1"] * 5 + ["s2"] * 3
+
+
+def test_prefetch_toggle(store):
+    p = store.read_all_forwards(0, 2, prefetch_json_data=False)
+    m = p.messages[0]
+    assert m.json_data is None
+    assert m.get_json_data() == '{"n":1}'
+    # delete it; lazy fetch now returns None (StreamMessage.cs:59-72)
+    store.delete_message(m.stream_id, m.message_id)
+    assert m.get_json_data() is None
