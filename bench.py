@@ -1,0 +1,116 @@
+"""Benchmark harness — prints ONE JSON line with per-query wall-clock.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Query set:
+  - stream-store reads over the canonical events_log (cached once, as a
+    store deployment would keep its hot log cached);
+  - a full-log paged drain (ReadAllForwards analog, page size 1000 —
+    BASELINE.md row 3);
+  - the TPC-H set, sessionization, text/dedup/similarity pipelines;
+  - append throughput: 100 batches x 100 messages, ExpectedVersion.Any,
+    into a fresh SparkParquetStreamStore (BASELINE.md row 5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from sqlstreamstore_spark.entrypoints import build_queries, get_log
+    from sqlstreamstore_spark.operators.read import drain_all_forwards, read_all_forwards_df
+    from sqlstreamstore_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    timings: dict[str, float] = {}
+
+    # -- warm: derive + cache the canonical log (not timed as a query;
+    # recorded separately since the derivation is itself an operator).
+    t0 = time.time()
+    log = get_log(spark, sf_dir)
+    n_log = log.count()
+    timings["events_log_derive"] = round(time.time() - t0, 3)
+
+    # -- declared query set (same code path as the correctness gate)
+    queries = build_queries()
+    for name, fn in queries.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    # -- full-log drain, page size 1000, two strategies:
+    # paged keyset reads (API-fidelity; one job per page) ...
+    t0 = time.time()
+    pos, page, drained = 0, 1000, 0
+    while True:
+        rows = read_all_forwards_df(log, pos, page).collect()
+        drained += len(rows)
+        if len(rows) < page:
+            break
+        pos = rows[-1]["position"] + 1
+    assert drained == n_log, (drained, n_log)
+    timings["readall_drain_p1000"] = round(time.time() - t0, 3)
+    # ... and the streaming drain (one job, partitions stream in order)
+    t0 = time.time()
+    drained = 0
+    last = -1
+    for batch in drain_all_forwards(log, 1000):
+        drained += len(batch)
+        assert batch[0]["position"] > last
+        last = batch[-1]["position"]
+    assert drained == n_log, (drained, n_log)
+    timings["readall_drain_stream"] = round(time.time() - t0, 3)
+
+    # -- append throughput: 100 batches x 100 msgs, ExpectedVersion.Any
+    from sqlstreamstore_spark.schema import ExpectedVersion
+    from sqlstreamstore_spark.store import NewStreamMessage, SparkParquetStreamStore
+
+    tmp = tempfile.mkdtemp(prefix="bench-store-")
+    try:
+        store = SparkParquetStreamStore(spark, os.path.join(tmp, "store"))
+        t0 = time.time()
+        k = 0
+        for b in range(100):
+            batch = [
+                NewStreamMessage(str(uuid.UUID(int=k + i + 1)), "bench", '{"x":1}')
+                for i in range(100)
+            ]
+            k += 100
+            store.append_to_stream(f"bench-{b % 10}", ExpectedVersion.ANY, batch)
+        dt = time.time() - t0
+        timings["append_100x100"] = round(dt, 3)
+        timings["append_msgs_per_sec"] = round(10_000 / dt, 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(
+        sum(v for k, v in timings.items() if k != "append_msgs_per_sec"), 3
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "rows_events_log": n_log,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -13,7 +13,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sqlstreamstore_spark.analytics import dedup, events, similarity, text, tpch
+from sqlstreamstore_spark.analytics import (
+    dedup,
+    events,
+    multimodal,
+    relational,
+    similarity,
+    text,
+    tpch,
+)
 from sqlstreamstore_spark.sources.tables import load_table
 
 
@@ -242,6 +250,102 @@ ORDER BY qid, rk
 """
 
 
+# ---------------------------------------------------- relational extras
+
+_INTERSECT_SQL = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT DISTINCT s_nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+_EXCEPT_SQL = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT DISTINCT s_nationkey FROM supplier WHERE s_acctbal > 9000
+ORDER BY nationkey
+"""
+
+_NO_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+_PIVOT_SQL = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type='click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type='error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type='login'    THEN 1 ELSE 0 END) AS BIGINT) AS login,
+       CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type='signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+_ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > (
+  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+  FROM orders)
+ORDER BY o_orderkey
+"""
+
+_STRFUNC_SQL = """
+SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 12) AS name12,
+       CAST(length(p_type) AS INTEGER) AS type_len,
+       p_brand || '/' || p_type AS brand_type
+FROM part
+WHERE p_type LIKE '%ECO%' OR p_type LIKE '%PROMO%'
+ORDER BY p_partkey
+"""
+
+_YEARMONTH_SQL = """
+SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS y,
+       CAST(date_part('month', o_orderdate) AS INTEGER) AS m,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders GROUP BY 1, 2 ORDER BY y, m
+"""
+
+_RHASH_SQL = """
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (a, x) -> (a * 31 + x) % 1000000007) AS rhash
+FROM documents ORDER BY doc_id
+"""
+
+_REGEX_TOKENS_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS INTEGER) AS n_word_tokens,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_number_tokens,
+       CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_symbol_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) + len(regexp_extract_all(text, '[0-9]+'))
+            + len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_tokens_bpeish
+FROM documents ORDER BY doc_id
+"""
+
+_COS_PAIRS_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
 def _knn_join_query(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     out = similarity.knn_join_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=5)
@@ -336,4 +440,66 @@ def analytics_queries():
         "sim_cosine_topk": (_sim_topk_query, _SIM_TOPK_SQL),
         "sim_knn_join": (_knn_join_query, _KNN_JOIN_SQL),
         "sim_cosine_topk_lsh": (_sim_topk_lsh_query, None),
+        "sim_cosine_near_dup": (
+            lambda s, sf: similarity.cosine_near_dup_pairs(_t(s, sf, "embeddings"), 0.35),
+            _COS_PAIRS_SQL,
+        ),
+        "sim_cosine_near_dup_lsh": (
+            lambda s, sf: similarity.cosine_near_dup_pairs_lsh(_t(s, sf, "embeddings"), 0.35),
+            None,
+        ),
+        # relational extras
+        "setop_intersect": (
+            lambda s, sf: relational.nations_with_customers_and_suppliers(
+                _t(s, sf, "customer"), _t(s, sf, "supplier")),
+            _INTERSECT_SQL,
+        ),
+        "setop_except": (
+            lambda s, sf: relational.nations_with_customers_but_no_suppliers(
+                _t(s, sf, "customer"),
+                _t(s, sf, "supplier").filter(F.col("s_acctbal") > 9000)),
+            _EXCEPT_SQL,
+        ),
+        "antijoin_customers_without_orders": (
+            lambda s, sf: relational.customers_without_orders(
+                _t(s, sf, "customer"),
+                _t(s, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")),
+            _NO_ORDERS_SQL,
+        ),
+        "pivot_event_types": (
+            lambda s, sf: relational.event_type_pivot(_t(s, sf, "events")),
+            _PIVOT_SQL,
+        ),
+        "cube_returns": (
+            lambda s, sf: relational.cube_returns(_t(s, sf, "lineitem")),
+            _CUBE_SQL,
+        ),
+        "scalar_subquery_above_avg": (
+            lambda s, sf: relational.orders_above_average(_t(s, sf, "orders")),
+            _ABOVE_AVG_SQL,
+        ),
+        "string_functions": (
+            lambda s, sf: relational.part_string_functions(_t(s, sf, "part")),
+            _STRFUNC_SQL,
+        ),
+        "date_extract_groupby": (
+            lambda s, sf: relational.orders_by_year_month(_t(s, sf, "orders")),
+            _YEARMONTH_SQL,
+        ),
+        # text extras
+        "text_rolling_hash": (
+            lambda s, sf: text.rolling_hash_fingerprint(_t(s, sf, "documents")),
+            _RHASH_SQL,
+        ),
+        "text_regex_tokens": (
+            lambda s, sf: text.regex_token_count(_t(s, sf, "documents")),
+            _REGEX_TOKENS_SQL,
+        ),
+        # multimodal (synthetic payloads; Spark-side plumbing is the
+        # subject — rows-only check, pinned by tests/test_multimodal.py)
+        "multimodal_decode": (
+            lambda s, sf: multimodal.decode_features(multimodal.make_fake_media_df(s, 100))
+            .orderBy("media_id"),
+            None,
+        ),
     }

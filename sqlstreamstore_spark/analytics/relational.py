@@ -1,0 +1,133 @@
+"""Classic relational-operator coverage beyond the TPC-H shapes
+(SURVEY.md §2.5: the reference has none of these; Spark gives them
+natively — we pin each against the DuckDB oracle): set operations,
+pivot, cube, anti/semi joins, scalar subqueries, string and date
+scalar functions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EVENT_TYPES = ["click", "error", "login", "purchase", "signup"]
+
+
+def nations_with_customers_and_suppliers(customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """INTERSECT of two distinct key sets."""
+    a = customer.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    b = supplier.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return a.intersect(b).orderBy("nationkey")
+
+
+def nations_with_customers_but_no_suppliers(customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """EXCEPT of two distinct key sets (set difference)."""
+    a = customer.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    b = supplier.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return a.exceptAll(b).distinct().orderBy("nationkey")
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """NOT EXISTS as a left-anti join — only customer side materialized;
+    at scale the probe side carries no payload columns through the shuffle."""
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def nations_without_rich_customers(nation: DataFrame, customer: DataFrame,
+                                   acctbal_min: float = 9990.0) -> DataFrame:
+    """EXCEPT (set difference): nation keys minus nations that have a
+    customer above the balance threshold."""
+    a = nation.select(F.col("n_nationkey").alias("nationkey")).distinct()
+    b = (
+        customer.filter(F.col("c_acctbal") > acctbal_min)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    return a.exceptAll(b).distinct().orderBy("nationkey")
+
+
+def customers_without_urgent_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """NOT EXISTS as a left-anti join (no payload materialized for the
+    probe side)."""
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def event_type_pivot(events: DataFrame) -> DataFrame:
+    """Counts per user pivoted by event type. `.pivot` with an explicit
+    value list compiles to conditional aggregation (no extra pass to
+    discover values — important at scale); fillna(0) matches SQL's
+    sum(CASE...)."""
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("user_id")
+    )
+
+
+def cube_returns(lineitem: DataFrame) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping sets."""
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+def orders_above_average(orders: DataFrame) -> DataFrame:
+    """Scalar-subquery filter. The threshold is the decimal-exact mean
+    (see tpch.py exactness strategy) computed in a broadcast cross-join
+    — the Spark shape of an uncorrelated scalar subquery."""
+    avg_df = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("__avg")
+    )
+    return (
+        orders.join(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("__avg"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def part_string_functions(part: DataFrame) -> DataFrame:
+    """Scalar string-function coverage: upper/substr/length/concat/LIKE."""
+    return (
+        part.filter(F.col("p_type").like("%ECO%") | F.col("p_type").like("%PROMO%"))
+        .select(
+            "p_partkey",
+            F.upper(F.col("p_brand")).alias("brand_u"),
+            F.substring(F.col("p_name"), 1, 12).alias("name12"),
+            F.length(F.col("p_type")).alias("type_len"),
+            F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def orders_by_year_month(orders: DataFrame) -> DataFrame:
+    """Date-part extraction + group-by."""
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+        .orderBy("y", "m")
+    )

@@ -79,6 +79,42 @@ def knn_join_bruteforce(
     )
 
 
+def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs — the
+    oracle baseline; the LSH-bucketed variant below is the scale path:
+    same output, candidates restricted to shared buckets)."""
+    e = embeddings.select(F.col("vec_id"), F.col("embedding"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    score = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", score.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def cosine_near_dup_pairs_lsh(
+    embeddings: DataFrame, threshold: float = 0.35, dim: int = 64, bits: int = 4, seed: int = 42
+) -> DataFrame:
+    """LSH-bucketed near-dup: candidates share a random-hyperplane
+    bucket; exact cosine verifies. Sub-quadratic (the bucket join keys
+    the shuffle); recall < 1 by construction — tune bits/multi-probe."""
+    sigs = lsh_bucket_signatures(embeddings, dim=dim, bits=bits, seed=seed)
+    a = sigs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+                    F.col("bucket").alias("ba"))
+    b = sigs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+                    F.col("bucket").alias("bb"))
+    score = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", score.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes (driver-side
     constant, broadcast as literals — tiny)."""

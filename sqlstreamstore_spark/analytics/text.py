@@ -69,6 +69,36 @@ def language_id(documents: DataFrame, threshold: float = 0.15) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def rolling_hash_fingerprint(documents: DataFrame, mod: int = 1_000_000_007) -> DataFrame:
+    """Polynomial rolling hash over the character stream:
+    acc = (acc*31 + codepoint) mod p — a pure integer fold, expressible
+    in both engines (Spark `aggregate`, DuckDB `list_reduce`) and exact.
+    This is the classic Rabin-Karp-style document fingerprint."""
+    chars = F.split(F.col("text"), "")
+    acc = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda a, c: (a * F.lit(31) + F.ascii(c)) % F.lit(mod),
+    )
+    return documents.select("doc_id", acc.alias("rhash")).orderBy("doc_id")
+
+
+def regex_token_count(documents: DataFrame) -> DataFrame:
+    """BPE-ish tokenization via regex: words, numbers, and single
+    non-space symbols counted separately — the cheap token-count proxy a
+    data pipeline uses for budget estimates."""
+    words = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z]+"), 0))
+    numbers = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]+"), 0))
+    symbols = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"), 0))
+    return documents.select(
+        "doc_id",
+        words.alias("n_word_tokens"),
+        numbers.alias("n_number_tokens"),
+        symbols.alias("n_symbol_tokens"),
+        (words + numbers + symbols).alias("n_tokens_bpeish"),
+    ).orderBy("doc_id")
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Canonical-form document fingerprint: lowercase, strip non
     [a-z0-9 ], collapse runs of spaces, md5. Identical docs (modulo

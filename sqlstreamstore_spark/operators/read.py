@@ -18,6 +18,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def drain_all_forwards(log: DataFrame, page_size: int = 1000):
+    """Iterate the entire log in position order, yielding lists of Rows
+    of ``page_size`` — the scale path for a full drain (ReadAllForwards
+    loop analog). ONE Spark job: range-repartition + in-partition sort,
+    then partitions stream to the driver via toLocalIterator in order —
+    no per-page job overhead, no single-partition global sort.
+    """
+    n = max(1, log.sparkSession.sparkContext.defaultParallelism)
+    it = (
+        log.repartitionByRange(n, "position")
+        .sortWithinPartitions("position")
+        .toLocalIterator(prefetchPartitions=True)
+    )
+    buf = []
+    for row in it:
+        buf.append(row)
+        if len(buf) == page_size:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
 def read_all_forwards_df(log: DataFrame, from_position: int, max_count: int) -> DataFrame:
     """Global scan from position, ascending (ReadAll.sql:21-44).
 

@@ -41,13 +41,15 @@ def expiry_filter_df(
     """
     meta = F.broadcast(stream_meta.select("stream_id", "max_age"))
     joined = log.join(meta, "stream_id", "left")
-    expires_at = F.col("created_utc") + F.make_dt_interval(
-        F.lit(0), F.lit(0), F.lit(0), F.col("max_age").cast("double")
-    )
+    # Pure 64-bit micros arithmetic: identical semantics to
+    # `created_utc + INTERVAL max_age SECOND > now` (both engines compute
+    # timestamps at micros precision, and the addition is exact), but it
+    # codegens to two long ops instead of interval machinery.
+    expires_us = F.unix_micros(F.col("created_utc")) + F.col("max_age").cast("long") * F.lit(1_000_000)
     keep = (
         F.col("max_age").isNull()
         | F.col("stream_id").startswith(SYSTEM_PREFIX)
-        | (expires_at > F.lit(now_utc))
+        | (expires_us > F.unix_micros(F.lit(now_utc).cast("timestamp")))
     )
     return joined.filter(keep).drop("max_age")
 
