@@ -75,7 +75,12 @@ def make_fake_media_df(spark: SparkSession, n: int = 100) -> DataFrame:
                  d if kind != "image" else None, "fake"),
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # Right-size partitions to the data: a tiny demo table across the
+    # session's full default parallelism would spawn one Python worker per
+    # (near-empty) partition in the downstream mapInPandas. Real media
+    # tables arrive already partitioned by the source.
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n // 32 or 1))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(n_parts)
 
 
 def _decode_one(payload: bytes) -> dict:

@@ -364,6 +364,14 @@ def _sim_topk_lsh_query(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk_lsh(emb, [float(x) for x in qvec], k=10, bits=4)
 
 
+def _sim_topk_ivf_query(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.cosine_topk_ivf(
+        emb, [float(x) for x in qvec], k=10, n_clusters=8, n_probe=4, iters=2
+    )
+
+
 def analytics_queries():
     """name → (spark_fn, oracle_sql | None). None = rows-only check
     (non-SQL-expressible: engine-specific hash families)."""
@@ -440,6 +448,7 @@ def analytics_queries():
         "sim_cosine_topk": (_sim_topk_query, _SIM_TOPK_SQL),
         "sim_knn_join": (_knn_join_query, _KNN_JOIN_SQL),
         "sim_cosine_topk_lsh": (_sim_topk_lsh_query, None),
+        "sim_cosine_topk_ivf": (_sim_topk_ivf_query, None),
         "sim_cosine_near_dup": (
             lambda s, sf: similarity.cosine_near_dup_pairs(_t(s, sf, "embeddings"), 0.35),
             _COS_PAIRS_SQL,

@@ -65,7 +65,10 @@ def knn_join_bruteforce(
     path below."""
     from pyspark.sql import Window
 
-    c = embeddings.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    n = max(1, embeddings.sparkSession.sparkContext.defaultParallelism)
+    c = embeddings.repartition(n).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
     qd = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
     score = _dot(F.col("cvec"), F.col("qvec")) / (_norm(F.col("cvec")) * _norm(F.col("qvec")))
     scored = c.crossJoin(F.broadcast(qd)).filter(F.col("cid") != F.col("qid")).select(
@@ -84,7 +87,13 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35) -> Dat
     oracle baseline; the LSH-bucketed variant below is the scale path:
     same output, candidates restricted to shared buckets)."""
     e = embeddings.select(F.col("vec_id"), F.col("embedding"))
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    # The < theta-join compiles to BroadcastNestedLoopJoin whose task
+    # count is the LEFT side's partition count; a small parquet file
+    # arrives as 1 partition and would serialize the O(N²) scoring.
+    # Spread the streamed side across the cluster first (cheap narrow
+    # exchange vs N²·dim double multiplies).
+    n = max(1, e.sparkSession.sparkContext.defaultParallelism)
+    a = e.repartition(n).select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     score = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (
@@ -137,6 +146,104 @@ def lsh_bucket_signatures(
         )
         sig = bit if sig is None else sig + bit
     return embeddings.select("vec_id", "embedding", sig.alias("bucket"))
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, n_clusters: int = 16, iters: int = 3
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd's k-means over the embedding column (the IVF
+    coarse quantizer). Each iteration is one Spark job: broadcast-join
+    assignment → posexplode → per-(cluster, dim) mean. Only the model
+    (n_clusters × dim doubles) ever reaches the driver — the data stays
+    distributed, so this scales to any corpus size.
+
+    Deterministic: initialized from the first n_clusters vectors by
+    vec_id; fixed iteration count (no tolerance-based early exit).
+    """
+    spark = embeddings.sparkSession
+    init = (
+        embeddings.orderBy("vec_id").limit(n_clusters)
+        .select("embedding").collect()
+    )
+    centroids = [(i, [float(x) for x in r.embedding]) for i, r in enumerate(init)]
+    for _ in range(iters):
+        cdf = spark.createDataFrame(centroids, "cluster_id int, centroid array<double>")
+        assigned = ivf_assign(embeddings, cdf)
+        stats = (
+            assigned.select("cluster_id", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cluster.setdefault(r.cluster_id, {})[r.pos] = r.mean
+        centroids = [
+            (cid, [dims[p] for p in sorted(dims)]) if (dims := by_cluster.get(cid)) else (cid, vec)
+            for cid, vec in centroids
+        ]
+    return centroids
+
+
+def ivf_assign(embeddings: DataFrame, centroids_df: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine: broadcast
+    the (tiny) centroid table, score all pairs, keep the per-vector
+    argmax. Adds ``cluster_id`` — the IVF inverted-list key (and the
+    natural partitioning/bucketing column for the stored index)."""
+    from pyspark.sql import Window
+
+    score = _dot(F.col("embedding"), F.col("centroid")) / (
+        _norm(F.col("embedding")) * _norm(F.col("centroid"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("__cscore").desc(), F.col("cluster_id"))
+    return (
+        embeddings.crossJoin(F.broadcast(centroids_df))
+        .withColumn("__cscore", score)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "__cscore", "centroid")
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+) -> DataFrame:
+    """IVF ANN top-k: train the coarse quantizer, probe the n_probe
+    centroids nearest the query, exact-re-rank only vectors in those
+    inverted lists (~N·n_probe/n_clusters candidates). In a deployed
+    index the centroids + assignment are precomputed and the assignment
+    column is the storage partition key, so a probe prunes partitions at
+    scan time."""
+    import math
+
+    spark = embeddings.sparkSession
+    centroids = kmeans_centroids(embeddings, n_clusters=n_clusters, iters=iters)
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return d / (na * nb)
+
+    probe = sorted(
+        centroids, key=lambda c: (-cos(c[1], [float(x) for x in query_vec]), c[0])
+    )[:n_probe]
+    probe_ids = [cid for cid, _ in probe]
+    cdf = spark.createDataFrame(centroids, "cluster_id int, centroid array<double>")
+    assigned = ivf_assign(embeddings, cdf).filter(F.col("cluster_id").isin(probe_ids))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    emb = F.col("embedding")
+    score = _dot(emb, q) / (_norm(emb) * _norm(q))
+    return (
+        assigned.select("vec_id", score.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
 
 
 def cosine_topk_lsh(

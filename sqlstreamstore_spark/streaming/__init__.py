@@ -1,3 +1,4 @@
+from sqlstreamstore_spark.streaming import windowed
 from sqlstreamstore_spark.streaming.subscriptions import (
     PollingNotifier,
     SubscriptionDroppedReason,
@@ -10,4 +11,5 @@ __all__ = [
     "SubscriptionDroppedReason",
     "subscribe_to_all",
     "subscribe_to_stream",
+    "windowed",
 ]

@@ -1,0 +1,142 @@
+"""Event-time streaming operators: watermarked windowed aggregation,
+session windows, and custom stateful processing.
+
+The reference has no event-time layer (SURVEY.md §2.4: "Watermark
+analog: none — no event-time processing"); these operators are the
+Spark-native extension a large-scale pipeline needs on top of the same
+log: late data is bounded by a watermark instead of the reference's
+3-second gap-stabilization delay (`ReadonlyStreamStoreBase.cs:18`).
+
+Each builder takes an unbounded DataFrame (from `stream_source`, a file
+stream, or `rate` source) and declares the aggregation; state cleanup is
+watermark-driven, so state size is bounded by (watermark horizon ×
+arrival rate), not total history — the property that matters at 100 TB.
+
+All are plain declarative plans: Catalyst compiles them to incremental
+`StateStore` aggregations with partial (map-side) combine per
+micro-batch; the shuffle key is the grouping key, identical to the
+batch twin in analytics/events.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide_duration: str | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding) event-time counts + value sums per
+    event_type. Late rows beyond `watermark_delay` are dropped and the
+    corresponding window state is evicted."""
+    w = F.window(F.col("ts"), window_duration, slide_duration or window_duration)
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(w.alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Native session windows per user: a session closes after `gap` of
+    event-time silence. The built-in `session_window` merges overlapping
+    per-key windows inside the state store — the streaming twin of
+    analytics/events.sessions_per_user's lag-gap-cumsum."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("win"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+#: Output schema of `stateful_running_totals`.
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), False),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType(), False),
+        T.StructField("total", T.DoubleType(), False),
+    ]
+)
+
+
+def stateful_running_totals(events: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value sum, emitted once per micro-batch per
+    active key. The canonical template for operators `session_window`
+    can't express (per-key custom state machines).
+
+    State is (n, total) per user — O(distinct keys), partitioned by the
+    grouping key across executors; an optional processing-time timeout
+    evicts idle keys.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator, state: GroupState
+    ) -> Iterator:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )

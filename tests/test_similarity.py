@@ -1,0 +1,67 @@
+"""ANN similarity-search paths that the DuckDB gate checks rows-only
+(engine-specific hash/quantizer internals): IVF and LSH vs the exact
+brute-force baseline on the real embeddings fixture."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlstreamstore_spark.analytics import similarity
+from sqlstreamstore_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = load_table(spark, SF_DIR, "embeddings").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+
+
+def test_kmeans_centroids_shape_and_determinism(emb):
+    c1 = similarity.kmeans_centroids(emb, n_clusters=4, iters=2)
+    c2 = similarity.kmeans_centroids(emb, n_clusters=4, iters=2)
+    assert [cid for cid, _ in c1] == [0, 1, 2, 3]
+    assert all(len(v) == 64 for _, v in c1)
+    assert c1 == c2
+
+
+def test_ivf_assign_partitions_corpus(spark, emb):
+    cents = similarity.kmeans_centroids(emb, n_clusters=4, iters=2)
+    cdf = spark.createDataFrame(cents, "cluster_id int, centroid array<double>")
+    assigned = similarity.ivf_assign(emb, cdf)
+    n = emb.count()
+    assert assigned.count() == n  # exactly one cluster per vector
+    assert assigned.select("cluster_id").distinct().count() >= 2
+
+
+def test_ivf_topk_recall(emb, qvec):
+    exact = [r.vec_id for r in similarity.cosine_topk_bruteforce(emb, qvec, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in similarity.cosine_topk_ivf(
+            emb, qvec, k=10, n_clusters=8, n_probe=4, iters=2
+        ).collect()
+    ]
+    # probing half the lists must recover at least half the true top-k;
+    # scores of returned items are exact (re-rank is exact cosine).
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"recall@10={recall}, exact={exact}, approx={approx}"
+
+
+def test_lsh_topk_is_subset_of_exact_scores(emb, qvec):
+    exact = {
+        r.vec_id: r.cosine
+        for r in similarity.cosine_topk_bruteforce(emb, qvec, k=1000).collect()
+    }
+    got = similarity.cosine_topk_lsh(emb, qvec, k=10, bits=4).collect()
+    assert got, "query bucket empty"
+    for r in got:
+        assert abs(exact[r.vec_id] - r.cosine) < 1e-9
