@@ -113,6 +113,83 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(date_part('year', l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+_Q8_SQL = """
+SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CASE WHEN n1.n_name = 'NATION_1'
+                     THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS mkt_share
+FROM lineitem JOIN part     ON l_partkey = p_partkey
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              JOIN region   ON n2.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+_Q14_SQL = """
+SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > CAST(300.0 AS DECIMAL(12,2)))
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
 _TOPK_ORDERS_SQL = """
 SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -251,6 +328,22 @@ ORDER BY qid, rk
 
 
 # ---------------------------------------------------- relational extras
+
+_JSON_STATS_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+_QUANTILES_SQL = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.5)  AS p50,
+       quantile_cont(o_totalprice, 0.75) AS p75
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
 
 _INTERSECT_SQL = """
 SELECT DISTINCT c_nationkey AS nationkey FROM customer
@@ -403,6 +496,32 @@ def analytics_queries():
             _Q4_SEMI_SQL,
         ),
         "tpch_rollup": (lambda s, sf: tpch.rollup_returns(_t(s, sf, "lineitem")), _ROLLUP_SQL),
+        "tpch_q7": (
+            lambda s, sf: tpch.q7_volume_shipping(
+                _t(s, sf, "supplier"), _t(s, sf, "lineitem"), _t(s, sf, "orders"),
+                _t(s, sf, "customer"), _t(s, sf, "nation")),
+            _Q7_SQL,
+        ),
+        "tpch_q8": (
+            lambda s, sf: tpch.q8_market_share(
+                _t(s, sf, "part"), _t(s, sf, "supplier"), _t(s, sf, "lineitem"),
+                _t(s, sf, "orders"), _t(s, sf, "customer"), _t(s, sf, "nation"),
+                _t(s, sf, "region")),
+            _Q8_SQL,
+        ),
+        "tpch_q14": (
+            lambda s, sf: tpch.q14_promo_revenue(_t(s, sf, "lineitem"), _t(s, sf, "part")),
+            _Q14_SQL,
+        ),
+        "tpch_q15": (
+            lambda s, sf: tpch.q15_top_supplier(_t(s, sf, "lineitem"), _t(s, sf, "supplier")),
+            _Q15_SQL,
+        ),
+        "tpch_q18": (
+            lambda s, sf: tpch.q18_large_orders(
+                _t(s, sf, "customer"), _t(s, sf, "orders"), _t(s, sf, "lineitem")),
+            _Q18_SQL,
+        ),
         "topk_orders_per_customer": (
             lambda s, sf: tpch.top_orders_per_customer(_t(s, sf, "orders")),
             _TOPK_ORDERS_SQL,
@@ -494,6 +613,14 @@ def analytics_queries():
         "date_extract_groupby": (
             lambda s, sf: relational.orders_by_year_month(_t(s, sf, "orders")),
             _YEARMONTH_SQL,
+        ),
+        "json_payload_stats": (
+            lambda s, sf: relational.json_payload_stats(_t(s, sf, "events")),
+            _JSON_STATS_SQL,
+        ),
+        "stats_quantiles": (
+            lambda s, sf: relational.order_price_quantiles(_t(s, sf, "orders")),
+            _QUANTILES_SQL,
         ),
         # text extras
         "text_rolling_hash": (

@@ -119,6 +119,40 @@ def part_string_functions(part: DataFrame) -> DataFrame:
     )
 
 
+def json_payload_stats(events: DataFrame) -> DataFrame:
+    """JSON payload extraction + aggregation — the stream-store's
+    payloads are opaque JSON strings (reference: README.md:25,
+    NewStreamMessage.cs:14); querying into them is get_json_object
+    (JVM-side JSON path, codegen'd — no UDF). Mean computed as
+    double(bigint sum)/double(count): exact in both engines."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            (F.sum(k).cast("double") / F.count("*").cast("double")).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def order_price_quantiles(orders: DataFrame) -> DataFrame:
+    """Exact interpolated quantiles per order status (percentile ==
+    ANSI percentile_cont/DuckDB quantile_cont). At 100 TB you'd switch
+    to approx_percentile (t-digest sketch, mergeable, single pass) —
+    kept exact here so the oracle hash-matches."""
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.percentile(F.col("o_totalprice"), F.lit(0.25)).alias("p25"),
+            F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("p50"),
+            F.percentile(F.col("o_totalprice"), F.lit(0.75)).alias("p75"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def orders_by_year_month(orders: DataFrame) -> DataFrame:
     """Date-part extraction + group-by."""
     return (

@@ -182,6 +182,179 @@ def order_priority_with_lineitems(
     )
 
 
+def q7_volume_shipping(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7 shape: shipped volume between two nations by year, both
+    directions. The two nation dims broadcast under different aliases;
+    the symmetric-pair predicate is applied post-join (4 rows × 4 rows —
+    trivial), so the big fact join remains a pure equi-join."""
+    volume = _dec("l_extendedprice", _EP) * (F.lit(1).cast(_RATE) - _dec("l_discount", _RATE))
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b)
+    ) | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(volume).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_1",
+    region_name: str = "EUROPE",
+    p_type: str = "PROMO",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q8 shape: the target nation's share of volume sold into one
+    region's market for one part type, by order year. Conditional-sum
+    ratio; every dim broadcasts, lineitem streams once."""
+    volume = _dec("l_extendedprice", _EP) * (F.lit(1).cast(_RATE) - _dec("l_discount", _RATE))
+    cust_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == p_type)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == target_nation, volume).otherwise(F.lit(0).cast(_EP))).cast("double")
+                / F.sum(volume).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q14_promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    p_type: str = "PROMO",
+    date_lo: str = "1996-09-01",
+    date_hi: str = "1996-10-01",
+) -> DataFrame:
+    """TPC-H Q14: share of one month's revenue from promo parts —
+    conditional aggregation over a single broadcast join."""
+    volume = _dec("l_extendedprice", _EP) * (F.lit(1).cast(_RATE) - _dec("l_discount", _RATE))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == p_type, volume).otherwise(F.lit(0).cast(_EP))).cast("double")
+                / F.sum(volume).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def q15_top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+    The revenue view aggregates once; the scalar max broadcasts back —
+    Spark's shape of `WHERE total_revenue = (SELECT max(...))`."""
+    revenue = _dec("l_extendedprice", _EP) * (F.lit(1).cast(_RATE) - _dec("l_discount", _RATE))
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue).cast("double").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q18_large_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    qty_threshold: float = 300.0,
+    topk: int = 100,
+) -> DataFrame:
+    """TPC-H Q18 shape: customers with orders whose total quantity
+    exceeds a threshold. The HAVING subquery becomes an aggregate →
+    semi-join back onto the fact — only qualifying orderkeys flow into
+    the final join."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity", _EP)).alias("__q"))
+        .filter(F.col("__q") > F.lit(qty_threshold).cast(_EP))
+        .select("l_orderkey")
+    )
+    per_order = lineitem.join(big, "l_orderkey", "left_semi")
+    return (
+        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_dec("l_quantity", _EP)).cast("double").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate"), F.col("o_orderkey"))
+        .limit(topk)
+    )
+
+
 def rollup_returns(lineitem: DataFrame) -> DataFrame:
     """ROLLUP aggregate over (returnflag, linestatus) — grouping-sets
     coverage (reference has none; Spark gives it natively)."""

@@ -1,0 +1,91 @@
+"""Physical-plan quality gates — the properties that decide whether a
+query survives a 100× scale-up (brief: ".explain the plan and iterate
+until it's the plan you'd want"):
+
+  - predicate pushdown reaches the parquet scan (PushedFilters),
+  - column pruning reaches the scan (ReadSchema lists only used cols),
+  - small dims join via BroadcastHashJoin (no shuffle of the fact side),
+  - aggregations are partial (map-side HashAggregate before Exchange),
+  - top-k compiles to TakeOrderedAndProject (never a global sort),
+  - hot expressions stay inside WholeStageCodegen.
+
+These run on sf0.001 — plan shape is scale-invariant.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlstreamstore_spark.analytics import tpch
+from sqlstreamstore_spark.operators.read import read_all_forwards_df
+from sqlstreamstore_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return {n: load_table(spark, SF, n) for n in
+            ("lineitem", "orders", "customer", "supplier", "nation", "region", "part")}
+
+
+def test_q3_plan_broadcasts_dims_and_pushes_filters(tables):
+    p = plan_of(tpch.q3_shipping_priority(tables["customer"], tables["orders"], tables["lineitem"]))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # dims must broadcast, never shuffle the fact
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in p
+    assert "TakeOrderedAndProject" in p  # top-k, not global sort
+    # column pruning: lineitem scan reads exactly the 4 needed columns
+    assert "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double,l_shipdate" in p
+
+
+def test_q1_plan_partial_aggregation(tables):
+    p = plan_of(tpch.q1_pricing_summary(tables["lineitem"]))
+    # partial (map-side) agg before the exchange, final after: two
+    # HashAggregates with one Exchange between them.
+    first_agg = p.index("HashAggregate")
+    assert "HashAggregate" in p[first_agg + 1:]
+    assert p.count("Exchange") >= 1
+    assert "WholeStageCodegen" in p or "AdaptiveSparkPlan" in p
+
+
+def test_q6_plan_scan_only_needed_columns(tables):
+    p = plan_of(tpch.q6_forecast_revenue(tables["lineitem"]))
+    assert "l_shipdate" in p and "l_discount" in p
+    # no join, no shuffle of data rows beyond the single-row final agg
+    assert "Join" not in p
+    for col in ("l_orderkey", "l_partkey", "l_returnflag"):
+        assert f"{col}:" not in p  # pruned from ReadSchema
+
+
+def test_read_all_forwards_pushes_position_bound(spark, events_log):
+    p = plan_of(read_all_forwards_df(events_log, from_position=100, max_count=10))
+    # the log view is cached → filter applies on the InMemoryRelation;
+    # limit compiles to TakeOrderedAndProject or CollectLimit, not Sort+collect
+    assert "TakeOrderedAndProject" in p or "CollectLimit" in p
+
+
+def test_read_all_forwards_uncached_pushes_to_parquet(spark, tmp_path):
+    # write a positioned log to parquet and check scan-level pushdown
+    df = spark.range(1000).select(
+        F.col("id").alias("position"),
+        F.concat(F.lit("s-"), (F.col("id") % 10).cast("string")).alias("stream_id"),
+    )
+    path = str(tmp_path / "log.parquet")
+    df.write.parquet(path)
+    log = spark.read.parquet(path)
+    p = plan_of(read_all_forwards_df(log, from_position=500, max_count=10))
+    assert "GreaterThanOrEqual(position,500)" in p
+
+
+def test_q18_semi_join_before_wide_join(tables):
+    p = plan_of(tpch.q18_large_orders(tables["customer"], tables["orders"], tables["lineitem"]))
+    assert "LeftSemi" in p
+    assert "BroadcastHashJoin" in p
