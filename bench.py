@@ -71,6 +71,19 @@ def main() -> int:
         last = batch[-1]["position"]
     assert drained == n_log, (drained, n_log)
     timings["readall_drain_stream"] = round(time.time() - t0, 3)
+    # ... and the Arrow-transfer drain (one job, one IPC transfer)
+    from sqlstreamstore_spark.operators.read import drain_all_forwards_arrow
+
+    t0 = time.time()
+    drained = 0
+    last = -1
+    for abatch in drain_all_forwards_arrow(log, 1000):
+        drained += abatch.num_rows
+        first = abatch.column("position")[0].as_py()
+        assert first > last
+        last = abatch.column("position")[abatch.num_rows - 1].as_py()
+    assert drained == n_log, (drained, n_log)
+    timings["readall_drain_arrow"] = round(time.time() - t0, 3)
 
     # -- append throughput: 100 batches x 100 msgs, ExpectedVersion.Any
     from sqlstreamstore_spark.schema import ExpectedVersion

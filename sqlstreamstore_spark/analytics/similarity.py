@@ -161,48 +161,79 @@ def kmeans_centroids(
     vec_id; fixed iteration count (no tolerance-based early exit).
     """
     spark = embeddings.sparkSession
-    init = (
-        embeddings.orderBy("vec_id").limit(n_clusters)
-        .select("embedding").collect()
-    )
+    # Iterated over: pin the (vec_id, embedding) projection so each
+    # Lloyd's pass reads the materialized columnar block, not the
+    # upstream lineage (at scale: a few GB per executor, memory+disk).
+    base = embeddings.select("vec_id", "embedding").persist()
+    init = base.orderBy("vec_id").limit(n_clusters).select("embedding").collect()
     centroids = [(i, [float(x) for x in r.embedding]) for i, r in enumerate(init)]
-    for _ in range(iters):
-        cdf = spark.createDataFrame(centroids, "cluster_id int, centroid array<double>")
-        assigned = ivf_assign(embeddings, cdf)
-        stats = (
-            assigned.select("cluster_id", F.posexplode("embedding").alias("pos", "val"))
-            .groupBy("cluster_id", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
-            .collect()
-        )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in stats:
-            by_cluster.setdefault(r.cluster_id, {})[r.pos] = r.mean
-        centroids = [
-            (cid, [dims[p] for p in sorted(dims)]) if (dims := by_cluster.get(cid)) else (cid, vec)
-            for cid, vec in centroids
-        ]
+    try:
+        for _ in range(iters):
+            assigned = ivf_assign(base, centroids)
+            stats = (
+                assigned.select("cluster_id", F.posexplode("embedding").alias("pos", "val"))
+                .groupBy("cluster_id", "pos")
+                .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+                .collect()
+            )
+            by_cluster: dict[int, dict[int, float]] = {}
+            for r in stats:
+                by_cluster.setdefault(r.cluster_id, {})[r.pos] = r.mean
+            centroids = [
+                (cid, [dims[p] for p in sorted(dims)]) if (dims := by_cluster.get(cid)) else (cid, vec)
+                for cid, vec in centroids
+            ]
+    finally:
+        base.unpersist()
     return centroids
 
 
-def ivf_assign(embeddings: DataFrame, centroids_df: DataFrame) -> DataFrame:
-    """Assign each vector to its nearest centroid by cosine: broadcast
-    the (tiny) centroid table, score all pairs, keep the per-vector
-    argmax. Adds ``cluster_id`` — the IVF inverted-list key (and the
-    natural partitioning/bucketing column for the stored index)."""
-    from pyspark.sql import Window
+def ivf_assign(
+    embeddings: DataFrame, centroids: DataFrame | list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine, adding
+    ``cluster_id`` — the IVF inverted-list key (and the natural
+    partitioning/bucketing column for the stored index).
 
-    score = _dot(F.col("embedding"), F.col("centroid")) / (
-        _norm(F.col("embedding")) * _norm(F.col("centroid"))
+    The centroid set is a *model*, small by definition, so the preferred
+    path takes it as driver-side constants and compiles assignment to a
+    single narrow map expression (array of scores → argmax): no join, no
+    shuffle, stays in whole-stage codegen. A DataFrame argument falls
+    back to broadcast-join + per-key argmax for huge centroid sets."""
+    if isinstance(centroids, DataFrame):
+        from pyspark.sql import Window
+
+        score = _dot(F.col("embedding"), F.col("centroid")) / (
+            _norm(F.col("embedding")) * _norm(F.col("centroid"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("__cscore").desc(), F.col("cluster_id"))
+        return (
+            embeddings.crossJoin(F.broadcast(centroids))
+            .withColumn("__cscore", score)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk", "__cscore", "centroid")
+        )
+    emb = F.col("embedding")
+    ids = [cid for cid, _ in centroids]
+    scores = F.array(
+        *[
+            _dot(emb, F.array(*[F.lit(float(x)) for x in vec]))
+            / (_norm(emb) * F.lit(math_norm(vec)))
+            for _, vec in centroids
+        ]
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("__cscore").desc(), F.col("cluster_id"))
-    return (
-        embeddings.crossJoin(F.broadcast(centroids_df))
-        .withColumn("__cscore", score)
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk", "__cscore", "centroid")
-    )
+    # argmax with ties to the lowest cluster_id (array_position finds the
+    # first occurrence of the max — centroid order is ascending id).
+    idx = F.array_position(scores, F.array_max(scores)).cast("int")
+    id_lookup = F.array(*[F.lit(int(c)) for c in ids])
+    return embeddings.withColumn("cluster_id", F.element_at(id_lookup, idx))
+
+
+def math_norm(vec: list[float]) -> float:
+    import math
+
+    return math.sqrt(sum(x * x for x in vec)) or 1.0
 
 
 def cosine_topk_ivf(
@@ -234,8 +265,7 @@ def cosine_topk_ivf(
         centroids, key=lambda c: (-cos(c[1], [float(x) for x in query_vec]), c[0])
     )[:n_probe]
     probe_ids = [cid for cid, _ in probe]
-    cdf = spark.createDataFrame(centroids, "cluster_id int, centroid array<double>")
-    assigned = ivf_assign(embeddings, cdf).filter(F.col("cluster_id").isin(probe_ids))
+    assigned = ivf_assign(embeddings, centroids).filter(F.col("cluster_id").isin(probe_ids))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     emb = F.col("embedding")
     score = _dot(emb, q) / (_norm(emb) * _norm(q))

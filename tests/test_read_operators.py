@@ -130,3 +130,30 @@ def test_list_streams_continuation(events_log):
     ids1 = {r["stream_id"] for r in page1}
     assert all(r["stream_id"] not in ids1 for r in page2)
     assert all(r["first_pos"] > token for r in page2)
+
+
+def test_drain_all_forwards_row_pages(events_log):
+    from sqlstreamstore_spark.operators.read import drain_all_forwards
+
+    total, last = 0, -1
+    for page in drain_all_forwards(events_log, 700):
+        assert page[0]["position"] > last
+        positions = [r["position"] for r in page]
+        assert positions == sorted(positions)
+        last = positions[-1]
+        total += len(page)
+    assert total == events_log.count()
+    assert last == total - 1  # dense 0-based positions
+
+
+def test_drain_all_forwards_arrow_matches_rows(events_log):
+    from sqlstreamstore_spark.operators.read import drain_all_forwards_arrow
+
+    total, last = 0, -1
+    for batch in drain_all_forwards_arrow(events_log, 700):
+        pos = batch.column("position").to_pylist()
+        assert pos == sorted(pos) and pos[0] > last
+        last = pos[-1]
+        total += batch.num_rows
+    assert total == events_log.count()
+    assert last == total - 1
