@@ -175,6 +175,72 @@ def minhash_dedup_pairs(
     return cands.join(exact, ["doc_a", "doc_b"]).orderBy("doc_a", "doc_b")
 
 
+def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Duplicate-cluster labeling: connected components over a near-dup
+    pair graph by iterative min-label propagation (the standard
+    distributed CC — each round every node takes the min label in its
+    closed neighborhood; converges in O(graph diameter) rounds).
+
+    Input: edges(doc_a, doc_b). Output: (doc_id, component) where
+    component = min doc_id reachable — the cluster's canonical keeper.
+
+    Scale notes: each round is one shuffle keyed by node id; the label
+    frontier is localCheckpoint'ed per round — iterative DataFrame
+    algorithms MUST truncate lineage, or the plan (and analysis cost)
+    grows exponentially with rounds. The loop exits on a metric count
+    (changed == 0). Diameter of near-dup clusters is tiny in practice
+    (dup groups are near-cliques), so rounds ≈ 2-4. For adversarial
+    chain-shaped graphs switch to large-star/small-star, which
+    converges in O(log n) rounds with the same per-round shape.
+    """
+    sym = (
+        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "comp").orderBy("doc_id")
+
+
+def near_dup_components(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Full near-dup clustering: n-gram Jaccard pairs → connected
+    components → (doc_id, component-keeper) labels."""
+    pairs = ngram_jaccard_pairs(documents, n=n, threshold=threshold).select("doc_a", "doc_b")
+    return connected_components(pairs)
+
+
 def simhash_signatures(documents: DataFrame) -> DataFrame:
     """64-bit SimHash per document: per-token xxhash64, each bit votes
     +1/−1 weighted by token frequency; sign of the vote sum sets the bit.

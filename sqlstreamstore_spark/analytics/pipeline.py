@@ -1,0 +1,56 @@
+"""End-to-end training-data corpus cleaning — the composition a real
+pipeline runs, as one declarative plan:
+
+    quality gate  →  exact dedup (md5 keeper)  →  near-dup removal
+    (n-gram Jaccard pairs, keep-lowest-id)     →  surviving doc ids
+
+Every stage is a DataFrame transform on the previous stage's output, so
+Catalyst sees one plan: the quality predicate prunes before any shuffle,
+the dedup group-by shuffles 16-byte digests (never text), and the
+near-dup stage's shingle self-join only receives survivors. Greedy
+keep-lowest-id pair removal (drop every doc that appears as the higher
+id of a qualifying pair) is the deterministic, SQL-expressible variant
+of near-dup pruning; component-based clustering is dedup.
+connected_components / near_dup_components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sqlstreamstore_spark.analytics.dedup import ngram_jaccard_pairs
+from sqlstreamstore_spark.analytics.text import _tokens
+
+
+def clean_corpus(
+    documents: DataFrame,
+    min_tokens: int = 5,
+    min_distinct_ratio: float = 0.3,
+    jaccard_threshold: float = 0.5,
+    ngram: int = 3,
+) -> DataFrame:
+    """Returns the surviving (doc_id) set, ordered. See module doc."""
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens.cast("double")
+
+    quality = documents.filter(
+        (n_tokens >= min_tokens) & (distinct_ratio >= min_distinct_ratio)
+    )
+
+    w = Window.partitionBy("__h").orderBy("doc_id")
+    exact_keepers = (
+        quality.withColumn("__h", F.md5(F.col("text")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+    pairs = ngram_jaccard_pairs(exact_keepers, n=ngram, threshold=jaccard_threshold)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        exact_keepers.join(losers, "doc_id", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

@@ -17,6 +17,7 @@ from sqlstreamstore_spark.analytics import (
     dedup,
     events,
     multimodal,
+    pipeline,
     relational,
     similarity,
     text,
@@ -296,6 +297,80 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0
 ORDER BY doc_a, doc_b
 """
 
+_CLEAN_CORPUS_SQL = """
+WITH q AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+),
+quality AS (
+  SELECT doc_id, text, w FROM q
+  WHERE len(w) >= 5
+    AND CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 0.3
+),
+exact_keepers AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, w,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM quality) t
+  WHERE rn = 1
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+  FROM exact_keepers WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+losers AS (
+  SELECT DISTINCT doc_b AS doc_id FROM inter
+  JOIN sizes sa ON inter.doc_a = sa.doc_id
+  JOIN sizes sb ON inter.doc_b = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+)
+SELECT doc_id FROM exact_keepers
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+ORDER BY doc_id
+"""
+
+_CC_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 300
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+  FROM toks WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON inter.doc_a = sa.doc_id
+  JOIN sizes sb ON inter.doc_b = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach AS (
+  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+)
+SELECT u AS doc_id, min(r) AS comp FROM reach GROUP BY u ORDER BY doc_id
+"""
+
 # -------------------------------------------------------------- similarity
 
 _SIM_TOPK_SQL = """
@@ -556,6 +631,16 @@ def analytics_queries():
                 _t(s, sf, "documents").filter(F.col("doc_id") < 300), threshold=0.2
             ),
             None,  # xxhash64 families aren't expressible in DuckDB
+        ),
+        "pipeline_clean_corpus": (
+            lambda s, sf: pipeline.clean_corpus(_t(s, sf, "documents")),
+            _CLEAN_CORPUS_SQL,
+        ),
+        "dedup_components": (
+            lambda s, sf: dedup.near_dup_components(
+                _t(s, sf, "documents").filter(F.col("doc_id") < 300), threshold=0.2
+            ),
+            _CC_SQL,
         ),
         "dedup_simhash": (
             lambda s, sf: dedup.simhash_near_pairs(

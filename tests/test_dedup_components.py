@@ -1,0 +1,42 @@
+"""Connected-components dedup clustering: known graph shapes, and the
+full near-dup pipeline composition (the gate also hash-matches these
+against a DuckDB recursive CTE — see registry.py _CC_SQL)."""
+
+from __future__ import annotations
+
+from sqlstreamstore_spark.analytics.dedup import connected_components
+from sqlstreamstore_spark.analytics.pipeline import clean_corpus
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {r.doc_id: r.comp for r in connected_components(df).collect()}
+
+
+def test_cc_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_chain_converges(spark):
+    # a path graph is the worst case for min-propagation (diameter rounds)
+    got = _cc(spark, [(i, i + 1) for i in range(1, 9)])
+    assert set(got.values()) == {1}
+
+
+def test_cc_triangle_with_bridge(spark):
+    got = _cc(spark, [(5, 6), (6, 7), (5, 7), (7, 20)])
+    assert got == {5: 5, 6: 5, 7: 5, 20: 5}
+
+
+def test_clean_corpus_drops_exact_dups_and_junk(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+        (3, "a a a a a a a a"),  # fails distinct-ratio gate
+        (4, "short"),  # fails min-tokens gate
+        (5, "completely different content about spark query engines and logs"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = [r.doc_id for r in clean_corpus(docs).collect()]
+    assert kept == [1, 5]
