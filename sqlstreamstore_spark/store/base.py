@@ -77,8 +77,16 @@ def validate_stream_id(stream_id: str, allow_system: bool = False) -> None:
 class StreamStore:
     """Abstract store. Subclasses implement the _backend primitives."""
 
-    def __init__(self, get_utc_now: Callable[[], _dt.datetime] | None = None):
+    def __init__(
+        self,
+        get_utc_now: Callable[[], _dt.datetime] | None = None,
+        track_deletions: bool = True,
+    ):
         self.get_utc_now = get_utc_now or _utcnow
+        # Tombstone appends to $deleted can be disabled, mirroring the
+        # reference's DisableDeletionTracking
+        # (PostgresStreamStoreSettings.cs:98, AcceptanceTests.DeletionTracking.cs).
+        self.track_deletions = track_deletions
         # Metadata cache (the single-writer analog of the reference's
         # MetadataMaxAgeCache, Infrastructure/MetadataMaxAgeCache.cs:37-68
         # — we can invalidate exactly instead of expiring on a TTL).
@@ -462,7 +470,7 @@ class StreamStore:
         if expected_version != ExpectedVersion.ANY and head[0] != expected_version:
             raise WrongExpectedVersionError(stream_id, expected_version)
         deleted = self._delete_stream_rows(stream_id)
-        if deleted and not stream_id.startswith("$$"):
+        if deleted and self.track_deletions and not stream_id.startswith("$$"):
             # Deterministic tombstone id (reference uses a random GUID,
             # Deleted.cs:36 — determinism is strictly better for a
             # replayable distributed commit log; "v2" salt = delete
@@ -478,7 +486,7 @@ class StreamStore:
         if _validate:
             validate_stream_id(stream_id, allow_system=True)
         deleted = self._delete_message_row(stream_id, message_id)
-        if deleted:
+        if deleted and self.track_deletions:
             tombstone = NewStreamMessage(
                 uuid5_py(f"$message-deleted:{stream_id}:{message_id}"),
                 MESSAGE_DELETED_TYPE,

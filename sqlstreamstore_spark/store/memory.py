@@ -25,8 +25,12 @@ class _Stream:
 
 
 class InMemoryStreamStore(StreamStore):
-    def __init__(self, get_utc_now: Callable[[], _dt.datetime] | None = None):
-        super().__init__(get_utc_now)
+    def __init__(
+        self,
+        get_utc_now: Callable[[], _dt.datetime] | None = None,
+        track_deletions: bool = True,
+    ):
+        super().__init__(get_utc_now, track_deletions)
         self._streams: dict[str, _Stream] = {}
         self._all: list[StreamMessage] = []  # position-ordered
         self._head = -1

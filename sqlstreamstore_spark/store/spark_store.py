@@ -48,8 +48,9 @@ class SparkParquetStreamStore(StreamStore):
         spark: SparkSession,
         path: str,
         get_utc_now: Callable[[], _dt.datetime] | None = None,
+        track_deletions: bool = True,
     ):
-        super().__init__(get_utc_now)
+        super().__init__(get_utc_now, track_deletions)
         self.spark = spark
         self.path = path
         self._data_dir = os.path.join(path, "data")

@@ -155,3 +155,20 @@ def test_head_ops(store):
     assert store.read_stream_head_version("a") == 1
     assert store.read_stream_head_position("zz") == -1
     assert store.read_stream_head_version("zz") == -1
+
+
+def test_deletion_tracking_disabled():
+    """DisableDeletionTracking parity (AcceptanceTests.DeletionTracking.cs:12-36):
+    no tombstones reach $deleted when tracking is off."""
+    import uuid
+
+    from sqlstreamstore_spark.schema import ExpectedVersion
+    from sqlstreamstore_spark.store import InMemoryStreamStore, NewStreamMessage
+
+    store = InMemoryStreamStore(track_deletions=False)
+    msgs = [NewStreamMessage(str(uuid.UUID(int=n)), "t", '{"n":1}') for n in (1, 2)]
+    store.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs)
+    store.delete_message("s", msgs[0].message_id)
+    store.delete_stream("s")
+    page = store.read_stream_forwards("$deleted", 0, 10)
+    assert page.status == "STREAM_NOT_FOUND" or not page.messages
