@@ -9,6 +9,7 @@ import pytest
 from sqlstreamstore_spark.exceptions import InvalidStreamIdError, WrongExpectedVersionError
 from sqlstreamstore_spark.schema import ExpectedVersion
 from sqlstreamstore_spark.store import InMemoryStreamStore, NewStreamMessage
+from sqlstreamstore_spark.store.sqlite_store import SqliteStreamStore
 
 
 def msgs(*ns):
@@ -17,9 +18,9 @@ def msgs(*ns):
     ]
 
 
-@pytest.fixture
-def store():
-    return InMemoryStreamStore()
+@pytest.fixture(params=["memory", "sqlite"])
+def store(request):
+    return InMemoryStreamStore() if request.param == "memory" else SqliteStreamStore()
 
 
 def test_append_no_stream_creates(store):

@@ -10,6 +10,7 @@ import pytest
 from sqlstreamstore_spark.exceptions import WrongExpectedVersionError
 from sqlstreamstore_spark.schema import DELETED_STREAM_ID, ExpectedVersion
 from sqlstreamstore_spark.store import InMemoryStreamStore, NewStreamMessage
+from sqlstreamstore_spark.store.sqlite_store import SqliteStreamStore
 
 
 def msgs(*ns):
@@ -29,9 +30,11 @@ def clock():
     return Clock()
 
 
-@pytest.fixture
-def store(clock):
-    return InMemoryStreamStore(get_utc_now=clock)
+@pytest.fixture(params=["memory", "sqlite"])
+def store(request, clock):
+    if request.param == "memory":
+        return InMemoryStreamStore(get_utc_now=clock)
+    return SqliteStreamStore(get_utc_now=clock)
 
 
 def test_metadata_roundtrip(store):

@@ -7,15 +7,16 @@ import pytest
 
 from sqlstreamstore_spark.schema import ExpectedVersion, Position, StreamVersion
 from sqlstreamstore_spark.store import InMemoryStreamStore, NewStreamMessage
+from sqlstreamstore_spark.store.sqlite_store import SqliteStreamStore
 
 
 def msgs(*ns):
     return [NewStreamMessage(str(uuid.UUID(int=n)), f"t{n}", f'{{"n":{n}}}') for n in ns]
 
 
-@pytest.fixture
-def store():
-    s = InMemoryStreamStore()
+@pytest.fixture(params=["memory", "sqlite"])
+def store(request):
+    s = InMemoryStreamStore() if request.param == "memory" else SqliteStreamStore()
     s.append_to_stream("s1", ExpectedVersion.NO_STREAM, msgs(1, 2, 3, 4, 5))
     s.append_to_stream("s2", ExpectedVersion.NO_STREAM, msgs(6, 7, 8))
     return s
