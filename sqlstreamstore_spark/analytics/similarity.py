@@ -67,10 +67,12 @@ def knn_join_bruteforce(
 
     n = max(1, embeddings.sparkSession.sparkContext.defaultParallelism)
     c = embeddings.repartition(n).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"),
+        _norm(F.col("embedding")).alias("cn"),
     )
-    qd = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-    score = _dot(F.col("cvec"), F.col("qvec")) / (_norm(F.col("cvec")) * _norm(F.col("qvec")))
+    qd = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
+                        _norm(F.col("embedding")).alias("qn"))
+    score = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn"))
     scored = c.crossJoin(F.broadcast(qd)).filter(F.col("cid") != F.col("qid")).select(
         "qid", "cid", score.alias("cosine")
     )
@@ -93,9 +95,17 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35) -> Dat
     # Spread the streamed side across the cluster first (cheap narrow
     # exchange vs N²·dim double multiplies).
     n = max(1, e.sparkSession.sparkContext.defaultParallelism)
-    a = e.repartition(n).select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    score = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    # Precompute each vector's norm ONCE per side — inside the pair score
+    # it would be re-evaluated N times per vector (O(N²·dim) extra work).
+    a = e.repartition(n).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
+    score = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", score.alias("cosine"))
@@ -112,10 +122,10 @@ def cosine_near_dup_pairs_lsh(
     the shuffle); recall < 1 by construction — tune bits/multi-probe."""
     sigs = lsh_bucket_signatures(embeddings, dim=dim, bits=bits, seed=seed)
     a = sigs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
-                    F.col("bucket").alias("ba"))
+                    _norm(F.col("embedding")).alias("na"), F.col("bucket").alias("ba"))
     b = sigs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
-                    F.col("bucket").alias("bb"))
-    score = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+                    _norm(F.col("embedding")).alias("nb"), F.col("bucket").alias("bb"))
+    score = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b", score.alias("cosine"))
