@@ -707,6 +707,12 @@ def analytics_queries():
             lambda s, sf: relational.order_price_quantiles(_t(s, sf, "orders")),
             _QUANTILES_SQL,
         ),
+        # sketch aggregates (HLL++/t-digest are engine-specific ⇒ rows-only;
+        # accuracy pinned by tests/test_relational_extras.py)
+        "stats_approx_sketches": (
+            lambda s, sf: relational.approx_order_stats(_t(s, sf, "orders")),
+            None,
+        ),
         # text extras
         "text_rolling_hash": (
             lambda s, sf: text.rolling_hash_fingerprint(_t(s, sf, "documents")),

@@ -153,6 +153,27 @@ def order_price_quantiles(orders: DataFrame) -> DataFrame:
     )
 
 
+def approx_order_stats(orders: DataFrame) -> DataFrame:
+    """Sketch aggregates — the single-pass, mergeable versions used at
+    100 TB where exact quantiles/distincts would shuffle raw values:
+    HyperLogLog++ distinct counts and t-digest percentiles. Both are
+    partial-aggregatable (each partition emits a sketch; sketches
+    merge), so the shuffle carries KBs regardless of input size.
+    Engine-specific sketches ⇒ rows-only gate check; accuracy is pinned
+    by tests/test_relational_extras.py against the exact values."""
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey").alias("approx_customers"),
+            F.percentile_approx(F.col("o_totalprice"), F.lit(0.5), F.lit(10_000)).alias(
+                "approx_median_price"
+            ),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def orders_by_year_month(orders: DataFrame) -> DataFrame:
     """Date-part extraction + group-by."""
     return (

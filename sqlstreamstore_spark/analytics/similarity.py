@@ -293,10 +293,11 @@ def cosine_topk_lsh(
     dim: int = 64,
     bits: int = 8,
     seed: int = 42,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """ANN top-k: restrict the exact re-rank to the query's LSH bucket.
-    With b bits the candidate set is ~N/2^b; recall is tuned by b (and
-    multi-probe, not implemented here). Returns the same schema as the
+    With b bits the candidate set is ~N/2^b; recall is tuned by b and
+    `multi_probe` (Hamming-ring probing). Returns the same schema as the
     brute-force path."""
     import math
 
@@ -305,12 +306,21 @@ def cosine_topk_lsh(
     for i, p in enumerate(planes):
         if sum(px * qx for px, qx in zip(p, query_vec)) >= 0:
             qbucket |= 1 << i
+    # Multi-probe: also search buckets within Hamming distance
+    # `multi_probe` of the query's bucket (flip the least-confident bits
+    # first in a full implementation; flipping each single bit is the
+    # standard first ring). Raises recall without re-hashing the corpus.
+    probes = {qbucket}
+    ring = {qbucket}
+    for _ in range(multi_probe):
+        ring = {b ^ (1 << i) for b in ring for i in range(bits)}
+        probes |= ring
     sigs = lsh_bucket_signatures(embeddings, dim=dim, bits=bits, seed=seed)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     emb = F.col("embedding")
     score = _dot(emb, q) / (_norm(emb) * _norm(q))
     return (
-        sigs.filter(F.col("bucket") == F.lit(qbucket))
+        sigs.filter(F.col("bucket").isin([int(b) for b in probes]))
         .select("vec_id", score.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)

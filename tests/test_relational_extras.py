@@ -1,0 +1,46 @@
+"""Sketch-aggregate accuracy (the gate checks these rows-only since
+HLL++/t-digest sketches are engine-specific) and multi-probe LSH recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlstreamstore_spark.analytics import relational, similarity
+from sqlstreamstore_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_approx_sketches_close_to_exact(spark):
+    orders = load_table(spark, SF_DIR, "orders").cache()
+    approx = {r.o_orderstatus: r for r in relational.approx_order_stats(orders).collect()}
+    exact = {
+        r.o_orderstatus: r
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("nd"),
+            F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("med"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        # HLL++ rsd defaults to 5%; t-digest with accuracy 10k is tight
+        assert abs(approx[k].approx_customers - exact[k].nd) / max(exact[k].nd, 1) < 0.1
+        assert abs(approx[k].approx_median_price - exact[k].med) / exact[k].med < 0.05
+
+
+def test_multi_probe_lsh_recall_not_worse(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").cache()
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    exact = [r.vec_id for r in similarity.cosine_topk_bruteforce(emb, qvec, k=10).collect()]
+    r0 = {r.vec_id for r in similarity.cosine_topk_lsh(emb, qvec, k=10, bits=4).collect()}
+    r2 = {
+        r.vec_id
+        for r in similarity.cosine_topk_lsh(emb, qvec, k=10, bits=4, multi_probe=2).collect()
+    }
+    rec0 = len(r0 & set(exact)) / 10
+    rec2 = len(r2 & set(exact)) / 10
+    assert rec2 >= rec0  # probing a Hamming ring can only widen candidates
+    assert rec2 >= 0.5  # measured 0.8 on this fixture (0.3 unprobed)
