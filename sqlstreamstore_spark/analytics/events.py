@@ -32,6 +32,46 @@ def sessions_per_user(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def events_hourly_windows(events: DataFrame) -> DataFrame:
+    """Tumbling event-time windows in batch — the exact aggregation
+    streaming/windowed.windowed_counts runs incrementally; here it's one
+    hash aggregate over the whole log (same grouping key, same results),
+    which is how you backfill/repair a streaming aggregate."""
+    w = F.window(F.col("ts"), "1 hour")
+    return (
+        events.groupBy(w.alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def streams_view(log: DataFrame) -> DataFrame:
+    """The reference's `streams` table (Tables.sql:4-15) as a derived
+    aggregate over the log: per-stream head version/position, first
+    position, and count — the materialized aggregate its append path
+    maintains (AppendToStream.sql:160-163), reconstructed declaratively."""
+    return (
+        log.groupBy("stream_id")
+        .agg(
+            F.max("stream_version").alias("head_version"),
+            F.max("position").alias("head_position"),
+            F.min("position").alias("first_position"),
+            F.count("*").alias("message_count"),
+        )
+        .orderBy("first_position")
+    )
+
+
 def events_per_type_day(events: DataFrame) -> DataFrame:
     """Daily counts + value sums per event type (value summed exactly as
     DECIMAL then cast back — see tpch.py exactness strategy)."""

@@ -202,6 +202,17 @@ ORDER BY o_custkey, rk
 
 # -------------------------------------------------------------- events
 
+_HOURLY_WINDOWS_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
 _SESSIONS_SQL = """
 WITH g AS (
   SELECT user_id,
@@ -609,6 +620,10 @@ def analytics_queries():
         "events_per_type_day": (
             lambda s, sf: events.events_per_type_day(_t(s, sf, "events")),
             _EVENTS_DAY_SQL,
+        ),
+        "events_hourly_windows": (
+            lambda s, sf: events.events_hourly_windows(_t(s, sf, "events")),
+            _HOURLY_WINDOWS_SQL,
         ),
         # text
         "text_token_stats": (lambda s, sf: text.token_stats(_t(s, sf, "documents")), _TOKEN_STATS_SQL),

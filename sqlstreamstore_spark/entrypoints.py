@@ -147,6 +147,14 @@ def _stream_store_queries() -> dict[str, QuerySpec]:
             f"AND stream_version <= (SELECT max(stream_version) - {SCAVENGE_MAX_COUNT} "
             f"FROM events_log WHERE stream_id = '{STREAM}') ORDER BY stream_version",
         ),
+        "streams_view": (
+            lambda spark, sf: _streams_view_query(spark, sf),
+            C
+            + "SELECT stream_id, CAST(max(stream_version) AS INTEGER) AS head_version, "
+            "max(position) AS head_position, min(position) AS first_position, "
+            "count(*) AS message_count "
+            "FROM events_log GROUP BY stream_id ORDER BY first_position",
+        ),
         "expiry_filter": (
             lambda spark, sf: _expiry_query(spark, sf),
             C
@@ -155,6 +163,12 @@ def _stream_store_queries() -> dict[str, QuerySpec]:
             f"ORDER BY stream_version",
         ),
     }
+
+
+def _streams_view_query(spark: SparkSession, sf: str) -> DataFrame:
+    from sqlstreamstore_spark.analytics.events import streams_view
+
+    return streams_view(get_log(spark, sf))
 
 
 def _expiry_query(spark: SparkSession, sf: str) -> DataFrame:
