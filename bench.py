@@ -104,11 +104,51 @@ def main() -> int:
         dt = time.time() - t0
         timings["append_100x100"] = round(dt, 3)
         timings["append_msgs_per_sec"] = round(10_000 / dt, 1)
+
+        # bulk append: 10 batches x 1000 msgs (the wide-batch write path;
+        # LoadTests/AppendExpectedVersionAnyParallel.cs analog)
+        store2 = SparkParquetStreamStore(spark, os.path.join(tmp, "store2"))
+        t0 = time.time()
+        k = 0
+        for b in range(10):
+            batch = [
+                NewStreamMessage(str(uuid.UUID(int=10_000_000 + k + i)), "bulk", '{"x":1}')
+                for i in range(1000)
+            ]
+            k += 1000
+            store2.append_to_stream("bulk", ExpectedVersion.ANY, batch)
+        dt = time.time() - t0
+        timings["append_bulk_10x1000"] = round(dt, 3)
+        timings["append_bulk_msgs_per_sec"] = round(10_000 / dt, 1)
+
+        # subscription catch-up drain over the just-written log
+        # (LoadTests/StreamSubscription.cs analog): time from subscribe to
+        # last message delivered, tight poll interval.
+        import threading
+
+        from sqlstreamstore_spark.streaming import subscribe_to_all
+
+        done = threading.Event()
+        got = []
+
+        def on_msg(m):
+            got.append(m)
+            if len(got) >= 10_000:
+                done.set()
+
+        t0 = time.time()
+        sub = subscribe_to_all(store2, on_msg, page_size=1000, poll_interval=0.05)
+        done.wait(timeout=120)
+        sub.dispose()
+        dt = time.time() - t0
+        assert len(got) == 10_000, len(got)
+        timings["subscription_catchup_10k"] = round(dt, 3)
+        timings["subscription_msgs_per_sec"] = round(10_000 / dt, 1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(
-        sum(v for k, v in timings.items() if k != "append_msgs_per_sec"), 3
+        sum(v for k, v in timings.items() if not k.endswith("_msgs_per_sec")), 3
     )
     print(
         json.dumps(

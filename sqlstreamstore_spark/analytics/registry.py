@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sqlstreamstore_spark.analytics import (
+    asof,
     dedup,
     events,
     multimodal,
@@ -201,6 +202,20 @@ ORDER BY o_custkey, rk
 """
 
 # -------------------------------------------------------------- events
+
+_ASOF_SQL = """
+WITH order_days AS (
+  SELECT o_custkey, o_orderdate,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS day_total
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts,
+       od.o_orderdate AS last_order_date, od.day_total
+FROM events e
+ASOF LEFT JOIN order_days od
+  ON e.user_id = od.o_custkey AND od.o_orderdate <= e.ts
+ORDER BY e.event_id
+"""
 
 _HOURLY_WINDOWS_SQL = """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
@@ -543,6 +558,27 @@ def _sim_topk_lsh_query(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk_lsh(emb, [float(x) for x in qvec], k=10, bits=4)
 
 
+def _asof_query(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    orders = _t(spark, sf, "orders")
+    order_days = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("day_total")
+    )
+    out = asof.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        order_days,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["day_total"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("__asof_time").alias("last_order_date"), "day_total",
+    ).orderBy("event_id")
+
+
 def _sim_topk_ivf_query(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -625,6 +661,7 @@ def analytics_queries():
             lambda s, sf: events.events_hourly_windows(_t(s, sf, "events")),
             _HOURLY_WINDOWS_SQL,
         ),
+        "asof_join_last_order": (_asof_query, _ASOF_SQL),
         # text
         "text_token_stats": (lambda s, sf: text.token_stats(_t(s, sf, "documents")), _TOKEN_STATS_SQL),
         "text_quality": (lambda s, sf: text.quality_score(_t(s, sf, "documents")), _QUALITY_SQL),
