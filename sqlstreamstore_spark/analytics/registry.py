@@ -192,6 +192,50 @@ ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
 LIMIT 100
 """
 
+_Q9_SQL = """
+SELECT n_name AS nation, CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_profit
+FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+"""
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+_Q17_SQL = """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13'
+),
+th AS (
+  SELECT l_partkey AS t_partkey,
+         0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS qty_threshold
+  FROM li GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM li JOIN th ON l_partkey = t_partkey
+WHERE l_quantity < qty_threshold
+"""
+
+_Q19_SQL = """
+SELECT CAST(coalesce(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 0) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
 _TOPK_ORDERS_SQL = """
 SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -643,6 +687,27 @@ def analytics_queries():
             lambda s, sf: tpch.q18_large_orders(
                 _t(s, sf, "customer"), _t(s, sf, "orders"), _t(s, sf, "lineitem")),
             _Q18_SQL,
+        ),
+        "tpch_q9": (
+            lambda s, sf: tpch.q9_profit_by_nation_year(
+                _t(s, sf, "lineitem"), _t(s, sf, "orders"),
+                _t(s, sf, "supplier"), _t(s, sf, "nation")),
+            _Q9_SQL,
+        ),
+        "tpch_q13": (
+            lambda s, sf: tpch.q13_customer_distribution(
+                _t(s, sf, "customer"), _t(s, sf, "orders")),
+            _Q13_SQL,
+        ),
+        "tpch_q17": (
+            lambda s, sf: tpch.q17_small_quantity_revenue(
+                _t(s, sf, "lineitem"), _t(s, sf, "part")),
+            _Q17_SQL,
+        ),
+        "tpch_q19": (
+            lambda s, sf: tpch.q19_discounted_revenue(
+                _t(s, sf, "lineitem"), _t(s, sf, "part")),
+            _Q19_SQL,
         ),
         "topk_orders_per_customer": (
             lambda s, sf: tpch.top_orders_per_customer(_t(s, sf, "orders")),

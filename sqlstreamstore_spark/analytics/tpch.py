@@ -355,6 +355,101 @@ def q18_large_orders(
     )
 
 
+def q9_profit_by_nation_year(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table in the fixtures, so
+    profit = discounted revenue): revenue by supplier nation and order
+    year. Dims broadcast; the orders join shuffles on orderkey."""
+    amount = _dec("l_extendedprice", _EP) * (F.lit(1).cast(_RATE) - _dec("l_discount", _RATE))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q13_customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count
+    (excluding urgent orders standing in for the comment filter).
+    Left join so zero-order customers land in the c_count=0 bucket."""
+    o = orders.filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        customer.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q17_small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#13"
+) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue lost if small-quantity orders for
+    one brand's parts went unfilled. The correlated scalar subquery
+    (0.2 × per-part avg quantity) becomes a per-part aggregate joined
+    back — the decorrelated plan every optimizer wants anyway."""
+    brand_parts = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    thresholds = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(_dec("l_quantity", _EP)).cast("double")
+                / F.count("*").cast("double")
+            )
+        ).alias("qty_threshold")
+    ).select(F.col("l_partkey").alias("t_partkey"), "qty_threshold")
+    return (
+        li.join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.sum(_dec("l_extendedprice", _EP)).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def q19_discounted_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape (adapted: no shipmode/shipinstruct columns):
+    disjunctive brand/size/quantity predicates — one OR-of-ANDs filter
+    over a single broadcast join, the shape that exercises predicate
+    simplification."""
+    revenue = _dec("l_extendedprice", _EP) * (F.lit(1).cast(_RATE) - _dec("l_discount", _RATE))
+    joined = lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(cond).agg(
+        F.coalesce(F.sum(revenue).cast("double"), F.lit(0.0)).alias("revenue")
+    )
+
+
 def rollup_returns(lineitem: DataFrame) -> DataFrame:
     """ROLLUP aggregate over (returnflag, linestatus) — grouping-sets
     coverage (reference has none; Spark gives it natively)."""
