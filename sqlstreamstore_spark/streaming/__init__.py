@@ -1,4 +1,5 @@
 from sqlstreamstore_spark.streaming import windowed
+from sqlstreamstore_spark.streaming.datasource import StreamStoreDataSource
 from sqlstreamstore_spark.streaming.subscriptions import (
     PollingNotifier,
     SubscriptionDroppedReason,
@@ -8,6 +9,7 @@ from sqlstreamstore_spark.streaming.subscriptions import (
 
 __all__ = [
     "PollingNotifier",
+    "StreamStoreDataSource",
     "SubscriptionDroppedReason",
     "subscribe_to_all",
     "subscribe_to_stream",

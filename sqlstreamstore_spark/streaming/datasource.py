@@ -1,0 +1,123 @@
+"""Custom Structured Streaming source for the Parquet store via the
+Python DataSource API (Spark 4) — SURVEY.md §3.3's "Spark equivalent",
+phase 2: a real Source whose offset IS the store's head position.
+
+    latestOffset()  = manifest head_position   (the reference's
+                      PollingStreamStoreNotifier reads the same head,
+                      PollingStreamStoreNotifier.cs:51-82)
+    partitions(a,b) = position ranges (a,b] split into chunks — each
+                      micro-batch scans in PARALLEL across executors
+    read(part)      = pyarrow scan of the immutable commit files with
+                      the position-range filter pushed down
+
+Semantics match the reference's subscriptions: appended messages only
+(commit files are immutable; logical deletes are not retro-pushed),
+at-least-once across restarts via checkpointed offsets, per-batch
+position order restorable with an orderBy in foreachBatch.
+
+Registration:  spark.dataSource.register(StreamStoreDataSource)
+Usage:         spark.readStream.format("sqlstreamstore")
+                    .option("path", store.path).load()
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+
+from sqlstreamstore_spark.schema import MESSAGES_SCHEMA
+
+#: Rows per read partition — bounds per-task memory at any scale.
+DEFAULT_ROWS_PER_PARTITION = 50_000
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, path: str, lo: int, hi: int):
+        self.path = path
+        self.lo = lo  # exclusive
+        self.hi = hi  # inclusive
+
+
+class StreamStoreStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("option 'path' (store directory) is required")
+        self._start = int(options.get("startposition", -1))
+        self._rows_per_part = int(
+            options.get("rowsperpartition", DEFAULT_ROWS_PER_PARTITION)
+        )
+
+    # ------------------------------------------------------------- offsets
+
+    def _head(self) -> int:
+        manifest = os.path.join(self._path, "manifest.json")
+        if not os.path.exists(manifest):
+            return -1
+        with open(manifest) as f:
+            return json.load(f).get("head_position", -1)
+
+    def initialOffset(self) -> dict:
+        return {"position": self._start}
+
+    def latestOffset(self) -> dict:
+        return {"position": self._head()}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["position"], end["position"]
+        if hi <= lo:
+            return [_RangePartition(self._path, lo, lo)]
+        parts = []
+        a = lo
+        while a < hi:
+            b = min(a + self._rows_per_part, hi)
+            parts.append(_RangePartition(self._path, a, b))
+            a = b
+        return parts
+
+    # --------------------------------------------------------------- read
+
+    def read(self, partition: _RangePartition):
+        # Executor-side: scan the immutable commit files with the range
+        # predicate pushed into the parquet reader (row-group pruning —
+        # files are position-ordered by construction).
+        if partition.hi <= partition.lo:
+            return
+        import pyarrow.dataset as ds
+
+        data_dir = os.path.join(partition.path, "data")
+        if not os.path.isdir(data_dir):
+            return
+        dataset = ds.dataset(data_dir, format="parquet")
+        flt = (ds.field("position") > partition.lo) & (
+            ds.field("position") <= partition.hi
+        )
+        for batch in dataset.to_table(filter=flt).to_batches():
+            for row in batch.to_pylist():
+                yield (
+                    row["position"],
+                    row["stream_id"],
+                    row["stream_version"],
+                    row["message_id"],
+                    row["created_utc"],
+                    row["type"],
+                    row["json_data"],
+                    row["json_metadata"],
+                )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are checkpointed by the engine; nothing to ack
+
+
+class StreamStoreDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "sqlstreamstore"
+
+    def schema(self):
+        return MESSAGES_SCHEMA
+
+    def streamReader(self, schema):
+        return StreamStoreStreamReader(self.options)
