@@ -28,6 +28,56 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_start: str,
+    right_end: str,
+    bucket: str = "1 week",
+) -> DataFrame:
+    """Interval-containment join (left.time ∈ [right.start, right.end])
+    without the O(N·M) nested-loop a naive theta-join degenerates to.
+
+    The classic bucketization: explode each right interval into the
+    time buckets it overlaps, bucket each left timestamp, equi-join on
+    (key, bucket) — Catalyst gets a hash join whose candidates are only
+    same-bucket pairs — then verify exact containment. Bucket width
+    trades replication factor (interval_len/bucket copies of each right
+    row) against candidate precision; size it near the median interval
+    length.
+    """
+    bucket_secs = {
+        "1 hour": 3_600,
+        "1 day": 86_400,
+        "1 week": 604_800,
+        "30 days": 2_592_000,
+    }.get(bucket)
+    if bucket_secs is None:
+        raise ValueError(f"unsupported bucket {bucket!r}")
+    b = F.lit(bucket_secs)
+
+    l_bucket = (F.unix_timestamp(F.col(left_time)) / b).cast("long")
+    r_lo = (F.unix_timestamp(F.col(right_start)) / b).cast("long")
+    r_hi = (F.unix_timestamp(F.col(right_end)) / b).cast("long")
+
+    lhs = left.withColumn("__lb", l_bucket)
+    rhs = right.withColumn("__rb", F.explode(F.sequence(r_lo, r_hi)))
+    return (
+        lhs.join(
+            rhs,
+            (F.col(left_key) == F.col(right_key)) & (F.col("__lb") == F.col("__rb")),
+        )
+        .filter(
+            (F.col(left_time) >= F.col(right_start))
+            & (F.col(left_time) <= F.col(right_end))
+        )
+        .drop("__lb", "__rb")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -602,6 +602,45 @@ def _sim_topk_lsh_query(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk_lsh(emb, [float(x) for x in qvec], k=10, bits=4)
 
 
+_RANGE_JOIN_SQL = """
+WITH errors AS (
+  SELECT event_id AS error_event_id, user_id, ts AS w_start,
+         ts + INTERVAL '1 hour' AS w_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT error_event_id, count(*) AS n_events_within_hour
+FROM errors e JOIN events ev
+  ON ev.user_id = e.user_id AND ev.ts >= e.w_start AND ev.ts <= e.w_end
+GROUP BY error_event_id
+ORDER BY error_event_id
+"""
+
+
+def _range_join_query(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    joined = asof.range_join_bucketed(
+        ev.select("user_id", "ts"),
+        errors,
+        left_key="user_id",
+        right_key="err_user",
+        left_time="ts",
+        right_start="w_start",
+        right_end="w_end",
+        bucket="1 hour",
+    )
+    return (
+        joined.groupBy("error_event_id")
+        .agg(F.count("*").alias("n_events_within_hour"))
+        .orderBy("error_event_id")
+    )
+
+
 def _asof_query(spark: SparkSession, sf: str) -> DataFrame:
     ev = _t(spark, sf, "events")
     orders = _t(spark, sf, "orders")
@@ -727,6 +766,7 @@ def analytics_queries():
             _HOURLY_WINDOWS_SQL,
         ),
         "asof_join_last_order": (_asof_query, _ASOF_SQL),
+        "range_join_error_window": (_range_join_query, _RANGE_JOIN_SQL),
         # text
         "text_token_stats": (lambda s, sf: text.token_stats(_t(s, sf, "documents")), _TOKEN_STATS_SQL),
         "text_quality": (lambda s, sf: text.quality_score(_t(s, sf, "documents")), _QUALITY_SQL),

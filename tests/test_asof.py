@@ -37,3 +37,28 @@ def test_asof_join_semantics(spark):
     assert out[2] == (T("2024-01-08"), 80.0)  # latest at-or-before
     assert out[3] == (None, None)
     assert out[4] == (None, None)
+
+
+def test_range_join_bucketed_containment(spark):
+    from sqlstreamstore_spark.analytics.asof import range_join_bucketed
+
+    left = spark.createDataFrame(
+        [
+            (1, "a", T("2024-01-01 00:30:00")),  # inside w1
+            (2, "a", T("2024-01-01 02:30:00")),  # outside any window
+            (3, "a", T("2024-01-01 01:00:00")),  # on w1's inclusive end
+            (4, "b", T("2024-01-01 00:30:00")),  # right user, no window for b
+        ],
+        "id long, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [("w1", "a", T("2024-01-01 00:00:00"), T("2024-01-01 01:00:00"))],
+        "w string, rk string, s timestamp, e timestamp",
+    )
+    got = sorted(
+        r["id"]
+        for r in range_join_bucketed(
+            left, right, "k", "rk", "t", "s", "e", bucket="1 hour"
+        ).collect()
+    )
+    assert got == [1, 3]
