@@ -474,6 +474,31 @@ ORDER BY qid, rk
 
 # ---------------------------------------------------- relational extras
 
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_computed
+  FROM documents
+)
+SELECT doc_id, metric, value FROM (
+  SELECT doc_id, 'n_tokens' AS metric, n_tokens AS value FROM wide
+  UNION ALL
+  SELECT doc_id, 'n_distinct_tokens', n_distinct_tokens FROM wide
+  UNION ALL
+  SELECT doc_id, 'n_chars_computed', n_chars_computed FROM wide) t
+ORDER BY doc_id, metric
+"""
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
 _JSON_STATS_SQL = """
 SELECT event_type, count(*) AS n,
        sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
@@ -843,6 +868,14 @@ def analytics_queries():
         "cube_returns": (
             lambda s, sf: relational.cube_returns(_t(s, sf, "lineitem")),
             _CUBE_SQL,
+        ),
+        "grouping_sets": (
+            lambda s, sf: relational.grouping_sets_lineitem(s, _t(s, sf, "lineitem")),
+            _GROUPING_SETS_SQL,
+        ),
+        "unpivot_stack": (
+            lambda s, sf: relational.unpivot_token_metrics(_t(s, sf, "documents")),
+            _UNPIVOT_SQL,
         ),
         "scalar_subquery_above_avg": (
             lambda s, sf: relational.orders_above_average(_t(s, sf, "orders")),

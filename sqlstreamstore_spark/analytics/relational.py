@@ -153,6 +153,41 @@ def order_price_quantiles(orders: DataFrame) -> DataFrame:
     )
 
 
+def unpivot_token_metrics(documents: DataFrame) -> DataFrame:
+    """Unpivot (wide → long) via the built-in stack generator: one row
+    per (doc_id, metric). The inverse of pivot; no shuffle — stack is a
+    generator in the projection."""
+    toks = F.split(F.col("text"), " ")
+    wide = documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+    )
+    return wide.select(
+        "doc_id",
+        F.expr(
+            "stack(3, 'n_tokens', n_tokens, 'n_distinct_tokens', n_distinct_tokens, "
+            "'n_chars_computed', n_chars_computed) AS (metric, value)"
+        ),
+    ).orderBy("doc_id", "metric")
+
+
+def grouping_sets_lineitem(spark, lineitem: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL surface (rollup/cube's
+    general form — the reference has no grouping sets at all)."""
+    lineitem.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
 def approx_order_stats(orders: DataFrame) -> DataFrame:
     """Sketch aggregates — the single-pass, mergeable versions used at
     100 TB where exact quantiles/distincts would shuffle raw values:
