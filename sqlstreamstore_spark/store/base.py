@@ -154,6 +154,12 @@ class StreamStore:
         messages: list[NewStreamMessage],
     ) -> AppendResult:
         validate_stream_id(stream_id)
+        ids = [m.message_id for m in messages]
+        if len(set(ids)) != len(ids):
+            # Reference backends diverge here (InMemory stores both, SQL
+            # backends' ON CONFLICT reconciliation throws); we pin the
+            # strict behavior so every backend agrees.
+            raise ValueError("duplicate message ids within one append batch")
         return self._append_internal(stream_id, expected_version, list(messages))
 
     def _append_internal(

@@ -24,6 +24,11 @@ from sqlstreamstore_spark.store.base import StreamStore
 from sqlstreamstore_spark.store.messages import NewStreamMessage, StreamMessage
 
 _SCHEMA = """
+CREATE TABLE IF NOT EXISTS store_meta (
+    k TEXT PRIMARY KEY,
+    v INTEGER NOT NULL
+);
+INSERT OR IGNORE INTO store_meta VALUES ('head_position', -1);
 CREATE TABLE IF NOT EXISTS streams (
     stream_id      TEXT PRIMARY KEY,
     version        INTEGER NOT NULL,
@@ -71,7 +76,12 @@ class SqliteStreamStore(StreamStore):
     # ---------------------------------------------------------------- backend
 
     def _head_position(self) -> int:
-        r = self._db.execute("SELECT coalesce(max(position), -1) FROM messages").fetchone()
+        # A persisted monotone counter, NOT max(position): like the
+        # reference's DB sequence (Tables.sql:29-31), positions are never
+        # reused after deletes.
+        r = self._db.execute(
+            "SELECT v FROM store_meta WHERE k = 'head_position'"
+        ).fetchone()
         return r[0]
 
     def _stream_head(self, stream_id: str):
@@ -115,6 +125,11 @@ class SqliteStreamStore(StreamStore):
                 "INSERT INTO messages VALUES (?,?,?,?,?,?,?,?)",
                 (position, stream_id, version, nm.message_id,
                  created_utc.isoformat(), nm.type, nm.json_data, nm.json_metadata),
+            )
+        if messages:
+            cur.execute(
+                "UPDATE store_meta SET v = ? WHERE k = 'head_position' AND v < ?",
+                (position, position),
             )
         first = base_position + 1 if messages else None
         cur.execute(
