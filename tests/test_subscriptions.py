@@ -4,6 +4,7 @@ drop reasons; plus the Structured Streaming source over the Parquet
 store."""
 
 import threading
+import time
 import uuid
 
 import pytest
@@ -117,3 +118,85 @@ def test_structured_streaming_source(spark, tmp_path):
         assert delivered == [0, 1, 2, 3, 4]
     finally:
         q.stop()
+
+
+def test_multiple_concurrent_subscriptions_each_get_all():
+    """AcceptanceTests.Subscriptions.cs: N independent subscriptions each
+    receive every message in order."""
+    store = InMemoryStreamStore()
+    store.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(1, 2, 3))
+    collected = [[] for _ in range(3)]
+    evts = [threading.Event() for _ in range(3)]
+
+    def mk(i):
+        def cb(m):
+            collected[i].append(m)
+            if len(collected[i]) >= 5:
+                evts[i].set()
+        return cb
+
+    subs = [subscribe_to_stream(store, "s", mk(i), poll_interval=0.02) for i in range(3)]
+    store.append_to_stream("s", ExpectedVersion.ANY, msgs(4, 5))
+    assert all(e.wait(5) for e in evts)
+    for sub in subs:
+        sub.dispose()
+    for got in collected:
+        assert [m.stream_version for m in got] == [0, 1, 2, 3, 4]
+
+
+def test_caught_up_fell_behind_cycle():
+    """hasCaughtUp edge-triggers: True on IsEnd, False when a burst
+    outpaces the page size, True again after draining
+    (StreamSubscription.cs:125-158)."""
+    store = InMemoryStreamStore()
+    store.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(1))
+    signals = []
+    got, evt, cb = collect_until(30)
+    sub = subscribe_to_stream(
+        store, "s", cb, has_caught_up=signals.append, page_size=5, poll_interval=0.02
+    )
+    deadline = time.time() + 5
+    while not signals and time.time() < deadline:
+        time.sleep(0.01)
+    assert signals and signals[0] is True
+    # burst of 29 > page_size forces a fell-behind (False) then True
+    store.append_to_stream("s", ExpectedVersion.ANY, msgs(*range(2, 31)))
+    assert evt.wait(5)
+    deadline = time.time() + 5
+    while signals[-1] is not True or len(signals) < 3:
+        if time.time() > deadline:
+            break
+        time.sleep(0.01)
+    sub.dispose()
+    assert False in signals  # fell behind during the burst
+    assert signals[-1] is True  # and caught back up
+    # edge-triggered: no two consecutive equal signals
+    assert all(a != b for a, b in zip(signals, signals[1:]))
+
+
+def test_dispose_stops_delivery_and_reports_reason():
+    store = InMemoryStreamStore()
+    store.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(1, 2))
+    dropped = []
+    got, evt, cb = collect_until(2)
+    sub = subscribe_to_stream(
+        store, "s", cb, on_dropped=lambda r, e: dropped.append((r, e)), poll_interval=0.02
+    )
+    assert evt.wait(5)
+    sub.dispose()
+    n_before = len(got)
+    store.append_to_stream("s", ExpectedVersion.ANY, msgs(3, 4))
+    time.sleep(0.2)
+    assert len(got) == n_before  # nothing delivered after dispose
+    assert sub.dropped_reason == SubscriptionDroppedReason.DISPOSED
+
+
+def test_subscribe_to_all_continue_after_position():
+    store = InMemoryStreamStore()
+    store.append_to_stream("a", ExpectedVersion.NO_STREAM, msgs(1, 2, 3))
+    store.append_to_stream("b", ExpectedVersion.NO_STREAM, msgs(4, 5))
+    got, evt, cb = collect_until(3)
+    sub = subscribe_to_all(store, cb, continue_after_position=1, poll_interval=0.02)
+    assert evt.wait(5)
+    sub.dispose()
+    assert [m.position for m in got] == [2, 3, 4]
