@@ -47,8 +47,11 @@ def range_join_bucketed(
     same-bucket pairs — then verify exact containment. Bucket width
     trades replication factor (interval_len/bucket copies of each right
     row) against candidate precision; size it near the median interval
-    length.
+    length. ``left_key`` and ``right_key`` must be distinct column names
+    (alias one side), as with any Spark self-join on shared names.
     """
+    if left_key == right_key:
+        raise ValueError("left_key and right_key must be distinct column names")
     bucket_secs = {
         "1 hour": 3_600,
         "1 day": 86_400,

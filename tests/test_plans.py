@@ -89,3 +89,42 @@ def test_q18_semi_join_before_wide_join(tables):
     p = plan_of(tpch.q18_large_orders(tables["customer"], tables["orders"], tables["lineitem"]))
     assert "LeftSemi" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_asof_join_single_shuffle_no_nested_loop(spark, tables):
+    from sqlstreamstore_spark.analytics.asof import asof_join
+
+    left = tables["orders"].select("o_orderkey", "o_custkey", "o_orderdate")
+    right = tables["lineitem"].select("l_orderkey", "l_shipdate", "l_extendedprice")
+    p = plan_of(
+        asof_join(left, right, "o_orderkey", "l_orderkey", "o_orderdate",
+                  "l_shipdate", ["l_extendedprice"])
+    )
+    # union + window: NO join operator at all — the whole as-of is one
+    # keyed window over a union, i.e. a single hash-partition exchange.
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "Window" in p and "Union" in p
+    # exactly one exchange node in the tree (the keyed hash partition)
+    assert sum(p.count(f"{m} Exchange") for m in ("+-", ":-")) == 1
+    assert "hashpartitioning(__k" in p
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, tables):
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.analytics.asof import range_join_bucketed
+
+    left = tables["orders"].select("o_custkey", F.col("o_orderdate").alias("t"))
+    right = (
+        tables["orders"]
+        .groupBy(F.col("o_custkey").alias("rk"))
+        .agg(F.min("o_orderdate").alias("s"))
+        .withColumn("e", F.col("s") + F.expr("INTERVAL 30 DAYS"))
+    )
+    p = plan_of(
+        range_join_bucketed(left, right, "o_custkey", "rk", "t", "s", "e",
+                            bucket="1 week")
+    )
+    # bucketization turns the interval predicate into an equi-join
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "Join" in p
