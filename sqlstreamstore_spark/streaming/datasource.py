@@ -25,7 +25,12 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from sqlstreamstore_spark.schema import MESSAGES_SCHEMA
 
@@ -83,32 +88,51 @@ class StreamStoreStreamReader(DataSourceStreamReader):
         # Executor-side: scan the immutable commit files with the range
         # predicate pushed into the parquet reader (row-group pruning —
         # files are position-ordered by construction).
-        if partition.hi <= partition.lo:
-            return
-        import pyarrow.dataset as ds
-
-        data_dir = os.path.join(partition.path, "data")
-        if not os.path.isdir(data_dir):
-            return
-        dataset = ds.dataset(data_dir, format="parquet")
-        flt = (ds.field("position") > partition.lo) & (
-            ds.field("position") <= partition.hi
-        )
-        for batch in dataset.to_table(filter=flt).to_batches():
-            for row in batch.to_pylist():
-                yield (
-                    row["position"],
-                    row["stream_id"],
-                    row["stream_version"],
-                    row["message_id"],
-                    row["created_utc"],
-                    row["type"],
-                    row["json_data"],
-                    row["json_metadata"],
-                )
+        yield from _read_range(partition.path, partition.lo, partition.hi)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are checkpointed by the engine; nothing to ack
+
+
+def _read_range(path: str, lo: int, hi: int):
+    """Executor-side range scan shared by the batch and stream readers."""
+    if hi <= lo:
+        return
+    import pyarrow.dataset as ds
+
+    data_dir = os.path.join(path, "data")
+    if not os.path.isdir(data_dir):
+        return
+    dataset = ds.dataset(data_dir, format="parquet")
+    flt = (ds.field("position") > lo) & (ds.field("position") <= hi)
+    for batch in dataset.to_table(filter=flt).to_batches():
+        for row in batch.to_pylist():
+            yield (
+                row["position"],
+                row["stream_id"],
+                row["stream_version"],
+                row["message_id"],
+                row["created_utc"],
+                row["type"],
+                row["json_data"],
+                row["json_metadata"],
+            )
+
+
+class StreamStoreBatchReader(DataSourceReader):
+    """Batch twin: spark.read.format("sqlstreamstore") scans the whole
+    log (positions 0..head) with the same bounded range partitions."""
+
+    def __init__(self, options):
+        self._stream = StreamStoreStreamReader(options)
+
+    def partitions(self):
+        return self._stream.partitions(
+            {"position": -1}, {"position": self._stream._head()}
+        )
+
+    def read(self, partition: _RangePartition):
+        yield from _read_range(partition.path, partition.lo, partition.hi)
 
 
 class StreamStoreDataSource(DataSource):
@@ -118,6 +142,9 @@ class StreamStoreDataSource(DataSource):
 
     def schema(self):
         return MESSAGES_SCHEMA
+
+    def reader(self, schema):
+        return StreamStoreBatchReader(self.options)
 
     def streamReader(self, schema):
         return StreamStoreStreamReader(self.options)

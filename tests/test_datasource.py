@@ -77,3 +77,14 @@ def test_datasource_start_position(registered, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM ds3 ORDER BY position").collect()
     assert [r.position for r in rows] == [5, 6, 7, 8, 9]
+
+
+def test_datasource_batch_read(registered, tmp_path):
+    spark = registered
+    store = SparkParquetStreamStore(spark, str(tmp_path / "store3"))
+    store.append_to_stream("x", ExpectedVersion.ANY, msgs(1, 25))
+    store.append_to_stream("y", ExpectedVersion.ANY, msgs(200, 10))
+    df = spark.read.format("sqlstreamstore").option("path", store.path).load()
+    rows = df.orderBy("position").collect()
+    assert [r.position for r in rows] == list(range(35))
+    assert df.filter(F.col("stream_id") == "y").count() == 10
