@@ -1,0 +1,93 @@
+"""End-to-end demo: the stream store, subscriptions, streaming source,
+and the analytics surface in one run.
+
+    python examples/demo.py [store_dir]
+
+Walks through: append with optimistic concurrency → paged reads →
+metadata/retention → catch-up subscription → the store as a Spark
+streaming source → relational + pipeline analytics over the driver
+fixtures (if /root/testdata exists).
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import threading
+import uuid
+
+sys.path.insert(0, ".")
+
+from sqlstreamstore_spark.schema import ExpectedVersion
+from sqlstreamstore_spark.session import get_spark
+from sqlstreamstore_spark.store import NewStreamMessage, SparkParquetStreamStore
+from sqlstreamstore_spark.streaming import StreamStoreDataSource, subscribe_to_all
+
+
+def msg(n: int, t: str = "demo") -> NewStreamMessage:
+    return NewStreamMessage(str(uuid.UUID(int=n)), t, f'{{"n":{n}}}')
+
+
+def main() -> int:
+    spark = get_spark(app_name="demo")
+    root = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="sss-demo-")
+    store = SparkParquetStreamStore(spark, root)
+    print(f"store at {root}")
+
+    # 1. appends: optimistic concurrency + idempotency
+    r = store.append_to_stream("account-1", ExpectedVersion.NO_STREAM, [msg(1), msg(2)])
+    print(f"appended → version={r.current_version} position={r.current_position}")
+    r = store.append_to_stream("account-1", ExpectedVersion.NO_STREAM, [msg(1), msg(2)])
+    print(f"idempotent re-append → still version={r.current_version}")
+    store.append_to_stream("account-2", ExpectedVersion.ANY, [msg(10 + i) for i in range(5)])
+
+    # 2. paged reads
+    page = store.read_all_forwards(0, 3)
+    print(f"read_all page: {[m.position for m in page.messages]}, is_end={page.is_end}")
+    page2 = page.read_next()
+    print(f"  next page:   {[m.position for m in page2.messages]}")
+
+    # 3. metadata + retention
+    store.set_stream_metadata("account-2", ExpectedVersion.NO_STREAM, max_count=3)
+    kept = store.read_stream_forwards("account-2", 0, 100).messages
+    print(f"after max_count=3 scavenge: versions {[m.stream_version for m in kept]}")
+
+    # 4. catch-up subscription
+    got, done = [], threading.Event()
+    sub = subscribe_to_all(
+        store,
+        lambda m: (got.append(m.position), done.set() if len(got) >= 7 else None),
+        page_size=100,
+        poll_interval=0.05,
+    )
+    store.append_to_stream("account-1", ExpectedVersion.ANY, [msg(99)])
+    done.wait(10)
+    sub.dispose()
+    print(f"subscription delivered positions {got}")
+
+    # 5. the store as a Structured Streaming source
+    spark.dataSource.register(StreamStoreDataSource)
+    batch = spark.read.format("sqlstreamstore").option("path", store.path).load()
+    print(f"batch read via data source: {batch.count()} live messages")
+    batch.groupBy("stream_id").count().show()
+
+    # 6. analytics over the driver fixtures (optional)
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if os.path.isdir(sf):
+        from sqlstreamstore_spark.analytics import tpch
+        from sqlstreamstore_spark.sources.tables import load_table
+
+        q3 = tpch.q3_shipping_priority(
+            load_table(spark, sf, "customer"),
+            load_table(spark, sf, "orders"),
+            load_table(spark, sf, "lineitem"),
+        )
+        print("TPC-H Q3 shape over fixtures:")
+        q3.show(5)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

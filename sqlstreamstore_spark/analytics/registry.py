@@ -499,6 +499,27 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
+_FULL_OUTER_SQL = """
+WITH c AS (SELECT c_nationkey AS ck, count(*) AS n_customers FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS sk, count(*) AS n_rich_suppliers
+           FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+SELECT coalesce(ck, sk) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_rich_suppliers, 0) AS n_rich_suppliers,
+       (ck IS NOT NULL AND sk IS NOT NULL) AS in_both
+FROM c FULL OUTER JOIN s ON ck = sk
+ORDER BY nationkey
+"""
+
+_DIM_STATS_SQL = """
+WITH x AS (
+  SELECT CAST(i - 1 AS INTEGER) AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+)
+SELECT dim, count(*) AS n, min(val) AS min_val, max(val) AS max_val
+FROM x GROUP BY dim ORDER BY dim
+"""
+
 _JSON_STATS_SQL = """
 SELECT event_type, count(*) AS n,
        sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
@@ -888,6 +909,15 @@ def analytics_queries():
         "date_extract_groupby": (
             lambda s, sf: relational.orders_by_year_month(_t(s, sf, "orders")),
             _YEARMONTH_SQL,
+        ),
+        "outer_join_nation_presence": (
+            lambda s, sf: relational.nation_presence_full_outer(
+                _t(s, sf, "customer"), _t(s, sf, "supplier")),
+            _FULL_OUTER_SQL,
+        ),
+        "explode_dimension_stats": (
+            lambda s, sf: relational.embedding_dimension_stats(_t(s, sf, "embeddings")),
+            _DIM_STATS_SQL,
         ),
         "json_payload_stats": (
             lambda s, sf: relational.json_payload_stats(_t(s, sf, "events")),

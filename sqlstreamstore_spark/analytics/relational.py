@@ -119,6 +119,48 @@ def part_string_functions(part: DataFrame) -> DataFrame:
     )
 
 
+def nation_presence_full_outer(customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """FULL OUTER join coverage: per nation key, customer/supplier
+    counts with presence flags — null-handling semantics across both
+    unmatched sides."""
+    c = customer.groupBy(F.col("c_nationkey").alias("ck")).agg(
+        F.count("*").alias("n_customers")
+    )
+    s = supplier.filter(F.col("s_acctbal") > 9000).groupBy(
+        F.col("s_nationkey").alias("sk")
+    ).agg(F.count("*").alias("n_rich_suppliers"))
+    return (
+        c.join(s, c.ck == s.sk, "full_outer")
+        .select(
+            F.coalesce(F.col("ck"), F.col("sk")).alias("nationkey"),
+            F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+            F.coalesce(F.col("n_rich_suppliers"), F.lit(0)).alias("n_rich_suppliers"),
+            (F.col("ck").isNotNull() & F.col("sk").isNotNull()).alias("in_both"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def embedding_dimension_stats(embeddings: DataFrame) -> DataFrame:
+    """Generator (posexplode) coverage + per-dimension corpus stats:
+    mean and max of each embedding dimension. The explode → groupBy(dim)
+    shape is how per-feature normalization constants are computed at
+    scale (one shuffle keyed by dimension; partial aggs map-side)."""
+    return (
+        embeddings.select(
+            F.posexplode(F.col("embedding")).alias("dim", "val")
+        )
+        .select("dim", F.col("val").cast("double").alias("val"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("val").alias("min_val"),  # exact (no float-sum order issues)
+            F.max("val").alias("max_val"),
+        )
+        .orderBy("dim")
+    )
+
+
 def json_payload_stats(events: DataFrame) -> DataFrame:
     """JSON payload extraction + aggregation — the stream-store's
     payloads are opaque JSON strings (reference: README.md:25,
