@@ -499,6 +499,16 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
+_ROLLCALL_SQL = """
+SELECT r_name,
+       list_sort(list(n_name)) AS nations,
+       count(*) AS n_nations,
+       array_to_string(list_sort(list(n_name)), ',') AS nations_csv
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
 _FULL_OUTER_SQL = """
 WITH c AS (SELECT c_nationkey AS ck, count(*) AS n_customers FROM customer GROUP BY 1),
      s AS (SELECT s_nationkey AS sk, count(*) AS n_rich_suppliers
@@ -909,6 +919,11 @@ def analytics_queries():
         "date_extract_groupby": (
             lambda s, sf: relational.orders_by_year_month(_t(s, sf, "orders")),
             _YEARMONTH_SQL,
+        ),
+        "collect_list_rollcall": (
+            lambda s, sf: relational.region_nation_rollcall(
+                _t(s, sf, "nation"), _t(s, sf, "region")),
+            _ROLLCALL_SQL,
         ),
         "outer_join_nation_presence": (
             lambda s, sf: relational.nation_presence_full_outer(

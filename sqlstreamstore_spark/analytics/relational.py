@@ -161,6 +161,23 @@ def embedding_dimension_stats(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def region_nation_rollcall(nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Collection aggregates: the nations of each region as a sorted
+    array plus a concatenated string. collect_list order is
+    nondeterministic under parallelism — ALWAYS sort_array (or
+    array_sort) before comparing/emitting; same rule at any scale."""
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+        .withColumn("nations_csv", F.array_join(F.col("nations"), ","))
+        .orderBy("r_name")
+    )
+
+
 def json_payload_stats(events: DataFrame) -> DataFrame:
     """JSON payload extraction + aggregation — the stream-store's
     payloads are opaque JSON strings (reference: README.md:25,
