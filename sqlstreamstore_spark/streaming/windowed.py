@@ -77,6 +77,51 @@ def session_windows(
     )
 
 
+def interval_join_clicks_to_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks in the preceding `within` interval. Both sides are
+    watermarked and the join condition carries the time bound, so state
+    for rows older than (watermark − interval) is evicted — without the
+    bound the join state would grow forever.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark_delay)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark_delay)
+    return c.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND click_ts <= purchase_ts "
+            f"AND click_ts >= purchase_ts - INTERVAL {within}"
+        ),
+    ).select("p_user", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps state
+    only for the watermark horizon (bounded), vs plain dropDuplicates
+    whose state grows with total distinct keys forever — the difference
+    between a pipeline that runs for years and one that OOMs."""
+    return events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 #: Output schema of `stateful_running_totals`.
 RUNNING_TOTALS_SCHEMA = T.StructType(
     [

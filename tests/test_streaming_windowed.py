@@ -132,3 +132,51 @@ def test_stateful_running_totals(spark, events_dir):
     for u in expect:
         assert got[u][0] == expect[u][0]
         assert abs(got[u][1] - expect[u][1]) < 1e-9
+
+
+def test_stream_stream_interval_join(spark, events_dir):
+    stream = _read_stream(spark, events_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    out = windowed.interval_join_clicks_to_purchases(clicks, purchases, within="30 minutes")
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # batch twin over the same rows
+    batch = spark.read.parquet(events_dir)
+    c = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("ci"), F.col("ts").alias("ct"))
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pi"), F.col("ts").alias("pt"))
+    expect = {
+        (r.pi, r.ci)
+        for r in c.join(
+            p,
+            F.expr("cu = pu AND ct <= pt AND ct >= pt - INTERVAL 30 MINUTES"),
+        ).collect()
+    }
+    assert got  # the fixture cadence guarantees matches
+    assert got == expect
+
+
+def test_dedup_within_watermark(spark, events_dir):
+    stream = _read_stream(spark, events_dir)
+    # duplicate every event by unioning the stream with itself
+    doubled = stream.union(_read_stream(spark, events_dir))
+    name = f"ddw_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed.dedup_within_watermark(doubled)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT event_id FROM {name}").collect()
+    ids = [r.event_id for r in rows]
+    assert len(ids) == 200 and len(set(ids)) == 200
