@@ -88,3 +88,19 @@ def test_datasource_batch_read(registered, tmp_path):
     rows = df.orderBy("position").collect()
     assert [r.position for r in rows] == list(range(35))
     assert df.filter(F.col("stream_id") == "y").count() == 10
+
+
+def test_datasource_resume_survives_compaction(registered, tmp_path):
+    """Offsets are positions, not file names — a checkpointed reader must
+    resume correctly even after compact() rewrites the data files."""
+    spark = registered
+    store = SparkParquetStreamStore(spark, str(tmp_path / "store4"))
+    store.append_to_stream("a", ExpectedVersion.ANY, msgs(1, 20))
+    ckpt = str(tmp_path / "ckpt4")
+    rows = _drain(spark, store.path, "dc1", ckpt)
+    assert [r.position for r in rows] == list(range(20))
+
+    store.compact(target_files=2)
+    store.append_to_stream("a", ExpectedVersion.ANY, msgs(500, 5))
+    rows2 = _drain(spark, store.path, "dc2", ckpt)
+    assert [r.position for r in rows2] == list(range(20, 25))
