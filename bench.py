@@ -144,6 +144,37 @@ def main() -> int:
         assert len(got) == 10_000, len(got)
         timings["subscription_catchup_10k"] = round(dt, 3)
         timings["subscription_msgs_per_sec"] = round(10_000 / dt, 1)
+        # -- the latency tier: identical API on the SQLite backend
+        # (small paged ops are ms-level there; the Parquet+Spark backend
+        # is the bulk/analytics tier — same one-contract design as the
+        # reference's InMemory vs SQL backends)
+        from sqlstreamstore_spark.store.sqlite_store import SqliteStreamStore
+
+        sq = SqliteStreamStore(os.path.join(tmp, "store.db"))
+        t0 = time.time()
+        k = 0
+        for b in range(100):
+            batch = [
+                NewStreamMessage(str(uuid.UUID(int=20_000_000 + k + i)), "sq", '{"x":1}')
+                for i in range(100)
+            ]
+            k += 100
+            sq.append_to_stream(f"sq-{b % 10}", ExpectedVersion.ANY, batch)
+        dt = time.time() - t0
+        timings["sqlite_append_100x100"] = round(dt, 3)
+        timings["sqlite_append_msgs_per_sec"] = round(10_000 / dt, 1)
+        t0 = time.time()
+        pos, drained = 0, 0
+        while True:
+            page = sq.read_all_forwards(pos, 1000)
+            drained += len(page.messages)
+            if page.is_end:
+                break
+            pos = page.next_position
+        dt = time.time() - t0
+        assert drained == 10_000, drained
+        timings["sqlite_drain_p1000"] = round(dt, 3)
+        timings["sqlite_read_msgs_per_sec"] = round(drained / dt, 1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
