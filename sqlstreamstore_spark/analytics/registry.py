@@ -20,6 +20,7 @@ from sqlstreamstore_spark.analytics import (
     multimodal,
     pipeline,
     relational,
+    sampling,
     similarity,
     text,
     tpch,
@@ -404,6 +405,32 @@ losers AS (
 SELECT doc_id FROM exact_keepers
 WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 ORDER BY doc_id
+"""
+
+# hex→int in DuckDB (no from_hex→int cast): fold the 4 hex chars.
+_HEXBUCKET = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+  list_transform(string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), ''),
+    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+  (a, x) -> a * 16 + x)"""
+
+_SAMPLE_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_HEXBUCKET} % 65536 < CAST(0.25 * 65536 AS INTEGER)
+ORDER BY doc_id
+"""
+
+_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN {_HEXBUCKET} % 65536 < CAST(0.9 * 65536 AS INTEGER)
+            THEN 'train' ELSE 'val' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+_EXACT_KEEPERS_SQL = """
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents) t
+WHERE rn = 1 ORDER BY doc_id
 """
 
 _CC_SQL = """
@@ -844,6 +871,23 @@ def analytics_queries():
                 _t(s, sf, "documents").filter(F.col("doc_id") < 300), threshold=0.2
             ),
             None,  # xxhash64 families aren't expressible in DuckDB
+        ),
+        "sampling_deterministic": (
+            lambda s, sf: sampling.deterministic_sample(
+                _t(s, sf, "documents").select("doc_id", "lang"), "doc_id", 0.25
+            ).orderBy("doc_id"),
+            _SAMPLE_SQL,
+        ),
+        "sampling_hash_split": (
+            lambda s, sf: sampling.hash_split(
+                _t(s, sf, "documents").select("doc_id"), "doc_id", 0.9
+            ).orderBy("doc_id"),
+            _SPLIT_SQL,
+        ),
+        "dedup_exact_keepers": (
+            lambda s, sf: dedup.exact_dedup_keepers(_t(s, sf, "documents"))
+            .select("doc_id").orderBy("doc_id"),
+            _EXACT_KEEPERS_SQL,
         ),
         "pipeline_clean_corpus": (
             lambda s, sf: pipeline.clean_corpus(_t(s, sf, "documents")),
