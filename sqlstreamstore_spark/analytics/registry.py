@@ -1008,4 +1008,16 @@ def analytics_queries():
             .orderBy("media_id"),
             None,
         ),
+        "multimodal_frame_sample": (
+            lambda s, sf: multimodal.sample_video_frames(
+                multimodal.make_fake_media_df(s, 100), every_ms=500
+            ).orderBy("media_id", "frame_ts_ms"),
+            None,
+        ),
+        "multimodal_resize": (
+            lambda s, sf: multimodal.resize_images(
+                multimodal.make_fake_media_df(s, 100), 32, 32
+            ).select("media_id", "width", "height").orderBy("media_id"),
+            None,
+        ),
     }

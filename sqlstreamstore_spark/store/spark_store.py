@@ -274,17 +274,30 @@ class SparkParquetStreamStore(StreamStore):
 
     # ---------------------------------------------------------- maintenance
 
-    def compact(self, target_files: int | None = None) -> None:
+    def compact(self, target_files: int | None = None, layout: str = "by_position") -> None:
         """Apply deletion sets physically and merge small commit files:
-        rewrite the live log sorted by position into ~target_files
-        Parquet files (range-partitioned on position so row-group stats
-        stay selective), then swap the manifest. The analog of the
-        reference's async purge/scavenge queue (Infrastructure/
-        TaskQueue.cs) as an explicit maintenance operation."""
-        live = self.log_df().orderBy("position")
+        rewrite the live log into ~target_files Parquet files, then swap
+        the manifest. The analog of the reference's async purge/scavenge
+        queue (Infrastructure/TaskQueue.cs) as an explicit maintenance
+        operation.
+
+        layout picks which access path gets row-group pruning (the
+        columnar substitute for the reference's two covering indexes,
+        Tables.sql:42-46 — SURVEY.md §4 "dual-sorted copies"):
+          - "by_position": range-partition + sort on position → global
+            scans (ReadAll, subscriptions) prune to the position range;
+          - "by_stream": range-partition on (stream_id, stream_version)
+            → per-stream reads touch only that stream's files/row-groups.
+        """
+        if layout not in ("by_position", "by_stream"):
+            raise ValueError(f"unknown layout {layout!r}")
+        sort_cols = (
+            ["position"] if layout == "by_position" else ["stream_id", "stream_version"]
+        )
+        live = self.log_df()
         tmp_dir = os.path.join(self.path, f"compact-{_uuid.uuid4().hex}")
         n = target_files or max(1, self.spark.sparkContext.defaultParallelism)
-        live.repartitionByRange(n, "position").sortWithinPartitions("position").write.parquet(
+        live.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols).write.parquet(
             tmp_dir
         )
         new_files = []

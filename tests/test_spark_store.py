@@ -131,3 +131,23 @@ def test_spark_store_compaction(spark, tmp_path):
     assert before == after
     assert len(s._manifest["files"]) == 2
     assert s._manifest["deleted_messages"] == {}
+
+
+def test_compaction_by_stream_layout(spark, tmp_path):
+    import uuid as _uuid
+
+    from sqlstreamstore_spark.schema import ExpectedVersion
+    from sqlstreamstore_spark.store import NewStreamMessage, SparkParquetStreamStore
+
+    store = SparkParquetStreamStore(spark, str(tmp_path / "bs"))
+    for s in ("a", "b", "c"):
+        store.append_to_stream(
+            s, ExpectedVersion.ANY,
+            [NewStreamMessage(str(_uuid.uuid5(_uuid.NAMESPACE_DNS, f"{s}{i}")), "t", "{}")
+             for i in range(10)],
+        )
+    store.compact(target_files=3, layout="by_stream")
+    page = store.read_stream_forwards("b", 0, 100)
+    assert [m.stream_version for m in page.messages] == list(range(10))
+    allp = store.read_all_forwards(0, 100)
+    assert [m.position for m in allp.messages] == list(range(30))
