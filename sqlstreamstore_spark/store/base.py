@@ -236,10 +236,21 @@ class StreamStore:
         head = self._stream_head(stream_id)
         return head[0] if head else StreamVersion.NONE
 
+    @staticmethod
+    def _ensure_read_args(frm: int, max_count: int, allow_end: bool) -> None:
+        """Argument guards matching the reference's Ensure checks
+        (ReadonlyStreamStoreBase.cs:45-58): max_count >= 1; from >= 0,
+        or the -1 end sentinel on backwards reads."""
+        if max_count < 1:
+            raise ValueError("max_count must be >= 1")
+        if frm < (-1 if allow_end else 0):
+            raise ValueError("from position/version out of range")
+
     def read_all_forwards(
         self, from_position_inclusive: int = 0, max_count: int = 100,
         prefetch_json_data: bool = True,
     ) -> ReadAllPage:
+        self._ensure_read_args(from_position_inclusive, max_count, allow_end=False)
         head = self._head_position()
         if head < 0:
             return ReadAllPage(Position.START, Position.START, True,
@@ -270,6 +281,7 @@ class StreamStore:
         self, from_position_inclusive: int = Position.END, max_count: int = 100,
         prefetch_json_data: bool = True,
     ) -> ReadAllPage:
+        self._ensure_read_args(from_position_inclusive, max_count, allow_end=True)
         head = self._head_position()
         if head < 0:
             return ReadAllPage(Position.START, Position.START, True,
@@ -300,6 +312,7 @@ class StreamStore:
         self, stream_id: str, from_version_inclusive: int = 0, max_count: int = 100,
         prefetch_json_data: bool = True,
     ) -> ReadStreamPage:
+        self._ensure_read_args(from_version_inclusive, max_count, allow_end=False)
         head = self._stream_head(stream_id)
         if head is None:
             return ReadStreamPage(
@@ -330,6 +343,7 @@ class StreamStore:
         self, stream_id: str, from_version_inclusive: int = StreamVersion.END,
         max_count: int = 100, prefetch_json_data: bool = True,
     ) -> ReadStreamPage:
+        self._ensure_read_args(from_version_inclusive, max_count, allow_end=True)
         head = self._stream_head(stream_id)
         if head is None:
             return ReadStreamPage(

@@ -112,3 +112,20 @@ def test_prefetch_toggle(store):
     # delete it; lazy fetch now returns None (StreamMessage.cs:59-72)
     store.delete_message(m.stream_id, m.message_id)
     assert m.get_json_data() is None
+
+
+def test_read_argument_guards(store):
+    """Ensure guards (ReadonlyStreamStoreBase.cs:45-58): max_count >= 1;
+    from >= 0 forwards, >= -1 (END sentinel) backwards."""
+    import pytest as _pytest
+
+    for bad in (
+        lambda: store.read_all_forwards(0, 0),
+        lambda: store.read_all_forwards(-1, 10),
+        lambda: store.read_stream_forwards("s1", -1, 10),
+        lambda: store.read_all_backwards(-2, 10),
+        lambda: store.read_stream_backwards("s1", -2, 10),
+        lambda: store.read_stream_backwards("s1", 0, 0),
+    ):
+        with _pytest.raises(ValueError):
+            bad()
