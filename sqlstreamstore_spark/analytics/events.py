@@ -72,6 +72,32 @@ def streams_view(log: DataFrame) -> DataFrame:
     )
 
 
+def funnel_conversion(events: DataFrame) -> DataFrame:
+    """Ordered-funnel conversion (signup → click → purchase): per user,
+    first-occurrence times via conditional min, then ordering checks —
+    one hash aggregate keyed by user, no joins, no window. The shape
+    scales linearly: conditional aggregation beats N self-joins for
+    N-step funnels."""
+    t_signup = F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+    t_click = F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+    t_purchase = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    per_user = events.groupBy("user_id").agg(
+        t_signup.alias("t_signup"), t_click.alias("t_click"), t_purchase.alias("t_purchase")
+    )
+    stage2 = F.col("t_signup").isNotNull() & F.col("t_click").isNotNull() & (
+        F.col("t_click") > F.col("t_signup")
+    )
+    stage3 = stage2 & F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") > F.col("t_click")
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("t_signup").isNotNull(), 1).otherwise(0)).alias("n_signup"),
+        F.sum(F.when(stage2, 1).otherwise(0)).alias("n_signup_click"),
+        F.sum(F.when(stage3, 1).otherwise(0)).alias("n_signup_click_purchase"),
+    )
+
+
 def events_per_type_day(events: DataFrame) -> DataFrame:
     """Daily counts + value sums per event type (value summed exactly as
     DECIMAL then cast back — see tpch.py exactness strategy)."""

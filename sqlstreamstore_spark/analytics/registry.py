@@ -262,6 +262,23 @@ ASOF LEFT JOIN order_days od
 ORDER BY e.event_id
 """
 
+_FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id)
+SELECT count(*) AS n_users,
+       sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                 AND t_click > t_signup THEN 1 ELSE 0 END) AS n_signup_click,
+       sum(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                 AND t_click > t_signup AND t_purchase IS NOT NULL
+                 AND t_purchase > t_click THEN 1 ELSE 0 END) AS n_signup_click_purchase
+FROM per_user
+"""
+
 _HOURLY_WINDOWS_SQL = """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
@@ -598,9 +615,9 @@ _PIVOT_SQL = """
 SELECT user_id,
        CAST(sum(CASE WHEN event_type='click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
        CAST(sum(CASE WHEN event_type='error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
-       CAST(sum(CASE WHEN event_type='login'    THEN 1 ELSE 0 END) AS BIGINT) AS login,
        CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
-       CAST(sum(CASE WHEN event_type='signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup
+       CAST(sum(CASE WHEN event_type='signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type='view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
 FROM events GROUP BY user_id ORDER BY user_id
 """
 
@@ -849,6 +866,10 @@ def analytics_queries():
             _HOURLY_WINDOWS_SQL,
         ),
         "asof_join_last_order": (_asof_query, _ASOF_SQL),
+        "events_funnel": (
+            lambda s, sf: events.funnel_conversion(_t(s, sf, "events")),
+            _FUNNEL_SQL,
+        ),
         "range_join_error_window": (_range_join_query, _RANGE_JOIN_SQL),
         # text
         "text_token_stats": (lambda s, sf: text.token_stats(_t(s, sf, "documents")), _TOKEN_STATS_SQL),

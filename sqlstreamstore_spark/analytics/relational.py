@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-EVENT_TYPES = ["click", "error", "login", "purchase", "signup"]
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 def nations_with_customers_and_suppliers(customer: DataFrame, supplier: DataFrame) -> DataFrame:
