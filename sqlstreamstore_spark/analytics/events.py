@@ -98,6 +98,29 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
     )
 
 
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, then
+    distinct active users per (cohort_week, weeks_since). Two hash
+    aggregates, both keyed by user/cohort — the standard product-
+    analytics matrix, linear in events."""
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            ((F.unix_timestamp("active_week") - F.unix_timestamp("cohort_week"))
+             / F.lit(604800)).cast("int").alias("weeks_since"),
+        )
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
 def events_per_type_day(events: DataFrame) -> DataFrame:
     """Daily counts + value sums per event type (value summed exactly as
     DECIMAL then cast back — see tpch.py exactness strategy)."""

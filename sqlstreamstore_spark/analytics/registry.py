@@ -262,6 +262,20 @@ ASOF LEFT JOIN order_days od
 ORDER BY e.event_id
 """
 
+_COHORT_SQL = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events)
+SELECT cohort_week,
+       CAST((epoch(active_week) - epoch(cohort_week)) / 604800 AS INTEGER) AS weeks_since,
+       count(*) AS n_active_users
+FROM activity JOIN first_seen USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_week, weeks_since
+"""
+
 _FUNNEL_SQL = """
 WITH per_user AS (
   SELECT user_id,
@@ -869,6 +883,10 @@ def analytics_queries():
         "events_funnel": (
             lambda s, sf: events.funnel_conversion(_t(s, sf, "events")),
             _FUNNEL_SQL,
+        ),
+        "events_cohort_retention": (
+            lambda s, sf: events.cohort_retention(_t(s, sf, "events")),
+            _COHORT_SQL,
         ),
         "range_join_error_window": (_range_join_query, _RANGE_JOIN_SQL),
         # text
