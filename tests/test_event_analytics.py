@@ -1,0 +1,58 @@
+"""Funnel and cohort-retention semantics on handcrafted rows (the gate
+also hash-matches both against DuckDB at fixture scale)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from sqlstreamstore_spark.analytics.events import cohort_retention, funnel_conversion
+
+
+def T(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+
+
+def test_funnel_ordering_matters(spark):
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, "signup", T("2024-01-01"), 0.0),
+        (2, 1, "click", T("2024-01-02"), 0.0),
+        (3, 1, "purchase", T("2024-01-03"), 0.0),
+        # user 2: clicked BEFORE signup → not a stage-2 conversion
+        (4, 2, "click", T("2024-01-01"), 0.0),
+        (5, 2, "signup", T("2024-01-02"), 0.0),
+        (6, 2, "purchase", T("2024-01-03"), 0.0),
+        # user 3: signup + click, purchase before click → stage 2 only
+        (7, 3, "signup", T("2024-01-01"), 0.0),
+        (8, 3, "purchase", T("2024-01-02"), 0.0),
+        (9, 3, "click", T("2024-01-03"), 0.0),
+        # user 4: never signed up
+        (10, 4, "click", T("2024-01-01"), 0.0),
+    ]
+    r = funnel_conversion(_events(spark, rows)).collect()[0]
+    assert (r.n_users, r.n_signup, r.n_signup_click, r.n_signup_click_purchase) == (4, 3, 2, 1)
+
+
+def test_cohort_retention_weeks(spark):
+    rows = [
+        # user 1 first seen week of Jan 1 (Mon), active again 2 weeks later
+        (1, 1, "view", T("2024-01-01"), 0.0),
+        (2, 1, "view", T("2024-01-15"), 0.0),
+        # user 2 same cohort, active only in week 0 (two events, one week)
+        (3, 2, "view", T("2024-01-02"), 0.0),
+        (4, 2, "view", T("2024-01-03"), 0.0),
+        # user 3 next cohort
+        (5, 3, "view", T("2024-01-08"), 0.0),
+    ]
+    got = {
+        (r.cohort_week, r.weeks_since): r.n_active_users
+        for r in cohort_retention(_events(spark, rows)).collect()
+    }
+    w0, w1 = T("2024-01-01"), T("2024-01-08")
+    assert got == {(w0, 0): 2, (w0, 2): 1, (w1, 0): 1}
