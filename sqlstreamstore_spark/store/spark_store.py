@@ -92,6 +92,12 @@ class SparkParquetStreamStore(StreamStore):
         if self._log_cache is not None and self._log_cache_version == self._manifest["version"]:
             return self._log_cache
         m = self._manifest
+        # Capture the version BEFORE building: a concurrent append (e.g.
+        # the commit thread racing a subscription's read thread) would
+        # otherwise bump the manifest mid-build and we'd tag a stale
+        # DataFrame with the new version — permanently hiding the new
+        # rows from every later read.
+        version_at_build = m["version"]
         if not m["files"]:
             df = self.spark.createDataFrame([], MESSAGES_SCHEMA)
         else:
@@ -108,7 +114,7 @@ class SparkParquetStreamStore(StreamStore):
                 dead = self.spark.createDataFrame(pairs, "stream_id string, message_id string")
                 df = df.join(F.broadcast(dead), ["stream_id", "message_id"], "left_anti")
         self._log_cache = df
-        self._log_cache_version = m["version"]
+        self._log_cache_version = version_at_build
         return df
 
     # -------------------------------------------------------------- backend

@@ -200,3 +200,18 @@ def test_subscribe_to_all_continue_after_position():
     assert evt.wait(5)
     sub.dispose()
     assert [m.position for m in got] == [2, 3, 4]
+
+
+def test_subscribe_to_all_on_spark_store(spark, tmp_path):
+    """Catch-up + live subscription against the Parquet-backed store
+    (paged reads are Spark jobs; on_appended wakes the notifier)."""
+    from sqlstreamstore_spark.store import SparkParquetStreamStore
+
+    store = SparkParquetStreamStore(spark, str(tmp_path / "sub-store"))
+    store.append_to_stream("s", ExpectedVersion.ANY, msgs(1, 2, 3))
+    got, evt, cb = collect_until(5, timeout=30)
+    sub = subscribe_to_all(store, cb, page_size=100, poll_interval=0.1)
+    store.append_to_stream("t", ExpectedVersion.ANY, msgs(4, 5))
+    assert evt.wait(30)
+    sub.dispose()
+    assert [m.position for m in got] == [0, 1, 2, 3, 4]
