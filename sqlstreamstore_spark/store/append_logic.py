@@ -75,6 +75,14 @@ def _decide_any(stream_id: str, new_ids: list[str], stored_ids: list[str]) -> st
         try:
             i = stored_ids.index(new_ids[0])
         except ValueError:
+            # First id unseen. The reference's backends diverge when a
+            # LATER id is already stored (InMemoryStream.cs appends a
+            # duplicate; the SQL backends' ON CONFLICT reconciliation
+            # throws, AppendToStream.sql:100-151). We pin the SQL
+            # behavior — duplicates never silently enter a stream.
+            stored = set(stored_ids)
+            if any(mid in stored for mid in new_ids[1:]):
+                raise _wrong(stream_id, ExpectedVersion.ANY)
             return APPEND
         if i + len(new_ids) > len(stored_ids):
             raise _wrong(stream_id, ExpectedVersion.ANY)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import sqlite3
+import threading
 from collections.abc import Callable
 
 from sqlstreamstore_spark.store.base import StreamStore
@@ -68,7 +69,12 @@ class SqliteStreamStore(StreamStore):
         track_deletions: bool = True,
     ):
         super().__init__(get_utc_now, track_deletions)
-        self._db = sqlite3.connect(path)
+        # Cross-thread access (subscription reader/notifier threads):
+        # sqlite allows it with check_same_thread=False as long as calls
+        # are serialized — the lock below guards every statement (the
+        # single-writer commit protocol already serializes writes).
+        self._db = sqlite3.connect(path, check_same_thread=False)
+        self._lock = threading.RLock()
         self._db.executescript(_SCHEMA)
         self._db.commit()
         self.on_appended: Callable[[], None] | None = None
@@ -79,43 +85,55 @@ class SqliteStreamStore(StreamStore):
         # A persisted monotone counter, NOT max(position): like the
         # reference's DB sequence (Tables.sql:29-31), positions are never
         # reused after deletes.
-        r = self._db.execute(
-            "SELECT v FROM store_meta WHERE k = 'head_position'"
-        ).fetchone()
+        with self._lock:
+            r = self._db.execute(
+                "SELECT v FROM store_meta WHERE k = 'head_position'"
+            ).fetchone()
         return r[0]
 
     def _stream_head(self, stream_id: str):
-        r = self._db.execute(
-            "SELECT version, position FROM streams WHERE stream_id = ?", (stream_id,)
-        ).fetchone()
+        with self._lock:
+            r = self._db.execute(
+                "SELECT version, position FROM streams WHERE stream_id = ?", (stream_id,)
+            ).fetchone()
         return (r[0], r[1]) if r else None
 
     def _stream_stored_ids(self, stream_id: str) -> list[str]:
-        rows = self._db.execute(
-            "SELECT message_id FROM messages WHERE stream_id = ? ORDER BY stream_version",
-            (stream_id,),
-        ).fetchall()
+        with self._lock:
+            rows = self._db.execute(
+                "SELECT message_id FROM messages WHERE stream_id = ? ORDER BY stream_version",
+                (stream_id,),
+            ).fetchall()
         return [r[0] for r in rows]
 
     def _read_stream_slice(self, stream_id, from_version, count, forwards):
         op, order = (">=", "ASC") if forwards else ("<=", "DESC")
-        rows = self._db.execute(
-            f"SELECT {_COLS} FROM messages WHERE stream_id = ? AND stream_version {op} ? "
-            f"ORDER BY stream_version {order} LIMIT ?",
-            (stream_id, from_version, count),
-        ).fetchall()
+        with self._lock:
+            rows = self._db.execute(
+                f"SELECT {_COLS} FROM messages WHERE stream_id = ? AND stream_version {op} ? "
+                f"ORDER BY stream_version {order} LIMIT ?",
+                (stream_id, from_version, count),
+            ).fetchall()
         return [_row_to_msg(r) for r in rows]
 
     def _read_all_slice(self, from_position, count, forwards):
         op, order = (">=", "ASC") if forwards else ("<=", "DESC")
-        rows = self._db.execute(
-            f"SELECT {_COLS} FROM messages WHERE position {op} ? "
-            f"ORDER BY position {order} LIMIT ?",
-            (from_position, count),
-        ).fetchall()
+        with self._lock:
+            rows = self._db.execute(
+                f"SELECT {_COLS} FROM messages WHERE position {op} ? "
+                f"ORDER BY position {order} LIMIT ?",
+                (from_position, count),
+            ).fetchall()
         return [_row_to_msg(r) for r in rows]
 
     def _commit_messages(self, stream_id, base_version, base_position, messages, created_utc):
+        version, position = base_version, base_position
+        with self._lock:
+            return self._commit_locked(
+                stream_id, base_version, base_position, messages, created_utc
+            )
+
+    def _commit_locked(self, stream_id, base_version, base_position, messages, created_utc):
         version, position = base_version, base_position
         cur = self._db.cursor()
         for nm in messages:
@@ -145,6 +163,7 @@ class SqliteStreamStore(StreamStore):
         return version, position
 
     def _delete_stream_rows(self, stream_id) -> bool:
+      with self._lock:
         cur = self._db.cursor()
         n = cur.execute(
             "SELECT count(*) FROM messages WHERE stream_id = ?", (stream_id,)
@@ -160,13 +179,14 @@ class SqliteStreamStore(StreamStore):
         return n > 0
 
     def _delete_message_row(self, stream_id, message_id) -> bool:
-        cur = self._db.cursor()
-        cur.execute(
-            "DELETE FROM messages WHERE stream_id = ? AND message_id = ?",
-            (stream_id, message_id),
-        )
-        self._db.commit()
-        return cur.rowcount > 0
+        with self._lock:
+            cur = self._db.cursor()
+            cur.execute(
+                "DELETE FROM messages WHERE stream_id = ? AND message_id = ?",
+                (stream_id, message_id),
+            )
+            self._db.commit()
+            return cur.rowcount > 0
 
     def _list_stream_ids(self, pattern, kind, max_count, continuation):
         sql = (
@@ -183,13 +203,15 @@ class SqliteStreamStore(StreamStore):
             args.append("%" + _like_escape(pattern))
         sql += "ORDER BY first_position LIMIT ?"
         args.append(max_count)
-        return [(r[0], r[1]) for r in self._db.execute(sql, args).fetchall()]
+        with self._lock:
+            return [(r[0], r[1]) for r in self._db.execute(sql, args).fetchall()]
 
     def _point_json_data(self, stream_id, message_id):
-        r = self._db.execute(
-            "SELECT json_data FROM messages WHERE stream_id = ? AND message_id = ?",
-            (stream_id, message_id),
-        ).fetchone()
+        with self._lock:
+            r = self._db.execute(
+                "SELECT json_data FROM messages WHERE stream_id = ? AND message_id = ?",
+                (stream_id, message_id),
+            ).fetchone()
         return r[0] if r else None
 
     # ------------------------------------------------------------- analytics
@@ -199,9 +221,10 @@ class SqliteStreamStore(StreamStore):
         read; see module docstring for the server-RDBMS variant)."""
         from sqlstreamstore_spark.schema import MESSAGES_SCHEMA
 
-        rows = self._db.execute(
-            f"SELECT {_COLS} FROM messages ORDER BY position"
-        ).fetchall()
+        with self._lock:
+            rows = self._db.execute(
+                f"SELECT {_COLS} FROM messages ORDER BY position"
+            ).fetchall()
         data = [
             (r[0], r[1], r[2], r[3], _dt.datetime.fromisoformat(r[4]), r[5], r[6], r[7])
             for r in rows

@@ -36,3 +36,25 @@ def test_sqlite_log_df_matches_api(spark):
     rows = df.orderBy("position").collect()
     assert [r.position for r in rows] == [0, 1, 2, 3]
     assert rows[3].stream_id == "y" and rows[3].stream_version == 0
+
+
+def test_sqlite_cross_thread_subscription():
+    """The subscription reader/notifier threads must be able to read a
+    store created on the main thread (serialized by the store lock)."""
+    import threading
+
+    from sqlstreamstore_spark.streaming import subscribe_to_all
+
+    s = SqliteStreamStore()
+    s.append_to_stream("a", ExpectedVersion.ANY, msgs(1, 2, 3))
+    got, done = [], threading.Event()
+    sub = subscribe_to_all(
+        s,
+        lambda m: (got.append(m.position), done.set() if len(got) >= 5 else None),
+        page_size=100,
+        poll_interval=0.02,
+    )
+    s.append_to_stream("b", ExpectedVersion.ANY, msgs(4, 5))
+    assert done.wait(10)
+    sub.dispose()
+    assert [p for p in got] == [0, 1, 2, 3, 4]
