@@ -114,3 +114,53 @@ def test_paged_reads_reconstruct_log(n_msgs, page, backwards):
         p = p.read_next()
     expect = list(range(n_msgs))
     assert got == (expect[::-1] if backwards else expect)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=st.lists(
+    st.tuples(
+        st.integers(0, 1),
+        st.sampled_from([ExpectedVersion.ANY, ExpectedVersion.NO_STREAM, 0]),
+        st.lists(st.integers(1, 30), min_size=1, max_size=3, unique=True),
+        st.booleans(),
+    ),
+    min_size=1, max_size=6,
+))
+def test_spark_store_agrees_with_memory(spark, tmp_path_factory, ops):
+    """The Parquet-backed store obeys the same decision table and
+    produces the same observable state as the in-memory spec (few
+    examples — each op is Spark work — the cheap backends get the
+    deep fuzzing above)."""
+    from sqlstreamstore_spark.store import SparkParquetStreamStore
+
+    mem = InMemoryStreamStore()
+    spk = SparkParquetStreamStore(
+        spark, str(tmp_path_factory.mktemp("prop-store"))
+    )
+    for idx, ev, ns, do_delete in ops:
+        sid = STREAMS[idx]
+        if do_delete:
+            r1 = r2 = None
+            try:
+                mem.delete_stream(sid)
+            except WrongExpectedVersionError:
+                r1 = "err"
+            try:
+                spk.delete_stream(sid)
+            except WrongExpectedVersionError:
+                r2 = "err"
+            assert r1 == r2
+            continue
+        o1 = o2 = None
+        try:
+            a = mem.append_to_stream(sid, ev, msgs(ns))
+            o1 = (a.current_version, a.current_position)
+        except WrongExpectedVersionError:
+            o1 = "err"
+        try:
+            a = spk.append_to_stream(sid, ev, msgs(ns))
+            o2 = (a.current_version, a.current_position)
+        except WrongExpectedVersionError:
+            o2 = "err"
+        assert o1 == o2, (sid, ev, ns)
+    assert observe(mem) == observe(spk)
