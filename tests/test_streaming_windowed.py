@@ -6,6 +6,7 @@ the equivalent batch aggregation on the same rows."""
 
 from __future__ import annotations
 
+import datetime as dt
 import shutil
 import tempfile
 import uuid
@@ -180,3 +181,57 @@ def test_dedup_within_watermark(spark, events_dir):
     rows = spark.sql(f"SELECT event_id FROM {name}").collect()
     ids = [r.event_id for r in rows]
     assert len(ids) == 200 and len(set(ids)) == 200
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data semantics across restarts: run 1 processes the on-time
+    row then a watermark-advancing row (watermark 09:50 persisted to the
+    checkpoint); run 2 receives a row for the long-past 00:00 window —
+    it is dropped by the watermark and the window closes with only the
+    on-time row. (Within a single run, eviction lags the watermark by a
+    batch, so the drop is only guaranteed for post-eviction arrivals —
+    hence the two-run shape.)"""
+    import os
+
+    d = str(tmp_path / "late-events")
+    os.makedirs(d)
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, user_id long, event_type string, ts timestamp, value double"
+
+    def write(name, rows, mtime):
+        p = os.path.join(d, name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(p + ".tmp")
+        part = [f for f in os.listdir(p + ".tmp") if f.endswith(".parquet")][0]
+        os.rename(os.path.join(p + ".tmp", part), p)
+        os.utime(p, (mtime, mtime))
+
+    emitted = []
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        agg = windowed.windowed_counts(stream, "1 hour", watermark_delay="10 minutes")
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, eid: emitted.extend(tuple(r) for r in df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write("b1.parquet", [(1, 1, "click", dt.datetime(2024, 1, 1, 0, 30), 1.0)], 1_000)
+    write("b2.parquet", [(2, 1, "click", dt.datetime(2024, 1, 1, 10, 0), 1.0)], 2_000)
+    run()  # watermark 09:50 now persisted in the checkpoint
+
+    write("b3.parquet", [(3, 1, "click", dt.datetime(2024, 1, 1, 0, 45), 9.0)], 3_000)
+    run()  # late row: behind the restored watermark -> dropped
+
+    w0 = dt.datetime(2024, 1, 1, 0, 0)
+    closed = {r[0]: (r[3], r[4]) for r in emitted}
+    assert closed[w0] == (1, 1.0)  # late row (would be 2, 10.0) dropped
