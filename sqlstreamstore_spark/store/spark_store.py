@@ -278,6 +278,84 @@ class SparkParquetStreamStore(StreamStore):
         )
         return rows[0][0] if rows else None
 
+    # ------------------------------------------------------------ bulk load
+
+    def bulk_append(self, new_messages, order_col: str) -> tuple[int, int]:
+        """Scale ingestion path: append a whole DataFrame of messages in
+        ONE commit, entirely through Spark — message bytes never touch
+        the driver (only per-stream head aggregates do, O(#streams)).
+
+        new_messages columns: stream_id, message_id, type, json_data,
+        json_metadata, created_utc(timestamp), plus `order_col` defining
+        intra-stream order. Target streams must be NEW (the per-message
+        §2.3 idempotency matrix is the transactional API's job; bulk
+        load is for migration/backfill — mirrored by the reference's
+        absence of any bulk path, its LoadTests just loop appends).
+
+        Positions are assigned head+1.. by (stream_id, order_col) using
+        the two-phase dense index (no single-partition funnel); stream
+        versions by a per-stream window. Returns (n_rows, new_head).
+        """
+        from pyspark.sql import Window
+
+        from sqlstreamstore_spark.operators.positions import with_dense_global_index
+
+        df = new_messages
+        conflicts = [
+            s for s in df.select("stream_id").distinct().toLocalIterator()
+            if s[0] in self._manifest["streams"]
+        ]
+        if conflicts:
+            raise ValueError(f"bulk_append targets existing streams: {conflicts[:5]}")
+
+        base = self._manifest["head_position"]
+        w = Window.partitionBy("stream_id").orderBy(order_col)
+        positioned = with_dense_global_index(
+            df, ["stream_id", order_col], index_col="__idx"
+        ).select(
+            (F.col("__idx") + F.lit(base + 1)).alias("position"),
+            "stream_id",
+            (F.row_number().over(w) - F.lit(1)).cast("int").alias("stream_version"),
+            "message_id",
+            F.col("created_utc").cast("timestamp").alias("created_utc"),
+            "type",
+            "json_data",
+            "json_metadata",
+        )
+        sub = os.path.join(self._data_dir, f"bulk-{self._manifest['version'] + 1:08d}")
+        positioned.write.parquet(sub)
+        files = [
+            os.path.join(os.path.basename(sub), fn)
+            for fn in sorted(os.listdir(sub))
+            if fn.endswith(".parquet")
+        ]
+        heads = (
+            self.spark.read.parquet(sub)
+            .groupBy("stream_id")
+            .agg(
+                F.max("stream_version").alias("v"),
+                F.max("position").alias("p"),
+                F.min("position").alias("f"),
+                F.count("*").alias("c"),
+            )
+            .collect()
+        )
+        n_rows = 0
+        new_head = base
+        for r in heads:
+            self._manifest["streams"][r.stream_id] = {
+                "version": int(r.v), "position": int(r.p),
+                "first_position": int(r.f), "count": int(r.c),
+            }
+            n_rows += int(r.c)
+            new_head = max(new_head, int(r.p))
+        self._manifest["files"].extend(files)
+        self._manifest["head_position"] = new_head
+        self._save_manifest()
+        if self.on_appended:
+            self.on_appended()
+        return n_rows, new_head
+
     # ---------------------------------------------------------- maintenance
 
     def compact(self, target_files: int | None = None, layout: str = "by_position") -> None:

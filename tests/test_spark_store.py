@@ -151,3 +151,46 @@ def test_compaction_by_stream_layout(spark, tmp_path):
     assert [m.stream_version for m in page.messages] == list(range(10))
     allp = store.read_all_forwards(0, 100)
     assert [m.position for m in allp.messages] == list(range(30))
+
+
+def test_bulk_append_via_spark(spark, tmp_path):
+    """Bulk ingestion: a DataFrame of messages lands in ONE commit with
+    dense positions and per-stream versions; the transactional API and
+    reads continue seamlessly on top."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.schema import ExpectedVersion
+    from sqlstreamstore_spark.store import NewStreamMessage, SparkParquetStreamStore
+
+    store = SparkParquetStreamStore(spark, str(tmp_path / "bulk"))
+    store.append_to_stream(
+        "pre", ExpectedVersion.ANY,
+        [NewStreamMessage(str(_uuid.UUID(int=900 + i)), "t", "{}") for i in range(3)],
+    )
+    df = spark.range(100).select(
+        F.concat(F.lit("m-"), (F.col("id") % 4).cast("string")).alias("stream_id"),
+        F.concat(F.lit("id-"), F.col("id").cast("string")).alias("message_id"),
+        F.lit("bulk").alias("type"),
+        F.lit('{"x":1}').alias("json_data"),
+        F.lit("").alias("json_metadata"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("created_utc"),
+        F.col("id").alias("seq"),
+    )
+    n, head = store.bulk_append(df, order_col="seq")
+    assert (n, head) == (100, 102)
+
+    page = store.read_stream_forwards("m-1", 0, 100)
+    assert [m.stream_version for m in page.messages] == list(range(25))
+    assert store.read_head_position() == 102
+    # transactional appends continue after the bulk commit
+    r = store.append_to_stream(
+        "pre", 2, [NewStreamMessage(str(_uuid.UUID(int=999)), "t", "{}")]
+    )
+    assert r.current_position == 103
+    # conflict guard: bulk into an existing stream is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        store.bulk_append(df, order_col="seq")
