@@ -144,6 +144,22 @@ def main() -> int:
         assert len(got) == 10_000, len(got)
         timings["subscription_catchup_10k"] = round(dt, 3)
         timings["subscription_msgs_per_sec"] = round(10_000 / dt, 1)
+        # bulk ingestion: the whole canonical log (100k rows at sf0.1)
+        # lands in one Spark-side commit — the migration/backfill path
+        from pyspark.sql import functions as F
+
+        store3 = SparkParquetStreamStore(spark, os.path.join(tmp, "store3"))
+        bulk_src = log.select(
+            F.concat(F.lit("b-"), F.col("stream_id")).alias("stream_id"),
+            "message_id", "type", "json_data", "json_metadata", "created_utc",
+            F.col("position").alias("seq"),
+        )
+        t0 = time.time()
+        n_bulk, _head = store3.bulk_append(bulk_src, order_col="seq")
+        dt = time.time() - t0
+        timings["bulk_ingest_full_log"] = round(dt, 3)
+        timings["bulk_ingest_msgs_per_sec"] = round(n_bulk / dt, 1)
+
         # -- the latency tier: identical API on the SQLite backend
         # (small paged ops are ms-level there; the Parquet+Spark backend
         # is the bulk/analytics tier — same one-contract design as the
