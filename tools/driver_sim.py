@@ -41,9 +41,24 @@ def main(sf_dir: str) -> int:
     import duckdb
 
     import __spark_entry__ as E
-    from sqlstreamstore_spark.session import get_spark
 
-    spark = get_spark(app_name="driver_sim")
+    # Deliberately a BARE session (not our session.py factory): the round
+    # driver builds its own SparkSession without our confs, and round 1's
+    # gate failed on exactly that difference (nanosAsLong missing). Keep
+    # only size/UI knobs here so the sim stays faithful.
+    import os
+
+    from pyspark.sql import SparkSession
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("driver_sim")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
 
     t0 = time.time()
     edf = E.entry(spark)
