@@ -9,12 +9,14 @@ Scale design notes:
     phrases) skew the join — mitigate by dropping top-frequency
     shingles (`max_shingle_df`), the standard trick, which also
     removes noise pairs. AQE skew-join handles the residue.
-  - MinHash/LSH: signatures via xxhash64 (JVM-side, k permutations),
+  - MinHash/LSH: signatures via k independent hash families (md5 by
+    default — DuckDB computes identical digests, so the gate oracles
+    the whole pipeline; xxhash64 family available for production),
     banded into buckets; candidate pairs only within buckets — the
     classic sub-quadratic path. Verification joins candidates back to
     exact Jaccard.
-  - SimHash: 64-bit signature from per-token xxhash64 bit-votes;
-    near-dup = small Hamming distance on a 64-bit int.
+  - SimHash: 64-bit signature (16 hex chars) from per-token md5
+    bit-votes; near-dup = small Hamming distance, quarter-banded.
 """
 
 from __future__ import annotations
@@ -106,16 +108,33 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(documents: DataFrame, k: int = 32, n: int = 3) -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame, k: int = 32, n: int = 3, family: str = "md5"
+) -> DataFrame:
     """k-permutation MinHash signature per document.
 
-    h_i(s) = xxhash64(s, seed=i) — k independent 64-bit hash families,
-    all JVM-side. Signature = array of per-family minima over the
-    shingle set (aggregate over the exploded shingles: one shuffle on
-    doc_id with partial min combine).
+    Hash families:
+      - ``md5`` (default): h_i(s) = md5(f"{i}:{s}") as a lowercase hex
+        STRING; the per-family minimum is the lexicographic min — a
+        valid MinHash because md5 is uniform over the hex-string order.
+        Chosen because DuckDB computes the identical digest, so the
+        whole LSH pipeline is oracle-checkable end to end.
+      - ``xxhash64``: h_i(s) = xxhash64(s, seed=i) as int64 — cheaper
+        (no digest, 8-byte shuffle vs 32) for production runs where
+        cross-engine verification isn't needed.
+
+    Either way all hashing is JVM-side built-ins; signature = array of
+    per-family minima over the shingle set (one shuffle on doc_id with
+    partial min combine).
     """
     sh = documents.select("doc_id", F.explode(_shingles(F.col("text"), n)).alias("s"))
-    mins = [F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}") for i in range(k)]
+    if family == "md5":
+        mins = [
+            F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("s")))).alias(f"h{i}")
+            for i in range(k)
+        ]
+    else:
+        mins = [F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}") for i in range(k)]
     sig = sh.groupBy("doc_id").agg(*mins)
     return sig.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("signature")
@@ -123,23 +142,28 @@ def minhash_signatures(documents: DataFrame, k: int = 32, n: int = 3) -> DataFra
 
 
 def minhash_lsh_candidates(
-    documents: DataFrame, k: int = 32, bands: int = 8, n: int = 3
+    documents: DataFrame, k: int = 32, bands: int = 8, n: int = 3, family: str = "md5"
 ) -> DataFrame:
     """LSH candidate pairs: split the k-wide signature into `bands`
     bands of k/bands rows; docs sharing any band-hash are candidates.
     Sub-quadratic: the join key is (band_id, band_hash)."""
     assert k % bands == 0
     r = k // bands
-    sig = minhash_signatures(documents, k=k, n=n)
+    sig = minhash_signatures(documents, k=k, n=n, family=family)
+    if family == "md5":
+        band_hash = lambda bi: F.md5(  # noqa: E731
+            F.concat_ws("|", *[F.col("signature")[bi * r + j] for j in range(r)])
+        )
+    else:
+        band_hash = lambda bi: F.xxhash64(  # noqa: E731
+            *[F.col("signature")[bi * r + j] for j in range(r)]
+        )
     banded = sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(*[F.col("signature")[bi * r + j] for j in range(r)]).alias("bh"),
-                    )
+                    F.struct(F.lit(bi).alias("band"), band_hash(bi).alias("bh"))
                     for bi in range(bands)
                 ]
             )
@@ -165,12 +189,13 @@ def minhash_dedup_pairs(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.5,
+    family: str = "md5",
 ) -> DataFrame:
     """LSH candidates verified with exact n-gram Jaccard — the full
     sub-quadratic near-dup pipeline. At scale the candidate set is
     orders of magnitude smaller than the pair space; the verify join
     touches only candidates."""
-    cands = minhash_lsh_candidates(documents, k=k, bands=bands, n=n)
+    cands = minhash_lsh_candidates(documents, k=k, bands=bands, n=n, family=family)
     exact = ngram_jaccard_pairs(documents, n=n, threshold=threshold)
     return cands.join(exact, ["doc_a", "doc_b"]).orderBy("doc_a", "doc_b")
 
@@ -241,45 +266,60 @@ def near_dup_components(
     return connected_components(pairs)
 
 
-def simhash_signatures(documents: DataFrame) -> DataFrame:
-    """64-bit SimHash per document: per-token xxhash64, each bit votes
-    +1/−1 weighted by token frequency; sign of the vote sum sets the bit.
+_HEX = "0123456789abcdef"
 
-    Pure built-ins: explode tokens → groupBy(doc, bit) is avoided by
-    aggregating all 64 bit-votes as an array sum — one shuffle on
-    doc_id."""
-    tok = F.explode(F.split(F.col("text"), " ")).alias("t")
-    toks = documents.select("doc_id", tok)
-    h = F.xxhash64(F.col("t"))
-    votes = F.array(
-        *[
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-            for i in range(64)
-        ]
-    )
-    summed = (
-        toks.select("doc_id", votes.alias("v"))
-        .groupBy("doc_id")
-        .agg(*[F.sum(F.col("v")[i]).alias(f"b{i}") for i in range(64)])
-    )
-    # bit i of the signature = (vote sum for bit i) > 0; bit 63 is the
-    # sign bit of the two's-complement long.
-    terms = [
-        F.when(F.col(f"b{i}") > 0, F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long"))
-        .otherwise(F.lit(0).cast("long"))
-        for i in range(64)
+
+def _hex_digit(col: Column, p: int) -> Column:
+    """Value 0-15 of the 1-based p-th hex char of a lowercase hex string.
+
+    instr over a literal alphabet — DuckDB's ``instr`` computes the
+    identical value, which is why the SimHash pipeline below is
+    oracle-checkable (unlike a native 64-bit hash family).
+    """
+    return F.instr(F.lit(_HEX), F.substring(col, p, 1)) - F.lit(1)
+
+
+def simhash_signatures(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash per document as a 16-char lowercase hex string.
+
+    Per-token md5 → first 16 hex chars = 64 bits; each bit votes +1/−1
+    weighted by token frequency; sign of the vote sum sets the bit. Bit
+    (p, b) lives at hex char p (1-based), sub-bit b — the output digit
+    at char p repacks its own 4 majority bits, so the signature is
+    position-aligned with the per-token hashes.
+
+    Pure built-ins: explode tokens → 64 sums in ONE groupBy on doc_id
+    (partial agg map-side). md5 (not xxhash64) so DuckDB computes
+    bit-identical signatures for the oracle.
+    """
+    toks = documents.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+    h = F.md5(F.col("t"))
+    digits = [_hex_digit(h, p) for p in range(1, 17)]
+    votes = [
+        F.when(F.shiftright(digits[p], b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        for p in range(16)
+        for b in range(4)
     ]
-    sig = terms[0]
-    for t in terms[1:]:
-        sig = sig + t
+    summed = toks.groupBy("doc_id").agg(
+        *[F.sum(votes[i]).alias(f"v{i}") for i in range(64)]
+    )
+    hex_alphabet = F.array(*[F.lit(c) for c in _HEX])
+    out_digits = [
+        sum(
+            (F.when(F.col(f"v{p * 4 + b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(4)),
+            start=F.lit(0),
+        )
+        for p in range(16)
+    ]
+    sig = F.concat(*[F.element_at(hex_alphabet, d + 1) for d in out_digits])
     return summed.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded on the four
-    16-bit quarters (a pair within Hamming<=... shares at least one
-    quarter by pigeonhole when distance < 4 bits per band — used as the
-    candidate filter, then exact popcount verify)."""
+    16-bit (4-hex-char) quarters: a pair within Hamming <= 3·4 shares at
+    least one quarter by pigeonhole — used as the candidate filter, then
+    exact per-digit popcount verify."""
     sig = simhash_signatures(documents)
     quarters = sig.select(
         "doc_id",
@@ -289,7 +329,7 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(q).alias("q"),
-                        F.shiftright(F.col("simhash"), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qh"),
+                        F.substring(F.col("simhash"), q * 4 + 1, 4).alias("qh"),
                     )
                     for q in range(4)
                 ]
@@ -297,8 +337,15 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
         ).alias("e"),
     ).select("doc_id", "simhash", "e.q", "e.qh")
     a, b = quarters.alias("a"), quarters.alias("b")
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    hamming = F.bit_count(xor)
+    hamming = sum(
+        (
+            F.bit_count(
+                _hex_digit(F.col("a.simhash"), p).bitwiseXOR(_hex_digit(F.col("b.simhash"), p))
+            )
+            for p in range(1, 17)
+        ),
+        start=F.lit(0),
+    )
     return (
         a.join(
             b,
@@ -309,7 +356,7 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            hamming.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

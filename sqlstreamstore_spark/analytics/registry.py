@@ -687,7 +687,8 @@ FROM documents ORDER BY doc_id
 """
 
 _COS_PAIRS_SQL = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id < 1000)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_dot_product(a.v, b.v)
          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
@@ -696,6 +697,169 @@ WHERE list_dot_product(a.v, b.v)
         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
 ORDER BY id_a, id_b
 """
+
+
+def _lsh_bucket_sql(vec: str, bits: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of similarity.lsh_bucket_signatures: the hyperplanes
+    are deterministic driver-side literals (same seed), so the oracle
+    computes the identical buckets."""
+    from sqlstreamstore_spark.analytics.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bits, seed)
+    cases = [
+        f"(CASE WHEN list_dot_product({vec}, [{', '.join(repr(x) for x in p)}]) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "\n       + ".join(cases)
+
+
+_COS_PAIRS_LSH_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id, v,
+       {_lsh_bucket_sql("v")} AS bucket
+  FROM e
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+WHERE cosine >= 0.35
+ORDER BY id_a, id_b
+"""
+
+_TOPK_LSH_SQL = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT qv, {_lsh_bucket_sql("qv")} AS bucket FROM q),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id, v,
+       {_lsh_bucket_sql("v")} AS bucket
+  FROM e
+)
+SELECT vec_id,
+       list_dot_product(v, qb.qv)
+         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qb.qv, qb.qv))) AS cosine
+FROM sigs, qb WHERE sigs.bucket = qb.bucket
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+def _minhash_lsh_sql(k: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
+    """DuckDB twin of dedup.minhash_dedup_pairs (md5 hash family): same
+    signatures, same banded candidates, same exact-Jaccard verify."""
+    r = k // bands
+    mins = ",\n         ".join(f"min(md5('{i}:' || s)) AS h{i}" for i in range(k))
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {bi} AS band, md5({concat}) AS bh FROM sig".format(
+            bi=bi,
+            concat=" || '|' || ".join(f"h{bi * r + j}" for j in range(r)),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 300
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+  FROM toks WHERE len(w) >= 3
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+{band_rows}
+),
+cands AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+  SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+  FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+             JOIN sizes sb ON inter.doc_b = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= {threshold}
+)
+SELECT e.doc_a, e.doc_b, e.n_inter, e.n_a, e.n_b, e.jaccard
+FROM exact e JOIN cands c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+ORDER BY e.doc_a, e.doc_b
+"""
+
+
+_MINHASH_LSH_SQL = _minhash_lsh_sql()
+
+
+def _simhash_sql(max_hamming: int = 12) -> str:
+    """DuckDB twin of dedup.simhash_near_pairs: per-token md5 hex-digit
+    bit votes -> 16-hex-char signature -> quarter-banded candidates ->
+    exact per-digit popcount Hamming."""
+    hexs = "0123456789abcdef"
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN ((instr('{hexs}', substr(h, {p}, 1)) - 1) >> {b}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS v{(p - 1) * 4 + b}"
+        for p in range(1, 17)
+        for b in range(4)
+    )
+    digit = " + ".join
+    out_digits = " || ".join(
+        "substr('{hexs}', 1 + {val}, 1)".format(
+            hexs=hexs,
+            val=digit(
+                f"(CASE WHEN v{(p - 1) * 4 + b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(4)
+            ),
+        )
+        for p in range(1, 17)
+    )
+    hamming = " + ".join(
+        f"bit_count(xor(instr('{hexs}', substr(sa, {p}, 1)) - 1,"
+        f" instr('{hexs}', substr(sb, {p}, 1)) - 1))"
+        for p in range(1, 17)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents WHERE doc_id < 300
+),
+hx AS (SELECT doc_id, md5(t) AS h FROM toks),
+sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM hx GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {out_digits} AS simhash FROM sums),
+quarters AS (
+  SELECT doc_id, simhash, q, substr(simhash, q * 4 + 1, 4) AS qh
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS q)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb
+  FROM quarters a JOIN quarters b
+    ON a.q = b.q AND a.qh = b.qh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, CAST({hamming} AS INT) AS hamming FROM pairs) t
+WHERE hamming <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
+_SIMHASH_SQL = _simhash_sql()
 
 
 def _knn_join_query(spark: SparkSession, sf: str) -> DataFrame:
@@ -909,7 +1073,7 @@ def analytics_queries():
             lambda s, sf: dedup.minhash_dedup_pairs(
                 _t(s, sf, "documents").filter(F.col("doc_id") < 300), threshold=0.2
             ),
-            None,  # xxhash64 families aren't expressible in DuckDB
+            _MINHASH_LSH_SQL,  # md5 hash family — DuckDB computes identical signatures
         ),
         "sampling_deterministic": (
             lambda s, sf: sampling.deterministic_sample(
@@ -942,20 +1106,25 @@ def analytics_queries():
             lambda s, sf: dedup.simhash_near_pairs(
                 _t(s, sf, "documents").filter(F.col("doc_id") < 300), max_hamming=12
             ),
-            None,
+            _SIMHASH_SQL,  # md5 hex-digit votes — DuckDB computes identical signatures
         ),
         # similarity
         "sim_cosine_topk": (_sim_topk_query, _SIM_TOPK_SQL),
         "sim_knn_join": (_knn_join_query, _KNN_JOIN_SQL),
-        "sim_cosine_topk_lsh": (_sim_topk_lsh_query, None),
+        "sim_cosine_topk_lsh": (_sim_topk_lsh_query, _TOPK_LSH_SQL),
         "sim_cosine_topk_ivf": (_sim_topk_ivf_query, None),
+        # exact all-pairs is the sf-CAPPED oracle baseline (O(N^2) by
+        # construction — never the scale path); the LSH entry below is
+        # the headline near-dup operator, uncapped and oracled.
         "sim_cosine_near_dup": (
-            lambda s, sf: similarity.cosine_near_dup_pairs(_t(s, sf, "embeddings"), 0.35),
+            lambda s, sf: similarity.cosine_near_dup_pairs(
+                _t(s, sf, "embeddings").filter(F.col("vec_id") < 1000), 0.35
+            ),
             _COS_PAIRS_SQL,
         ),
         "sim_cosine_near_dup_lsh": (
             lambda s, sf: similarity.cosine_near_dup_pairs_lsh(_t(s, sf, "embeddings"), 0.35),
-            None,
+            _COS_PAIRS_LSH_SQL,
         ),
         # relational extras
         "setop_intersect": (

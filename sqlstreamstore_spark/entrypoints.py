@@ -206,4 +206,9 @@ def _all_specs() -> dict[str, QuerySpec]:
         specs.update(analytics_queries())
     except ImportError:
         pass
-    return specs
+    # The driver evaluates queries in dict order and may cap how many get a
+    # CORRECTNESS row; list every oracled query before any rows-only one so
+    # a cap never spends slots on weaker checks while oracled queries wait.
+    return dict(
+        sorted(specs.items(), key=lambda kv: kv[1][1] is None)
+    )

@@ -128,3 +128,25 @@ def test_range_join_is_hash_join_not_nested_loop(spark, tables):
     # bucketization turns the interval predicate into an equi-join
     assert "NestedLoop" not in p and "CartesianProduct" not in p
     assert "Join" in p
+
+
+def test_lsh_near_dup_is_hash_join_not_nested_loop(spark):
+    """The headline near-dup operator (VERDICT r1 #4): candidates come
+    from an equi-join on the LSH bucket — never the O(N^2) theta-join
+    the exact baseline uses."""
+    from sqlstreamstore_spark.analytics.similarity import cosine_near_dup_pairs_lsh
+
+    emb = load_table(spark, SF, "embeddings")
+    p = plan_of(cosine_near_dup_pairs_lsh(emb, 0.35))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "Join" in p
+
+
+def test_minhash_lsh_is_hash_join_not_nested_loop(spark):
+    """MinHash-LSH candidates join on (band, band_hash) — equi-join."""
+    from sqlstreamstore_spark.analytics.dedup import minhash_lsh_candidates
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(minhash_lsh_candidates(docs))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "Join" in p
