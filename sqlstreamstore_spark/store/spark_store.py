@@ -55,6 +55,7 @@ class SparkParquetStreamStore(StreamStore):
         self.path = path
         self._data_dir = os.path.join(path, "data")
         self._manifest_path = os.path.join(path, "manifest.json")
+        self._lock_path = os.path.join(path, ".manifest.lock")
         os.makedirs(self._data_dir, exist_ok=True)
         self._manifest = self._load_manifest()
         self._ids_cache: dict[str, list[str]] = {}
@@ -67,22 +68,55 @@ class SparkParquetStreamStore(StreamStore):
     def _load_manifest(self) -> dict:
         if os.path.exists(self._manifest_path):
             with open(self._manifest_path) as f:
-                return json.load(f)
+                m = json.load(f)
+            if isinstance(m.get("deleted_streams"), list):
+                # migrate pre-cutoff manifests (deleted ids only): treat
+                # everything up to the head at load time as deleted.
+                m["deleted_streams"] = {
+                    sid: m["head_position"] for sid in m["deleted_streams"]
+                }
+            return m
         return {
             "version": 0,
             "head_position": -1,
             "streams": {},
             "files": [],
-            "deleted_streams": [],
+            # stream_id -> max position covered by the delete; rows of the
+            # stream at positions <= cutoff are dead, later appends (a
+            # re-created stream) stay visible — reference semantics
+            # (InMemoryStreamStore.cs delete + re-append round-trips).
+            "deleted_streams": {},
             "deleted_messages": {},
         }
 
     def _save_manifest(self) -> None:
-        self._manifest["version"] += 1
-        tmp = self._manifest_path + f".tmp.{_uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(self._manifest, f)
-        os.replace(tmp, self._manifest_path)
+        """Atomic manifest swap with single-writer enforcement: an
+        exclusive flock around a version CAS (on-disk version must equal
+        the version this handle loaded/last wrote). Two handles racing
+        the same store path -> the loser raises ConcurrentWriteError
+        instead of silently clobbering the winner's commit."""
+        import fcntl
+
+        from sqlstreamstore_spark.exceptions import ConcurrentWriteError
+
+        expected = self._manifest["version"]
+        with open(self._lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                if os.path.exists(self._manifest_path):
+                    with open(self._manifest_path) as f:
+                        found = json.load(f).get("version", 0)
+                    if found != expected:
+                        raise ConcurrentWriteError(self.path, expected, found)
+                elif expected != 0:
+                    raise ConcurrentWriteError(self.path, expected, 0)
+                self._manifest["version"] += 1
+                tmp = self._manifest_path + f".tmp.{_uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    json.dump(self._manifest, f)
+                os.replace(tmp, self._manifest_path)
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
     # ------------------------------------------------------------------- log
 
@@ -104,7 +138,21 @@ class SparkParquetStreamStore(StreamStore):
             paths = [os.path.join(self._data_dir, fn) for fn in m["files"]]
             df = self.spark.read.schema(MESSAGES_SCHEMA).parquet(*paths)
             if m["deleted_streams"]:
-                df = df.filter(~F.col("stream_id").isin(m["deleted_streams"]))
+                dead_streams = self.spark.createDataFrame(
+                    list(m["deleted_streams"].items()),
+                    "stream_id string, __cutoff long",
+                )
+                # broadcast hash anti-join on stream_id with the position
+                # bound as the extra condition — rows of a re-created
+                # stream (position > cutoff) survive.
+                df = df.join(
+                    F.broadcast(dead_streams),
+                    on=[
+                        df["stream_id"] == dead_streams["stream_id"],
+                        df["position"] <= dead_streams["__cutoff"],
+                    ],
+                    how="left_anti",
+                )
             pairs = [
                 (sid, mid)
                 for sid, mids in m["deleted_messages"].items()
@@ -237,7 +285,10 @@ class SparkParquetStreamStore(StreamStore):
             return False
         had_rows = s["count"] > 0
         if had_rows:
-            self._manifest["deleted_streams"].append(stream_id)
+            # cutoff = the stream's own head position: every stored row of
+            # the stream is <= it, and any future append lands above the
+            # global head, so a re-created stream is fully visible.
+            self._manifest["deleted_streams"][stream_id] = s["position"]
         self._manifest["deleted_messages"].pop(stream_id, None)
         self._save_manifest()
         return had_rows
@@ -393,7 +444,7 @@ class SparkParquetStreamStore(StreamStore):
             new_files.append(new_name)
         old_files = list(self._manifest["files"])
         self._manifest["files"] = new_files
-        self._manifest["deleted_streams"] = []
+        self._manifest["deleted_streams"] = {}
         self._manifest["deleted_messages"] = {}
         self._save_manifest()
         for fn in old_files:
