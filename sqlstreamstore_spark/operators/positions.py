@@ -38,10 +38,32 @@ def with_dense_global_index(
         for small inputs.
       - "offsets": the scalable two-phase plan described above.
       - "auto": "offsets" (scale-safe default).
+
+    The offsets plan pins (persists) the repartitioned input; call
+    ``dense_global_index_pinned`` instead when you want to unpersist it
+    after your downstream action (repeated ingestions through this
+    convenience wrapper would otherwise accumulate cached partitions
+    for the session lifetime).
     """
+    out, _pinned = dense_global_index_pinned(
+        df, order_cols, index_col=index_col, strategy=strategy, num_partitions=num_partitions
+    )
+    return out
+
+
+def dense_global_index_pinned(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    index_col: str = "position",
+    strategy: str = "auto",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Like with_dense_global_index but also returns the persisted
+    intermediate (or None for the window strategy) so the caller can
+    ``unpersist()`` once its downstream action has run."""
     if strategy == "window":
         w = Window.orderBy(*order_cols)
-        return df.withColumn(index_col, F.row_number().over(w) - F.lit(1))
+        return df.withColumn(index_col, F.row_number().over(w) - F.lit(1)), None
 
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
@@ -68,4 +90,4 @@ def with_dense_global_index(
         )
         .drop("__pid")
     )
-    return out
+    return out, parted

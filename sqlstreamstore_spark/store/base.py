@@ -74,6 +74,29 @@ def validate_stream_id(stream_id: str, allow_system: bool = False) -> None:
         raise InvalidStreamIdError(f"Stream id must not start with '$': {stream_id!r}")
 
 
+class AppendedCallbacks:
+    """Multi-subscriber append hook: calling it fans out to every
+    registered callback; add/remove are idempotent per callback."""
+
+    def __init__(self) -> None:
+        self._callbacks: list[Callable[[], None]] = []
+
+    def add(self, cb: Callable[[], None]) -> None:
+        if cb not in self._callbacks:
+            self._callbacks.append(cb)
+
+    def remove(self, cb: Callable[[], None]) -> None:
+        if cb in self._callbacks:
+            self._callbacks.remove(cb)
+
+    def __call__(self) -> None:
+        for cb in list(self._callbacks):
+            cb()
+
+    def __bool__(self) -> bool:
+        return True  # safe to invoke unconditionally; empty call is a no-op
+
+
 class StreamStore:
     """Abstract store. Subclasses implement the _backend primitives."""
 
@@ -91,6 +114,11 @@ class StreamStore:
         # MetadataMaxAgeCache, Infrastructure/MetadataMaxAgeCache.cs:37-68
         # — we can invalidate exactly instead of expiring on a TTL).
         self._meta_cache: dict[str, StreamMetadataResult] = {}
+        # Append notification hook — a callback LIST so every concurrent
+        # subscription gets push wakeups (the reference's Subject<Unit>
+        # fan-out, InMemoryStreamStore.cs:53-63), and a disposed
+        # subscription releases only its own slot (ADVICE r1).
+        self.on_appended = AppendedCallbacks()
 
     # ---------------------------------------------------------------- backend
     # primitives each backend implements

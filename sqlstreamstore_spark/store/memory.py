@@ -34,7 +34,6 @@ class InMemoryStreamStore(StreamStore):
         self._streams: dict[str, _Stream] = {}
         self._all: list[StreamMessage] = []  # position-ordered
         self._head = -1
-        self.on_appended: Callable[[], None] | None = None
 
     # ---------------------------------------------------------------- backend
 

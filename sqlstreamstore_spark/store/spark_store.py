@@ -61,7 +61,6 @@ class SparkParquetStreamStore(StreamStore):
         self._ids_cache: dict[str, list[str]] = {}
         self._log_cache: DataFrame | None = None
         self._log_cache_version = -1
-        self.on_appended: Callable[[], None] | None = None
 
     # -------------------------------------------------------------- manifest
 
@@ -349,7 +348,7 @@ class SparkParquetStreamStore(StreamStore):
         """
         from pyspark.sql import Window
 
-        from sqlstreamstore_spark.operators.positions import with_dense_global_index
+        from sqlstreamstore_spark.operators.positions import dense_global_index_pinned
 
         df = new_messages
         conflicts = [
@@ -361,9 +360,10 @@ class SparkParquetStreamStore(StreamStore):
 
         base = self._manifest["head_position"]
         w = Window.partitionBy("stream_id").orderBy(order_col)
-        positioned = with_dense_global_index(
+        indexed, pinned = dense_global_index_pinned(
             df, ["stream_id", order_col], index_col="__idx"
-        ).select(
+        )
+        positioned = indexed.select(
             (F.col("__idx") + F.lit(base + 1)).alias("position"),
             "stream_id",
             (F.row_number().over(w) - F.lit(1)).cast("int").alias("stream_version"),
@@ -374,7 +374,14 @@ class SparkParquetStreamStore(StreamStore):
             "json_metadata",
         )
         sub = os.path.join(self._data_dir, f"bulk-{self._manifest['version'] + 1:08d}")
-        positioned.write.parquet(sub)
+        try:
+            positioned.write.parquet(sub)
+        finally:
+            # release the dense-index pin once the write has consumed it —
+            # repeated bulk ingestions must not accumulate cached
+            # partitions for the session lifetime (ADVICE r1).
+            if pinned is not None:
+                pinned.unpersist()
         files = [
             os.path.join(os.path.basename(sub), fn)
             for fn in sorted(os.listdir(sub))
@@ -455,3 +462,17 @@ class SparkParquetStreamStore(StreamStore):
         import shutil
 
         shutil.rmtree(tmp_dir, ignore_errors=True)
+        # Sweep orphans the manifest never owned (e.g. a failed
+        # bulk_append job's partial output): readers are manifest-scoped
+        # so orphans are invisible, but they waste space until compacted.
+        owned = {os.path.normpath(f) for f in new_files}
+        for entry in os.listdir(self._data_dir):
+            p = os.path.join(self._data_dir, entry)
+            if os.path.isdir(p):
+                if not any(o.startswith(entry + os.sep) for o in owned):
+                    shutil.rmtree(p, ignore_errors=True)
+            elif entry.endswith(".parquet") and entry not in owned:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass

@@ -77,7 +77,6 @@ class SqliteStreamStore(StreamStore):
         self._lock = threading.RLock()
         self._db.executescript(_SCHEMA)
         self._db.commit()
-        self.on_appended: Callable[[], None] | None = None
 
     # ---------------------------------------------------------------- backend
 

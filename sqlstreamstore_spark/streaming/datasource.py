@@ -39,8 +39,8 @@ DEFAULT_ROWS_PER_PARTITION = 50_000
 
 
 class _RangePartition(InputPartition):
-    def __init__(self, path: str, lo: int, hi: int):
-        self.path = path
+    def __init__(self, files: list[str], lo: int, hi: int):
+        self.files = files  # absolute paths of manifest-owned commit files
         self.lo = lo  # exclusive
         self.hi = hi  # inclusive
 
@@ -57,12 +57,15 @@ class StreamStoreStreamReader(DataSourceStreamReader):
 
     # ------------------------------------------------------------- offsets
 
-    def _head(self) -> int:
+    def _manifest(self) -> dict:
         manifest = os.path.join(self._path, "manifest.json")
         if not os.path.exists(manifest):
-            return -1
+            return {"head_position": -1, "files": []}
         with open(manifest) as f:
-            return json.load(f).get("head_position", -1)
+            return json.load(f)
+
+    def _head(self) -> int:
+        return self._manifest().get("head_position", -1)
 
     def initialOffset(self) -> dict:
         return {"position": self._start}
@@ -71,14 +74,23 @@ class StreamStoreStreamReader(DataSourceStreamReader):
         return {"position": self._head()}
 
     def partitions(self, start: dict, end: dict):
+        # Snapshot the manifest's OWNED file list on the driver and ship
+        # it with each partition: scanning data/ raw would serve phantom
+        # rows from files the manifest doesn't own (a failed bulk_append
+        # job's leftovers) and double-read during compact()'s swap window
+        # (ADVICE r1). Commit files are immutable, so a snapshot taken
+        # here stays valid for the whole micro-batch.
+        m = self._manifest()
+        data_dir = os.path.join(self._path, "data")
+        files = [os.path.join(data_dir, fn) for fn in m.get("files", [])]
         lo, hi = start["position"], end["position"]
         if hi <= lo:
-            return [_RangePartition(self._path, lo, lo)]
+            return [_RangePartition(files, lo, lo)]
         parts = []
         a = lo
         while a < hi:
             b = min(a + self._rows_per_part, hi)
-            parts.append(_RangePartition(self._path, a, b))
+            parts.append(_RangePartition(files, a, b))
             a = b
         return parts
 
@@ -88,22 +100,37 @@ class StreamStoreStreamReader(DataSourceStreamReader):
         # Executor-side: scan the immutable commit files with the range
         # predicate pushed into the parquet reader (row-group pruning —
         # files are position-ordered by construction).
-        yield from _read_range(partition.path, partition.lo, partition.hi)
+        yield from _read_range(partition.files, partition.lo, partition.hi)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are checkpointed by the engine; nothing to ack
 
 
-def _read_range(path: str, lo: int, hi: int):
-    """Executor-side range scan shared by the batch and stream readers."""
-    if hi <= lo:
+def _read_range(files: list[str], lo: int, hi: int):
+    """Executor-side range scan shared by the batch and stream readers,
+    restricted to the manifest-owned files captured on the driver."""
+    if hi <= lo or not files:
         return
+    import pyarrow as pa
     import pyarrow.dataset as ds
 
-    data_dir = os.path.join(path, "data")
-    if not os.path.isdir(data_dir):
-        return
-    dataset = ds.dataset(data_dir, format="parquet")
+    # Canonical schema: commit files written by pyarrow carry naive-UTC
+    # timestamps while Spark-written compacted files carry tz-aware ones;
+    # without pinning, the first file in the manifest decides and a mixed
+    # list yields mixed timestamp objects. Scan everything as naive UTC.
+    schema = pa.schema(
+        [
+            pa.field("position", pa.int64()),
+            pa.field("stream_id", pa.string()),
+            pa.field("stream_version", pa.int32()),
+            pa.field("message_id", pa.string()),
+            pa.field("created_utc", pa.timestamp("us")),
+            pa.field("type", pa.string()),
+            pa.field("json_data", pa.string()),
+            pa.field("json_metadata", pa.string()),
+        ]
+    )
+    dataset = ds.dataset(files, format="parquet", schema=schema)
     flt = (ds.field("position") > lo) & (ds.field("position") <= hi)
     for batch in dataset.to_table(filter=flt).to_batches():
         for row in batch.to_pylist():
@@ -132,7 +159,7 @@ class StreamStoreBatchReader(DataSourceReader):
         )
 
     def read(self, partition: _RangePartition):
-        yield from _read_range(partition.path, partition.lo, partition.hi)
+        yield from _read_range(partition.files, partition.lo, partition.hi)
 
 
 class StreamStoreDataSource(DataSource):

@@ -38,6 +38,10 @@ def stream_source(
     df = (
         store.spark.readStream.schema(MESSAGES_SCHEMA)
         .option("maxFilesPerTrigger", 1000)
+        # bulk_append writes commits into data/bulk-*/ subdirectories;
+        # without recursive lookup the file source silently skips them
+        # (ADVICE r1: silent message loss on a documented path).
+        .option("recursiveFileLookup", "true")
         .parquet(store._data_dir)
     )
     if continue_after_position is not None:

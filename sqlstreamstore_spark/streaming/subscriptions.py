@@ -44,8 +44,11 @@ class PollingNotifier:
         self._event = threading.Event()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
-        if getattr(store, "on_appended", "absent") is None:
-            store.on_appended = self._event.set
+        hook = getattr(store, "on_appended", None)
+        if hook is not None and hasattr(hook, "add"):
+            # every subscription registers its own callback (fan-out like
+            # the reference's Subject<Unit>); released in dispose().
+            hook.add(self._event.set)
             self._uses_hook = True
         else:
             self._uses_hook = False
@@ -73,6 +76,8 @@ class PollingNotifier:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=2)
+        if self._uses_hook:
+            self._store.on_appended.remove(self._event.set)
 
 
 class _Subscription:
