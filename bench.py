@@ -50,17 +50,39 @@ def main() -> int:
         timings[name] = round(time.time() - t0, 3)
 
     # -- full-log drain, page size 1000, two strategies:
-    # paged keyset reads (API-fidelity; one job per page) ...
+    # paged keyset reads (API-fidelity; one job per page). The store
+    # keeps its hot log range-partitioned + sorted on position (what
+    # compact(layout="by_position") produces): the in-memory cache then
+    # carries per-batch min/max stats, so each page's position filter
+    # prunes to ~one batch instead of re-scanning the whole log.
     t0 = time.time()
-    pos, page, drained = 0, 1000, 0
-    while True:
-        rows = read_all_forwards_df(log, pos, page).collect()
-        drained += len(rows)
-        if len(rows) < page:
-            break
-        pos = rows[-1]["position"] + 1
-    assert drained == n_log, (drained, n_log)
-    timings["readall_drain_p1000"] = round(time.time() - t0, 3)
+    n_parts = min(8, max(1, spark.sparkContext.defaultParallelism))
+    paged_log = (
+        log.repartitionByRange(n_parts, "position")
+        .sortWithinPartitions("position")
+        .persist()
+    )
+    paged_log.count()
+    timings["readall_paged_layout_prep"] = round(time.time() - t0, 3)
+    # Each page is a tiny point query over the cached sorted layout; AQE's
+    # per-job re-planning costs more than the query itself, so turn it off
+    # for the drain (a deployment would serve paged reads from a session
+    # tuned for point reads, analytics from one tuned for scans).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        t0 = time.time()
+        pos, page, drained = 0, 1000, 0
+        while True:
+            rows = read_all_forwards_df(paged_log, pos, page).collect()
+            drained += len(rows)
+            if len(rows) < page:
+                break
+            pos = rows[-1]["position"] + 1
+        assert drained == n_log, (drained, n_log)
+        timings["readall_drain_p1000"] = round(time.time() - t0, 3)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    paged_log.unpersist()
     # ... and the streaming drain (one job, partitions stream in order)
     t0 = time.time()
     drained = 0
@@ -197,13 +219,35 @@ def main() -> int:
     total = round(
         sum(v for k, v in timings.items() if not k.endswith("_msgs_per_sec")), 3
     )
+    full = {
+        "metric": "total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "rows_events_log": n_log,
+    }
+    # Full per-query timings go to a file; the stdout line stays compact
+    # (top slowest queries only) so a bounded tail capture still parses
+    # it (r1's 2.5 KB line was truncated by the driver -> parsed: null).
+    local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    with open(local_path, "w") as f:
+        json.dump(full, f, indent=1)
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if not k.endswith("_msgs_per_sec")),
+            key=lambda kv: -kv[1],
+        )[:12]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n_queries": len(timings),
+                "queries_full": "BENCH_LOCAL.json",
                 "sf": float(sf),
                 "rows_events_log": n_log,
             }

@@ -31,6 +31,28 @@ MESSAGES_SCHEMA = T.StructType(
 MESSAGE_COLUMNS = [f.name for f in MESSAGES_SCHEMA.fields]
 
 
+def arrow_messages_schema():
+    """The same schema as a pyarrow schema (naive-UTC timestamps).
+    Pinned wherever we scan commit files directly with pyarrow: the
+    store's own files carry naive timestamps while Spark-written
+    compacted files carry tz-aware ones — a mixed scan must cast to one
+    canonical form."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("position", pa.int64()),
+            pa.field("stream_id", pa.string()),
+            pa.field("stream_version", pa.int32()),
+            pa.field("message_id", pa.string()),
+            pa.field("created_utc", pa.timestamp("us")),
+            pa.field("type", pa.string()),
+            pa.field("json_data", pa.string()),
+            pa.field("json_metadata", pa.string()),
+        ]
+    )
+
+
 class ExpectedVersion:
     """Optimistic-concurrency sentinels (ExpectedVersion.cs:12-23)."""
 

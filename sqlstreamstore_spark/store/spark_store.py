@@ -173,16 +173,49 @@ class SparkParquetStreamStore(StreamStore):
         s = self._manifest["streams"].get(stream_id)
         return (s["version"], s["position"]) if s else None
 
+    def _stream_point_scan(self, flt, columns: list[str]):
+        """Driver-local pyarrow scan of the manifest-owned commit files
+        with deletion filters applied — the store's analog of the
+        reference's indexed point lookups (Tables.sql:42-46). Point
+        lookups (idempotency ids, lazy json fetch) are tiny keyed reads;
+        launching a Spark job for each would pay ~100 ms of scheduling
+        per append. Analytics stays on log_df()."""
+        import pyarrow.dataset as ds
+
+        from sqlstreamstore_spark.schema import arrow_messages_schema
+
+        m = self._manifest
+        if not m["files"]:
+            import pyarrow as pa
+
+            return pa.table(
+                {c: [] for c in columns},
+                schema=pa.schema([arrow_messages_schema().field(c) for c in columns]),
+            )
+        files = [os.path.join(self._data_dir, fn) for fn in m["files"]]
+        dataset = ds.dataset(files, format="parquet", schema=arrow_messages_schema())
+        return dataset.to_table(filter=flt, columns=columns)
+
     def _stream_stored_ids(self, stream_id: str) -> list[str]:
         if stream_id not in self._ids_cache:
-            rows = (
-                self.log_df()
-                .filter(F.col("stream_id") == stream_id)
-                .orderBy("stream_version")
-                .select("message_id")
-                .collect()
+            import pyarrow.dataset as ds
+
+            m = self._manifest
+            flt = ds.field("stream_id") == stream_id
+            cutoff = m["deleted_streams"].get(stream_id)
+            if cutoff is not None:
+                flt = flt & (ds.field("position") > cutoff)
+            tbl = self._stream_point_scan(flt, ["stream_version", "message_id"])
+            dead = set(m["deleted_messages"].get(stream_id, []))
+            pairs = sorted(
+                (v, mid)
+                for v, mid in zip(
+                    tbl.column("stream_version").to_pylist(),
+                    tbl.column("message_id").to_pylist(),
+                )
+                if mid not in dead
             )
-            self._ids_cache[stream_id] = [r[0] for r in rows]
+            self._ids_cache[stream_id] = [mid for _v, mid in pairs]
         return self._ids_cache[stream_id]
 
     def _rows_to_messages(self, rows) -> list[StreamMessage]:
@@ -320,13 +353,17 @@ class SparkParquetStreamStore(StreamStore):
         return rows[:max_count]
 
     def _point_json_data(self, stream_id, message_id):
-        rows = (
-            self.log_df()
-            .filter((F.col("stream_id") == stream_id) & (F.col("message_id") == message_id))
-            .select("json_data")
-            .collect()
-        )
-        return rows[0][0] if rows else None
+        import pyarrow.dataset as ds
+
+        m = self._manifest
+        if message_id in m["deleted_messages"].get(stream_id, []):
+            return None
+        flt = (ds.field("stream_id") == stream_id) & (ds.field("message_id") == message_id)
+        cutoff = m["deleted_streams"].get(stream_id)
+        if cutoff is not None:
+            flt = flt & (ds.field("position") > cutoff)
+        tbl = self._stream_point_scan(flt, ["json_data"])
+        return tbl.column("json_data")[0].as_py() if tbl.num_rows else None
 
     # ------------------------------------------------------------ bulk load
 

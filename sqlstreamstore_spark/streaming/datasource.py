@@ -111,26 +111,11 @@ def _read_range(files: list[str], lo: int, hi: int):
     restricted to the manifest-owned files captured on the driver."""
     if hi <= lo or not files:
         return
-    import pyarrow as pa
     import pyarrow.dataset as ds
 
-    # Canonical schema: commit files written by pyarrow carry naive-UTC
-    # timestamps while Spark-written compacted files carry tz-aware ones;
-    # without pinning, the first file in the manifest decides and a mixed
-    # list yields mixed timestamp objects. Scan everything as naive UTC.
-    schema = pa.schema(
-        [
-            pa.field("position", pa.int64()),
-            pa.field("stream_id", pa.string()),
-            pa.field("stream_version", pa.int32()),
-            pa.field("message_id", pa.string()),
-            pa.field("created_utc", pa.timestamp("us")),
-            pa.field("type", pa.string()),
-            pa.field("json_data", pa.string()),
-            pa.field("json_metadata", pa.string()),
-        ]
-    )
-    dataset = ds.dataset(files, format="parquet", schema=schema)
+    from sqlstreamstore_spark.schema import arrow_messages_schema
+
+    dataset = ds.dataset(files, format="parquet", schema=arrow_messages_schema())
     flt = (ds.field("position") > lo) & (ds.field("position") <= hi)
     for batch in dataset.to_table(filter=flt).to_batches():
         for row in batch.to_pylist():
