@@ -1,0 +1,285 @@
+"""HTTP/HAL server exposing any StreamStore backend over HTTP — the
+engine's port of the reference's HAL hypermedia server
+(src/SqlStreamStore.HAL/; path/relation constants
+src/SqlStreamStore.Http.Common/Constants.cs:44-80). stdlib-only
+(http.server), threaded, JSON bodies with HAL ``_links``/``_embedded``
+envelopes on the read feeds.
+
+Routes (mirroring Constants.Paths — ``stream`` is the $all feed,
+``streams/{id}`` a single stream):
+
+  GET    /                                   index (HAL links)
+  GET    /stream?d=f|b&position=&m=&prefetch= ReadAll page
+  HEAD   /stream                             head position header
+  GET    /streams/{id}?d=f|b&position=&m=&prefetch= ReadStream page
+  POST   /streams/{id}      body=[messages]  AppendToStream
+                            header SSS-ExpectedVersion
+  DELETE /streams/{id}                       DeleteStream
+                            header SSS-ExpectedVersion
+  GET    /streams/{id}/messages/{mid}/data   lazy json_data point read
+  DELETE /streams/{id}/messages/{mid}        DeleteMessage
+  GET    /streams/{id}/metadata              GetStreamMetadata
+  POST   /streams/{id}/metadata              SetStreamMetadata
+  GET    /streams?pattern=&kind=&m=&token=   ListStreams
+
+Error contract: 400 invalid ids/args, 404 unknown route, 409
+WrongExpectedVersion (body carries streamId/expectedVersion so the
+client can re-raise faithfully) — the same status mapping the
+reference's HAL middleware uses.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+from sqlstreamstore_spark.exceptions import (
+    InvalidStreamIdError,
+    WrongExpectedVersionError,
+)
+from sqlstreamstore_spark.store.base import StreamStore
+from sqlstreamstore_spark.store.messages import NewStreamMessage
+
+HAL_CONTENT_TYPE = "application/hal+json"
+EXPECTED_VERSION_HEADER = "SSS-ExpectedVersion"
+HEAD_POSITION_HEADER = "SSS-HeadPosition"
+
+
+def _msg_json(m) -> dict:
+    return {
+        "messageId": m.message_id,
+        "streamId": m.stream_id,
+        "streamVersion": m.stream_version,
+        "position": m.position,
+        "createdUtc": m.created_utc.isoformat(),
+        "type": m.type,
+        "jsonData": m.json_data,
+        "jsonMetadata": m.json_metadata,
+    }
+
+
+class StreamStoreHttpServer:
+    """Serve ``store`` over HTTP on a background thread. Port 0 picks an
+    ephemeral port; read it back from ``server.url`` after ``start()``."""
+
+    def __init__(self, store: StreamStore, host: str = "127.0.0.1", port: int = 0):
+        self.store = store
+        handler = _make_handler(store)
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def url(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def start(self) -> "StreamStoreHttpServer":
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def _make_handler(store: StreamStore):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        # ------------------------------------------------------- plumbing
+
+        def log_message(self, fmt, *args):  # quiet test output
+            pass
+
+        def _send(self, code: int, body: dict | list | None = None, headers: dict | None = None):
+            payload = b"" if body is None else json.dumps(body).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", HAL_CONTENT_TYPE)
+            self.send_header("Content-Length", str(len(payload)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
+            self.end_headers()
+            if payload:
+                self.wfile.write(payload)
+
+        def _body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n)) if n else None
+
+        def _expected_version(self, default: int) -> int:
+            raw = self.headers.get(EXPECTED_VERSION_HEADER)
+            return default if raw is None else int(raw)
+
+        def _route(self):
+            u = urlparse(self.path)
+            parts = [unquote(p) for p in u.path.split("/") if p != ""]
+            q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            return parts, q
+
+        def _guard(self, fn):
+            try:
+                fn()
+            except WrongExpectedVersionError as e:
+                self._send(409, {
+                    "error": "WrongExpectedVersion",
+                    "streamId": e.stream_id,
+                    "expectedVersion": e.expected_version,
+                    "message": str(e),
+                })
+            except (InvalidStreamIdError, ValueError) as e:
+                self._send(400, {"error": type(e).__name__, "message": str(e)})
+
+        # --------------------------------------------------------- routes
+
+        def do_GET(self):
+            self._guard(self._get)
+
+        def do_HEAD(self):
+            parts, _q = self._route()
+            if parts == ["stream"]:
+                head = store.read_head_position()
+                self._send(200, None, {HEAD_POSITION_HEADER: str(head)})
+            else:
+                self._send(404)
+
+        def do_POST(self):
+            self._guard(self._post)
+
+        def do_DELETE(self):
+            self._guard(self._delete)
+
+        def _get(self):
+            parts, q = self._route()
+            if parts == []:
+                self._send(200, {
+                    "_links": {
+                        "self": {"href": "/"},
+                        "streamStore:feed": {"href": "/stream"},
+                        "streamStore:find": {"href": "/streams/{streamId}", "templated": True},
+                        "streamStore:feed-browser": {"href": "/streams"},
+                    }
+                })
+            elif parts == ["stream"]:
+                self._read_all(q)
+            elif parts == ["streams"]:
+                ids, token = store.list_streams(
+                    pattern=q.get("pattern") or None,
+                    kind=q.get("kind", "any"),
+                    max_count=int(q.get("m", 100)),
+                    continuation=int(q.get("token", -1)),
+                )
+                self._send(200, {"streamIds": ids, "continuationToken": token,
+                                 "_links": {"self": {"href": self.path}}})
+            elif len(parts) == 2 and parts[0] == "streams":
+                self._read_stream(parts[1], q)
+            elif len(parts) == 3 and parts[0] == "streams" and parts[2] == "metadata":
+                m = store.get_stream_metadata(parts[1])
+                self._send(200, {
+                    "streamId": m.stream_id,
+                    "metadataStreamVersion": m.metadata_stream_version,
+                    "maxAge": m.max_age,
+                    "maxCount": m.max_count,
+                    "metadataJson": m.metadata_json,
+                })
+            elif (len(parts) == 5 and parts[0] == "streams" and parts[2] == "messages"
+                  and parts[4] == "data"):
+                data = store._point_json_data(parts[1], parts[3])
+                self._send(200, {"jsonData": data})
+            else:
+                self._send(404)
+
+        def _read_all(self, q):
+            forwards = q.get("d", "f") == "f"
+            pos = int(q.get("position", 0 if forwards else -1))
+            m = int(q.get("m", 20))
+            prefetch = q.get("prefetch", "true") == "true"
+            page = (
+                store.read_all_forwards(pos, m, prefetch)
+                if forwards
+                else store.read_all_backwards(pos, m, prefetch)
+            )
+            d = "f" if forwards else "b"
+            self._send(200, {
+                "fromPosition": page.from_position,
+                "nextPosition": page.next_position,
+                "isEnd": page.is_end,
+                "direction": page.direction,
+                "_embedded": {"streamStore:message": [_msg_json(x) for x in page.messages]},
+                "_links": {
+                    "self": {"href": self.path},
+                    "next": {"href": f"/stream?d={d}&position={page.next_position}&m={m}"},
+                    "first": {"href": f"/stream?d=f&position=0&m={m}"},
+                    "last": {"href": f"/stream?d=b&position=-1&m={m}"},
+                },
+            })
+
+        def _read_stream(self, stream_id, q):
+            forwards = q.get("d", "f") == "f"
+            pos = int(q.get("position", 0 if forwards else -1))
+            m = int(q.get("m", 20))
+            prefetch = q.get("prefetch", "true") == "true"
+            page = (
+                store.read_stream_forwards(stream_id, pos, m, prefetch)
+                if forwards
+                else store.read_stream_backwards(stream_id, pos, m, prefetch)
+            )
+            code = 404 if page.status == "StreamNotFound" else 200
+            self._send(code, {
+                "streamId": page.stream_id,
+                "status": page.status,
+                "fromStreamVersion": page.from_stream_version,
+                "nextStreamVersion": page.next_stream_version,
+                "lastStreamVersion": page.last_stream_version,
+                "lastStreamPosition": page.last_stream_position,
+                "direction": page.direction,
+                "isEnd": page.is_end,
+                "_embedded": {"streamStore:message": [_msg_json(x) for x in page.messages]},
+                "_links": {"self": {"href": self.path}},
+            })
+
+        def _post(self):
+            parts, _q = self._route()
+            if len(parts) == 2 and parts[0] == "streams":
+                body = self._body() or []
+                messages = [
+                    NewStreamMessage(
+                        b["messageId"], b["type"], b["jsonData"],
+                        b.get("jsonMetadata") or "",
+                    )
+                    for b in body
+                ]
+                r = store.append_to_stream(parts[1], self._expected_version(-2), messages)
+                self._send(200, {
+                    "currentVersion": r.current_version,
+                    "currentPosition": r.current_position,
+                })
+            elif len(parts) == 3 and parts[0] == "streams" and parts[2] == "metadata":
+                b = self._body() or {}
+                r = store.set_stream_metadata(
+                    parts[1],
+                    expected_stream_metadata_version=b.get("expectedStreamMetadataVersion", -2),
+                    max_age=b.get("maxAge"),
+                    max_count=b.get("maxCount"),
+                    metadata_json=b.get("metadataJson"),
+                )
+                self._send(200, {"currentVersion": r.current_version})
+            else:
+                self._send(404)
+
+        def _delete(self):
+            parts, _q = self._route()
+            if len(parts) == 2 and parts[0] == "streams":
+                store.delete_stream(parts[1], self._expected_version(-2))
+                self._send(204)
+            elif len(parts) == 4 and parts[0] == "streams" and parts[2] == "messages":
+                store.delete_message(parts[1], parts[3])
+                self._send(204)
+            else:
+                self._send(404)
+
+    return Handler

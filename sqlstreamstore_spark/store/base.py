@@ -179,9 +179,13 @@ class StreamStore:
         self,
         stream_id: str,
         expected_version: int,
-        messages: list[NewStreamMessage],
+        messages: list[NewStreamMessage] | NewStreamMessage,
     ) -> AppendResult:
         validate_stream_id(stream_id)
+        if isinstance(messages, NewStreamMessage):
+            # single-message convenience overload
+            # (StreamStoreExtensions.cs:185-196)
+            messages = [messages]
         ids = [m.message_id for m in messages]
         if len(set(ids)) != len(ids):
             # Reference backends diverge here (InMemory stores both, SQL

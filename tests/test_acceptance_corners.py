@@ -83,3 +83,13 @@ def test_read_stream_with_url_encodable_stream_id(store, stream_id):
     assert fwd.messages[0].stream_id == stream_id
     bwd = store.read_stream_backwards(stream_id, StreamVersion.END, 1)
     assert bwd.messages[0].stream_id == stream_id
+
+
+def test_append_single_message_convenience_overload(store):
+    """StreamStoreExtensions.cs:185-196 — a bare NewStreamMessage (not a
+    list) appends as a one-element batch."""
+    r = store.append_to_stream(
+        "s", ExpectedVersion.NO_STREAM, NewStreamMessage(str(uuid.UUID(int=1)), "t", "{}")
+    )
+    assert r.current_version == 0
+    assert store.read_stream_forwards("s", 0, 10).messages[0].stream_version == 0

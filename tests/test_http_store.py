@@ -1,0 +1,148 @@
+"""HTTP layer: the HAL server over the in-memory backend driven through
+HttpClientStreamStore — the same differential technique as the
+reference's HttpClientStreamStoreAcceptanceTests.cs (HTTP client vs a
+HAL server backed by InMemoryStreamStore), condensed: every observable
+from the HTTP client must equal the same call made directly."""
+
+import datetime as dt
+import uuid
+
+import pytest
+
+from sqlstreamstore_spark.exceptions import WrongExpectedVersionError
+from sqlstreamstore_spark.http import HttpClientStreamStore, StreamStoreHttpServer
+from sqlstreamstore_spark.schema import ExpectedVersion
+from sqlstreamstore_spark.store import InMemoryStreamStore, NewStreamMessage
+
+
+def msgs(*ns):
+    return [NewStreamMessage(str(uuid.UUID(int=n)), f"t{n}", f'{{"n":{n}}}') for n in ns]
+
+
+class Clock:
+    def __init__(self):
+        self.now = dt.datetime(2024, 1, 1)
+
+    def __call__(self):
+        return self.now
+
+
+@pytest.fixture
+def duo():
+    clock = Clock()
+    backend = InMemoryStreamStore(get_utc_now=clock)
+    server = StreamStoreHttpServer(backend).start()
+    try:
+        yield backend, HttpClientStreamStore(server.url), clock
+    finally:
+        server.stop()
+
+
+def page_obs(p):
+    if hasattr(p, "next_position"):
+        return (p.from_position, p.next_position, p.is_end,
+                [(m.position, m.stream_id, m.stream_version, m.message_id,
+                  m.type, m.json_data, m.created_utc) for m in p.messages])
+    return (p.status, p.from_stream_version, p.next_stream_version,
+            p.last_stream_version, p.last_stream_position, p.is_end,
+            [(m.position, m.stream_version, m.message_id, m.json_data)
+             for m in p.messages])
+
+
+def test_http_client_full_scenario_parity(duo):
+    backend, client, clock = duo
+    # writes go through HTTP; observables compared client vs backend
+    client.append_to_stream("orders-1", ExpectedVersion.NO_STREAM, msgs(1, 2, 3))
+    client.append_to_stream("orders-2", ExpectedVersion.NO_STREAM, msgs(4, 5))
+    client.append_to_stream("orders-1", 2, msgs(6))
+    r = client.append_to_stream("orders-1", ExpectedVersion.NO_STREAM, msgs(1, 2, 3))
+    assert r.current_version == 3  # idempotent repeat
+    with pytest.raises(WrongExpectedVersionError):
+        client.append_to_stream("orders-1", 0, msgs(9))
+    client.set_stream_metadata("orders-2", ExpectedVersion.NO_STREAM, max_count=1)
+    client.delete_message("orders-1", str(uuid.UUID(int=2)))
+
+    for fn in [
+        lambda s: s.read_head_position(),
+        lambda s: s.read_stream_head_version("orders-1"),
+        lambda s: s.read_stream_head_position("orders-1"),
+        lambda s: page_obs(s.read_all_forwards(0, 100)),
+        lambda s: page_obs(s.read_all_backwards(-1, 3)),
+        lambda s: page_obs(s.read_stream_forwards("orders-1", 0, 2)),
+        lambda s: page_obs(s.read_stream_backwards("orders-1", -1, 2)),
+        lambda s: page_obs(s.read_stream_forwards("missing", 0, 10)),
+        lambda s: s.list_streams()[0],
+        lambda s: (lambda m: (m.max_age, m.max_count, m.metadata_stream_version))(
+            s.get_stream_metadata("orders-2")),
+    ]:
+        assert fn(client) == fn(backend)
+
+
+def test_http_read_next_walks_keyset_pages(duo):
+    _backend, client, _clock = duo
+    client.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(*range(1, 26)))
+    page = client.read_all_forwards(0, 10)
+    seen = [m.position for m in page.messages]
+    while not page.is_end:
+        page = page.read_next()
+        seen.extend(m.position for m in page.messages)
+    assert seen == list(range(25))
+    spage = client.read_stream_forwards("s", 0, 10)
+    versions = [m.stream_version for m in spage.messages]
+    while not spage.is_end:
+        spage = spage.read_next()
+        versions.extend(m.stream_version for m in spage.messages)
+    assert versions == list(range(25))
+
+
+def test_http_prefetch_false_lazy_data_and_deleted_null(duo):
+    """ReadAll.cs:88 over the wire: prefetch=false pages carry no body;
+    get_json_data() lazily fetches, and returns None after deletion."""
+    _backend, client, _clock = duo
+    client.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(1, 2))
+    page = client.read_all_forwards(0, 10, prefetch_json_data=False)
+    assert all(m.json_data is None for m in page.messages)
+    assert page.messages[0].get_json_data() == '{"n":1}'
+    client.delete_stream("s")
+    assert page.messages[0].get_json_data() is None
+
+
+def test_http_delete_stream_expected_version_and_tombstones(duo):
+    backend, client, _clock = duo
+    client.append_to_stream("a", ExpectedVersion.NO_STREAM, msgs(1, 2))
+    with pytest.raises(WrongExpectedVersionError):
+        client.delete_stream("a", expected_version=0)
+    client.delete_stream("a", expected_version=1)
+    assert client.read_stream_forwards("a", 0, 10).status == "StreamNotFound"
+    tomb = client.read_stream_forwards("$deleted", 0, 10)
+    assert [m.type for m in tomb.messages] == ["$stream-deleted"]
+    assert page_obs(tomb) == page_obs(backend.read_stream_forwards("$deleted", 0, 10))
+
+
+def test_http_url_encodable_stream_ids(duo):
+    _backend, client, _clock = duo
+    for sid in ("stream/1", "stream%1"):
+        client.append_to_stream(sid, ExpectedVersion.NO_STREAM, msgs(1))
+        assert client.read_stream_forwards(sid, 0, 1).messages[0].stream_id == sid
+        assert client.read_stream_backwards(sid, -1, 1).messages[0].stream_id == sid
+
+
+def test_http_list_streams_patterns(duo):
+    _backend, client, _clock = duo
+    for sid in ("app-1", "app-2", "web-1"):
+        client.append_to_stream(sid, ExpectedVersion.NO_STREAM, msgs(1))
+    ids, _tok = client.list_streams(pattern="app-", kind="startswith")
+    assert ids == ["app-1", "app-2"]
+    ids, _tok = client.list_streams(pattern="-1", kind="endswith")
+    assert ids == ["app-1", "web-1"]
+
+
+def test_http_max_age_expiry_over_the_wire(duo):
+    """StreamLimits.cs max-age over HTTP: expired messages filtered by
+    the server's injected clock."""
+    _backend, client, clock = duo
+    client.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(1, 2))
+    client.set_stream_metadata("s", max_age=60)
+    assert len(client.read_stream_forwards("s", 0, 10).messages) == 2
+    clock.now += dt.timedelta(seconds=120)
+    assert len(client.read_stream_forwards("s", 0, 10).messages) == 0
