@@ -34,6 +34,10 @@ def main() -> int:
     spark = get_spark(app_name="bench")
     timings: dict[str, float] = {}
 
+    # JVM/codegen warmup — one trivial job so the first timed query
+    # doesn't absorb executor startup (not a query cost at any scale).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     # -- warm: derive + cache the canonical log (not timed as a query;
     # recorded separately since the derivation is itself an operator).
     t0 = time.time()

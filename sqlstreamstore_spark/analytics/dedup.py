@@ -362,3 +362,29 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+def minhash_lsh_recall(
+    documents: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    family: str = "md5",
+) -> DataFrame:
+    """LSH quality verification: one row with the exact near-dup pair
+    count, the candidate count, how many true pairs the candidates hit,
+    and the recall — the measurement a pipeline owner watches when
+    tuning (k, bands). Fully oracle-checkable with the md5 family."""
+    exact = ngram_jaccard_pairs(documents, n=n, threshold=threshold).select("doc_a", "doc_b")
+    cands = minhash_lsh_candidates(documents, k=k, bands=bands, n=n, family=family)
+    hit = exact.join(cands, ["doc_a", "doc_b"])
+    n_exact = exact.count()
+    n_cands = cands.count()
+    n_hit = hit.count()
+    recall = float(n_hit) / n_exact if n_exact else 1.0
+    spark = documents.sparkSession
+    return spark.createDataFrame(
+        [(n_exact, n_cands, n_hit, recall)],
+        "n_exact bigint, n_candidates bigint, n_hit bigint, recall double",
+    )

@@ -748,9 +748,9 @@ LIMIT 10
 """
 
 
-def _minhash_lsh_sql(k: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
-    """DuckDB twin of dedup.minhash_dedup_pairs (md5 hash family): same
-    signatures, same banded candidates, same exact-Jaccard verify."""
+def _minhash_ctes(k: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
+    """Shared WITH-clause body for the MinHash oracles (md5 family):
+    shingles -> signatures -> banded candidates -> exact-Jaccard set."""
     r = k // bands
     mins = ",\n         ".join(f"min(md5('{i}:' || s)) AS h{i}" for i in range(k))
     band_rows = "\n  UNION ALL\n".join(
@@ -795,14 +795,53 @@ exact AS (
   FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
              JOIN sizes sb ON inter.doc_b = sb.doc_id
   WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= {threshold}
-)
+)"""
+
+
+_MINHASH_LSH_SQL = _minhash_ctes() + """
 SELECT e.doc_a, e.doc_b, e.n_inter, e.n_a, e.n_b, e.jaccard
 FROM exact e JOIN cands c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
 ORDER BY e.doc_a, e.doc_b
 """
 
+_MINHASH_RECALL_SQL = _minhash_ctes() + """,
+hit AS (
+  SELECT e.doc_a FROM exact e JOIN cands c
+    ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+)
+SELECT (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM cands) AS n_candidates,
+       (SELECT count(*) FROM hit) AS n_hit,
+       CAST((SELECT count(*) FROM hit) AS DOUBLE)
+         / (SELECT count(*) FROM exact) AS recall
+"""
 
-_MINHASH_LSH_SQL = _minhash_lsh_sql()
+_VOCAB_SQL = """
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY tf DESC, token
+LIMIT 200
+"""
+
+_TFIDF_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfc AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE doc_id < 50
+       GROUP BY doc_id, token),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfc.df AS DOUBLE)) AS tfidf
+  FROM tf JOIN dfc ON tf.token = dfc.token, n
+)
+SELECT doc_id, token, tfidf, rk FROM (
+  SELECT doc_id, token, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+  FROM scored) t
+WHERE rk <= 3
+ORDER BY doc_id, rk
+"""
 
 
 def _simhash_sql(max_hamming: int = 12) -> str:
@@ -1074,6 +1113,20 @@ def analytics_queries():
                 _t(s, sf, "documents").filter(F.col("doc_id") < 300), threshold=0.2
             ),
             _MINHASH_LSH_SQL,  # md5 hash family — DuckDB computes identical signatures
+        ),
+        "dedup_minhash_recall": (
+            lambda s, sf: dedup.minhash_lsh_recall(
+                _t(s, sf, "documents").filter(F.col("doc_id") < 300), threshold=0.2
+            ),
+            _MINHASH_RECALL_SQL,
+        ),
+        "text_vocabulary": (
+            lambda s, sf: text.corpus_vocabulary(_t(s, sf, "documents")),
+            _VOCAB_SQL,
+        ),
+        "text_tfidf_top_terms": (
+            lambda s, sf: text.tf_idf_top_terms(_t(s, sf, "documents")),
+            _TFIDF_SQL,
         ),
         "sampling_deterministic": (
             lambda s, sf: sampling.deterministic_sample(

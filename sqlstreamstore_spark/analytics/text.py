@@ -110,3 +110,57 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(normalized).alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+def corpus_vocabulary(documents: DataFrame, limit: int = 200) -> DataFrame:
+    """Corpus vocabulary with term and document frequencies — the
+    input to tokenizer training / frequency-based filtering in a
+    training-data pipeline. One explode + one groupBy (partial agg
+    map-side; only (token, counts) shuffle)."""
+    tok = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("token"))
+        .limit(limit)
+    )
+
+
+def tf_idf_top_terms(
+    documents: DataFrame, top_k: int = 3, max_doc: int = 50
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf
+    (idf = ln(N/df) over the FULL corpus; candidate docs capped for the
+    gate query). Two shuffles: token df aggregate + per-doc window."""
+    from pyspark.sql import Window
+
+    n_docs = documents.count()
+    tok = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    df_counts = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (
+        tok.filter(F.col("doc_id") < max_doc)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = tf.join(F.broadcast(df_counts), "token").select(
+        "doc_id",
+        "token",
+        (
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("doc_id", "token", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )
