@@ -183,3 +183,47 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         "frame_id",
         F.concat_ws("-", F.col("media_id").cast("string"), F.col("frame_ts_ms").cast("string")),
     )
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Treat each document's utf-8 bytes as an opaque binary payload —
+    the bridging shape for mixed text/media corpora (and the one media
+    query the DuckDB oracle can check, since the payload derives from a
+    fixture table rather than synthesized rows)."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.lit("text/plain").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+PAYLOAD_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("digest", T.StringType(), False),
+    ]
+)
+
+
+def payload_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched binary feature extraction with a checkable result:
+    byte length + md5 digest per payload via mapInPandas (the exact
+    dataflow a real decoder uses — bytes stay executor-side, only
+    narrow features come out; DuckDB computes identical values from the
+    source text, so this one IS oracled, unlike the stubbed decodes)."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "digest": [hashlib.md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, PAYLOAD_STATS_SCHEMA)

@@ -816,6 +816,13 @@ SELECT (SELECT count(*) FROM exact) AS n_exact,
          / (SELECT count(*) FROM exact) AS recall
 """
 
+_PAYLOAD_STATS_SQL = """
+SELECT doc_id AS media_id,
+       strlen(text) AS n_bytes,
+       md5(text) AS digest
+FROM documents ORDER BY media_id
+"""
+
 _VOCAB_SQL = """
 SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
@@ -1264,6 +1271,12 @@ def analytics_queries():
         ),
         # multimodal (synthetic payloads; Spark-side plumbing is the
         # subject — rows-only check, pinned by tests/test_multimodal.py)
+        "multimodal_payload_stats": (
+            lambda s, sf: multimodal.payload_stats(
+                multimodal.documents_as_media(_t(s, sf, "documents"))
+            ).orderBy("media_id"),
+            _PAYLOAD_STATS_SQL,  # mapInPandas over binary, oracled via md5
+        ),
         "multimodal_decode": (
             lambda s, sf: multimodal.decode_features(multimodal.make_fake_media_df(s, 100))
             .orderBy("media_id"),

@@ -54,3 +54,25 @@ def test_real_decode_raises_not_implemented(spark):
 
     with pytest.raises(NotImplementedError):
         mm._decode_one(b"\x89PNG\r\n\x1a\nnotfake")
+
+
+def test_payload_stats_matches_python_hash(spark):
+    """The oracled mapInPandas path: byte length + md5 from the Arrow
+    batches equals driver-side hashlib over the same text."""
+    import hashlib
+
+    from sqlstreamstore_spark.analytics.multimodal import (
+        documents_as_media,
+        payload_stats,
+    )
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    expected = {
+        r["doc_id"]: (len(r["text"].encode()), hashlib.md5(r["text"].encode()).hexdigest())
+        for r in docs.collect()
+    }
+    got = payload_stats(documents_as_media(docs)).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert (r["n_bytes"], r["digest"]) == expected[r["media_id"]]
