@@ -69,16 +69,28 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    pin_shingles: bool = True,
 ) -> DataFrame:
     """All document pairs with word-n-gram Jaccard similarity >= threshold.
 
     doc-shingle explode → equi-join on shingle → per-pair intersection
     count; |A∪B| from per-doc distinct counts. Jaccard is an exact
     int/int division (bit-identical in the oracle).
+
+    The shingle frame feeds three plan branches (both join sides +
+    sizes); ``pin_shingles`` localCheckpoints it so the explode runs
+    once instead of per-branch (~2× at sf0.1). localCheckpoint, not
+    persist: its blocks are GC-reclaimed with the plan, while a
+    DataFrame persist stays pinned in the cache manager until an
+    explicit unpersist — the leak pattern flagged in round 1. Set False
+    to keep the plan fully lazy (e.g. when the input itself is huge and
+    recompute is cheaper than materializing the exploded corpus).
     """
     sh = documents.select(
         "doc_id", F.explode(_shingles(F.col("text"), n)).alias("s")
     )
+    if pin_shingles:
+        sh = sh.localCheckpoint()
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("s").agg(F.count("*").alias("df"))
