@@ -388,8 +388,15 @@ def minhash_lsh_recall(
     count, the candidate count, how many true pairs the candidates hit,
     and the recall — the measurement a pipeline owner watches when
     tuning (k, bands). Fully oracle-checkable with the md5 family."""
-    exact = ngram_jaccard_pairs(documents, n=n, threshold=threshold).select("doc_a", "doc_b")
-    cands = minhash_lsh_candidates(documents, k=k, bands=bands, n=n, family=family)
+    # three counts below would otherwise recompute each side twice
+    exact = (
+        ngram_jaccard_pairs(documents, n=n, threshold=threshold)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    cands = minhash_lsh_candidates(
+        documents, k=k, bands=bands, n=n, family=family
+    ).localCheckpoint()
     hit = exact.join(cands, ["doc_a", "doc_b"])
     n_exact = exact.count()
     n_cands = cands.count()

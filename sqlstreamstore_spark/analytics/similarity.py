@@ -120,7 +120,10 @@ def cosine_near_dup_pairs_lsh(
     """LSH-bucketed near-dup: candidates share a random-hyperplane
     bucket; exact cosine verifies. Sub-quadratic (the bucket join keys
     the shuffle); recall < 1 by construction — tune bits/multi-probe."""
-    sigs = lsh_bucket_signatures(embeddings, dim=dim, bits=bits, seed=seed)
+    # both self-join sides read the signature frame — localCheckpoint so
+    # the b-bit hyperplane projections run once (GC-reclaimed blocks,
+    # not a cache-manager pin)
+    sigs = lsh_bucket_signatures(embeddings, dim=dim, bits=bits, seed=seed).localCheckpoint()
     a = sigs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
                     _norm(F.col("embedding")).alias("na"), F.col("bucket").alias("ba"))
     b = sigs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
