@@ -164,3 +164,43 @@ def test_spark_store_agrees_with_memory(spark, tmp_path_factory, ops):
             o2 = "err"
         assert o1 == o2, (sid, ev, ns)
     assert observe(mem) == observe(spk)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(ops=ops_strategy)
+def test_http_client_and_memory_agree(ops):
+    """The HTTP tier under the same random-op-sequence property: a
+    client driving the HAL server over one in-memory store must observe
+    exactly what a second, directly-driven in-memory store observes."""
+    from sqlstreamstore_spark.http import HttpClientStreamStore, StreamStoreHttpServer
+
+    mem = InMemoryStreamStore()
+    backend = InMemoryStreamStore()
+    server = StreamStoreHttpServer(backend).start()
+    try:
+        http = HttpClientStreamStore(server.url)
+        for idx, ev, ns, do_delete in ops:
+            sid = STREAMS[idx]
+            if do_delete:
+                outs = []
+                for s in (mem, http):
+                    try:
+                        s.delete_stream(sid)
+                        outs.append(None)
+                    except WrongExpectedVersionError:
+                        outs.append("err")
+                assert outs[0] == outs[1]
+                continue
+            outs = []
+            for s in (mem, http):
+                try:
+                    a = s.append_to_stream(sid, ev, msgs(ns))
+                    outs.append((a.current_version, a.current_position))
+                except WrongExpectedVersionError:
+                    outs.append("err")
+                except ValueError:
+                    outs.append("err-dup")
+            assert outs[0] == outs[1], (sid, ev, ns)
+        assert observe(mem) == observe(http)
+    finally:
+        server.stop()
