@@ -54,3 +54,40 @@ def clean_corpus(
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+def decontaminate_report(
+    documents: DataFrame,
+    key: str = "doc_id",
+    n: int = 8,
+    train_fraction: float = 0.9,
+) -> DataFrame:
+    """Benchmark decontamination: which train-split documents share any
+    word n-gram with a held-out (val) document, and how many distinct
+    n-grams leak. The standard pre-training hygiene pass — the actual
+    filter is an anti-join of train against this report.
+
+    Shape: hash split → shingle both sides → equi-join on the n-gram →
+    per-doc distinct-leak count. At real scale the held-out side is a
+    small benchmark corpus — broadcast it; here it's ~(1-fraction) of
+    the corpus and the equi-join shuffle handles it either way.
+    """
+    from sqlstreamstore_spark.analytics.dedup import _shingles
+    from sqlstreamstore_spark.analytics.sampling import hash_split
+
+    split = hash_split(documents, key, train_fraction)
+    train = split.filter(F.col("split") == "train")
+    held_out = split.filter(F.col("split") == "val")
+    tr_sh = train.select(
+        F.col("doc_id").alias("train_doc_id"),
+        F.explode(_shingles(F.col("text"), n)).alias("s"),
+    )
+    te_sh = held_out.select(
+        F.explode(_shingles(F.col("text"), n)).alias("s")
+    ).distinct()
+    return (
+        tr_sh.join(te_sh, "s")
+        .groupBy("train_doc_id")
+        .agg(F.count("*").alias("n_leaked_ngrams"))
+        .orderBy("train_doc_id")
+    )

@@ -823,6 +823,36 @@ SELECT doc_id AS media_id,
 FROM documents ORDER BY media_id
 """
 
+def _decontaminate_sql(n: int = 8, train_fraction: float = 0.9) -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(n))
+    return f"""
+WITH split AS (
+  SELECT doc_id, text,
+         CASE WHEN {_HEXBUCKET} % 65536 < CAST({train_fraction} * 65536 AS INTEGER)
+              THEN 'train' ELSE 'val' END AS split
+  FROM documents
+),
+toks AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM split),
+tr_sh AS (
+  SELECT doc_id AS train_doc_id,
+         unnest(list_distinct(list_transform(range(1, len(w) - {n - 2}),
+                                             i -> {gram}))) AS s
+  FROM toks WHERE split = 'train' AND len(w) >= {n}
+),
+te_sh AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w) - {n - 2}),
+                                                      i -> {gram}))) AS s
+  FROM toks WHERE split = 'val' AND len(w) >= {n}
+)
+SELECT train_doc_id, count(*) AS n_leaked_ngrams
+FROM tr_sh JOIN te_sh ON tr_sh.s = te_sh.s
+GROUP BY train_doc_id
+ORDER BY train_doc_id
+"""
+
+
+_DECONTAMINATE_SQL = _decontaminate_sql()
+
 _VOCAB_SQL = """
 SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
@@ -1155,6 +1185,10 @@ def analytics_queries():
         "pipeline_clean_corpus": (
             lambda s, sf: pipeline.clean_corpus(_t(s, sf, "documents")),
             _CLEAN_CORPUS_SQL,
+        ),
+        "pipeline_decontaminate": (
+            lambda s, sf: pipeline.decontaminate_report(_t(s, sf, "documents")),
+            _DECONTAMINATE_SQL,
         ),
         "dedup_components": (
             lambda s, sf: dedup.near_dup_components(
