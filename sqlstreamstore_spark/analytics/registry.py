@@ -748,6 +748,56 @@ LIMIT 10
 """
 
 
+def _ivf_static_sql(k: int = 10, n_clusters: int = 8, n_probe: int = 4) -> str:
+    """DuckDB twin of similarity.cosine_topk_ivf_static: the literal
+    centroids are the deployed-index model, so probe selection,
+    argmax assignment and the exact re-rank are all expressible."""
+    from sqlstreamstore_spark.analytics.similarity import _static_centroids
+
+    cent_rows = ",\n    ".join(
+        "({cid}, CAST([{vals}] AS DOUBLE[]))".format(
+            cid=cid, vals=", ".join(repr(x) for x in vec)
+        )
+        for cid, vec in _static_centroids(n_clusters=n_clusters)
+    )
+    return f"""
+WITH cent(cid, cv) AS (VALUES
+    {cent_rows}
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM cent, q
+  ORDER BY list_dot_product(cv, qv)
+             / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
+           cid
+  LIMIT {n_probe}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv)
+                        / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cid
+           ) AS rk
+    FROM e, cent c) t
+  WHERE rk = 1
+)
+SELECT vec_id,
+       list_dot_product(v, q.qv)
+         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+FROM assigned, q
+WHERE cid IN (SELECT cid FROM probe)
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""
+
+
+_IVF_STATIC_SQL = _ivf_static_sql()
+
+
 def _minhash_ctes(k: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
     """Shared WITH-clause body for the MinHash oracles (md5 family):
     shingles -> signatures -> banded candidates -> exact-Jaccard set."""
@@ -1024,6 +1074,14 @@ def _sim_topk_ivf_query(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _sim_topk_ivf_static_query(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.cosine_topk_ivf_static(
+        emb, [float(x) for x in qvec], k=10, n_clusters=8, n_probe=4
+    )
+
+
 def analytics_queries():
     """name → (spark_fn, oracle_sql | None). None = rows-only check
     (non-SQL-expressible: engine-specific hash families)."""
@@ -1206,7 +1264,11 @@ def analytics_queries():
         "sim_cosine_topk": (_sim_topk_query, _SIM_TOPK_SQL),
         "sim_knn_join": (_knn_join_query, _KNN_JOIN_SQL),
         "sim_cosine_topk_lsh": (_sim_topk_lsh_query, _TOPK_LSH_SQL),
+        # k-means-trained quantizer (rows-only: Lloyd iterations aren't
+        # reasonably SQL-expressible) + deployed-index twin with literal
+        # centroids (fully oracled — probe/assign/re-rank in SQL)
         "sim_cosine_topk_ivf": (_sim_topk_ivf_query, None),
+        "sim_cosine_topk_ivf_static": (_sim_topk_ivf_static_query, _IVF_STATIC_SQL),
         # exact all-pairs is the sf-CAPPED oracle baseline (O(N^2) by
         # construction — never the scale path); the LSH entry below is
         # the headline near-dup operator, uncapped and oracled.

@@ -328,3 +328,55 @@ def cosine_topk_lsh(
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def _static_centroids(dim: int = 64, n_clusters: int = 8, seed: int = 7) -> list[tuple[int, list[float]]]:
+    """Deterministic pseudo-random centroids — the 'deployed index'
+    configuration where the coarse quantizer is trained offline and
+    shipped as constants (see cosine_topk_ivf's docstring). Literal
+    centroids make the whole IVF probe/assign/re-rank pipeline
+    oracle-expressible."""
+    import random
+
+    rng = random.Random(seed)
+    return [(i, [rng.gauss(0.0, 1.0) for _ in range(dim)]) for i in range(n_clusters)]
+
+
+def cosine_topk_ivf_static(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 8,
+    n_probe: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF ANN top-k against a precomputed (literal) coarse quantizer:
+    probe the n_probe centroids nearest the query, assignment compiled
+    to a literal argmax map expression (no join, no shuffle), exact
+    re-rank only within the probed inverted lists."""
+    import math
+
+    centroids = _static_centroids(dim=dim, n_clusters=n_clusters, seed=seed)
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return d / (na * nb)
+
+    probe_ids = [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: (-cos(c[1], [float(x) for x in query_vec]), c[0])
+        )[:n_probe]
+    ]
+    assigned = ivf_assign(embeddings, centroids).filter(F.col("cluster_id").isin(probe_ids))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    emb = F.col("embedding")
+    score = _dot(emb, q) / (_norm(emb) * _norm(q))
+    return (
+        assigned.select("vec_id", score.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
