@@ -215,3 +215,51 @@ def test_subscribe_to_all_on_spark_store(spark, tmp_path):
     assert evt.wait(30)
     sub.dispose()
     assert [m.position for m in got] == [0, 1, 2, 3, 4]
+
+
+def test_disposed_subscription_releases_push_hook():
+    """ADVICE r1: dispose() must release the store's on_appended slot so
+    later subscriptions still get push wakeups (poll_interval=5s here,
+    so only a push delivers within the 3s window)."""
+    store = InMemoryStreamStore()
+    store.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(1))
+    s1 = subscribe_to_stream(store, "s", lambda m: None, poll_interval=5)
+    assert len(store.on_appended._callbacks) == 1
+    s1.dispose()
+    assert len(store.on_appended._callbacks) == 0
+
+    got, done = [], threading.Event()
+
+    def cb(m):
+        got.append(m)
+        if len(got) >= 2:
+            done.set()
+
+    s2 = subscribe_to_stream(store, "s", cb, poll_interval=5)
+    store.append_to_stream("s", ExpectedVersion.ANY, msgs(2))
+    assert done.wait(3), "second subscription did not get a push wakeup"
+    s2.dispose()
+    assert len(store.on_appended._callbacks) == 0
+
+
+def test_two_live_subscriptions_both_get_push_wakeups():
+    """With on_appended as a callback list, concurrent subscriptions all
+    receive push notifications (previously only the first did)."""
+    store = InMemoryStreamStore()
+    store.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(1))
+    got = [[], []]
+    evts = [threading.Event(), threading.Event()]
+
+    def mk(i):
+        def cb(m):
+            got[i].append(m)
+            if len(got[i]) >= 2:
+                evts[i].set()
+        return cb
+
+    subs = [subscribe_to_stream(store, "s", mk(i), poll_interval=5) for i in range(2)]
+    assert len(store.on_appended._callbacks) == 2
+    store.append_to_stream("s", ExpectedVersion.ANY, msgs(2))
+    assert all(e.wait(3) for e in evts), "a subscription missed the push wakeup"
+    for s in subs:
+        s.dispose()
