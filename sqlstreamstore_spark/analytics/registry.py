@@ -903,6 +903,18 @@ ORDER BY train_doc_id
 
 _DECONTAMINATE_SQL = _decontaminate_sql()
 
+_SOURCE_ROLLUP_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avg_tokens,
+       avg(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avg_distinct_ratio,
+       1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
 _VOCAB_SQL = """
 SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
@@ -1218,6 +1230,10 @@ def analytics_queries():
         "text_vocabulary": (
             lambda s, sf: text.corpus_vocabulary(_t(s, sf, "documents")),
             _VOCAB_SQL,
+        ),
+        "text_source_rollup": (
+            lambda s, sf: text.source_quality_rollup(_t(s, sf, "documents")),
+            _SOURCE_ROLLUP_SQL,
         ),
         "text_tfidf_top_terms": (
             lambda s, sf: text.tf_idf_top_terms(_t(s, sf, "documents")),

@@ -164,3 +164,27 @@ def tf_idf_top_terms(
         .select("doc_id", "token", "tfidf", "rk")
         .orderBy("doc_id", "rk")
     )
+
+
+def source_quality_rollup(documents: DataFrame) -> DataFrame:
+    """Per-source curation dashboard: document count, token-length mean,
+    mean distinct-token ratio, and exact-duplicate rate — the rollup a
+    corpus owner watches per ingestion source. One groupBy with partial
+    aggregation; the md5 for the dup rate shuffles as a 16-byte digest."""
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens.cast("double")
+    return (
+        documents.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg(n_tokens.cast("double")).alias("avg_tokens"),
+            F.avg(distinct_ratio).alias("avg_distinct_ratio"),
+            (
+                F.lit(1.0)
+                - F.countDistinct(F.md5(F.col("text"))).cast("double")
+                / F.count("*").cast("double")
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
