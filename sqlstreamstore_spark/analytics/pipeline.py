@@ -91,3 +91,46 @@ def decontaminate_report(
         .agg(F.count("*").alias("n_leaked_ngrams"))
         .orderBy("train_doc_id")
     )
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_rows: int = 100_000,
+    order_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """Write the corpus as deterministic fixed-size training shards:
+    rows sorted by ``order_cols`` (default: all columns' stable key is
+    the first column), assigned shard_id = global_rank // shard_rows,
+    written as ``shard_id=N/`` parquet partitions.
+
+    Deterministic: the same input always produces byte-identical shard
+    membership (dense global rank via the two-phase index — no
+    single-partition funnel, operators/positions.py). A training job
+    then reads ``path`` with partition pruning on shard_id, or streams
+    shards in order.
+
+    Returns {"n_rows": ..., "n_shards": ...}.
+    """
+    from sqlstreamstore_spark.operators.positions import dense_global_index_pinned
+
+    order_cols = order_cols or [df.columns[0]]
+    indexed, pinned = dense_global_index_pinned(df, list(order_cols), index_col="__rank")
+    sharded = indexed.withColumn(
+        "shard_id", (F.col("__rank") / F.lit(shard_rows)).cast("long")
+    ).drop("__rank")
+    try:
+        (
+            sharded.repartition("shard_id")
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(path)
+        )
+    finally:
+        if pinned is not None:
+            pinned.unpersist()
+    spark = df.sparkSession
+    out = spark.read.parquet(path)
+    n_rows = out.count()
+    n_shards = out.select("shard_id").distinct().count()
+    return {"n_rows": n_rows, "n_shards": n_shards}

@@ -367,17 +367,23 @@ class SparkParquetStreamStore(StreamStore):
 
     # ------------------------------------------------------------ bulk load
 
-    def bulk_append(self, new_messages, order_col: str) -> tuple[int, int]:
+    def bulk_append(
+        self, new_messages, order_col: str, allow_existing: bool = False
+    ) -> tuple[int, int]:
         """Scale ingestion path: append a whole DataFrame of messages in
         ONE commit, entirely through Spark — message bytes never touch
         the driver (only per-stream head aggregates do, O(#streams)).
 
         new_messages columns: stream_id, message_id, type, json_data,
         json_metadata, created_utc(timestamp), plus `order_col` defining
-        intra-stream order. Target streams must be NEW (the per-message
-        §2.3 idempotency matrix is the transactional API's job; bulk
-        load is for migration/backfill — mirrored by the reference's
-        absence of any bulk path, its LoadTests just loop appends).
+        intra-stream order. By default target streams must be NEW (the
+        per-message §2.3 idempotency matrix is the transactional API's
+        job; bulk load is for migration/backfill — mirrored by the
+        reference's absence of any bulk path, its LoadTests just loop
+        appends). ``allow_existing=True`` continues versions from each
+        stream's current head via a broadcast of the affected heads —
+        the streaming-ingestion contract (streaming/sink.py), which
+        does NOT run idempotency checks (ANY-with-fresh-ids semantics).
 
         Positions are assigned head+1.. by (stream_id, order_col) using
         the two-phase dense index (no single-partition funnel); stream
@@ -388,12 +394,20 @@ class SparkParquetStreamStore(StreamStore):
         from sqlstreamstore_spark.operators.positions import dense_global_index_pinned
 
         df = new_messages
-        conflicts = [
-            s for s in df.select("stream_id").distinct().toLocalIterator()
+        existing = [
+            s[0] for s in df.select("stream_id").distinct().toLocalIterator()
             if s[0] in self._manifest["streams"]
         ]
-        if conflicts:
-            raise ValueError(f"bulk_append targets existing streams: {conflicts[:5]}")
+        if existing and not allow_existing:
+            raise ValueError(f"bulk_append targets existing streams: {existing[:5]}")
+        if existing:
+            bases = self.spark.createDataFrame(
+                [(sid, self._manifest["streams"][sid]["version"]) for sid in existing],
+                "stream_id string, __base_version int",
+            )
+            df = df.join(F.broadcast(bases), "stream_id", "left")
+        else:
+            df = df.withColumn("__base_version", F.lit(None).cast("int"))
 
         base = self._manifest["head_position"]
         w = Window.partitionBy("stream_id").orderBy(order_col)
@@ -403,7 +417,10 @@ class SparkParquetStreamStore(StreamStore):
         positioned = indexed.select(
             (F.col("__idx") + F.lit(base + 1)).alias("position"),
             "stream_id",
-            (F.row_number().over(w) - F.lit(1)).cast("int").alias("stream_version"),
+            (
+                F.row_number().over(w) - F.lit(1)
+                + F.coalesce(F.col("__base_version") + F.lit(1), F.lit(0))
+            ).cast("int").alias("stream_version"),
             "message_id",
             F.col("created_utc").cast("timestamp").alias("created_utc"),
             "type",
@@ -438,10 +455,14 @@ class SparkParquetStreamStore(StreamStore):
         n_rows = 0
         new_head = base
         for r in heads:
+            old = self._manifest["streams"].get(r.stream_id)
             self._manifest["streams"][r.stream_id] = {
-                "version": int(r.v), "position": int(r.p),
-                "first_position": int(r.f), "count": int(r.c),
+                "version": int(r.v),
+                "position": int(r.p),
+                "first_position": old["first_position"] if old else int(r.f),
+                "count": (old["count"] if old else 0) + int(r.c),
             }
+            self._ids_cache.pop(r.stream_id, None)
             n_rows += int(r.c)
             new_head = max(new_head, int(r.p))
         self._manifest["files"].extend(files)

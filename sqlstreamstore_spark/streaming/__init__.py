@@ -1,5 +1,6 @@
 from sqlstreamstore_spark.streaming import windowed
 from sqlstreamstore_spark.streaming.datasource import StreamStoreDataSource
+from sqlstreamstore_spark.streaming.sink import store_sink
 from sqlstreamstore_spark.streaming.subscriptions import (
     PollingNotifier,
     SubscriptionDroppedReason,
@@ -12,6 +13,7 @@ __all__ = [
     "StreamStoreDataSource",
     "SubscriptionDroppedReason",
     "subscribe_to_all",
+    "store_sink",
     "subscribe_to_stream",
     "windowed",
 ]

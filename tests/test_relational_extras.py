@@ -44,3 +44,26 @@ def test_multi_probe_lsh_recall_not_worse(spark):
     rec2 = len(r2 & set(exact)) / 10
     assert rec2 >= rec0  # probing a Hamming ring can only widen candidates
     assert rec2 >= 0.5  # measured 0.8 on this fixture (0.3 unprobed)
+
+
+def test_export_training_shards_deterministic(spark, tmp_path):
+    """Sharded training export: fixed rows per shard, deterministic
+    membership, readable back with partition pruning on shard_id."""
+    from sqlstreamstore_spark.analytics.pipeline import export_training_shards
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    p1 = str(tmp_path / "shards1")
+    r1 = export_training_shards(docs, p1, shard_rows=120, order_cols=["doc_id"])
+    assert r1 == {"n_rows": 500, "n_shards": 5}  # ceil(500/120)
+    back = spark.read.parquet(p1)
+    # shard 0 holds exactly the 120 lowest doc_ids
+    s0 = sorted(r.doc_id for r in back.filter("shard_id = 0").collect())
+    assert s0 == sorted(r.doc_id for r in docs.orderBy("doc_id").limit(120).collect())
+    # deterministic: a second export produces identical membership
+    p2 = str(tmp_path / "shards2")
+    export_training_shards(docs, p2, shard_rows=120, order_cols=["doc_id"])
+    a = sorted((r.shard_id, r.doc_id) for r in back.select("shard_id", "doc_id").collect())
+    b = sorted((r.shard_id, r.doc_id) for r in
+               spark.read.parquet(p2).select("shard_id", "doc_id").collect())
+    assert a == b

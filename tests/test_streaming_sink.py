@@ -1,0 +1,90 @@
+"""Streaming ingestion into the store (streaming/sink.py): micro-batches
+land as single bulk commits, versions continue across existing streams,
+and replayed epochs are skipped via the manifest's sink_epochs marker."""
+
+import datetime as dt
+import uuid
+
+from pyspark.sql import functions as F
+
+from sqlstreamstore_spark.schema import ExpectedVersion
+from sqlstreamstore_spark.store import NewStreamMessage, SparkParquetStreamStore
+from sqlstreamstore_spark.streaming.sink import store_sink
+
+
+def _messages_df(spark, lo, n, streams=2):
+    rows = [
+        (f"s-{i % streams}", str(uuid.UUID(int=lo + i)), "t", '{"x":1}', "",
+         dt.datetime(2024, 1, 1), lo + i)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stream_id string, message_id string, type string, json_data string, "
+        "json_metadata string, created_utc timestamp, seq long",
+    )
+
+
+def test_bulk_append_allow_existing_continues_versions(spark, tmp_path):
+    store = SparkParquetStreamStore(spark, str(tmp_path / "store"))
+    store.append_to_stream(
+        "s-0", ExpectedVersion.NO_STREAM,
+        [NewStreamMessage(str(uuid.UUID(int=999)), "t", "{}")],
+    )
+    n, head = store.bulk_append(_messages_df(spark, 0, 6), "seq", allow_existing=True)
+    assert (n, head) == (6, 6)
+    p0 = store.read_stream_forwards("s-0", 0, 10)
+    # pre-existing message is version 0; bulk rows continue 1..3
+    assert [m.stream_version for m in p0.messages] == [0, 1, 2, 3]
+    p1 = store.read_stream_forwards("s-1", 0, 10)
+    assert [m.stream_version for m in p1.messages] == [0, 1, 2]
+    # global order follows (stream_id, seq): all positions dense
+    all_pos = [m.position for m in store.read_all_forwards(0, 100).messages]
+    assert all_pos == list(range(7))
+    # idempotency window reloads correctly after the bulk commit
+    r = store.append_to_stream(
+        "s-0", 3, [NewStreamMessage(str(uuid.UUID(int=5000)), "t", "{}")]
+    )
+    assert r.current_version == 4
+
+
+def test_store_sink_end_to_end(spark, tmp_path):
+    src_dir = str(tmp_path / "incoming")
+    store = SparkParquetStreamStore(spark, str(tmp_path / "store2"))
+    _messages_df(spark, 0, 10).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(
+            "stream_id string, message_id string, type string, json_data string, "
+            "json_metadata string, created_utc timestamp, seq long"
+        ).parquet(src_dir)
+    )
+    q = store_sink(store, stream, order_col="seq", query_name="sink_e2e")
+    q.awaitTermination(120)
+    assert store.read_head_position() == 9
+    p = store.read_stream_forwards("s-0", 0, 100)
+    assert [m.stream_version for m in p.messages] == [0, 1, 2, 3, 4]
+    # a second availableNow run over the same checkpoint sees no new files
+    q2 = store_sink(store, stream, order_col="seq", query_name="sink_e2e")
+    q2.awaitTermination(120)
+    assert store.read_head_position() == 9
+
+
+def test_store_sink_skips_replayed_epoch(spark, tmp_path):
+    """Crash-replay guard: an epoch id at-or-below the manifest marker
+    must not re-append its batch."""
+    src_dir = str(tmp_path / "incoming3")
+    store = SparkParquetStreamStore(spark, str(tmp_path / "store3"))
+    _messages_df(spark, 0, 4).write.parquet(src_dir)
+    # pretend epoch 0 already committed (as after a crash between the
+    # checkpoint write and the restart)
+    store._manifest.setdefault("sink_epochs", {})["sink_replay"] = 0
+    store._save_manifest()
+    stream = (
+        spark.readStream.schema(
+            "stream_id string, message_id string, type string, json_data string, "
+            "json_metadata string, created_utc timestamp, seq long"
+        ).parquet(src_dir)
+    )
+    q = store_sink(store, stream, order_col="seq", query_name="sink_replay")
+    q.awaitTermination(120)
+    assert store.read_head_position() == -1  # epoch 0 was skipped
