@@ -150,3 +150,39 @@ def test_minhash_lsh_is_hash_join_not_nested_loop(spark):
     p = plan_of(minhash_lsh_candidates(docs))
     assert "NestedLoop" not in p and "CartesianProduct" not in p
     assert "Join" in p
+
+
+def test_vocabulary_partial_aggregation(spark):
+    """corpus_vocabulary: map-side partial aggregate before the token
+    shuffle; top-k by tf is TakeOrderedAndProject, not a global sort."""
+    from sqlstreamstore_spark.analytics.text import corpus_vocabulary
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(corpus_vocabulary(docs))
+    assert "HashAggregate" in p and "TakeOrderedAndProject" in p
+    # top-k must not appear as a global Sort operator node
+    import re
+
+    assert not re.search(r"^\s*\(\d+\)\s+Sort\b", p, re.M)
+
+
+def test_tfidf_broadcasts_document_frequencies(spark):
+    """tf_idf_top_terms: the df-counts side is explicitly broadcast so
+    the tf side never shuffles for the join."""
+    from sqlstreamstore_spark.analytics.text import tf_idf_top_terms
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(tf_idf_top_terms(docs))
+    assert "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_decontaminate_is_equi_join(spark):
+    """decontaminate_report: train x held-out shingle match is an
+    equi-join on the n-gram — never a nested loop."""
+    from sqlstreamstore_spark.analytics.pipeline import decontaminate_report
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(decontaminate_report(docs))
+    assert "Join" in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
