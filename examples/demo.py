@@ -71,7 +71,45 @@ def main() -> int:
     print(f"batch read via data source: {batch.count()} live messages")
     batch.groupBy("stream_id").count().show()
 
-    # 6. analytics over the driver fixtures (optional)
+    # 6. the HTTP/HAL tier: same API over the wire
+    from sqlstreamstore_spark.http import HttpClientStreamStore, StreamStoreHttpServer
+
+    server = StreamStoreHttpServer(store).start()
+    try:
+        client = HttpClientStreamStore(server.url)
+        head = client.read_head_position()
+        page = client.read_all_forwards(0, 3)
+        print(f"HTTP client: head={head}, first page positions "
+              f"{[m.position for m in page.messages]}")
+    finally:
+        server.stop()
+
+    # 7. streaming ingestion INTO the store (one bulk commit per epoch)
+    import datetime as dt
+
+    from sqlstreamstore_spark.streaming import store_sink
+
+    incoming = tempfile.mkdtemp(prefix="sss-incoming-")
+    spark.createDataFrame(
+        [("feed-1", str(uuid.UUID(int=5000 + i)), "tick", '{"i":%d}' % i, "",
+          dt.datetime(2024, 1, 1), i) for i in range(20)],
+        "stream_id string, message_id string, type string, json_data string, "
+        "json_metadata string, created_utc timestamp, seq long",
+    ).write.parquet(incoming, mode="overwrite")
+    q = store_sink(
+        store,
+        spark.readStream.schema(
+            "stream_id string, message_id string, type string, json_data string, "
+            "json_metadata string, created_utc timestamp, seq long"
+        ).parquet(incoming),
+        order_col="seq",
+        query_name="demo_sink",
+    )
+    q.awaitTermination(60)
+    print(f"streaming sink ingested feed-1 → head={store.read_head_position()}, "
+          f"feed-1 head version={store.read_stream_head_version('feed-1')}")
+
+    # 8. analytics over the driver fixtures (optional)
     import os
 
     sf = "/root/testdata/sf0.001"
