@@ -29,10 +29,13 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Runtime-settable SQL conf; required to read events.parquet (nanosecond
-    # timestamps) on sessions not built by our session.py (e.g. a driver
-    # harness's fresh SparkSession).
+    # Runtime-settable SQL confs; required to read events.parquet
+    # (nanosecond timestamps) on sessions not built by our session.py
+    # (e.g. a driver harness's fresh SparkSession). UTC pins collected
+    # datetimes to the naive-UTC wall values DuckDB reads from parquet,
+    # independent of the host JVM's default zone.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
