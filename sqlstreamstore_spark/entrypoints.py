@@ -162,7 +162,49 @@ def _stream_store_queries() -> dict[str, QuerySpec]:
             f"AND created_utc + INTERVAL ({EXPIRE_MAX_AGE_S}) SECOND > TIMESTAMP '{EXPIRE_NOW}' "
             f"ORDER BY stream_version",
         ),
+        # Round-trip THROUGH the actual Parquet store: bulk-ingest the
+        # canonical log into a fresh store and hash-match the store's own
+        # read surface (log_df) against SQL. Positions are re-assigned by
+        # the ingest order key (stream_id, original position) — the
+        # oracle re-ranks the same way, so this verifies the store's
+        # commit protocol + manifest read path end to end, not just the
+        # log derivation.
+        "store_bulk_roundtrip": (
+            _store_roundtrip_query,
+            C
+            + """, ingested AS (
+  SELECT row_number() OVER (ORDER BY stream_id, position) - 1 AS position,
+         stream_id,
+         CAST(row_number() OVER (PARTITION BY stream_id ORDER BY position) - 1 AS INTEGER)
+           AS stream_version,
+         created_utc, type, json_data
+  FROM events_log
+)
+SELECT position, stream_id, stream_version, created_utc, type, json_data
+FROM ingested ORDER BY position LIMIT 200""",
+        ),
     }
+
+
+def _store_roundtrip_query(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from sqlstreamstore_spark.store.spark_store import SparkParquetStreamStore
+
+    log = get_log(spark, sf)
+    path = tempfile.mkdtemp(prefix="gate-store-roundtrip-")
+    store = SparkParquetStreamStore(spark, path)
+    bulk_src = log.select(
+        "stream_id", "message_id", "type", "json_data", "json_metadata",
+        "created_utc", F.col("position").alias("seq"),
+    )
+    store.bulk_append(bulk_src, order_col="seq")
+    return (
+        store.log_df()
+        .select("position", "stream_id", "stream_version", "created_utc", "type", "json_data")
+        .orderBy("position")
+        .limit(200)
+    )
 
 
 def _streams_view_query(spark: SparkSession, sf: str) -> DataFrame:
