@@ -27,13 +27,19 @@ from pyspark.sql import functions as F
 
 def _shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-grams of a text column (built-in transform over
-    the token array — no UDF)."""
+    the token array — no UDF). Documents with fewer than n tokens yield
+    an empty set — guarded with a CASE branch because
+    ``sequence(0, size-n)`` runs DESCENDING when size < n and the
+    out-of-range ``element_at`` then throws under ANSI mode (Spark 4
+    default); the oracle twin's ``WHERE len(w) >= n`` has the same
+    semantics."""
     toks = F.split(col, " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]),
-        )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
     )
 
 

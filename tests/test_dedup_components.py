@@ -40,3 +40,31 @@ def test_clean_corpus_drops_exact_dups_and_junk(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     kept = [r.doc_id for r in clean_corpus(docs).collect()]
     assert kept == [1, 5]
+
+
+def test_shingle_operators_tolerate_short_documents(spark):
+    """Documents shorter than n tokens must yield an empty shingle set,
+    not an ANSI element_at error (sequence(0, size-n) runs descending
+    when size < n) — every dedup/jaccard/decontamination operator would
+    otherwise crash on the first short document in a real corpus."""
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.analytics.dedup import (
+        _shingles,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "one two three four"), (3, ""), (4, "x"),
+         (5, "one two three four")],
+        "doc_id long, text string",
+    )
+    sh = docs.select("doc_id", _shingles(F.col("text"), 3).alias("sh")).collect()
+    by_id = {r.doc_id: r.sh for r in sh}
+    assert by_id[1] == [] and by_id[3] == [] and by_id[4] == []
+    assert by_id[2] == ["one two three", "two three four"]
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(2, 5)]
+    cands = minhash_lsh_candidates(docs).collect()
+    assert [(r.doc_a, r.doc_b) for r in cands] == [(2, 5)]
