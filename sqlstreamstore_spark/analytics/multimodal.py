@@ -173,7 +173,12 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled
     timestamp (explode of a generated timestamp sequence — the Spark-side
     shape of frame extraction; actual frame decode is the stub)."""
-    frames = media.filter(F.col("kind") == "video").select(
+    frames = media.filter(
+        (F.col("kind") == "video") & (F.col("meta.duration_ms") > 0)
+    ).select(
+        # zero/negative durations have no frames — and sequence(0, -1)
+        # throws "illegal sequence boundaries" under ANSI, so the guard
+        # is correctness, not just semantics
         "media_id",
         F.explode(
             F.sequence(F.lit(0), F.col("meta.duration_ms") - 1, F.lit(every_ms))

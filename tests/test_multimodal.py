@@ -76,3 +76,24 @@ def test_payload_stats_matches_python_hash(spark):
     assert len(got) == len(expected)
     for r in got:
         assert (r["n_bytes"], r["digest"]) == expected[r["media_id"]]
+
+
+def test_frame_sample_tolerates_zero_duration(spark):
+    """A zero-length video yields no frames instead of an ANSI illegal
+    sequence boundary error."""
+    from sqlstreamstore_spark.analytics.multimodal import (
+        MEDIA_SCHEMA,
+        encode_fake_media,
+        sample_video_frames,
+    )
+
+    rows = [
+        (1, "video", "video/mp4", encode_fake_media(1, "video", 0, 0, 0),
+         (None, None, 0, "fake")),
+        (2, "video", "video/mp4", encode_fake_media(2, "video", 0, 0, 2500),
+         (None, None, 2500, "fake")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = sample_video_frames(media, every_ms=1000).collect()
+    assert sorted((r.media_id, r.frame_ts_ms) for r in got) == [
+        (2, 0), (2, 1000), (2, 2000)]
