@@ -32,13 +32,19 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _norm(a: Column) -> Column:
-    return F.sqrt(
+    """L2 norm; an all-zero vector maps to 1.0 (cosine 0 against
+    anything) — the same convention as the driver-side ``math_norm``
+    twin, and required under ANSI mode where the division would
+    otherwise throw DIVIDE_BY_ZERO on the first zero embedding (padding
+    rows / failed encoders in a real corpus)."""
+    n = F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
     )
+    return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
 
 
 def cosine_topk_bruteforce(

@@ -1,0 +1,66 @@
+"""Adversarial-input sweep: every analytics operator must tolerate the
+edge rows a real corpus contains — empty documents, single-token
+documents, exact duplicates, zero embeddings — without ANSI errors
+(Spark 4 enables ANSI by default: out-of-range element_at, illegal
+sequence boundaries and DIVIDE_BY_ZERO all throw)."""
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from sqlstreamstore_spark.analytics import dedup, pipeline, sampling, similarity, text
+
+
+@pytest.fixture(scope="module")
+def adv_docs(spark):
+    return spark.createDataFrame(
+        [(1, "", "en", "web", 0), (2, "x", "en", "web", 1),
+         (3, "same same same", "de", "book", 14), (4, "same same same", "de", "book", 14),
+         (5, "one two three four five six seven eight nine", "en", "web", 40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+@pytest.fixture(scope="module")
+def adv_emb(spark):
+    return spark.createDataFrame(
+        [(0, [0.0] * 64, "a"), (1, [1.0] + [0.0] * 63, "b"), (2, [1.0] + [0.0] * 63, "c")],
+        "vec_id long, embedding array<float>, label string",
+    )
+
+
+@pytest.mark.parametrize(
+    "name,build",
+    [
+        ("token_stats", lambda d: text.token_stats(d)),
+        ("quality", lambda d: text.quality_score(d)),
+        ("langid", lambda d: text.language_id(d)),
+        ("fingerprint", lambda d: text.fingerprint(d)),
+        ("rolling_hash", lambda d: text.rolling_hash_fingerprint(d)),
+        ("regex_tokens", lambda d: text.regex_token_count(d)),
+        ("vocabulary", lambda d: text.corpus_vocabulary(d)),
+        ("tfidf", lambda d: text.tf_idf_top_terms(d, max_doc=10)),
+        ("source_rollup", lambda d: text.source_quality_rollup(d)),
+        ("exact_groups", lambda d: dedup.exact_dedup_groups(d)),
+        ("exact_keepers", lambda d: dedup.exact_dedup_keepers(d)),
+        ("jaccard", lambda d: dedup.ngram_jaccard_pairs(d, threshold=0.2)),
+        ("minhash", lambda d: dedup.minhash_dedup_pairs(d, threshold=0.2)),
+        ("minhash_recall", lambda d: dedup.minhash_lsh_recall(d, threshold=0.2)),
+        ("simhash", lambda d: dedup.simhash_near_pairs(d)),
+        ("components", lambda d: dedup.near_dup_components(d, threshold=0.2)),
+        ("clean_corpus", lambda d: pipeline.clean_corpus(d)),
+        ("decontaminate", lambda d: pipeline.decontaminate_report(d)),
+        ("sample", lambda d: sampling.deterministic_sample(d, "doc_id", 0.5)),
+        ("split", lambda d: sampling.hash_split(d, "doc_id")),
+    ],
+)
+def test_document_operators_tolerate_edge_rows(adv_docs, name, build):
+    build(adv_docs).collect()  # must not raise
+
+
+def test_similarity_tolerates_zero_embeddings(adv_emb):
+    rows = similarity.cosine_topk_bruteforce(adv_emb, [0.0] * 64, k=3).collect()
+    assert all(r.cosine == 0.0 for r in rows)  # zero-vector convention
+    pairs = similarity.cosine_near_dup_pairs(adv_emb, 0.1).collect()
+    assert [(r.id_a, r.id_b, r.cosine) for r in pairs] == [(1, 2, 1.0)]
+    lsh = similarity.cosine_near_dup_pairs_lsh(adv_emb, 0.1).collect()
+    assert [(r.id_a, r.id_b, r.cosine) for r in lsh] == [(1, 2, 1.0)]
