@@ -15,7 +15,8 @@ def adv_docs(spark):
     return spark.createDataFrame(
         [(1, "", "en", "web", 0), (2, "x", "en", "web", 1),
          (3, "same same same", "de", "book", 14), (4, "same same same", "de", "book", 14),
-         (5, "one two three four five six seven eight nine", "en", "web", 40)],
+         (5, "one two three four five six seven eight nine", "en", "web", 40),
+         (6, "héllo wörld 😀 héllo wörld 😀 tail", "fr", "web", 33)],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
 
