@@ -146,3 +146,26 @@ def test_http_max_age_expiry_over_the_wire(duo):
     assert len(client.read_stream_forwards("s", 0, 10).messages) == 2
     clock.now += dt.timedelta(seconds=120)
     assert len(client.read_stream_forwards("s", 0, 10).messages) == 0
+
+
+def test_http_client_supports_catchup_subscriptions(duo):
+    """The reference's HTTP client supports poll-driven subscriptions;
+    ours reuses the generic catch-up loop over the HTTP page reads."""
+    import threading
+
+    from sqlstreamstore_spark.streaming import subscribe_to_all
+
+    _backend, client, _clock = duo
+    client.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(1, 2, 3))
+    got, done = [], threading.Event()
+
+    def cb(m):
+        got.append(m)
+        if len(got) >= 5:
+            done.set()
+
+    sub = subscribe_to_all(client, cb, poll_interval=0.05)
+    client.append_to_stream("s", ExpectedVersion.ANY, msgs(4, 5))
+    assert done.wait(10), f"only {len(got)} delivered"
+    sub.dispose()
+    assert [m.position for m in got] == [0, 1, 2, 3, 4]
