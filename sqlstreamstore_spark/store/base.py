@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import json
+import threading
 import uuid
 from collections.abc import Callable
 
@@ -119,6 +120,12 @@ class StreamStore:
         # fan-out, InMemoryStreamStore.cs:53-63), and a disposed
         # subscription releases only its own slot (ADVICE r1).
         self.on_appended = AppendedCallbacks()
+        # Serialize all writers within the process (the reference's
+        # in-memory store holds a lock for every mutation,
+        # InMemoryStreamStore.cs; the threaded HTTP server makes
+        # concurrent writers a reality for every backend). Re-entrant:
+        # metadata/delete paths nest through _append_internal.
+        self._write_lock = threading.RLock()
 
     # ---------------------------------------------------------------- backend
     # primitives each backend implements
@@ -195,6 +202,12 @@ class StreamStore:
         return self._append_internal(stream_id, expected_version, list(messages))
 
     def _append_internal(
+        self, stream_id: str, expected_version: int, messages: list[NewStreamMessage]
+    ) -> AppendResult:
+        with self._write_lock:
+            return self._append_internal_locked(stream_id, expected_version, messages)
+
+    def _append_internal_locked(
         self, stream_id: str, expected_version: int, messages: list[NewStreamMessage]
     ) -> AppendResult:
         # empty batch + concrete expected version: no-op at head
@@ -498,9 +511,10 @@ class StreamStore:
             )
         )
         msg = NewStreamMessage(message_id, METADATA_TYPE, payload)
-        result = self._append_internal(meta_id, expected_stream_metadata_version, [msg])
-        self._meta_cache.pop(stream_id, None)
-        self._check_stream_max_count(stream_id, max_count)
+        with self._write_lock:
+            result = self._append_internal(meta_id, expected_stream_metadata_version, [msg])
+            self._meta_cache.pop(stream_id, None)
+            self._check_stream_max_count(stream_id, max_count)
         return SetStreamMetadataResult(result.current_version)
 
     # --------------------------------------------------------------- deletes
@@ -509,9 +523,10 @@ class StreamStore:
         self, stream_id: str, expected_version: int = ExpectedVersion.ANY
     ) -> None:
         validate_stream_id(stream_id)
-        self._delete_stream_internal(stream_id, expected_version)
-        self._delete_stream_internal(metadata_stream_id(stream_id), ExpectedVersion.ANY)
-        self._meta_cache.pop(stream_id, None)
+        with self._write_lock:
+            self._delete_stream_internal(stream_id, expected_version)
+            self._delete_stream_internal(metadata_stream_id(stream_id), ExpectedVersion.ANY)
+            self._meta_cache.pop(stream_id, None)
 
     def _delete_stream_internal(self, stream_id: str, expected_version: int) -> None:
         head = self._stream_head(stream_id)
@@ -537,6 +552,10 @@ class StreamStore:
     def delete_message(self, stream_id: str, message_id: str, _validate: bool = True) -> None:
         if _validate:
             validate_stream_id(stream_id, allow_system=True)
+        with self._write_lock:
+            self._delete_message_locked(stream_id, message_id)
+
+    def _delete_message_locked(self, stream_id: str, message_id: str) -> None:
         deleted = self._delete_message_row(stream_id, message_id)
         if deleted and self.track_deletions:
             tombstone = NewStreamMessage(

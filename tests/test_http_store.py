@@ -169,3 +169,36 @@ def test_http_client_supports_catchup_subscriptions(duo):
     assert done.wait(10), f"only {len(got)} delivered"
     sub.dispose()
     assert [m.position for m in got] == [0, 1, 2, 3, 4]
+
+
+def test_http_concurrent_appends_are_serialized(duo):
+    """The threaded HTTP server makes concurrent writers real: parallel
+    appends from many client threads must all commit with dense global
+    positions and per-stream dense versions (the base-store write lock —
+    the reference's in-memory store locks every mutation)."""
+    import threading
+
+    _backend, client, _clock = duo
+    errors = []
+
+    def writer(t):
+        try:
+            for b in range(5):
+                client.append_to_stream(
+                    f"w-{t}", ExpectedVersion.ANY, msgs(*(t * 1000 + b * 10 + i for i in range(3)))
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    page = client.read_all_forwards(0, 1000)
+    positions = [m.position for m in page.messages]
+    assert positions == list(range(60))  # 4 writers x 5 batches x 3 msgs, dense
+    for t in range(4):
+        sp = client.read_stream_forwards(f"w-{t}", 0, 100)
+        assert [m.stream_version for m in sp.messages] == list(range(15))
