@@ -389,6 +389,15 @@ class SparkParquetStreamStore(StreamStore):
         the two-phase dense index (no single-partition funnel); stream
         versions by a per-stream window. Returns (n_rows, new_head).
         """
+        # same serialized-writer guarantee as the transactional API —
+        # the streaming sink invokes this from the micro-batch thread
+        # while the owning application may append on its own thread.
+        with self._write_lock:
+            return self._bulk_append_locked(new_messages, order_col, allow_existing)
+
+    def _bulk_append_locked(
+        self, new_messages, order_col: str, allow_existing: bool
+    ) -> tuple[int, int]:
         from pyspark.sql import Window
 
         from sqlstreamstore_spark.operators.positions import dense_global_index_pinned
