@@ -242,3 +242,42 @@ def test_concurrent_writer_raises_not_clobbers(spark, tmp_path):
     s3 = SparkParquetStreamStore(spark, path)
     assert s3.read_stream_head_version("x") == 1
     assert s3.read_head_position() == 1
+
+
+def test_cross_process_writer_conflict_and_sparkless_appends(tmp_path):
+    """Two real OS processes on one store path: the flock+CAS manifest
+    swap makes the stale handle raise instead of clobbering. Also pins a
+    deployment property: the transactional append path is pure
+    Python/pyarrow — a store handle with spark=None appends fine (ingest
+    agents need no JVM; Spark is the read/bulk/analytics tier)."""
+    import subprocess
+    import sys
+
+    from sqlstreamstore_spark.exceptions import ConcurrentWriteError
+
+    path = str(tmp_path / "xproc")
+    store = SparkParquetStreamStore(None, path)
+    r = store.append_to_stream("a", ExpectedVersion.NO_STREAM, msgs(1))
+    assert (r.current_version, r.current_position) == (0, 0)
+
+    child = subprocess.run(
+        [sys.executable, "-c", f"""
+import sys
+sys.path.insert(0, "/root/repo")
+import uuid
+from sqlstreamstore_spark.schema import ExpectedVersion
+from sqlstreamstore_spark.store import NewStreamMessage, SparkParquetStreamStore
+s = SparkParquetStreamStore(None, {path!r})
+r = s.append_to_stream("a", 0, [NewStreamMessage(str(uuid.UUID(int=2)), "t", '{{"n":2}}')])
+assert (r.current_version, r.current_position) == (1, 1), r
+print("child-ok")
+"""],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert "child-ok" in child.stdout, child.stderr
+
+    with pytest.raises(ConcurrentWriteError):
+        store.append_to_stream("b", ExpectedVersion.NO_STREAM, msgs(3))
+    # a re-opened handle sees both processes' commits
+    s3 = SparkParquetStreamStore(None, path)
+    assert s3.read_stream_head_version("a") == 1
