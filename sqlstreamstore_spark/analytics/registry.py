@@ -798,6 +798,53 @@ LIMIT {k}
 _IVF_STATIC_SQL = _ivf_static_sql()
 
 
+def _multimodal_golden_sqls() -> tuple[str, str, str]:
+    """Golden-VALUES oracles for the stubbed media pipeline: the fake
+    payloads are deterministic, so the expected output of each
+    mapInPandas/explode stage is computable here, driver-side, with the
+    same pure functions the executors run. The gate then verifies the
+    DISTRIBUTED execution path (Arrow batches, partitioning, schema)
+    returns exactly these rows — a golden snapshot, not an independent
+    recomputation (the honest label for a stub decoder; the payload
+    byte-stats query is the independently-computed media oracle)."""
+    from sqlstreamstore_spark.analytics.multimodal import _decode_one, encode_fake_media
+
+    kinds = ["image", "audio", "video"]
+    decode_rows, frame_rows, resize_rows = [], [], []
+    for i in range(100):
+        kind = kinds[i % 3]
+        w, h, d = (64 + i % 32, 48 + i % 24, 1000 + i * 10)
+        payload = encode_fake_media(i, kind, w, h, d)
+        f = _decode_one(payload)
+        decode_rows.append(
+            f"({i}, '{f['decoded_kind']}', {f['width']}, {f['height']}, "
+            f"{f['duration_ms']}, {f['n_bytes']}, {f['checksum']})"
+        )
+        if kind == "video":
+            for ts in range(0, d, 500):  # gate query uses every_ms=500
+                frame_rows.append(f"({i}, {ts}, '{i}-{ts}')")
+        if kind == "image":
+            resized = encode_fake_media(i, "image", 32, 32, f["duration_ms"])
+            resize_rows.append(f"({i}, 32, 32, {len(resized)})")
+    decode_sql = (
+        "SELECT * FROM (VALUES\n" + ",\n".join(decode_rows)
+        + ") AS t(media_id, decoded_kind, width, height, duration_ms, n_bytes, checksum)"
+        + "\nORDER BY media_id"
+    )
+    frame_sql = (
+        "SELECT * FROM (VALUES\n" + ",\n".join(frame_rows)
+        + ") AS t(media_id, frame_ts_ms, frame_id)\nORDER BY media_id, frame_ts_ms"
+    )
+    resize_sql = (
+        "SELECT * FROM (VALUES\n" + ",\n".join(resize_rows)
+        + ") AS t(media_id, width, height, n_bytes)\nORDER BY media_id"
+    )
+    return decode_sql, frame_sql, resize_sql
+
+
+_MM_DECODE_SQL, _MM_FRAMES_SQL, _MM_RESIZE_SQL = _multimodal_golden_sqls()
+
+
 def _minhash_ctes(k: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
     """Shared WITH-clause body for the MinHash oracles (md5 family):
     shingles -> signatures -> banded candidates -> exact-Jaccard set."""
@@ -1392,18 +1439,19 @@ def analytics_queries():
         "multimodal_decode": (
             lambda s, sf: multimodal.decode_features(multimodal.make_fake_media_df(s, 100))
             .orderBy("media_id"),
-            None,
+            _MM_DECODE_SQL,  # golden VALUES (deterministic stub data)
         ),
         "multimodal_frame_sample": (
             lambda s, sf: multimodal.sample_video_frames(
                 multimodal.make_fake_media_df(s, 100), every_ms=500
             ).orderBy("media_id", "frame_ts_ms"),
-            None,
+            _MM_FRAMES_SQL,
         ),
         "multimodal_resize": (
             lambda s, sf: multimodal.resize_images(
                 multimodal.make_fake_media_df(s, 100), 32, 32
-            ).select("media_id", "width", "height").orderBy("media_id"),
-            None,
+            ).select("media_id", "width", "height",
+                     F.length("payload").alias("n_bytes")).orderBy("media_id"),
+            _MM_RESIZE_SQL,
         ),
     }
