@@ -263,3 +263,66 @@ def test_two_live_subscriptions_both_get_push_wakeups():
     assert all(e.wait(3) for e in evts), "a subscription missed the push wakeup"
     for s in subs:
         s.dispose()
+
+
+def test_subscribe_to_stream_before_messages_are_written():
+    """Can_subscribe_to_a_stream_from_start_before_messages_are_written:
+    subscribing to a not-yet-existing stream delivers messages appended
+    afterwards."""
+    store = InMemoryStreamStore()
+    got, evt, cb = collect_until(3)
+    sub = subscribe_to_stream(store, "later", cb, poll_interval=0.02)
+    store.append_to_stream("later", ExpectedVersion.NO_STREAM, msgs(1, 2, 3))
+    assert evt.wait(5)
+    sub.dispose()
+    assert [m.stream_version for m in got] == [0, 1, 2]
+
+
+def test_subscribe_to_all_from_end_on_empty_store():
+    """Given_empty_streamstore_can_subscribe_to_all_stream_from_end
+    (AllStreamSubscription.cs:176 empty-store edge): from-end on an
+    empty store delivers only what arrives after subscribing."""
+    store = InMemoryStreamStore()
+    got, evt, cb = collect_until(2)
+    sub = subscribe_to_all(store, cb, from_end=True, poll_interval=0.02)
+    time.sleep(0.1)
+    store.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(1, 2))
+    assert evt.wait(5)
+    sub.dispose()
+    assert [m.position for m in got] == [0, 1]
+
+
+def test_dispose_subscription_multiple_times():
+    """Can_dispose_stream_subscription_multiple_times: dispose is
+    idempotent and the drop reason stays Disposed (fired once)."""
+    store = InMemoryStreamStore()
+    store.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(1))
+    drops = []
+    sub = subscribe_to_stream(
+        store, "s", lambda m: None,
+        on_dropped=lambda reason, exc: drops.append(reason), poll_interval=0.02,
+    )
+    time.sleep(0.2)
+    sub.dispose()
+    sub.dispose()
+    sub.dispose()
+    assert sub.dropped_reason == SubscriptionDroppedReason.DISPOSED
+    assert drops.count(SubscriptionDroppedReason.DISPOSED) <= 1
+
+
+def test_deleted_stream_tombstone_has_correct_position_via_subscription():
+    """When_delete_then_deleted_message_should_have_correct_position:
+    the $deleted tombstone appended by delete_stream is delivered at the
+    next global position."""
+    store = InMemoryStreamStore()
+    store.append_to_stream("a", ExpectedVersion.NO_STREAM, msgs(1, 2))
+    store.delete_stream("a")
+    got, evt, cb = collect_until(1)
+    sub = subscribe_to_all(store, cb, poll_interval=0.02)
+    assert evt.wait(5)
+    sub.dispose()
+    # positions 0,1 are deleted with the stream; the tombstone holds the
+    # next assigned position (2)
+    assert got[0].stream_id == "$deleted"
+    assert got[0].type == "$stream-deleted"
+    assert got[0].position == 2
