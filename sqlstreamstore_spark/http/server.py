@@ -131,8 +131,12 @@ def _make_handler(store: StreamStore):
                     "expectedVersion": e.expected_version,
                     "message": str(e),
                 })
-            except (InvalidStreamIdError, ValueError) as e:
+            except (InvalidStreamIdError, ValueError, KeyError, TypeError, AttributeError) as e:
+                # malformed body/params (missing keys, wrong shapes) are
+                # client errors — never drop the connection
                 self._send(400, {"error": type(e).__name__, "message": str(e)})
+            except Exception as e:  # noqa: BLE001 — last-resort 500 with a body
+                self._send(500, {"error": type(e).__name__, "message": str(e)})
 
         # --------------------------------------------------------- routes
 

@@ -202,3 +202,36 @@ def test_http_concurrent_appends_are_serialized(duo):
     for t in range(4):
         sp = client.read_stream_forwards(f"w-{t}", 0, 100)
         assert [m.stream_version for m in sp.messages] == list(range(15))
+
+
+def test_http_malformed_requests_get_4xx_not_dropped_connections(duo):
+    """Malformed bodies/params are client errors: the server must answer
+    400/404 with a JSON body, never crash the handler thread (a KeyError
+    used to drop the connection mid-request)."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    _backend, client, _clock = duo
+
+    def req(method, path, data=None, headers=None):
+        r = urllib.request.Request(
+            client.base_url + path, data=data, method=method,
+            headers={"Content-Type": "application/json", **(headers or {})},
+        )
+        try:
+            with urllib.request.urlopen(r, timeout=10) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            e.read()
+            return e.code
+
+    assert req("POST", "/streams/s", b"{not json") == 400
+    assert req("POST", "/streams/s", json.dumps([{"x": 1}]).encode()) == 400
+    assert req("POST", "/streams/s", b"[]", {"SSS-ExpectedVersion": "abc"}) == 400
+    assert req("GET", "/nope/deep/path") == 404
+    assert req("GET", "/stream?position=xx") == 400
+    assert req("POST", "/streams/s/metadata", b'"just a string"') == 400
+    # the server is still alive and serving after all of that
+    client.append_to_stream("alive", ExpectedVersion.NO_STREAM, msgs(1))
+    assert client.read_stream_head_version("alive") == 0
