@@ -73,3 +73,61 @@ def scavenge_victims_df(
         .orderBy("stream_version")
         .select(key_col)
     )
+
+
+def stream_meta_df(log: DataFrame) -> DataFrame:
+    """Derive the per-stream retention table from the `$$` metadata
+    shadow streams: latest metadata message per stream wins
+    (InMemoryStreamStore.cs:200-208). Pure DataFrame — one window over
+    the (tiny) metadata-stream subset; broadcast the result."""
+    from pyspark.sql import Window
+
+    meta_msgs = log.filter(F.col("stream_id").startswith("$$"))
+    w = Window.partitionBy("stream_id").orderBy(F.col("stream_version").desc())
+    latest = (
+        meta_msgs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.expr("substring(stream_id, 3)").alias("stream_id"),
+            F.get_json_object("json_data", "$.MaxAge").cast("int").alias("max_age"),
+            F.get_json_object("json_data", "$.MaxCount").cast("int").alias("max_count"),
+        )
+    )
+    return latest
+
+
+def scavenge_all_victims_df(log: DataFrame, stream_meta: DataFrame) -> DataFrame:
+    """ALL (stream_id, message_id) pairs beyond their stream's max_count
+    — the whole-store batch form of the reference's per-append async
+    scavenge (Scavenge.sql:20-29 looped per stream): one window pass
+    over streams that HAVE max_count, rank desc by version, victims are
+    rank > max_count. Scale: the semi-join against the bounded metadata
+    table prunes the scan to governed streams before the shuffle."""
+    from pyspark.sql import Window
+
+    governed = F.broadcast(
+        stream_meta.filter(F.col("max_count").isNotNull()).select("stream_id", "max_count")
+    )
+    w = Window.partitionBy("stream_id").orderBy(F.col("stream_version").desc())
+    return (
+        log.join(governed, "stream_id")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > F.col("max_count"))
+        .select("stream_id", "message_id", "stream_version")
+    )
+
+
+def expire_all_victims_df(log: DataFrame, stream_meta: DataFrame, now_utc) -> DataFrame:
+    """ALL expired (stream_id, message_id) pairs by max_age — the batch
+    twin of the read-path expiry filter (same predicate, inverted)."""
+    governed = F.broadcast(
+        stream_meta.filter(F.col("max_age").isNotNull()).select("stream_id", "max_age")
+    )
+    now_us = F.lit(int(now_utc.timestamp() * 1_000_000))
+    created_us = F.unix_micros(F.col("created_utc"))
+    return (
+        log.filter(~F.col("stream_id").startswith("$"))
+        .join(governed, "stream_id")
+        .filter(created_us + F.col("max_age").cast("long") * F.lit(1_000_000) <= now_us)
+        .select("stream_id", "message_id", "stream_version")
+    )

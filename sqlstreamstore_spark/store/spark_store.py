@@ -483,6 +483,57 @@ class SparkParquetStreamStore(StreamStore):
 
     # ---------------------------------------------------------- maintenance
 
+    def scavenge(self, now: _dt.datetime | None = None) -> dict:
+        """Whole-store retention pass: every stream's max-count overflow
+        plus every max-age-expired message, found in one distributed
+        window/join pass each and recorded as logical deletes in a
+        single manifest commit — the batch form of the reference's
+        per-append async scavenge queue (Infrastructure/TaskQueue.cs,
+        Scavenge.sql), which loops per stream. Run compact() afterwards
+        to reclaim the bytes physically.
+
+        Returns {"max_count_victims": n, "expired_victims": n}. The
+        victim list reaches the driver (it feeds the manifest's deletion
+        sets, the same O(deletes) the reference writes per scavenge);
+        for a severely-neglected 100 TB store run compact() directly —
+        it applies the same predicates without materializing victims.
+        """
+        from sqlstreamstore_spark.operators.retention import (
+            expire_all_victims_df,
+            scavenge_all_victims_df,
+            stream_meta_df,
+        )
+
+        with self._write_lock:
+            log = self.log_df()
+            meta = stream_meta_df(log)
+            count_victims = scavenge_all_victims_df(log, meta).collect()
+            expire_victims = expire_all_victims_df(
+                log, meta, now or self.get_utc_now()
+            ).collect()
+            seen: set[tuple[str, str]] = set()
+            n_count, n_age = 0, 0
+            for rows, is_count in ((count_victims, True), (expire_victims, False)):
+                for r in rows:
+                    key = (r.stream_id, r.message_id)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    self._manifest["deleted_messages"].setdefault(
+                        r.stream_id, []
+                    ).append(r.message_id)
+                    s = self._manifest["streams"].get(r.stream_id)
+                    if s:
+                        s["count"] = max(0, s["count"] - 1)
+                    self._ids_cache.pop(r.stream_id, None)
+                    if is_count:
+                        n_count += 1
+                    else:
+                        n_age += 1
+            if seen:
+                self._save_manifest()
+            return {"max_count_victims": n_count, "expired_victims": n_age}
+
     def compact(self, target_files: int | None = None, layout: str = "by_position") -> None:
         """Apply deletion sets physically and merge small commit files:
         rewrite the live log into ~target_files Parquet files, then swap

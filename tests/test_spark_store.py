@@ -281,3 +281,44 @@ print("child-ok")
     # a re-opened handle sees both processes' commits
     s3 = SparkParquetStreamStore(None, path)
     assert s3.read_stream_head_version("a") == 1
+
+
+def test_whole_store_scavenge_pass(spark, tmp_path):
+    """store.scavenge(): one distributed pass applies max-count and
+    max-age retention across every governed stream, as logical deletes
+    in one manifest commit (the batch form of the reference's per-append
+    scavenge queue)."""
+    import datetime as dt
+
+    clock = Clock()
+    store = SparkParquetStreamStore(spark, str(tmp_path / "sc"), get_utc_now=clock)
+    store.set_stream_metadata("keep2", max_count=2)
+    store.set_stream_metadata("age", max_age=600)
+    store.append_to_stream("age", ExpectedVersion.NO_STREAM, msgs(10, 11))
+    store.append_to_stream("free", ExpectedVersion.NO_STREAM, msgs(20))
+    # bulk ingestion bypasses the per-append scavenge by contract —
+    # the whole-store batch pass is what applies retention afterwards
+    bulk = spark.createDataFrame(
+        [("keep2", str(uuid.UUID(int=100 + i)), "t", '{"x":1}', "",
+          dt.datetime(2024, 1, 1), i) for i in range(4)],
+        "stream_id string, message_id string, type string, json_data string, "
+        "json_metadata string, created_utc timestamp, seq long",
+    )
+    store.bulk_append(bulk, order_col="seq", allow_existing=True)
+    clock.now += dt.timedelta(seconds=3600)
+    store.append_to_stream("age", 1, msgs(12))  # first two now expired
+
+    out = store.scavenge()
+    assert out == {"max_count_victims": 2, "expired_victims": 2}
+    assert [m.stream_version for m in
+            store.read_stream_forwards("keep2", 0, 10).messages] == [2, 3]
+    assert [m.stream_version for m in
+            store.read_stream_forwards("age", 0, 10).messages] == [2]
+    assert [m.stream_version for m in
+            store.read_stream_forwards("free", 0, 10).messages] == [0]
+    # idempotent: nothing left to scavenge
+    assert store.scavenge() == {"max_count_victims": 0, "expired_victims": 0}
+    # compact() then reclaims physically and the result still reads back
+    store.compact(target_files=1)
+    assert [m.stream_version for m in
+            store.read_stream_forwards("keep2", 0, 10).messages] == [2, 3]
