@@ -47,6 +47,7 @@ P_ALL_FROM = 100
 P_ALL_BACK = 500
 N_PAGE = 50
 STREAM = "user-13"
+STREAM_B = "user-7"
 STREAM_FROM_V = 2
 STREAM_BACK_V = 20
 N_STREAM = 10
@@ -169,6 +170,17 @@ def _stream_store_queries() -> dict[str, QuerySpec]:
         # oracle re-ranks the same way, so this verifies the store's
         # commit protocol + manifest read path end to end, not just the
         # log derivation.
+        "scavenge_all_victims": (
+            _scavenge_all_query,
+            C
+            + f"""SELECT stream_id, stream_version FROM (
+  SELECT stream_id, stream_version,
+         row_number() OVER (PARTITION BY stream_id ORDER BY stream_version DESC) AS rk
+  FROM events_log
+  WHERE stream_id IN ('{STREAM}', '{STREAM_B}')) t
+WHERE rk > {SCAVENGE_MAX_COUNT}
+ORDER BY stream_id, stream_version""",
+        ),
         "store_bulk_roundtrip": (
             _store_roundtrip_query,
             C
@@ -184,6 +196,22 @@ SELECT position, stream_id, stream_version, created_utc, type, json_data
 FROM ingested ORDER BY position LIMIT 200""",
         ),
     }
+
+
+def _scavenge_all_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Whole-store batch scavenge shape (operators/retention.py
+    scavenge_all_victims_df) with a literal two-stream meta table."""
+    from sqlstreamstore_spark.operators.retention import scavenge_all_victims_df
+
+    meta = spark.createDataFrame(
+        [(STREAM, SCAVENGE_MAX_COUNT), (STREAM_B, SCAVENGE_MAX_COUNT)],
+        "stream_id string, max_count int",
+    )
+    return (
+        scavenge_all_victims_df(get_log(spark, sf), meta)
+        .select("stream_id", "stream_version")
+        .orderBy("stream_id", "stream_version")
+    )
 
 
 def _store_roundtrip_query(spark: SparkSession, sf: str) -> DataFrame:
