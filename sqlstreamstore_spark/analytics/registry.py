@@ -1125,6 +1125,22 @@ def _asof_query(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def _salted_topk_query(spark: SparkSession, sf: str) -> DataFrame:
+    from sqlstreamstore_spark.operators.skew import topk_per_key_salted
+
+    return (
+        topk_per_key_salted(
+            _t(spark, sf, "orders"),
+            key_cols=["o_custkey"],
+            order_col="o_totalprice",
+            k=3,
+            tiebreak_col="o_orderkey",
+        )
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
 def _sim_topk_ivf_query(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -1221,6 +1237,14 @@ def analytics_queries():
         ),
         "topk_orders_per_customer": (
             lambda s, sf: tpch.top_orders_per_customer(_t(s, sf, "orders")),
+            _TOPK_ORDERS_SQL,
+        ),
+        # the hot-key-safe twin must produce the IDENTICAL result — same
+        # oracle; at scale the salted two-phase ranking replaces the
+        # direct window when one key dominates (AQE can't split a window
+        # partition)
+        "topk_orders_salted": (
+            lambda s, sf: _salted_topk_query(s, sf),
             _TOPK_ORDERS_SQL,
         ),
         # events
