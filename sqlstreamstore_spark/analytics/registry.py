@@ -1125,6 +1125,35 @@ def _asof_query(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+_SALTED_JOIN_SQL = """
+SELECT c.c_nationkey,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+
+def _salted_join_query(spark: SparkSession, sf: str) -> DataFrame:
+    from sqlstreamstore_spark.operators.skew import salted_join
+
+    joined = salted_join(
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "customer").select("c_custkey", "c_nationkey"),
+        left_key="o_custkey",
+        right_key="c_custkey",
+    )
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def _salted_topk_query(spark: SparkSession, sf: str) -> DataFrame:
     from sqlstreamstore_spark.operators.skew import topk_per_key_salted
 
@@ -1239,13 +1268,18 @@ def analytics_queries():
             lambda s, sf: tpch.top_orders_per_customer(_t(s, sf, "orders")),
             _TOPK_ORDERS_SQL,
         ),
-        # the hot-key-safe twin must produce the IDENTICAL result — same
-        # oracle; at scale the salted two-phase ranking replaces the
+        # the hot-key-safe twins must produce IDENTICAL results — same
+        # oracles; at scale the salted two-phase ranking replaces the
         # direct window when one key dominates (AQE can't split a window
-        # partition)
+        # partition), and the salted join spreads a hot join key across
+        # `salt` reducers
         "topk_orders_salted": (
             lambda s, sf: _salted_topk_query(s, sf),
             _TOPK_ORDERS_SQL,
+        ),
+        "salted_join_order_totals": (
+            lambda s, sf: _salted_join_query(s, sf),
+            _SALTED_JOIN_SQL,
         ),
         # events
         "sessions_per_user": (
