@@ -3,7 +3,11 @@
 Imports __spark_entry__ exactly as the driver does, smoke-runs entry(),
 then runs every queries()[name] at the given sf_dir against its
 oracle_sql()[name] via DuckDB: row-count + column-name + order-insensitive
-value compare. Usage: python tools/driver_sim.py [sf_dir]
+value compare.
+
+Usage: python tools/driver_sim.py [sf_dir] [query_name ...]
+Passing query names restricts the run to those (entry() smoke included
+only on full runs) — the fast loop when iterating on one oracle.
 """
 
 from __future__ import annotations
@@ -37,7 +41,7 @@ def norm(v):
     return str(v)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import duckdb
 
     import __spark_entry__ as E
@@ -60,12 +64,13 @@ def main(sf_dir: str) -> int:
     )
     spark.sparkContext.setLogLevel("WARN")
 
-    t0 = time.time()
-    edf = E.entry(spark)
-    rows = edf.collect()
-    print(f"entry(): {len(rows)} rows, schema={[f.name for f in edf.schema.fields]}, "
-          f"{time.time()-t0:.1f}s")
-    assert len(rows) >= 0
+    if not only:
+        t0 = time.time()
+        edf = E.entry(spark)
+        rows = edf.collect()
+        print(f"entry(): {len(rows)} rows, schema={[f.name for f in edf.schema.fields]}, "
+              f"{time.time()-t0:.1f}s")
+        assert len(rows) >= 0
 
     con = duckdb.connect()
     for t in (
@@ -75,6 +80,12 @@ def main(sf_dir: str) -> int:
 
     qs = E.queries()
     oracles = E.oracle_sql()
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            print("unknown queries:", unknown)
+            return 2
+        qs = {n: qs[n] for n in only}
     print(f"{len(qs)} queries, {len(oracles)} oracles")
     failures = []
     for name, fn in qs.items():
@@ -123,4 +134,7 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(main(
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+        sys.argv[2:] or None,
+    ))
