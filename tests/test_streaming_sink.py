@@ -88,3 +88,22 @@ def test_store_sink_skips_replayed_epoch(spark, tmp_path):
     q = store_sink(store, stream, order_col="seq", query_name="sink_replay")
     q.awaitTermination(120)
     assert store.read_head_position() == -1  # epoch 0 was skipped
+
+
+def test_bulk_append_into_deleted_then_recreated_stream(spark, tmp_path):
+    """Deletion cutoffs + bulk re-creation interplay: bulk rows into a
+    previously deleted stream id land above the cutoff with versions
+    from 0 — fully visible (the r1 advisor's delete-shadowing class)."""
+    store = SparkParquetStreamStore(spark, str(tmp_path / "store4"))
+    store.append_to_stream(
+        "a", ExpectedVersion.NO_STREAM,
+        [NewStreamMessage(str(uuid.UUID(int=1)), "t", "{}"),
+         NewStreamMessage(str(uuid.UUID(int=2)), "t", "{}")],
+    )
+    store.delete_stream("a")
+    n, head = store.bulk_append(_messages_df(spark, 100, 3, streams=1).withColumn(
+        "stream_id", F.lit("a")), "seq", allow_existing=True)
+    assert (n, head) == (3, 5)  # tombstone took position 2
+    p = store.read_stream_forwards("a", 0, 10)
+    assert [m.stream_version for m in p.messages] == [0, 1, 2]
+    assert [m.position for m in p.messages] == [3, 4, 5]
