@@ -235,3 +235,40 @@ def test_http_malformed_requests_get_4xx_not_dropped_connections(duo):
     # the server is still alive and serving after all of that
     client.append_to_stream("alive", ExpectedVersion.NO_STREAM, msgs(1))
     assert client.read_stream_head_version("alive") == 0
+
+
+def test_http_over_parquet_store_full_stack(spark, tmp_path):
+    """Three tiers together: HttpClientStreamStore → HAL server →
+    SparkParquetStreamStore. Appends over the wire commit to parquet,
+    pages read back, and a catch-up subscription drains via HTTP."""
+    import threading
+
+    from sqlstreamstore_spark.store import SparkParquetStreamStore
+    from sqlstreamstore_spark.streaming import subscribe_to_all
+
+    backend = SparkParquetStreamStore(spark, str(tmp_path / "pstore"))
+    server = StreamStoreHttpServer(backend).start()
+    try:
+        client = HttpClientStreamStore(server.url)
+        client.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(1, 2, 3))
+        assert client.read_head_position() == 2
+        page = client.read_all_forwards(0, 10)
+        assert [m.position for m in page.messages] == [0, 1, 2]
+
+        got, done = [], threading.Event()
+
+        def cb(m):
+            got.append(m)
+            if len(got) >= 5:
+                done.set()
+
+        sub = subscribe_to_all(client, cb, poll_interval=0.1)
+        client.append_to_stream("s", 2, msgs(4, 5))
+        assert done.wait(30), f"only {len(got)} delivered"
+        sub.dispose()
+        assert [m.position for m in got] == [0, 1, 2, 3, 4]
+        # the parquet files on disk hold exactly what went over the wire
+        reopened = SparkParquetStreamStore(spark, str(tmp_path / "pstore"))
+        assert reopened.read_stream_head_version("s") == 4
+    finally:
+        server.stop()
