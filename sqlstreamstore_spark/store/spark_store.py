@@ -56,6 +56,7 @@ class SparkParquetStreamStore(StreamStore):
         self._data_dir = os.path.join(path, "data")
         self._manifest_path = os.path.join(path, "manifest.json")
         self._lock_path = os.path.join(path, ".manifest.lock")
+        self._version_path = os.path.join(path, "manifest.version")
         os.makedirs(self._data_dir, exist_ok=True)
         self._manifest = self._load_manifest()
         self._ids_cache: dict[str, list[str]] = {}
@@ -93,7 +94,17 @@ class SparkParquetStreamStore(StreamStore):
         exclusive flock around a version CAS (on-disk version must equal
         the version this handle loaded/last wrote). Two handles racing
         the same store path -> the loser raises ConcurrentWriteError
-        instead of silently clobbering the winner's commit."""
+        instead of silently clobbering the winner's commit.
+
+        The CAS fast path reads a tiny sidecar version file instead of
+        parsing the whole manifest; a missing/mismatching sidecar (crash
+        between the two writes, legacy store) falls back to the full
+        parse, so the sidecar is purely an optimization. Commit cost is
+        still O(#streams) per swap (the whole manifest re-serializes) —
+        at millions of streams the next step is a delta log (snapshot +
+        per-commit patch lines, replayed on open); the reference's SQL
+        backends update one `streams` row per append for the same
+        reason (AppendToStream.sql:160-163)."""
         import fcntl
 
         from sqlstreamstore_spark.exceptions import ConcurrentWriteError
@@ -102,18 +113,32 @@ class SparkParquetStreamStore(StreamStore):
         with open(self._lock_path, "w") as lk:
             fcntl.flock(lk, fcntl.LOCK_EX)
             try:
-                if os.path.exists(self._manifest_path):
-                    with open(self._manifest_path) as f:
-                        found = json.load(f).get("version", 0)
+                found = None
+                if os.path.exists(self._version_path):
+                    try:
+                        with open(self._version_path) as f:
+                            found = int(f.read().strip() or 0)
+                    except ValueError:
+                        found = None
+                if found is None or found != expected:
+                    # slow path: the sidecar is advisory — confirm
+                    # against the manifest itself before deciding
+                    if os.path.exists(self._manifest_path):
+                        with open(self._manifest_path) as f:
+                            found = json.load(f).get("version", 0)
+                    else:
+                        found = 0
                     if found != expected:
                         raise ConcurrentWriteError(self.path, expected, found)
-                elif expected != 0:
-                    raise ConcurrentWriteError(self.path, expected, 0)
                 self._manifest["version"] += 1
                 tmp = self._manifest_path + f".tmp.{_uuid.uuid4().hex}"
                 with open(tmp, "w") as f:
-                    json.dump(self._manifest, f)
+                    json.dump(self._manifest, f, separators=(",", ":"))
                 os.replace(tmp, self._manifest_path)
+                tmpv = self._version_path + ".tmp"
+                with open(tmpv, "w") as f:
+                    f.write(str(self._manifest["version"]))
+                os.replace(tmpv, self._version_path)
             finally:
                 fcntl.flock(lk, fcntl.LOCK_UN)
 
