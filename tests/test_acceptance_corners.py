@@ -93,3 +93,20 @@ def test_append_single_message_convenience_overload(store):
     )
     assert r.current_version == 0
     assert store.read_stream_forwards("s", 0, 10).messages[0].stream_version == 0
+
+
+def test_can_create_empty_stream_and_append_to_it(store):
+    """AcceptanceTests.AppendStream.cs:295-313 — appending an empty
+    batch with NoStream CREATES the stream (reads return Success with
+    zero messages, head -1), and a later EmptyStream-sentinel append
+    succeeds."""
+    r = store.append_to_stream("stream-1", ExpectedVersion.NO_STREAM, [])
+    assert (r.current_version, r.current_position) == (-1, -1)
+    page = store.read_stream_forwards("stream-1", 0, 2)
+    assert page.status == "Success" and page.messages == []
+    assert store.read_stream_head_version("stream-1") == -1
+    r2 = store.append_to_stream(
+        "stream-1", ExpectedVersion.EMPTY_STREAM,
+        msgs(1, 2, 3),
+    )
+    assert r2.current_version == 2
