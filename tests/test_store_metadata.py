@@ -104,10 +104,11 @@ def test_delete_stream_wrong_version_throws(store):
         store.delete_stream("s", 7)
 
 
-def test_delete_missing_stream_is_noop_with_any(store):
+def test_delete_missing_stream_never_throws(store):
+    """DeleteStream.cs:111-128 — deleting an absent stream is a no-op
+    with ANY and with a concrete expected version alike."""
     store.delete_stream("nope")  # no raise
-    with pytest.raises(WrongExpectedVersionError):
-        store.delete_stream("nope", 0)
+    store.delete_stream("nope", 0)  # also no raise (reference-pinned)
 
 
 def test_delete_message_keeps_versions(store):
