@@ -110,3 +110,18 @@ def test_can_create_empty_stream_and_append_to_it(store):
         msgs(1, 2, 3),
     )
     assert r2.current_version == 2
+
+
+def test_unicode_and_large_payload_roundtrip(store):
+    """Unicode types/payloads/metadata and ~100 KB bodies round-trip on
+    every backend, including the lazy prefetch=false fetch."""
+    payload = '{"text": "héllo 😀 \\" quotes ' + "x" * 100_000 + '"}'
+    meta = '{"m": "wörld"}'
+    store.append_to_stream(
+        "u", ExpectedVersion.NO_STREAM,
+        [NewStreamMessage(str(uuid.UUID(int=1)), "tÿpe", payload, meta)],
+    )
+    m = store.read_stream_forwards("u", 0, 10).messages[0]
+    assert m.json_data == payload and m.json_metadata == meta and m.type == "tÿpe"
+    lazy = store.read_stream_forwards("u", 0, 10, prefetch_json_data=False).messages[0]
+    assert lazy.json_data is None and lazy.get_json_data() == payload
