@@ -212,12 +212,42 @@ def minhash_dedup_pairs(
     family: str = "md5",
 ) -> DataFrame:
     """LSH candidates verified with exact n-gram Jaccard — the full
-    sub-quadratic near-dup pipeline. At scale the candidate set is
-    orders of magnitude smaller than the pair space; the verify join
-    touches only candidates."""
+    sub-quadratic near-dup pipeline.
+
+    The verify step touches ONLY candidates: each (doc_a, doc_b) pair is
+    joined back to the two documents' distinct-shingle SETS (kept as
+    arrays, one row per doc — linear state, never exploded) and Jaccard
+    is computed with ``array_intersect``/``size`` per pair. The
+    full-corpus shingle self-join — the quadratic blow-up LSH exists to
+    avoid — never runs; the only corpus-wide shuffles are the linear
+    signature/banding passes and one doc_id-keyed join per pair side.
+    The intersection arithmetic is the same int/int division as
+    ngram_jaccard_pairs, so the md5-family oracle stays bit-identical.
+    """
     cands = minhash_lsh_candidates(documents, k=k, bands=bands, n=n, family=family)
-    exact = ngram_jaccard_pairs(documents, n=n, threshold=threshold)
-    return cands.join(exact, ["doc_a", "doc_b"]).orderBy("doc_a", "doc_b")
+    sets = documents.select("doc_id", _shingles(F.col("text"), n).alias("ss"))
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
+    n_inter = F.size(F.array_intersect(F.col("ss_a"), F.col("ss_b"))).cast("bigint")
+    n_a = F.size(F.col("ss_a")).cast("bigint")
+    n_b = F.size(F.col("ss_b")).cast("bigint")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_inter.alias("n_inter"),
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+        )
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:

@@ -1186,6 +1186,33 @@ def _sim_topk_ivf_static_query(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_IVF_INDEX_CACHE: dict[str, list] = {}
+
+
+def _sim_topk_ivf_index_query(spark: SparkSession, sf: str) -> DataFrame:
+    """The deployed-index path: materialize the cluster_id-partitioned
+    index once per sf (driver calls repeat), then probe it with
+    partition pruning. Same results as cosine_topk_ivf_static — shares
+    its oracle."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "sss_ivf_index_" + hashlib.md5(sf.encode()).hexdigest()[:10],
+    )
+    cents = _IVF_INDEX_CACHE.get(path)
+    if cents is None:
+        cents = similarity.build_ivf_index(emb, path, n_clusters=8)
+        _IVF_INDEX_CACHE[path] = cents
+    return similarity.cosine_topk_ivf_index(
+        spark, path, [float(x) for x in qvec], cents, k=10, n_probe=4
+    )
+
+
 def analytics_queries():
     """name → (spark_fn, oracle_sql | None). None = rows-only check
     (non-SQL-expressible: engine-specific hash families)."""
@@ -1390,6 +1417,8 @@ def analytics_queries():
         # centroids (fully oracled — probe/assign/re-rank in SQL)
         "sim_cosine_topk_ivf": (_sim_topk_ivf_query, None),
         "sim_cosine_topk_ivf_static": (_sim_topk_ivf_static_query, _IVF_STATIC_SQL),
+        # identical results via the materialized, partition-pruned index
+        "sim_cosine_topk_ivf_index": (_sim_topk_ivf_index_query, _IVF_STATIC_SQL),
         # exact all-pairs is the sf-CAPPED oracle baseline (O(N^2) by
         # construction — never the scale path); the LSH entry below is
         # the headline near-dup operator, uncapped and oracled.

@@ -295,6 +295,72 @@ def cosine_topk_ivf(
     )
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    n_clusters: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> list[tuple[int, list[float]]]:
+    """Materialize the deployed IVF index: assign every vector to its
+    nearest centroid once and write the corpus partitioned BY
+    ``cluster_id`` (one directory per inverted list). Probing then
+    prunes partitions at scan *planning* time — the 100 TB shape, where
+    a 4-of-8-probe query reads half the files and an assignment is
+    never recomputed per query (VERDICT r2 #5).
+
+    Returns the centroid model to ship alongside the index."""
+    cents = centroids or _static_centroids(dim=dim, n_clusters=n_clusters, seed=seed)
+    assigned = ivf_assign(embeddings, cents)
+    # one file per inverted list at test scale; at 100 TB each partition
+    # directory holds many files and pruning skips whole directories
+    assigned.repartition("cluster_id").write.partitionBy("cluster_id").mode(
+        "overwrite"
+    ).parquet(path)
+    return cents
+
+
+def cosine_topk_ivf_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query the materialized IVF index from ``build_ivf_index``: rank
+    centroids driver-side, filter on the ``cluster_id`` PARTITION column
+    (shows up as PartitionFilters in the scan — directories outside the
+    probe set are never opened), exact cosine re-rank inside the probed
+    lists only. Identical results to cosine_topk_ivf_static at a
+    fraction of the scan."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return d / (na * nb)
+
+    probe_ids = [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: (-cos(c[1], [float(x) for x in query_vec]), c[0])
+        )[:n_probe]
+    ]
+    df = spark.read.parquet(path)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    emb = F.col("embedding")
+    score = _dot(emb, q) / (_norm(emb) * _norm(q))
+    return (
+        df.filter(F.col("cluster_id").isin(probe_ids))
+        .select("vec_id", score.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -268,6 +268,35 @@ def build_oracle_sql() -> dict[str, str]:
     return out
 
 
+# The driver evaluates queries in dict order and caps CORRECTNESS at ~50
+# rows per round. Round-3 rotation (VERDICT r2 "What's missing" #1): the
+# 28 queries that never produced a driver row across r1+r2 go FIRST, then
+# 22 core-§2/regression canaries (including events_funnel, r2's one red
+# row, now cast-fixed, and the rewritten dedup_minhash_lsh) fill the cap.
+# Everything after slot 50 was driver-green in r1 or r2 and stays pinned
+# by tools/driver_sim.py + pytest until rotated back in.
+_GATE_PRIORITY: tuple[str, ...] = (
+    # -- never driver-checked (r1 ∪ r2) --
+    "pipeline_decontaminate", "sim_cosine_topk_lsh", "sim_cosine_topk_ivf_static",
+    "sim_cosine_near_dup", "sim_cosine_near_dup_lsh", "setop_intersect",
+    "setop_except", "antijoin_customers_without_orders", "pivot_event_types",
+    "cube_returns", "grouping_sets", "unpivot_stack", "scalar_subquery_above_avg",
+    "string_functions", "date_extract_groupby", "collect_list_rollcall",
+    "outer_join_nation_presence", "explode_dimension_stats", "json_payload_stats",
+    "stats_quantiles", "text_rolling_hash", "text_regex_tokens",
+    "multimodal_payload_stats", "multimodal_decode", "multimodal_frame_sample",
+    "multimodal_resize", "sim_cosine_topk_ivf", "stats_approx_sketches",
+    # -- §2-core + regression canaries --
+    "read_all_forwards", "read_all_backwards", "read_stream_forwards",
+    "read_stream_backwards", "read_head_position", "read_stream_head_position",
+    "read_stream_head_version", "list_streams", "streams_view", "expiry_filter",
+    "scavenge_victims", "scavenge_all_victims", "store_bulk_roundtrip",
+    "events_funnel", "tpch_q1", "tpch_q3", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_minhash_recall", "dedup_ngram_jaccard", "asof_join_last_order",
+    "sessions_per_user",
+)
+
+
 def _all_specs() -> dict[str, QuerySpec]:
     specs = dict(_stream_store_queries())
     try:
@@ -276,9 +305,12 @@ def _all_specs() -> dict[str, QuerySpec]:
         specs.update(analytics_queries())
     except ImportError:
         pass
-    # The driver evaluates queries in dict order and may cap how many get a
-    # CORRECTNESS row; list every oracled query before any rows-only one so
-    # a cap never spends slots on weaker checks while oracled queries wait.
+    rank = {n: i for i, n in enumerate(_GATE_PRIORITY)}
+    # after the priority block: oracled queries before rows-only ones, so
+    # a cap never spends slots on weaker checks while oracled ones wait
     return dict(
-        sorted(specs.items(), key=lambda kv: kv[1][1] is None)
+        sorted(
+            specs.items(),
+            key=lambda kv: (rank.get(kv[0], len(rank)), kv[1][1] is None),
+        )
     )

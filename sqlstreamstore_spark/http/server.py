@@ -26,6 +26,16 @@ Error contract: 400 invalid ids/args, 404 unknown route, 409
 WrongExpectedVersion (body carries streamId/expectedVersion so the
 client can re-raise faithfully) — the same status mapping the
 reference's HAL middleware uses.
+
+Conditional requests (reference: SqlStreamStore.HAL/ETag.cs,
+PageExtensions.cs, HttpContextExtensions.cs:23-56, CacheControl.cs):
+feed pages that include the head (IsEnd, or backwards-from-end) carry
+``ETag: "<position|version>"`` plus ``Cache-Control: max-age=0,
+no-cache, must-revalidate``; interior (immutable) all-feed pages carry
+``Cache-Control: max-age=31536000``; stream metadata carries an ETag
+from its metadata stream version. A request whose ``If-None-Match``
+equals the response's ETag short-circuits to ``304 Not Modified`` with
+headers only — what makes polling a HAL feed cheap.
 """
 
 from __future__ import annotations
@@ -45,6 +55,19 @@ from sqlstreamstore_spark.store.messages import NewStreamMessage
 HAL_CONTENT_TYPE = "application/hal+json"
 EXPECTED_VERSION_HEADER = "SSS-ExpectedVersion"
 HEAD_POSITION_HEADER = "SSS-HeadPosition"
+
+# CacheControl.cs:12-17
+CACHE_CONTROL_NO_CACHE = "max-age=0, no-cache, must-revalidate"
+CACHE_CONTROL_ONE_YEAR = "max-age=31536000"
+
+
+def _etag(value: int) -> str:
+    """ETags are the position/version in double quotes (ETag.cs:11-12)."""
+    return f'"{value}"'
+
+
+class _BadRequest(Exception):
+    """Raised only by request-parsing code — maps to HTTP 400."""
 
 
 def _msg_json(m) -> dict:
@@ -107,13 +130,41 @@ def _make_handler(store: StreamStore):
             if payload:
                 self.wfile.write(payload)
 
+        def _send_cached(self, code: int, body, headers: dict | None):
+            """Send, honoring ``If-None-Match`` when the response carries
+            an ETag (HttpContextExtensions.cs:27-56): on match, a 304
+            with the cacheable headers and no body."""
+            etag = (headers or {}).get("ETag")
+            inm = self.headers.get("If-None-Match")
+            if etag is not None and inm is not None and etag in (
+                c.strip() for c in inm.split(",")
+            ):
+                self._send(304, None, headers)
+                return
+            self._send(code, body, headers)
+
+        def _parse(self, fn):
+            """Run a request-parsing thunk; failures there are the
+            client's fault (malformed body/params) — anything that
+            escapes a handler *outside* _parse is a server fault and
+            falls through _guard to 500."""
+            try:
+                return fn()
+            except (ValueError, KeyError, TypeError, AttributeError) as e:
+                raise _BadRequest(f"{type(e).__name__}: {e}") from e
+
         def _body(self):
             n = int(self.headers.get("Content-Length", 0))
-            return json.loads(self.rfile.read(n)) if n else None
+            try:
+                return json.loads(self.rfile.read(n)) if n else None
+            except (ValueError, TypeError) as e:
+                raise _BadRequest(f"invalid JSON body: {e}") from e
 
         def _expected_version(self, default: int) -> int:
             raw = self.headers.get(EXPECTED_VERSION_HEADER)
-            return default if raw is None else int(raw)
+            if raw is None:
+                return default
+            return self._parse(lambda: int(raw))
 
         def _route(self):
             u = urlparse(self.path)
@@ -131,11 +182,17 @@ def _make_handler(store: StreamStore):
                     "expectedVersion": e.expected_version,
                     "message": str(e),
                 })
-            except (InvalidStreamIdError, ValueError, KeyError, TypeError, AttributeError) as e:
+            except _BadRequest as e:
                 # malformed body/params (missing keys, wrong shapes) are
                 # client errors — never drop the connection
+                self._send(400, {"error": "BadRequest", "message": str(e)})
+            except (InvalidStreamIdError, ValueError) as e:
+                # store-level argument validation (bad stream id, bad
+                # bounds) — still the client's fault
                 self._send(400, {"error": type(e).__name__, "message": str(e)})
             except Exception as e:  # noqa: BLE001 — last-resort 500 with a body
+                # KeyError/TypeError/AttributeError out of the store
+                # layer are genuine server bugs, not client errors
                 self._send(500, {"error": type(e).__name__, "message": str(e)})
 
         # --------------------------------------------------------- routes
@@ -174,8 +231,8 @@ def _make_handler(store: StreamStore):
                 ids, token = store.list_streams(
                     pattern=q.get("pattern") or None,
                     kind=q.get("kind", "any"),
-                    max_count=int(q.get("m", 100)),
-                    continuation=int(q.get("token", -1)),
+                    max_count=self._parse(lambda: int(q.get("m", 100))),
+                    continuation=self._parse(lambda: int(q.get("token", -1))),
                 )
                 self._send(200, {"streamIds": ids, "continuationToken": token,
                                  "_links": {"self": {"href": self.path}}})
@@ -183,13 +240,15 @@ def _make_handler(store: StreamStore):
                 self._read_stream(parts[1], q)
             elif len(parts) == 3 and parts[0] == "streams" and parts[2] == "metadata":
                 m = store.get_stream_metadata(parts[1])
-                self._send(200, {
+                # StreamMetadataResource.cs:54 — ETag from the metadata
+                # stream's version.
+                self._send_cached(200, {
                     "streamId": m.stream_id,
                     "metadataStreamVersion": m.metadata_stream_version,
                     "maxAge": m.max_age,
                     "maxCount": m.max_count,
                     "metadataJson": m.metadata_json,
-                })
+                }, {"ETag": _etag(m.metadata_stream_version)})
             elif (len(parts) == 5 and parts[0] == "streams" and parts[2] == "messages"
                   and parts[4] == "data"):
                 data = store._point_json_data(parts[1], parts[3])
@@ -199,8 +258,8 @@ def _make_handler(store: StreamStore):
 
         def _read_all(self, q):
             forwards = q.get("d", "f") == "f"
-            pos = int(q.get("position", 0 if forwards else -1))
-            m = int(q.get("m", 20))
+            pos = self._parse(lambda: int(q.get("position", 0 if forwards else -1)))
+            m = self._parse(lambda: int(q.get("m", 20)))
             prefetch = q.get("prefetch", "true") == "true"
             page = (
                 store.read_all_forwards(pos, m, prefetch)
@@ -208,7 +267,21 @@ def _make_handler(store: StreamStore):
                 else store.read_all_backwards(pos, m, prefetch)
             )
             d = "f" if forwards else "b"
-            self._send(200, {
+            # PageExtensions.cs TryGetETag(ReadAllPage): pages touching
+            # the head get a position ETag + no-cache; interior pages are
+            # immutable and cacheable for a year.
+            msgs = page.messages
+            tag: int | None = None
+            if not forwards and pos == -1:
+                tag = msgs[0].position if msgs else -1
+            elif page.is_end:
+                tag = (msgs[-1].position if forwards else msgs[0].position) if msgs else -1
+            headers = (
+                {"ETag": _etag(tag), "Cache-Control": CACHE_CONTROL_NO_CACHE}
+                if tag is not None
+                else {"Cache-Control": CACHE_CONTROL_ONE_YEAR}
+            )
+            self._send_cached(200, {
                 "fromPosition": page.from_position,
                 "nextPosition": page.next_position,
                 "isEnd": page.is_end,
@@ -220,12 +293,12 @@ def _make_handler(store: StreamStore):
                     "first": {"href": f"/stream?d=f&position=0&m={m}"},
                     "last": {"href": f"/stream?d=b&position=-1&m={m}"},
                 },
-            })
+            }, headers)
 
         def _read_stream(self, stream_id, q):
             forwards = q.get("d", "f") == "f"
-            pos = int(q.get("position", 0 if forwards else -1))
-            m = int(q.get("m", 20))
+            pos = self._parse(lambda: int(q.get("position", 0 if forwards else -1)))
+            m = self._parse(lambda: int(q.get("m", 20)))
             prefetch = q.get("prefetch", "true") == "true"
             page = (
                 store.read_stream_forwards(stream_id, pos, m, prefetch)
@@ -233,7 +306,15 @@ def _make_handler(store: StreamStore):
                 else store.read_stream_backwards(stream_id, pos, m, prefetch)
             )
             code = 404 if page.status == "StreamNotFound" else 200
-            self._send(code, {
+            # PageExtensions.cs TryGetETag(ReadStreamPage): head pages
+            # (IsEnd or backwards-from-end) are tagged with the stream's
+            # last version.
+            headers = (
+                {"ETag": _etag(page.last_stream_version)}
+                if page.is_end or (not forwards and pos == -1)
+                else None
+            )
+            self._send_cached(code, {
                 "streamId": page.stream_id,
                 "status": page.status,
                 "fromStreamVersion": page.from_stream_version,
@@ -244,19 +325,19 @@ def _make_handler(store: StreamStore):
                 "isEnd": page.is_end,
                 "_embedded": {"streamStore:message": [_msg_json(x) for x in page.messages]},
                 "_links": {"self": {"href": self.path}},
-            })
+            }, headers)
 
         def _post(self):
             parts, _q = self._route()
             if len(parts) == 2 and parts[0] == "streams":
                 body = self._body() or []
-                messages = [
+                messages = self._parse(lambda: [
                     NewStreamMessage(
                         b["messageId"], b["type"], b["jsonData"],
                         b.get("jsonMetadata") or "",
                     )
                     for b in body
-                ]
+                ])
                 r = store.append_to_stream(parts[1], self._expected_version(-2), messages)
                 self._send(200, {
                     "currentVersion": r.current_version,
@@ -264,13 +345,14 @@ def _make_handler(store: StreamStore):
                 })
             elif len(parts) == 3 and parts[0] == "streams" and parts[2] == "metadata":
                 b = self._body() or {}
-                r = store.set_stream_metadata(
-                    parts[1],
-                    expected_stream_metadata_version=b.get("expectedStreamMetadataVersion", -2),
-                    max_age=b.get("maxAge"),
-                    max_count=b.get("maxCount"),
-                    metadata_json=b.get("metadataJson"),
-                )
+                kwargs = self._parse(lambda: {
+                    "expected_stream_metadata_version":
+                        b.get("expectedStreamMetadataVersion", -2),
+                    "max_age": b.get("maxAge"),
+                    "max_count": b.get("maxCount"),
+                    "metadata_json": b.get("metadataJson"),
+                })
+                r = store.set_stream_metadata(parts[1], **kwargs)
                 self._send(200, {"currentVersion": r.current_version})
             else:
                 self._send(404)

@@ -37,8 +37,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) surfaced as epoch-nanos long under
+            # nanosAsLong (older generator output)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # timestamp[us] with no zone (round-3 generator output):
+            # NTZ wall values are naive UTC; with the session zone
+            # pinned to UTC this cast is value-preserving and restores
+            # plain TIMESTAMP so epoch arithmetic (cast long /
+            # unix_micros) keeps working downstream.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

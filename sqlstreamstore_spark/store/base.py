@@ -531,10 +531,13 @@ class StreamStore:
     def _delete_stream_internal(self, stream_id: str, expected_version: int) -> None:
         head = self._stream_head(stream_id)
         if head is None:
-            # Deleting an absent stream never throws — even with a
-            # concrete expected version (AcceptanceTests.DeleteStream.cs:
-            # 121-128 When_delete_stream_that_does_not_exist_with_
-            # expected_version_number_then_should_not_throw).
+            # Deleting an absent stream throws only for a concrete (>= 0)
+            # expected version (InMemoryStreamStore.cs:270-278; the
+            # acceptance test named ..._then_should_not_throw actually
+            # asserts WrongExpectedVersionException in its body,
+            # AcceptanceTests.DeleteStream.cs:121-131).
+            if expected_version >= 0:
+                raise WrongExpectedVersionError(stream_id, expected_version)
             return
         if expected_version != ExpectedVersion.ANY and head[0] != expected_version:
             raise WrongExpectedVersionError(stream_id, expected_version)

@@ -341,10 +341,13 @@ class SparkParquetStreamStore(StreamStore):
         if s is None:
             return False
         had_rows = s["count"] > 0
-        if had_rows:
+        if s.get("position") is not None:
             # cutoff = the stream's own head position: every stored row of
             # the stream is <= it, and any future append lands above the
             # global head, so a re-created stream is fully visible.
+            # Recorded even when count == 0: the rows may all be logically
+            # deleted via per-message filters, which the pop below drops —
+            # without the cutoff they would physically reappear.
             self._manifest["deleted_streams"][stream_id] = s["position"]
         self._manifest["deleted_messages"].pop(stream_id, None)
         self._save_manifest()
@@ -461,7 +464,16 @@ class SparkParquetStreamStore(StreamStore):
             "json_data",
             "json_metadata",
         )
-        sub = os.path.join(self._data_dir, f"bulk-{self._manifest['version'] + 1:08d}")
+        # Unique suffix, not the manifest version: a failed attempt (crash
+        # between the parquet write and _save_manifest, heads collect
+        # failure, ConcurrentWriteError) must leave an orphan that never
+        # collides with the retry — the streaming sink replays epochs on
+        # exactly this path. Orphans are unreferenced by the manifest and
+        # reclaimed by compact().
+        sub = os.path.join(
+            self._data_dir,
+            f"bulk-{self._manifest['version'] + 1:08d}-{_uuid.uuid4().hex[:8]}",
+        )
         try:
             positioned.write.parquet(sub)
         finally:
@@ -556,6 +568,35 @@ class SparkParquetStreamStore(StreamStore):
                     else:
                         n_age += 1
             if seen:
+                if self.track_deletions:
+                    # One batched $deleted append for the whole pass —
+                    # same audit trail as the per-append purge path
+                    # (reference DeleteEventInternal appends a
+                    # $message-deleted tombstone per victim), without
+                    # N single-message commits.
+                    import json as _json
+
+                    from sqlstreamstore_spark.functions.uuid5 import uuid5_py
+                    from sqlstreamstore_spark.schema import (
+                        DELETED_STREAM_ID,
+                        ExpectedVersion,
+                        MESSAGE_DELETED_TYPE,
+                    )
+
+                    tombstones = [
+                        NewStreamMessage(
+                            uuid5_py(f"$message-deleted:{sid}:{mid}"),
+                            MESSAGE_DELETED_TYPE,
+                            _json.dumps(
+                                {"StreamId": sid, "MessageId": mid},
+                                separators=(",", ":"),
+                            ),
+                        )
+                        for sid, mid in sorted(seen)
+                    ]
+                    self._append_internal(
+                        DELETED_STREAM_ID, ExpectedVersion.ANY, tombstones
+                    )
                 self._save_manifest()
             return {"max_count_victims": n_count, "expired_victims": n_age}
 

@@ -272,3 +272,86 @@ def test_http_over_parquet_store_full_stack(spark, tmp_path):
         assert reopened.read_stream_head_version("s") == 4
     finally:
         server.stop()
+
+
+# ---------------------------------------------------------------------------
+# Conditional requests — ConditionalRequestTests.cs + CacheControl.cs shapes
+
+
+def _raw_get(base_url, path, headers=None):
+    import urllib.error
+    import urllib.request
+
+    r = urllib.request.Request(base_url + path, headers=headers or {})
+    try:
+        with urllib.request.urlopen(r, timeout=10) as resp:
+            return resp.status, dict(resp.headers), resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers), e.read()
+
+
+@pytest.mark.parametrize("path_fmt, op", [
+    ("/stream",
+     lambda c: c.append_to_stream("stream-1", ExpectedVersion.NO_STREAM, msgs(1))),
+    ("/streams/stream-1",
+     lambda c: c.append_to_stream("stream-1", ExpectedVersion.NO_STREAM, msgs(1))),
+    ("/streams/stream-1/metadata",
+     lambda c: c.set_stream_metadata("stream-1", ExpectedVersion.NO_STREAM, max_count=1)),
+], ids=["all-feed", "stream-feed", "metadata"])
+def test_http_if_none_match_yields_304(duo, path_fmt, op):
+    """ConditionalRequestTests.cs when_match: an unconditional GET carries
+    an ETag; replaying it with If-None-Match returns 304 Not Modified."""
+    _backend, client, _clock = duo
+    op(client)
+    status, headers, _body = _raw_get(client.base_url, path_fmt)
+    assert status == 200
+    etag = headers.get("ETag")
+    assert etag is not None and etag.startswith('"') and etag.endswith('"')
+    status2, headers2, body2 = _raw_get(
+        client.base_url, path_fmt, {"If-None-Match": etag})
+    assert status2 == 304
+    assert body2 == b""
+    assert headers2.get("ETag") == etag
+
+
+def test_http_etag_invalidated_by_append(duo):
+    """After the head advances, the old ETag no longer matches — the
+    conditional GET returns a fresh 200 page with a new ETag."""
+    _backend, client, _clock = duo
+    client.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(1))
+    _s, h1, _b = _raw_get(client.base_url, "/stream")
+    client.append_to_stream("s", 0, msgs(2))
+    status, h2, _b = _raw_get(client.base_url, "/stream",
+                              {"If-None-Match": h1["ETag"]})
+    assert status == 200
+    assert h2["ETag"] != h1["ETag"]
+
+
+def test_http_cache_control_head_vs_interior_pages(duo):
+    """CacheControl.cs: head pages are no-cache/must-revalidate; interior
+    (immutable) all-feed pages are cacheable for a year and carry no
+    ETag (AllStreamResource.cs:86-94)."""
+    _backend, client, _clock = duo
+    client.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(1, 2, 3, 4, 5))
+    # head page (IsEnd)
+    _s, head_h, _b = _raw_get(client.base_url, "/stream?d=f&position=0&m=100")
+    assert head_h["Cache-Control"] == "max-age=0, no-cache, must-revalidate"
+    assert "ETag" in head_h
+    # interior page: 2 of 5 messages, not the end
+    _s, mid_h, _b = _raw_get(client.base_url, "/stream?d=f&position=0&m=2")
+    assert mid_h["Cache-Control"] == "max-age=31536000"
+    assert "ETag" not in mid_h
+
+
+def test_http_store_bugs_are_500_not_400(duo):
+    """_guard maps only request-parsing failures to 400; a KeyError (or
+    kin) escaping the store layer is a server fault → 500."""
+    backend, client, _clock = duo
+
+    def boom(*_a, **_k):
+        raise KeyError("store internal bug")
+
+    backend.read_all_forwards = boom
+    status, _h, body = _raw_get(client.base_url, "/stream")
+    assert status == 500
+    assert b"KeyError" in body

@@ -186,3 +186,25 @@ def test_decontaminate_is_equi_join(spark):
     p = plan_of(decontaminate_report(docs))
     assert "Join" in p
     assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_minhash_verify_touches_candidates_only(spark):
+    """minhash_dedup_pairs (VERDICT r2 #3): the exact-Jaccard verify
+    joins candidate pairs back to per-doc shingle SETS and computes
+    array_intersect per pair — the plan must not contain the
+    full-corpus exploded-shingle self-join that the brute-force
+    ngram_jaccard_pairs baseline runs (that join is the quadratic cost
+    LSH exists to avoid)."""
+    from sqlstreamstore_spark.analytics.dedup import (
+        minhash_dedup_pairs,
+        minhash_lsh_candidates,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(minhash_dedup_pairs(docs))
+    assert "array_intersect" in p
+    # Explode (Generate) nodes: shingles->signatures + band structs —
+    # exactly those of the candidate pipeline; verification adds none.
+    base = plan_of(minhash_lsh_candidates(docs))
+    assert p.count("Generate") == base.count("Generate")
+    assert "NestedLoop" not in p and "CartesianProduct" not in p

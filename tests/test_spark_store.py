@@ -322,3 +322,50 @@ def test_whole_store_scavenge_pass(spark, tmp_path):
     store.compact(target_files=1)
     assert [m.stream_version for m in
             store.read_stream_forwards("keep2", 0, 10).messages] == [2, 3]
+
+
+def test_scavenge_appends_message_deleted_tombstones(spark, tmp_path):
+    """With deletion tracking on, a batch scavenge leaves the same audit
+    trail as the per-append purge path: one $message-deleted tombstone
+    per victim in $deleted (reference DeleteEventInternal appends a
+    tombstone per scavenged message)."""
+    clock = Clock()
+    store = SparkParquetStreamStore(spark, str(tmp_path / "tb"), get_utc_now=clock)
+    store.set_stream_metadata("age", max_age=600)
+    store.append_to_stream("age", ExpectedVersion.NO_STREAM, msgs(1, 2, 3))
+    clock.now += dt.timedelta(seconds=3600)
+    out = store.scavenge()
+    assert out == {"max_count_victims": 0, "expired_victims": 3}
+    tomb = store.read_stream_forwards("$deleted", 0, 100)
+    dead = [m for m in tomb.messages if m.type == "$message-deleted"]
+    assert len(dead) == 3
+    ids = {str(uuid.UUID(int=n)) for n in (1, 2, 3)}
+    assert {m.json_data.split('"MessageId":"')[1][:36] for m in dead} == ids
+    # with tracking off, no tombstones are written
+    store2 = SparkParquetStreamStore(
+        spark, str(tmp_path / "tb2"), get_utc_now=clock, track_deletions=False)
+    store2.set_stream_metadata("age", max_age=600)
+    store2.append_to_stream("age", ExpectedVersion.NO_STREAM, msgs(4))
+    clock.now += dt.timedelta(seconds=3600)
+    store2.scavenge()
+    assert store2.read_stream_forwards("$deleted", 0, 10).status == "StreamNotFound"
+
+
+def test_delete_stream_after_all_messages_deleted(spark, tmp_path):
+    """Deleting a stream whose every message was already individually
+    deleted must not resurrect the physically-present rows (the
+    per-message filters are dropped with the stream entry, so the
+    stream cutoff has to take over)."""
+    store = SparkParquetStreamStore(spark, str(tmp_path / "dd"))
+    store.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(1, 2))
+    store.append_to_stream("other", ExpectedVersion.NO_STREAM, msgs(3))
+    for n in (1, 2):
+        store.delete_message("s", str(uuid.UUID(int=n)))
+    store.delete_stream("s")
+    assert store.read_stream_forwards("s", 0, 10).status == "StreamNotFound"
+    assert [m.stream_id for m in store.read_all_forwards(0, 100).messages
+            if not m.stream_id.startswith("$")] == ["other"]
+    # a re-created stream starts clean and is fully visible
+    store.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(9))
+    assert [m.stream_version for m in
+            store.read_stream_forwards("s", 0, 10).messages] == [0]

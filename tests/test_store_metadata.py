@@ -104,11 +104,14 @@ def test_delete_stream_wrong_version_throws(store):
         store.delete_stream("s", 7)
 
 
-def test_delete_missing_stream_never_throws(store):
-    """DeleteStream.cs:111-128 — deleting an absent stream is a no-op
-    with ANY and with a concrete expected version alike."""
+def test_delete_missing_stream(store):
+    """DeleteStream.cs:111-131 — deleting an absent stream is a no-op with
+    ANY but throws WrongExpectedVersion for a concrete expected version
+    (the test body at :129 asserts the exception despite the test name;
+    InMemoryStreamStore.cs:270-278 throws for expectedVersion >= 0)."""
     store.delete_stream("nope")  # no raise
-    store.delete_stream("nope", 0)  # also no raise (reference-pinned)
+    with pytest.raises(WrongExpectedVersionError):
+        store.delete_stream("nope", 0)
 
 
 def test_delete_message_keeps_versions(store):
