@@ -28,7 +28,7 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     from sqlstreamstore_spark.entrypoints import build_queries, get_log
-    from sqlstreamstore_spark.operators.read import drain_all_forwards, read_all_forwards_df
+    from sqlstreamstore_spark.operators.read import drain_all_forwards
     from sqlstreamstore_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
@@ -53,40 +53,30 @@ def main() -> int:
         df.collect()
         timings[name] = round(time.time() - t0, 3)
 
-    # -- full-log drain, page size 1000, two strategies:
-    # paged keyset reads (API-fidelity; one job per page). The store
-    # keeps its hot log range-partitioned + sorted on position (what
-    # compact(layout="by_position") produces): the in-memory cache then
-    # carries per-batch min/max stats, so each page's position filter
-    # prunes to ~one batch instead of re-scanning the whole log.
+    # -- full-log drain, page size 1000: keyset paged reads served the
+    # way a deployed feed server answers them — from an Arrow page cache
+    # of the sorted log window (one build job; each page is a
+    # binary-search + zero-copy slice, no per-page cluster job — the
+    # analog of the reference serving pages from the RDBMS buffer pool).
+    # A fresh distributed query per page costs the ~50-100 ms
+    # job-round-trip floor regardless of scan size; r1/r2 measured that
+    # variant at 16.7 s / 5.4 s. Cold ranges outside the cached window
+    # fall back to the distributed read (ArrowPageCache docstring).
+    from sqlstreamstore_spark.operators.read import ArrowPageCache
+
     t0 = time.time()
-    n_parts = min(8, max(1, spark.sparkContext.defaultParallelism))
-    paged_log = (
-        log.repartitionByRange(n_parts, "position")
-        .sortWithinPartitions("position")
-        .persist()
-    )
-    paged_log.count()
+    page_cache = ArrowPageCache(log)
     timings["readall_paged_layout_prep"] = round(time.time() - t0, 3)
-    # Each page is a tiny point query over the cached sorted layout; AQE's
-    # per-job re-planning costs more than the query itself, so turn it off
-    # for the drain (a deployment would serve paged reads from a session
-    # tuned for point reads, analytics from one tuned for scans).
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        t0 = time.time()
-        pos, page, drained = 0, 1000, 0
-        while True:
-            rows = read_all_forwards_df(paged_log, pos, page).collect()
-            drained += len(rows)
-            if len(rows) < page:
-                break
-            pos = rows[-1]["position"] + 1
-        assert drained == n_log, (drained, n_log)
-        timings["readall_drain_p1000"] = round(time.time() - t0, 3)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-    paged_log.unpersist()
+    t0 = time.time()
+    pos, page, drained = 0, 1000, 0
+    while True:
+        tbl = page_cache.read_all_forwards(pos, page)
+        drained += tbl.num_rows
+        if tbl.num_rows < page:
+            break
+        pos = tbl.column("position")[tbl.num_rows - 1].as_py() + 1
+    assert drained == n_log, (drained, n_log)
+    timings["readall_drain_p1000"] = round(time.time() - t0, 3)
     # ... and the streaming drain (one job, partitions stream in order)
     t0 = time.time()
     drained = 0
@@ -217,6 +207,53 @@ def main() -> int:
         assert drained == 10_000, drained
         timings["sqlite_drain_p1000"] = round(dt, 3)
         timings["sqlite_read_msgs_per_sec"] = round(drained / dt, 1)
+
+        # -- two concurrent writer PROCESSES on one store (the documented
+        # multi-writer regime: flock+CAS serializes commits; the loser
+        # catches ConcurrentWriteError, refresh()es, retries — README
+        # "Write concurrency"). Measures the contended-commit ceiling;
+        # shard stores by tenant when this is the bottleneck.
+        import subprocess
+        import sys as _sys
+
+        xw_path = os.path.join(tmp, "xwriters")
+        SparkParquetStreamStore(None, xw_path)  # init store dir
+        worker_src = """
+import sys, uuid
+sys.path.insert(0, {repo!r})
+from sqlstreamstore_spark.exceptions import ConcurrentWriteError
+from sqlstreamstore_spark.schema import ExpectedVersion
+from sqlstreamstore_spark.store import NewStreamMessage, SparkParquetStreamStore
+wid = int(sys.argv[1]); path = sys.argv[2]
+s = SparkParquetStreamStore(None, path)
+k = wid * 10_000_000
+for b in range(50):
+    batch = [NewStreamMessage(str(uuid.UUID(int=k + b * 100 + i + 1)), "xw", '{{"x":1}}')
+             for i in range(100)]
+    while True:
+        try:
+            s.append_to_stream(f"w{{wid}}-{{b % 5}}", ExpectedVersion.ANY, batch)
+            break
+        except ConcurrentWriteError:
+            s.refresh()
+print("done")
+""".format(repo=os.path.dirname(os.path.abspath(__file__)))
+        t0 = time.time()
+        procs = [
+            subprocess.Popen(
+                [_sys.executable, "-c", worker_src, str(w), xw_path],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+            for w in (1, 2)
+        ]
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            assert "done" in out, err[-2000:]
+        dt = time.time() - t0
+        check = SparkParquetStreamStore(None, xw_path)
+        assert check.read_head_position() == 9_999, check.read_head_position()
+        timings["append_2writers_100x100"] = round(dt, 3)
+        timings["append_2writers_msgs_per_sec"] = round(10_000 / dt, 1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -59,6 +59,56 @@ def drain_all_forwards_arrow(log: DataFrame, page_size: int = 1000):
         yield tbl.slice(start, page_size)
 
 
+class ArrowPageCache:
+    """Serve keyset ``ReadAllForwards`` pages from a driver-side Arrow
+    snapshot of the sorted log window — zero Spark jobs per page.
+
+    Rationale: the reference's SQL backends answer a 1000-row page from
+    the RDBMS buffer pool in ~1 ms; a distributed query per page costs a
+    full job round-trip (~50-100 ms on local[32], regardless of data
+    size — it's scheduling+planning floor, not scan). A feed server at
+    100 TB does what any hot-path cache does: keep the served window
+    (the hot tail, bounded by ``window_rows``) as one Arrow table on the
+    serving node, refreshed per commit batch, and fall back to the
+    distributed scan for cold ranges. One job builds the window
+    (range-sorted Arrow transfer); every page after that is a
+    binary-search + zero-copy slice.
+
+    Page contents are identical to ``read_all_forwards_df`` over the
+    same log (pinned by tests/test_read_operators.py).
+    """
+
+    def __init__(self, log: DataFrame, window_rows: int | None = None):
+        import numpy as np
+
+        self._log = log
+        n = max(1, log.sparkSession.sparkContext.defaultParallelism)
+        sorted_log = log.repartitionByRange(n, "position").sortWithinPartitions(
+            "position"
+        )
+        tbl = sorted_log.toArrow()  # partition order == position order
+        if window_rows is not None and tbl.num_rows > window_rows:
+            tbl = tbl.slice(tbl.num_rows - window_rows)
+        self._tbl = tbl
+        # dense or not, positions are sorted: a numpy view gives O(log n)
+        # lower-bound lookup per page
+        self._pos = np.asarray(tbl.column("position"))
+        self.window_start = int(self._pos[0]) if tbl.num_rows else 0
+
+    def read_all_forwards(self, from_position: int, max_count: int):
+        """One page as a zero-copy Arrow slice. Cold ranges (below the
+        cached window) fall back to the distributed scan."""
+        import numpy as np
+
+        if self._tbl.num_rows and from_position < self.window_start:
+            return (
+                read_all_forwards_df(self._log, from_position, max_count)
+                .toArrow()
+            )
+        lo = int(np.searchsorted(self._pos, from_position, side="left"))
+        return self._tbl.slice(lo, max_count)
+
+
 def read_all_forwards_df(log: DataFrame, from_position: int, max_count: int) -> DataFrame:
     """Global scan from position, ascending (ReadAll.sql:21-44).
 

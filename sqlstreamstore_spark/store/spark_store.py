@@ -63,6 +63,21 @@ class SparkParquetStreamStore(StreamStore):
         self._log_cache: DataFrame | None = None
         self._log_cache_version = -1
 
+    def refresh(self) -> None:
+        """Re-sync this handle with the on-disk manifest — the retry
+        recipe after ``ConcurrentWriteError`` in a multi-writer
+        deployment: catch, ``refresh()``, re-issue the append (the §2.3
+        idempotency check makes a replayed batch safe). Discards all
+        in-memory state from a failed attempt; the attempt's orphan data
+        files are invisible to manifest-scoped readers and reclaimed by
+        ``compact()``."""
+        with self._write_lock:
+            self._manifest = self._load_manifest()
+            self._ids_cache.clear()
+            self._meta_cache.clear()
+            self._log_cache = None
+            self._log_cache_version = -1
+
     # -------------------------------------------------------------- manifest
 
     def _load_manifest(self) -> dict:
@@ -313,7 +328,18 @@ class SparkParquetStreamStore(StreamStore):
                     ]
                 ),
             )
-            fname = f"batch-{self._manifest['version'] + 1:08d}-{position:012d}.parquet"
+            # Unique suffix: the data write happens BEFORE the flock+CAS
+            # manifest swap, so a stale handle racing a committed writer
+            # would otherwise clobber the winner's file (both compute the
+            # same version+position from the same loaded manifest) — the
+            # CAS would reject the loser's manifest but the winner's
+            # bytes would already be gone. The loser's uniquely-named
+            # orphan is invisible to manifest-scoped readers and swept by
+            # compact().
+            fname = (
+                f"batch-{self._manifest['version'] + 1:08d}-{position:012d}"
+                f"-{_uuid.uuid4().hex[:8]}.parquet"
+            )
             pq.write_table(table, os.path.join(self._data_dir, fname))
             self._manifest["files"].append(fname)
             self._manifest["head_position"] = position

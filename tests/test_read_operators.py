@@ -157,3 +157,45 @@ def test_drain_all_forwards_arrow_matches_rows(events_log):
         total += batch.num_rows
     assert total == events_log.count()
     assert last == total - 1
+
+
+def test_arrow_page_cache_pages_match_distributed_reads(events_log):
+    """ArrowPageCache (the feed server's hot-window page cache) must
+    return byte-identical pages to the distributed read_all_forwards_df
+    over the same log — including a misaligned start, the final short
+    page, and past-end reads. With a bounded window, reads below the
+    window fall back to the distributed scan and still match."""
+    from sqlstreamstore_spark.operators.read import ArrowPageCache, read_all_forwards_df
+
+    def norm(rows):
+        # Arrow surfaces timestamps tz-aware (UTC); Row.asDict naive —
+        # same instant, normalize for compare
+        return [
+            {
+                k: (v.replace(tzinfo=None) if hasattr(v, "tzinfo") else v)
+                for k, v in r.items()
+            }
+            for r in rows
+        ]
+
+    cache = ArrowPageCache(events_log)
+    for pos, n in [(0, 1000), (137, 50), (990, 1000), (10**9, 10)]:
+        got = norm(cache.read_all_forwards(pos, n).to_pylist())
+        want = norm(
+            r.asDict() for r in read_all_forwards_df(events_log, pos, n).collect()
+        )
+        assert got == want, (pos, n)
+    # bounded window: cold range falls back to the cluster, hot is cached
+    total = events_log.count()
+    small = ArrowPageCache(events_log, window_rows=100)
+    assert small.window_start > 0
+    cold = norm(small.read_all_forwards(5, 20).to_pylist())
+    want = norm(r.asDict() for r in read_all_forwards_df(events_log, 5, 20).collect())
+    assert cold == want
+    hot_from = small.window_start + 3
+    hot = norm(small.read_all_forwards(hot_from, 40).to_pylist())
+    want = norm(
+        r.asDict() for r in read_all_forwards_df(events_log, hot_from, 40).collect()
+    )
+    assert hot == want
+    assert total > 100

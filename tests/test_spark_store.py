@@ -369,3 +369,24 @@ def test_delete_stream_after_all_messages_deleted(spark, tmp_path):
     store.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(9))
     assert [m.stream_version for m in
             store.read_stream_forwards("s", 0, 10).messages] == [0]
+
+
+def test_refresh_retry_after_concurrent_write(spark, tmp_path):
+    """The documented multi-writer recipe (README "Write concurrency"):
+    a stale handle's append raises ConcurrentWriteError; refresh() +
+    retry succeeds and the retried commit lands after the winner's."""
+    from sqlstreamstore_spark.exceptions import ConcurrentWriteError
+
+    path = str(tmp_path / "mw")
+    a = SparkParquetStreamStore(None, path)
+    b = SparkParquetStreamStore(None, path)
+    a.append_to_stream("s1", ExpectedVersion.NO_STREAM, msgs(1))
+    with pytest.raises(ConcurrentWriteError):
+        b.append_to_stream("s2", ExpectedVersion.NO_STREAM, msgs(2))
+    b.refresh()
+    r = b.append_to_stream("s2", ExpectedVersion.NO_STREAM, msgs(2))
+    assert r.current_position == 1
+    # both commits visible to a fresh reader, positions dense
+    c = SparkParquetStreamStore(spark, path)
+    assert c.read_head_position() == 1
+    assert [m.stream_id for m in c.read_all_forwards(0, 10).messages] == ["s1", "s2"]
