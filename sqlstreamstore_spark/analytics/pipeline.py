@@ -134,3 +134,37 @@ def export_training_shards(
     n_rows = out.count()
     n_shards = out.select("shard_id").distinct().count()
     return {"n_rows": n_rows, "n_shards": n_shards}
+
+
+def pack_sequences(documents: DataFrame, token_budget: int = 512) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences by
+    contiguous packing: documents in deterministic doc_id order fill
+    sequence k = floor(tokens_before / budget) — the assignment step of
+    sequence packing for LLM pretraining (each sequence then
+    concatenates its documents, long documents span a boundary and are
+    split at tokenization time).
+
+    Scale shape: the global running token total comes from the
+    two-phase cumulative sum (operators/positions.py with_global_cumsum
+    — range partition + in-partition cumsum + broadcast prefix totals),
+    never a single-partition window. Exactly the SQL
+    ``SUM(n_tokens) OVER (ORDER BY doc_id)`` — integer arithmetic, so
+    the DuckDB oracle matches bit-for-bit.
+    """
+    from sqlstreamstore_spark.operators.positions import with_global_cumsum
+
+    toks = documents.select(
+        "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    cum = with_global_cumsum(toks, ["doc_id"], "n_tokens", out_col="__cum")
+    budget = F.lit(int(token_budget)).cast("long")
+    tokens_before = F.col("__cum") - F.col("n_tokens")
+    return (
+        cum.select(
+            "doc_id",
+            "n_tokens",
+            F.floor(tokens_before / budget).cast("long").alias("seq_id"),
+            (tokens_before % budget).cast("long").alias("offset_in_seq"),
+        )
+        .orderBy("doc_id")
+    )

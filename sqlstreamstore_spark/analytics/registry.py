@@ -950,6 +950,23 @@ ORDER BY train_doc_id
 
 _DECONTAMINATE_SQL = _decontaminate_sql()
 
+_PACK_SEQUENCES_SQL = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % 512 AS BIGINT) AS offset_in_seq
+FROM c ORDER BY doc_id
+"""
+
 _SOURCE_ROLLUP_SQL = """
 SELECT source,
        count(*) AS n_docs,
@@ -960,6 +977,36 @@ SELECT source,
 FROM documents
 GROUP BY source
 ORDER BY source
+"""
+
+_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w, strlen(text) AS nch FROM documents
+),
+wc AS (
+  SELECT doc_id, t, count(*) AS c
+  FROM (SELECT doc_id, unnest(w) AS t FROM toks) GROUP BY doc_id, t
+),
+ws AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(c) AS BIGINT) AS top_c
+  FROM wc GROUP BY doc_id
+),
+grams AS (
+  SELECT doc_id,
+         CAST(len(w) - 1 AS BIGINT) AS n_g,
+         CAST(len(list_distinct(list_transform(range(1, len(w)),
+              i -> w[i] || ' ' || w[i+1]))) AS BIGINT) AS n_gd
+  FROM toks WHERE len(w) >= 2
+)
+SELECT ws.doc_id, n_words,
+       CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS distinct_word_ratio,
+       CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_ratio,
+       1.0 - CAST(n_gd AS DOUBLE) / CAST(n_g AS DOUBLE) AS dup_2gram_ratio,
+       (CAST(nch AS DOUBLE) - (CAST(n_words AS DOUBLE) - 1.0))
+         / CAST(n_words AS DOUBLE) AS mean_word_len
+FROM ws JOIN toks USING (doc_id) LEFT JOIN grams USING (doc_id)
+ORDER BY ws.doc_id
 """
 
 _VOCAB_SQL = """
@@ -1388,6 +1435,10 @@ def analytics_queries():
             .select("doc_id").orderBy("doc_id"),
             _EXACT_KEEPERS_SQL,
         ),
+        "pipeline_pack_sequences": (
+            lambda s, sf: pipeline.pack_sequences(_t(s, sf, "documents")),
+            _PACK_SEQUENCES_SQL,
+        ),
         "pipeline_clean_corpus": (
             lambda s, sf: pipeline.clean_corpus(_t(s, sf, "documents")),
             _CLEAN_CORPUS_SQL,
@@ -1510,6 +1561,10 @@ def analytics_queries():
         "text_rolling_hash": (
             lambda s, sf: text.rolling_hash_fingerprint(_t(s, sf, "documents")),
             _RHASH_SQL,
+        ),
+        "text_repetition_signals": (
+            lambda s, sf: text.repetition_signals(_t(s, sf, "documents")),
+            _REPETITION_SQL,
         ),
         "text_regex_tokens": (
             lambda s, sf: text.regex_token_count(_t(s, sf, "documents")),

@@ -188,3 +188,58 @@ def source_quality_rollup(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def repetition_signals(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition/quality signals per document — the
+    filters a training-data pipeline applies before tokenization
+    (duplicate-heavy documents are boilerplate/spam): duplicate-word
+    fraction, most-common-word dominance, duplicate-2-gram fraction,
+    mean word length.
+
+    Shape at scale: one explode + two hash aggregations keyed by doc_id
+    (partial combine map-side) for the word counts, per-row array
+    expressions for the 2-gram stats, one equi-join back to the
+    per-row frame. Ratios are double(int)/double(int), bit-identical in
+    the DuckDB oracle.
+    """
+    toks = _tokens()
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - F.lit(2)),
+        lambda i: F.array_join(F.slice(toks, i + F.lit(1), 2), " "),
+    )
+    per_row = documents.select(
+        "doc_id",
+        F.length("text").alias("__nch"),
+        F.when(F.size(toks) >= 2, (F.size(toks) - F.lit(1)).cast("bigint"))
+        .otherwise(F.lit(None))
+        .alias("__n_g"),
+        F.when(F.size(toks) >= 2, F.size(F.array_distinct(grams)).cast("bigint"))
+        .otherwise(F.lit(None))
+        .alias("__n_gd"),
+    )
+    wc = (
+        documents.select("doc_id", F.explode(toks).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    ws = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("__top_c"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        ws.join(per_row, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            (d("n_distinct") / d("n_words")).alias("distinct_word_ratio"),
+            (d("__top_c") / d("n_words")).alias("top_word_ratio"),
+            (F.lit(1.0) - d("__n_gd") / d("__n_g")).alias("dup_2gram_ratio"),
+            ((d("__nch") - (d("n_words") - F.lit(1.0))) / d("n_words")).alias(
+                "mean_word_len"
+            ),
+        )
+        .orderBy("doc_id")
+    )

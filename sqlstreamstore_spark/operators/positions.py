@@ -51,6 +51,62 @@ def with_dense_global_index(
     return out
 
 
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running total of ``value_col`` over the global ``order_cols``
+    order, without a single-partition window — the same two-phase shape
+    as the dense index: range-partition + in-partition cumsum, then add
+    broadcast per-partition prefix totals. Inclusive (the row's own
+    value is counted, like ``SUM() OVER (... ROWS UNBOUNDED
+    PRECEDING)``)."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    # localCheckpoint (not persist): it pins the partition layout so the
+    # totals collect and the window pass see identical partitions, and
+    # its blocks are GC-reclaimed with the plan — repeated calls through
+    # this convenience API never accumulate cache-manager entries (the
+    # r1 leak pattern).
+    parted = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = {
+        r["__pid"]: r["s"]
+        for r in parted.groupBy("__pid").agg(F.sum(value_col).alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    offset_expr = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("__pid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parted.withColumn(
+            out_col,
+            (F.sum(value_col).over(w) + offset_expr).cast("long"),
+        )
+        .drop("__pid")
+    )
+
+
 def dense_global_index_pinned(
     df: DataFrame,
     order_cols: list[str | Column],

@@ -208,3 +208,27 @@ def test_minhash_verify_touches_candidates_only(spark):
     base = plan_of(minhash_lsh_candidates(docs))
     assert p.count("Generate") == base.count("Generate")
     assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_pack_sequences_no_single_partition_funnel(spark):
+    """pack_sequences: the global running token total must come from the
+    two-phase cumsum (range partition + broadcast prefix offsets) — a
+    naive SUM() OVER (ORDER BY ...) would funnel the corpus through ONE
+    partition. The plan must not contain a SinglePartition exchange."""
+    from sqlstreamstore_spark.analytics.pipeline import pack_sequences
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(pack_sequences(docs))
+    assert "SinglePartition" not in p, p[:3000]
+    assert "Window" in p  # the per-partition cumsum window survives
+
+
+def test_repetition_signals_partial_aggregation(spark):
+    """repetition_signals: word counts aggregate partially map-side
+    before the doc_id shuffle (the explode output never shuffles raw)."""
+    from sqlstreamstore_spark.analytics.text import repetition_signals
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(repetition_signals(docs))
+    assert "partial" in p.lower()
+    assert "NestedLoop" not in p and "CartesianProduct" not in p

@@ -67,3 +67,22 @@ def test_export_training_shards_deterministic(spark, tmp_path):
     b = sorted((r.shard_id, r.doc_id) for r in
                spark.read.parquet(p2).select("shard_id", "doc_id").collect())
     assert a == b
+
+
+def test_pack_sequences_contiguous_budget_assignment(spark):
+    """pack_sequences invariants: sequences fill contiguously in doc_id
+    order — offset_in_seq == tokens_before % budget, seq ids are
+    non-decreasing, and every seq break happens exactly when the running
+    total crosses a 512-token boundary."""
+    from sqlstreamstore_spark.analytics.pipeline import pack_sequences
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = pack_sequences(docs, token_budget=512).collect()
+    assert [r.doc_id for r in rows] == sorted(r.doc_id for r in rows)
+    cum = 0
+    for r in rows:
+        assert r.seq_id == cum // 512, (r, cum)
+        assert r.offset_in_seq == cum % 512
+        cum += r.n_tokens
+    assert rows[-1].seq_id + 1 >= cum // 512  # last sequence exists

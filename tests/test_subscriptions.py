@@ -326,3 +326,65 @@ def test_deleted_stream_tombstone_has_correct_position_via_subscription():
     assert got[0].stream_id == "$deleted"
     assert got[0].type == "$stream-deleted"
     assert got[0].position == 2
+
+
+def test_caught_up_notifies_only_once_while_idle():
+    """Subscriptions.cs When_caught_up_to_all_then_then_should_notify_
+    only_twice: hasCaughtUp(True) is edge-triggered — a multi-page
+    catch-up raises it once at the end, and idle polling afterwards must
+    not re-raise it."""
+    store = InMemoryStreamStore()
+    store.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(*range(1, 31)))
+    got, evt, cb = collect_until(30)
+    signals = []
+    sub = subscribe_to_all(
+        store, cb, has_caught_up=signals.append, page_size=10, poll_interval=0.02
+    )
+    try:
+        assert evt.wait(5)
+        time.sleep(0.3)  # many idle polls
+        assert signals.count(True) == 1, signals
+    finally:
+        sub.dispose()
+
+
+def test_has_caught_up_raised_on_empty_store():
+    """Subscriptions.cs When_subscribe_to_{all,stream}_with_empty_store_
+    should_raise_has_caught_up: an empty store still signals caught-up
+    (there is nothing to catch up on)."""
+    store = InMemoryStreamStore()
+    sig_all, sig_stream = [], []
+    evt_all, evt_stream = threading.Event(), threading.Event()
+    sub1 = subscribe_to_all(
+        store, lambda m: None,
+        has_caught_up=lambda b: (sig_all.append(b), evt_all.set()),
+        poll_interval=0.02,
+    )
+    sub2 = subscribe_to_stream(
+        store, "nope", lambda m: None,
+        has_caught_up=lambda b: (sig_stream.append(b), evt_stream.set()),
+        poll_interval=0.02,
+    )
+    try:
+        assert evt_all.wait(5) and evt_stream.wait(5)
+        assert sig_all[0] is True and sig_stream[0] is True
+    finally:
+        sub1.dispose()
+        sub2.dispose()
+
+
+def test_subscribe_to_stream_from_end_only_new():
+    """Subscriptions.cs Can_subscribe_to_a_stream_from_end: continue
+    after the current end delivers only messages appended later."""
+    store = InMemoryStreamStore()
+    store.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(1, 2, 3))
+    got, evt, cb = collect_until(2)
+    sub = subscribe_to_stream(store, "s", cb, from_end=True)
+    try:
+        time.sleep(0.1)
+        assert got == []
+        store.append_to_stream("s", 2, msgs(4, 5))
+        assert evt.wait(5)
+        assert [m.stream_version for m in got] == [3, 4]
+    finally:
+        sub.dispose()
