@@ -154,3 +154,47 @@ def test_interleaved_concurrency_conflict(store):
     store.append_to_stream("s", 0, msgs(2))
     with pytest.raises(WrongExpectedVersionError):
         store.append_to_stream("s", 0, msgs(3))
+
+
+def test_append_any_out_of_order_repeat_throws(store):
+    """AppendStream.cs:432-442: replaying previously-committed messages
+    in a different order under Any is a mismatch, not idempotent."""
+    store.append_to_stream("s", ExpectedVersion.ANY, msgs(1, 2, 3))
+    with pytest.raises(WrongExpectedVersionError):
+        store.append_to_stream("s", ExpectedVersion.ANY, msgs(2, 1))
+
+
+def test_append_any_full_suffix_repeat_is_idempotent(store):
+    """AppendStream.cs ...Any_and_all_messages_committed...: replaying a
+    committed suffix (found mid-stream) no-ops and reports the head."""
+    store.append_to_stream("s", ExpectedVersion.ANY, msgs(1, 2, 3, 4))
+    r = store.append_to_stream("s", ExpectedVersion.ANY, msgs(3, 4))
+    assert (r.current_version, r.current_position) == (3, 3)
+    page = store.read_stream_forwards("s", 0, 10)
+    assert [m.stream_version for m in page.messages] == [0, 1, 2, 3]
+
+
+def test_append_to_many_streams_returns_expected_position(store):
+    """AppendStream.cs When_append_to_many_streams_returns_expected_
+    position: positions are global across streams and results report
+    them."""
+    r1 = store.append_to_stream("a", ExpectedVersion.NO_STREAM, msgs(1, 2))
+    r2 = store.append_to_stream("b", ExpectedVersion.NO_STREAM, msgs(3))
+    r3 = store.append_to_stream("a", 1, msgs(4))
+    assert (r1.current_position, r2.current_position, r3.current_position) == (1, 2, 3)
+    assert store.read_stream_head_position("a") == 3
+    assert store.read_stream_head_position("b") == 2
+
+
+def test_append_url_encodable_ids_across_expected_versions(store):
+    """AppendStream.cs URL-encodable theories: ids with /, #, %, ?
+    (whitespace stays forbidden, StreamId.cs:16-22) work for every
+    expectedVersion sentinel."""
+    for i, ev in enumerate(
+        [ExpectedVersion.NO_STREAM, ExpectedVersion.ANY, ExpectedVersion.NO_STREAM]
+    ):
+        sid = f"stream/#%{i}?"
+        r = store.append_to_stream(sid, ev, msgs(10 + i))
+        assert r.current_version == 0
+        page = store.read_stream_forwards(sid, 0, 10)
+        assert page.status == "Success" and len(page.messages) == 1

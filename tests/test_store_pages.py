@@ -129,3 +129,45 @@ def test_read_argument_guards(store):
     ):
         with _pytest.raises(ValueError):
             bad()
+
+
+# Exact port of the reference's ReadStreamTheory tables
+# (AcceptanceTests.ReadStream.cs:376-430): every page field pinned.
+# Tuple: (stream_id, start, page_size, forwards,
+#         (status, from_v, next_v, last_v, is_end, [(msg_n, version), ...]))
+_READ_STREAM_THEORIES = [
+    ("stream-1", 0, 2, True,
+     ("Success", 0, 2, 2, False, [(1, 0), (2, 1)])),
+    ("not-exist", 1, 2, True,
+     ("StreamNotFound", 1, -1, -1, True, [])),
+    ("stream-2", 1, 2, True,
+     ("Success", 1, 3, 2, True, [(5, 1), (6, 2)])),
+    ("stream-1", -1, 1, False,
+     ("Success", -1, 1, 2, False, [(3, 2)])),
+    ("stream-1", -1, 2, False,
+     ("Success", -1, 0, 2, False, [(3, 2), (2, 1)])),
+    ("stream-1", -1, 4, False,
+     ("Success", -1, -1, 2, True, [(3, 2), (2, 1), (1, 0)])),
+]
+
+
+@pytest.mark.parametrize("sid, start, size, fwd, expected", _READ_STREAM_THEORIES)
+def test_read_stream_theories(store, sid, start, size, fwd, expected):
+    store.append_to_stream("stream-1", ExpectedVersion.NO_STREAM, msgs(1, 2, 3))
+    store.append_to_stream("stream-2", ExpectedVersion.NO_STREAM, msgs(4, 5, 6))
+    page = (
+        store.read_stream_forwards(sid, start, size)
+        if fwd
+        else store.read_stream_backwards(sid, start, size)
+    )
+    status, from_v, next_v, last_v, is_end, exp_msgs = expected
+    assert page.status == status
+    assert page.stream_id == sid
+    assert page.from_stream_version == from_v
+    assert page.next_stream_version == next_v
+    assert page.last_stream_version == last_v
+    assert page.is_end == is_end
+    assert [(m.message_id, m.stream_version, m.type, m.json_data)
+            for m in page.messages] == [
+        (str(uuid.UUID(int=n)), v, f"t{n}", f'{{"n":{n}}}') for n, v in exp_msgs
+    ]
