@@ -43,20 +43,41 @@ class HttpClientStreamStore:
     def __init__(self, base_url: str, timeout: float = 30.0):
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        # path -> (etag, status, headers, body): conditional-GET cache.
+        # Feed polling (catch-up subscriptions) re-reads the same head
+        # page until it changes; with If-None-Match the server answers
+        # 304 with no body — what makes HAL feeds cheap to poll
+        # (reference ConditionalRequestTests.cs). Cached CONSERVATIVELY:
+        # only responses whose ETag fully determines content — empty
+        # feed pages (the steady-state head poll; nothing in them can
+        # expire) and stream metadata (version bumps on every change).
+        # Pages WITH messages are never reused: max-age expiry can
+        # change their content without moving the version/position the
+        # ETag is derived from. Bounded LRU-ish.
+        self._etag_cache: dict[str, tuple[str, int, dict, object]] = {}
+        self._etag_cache_max = 64
 
     # ------------------------------------------------------------ transport
 
     def _request(self, method: str, path: str, body=None, headers=None):
         data = None if body is None else json.dumps(body).encode()
+        headers = {"Content-Type": "application/json", **(headers or {})}
+        cached = self._etag_cache.get(path) if method == "GET" else None
+        if cached is not None:
+            headers["If-None-Match"] = cached[0]
         req = urllib.request.Request(
-            self.base_url + path, data=data, method=method,
-            headers={"Content-Type": "application/json", **(headers or {})},
+            self.base_url + path, data=data, method=method, headers=headers,
         )
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:
                 raw = resp.read()
-                return resp.status, dict(resp.headers), json.loads(raw) if raw else None
+                out = resp.status, dict(resp.headers), json.loads(raw) if raw else None
+                self._maybe_cache(method, path, *out)
+                return out
         except urllib.error.HTTPError as e:
+            if e.code == 304 and cached is not None:
+                e.read()
+                return cached[1], cached[2], cached[3]
             raw = e.read()
             payload = json.loads(raw) if raw else {}
             if e.code == 409:
@@ -73,6 +94,20 @@ class HttpClientStreamStore:
             if e.code == 404:
                 return 404, dict(e.headers), payload
             raise
+
+    def _maybe_cache(self, method: str, path: str, status: int, hdrs: dict, body) -> None:
+        if method != "GET" or status != 200:
+            return
+        etag = hdrs.get("ETag")
+        if etag is None:
+            return
+        if isinstance(body, dict) and "metadataStreamVersion" not in body:
+            embedded = (body.get("_embedded") or {}).get("streamStore:message")
+            if embedded != []:
+                return  # content-bearing page: expiry could change it
+        if len(self._etag_cache) >= self._etag_cache_max:
+            self._etag_cache.pop(next(iter(self._etag_cache)))
+        self._etag_cache[path] = (etag, status, hdrs, body)
 
     @staticmethod
     def _sid(stream_id: str) -> str:

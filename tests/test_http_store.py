@@ -355,3 +355,41 @@ def test_http_store_bugs_are_500_not_400(duo):
     status, _h, body = _raw_get(client.base_url, "/stream")
     assert status == 500
     assert b"KeyError" in body
+
+
+def test_http_client_conditional_polling_uses_304(duo):
+    """The client's conditional-GET cache: the steady-state head poll
+    (an EMPTY page at the feed head — nothing in it can expire) is
+    served via 304 with no body over the wire; content-bearing pages
+    are deliberately never reused (max-age expiry can change them
+    without moving the ETag). After an append the cached ETag stops
+    matching and fresh content flows."""
+    _backend, client, _clock = duo
+    client.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(1, 2))
+    p1 = client.read_all_forwards(0, 10)
+    assert not client._etag_cache  # content-bearing page: not cached
+    head_poll = lambda: client.read_all_forwards(p1.next_position, 10)  # noqa: E731
+    e1 = head_poll()
+    assert e1.messages == [] and client._etag_cache  # empty page cached
+    e2 = head_poll()  # served via 304
+    assert page_obs(e1) == page_obs(e2)
+    client.append_to_stream("s", 1, msgs(3))
+    p3 = head_poll()
+    assert [m.position for m in p3.messages] == [2]
+    # subscriptions keep working over the conditional path
+    import threading
+
+    got, done = [], threading.Event()
+
+    def cb(m):
+        got.append(m)
+        if len(got) >= 4:
+            done.set()
+
+    from sqlstreamstore_spark.streaming import subscribe_to_all
+
+    sub = subscribe_to_all(client, cb, poll_interval=0.05)
+    client.append_to_stream("s", 2, msgs(4))
+    assert done.wait(15), f"only {len(got)}"
+    sub.dispose()
+    assert [m.position for m in got] == [0, 1, 2, 3]
