@@ -179,3 +179,15 @@ def test_deletion_tracking_disabled():
     store.delete_stream("s")
     page = store.read_stream_forwards("$deleted", 0, 10)
     assert page.status == "STREAM_NOT_FOUND" or not page.messages
+
+
+def test_list_streams_excludes_deleted(store):
+    """ListStreams.cs:108-119: deleted streams don't appear (and no
+    null/empty entries are returned)."""
+    store.append_to_stream("stream-1", ExpectedVersion.ANY, msgs(1))
+    store.append_to_stream("stream-2", ExpectedVersion.ANY, msgs(2))
+    store.delete_stream("stream-1")
+    ids, _ = store.list_streams()
+    assert "stream-1" not in ids
+    assert all(ids)  # no None/empty entries
+    assert "stream-2" in ids
