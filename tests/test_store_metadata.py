@@ -191,3 +191,23 @@ def test_list_streams_excludes_deleted(store):
     assert "stream-1" not in ids
     assert all(ids)  # no None/empty entries
     assert "stream-2" in ids
+
+
+def test_head_ops_on_created_empty_stream(store):
+    """ReadHeadCheckpoint.cs: a CREATED-but-empty stream (NoStream + [])
+    still reports -1 for both heads, and the global head stays -1."""
+    store.append_to_stream("empty", ExpectedVersion.NO_STREAM, [])
+    assert store.read_head_position() == -1
+    assert store.read_stream_head_position("empty") == -1
+    assert store.read_stream_head_version("empty") == -1
+
+
+def test_can_set_metadata_on_deleted_stream(store):
+    """StreamMetadata.cs Can_set_deleted_stream_metadata: setting
+    metadata after deletion works (a fresh $$ stream) and reads back."""
+    store.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(1))
+    store.delete_stream("s")
+    store.set_stream_metadata("s", max_count=7)
+    meta = store.get_stream_metadata("s")
+    assert meta.max_count == 7
+    assert meta.metadata_stream_version == 0
