@@ -204,3 +204,79 @@ def test_http_client_and_memory_agree(ops):
         assert observe(mem) == observe(http)
     finally:
         server.stop()
+
+
+# -- widened op mix: deletes, per-message deletes, retention metadata,
+# and clock advancement (max-age expiry must agree across backends too)
+
+_IDX = st.integers(0, len(STREAMS) - 1)
+_full_op = st.one_of(
+    st.tuples(
+        st.just("append"), _IDX,
+        st.sampled_from([ExpectedVersion.ANY, ExpectedVersion.NO_STREAM, 0, 1, 2]),
+        st.lists(st.integers(1, 60), min_size=1, max_size=4),
+    ),
+    st.tuples(st.just("delete_stream"), _IDX, st.just(None), st.just(None)),
+    st.tuples(st.just("delete_message"), _IDX, st.integers(1, 60), st.just(None)),
+    st.tuples(
+        st.just("set_meta"), _IDX,
+        st.one_of(st.none(), st.integers(1, 4)),      # max_count
+        st.one_of(st.none(), st.integers(20, 120)),   # max_age seconds
+    ),
+    st.tuples(st.just("tick"), st.integers(1, 90), st.just(None), st.just(None)),
+)
+
+
+class _Clock:
+    def __init__(self):
+        import datetime as dt
+
+        self.now = dt.datetime(2024, 1, 1)
+
+    def __call__(self):
+        return self.now
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(ops=st.lists(_full_op, min_size=1, max_size=14))
+def test_memory_and_sqlite_agree_with_retention_and_deletes(ops):
+    """The full op surface — appends, stream/message deletes, retention
+    metadata, time passing — must leave both backends in identical
+    observable state, including max-age expiry and max-count scavenge
+    effects."""
+    import datetime as dt
+
+    clock = _Clock()
+    mem = InMemoryStreamStore(get_utc_now=clock)
+    sql = SqliteStreamStore(get_utc_now=clock)
+
+    def run(store, op):
+        kind = op[0]
+        try:
+            if kind == "append":
+                _k, idx, ev, ns = op
+                a = store.append_to_stream(STREAMS[idx], ev, msgs(ns))
+                return (a.current_version, a.current_position)
+            if kind == "delete_stream":
+                store.delete_stream(STREAMS[op[1]])
+                return "del"
+            if kind == "delete_message":
+                store.delete_message(STREAMS[op[1]], str(uuid.UUID(int=op[2])))
+                return "delmsg"
+            if kind == "set_meta":
+                _k, idx, mc, ma = op
+                r = store.set_stream_metadata(
+                    STREAMS[idx], max_count=mc, max_age=ma
+                )
+                return ("meta", r.current_version)
+        except WrongExpectedVersionError:
+            return "err"
+        except ValueError:
+            return "err-dup"
+
+    for op in ops:
+        if op[0] == "tick":
+            clock.now += dt.timedelta(seconds=op[1])
+            continue
+        assert run(mem, op) == run(sql, op), op
+    assert observe(mem) == observe(sql)
