@@ -208,6 +208,42 @@ def main() -> int:
         timings["sqlite_drain_p1000"] = round(dt, 3)
         timings["sqlite_read_msgs_per_sec"] = round(drained / dt, 1)
 
+        # -- append under max-count retention on a hot stream — the
+        # per-append scavenge overhead (LoadTests/AppendStreamWithMaxCount.cs
+        # analog: every append triggers the window-top-N purge check).
+        store4 = SparkParquetStreamStore(spark, os.path.join(tmp, "store4"))
+        store4.set_stream_metadata("hot", max_count=10)
+        t0 = time.time()
+        k = 0
+        for b in range(20):
+            batch = [
+                NewStreamMessage(str(uuid.UUID(int=30_000_000 + k + i)), "hot", '{"x":1}')
+                for i in range(100)
+            ]
+            k += 100
+            store4.append_to_stream("hot", ExpectedVersion.ANY, batch)
+        dt = time.time() - t0
+        assert len(store4.read_stream_forwards("hot", 0, 100).messages) == 10
+        timings["append_maxcount_20x100"] = round(dt, 3)
+        timings["append_maxcount_msgs_per_sec"] = round(2_000 / dt, 1)
+
+        # -- unique-stream creation path (LoadTests/
+        # AppendExpectedVersionNoStreamParallel.cs / UniqueStreams.cs
+        # analog: every append creates a fresh stream row).
+        store5 = SparkParquetStreamStore(spark, os.path.join(tmp, "store5"))
+        t0 = time.time()
+        k = 0
+        for s in range(200):
+            batch = [
+                NewStreamMessage(str(uuid.UUID(int=40_000_000 + k + i)), "u", '{"x":1}')
+                for i in range(5)
+            ]
+            k += 5
+            store5.append_to_stream(f"u-{s}", ExpectedVersion.NO_STREAM, batch)
+        dt = time.time() - t0
+        timings["append_unique_200x5"] = round(dt, 3)
+        timings["append_unique_msgs_per_sec"] = round(1_000 / dt, 1)
+
         # -- two concurrent writer PROCESSES on one store (the documented
         # multi-writer regime: flock+CAS serializes commits; the loser
         # catches ConcurrentWriteError, refresh()es, retries — README

@@ -261,12 +261,19 @@ class StreamStore:
         head = self._stream_head(stream_id)
         if head is None:
             return
-        count = len(self._stream_stored_ids(stream_id))
-        if count > max_count:
-            to_purge = count - max_count
-            victims = self._read_stream_slice(stream_id, StreamVersion.START, to_purge, True)
-            for m in victims:
-                self.delete_message(stream_id, m.message_id, _validate=False)
+        ids = self._stream_stored_ids(stream_id)  # version-ordered
+        if len(ids) > max_count:
+            # victims = the oldest overflow — the id list (already keyed
+            # reads, no full-message fetch) is all the purge needs
+            self._purge_victims(stream_id, list(ids[: len(ids) - max_count]))
+
+    def _purge_victims(self, stream_id: str, message_ids: list[str]) -> None:
+        """Delete the scavenge victims. Default: one delete per message
+        (fine for in-memory/SQLite). Backends whose per-delete commit is
+        expensive (a manifest fsync on the Parquet store) override this
+        with a single batched commit."""
+        for mid in message_ids:
+            self.delete_message(stream_id, mid, _validate=False)
 
     # ---------------------------------------------------------------- reads
 

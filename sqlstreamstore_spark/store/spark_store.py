@@ -379,6 +379,54 @@ class SparkParquetStreamStore(StreamStore):
         self._save_manifest()
         return had_rows
 
+    def _purge_victims(self, stream_id, message_ids) -> None:
+        """Batched max-count purge: every victim lands in ONE manifest
+        commit plus (with deletion tracking) one batched tombstone
+        append — the base class default costs a manifest fsync + a
+        $deleted commit PER victim, which made a 100-message append to a
+        max_count=10 stream ~200 fsyncs (bench append_maxcount row:
+        57.7 s for 2,000 messages before this override)."""
+        if not message_ids:
+            return
+        with self._write_lock:
+            ids = self._stream_stored_ids(stream_id)
+            present = set(ids)
+            doomed = [m for m in message_ids if m in present]
+            if not doomed:
+                return
+            dm = self._manifest["deleted_messages"].setdefault(stream_id, [])
+            for mid in doomed:
+                ids.remove(mid)
+                dm.append(mid)
+            s = self._manifest["streams"].get(stream_id)
+            if s:
+                s["count"] = max(0, s["count"] - len(doomed))
+            if self.track_deletions:
+                import json as _json
+
+                from sqlstreamstore_spark.functions.uuid5 import uuid5_py
+                from sqlstreamstore_spark.schema import (
+                    DELETED_STREAM_ID,
+                    ExpectedVersion,
+                    MESSAGE_DELETED_TYPE,
+                )
+
+                tombstones = [
+                    NewStreamMessage(
+                        uuid5_py(f"$message-deleted:{stream_id}:{mid}"),
+                        MESSAGE_DELETED_TYPE,
+                        _json.dumps(
+                            {"StreamId": stream_id, "MessageId": mid},
+                            separators=(",", ":"),
+                        ),
+                    )
+                    for mid in doomed
+                ]
+                # the tombstone commit also persists the deletion sets
+                self._append_internal(DELETED_STREAM_ID, ExpectedVersion.ANY, tombstones)
+            else:
+                self._save_manifest()
+
     def _delete_message_row(self, stream_id, message_id) -> bool:
         ids = self._stream_stored_ids(stream_id)
         if message_id not in ids:
