@@ -730,6 +730,38 @@ WHERE cosine >= 0.35
 ORDER BY id_a, id_b
 """
 
+_EMB_DEDUP_KEEPERS_SQL = f"""
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id, v,
+       {_lsh_bucket_sql("v")} AS bucket
+  FROM e
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+    FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+  WHERE cosine >= 0.35
+),
+edges AS (
+  SELECT id_a AS u, id_b AS w FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS w FROM pairs
+),
+reach AS (
+  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON e2.w = reach.u
+),
+comp AS (SELECT u AS vec_id, min(r) AS keeper FROM reach GROUP BY u)
+SELECT emb.vec_id,
+       CAST(coalesce(comp.keeper, emb.vec_id) AS BIGINT) AS keeper
+FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.vec_id
+ORDER BY emb.vec_id
+"""
+
 _TOPK_LSH_SQL = f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
 qb AS (SELECT qv, {_lsh_bucket_sql("qv")} AS bucket FROM q),
@@ -1482,6 +1514,11 @@ def analytics_queries():
         "sim_cosine_near_dup_lsh": (
             lambda s, sf: similarity.cosine_near_dup_pairs_lsh(_t(s, sf, "embeddings"), 0.35),
             _COS_PAIRS_LSH_SQL,
+        ),
+        # end-to-end semantic dedup: LSH pairs -> CC -> keeper per vector
+        "sim_embedding_dedup_keepers": (
+            lambda s, sf: similarity.embedding_dedup_keepers(_t(s, sf, "embeddings"), 0.35),
+            _EMB_DEDUP_KEEPERS_SQL,
         ),
         # relational extras
         "setop_intersect": (

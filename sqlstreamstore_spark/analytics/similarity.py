@@ -452,3 +452,36 @@ def cosine_topk_ivf_static(
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def embedding_dedup_keepers(
+    embeddings: DataFrame, threshold: float = 0.35, dim: int = 64, bits: int = 4, seed: int = 42
+) -> DataFrame:
+    """End-to-end embedding (semantic) deduplication: LSH-bucketed
+    candidate pairs → exact cosine verify → connected components →
+    one keeper per vector (the min vec_id of its duplicate cluster;
+    unique vectors keep themselves). The assignment a pipeline joins
+    back to drop semantic near-duplicates.
+
+    Every stage is the already-scale-shaped operator it composes:
+    bucket equi-join candidates (never all pairs), localCheckpoint'd
+    min-label propagation for the clustering, one broadcast-ish join to
+    label the full corpus."""
+    from sqlstreamstore_spark.analytics.dedup import connected_components
+
+    pairs = cosine_near_dup_pairs_lsh(
+        embeddings, threshold, dim=dim, bits=bits, seed=seed
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    comp = connected_components(pairs)
+    labels = comp.select(
+        F.col("doc_id").alias("vec_id"), F.col("comp").alias("__keeper")
+    )
+    return (
+        embeddings.select("vec_id")
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("__keeper"), F.col("vec_id")).cast("bigint").alias("keeper"),
+        )
+        .orderBy("vec_id")
+    )

@@ -79,16 +79,24 @@ class ArrowPageCache:
     """
 
     def __init__(self, log: DataFrame, window_rows: int | None = None):
+        self._log = log
+        self._window_rows = window_rows
+        self.refresh()
+
+    def refresh(self) -> None:
+        """Rebuild the cached window from the current log — a feed
+        server calls this per commit batch (cheap: one range-sorted
+        Arrow transfer of the window)."""
         import numpy as np
 
-        self._log = log
+        log = self._log
         n = max(1, log.sparkSession.sparkContext.defaultParallelism)
         sorted_log = log.repartitionByRange(n, "position").sortWithinPartitions(
             "position"
         )
         tbl = sorted_log.toArrow()  # partition order == position order
-        if window_rows is not None and tbl.num_rows > window_rows:
-            tbl = tbl.slice(tbl.num_rows - window_rows)
+        if self._window_rows is not None and tbl.num_rows > self._window_rows:
+            tbl = tbl.slice(tbl.num_rows - self._window_rows)
         self._tbl = tbl
         # dense or not, positions are sorted: a numpy view gives O(log n)
         # lower-bound lookup per page
