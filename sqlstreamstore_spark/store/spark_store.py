@@ -270,6 +270,13 @@ class SparkParquetStreamStore(StreamStore):
         ]
 
     def _read_stream_slice(self, stream_id, from_version, count, forwards):
+        if self.spark is None:
+            # JVM-free handle (pure-pyarrow ingest agent): per-stream
+            # page reads come from a keyed parquet point scan — the
+            # append path needs them for $$-metadata lookups and the
+            # §2.3 idempotency window, so a store with retention
+            # metadata must stay writable without Spark.
+            return self._read_stream_slice_arrow(stream_id, from_version, count, forwards)
         df = self.log_df().filter(F.col("stream_id") == stream_id)
         if forwards:
             df = (
@@ -282,6 +289,28 @@ class SparkParquetStreamStore(StreamStore):
                 .orderBy(F.col("stream_version").desc())
             )
         return self._rows_to_messages(df.limit(count).collect())
+
+    def _read_stream_slice_arrow(self, stream_id, from_version, count, forwards):
+        import pyarrow.dataset as ds
+
+        m = self._manifest
+        flt = ds.field("stream_id") == stream_id
+        if forwards:
+            flt = flt & (ds.field("stream_version") >= from_version)
+        else:
+            flt = flt & (ds.field("stream_version") <= from_version)
+        cutoff = m["deleted_streams"].get(stream_id)
+        if cutoff is not None:
+            flt = flt & (ds.field("position") > cutoff)
+        tbl = self._stream_point_scan(
+            flt,
+            ["position", "stream_id", "stream_version", "message_id",
+             "created_utc", "type", "json_data", "json_metadata"],
+        )
+        dead = set(m["deleted_messages"].get(stream_id, []))
+        rows = [r for r in tbl.to_pylist() if r["message_id"] not in dead]
+        rows.sort(key=lambda r: r["stream_version"], reverse=not forwards)
+        return self._rows_to_messages(rows[:count])
 
     def _read_all_slice(self, from_position, count, forwards):
         df = self.log_df()

@@ -411,3 +411,25 @@ def test_maxcount_purge_is_one_commit_per_append(spark, tmp_path):
     # tombstones all present from the batch
     dead = store.read_stream_forwards("$deleted", 0, 1000).messages
     assert sum(1 for m in dead if m.type == "$message-deleted") >= 180
+
+
+def test_sparkless_handle_full_write_surface(spark, tmp_path):
+    """A spark=None handle (pure-pyarrow ingest agent) must support the
+    FULL write surface — including streams with retention metadata,
+    whose appends read the $$-stream and scavenge — not just plain
+    appends. Reads of the result come from a Spark-attached handle."""
+    path = str(tmp_path / "nospark")
+    w = SparkParquetStreamStore(None, path)
+    w.set_stream_metadata("hot", max_count=2, max_age=3600)
+    w.append_to_stream("hot", ExpectedVersion.ANY, msgs(1, 2, 3, 4))
+    assert w.get_stream_metadata("hot").max_count == 2
+    # idempotent repeat + per-message delete also exercise keyed reads
+    r = w.append_to_stream("plain", ExpectedVersion.NO_STREAM, msgs(7, 8))
+    assert r.current_version == 1
+    w.delete_message("plain", str(uuid.UUID(int=7)))
+
+    reader = SparkParquetStreamStore(spark, path)
+    assert [m.stream_version for m in
+            reader.read_stream_forwards("hot", 0, 10).messages] == [2, 3]
+    assert [m.stream_version for m in
+            reader.read_stream_forwards("plain", 0, 10).messages] == [1]
