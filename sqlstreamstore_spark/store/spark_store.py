@@ -313,12 +313,84 @@ class SparkParquetStreamStore(StreamStore):
         return self._rows_to_messages(rows[:count])
 
     def _read_all_slice(self, from_position, count, forwards):
+        if self.spark is None:
+            return self._read_all_slice_arrow(from_position, count, forwards)
         df = self.log_df()
         if forwards:
             df = df.filter(F.col("position") >= from_position).orderBy("position")
         else:
             df = df.filter(F.col("position") <= from_position).orderBy(F.col("position").desc())
         return self._rows_to_messages(df.limit(count).collect())
+
+    def _file_position_ranges(self) -> list[tuple[str, int, int]]:
+        """(file, min_position, max_position) from parquet footers —
+        the store's substitute for the reference's PK(position) B-tree
+        on the JVM-free path. Cached per manifest version; a footer read
+        is a few KB per file."""
+        import pyarrow.parquet as pq
+
+        if getattr(self, "_franges_version", None) == self._manifest["version"]:
+            return self._franges
+        out: list[tuple[str, int, int]] = []
+        for fn in self._manifest["files"]:
+            path = os.path.join(self._data_dir, fn)
+            md = pq.read_metadata(path)
+            idx = md.schema.names.index("position")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append((fn, min(mins), max(maxs)))
+        self._franges = out
+        self._franges_version = self._manifest["version"]
+        return out
+
+    def _read_all_slice_arrow(self, from_position, count, forwards):
+        """maxCount-bounded global page without a JVM: prune files by
+        their footer position ranges, read candidates in range order,
+        stop as soon as no unread file can still contribute to the
+        first `count` surviving rows. Handles overlapping ranges (the
+        by_stream compaction layout) via the kth-position bound."""
+        import pyarrow.dataset as ds
+
+        m = self._manifest
+        flt = (
+            (ds.field("position") >= from_position)
+            if forwards
+            else (ds.field("position") <= from_position)
+        )
+        cands = [
+            (fn, mn, mx)
+            for fn, mn, mx in self._file_position_ranges()
+            if (mx >= from_position if forwards else mn <= from_position)
+        ]
+        cands.sort(key=(lambda t: t[1]) if forwards else (lambda t: -t[2]))
+        dead_streams = m["deleted_streams"]
+        dead_msgs = m["deleted_messages"]
+        cols = ["position", "stream_id", "stream_version", "message_id",
+                "created_utc", "type", "json_data", "json_metadata"]
+        rows: list[dict] = []
+        for i, (fn, mn, mx) in enumerate(cands):
+            dataset = ds.dataset(
+                [os.path.join(self._data_dir, fn)], format="parquet"
+            )
+            for r in dataset.to_table(filter=flt, columns=cols).to_pylist():
+                cut = dead_streams.get(r["stream_id"])
+                if cut is not None and r["position"] <= cut:
+                    continue
+                if r["message_id"] in dead_msgs.get(r["stream_id"], []):
+                    continue
+                rows.append(r)
+            if len(rows) >= count and i + 1 < len(cands):
+                rows.sort(key=lambda r: r["position"], reverse=not forwards)
+                kth = rows[count - 1]["position"]
+                nxt = cands[i + 1]
+                # no later file can beat the current kth row
+                if (nxt[1] > kth) if forwards else (nxt[2] < kth):
+                    break
+        rows.sort(key=lambda r: r["position"], reverse=not forwards)
+        return self._rows_to_messages(rows[:count])
 
     def _commit_messages(self, stream_id, base_version, base_position, messages, created_utc):
         import pyarrow as pa

@@ -433,3 +433,53 @@ def test_sparkless_handle_full_write_surface(spark, tmp_path):
             reader.read_stream_forwards("hot", 0, 10).messages] == [2, 3]
     assert [m.stream_version for m in
             reader.read_stream_forwards("plain", 0, 10).messages] == [1]
+
+
+def test_sparkless_handle_full_read_surface(spark, tmp_path):
+    """The READ surface also works JVM-free: global pages come from a
+    footer-range-pruned pyarrow scan (the PK(position) B-tree analog).
+    Pages must equal the Spark-attached handle's — including after
+    per-message deletes, stream deletes, and BOTH compaction layouts
+    (by_stream produces overlapping per-file position ranges, the case
+    the kth-bound early-stop must survive)."""
+    path = str(tmp_path / "nospark-read")
+    w = SparkParquetStreamStore(spark, path)
+    for b in range(4):
+        w.append_to_stream(f"s{b % 2}", ExpectedVersion.ANY,
+                           msgs(*(b * 5 + i for i in range(1, 6))))
+    w.delete_message("s0", str(uuid.UUID(int=2)))
+    w.delete_stream("s1")
+    w.append_to_stream("s1", ExpectedVersion.NO_STREAM, msgs(95))
+
+    def pages(store):
+        out, pos = [], 0
+        while True:
+            p = store.read_all_forwards(pos, 3)
+            out.append(page_obs(p))
+            if p.is_end:
+                return out
+            pos = p.next_position
+
+    for layout in (None, "by_position", "by_stream"):
+        if layout:
+            w.compact(target_files=3, layout=layout)
+        r = SparkParquetStreamStore(None, path)
+        assert pages(r) == pages(w), layout
+        back = r.read_all_backwards(-1, 4)
+        assert page_obs(back) == page_obs(w.read_all_backwards(-1, 4)), layout
+        # subscriptions (poll read_all_forwards) run JVM-free too
+        import threading
+
+        from sqlstreamstore_spark.streaming import subscribe_to_all
+
+        got, done = [], threading.Event()
+        n_total = len(w.read_all_forwards(0, 1000).messages)
+
+        def cb(m, _got=got, _done=done, _n=n_total):
+            _got.append(m)
+            if len(_got) >= _n:
+                _done.set()
+
+        sub = subscribe_to_all(r, cb, poll_interval=0.05)
+        assert done.wait(20), f"{layout}: only {len(got)}/{n_total}"
+        sub.dispose()
