@@ -270,25 +270,12 @@ class SparkParquetStreamStore(StreamStore):
         ]
 
     def _read_stream_slice(self, stream_id, from_version, count, forwards):
-        if self.spark is None:
-            # JVM-free handle (pure-pyarrow ingest agent): per-stream
-            # page reads come from a keyed parquet point scan — the
-            # append path needs them for $$-metadata lookups and the
-            # §2.3 idempotency window, so a store with retention
-            # metadata must stay writable without Spark.
-            return self._read_stream_slice_arrow(stream_id, from_version, count, forwards)
-        df = self.log_df().filter(F.col("stream_id") == stream_id)
-        if forwards:
-            df = (
-                df.filter(F.col("stream_version") >= from_version)
-                .orderBy("stream_version")
-            )
-        else:
-            df = (
-                df.filter(F.col("stream_version") <= from_version)
-                .orderBy(F.col("stream_version").desc())
-            )
-        return self._rows_to_messages(df.limit(count).collect())
+        # Always the keyed pyarrow point scan — never a Spark job. An
+        # API page is maxCount-bounded; a distributed query for it pays
+        # the ~50-100 ms job floor regardless of scan size, while the
+        # keyed scan is ~ms (and the only option on spark=None ingest
+        # handles). log_df() remains the analytics surface.
+        return self._read_stream_slice_arrow(stream_id, from_version, count, forwards)
 
     def _read_stream_slice_arrow(self, stream_id, from_version, count, forwards):
         import pyarrow.dataset as ds
@@ -313,14 +300,10 @@ class SparkParquetStreamStore(StreamStore):
         return self._rows_to_messages(rows[:count])
 
     def _read_all_slice(self, from_position, count, forwards):
-        if self.spark is None:
-            return self._read_all_slice_arrow(from_position, count, forwards)
-        df = self.log_df()
-        if forwards:
-            df = df.filter(F.col("position") >= from_position).orderBy("position")
-        else:
-            df = df.filter(F.col("position") <= from_position).orderBy(F.col("position").desc())
-        return self._rows_to_messages(df.limit(count).collect())
+        # Footer-range-pruned pyarrow scan (see _read_all_slice_arrow) —
+        # same rationale as _read_stream_slice: a maxCount-bounded page
+        # should never cost a cluster job.
+        return self._read_all_slice_arrow(from_position, count, forwards)
 
     def _file_position_ranges(self) -> list[tuple[str, int, int]]:
         """(file, min_position, max_position) from parquet footers —
