@@ -286,14 +286,16 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stats_quantiles", "text_rolling_hash", "text_regex_tokens",
     "multimodal_payload_stats", "multimodal_decode", "multimodal_frame_sample",
     "multimodal_resize", "sim_cosine_topk_ivf", "stats_approx_sketches",
+    # -- new in round 3 (never checked by construction) --
+    "text_repetition_signals", "pipeline_pack_sequences",
+    "sim_cosine_topk_ivf_index", "sim_embedding_dedup_keepers",
     # -- §2-core + regression canaries --
     "read_all_forwards", "read_all_backwards", "read_stream_forwards",
     "read_stream_backwards", "read_head_position", "read_stream_head_position",
     "read_stream_head_version", "list_streams", "streams_view", "expiry_filter",
     "scavenge_victims", "scavenge_all_victims", "store_bulk_roundtrip",
-    "events_funnel", "tpch_q1", "tpch_q3", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_minhash_recall", "dedup_ngram_jaccard", "asof_join_last_order",
-    "sessions_per_user",
+    "events_funnel", "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_recall",
+    "asof_join_last_order",
 )
 
 
