@@ -730,6 +730,33 @@ WHERE cosine >= 0.35
 ORDER BY id_a, id_b
 """
 
+_EMB_RECALL_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id < 1000),
+sigs AS (
+  SELECT vec_id, v, {_lsh_bucket_sql("v")} AS bucket FROM e
+),
+exact AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+),
+lshp AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+),
+hit AS (SELECT e2.id_a FROM exact e2 JOIN lshp ON e2.id_a = lshp.id_a AND e2.id_b = lshp.id_b)
+SELECT (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM lshp) AS n_lsh,
+       (SELECT count(*) FROM hit) AS n_hit,
+       CASE WHEN (SELECT count(*) FROM exact) = 0 THEN 1.0
+            ELSE CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                   / (SELECT count(*) FROM exact) END AS recall
+"""
+
 _EMB_DEDUP_KEEPERS_SQL = f"""
 WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 sigs AS (
@@ -1514,6 +1541,12 @@ def analytics_queries():
         "sim_cosine_near_dup_lsh": (
             lambda s, sf: similarity.cosine_near_dup_pairs_lsh(_t(s, sf, "embeddings"), 0.35),
             _COS_PAIRS_LSH_SQL,
+        ),
+        "sim_embedding_lsh_recall": (
+            lambda s, sf: similarity.embedding_lsh_recall(
+                _t(s, sf, "embeddings").filter(F.col("vec_id") < 1000), 0.35
+            ),
+            _EMB_RECALL_SQL,
         ),
         # end-to-end semantic dedup: LSH pairs -> CC -> keeper per vector
         "sim_embedding_dedup_keepers": (

@@ -485,3 +485,30 @@ def embedding_dedup_keepers(
         )
         .orderBy("vec_id")
     )
+
+
+def embedding_lsh_recall(
+    embeddings: DataFrame, threshold: float = 0.35, dim: int = 64, bits: int = 4, seed: int = 42
+) -> DataFrame:
+    """LSH quality report for the embedding near-dup path (the cosine
+    twin of dedup.minhash_lsh_recall): exact pair count, LSH-surviving
+    pair count, hits, recall — what a pipeline owner watches when
+    tuning bits/threshold."""
+    exact = (
+        cosine_near_dup_pairs(embeddings, threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    lsh = (
+        cosine_near_dup_pairs_lsh(embeddings, threshold, dim=dim, bits=bits, seed=seed)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_hit = exact.join(lsh, ["id_a", "id_b"]).count()
+    recall = float(n_hit) / n_exact if n_exact else 1.0
+    return embeddings.sparkSession.createDataFrame(
+        [(n_exact, n_lsh, n_hit, recall)],
+        "n_exact bigint, n_lsh bigint, n_hit bigint, recall double",
+    )
