@@ -65,3 +65,46 @@ def test_similarity_tolerates_zero_embeddings(adv_emb):
     assert [(r.id_a, r.id_b, r.cosine) for r in pairs] == [(1, 2, 1.0)]
     lsh = similarity.cosine_near_dup_pairs_lsh(adv_emb, 0.1).collect()
     assert [(r.id_a, r.id_b, r.cosine) for r in lsh] == [(1, 2, 1.0)]
+
+
+@pytest.mark.parametrize(
+    "name,build",
+    [
+        ("repetition", lambda d: text.repetition_signals(d)),
+        ("pack", lambda d: pipeline.pack_sequences(d, token_budget=7)),
+    ],
+)
+def test_round3_operators_tolerate_edge_rows(adv_docs, name, build):
+    build(adv_docs).collect()  # must not raise under ANSI
+
+
+def test_repetition_signals_degenerate_values(adv_docs):
+    """All-identical-word and single-token docs produce the expected
+    degenerate ratios instead of errors: top_word_ratio 1.0 and
+    dup_2gram_ratio 0.5 for 'same same same' (two bigrams, one
+    distinct); null gram ratio for a 1-token doc."""
+    rows = {r.doc_id: r for r in text.repetition_signals(adv_docs).collect()}
+    assert rows[3].top_word_ratio == 1.0
+    assert rows[3].dup_2gram_ratio == 0.5
+    assert rows[2].dup_2gram_ratio is None  # 1 token -> no 2-grams
+    assert rows[2].n_words == 1
+
+
+def test_pack_sequences_spans_budget_boundaries(adv_docs):
+    """Contiguous packing: a document crossing the budget boundary keeps
+    one seq_id (split happens at tokenization); offsets stay exact."""
+    rows = pipeline.pack_sequences(adv_docs, token_budget=7).collect()
+    cum = 0
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        assert (r.seq_id, r.offset_in_seq) == (cum // 7, cum % 7), r
+        cum += r.n_tokens
+
+
+def test_embedding_dedup_keepers_zero_and_dup_vectors(adv_emb):
+    """Keeper labels on the degenerate corpus: the identical pair
+    clusters to the min id; the zero vector keeps itself."""
+    rows = {r.vec_id: r.keeper for r in
+            similarity.embedding_dedup_keepers(adv_emb, 0.1).collect()}
+    assert rows == {0: 0, 1: 1, 2: 1}
+    rep = similarity.embedding_lsh_recall(adv_emb, 0.1).collect()[0]
+    assert (rep.n_exact, rep.n_hit) == (1, 1) and rep.recall == 1.0
