@@ -232,3 +232,16 @@ def test_repetition_signals_partial_aggregation(spark):
     p = plan_of(repetition_signals(docs))
     assert "partial" in p.lower()
     assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_embedding_dedup_keepers_no_nested_loop(spark):
+    """Semantic-dedup keepers: every join in the composed pipeline (LSH
+    bucket candidates, CC label joins, final corpus labeling) is an
+    equi-join — the all-pairs theta-join exists only in the exact
+    oracle baseline, never here."""
+    from sqlstreamstore_spark.analytics.similarity import embedding_dedup_keepers
+
+    emb = load_table(spark, SF, "embeddings")
+    p = plan_of(embedding_dedup_keepers(emb, 0.35))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "Join" in p
