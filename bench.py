@@ -35,8 +35,11 @@ def main() -> int:
     timings: dict[str, float] = {}
 
     # JVM/codegen warmup — one trivial job so the first timed query
-    # doesn't absorb executor startup (not a query cost at any scale).
+    # doesn't absorb executor startup (not a query cost at any scale);
+    # plus one tiny parquet read so the parquet reader/codec init isn't
+    # charged to the first timed scan either.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     # -- warm: derive + cache the canonical log (not timed as a query;
     # recorded separately since the derivation is itself an operator).
