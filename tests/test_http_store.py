@@ -393,3 +393,40 @@ def test_http_client_conditional_polling_uses_304(duo):
     assert done.wait(15), f"only {len(got)}"
     sub.dispose()
     assert [m.position for m in got] == [0, 1, 2, 3]
+
+
+def test_http_server_over_jvmfree_parquet_store(tmp_path):
+    """The complete no-JVM deployment: HAL server + HTTP client over a
+    SparkParquetStreamStore opened with spark=None. Appends (including
+    retention metadata), pages, conditional polling and a catch-up
+    subscription all work without a SparkSession anywhere."""
+    import threading
+
+    from sqlstreamstore_spark.store import SparkParquetStreamStore
+    from sqlstreamstore_spark.streaming import subscribe_to_all
+
+    backend = SparkParquetStreamStore(None, str(tmp_path / "nojvm"))
+    server = StreamStoreHttpServer(backend).start()
+    try:
+        client = HttpClientStreamStore(server.url)
+        client.set_stream_metadata("hot", max_count=3)
+        client.append_to_stream("hot", ExpectedVersion.ANY, msgs(1, 2, 3, 4, 5))
+        page = client.read_stream_forwards("hot", 0, 10)
+        assert [m.stream_version for m in page.messages] == [2, 3, 4]
+        allp = client.read_all_forwards(0, 100)
+        assert allp.is_end and len(allp.messages) >= 3
+
+        got, done = [], threading.Event()
+
+        def cb(m):
+            got.append(m)
+            if len(got) >= 2:
+                done.set()
+
+        sub = subscribe_to_all(client, cb, from_end=True, poll_interval=0.05)
+        client.append_to_stream("live", ExpectedVersion.NO_STREAM, msgs(8, 9))
+        assert done.wait(15), len(got)
+        sub.dispose()
+        assert [m.stream_id for m in got] == ["live", "live"]
+    finally:
+        server.stop()
