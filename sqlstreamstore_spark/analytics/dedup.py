@@ -452,3 +452,36 @@ def minhash_lsh_recall(
         [(n_exact, n_cands, n_hit, recall)],
         "n_exact bigint, n_candidates bigint, n_hit bigint, recall double",
     )
+
+
+def incremental_new_docs(
+    documents: DataFrame, key: str = "doc_id", existing_fraction: float = 0.9
+) -> DataFrame:
+    """Incremental-ingest exact dedup: which incoming documents carry
+    content the existing corpus has never seen. The deterministic hash
+    split stands in for corpus/batch (existing = the ``train`` side);
+    production passes two real DataFrames to ``new_against_corpus``.
+
+    Scale shape: the corpus side collapses to DISTINCT 16-byte digests
+    before the anti-join — the only thing that shuffles; the incoming
+    batch is typically a day's ingest and arrives pre-hashed. A 100 TB
+    corpus is ~billions of digests: still a plain shuffled anti-join,
+    or a broadcast when the corpus digest set is dim-sized.
+    """
+    from sqlstreamstore_spark.analytics.sampling import hash_split
+
+    split = hash_split(documents, key, existing_fraction)
+    existing = split.filter(F.col("split") == "train")
+    incoming = split.filter(F.col("split") == "val")
+    return new_against_corpus(incoming, existing)
+
+
+def new_against_corpus(incoming: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Anti-join incoming docs against the corpus's content digests."""
+    corpus_digests = corpus.select(F.md5("text").alias("__h")).distinct()
+    return (
+        incoming.withColumn("__h", F.md5("text"))
+        .join(corpus_digests, "__h", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

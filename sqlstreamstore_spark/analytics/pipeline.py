@@ -168,3 +168,34 @@ def pack_sequences(documents: DataFrame, token_budget: int = 512) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def chunk_documents(
+    documents: DataFrame, size: int = 200, stride: int = 150
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks —
+    the retrieval / context-window prep step (chunk k covers
+    [k*stride, k*stride+size)). Returns one row per chunk with its md5
+    and length, so downstream joins ship 16-byte digests, not text.
+
+    Scale shape: sequence + posexplode are narrow (no shuffle); a doc's
+    chunks stay in its partition, and the text column dies inside the
+    projection. Chunk count = ceil(len/stride) (min 1, so empty docs
+    keep one empty chunk and are never silently dropped).
+    """
+    n = F.length("text")
+    k = F.greatest(F.lit(1), F.ceil(n / F.lit(float(stride))).cast("int"))
+    chunk = F.substring(F.col("text"), F.col("chunk_idx") * stride + 1, size)
+    return (
+        documents.select(
+            "doc_id",
+            F.posexplode(F.sequence(F.lit(0), k - 1)).alias("chunk_idx", "__i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.md5(chunk).alias("chunk_md5"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+        )
+    )

@@ -1319,6 +1319,168 @@ def _sim_topk_ivf_index_query(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_CHUNK_SQL = """
+WITH sized AS (
+  SELECT doc_id, text,
+         greatest(1, CAST(ceil(length(text) / 150.0) AS BIGINT)) AS k
+  FROM documents)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       md5(substring(text, CAST(i AS INTEGER) * 150 + 1, 200)) AS chunk_md5,
+       CAST(length(substring(text, CAST(i AS INTEGER) * 150 + 1, 200)) AS BIGINT) AS chunk_len
+FROM sized CROSS JOIN UNNEST(range(0, k)) AS u(i)
+ORDER BY doc_id, chunk_idx
+"""
+
+_STRATIFIED_SQL = f"""
+SELECT doc_id, source FROM documents
+WHERE {_HEXBUCKET} % 65536 <
+      CASE source WHEN 'src0' THEN 65536 WHEN 'src1' THEN 32768
+                  WHEN 'src2' THEN 16384 WHEN 'src3' THEN 8192
+                  ELSE 4096 END
+ORDER BY doc_id
+"""
+
+_SCRUB_PAT = r"\b(the|a|and|of|to|in|is|for|on|with)\b"
+_SCRUB_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_SCRUB_PAT}')) AS BIGINT) AS n_redacted,
+       md5(regexp_replace(text, '{_SCRUB_PAT}', '<W>', 'g')) AS scrubbed_md5,
+       CAST(length(regexp_replace(text, '{_SCRUB_PAT}', '<W>', 'g')) AS BIGINT) AS scrubbed_len
+FROM documents ORDER BY doc_id
+"""
+
+_INCREMENTAL_NEW_SQL = f"""
+WITH split AS (
+  SELECT doc_id, text,
+         CASE WHEN {_HEXBUCKET} % 65536 < CAST(0.9 * 65536 AS INTEGER)
+              THEN 'train' ELSE 'val' END AS split
+  FROM documents)
+SELECT s.doc_id FROM split s
+WHERE s.split = 'val' AND NOT EXISTS (
+  SELECT 1 FROM split t WHERE t.split = 'train' AND md5(t.text) = md5(s.text))
+ORDER BY s.doc_id
+"""
+
+_Q2_MIN_COST_SQL = """
+WITH supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+costs AS (
+  SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           / CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS unit_cost
+  FROM lineitem JOIN (SELECT p_partkey FROM part WHERE p_type = 'PROMO') p
+                  ON l_partkey = p_partkey
+                JOIN supp ON l_suppkey = s_suppkey
+  GROUP BY 1, 2, 3, 4, 5)
+SELECT s_acctbal, s_name, n_name, p_partkey, min_cost
+FROM costs JOIN (SELECT p_partkey AS m_partkey, min(unit_cost) AS min_cost
+                 FROM costs GROUP BY 1) m
+  ON p_partkey = m_partkey AND unit_cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 50
+"""
+
+_Q12_PRIORITY_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+_Q16_SUPPLIER_CNT_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+_Q21_WAITING_SQL = """
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_last
+  FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+  GROUP BY 1, 2),
+per_order AS (
+  SELECT l_orderkey AS o_key, max(supp_last) AS order_last,
+         count(*) AS n_suppliers
+  FROM per_supp GROUP BY 1),
+marked AS (
+  SELECT p.l_orderkey, p.l_suppkey, p.supp_last, o.order_last, o.n_suppliers,
+         sum(CASE WHEN p.supp_last = o.order_last THEN 1 ELSE 0 END)
+           OVER (PARTITION BY p.l_orderkey) AS n_at_last
+  FROM per_supp p JOIN per_order o ON p.l_orderkey = o.o_key)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM marked
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE supp_last = order_last AND n_suppliers >= 2 AND n_at_last = 1
+  AND n_name = 'NATION_1'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+_Q22_GLOBAL_SALES_SQL = """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+_ORDER_GAPS_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate, o_orderkey) AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap_days) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_gap_days,
+       CAST(max(gap_days) AS BIGINT) AS max_gap_days
+FROM gaps JOIN customer ON o_custkey = c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+_NTILE_DECILES_SQL = """
+SELECT decile, CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM (SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders) t
+GROUP BY decile
+ORDER BY decile
+"""
+
+_CORR_REGR_SQL = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def analytics_queries():
     """name → (spark_fn, oracle_sql | None). None = rows-only check
     (non-SQL-expressible: engine-specific hash families)."""
@@ -1396,6 +1558,46 @@ def analytics_queries():
             lambda s, sf: tpch.q19_discounted_revenue(
                 _t(s, sf, "lineitem"), _t(s, sf, "part")),
             _Q19_SQL,
+        ),
+        "tpch_q2_min_cost": (
+            lambda s, sf: tpch.q2_min_cost_supplier(
+                _t(s, sf, "lineitem"), _t(s, sf, "supplier"), _t(s, sf, "part"),
+                _t(s, sf, "nation"), _t(s, sf, "region")),
+            _Q2_MIN_COST_SQL,
+        ),
+        "tpch_q12_priority": (
+            lambda s, sf: tpch.q12_priority_split(
+                _t(s, sf, "lineitem"), _t(s, sf, "orders")),
+            _Q12_PRIORITY_SQL,
+        ),
+        "tpch_q16_supplier_count": (
+            lambda s, sf: tpch.q16_supplier_count(
+                _t(s, sf, "part"), _t(s, sf, "lineitem"), _t(s, sf, "supplier")),
+            _Q16_SUPPLIER_CNT_SQL,
+        ),
+        "tpch_q21_waiting": (
+            lambda s, sf: tpch.q21_waiting_suppliers(
+                _t(s, sf, "supplier"), _t(s, sf, "lineitem"), _t(s, sf, "orders"),
+                _t(s, sf, "nation")),
+            _Q21_WAITING_SQL,
+        ),
+        "tpch_q22_no_orders": (
+            lambda s, sf: tpch.q22_global_sales(
+                _t(s, sf, "customer"), _t(s, sf, "orders")),
+            _Q22_GLOBAL_SALES_SQL,
+        ),
+        "window_order_gaps": (
+            lambda s, sf: tpch.order_gap_stats(
+                _t(s, sf, "orders"), _t(s, sf, "customer")),
+            _ORDER_GAPS_SQL,
+        ),
+        "stats_ntile_deciles": (
+            lambda s, sf: tpch.ntile_deciles(_t(s, sf, "orders")),
+            _NTILE_DECILES_SQL,
+        ),
+        "stats_corr_regr": (
+            lambda s, sf: tpch.corr_regr_stats(_t(s, sf, "lineitem")),
+            _CORR_REGR_SQL,
         ),
         "topk_orders_per_customer": (
             lambda s, sf: tpch.top_orders_per_customer(_t(s, sf, "orders")),
@@ -1488,6 +1690,26 @@ def analytics_queries():
                 _t(s, sf, "documents").select("doc_id"), "doc_id", 0.9
             ).orderBy("doc_id"),
             _SPLIT_SQL,
+        ),
+        "sampling_stratified_sources": (
+            lambda s, sf: sampling.stratified_sample_by_source(
+                _t(s, sf, "documents"),
+                rates={"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.125},
+            ).select("doc_id", "source").orderBy("doc_id"),
+            _STRATIFIED_SQL,
+        ),
+        "pipeline_chunk_documents": (
+            lambda s, sf: pipeline.chunk_documents(_t(s, sf, "documents"))
+            .orderBy("doc_id", "chunk_idx"),
+            _CHUNK_SQL,
+        ),
+        "text_scrub_redact": (
+            lambda s, sf: text.scrub_redact(_t(s, sf, "documents")).orderBy("doc_id"),
+            _SCRUB_SQL,
+        ),
+        "dedup_incremental_new": (
+            lambda s, sf: dedup.incremental_new_docs(_t(s, sf, "documents")),
+            _INCREMENTAL_NEW_SQL,
         ),
         "dedup_exact_keepers": (
             lambda s, sf: dedup.exact_dedup_keepers(_t(s, sf, "documents"))

@@ -38,3 +38,28 @@ def hash_split(df: DataFrame, key: str, train_fraction: float = 0.9) -> DataFram
             F.lit("val")
         ),
     )
+
+
+def stratified_sample_by_source(
+    df: DataFrame,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.0625,
+    key: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the domain-mixture step of a
+    pretraining pipeline (keep 100% of wiki, 10% of crawl, ...). Each
+    stratum gets its own content-hash threshold, so the mixture is exact
+    in expectation, reproducible, and incremental-arrival-stable (a new
+    row's fate never depends on what else arrived).
+
+    One narrow filter — no shuffle, no sampling state; the per-source
+    thresholds fold into the predicate as a literal CASE.
+    """
+    rates = rates if rates is not None else {}
+    threshold = F.lit(int(default_rate * 65536))
+    for src, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(strata_col) == src, F.lit(int(rate * 65536))
+        ).otherwise(threshold)
+    return df.filter(_hash_bucket(F.col(key)) < threshold)

@@ -243,3 +243,40 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Default redaction patterns for scrub_redact. In production the list
+#: is emails/URLs/phones (the PII set); the fixture corpus is synthetic
+#: word-salad with none of those, so the gate exercises the same
+#: count+replace+hash plumbing on a stopword pattern instead. RE2- and
+#: Java-regex-compatible (no backrefs, \b both dialects).
+SCRUB_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"\b(the|a|and|of|to|in|is|for|on|with)\b", "<W>"),
+)
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\+?[0-9][0-9 -]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_redact(
+    documents: DataFrame,
+    patterns: tuple[tuple[str, str], ...] = SCRUB_PATTERNS,
+) -> DataFrame:
+    """Regex redaction pass: count matches per pattern family, replace
+    them, return the scrubbed text's digest + length (joins downstream
+    ship digests, not text). Pure column expressions — whole-stage
+    codegen, no shuffle, the text column dies in the projection.
+    """
+    scrubbed = F.col("text")
+    n_redacted = F.lit(0).cast("long")
+    for pat, token in patterns:
+        n_redacted = n_redacted + F.regexp_count(scrubbed, F.lit(pat)).cast("long")
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return documents.select(
+        "doc_id",
+        n_redacted.alias("n_redacted"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+    )

@@ -477,3 +477,280 @@ def top_orders_per_customer(orders: DataFrame, topk: int = 3) -> DataFrame:
         .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
         .orderBy("o_custkey", "rk")
     )
+
+
+def q2_min_cost_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    p_type: str = "PROMO",
+    region_name: str = "EUROPE",
+    topk: int = 50,
+) -> DataFrame:
+    """TPC-H Q2 shape (adapted: lineitem is the part↔supplier bridge —
+    the fixture has no partsupp): for each part of one type, the
+    supplier(s) in one region offering the minimal unit cost.
+
+    The correlated MIN subquery decorrelates into a per-part aggregate
+    joined back on equality — both sides of the cost equality are
+    double(sum_decimal)/double(sum_decimal), so the equality is exact
+    and engine-independent. Dims broadcast; the only shuffle is the
+    per-(part,supplier) partial aggregate over the fact table.
+    """
+    region_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = supplier.join(
+        F.broadcast(region_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    parts = part.filter(F.col("p_type") == p_type).select("p_partkey")
+    costs = (
+        lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            (
+                F.sum(_dec("l_extendedprice", _EP)).cast("double")
+                / F.sum(_dec("l_quantity", _EP)).cast("double")
+            ).alias("unit_cost")
+        )
+    )
+    min_costs = costs.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        costs.join(
+            F.broadcast(min_costs),
+            (F.col("p_partkey") == F.col("m_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "min_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(topk)
+    )
+
+
+def q12_priority_split(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q12 shape (adapted: l_returnflag stands in for the missing
+    l_shipmode): per returnflag, how many lineitems belong to
+    high-priority vs low-priority orders. The CASE-sums are map-side
+    partial aggregates; orders⋈lineitem shuffles once on the order key.
+    """
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q16_supplier_count(
+    part: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    excluded_brand: str = "Brand#13",
+) -> DataFrame:
+    """TPC-H Q16 shape (lineitem as the part↔supplier bridge): distinct
+    supplier count per (brand, type, size), excluding one brand and any
+    supplier with a negative balance (the "complaints" NOT IN subquery).
+
+    The NOT IN over a tiny supplier set is a broadcast anti-join;
+    count(DISTINCT) shuffles once on the grouping key with partial
+    distinct aggregation map-side.
+    """
+    bad_suppliers = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_brand") != excluded_brand)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(bad_suppliers),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q21_waiting_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_1",
+    topk: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 shape (adapted: the fixture has no commit/receipt dates,
+    so "kept the order waiting" = sole latest shipper): suppliers from
+    one nation who, in a finished multi-supplier order, were the only
+    supplier shipping on the order's last ship date.
+
+    Q21's correlated EXISTS / NOT EXISTS pair decorrelates into one
+    per-(order, supplier) aggregate plus one per-order aggregate —
+    two shuffles on the order key, no correlated re-scans, which is the
+    only shape that survives at 100 TB.
+    """
+    finished = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    per_supp = (
+        lineitem.join(F.broadcast(finished), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("supp_last"))
+    )
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("o_key")).agg(
+        F.max("supp_last").alias("order_last"),
+        F.count("*").alias("n_suppliers"),
+    )
+    waiting = (
+        per_supp.join(per_order, F.col("l_orderkey") == F.col("o_key"))
+        .withColumn(
+            "n_at_last",
+            F.sum(
+                F.when(F.col("supp_last") == F.col("order_last"), 1).otherwise(0)
+            ).over(Window.partitionBy("l_orderkey")),
+        )
+        .filter(
+            (F.col("supp_last") == F.col("order_last"))
+            & (F.col("n_suppliers") >= 2)
+            & (F.col("n_at_last") == 1)
+        )
+    )
+    nat_suppliers = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(nat_suppliers), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(topk)
+    )
+
+
+def q22_global_sales(
+    customer: DataFrame, orders: DataFrame, priority: str = "1-URGENT"
+) -> DataFrame:
+    """TPC-H Q22 shape (c_nationkey stands in for the phone country
+    code): per nation, the count and total balance of above-average-
+    balance customers who never placed an urgent order (the fixture has
+    an order for every customer, so the unqualified NOT EXISTS would be
+    vacuously empty).
+
+    The scalar AVG subquery is computed once and broadcast; the NOT
+    EXISTS is a left anti-join on the customer key (shuffle- or
+    broadcast-hash depending on the orders side's size after
+    deduplication — at 100 TB the distinct custkeys of orders are still
+    far smaller than the raw fact table).
+    """
+    pos_avg = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        customer.join(F.broadcast(pos_avg))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == priority)
+            .select("o_custkey")
+            .distinct(),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum(_dec("c_acctbal", _EP)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def order_gap_stats(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Per-market-segment statistics of the day gaps between a
+    customer's consecutive orders — LAG over a per-customer window
+    (partitioned, so the window never funnels into one task), then a
+    plain aggregate.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_date").isNotNull())
+        .withColumn("gap_days", F.datediff("o_orderdate", "prev_date"))
+    )
+    return (
+        gaps.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            (F.sum("gap_days").cast("double") / F.count("*").cast("double")).alias(
+                "avg_gap_days"
+            ),
+            F.max("gap_days").cast("long").alias("max_gap_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def ntile_deciles(orders: DataFrame) -> DataFrame:
+    """NTILE(10) over order value — deciles are computed on a global
+    ordering, so this is intentionally the oracle-scale variant; the
+    100 TB path for equi-depth buckets is approx_percentile boundaries
+    + a broadcast range lookup (see stats_quantiles / approx sketches).
+    The (o_totalprice, o_orderkey) tiebreak makes tile assignment
+    deterministic across engines.
+    """
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.sum(_dec("o_totalprice", _EP)).cast("double").alias("sum_price"),
+        )
+        .orderBy("decile")
+    )
+
+
+def corr_regr_stats(lineitem: DataFrame) -> DataFrame:
+    """Bivariate statistics per return flag: Pearson correlation,
+    sample covariance, and the least-squares fit of extendedprice on
+    quantity. All are single-pass partial-aggregable moments (Spark and
+    DuckDB both use co-moment accumulation); results are rounded on BOTH
+    engines so the hash compare tolerates last-bit float divergence from
+    different partial-aggregation orders.
+    """
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp(q, p), 2).alias("covar_qty_price"),
+            F.round(F.regr_slope(p, q), 4).alias("slope"),
+            F.round(F.regr_intercept(p, q), 2).alias("intercept"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

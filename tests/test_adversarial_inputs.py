@@ -72,6 +72,12 @@ def test_similarity_tolerates_zero_embeddings(adv_emb):
     [
         ("repetition", lambda d: text.repetition_signals(d)),
         ("pack", lambda d: pipeline.pack_sequences(d, token_budget=7)),
+        ("chunk", lambda d: pipeline.chunk_documents(d, size=5, stride=3)),
+        ("scrub", lambda d: text.scrub_redact(d)),
+        ("scrub_pii", lambda d: text.scrub_redact(d, patterns=text.PII_PATTERNS)),
+        ("stratified", lambda d: sampling.stratified_sample_by_source(
+            d, rates={"web": 0.5}, default_rate=0.25)),
+        ("incremental", lambda d: dedup.incremental_new_docs(d, existing_fraction=0.5)),
     ],
 )
 def test_round3_operators_tolerate_edge_rows(adv_docs, name, build):

@@ -245,3 +245,75 @@ def test_embedding_dedup_keepers_no_nested_loop(spark):
     p = plan_of(embedding_dedup_keepers(emb, 0.35))
     assert "NestedLoop" not in p and "CartesianProduct" not in p
     assert "Join" in p
+
+
+def test_q2_min_cost_broadcasts_all_dims(tables):
+    p = plan_of(tpch.q2_min_cost_supplier(
+        tables["lineitem"], tables["supplier"], tables["part"],
+        tables["nation"], tables["region"]))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # the min-cost equality join is also a broadcast (per-part minima
+    # are part-dimension-sized), so the fact table never sort-merges
+    assert "SortMergeJoin" not in p
+
+
+def test_q21_no_correlated_rescan_shapes(tables):
+    p = plan_of(tpch.q21_waiting_suppliers(
+        tables["supplier"], tables["lineitem"], tables["orders"], tables["nation"]))
+    # the EXISTS/NOT-EXISTS pair must decorrelate into aggregates —
+    # never a nested-loop re-scan per outer row
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # partial aggregation ahead of the per-(order,supplier) shuffle
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q22_anti_join_not_nested_loop(tables):
+    p = plan_of(tpch.q22_global_sales(tables["customer"], tables["orders"]))
+    # the NOT-EXISTS is a hash anti-join on the customer key; the only
+    # nested-loop join is the 1-row scalar-average broadcast (the
+    # canonical scalar-subquery shape) — never a row-pairing product
+    assert "BroadcastHashJoin LeftAnti" in p
+    assert "CartesianProduct" not in p
+    tree = p.split("\n\n")[0]  # operator tree (details repeat each node)
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_q16_distinct_count_partial_aggregation(tables):
+    p = plan_of(tpch.q16_supplier_count(
+        tables["part"], tables["lineitem"], tables["supplier"]))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    # count(DISTINCT) expands to a two-level aggregate: partial distinct
+    # map-side before the exchange
+    assert p.count("HashAggregate") >= 2
+
+
+def test_chunk_documents_is_narrow(spark):
+    from sqlstreamstore_spark.analytics.pipeline import chunk_documents
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(chunk_documents(docs))
+    assert "Exchange" not in p  # pure generate+project: no shuffle
+    assert "Generate" in p
+    # text never leaves the scan+project pipeline: output schema is digests
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_scrub_redact_is_narrow(spark):
+    from sqlstreamstore_spark.analytics.text import scrub_redact
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(scrub_redact(docs))
+    assert "Exchange" not in p
+    assert "* Project" in p  # '*' = inside WholeStageCodegen
+
+
+def test_incremental_new_docs_digest_anti_join(spark):
+    from sqlstreamstore_spark.analytics.dedup import incremental_new_docs
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(incremental_new_docs(docs))
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # the corpus side collapses to distinct digests before the join
+    assert "HashAggregate" in p

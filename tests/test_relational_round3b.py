@@ -1,0 +1,249 @@
+"""Behavioral pins for the round-3b operators (the shapes the DuckDB
+oracle can't isolate): Q21's sole-latest-shipper logic, Q2's tie
+handling, chunk boundary arithmetic, incremental dedup against an
+explicit corpus, the real PII pattern set, and moment-statistic
+agreement with numpy."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlstreamstore_spark.analytics import dedup, pipeline, sampling, text, tpch
+from sqlstreamstore_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+def test_q21_sole_latest_shipper_only(spark):
+    """Order 1: supplier 10 ships last alone (counts); order 2: both
+    suppliers tie at the max date (nobody counts); order 3: single
+    supplier (no wait possible); order 4: not finished."""
+    orders = spark.createDataFrame(
+        [(1, "F"), (2, "F"), (3, "F"), (4, "O")],
+        "o_orderkey long, o_orderstatus string",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-05"), (1, 11, "2024-01-01"),
+            (2, 10, "2024-01-07"), (2, 11, "2024-01-07"),
+            (3, 10, "2024-01-09"),
+            (4, 11, "2024-01-01"), (4, 10, "2024-02-01"),
+        ],
+        "l_orderkey long, l_suppkey long, ship string",
+    ).withColumn("l_shipdate", F.col("ship").cast("timestamp")).drop("ship")
+    supplier = spark.createDataFrame(
+        [(10, "Supp#10", 0), (11, "Supp#11", 0)],
+        "s_suppkey long, s_name string, s_nationkey int",
+    )
+    nation = spark.createDataFrame(
+        [(0, "NATION_1", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    rows = tpch.q21_waiting_suppliers(supplier, li, orders, nation).collect()
+    assert [(r.s_name, r.numwait) for r in rows] == [("Supp#10", 1)]
+
+
+def test_q2_min_cost_keeps_ties(spark):
+    """Two suppliers at the identical minimal unit cost both survive the
+    decorrelated equality join (TPC-H Q2 returns all minimum-cost
+    suppliers)."""
+    li = spark.createDataFrame(
+        [(1, 100, 20, 2.0, 10.0), (2, 100, 21, 2.0, 10.0), (3, 100, 22, 1.0, 9.0)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, l_extendedprice double",
+    )
+    part = spark.createDataFrame(
+        [(100, "PROMO")], "p_partkey long, p_type string"
+    )
+    supplier = spark.createDataFrame(
+        [(20, "S20", 5.0, 0), (21, "S21", 4.0, 0), (22, "S22", 3.0, 0)],
+        "s_suppkey long, s_name string, s_acctbal double, s_nationkey int",
+    )
+    nation = spark.createDataFrame(
+        [(0, "NATION_0", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    region = spark.createDataFrame([(0, "EUROPE")], "r_regionkey int, r_name string")
+    rows = tpch.q2_min_cost_supplier(li, supplier, part, nation, region).collect()
+    # unit costs: S20 = 5.0, S21 = 5.0, S22 = 9.0 -> tie between S20/S21
+    assert [(r.s_name, r.min_cost) for r in rows] == [("S20", 5.0), ("S21", 5.0)]
+
+
+def test_q22_excludes_urgent_customers(spark):
+    customer = spark.createDataFrame(
+        [(1, 100.0, 7), (2, 100.0, 7), (3, -5.0, 7), (4, 100.0, 8)],
+        "c_custkey long, c_acctbal double, c_nationkey int",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "1-URGENT"), (11, 2, "5-LOW")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    # avg positive balance = 100 -> strict > excludes everyone at 100?
+    # No: avg over (100, 100, 100) = 100, strict inequality empties the
+    # result; push one balance higher so the filter bites selectively.
+    customer = customer.withColumn(
+        "c_acctbal", F.when(F.col("c_custkey") == 2, 200.0).otherwise(F.col("c_acctbal"))
+    )
+    rows = tpch.q22_global_sales(customer, orders).collect()
+    # avg(+) = (100+200+100)/3 = 133.3; above-avg = {2}; 2 has no urgent
+    assert [(r.c_nationkey, r.numcust, r.totacctbal) for r in rows] == [(7, 1, 200.0)]
+
+
+def test_chunk_documents_boundary_arithmetic(spark):
+    d = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "")], "doc_id long, text string"
+    )
+    rows = pipeline.chunk_documents(d, size=5, stride=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # len 10, stride 3 -> ceil(10/3) = 4 chunks at offsets 0,3,6,9
+    expect = ["abcde", "defgh", "ghij", "j"]
+    got = [(r.chunk_idx, r.chunk_len, r.chunk_md5) for r in sorted(by_doc[1], key=lambda r: r.chunk_idx)]
+    assert got == [
+        (i, len(s), hashlib.md5(s.encode()).hexdigest()) for i, s in enumerate(expect)
+    ]
+    # empty doc keeps exactly one empty chunk (never silently dropped)
+    assert [(r.chunk_idx, r.chunk_len) for r in by_doc[2]] == [(0, 0)]
+
+
+def test_incremental_new_against_explicit_corpus(spark):
+    corpus = spark.createDataFrame(
+        [(1, "seen text"), (2, "other seen")], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [(10, "seen text"), (11, "brand new"), (12, "brand new")],
+        "doc_id long, text string",
+    )
+    rows = dedup.new_against_corpus(incoming, corpus).collect()
+    # 10 is known content; 11/12 are new (both kept — exact dedup
+    # within the batch is dedup.exact_dedup_keepers' job)
+    assert [r.doc_id for r in rows] == [11, 12]
+
+
+def test_incremental_split_variant_consistent(docs):
+    """The hash-split convenience wrapper equals the explicit two-frame
+    call on the same split."""
+    split = sampling.hash_split(docs, "doc_id", 0.9)
+    expected = dedup.new_against_corpus(
+        split.filter(F.col("split") == "val"),
+        split.filter(F.col("split") == "train"),
+    ).collect()
+    got = dedup.incremental_new_docs(docs).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in expected]
+
+
+def test_pii_patterns_redact_real_pii(spark):
+    d = spark.createDataFrame(
+        [(1, "mail me at alice.smith+x@example.co.uk or visit https://example.com/a?b=1 "
+             "or call +1 415-555-0199 now")],
+        "doc_id long, text string",
+    )
+    r = text.scrub_redact(d, patterns=text.PII_PATTERNS).collect()[0]
+    assert r.n_redacted == 3
+    scrubbed = ("mail me at <EMAIL> or visit <URL> or call <PHONE> now")
+    assert r.scrubbed_md5 == hashlib.md5(scrubbed.encode()).hexdigest()
+    assert r.scrubbed_len == len(scrubbed)
+
+
+def test_stratified_sample_rate_extremes(docs):
+    total_src0 = docs.filter(F.col("source") == "src0").count()
+    kept = sampling.stratified_sample_by_source(
+        docs, rates={"src0": 1.0}, default_rate=0.0
+    )
+    assert kept.count() == total_src0
+    assert kept.filter(F.col("source") != "src0").count() == 0
+    # rate 1.0 everywhere keeps every row
+    assert (
+        sampling.stratified_sample_by_source(docs, rates={}, default_rate=1.0).count()
+        == docs.count()
+    )
+
+
+def test_ntile_deciles_partition_sizes(spark):
+    orders = load_table(spark, SF, "orders")
+    rows = tpch.ntile_deciles(orders).collect()
+    total = orders.count()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert sum(r.n_orders for r in rows) == total
+    sizes = [r.n_orders for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # NTILE's equal-split contract
+    # decile boundaries are monotone
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.max_price <= hi.min_price
+
+
+def test_corr_regr_agree_with_numpy(spark):
+    import numpy as np
+
+    li = load_table(spark, SF, "lineitem")
+    got = {r.l_returnflag: r for r in tpch.corr_regr_stats(li).collect()}
+    pdf = li.select("l_returnflag", "l_quantity", "l_extendedprice").toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        q = grp["l_quantity"].to_numpy()
+        p = grp["l_extendedprice"].to_numpy()
+        r = got[flag]
+        assert math.isclose(r.corr_qty_price, float(np.corrcoef(q, p)[0, 1]), abs_tol=2e-6)
+        slope, intercept = np.polyfit(q, p, 1)
+        assert math.isclose(r.slope, float(slope), abs_tol=2e-4)
+        assert math.isclose(r.intercept, float(intercept), abs_tol=2e-2)
+        assert r.n_rows == len(grp)
+
+
+def test_order_gap_stats_literal(spark):
+    orders = spark.createDataFrame(
+        [(1, 1, "2024-01-01"), (2, 1, "2024-01-04"), (3, 1, "2024-01-10"),
+         (4, 2, "2024-03-01")],
+        "o_orderkey long, o_custkey long, d string",
+    ).withColumn("o_orderdate", F.col("d").cast("timestamp")).drop("d")
+    customer = spark.createDataFrame(
+        [(1, "SEG_A"), (2, "SEG_A")], "c_custkey long, c_mktsegment string"
+    )
+    rows = tpch.order_gap_stats(orders, customer).collect()
+    # customer 1 gaps: 3 and 6 days; customer 2 has a single order (no gap)
+    assert [(r.c_mktsegment, r.n_gaps, r.avg_gap_days, r.max_gap_days) for r in rows] == [
+        ("SEG_A", 2, 4.5, 6)
+    ]
+
+
+def test_q12_counts_partition_the_join(spark):
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    rows = tpch.q12_priority_split(li, orders).collect()
+    lo, hi = "1996-01-01", "1997-01-01"
+    expected_total = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    assert sum(r.high_line_count + r.low_line_count for r in rows) == expected_total
+
+
+def test_q16_excludes_negative_balance_suppliers(spark):
+    li = load_table(spark, SF, "lineitem")
+    part = load_table(spark, SF, "part")
+    supplier = load_table(spark, SF, "supplier")
+    bad = {r.s_suppkey for r in supplier.filter(F.col("s_acctbal") < 0).collect()}
+    if not bad:
+        pytest.skip("fixture has no negative-balance supplier at this sf")
+    rows = tpch.q16_supplier_count(part, li, supplier)
+    # recompute one group's distinct count manually, with the exclusion
+    first = rows.first()
+    manual = (
+        li.join(part.filter((F.col("p_brand") == first.p_brand)
+                            & (F.col("p_type") == first.p_type)
+                            & (F.col("p_size") == first.p_size)),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .filter(~F.col("l_suppkey").isin(list(bad)))
+        .select("l_suppkey").distinct().count()
+    )
+    assert first.supplier_cnt == manual
