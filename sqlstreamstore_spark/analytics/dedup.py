@@ -250,7 +250,9 @@ def minhash_dedup_pairs(
     )
 
 
-def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iters: int = 25, driver_edge_limit: int = 2_000_000
+) -> DataFrame:
     """Duplicate-cluster labeling: connected components over a near-dup
     pair graph by iterative min-label propagation (the standard
     distributed CC — each round every node takes the min label in its
@@ -259,15 +261,35 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
     Input: edges(doc_a, doc_b). Output: (doc_id, component) where
     component = min doc_id reachable — the cluster's canonical keeper.
 
-    Scale notes: each round is one shuffle keyed by node id; the label
-    frontier is localCheckpoint'ed per round — iterative DataFrame
-    algorithms MUST truncate lineage, or the plan (and analysis cost)
-    grows exponentially with rounds. The loop exits on a metric count
-    (changed == 0). Diameter of near-dup clusters is tiny in practice
-    (dup groups are near-cliques), so rounds ≈ 2-4. For adversarial
-    chain-shaped graphs switch to large-star/small-star, which
-    converges in O(log n) rounds with the same per-round shape.
+    Adaptive small-graph fast path: the edge list after LSH candidate
+    generation is orders of magnitude smaller than the corpus (it's the
+    duplicate graph, not the data), so when it fits the
+    ``driver_edge_limit`` gate (default 2M edges ≈ 32 MB) the component
+    labels come from one collect + union-find on the driver — the same
+    model-sized-state-on-the-driver regime as the k-means centroids.
+    One Spark job instead of 3 per propagation round, identical output.
+
+    Scale notes (distributed path, above the gate): each round is one
+    shuffle keyed by node id; the label frontier is localCheckpoint'ed
+    per round — iterative DataFrame algorithms MUST truncate lineage,
+    or the plan (and analysis cost) grows exponentially with rounds.
+    The loop exits on a metric count (changed == 0). Diameter of
+    near-dup clusters is tiny in practice (dup groups are near-cliques),
+    so rounds ≈ 2-4. For adversarial chain-shaped graphs switch to
+    large-star/small-star, which converges in O(log n) rounds with the
+    same per-round shape.
     """
+    if driver_edge_limit > 0:
+        head = (
+            edges.select(
+                F.col("doc_a").cast("long").alias("u"),
+                F.col("doc_b").cast("long").alias("v"),
+            )
+            .limit(driver_edge_limit + 1)
+            .toPandas()
+        )
+        if len(head) <= driver_edge_limit:
+            return _driver_union_find(edges.sparkSession, head)
     sym = (
         edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
@@ -305,6 +327,34 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), "comp").orderBy("doc_id")
+
+
+def _driver_union_find(spark, edges_pdf) -> DataFrame:
+    """Union-find with path compression over a collected edge frame;
+    labels every node with the min id of its component (the exact
+    output contract of the distributed loop)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(edges_pdf["u"].tolist(), edges_pdf["v"].tolist()):
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min id so every root is its component's minimum
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    rows = sorted((n, find(n)) for n in parent)
+    return spark.createDataFrame(rows or [], "doc_id long, comp long")
 
 
 def near_dup_components(

@@ -29,6 +29,33 @@ def test_cc_triangle_with_bridge(spark):
     assert got == {5: 5, 6: 5, 7: 5, 20: 5}
 
 
+def test_cc_driver_and_distributed_paths_agree(spark):
+    """The small-graph union-find fast path and the distributed
+    min-label loop are the same operator: identical labels on a random
+    multi-component graph (driver_edge_limit=0 forces the loop)."""
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(0, 60) + 100 * c, rng.randrange(0, 60) + 100 * c)
+        for c in range(3)
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {r.doc_id: r.comp for r in connected_components(df).collect()}
+    dist = {
+        r.doc_id: r.comp
+        for r in connected_components(df, driver_edge_limit=0).collect()
+    }
+    assert fast == dist and len(fast) > 50
+
+
+def test_cc_empty_edges(spark):
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(df).collect() == []
+    assert connected_components(df, driver_edge_limit=0).collect() == []
+
+
 def test_clean_corpus_drops_exact_dups_and_junk(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog today"),
