@@ -68,3 +68,101 @@ def store_sink(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def deduped_store_sink(
+    store: SparkParquetStreamStore,
+    messages_stream: DataFrame,
+    order_col: str,
+    content_col: str = "json_data",
+    query_name: str = "sqlstreamstore_dedup_sink",
+    trigger: dict | None = None,
+):
+    """store_sink with online exact dedup: each micro-batch drops
+    messages whose ``content_col`` digest was already ingested (by any
+    earlier epoch OR earlier in the same batch — first occurrence by
+    ``order_col`` wins), then lands as one bulk commit.
+
+    The seen-digest set is a parquet side table under the store
+    (``_dedup_index/<query_name>``) — the streaming-state analog of
+    dedup.new_against_corpus: per epoch one anti-join of the batch's
+    digests against the index, then the fresh digests append to it.
+    Only 16-byte digests ever shuffle; at 100 TB the index is an
+    ordinary parquet table a day's batch anti-joins against.
+
+    Guarantees: the STORE stays exactly-once per epoch (same manifest
+    epoch marker as store_sink). The INDEX is best-effort: a crash
+    between the bulk commit and the index append loses those digests'
+    membership (a later duplicate could slip in) — rebuild with
+    ``rebuild_dedup_index`` for a hard guarantee. Duplicate rows inside
+    the index are harmless (membership semantics).
+    """
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    index_dir = os.path.join(store.path, "_dedup_index", query_name)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        committed = store._manifest.setdefault("sink_epochs", {})
+        if committed.get(query_name, -1) >= epoch_id:
+            return
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.withColumn("__h", F.md5(F.col(content_col)))
+        if os.path.isdir(index_dir):
+            batch = batch.join(
+                spark.read.parquet(index_dir), "__h", "left_anti"
+            )
+        w = Window.partitionBy("__h").orderBy(order_col)
+        fresh = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint()  # score once: appended AND indexed below
+        )
+        if fresh.isEmpty():
+            return  # all-duplicate epoch: replay recomputes to empty
+
+        prev = committed.get(query_name, -1)
+        committed[query_name] = epoch_id
+        try:
+            store.bulk_append(fresh.drop("__h"), order_col=order_col, allow_existing=True)
+        except BaseException:
+            committed[query_name] = prev
+            raise
+        fresh.select("__h").write.mode("append").parquet(index_dir)
+
+    return (
+        messages_stream.writeStream.foreachBatch(handle)
+        .queryName(query_name)
+        .option("checkpointLocation", f"{store.path}/checkpoints/{query_name}")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def rebuild_dedup_index(
+    store: SparkParquetStreamStore,
+    content_col: str = "json_data",
+    query_name: str = "sqlstreamstore_dedup_sink",
+) -> int:
+    """Re-derive the seen-digest index from the store's actual log —
+    the recovery path after a crash left the index behind the store.
+    Returns the number of distinct digests written."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    index_dir = os.path.join(store.path, "_dedup_index", query_name)
+    digests = store.log_df().select(F.md5(F.col(content_col)).alias("__h")).distinct()
+    tmp = index_dir + ".rebuild"
+    digests.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    os.replace(tmp, index_dir)
+    n = store.spark.read.parquet(index_dir).count()
+    return n
