@@ -61,6 +61,7 @@ def decontaminate_report(
     key: str = "doc_id",
     n: int = 8,
     train_fraction: float = 0.9,
+    broadcast_held_out: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: which train-split documents share any
     word n-gram with a held-out (val) document, and how many distinct
@@ -68,9 +69,11 @@ def decontaminate_report(
     filter is an anti-join of train against this report.
 
     Shape: hash split → shingle both sides → equi-join on the n-gram →
-    per-doc distinct-leak count. At real scale the held-out side is a
-    small benchmark corpus — broadcast it; here it's ~(1-fraction) of
-    the corpus and the equi-join shuffle handles it either way.
+    per-doc distinct-leak count. The held-out side is a benchmark
+    corpus — dim-sized at any data scale — so its distinct shingles
+    broadcast and the train-side shingles never shuffle (pass
+    ``broadcast_held_out=False`` for the shuffled equi-join if the
+    held-out set is genuinely large).
     """
     from sqlstreamstore_spark.analytics.dedup import _shingles
     from sqlstreamstore_spark.analytics.sampling import hash_split
@@ -85,6 +88,8 @@ def decontaminate_report(
     te_sh = held_out.select(
         F.explode(_shingles(F.col("text"), n)).alias("s")
     ).distinct()
+    if broadcast_held_out:
+        te_sh = F.broadcast(te_sh)
     return (
         tr_sh.join(te_sh, "s")
         .groupBy("train_doc_id")

@@ -186,6 +186,9 @@ def test_decontaminate_is_equi_join(spark):
     p = plan_of(decontaminate_report(docs))
     assert "Join" in p
     assert "NestedLoop" not in p and "CartesianProduct" not in p
+    # the held-out (benchmark) shingle set broadcasts — the train-side
+    # shingles must never shuffle for the match
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
 
 
 def test_minhash_verify_touches_candidates_only(spark):
