@@ -857,6 +857,92 @@ LIMIT {k}
 _IVF_STATIC_SQL = _ivf_static_sql()
 
 
+def _pq_static_sql(
+    k: int = 10, m: int = 8, n_codes: int = 16, rerank: int = 10,
+    dim: int = 64, seed: int = 11,
+) -> str:
+    """DuckDB twin of similarity.cosine_topk_pq_static. Every float op
+    mirrors the Spark side's sequential-fold order: subspace distances
+    are x·x − 2·(x·c) + (c·c) with list_dot_product (sequential, same
+    as Spark's aggregate fold and Python's sum), so code assignment,
+    ADC scores, the candidate cut and the exact re-rank all match
+    bit-for-bit."""
+    from sqlstreamstore_spark.analytics.similarity import _static_codebooks
+
+    cbs = _static_codebooks(dim=dim, m=m, n_codes=n_codes, seed=seed)
+    sd = dim // m
+
+    def lit(vec: list[float]) -> str:
+        return "CAST([" + ", ".join(repr(float(x)) for x in vec) + "] AS DOUBLE[])"
+
+    dist_lists = []
+    for s in range(m):
+        vs = f"v[{s * sd + 1}:{(s + 1) * sd}]"
+        terms = ",\n      ".join(
+            f"list_dot_product({vs}, {vs}) - 2.0 * list_dot_product({vs}, {lit(cw)})"
+            f" + list_dot_product({lit(cw)}, {lit(cw)})"
+            for cw in cbs[s]
+        )
+        dist_lists.append(f"[{terms}] AS dl{s}")
+    code_cols = ",\n    ".join(
+        f"list_position(dl{s}, list_min(dl{s})) - 1 AS c{s}" for s in range(m)
+    )
+    lut_dot = " + ".join(
+        "["
+        + ", ".join(f"list_dot_product(qv[{s * sd + 1}:{(s + 1) * sd}], {lit(cw)})" for cw in cbs[s])
+        + f"][c{s} + 1]"
+        for s in range(m)
+    )
+    lut_n2 = " + ".join(
+        "["
+        + ", ".join(repr(float(sum(x * x for x in cw))) for cw in cbs[s])
+        + f"][c{s} + 1]"
+        for s in range(m)
+    )
+    dls = ",\n    ".join(dist_lists)
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dists AS (
+  SELECT vec_id, v,
+    {dls}
+  FROM e),
+codes AS (
+  SELECT vec_id, v,
+    {code_cols}
+  FROM dists),
+approx AS (
+  SELECT vec_id, v,
+    ({lut_dot})
+      / ((CASE WHEN sqrt({lut_n2}) = 0 THEN 1.0 ELSE sqrt({lut_n2}) END)
+         * (CASE WHEN sqrt(list_dot_product(qv, qv)) = 0 THEN 1.0
+                 ELSE sqrt(list_dot_product(qv, qv)) END)) AS a
+  FROM codes, q),
+cands AS (SELECT vec_id, v FROM approx ORDER BY a DESC, vec_id LIMIT {rerank * k})
+SELECT vec_id,
+       list_dot_product(v, q.qv)
+         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+FROM cands, q
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""
+
+
+_PQ_STATIC_SQL = _pq_static_sql()
+
+
+def _sim_topk_pq_query(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.cosine_topk_pq(emb, [float(x) for x in qvec], k=10)
+
+
+def _sim_topk_pq_static_query(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.cosine_topk_pq_static(emb, [float(x) for x in qvec], k=10)
+
+
 def _multimodal_golden_sqls() -> tuple[str, str, str]:
     """Golden-VALUES oracles for the stubbed media pipeline: the fake
     payloads are deterministic, so the expected output of each
@@ -1691,6 +1777,12 @@ def analytics_queries():
             ).orderBy("doc_id"),
             _SPLIT_SQL,
         ),
+        # PQ ANN: trained path is rows-only (Lloyd iterations aren't
+        # SQL-expressible — same regime as sim_cosine_topk_ivf); the
+        # deployed static-codebook twin is fully oracled end to end
+        # (encode, ADC scan, candidate cut, exact re-rank).
+        "sim_cosine_topk_pq": (_sim_topk_pq_query, None),
+        "sim_cosine_topk_pq_static": (_sim_topk_pq_static_query, _PQ_STATIC_SQL),
         "sampling_stratified_sources": (
             lambda s, sf: sampling.stratified_sample_by_source(
                 _t(s, sf, "documents"),

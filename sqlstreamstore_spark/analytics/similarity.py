@@ -512,3 +512,200 @@ def embedding_lsh_recall(
         [(n_exact, n_lsh, n_hit, recall)],
         "n_exact bigint, n_lsh bigint, n_hit bigint, recall double",
     )
+
+
+# ------------------------------------------------------------------ PQ
+
+def _static_codebooks(
+    dim: int = 64, m: int = 8, n_codes: int = 16, seed: int = 11
+) -> list[list[list[float]]]:
+    """Deterministic pseudo-random PQ codebooks — the 'deployed index'
+    configuration (trained offline, shipped as constants), which makes
+    the whole encode/ADC/re-rank pipeline oracle-expressible.
+    codebooks[s][j] = codeword j of subspace s (dim/m floats)."""
+    import random
+
+    rng = random.Random(seed)
+    sub = dim // m
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(sub)] for _ in range(n_codes)]
+        for _ in range(m)
+    ]
+
+
+def _sub(col: Column, s: int, sub_dim: int) -> Column:
+    return F.slice(col, s * sub_dim + 1, sub_dim)
+
+
+def pq_encode(embeddings: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+    """Product-quantization encode: split each vector into m subvectors,
+    assign each to its nearest codeword by squared L2 — adds ``codes``
+    (array<int>, one code per subspace). The entire assignment is one
+    narrow literal-codebook map expression (the codebook is a model):
+    no join, no shuffle, embarrassingly parallel.
+
+    Float discipline: dist² = x·x − 2·x·c + ‖c‖², with both dot
+    products computed by the same sequential fold the DuckDB oracle's
+    list_dot_product uses and ‖c‖² a driver-side literal — so code
+    assignment (incl. argmin ties → lowest j) is engine-identical.
+    """
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    emb = F.col("embedding")
+    codes = []
+    for s in range(m):
+        vs = _sub(emb, s, sub_dim)
+        xs2 = _dot(vs, vs)
+        # one transform over the literal codeword matrix per subspace
+        # (not n_codes named expressions — keeps analysis/codegen cost
+        # linear in m, not m × n_codes)
+        cb = F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in codebooks[s]])
+        dists = F.transform(
+            cb, lambda cw: xs2 - F.lit(2.0) * _dot(vs, cw) + _dot(cw, cw)
+        )
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return embeddings.withColumn("codes", F.array(*codes))
+
+
+def pq_train(
+    embeddings: DataFrame, m: int = 8, n_codes: int = 16, iters: int = 2
+) -> list[list[list[float]]]:
+    """Train PQ codebooks with per-subspace Lloyd iterations — the
+    same distributed regime as kmeans_centroids: one encode + one
+    grouped-mean job per iteration, and only the model (m × n_codes ×
+    dim/m doubles) ever reaches the driver.
+
+    Deterministic: initialized from the first n_codes vectors'
+    subvectors (by vec_id), fixed iteration count."""
+    sample = (
+        embeddings.orderBy("vec_id").limit(n_codes).select("embedding").collect()
+    )
+    dim = len(sample[0].embedding)
+    sub_dim = dim // m
+    codebooks = [
+        [
+            [float(x) for x in r.embedding[s * sub_dim : (s + 1) * sub_dim]]
+            for r in sample
+        ]
+        for s in range(m)
+    ]
+    base = embeddings.select("vec_id", "embedding").persist()
+    try:
+        base.count()
+        for _ in range(iters):
+            enc = pq_encode(base, codebooks)
+            stats = (
+                enc.select("codes", F.posexplode("embedding").alias("pos", "val"))
+                .withColumn("sub", (F.col("pos") / sub_dim).cast("int"))
+                .withColumn("code", F.element_at("codes", F.col("sub") + 1))
+                .groupBy("sub", "code", "pos")
+                .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+                .collect()
+            )
+            means: dict[tuple[int, int], dict[int, float]] = {}
+            for r in stats:
+                means.setdefault((r.sub, r.code), {})[r.pos] = r.mean
+            for s in range(m):
+                for j in range(n_codes):
+                    dims = means.get((s, j))
+                    if dims:
+                        codebooks[s][j] = [dims[p] for p in sorted(dims)]
+    finally:
+        base.unpersist()
+    return codebooks
+
+
+def _pq_approx_cosine(query_vec: list[float], codebooks: list[list[list[float]]]) -> Column:
+    """ADC (asymmetric distance computation) scoring column: the
+    reconstruction x̂ = concat(codeword per subspace) gives
+    cosine(q, x̂) from two literal lookup tables — q·codeword and
+    ‖codeword‖² per (subspace, code) — indexed by the codes column.
+    Per row: m element_at lookups + one division. The corpus vector is
+    never touched: at scale the ADC scan reads ONLY the codes column
+    (m bytes/vector vs dim·4 — a 32× scan reduction at m=8, dim=64)."""
+    import math
+
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    dot_terms = []
+    n2_terms = []
+    for s in range(m):
+        qs = [float(x) for x in query_vec[s * sub_dim : (s + 1) * sub_dim]]
+        lut_dot = F.array(
+            *[F.lit(float(sum(a * b for a, b in zip(qs, cw)))) for cw in codebooks[s]]
+        )
+        lut_n2 = F.array(
+            *[F.lit(float(sum(x * x for x in cw))) for cw in codebooks[s]]
+        )
+        code = F.element_at("codes", s + 1)
+        dot_terms.append(F.element_at(lut_dot, code + 1))
+        n2_terms.append(F.element_at(lut_n2, code + 1))
+    approx_dot = dot_terms[0]
+    for t in dot_terms[1:]:
+        approx_dot = approx_dot + t
+    approx_n2 = n2_terms[0]
+    for t in n2_terms[1:]:
+        approx_n2 = approx_n2 + t
+    recon_norm = F.sqrt(approx_n2)
+    recon_norm = F.when(recon_norm == 0.0, F.lit(1.0)).otherwise(recon_norm)
+    return approx_dot / (recon_norm * F.lit(qn))
+
+
+def _pq_topk_from_codebooks(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int,
+    rerank: int,
+) -> DataFrame:
+    enc = pq_encode(embeddings, codebooks)
+    approx = enc.select(
+        "vec_id", "embedding", _pq_approx_cosine(query_vec, codebooks).alias("__approx")
+    )
+    cands = approx.orderBy(F.col("__approx").desc(), "vec_id").limit(rerank * k)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    emb = F.col("embedding")
+    exact = _dot(emb, q) / (_norm(emb) * _norm(q))
+    return (
+        cands.select("vec_id", exact.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def cosine_topk_pq(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    rerank: int = 4,
+) -> DataFrame:
+    """PQ ANN top-k (trained): train codebooks (Lloyd per subspace),
+    encode the corpus, rank by ADC approximate cosine, exact-re-rank
+    the top rerank·k candidates. Completes the ANN triad next to LSH
+    (cosine_topk_lsh) and IVF (cosine_topk_ivf): where IVF prunes the
+    SCAN (partition pruning on cluster_id), PQ shrinks the BYTES
+    (codes are m small ints per vector); a deployed index composes
+    both (IVF-PQ)."""
+    codebooks = pq_train(embeddings, m=m, n_codes=n_codes, iters=iters)
+    return _pq_topk_from_codebooks(embeddings, query_vec, codebooks, k, rerank)
+
+
+def cosine_topk_pq_static(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 10,
+    dim: int = 64,
+    seed: int = 11,
+) -> DataFrame:
+    """PQ ANN top-k against precomputed (literal) codebooks — the
+    deployed-index twin of cosine_topk_pq, fully oracle-expressible
+    (encode, ADC and re-rank are deterministic literal expressions)."""
+    codebooks = _static_codebooks(dim=dim, m=m, n_codes=n_codes, seed=seed)
+    return _pq_topk_from_codebooks(embeddings, query_vec, codebooks, k, rerank)

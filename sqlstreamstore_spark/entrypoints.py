@@ -293,10 +293,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "tpch_q21_waiting", "tpch_q22_no_orders", "window_order_gaps",
     "stats_ntile_deciles", "stats_corr_regr", "pipeline_chunk_documents",
     "sampling_stratified_sources", "text_scrub_redact", "dedup_incremental_new",
+    "sim_cosine_topk_pq_static", "sim_cosine_topk_pq",
     # -- §2-core + regression canaries (the rest were driver-green in
     # r1/r2 and stay pinned by tools/driver_sim.py + pytest) --
-    "read_all_forwards", "store_bulk_roundtrip", "expiry_filter",
-    "events_funnel", "dedup_minhash_lsh", "asof_join_last_order",
+    "read_all_forwards", "store_bulk_roundtrip",
+    "events_funnel", "dedup_minhash_lsh",
 )
 
 

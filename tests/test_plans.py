@@ -320,3 +320,16 @@ def test_incremental_new_docs_digest_anti_join(spark):
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     # the corpus side collapses to distinct digests before the join
     assert "HashAggregate" in p
+
+
+def test_pq_topk_narrow_encode_then_topk(spark):
+    from sqlstreamstore_spark.analytics import similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    qvec = [0.1] * 64
+    p = plan_of(similarity.cosine_topk_pq_static(emb, qvec, k=10))
+    # encode + ADC are pure literal map expressions: the only plan
+    # movement is the two top-k cuts (candidates, then final)
+    assert "TakeOrderedAndProject" in p
+    assert "Join" not in p
+    assert "HashAggregate" not in p

@@ -86,3 +86,33 @@ def test_pack_sequences_contiguous_budget_assignment(spark):
         assert r.offset_in_seq == cum % 512
         cum += r.n_tokens
     assert rows[-1].seq_id + 1 >= cum // 512  # last sequence exists
+
+
+def test_pq_topk_recall_and_contract(spark):
+    """PQ ANN: trained codebooks reach a recall floor the random static
+    codebooks can't; both return exactly k exact-cosine-scored rows in
+    descending order."""
+    emb = load_table(spark, SF_DIR, "embeddings").cache()
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    exact = [r.vec_id for r in similarity.cosine_topk_bruteforce(emb, qvec, k=10).collect()]
+    trained = similarity.cosine_topk_pq(emb, qvec, k=10).collect()
+    static = similarity.cosine_topk_pq_static(emb, qvec, k=10).collect()
+    for rows in (trained, static):
+        assert len(rows) == 10
+        scores = [r.cosine for r in rows]
+        assert scores == sorted(scores, reverse=True)
+    recall = len({r.vec_id for r in trained} & set(exact)) / 10
+    assert recall >= 0.6  # measured 0.7 on this fixture (static: 0.3)
+
+
+def test_pq_encode_zero_vector_and_codes_shape(spark):
+    """Zero vectors encode without ANSI errors (argmin -> the smallest-
+    norm codeword) and every code is in range."""
+    emb = spark.createDataFrame(
+        [(0, [0.0] * 64), (1, [1.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    cbs = similarity._static_codebooks()
+    rows = similarity.pq_encode(emb, cbs).collect()
+    for r in rows:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
