@@ -709,3 +709,85 @@ def cosine_topk_pq_static(
     (encode, ADC and re-rank are deterministic literal expressions)."""
     codebooks = _static_codebooks(dim=dim, m=m, n_codes=n_codes, seed=seed)
     return _pq_topk_from_codebooks(embeddings, query_vec, codebooks, k, rerank)
+
+
+# -------------------------------------------------------------- IVF-PQ
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    seed: int = 7,
+) -> tuple[list[tuple[int, list[float]]], list[list[list[float]]]]:
+    """Materialize the composed IVF-PQ index — the standard deployed
+    layout for billion-scale vector search: the coarse quantizer prunes
+    the SCAN (cluster_id partition directories) and the PQ codes shrink
+    the BYTES the surviving scan reads (the ADC pass touches only the
+    m-int codes column; the embedding column is read only for the final
+    re-rank of rerank·k candidates).
+
+    Writes (vec_id, embedding, codes) partitioned by cluster_id and
+    returns the (centroids, codebooks) model pair to ship with it.
+    Coarse centroids are the deterministic deployed set (as
+    build_ivf_index); codebooks are Lloyd-trained on the corpus.
+    """
+    cents = _static_centroids(dim=dim, n_clusters=n_clusters, seed=seed)
+    codebooks = pq_train(embeddings, m=m, n_codes=n_codes, iters=iters)
+    enc = pq_encode(ivf_assign(embeddings, cents), codebooks)
+    enc.select("vec_id", "embedding", "codes", "cluster_id").repartition(
+        "cluster_id"
+    ).write.partitionBy("cluster_id").mode("overwrite").parquet(path)
+    return cents, codebooks
+
+
+def cosine_topk_ivfpq(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 10,
+) -> DataFrame:
+    """Query the materialized IVF-PQ index: rank centroids driver-side,
+    prune partitions on cluster_id (PartitionFilters at plan time), ADC
+    over the codes column inside the probed lists, exact re-rank of the
+    top rerank·k. Column pruning means the ADC stage's scan reads
+    (vec_id, codes) only."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return d / (na * nb)
+
+    probe_ids = [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: (-cos(c[1], [float(x) for x in query_vec]), c[0])
+        )[:n_probe]
+    ]
+    probed = spark.read.parquet(path).filter(F.col("cluster_id").isin(probe_ids))
+    cand_ids = (
+        probed.select(
+            "vec_id", _pq_approx_cosine(query_vec, codebooks).alias("__approx")
+        )
+        .orderBy(F.col("__approx").desc(), "vec_id")
+        .limit(rerank * k)
+        .select("vec_id")
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    emb = F.col("embedding")
+    exact = _dot(emb, q) / (_norm(emb) * _norm(q))
+    return (
+        probed.join(F.broadcast(cand_ids), "vec_id")
+        .select("vec_id", exact.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(k)
+    )

@@ -90,3 +90,32 @@ def test_ivf_materialized_index_prunes_partitions(spark, emb, qvec, tmp_path):
 
     n_parts = len([d for d in os.listdir(path) if d.startswith("cluster_id=")])
     assert n_parts == 8
+
+
+def test_ivfpq_index_prunes_and_reads_codes_only(spark, emb, qvec, tmp_path):
+    """The composed IVF-PQ index: partition pruning on cluster_id AND
+    column pruning — the ADC candidate stage's scan reads (vec_id,
+    codes), never the embedding column; the final top-k agrees with
+    brute force within the probe's recall (every returned score must be
+    an exact cosine)."""
+    import re
+
+    path = str(tmp_path / "ivfpq_index")
+    cents, cbs = similarity.build_ivfpq_index(emb, path, n_clusters=8, iters=1)
+    got = similarity.cosine_topk_ivfpq(spark, path, qvec, cents, cbs, k=10, n_probe=4)
+    rows = got.collect()
+    assert len(rows) == 10
+    exact = {
+        r.vec_id: r.cosine
+        for r in similarity.cosine_topk_bruteforce(emb, qvec, k=1000).collect()
+    }
+    for r in rows:  # scores are exact cosines (re-rank is exact)
+        assert abs(exact[r.vec_id] - r.cosine) < 1e-9
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster_id" in m.group(1), plan[:2000]
+    # the ADC scan (the one feeding the approx top-k) reads only
+    # vec_id+codes — find a scan whose ReadSchema has codes but no
+    # embedding column
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert any("codes" in s and "embedding" not in s for s in schemas), schemas
