@@ -2,13 +2,13 @@
 columns with typed metadata, processed via Arrow-batched Pandas UDFs.
 
 The Spark-side plumbing (schema, partitioning, mapInPandas batch shape,
-UDF signatures) is real and tested. Decoding is REAL for the formats the
-standard library can handle — PNG (zlib inflate + full scanline
-de-filtering incl. Paeth), BMP (24-bit BI_RGB), WAV (PCM via ``wave``)
-— including real nearest-neighbor resize with re-encode for PNG/BMP.
-Formats that require external codecs (JPEG, MP4, …) still go through
-the deterministic FAKEMEDIA stub header; swap in PIL/torchaudio/pyav in
-production — the dataflow does not change.
+UDF signatures) is real and tested. Decoding is REAL for PNG (zlib
+inflate + full scanline de-filtering incl. Paeth), BMP (24-bit BI_RGB),
+WAV (PCM via ``wave``) and baseline JPEG (own Huffman+IDCT codec in
+``analytics/jpeg.py`` — no external libs), including real
+nearest-neighbor resize with re-encode in the source format. Only
+video (MP4/H.264) still goes through the deterministic FAKEMEDIA stub
+header; swap in pyav in production — the dataflow does not change.
 
 Scale design: media bytes never pass through the driver; rows flow
 partition-by-partition through mapInPandas with a bounded Arrow batch
@@ -60,22 +60,80 @@ def encode_fake_media(media_id: int, kind: str, width: int, height: int, duratio
     return _MAGIC + struct.pack("<BIII", kind_b, width, height, duration_ms) + body
 
 
+def _synth_image(i: int, w: int, h: int):
+    """Deterministic smooth RGB gradient (varies per media_id)."""
+    import numpy as np
+
+    yy = np.arange(h).reshape(-1, 1)
+    xx = np.arange(w).reshape(1, -1)
+    r = (yy * 3 + xx * 2 + i * 17) % 256
+    g = (yy * 1 + xx * 5 + i * 29) % 256
+    b = (yy * 4 + xx * 1 + i * 43) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def _synth_wav(i: int, duration_ms: int, rate: int = 8000) -> bytes:
+    """Deterministic PCM-16 mono WAV of exactly duration_ms."""
+    import io
+    import wave
+
+    import numpy as np
+
+    n = rate * duration_ms // 1000
+    t = np.arange(n, dtype=np.float64)
+    pcm = (np.sin(t * (0.01 + 0.001 * (i % 10))) * 3000.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+#: image rows cycle through the three real codecs
+_IMG_FORMATS = ("png", "jpeg", "bmp")
+
+
+def make_media_payload(i: int, kind: str, w: int, h: int, d: int) -> tuple[bytes, str, str]:
+    """(payload, mime, codec) for one synthetic media row. REAL bytes for
+    every decodable format — PNG/JPEG/BMP images, PCM WAV audio; video
+    stays the FAKEMEDIA stub (MP4 needs external codecs). Shared by
+    ``make_fake_media_df`` and the registry's golden-oracle generator so
+    the driver-checked expected values always track the real payloads."""
+    if kind == "image":
+        fmt = _IMG_FORMATS[(i // 3) % 3]
+        img = _synth_image(i, w, h)
+        if fmt == "png":
+            return _png_encode(img), "image/png", "png"
+        if fmt == "jpeg":
+            from sqlstreamstore_spark.analytics.jpeg import jpeg_encode
+
+            return jpeg_encode(img, quality=85), "image/jpeg", "jpeg"
+        return _bmp_encode(img), "image/bmp", "bmp"
+    if kind == "audio":
+        return _synth_wav(i, d), "audio/wav", "pcm_s16le"
+    return encode_fake_media(i, kind, w, h, d), "video/mp4", "fake"
+
+
 def make_fake_media_df(spark: SparkSession, n: int = 100) -> DataFrame:
-    """Synthesize a deterministic media table with the canonical schema."""
+    """Synthesize a deterministic media table with the canonical schema.
+    Payloads are REAL encoded media (PNG/JPEG/BMP/WAV) except video,
+    which keeps the FAKEMEDIA stub header."""
     kinds = ["image", "audio", "video"]
-    mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
         w, h, d = (64 + i % 32, 48 + i % 24, 1000 + i * 10)
+        payload, mime, codec = make_media_payload(i, kind, w, h, d)
         rows.append(
             (
                 i,
                 kind,
-                mimes[kind],
-                encode_fake_media(i, kind, w, h, d),
+                mime,
+                payload,
                 (w if kind == "image" else None, h if kind == "image" else None,
-                 d if kind != "image" else None, "fake"),
+                 d if kind != "image" else None, codec),
             )
         )
     # Right-size partitions to the data: a tiny demo table across the
@@ -263,6 +321,18 @@ def _decode_one(payload: bytes) -> dict:
             "n_bytes": len(p),
             "checksum": int(img.sum()) % 65536,
         }
+    if p[:2] == b"\xff\xd8":
+        from sqlstreamstore_spark.analytics.jpeg import jpeg_decode
+
+        img = jpeg_decode(p)
+        return {
+            "decoded_kind": "image",
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+            "duration_ms": None,
+            "n_bytes": len(p),
+            "checksum": int(img.sum()) % 65536,
+        }
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         duration_ms, pcm = _wav_info(p)
         return {
@@ -274,8 +344,9 @@ def _decode_one(payload: bytes) -> dict:
             "checksum": sum(pcm) % 65536,
         }
     raise NotImplementedError(
-        "no decoder for this payload: stdlib decoders cover PNG/BMP/WAV; "
-        "JPEG/MP4 need PIL/pyav (unavailable in this environment)"
+        "no decoder for this payload: PNG/BMP/WAV (stdlib) and baseline "
+        "JPEG (analytics/jpeg.py) decode for real; MP4/other video needs "
+        "pyav (unavailable in this environment)"
     )
 
 
@@ -316,28 +387,36 @@ RESIZE_SCHEMA = T.StructType(
 )
 
 
+def _resize_payload(mid: int, p: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample + re-encode in the source format —
+    REAL for PNG, BMP and baseline JPEG; FAKEMEDIA headers get their
+    dims rewritten (the stub stand-in for codec-only formats)."""
+    if p.startswith(_MAGIC):
+        d = _decode_one(p)
+        return encode_fake_media(mid, "image", width, height, d["duration_ms"])
+    if p[:2] == b"BM":
+        return _bmp_encode(_nearest_resize(_bmp_pixels(p), width, height))
+    if p[:8] == _PNG_SIG:
+        return _png_encode(_nearest_resize(_png_pixels(p), width, height))
+    if p[:2] == b"\xff\xd8":
+        from sqlstreamstore_spark.analytics.jpeg import jpeg_decode, jpeg_encode
+
+        return jpeg_encode(_nearest_resize(jpeg_decode(p), width, height), quality=85)
+    raise NotImplementedError("resize: unsupported image format")
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize pipeline stage. REAL nearest-neighbor resample +
-    re-encode for PNG and BMP payloads (stdlib decode/encode); FAKEMEDIA
-    payloads get their header dims rewritten (the stub stand-in for
-    codec formats). Filter + transform runs fully parallel; non-images
-    are filtered out BEFORE the UDF so the Python worker only sees
-    relevant rows."""
-
-    def resize_payload(mid: int, p: bytes) -> bytes:
-        if p.startswith(_MAGIC):
-            d = _decode_one(p)
-            return encode_fake_media(mid, "image", width, height, d["duration_ms"])
-        if p[:2] == b"BM":
-            return _bmp_encode(_nearest_resize(_bmp_pixels(p), width, height))
-        if p[:8] == _PNG_SIG:
-            return _png_encode(_nearest_resize(_png_pixels(p), width, height))
-        raise NotImplementedError("resize: unsupported image format")
+    re-encode for PNG, BMP and baseline JPEG payloads (stdlib + numpy
+    codecs); FAKEMEDIA payloads get their header dims rewritten (the
+    stub stand-in for codec formats). Filter + transform runs fully
+    parallel; non-images are filtered out BEFORE the UDF so the Python
+    worker only sees relevant rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [
-                resize_payload(int(mid), bytes(p))
+                _resize_payload(int(mid), bytes(p), width, height)
                 for mid, p in zip(pdf["media_id"], pdf["payload"])
             ]
             yield pd.DataFrame(

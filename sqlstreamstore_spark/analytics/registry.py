@@ -944,32 +944,42 @@ def _sim_topk_pq_static_query(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _multimodal_golden_sqls() -> tuple[str, str, str]:
-    """Golden-VALUES oracles for the stubbed media pipeline: the fake
-    payloads are deterministic, so the expected output of each
-    mapInPandas/explode stage is computable here, driver-side, with the
-    same pure functions the executors run. The gate then verifies the
-    DISTRIBUTED execution path (Arrow batches, partitioning, schema)
-    returns exactly these rows — a golden snapshot, not an independent
-    recomputation (the honest label for a stub decoder; the payload
-    byte-stats query is the independently-computed media oracle)."""
-    from sqlstreamstore_spark.analytics.multimodal import _decode_one, encode_fake_media
+    """Golden-VALUES oracles for the media pipeline: the synthetic
+    payloads are deterministic REAL media (PNG/JPEG/BMP/WAV via
+    ``make_media_payload``; video stays the FAKEMEDIA stub), so the
+    expected output of each mapInPandas/explode stage is computable
+    here, driver-side, with the same pure codecs the executors run. The
+    gate then verifies the DISTRIBUTED execution path (Arrow batches,
+    partitioning, schema) returns exactly these rows — a golden
+    snapshot of a real decode, not an independent recomputation (the
+    payload byte-stats query is the independently-computed media
+    oracle)."""
+    from sqlstreamstore_spark.analytics.multimodal import (
+        _decode_one,
+        _resize_payload,
+        make_media_payload,
+    )
 
     kinds = ["image", "audio", "video"]
     decode_rows, frame_rows, resize_rows = [], [], []
     for i in range(100):
         kind = kinds[i % 3]
         w, h, d = (64 + i % 32, 48 + i % 24, 1000 + i * 10)
-        payload = encode_fake_media(i, kind, w, h, d)
+        payload, _mime, _codec = make_media_payload(i, kind, w, h, d)
         f = _decode_one(payload)
+
+        def lit(v):
+            return "NULL" if v is None else str(v)
+
         decode_rows.append(
-            f"({i}, '{f['decoded_kind']}', {f['width']}, {f['height']}, "
-            f"{f['duration_ms']}, {f['n_bytes']}, {f['checksum']})"
+            f"({i}, '{f['decoded_kind']}', {lit(f['width'])}, {lit(f['height'])}, "
+            f"{lit(f['duration_ms'])}, {f['n_bytes']}, {f['checksum']})"
         )
         if kind == "video":
             for ts in range(0, d, 500):  # gate query uses every_ms=500
                 frame_rows.append(f"({i}, {ts}, '{i}-{ts}')")
         if kind == "image":
-            resized = encode_fake_media(i, "image", 32, 32, f["duration_ms"])
+            resized = _resize_payload(i, payload, 32, 32)
             resize_rows.append(f"({i}, 32, 32, {len(resized)})")
     decode_sql = (
         "SELECT * FROM (VALUES\n" + ",\n".join(decode_rows)

@@ -50,9 +50,57 @@ def test_frame_sampling_counts(media):
 
 
 def test_codec_formats_raise_not_implemented(spark):
-    # JPEG needs an external codec — the honest stub boundary
+    # MP4/unknown containers need an external codec — the honest stub
+    # boundary (JPEG decodes for real now, see test_real_jpeg_* below)
     with pytest.raises(NotImplementedError):
-        mm._decode_one(b"\xff\xd8\xff\xe0" + b"JFIF-ish")
+        mm._decode_one(b"\x00\x00\x00\x18ftypmp42" + bytes(32))
+
+
+def test_real_jpeg_roundtrip_and_decode():
+    """REAL baseline JPEG: own encoder→decoder round-trips within
+    quantization error across 4:4:4 / 4:2:0 / grayscale / restart
+    markers, and _decode_one reports true dimensions + a checksum over
+    decoded pixels. Progressive JPEG raises honestly."""
+    import numpy as np
+
+    from sqlstreamstore_spark.analytics.jpeg import jpeg_decode, jpeg_encode
+
+    img = mm._synth_image(5, 40, 24)
+    for sub, ri in [("444", 0), ("420", 0), ("444", 2), ("420", 3)]:
+        enc = jpeg_encode(img, quality=90, subsampling=sub, restart_interval=ri)
+        dec = jpeg_decode(enc)
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int)).mean()
+        # the synth gradient wraps 255→0, creating chroma edges 4:2:0
+        # genuinely can't represent — hence the looser subsampled bound
+        assert err < (4.0 if sub == "444" else 10.0), (sub, ri, err)
+    gray = img[:, :, 0]
+    assert jpeg_decode(jpeg_encode(gray, 90)).shape == gray.shape
+    # odd (non-8-multiple) dims survive pad+crop
+    odd = mm._synth_image(9, 23, 17)
+    assert jpeg_decode(jpeg_encode(odd, 90, "420")).shape == odd.shape
+    # _decode_one integration
+    enc = jpeg_encode(img, 85)
+    d = mm._decode_one(enc)
+    assert (d["decoded_kind"], d["width"], d["height"]) == ("image", 40, 24)
+    assert d["checksum"] == int(jpeg_decode(enc).sum()) % 65536
+    # progressive (SOF2) is out of scope and must say so
+    sof2 = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        jpeg_decode(sof2)
+
+
+def test_real_jpeg_resize_through_spark(spark):
+    """JPEG rows flow through resize_images (mapInPandas) and come back
+    as decodable JPEGs of the target size."""
+    from sqlstreamstore_spark.analytics.jpeg import jpeg_decode, jpeg_encode
+
+    img = mm._synth_image(7, 32, 16)
+    rows = [(0, "image", "image/jpeg", jpeg_encode(img, 90), (32, 16, None, "jpeg"))]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.resize_images(media, 8, 8).collect()
+    assert len(out) == 1 and (out[0].width, out[0].height) == (8, 8)
+    assert jpeg_decode(bytes(out[0].payload)).shape == (8, 8, 3)
 
 
 def _make_png(w, h, ch=3):
