@@ -31,6 +31,34 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# --- SQL-string expression builders -----------------------------------
+# Model-as-literal operators (PQ codebooks, IVF centroids, LSH planes)
+# embed hundreds of float literals in one expression. Building that tree
+# through the PySpark Column API costs one py4j round-trip PER NODE
+# (~3 s per pq_encode at m=8 × 16 codes — measured), so these helpers
+# emit the SAME expression as ONE SQL string for F.expr: string build is
+# microseconds, the JVM parses it in ~ms. Semantics are identical — the
+# SQL parser produces the same aggregate/zip_with fold tree, so results
+# stay bit-for-bit hash-oracle-compatible.
+
+def _dlit(x: float) -> str:
+    """Exact double literal: repr round-trips binary64 through the SQL
+    string cast."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _arr_sql(vec) -> str:
+    return "array(" + ",".join(_dlit(float(x)) for x in vec) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL twin of _dot — the same sequential fold, same casts."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
 def _norm(a: Column) -> Column:
     """L2 norm; an all-zero vector maps to 1.0 (cosine 0 against
     anything) — the same convention as the driver-side ``math_norm``
@@ -551,32 +579,43 @@ def pq_encode(embeddings: DataFrame, codebooks: list[list[list[float]]]) -> Data
     """
     m = len(codebooks)
     sub_dim = len(codebooks[0][0])
-    emb = F.col("embedding")
     codes = []
     for s in range(m):
-        vs = _sub(emb, s, sub_dim)
-        xs2 = _dot(vs, vs)
+        vs = f"slice(embedding, {s * sub_dim + 1}, {sub_dim})"
+        xs2 = _dot_sql(vs, vs)
         # one transform over the literal codeword matrix per subspace
         # (not n_codes named expressions — keeps analysis/codegen cost
         # linear in m, not m × n_codes)
-        cb = F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in codebooks[s]])
-        dists = F.transform(
-            cb, lambda cw: xs2 - F.lit(2.0) * _dot(vs, cw) + _dot(cw, cw)
+        cb = "array(" + ",".join(_arr_sql(cw) for cw in codebooks[s]) + ")"
+        dists = (
+            f"transform({cb}, cw -> {xs2} - CAST(2.0 AS DOUBLE) * "
+            f"{_dot_sql(vs, 'cw')} + {_dot_sql('cw', 'cw')})"
         )
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return embeddings.withColumn("codes", F.array(*codes))
+        codes.append(
+            f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+        )
+    return embeddings.withColumn("codes", F.expr("array(" + ",".join(codes) + ")"))
 
 
 def pq_train(
     embeddings: DataFrame, m: int = 8, n_codes: int = 16, iters: int = 2
 ) -> list[list[list[float]]]:
-    """Train PQ codebooks with per-subspace Lloyd iterations — the
-    same distributed regime as kmeans_centroids: one encode + one
-    grouped-mean job per iteration, and only the model (m × n_codes ×
-    dim/m doubles) ever reaches the driver.
+    """Train PQ codebooks with per-subspace Lloyd iterations. Each
+    iteration is ONE Arrow-batched numpy pass (mapInPandas): every
+    batch assigns its vectors to the nearest codeword per subspace and
+    emits per-(subspace, code) partial sums + counts — ≤ m·n_codes rows
+    per batch — which combine driver-side into the new means. Only
+    model-sized data (m × n_codes × dim/m doubles) ever reaches the
+    driver; the corpus never shuffles at all. (The literal-expression
+    ``pq_encode`` stays the serving/oracle path — for training it would
+    recompile its whole-stage-codegen megaexpression every iteration,
+    which measured slower than the numpy pass.)
 
     Deterministic: initialized from the first n_codes vectors'
-    subvectors (by vec_id), fixed iteration count."""
+    subvectors (by vec_id), fixed iteration count; numpy argmin breaks
+    ties toward the lowest code, like array_position(array_min)."""
+    import numpy as np
+
     sample = (
         embeddings.orderBy("vec_id").limit(n_codes).select("embedding").collect()
     )
@@ -589,27 +628,47 @@ def pq_train(
         ]
         for s in range(m)
     ]
-    base = embeddings.select("vec_id", "embedding").persist()
+    from pyspark.sql import types as T
+
+    partial_schema = T.StructType([
+        T.StructField("sub", T.IntegerType()),
+        T.StructField("code", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sums", T.ArrayType(T.DoubleType())),
+    ])
+    base = embeddings.select("embedding").persist()
     try:
-        base.count()
+        # no warm-up count: the first iteration's pass materializes the
+        # cache; iteration 2+ reads it
         for _ in range(iters):
-            enc = pq_encode(base, codebooks)
-            stats = (
-                enc.select("codes", F.posexplode("embedding").alias("pos", "val"))
-                .withColumn("sub", (F.col("pos") / sub_dim).cast("int"))
-                .withColumn("code", F.element_at("codes", F.col("sub") + 1))
-                .groupBy("sub", "code", "pos")
-                .agg(F.avg(F.col("val").cast("double")).alias("mean"))
-                .collect()
-            )
-            means: dict[tuple[int, int], dict[int, float]] = {}
-            for r in stats:
-                means.setdefault((r.sub, r.code), {})[r.pos] = r.mean
-            for s in range(m):
-                for j in range(n_codes):
-                    dims = means.get((s, j))
-                    if dims:
-                        codebooks[s][j] = [dims[p] for p in sorted(dims)]
+            C = np.array(codebooks)  # (m, n_codes, sub_dim)
+
+            def run(batches, C=C):
+                import pandas as pd
+
+                for pdf in batches:
+                    X = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+                    if not len(X):
+                        continue
+                    rows = []
+                    for s in range(m):
+                        Xs = X[:, s * sub_dim : (s + 1) * sub_dim]
+                        d2 = ((Xs[:, None, :] - C[s][None, :, :]) ** 2).sum(-1)
+                        code = d2.argmin(1)
+                        for j in np.unique(code):
+                            sel = Xs[code == j]
+                            rows.append((s, int(j), len(sel), sel.sum(0).tolist()))
+                    yield pd.DataFrame(rows, columns=["sub", "code", "n", "sums"])
+
+            partials = base.mapInPandas(run, partial_schema).collect()
+            acc: dict[tuple[int, int], tuple[int, np.ndarray]] = {}
+            for r in partials:
+                key = (r.sub, r.code)
+                n0, s0 = acc.get(key, (0, np.zeros(sub_dim)))
+                acc[key] = (n0 + r.n, s0 + np.asarray(r.sums))
+            for (s, j), (n, sums) in acc.items():
+                if n:
+                    codebooks[s][j] = (sums / n).tolist()
     finally:
         base.unpersist()
     return codebooks
@@ -632,24 +691,19 @@ def _pq_approx_cosine(query_vec: list[float], codebooks: list[list[list[float]]]
     n2_terms = []
     for s in range(m):
         qs = [float(x) for x in query_vec[s * sub_dim : (s + 1) * sub_dim]]
-        lut_dot = F.array(
-            *[F.lit(float(sum(a * b for a, b in zip(qs, cw)))) for cw in codebooks[s]]
-        )
-        lut_n2 = F.array(
-            *[F.lit(float(sum(x * x for x in cw))) for cw in codebooks[s]]
-        )
-        code = F.element_at("codes", s + 1)
-        dot_terms.append(F.element_at(lut_dot, code + 1))
-        n2_terms.append(F.element_at(lut_n2, code + 1))
-    approx_dot = dot_terms[0]
-    for t in dot_terms[1:]:
-        approx_dot = approx_dot + t
-    approx_n2 = n2_terms[0]
-    for t in n2_terms[1:]:
-        approx_n2 = approx_n2 + t
-    recon_norm = F.sqrt(approx_n2)
-    recon_norm = F.when(recon_norm == 0.0, F.lit(1.0)).otherwise(recon_norm)
-    return approx_dot / (recon_norm * F.lit(qn))
+        lut_dot = _arr_sql(float(sum(a * b for a, b in zip(qs, cw))) for cw in codebooks[s])
+        lut_n2 = _arr_sql(float(sum(x * x for x in cw)) for cw in codebooks[s])
+        code = f"element_at(codes, {s + 1})"
+        dot_terms.append(f"element_at({lut_dot}, {code} + 1)")
+        n2_terms.append(f"element_at({lut_n2}, {code} + 1)")
+    approx_dot = " + ".join(dot_terms)
+    approx_n2 = " + ".join(n2_terms)
+    recon_norm = f"sqrt({approx_n2})"
+    guarded = (
+        f"CASE WHEN {recon_norm} = CAST(0.0 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) "
+        f"ELSE {recon_norm} END"
+    )
+    return F.expr(f"({approx_dot}) / ({guarded} * {_dlit(qn)})")
 
 
 def _pq_topk_from_codebooks(
