@@ -956,12 +956,13 @@ def _multimodal_golden_sqls() -> tuple[str, str, str]:
     oracle)."""
     from sqlstreamstore_spark.analytics.multimodal import (
         _decode_one,
+        _extract_frames_one,
         _resize_payload,
         make_media_payload,
     )
 
     kinds = ["image", "audio", "video"]
-    decode_rows, frame_rows, resize_rows = [], [], []
+    decode_rows, frame_rows, resize_rows, extract_rows = [], [], [], []
     for i in range(100):
         kind = kinds[i % 3]
         w, h, d = (64 + i % 32, 48 + i % 24, 1000 + i * 10)
@@ -978,6 +979,11 @@ def _multimodal_golden_sqls() -> tuple[str, str, str]:
         if kind == "video":
             for ts in range(0, d, 500):  # gate query uses every_ms=500
                 frame_rows.append(f"({i}, {ts}, '{i}-{ts}')")
+            for fr in _extract_frames_one(i, payload, 500):
+                extract_rows.append(
+                    f"({fr['media_id']}, {fr['frame_ts_ms']}, {fr['frame_index']}, "
+                    f"{fr['width']}, {fr['height']}, {fr['checksum']})"
+                )
         if kind == "image":
             resized = _resize_payload(i, payload, 32, 32)
             resize_rows.append(f"({i}, 32, 32, {len(resized)})")
@@ -994,10 +1000,15 @@ def _multimodal_golden_sqls() -> tuple[str, str, str]:
         "SELECT * FROM (VALUES\n" + ",\n".join(resize_rows)
         + ") AS t(media_id, width, height, n_bytes)\nORDER BY media_id"
     )
-    return decode_sql, frame_sql, resize_sql
+    extract_sql = (
+        "SELECT * FROM (VALUES\n" + ",\n".join(extract_rows)
+        + ") AS t(media_id, frame_ts_ms, frame_index, width, height, checksum)"
+        + "\nORDER BY media_id, frame_ts_ms"
+    )
+    return decode_sql, frame_sql, resize_sql, extract_sql
 
 
-_MM_DECODE_SQL, _MM_FRAMES_SQL, _MM_RESIZE_SQL = _multimodal_golden_sqls()
+_MM_DECODE_SQL, _MM_FRAMES_SQL, _MM_RESIZE_SQL, _MM_EXTRACT_SQL = _multimodal_golden_sqls()
 
 
 def _minhash_ctes(k: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
@@ -1989,5 +2000,14 @@ def analytics_queries():
             ).select("media_id", "width", "height",
                      F.length("payload").alias("n_bytes")).orderBy("media_id"),
             _MM_RESIZE_SQL,
+        ),
+        "multimodal_extract_frames": (
+            # REAL video frame extraction: MJPEG-AVI rows random-access
+            # + JPEG-decode only the sampled frames (mapInPandas);
+            # FAKEMEDIA (mp4 stub) rows emit deterministic pseudo-frames
+            lambda s, sf: multimodal.extract_video_frames(
+                multimodal.make_fake_media_df(s, 100), every_ms=500
+            ).orderBy("media_id", "frame_ts_ms"),
+            _MM_EXTRACT_SQL,
         ),
     }

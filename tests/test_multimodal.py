@@ -90,6 +90,46 @@ def test_real_jpeg_roundtrip_and_decode():
         jpeg_decode(sof2)
 
 
+def test_real_mjpeg_avi_decode_and_frame_extraction(spark):
+    """REAL video: MJPEG-AVI container round-trips (own writer/reader),
+    _decode_one reports true dims/duration with a checksum over ALL
+    decoded frames, and extract_video_frames (mapInPandas) decodes only
+    the sampled frames with correct timestamps."""
+    import numpy as np
+
+    from sqlstreamstore_spark.analytics.avi import (
+        avi_decode_frame,
+        avi_encode,
+        avi_frame_jpegs,
+        avi_info,
+    )
+
+    frames = [mm._synth_image(i, 32, 24) for i in range(6)]
+    avi = avi_encode(frames, fps=4)  # 1500 ms
+    info = avi_info(avi)
+    assert (info["width"], info["height"], info["n_frames"]) == (32, 24, 6)
+    assert info["duration_ms"] == 1500
+    assert len(avi_frame_jpegs(avi)) == 6
+    dec2 = avi_decode_frame(avi, 2)
+    assert dec2.shape == (24, 32, 3)
+    assert np.abs(dec2.astype(int) - frames[2].astype(int)).mean() < 4.0
+
+    d = mm._decode_one(avi)
+    assert (d["decoded_kind"], d["width"], d["height"], d["duration_ms"]) == (
+        "video", 32, 24, 1500)
+
+    rows = [(0, "video", "video/x-msvideo", avi, (None, None, 1500, "mjpeg"))]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r.frame_ts_ms: r for r in mm.extract_video_frames(media, 500).collect()}
+    assert sorted(got) == [0, 500, 1000]
+    # ts→frame mapping at 4 fps (250 ms/frame): 0→0, 500→2, 1000→4
+    assert [got[t].frame_index for t in (0, 500, 1000)] == [0, 2, 4]
+    for t in (0, 500, 1000):
+        img = avi_decode_frame(avi, got[t].frame_index)
+        assert got[t].checksum == int(img.sum()) % 65536
+        assert (got[t].width, got[t].height) == (32, 24)
+
+
 def test_real_jpeg_resize_through_spark(spark):
     """JPEG rows flow through resize_images (mapInPandas) and come back
     as decodable JPEGs of the target size."""
