@@ -955,6 +955,7 @@ def _multimodal_golden_sqls() -> tuple[str, str, str]:
     payload byte-stats query is the independently-computed media
     oracle)."""
     from sqlstreamstore_spark.analytics.multimodal import (
+        _audio_features_one,
         _decode_one,
         _extract_frames_one,
         _resize_payload,
@@ -962,7 +963,7 @@ def _multimodal_golden_sqls() -> tuple[str, str, str]:
     )
 
     kinds = ["image", "audio", "video"]
-    decode_rows, frame_rows, resize_rows, extract_rows = [], [], [], []
+    decode_rows, frame_rows, resize_rows, extract_rows, audio_rows = [], [], [], [], []
     for i in range(100):
         kind = kinds[i % 3]
         w, h, d = (64 + i % 32, 48 + i % 24, 1000 + i * 10)
@@ -987,6 +988,15 @@ def _multimodal_golden_sqls() -> tuple[str, str, str]:
         if kind == "image":
             resized = _resize_payload(i, payload, 32, 32)
             resize_rows.append(f"({i}, 32, 32, {len(resized)})")
+        if kind == "audio":
+            a = _audio_features_one(i, payload)
+            audio_rows.append(
+                f"({i}, {a['duration_ms']}, {a['n_samples']}, {a['sample_rate']}, "
+                f"CAST('{a['rms']!r}' AS DOUBLE), "
+                f"CAST('{a['zero_crossing_rate']!r}' AS DOUBLE), "
+                f"CAST('{a['spectral_centroid_hz']!r}' AS DOUBLE), "
+                f"CAST('{a['dominant_freq_hz']!r}' AS DOUBLE))"
+            )
     decode_sql = (
         "SELECT * FROM (VALUES\n" + ",\n".join(decode_rows)
         + ") AS t(media_id, decoded_kind, width, height, duration_ms, n_bytes, checksum)"
@@ -1005,10 +1015,17 @@ def _multimodal_golden_sqls() -> tuple[str, str, str]:
         + ") AS t(media_id, frame_ts_ms, frame_index, width, height, checksum)"
         + "\nORDER BY media_id, frame_ts_ms"
     )
-    return decode_sql, frame_sql, resize_sql, extract_sql
+    audio_sql = (
+        "SELECT * FROM (VALUES\n" + ",\n".join(audio_rows)
+        + ") AS t(media_id, duration_ms, n_samples, sample_rate, rms, "
+        + "zero_crossing_rate, spectral_centroid_hz, dominant_freq_hz)"
+        + "\nORDER BY media_id"
+    )
+    return decode_sql, frame_sql, resize_sql, extract_sql, audio_sql
 
 
-_MM_DECODE_SQL, _MM_FRAMES_SQL, _MM_RESIZE_SQL, _MM_EXTRACT_SQL = _multimodal_golden_sqls()
+(_MM_DECODE_SQL, _MM_FRAMES_SQL, _MM_RESIZE_SQL, _MM_EXTRACT_SQL,
+ _MM_AUDIO_SQL) = _multimodal_golden_sqls()
 
 
 def _minhash_ctes(k: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
@@ -2000,6 +2017,14 @@ def analytics_queries():
             ).select("media_id", "width", "height",
                      F.length("payload").alias("n_bytes")).orderBy("media_id"),
             _MM_RESIZE_SQL,
+        ),
+        "multimodal_audio_features": (
+            # real DSP over PCM WAV payloads: RMS / ZCR / spectral
+            # centroid / dominant frequency via numpy rfft in mapInPandas
+            lambda s, sf: multimodal.audio_features(
+                multimodal.make_fake_media_df(s, 100)
+            ).orderBy("media_id"),
+            _MM_AUDIO_SQL,
         ),
         "multimodal_extract_frames": (
             # REAL video frame extraction: MJPEG-AVI rows random-access

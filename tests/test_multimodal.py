@@ -130,6 +130,42 @@ def test_real_mjpeg_avi_decode_and_frame_extraction(spark):
         assert (got[t].width, got[t].height) == (32, 24)
 
 
+def test_audio_features_pure_tone(spark):
+    """DSP sanity on a constructed signal: a pure 1 kHz sine at 8 kHz
+    must report dominant frequency 1000 Hz, RMS ≈ amplitude/√2, ZCR ≈
+    2·f/rate; the Spark operator (mapInPandas) returns the same row the
+    driver-side twin computes."""
+    import io
+    import wave
+
+    import numpy as np
+
+    rate, f0, amp, n = 8000, 1000, 0.5, 8000
+    t = np.arange(n)
+    pcm = (np.sin(2 * np.pi * f0 * t / rate) * amp * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    wav = buf.getvalue()
+
+    d = mm._audio_features_one(7, wav)
+    assert d["duration_ms"] == 1000 and d["sample_rate"] == rate
+    assert abs(d["dominant_freq_hz"] - f0) < 1.0
+    assert abs(d["rms"] - amp / np.sqrt(2)) < 0.01
+    assert abs(d["zero_crossing_rate"] - 2 * f0 / rate) < 0.01
+
+    rows = [(7, "audio", "audio/wav", wav, (None, None, 1000, "pcm_s16le"))]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = mm.audio_features(media).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.media_id, r.duration_ms, r.n_samples) == (7, 1000, n)
+    assert r.rms == d["rms"] and r.dominant_freq_hz == d["dominant_freq_hz"]
+
+
 def test_real_jpeg_resize_through_spark(spark):
     """JPEG rows flow through resize_images (mapInPandas) and come back
     as decodable JPEGs of the target size."""
