@@ -59,6 +59,15 @@ def _dot_sql(a: str, b: str) -> str:
     )
 
 
+def _norm_sql(a: str) -> str:
+    """SQL twin of _norm — same fold, same zero→1.0 guard."""
+    n = (
+        f"sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    return f"CASE WHEN {n} = CAST(0.0 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) ELSE {n} END"
+
+
 def _norm(a: Column) -> Column:
     """L2 norm; an all-zero vector maps to 1.0 (cosine 0 against
     anything) — the same convention as the driver-side ``math_norm``
@@ -199,35 +208,68 @@ def kmeans_centroids(
     embeddings: DataFrame, n_clusters: int = 16, iters: int = 3
 ) -> list[tuple[int, list[float]]]:
     """Distributed Lloyd's k-means over the embedding column (the IVF
-    coarse quantizer). Each iteration is one Spark job: broadcast-join
-    assignment → posexplode → per-(cluster, dim) mean. Only the model
-    (n_clusters × dim doubles) ever reaches the driver — the data stays
-    distributed, so this scales to any corpus size.
+    coarse quantizer). Each iteration is ONE Arrow-batched numpy pass
+    (mapInPandas): every batch cosine-assigns its vectors and emits
+    per-cluster partial sums + counts, which combine driver-side into
+    the new means. Only model-sized data (n_clusters × dim doubles)
+    ever reaches the driver — the corpus stays distributed and never
+    shuffles, so this scales to any corpus size.
 
     Deterministic: initialized from the first n_clusters vectors by
-    vec_id; fixed iteration count (no tolerance-based early exit).
+    vec_id; fixed iteration count (no tolerance-based early exit);
+    numpy argmax breaks ties toward the lowest cluster_id.
     """
-    spark = embeddings.sparkSession
-    # Iterated over: pin the (vec_id, embedding) projection so each
-    # Lloyd's pass reads the materialized columnar block, not the
-    # upstream lineage (at scale: a few GB per executor, memory+disk).
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    # Iterated over: pin the embedding projection so each Lloyd's pass
+    # reads the materialized columnar block, not the upstream lineage
+    # (at scale: a few GB per executor, memory+disk).
     base = embeddings.select("vec_id", "embedding").persist()
     init = base.orderBy("vec_id").limit(n_clusters).select("embedding").collect()
     centroids = [(i, [float(x) for x in r.embedding]) for i, r in enumerate(init)]
+    dim = len(centroids[0][1])
+    partial_schema = T.StructType([
+        T.StructField("cluster_id", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sums", T.ArrayType(T.DoubleType())),
+    ])
     try:
         for _ in range(iters):
-            assigned = ivf_assign(base, centroids)
-            stats = (
-                assigned.select("cluster_id", F.posexplode("embedding").alias("pos", "val"))
-                .groupBy("cluster_id", "pos")
-                .agg(F.avg(F.col("val").cast("double")).alias("mean"))
-                .collect()
-            )
-            by_cluster: dict[int, dict[int, float]] = {}
-            for r in stats:
-                by_cluster.setdefault(r.cluster_id, {})[r.pos] = r.mean
+            # one Arrow-batched numpy pass per iteration: cosine-argmax
+            # assignment + per-cluster partial sums, ≤ n_clusters rows
+            # per batch; model-sized combine driver-side (the literal-
+            # expression ivf_assign stays the serving/oracle path — for
+            # training it would recompile codegen every iteration)
+            C = np.array([vec for _, vec in centroids])  # (k, dim)
+            Cn = np.sqrt((C * C).sum(1))
+            Cn[Cn == 0.0] = 1.0
+
+            def run(batches, C=C, Cn=Cn):
+                import pandas as pd
+
+                for pdf in batches:
+                    X = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+                    if not len(X):
+                        continue
+                    Xn = np.sqrt((X * X).sum(1))
+                    Xn[Xn == 0.0] = 1.0
+                    # argmax of cosine, first-max tie-break = lowest id
+                    cos = (X @ C.T) / (Xn[:, None] * Cn[None, :])
+                    a = cos.argmax(1)
+                    rows = []
+                    for j in np.unique(a):
+                        sel = X[a == j]
+                        rows.append((int(j), len(sel), sel.sum(0).tolist()))
+                    yield pd.DataFrame(rows, columns=["cluster_id", "n", "sums"])
+
+            acc: dict[int, tuple[int, np.ndarray]] = {}
+            for r in base.mapInPandas(run, partial_schema).collect():
+                n0, s0 = acc.get(r.cluster_id, (0, np.zeros(dim)))
+                acc[r.cluster_id] = (n0 + r.n, s0 + np.asarray(r.sums))
             centroids = [
-                (cid, [dims[p] for p in sorted(dims)]) if (dims := by_cluster.get(cid)) else (cid, vec)
+                (cid, (acc[cid][1] / acc[cid][0]).tolist()) if acc.get(cid, (0,))[0] else (cid, vec)
                 for cid, vec in centroids
             ]
     finally:
@@ -261,20 +303,21 @@ def ivf_assign(
             .filter(F.col("__rk") == 1)
             .drop("__rk", "__cscore", "centroid")
         )
-    emb = F.col("embedding")
-    ids = [cid for cid, _ in centroids]
-    scores = F.array(
-        *[
-            _dot(emb, F.array(*[F.lit(float(x)) for x in vec]))
-            / (_norm(emb) * F.lit(math_norm(vec)))
-            for _, vec in centroids
-        ]
-    )
+    # One SQL string instead of ~n_clusters × dim py4j literal calls
+    # (see the _dot_sql note above) — the parsed tree, and therefore the
+    # hash-oracled values, are identical to the Column-API original.
+    norm_e = _norm_sql("embedding")
+    scores = "array(" + ",".join(
+        f"{_dot_sql('embedding', _arr_sql(vec))} / ({norm_e} * {_dlit(math_norm(vec))})"
+        for _, vec in centroids
+    ) + ")"
     # argmax with ties to the lowest cluster_id (array_position finds the
     # first occurrence of the max — centroid order is ascending id).
-    idx = F.array_position(scores, F.array_max(scores)).cast("int")
-    id_lookup = F.array(*[F.lit(int(c)) for c in ids])
-    return embeddings.withColumn("cluster_id", F.element_at(id_lookup, idx))
+    ids = "array(" + ",".join(str(int(cid)) for cid, _ in centroids) + ")"
+    expr = (
+        f"element_at({ids}, CAST(array_position({scores}, array_max({scores})) AS INT))"
+    )
+    return embeddings.withColumn("cluster_id", F.expr(expr))
 
 
 def math_norm(vec: list[float]) -> float:
