@@ -158,11 +158,14 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35) -> Dat
 
 
 def cosine_near_dup_pairs_lsh(
-    embeddings: DataFrame, threshold: float = 0.35, dim: int = 64, bits: int = 4, seed: int = 42
+    embeddings: DataFrame, threshold: float = 0.35, dim: int = 64, bits: int = 4, seed: int = 42,
+    sort: bool = True,
 ) -> DataFrame:
     """LSH-bucketed near-dup: candidates share a random-hyperplane
     bucket; exact cosine verifies. Sub-quadratic (the bucket join keys
-    the shuffle); recall < 1 by construction — tune bits/multi-probe."""
+    the shuffle); recall < 1 by construction — tune bits/multi-probe.
+    ``sort=False`` skips the presentation-only global sort for internal
+    consumers (CC, recall counting) where order is irrelevant."""
     # both self-join sides read the signature frame — localCheckpoint so
     # the b-bit hyperplane projections run once (GC-reclaimed blocks,
     # not a cache-manager pin)
@@ -172,12 +175,12 @@ def cosine_near_dup_pairs_lsh(
     b = sigs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
                     _norm(F.col("embedding")).alias("nb"), F.col("bucket").alias("bb"))
     score = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
+    out = (
         a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b", score.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
-        .orderBy("id_a", "id_b")
     )
+    return out.orderBy("id_a", "id_b") if sort else out
 
 
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
@@ -541,7 +544,7 @@ def embedding_dedup_keepers(
     from sqlstreamstore_spark.analytics.dedup import connected_components
 
     pairs = cosine_near_dup_pairs_lsh(
-        embeddings, threshold, dim=dim, bits=bits, seed=seed
+        embeddings, threshold, dim=dim, bits=bits, seed=seed, sort=False
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     comp = connected_components(pairs)
     labels = comp.select(
@@ -571,7 +574,7 @@ def embedding_lsh_recall(
         .localCheckpoint()
     )
     lsh = (
-        cosine_near_dup_pairs_lsh(embeddings, threshold, dim=dim, bits=bits, seed=seed)
+        cosine_near_dup_pairs_lsh(embeddings, threshold, dim=dim, bits=bits, seed=seed, sort=False)
         .select("id_a", "id_b")
         .localCheckpoint()
     )

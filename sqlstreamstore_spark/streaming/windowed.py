@@ -185,3 +185,80 @@ def stateful_running_totals(events: DataFrame, idle_timeout_ms: int | None = Non
             timeoutConf=timeout,
         )
     )
+
+
+STREAM_HEADS_SCHEMA = T.StructType(
+    [
+        T.StructField("stream_id", T.StringType(), False),
+        T.StructField("head_version", T.LongType(), False),
+        T.StructField("head_position", T.LongType(), False),
+        T.StructField("message_count", T.LongType(), False),
+    ]
+)
+
+
+def stateful_stream_heads(log: DataFrame) -> DataFrame:
+    """Live per-stream head tracking via ``transformWithStateInPandas``
+    (the Spark 4.x arbitrary-state API — typed ValueState instead of
+    applyInPandasWithState's row-tuple blob): the streaming twin of the
+    ``streams`` materialized aggregate (analytics/events.py,
+    reference `src/SqlStreamStore.MsSql/ScriptsV3/Tables.sql` streams
+    table). Each micro-batch updates (head_version, head_position,
+    message_count) per stream and emits the new head — exactly what a
+    subscription dashboard or a caught-up detector polls.
+
+    State is one 3-long struct per stream — O(distinct streams),
+    hash-partitioned by stream_id across executors; at 100 TB the state
+    store scales horizontally and per-key updates stay local.
+
+    Runtime requirements (honest env note): transformWithState needs
+    the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) and the ``protobuf`` package
+    in the Python workers. This sandbox lacks protobuf, so the
+    end-to-end test auto-skips there; ``stateful_running_totals`` above
+    is the applyInPandasWithState twin that runs everywhere."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class HeadsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._head = handle.getValueState(
+                "head", "head_version long, head_position long, message_count long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            ver, pos, n = (
+                self._head.get() if self._head.exists() else (-1, -1, 0)
+            )
+            for pdf in rows:
+                ver = max(ver, int(pdf["stream_version"].max()))
+                pos = max(pos, int(pdf["position"].max()))
+                n += len(pdf)
+            self._head.update((ver, pos, n))
+            yield pd.DataFrame(
+                {
+                    "stream_id": [key[0]],
+                    "head_version": [ver],
+                    "head_position": [pos],
+                    "message_count": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        log.select("stream_id", "stream_version", "position")
+        .groupBy("stream_id")
+        .transformWithStateInPandas(
+            statefulProcessor=HeadsProcessor(),
+            outputStructType=STREAM_HEADS_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )

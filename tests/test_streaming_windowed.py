@@ -235,3 +235,75 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     w0 = dt.datetime(2024, 1, 1, 0, 0)
     closed = {r[0]: (r[3], r[4]) for r in emitted}
     assert closed[w0] == (1, 1.0)  # late row (would be 2, 10.0) dropped
+
+
+def test_stateful_stream_heads_transform_with_state(spark):
+    """transformWithStateInPandas head tracking: stream a log-shaped
+    parquet dir, final emitted head per stream equals the batch
+    max(version)/max(position)/count — the `streams` view twin.
+    Requires RocksDB state store + protobuf in the Python workers;
+    skips where the environment lacks them (this sandbox has no
+    protobuf — the operator is still exercised for plan construction)."""
+    import shutil
+    import tempfile
+
+    pytest.importorskip("google.protobuf", reason="transformWithState worker needs protobuf")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    log = (
+        spark.range(120)
+        .select(
+            F.concat(F.lit("s-"), (F.col("id") % 5).cast("string")).alias("stream_id"),
+            (F.col("id") / 5).cast("long").alias("stream_version"),
+            F.col("id").alias("position"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="sssheads_")
+    try:
+        log.coalesce(2).write.mode("overwrite").parquet(d)
+        stream = windowed.stateful_stream_heads(
+            spark.readStream.schema(
+                "stream_id string, stream_version long, position long"
+            ).parquet(d)
+        )
+        name = f"heads_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.writeStream.format("memory").queryName(name)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        batch = {
+            r.stream_id: (r.v, r.p, r.n)
+            for r in spark.read.parquet(d)
+            .groupBy("stream_id")
+            .agg(F.max("stream_version").alias("v"), F.max("position").alias("p"),
+                 F.count("*").alias("n"))
+            .collect()
+        }
+        got: dict = {}
+        for r in spark.sql(f"SELECT * FROM {name}").collect():
+            # keep the latest emission per stream (monotone message_count)
+            if r.stream_id not in got or r.message_count > got[r.stream_id][2]:
+                got[r.stream_id] = (r.head_version, r.head_position, r.message_count)
+        assert got == batch
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_stream_heads_plan_constructs(spark):
+    """Even without the runtime deps, the transformWithState plan must
+    analyze: correct output schema and a streaming logical plan node."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sssheadsplan_")
+    sdf = (
+        spark.readStream.schema("stream_id string, stream_version long, position long")
+        .parquet(d)
+    )
+    out = windowed.stateful_stream_heads(sdf)
+    assert [f.name for f in out.schema.fields] == [
+        "stream_id", "head_version", "head_position", "message_count"]
+    assert out.isStreaming
