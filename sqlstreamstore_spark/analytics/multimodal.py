@@ -4,11 +4,13 @@ columns with typed metadata, processed via Arrow-batched Pandas UDFs.
 The Spark-side plumbing (schema, partitioning, mapInPandas batch shape,
 UDF signatures) is real and tested. Decoding is REAL for PNG (zlib
 inflate + full scanline de-filtering incl. Paeth), BMP (24-bit BI_RGB),
-WAV (PCM via ``wave``) and baseline JPEG (own Huffman+IDCT codec in
-``analytics/jpeg.py`` — no external libs), including real
-nearest-neighbor resize with re-encode in the source format. Only
-video (MP4/H.264) still goes through the deterministic FAKEMEDIA stub
-header; swap in pyav in production — the dataflow does not change.
+GIF (own LZW, ``analytics/gif.py``), baseline JPEG (own Huffman+IDCT
+codec, ``analytics/jpeg.py``), WAV (PCM via ``wave``) and MJPEG-AVI
+video (``analytics/avi.py``) — no external libs — including real
+nearest-neighbor resize with re-encode in the source format and real
+sampled-frame extraction. Only MP4/H.264 still goes through the
+deterministic FAKEMEDIA stub header; swap in pyav in production — the
+dataflow does not change.
 
 Scale design: media bytes never pass through the driver; rows flow
 partition-by-partition through mapInPandas with a bounded Arrow batch
@@ -91,18 +93,19 @@ def _synth_wav(i: int, duration_ms: int, rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
-#: image rows cycle through the three real codecs
-_IMG_FORMATS = ("png", "jpeg", "bmp")
+#: image rows cycle through the four real codecs
+_IMG_FORMATS = ("png", "jpeg", "bmp", "gif")
 
 
 def make_media_payload(i: int, kind: str, w: int, h: int, d: int) -> tuple[bytes, str, str]:
-    """(payload, mime, codec) for one synthetic media row. REAL bytes for
-    every decodable format — PNG/JPEG/BMP images, PCM WAV audio; video
-    stays the FAKEMEDIA stub (MP4 needs external codecs). Shared by
+    """(payload, mime, codec) for one synthetic media row. REAL bytes
+    for every decodable format — PNG/JPEG/BMP/GIF images, PCM WAV
+    audio, MJPEG-AVI for half the video rows (the rest keep the
+    FAKEMEDIA MP4 stub). Shared by
     ``make_fake_media_df`` and the registry's golden-oracle generator so
     the driver-checked expected values always track the real payloads."""
     if kind == "image":
-        fmt = _IMG_FORMATS[(i // 3) % 3]
+        fmt = _IMG_FORMATS[(i // 3) % len(_IMG_FORMATS)]
         img = _synth_image(i, w, h)
         if fmt == "png":
             return _png_encode(img), "image/png", "png"
@@ -110,6 +113,11 @@ def make_media_payload(i: int, kind: str, w: int, h: int, d: int) -> tuple[bytes
             from sqlstreamstore_spark.analytics.jpeg import jpeg_encode
 
             return jpeg_encode(img, quality=85), "image/jpeg", "jpeg"
+        if fmt == "gif":
+            from sqlstreamstore_spark.analytics.gif import gif_encode
+
+            # posterize to respect the 256-color palette bound
+            return gif_encode((img // 64) * 64), "image/gif", "gif"
         return _bmp_encode(img), "image/bmp", "bmp"
     if kind == "audio":
         return _synth_wav(i, d), "audio/wav", "pcm_s16le"
@@ -348,6 +356,18 @@ def _decode_one(payload: bytes) -> dict:
             "n_bytes": len(p),
             "checksum": int(img.sum()) % 65536,
         }
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        from sqlstreamstore_spark.analytics.gif import gif_decode
+
+        img = gif_decode(p)  # (h, w, 4) RGBA
+        return {
+            "decoded_kind": "image",
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+            "duration_ms": None,
+            "n_bytes": len(p),
+            "checksum": int(img.sum()) % 65536,
+        }
     if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
         from sqlstreamstore_spark.analytics.avi import avi_frame_jpegs, avi_info
         from sqlstreamstore_spark.analytics.jpeg import jpeg_decode
@@ -433,6 +453,14 @@ def _resize_payload(mid: int, p: bytes, width: int, height: int) -> bytes:
         from sqlstreamstore_spark.analytics.jpeg import jpeg_decode, jpeg_encode
 
         return jpeg_encode(_nearest_resize(jpeg_decode(p), width, height), quality=85)
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        from sqlstreamstore_spark.analytics.gif import gif_decode, gif_encode
+
+        # palette formats re-encode from the RGB planes (nearest-neighbor
+        # adds no new colors, so the palette bound still holds);
+        # GCE transparency doesn't survive a resize — curation pipelines
+        # flatten alpha anyway
+        return gif_encode(_nearest_resize(gif_decode(p)[:, :, :3], width, height))
     raise NotImplementedError("resize: unsupported image format")
 
 
