@@ -716,3 +716,108 @@ def payload_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, PAYLOAD_STATS_SCHEMA)
+
+
+# ------------------------------------------------------------ image dedup
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ahash", T.LongType(), False),
+    ]
+)
+
+
+def _image_pixels(p: bytes):
+    """Decode any supported image payload to an RGB(A) uint8 array."""
+    if p[:2] == b"BM":
+        return _bmp_pixels(p)
+    if p[:8] == _PNG_SIG:
+        return _png_pixels(p)
+    if p[:2] == b"\xff\xd8":
+        from sqlstreamstore_spark.analytics.jpeg import jpeg_decode
+
+        return jpeg_decode(p)
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        from sqlstreamstore_spark.analytics.gif import gif_decode
+
+        return gif_decode(p)[:, :, :3]
+    raise NotImplementedError("image hash: unsupported image format")
+
+
+def _ahash_one(p: bytes) -> int:
+    """64-bit average-hash over the DECODED pixels: grayscale (channel
+    mean), nearest-resize to 8x8, threshold at the mean — the classic
+    aHash. Codec-invariant by construction: a PNG and a JPEG of the
+    same picture land within a few Hamming bits, which is exactly what
+    near-dup detection wants (byte-level md5 can never see that).
+    Row-major bit order, bit63 = pixel (0,0); returned as SIGNED int64
+    (Spark LongType twos-complement)."""
+    import numpy as np
+
+    img = _image_pixels(bytes(p))
+    gray = img.astype(np.float64).mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
+    small = _nearest_resize(gray[:, :, None], 8, 8)[:, :, 0]
+    bits = (small > small.mean()).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return int(np.int64(np.uint64(v)))  # wrap to signed
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual hash per image row (mapInPandas; payload dies inside
+    the operator — only an 8-byte hash shuffles, the property that
+    makes image dedup tractable at 100 TB)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": [_ahash_one(p) for p in pdf["payload"]],
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, AHASH_SCHEMA)
+    )
+
+
+def image_near_dup_pairs(media: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance,
+    quarter-banded like SimHash (dedup.py): candidates are pairs
+    sharing at least one identical 16-bit band of the 64-bit hash, so
+    generation is a band equi-join — never an all-pairs scan — and the
+    exact ``bit_count(xor)`` filter runs on candidates only. Pigeonhole
+    guarantee: ≤3 differing bits can touch at most 3 of the 4 bands, so
+    recall is exact for max_hamming ≤ 3 (the classic SimHash block
+    scheme); beyond that the band join is probabilistic recall, like
+    every LSH — add banding rotations for higher guaranteed radii."""
+    hashes = image_ahash(media).localCheckpoint()  # tiny: (id, int64)
+    bands = hashes.select(
+        "media_id",
+        F.col("ahash"),
+        F.posexplode(
+            F.array(*[
+                F.shiftright("ahash", s).bitwiseAND(F.lit(0xFFFF).cast("long")).alias(f"b{i}")
+                for i, s in enumerate((0, 16, 32, 48))
+            ])
+        ).alias("band_id", "band_val"),
+    )
+    a = bands.select(
+        F.col("media_id").alias("id_a"), F.col("ahash").alias("ha"),
+        "band_id", "band_val")
+    b = bands.select(
+        F.col("media_id").alias("id_b"), F.col("ahash").alias("hb"),
+        "band_id", "band_val")
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

@@ -1024,8 +1024,55 @@ def _multimodal_golden_sqls() -> tuple[str, str, str]:
     return decode_sql, frame_sql, resize_sql, extract_sql, audio_sql
 
 
+def _multimodal_phash_golden_sqls(max_hamming: int = 16) -> tuple[str, str]:
+    """Golden oracles for the perceptual-hash pair: per-image aHash and
+    the banded near-dup pairs, recomputed driver-side with the same
+    pure functions (incl. the band-candidate semantics — golden matches
+    the operator's recall, not an idealized all-pairs scan)."""
+    from sqlstreamstore_spark.analytics.multimodal import (
+        _ahash_one,
+        make_media_payload,
+    )
+
+    hashes: dict[int, int] = {}
+    for i in range(100):
+        if i % 3 == 0:
+            w, h, d = (64 + i % 32, 48 + i % 24, 1000 + i * 10)
+            payload, _m, _c = make_media_payload(i, "image", w, h, d)
+            hashes[i] = _ahash_one(payload)
+    hash_rows = [f"({i}, {v})" for i, v in sorted(hashes.items())]
+
+    def bands(v: int) -> list[int]:
+        u = v & 0xFFFFFFFFFFFFFFFF
+        return [(u >> s) & 0xFFFF for s in (0, 16, 32, 48)]
+
+    pair_rows = []
+    ids = sorted(hashes)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if not any(p == q for p, q in zip(bands(hashes[a]), bands(hashes[b]))):
+                continue  # not band-candidates — the operator never sees them
+            ham = bin((hashes[a] ^ hashes[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if ham <= max_hamming:
+                pair_rows.append(f"({a}, {b}, {ham})")
+    hash_sql = (
+        "SELECT * FROM (VALUES\n" + ",\n".join(hash_rows)
+        + ") AS t(media_id, ahash)\nORDER BY media_id"
+    )
+    pair_sql = (
+        "SELECT * FROM (VALUES\n" + ",\n".join(pair_rows)
+        + ") AS t(id_a, id_b, hamming)\nORDER BY id_a, id_b"
+        if pair_rows
+        else "SELECT CAST(NULL AS BIGINT) id_a, CAST(NULL AS BIGINT) id_b, "
+             "CAST(NULL AS INT) hamming WHERE FALSE"
+    )
+    return hash_sql, pair_sql
+
+
 (_MM_DECODE_SQL, _MM_FRAMES_SQL, _MM_RESIZE_SQL, _MM_EXTRACT_SQL,
  _MM_AUDIO_SQL) = _multimodal_golden_sqls()
+_MM_AHASH_SQL, _MM_PHASH_PAIRS_SQL = _multimodal_phash_golden_sqls()
 
 
 def _minhash_ctes(k: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
@@ -2025,6 +2072,21 @@ def analytics_queries():
                 multimodal.make_fake_media_df(s, 100)
             ).orderBy("media_id"),
             _MM_AUDIO_SQL,
+        ),
+        "multimodal_image_ahash": (
+            # 64-bit perceptual hash over DECODED pixels (codec-invariant
+            # image fingerprint; only 8 bytes/row ever shuffle)
+            lambda s, sf: multimodal.image_ahash(
+                multimodal.make_fake_media_df(s, 100)
+            ).orderBy("media_id"),
+            _MM_AHASH_SQL,
+        ),
+        "multimodal_image_near_dup": (
+            # banded Hamming near-dup pairs over the perceptual hashes
+            lambda s, sf: multimodal.image_near_dup_pairs(
+                multimodal.make_fake_media_df(s, 100), max_hamming=16
+            ),
+            _MM_PHASH_PAIRS_SQL,
         ),
         "multimodal_extract_frames": (
             # REAL video frame extraction: MJPEG-AVI rows random-access

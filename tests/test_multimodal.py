@@ -384,3 +384,31 @@ def test_real_gif_roundtrip_and_decode(spark):
     order = [0] + [4] + [2, 6] + [1, 3, 5]
     shuffled = idx[order]
     assert (_deinterlace(shuffled) == idx).all()
+
+
+def test_image_perceptual_hash_dedup(spark):
+    """aHash is codec-invariant: the same picture encoded as PNG, JPEG
+    and BMP lands within Hamming ≤ 3 (the banding-guaranteed radius),
+    so image_near_dup_pairs finds all three pairs via the band join —
+    while a genuinely different image pairs with none of them."""
+    from sqlstreamstore_spark.analytics.jpeg import jpeg_encode
+
+    img = mm._synth_image(42, 64, 48)
+    other = mm._synth_image(7, 64, 48)[::-1, ::-1]  # different content
+    rows = [
+        (0, "image", "image/png", mm._png_encode(img), (64, 48, None, "png")),
+        (1, "image", "image/jpeg", jpeg_encode(img, 85), (64, 48, None, "jpeg")),
+        (2, "image", "image/bmp", mm._bmp_encode(img), (64, 48, None, "bmp")),
+        (3, "image", "image/png", mm._png_encode(other), (64, 48, None, "png")),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    hashes = {r.media_id: r.ahash for r in mm.image_ahash(media).collect()}
+    assert len(hashes) == 4
+    # driver twin agrees with the distributed path
+    assert hashes[0] == mm._ahash_one(rows[0][3])
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in mm.image_near_dup_pairs(media, max_hamming=3).collect()}
+    assert set(pairs) == {(0, 1), (0, 2), (1, 2)}
+    assert all(h <= 3 for h in pairs.values())
+    # exact-format duplicates have identical hashes → hamming 0
+    assert pairs[(0, 2)] == 0  # PNG and BMP decode to identical pixels
