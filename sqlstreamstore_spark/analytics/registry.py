@@ -943,6 +943,12 @@ def _sim_topk_pq_static_query(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk_pq_static(emb, [float(x) for x in qvec], k=10)
 
 
+def _bpe_stats_query(spark: SparkSession, sf: str) -> DataFrame:
+    from sqlstreamstore_spark.analytics.bpe import bpe_corpus_stats
+
+    return bpe_corpus_stats(_t(spark, sf, "documents"), n_merges=60, sample_docs=64)
+
+
 def _multimodal_golden_sqls() -> tuple[str, str, str]:
     """Golden-VALUES oracles for the media pipeline: the synthetic
     payloads are deterministic REAL media (PNG/JPEG/BMP/WAV via
@@ -2038,6 +2044,20 @@ def analytics_queries():
         "text_regex_tokens": (
             lambda s, sf: text.regex_token_count(_t(s, sf, "documents")),
             _REGEX_TOKENS_SQL,
+        ),
+        # real BPE tokenizer: sample-trained driver-side (the standard
+        # single-node trainer shape), applied distributed; iterative
+        # merge training isn't SQL-expressible ⇒ rows-only, pinned by
+        # tests/test_bpe.py differential vs the pure-Python twin
+        "text_bpe_stats": (
+            lambda s, sf: _bpe_stats_query(s, sf),
+            None,
+        ),
+        # zlib compression-ratio quality signal (rows-only: no zlib in
+        # SQL; invariants pinned by tests/test_text_extras.py)
+        "text_compression_signals": (
+            lambda s, sf: text.compression_signals(_t(s, sf, "documents")),
+            None,
         ),
         # multimodal (synthetic payloads; Spark-side plumbing is the
         # subject — rows-only check, pinned by tests/test_multimodal.py)

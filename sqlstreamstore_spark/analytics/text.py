@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: Tiny English function-word set for the n-gram-free language heuristic
 #: and the stopword-ratio quality feature.
@@ -279,4 +280,54 @@ def scrub_redact(
         n_redacted.alias("n_redacted"),
         F.md5(scrubbed).alias("scrubbed_md5"),
         F.length(scrubbed).cast("long").alias("scrubbed_len"),
+    )
+
+
+COMPRESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("n_compressed", T.IntegerType(), False),
+        T.StructField("compression_ratio", T.DoubleType(), False),
+    ]
+)
+
+
+def compression_signals(documents: DataFrame, level: int = 6) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap quality
+    signal (highly repetitive / templated / boilerplate text compresses
+    far below natural prose; near-random text barely compresses). Used
+    alongside repetition_signals for Gopher-style filtering cuts.
+
+    mapInPandas because zlib lives Python-side; the text dies inside
+    the operator, only three numbers per document shuffle. Rows-only in
+    the gate (DuckDB has no zlib) — invariants pinned by pytest."""
+    import zlib
+
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    def run(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = (t or "").encode("utf-8")
+                comp = zlib.compress(raw, level)
+                rows.append(
+                    (
+                        int(did),
+                        len(raw),
+                        len(comp),
+                        (len(comp) / len(raw)) if raw else 1.0,
+                    )
+                )
+            yield _pd.DataFrame(
+                rows, columns=[f.name for f in COMPRESSION_SCHEMA.fields]
+            )
+
+    return (
+        documents.select("doc_id", "text")
+        .mapInPandas(run, COMPRESSION_SCHEMA)
+        .orderBy("doc_id")
     )
