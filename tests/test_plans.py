@@ -333,3 +333,16 @@ def test_pq_topk_narrow_encode_then_topk(spark):
     assert "TakeOrderedAndProject" in p
     assert "Join" not in p
     assert "HashAggregate" not in p
+
+
+def test_image_near_dup_band_equi_join(spark):
+    """Perceptual-hash near-dup must candidate via the 16-bit band
+    EQUI-join (shuffle on band values) — never an all-pairs
+    BroadcastNestedLoopJoin — and the Hamming filter must run on
+    candidates, after the join."""
+    from sqlstreamstore_spark.analytics import multimodal as mm
+
+    media = mm.make_fake_media_df(spark, 30)
+    p = plan_of(mm.image_near_dup_pairs(media, max_hamming=3))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
