@@ -821,3 +821,111 @@ def image_near_dup_pairs(media: DataFrame, max_hamming: int = 10) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
+
+
+def _video_frame_hashes_one(mid: int, p: bytes, every_ms: int) -> list[tuple[int, int, int]]:
+    """(media_id, frame_ts_ms, ahash) rows for one video payload —
+    MJPEG-AVI decodes the sampled frames for real; FAKEMEDIA rows hash
+    their deterministic stub header per frame index. Shared by the
+    operator and the registry's golden generator."""
+    import numpy as np
+
+    out: list[tuple[int, int, int]] = []
+    if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+        from sqlstreamstore_spark.analytics.avi import avi_info
+        from sqlstreamstore_spark.analytics.jpeg import jpeg_decode
+
+        info = avi_info(p)
+        ms_per_frame = 1000.0 / info["fps"]
+        for ts in range(0, max(info["duration_ms"], 0), every_ms):
+            idx = min(int(ts / ms_per_frame), info["n_frames"] - 1)
+            off, ln = info["frames"][idx]
+            img = jpeg_decode(p[off : off + ln])
+            gray = img.astype(np.float64).mean(axis=2)
+            small = _nearest_resize(gray[:, :, None], 8, 8)[:, :, 0]
+            bits = (small > small.mean()).flatten()
+            v = 0
+            for b in bits:
+                v = (v << 1) | int(b)
+            out.append((mid, ts, int(np.int64(np.uint64(v)))))
+        return out
+    if p.startswith(_MAGIC):
+        kind_b, w, h, d = struct.unpack_from("<BIII", p, len(_MAGIC))
+        base = sum(p[len(_MAGIC) + 13 :]) % (1 << 62)
+        for i, ts in enumerate(range(0, d, every_ms)):
+            out.append((mid, ts, (base * 31 + i) % (1 << 62)))
+        return out
+    raise NotImplementedError("video frame hash: MJPEG-AVI or FAKEMEDIA only")
+
+
+def video_frame_ahashes(media: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Per-sampled-frame perceptual hash for video rows. Output:
+    (media_id, frame_ts_ms, ahash) — the narrow frame-fingerprint
+    table video dedup joins on."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple[int, int, int]] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rows.extend(_video_frame_hashes_one(int(mid), bytes(p), every_ms))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_ts_ms", "ahash"])
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(
+            run,
+            T.StructType([
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("frame_ts_ms", T.IntegerType(), False),
+                T.StructField("ahash", T.LongType(), False),
+            ]),
+        )
+    )
+
+
+def video_near_dup_pairs(
+    media: DataFrame, every_ms: int = 500, max_hamming: int = 3, min_shared_frames: int = 2
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs: two videos are near-dups when at
+    least ``min_shared_frames`` of their sampled frames are perceptual
+    near-dups (banded Hamming, like image_near_dup_pairs). The frame
+    band equi-join keys the shuffle — an all-pairs video comparison
+    never happens — and only (id, ts, 8-byte hash) rows move.
+
+    Output: (id_a, id_b, n_shared_frames, min_hamming)."""
+    hashes = video_frame_ahashes(media, every_ms).localCheckpoint()
+    bands = hashes.select(
+        "media_id", "frame_ts_ms", "ahash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright("ahash", s).bitwiseAND(F.lit(0xFFFF).cast("long"))
+                for s in (0, 16, 32, 48)
+            ])
+        ).alias("band_id", "band_val"),
+    )
+    a = bands.select(F.col("media_id").alias("id_a"), F.col("frame_ts_ms").alias("ts_a"),
+                     F.col("ahash").alias("ha"), "band_id", "band_val")
+    b = bands.select(F.col("media_id").alias("id_b"), F.col("frame_ts_ms").alias("ts_b"),
+                     F.col("ahash").alias("hb"), "band_id", "band_val")
+    frame_pairs = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # distinct over the FRAME pair (not the hash pair): several
+        # frames matching at the same hash are several shared frames
+        .select(
+            "id_a", "id_b", "ts_a", "ts_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return (
+        frame_pairs.groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("n_shared_frames"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .filter(F.col("n_shared_frames") >= min_shared_frames)
+        .orderBy("id_a", "id_b")
+    )

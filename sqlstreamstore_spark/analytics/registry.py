@@ -1076,9 +1076,59 @@ def _multimodal_phash_golden_sqls(max_hamming: int = 16) -> tuple[str, str]:
     return hash_sql, pair_sql
 
 
+def _multimodal_video_dedup_golden_sql(
+    every_ms: int = 500, max_hamming: int = 3, min_shared_frames: int = 2
+) -> str:
+    """Golden oracle for video near-dup: same frame hashes, same band
+    candidacy, same frame-pair distinct + per-video-pair aggregate,
+    recomputed driver-side."""
+    from sqlstreamstore_spark.analytics.multimodal import (
+        _video_frame_hashes_one,
+        make_media_payload,
+    )
+
+    frames: list[tuple[int, int, int]] = []
+    for i in range(100):
+        if i % 3 == 2:
+            w, h, d = (64 + i % 32, 48 + i % 24, 1000 + i * 10)
+            payload, _m, _c = make_media_payload(i, "video", w, h, d)
+            frames.extend(_video_frame_hashes_one(i, payload, every_ms))
+
+    def bands(v: int) -> list[int]:
+        u = v & 0xFFFFFFFFFFFFFFFF
+        return [(u >> s) & 0xFFFF for s in (0, 16, 32, 48)]
+
+    agg: dict[tuple[int, int], tuple[int, int]] = {}
+    for x in range(len(frames)):
+        for y in range(x + 1, len(frames)):
+            a, ta, ha = frames[x]
+            b, tb, hb = frames[y]
+            if a == b:
+                continue
+            if a > b:
+                a, b, ta, tb, ha, hb = b, a, tb, ta, hb, ha
+            if not any(p == q for p, q in zip(bands(ha), bands(hb))):
+                continue
+            ham = bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if ham > max_hamming:
+                continue
+            n, mn = agg.get((a, b), (0, 64))
+            agg[(a, b)] = (n + 1, min(mn, ham))
+    rows = [
+        f"({a}, {b}, {n}, {mn})"
+        for (a, b), (n, mn) in sorted(agg.items())
+        if n >= min_shared_frames
+    ]
+    return (
+        "SELECT * FROM (VALUES\n" + ",\n".join(rows)
+        + ") AS t(id_a, id_b, n_shared_frames, min_hamming)\nORDER BY id_a, id_b"
+    )
+
+
 (_MM_DECODE_SQL, _MM_FRAMES_SQL, _MM_RESIZE_SQL, _MM_EXTRACT_SQL,
  _MM_AUDIO_SQL) = _multimodal_golden_sqls()
 _MM_AHASH_SQL, _MM_PHASH_PAIRS_SQL = _multimodal_phash_golden_sqls()
+_MM_VIDEO_DEDUP_SQL = _multimodal_video_dedup_golden_sql()
 
 
 def _minhash_ctes(k: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
@@ -2107,6 +2157,14 @@ def analytics_queries():
                 multimodal.make_fake_media_df(s, 100), max_hamming=16
             ),
             _MM_PHASH_PAIRS_SQL,
+        ),
+        "multimodal_video_near_dup": (
+            # video dedup: per-frame perceptual hashes, banded frame
+            # match, >=2 shared frames per video pair
+            lambda s, sf: multimodal.video_near_dup_pairs(
+                multimodal.make_fake_media_df(s, 100), 500, 3, 2
+            ),
+            _MM_VIDEO_DEDUP_SQL,
         ),
         "multimodal_extract_frames": (
             # REAL video frame extraction: MJPEG-AVI rows random-access

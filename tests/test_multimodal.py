@@ -412,3 +412,26 @@ def test_image_perceptual_hash_dedup(spark):
     assert all(h <= 3 for h in pairs.values())
     # exact-format duplicates have identical hashes → hamming 0
     assert pairs[(0, 2)] == 0  # PNG and BMP decode to identical pixels
+
+
+def test_video_near_dup_detects_shared_frames(spark):
+    """Two MJPEG videos sharing >=2 frames pair up; an unrelated video
+    pairs with nothing (banded frame match, exact Hamming verify)."""
+    from sqlstreamstore_spark.analytics.avi import avi_encode
+
+    f = [mm._synth_image(i, 32, 24) for i in range(8)]
+    v0 = avi_encode([f[0], f[1], f[2], f[3]], fps=2)       # 2000 ms
+    v1 = avi_encode([f[2], f[3], f[4], f[5]], fps=2)       # shares f2,f3
+    v2 = avi_encode([f[6], f[7], f[6], f[7]], fps=2)       # unrelated
+    rows = [
+        (0, "video", "video/x-msvideo", v0, (None, None, 2000, "mjpeg")),
+        (1, "video", "video/x-msvideo", v1, (None, None, 2000, "mjpeg")),
+        (2, "video", "video/x-msvideo", v2, (None, None, 2000, "mjpeg")),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {(r.id_a, r.id_b): (r.n_shared_frames, r.min_hamming)
+           for r in mm.video_near_dup_pairs(media, every_ms=500, max_hamming=3,
+                                            min_shared_frames=2).collect()}
+    assert (0, 1) in got
+    assert got[(0, 1)][1] == 0  # identical frames -> hamming 0
+    assert all(2 not in k for k in got), got
