@@ -1,0 +1,76 @@
+"""End-to-end LLM-training-data pipeline demo over the extended surface.
+
+    python examples/media_pipeline.py
+
+Composes the operators a 100 TB curation run chains together, on the
+driver fixtures (sf0.001 by default):
+
+TEXT:   clean corpus → BPE fertility stats → compression-ratio cuts →
+        chunk → pack into fixed token budgets
+MEDIA:  synthetic real-media table (PNG/JPEG/GIF/BMP/WAV/MJPEG-AVI) →
+        decode features → perceptual-hash image dedup → video near-dup →
+        audio DSP features → sampled-frame extraction
+VECTOR: embeddings → LSH near-dup keepers → IVF-PQ deployed index →
+        pruned ANN query
+
+Every stage is the same operator the correctness gate hash-checks; this
+file only wires them together.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    from sqlstreamstore_spark.analytics import bpe, multimodal, pipeline, similarity, text
+    from sqlstreamstore_spark.session import get_spark
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="media-pipeline-demo")
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    print("== TEXT ==")
+    clean = pipeline.clean_corpus(docs)
+    print("clean corpus rows:", clean.count())
+    fert = bpe.bpe_corpus_stats(docs, n_merges=60, sample_docs=64)
+    fert.select("doc_id", "n_tokens", "tokens_per_word").show(3)
+    comp = text.compression_signals(docs)
+    print("most compressible (most templated) docs:")
+    comp.orderBy("compression_ratio").select("doc_id", "compression_ratio").show(3)
+
+    print("== MEDIA ==")
+    media = multimodal.make_fake_media_df(spark, 60)
+    multimodal.decode_features(media).groupBy("decoded_kind").count().show()
+    dups = multimodal.image_near_dup_pairs(media, max_hamming=16)
+    print("image near-dup pairs:", dups.count())
+    vdups = multimodal.video_near_dup_pairs(media)
+    print("video near-dup pairs:", vdups.count())
+    multimodal.audio_features(media).select(
+        "media_id", "duration_ms", "dominant_freq_hz"
+    ).show(3)
+    frames = multimodal.extract_video_frames(media, every_ms=500)
+    print("extracted (real-decoded) frames:", frames.count())
+
+    print("== VECTORS ==")
+    keepers = similarity.embedding_dedup_keepers(emb)
+    n_dropped = keepers.filter("vec_id != keeper").count()
+    print("semantic near-dup vectors dropped:", n_dropped)
+    qvec = [float(x) for x in emb.limit(1).collect()[0].embedding]
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ivfpq")
+        cents, cbs = similarity.build_ivfpq_index(emb, path, n_clusters=8, iters=1)
+        top = similarity.cosine_topk_ivfpq(spark, path, qvec, cents, cbs, k=5)
+        print("IVF-PQ pruned ANN top-5 (partition-pruned scan, codes-only ADC):")
+        top.show()
+
+
+if __name__ == "__main__":
+    main()
