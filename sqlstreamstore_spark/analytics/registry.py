@@ -943,6 +943,13 @@ def _sim_topk_pq_static_query(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk_pq_static(emb, [float(x) for x in qvec], k=10)
 
 
+def _pagerank_query(spark: SparkSession, sf: str) -> DataFrame:
+    from sqlstreamstore_spark.analytics.graph import customer_supplier_edges, pagerank
+
+    edges = customer_supplier_edges(_t(spark, sf, "orders"), _t(spark, sf, "lineitem"))
+    return pagerank(edges, iters=3)
+
+
 def _bpe_stats_query(spark: SparkSession, sf: str) -> DataFrame:
     from sqlstreamstore_spark.analytics.bpe import bpe_corpus_stats
 
@@ -1129,6 +1136,10 @@ def _multimodal_video_dedup_golden_sql(
  _MM_AUDIO_SQL) = _multimodal_golden_sqls()
 _MM_AHASH_SQL, _MM_PHASH_PAIRS_SQL = _multimodal_phash_golden_sqls()
 _MM_VIDEO_DEDUP_SQL = _multimodal_video_dedup_golden_sql()
+
+from sqlstreamstore_spark.analytics.graph import pagerank_oracle_sql as _pr_sql
+
+_PAGERANK_SQL = _pr_sql(iters=3)
 
 
 def _minhash_ctes(k: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
@@ -2099,6 +2110,13 @@ def analytics_queries():
         # single-node trainer shape), applied distributed; iterative
         # merge training isn't SQL-expressible ⇒ rows-only, pinned by
         # tests/test_bpe.py differential vs the pure-Python twin
+        # graph: fixed-iteration PageRank over derived customer→supplier
+        # edges; oracled via unrolled CTEs, rounded on both engines
+        # (partial-agg float order — the stats_corr_regr precedent)
+        "graph_pagerank": (
+            lambda s, sf: _pagerank_query(s, sf),
+            _PAGERANK_SQL,
+        ),
         "text_bpe_stats": (
             lambda s, sf: _bpe_stats_query(s, sf),
             None,

@@ -1,0 +1,46 @@
+"""Graph analytics (analytics/graph.py): PageRank invariants on a
+hand-checkable graph + determinism."""
+
+from __future__ import annotations
+
+from sqlstreamstore_spark.analytics.graph import customer_supplier_edges, pagerank
+from sqlstreamstore_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_pagerank_hand_graph(spark):
+    """1→2, 1→3, 2→3: node 3 collects the most mass, node 1 only the
+    teleport term; exact values match the hand-unrolled power method."""
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "src long, dst long")
+    got = {r.node: r.pr for r in pagerank(edges, iters=2, round_digits=9).collect()}
+    n, d = 3, 0.85
+    t = (1 - d) / n
+    # iteration 1 from uniform 1/3
+    pr1 = {1: t, 2: t + d * (1 / 3 / 2), 3: t + d * (1 / 3 / 2 + 1 / 3)}
+    # iteration 2
+    pr2 = {
+        1: t,
+        2: t + d * (pr1[1] / 2),
+        3: t + d * (pr1[1] / 2 + pr1[2]),
+    }
+    for k in (1, 2, 3):
+        assert abs(got[k] - pr2[k]) < 1e-9, (k, got[k], pr2[k])
+    assert got[3] > got[2] > got[1]
+
+
+def test_pagerank_fixture_edges_properties(spark):
+    edges = customer_supplier_edges(
+        load_table(spark, SF_DIR, "orders"), load_table(spark, SF_DIR, "lineitem")
+    )
+    pr = pagerank(edges, iters=3)
+    rows = pr.collect()
+    n = len(rows)
+    assert n == edges.select("src").union(edges.select("dst")).distinct().count()
+    t = 0.15 / n
+    # every score at least the teleport term; total mass <= 1 (dangling leak)
+    assert all(r.pr >= t - 1e-12 for r in rows)
+    assert sum(r.pr for r in rows) <= 1.0 + 1e-6
+    # deterministic across runs
+    again = {r.node: r.pr for r in pagerank(edges, iters=3).collect()}
+    assert {r.node: r.pr for r in rows} == again
