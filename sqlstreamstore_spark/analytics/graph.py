@@ -122,3 +122,53 @@ weighted AS (
         head + body
         + f"\nSELECT node, round(pr, {round_digits}) AS pr FROM {prev} ORDER BY node"
     )
+
+
+def supplier_cooccurrence_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected supplier–supplier edges: two suppliers co-occur when
+    they ship lines of the same order. Normalized to src < dst and
+    deduplicated — per-order pair explosion is bounded by order width
+    (≈7 lines), so the derivation is an equi-self-join on l_orderkey,
+    never a global cross product."""
+    a = lineitem.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sa"))
+    b = lineitem.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sb"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").cast("long").alias("src"), F.col("sb").cast("long").alias("dst"))
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact global triangle count over an undirected edge list
+    (src < dst normalized). The classic ordered two-join formulation:
+    (a,b), (b,c), (a,c) with a < b < c — each triangle counted exactly
+    once, every join an equi-join on node ids (shuffle-keyed; no
+    nested-loop anywhere). Returns one row: (n_triangles,).
+
+    At scale the standard refinement is degree-ordering instead of
+    id-ordering (bounds the join fan-out on hubs by √m); id-ordering
+    keeps the oracle SQL identical on both engines and is exact either
+    way.
+    """
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a2"), F.col("dst").alias("c2"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+
+
+TRIANGLE_ORACLE_SQL = """WITH edges AS (
+  SELECT DISTINCT CAST(a.l_suppkey AS BIGINT) AS src,
+                  CAST(b.l_suppkey AS BIGINT) AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e1.dst = e2.src
+JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""

@@ -943,6 +943,15 @@ def _sim_topk_pq_static_query(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk_pq_static(emb, [float(x) for x in qvec], k=10)
 
 
+def _triangles_query(spark: SparkSession, sf: str) -> DataFrame:
+    from sqlstreamstore_spark.analytics.graph import (
+        supplier_cooccurrence_edges,
+        triangle_count,
+    )
+
+    return triangle_count(supplier_cooccurrence_edges(_t(spark, sf, "lineitem")))
+
+
 def _pagerank_query(spark: SparkSession, sf: str) -> DataFrame:
     from sqlstreamstore_spark.analytics.graph import customer_supplier_edges, pagerank
 
@@ -1137,6 +1146,7 @@ def _multimodal_video_dedup_golden_sql(
 _MM_AHASH_SQL, _MM_PHASH_PAIRS_SQL = _multimodal_phash_golden_sqls()
 _MM_VIDEO_DEDUP_SQL = _multimodal_video_dedup_golden_sql()
 
+from sqlstreamstore_spark.analytics.graph import TRIANGLE_ORACLE_SQL as _TRIANGLE_SQL
 from sqlstreamstore_spark.analytics.graph import pagerank_oracle_sql as _pr_sql
 
 _PAGERANK_SQL = _pr_sql(iters=3)
@@ -2116,6 +2126,12 @@ def analytics_queries():
         "graph_pagerank": (
             lambda s, sf: _pagerank_query(s, sf),
             _PAGERANK_SQL,
+        ),
+        # exact triangle count over the supplier co-occurrence graph —
+        # pure equi-joins, integer result (exact hash compare)
+        "graph_triangles": (
+            lambda s, sf: _triangles_query(s, sf),
+            _TRIANGLE_SQL,
         ),
         "text_bpe_stats": (
             lambda s, sf: _bpe_stats_query(s, sf),

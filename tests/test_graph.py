@@ -44,3 +44,29 @@ def test_pagerank_fixture_edges_properties(spark):
     # deterministic across runs
     again = {r.node: r.pr for r in pagerank(edges, iters=3).collect()}
     assert {r.node: r.pr for r in rows} == again
+
+
+def test_triangle_count_hand_graph(spark):
+    """K4 minus one edge has exactly 2 triangles; adding it back gives 4."""
+    from sqlstreamstore_spark.analytics.graph import triangle_count
+
+    e = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]  # K4 minus (3,4)
+    edges = spark.createDataFrame(e, "src long, dst long")
+    assert triangle_count(edges).collect()[0].n_triangles == 2
+    edges_full = spark.createDataFrame(e + [(3, 4)], "src long, dst long")
+    assert triangle_count(edges_full).collect()[0].n_triangles == 4
+
+
+def test_supplier_cooccurrence_and_triangles(spark):
+    from sqlstreamstore_spark.analytics.graph import (
+        supplier_cooccurrence_edges,
+        triangle_count,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    edges = spark_edges = supplier_cooccurrence_edges(li)
+    rows = edges.collect()
+    assert rows and all(r.src < r.dst for r in rows)
+    assert len(rows) == len(set((r.src, r.dst) for r in rows))  # distinct
+    n = triangle_count(spark_edges).collect()[0].n_triangles
+    assert n >= 0
