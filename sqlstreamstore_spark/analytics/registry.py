@@ -2103,6 +2103,14 @@ def analytics_queries():
             lambda s, sf: relational.approx_order_stats(_t(s, sf, "orders")),
             None,
         ),
+        "stats_window_ranks": (
+            lambda s, sf: relational.window_rank_family(_t(s, sf, "orders")),
+            relational.WINDOW_RANKS_SQL,
+        ),
+        "stats_higher_moments": (
+            lambda s, sf: relational.higher_moments(_t(s, sf, "lineitem")),
+            relational.HIGHER_MOMENTS_SQL,
+        ),
         # text extras
         "text_rolling_hash": (
             lambda s, sf: text.rolling_hash_fingerprint(_t(s, sf, "documents")),

@@ -280,3 +280,72 @@ def orders_by_year_month(orders: DataFrame) -> DataFrame:
         )
         .orderBy("y", "m")
     )
+
+
+def window_rank_family(orders: DataFrame) -> DataFrame:
+    """The remaining rank-family window functions in one query:
+    dense_rank / percent_rank / cume_dist of each order-priority's
+    total revenue within its order-status partition. All three are
+    rational functions of integer rank positions — exact across
+    engines, no rounding needed."""
+    from pyspark.sql import Window
+
+    per = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("rev").desc())
+    return per.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("rev").cast("double").alias("revenue"),
+        F.dense_rank().over(w).alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    ).orderBy("o_orderstatus", "o_orderpriority")
+
+
+WINDOW_RANKS_SQL = """SELECT o_orderstatus, o_orderpriority,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(dense_rank()   OVER w AS INT)    AS drank,
+       percent_rank() OVER w AS prank,
+       cume_dist()    OVER w AS cdist
+FROM (
+  SELECT o_orderstatus, o_orderpriority,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY rev DESC)
+ORDER BY o_orderstatus, o_orderpriority"""
+
+
+def higher_moments(lineitem: DataFrame) -> DataFrame:
+    """Skewness and kurtosis of extended price per return flag —
+    rounded on both engines (the corr_regr float-order precedent).
+    Note: Spark's kurtosis is EXCESS kurtosis (normal = 0), DuckDB's
+    ``kurtosis`` applies a sample bias correction — the oracle uses
+    DuckTB's kurtosis_pop equivalent formula to match Spark's
+    population definition."""
+    x = F.col("l_extendedprice").cast("double")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.skewness(x), 6).alias("skew"),
+            F.round(F.kurtosis(x), 6).alias("kurt"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+HIGHER_MOMENTS_SQL = """SELECT l_returnflag, count(*) AS n,
+  round(
+    (sum(pow(x - ax, 3)) / count(*))
+    / pow(sum(pow(x - ax, 2)) / count(*), 1.5), 6) AS skew,
+  round(
+    (sum(pow(x - ax, 4)) / count(*))
+    / pow(sum(pow(x - ax, 2)) / count(*), 2) - 3, 6) AS kurt
+FROM (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x,
+         avg(CAST(l_extendedprice AS DOUBLE))
+           OVER (PARTITION BY l_returnflag) AS ax
+  FROM lineitem)
+GROUP BY l_returnflag ORDER BY l_returnflag"""
