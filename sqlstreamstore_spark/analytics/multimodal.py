@@ -132,14 +132,21 @@ def make_media_payload(i: int, kind: str, w: int, h: int, d: int) -> tuple[bytes
 
 
 _MEDIA_ROWS_CACHE: dict[int, list] = {}
+_MEDIA_DF_CACHE: dict[tuple[int, int], DataFrame] = {}
 
 
 def make_fake_media_df(spark: SparkSession, n: int = 100) -> DataFrame:
     """Synthesize a deterministic media table with the canonical schema.
-    Payloads are REAL encoded media (PNG/JPEG/BMP/WAV, and MJPEG-AVI
-    for half the video rows); only MP4 keeps the FAKEMEDIA stub header.
-    Rows are memoized per n — several gate queries share the table and
-    the driver-side codec encodes are the dominant build cost."""
+    Payloads are REAL encoded media (PNG/JPEG/BMP/GIF/WAV, and
+    MJPEG-AVI for half the video rows); only MP4 keeps the FAKEMEDIA
+    stub header. Both the rows AND the cached DataFrame are memoized
+    per (session, n): eight gate queries share this table, and the
+    driver-side codec encodes plus the createDataFrame ship were the
+    dominant per-query cost."""
+    key = (id(spark), n)
+    cached = _MEDIA_DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     kinds = ["image", "audio", "video"]
     rows = _MEDIA_ROWS_CACHE.get(n)
     if rows is None:
@@ -164,7 +171,9 @@ def make_fake_media_df(spark: SparkSession, n: int = 100) -> DataFrame:
     # (near-empty) partition in the downstream mapInPandas. Real media
     # tables arrive already partitioned by the source.
     n_parts = max(1, min(spark.sparkContext.defaultParallelism, n // 32 or 1))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(n_parts)
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(n_parts).cache()
+    _MEDIA_DF_CACHE[key] = df
+    return df
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
