@@ -25,6 +25,11 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # local-mode driver == the executor: the 1g default heap is far
+        # too small for 32 concurrent task threads (OOM/GCLocker
+        # failures observed under the full bench). Only takes effect
+        # when THIS process launches the JVM — harmless on attach.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
