@@ -2151,6 +2151,12 @@ def analytics_queries():
             lambda s, sf: text.compression_signals(_t(s, sf, "documents")),
             None,
         ),
+        # Misra-Gries frequent tokens (rows-only: sketch-specific;
+        # bound invariants vs exact groupBy pinned by tests/test_bpe.py)
+        "text_heavy_hitters": (
+            lambda s, sf: text.heavy_hitters(_t(s, sf, "documents")),
+            None,
+        ),
         # multimodal (synthetic payloads; Spark-side plumbing is the
         # subject — rows-only check, pinned by tests/test_multimodal.py)
         "multimodal_payload_stats": (

@@ -331,3 +331,86 @@ def compression_signals(documents: DataFrame, level: int = 6) -> DataFrame:
         .mapInPandas(run, COMPRESSION_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+HEAVY_HITTERS_SCHEMA = T.StructType(
+    [
+        T.StructField("token", T.StringType(), False),
+        T.StructField("approx_count", T.LongType(), False),
+        T.StructField("max_count", T.LongType(), False),
+    ]
+)
+
+
+def heavy_hitters(
+    documents: DataFrame, k: int = 20, capacity: int = 400
+) -> DataFrame:
+    """Approximate top-k frequent tokens via Misra-Gries summaries —
+    the bounded-memory alternative to a full token groupBy when the
+    vocabulary doesn't fit (URLs, n-grams, user-ids at 100 TB).
+
+    Each partition streams its tokens through a ``capacity``-counter
+    Misra-Gries summary (strictly m counters, decrement-on-overflow),
+    emitting ≤ capacity rows; summaries merge by token-sum, which keeps
+    the MG guarantee: true_count − n/capacity ≤ approx ≤ true_count,
+    where n is the total token count. Items with frequency above
+    n/capacity can never be evicted everywhere, so no true heavy
+    hitter is missed. Output: top-k by approx count with the
+    per-token upper bound (approx + Σ per-partition deleted mass).
+
+    Rows-only in the gate (the sketch is engine-specific); the
+    containment + bound invariants vs the exact groupBy are pinned by
+    tests/test_text_extras ``test_heavy_hitters_bounds``."""
+
+    def run(batches):
+        import pandas as _pd
+
+        counters: dict[str, int] = {}
+        deleted = 0
+        for pdf in batches:
+            for text in pdf["text"]:
+                for tok in (text or "").lower().split():
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < capacity:
+                        counters[tok] = 1
+                    else:
+                        # decrement all (the MG step); drop zeros
+                        deleted += 1
+                        dead = []
+                        for t2 in counters:
+                            counters[t2] -= 1
+                            if counters[t2] == 0:
+                                dead.append(t2)
+                        for t2 in dead:
+                            del counters[t2]
+        yield _pd.DataFrame(
+            {
+                "token": list(counters.keys()) + ["\x00deleted"],
+                "approx_count": list(counters.values()) + [deleted],
+                "max_count": [0] * len(counters) + [0],
+            }
+        )
+
+    parts = documents.select("text").mapInPandas(run, HEAVY_HITTERS_SCHEMA)
+    merged = parts.groupBy("token").agg(
+        F.sum("approx_count").alias("approx_count")
+    ).localCheckpoint()
+    # global slack: each decrement step removed one occurrence of EVERY
+    # then-tracked token, so per-token undercount ≤ Σ partition deletes
+    slack = (
+        merged.filter(F.col("token") == "\x00deleted")
+        .select(F.sum("approx_count"))
+        .collect()[0][0]
+        or 0
+    )
+    return (
+        merged.filter(F.col("token") != "\x00deleted")
+        .select(
+            "token",
+            F.col("approx_count").cast("long").alias("approx_count"),
+            (F.col("approx_count") + F.lit(int(slack))).cast("long").alias("max_count"),
+        )
+        .orderBy(F.col("approx_count").desc(), "token")
+        .limit(k)
+    )

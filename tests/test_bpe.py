@@ -77,3 +77,42 @@ def test_compression_signals_invariants(spark):
     for did, t in [(0, rep), (1, noisy)]:
         raw = t.encode()
         assert got[did].n_compressed == len(zlib.compress(raw, 6))
+
+
+def test_heavy_hitters_bounds(spark):
+    """Misra-Gries invariants vs the exact groupBy on the fixture
+    corpus: approx <= exact <= max_count for every reported token, and
+    with capacity >> distinct vocabulary the sketch is EXACT (no
+    decrement ever fires)."""
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.analytics.text import heavy_hitters
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        r.token: r.n
+        for r in docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = heavy_hitters(docs, k=20, capacity=400).collect()
+    assert got
+    for r in got:
+        assert r.approx_count <= exact[r.token] <= r.max_count, (
+            r.token, r.approx_count, exact[r.token], r.max_count)
+    # corpus vocabulary ~31 << 400: exact path, top-20 matches groupBy
+    top_exact = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.token, r.approx_count) for r in got] == top_exact
+
+    # tiny capacity on a skewed stream still finds the dominant token
+    skewed = spark.createDataFrame(
+        [(0, "x " * 500 + "a b c d e f g h i j k l m n o p q r s t u v w")],
+        "doc_id long, text string",
+    )
+    hh = heavy_hitters(skewed, k=3, capacity=4).collect()
+    assert hh[0].token == "x"
+    assert hh[0].approx_count <= 500 <= hh[0].max_count
