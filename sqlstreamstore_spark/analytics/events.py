@@ -135,3 +135,34 @@ def events_per_type_day(events: DataFrame) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-type transition matrix (the Markov/path-analysis
+    shape product analytics runs): LAG the previous event type within
+    each user's time-ordered stream, count (prev → next) bigrams, and
+    report each transition's share of its source state's outgoing
+    edges. One window keyed by user_id (the shuffle key — parallel over
+    users at any scale) + one groupBy."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    w2 = Window.partitionBy("prev_type")
+    return (
+        counts.select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(w2), 6).alias("share"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -317,6 +317,19 @@ SELECT user_id,
 FROM g GROUP BY user_id ORDER BY user_id
 """
 
+_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events),
+counts AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS share
+FROM counts ORDER BY prev_type, next_type
+"""
+
 _EVENTS_DAY_SQL = """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
        count(*) AS n,
@@ -1878,6 +1891,10 @@ def analytics_queries():
             _HOURLY_WINDOWS_SQL,
         ),
         "asof_join_last_order": (_asof_query, _ASOF_SQL),
+        "events_transitions": (
+            lambda s, sf: events.event_transitions(_t(s, sf, "events")),
+            _TRANSITIONS_SQL,
+        ),
         "events_funnel": (
             lambda s, sf: events.funnel_conversion(_t(s, sf, "events")),
             _FUNNEL_SQL,

@@ -298,7 +298,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_image_ahash", "multimodal_image_near_dup",
     "text_bpe_stats", "text_compression_signals", "multimodal_video_near_dup",
     "graph_pagerank", "graph_triangles", "stats_window_ranks",
-    "stats_higher_moments", "text_heavy_hitters",
+    "stats_higher_moments", "text_heavy_hitters", "events_transitions",
     # -- §2-core + regression canaries (the rest were driver-green in
     # r1/r2 and stay pinned by tools/driver_sim.py + pytest) --
     "read_all_forwards", "store_bulk_roundtrip",
