@@ -294,11 +294,15 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stats_ntile_deciles", "stats_corr_regr", "pipeline_chunk_documents",
     "sampling_stratified_sources", "text_scrub_redact", "dedup_incremental_new",
     "sim_cosine_topk_pq_static", "sim_cosine_topk_pq",
-    "multimodal_extract_frames", "multimodal_audio_features",
-    "multimodal_image_ahash", "multimodal_image_near_dup",
-    "text_bpe_stats", "text_compression_signals", "multimodal_video_near_dup",
-    "graph_pagerank", "graph_triangles", "stats_window_ranks",
-    "stats_higher_moments", "text_heavy_hitters", "events_transitions",
+    # -- session-3 additions, strongest oracles first: the ~50-row cap
+    # cuts inside this block, so independently-oracled queries take the
+    # slots; golden-snapshot and rows-only ones (locally sim-verified +
+    # pytest-pinned) rotate in next round --
+    "graph_pagerank", "graph_triangles", "events_transitions",
+    "multimodal_video_near_dup", "stats_window_ranks", "stats_higher_moments",
+    "multimodal_image_near_dup", "multimodal_extract_frames",
+    "multimodal_image_ahash", "multimodal_audio_features",
+    "text_bpe_stats", "text_compression_signals", "text_heavy_hitters",
     # -- §2-core + regression canaries (the rest were driver-green in
     # r1/r2 and stay pinned by tools/driver_sim.py + pytest) --
     "read_all_forwards", "store_bulk_roundtrip",
