@@ -203,3 +203,63 @@ SELECT CAST(count(*) AS BIGINT) AS n_triangles
 FROM edges e1
 JOIN edges e2 ON e1.dst = e2.src
 JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+
+
+def bfs_distances(edges: DataFrame, source: int, max_depth: int = 3) -> DataFrame:
+    """Breadth-first shortest hop distance from ``source`` over an
+    undirected edge list (src < dst normalized), up to ``max_depth``
+    hops. Classic frontier expansion: each level is one equi-join of
+    the frontier against the (symmetrized) adjacency, anti-joined
+    against the visited set — shuffles keyed by node id, lineage cut
+    per level with localCheckpoint. Output: (node, dist), integer-exact
+    across engines (oracled via unrolled per-level CTEs)."""
+    sym = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(source, 0)], "node long, dist int").localCheckpoint()
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            sym.join(frontier, sym.u == frontier.node)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(d))
+            .localCheckpoint()
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.orderBy("node")
+
+
+def bfs_oracle_sql(source_expr: str, max_depth: int = 3) -> str:
+    """Unrolled-CTE DuckDB twin over the thresholded supplier
+    co-occurrence graph; ``source_expr`` is a scalar SQL expression for
+    the source node (e.g. ``(SELECT min(...) ...)``)."""
+    head = f"""WITH edges AS (
+  SELECT CAST(a.l_suppkey AS BIGINT) AS src,
+         CAST(b.l_suppkey AS BIGINT) AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= 5
+), sym AS (
+  SELECT src AS u, dst AS v FROM edges
+  UNION SELECT dst, src FROM edges
+), d0 AS (SELECT {source_expr} AS node, 0 AS dist)"""
+    body = ""
+    seen = "SELECT node FROM d0"
+    for i in range(1, max_depth + 1):
+        body += f""", d{i} AS (
+  SELECT DISTINCT s.v AS node, {i} AS dist
+  FROM sym s JOIN d{i - 1} f ON s.u = f.node
+  WHERE s.v NOT IN ({seen})
+)"""
+        seen += f" UNION SELECT node FROM d{i}"
+    alls = " UNION ALL ".join(f"SELECT * FROM d{i}" for i in range(max_depth + 1))
+    return head + body + f"\nSELECT node, dist FROM ({alls}) ORDER BY node"

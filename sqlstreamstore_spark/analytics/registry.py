@@ -956,6 +956,17 @@ def _sim_topk_pq_static_query(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk_pq_static(emb, [float(x) for x in qvec], k=10)
 
 
+def _bfs_query(spark: SparkSession, sf: str) -> DataFrame:
+    from sqlstreamstore_spark.analytics.graph import (
+        bfs_distances,
+        supplier_cooccurrence_edges,
+    )
+
+    edges = supplier_cooccurrence_edges(_t(spark, sf, "lineitem")).localCheckpoint()
+    source = edges.agg(F.min("src")).collect()[0][0]
+    return bfs_distances(edges, int(source), max_depth=3)
+
+
 def _triangles_query(spark: SparkSession, sf: str) -> DataFrame:
     from sqlstreamstore_spark.analytics.graph import (
         supplier_cooccurrence_edges,
@@ -1160,9 +1171,11 @@ _MM_AHASH_SQL, _MM_PHASH_PAIRS_SQL = _multimodal_phash_golden_sqls()
 _MM_VIDEO_DEDUP_SQL = _multimodal_video_dedup_golden_sql()
 
 from sqlstreamstore_spark.analytics.graph import TRIANGLE_ORACLE_SQL as _TRIANGLE_SQL
+from sqlstreamstore_spark.analytics.graph import bfs_oracle_sql as _bfs_sql
 from sqlstreamstore_spark.analytics.graph import pagerank_oracle_sql as _pr_sql
 
 _PAGERANK_SQL = _pr_sql(iters=3)
+_BFS_SQL = _bfs_sql("(SELECT min(src) FROM edges)", max_depth=3)
 
 
 def _minhash_ctes(k: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
@@ -2157,6 +2170,13 @@ def analytics_queries():
         "graph_triangles": (
             lambda s, sf: _triangles_query(s, sf),
             _TRIANGLE_SQL,
+        ),
+        # frontier-expansion BFS (<=3 hops) from the smallest supplier
+        # in the thresholded co-occurrence graph; integer-exact oracle
+        # via unrolled per-level CTEs
+        "graph_bfs_distances": (
+            lambda s, sf: _bfs_query(s, sf),
+            _BFS_SQL,
         ),
         "text_bpe_stats": (
             lambda s, sf: _bpe_stats_query(s, sf),

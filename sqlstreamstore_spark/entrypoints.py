@@ -298,7 +298,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # cuts inside this block, so independently-oracled queries take the
     # slots; golden-snapshot and rows-only ones (locally sim-verified +
     # pytest-pinned) rotate in next round --
-    "graph_pagerank", "graph_triangles", "events_transitions",
+    "graph_pagerank", "graph_triangles", "graph_bfs_distances", "events_transitions",
     "multimodal_video_near_dup", "stats_window_ranks", "stats_higher_moments",
     "multimodal_image_near_dup", "multimodal_extract_frames",
     "multimodal_image_ahash", "multimodal_audio_features",

@@ -70,3 +70,18 @@ def test_supplier_cooccurrence_and_triangles(spark):
     assert len(rows) == len(set((r.src, r.dst) for r in rows))  # distinct
     n = triangle_count(spark_edges).collect()[0].n_triangles
     assert n >= 0
+
+
+def test_bfs_distances_hand_graph(spark):
+    """Path graph 1-2-3-4-5 plus chord (1,4): distances from 1 are
+    {1:0, 2:1, 4:1, 3:2 (via either), 5:2 (via the chord)}."""
+    from sqlstreamstore_spark.analytics.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)], "src long, dst long"
+    )
+    got = {r.node: r.dist for r in bfs_distances(edges, 1, max_depth=3).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+    # depth cap honored: from node 1 with max_depth=1 only direct nbrs
+    got1 = {r.node: r.dist for r in bfs_distances(edges, 1, max_depth=1).collect()}
+    assert got1 == {1: 0, 2: 1, 4: 1}
