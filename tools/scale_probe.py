@@ -1,0 +1,110 @@
+"""Empirical scaling probe: do the core operators scale linearly?
+
+Builds a synthetic ~sf1 by replicating the sf0.1 tables 10x with
+id-offsets (new distinct keys, same distributions), then times the
+headline operators at sf0.01 / sf0.1 / sf1-synthetic and prints one
+JSON line per scale with rows + seconds. Near-linear wall-clock growth
+(at fixed parallelism) is the evidence that no operator hides a
+super-linear term — the all-pairs/clique failure modes the LSH/banding/
+threshold designs exist to avoid.
+
+    python tools/scale_probe.py
+
+Replication keeps value distributions identical while growing
+cardinality: doc_id/vec_id/orderkey spaces are shifted per replica, so
+dedup/similarity workloads see 10x the corpus, not 10 copies that an
+exact-dup path would collapse. (MinHash/LSH outputs DO grow with the
+replica count because replicas of near-dup pairs are also near-dups
+across replicas where signatures collide — that growth is part of the
+honest workload.)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+
+def replicated(df, times: int, key_cols: dict[str, int]):
+    """Union `times` copies with each key column shifted per replica."""
+    parts = []
+    for r in range(times):
+        d = df
+        for col, span in key_cols.items():
+            d = d.withColumn(col, (F.col(col) + F.lit(r * span)).cast("long"))
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def main() -> int:
+    from sqlstreamstore_spark.analytics import dedup, pipeline, similarity, text, tpch
+    from sqlstreamstore_spark.session import get_spark
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="scale-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def workloads(docs, emb, lineitem, label):
+        res = {"scale": label}
+        t0 = time.time()
+        res["rows_docs"] = docs.count()
+        res["rows_lineitem"] = lineitem.count()
+        res["materialize_s"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        n = dedup.minhash_lsh_candidates(docs).count()
+        res["minhash_lsh_candidates"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        n = text.token_stats(docs).count()
+        res["token_stats"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        n = pipeline.clean_corpus(docs).count()
+        res["clean_corpus"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        qvec = [float(x) for x in emb.limit(1).collect()[0].embedding]
+        t0 = time.time()
+        n = similarity.cosine_topk_ivf_static(emb, qvec, k=10).count()
+        res["ivf_static_topk"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        n = similarity.cosine_near_dup_pairs_lsh(emb, sort=False).count()
+        res["near_dup_lsh"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        n = tpch.q1_pricing_summary(lineitem).count()
+        res["tpch_q1"] = {"rows": n, "s": round(time.time() - t0, 2)}
+        return res
+
+    out = []
+    for sf in ("0.01", "0.1"):
+        d = f"/root/testdata/sf{sf}"
+        docs = load_table(spark, d, "documents").localCheckpoint()
+        emb = load_table(spark, d, "embeddings").localCheckpoint()
+        li = load_table(spark, d, "lineitem").localCheckpoint()
+        out.append(workloads(docs, emb, li, f"sf{sf}"))
+        print(json.dumps(out[-1]), flush=True)
+
+    # synthetic sf1: replicate sf0.1 10x with shifted keys
+    d = "/root/testdata/sf0.1"
+    docs = replicated(load_table(spark, d, "documents"), 10, {"doc_id": 1_000_000}).localCheckpoint()
+    emb = replicated(load_table(spark, d, "embeddings"), 10, {"vec_id": 1_000_000}).localCheckpoint()
+    li = replicated(
+        load_table(spark, d, "lineitem"), 10, {"l_orderkey": 10_000_000}
+    ).localCheckpoint()
+    out.append(workloads(docs, emb, li, "sf1-synthetic"))
+    print(json.dumps(out[-1]), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
