@@ -293,11 +293,58 @@ print("done")
         assert check.read_head_position() == 9_999, check.read_head_position()
         timings["append_2writers_100x100"] = round(dt, 3)
         timings["append_2writers_msgs_per_sec"] = round(10_000 / dt, 1)
+
+        # -- HTTP tier: drain a 10k-message feed over the wire (HAL
+        # pages of 1000, keyset read_next), then steady-state
+        # conditional polls (If-None-Match → 304, what a caught-up
+        # subscriber costs the server).
+        from sqlstreamstore_spark.http.client import HttpClientStreamStore
+        from sqlstreamstore_spark.http.server import StreamStoreHttpServer
+
+        srv = StreamStoreHttpServer(sq, host="127.0.0.1", port=0)
+        srv.start()
+        try:
+            cli = HttpClientStreamStore(srv.url)
+            t0 = time.time()
+            pos, drained = 0, 0
+            while True:
+                page = cli.read_all_forwards(pos, 1000)
+                drained += len(page.messages)
+                if page.is_end:
+                    break
+                pos = page.next_position
+            dt = time.time() - t0
+            assert drained == 10_000, drained
+            timings["http_drain_p1000"] = round(dt, 3)
+            timings["http_read_msgs_per_sec"] = round(drained / dt, 1)
+
+            import urllib.request
+
+            url = f"{srv.url}/stream?d=f&position={pos}&m=1000"
+            req = urllib.request.urlopen(url)
+            etag = req.headers.get("ETag")
+            req.read()
+            t0 = time.time()
+            n304 = 0
+            for _ in range(200):
+                r = urllib.request.Request(url, headers={"If-None-Match": etag})
+                try:
+                    resp = urllib.request.urlopen(r)
+                    resp.read()
+                except urllib.error.HTTPError as e:  # 304 raises in urllib
+                    if e.code == 304:
+                        n304 += 1
+            dt = time.time() - t0
+            assert n304 == 200, n304
+            timings["http_poll_304"] = round(dt, 3)
+            timings["http_poll_304_per_sec"] = round(200 / dt, 1)
+        finally:
+            srv.stop()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(
-        sum(v for k, v in timings.items() if not k.endswith("_msgs_per_sec")), 3
+        sum(v for k, v in timings.items() if not k.endswith("_per_sec")), 3
     )
     full = {
         "metric": "total_wall_clock",
@@ -315,7 +362,7 @@ print("done")
         json.dump(full, f, indent=1)
     slowest = dict(
         sorted(
-            ((k, v) for k, v in timings.items() if not k.endswith("_msgs_per_sec")),
+            ((k, v) for k, v in timings.items() if not k.endswith("_per_sec")),
             key=lambda kv: -kv[1],
         )[:12]
     )
