@@ -533,6 +533,8 @@ def _decode_scan(data, pos, frame, scan, qtabs, huff, restart_interval):
                     for hh in range(c["h"]):
                         zz = np.zeros(64, dtype=np.int32)
                         t = reader.read_symbol(dc_tab)
+                        if t > 11:  # spec F.1.2.1: DC category <= 11 at 8-bit
+                            raise ValueError("corrupt JPEG: DC category > 11")
                         diff = _extend(reader.read_bits(t), t) if t else 0
                         pred[c["id"]] += diff
                         zz[0] = pred[c["id"]]
@@ -540,6 +542,8 @@ def _decode_scan(data, pos, frame, scan, qtabs, huff, restart_interval):
                         while k < 64:
                             rs = reader.read_symbol(ac_tab)
                             r, s = rs >> 4, rs & 15
+                            if s > 10:  # spec F.1.2.2: AC category <= 10
+                                raise ValueError("corrupt JPEG: AC category > 10")
                             if s == 0:
                                 if r == 15:
                                     k += 16

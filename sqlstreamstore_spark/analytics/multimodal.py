@@ -203,6 +203,8 @@ def _png_pixels(p: bytes):
         elif tag == b"IEND":
             break
         pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG: missing IHDR chunk (truncated or corrupt)")
     w, h, depth, color, _comp, _filt, interlace = ihdr
     if depth != 8 or interlace != 0:
         raise NotImplementedError("PNG: only 8-bit non-interlaced supported")
