@@ -103,6 +103,8 @@ def gif_decode(data: bytes) -> np.ndarray:
             pos += 1
         elif b == 0x2C:  # image descriptor
             left, top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+            if w * h > 64_000_000:
+                raise ValueError(f"GIF dimensions too large: {w}x{h}")
             pos += 10
             ct = gct
             if iflags & 0x80:

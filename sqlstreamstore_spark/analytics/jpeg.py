@@ -478,6 +478,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             prec, fh, fw, nc = seg[0], struct.unpack_from(">H", seg, 1)[0], struct.unpack_from(">H", seg, 3)[0], seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
+            if fh * fw > 64_000_000:
+                # decompression-bomb guard: a forged 2-byte dimension
+                # field must not drive multi-GB coefficient allocations
+                raise ValueError(f"JPEG dimensions too large: {fw}x{fh}")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]

@@ -206,6 +206,9 @@ def _png_pixels(p: bytes):
     if ihdr is None:
         raise ValueError("PNG: missing IHDR chunk (truncated or corrupt)")
     w, h, depth, color, _comp, _filt, interlace = ihdr
+    if w * h > 64_000_000:
+        # decompression-bomb guard (forged IHDR dims vs tiny IDAT)
+        raise ValueError(f"PNG dimensions too large: {w}x{h}")
     if depth != 8 or interlace != 0:
         raise NotImplementedError("PNG: only 8-bit non-interlaced supported")
     ch = {0: 1, 2: 3, 6: 4}.get(color)

@@ -96,3 +96,29 @@ def test_decode_operator_surfaces_worker_errors(spark):
     media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     with pytest.raises(Exception):
         mm.decode_features(media).collect()
+
+
+def test_forged_dimension_headers_rejected():
+    """Decompression-bomb guard: a tiny payload claiming enormous
+    dimensions must raise, not allocate gigabytes."""
+    img = mm._synth_image(1, 8, 8)
+    # JPEG: patch SOF0 height/width to 65000x65000
+    j = bytearray(jpeg_encode(img, 85))
+    sof = bytes(j).index(b"\xff\xc0")
+    struct.pack_into(">HH", j, sof + 5, 65000, 65000)
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(j))
+    # PNG: patch IHDR dims (and fix the CRC so the check passes)
+    png = bytearray(mm._png_encode(img))
+    ihdr_at = bytes(png).index(b"IHDR")
+    struct.pack_into(">II", png, ihdr_at + 4, 60000, 60000)
+    crc = zlib.crc32(bytes(png[ihdr_at : ihdr_at + 4 + 13])) & 0xFFFFFFFF
+    struct.pack_into(">I", png, ihdr_at + 4 + 13, crc)
+    with pytest.raises(ValueError):
+        mm._png_pixels(bytes(png))
+    # GIF: patch the image descriptor dims
+    g = bytearray(gif_encode((img // 64) * 64))
+    desc = bytes(g).index(b"\x2c")
+    struct.pack_into("<HH", g, desc + 5, 60000, 60000)
+    with pytest.raises(ValueError):
+        gif_decode(bytes(g))
