@@ -46,6 +46,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     round_digits: int = 6,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Power-method PageRank, fixed ``iters`` iterations, uniform init
     1/N, dangling nodes implicitly contribute nothing (their mass
@@ -55,19 +56,22 @@ def pagerank(
     Each iteration: rank/out_degree per edge → groupBy dst → damped
     sum. Nodes with no in-edges fall back to the teleport term.
     """
-    nodes = (
+    def ckpt(df):
+        # checkpoint=False exposes the full iteration plan (plan gates);
+        # production keeps lineage O(1) per round
+        return df.localCheckpoint() if checkpoint else df
+
+    nodes = ckpt(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     n_nodes = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # edge weight = 1/out_degree(src), fixed across iterations
-    weighted = (
+    weighted = ckpt(
         edges.join(out_deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
-        .localCheckpoint()
     )
     teleport = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
@@ -77,14 +81,13 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("pr") * F.col("w")).alias("mass"))
         )
-        ranks = (
+        ranks = ckpt(
             nodes.join(contrib, nodes.node == contrib.dst, "left")
             .select(
                 "node",
                 (F.lit(teleport)
                  + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias("pr"),
             )
-            .localCheckpoint()
         )
     return ranks.select("node", F.round("pr", round_digits).alias("pr")).orderBy("node")
 

@@ -346,3 +346,29 @@ def test_image_near_dup_band_equi_join(spark):
     p = plan_of(mm.image_near_dup_pairs(media, max_hamming=3))
     assert "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_pagerank_iteration_no_nested_loop(spark):
+    """Each PageRank iteration must be equi-join + aggregate — no
+    BroadcastNestedLoopJoin, and the contribution aggregate combines
+    map-side (partial HashAggregate before the exchange)."""
+    from sqlstreamstore_spark.analytics.graph import customer_supplier_edges, pagerank
+
+    edges = customer_supplier_edges(
+        load_table(spark, SF, "orders"), load_table(spark, SF, "lineitem")
+    )
+    p = plan_of(pagerank(edges, iters=1, checkpoint=False))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p
+
+
+def test_transitions_single_user_window_then_agg(spark):
+    """events_transitions: one window keyed by user_id, then the bigram
+    aggregate — no nested loop, no extra global sort before the agg."""
+    from sqlstreamstore_spark.analytics.events import event_transitions
+
+    ev = load_table(spark, SF, "events")
+    p = plan_of(event_transitions(ev))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("Window") >= 1
+    assert "HashAggregate" in p
