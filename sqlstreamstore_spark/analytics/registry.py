@@ -2194,6 +2194,12 @@ def analytics_queries():
             lambda s, sf: text.heavy_hitters(_t(s, sf, "documents")),
             None,
         ),
+        # feature-hashing vectorizer (HashingVectorizer): model-free
+        # text embeddings, md5 family => exactly oracled in long format
+        "text_hashed_features": (
+            lambda s, sf: text.hashed_embedding_features(_t(s, sf, "documents")),
+            text.HASHED_FEATURES_SQL_TMPL.format(dim=64),
+        ),
         # multimodal (synthetic payloads; Spark-side plumbing is the
         # subject — rows-only check, pinned by tests/test_multimodal.py)
         "multimodal_payload_stats": (

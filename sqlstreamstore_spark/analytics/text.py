@@ -414,3 +414,74 @@ def heavy_hitters(
         .orderBy(F.col("approx_count").desc(), "token")
         .limit(k)
     )
+
+
+def hashed_embedding_features(documents: DataFrame, dim: int = 64) -> DataFrame:
+    """Feature-hashing text vectorizer (HashingVectorizer / 'hashing
+    trick'): every token hashes to one of ``dim`` buckets with a ±1
+    sign, weights sum per (doc, bucket) — a model-free embedding that
+    makes the WHOLE vector pipeline (LSH near-dup, ANN, semantic dedup)
+    runnable from raw text with no external encoder.
+
+    md5 family so DuckDB computes identical features (the MinHash
+    precedent): bucket = (v1·16 + v2) mod dim and sign from v3 < 8,
+    where v_i are the first md5 hex digits (char→value via instr —
+    no conv(), which can hang whole-stage codegen). Long format
+    (doc_id, bucket, weight) — exactly SQL-expressible; the array
+    assembly for the similarity operators is ``hashed_embeddings``."""
+    hexs = "0123456789abcdef"
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    h = F.md5(F.col("t"))
+    v = [
+        F.instr(F.lit(hexs), F.substring(h, i, 1)) - 1  # 0-based hex value
+        for i in (1, 2, 3)
+    ]
+    bucket = ((v[0] * 16 + v[1]) % dim).cast("int")
+    sign = F.when(v[2] < 8, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return (
+        toks.select("doc_id", bucket.alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").cast("double").alias("weight"))
+        .orderBy("doc_id", "bucket")
+    )
+
+
+HASHED_FEATURES_SQL_TMPL = """WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+), feats AS (
+  SELECT doc_id,
+         ((instr('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substring(md5(t), 2, 1)) - 1)) % {dim} AS bucket,
+         CASE WHEN instr('0123456789abcdef', substring(md5(t), 3, 1)) - 1 < 8
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM toks WHERE t <> ''
+)
+SELECT doc_id, CAST(bucket AS INT) AS bucket, CAST(sum(s) AS DOUBLE) AS weight
+FROM feats GROUP BY doc_id, bucket ORDER BY doc_id, bucket"""
+
+
+def hashed_embeddings(documents: DataFrame, dim: int = 64) -> DataFrame:
+    """Assemble the long-format hashed features into the
+    (vec_id, embedding: array<double>) shape every similarity operator
+    consumes — raw text becomes ANN-searchable with zero model
+    dependencies. Missing buckets densify to 0.0 via a map lookup (one
+    groupBy; no per-dimension joins)."""
+    feats = hashed_embedding_features(documents, dim)
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("bucket"), F.col("weight")))
+    )
+    return (
+        feats.groupBy("doc_id")
+        .agg(m.alias("__m"))
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m"), i.cast("int")), F.lit(0.0)
+                ),
+            ).alias("embedding"),
+        )
+    )

@@ -116,3 +116,40 @@ def test_heavy_hitters_bounds(spark):
     hh = heavy_hitters(skewed, k=3, capacity=4).collect()
     assert hh[0].token == "x"
     assert hh[0].approx_count <= 500 <= hh[0].max_count
+
+
+def test_hashed_embeddings_assembly_and_ann_composition(spark):
+    """The array assembly matches the long format, and raw text becomes
+    ANN-searchable: near-dup pairs over hashed embeddings find the
+    planted duplicate document."""
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.analytics import similarity
+    from sqlstreamstore_spark.analytics.text import (
+        hashed_embedding_features,
+        hashed_embeddings,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    # plant an exact duplicate with a new id
+    dup = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text", "lang", "source",
+        "n_chars",
+    )
+    corpus = docs.unionByName(dup)
+
+    long_fmt = {
+        (r.doc_id, r.bucket): r.weight
+        for r in hashed_embedding_features(corpus).collect()
+    }
+    emb = hashed_embeddings(corpus)
+    rows = emb.collect()
+    assert len(rows) == 51
+    for r in rows[:5]:
+        for b, w in enumerate(r.embedding):
+            assert w == long_fmt.get((r.vec_id, b), 0.0)
+
+    pairs = similarity.cosine_near_dup_pairs_lsh(
+        emb, threshold=0.95, bits=4, sort=False
+    ).collect()
+    assert any((p.id_a, p.id_b) == (0, 100_000) for p in pairs), pairs[:5]
