@@ -124,6 +124,10 @@ def _make_handler(store: StreamStore):
             self.send_response(code)
             self.send_header("Content-Type", HAL_CONTENT_TYPE)
             self.send_header("Content-Length", str(len(payload)))
+            # CORS on every response (AllowedMethodsMiddleware.cs:37:
+            # the reference appends Allow-Origin * so browser HAL
+            # clients can consume the feeds)
+            self.send_header("Access-Control-Allow-Origin", "*")
             for k, v in (headers or {}).items():
                 self.send_header(k, v)
             self.end_headers()
@@ -207,6 +211,19 @@ def _make_handler(store: StreamStore):
                 self._send(200, None, {HEAD_POSITION_HEADER: str(head)})
             else:
                 self._send(404)
+
+        def do_OPTIONS(self):
+            # CORS preflight (AllowedMethodsMiddleware.cs Options): the
+            # allowed method set + header allowlist, origin *
+            self.send_response(204)
+            self.send_header("Access-Control-Allow-Methods",
+                             "GET, HEAD, OPTIONS, POST, DELETE")
+            self.send_header("Access-Control-Allow-Headers",
+                             "Content-Type, X-Requested-With, Authorization, "
+                             + EXPECTED_VERSION_HEADER + ", If-None-Match")
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
 
         def do_POST(self):
             self._guard(self._post)

@@ -430,3 +430,24 @@ def test_http_server_over_jvmfree_parquet_store(tmp_path):
         assert [m.stream_id for m in got] == ["live", "live"]
     finally:
         server.stop()
+
+
+def test_cors_preflight_and_headers():
+    """AllowedMethodsMiddleware parity: OPTIONS answers the method set
+    + header allowlist with origin *, and every response carries
+    Access-Control-Allow-Origin (browser HAL clients)."""
+    import urllib.request
+
+    backend = InMemoryStreamStore()
+    server = StreamStoreHttpServer(backend).start()
+    req = urllib.request.Request(f"{server.url}/stream", method="OPTIONS")
+    resp = urllib.request.urlopen(req)
+    assert resp.status == 204
+    methods = resp.headers["Access-Control-Allow-Methods"]
+    for m in ("GET", "POST", "DELETE", "OPTIONS"):
+        assert m in methods
+    assert "SSS-ExpectedVersion" in resp.headers["Access-Control-Allow-Headers"]
+    assert resp.headers["Access-Control-Allow-Origin"] == "*"
+    getr = urllib.request.urlopen(f"{server.url}/stream?d=f&position=0&m=1")
+    assert getr.headers["Access-Control-Allow-Origin"] == "*"
+    server.stop()
