@@ -212,6 +212,18 @@ def _make_handler(store: StreamStore):
             else:
                 self._send(404)
 
+        def _method_not_allowed(self):
+            # AllowedMethodsMiddleware.cs AllowedMethods: unknown verbs
+            # get 405 + the Allow header (stdlib default would be 501)
+            self._send(405, {"error": "MethodNotAllowed"},
+                       {"Allow": "GET, HEAD, OPTIONS, POST, DELETE"})
+
+        def do_PUT(self):
+            self._method_not_allowed()
+
+        def do_PATCH(self):
+            self._method_not_allowed()
+
         def do_OPTIONS(self):
             # CORS preflight (AllowedMethodsMiddleware.cs Options): the
             # allowed method set + header allowlist, origin *

@@ -451,3 +451,20 @@ def test_cors_preflight_and_headers():
     getr = urllib.request.urlopen(f"{server.url}/stream?d=f&position=0&m=1")
     assert getr.headers["Access-Control-Allow-Origin"] == "*"
     server.stop()
+
+
+def test_unknown_verbs_get_405_with_allow():
+    import urllib.error
+    import urllib.request
+
+    backend = InMemoryStreamStore()
+    server = StreamStoreHttpServer(backend).start()
+    try:
+        req = urllib.request.Request(
+            f"{server.url}/streams/s1", data=b"{}", method="PUT")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 405
+        assert "POST" in e.value.headers["Allow"]
+    finally:
+        server.stop()
