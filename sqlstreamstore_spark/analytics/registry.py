@@ -2133,6 +2133,12 @@ def analytics_queries():
             lambda s, sf: relational.approx_order_stats(_t(s, sf, "orders")),
             None,
         ),
+        # entity-resolution fuzzy join: block on first token, verify
+        # candidates with levenshtein (both engines compute identically)
+        "fuzzy_name_matches": (
+            lambda s, sf: relational.fuzzy_name_matches(_t(s, sf, "part")),
+            relational.FUZZY_MATCHES_SQL,
+        ),
         "stats_window_ranks": (
             lambda s, sf: relational.window_rank_family(_t(s, sf, "orders")),
             relational.WINDOW_RANKS_SQL,

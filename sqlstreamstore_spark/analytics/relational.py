@@ -349,3 +349,38 @@ FROM (
            OVER (PARTITION BY l_returnflag) AS ax
   FROM lineitem)
 GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+
+def fuzzy_name_matches(part: DataFrame, max_dist: int = 3) -> DataFrame:
+    """Entity-resolution shape: near-identical name pairs via
+    block-then-verify — the standard fuzzy-join pattern (an unblocked
+    fuzzy join is all-pairs). Blocking key = first token (swap in
+    soundex/minhash for messier data); candidates are an equi-join on
+    the block; verify = levenshtein <= max_dist, computed only on
+    candidates. Distinct names first: the match set is a property of
+    the vocabulary, not row multiplicity."""
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    blocked = names.select(
+        "name", F.split(F.col("name"), " ").getItem(0).alias("blk")
+    )
+    a = blocked.select(F.col("name").alias("name_a"), "blk")
+    b = blocked.select(F.col("name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a", "name_b",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .orderBy("name_a", "name_b")
+    )
+
+
+FUZZY_MATCHES_SQL = """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+blocked AS (SELECT name, split_part(name, ' ', 1) AS blk FROM names)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 3
+ORDER BY name_a, name_b"""

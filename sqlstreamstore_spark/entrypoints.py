@@ -299,7 +299,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # slots; golden-snapshot and rows-only ones (locally sim-verified +
     # pytest-pinned) rotate in next round --
     "graph_pagerank", "graph_triangles", "graph_bfs_distances", "events_transitions",
-    "multimodal_video_near_dup", "stats_window_ranks", "stats_higher_moments", "text_hashed_features",
+    "multimodal_video_near_dup", "stats_window_ranks", "stats_higher_moments", "text_hashed_features", "fuzzy_name_matches",
     "multimodal_image_near_dup", "multimodal_extract_frames",
     "multimodal_image_ahash", "multimodal_audio_features",
     "text_bpe_stats", "text_compression_signals", "text_heavy_hitters",
