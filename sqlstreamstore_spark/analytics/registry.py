@@ -2194,11 +2194,20 @@ def analytics_queries():
             lambda s, sf: text.compression_signals(_t(s, sf, "documents")),
             None,
         ),
-        # Misra-Gries frequent tokens (rows-only: sketch-specific;
-        # bound invariants vs exact groupBy pinned by tests/test_bpe.py)
+        # Misra-Gries frequent tokens. Oracled in the no-eviction
+        # regime: with capacity (400) >= the corpus vocabulary (~31),
+        # no decrement ever fires, so the sketch MUST equal the exact
+        # top-k with zero slack — a real correctness property of MG,
+        # not a coincidence (eviction-regime bounds are pytest-pinned
+        # on a skewed stream in tests/test_bpe.py).
         "text_heavy_hitters": (
             lambda s, sf: text.heavy_hitters(_t(s, sf, "documents")),
-            None,
+            """WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+), counts AS (
+  SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY token)
+SELECT token, CAST(n AS BIGINT) AS approx_count, CAST(n AS BIGINT) AS max_count
+FROM counts ORDER BY n DESC, token LIMIT 20""",
         ),
         # feature-hashing vectorizer (HashingVectorizer): model-free
         # text embeddings, md5 family => exactly oracled in long format
