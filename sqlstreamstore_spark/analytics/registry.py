@@ -1714,6 +1714,40 @@ GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
 
+_Q11_IMPORTANT_STOCK_SQL = """
+WITH vals AS (
+  SELECT l_partkey AS p_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY l_partkey)
+SELECT p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM vals
+WHERE value_dec > (SELECT sum(value_dec) FROM vals) * CAST(0.001 AS DECIMAL(6,4))
+ORDER BY part_value DESC, p_partkey
+"""
+
+_Q20_DOMINANT_SUPP_SQL = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS supp_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey),
+totals AS (
+  SELECT l_partkey, sum(supp_qty) AS part_qty FROM shipped GROUP BY l_partkey)
+SELECT DISTINCT s_name
+FROM shipped
+JOIN totals USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1' AND supp_qty > part_qty * CAST(0.5 AS DECIMAL(2,1))
+ORDER BY s_name
+"""
+
 _ORDER_GAPS_SQL = """
 WITH gaps AS (
   SELECT o_custkey,
@@ -1859,6 +1893,17 @@ def analytics_queries():
             lambda s, sf: tpch.q22_global_sales(
                 _t(s, sf, "customer"), _t(s, sf, "orders")),
             _Q22_GLOBAL_SALES_SQL,
+        ),
+        "tpch_q11_important_stock": (
+            lambda s, sf: tpch.q11_important_stock(
+                _t(s, sf, "lineitem"), _t(s, sf, "supplier"), _t(s, sf, "nation")),
+            _Q11_IMPORTANT_STOCK_SQL,
+        ),
+        "tpch_q20_dominant_supp": (
+            lambda s, sf: tpch.q20_dominant_suppliers(
+                _t(s, sf, "lineitem"), _t(s, sf, "supplier"), _t(s, sf, "part"),
+                _t(s, sf, "nation")),
+            _Q20_DOMINANT_SUPP_SQL,
         ),
         "window_order_gaps": (
             lambda s, sf: tpch.order_gap_stats(

@@ -573,23 +573,41 @@ def embedding_lsh_recall(
     """LSH quality report for the embedding near-dup path (the cosine
     twin of dedup.minhash_lsh_recall): exact pair count, LSH-surviving
     pair count, hits, recall — what a pipeline owner watches when
-    tuning bits/threshold."""
-    exact = (
-        cosine_near_dup_pairs(embeddings, threshold)
-        .select("id_a", "id_b")
-        .localCheckpoint()
+    tuning bits/threshold.
+
+    One O(N²) pass, not two: the LSH path verifies candidates with the
+    SAME exact cosine + threshold, so its surviving pairs are exactly
+    the exact pairs whose two vectors share a bucket — n_lsh ≡ n_hit.
+    The report therefore scores all pairs once, carrying bucket
+    equality as a flag, instead of running the exact join, the LSH
+    join, and an intersection join (r2 shape: 3 jobs, 2 of them N²).
+    """
+    sigs = lsh_bucket_signatures(embeddings, dim=dim, bits=bits, seed=seed)
+    # spread the streamed side of the theta-join (see cosine_near_dup_pairs)
+    n = max(1, embeddings.sparkSession.sparkContext.defaultParallelism)
+    a = sigs.repartition(n).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        _norm(F.col("embedding")).alias("na"), F.col("bucket").alias("ba"),
     )
-    lsh = (
-        cosine_near_dup_pairs_lsh(embeddings, threshold, dim=dim, bits=bits, seed=seed, sort=False)
-        .select("id_a", "id_b")
-        .localCheckpoint()
+    b = sigs.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        _norm(F.col("embedding")).alias("nb"), F.col("bucket").alias("bb"),
     )
-    n_exact = exact.count()
-    n_lsh = lsh.count()
-    n_hit = exact.join(lsh, ["id_a", "id_b"]).count()
+    score = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    row = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(score >= threshold)
+        .select((F.col("ba") == F.col("bb")).cast("long").alias("same_bucket"))
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.sum("same_bucket"), F.lit(0)).alias("n_hit"),
+        )
+        .first()
+    )
+    n_exact, n_hit = int(row.n_exact), int(row.n_hit)
     recall = float(n_hit) / n_exact if n_exact else 1.0
     return embeddings.sparkSession.createDataFrame(
-        [(n_exact, n_lsh, n_hit, recall)],
+        [(n_exact, n_hit, n_hit, recall)],
         "n_exact bigint, n_lsh bigint, n_hit bigint, recall double",
     )
 

@@ -686,6 +686,93 @@ def q22_global_sales(
     )
 
 
+def q11_important_stock(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_1",
+    fraction: str = "0.001",
+) -> DataFrame:
+    """TPC-H Q11 shape (adapted: lineitem stands in for the missing
+    partsupp): per-part sales value through suppliers of one nation,
+    keeping only parts whose value exceeds ``fraction`` of the nation's
+    total (Q11's HAVING > scalar-subquery over the same aggregate).
+
+    The scalar total is a single-row aggregate broadcast into the
+    HAVING filter — no correlated re-scan; the only shuffle is the
+    per-part partial aggregate over the fact table. Value and threshold
+    stay DECIMAL until the final projection, so the > comparison is
+    exact and engine-independent.
+    """
+    nat_supp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    values = (
+        lineitem.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice", _EP)).alias("value_dec"))
+    )
+    total = values.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        values.join(F.broadcast(total))
+        .filter(F.col("value_dec") > F.col("total_dec") * F.lit(fraction).cast("decimal(6,4)"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_dec").cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+def q20_dominant_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    p_type: str = "PROMO",
+    nation_name: str = "NATION_1",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp/availqty, so "excess
+    stock" becomes shipment dominance): suppliers from one nation who,
+    for some part of one type, shipped more than half that part's total
+    quantity in the window.
+
+    Q20's doubly-nested correlated subquery (availqty > 0.5 * shipped)
+    decorrelates into a per-(part, supplier) aggregate joined to a
+    per-part aggregate — two shuffles on the part key, then a broadcast
+    semi-join to the nation's suppliers. DISTINCT replaces the EXISTS.
+    Quantities stay DECIMAL so the dominance comparison is exact.
+    """
+    promo_parts = part.filter(F.col("p_type") == p_type).select("p_partkey")
+    shipped = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .join(F.broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity", _EP)).alias("supp_qty"))
+    )
+    totals = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    nat_supp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        shipped.join(totals, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("supp_qty") > F.col("part_qty") * F.lit("0.5").cast("decimal(2,1)"))
+        .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name")
+        .distinct()
+        .orderBy("s_name")
+    )
+
+
 def order_gap_stats(orders: DataFrame, customer: DataFrame) -> DataFrame:
     """Per-market-segment statistics of the day gaps between a
     customer's consecutive orders — LAG over a per-customer window

@@ -372,3 +372,26 @@ def test_transitions_single_user_window_then_agg(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert p.count("Window") >= 1
     assert "HashAggregate" in p
+
+
+def test_q11_scalar_total_broadcast_once(tables):
+    p = plan_of(tpch.q11_important_stock(
+        tables["lineitem"], tables["supplier"], tables["nation"]))
+    # the HAVING > scalar-subquery shape: one 1-row broadcast (nested
+    # loop on a single-row side is the canonical scalar join), never a
+    # row-pairing product over the fact table
+    assert "CartesianProduct" not in p
+    tree = p.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin" not in p
+    # per-part partial aggregate before the exchange
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q20_decorrelates_to_aggregate_joins(tables):
+    p = plan_of(tpch.q20_dominant_suppliers(
+        tables["lineitem"], tables["supplier"], tables["part"], tables["nation"]))
+    # the nested correlated subquery becomes per-(part,supplier) and
+    # per-part aggregates joined on the part key - no re-scan per row
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2

@@ -247,3 +247,54 @@ def test_q16_excludes_negative_balance_suppliers(spark):
         .select("l_suppkey").distinct().count()
     )
     assert first.supplier_cnt == manual
+
+
+def test_q11_threshold_is_exact_decimal(spark):
+    """Parts at exactly the threshold fraction are excluded (strict >),
+    and the comparison happens in DECIMAL, immune to float noise.
+    Three parts with values 500/300/200 and fraction 0.2 of 1000: the
+    200-part sits exactly at the threshold and must drop."""
+    li = spark.createDataFrame(
+        [(1, 100, 10, 500.0), (2, 101, 10, 300.0), (3, 102, 10, 200.0)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_extendedprice double",
+    )
+    supplier = spark.createDataFrame(
+        [(10, "S10", 0)], "s_suppkey long, s_name string, s_nationkey int"
+    )
+    nation = spark.createDataFrame(
+        [(0, "NATION_1", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    rows = tpch.q11_important_stock(li, supplier, nation, fraction="0.2").collect()
+    assert [(r.p_partkey, r.part_value) for r in rows] == [(100, 500.0), (101, 300.0)]
+
+
+def test_q20_dominance_strictly_above_half(spark):
+    """Supplier at exactly half the part's shipped quantity does not
+    qualify; above half does. Non-PROMO parts and other nations drop."""
+    li = spark.createDataFrame(
+        [
+            # part 100: supp 10 ships 6 of 10 (dominant), supp 11 ships 4
+            (1, 100, 10, 6.0, "1996-03-01"),
+            (2, 100, 11, 4.0, "1996-04-01"),
+            # part 101: 5/5 split - nobody strictly above half
+            (3, 101, 10, 5.0, "1996-05-01"),
+            (4, 101, 11, 5.0, "1996-06-01"),
+            # part 102: dominant but shipped outside the window
+            (5, 102, 11, 9.0, "1999-01-01"),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, ship string",
+    ).withColumn("l_shipdate", F.col("ship").cast("timestamp")).drop("ship")
+    part = spark.createDataFrame(
+        [(100, "PROMO"), (101, "PROMO"), (102, "PROMO")],
+        "p_partkey long, p_type string",
+    )
+    supplier = spark.createDataFrame(
+        [(10, "S10", 0), (11, "S11", 1)],
+        "s_suppkey long, s_name string, s_nationkey int",
+    )
+    nation = spark.createDataFrame(
+        [(0, "NATION_1", 0), (1, "NATION_2", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    rows = tpch.q20_dominant_suppliers(li, supplier, part, nation).collect()
+    assert [r.s_name for r in rows] == ["S10"]
