@@ -128,6 +128,76 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """AllPairs/PPJoin-style prefix-filtered exact Jaccard self-join —
+    the same output as ngram_jaccard_pairs, without the full shingle
+    self-join.
+
+    Prefix filter (Bayardo et al., WWW'07): under a global shingle
+    ordering, a pair with Jaccard ≥ t must share at least one shingle
+    inside each side's PREFIX — its |S| − ⌈t·|S|⌉ + 1 globally-rarest
+    shingles (J ≥ t ⇒ |A∩B| ≥ t·|A∪B| ≥ t·|A|; if the prefix were
+    disjoint, at most ⌈t·|A|⌉ − 1 < t·|A| shingles could match).
+    Candidates therefore come from an equi-join of prefixes only, and
+    rarest-first ordering makes the surviving join keys low-frequency —
+    the hot-shingle skew that dominates the plain self-join at 100 TB
+    is filtered out by construction, not salted around. Verification
+    joins candidates back to per-doc shingle SETS (array_intersect on
+    linear state), exactly like minhash_dedup_pairs — but unlike LSH
+    this path is EXACT: recall 1.0 by the filter theorem, no tuning.
+
+    Global ordering = (document frequency ASC, shingle ASC), realized
+    per-doc with a window — no global rank materialization, so nothing
+    single-partition at any scale.
+    """
+    from pyspark.sql import Window
+
+    sh = documents.select(
+        "doc_id", F.explode(_shingles(F.col("text"), n)).alias("s")
+    ).localCheckpoint()
+    df = sh.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = (
+        sh.join(df, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select("doc_id", "s")
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = documents.select("doc_id", _shingles(F.col("text"), n).alias("ss"))
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
+    n_inter = F.size(F.array_intersect(F.col("ss_a"), F.col("ss_b"))).cast("bigint")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            n_inter.alias("n_inter"),
+            F.size(F.col("ss_a")).cast("bigint").alias("n_a"),
+            F.size(F.col("ss_b")).cast("bigint").alias("n_b"),
+        )
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def minhash_signatures(
     documents: DataFrame, k: int = 32, n: int = 3, family: str = "md5"
 ) -> DataFrame:

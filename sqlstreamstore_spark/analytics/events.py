@@ -137,6 +137,80 @@ def events_per_type_day(events: DataFrame) -> DataFrame:
     )
 
 
+def daily_anomaly(events: DataFrame) -> DataFrame:
+    """Count-anomaly monitor over the event log: per (type, day), the
+    daily event count, its trailing 7-day moving average, and its
+    z-score against the type's own mean/stddev — the basic "did
+    ingestion spike or stall" signal over a pipeline's event stream.
+
+    Determinism: the counts and the moving average are exact (BIGINT
+    sums, one double division); the z-score's stddev accumulates in
+    float (partial-agg order differs between engines), so it is rounded
+    to 6 dp on both sides — the stats_corr_regr discipline. Zero/NULL
+    stddev (a type with one day, or perfectly constant counts) maps to
+    z = 0. Shuffle keys: (type, day) for the count, type for the two
+    windows — parallel over types at any scale.
+    """
+    daily = events.groupBy(
+        F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    mean = F.avg("n").over(wt)
+    sd = F.stddev_samp("n").over(wt)
+    z = F.when(sd.isNull() | (sd == 0.0), F.lit(0.0)).otherwise(
+        (F.col("n") - mean) / sd
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        (
+            F.sum("n").over(w7).cast("double")
+            / F.count("*").over(w7).cast("double")
+        ).alias("ma7"),
+        F.round(z, 6).alias("z"),
+    ).orderBy("event_type", "day")
+
+
+def daily_gap_fill(events: DataFrame) -> DataFrame:
+    """Zero-filled daily count series per event type: generate each
+    type's full calendar spine (min..max day, `sequence` + explode —
+    per-type, never a global driver loop) and left-join the observed
+    daily counts, so downstream time-series consumers (the anomaly
+    monitor above, forecasting, SLO burn rates) see explicit zeros for
+    silent days instead of missing rows.
+
+    Two shuffles: the daily count groupBy and the spine join, both
+    keyed on (type, day) — parallel over types × days at any scale.
+    All-integer output; bit-exact in the oracle.
+    """
+    daily = events.groupBy(
+        F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 def event_transitions(events: DataFrame) -> DataFrame:
     """Per-user event-type transition matrix (the Markov/path-analysis
     shape product analytics runs): LAG the previous event type within

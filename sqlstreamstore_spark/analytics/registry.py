@@ -1350,6 +1350,86 @@ ORDER BY tf DESC, token
 LIMIT 200
 """
 
+_NGRAM_NOVELTY_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+  FROM toks WHERE len(w) >= 3
+),
+firsts AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN first_doc < sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+       CAST(count(*) - sum(CASE WHEN first_doc < sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS novelty
+FROM sh JOIN firsts ON sh.s = firsts.s
+GROUP BY sh.doc_id
+ORDER BY sh.doc_id
+"""
+
+# hex→int via the strpos fold (no conv() in DuckDB); 12 hex chars = 48
+# bits — exact in BIGINT and double, so the estimate is deterministic.
+_KMV_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+hs AS (
+  SELECT DISTINCT md5(s) AS h FROM (
+    SELECT unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+    FROM toks WHERE len(w) >= 3)
+),
+sk AS (SELECT count(*) AS n_sketch, max(h) AS kth
+       FROM (SELECT h FROM hs ORDER BY h LIMIT 64)),
+est AS (
+  SELECT CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+              ELSE 63.0 / (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(substr(kth, 1, 12), ''),
+                       c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                     (a, x) -> a * 16 + x) AS DOUBLE) / 281474976710656.0)
+         END AS kmv_estimate
+  FROM sk)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM hs) AS n_exact,
+       CAST(64 AS BIGINT) AS k,
+       kmv_estimate,
+       (kmv_estimate - (SELECT CAST(count(*) AS DOUBLE) FROM hs))
+         / (SELECT CAST(count(*) AS DOUBLE) FROM hs) AS rel_err
+FROM est
+"""
+
+_DAILY_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, day, n,
+       CAST(sum(n) OVER w7 AS DOUBLE) / CAST(count(*) OVER w7 AS DOUBLE) AS ma7,
+       round(CASE WHEN stddev_samp(n) OVER wt IS NULL
+                    OR stddev_samp(n) OVER wt = 0
+                  THEN 0.0
+                  ELSE (n - avg(n) OVER wt) / stddev_samp(n) OVER wt END,
+             6) AS z
+FROM daily
+WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+       wt AS (PARTITION BY event_type)
+ORDER BY event_type, day
+"""
+
+_GAP_FILL_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+spine AS (
+  SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1))
+SELECT spine.event_type, CAST(spine.day AS TIMESTAMP) AS day,
+       CAST(coalesce(daily.n, 0) AS BIGINT) AS n
+FROM spine LEFT JOIN daily
+  ON spine.event_type = daily.event_type AND spine.day = daily.day
+ORDER BY spine.event_type, spine.day
+"""
+
 _TFIDF_SQL = """
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
 n AS (SELECT count(*) AS n_docs FROM documents),
@@ -1978,6 +2058,14 @@ def analytics_queries():
             ),
             _NGRAM_JACCARD_SQL,
         ),
+        # exact-recall scale path: prefix-filtered self-join, same
+        # oracle as the plain shingle self-join (outputs must be equal)
+        "dedup_jaccard_prefix": (
+            lambda s, sf: dedup.jaccard_prefix_pairs(
+                _t(s, sf, "documents").filter(F.col("doc_id") < 300), threshold=0.2
+            ),
+            _NGRAM_JACCARD_SQL,
+        ),
         "dedup_minhash_lsh": (
             lambda s, sf: dedup.minhash_dedup_pairs(
                 _t(s, sf, "documents").filter(F.col("doc_id") < 300), threshold=0.2
@@ -1989,6 +2077,22 @@ def analytics_queries():
                 _t(s, sf, "documents").filter(F.col("doc_id") < 300), threshold=0.2
             ),
             _MINHASH_RECALL_SQL,
+        ),
+        "text_ngram_novelty": (
+            lambda s, sf: text.ngram_novelty(_t(s, sf, "documents")),
+            _NGRAM_NOVELTY_SQL,
+        ),
+        "stats_kmv_distinct": (
+            lambda s, sf: text.kmv_distinct_ngrams(_t(s, sf, "documents")),
+            _KMV_SQL,
+        ),
+        "events_daily_anomaly": (
+            lambda s, sf: events.daily_anomaly(_t(s, sf, "events")),
+            _DAILY_ANOMALY_SQL,
+        ),
+        "events_gap_fill": (
+            lambda s, sf: events.daily_gap_fill(_t(s, sf, "events")),
+            _GAP_FILL_SQL,
         ),
         "text_vocabulary": (
             lambda s, sf: text.corpus_vocabulary(_t(s, sf, "documents")),

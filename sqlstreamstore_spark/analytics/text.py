@@ -132,6 +132,92 @@ def corpus_vocabulary(documents: DataFrame, limit: int = 200) -> DataFrame:
     )
 
 
+def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word n-grams NOT already seen in any lower-doc_id document — the
+    curation signal behind "how much of this crawl snapshot is new
+    content" (the complement of bulk inter-document repetition).
+
+    Shape at 100 TB: one shingle explode, one min-aggregate per shingle
+    (partial agg map-side), one linear join back on the shingle, one
+    per-doc aggregate — no pair joins anywhere. Novelty is an exact
+    int/int division, bit-identical in the oracle.
+    """
+    from sqlstreamstore_spark.analytics.dedup import _shingles
+
+    sh = documents.select(
+        "doc_id", F.explode(_shingles(F.col("text"), n)).alias("s")
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+            ).cast("bigint").alias("n_seen"),
+        )
+        .withColumn(
+            "novelty",
+            (F.col("n_grams") - F.col("n_seen")).cast("double")
+            / F.col("n_grams").cast("double"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def kmv_distinct_ngrams(documents: DataFrame, k: int = 64, n: int = 3) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch over the corpus's
+    word n-grams, next to the exact count it estimates.
+
+    The sketch: md5 maps grams ~uniformly onto [0, 1); the k-th
+    smallest of N distinct hashes sits near k/N, so N̂ = (k−1)/u_k —
+    and when fewer than k distinct hashes exist, the sketch holds the
+    whole domain and reports its exact size. Fixed-width lowercase hex
+    sorts lexicographically = numerically, so "k smallest hashes" is a
+    sort+limit (TakeOrderedAndProject: per-partition heaps of k rows,
+    driver merge — the sketch never shuffles more than k values per
+    partition). u_k uses the first 12 hex chars (48 bits — exact in
+    BIGINT and in double on both engines), making the whole estimate
+    deterministic and hash-oracle-able — unlike HLL-style sketches
+    whose register layouts are engine-private.
+
+    The exact count is computed alongside (it's the oracle of the
+    estimate); at 100 TB you'd drop it and keep only the k-row sketch,
+    which also merges across partitions/snapshots by union + re-limit.
+    """
+    from sqlstreamstore_spark.analytics.dedup import _shingles
+
+    hs = documents.select(
+        F.explode(_shingles(F.col("text"), n)).alias("s")
+    ).select(F.md5(F.col("s")).alias("h"))
+    sketch = (
+        hs.distinct()
+        .orderBy("h")
+        .limit(k)
+        .agg(F.count("*").alias("n_sketch"), F.max("h").alias("kth"))
+    )
+    exact = hs.distinct().agg(F.count("*").cast("bigint").alias("n_exact"))
+    frac = F.conv(F.substring(F.col("kth"), 1, 12), 16, 10).cast("double") / F.lit(
+        float(1 << 48)
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / frac)
+    return (
+        exact.join(sketch)  # two 1-row frames: trivial cross join
+        .select(
+            "n_exact",
+            F.lit(k).cast("bigint").alias("k"),
+            est.alias("kmv_estimate"),
+            ((est - F.col("n_exact").cast("double")) / F.col("n_exact").cast("double")).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
 def tf_idf_top_terms(
     documents: DataFrame, top_k: int = 3, max_doc: int = 50
 ) -> DataFrame:

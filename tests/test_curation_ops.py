@@ -1,0 +1,108 @@
+"""Behavioral pins for the curation/monitoring operators added in
+round 3d: n-gram novelty, the KMV distinct sketch, and the daily
+count-anomaly monitor (edges the row-level DuckDB oracle can't
+isolate: exact-copy novelty, sketch error bounds, z-score guards)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sqlstreamstore_spark.analytics.events import daily_anomaly
+from sqlstreamstore_spark.analytics.text import kmv_distinct_ngrams, ngram_novelty
+from sqlstreamstore_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_novelty_first_doc_is_one_copy_is_zero(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),          # exact copy -> novelty 0
+            (3, "x y z w v"),          # disjoint -> novelty 1
+            (4, "a b c x y z q r s"),  # mixes seen + new grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in ngram_novelty(docs).collect()}
+    assert rows[1].novelty == 1.0 and rows[1].n_seen == 0
+    assert rows[2].novelty == 0.0 and rows[2].n_seen == rows[2].n_grams
+    assert rows[3].novelty == 1.0
+    # doc 4: grams 'a b c' and 'x y z' seen (from docs 1/3), rest new
+    assert rows[4].n_seen == 2 and 0.0 < rows[4].novelty < 1.0
+
+
+def test_novelty_is_order_dependent_by_doc_id(spark):
+    """Novelty attributes each gram to its min-doc_id owner, regardless
+    of row order in the input."""
+    docs = spark.createDataFrame(
+        [(10, "p q r s"), (2, "p q r s")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in ngram_novelty(docs).collect()}
+    assert rows[2].novelty == 1.0
+    assert rows[10].novelty == 0.0
+
+
+def test_kmv_estimate_tracks_exact_count(spark):
+    docs = load_table(spark, SF, "documents")
+    row = kmv_distinct_ngrams(docs, k=64).first()
+    assert row.n_exact > 0 and row.k == 64
+    # KMV standard error ~ 1/sqrt(k-2) ~ 13% at k=64; allow 4 sigma
+    assert abs(row.rel_err) < 0.52
+    # deterministic: same inputs, same estimate
+    again = kmv_distinct_ngrams(docs, k=64).first()
+    assert again.kmv_estimate == row.kmv_estimate
+
+
+def test_kmv_small_domain_reports_exact(spark):
+    """Below k distinct values the sketch holds the whole domain and
+    reports its exact size (the standard KMV degenerate rule)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    row = kmv_distinct_ngrams(docs, k=64).first()
+    assert row.n_exact == 6  # 8 tokens -> 6 distinct 3-grams
+    assert row.kmv_estimate == 6.0 and row.rel_err == 0.0
+
+
+def test_daily_anomaly_constant_counts_zero_z(spark):
+    events = spark.createDataFrame(
+        [("click", f"2024-01-0{d}T00:00:0{i}") for d in range(1, 6) for i in range(3)],
+        "event_type string, iso string",
+    ).select("event_type", F.col("iso").cast("timestamp").alias("ts"))
+    rows = daily_anomaly(events).collect()
+    assert len(rows) == 5
+    assert all(r.n == 3 and r.z == 0.0 and r.ma7 == 3.0 for r in rows)
+
+
+def test_daily_anomaly_flags_spike_and_ma7_window(spark):
+    # 6 quiet days of 2 events, then a 20-event spike
+    data = [("buy", f"2024-01-0{d}T00:00:{i:02d}") for d in range(1, 7) for i in range(2)]
+    data += [("buy", f"2024-01-07T00:00:{i:02d}") for i in range(20)]
+    events = spark.createDataFrame(
+        data, "event_type string, iso string"
+    ).select("event_type", F.col("iso").cast("timestamp").alias("ts"))
+    rows = daily_anomaly(events).collect()
+    by_day = {r.day.day: r for r in rows}
+    assert by_day[7].z > 2.0
+    assert all(by_day[d].z < 0.0 for d in range(1, 7))
+    # trailing 7-day MA on day 7 covers all days: (6*2 + 20)/7
+    assert abs(by_day[7].ma7 - (32.0 / 7.0)) < 1e-12
+    # day 3's MA covers only days 1-3
+    assert by_day[3].ma7 == 2.0
+
+
+def test_gap_fill_inserts_zero_days(spark):
+    from sqlstreamstore_spark.analytics.events import daily_gap_fill
+
+    events = spark.createDataFrame(
+        [("click", "2024-01-01T08:00:00"), ("click", "2024-01-04T09:00:00"),
+         ("click", "2024-01-04T10:00:00"), ("buy", "2024-02-01T00:00:00")],
+        "event_type string, iso string",
+    ).select("event_type", F.col("iso").cast("timestamp").alias("ts"))
+    rows = daily_gap_fill(events).collect()
+    clicks = [(r.day.day, r.n) for r in rows if r.event_type == "click"]
+    # full spine 1..4 with explicit zeros on the silent days
+    assert clicks == [(1, 1), (2, 0), (3, 0), (4, 2)]
+    buys = [(r.day.month, r.n) for r in rows if r.event_type == "buy"]
+    assert buys == [(2, 1)]  # single-day spine, no padding beyond range

@@ -95,3 +95,41 @@ def test_shingle_operators_tolerate_short_documents(spark):
     assert [(r.doc_a, r.doc_b) for r in pairs] == [(2, 5)]
     cands = minhash_lsh_candidates(docs).collect()
     assert [(r.doc_a, r.doc_b) for r in cands] == [(2, 5)]
+
+
+def test_jaccard_prefix_equals_plain_self_join(spark):
+    """The prefix-filtered path is exact (recall 1.0 by the filter
+    theorem): identical rows to ngram_jaccard_pairs on the fixture at
+    two thresholds."""
+    from sqlstreamstore_spark.analytics.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for t in (0.2, 0.5):
+        plain = ngram_jaccard_pairs(docs, threshold=t).collect()
+        pref = jaccard_prefix_pairs(docs, threshold=t).collect()
+        assert [tuple(r) for r in pref] == [tuple(r) for r in plain]
+
+
+def test_jaccard_prefix_handles_tiny_and_identical_docs(spark):
+    """Identical docs (Jaccard 1.0) survive: the prefix of each is the
+    same rarest shingle, so the pair is always a candidate; docs below
+    n tokens vanish from both paths."""
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.analytics.dedup import jaccard_prefix_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),
+            (3, "x y"),          # < n tokens: no shingles
+            (4, "q r s t u v"),  # disjoint from everything
+        ],
+        "doc_id long, text string",
+    )
+    rows = jaccard_prefix_pairs(docs, threshold=0.9).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in rows] == [(1, 2, 1.0)]
