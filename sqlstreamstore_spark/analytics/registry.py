@@ -1430,6 +1430,20 @@ FROM spine LEFT JOIN daily
 ORDER BY spine.event_type, spine.day
 """
 
+_PPS_SAMPLE_SQL = """
+WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM base),
+cum AS (SELECT doc_id, w, CAST(sum(w) OVER (ORDER BY doc_id) AS BIGINT) AS c FROM base),
+m AS (
+  SELECT doc_id, w,
+         greatest(0, least(100, (200 * c + tw - 1) // (2 * tw)))
+       - greatest(0, least(100, (200 * (c - w) + tw - 1) // (2 * tw))) AS multiplicity
+  FROM cum, tot)
+SELECT doc_id, w, CAST(multiplicity AS BIGINT) AS multiplicity
+FROM m WHERE multiplicity > 0
+ORDER BY doc_id
+"""
+
 _TFIDF_SQL = """
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
 n AS (SELECT count(*) AS n_docs FROM documents),
@@ -2130,6 +2144,10 @@ def analytics_queries():
                 rates={"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.125},
             ).select("doc_id", "source").orderBy("doc_id"),
             _STRATIFIED_SQL,
+        ),
+        "sampling_pps_systematic": (
+            lambda s, sf: sampling.pps_systematic_sample(_t(s, sf, "documents")),
+            _PPS_SAMPLE_SQL,
         ),
         "pipeline_chunk_documents": (
             lambda s, sf: pipeline.chunk_documents(_t(s, sf, "documents"))

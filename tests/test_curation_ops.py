@@ -106,3 +106,41 @@ def test_gap_fill_inserts_zero_days(spark):
     assert clicks == [(1, 1), (2, 0), (3, 0), (4, 2)]
     buys = [(r.day.month, r.n) for r in rows if r.event_type == "buy"]
     assert buys == [(2, 1)]  # single-day spine, no padding beyond range
+
+
+def test_pps_systematic_multiplicity_and_total(spark):
+    from sqlstreamstore_spark.analytics.sampling import pps_systematic_sample
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, 1000), (4, 10), (5, 30)],
+        "doc_id long, n_chars int",
+    )
+    k = 8
+    rows = pps_systematic_sample(docs, k=k).collect()
+    by_id = {r.doc_id: r.multiplicity for r in rows}
+    # total multiplicity is exactly k; the dominant doc absorbs most points
+    assert sum(by_id.values()) == k
+    assert by_id[3] >= 6
+    assert 2 not in by_id  # zero weight -> empty interval, never selected
+
+
+def test_pps_matches_python_twin(spark):
+    """Differential vs a direct pure-Python enumeration of the k sample
+    points over the real fixture."""
+    from sqlstreamstore_spark.analytics.sampling import pps_systematic_sample
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars")
+    k = 37
+    rows = pps_systematic_sample(docs, k=k).collect()
+    data = sorted((r.doc_id, r.n_chars) for r in docs.collect())
+    total = sum(w for _, w in data)
+    points = [total * (2 * i + 1) // (2 * k) for i in range(k)]
+    expect: dict[int, int] = {}
+    cum = 0
+    pi = 0
+    for doc_id, w in data:
+        lo, cum = cum, cum + w
+        while pi < len(points) and lo <= points[pi] < cum:
+            expect[doc_id] = expect.get(doc_id, 0) + 1
+            pi += 1
+    assert {r.doc_id: r.multiplicity for r in rows} == expect
