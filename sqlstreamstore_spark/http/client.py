@@ -78,6 +78,13 @@ class HttpClientStreamStore:
             if e.code == 304 and cached is not None:
                 e.read()
                 return cached[1], cached[2], cached[3]
+            if e.code == 308 and method == "GET":
+                # canonical-URL redirect (PermanentRedirectResponse.cs)
+                # — urllib's opener follows 301/302/307 but not 308
+                e.read()
+                loc = e.headers.get("Location", "")
+                if loc and loc != path:
+                    return self._request(method, loc, body, headers)
             raw = e.read()
             payload = json.loads(raw) if raw else {}
             if e.code == 409:
@@ -150,12 +157,18 @@ class HttpClientStreamStore:
         page = self.read_stream_backwards(stream_id, -1, 1)
         return page.last_stream_version
 
+    @staticmethod
+    def _feed_query(forwards: bool, pos: int, max_count: int, prefetch: bool) -> str:
+        """The canonical query serialization (LinkFormatter
+        GetStreamQueryString) — emitting it directly means the server
+        never has to 308 us onto it."""
+        base = f"d={'f' if forwards else 'b'}&p={pos}&m={max_count}"
+        return base + ("&e=1" if prefetch else "")
+
     def _read_all(self, forwards: bool, position: int, max_count: int, prefetch: bool) -> ReadAllPage:
-        d = "f" if forwards else "b"
         _code, _h, b = self._request(
             "GET",
-            f"/stream?d={d}&position={position}&m={max_count}"
-            f"&prefetch={'true' if prefetch else 'false'}",
+            f"/stream?{self._feed_query(forwards, position, max_count, prefetch)}",
         )
         page = ReadAllPage(
             from_position=b["fromPosition"],
@@ -182,11 +195,10 @@ class HttpClientStreamStore:
     def _read_stream(
         self, stream_id: str, forwards: bool, version: int, max_count: int, prefetch: bool
     ) -> ReadStreamPage:
-        d = "f" if forwards else "b"
         _code, _h, b = self._request(
             "GET",
-            f"/streams/{self._sid(stream_id)}?d={d}&position={version}&m={max_count}"
-            f"&prefetch={'true' if prefetch else 'false'}",
+            f"/streams/{self._sid(stream_id)}"
+            f"?{self._feed_query(forwards, version, max_count, prefetch)}",
         )
         page = ReadStreamPage(
             stream_id=b["streamId"],
@@ -224,9 +236,10 @@ class HttpClientStreamStore:
         self, pattern: str | None = None, kind: str = "any",
         max_count: int = 100, continuation: int = -1,
     ) -> tuple[list[str], int]:
-        q = f"/streams?kind={kind}&m={max_count}&token={continuation}"
+        t = {"startswith": "s", "endswith": "e"}.get(kind, "")
+        q = f"/streams?t={t}&m={max_count}&c={continuation}"
         if pattern:
-            q += f"&pattern={quote(pattern, safe='')}"
+            q += f"&p={quote(pattern, safe='')}"
         _code, _h, b = self._request("GET", q)
         return b["streamIds"], b["continuationToken"]
 

@@ -5,13 +5,17 @@ src/SqlStreamStore.Http.Common/Constants.cs:44-80). stdlib-only
 (http.server), threaded, JSON bodies with HAL ``_links``/``_embedded``
 envelopes on the read feeds.
 
-Routes (mirroring Constants.Paths — ``stream`` is the $all feed,
-``streams/{id}`` a single stream):
+Routes and query grammar mirror Constants.Paths +
+Http.Common/LinkFormatter.cs exactly (``stream`` is the $all feed,
+``streams/{id}`` a single stream; read params ``d`` direction,
+``p`` position/version, ``m`` max count, ``e=1`` embed/prefetch;
+list params ``p`` pattern, ``t`` s|e pattern type, ``m``, ``c``
+continuation):
 
   GET    /                                   index (HAL links)
-  GET    /stream?d=f|b&position=&m=&prefetch= ReadAll page
+  GET    /stream?d=f|b&p=&m=[&e=1]           ReadAll page
   HEAD   /stream                             head position header
-  GET    /streams/{id}?d=f|b&position=&m=&prefetch= ReadStream page
+  GET    /streams/{id}?d=f|b&p=&m=[&e=1]     ReadStream page
   POST   /streams/{id}      body=[messages]  AppendToStream
                             header SSS-ExpectedVersion
   DELETE /streams/{id}                       DeleteStream
@@ -20,7 +24,17 @@ Routes (mirroring Constants.Paths — ``stream`` is the $all feed,
   DELETE /streams/{id}/messages/{mid}        DeleteMessage
   GET    /streams/{id}/metadata              GetStreamMetadata
   POST   /streams/{id}/metadata              SetStreamMetadata
-  GET    /streams?pattern=&kind=&m=&token=   ListStreams
+  GET    /streams?p=&t=&m=&c=                ListStreams
+
+Canonical URLs (AllStream/ReadAllStreamOperation.cs:47-59,
+AllStreamResource.cs:29-31, CanonicalUrlTests.cs): a feed GET whose
+query string is not the canonical serialization ``d=&p=&m=[&e=1]`` —
+wrong parameter order, defaulted/omitted values, unknown params —
+receives ``308 Permanent Redirect`` to the canonical form, so every
+page has exactly one cacheable URL. Parameter defaulting follows the
+reference bit-for-bit: d other than f/F ⇒ backwards (absent too),
+bad/absent p ⇒ start (forwards) / end (backwards), p < −1 clamps to
+−1, bad/absent/non-positive m ⇒ 20, prefetch only when e=1.
 
 Error contract: 400 invalid ids/args, 404 unknown route, 409
 WrongExpectedVersion (body carries streamId/expectedVersion so the
@@ -64,6 +78,33 @@ CACHE_CONTROL_ONE_YEAR = "max-age=31536000"
 def _etag(value: int) -> str:
     """ETags are the position/version in double quotes (ETag.cs:11-12)."""
     return f'"{value}"'
+
+
+def _read_params(q: dict) -> tuple[bool, int, int, bool]:
+    """Reference feed-param semantics (ReadAllStreamOperation.cs:19-45 /
+    ReadStreamOperation.cs): returns (forwards, pos, max_count,
+    prefetch)."""
+    forwards = q.get("d") in ("f", "F")
+    try:
+        pos = int(q["p"])
+        if pos < -1:
+            pos = -1
+    except (KeyError, ValueError):
+        pos = 0 if forwards else -1
+    try:
+        m = int(q["m"])
+        if m <= 0:
+            m = 20
+    except (KeyError, ValueError):
+        m = 20
+    return forwards, pos, m, q.get("e") == "1"
+
+
+def _canonical_query(forwards: bool, pos: int, m: int, prefetch: bool) -> str:
+    """LinkFormatter.GetStreamQueryString: d, p, m in that order; e=1
+    appended only when prefetching."""
+    base = f"d={'f' if forwards else 'b'}&p={pos}&m={m}"
+    return base + ("&e=1" if prefetch else "")
 
 
 class _BadRequest(Exception):
@@ -257,11 +298,14 @@ def _make_handler(store: StreamStore):
             elif parts == ["stream"]:
                 self._read_all(q)
             elif parts == ["streams"]:
+                # LinkFormatter.ListStreams: p=pattern, t=s|e, m, c
                 ids, token = store.list_streams(
-                    pattern=q.get("pattern") or None,
-                    kind=q.get("kind", "any"),
+                    pattern=q.get("p") or None,
+                    kind={"s": "startswith", "e": "endswith"}.get(
+                        q.get("t", ""), "any"
+                    ),
                     max_count=self._parse(lambda: int(q.get("m", 100))),
-                    continuation=self._parse(lambda: int(q.get("token", -1))),
+                    continuation=self._parse(lambda: int(q.get("c", -1))),
                 )
                 self._send(200, {"streamIds": ids, "continuationToken": token,
                                  "_links": {"self": {"href": self.path}}})
@@ -285,17 +329,29 @@ def _make_handler(store: StreamStore):
             else:
                 self._send(404)
 
+        def _canonical_redirect(self, q, path_prefix: str) -> tuple | None:
+            """308 to the canonical URL when the raw query string is not
+            the canonical serialization (AllStreamResource.cs:29-31);
+            returns the parsed params when already canonical."""
+            forwards, pos, m, prefetch = _read_params(q)
+            canon = _canonical_query(forwards, pos, m, prefetch)
+            if urlparse(self.path).query != canon:
+                self._send(308, None, {"Location": f"{path_prefix}?{canon}"})
+                return None
+            return forwards, pos, m, prefetch
+
         def _read_all(self, q):
-            forwards = q.get("d", "f") == "f"
-            pos = self._parse(lambda: int(q.get("position", 0 if forwards else -1)))
-            m = self._parse(lambda: int(q.get("m", 20)))
-            prefetch = q.get("prefetch", "true") == "true"
+            params = self._canonical_redirect(q, "/stream")
+            if params is None:
+                return
+            forwards, pos, m, prefetch = params
             page = (
                 store.read_all_forwards(pos, m, prefetch)
                 if forwards
                 else store.read_all_backwards(pos, m, prefetch)
             )
             d = "f" if forwards else "b"
+            e = "&e=1" if prefetch else ""
             # PageExtensions.cs TryGetETag(ReadAllPage): pages touching
             # the head get a position ETag + no-cache; interior pages are
             # immutable and cacheable for a year.
@@ -318,17 +374,19 @@ def _make_handler(store: StreamStore):
                 "_embedded": {"streamStore:message": [_msg_json(x) for x in page.messages]},
                 "_links": {
                     "self": {"href": self.path},
-                    "next": {"href": f"/stream?d={d}&position={page.next_position}&m={m}"},
-                    "first": {"href": f"/stream?d=f&position=0&m={m}"},
-                    "last": {"href": f"/stream?d=b&position=-1&m={m}"},
+                    "next": {"href": f"/stream?d={d}&p={page.next_position}&m={m}{e}"},
+                    "first": {"href": f"/stream?d=f&p=0&m={m}{e}"},
+                    "last": {"href": f"/stream?d=b&p=-1&m={m}{e}"},
                 },
             }, headers)
 
         def _read_stream(self, stream_id, q):
-            forwards = q.get("d", "f") == "f"
-            pos = self._parse(lambda: int(q.get("position", 0 if forwards else -1)))
-            m = self._parse(lambda: int(q.get("m", 20)))
-            prefetch = q.get("prefetch", "true") == "true"
+            params = self._canonical_redirect(
+                q, urlparse(self.path).path
+            )
+            if params is None:
+                return
+            forwards, pos, m, prefetch = params
             page = (
                 store.read_stream_forwards(stream_id, pos, m, prefetch)
                 if forwards

@@ -230,7 +230,10 @@ def test_http_malformed_requests_get_4xx_not_dropped_connections(duo):
     assert req("POST", "/streams/s", json.dumps([{"x": 1}]).encode()) == 400
     assert req("POST", "/streams/s", b"[]", {"SSS-ExpectedVersion": "abc"}) == 400
     assert req("GET", "/nope/deep/path") == 404
-    assert req("GET", "/stream?position=xx") == 400
+    # feed params never 400: the reference defaults anything unparsable
+    # (ReadAllStreamOperation.cs int.TryParse fallbacks) and 308s the
+    # request onto the canonical URL (urllib follows the redirect)
+    assert req("GET", "/stream?position=xx") == 200
     assert req("POST", "/streams/s/metadata", b'"just a string"') == 400
     # the server is still alive and serving after all of that
     client.append_to_stream("alive", ExpectedVersion.NO_STREAM, msgs(1))
@@ -352,7 +355,7 @@ def test_http_store_bugs_are_500_not_400(duo):
         raise KeyError("store internal bug")
 
     backend.read_all_forwards = boom
-    status, _h, body = _raw_get(client.base_url, "/stream")
+    status, _h, body = _raw_get(client.base_url, "/stream?d=f&p=0&m=20")
     assert status == 500
     assert b"KeyError" in body
 
@@ -468,3 +471,50 @@ def test_unknown_verbs_get_405_with_allow():
         assert "POST" in e.value.headers["Allow"]
     finally:
         server.stop()
+
+
+def test_http_canonical_url_redirects(duo):
+    """Port of CanonicalUrlTests.cs: a feed GET whose query string is
+    not the canonical `d=&p=&m=[&e=1]` serialization gets a 308 with
+    the canonical Location; canonical requests are served directly."""
+    import urllib.error
+    import urllib.request
+
+    _backend, client, _clock = duo
+    client.append_to_stream("a-stream", ExpectedVersion.NO_STREAM, msgs(3))
+
+    class NoRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, *a, **k):
+            return None
+
+    opener = urllib.request.build_opener(NoRedirect)
+
+    def get(path):
+        try:
+            with opener.open(client.base_url + path, timeout=10) as resp:
+                return resp.status, resp.headers.get("Location")
+        except urllib.error.HTTPError as e:
+            e.read()
+            return e.code, e.headers.get("Location")
+
+    # canonical forms pass straight through
+    assert get("/stream?d=f&p=0&m=20")[0] == 200
+    assert get("/stream?d=b&p=-1&m=20&e=1")[0] == 200
+    assert get("/streams/a-stream?d=f&p=0&m=20")[0] == 200
+    # permuted parameter order -> 308 onto the canonical form
+    assert get("/stream?m=20&d=f&p=0") == (308, "/stream?d=f&p=0&m=20")
+    assert get("/stream?p=0&e=1&d=f&m=20") == (308, "/stream?d=f&p=0&m=20&e=1")
+    # e=0 is not canonical (prefetch off omits e entirely)
+    assert get("/stream?d=f&p=0&m=20&e=0") == (308, "/stream?d=f&p=0&m=20")
+    # defaulted/absent params -> canonical backwards-from-end form
+    assert get("/stream") == (308, "/stream?d=b&p=-1&m=20")
+    # bad numbers default per the reference's TryParse fallbacks
+    assert get("/stream?d=f&p=xx&m=-5") == (308, "/stream?d=f&p=0&m=20")
+    # p below End clamps to -1
+    assert get("/stream?d=b&p=-9&m=20") == (308, "/stream?d=b&p=-1&m=20")
+    # stream feeds redirect too, preserving the path
+    assert get("/streams/a-stream?m=20&d=f&p=0") == (
+        308, "/streams/a-stream?d=f&p=0&m=20")
+    # the redirected-to URL itself serves (full loop works end to end)
+    code, _ = get("/stream?d=b&p=-1&m=20")
+    assert code == 200
