@@ -366,6 +366,13 @@ def _make_handler(store: StreamStore):
                 if tag is not None
                 else {"Cache-Control": CACHE_CONTROL_ONE_YEAR}
             )
+            if not forwards and pos == -1:
+                # AllStreamResource.cs:76-83: from-end reads expose the
+                # head position as a header so pollers can track the log
+                # head without parsing the body
+                headers[HEAD_POSITION_HEADER] = str(
+                    msgs[0].position if msgs else -1
+                )
             self._send_cached(200, {
                 "fromPosition": page.from_position,
                 "nextPosition": page.next_position,

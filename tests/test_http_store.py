@@ -518,3 +518,17 @@ def test_http_canonical_url_redirects(duo):
     # the redirected-to URL itself serves (full loop works end to end)
     code, _ = get("/stream?d=b&p=-1&m=20")
     assert code == 200
+
+
+def test_http_head_position_header_on_from_end_reads(duo):
+    """HeadersTests.cs: an all-feed read from Position.End carries
+    SSS-HeadPosition with the log head (-1 while empty)."""
+    _backend, client, _clock = duo
+    _s, h, _b = _raw_get(client.base_url, "/stream?d=b&p=-1&m=20&e=1")
+    assert h.get("SSS-HeadPosition") == "-1"
+    client.append_to_stream("a-stream", ExpectedVersion.NO_STREAM, msgs(*range(1, 11)))
+    _s, h, _b = _raw_get(client.base_url, "/stream?d=b&p=-1&m=20&e=1")
+    assert h.get("SSS-HeadPosition") == "9"
+    # interior pages don't carry it
+    _s, h, _b = _raw_get(client.base_url, "/stream?d=f&p=0&m=5")
+    assert "SSS-HeadPosition" not in h
