@@ -151,6 +151,20 @@ def jaccard_prefix_pairs(
     Global ordering = (document frequency ASC, shingle ASC), realized
     per-doc with a window — no global rank materialization, so nothing
     single-partition at any scale.
+
+    Regime (measured, sf0.1, BASELINE.md §3d): the prefix cut shrinks
+    the join mass Σdf² 2.8× here (2.79M→0.99M), but on THIS fixture the
+    plain self-join's mass is already trivial, so the extra df-join +
+    window + distinct make the prefix path ~3× slower wall-clock. The
+    crossover favors prefix filtering when the mass is the bottleneck:
+    real corpora grow vocabulary with N (Heaps' law), keeping each
+    doc's rarest shingles rare — prefix mass stays near-linear while
+    the plain join's Zipf head explodes quadratically. The fixture's
+    31-word vocabulary is the adversarial case: every shingle's df
+    grows linearly with N, so both paths are quadratic and only the
+    constant separates them. Production rule: prefix-filter when
+    df-quantiles shift with corpus growth (open vocabulary); plain
+    join + `max_shingle_df` hot-key drop when vocabulary is closed.
     """
     from pyspark.sql import Window
 

@@ -49,6 +49,7 @@ class SparkParquetStreamStore(StreamStore):
         path: str,
         get_utc_now: Callable[[], _dt.datetime] | None = None,
         track_deletions: bool = True,
+        as_of_version: int | None = None,
     ):
         super().__init__(get_utc_now, track_deletions)
         self.spark = spark
@@ -57,11 +58,52 @@ class SparkParquetStreamStore(StreamStore):
         self._manifest_path = os.path.join(path, "manifest.json")
         self._lock_path = os.path.join(path, ".manifest.lock")
         self._version_path = os.path.join(path, "manifest.version")
+        self._history_dir = os.path.join(path, "manifest.history")
         os.makedirs(self._data_dir, exist_ok=True)
+        self._read_only = as_of_version is not None
         self._manifest = self._load_manifest()
+        if as_of_version is not None and self._manifest["version"] != as_of_version:
+            self._manifest = self._load_archived_manifest(as_of_version)
         self._ids_cache: dict[str, list[str]] = {}
         self._log_cache: DataFrame | None = None
         self._log_cache_version = -1
+
+    # ---------------------------------------------------------- time travel
+
+    def as_of(self, version: int) -> "SparkParquetStreamStore":
+        """Read-only snapshot of the store at manifest ``version`` —
+        Delta-style time travel over the commit log. Every commit
+        archives its manifest into ``manifest.history/``, and data files
+        are immutable until ``compact()``, so the full read API
+        (paged reads, heads, metadata, list_streams, ``log_df``) works
+        against any archived version: audit "what did consumers see at
+        commit V", reproduce a downstream job, or diff two commits.
+        Write operations on a snapshot raise.
+
+        Caveat (same contract as Delta VACUUM): ``compact()`` rewrites
+        the live log and deletes superseded data files — snapshots older
+        than the last compaction may reference removed files and fail at
+        scan time. Archive retention is the operator's policy decision.
+        """
+        return SparkParquetStreamStore(
+            self.spark, self.path, get_utc_now=self.get_utc_now,
+            track_deletions=self.track_deletions, as_of_version=version,
+        )
+
+    @property
+    def manifest_version(self) -> int:
+        """The commit version this handle reads (monotonic per commit)."""
+        return self._manifest["version"]
+
+    def _load_archived_manifest(self, version: int) -> dict:
+        p = os.path.join(self._history_dir, f"{version}.json")
+        if not os.path.exists(p):
+            raise ValueError(
+                f"no archived manifest for version {version} at {p} "
+                "(store predates time travel, or archives were pruned)"
+            )
+        with open(p) as f:
+            return json.load(f)
 
     def refresh(self) -> None:
         """Re-sync this handle with the on-disk manifest — the retry
@@ -71,6 +113,8 @@ class SparkParquetStreamStore(StreamStore):
         in-memory state from a failed attempt; the attempt's orphan data
         files are invisible to manifest-scoped readers and reclaimed by
         ``compact()``."""
+        if self._read_only:
+            return  # snapshots stay frozen at their version
         with self._write_lock:
             self._manifest = self._load_manifest()
             self._ids_cache.clear()
@@ -124,6 +168,11 @@ class SparkParquetStreamStore(StreamStore):
 
         from sqlstreamstore_spark.exceptions import ConcurrentWriteError
 
+        if self._read_only:
+            raise ValueError(
+                "as_of() snapshot handles are read-only; open the store "
+                "without as_of_version to write"
+            )
         expected = self._manifest["version"]
         with open(self._lock_path, "w") as lk:
             fcntl.flock(lk, fcntl.LOCK_EX)
@@ -154,6 +203,16 @@ class SparkParquetStreamStore(StreamStore):
                 with open(tmpv, "w") as f:
                     f.write(str(self._manifest["version"]))
                 os.replace(tmpv, self._version_path)
+                # archive this commit's manifest for as_of() time travel
+                # (tiny JSON per commit; pruning is an operator policy)
+                os.makedirs(self._history_dir, exist_ok=True)
+                hist = os.path.join(
+                    self._history_dir, f"{self._manifest['version']}.json"
+                )
+                tmph = hist + f".tmp.{_uuid.uuid4().hex}"
+                with open(tmph, "w") as f:
+                    json.dump(self._manifest, f, separators=(",", ":"))
+                os.replace(tmph, hist)
             finally:
                 fcntl.flock(lk, fcntl.LOCK_UN)
 
@@ -375,7 +434,15 @@ class SparkParquetStreamStore(StreamStore):
         rows.sort(key=lambda r: r["position"], reverse=not forwards)
         return self._rows_to_messages(rows[:count])
 
+    def _assert_writable(self) -> None:
+        if self._read_only:
+            raise ValueError(
+                "as_of() snapshot handles are read-only; open the store "
+                "without as_of_version to write"
+            )
+
     def _commit_messages(self, stream_id, base_version, base_position, messages, created_utc):
+        self._assert_writable()
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -446,6 +513,7 @@ class SparkParquetStreamStore(StreamStore):
         return version, position
 
     def _delete_stream_rows(self, stream_id) -> bool:
+        self._assert_writable()
         s = self._manifest["streams"].pop(stream_id, None)
         self._ids_cache.pop(stream_id, None)
         if s is None:
@@ -512,6 +580,7 @@ class SparkParquetStreamStore(StreamStore):
                 self._save_manifest()
 
     def _delete_message_row(self, stream_id, message_id) -> bool:
+        self._assert_writable()
         ids = self._stream_stored_ids(stream_id)
         if message_id not in ids:
             return False
@@ -575,6 +644,7 @@ class SparkParquetStreamStore(StreamStore):
         the two-phase dense index (no single-partition funnel); stream
         versions by a per-stream window. Returns (n_rows, new_head).
         """
+        self._assert_writable()
         # same serialized-writer guarantee as the transactional API —
         # the streaming sink invokes this from the micro-batch thread
         # while the owning application may append on its own thread.
@@ -693,6 +763,7 @@ class SparkParquetStreamStore(StreamStore):
         for a severely-neglected 100 TB store run compact() directly —
         it applies the same predicates without materializing victims.
         """
+        self._assert_writable()
         from sqlstreamstore_spark.operators.retention import (
             expire_all_victims_df,
             scavenge_all_victims_df,
@@ -773,6 +844,7 @@ class SparkParquetStreamStore(StreamStore):
           - "by_stream": range-partition on (stream_id, stream_version)
             → per-stream reads touch only that stream's files/row-groups.
         """
+        self._assert_writable()
         if layout not in ("by_position", "by_stream"):
             raise ValueError(f"unknown layout {layout!r}")
         sort_cols = (

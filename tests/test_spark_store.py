@@ -483,3 +483,46 @@ def test_sparkless_handle_full_read_surface(spark, tmp_path):
         sub = subscribe_to_all(r, cb, poll_interval=0.05)
         assert done.wait(20), f"{layout}: only {len(got)}/{n_total}"
         sub.dispose()
+
+
+def test_as_of_time_travel_snapshots(spark, tmp_path):
+    """as_of(V) serves the exact read surface the store had at commit V:
+    appends after V are invisible, deletes after V un-happen, heads and
+    pages match what a reader saw then; snapshots reject writes and
+    stay frozen across refresh()."""
+    s = SparkParquetStreamStore(spark, str(tmp_path / "tt"))
+    s.append_to_stream("a", ExpectedVersion.NO_STREAM, msgs(1, 2))
+    v1 = s.manifest_version
+    obs_v1 = page_obs(s.read_all_forwards(0, 100))
+    head_v1 = s.read_head_position()
+    s.append_to_stream("b", ExpectedVersion.NO_STREAM, msgs(3))
+    v2 = s.manifest_version
+    obs_v2 = page_obs(s.read_all_forwards(0, 100))
+    s.delete_stream("a")
+    assert s.manifest_version > v2
+
+    snap1 = s.as_of(v1)
+    assert page_obs(snap1.read_all_forwards(0, 100)) == obs_v1
+    assert snap1.read_head_position() == head_v1
+    assert snap1.list_streams()[0] == ["a"]
+    snap2 = s.as_of(v2)
+    assert page_obs(snap2.read_all_forwards(0, 100)) == obs_v2
+    assert sorted(snap2.list_streams()[0]) == ["a", "b"]
+    # the live handle meanwhile sees the delete
+    assert s.read_stream_forwards("a", 0, 10).status == "StreamNotFound"
+    assert snap1.read_stream_forwards("a", 0, 10).status == "Success"
+
+    with pytest.raises(ValueError, match="read-only"):
+        snap1.append_to_stream("a", ExpectedVersion.ANY, msgs(9))
+    with pytest.raises(ValueError, match="read-only"):
+        snap1.delete_stream("a")
+    snap1.refresh()  # no-op: stays frozen
+    assert snap1.manifest_version == v1
+
+    with pytest.raises(ValueError, match="no archived manifest"):
+        s.as_of(99999)
+
+    # as_of(current) works even with no archive lookup
+    cur = s.as_of(s.manifest_version)
+    assert page_obs(cur.read_all_forwards(0, 100)) == page_obs(
+        s.read_all_forwards(0, 100))
