@@ -320,7 +320,7 @@ print("done")
 
             import urllib.request
 
-            url = f"{srv.url}/stream?d=f&position={pos}&m=1000"
+            url = f"{srv.url}/stream?d=f&p={pos}&m=1000"
             req = urllib.request.urlopen(url)
             etag = req.headers.get("ETag")
             req.read()

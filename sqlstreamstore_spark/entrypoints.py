@@ -181,6 +181,41 @@ def _stream_store_queries() -> dict[str, QuerySpec]:
 WHERE rk > {SCAVENGE_MAX_COUNT}
 ORDER BY stream_id, stream_version""",
         ),
+        # Time travel through the actual store: two bulk commits, then
+        # read commit 1 via as_of() and the commit-1→2 delta via
+        # changes_between(). The oracle replays the same two-phase
+        # ingest arithmetic (positions continue from the first commit's
+        # row count, versions from each stream's first-commit count).
+        "store_time_travel": (
+            _time_travel_query,
+            C
+            + f""", first AS (SELECT * FROM events_log WHERE position < {TT_SPLIT}),
+second AS (SELECT * FROM events_log WHERE position >= {TT_SPLIT}),
+ing1 AS (
+  SELECT row_number() OVER (ORDER BY stream_id, position) - 1 AS position,
+         stream_id,
+         CAST(row_number() OVER (PARTITION BY stream_id ORDER BY position) - 1 AS INTEGER)
+           AS stream_version,
+         type, json_data
+  FROM first),
+cnt1 AS (SELECT stream_id, count(*) AS c FROM first GROUP BY stream_id),
+ing2 AS (
+  SELECT {TT_SPLIT} + row_number() OVER (ORDER BY s.stream_id, s.position) - 1 AS position,
+         s.stream_id,
+         CAST(coalesce(c.c, 0)
+              + row_number() OVER (PARTITION BY s.stream_id ORDER BY s.position) - 1 AS INTEGER)
+           AS stream_version,
+         s.type, s.json_data
+  FROM second s LEFT JOIN cnt1 c ON s.stream_id = c.stream_id)
+SELECT * FROM (
+  SELECT 'snapshot' AS phase, position, stream_id, stream_version, type, json_data
+  FROM ing1 ORDER BY position LIMIT 100)
+UNION ALL
+SELECT * FROM (
+  SELECT 'delta' AS phase, position, stream_id, stream_version, type, json_data
+  FROM ing2 ORDER BY position LIMIT 100)
+ORDER BY phase, position""",
+        ),
         "store_bulk_roundtrip": (
             _store_roundtrip_query,
             C
@@ -233,6 +268,45 @@ def _store_roundtrip_query(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("position")
         .limit(200)
     )
+
+
+TT_SPLIT = 150
+
+
+def _time_travel_query(spark: SparkSession, sf: str) -> DataFrame:
+    """as_of()/changes_between() through the real Parquet store: commit
+    the canonical log in two bulk commits, then read commit 1's
+    snapshot and the 1→2 delta (entrypoints oracle replays the same
+    two-phase position/version arithmetic in SQL)."""
+    import tempfile
+
+    from sqlstreamstore_spark.store.spark_store import SparkParquetStreamStore
+
+    log = get_log(spark, sf)
+    path = tempfile.mkdtemp(prefix="gate-store-timetravel-")
+    store = SparkParquetStreamStore(spark, path)
+    src = log.select(
+        "stream_id", "message_id", "type", "json_data", "json_metadata",
+        "created_utc", F.col("position").alias("seq"),
+    )
+    store.bulk_append(src.filter(F.col("seq") < TT_SPLIT), order_col="seq")
+    v1 = store.manifest_version
+    store.bulk_append(
+        src.filter(F.col("seq") >= TT_SPLIT), order_col="seq", allow_existing=True
+    )
+    v2 = store.manifest_version
+
+    def phase(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("phase"), "position", "stream_id",
+            "stream_version", "type", "json_data",
+        )
+
+    snap = phase(store.as_of(v1).log_df().orderBy("position").limit(100), "snapshot")
+    delta = phase(
+        store.changes_between(v1, v2).orderBy("position").limit(100), "delta"
+    )
+    return snap.unionAll(delta).orderBy("phase", "position")
 
 
 def _streams_view_query(spark: SparkSession, sf: str) -> DataFrame:

@@ -95,6 +95,26 @@ class SparkParquetStreamStore(StreamStore):
         """The commit version this handle reads (monotonic per commit)."""
         return self._manifest["version"]
 
+    def changes_between(self, from_version: int, to_version: int) -> DataFrame:
+        """CDC over commits: the messages a reader at ``to_version``
+        gained since ``from_version`` — the ``to`` snapshot's log
+        restricted to positions above the ``from`` head. Deletions that
+        happened before ``to`` are applied (they're part of ``to``'s
+        view); ones after are not. Feed it to incremental consumers
+        that process commit ranges instead of polling pages."""
+        head_from = (
+            -1 if from_version == 0
+            else self._manifest_at(from_version)["head_position"]
+        )
+        return self.as_of(to_version).log_df().filter(
+            F.col("position") > head_from
+        )
+
+    def _manifest_at(self, version: int) -> dict:
+        if version == self._manifest["version"]:
+            return self._manifest
+        return self._load_archived_manifest(version)
+
     def _load_archived_manifest(self, version: int) -> dict:
         p = os.path.join(self._history_dir, f"{version}.json")
         if not os.path.exists(p):

@@ -526,3 +526,19 @@ def test_as_of_time_travel_snapshots(spark, tmp_path):
     cur = s.as_of(s.manifest_version)
     assert page_obs(cur.read_all_forwards(0, 100)) == page_obs(
         s.read_all_forwards(0, 100))
+
+
+def test_changes_between_versions(spark, tmp_path):
+    s = SparkParquetStreamStore(spark, str(tmp_path / "cdc"))
+    s.append_to_stream("a", ExpectedVersion.NO_STREAM, msgs(1, 2))
+    v1 = s.manifest_version
+    s.append_to_stream("a", ExpectedVersion.ANY, msgs(3))
+    s.append_to_stream("b", ExpectedVersion.NO_STREAM, msgs(4))
+    v3 = s.manifest_version
+    delta = s.changes_between(v1, v3).orderBy("position").collect()
+    assert [(r.position, r.stream_id, r.stream_version) for r in delta] == [
+        (2, "a", 2), (3, "b", 0)]
+    # full history from version 0
+    assert s.changes_between(0, v3).count() == 4
+    # empty range
+    assert s.changes_between(v3, v3).count() == 0
