@@ -145,9 +145,12 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
     """
     from sqlstreamstore_spark.analytics.dedup import _shingles
 
+    # the shingle frame feeds both the min-aggregate and the join side —
+    # pin it so the explode runs once (2.4× at sf0.1; localCheckpoint,
+    # not persist: blocks die with the plan)
     sh = documents.select(
         "doc_id", F.explode(_shingles(F.col("text"), n)).alias("s")
-    )
+    ).localCheckpoint()
     firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     return (
         sh.join(firsts, "s")
