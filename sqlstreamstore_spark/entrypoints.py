@@ -368,19 +368,20 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stats_ntile_deciles", "stats_corr_regr", "pipeline_chunk_documents",
     "sampling_stratified_sources", "text_scrub_redact", "dedup_incremental_new",
     "sim_cosine_topk_pq_static", "sim_cosine_topk_pq",
-    # -- session-3 additions, strongest oracles first: the ~50-row cap
-    # cuts inside this block, so independently-oracled queries take the
-    # slots; golden-snapshot and rows-only ones (locally sim-verified +
-    # pytest-pinned) rotate in next round --
+    # -- §2-core + regression canaries, INSIDE the 50-row cap: the
+    # verdict's r3 "done" criteria are a green events_funnel row (the
+    # one r2 red, now BIGINT-cast) and the rewritten dedup_minhash_lsh
+    # staying green; read_all_forwards + store_bulk_roundtrip pin the
+    # read/commit paths every round --
+    "read_all_forwards", "store_bulk_roundtrip",
+    "events_funnel", "dedup_minhash_lsh",
+    # -- session-3+ additions past the cap (locally sim-verified +
+    # pytest-pinned; rotate into the gate across r4+) --
     "graph_pagerank", "graph_triangles", "graph_bfs_distances", "events_transitions",
     "multimodal_video_near_dup", "stats_window_ranks", "stats_higher_moments", "text_hashed_features", "fuzzy_name_matches",
     "multimodal_image_near_dup", "multimodal_extract_frames",
     "multimodal_image_ahash", "multimodal_audio_features",
     "text_bpe_stats", "text_compression_signals", "text_heavy_hitters",
-    # -- §2-core + regression canaries (the rest were driver-green in
-    # r1/r2 and stay pinned by tools/driver_sim.py + pytest) --
-    "read_all_forwards", "store_bulk_roundtrip",
-    "events_funnel", "dedup_minhash_lsh",
 )
 
 
