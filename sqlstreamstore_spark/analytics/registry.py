@@ -1396,6 +1396,35 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM hs) AS n_exact,
 FROM est
 """
 
+_KMV_BY_SOURCE_SQL = """
+WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+hs AS (
+  SELECT DISTINCT source, md5(s) AS h FROM (
+    SELECT source,
+           unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+    FROM toks WHERE len(w) >= 3)
+),
+sk AS (
+  SELECT source, count(*) AS n_sketch, max(h) AS kth
+  FROM (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hs)
+  WHERE rn <= 32 GROUP BY source),
+exact AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM hs GROUP BY source),
+est AS (
+  SELECT source, n_sketch,
+         CASE WHEN n_sketch < 32 THEN CAST(n_sketch AS DOUBLE)
+              ELSE 31.0 / (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(substr(kth, 1, 12), ''),
+                       c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                     (a, x) -> a * 16 + x) AS DOUBLE) / 281474976710656.0)
+         END AS kmv_estimate
+  FROM sk)
+SELECT exact.source, n_exact, kmv_estimate,
+       (kmv_estimate - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+FROM exact JOIN est ON exact.source = est.source
+ORDER BY exact.source
+"""
+
 _DAILY_ANOMALY_SQL = """
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -2099,6 +2128,10 @@ def analytics_queries():
         "stats_kmv_distinct": (
             lambda s, sf: text.kmv_distinct_ngrams(_t(s, sf, "documents")),
             _KMV_SQL,
+        ),
+        "stats_kmv_by_source": (
+            lambda s, sf: text.kmv_distinct_ngrams_by_source(_t(s, sf, "documents")),
+            _KMV_BY_SOURCE_SQL,
         ),
         "events_daily_anomaly": (
             lambda s, sf: events.daily_anomaly(_t(s, sf, "events")),

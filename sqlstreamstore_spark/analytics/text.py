@@ -221,6 +221,59 @@ def kmv_distinct_ngrams(documents: DataFrame, k: int = 64, n: int = 3) -> DataFr
     )
 
 
+def kmv_distinct_ngrams_by_source(
+    documents: DataFrame, k: int = 32, n: int = 3
+) -> DataFrame:
+    """Per-source KMV sketches next to their exact counts — the grouped
+    form of `kmv_distinct_ngrams`, showing the property that makes KMV
+    the right sketch for a partitioned corpus: it's an aggregate. Each
+    source keeps its k smallest hashes (a per-group window rank — the
+    shuffle key is the source, parallel over groups), estimates its own
+    distinct n-gram count, and two sources' sketches merge by
+    union + re-rank — so per-partition sketches roll up to any grouping
+    without rescanning the corpus."""
+    from pyspark.sql import Window
+
+    from sqlstreamstore_spark.analytics.dedup import _shingles
+
+    hs = (
+        documents.select(
+            "source", F.explode(_shingles(F.col("text"), n)).alias("s")
+        )
+        .select("source", F.md5(F.col("s")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sketch"), F.max("h").alias("kth"))
+    )
+    exact = hs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_exact")
+    )
+    frac = F.conv(F.substring(F.col("kth"), 1, 12), 16, 10).cast("double") / F.lit(
+        float(1 << 48)
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / frac)
+    return (
+        exact.join(sk, "source")
+        .select(
+            "source",
+            "n_exact",
+            est.alias("kmv_estimate"),
+            (
+                (est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double")
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
+
+
 def tf_idf_top_terms(
     documents: DataFrame, top_k: int = 3, max_doc: int = 50
 ) -> DataFrame:

@@ -144,3 +144,33 @@ def test_pps_matches_python_twin(spark):
             expect[doc_id] = expect.get(doc_id, 0) + 1
             pi += 1
     assert {r.doc_id: r.multiplicity for r in rows} == expect
+
+
+def test_kmv_sketches_merge_by_union_and_rerank(spark):
+    """The property that makes KMV the right distributed sketch: two
+    groups' k-minimum sets merged by union + re-rank equal the sketch
+    built over the union directly."""
+    from sqlstreamstore_spark.analytics.text import kmv_distinct_ngrams_by_source
+
+    docs = load_table(spark, SF, "documents")
+    k = 16
+    half_a = docs.filter(F.col("doc_id") % 2 == 0).withColumn("source", F.lit("all"))
+    half_b = docs.filter(F.col("doc_id") % 2 == 1).withColumn("source", F.lit("all"))
+    whole = docs.withColumn("source", F.lit("all"))
+    direct = kmv_distinct_ngrams_by_source(whole, k=k).first()
+    merged = kmv_distinct_ngrams_by_source(half_a.unionAll(half_b), k=k).first()
+    assert merged.kmv_estimate == direct.kmv_estimate
+    assert merged.n_exact == direct.n_exact
+
+
+def test_jaccard_prefix_plan_shape(spark):
+    """The prefix path's verify runs on per-doc sets (array_intersect)
+    with windowed-prefix candidate generation — never a cartesian."""
+    from sqlstreamstore_spark.analytics.dedup import jaccard_prefix_pairs
+    from tests.test_plans import plan_of
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(jaccard_prefix_pairs(docs))
+    assert "array_intersect" in p
+    assert "row_number" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
