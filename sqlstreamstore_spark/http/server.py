@@ -111,6 +111,49 @@ class _BadRequest(Exception):
     """Raised only by request-parsing code — maps to HTTP 400."""
 
 
+# /docs/{rel} markdown (reference: HAL Docs middleware + the rel set
+# asserted by DocumentationTests.cs). Our own text, describing THIS
+# server's wire contract.
+DOCS: dict[str, str] = {
+    "append": (
+        "# append\n\n"
+        "`POST /streams/{streamId}` with a JSON array of messages\n"
+        "(`messageId`, `type`, `jsonData`, optional `jsonMetadata`) and\n"
+        "an optional `SSS-ExpectedVersion` header (`-1` empty, `-2` any,\n"
+        "`-3` no stream, `n>=0` exact head). Returns `currentVersion` /\n"
+        "`currentPosition`; `409` with the stream id and expected\n"
+        "version on an optimistic-concurrency conflict. Repeating a\n"
+        "previously appended id sequence is an idempotent no-op.\n"
+    ),
+    "delete-stream": (
+        "# delete-stream\n\n"
+        "`DELETE /streams/{streamId}` with an optional\n"
+        "`SSS-ExpectedVersion` header. Removes the stream and its `$$`\n"
+        "metadata stream, appends a `$stream-deleted` tombstone to\n"
+        "`$deleted` (unless deletion tracking is disabled), and returns\n"
+        "`204`. A concrete expected version that does not match the\n"
+        "head — including deleting an absent stream — yields `409`.\n"
+    ),
+    "delete-message": (
+        "# delete-message\n\n"
+        "`DELETE /streams/{streamId}/messages/{messageId}` removes one\n"
+        "message and appends a `$message-deleted` tombstone to\n"
+        "`$deleted`. Remaining stream versions are NOT renumbered; a\n"
+        "later append continues from the old head. Returns `204`.\n"
+    ),
+    "metadata": (
+        "# metadata\n\n"
+        "`GET /streams/{streamId}/metadata` returns `maxAge` (seconds),\n"
+        "`maxCount`, `metadataJson`, and `metadataStreamVersion` (also\n"
+        "the response ETag). `POST` the same fields with\n"
+        "`expectedStreamMetadataVersion` to update; setting metadata is\n"
+        "idempotent per (stream, version, body) via deterministic\n"
+        "message ids. Retention applies lazily on read and via\n"
+        "scavenge on write.\n"
+    ),
+}
+
+
 def _msg_json(m) -> dict:
     return {
         "messageId": m.message_id,
@@ -293,8 +336,21 @@ def _make_handler(store: StreamStore):
                         "streamStore:feed": {"href": "/stream"},
                         "streamStore:find": {"href": "/streams/{streamId}", "templated": True},
                         "streamStore:feed-browser": {"href": "/streams"},
+                        "streamStore:docs": {"href": "/docs/{rel}", "templated": True},
                     }
                 })
+            elif len(parts) == 2 and parts[0] == "docs":
+                doc = DOCS.get(parts[1])
+                if doc is None:
+                    self._send(404)
+                else:
+                    payload = doc.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/markdown; charset=utf-8")
+                    self.send_header("Content-Length", str(len(payload)))
+                    self.send_header("Access-Control-Allow-Origin", "*")
+                    self.end_headers()
+                    self.wfile.write(payload)
             elif parts == ["stream"]:
                 self._read_all(q)
             elif parts == ["streams"]:

@@ -532,3 +532,28 @@ def test_http_head_position_header_on_from_end_reads(duo):
     # interior pages don't carry it
     _s, h, _b = _raw_get(client.base_url, "/stream?d=f&p=0&m=5")
     assert "SSS-HeadPosition" not in h
+
+
+def test_http_docs_markdown_for_documented_rels(duo):
+    """DocumentationTests.cs: every documented write relation serves
+    markdown at /docs/{rel}; unknown rels 404; the index links the
+    templated docs route."""
+    import urllib.request
+
+    _backend, client, _clock = duo
+    for rel in ("append", "delete-stream", "delete-message", "metadata"):
+        with urllib.request.urlopen(client.base_url + f"/docs/{rel}", timeout=10) as r:
+            assert r.status == 200
+            assert r.headers.get("Content-Type", "").startswith("text/markdown")
+            assert r.read().decode().startswith(f"# {rel}")
+    import json as _json
+    _s, _h, raw = _raw_get(client.base_url, "/")
+    idx = _json.loads(raw)
+    assert idx["_links"]["streamStore:docs"]["templated"] is True
+    import urllib.error
+    try:
+        urllib.request.urlopen(client.base_url + "/docs/nope", timeout=10)
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        e.read()
+        assert e.code == 404
