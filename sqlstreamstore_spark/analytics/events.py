@@ -175,6 +175,28 @@ def daily_anomaly(events: DataFrame) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+def cumulative_reach(events: DataFrame) -> DataFrame:
+    """Daily new-user counts and cumulative reach: each user's first
+    event day (one groupBy on user_id — the corpus-sized shuffle),
+    rolled up per day, then a running total over the day series. The
+    final window is ordered over DAYS — cardinality bounded by the
+    calendar, not the event volume, so the single-partition running sum
+    is a few hundred rows at any corpus scale. All-integer; bit-exact
+    oracle."""
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    daily = firsts.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    ).orderBy("day")
+
+
 def daily_gap_fill(events: DataFrame) -> DataFrame:
     """Zero-filled daily count series per event type: generate each
     type's full calendar spine (min..max day, `sequence` + explode —

@@ -1444,6 +1444,16 @@ WINDOW w7 AS (PARTITION BY event_type ORDER BY day
 ORDER BY event_type, day
 """
 
+_CUMULATIVE_REACH_SQL = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS day
+  FROM events GROUP BY user_id),
+daily AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM firsts GROUP BY day)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cumulative_users
+FROM daily ORDER BY day
+"""
+
 _GAP_FILL_SQL = """
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -2140,6 +2150,10 @@ def analytics_queries():
         "events_gap_fill": (
             lambda s, sf: events.daily_gap_fill(_t(s, sf, "events")),
             _GAP_FILL_SQL,
+        ),
+        "events_cumulative_reach": (
+            lambda s, sf: events.cumulative_reach(_t(s, sf, "events")),
+            _CUMULATIVE_REACH_SQL,
         ),
         "text_vocabulary": (
             lambda s, sf: text.corpus_vocabulary(_t(s, sf, "documents")),

@@ -174,3 +174,19 @@ def test_jaccard_prefix_plan_shape(spark):
     assert "array_intersect" in p
     assert "row_number" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_cumulative_reach_counts_first_days(spark):
+    from sqlstreamstore_spark.analytics.events import cumulative_reach
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01T10:00:00"), (1, "2024-01-03T10:00:00"),
+            (2, "2024-01-01T11:00:00"),
+            (3, "2024-01-03T09:00:00"), (3, "2024-01-04T09:00:00"),
+        ],
+        "user_id long, iso string",
+    ).select("user_id", F.col("iso").cast("timestamp").alias("ts"))
+    rows = cumulative_reach(events).collect()
+    assert [(r.day.day, r.new_users, r.cumulative_users) for r in rows] == [
+        (1, 2, 2), (3, 1, 3)]
