@@ -90,16 +90,25 @@ def pps_systematic_sample(documents: DataFrame, k: int = 100) -> DataFrame:
     cum = with_global_cumsum(base, ["doc_id"], "w", out_col="__cum")
     tot = base.agg(F.sum("w").alias("tw"))
 
-    def count_below(c: Column) -> Column:
-        raw = (F.lit(2 * k) * c + F.col("tw") - F.lit(1)) / (F.lit(2) * F.col("tw"))
-        return F.greatest(F.lit(0), F.least(F.lit(k), F.floor(raw)))
-
-    # integer div via floor is exact here: 2k·c + W − 1 < 2^53 for any
-    # corpus this fixture scales to; the oracle twin uses // on BIGINT.
-    mult = count_below(F.col("__cum")) - count_below(F.col("__cum") - F.col("w"))
-    return (
+    # LONG `div`, not floor(double /): at petabyte weight sums 2k·c
+    # approaches 2^53, where a double quotient can misround a boundary
+    # multiplicity by 1 against the oracle's exact BIGINT // division.
+    joined = (
         cum.join(F.broadcast(tot))
-        .select(
+        .withColumn("__num_hi", F.lit(2 * k) * F.col("__cum") + F.col("tw") - F.lit(1))
+        .withColumn(
+            "__num_lo",
+            F.lit(2 * k) * (F.col("__cum") - F.col("w")) + F.col("tw") - F.lit(1),
+        )
+        .withColumn("__den", F.lit(2) * F.col("tw"))
+    )
+
+    def clamp(c: Column) -> Column:
+        return F.greatest(F.lit(0).cast("long"), F.least(F.lit(k).cast("long"), c))
+
+    mult = clamp(F.expr("__num_hi div __den")) - clamp(F.expr("__num_lo div __den"))
+    return (
+        joined.select(
             "doc_id",
             "w",
             mult.cast("bigint").alias("multiplicity"),

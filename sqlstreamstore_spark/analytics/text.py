@@ -192,16 +192,18 @@ def kmv_distinct_ngrams(documents: DataFrame, k: int = 64, n: int = 3) -> DataFr
     """
     from sqlstreamstore_spark.analytics.dedup import _shingles
 
+    # pin the distinct hash frame: it feeds both the sketch and the
+    # exact count — without the pin the corpus explode+md5+distinct
+    # runs twice (the ngram_novelty pin discipline)
     hs = documents.select(
         F.explode(_shingles(F.col("text"), n)).alias("s")
-    ).select(F.md5(F.col("s")).alias("h"))
+    ).select(F.md5(F.col("s")).alias("h")).distinct().localCheckpoint()
     sketch = (
-        hs.distinct()
-        .orderBy("h")
+        hs.orderBy("h")
         .limit(k)
         .agg(F.count("*").alias("n_sketch"), F.max("h").alias("kth"))
     )
-    exact = hs.distinct().agg(F.count("*").cast("bigint").alias("n_exact"))
+    exact = hs.agg(F.count("*").cast("bigint").alias("n_exact"))
     frac = F.conv(F.substring(F.col("kth"), 1, 12), 16, 10).cast("double") / F.lit(
         float(1 << 48)
     )
@@ -242,6 +244,7 @@ def kmv_distinct_ngrams_by_source(
         )
         .select("source", F.md5(F.col("s")).alias("h"))
         .distinct()
+        .localCheckpoint()  # feeds both the per-group rank and the exact counts
     )
     w = Window.partitionBy("source").orderBy("h")
     sk = (

@@ -27,6 +27,7 @@ from sqlstreamstore_spark.exceptions import (
 from sqlstreamstore_spark.http.server import (
     EXPECTED_VERSION_HEADER,
     HEAD_POSITION_HEADER,
+    _canonical_query,
 )
 from sqlstreamstore_spark.store.messages import (
     AppendResult,
@@ -59,7 +60,8 @@ class HttpClientStreamStore:
 
     # ------------------------------------------------------------ transport
 
-    def _request(self, method: str, path: str, body=None, headers=None):
+    def _request(self, method: str, path: str, body=None, headers=None,
+                 _redirects: int = 0):
         data = None if body is None else json.dumps(body).encode()
         headers = {"Content-Type": "application/json", **(headers or {})}
         cached = self._etag_cache.get(path) if method == "GET" else None
@@ -78,13 +80,16 @@ class HttpClientStreamStore:
             if e.code == 304 and cached is not None:
                 e.read()
                 return cached[1], cached[2], cached[3]
-            if e.code == 308 and method == "GET":
-                # canonical-URL redirect (PermanentRedirectResponse.cs)
-                # — urllib's opener follows 301/302/307 but not 308
+            if e.code == 308 and method == "GET" and _redirects < 5:
+                # canonical-URL redirect (PermanentRedirectResponse.cs).
+                # Python 3.11+ urllib follows 308 natively, so this
+                # branch only runs on older runtimes; depth-capped like
+                # urllib's own redirect handler.
                 e.read()
                 loc = e.headers.get("Location", "")
                 if loc and loc != path:
-                    return self._request(method, loc, body, headers)
+                    return self._request(method, loc, body, headers,
+                                         _redirects + 1)
             raw = e.read()
             payload = json.loads(raw) if raw else {}
             if e.code == 409:
@@ -159,11 +164,10 @@ class HttpClientStreamStore:
 
     @staticmethod
     def _feed_query(forwards: bool, pos: int, max_count: int, prefetch: bool) -> str:
-        """The canonical query serialization (LinkFormatter
-        GetStreamQueryString) — emitting it directly means the server
-        never has to 308 us onto it."""
-        base = f"d={'f' if forwards else 'b'}&p={pos}&m={max_count}"
-        return base + ("&e=1" if prefetch else "")
+        """The canonical query serialization — the SERVER's own
+        serializer, imported, so client and server cannot drift (a
+        mismatch would silently add a 308 round trip to every read)."""
+        return _canonical_query(forwards, pos, max_count, prefetch)
 
     def _read_all(self, forwards: bool, position: int, max_count: int, prefetch: bool) -> ReadAllPage:
         _code, _h, b = self._request(
