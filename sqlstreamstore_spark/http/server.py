@@ -260,6 +260,24 @@ def _make_handler(store: StreamStore):
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             return parts, q
 
+        def _acceptable(self, *types: str) -> bool:
+            """AcceptMiddleware.cs parity: the request's Accept values
+            (params stripped) must include */* or one of the route's
+            media types; an absent header accepts anything."""
+            raw = self.headers.get("Accept")
+            if raw is None:
+                return True
+            vals = {v.split(";")[0].strip() for v in raw.split(",")}
+            return bool(vals & ({"*/*"} | set(types)))
+
+        def _not_acceptable(self, *types: str) -> None:
+            self._send(406, {
+                "type": "Not Acceptable",
+                "title": "Not Acceptable",
+                "detail": "The target resource only understands "
+                          + ", ".join(types) + ".",
+            })
+
         def _guard(self, fn):
             try:
                 fn()
@@ -329,6 +347,11 @@ def _make_handler(store: StreamStore):
 
         def _get(self):
             parts, q = self._route()
+            is_docs = len(parts) == 2 and parts[0] == "docs"
+            want = "text/markdown" if is_docs else HAL_CONTENT_TYPE
+            if not self._acceptable(want):
+                self._not_acceptable(want)
+                return
             if parts == []:
                 self._send(200, {
                     "_links": {
@@ -479,6 +502,9 @@ def _make_handler(store: StreamStore):
 
         def _post(self):
             parts, _q = self._route()
+            if not self._acceptable(HAL_CONTENT_TYPE):
+                self._not_acceptable(HAL_CONTENT_TYPE)
+                return
             if len(parts) == 2 and parts[0] == "streams":
                 body = self._body() or []
                 messages = self._parse(lambda: [

@@ -557,3 +557,28 @@ def test_http_docs_markdown_for_documented_rels(duo):
     except urllib.error.HTTPError as e:
         e.read()
         assert e.code == 404
+
+
+def test_http_content_negotiation_406(duo):
+    """ClientErrorTests.cs: HAL routes only speak application/hal+json,
+    docs only text/markdown; a non-matching Accept gets 406 with a
+    problem body. */*, parameters, and absent headers all accept."""
+    _backend, client, _clock = duo
+    cases = [
+        ("/stream?d=f&p=0&m=20", "text/plain", 406),
+        ("/stream?d=f&p=0&m=20", "application/hal+json", 200),
+        ("/stream?d=f&p=0&m=20", "application/hal+json; q=0.9", 200),
+        ("/stream?d=f&p=0&m=20", "text/plain, */*", 200),
+        ("/", "text/markdown", 406),
+        ("/docs/append", "application/hal+json", 406),
+        ("/docs/append", "text/markdown; charset=utf-8", 200),
+        ("/docs/append", "*/*", 200),
+    ]
+    for path, accept, expected in cases:
+        status, _h, body = _raw_get(client.base_url, path, {"Accept": accept})
+        assert status == expected, (path, accept, status)
+        if expected == 406:
+            import json as _json
+            assert _json.loads(body)["title"] == "Not Acceptable"
+    # absent Accept header accepts anything
+    assert _raw_get(client.base_url, "/stream?d=f&p=0&m=20")[0] == 200
