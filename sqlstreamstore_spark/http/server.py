@@ -215,7 +215,11 @@ def _make_handler(store: StreamStore):
             for k, v in (headers or {}).items():
                 self.send_header(k, v)
             self.end_headers()
-            if payload:
+            # HEAD = the GET response's headers (incl. Content-Length of
+            # the entity it would carry) with no body — every GET route
+            # gets HEAD for free, as in the reference's resource set
+            # (ClientErrorTests.cs s_ResourceConfigurations)
+            if payload and self.command != "HEAD":
                 self.wfile.write(payload)
 
         def _send_cached(self, code: int, body, headers: dict | None):
@@ -303,28 +307,56 @@ def _make_handler(store: StreamStore):
 
         # --------------------------------------------------------- routes
 
+        def _allowed_for(self, parts) -> tuple[str, ...] | None:
+            """Per-route method sets (ClientErrorTests.cs
+            s_ResourceConfigurations); None = unknown route (404)."""
+            if parts == [] or parts == ["stream"] or parts == ["streams"]:
+                return ("GET", "HEAD")
+            if len(parts) == 2 and parts[0] == "docs":
+                return ("GET", "HEAD")
+            if parts[0] == "streams":
+                if len(parts) == 2:
+                    return ("GET", "HEAD", "POST", "DELETE")
+                if len(parts) == 3 and parts[2] == "metadata":
+                    return ("GET", "HEAD", "POST")
+                if len(parts) >= 4 and parts[2] == "messages":
+                    return ("GET", "HEAD", "DELETE")
+            return None
+
+        def _method_ok(self, method: str) -> bool:
+            parts, _q = self._route()
+            allowed = self._allowed_for(parts)
+            if allowed is None:
+                self._send(404)
+                return False
+            if method not in allowed:
+                # 405 + the route's own Allow set (stdlib default would
+                # be 501; the reference appends OPTIONS everywhere)
+                self._send(405, {"error": "MethodNotAllowed"},
+                           {"Allow": ", ".join(allowed + ("OPTIONS",))})
+                return False
+            return True
+
         def do_GET(self):
-            self._guard(self._get)
+            if self._method_ok("GET"):
+                self._guard(self._get)
 
         def do_HEAD(self):
             parts, _q = self._route()
-            if parts == ["stream"]:
+            if parts == ["stream"] and not urlparse(self.path).query:
+                # bare HEAD /stream: the cheap head-position probe the
+                # client's read_head_position uses (no page read)
                 head = store.read_head_position()
                 self._send(200, None, {HEAD_POSITION_HEADER: str(head)})
-            else:
-                self._send(404)
-
-        def _method_not_allowed(self):
-            # AllowedMethodsMiddleware.cs AllowedMethods: unknown verbs
-            # get 405 + the Allow header (stdlib default would be 501)
-            self._send(405, {"error": "MethodNotAllowed"},
-                       {"Allow": "GET, HEAD, OPTIONS, POST, DELETE"})
+                return
+            if self._method_ok("HEAD"):
+                self._guard(self._get)
 
         def do_PUT(self):
-            self._method_not_allowed()
+            self._method_ok("PUT")
 
         def do_PATCH(self):
-            self._method_not_allowed()
+            self._method_ok("PATCH")
 
         def do_OPTIONS(self):
             # CORS preflight (AllowedMethodsMiddleware.cs Options): the
@@ -340,10 +372,12 @@ def _make_handler(store: StreamStore):
             self.end_headers()
 
         def do_POST(self):
-            self._guard(self._post)
+            if self._method_ok("POST"):
+                self._guard(self._post)
 
         def do_DELETE(self):
-            self._guard(self._delete)
+            if self._method_ok("DELETE"):
+                self._guard(self._delete)
 
         def _get(self):
             parts, q = self._route()
@@ -373,7 +407,8 @@ def _make_handler(store: StreamStore):
                     self.send_header("Content-Length", str(len(payload)))
                     self.send_header("Access-Control-Allow-Origin", "*")
                     self.end_headers()
-                    self.wfile.write(payload)
+                    if self.command != "HEAD":
+                        self.wfile.write(payload)
             elif parts == ["stream"]:
                 self._read_all(q)
             elif parts == ["streams"]:

@@ -582,3 +582,57 @@ def test_http_content_negotiation_406(duo):
             assert _json.loads(body)["title"] == "Not Acceptable"
     # absent Accept header accepts anything
     assert _raw_get(client.base_url, "/stream?d=f&p=0&m=20")[0] == 200
+
+
+def test_http_per_route_allow_and_head_everywhere(duo):
+    """ClientErrorTests.cs method matrix: wrong verbs get 405 with the
+    ROUTE's Allow set (+OPTIONS); HEAD works on every GET route and
+    returns the GET response's headers with no body."""
+    import urllib.error
+    import urllib.request
+
+    _backend, client, _clock = duo
+    client.append_to_stream("a-stream", ExpectedVersion.NO_STREAM, msgs(1, 2))
+
+    def send(method, path):
+        r = urllib.request.Request(client.base_url + path, method=method)
+        try:
+            with urllib.request.urlopen(r, timeout=10) as resp:
+                return resp.status, dict(resp.headers), resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, dict(e.headers), e.read()
+
+    cases = [
+        ("POST", "/stream?d=f&p=0&m=20", "GET, HEAD, OPTIONS"),
+        ("DELETE", "/", "GET, HEAD, OPTIONS"),
+        ("PUT", "/streams/a-stream", "GET, HEAD, POST, DELETE, OPTIONS"),
+        ("DELETE", "/streams/a-stream/metadata", "GET, HEAD, POST, OPTIONS"),
+        ("POST", "/docs/append", "GET, HEAD, OPTIONS"),
+    ]
+    for method, path, allow in cases:
+        status, h, _b = send(method, path)
+        assert status == 405, (method, path, status)
+        assert h.get("Allow") == allow, (method, path, h.get("Allow"))
+    # unknown routes are 404, not 405, regardless of verb
+    assert send("PUT", "/nope")[0] == 404
+    # HEAD mirrors GET headers with an empty body on feed + docs routes
+    gs, gh, gb = send("GET", "/stream?d=f&p=0&m=20")
+    hs, hh, hb = send("HEAD", "/stream?d=f&p=0&m=20")
+    assert (hs, hb) == (gs, b"")
+    assert hh.get("ETag") == gh.get("ETag")
+    assert hh.get("Content-Length") == gh.get("Content-Length")
+    assert send("HEAD", "/docs/append")[:1] == (200,)
+    assert send("HEAD", "/streams/a-stream?d=f&p=0&m=20")[0] == 200
+    # the bare head-position probe still works
+    assert client.read_head_position() == 1
+
+
+def test_http_head_docs_no_body(duo):
+    import urllib.request
+
+    _backend, client, _clock = duo
+    r = urllib.request.Request(client.base_url + "/docs/append", method="HEAD")
+    with urllib.request.urlopen(r, timeout=10) as resp:
+        assert resp.status == 200
+        assert int(resp.headers["Content-Length"]) > 0
+        assert resp.read() == b""
