@@ -45,7 +45,7 @@ def replicated(df, times: int, key_cols: dict[str, int]):
 
 
 def main() -> int:
-    from sqlstreamstore_spark.analytics import dedup, pipeline, similarity, text, tpch
+    from sqlstreamstore_spark.analytics import dedup, pipeline, sampling, similarity, text, tpch
     from sqlstreamstore_spark.session import get_spark
     from sqlstreamstore_spark.sources.tables import load_table
 
@@ -83,6 +83,22 @@ def main() -> int:
         t0 = time.time()
         n = tpch.q1_pricing_summary(lineitem).count()
         res["tpch_q1"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        n = text.ngram_novelty(docs).count()
+        res["ngram_novelty"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        r = text.kmv_distinct_ngrams(docs).first()
+        res["kmv_distinct"] = {
+            "n_exact": r.n_exact,
+            "rel_err": round(r.rel_err, 4),
+            "s": round(time.time() - t0, 2),
+        }
+
+        t0 = time.time()
+        n = sampling.pps_systematic_sample(docs).count()
+        res["pps_sample"] = {"rows": n, "s": round(time.time() - t0, 2)}
         return res
 
     out = []
