@@ -443,6 +443,34 @@ def _make_handler(store: StreamStore):
             else:
                 self._send(404)
 
+        def _nav_links(
+            self, prefix: str, forwards: bool, m: int, prefetch: bool,
+            keys: list[int], is_end: bool, metadata: bool = False,
+        ) -> dict:
+            """HAL feed navigation (AllStreamLinkExtensions.cs /
+            StreamsLinkExtensions.cs): first/last always; previous/next
+            by the page's min/max key, guarded exactly as the reference
+            guards them (present only on non-end pages that aren't the
+            first/last themselves)."""
+            e = "&e=1" if prefetch else ""
+            first = f"{prefix}?d=f&p=0&m={m}{e}"
+            last = f"{prefix}?d=b&p=-1&m={m}{e}"
+            links: dict = {"first": {"href": first}}
+            if self.path != first and not is_end and keys:
+                links["previous"] = {
+                    "href": f"{prefix}?d=b&p={min(keys) - 1}&m={m}{e}"
+                }
+            links["self"] = {"href": self.path}
+            links["streamStore:feed"] = {"href": self.path}
+            if self.path != last and not is_end and keys:
+                links["next"] = {
+                    "href": f"{prefix}?d=f&p={max(keys) + 1}&m={m}{e}"
+                }
+            links["last"] = {"href": last}
+            if metadata:
+                links["streamStore:metadata"] = {"href": f"{prefix}/metadata"}
+            return links
+
         def _canonical_redirect(self, q, path_prefix: str) -> tuple | None:
             """308 to the canonical URL when the raw query string is not
             the canonical serialization (AllStreamResource.cs:29-31);
@@ -464,8 +492,6 @@ def _make_handler(store: StreamStore):
                 if forwards
                 else store.read_all_backwards(pos, m, prefetch)
             )
-            d = "f" if forwards else "b"
-            e = "&e=1" if prefetch else ""
             # PageExtensions.cs TryGetETag(ReadAllPage): pages touching
             # the head get a position ETag + no-cache; interior pages are
             # immutable and cacheable for a year.
@@ -493,12 +519,10 @@ def _make_handler(store: StreamStore):
                 "isEnd": page.is_end,
                 "direction": page.direction,
                 "_embedded": {"streamStore:message": [_msg_json(x) for x in page.messages]},
-                "_links": {
-                    "self": {"href": self.path},
-                    "next": {"href": f"/stream?d={d}&p={page.next_position}&m={m}{e}"},
-                    "first": {"href": f"/stream?d=f&p=0&m={m}{e}"},
-                    "last": {"href": f"/stream?d=b&p=-1&m={m}{e}"},
-                },
+                "_links": self._nav_links(
+                    "/stream", forwards, m, prefetch,
+                    [x.position for x in msgs], page.is_end,
+                ),
             }, headers)
 
         def _read_stream(self, stream_id, q):
@@ -532,7 +556,11 @@ def _make_handler(store: StreamStore):
                 "direction": page.direction,
                 "isEnd": page.is_end,
                 "_embedded": {"streamStore:message": [_msg_json(x) for x in page.messages]},
-                "_links": {"self": {"href": self.path}},
+                "_links": self._nav_links(
+                    urlparse(self.path).path, forwards, m, prefetch,
+                    [x.stream_version for x in page.messages], page.is_end,
+                    metadata=True,
+                ),
             }, headers)
 
         def _post(self):

@@ -636,3 +636,33 @@ def test_http_head_docs_no_body(duo):
         assert resp.status == 200
         assert int(resp.headers["Content-Length"]) > 0
         assert resp.read() == b""
+
+
+def test_http_feed_navigation_links(duo):
+    """StreamNavigationTests.cs shapes: first/last always; previous and
+    next from the page's min/max key, absent on end pages and on the
+    first/last pages themselves; stream feeds add the metadata rel."""
+    import json as _json
+
+    _backend, client, _clock = duo
+    client.append_to_stream("s", ExpectedVersion.NO_STREAM, msgs(*range(1, 31)))
+
+    def links(path):
+        _s, _h, raw = _raw_get(client.base_url, path)
+        return _json.loads(raw)["_links"]
+
+    # a middle page of the all-feed (positions 10-19 of 30)
+    l = links("/stream?d=f&p=10&m=10")
+    assert l["first"]["href"] == "/stream?d=f&p=0&m=10"
+    assert l["last"]["href"] == "/stream?d=b&p=-1&m=10"
+    assert l["previous"]["href"] == "/stream?d=b&p=9&m=10"
+    assert l["next"]["href"] == "/stream?d=f&p=20&m=10"
+    assert l["streamStore:feed"]["href"] == l["self"]["href"]
+    # the end page has no next/previous
+    l = links("/stream?d=f&p=20&m=10")
+    assert "next" not in l and "previous" not in l
+    # stream feed: same shape + metadata rel, version-keyed
+    l = links("/streams/s?d=f&p=10&m=10&e=1")
+    assert l["previous"]["href"] == "/streams/s?d=b&p=9&m=10&e=1"
+    assert l["next"]["href"] == "/streams/s?d=f&p=20&m=10&e=1"
+    assert l["streamStore:metadata"]["href"] == "/streams/s/metadata"
