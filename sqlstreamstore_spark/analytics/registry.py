@@ -19,6 +19,7 @@ from sqlstreamstore_spark.analytics import (
     events,
     multimodal,
     pipeline,
+    quality,
     relational,
     sampling,
     similarity,
@@ -1444,6 +1445,52 @@ WINDOW w7 AS (PARTITION BY event_type ORDER BY day
 ORDER BY event_type, day
 """
 
+_DQ_PROFILE_COLS = (
+    "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",
+    "o_orderstatus", "o_totalprice",
+)
+_DQ_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name,\n"
+    f"  CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,\n"
+    f"  CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct\nFROM orders"
+    for c in _DQ_PROFILE_COLS
+) + "\nORDER BY col_name"
+
+_DQ_ORPHANS_SQL = """
+SELECT 'lineitem->orders' AS check, CAST(count(*) AS BIGINT) AS n_orphans
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'lineitem->part', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+UNION ALL
+SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+UNION ALL
+SELECT 'orders->customer', CAST(count(*) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+ORDER BY "check"
+"""
+
+_DQ_DUPKEYS_SQL = """
+WITH checks AS (
+  SELECT 'customer.c_custkey' AS check, c_custkey::VARCHAR AS k FROM customer
+  UNION ALL
+  SELECT 'documents.doc_id', doc_id::VARCHAR FROM documents
+  UNION ALL
+  SELECT 'lineitem.(orderkey,linenumber)',
+         l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR FROM lineitem
+  UNION ALL
+  SELECT 'orders.o_orderkey', o_orderkey::VARCHAR FROM orders),
+g AS (SELECT "check", k, count(*) AS c FROM checks GROUP BY 1, 2 HAVING count(*) > 1),
+names AS (SELECT DISTINCT "check" FROM checks)
+SELECT names."check",
+       CAST(coalesce(count(g.k), 0) AS BIGINT) AS n_duplicated_keys,
+       CAST(coalesce(sum(g.c - 1), 0) AS BIGINT) AS n_surplus_rows
+FROM names LEFT JOIN g ON names."check" = g."check"
+GROUP BY names."check"
+ORDER BY names."check"
+"""
+
 _CUMULATIVE_REACH_SQL = """
 WITH firsts AS (
   SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS day
@@ -2150,6 +2197,34 @@ def analytics_queries():
         "events_gap_fill": (
             lambda s, sf: events.daily_gap_fill(_t(s, sf, "events")),
             _GAP_FILL_SQL,
+        ),
+        "dq_profile_orders": (
+            lambda s, sf: quality.profile_columns(
+                _t(s, sf, "orders"), list(_DQ_PROFILE_COLS)),
+            _DQ_PROFILE_SQL,
+        ),
+        "dq_referential_orphans": (
+            lambda s, sf: quality.referential_orphans([
+                ("lineitem->orders", _t(s, sf, "lineitem"), "l_orderkey",
+                 _t(s, sf, "orders"), "o_orderkey"),
+                ("lineitem->part", _t(s, sf, "lineitem"), "l_partkey",
+                 _t(s, sf, "part"), "p_partkey"),
+                ("lineitem->supplier", _t(s, sf, "lineitem"), "l_suppkey",
+                 _t(s, sf, "supplier"), "s_suppkey"),
+                ("orders->customer", _t(s, sf, "orders"), "o_custkey",
+                 _t(s, sf, "customer"), "c_custkey"),
+            ]),
+            _DQ_ORPHANS_SQL,
+        ),
+        "dq_duplicate_keys": (
+            lambda s, sf: quality.duplicate_keys([
+                ("customer.c_custkey", _t(s, sf, "customer"), ["c_custkey"]),
+                ("documents.doc_id", _t(s, sf, "documents"), ["doc_id"]),
+                ("lineitem.(orderkey,linenumber)", _t(s, sf, "lineitem"),
+                 ["l_orderkey", "l_linenumber"]),
+                ("orders.o_orderkey", _t(s, sf, "orders"), ["o_orderkey"]),
+            ]),
+            _DQ_DUPKEYS_SQL,
         ),
         "events_cumulative_reach": (
             lambda s, sf: events.cumulative_reach(_t(s, sf, "events")),

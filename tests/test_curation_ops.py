@@ -190,3 +190,36 @@ def test_cumulative_reach_counts_first_days(spark):
     rows = cumulative_reach(events).collect()
     assert [(r.day.day, r.new_users, r.cumulative_users) for r in rows] == [
         (1, 2, 2), (3, 1, 3)]
+
+
+def test_dq_operators_catch_planted_violations(spark):
+    from sqlstreamstore_spark.analytics.quality import (
+        duplicate_keys,
+        profile_columns,
+        referential_orphans,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk int"
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "pk int")
+
+    prof = {r.col_name: r for r in profile_columns(fact, ["id", "fk"]).collect()}
+    assert prof["fk"].n_nulls == 1 and prof["fk"].n_distinct == 2
+    assert prof["id"].n_nulls == 0 and prof["id"].n_distinct == 4
+
+    orphans = referential_orphans([("fact->dim", fact, "fk", dim, "pk")]).collect()
+    # 99 has no match; the NULL fk also never matches (anti-join keeps it)
+    assert [(r.check, r.n_orphans) for r in orphans] == [("fact->dim", 2)]
+
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "d"), (3, "e"), (3, "f")],
+        "k long, v string",
+    )
+    rows = duplicate_keys([
+        ("dup.k", dup, ["k"]),
+        ("dup.(k,v)", dup, ["k", "v"]),
+    ]).collect()
+    got = {r.check: (r.n_duplicated_keys, r.n_surplus_rows) for r in rows}
+    assert got["dup.k"] == (2, 3)      # keys 1 (x3) and 3 (x2)
+    assert got["dup.(k,v)"] == (0, 0)  # composite key is unique
