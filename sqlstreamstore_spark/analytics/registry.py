@@ -2267,6 +2267,15 @@ def analytics_queries():
             ).select("doc_id", "source").orderBy("doc_id"),
             _STRATIFIED_SQL,
         ),
+        "sampling_fixed_size": (
+            lambda s, sf: sampling.fixed_size_sample(
+                _t(s, sf, "documents"), "doc_id", 200
+            ).select("doc_id", "source").orderBy("doc_id"),
+            """SELECT doc_id, source FROM (
+  SELECT doc_id, source FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 200)
+ORDER BY doc_id""",
+        ),
         "sampling_pps_systematic": (
             lambda s, sf: sampling.pps_systematic_sample(_t(s, sf, "documents")),
             _PPS_SAMPLE_SQL,

@@ -116,3 +116,19 @@ def pps_systematic_sample(documents: DataFrame, k: int = 100) -> DataFrame:
         .filter(F.col("multiplicity") > 0)
         .orderBy("doc_id")
     )
+
+
+def fixed_size_sample(df: DataFrame, key: str, n: int) -> DataFrame:
+    """Uniform fixed-SIZE sample without replacement: the n rows whose
+    content-hash ranks smallest — the deterministic reservoir. Same
+    stability story as `deterministic_sample` (a pure function of row
+    identity, no RNG, engine/partitioning-independent), but with an
+    exact output size instead of a Bernoulli fraction. Physically a
+    TakeOrderedAndProject: per-partition heaps of n rows, driver merge —
+    no shuffle, no global sort."""
+    return (
+        df.withColumn("__h", F.md5(F.col(key).cast("string")))
+        .orderBy("__h")
+        .limit(n)
+        .drop("__h")
+    )

@@ -223,3 +223,18 @@ def test_dq_operators_catch_planted_violations(spark):
     got = {r.check: (r.n_duplicated_keys, r.n_surplus_rows) for r in rows}
     assert got["dup.k"] == (2, 3)      # keys 1 (x3) and 3 (x2)
     assert got["dup.(k,v)"] == (0, 0)  # composite key is unique
+
+
+def test_fixed_size_sample_deterministic_and_topk_plan(spark):
+    from sqlstreamstore_spark.analytics.sampling import fixed_size_sample
+    from tests.test_plans import plan_of
+
+    docs = load_table(spark, SF, "documents")
+    a = sorted(r.doc_id for r in fixed_size_sample(docs, "doc_id", 50).collect())
+    b = sorted(
+        r.doc_id
+        for r in fixed_size_sample(docs.repartition(7), "doc_id", 50).collect()
+    )
+    assert len(a) == 50 and a == b  # size-exact, partitioning-independent
+    p = plan_of(fixed_size_sample(docs, "doc_id", 50))
+    assert "TakeOrderedAndProject" in p  # per-partition heaps, no global sort
