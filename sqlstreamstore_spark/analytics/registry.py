@@ -1639,6 +1639,25 @@ ORDER BY error_event_id
 """
 
 
+def _bucketed_join_query(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from sqlstreamstore_spark.sources.bucketed import (
+        bucketed_join_revenue,
+        build_bucketed_pair,
+    )
+
+    suffix = hashlib.md5(sf.encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"sss_bucketed_{suffix}")
+    lt, ot = build_bucketed_pair(
+        spark, _t(spark, sf, "lineitem"), _t(spark, sf, "orders"), base,
+        suffix=suffix,
+    )
+    return bucketed_join_revenue(spark, lt, ot)
+
+
 def _range_join_query(spark: SparkSession, sf: str) -> DataFrame:
     ev = _t(spark, sf, "events")
     errors = ev.filter(F.col("event_type") == "error").select(
@@ -2084,6 +2103,19 @@ def analytics_queries():
                 _t(s, sf, "lineitem"), _t(s, sf, "supplier"), _t(s, sf, "part"),
                 _t(s, sf, "nation")),
             _Q20_DOMINANT_SUPP_SQL,
+        ),
+        # bucketed physical layout: same values as an ordinary join,
+        # but the persisted tables co-locate on the join key so no
+        # exchange feeds the join (plan pinned in tests/test_plans)
+        "tpch_bucketed_join_revenue": (
+            _bucketed_join_query,
+            """SELECT o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority""",
         ),
         "window_order_gaps": (
             lambda s, sf: tpch.order_gap_stats(

@@ -395,3 +395,47 @@ def test_q20_decorrelates_to_aggregate_joins(tables):
     # per-part aggregates joined on the part key - no re-scan per row
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert p.count("HashAggregate") >= 2
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """The bucketed-layout payoff: both sides persisted with bucketBy(8)
+    on the join key -> the SortMergeJoin reads buckets pairwise with NO
+    shuffle exchange on either input (broadcast disabled to force the
+    join shape the layout exists for)."""
+    from sqlstreamstore_spark.sources.bucketed import (
+        bucketed_join_revenue,
+        build_bucketed_pair,
+    )
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    lt, ot = build_bucketed_pair(
+        spark, load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders"),
+        str(tmp_path / "bucketed"), suffix="plantest",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed_join_revenue(spark, lt, ot)
+        p = plan_of(df)
+        assert "SortMergeJoin" in p
+        # the join's inputs come straight from the bucketed scans — the
+        # only exchange in the plan belongs to the groupBy above it
+        tree = p.split("\n\n")[0]
+        # operator tree: no Exchange may appear BELOW the join (children
+        # are printed after the join node in the formatted tree)
+        join_idx = tree.index("SortMergeJoin")
+        assert "Exchange" not in tree[join_idx:], tree[join_idx:][:400]
+        # and the values equal the unbucketed join
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders")
+        from pyspark.sql import functions as F
+        rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+            F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+        plain = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+                 .groupBy("o_orderpriority")
+                 .agg(F.sum(rev).cast("double").alias("revenue"))
+                 .orderBy("o_orderpriority").collect())
+        assert [tuple(r) for r in df.collect()] == [tuple(r) for r in plain]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
