@@ -25,6 +25,12 @@ continuation):
   GET    /streams/{id}/metadata              GetStreamMetadata
   POST   /streams/{id}/metadata              SetStreamMetadata
   GET    /streams?p=&t=&m=&c=                ListStreams
+  GET    /docs/{rel}                         write-relation docs (markdown)
+
+HEAD mirrors every GET route's headers with no body; wrong verbs get
+405 with the route's own Allow set; a non-matching Accept header gets
+406 (HAL routes speak application/hal+json, docs text/markdown); feed
+pages carry the reference's first/last/previous/next navigation links.
 
 Canonical URLs (AllStream/ReadAllStreamOperation.cs:47-59,
 AllStreamResource.cs:29-31, CanonicalUrlTests.cs): a feed GET whose
