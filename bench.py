@@ -294,6 +294,26 @@ print("done")
         timings["append_2writers_100x100"] = round(dt, 3)
         timings["append_2writers_msgs_per_sec"] = round(10_000 / dt, 1)
 
+        # -- commit cost at high stream cardinality: the delta-log
+        # manifest makes single-message appends O(change) instead of
+        # O(#streams) — 20k seeded stream heads, 100 hot-stream commits
+        hs_path = os.path.join(tmp, "store-20k-streams")
+        hs = SparkParquetStreamStore(None, hs_path)
+        for i in range(20_000):
+            hs._manifest["streams"][f"st-{i}"] = {
+                "version": 3, "position": i, "first_position": i, "count": 4,
+            }
+        hs._manifest["head_position"] = 19_999
+        hs._save_manifest()  # one snapshot commit seeds the store
+        t0 = time.time()
+        for i in range(100):
+            hs.append_to_stream(
+                "hot-stream", -2,
+                [NewStreamMessage(str(uuid.UUID(int=10**7 + i)), "t", '{"x":1}')],
+            )
+        dt = time.time() - t0
+        timings["append_20kstreams_commits_per_sec"] = round(100 / dt, 1)
+
         # -- HTTP tier: drain a 10k-message feed over the wire (HAL
         # pages of 1000, keyset read_next), then steady-state
         # conditional polls (If-None-Match → 304, what a caught-up

@@ -42,6 +42,112 @@ from sqlstreamstore_spark.store.base import StreamStore
 from sqlstreamstore_spark.store.messages import NewStreamMessage, StreamMessage
 
 
+def _migrate_manifest(m: dict) -> dict:
+    if isinstance(m.get("deleted_streams"), list):
+        # migrate pre-cutoff manifests (deleted ids only): treat
+        # everything up to the head at load time as deleted.
+        m["deleted_streams"] = {
+            sid: m["head_position"] for sid in m["deleted_streams"]
+        }
+    return m
+
+
+def _empty_manifest_state() -> dict:
+    return {
+        "version": 0,
+        "head_position": -1,
+        "streams": {},
+        "files": [],
+        # stream_id -> max position covered by the delete; rows of the
+        # stream at positions <= cutoff are dead, later appends (a
+        # re-created stream) stay visible — reference semantics
+        # (InMemoryStreamStore.cs delete + re-append round-trips).
+        "deleted_streams": {},
+        "deleted_messages": {},
+    }
+
+
+def _read_sidecar(version_path: str) -> tuple[int, int] | None:
+    """(current_version, latest_snapshot_version); legacy single-number
+    sidecars mean snapshot == current. None when absent/corrupt."""
+    try:
+        with open(version_path) as f:
+            parts = f.read().split()
+        if len(parts) == 1:
+            return int(parts[0]), int(parts[0])
+        return int(parts[0]), int(parts[1])
+    except (OSError, ValueError):
+        return None
+
+
+def _apply_manifest_patch(state: dict, p: dict) -> None:
+    state["version"] = p["version"]
+    if "head_position" in p:
+        state["head_position"] = p["head_position"]
+    state["streams"].update(p.get("streams", {}))
+    for sid in p.get("streams_del", []):
+        state["streams"].pop(sid, None)
+    state["files"].extend(p.get("files_add", []))
+    if p.get("deleted_streams") is not None:
+        state["deleted_streams"] = p["deleted_streams"]
+    if p.get("deleted_messages") is not None:
+        state["deleted_messages"] = p["deleted_messages"]
+
+
+def _replay_manifest(history_dir: str, base: dict, to_version: int) -> dict:
+    """Apply history entries base.version+1 .. to_version. A .snap.json
+    or legacy-full {v}.json along the way resets the state wholesale
+    (both are complete manifests)."""
+    state = base
+    for v in range(base["version"] + 1, to_version + 1):
+        snap = os.path.join(history_dir, f"{v}.snap.json")
+        if os.path.exists(snap):
+            with open(snap) as f:
+                state = _migrate_manifest(json.load(f))
+            continue
+        with open(os.path.join(history_dir, f"{v}.json")) as f:
+            entry = json.load(f)
+        if entry.get("patch"):
+            _apply_manifest_patch(state, entry)
+        else:  # pre-delta-log archive: a full manifest copy
+            state = _migrate_manifest(entry)
+    return state
+
+
+def resolve_manifest_state(path: str) -> tuple[dict, int]:
+    """Current (state, latest_snapshot_version) for a store directory —
+    the delta-log resolution shared by store handles and out-of-process
+    readers (the custom streaming DataSource)."""
+    manifest_path = os.path.join(path, "manifest.json")
+    history_dir = os.path.join(path, "manifest.history")
+    side = _read_sidecar(os.path.join(path, "manifest.version"))
+    if side is None:
+        # legacy / fresh store: manifest.json (if any) IS the state
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                m = _migrate_manifest(json.load(f))
+            return m, m["version"]
+        return _empty_manifest_state(), 0
+    current, snap_v = side
+    base = None
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            base = _migrate_manifest(json.load(f))
+        if base["version"] > current:
+            # pre-delta-log crash window: the OLD commit point was the
+            # manifest rename (sidecar written after), so a manifest
+            # ahead of the sidecar is the committed state
+            return base, base["version"]
+    if (base is None or base["version"] < snap_v) and snap_v > 0:
+        with open(os.path.join(history_dir, f"{snap_v}.snap.json")) as f:
+            base = _migrate_manifest(json.load(f))
+    if base is None:
+        base = _empty_manifest_state()
+    if base["version"] >= current:
+        return base, snap_v
+    return _replay_manifest(history_dir, base, current), snap_v
+
+
 class SparkParquetStreamStore(StreamStore):
     def __init__(
         self,
@@ -61,6 +167,11 @@ class SparkParquetStreamStore(StreamStore):
         self._history_dir = os.path.join(path, "manifest.history")
         os.makedirs(self._data_dir, exist_ok=True)
         self._read_only = as_of_version is not None
+        # set by mutators that touch non-stream manifest state (deletion
+        # sets, file replacements) without saving in the same call: the
+        # NEXT commit must be a full snapshot, never a patch, or the
+        # piggybacked state would be lost on replay
+        self._manifest_dirty = False
         self._manifest = self._load_manifest()
         if as_of_version is not None and self._manifest["version"] != as_of_version:
             self._manifest = self._load_archived_manifest(as_of_version)
@@ -116,14 +227,39 @@ class SparkParquetStreamStore(StreamStore):
         return self._load_archived_manifest(version)
 
     def _load_archived_manifest(self, version: int) -> dict:
-        p = os.path.join(self._history_dir, f"{version}.json")
-        if not os.path.exists(p):
+        """State at an arbitrary historical version: walk down to the
+        nearest full snapshot (a .snap.json, or a pre-delta-log full
+        archive, or the empty store at 0), then replay patches up."""
+        base = None
+        v = version
+        while v > 0:
+            snap = os.path.join(self._history_dir, f"{v}.snap.json")
+            if os.path.exists(snap):
+                with open(snap) as f:
+                    base = _migrate_manifest(json.load(f))
+                break
+            pth = os.path.join(self._history_dir, f"{v}.json")
+            if os.path.exists(pth):
+                with open(pth) as f:
+                    entry = json.load(f)
+                if not entry.get("patch"):
+                    base = _migrate_manifest(entry)
+                    break
+                v -= 1
+                continue
             raise ValueError(
-                f"no archived manifest for version {version} at {p} "
-                "(store predates time travel, or archives were pruned)"
+                f"no archived manifest for version {version} "
+                f"(missing history entry for commit {v}: store predates "
+                "time travel, or archives were pruned)"
             )
-        with open(p) as f:
-            return json.load(f)
+        if base is None:
+            base = _empty_manifest_state()
+        try:
+            return _replay_manifest(self._history_dir, base, version)
+        except OSError as e:
+            raise ValueError(
+                f"no archived manifest for version {version} ({e})"
+            ) from None
 
     def refresh(self) -> None:
         """Re-sync this handle with the on-disk manifest — the retry
@@ -144,46 +280,35 @@ class SparkParquetStreamStore(StreamStore):
 
     # -------------------------------------------------------------- manifest
 
+    #: Full snapshot every N commits on the patch (append) path; every
+    #: non-append commit (delete/scavenge/compact/...) is a snapshot.
+    SNAPSHOT_EVERY = 64
+
     def _load_manifest(self) -> dict:
-        if os.path.exists(self._manifest_path):
-            with open(self._manifest_path) as f:
-                m = json.load(f)
-            if isinstance(m.get("deleted_streams"), list):
-                # migrate pre-cutoff manifests (deleted ids only): treat
-                # everything up to the head at load time as deleted.
-                m["deleted_streams"] = {
-                    sid: m["head_position"] for sid in m["deleted_streams"]
-                }
-            return m
-        return {
-            "version": 0,
-            "head_position": -1,
-            "streams": {},
-            "files": [],
-            # stream_id -> max position covered by the delete; rows of the
-            # stream at positions <= cutoff are dead, later appends (a
-            # re-created stream) stay visible — reference semantics
-            # (InMemoryStreamStore.cs delete + re-append round-trips).
-            "deleted_streams": {},
-            "deleted_messages": {},
-        }
+        state, snap_v = resolve_manifest_state(self.path)
+        self._snapshot_version = snap_v
+        return state
 
-    def _save_manifest(self) -> None:
-        """Atomic manifest swap with single-writer enforcement: an
-        exclusive flock around a version CAS (on-disk version must equal
-        the version this handle loaded/last wrote). Two handles racing
-        the same store path -> the loser raises ConcurrentWriteError
-        instead of silently clobbering the winner's commit.
+    def _save_manifest(self, patch: dict | None = None) -> None:
+        """Delta-log commit with single-writer enforcement: an exclusive
+        flock around a version CAS (the on-disk version must equal the
+        version this handle loaded/last wrote; the loser raises
+        ConcurrentWriteError instead of clobbering the winner).
 
-        The CAS fast path reads a tiny sidecar version file instead of
-        parsing the whole manifest; a missing/mismatching sidecar (crash
-        between the two writes, legacy store) falls back to the full
-        parse, so the sidecar is purely an optimization. Commit cost is
-        still O(#streams) per swap (the whole manifest re-serializes) —
-        at millions of streams the next step is a delta log (snapshot +
-        per-commit patch lines, replayed on open); the reference's SQL
-        backends update one `streams` row per append for the same
-        reason (AppendToStream.sql:160-163)."""
+        Commit cost is O(change), not O(#streams): the append hot paths
+        pass a ``patch`` (touched stream heads + files added + new head
+        position) written as ``manifest.history/{V}.json``; every
+        non-append commit — and every SNAPSHOT_EVERY-th commit — writes
+        a full ``{V}.snap.json`` snapshot instead. Open replays the
+        patches above the latest snapshot (the reference's SQL backends
+        update one `streams` row per append for the same O(change)
+        reason, AppendToStream.sql:160-163). ``manifest.json`` remains a
+        snapshot CACHE refreshed after snapshot commits; the COMMIT
+        POINT is the atomic sidecar rename (``V S`` = current version +
+        latest snapshot version), so a crash at any earlier step leaves
+        only an orphan history file that the version's eventual winner
+        overwrites. The per-version history doubles as the time-travel
+        archive (as_of replays to any version)."""
         import fcntl
 
         from sqlstreamstore_spark.exceptions import ConcurrentWriteError
@@ -197,42 +322,56 @@ class SparkParquetStreamStore(StreamStore):
         with open(self._lock_path, "w") as lk:
             fcntl.flock(lk, fcntl.LOCK_EX)
             try:
-                found = None
-                if os.path.exists(self._version_path):
-                    try:
-                        with open(self._version_path) as f:
-                            found = int(f.read().strip() or 0)
-                    except ValueError:
-                        found = None
-                if found is None or found != expected:
-                    # slow path: the sidecar is advisory — confirm
-                    # against the manifest itself before deciding
-                    if os.path.exists(self._manifest_path):
-                        with open(self._manifest_path) as f:
-                            found = json.load(f).get("version", 0)
-                    else:
-                        found = 0
-                    if found != expected:
-                        raise ConcurrentWriteError(self.path, expected, found)
-                self._manifest["version"] += 1
-                tmp = self._manifest_path + f".tmp.{_uuid.uuid4().hex}"
-                with open(tmp, "w") as f:
-                    json.dump(self._manifest, f, separators=(",", ":"))
-                os.replace(tmp, self._manifest_path)
-                tmpv = self._version_path + ".tmp"
-                with open(tmpv, "w") as f:
-                    f.write(str(self._manifest["version"]))
-                os.replace(tmpv, self._version_path)
-                # archive this commit's manifest for as_of() time travel
-                # (tiny JSON per commit; pruning is an operator policy)
+                side = _read_sidecar(self._version_path)
+                if side is not None:
+                    found = side[0]
+                elif os.path.exists(self._manifest_path):
+                    # pre-sidecar store: manifest.json IS the state
+                    with open(self._manifest_path) as f:
+                        found = json.load(f).get("version", 0)
+                else:
+                    found = 0
+                if found != expected:
+                    raise ConcurrentWriteError(self.path, expected, found)
+                new_version = expected + 1
+                self._manifest["version"] = new_version
                 os.makedirs(self._history_dir, exist_ok=True)
-                hist = os.path.join(
-                    self._history_dir, f"{self._manifest['version']}.json"
+                snapshot_due = (
+                    patch is None
+                    or self._manifest_dirty
+                    or new_version % self.SNAPSHOT_EVERY == 0
                 )
-                tmph = hist + f".tmp.{_uuid.uuid4().hex}"
-                with open(tmph, "w") as f:
-                    json.dump(self._manifest, f, separators=(",", ":"))
-                os.replace(tmph, hist)
+                if snapshot_due:
+                    snap = os.path.join(
+                        self._history_dir, f"{new_version}.snap.json"
+                    )
+                    tmp = snap + f".tmp.{_uuid.uuid4().hex}"
+                    with open(tmp, "w") as f:
+                        json.dump(self._manifest, f, separators=(",", ":"))
+                    os.replace(tmp, snap)
+                    self._snapshot_version = new_version
+                else:
+                    entry = dict(patch)
+                    entry["version"] = new_version
+                    entry["patch"] = True
+                    pth = os.path.join(self._history_dir, f"{new_version}.json")
+                    tmp = pth + f".tmp.{_uuid.uuid4().hex}"
+                    with open(tmp, "w") as f:
+                        json.dump(entry, f, separators=(",", ":"))
+                    os.replace(tmp, pth)
+                # COMMIT POINT
+                tmpv = self._version_path + f".tmp.{_uuid.uuid4().hex}"
+                with open(tmpv, "w") as f:
+                    f.write(f"{new_version} {self._snapshot_version}")
+                os.replace(tmpv, self._version_path)
+                if snapshot_due:
+                    # refresh the snapshot cache (post-commit best-effort:
+                    # open() falls back to the .snap.json file)
+                    tmp = self._manifest_path + f".tmp.{_uuid.uuid4().hex}"
+                    with open(tmp, "w") as f:
+                        json.dump(self._manifest, f, separators=(",", ":"))
+                    os.replace(tmp, self._manifest_path)
+                self._manifest_dirty = False
             finally:
                 fcntl.flock(lk, fcntl.LOCK_UN)
 
@@ -527,7 +666,13 @@ class SparkParquetStreamStore(StreamStore):
             s["count"] += len(messages)
             if stream_id in self._ids_cache:
                 self._ids_cache[stream_id].extend(nm.message_id for nm in messages)
-        self._save_manifest()
+        # O(change) delta-log commit: only this stream's head, the one
+        # new file, and the global head travel to disk
+        commit_patch: dict = {"streams": {stream_id: dict(s)}}
+        if messages:
+            commit_patch["head_position"] = position
+            commit_patch["files_add"] = [fname]
+        self._save_manifest(patch=commit_patch)
         if messages and self.on_appended:
             self.on_appended()
         return version, position
@@ -567,6 +712,7 @@ class SparkParquetStreamStore(StreamStore):
             if not doomed:
                 return
             dm = self._manifest["deleted_messages"].setdefault(stream_id, [])
+            self._manifest_dirty = True  # the carrying commit must snapshot
             for mid in doomed:
                 ids.remove(mid)
                 dm.append(mid)
@@ -761,7 +907,14 @@ class SparkParquetStreamStore(StreamStore):
             new_head = max(new_head, int(r.p))
         self._manifest["files"].extend(files)
         self._manifest["head_position"] = new_head
-        self._save_manifest()
+        self._save_manifest(patch={
+            "streams": {
+                r.stream_id: dict(self._manifest["streams"][r.stream_id])
+                for r in heads
+            },
+            "files_add": files,
+            "head_position": new_head,
+        })
         if self.on_appended:
             self.on_appended()
         return n_rows, new_head
@@ -817,6 +970,11 @@ class SparkParquetStreamStore(StreamStore):
                     else:
                         n_age += 1
             if seen:
+                # the deletion sets just mutated: whichever commit runs
+                # next (the tombstone append, or the save below) must be
+                # a full snapshot so the sets are durable with it — the
+                # same crash semantics as the pre-delta-log full dumps
+                self._manifest_dirty = True
                 if self.track_deletions:
                     # One batched $deleted append for the whole pass —
                     # same audit trail as the per-append purge path

@@ -58,11 +58,17 @@ class StreamStoreStreamReader(DataSourceStreamReader):
     # ------------------------------------------------------------- offsets
 
     def _manifest(self) -> dict:
-        manifest = os.path.join(self._path, "manifest.json")
-        if not os.path.exists(manifest):
+        # delta-log aware: manifest.json alone is a snapshot CACHE —
+        # patch commits live in manifest.history until the next
+        # snapshot, so resolve through the store's shared reader
+        from sqlstreamstore_spark.store.spark_store import (
+            resolve_manifest_state,
+        )
+
+        if not os.path.isdir(self._path):
             return {"head_position": -1, "files": []}
-        with open(manifest) as f:
-            return json.load(f)
+        state, _snap = resolve_manifest_state(self._path)
+        return state
 
     def _head(self) -> int:
         return self._manifest().get("head_position", -1)

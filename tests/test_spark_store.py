@@ -542,3 +542,152 @@ def test_changes_between_versions(spark, tmp_path):
     assert s.changes_between(0, v3).count() == 4
     # empty range
     assert s.changes_between(v3, v3).count() == 0
+
+
+def test_delta_log_patch_commits_survive_reopen(spark, tmp_path):
+    """Fresh store, patch-only commits (below the snapshot interval),
+    possibly no manifest.json cache at all: reopen replays the patch
+    chain and sees identical state."""
+    import json
+    import os
+
+    path = str(tmp_path / "dl")
+    s = SparkParquetStreamStore(spark, path)
+    for i in range(5):
+        s.append_to_stream(f"s{i % 2}", ExpectedVersion.ANY, msgs(i * 2 + 1, i * 2 + 2))
+    s.set_stream_metadata("s0", max_count=100)
+    before = page_obs(s.read_all_forwards(0, 100))
+    heads = (s.read_stream_head_version("s0"), s.read_stream_head_version("s1"))
+
+    s2 = SparkParquetStreamStore(spark, path)
+    assert page_obs(s2.read_all_forwards(0, 100)) == before
+    assert (s2.read_stream_head_version("s0"), s2.read_stream_head_version("s1")) == heads
+    assert s2.manifest_version == s.manifest_version
+    # the history really is patches (small files), not full manifests
+    hist = sorted(os.listdir(os.path.join(path, "manifest.history")))
+    patched = [f for f in hist if f.endswith(".json") and not f.endswith(".snap.json")]
+    assert patched, hist
+    one = json.load(open(os.path.join(path, "manifest.history", patched[0])))
+    assert one.get("patch") is True and "streams" in one
+
+
+def test_delta_log_snapshot_rollover_and_as_of(spark, tmp_path):
+    """Cross the snapshot interval: state, time travel to versions on
+    both sides of the snapshot boundary, and CDC all stay exact."""
+    path = str(tmp_path / "dl2")
+    s = SparkParquetStreamStore(spark, path)
+    s.SNAPSHOT_EVERY = 4  # shrink the interval for the test
+    observed = {}
+    for i in range(10):
+        s.append_to_stream("s", ExpectedVersion.ANY, msgs(i + 1))
+        observed[s.manifest_version] = page_obs(s.read_all_forwards(0, 100))
+    s2 = SparkParquetStreamStore(spark, path)
+    assert page_obs(s2.read_all_forwards(0, 100)) == observed[s.manifest_version]
+    for v, obs in observed.items():
+        assert page_obs(s.as_of(v).read_all_forwards(0, 100)) == obs, v
+    assert s.changes_between(min(observed), max(observed)).count() == 9
+
+
+def test_delta_log_orphan_patch_is_invisible(spark, tmp_path):
+    """A crash between the patch write and the sidecar rename leaves an
+    orphan history file for version V+1; the store must reopen at V and
+    the next successful commit overwrites the orphan."""
+    import json
+    import os
+
+    path = str(tmp_path / "dl3")
+    s = SparkParquetStreamStore(spark, path)
+    s.append_to_stream("a", ExpectedVersion.NO_STREAM, msgs(1))
+    v = s.manifest_version
+    before = page_obs(s.read_all_forwards(0, 100))
+    # forge the orphan: a patch for v+1 with no sidecar advance
+    orphan = os.path.join(path, "manifest.history", f"{v + 1}.json")
+    with open(orphan, "w") as f:
+        json.dump({"version": v + 1, "patch": True, "head_position": 999,
+                   "streams": {"ghost": {"version": 0, "position": 999,
+                                         "first_position": 999, "count": 1}},
+                   "files_add": ["nope.parquet"]}, f)
+    s2 = SparkParquetStreamStore(spark, path)
+    assert s2.manifest_version == v
+    assert page_obs(s2.read_all_forwards(0, 100)) == before
+    # the next real commit claims version v+1, replacing the orphan
+    s2.append_to_stream("a", ExpectedVersion.ANY, msgs(2))
+    assert s2.manifest_version == v + 1
+    assert s2.read_stream_head_version("a") == 1
+    s3 = SparkParquetStreamStore(spark, path)
+    assert page_obs(s3.read_all_forwards(0, 100)) == page_obs(
+        s2.read_all_forwards(0, 100))
+
+
+def test_delta_log_opens_legacy_layout(spark, tmp_path):
+    """A store written in the pre-delta-log format (full manifest.json,
+    single-number sidecar, full per-version history archives) opens,
+    time-travels, and accepts new patch commits."""
+    import json
+    import os
+
+    path = str(tmp_path / "legacy")
+    s = SparkParquetStreamStore(spark, path)
+    s.append_to_stream("a", ExpectedVersion.NO_STREAM, msgs(1, 2))
+    v1 = s.manifest_version
+    obs1 = page_obs(s.read_all_forwards(0, 100))
+    # rewrite the on-disk layout as the old format: full manifest at
+    # every history version, legacy sidecar
+    hist = os.path.join(path, "manifest.history")
+    m = json.load(open(os.path.join(path, "manifest.json"))) if os.path.exists(
+        os.path.join(path, "manifest.json")) else s._manifest
+    for fn in list(os.listdir(hist)):
+        os.remove(os.path.join(hist, fn))
+    with open(os.path.join(hist, f"{v1}.json"), "w") as f:
+        json.dump(s._manifest, f)
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(s._manifest, f)
+    with open(os.path.join(path, "manifest.version"), "w") as f:
+        f.write(str(v1))
+
+    s2 = SparkParquetStreamStore(spark, path)
+    assert s2.manifest_version == v1
+    assert page_obs(s2.read_all_forwards(0, 100)) == obs1
+    assert page_obs(s2.as_of(v1).read_all_forwards(0, 100)) == obs1
+    s2.append_to_stream("a", ExpectedVersion.ANY, msgs(3))
+    s3 = SparkParquetStreamStore(spark, path)
+    assert s3.read_stream_head_version("a") == 2
+    assert page_obs(s3.as_of(v1).read_all_forwards(0, 100)) == obs1
+
+
+def test_delta_log_purge_piggyback_survives_reopen(spark, tmp_path):
+    """Regression for the delta-log's nastiest interaction: the
+    max-count purge mutates the manifest's deletion sets and lets the
+    tombstone APPEND's commit carry them. That commit must be forced to
+    a full snapshot (a patch would silently drop the sets and the
+    purged rows would resurrect on reopen/replay)."""
+    path = str(tmp_path / "purge")
+    s = SparkParquetStreamStore(spark, path)  # track_deletions on
+    s.set_stream_metadata("s", max_count=2)
+    s.append_to_stream("s", ExpectedVersion.ANY, msgs(1, 2, 3, 4, 5))
+    live = [m.stream_version for m in s.read_stream_forwards("s", 0, 100).messages]
+    assert live == [3, 4]  # newest 2 kept
+    # tombstones were appended for the 3 victims
+    tomb = s.read_stream_forwards("$deleted", 0, 100)
+    assert sum(1 for m in tomb.messages if m.type == "$message-deleted") == 3
+
+    s2 = SparkParquetStreamStore(spark, path)
+    live2 = [m.stream_version for m in s2.read_stream_forwards("s", 0, 100).messages]
+    assert live2 == [3, 4], "purged rows resurrected after reopen"
+    assert page_obs(s2.read_all_forwards(0, 100)) == page_obs(
+        s.read_all_forwards(0, 100))
+
+
+def test_delta_log_scavenge_survives_reopen(spark, tmp_path):
+    clock = Clock()
+    path = str(tmp_path / "scav")
+    s = SparkParquetStreamStore(spark, path, get_utc_now=clock)
+    s.append_to_stream("a", ExpectedVersion.ANY, msgs(1, 2, 3))
+    s.set_stream_metadata("a", max_age=60)
+    clock.now += dt.timedelta(seconds=120)
+    out = s.scavenge(now=clock.now)
+    assert out["expired_victims"] == 3
+    s2 = SparkParquetStreamStore(spark, path, get_utc_now=clock)
+    assert s2.read_stream_forwards("a", 0, 100).messages == []
+    assert [m.stream_id for m in s2.read_all_forwards(0, 100).messages
+            if m.stream_id == "a"] == []
