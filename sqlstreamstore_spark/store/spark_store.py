@@ -273,6 +273,7 @@ class SparkParquetStreamStore(StreamStore):
             return  # snapshots stay frozen at their version
         with self._write_lock:
             self._manifest = self._load_manifest()
+            self._manifest_dirty = False  # unsaved mutations discarded
             self._ids_cache.clear()
             self._meta_cache.clear()
             self._log_cache = None
