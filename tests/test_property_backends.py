@@ -280,3 +280,55 @@ def test_memory_and_sqlite_agree_with_retention_and_deletes(ops):
             continue
         assert run(mem, op) == run(sql, op), op
     assert observe(mem) == observe(sql)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=st.lists(
+    st.tuples(
+        st.integers(0, 1),
+        st.sampled_from([ExpectedVersion.ANY, ExpectedVersion.NO_STREAM, 0]),
+        st.lists(st.integers(1, 30), min_size=1, max_size=3, unique=True),
+        st.sampled_from(["append", "delete", "meta"]),
+    ),
+    min_size=1, max_size=6,
+))
+def test_spark_store_reopen_cycle_agrees_with_memory(spark, tmp_path_factory, ops):
+    """Delta-log durability property: after EVERY mutation the Parquet
+    store is REOPENED from disk (a fresh handle resolving the patch
+    chain) and must still match the in-memory spec — any state a commit
+    fails to carry (the purge-piggyback class of bug) diverges here."""
+    from sqlstreamstore_spark.store import SparkParquetStreamStore
+
+    mem = InMemoryStreamStore()
+    path = str(tmp_path_factory.mktemp("prop-reopen"))
+    spk = SparkParquetStreamStore(spark, path)
+    for idx, ev, ns, kind in ops:
+        sid = STREAMS[idx]
+        r1 = r2 = None
+        if kind == "delete":
+            try:
+                mem.delete_stream(sid)
+            except WrongExpectedVersionError:
+                r1 = "err"
+            try:
+                spk.delete_stream(sid)
+            except WrongExpectedVersionError:
+                r2 = "err"
+        elif kind == "meta":
+            mem.set_stream_metadata(sid, max_count=2)
+            spk.set_stream_metadata(sid, max_count=2)
+        else:
+            try:
+                a = mem.append_to_stream(sid, ev, msgs(ns))
+                r1 = (a.current_version, a.current_position)
+            except WrongExpectedVersionError:
+                r1 = "err"
+            try:
+                a = spk.append_to_stream(sid, ev, msgs(ns))
+                r2 = (a.current_version, a.current_position)
+            except WrongExpectedVersionError:
+                r2 = "err"
+        assert r1 == r2, (sid, ev, ns, kind)
+        # the reopened handle must see exactly the same world
+        spk = SparkParquetStreamStore(spark, path)
+        assert observe(mem) == observe(spk), (sid, ev, ns, kind)
