@@ -439,3 +439,17 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert [tuple(r) for r in df.collect()] == [tuple(r) for r in plain]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_profile_columns_is_single_scan(tables):
+    """The profiling claim: N columns' null+distinct counts come from
+    ONE table scan (a single wide aggregate), not a scan per column."""
+    from sqlstreamstore_spark.analytics.quality import profile_columns
+
+    p = plan_of(profile_columns(
+        tables["orders"],
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]))
+    tree = p.split("\n\n")[0]  # operator tree (details repeat node names)
+    assert tree.count("Scan parquet") == 1, tree
+    # the multi-distinct strategy: one scan feeding an Expand
+    assert "Expand" in tree
