@@ -141,6 +141,81 @@ def export_training_shards(
     return {"n_rows": n_rows, "n_shards": n_shards}
 
 
+def export_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    shard_rows: int = 100_000,
+    order_cols: list[str] | None = None,
+) -> dict:
+    """JSONL twin of export_training_shards — the interchange format
+    downstream training stacks consume. Rows serialize to one JSON
+    object per line (`to_json(struct(...))`, JVM-side) and land as
+    text files under ``shard_id=N/`` partitions; a driver-written
+    ``manifest.json`` records per-shard row counts and an
+    order-insensitive content fingerprint (sum of each line's 60-bit
+    md5 prefix — recomputable by any engine to verify a shard without
+    trusting file order), so consumers can integrity-check and resume
+    shard-by-shard.
+
+    Deterministic like its parquet twin: shard membership comes from
+    the dense global rank (two-phase index, no single-partition
+    funnel); same input → identical shards and fingerprints.
+    """
+    import json as _json
+    import os as _os
+
+    from sqlstreamstore_spark.operators.positions import dense_global_index_pinned
+
+    order_cols = order_cols or [df.columns[0]]
+    line = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    indexed, pinned = dense_global_index_pinned(df, list(order_cols), index_col="__rank")
+    sharded = indexed.select(
+        (F.col("__rank") / F.lit(shard_rows)).cast("long").alias("shard_id"),
+        line.alias("value"),
+    )
+    try:
+        stats = (
+            sharded.groupBy("shard_id")
+            .agg(
+                F.count("*").alias("n_rows"),
+                # DECIMAL(38,0) accumulation: exact and overflow-free
+                # for any shard size (a long sum of 60-bit terms
+                # overflows past ~8k rows under ANSI)
+                F.sum(
+                    F.conv(F.substring(F.md5(F.col("value")), 1, 15), 16, 10)
+                    .cast("decimal(38,0)")
+                ).cast("decimal(38,0)").alias("fingerprint"),
+            )
+            .collect()
+        )
+        (
+            sharded.repartition("shard_id")
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .text(path)
+        )
+    finally:
+        if pinned is not None:
+            pinned.unpersist()
+    manifest = {
+        "format": "jsonl",
+        "order_cols": list(order_cols),
+        "shard_rows": shard_rows,
+        "columns": list(df.columns),
+        "shards": {
+            str(r.shard_id): {"n_rows": r.n_rows, "fingerprint": str(r.fingerprint)}
+            for r in stats
+        },
+    }
+    with open(_os.path.join(path, "manifest.json"), "w") as f:
+        _json.dump(manifest, f, indent=1, sort_keys=True)
+    return {
+        "n_rows": sum(r.n_rows for r in stats),
+        "n_shards": len(stats),
+        "manifest": manifest,
+    }
+
+
 def pack_sequences(documents: DataFrame, token_budget: int = 512) -> DataFrame:
     """Assign documents to fixed-token-budget training sequences by
     contiguous packing: documents in deterministic doc_id order fill

@@ -238,3 +238,31 @@ def test_fixed_size_sample_deterministic_and_topk_plan(spark):
     assert len(a) == 50 and a == b  # size-exact, partitioning-independent
     p = plan_of(fixed_size_sample(docs, "doc_id", 50))
     assert "TakeOrderedAndProject" in p  # per-partition heaps, no global sort
+
+
+def test_jsonl_export_roundtrip_and_fingerprints(spark, tmp_path):
+    """JSONL shards round-trip through spark.read.json, the manifest's
+    per-shard fingerprints recompute from the written files, and a
+    second export of the same input is byte-identical in manifest."""
+    from sqlstreamstore_spark.analytics.pipeline import export_jsonl_shards
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text", "source")
+    out = export_jsonl_shards(docs, str(tmp_path / "jsonl"), shard_rows=200)
+    assert out["n_rows"] == docs.count()
+    assert out["n_shards"] == (out["n_rows"] + 199) // 200
+
+    back = spark.read.json(str(tmp_path / "jsonl"))
+    assert back.count() == out["n_rows"]
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {
+        r.doc_id for r in docs.collect()}
+
+    # recompute a shard's fingerprint from the raw lines
+    lines = spark.read.text(str(tmp_path / "jsonl") + "/shard_id=0")
+    fp = lines.select(
+        F.sum(F.conv(F.substring(F.md5("value"), 1, 15), 16, 10)
+              .cast("decimal(38,0)"))
+    ).first()[0]
+    assert str(int(fp)) == out["manifest"]["shards"]["0"]["fingerprint"]
+
+    out2 = export_jsonl_shards(docs, str(tmp_path / "jsonl2"), shard_rows=200)
+    assert out2["manifest"] == out["manifest"]
