@@ -151,7 +151,7 @@ def export_jsonl_shards(
     downstream training stacks consume. Rows serialize to one JSON
     object per line (`to_json(struct(...))`, JVM-side) and land as
     text files under ``shard_id=N/`` partitions; a driver-written
-    ``manifest.json`` records per-shard row counts and an
+    ``_manifest.json`` records per-shard row counts and an
     order-insensitive content fingerprint (sum of each line's 60-bit
     md5 prefix — recomputable by any engine to verify a shard without
     trusting file order), so consumers can integrity-check and resume
@@ -207,7 +207,11 @@ def export_jsonl_shards(
             for r in stats
         },
     }
-    with open(_os.path.join(path, "manifest.json"), "w") as f:
+    # underscore-prefixed like _SUCCESS: Spark readers ignore it, so
+    # spark.read.json(path) sees only the shard lines (a bare
+    # manifest.json would infer a _corrupt_record column into every
+    # consumer's schema)
+    with open(_os.path.join(path, "_manifest.json"), "w") as f:
         _json.dump(manifest, f, indent=1, sort_keys=True)
     return {
         "n_rows": sum(r.n_rows for r in stats),

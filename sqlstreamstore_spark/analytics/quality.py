@@ -46,13 +46,16 @@ def referential_orphans(
     checks: list[tuple[str, DataFrame, str, DataFrame, str]],
 ) -> DataFrame:
     """Foreign-key validation: for each (name, fact, fk, dim, pk) check,
-    the count of fact rows whose key has no match in the dimension — a
-    broadcast/hash LEFT ANTI join on the key columns only (the fact's
-    payload never shuffles), one row per check."""
+    the count of fact rows whose NON-NULL key has no match in the
+    dimension — a broadcast/hash LEFT ANTI join on the key columns only
+    (the fact's payload never shuffles), one row per check. NULL keys
+    are excluded (the dbt relationship-test convention: a missing fk is
+    a not-null violation, not a referential one)."""
     parts = []
     for name, fact, fk, dim, pk in checks:
         orphans = (
             fact.select(F.col(fk).alias("__k"))
+            .filter(F.col("__k").isNotNull())
             .join(dim.select(F.col(pk).alias("__k")).distinct(), "__k", "left_anti")
             .agg(F.count("*").cast("bigint").alias("n_orphans"))
             .select(F.lit(name).alias("check"), "n_orphans")

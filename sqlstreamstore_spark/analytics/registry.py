@@ -1456,18 +1456,25 @@ _DQ_PROFILE_SQL = "\nUNION ALL\n".join(
     for c in _DQ_PROFILE_COLS
 ) + "\nORDER BY col_name"
 
+# NOT EXISTS + explicit NOT NULL, never NOT IN: NOT IN is NULL-poisoned
+# (one NULL pk zeroes the whole check) and counts NULL fks the operator
+# deliberately excludes (dbt relationship-test convention).
 _DQ_ORPHANS_SQL = """
 SELECT 'lineitem->orders' AS check, CAST(count(*) AS BIGINT) AS n_orphans
-FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+FROM lineitem l WHERE l_orderkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
 UNION ALL
 SELECT 'lineitem->part', CAST(count(*) AS BIGINT)
-FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+FROM lineitem l WHERE l_partkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
 UNION ALL
 SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT)
-FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+FROM lineitem l WHERE l_suppkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
 UNION ALL
 SELECT 'orders->customer', CAST(count(*) AS BIGINT)
-FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+FROM orders r WHERE o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = r.o_custkey)
 ORDER BY "check"
 """
 

@@ -450,7 +450,7 @@ def _make_handler(store: StreamStore):
                 self._send(404)
 
         def _nav_links(
-            self, prefix: str, forwards: bool, m: int, prefetch: bool,
+            self, prefix: str, m: int, prefetch: bool,
             keys: list[int], is_end: bool, metadata: bool = False,
         ) -> dict:
             """HAL feed navigation (AllStreamLinkExtensions.cs /
@@ -526,7 +526,7 @@ def _make_handler(store: StreamStore):
                 "direction": page.direction,
                 "_embedded": {"streamStore:message": [_msg_json(x) for x in page.messages]},
                 "_links": self._nav_links(
-                    "/stream", forwards, m, prefetch,
+                    "/stream", m, prefetch,
                     [x.position for x in msgs], page.is_end,
                 ),
             }, headers)
@@ -563,7 +563,7 @@ def _make_handler(store: StreamStore):
                 "isEnd": page.is_end,
                 "_embedded": {"streamStore:message": [_msg_json(x) for x in page.messages]},
                 "_links": self._nav_links(
-                    urlparse(self.path).path, forwards, m, prefetch,
+                    urlparse(self.path).path, m, prefetch,
                     [x.stream_version for x in page.messages], page.is_end,
                     metadata=True,
                 ),

@@ -326,6 +326,18 @@ class SparkParquetStreamStore(StreamStore):
                 side = _read_sidecar(self._version_path)
                 if side is not None:
                     found = side[0]
+                    if found != expected and os.path.exists(self._manifest_path):
+                        # legacy crash window: the OLD commit point was
+                        # the manifest.json rename with the sidecar
+                        # written after, so a manifest AHEAD of the
+                        # sidecar is the committed state (the same rule
+                        # resolve_manifest_state applies on open) —
+                        # without this re-confirmation such a store
+                        # would raise ConcurrentWriteError forever
+                        with open(self._manifest_path) as f:
+                            mv = json.load(f).get("version", 0)
+                        if mv > found:
+                            found = mv
                 elif os.path.exists(self._manifest_path):
                     # pre-sidecar store: manifest.json IS the state
                     with open(self._manifest_path) as f:
@@ -360,6 +372,17 @@ class SparkParquetStreamStore(StreamStore):
                     with open(tmp, "w") as f:
                         json.dump(entry, f, separators=(",", ":"))
                     os.replace(tmp, pth)
+                    # a crashed snapshot writer may have orphaned a
+                    # {V}.snap.json for THIS version; replay prefers
+                    # .snap.json, so it would shadow this committed
+                    # patch with uncommitted state — remove it before
+                    # the commit point (removing an uncommitted orphan
+                    # is always safe)
+                    stale_snap = os.path.join(
+                        self._history_dir, f"{new_version}.snap.json"
+                    )
+                    if os.path.exists(stale_snap):
+                        os.remove(stale_snap)
                 # COMMIT POINT
                 tmpv = self._version_path + f".tmp.{_uuid.uuid4().hex}"
                 with open(tmpv, "w") as f:

@@ -22,7 +22,6 @@ Usage:         spark.readStream.format("sqlstreamstore")
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql.datasource import (

@@ -209,8 +209,9 @@ def test_dq_operators_catch_planted_violations(spark):
     assert prof["id"].n_nulls == 0 and prof["id"].n_distinct == 4
 
     orphans = referential_orphans([("fact->dim", fact, "fk", dim, "pk")]).collect()
-    # 99 has no match; the NULL fk also never matches (anti-join keeps it)
-    assert [(r.check, r.n_orphans) for r in orphans] == [("fact->dim", 2)]
+    # 99 has no match; the NULL fk is excluded (dbt relationship-test
+    # convention: missing fks are a not-null violation, not referential)
+    assert [(r.check, r.n_orphans) for r in orphans] == [("fact->dim", 1)]
 
     dup = spark.createDataFrame(
         [(1, "a"), (1, "b"), (1, "c"), (2, "d"), (3, "e"), (3, "f")],
@@ -253,6 +254,9 @@ def test_jsonl_export_roundtrip_and_fingerprints(spark, tmp_path):
 
     back = spark.read.json(str(tmp_path / "jsonl"))
     assert back.count() == out["n_rows"]
+    # the underscore-prefixed manifest is invisible to Spark readers:
+    # no _corrupt_record column infers into the consumer's schema
+    assert "_corrupt_record" not in back.columns
     assert {r.doc_id for r in back.select("doc_id").collect()} == {
         r.doc_id for r in docs.collect()}
 

@@ -691,3 +691,62 @@ def test_delta_log_scavenge_survives_reopen(spark, tmp_path):
     assert s2.read_stream_forwards("a", 0, 100).messages == []
     assert [m.stream_id for m in s2.read_all_forwards(0, 100).messages
             if m.stream_id == "a"] == []
+
+
+def test_delta_log_orphan_snapshot_does_not_shadow_patch(spark, tmp_path):
+    """Review finding (confirmed repro): a crashed snapshot writer's
+    {V+1}.snap.json must not shadow a later successfully committed
+    PATCH at the same version — the patch commit removes the orphan
+    before its commit point."""
+    import json
+    import os
+
+    path = str(tmp_path / "shadow")
+    s = SparkParquetStreamStore(spark, path)
+    s.append_to_stream("a", ExpectedVersion.NO_STREAM, msgs(1))
+    v = s.manifest_version
+    # forge writer A's crash: an uncommitted snapshot for v+1 that
+    # deletes stream a (sidecar NOT advanced)
+    crashed = dict(s._manifest)
+    crashed = json.loads(json.dumps(crashed))
+    crashed["version"] = v + 1
+    crashed["streams"] = {}
+    crashed["deleted_streams"] = {"a": 0}
+    with open(os.path.join(path, "manifest.history", f"{v + 1}.snap.json"), "w") as f:
+        json.dump(crashed, f)
+    # writer B commits a real append at v+1 (a patch)
+    s.append_to_stream("a", ExpectedVersion.ANY, msgs(2))
+    assert s.manifest_version == v + 1
+    s2 = SparkParquetStreamStore(spark, path)
+    assert s2.read_stream_head_version("a") == 1, "orphan snapshot shadowed the commit"
+    assert [m.stream_version for m in s2.read_stream_forwards("a", 0, 10).messages] == [0, 1]
+
+
+def test_delta_log_legacy_manifest_ahead_of_sidecar_stays_writable(spark, tmp_path):
+    """Review finding (confirmed repro): a legacy store crashed between
+    the old commit point (manifest.json rename) and its sidecar write
+    opens at the manifest's version AND accepts new writes (the CAS
+    re-confirms against the ahead manifest instead of erroring
+    forever)."""
+    import json
+    import os
+
+    path = str(tmp_path / "legacy-crash")
+    s = SparkParquetStreamStore(spark, path)
+    s.append_to_stream("a", ExpectedVersion.NO_STREAM, msgs(1))
+    s.append_to_stream("a", ExpectedVersion.ANY, msgs(2))
+    v = s.manifest_version
+    # forge the legacy layout mid-crash: full manifest at v, sidecar v-1
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(s._manifest, f)
+    with open(os.path.join(path, "manifest.version"), "w") as f:
+        f.write(str(v - 1))
+    for fn in os.listdir(os.path.join(path, "manifest.history")):
+        os.remove(os.path.join(path, "manifest.history", fn))
+
+    s2 = SparkParquetStreamStore(spark, path)
+    assert s2.manifest_version == v
+    r = s2.append_to_stream("a", ExpectedVersion.ANY, msgs(3))  # must not raise
+    assert r.current_version == 2
+    s3 = SparkParquetStreamStore(spark, path)
+    assert s3.read_stream_head_version("a") == 2
