@@ -744,6 +744,30 @@ WHERE cosine >= 0.35
 ORDER BY id_a, id_b
 """
 
+# multi-probe twin: a pair counts as LSH-found when its buckets are
+# within Hamming distance 1 (probing each bucket's 1-bit neighbors —
+# the standard recall knob; same one-pass count structure as the
+# Spark side's probe_hamming flag)
+_EMB_RECALL_MP_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id < 1000),
+sigs AS (
+  SELECT vec_id, v, {_lsh_bucket_sql("v")} AS bucket FROM e
+),
+pairs AS (
+  SELECT CASE WHEN bit_count(xor(a.bucket, b.bucket)) <= 1 THEN 1 ELSE 0 END AS hit
+  FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_lsh,
+       CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hit,
+       CASE WHEN count(*) = 0 THEN 1.0
+            ELSE CAST(coalesce(sum(hit), 0) AS DOUBLE) / count(*) END AS recall
+FROM pairs
+"""
+
 _EMB_RECALL_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
            WHERE vec_id < 1000),
@@ -2384,6 +2408,13 @@ ORDER BY doc_id""",
         "sim_cosine_near_dup_lsh": (
             lambda s, sf: similarity.cosine_near_dup_pairs_lsh(_t(s, sf, "embeddings"), 0.35),
             _COS_PAIRS_LSH_SQL,
+        ),
+        "sim_embedding_lsh_recall_mp": (
+            lambda s, sf: similarity.embedding_lsh_recall(
+                _t(s, sf, "embeddings").filter(F.col("vec_id") < 1000), 0.35,
+                probe_hamming=1,
+            ),
+            _EMB_RECALL_MP_SQL,
         ),
         "sim_embedding_lsh_recall": (
             lambda s, sf: similarity.embedding_lsh_recall(

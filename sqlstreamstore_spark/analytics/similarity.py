@@ -568,7 +568,8 @@ def embedding_dedup_keepers(
 
 
 def embedding_lsh_recall(
-    embeddings: DataFrame, threshold: float = 0.35, dim: int = 64, bits: int = 4, seed: int = 42
+    embeddings: DataFrame, threshold: float = 0.35, dim: int = 64, bits: int = 4, seed: int = 42,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """LSH quality report for the embedding near-dup path (the cosine
     twin of dedup.minhash_lsh_recall): exact pair count, LSH-surviving
@@ -594,10 +595,17 @@ def embedding_lsh_recall(
         _norm(F.col("embedding")).alias("nb"), F.col("bucket").alias("bb"),
     )
     score = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # probe_hamming=0 ⇒ exact-bucket LSH; k ⇒ multi-probe over buckets
+    # within Hamming distance k (the standard recall knob: probing the
+    # 1-bit neighbors multiplies candidates by ~(1+bits) but recovers
+    # the near-dups a single sign-flip hid)
+    found = (
+        F.bit_count(F.col("ba").bitwiseXOR(F.col("bb"))) <= probe_hamming
+    )
     row = (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .filter(score >= threshold)
-        .select((F.col("ba") == F.col("bb")).cast("long").alias("same_bucket"))
+        .select(found.cast("long").alias("same_bucket"))
         .agg(
             F.count("*").alias("n_exact"),
             F.coalesce(F.sum("same_bucket"), F.lit(0)).alias("n_hit"),
