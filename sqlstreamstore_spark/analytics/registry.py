@@ -768,6 +768,21 @@ SELECT CAST(count(*) AS BIGINT) AS n_exact,
 FROM pairs
 """
 
+_COS_PAIRS_LSH_MP_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id, v, {_lsh_bucket_sql("v")} AS bucket FROM e
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+  FROM sigs a JOIN sigs b
+    ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id < b.vec_id) t
+WHERE cosine >= 0.35
+ORDER BY id_a, id_b
+"""
+
 _EMB_RECALL_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
            WHERE vec_id < 1000),
@@ -2408,6 +2423,11 @@ ORDER BY doc_id""",
         "sim_cosine_near_dup_lsh": (
             lambda s, sf: similarity.cosine_near_dup_pairs_lsh(_t(s, sf, "embeddings"), 0.35),
             _COS_PAIRS_LSH_SQL,
+        ),
+        "sim_cosine_near_dup_lsh_mp": (
+            lambda s, sf: similarity.cosine_near_dup_pairs_lsh_multiprobe(
+                _t(s, sf, "embeddings"), 0.35, probe_hamming=1),
+            _COS_PAIRS_LSH_MP_SQL,
         ),
         "sim_embedding_lsh_recall_mp": (
             lambda s, sf: similarity.embedding_lsh_recall(

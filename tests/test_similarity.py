@@ -138,3 +138,25 @@ def test_multiprobe_recall_is_monotone_in_probe_distance(spark):
     hits = [r.n_hit for r in rows]
     assert hits == sorted(hits)
     assert rows[-1].recall == 1.0  # probe == bits covers every bucket pair
+
+
+def test_multiprobe_pairs_superset_of_exact_bucket(spark):
+    """The probe-join pair set equals {pairs with bucket Hamming <=
+    probe} - a strict superset of the exact-bucket LSH pairs, never
+    duplicated despite multiple probe hits."""
+    from sqlstreamstore_spark.analytics.similarity import (
+        cosine_near_dup_pairs_lsh,
+        cosine_near_dup_pairs_lsh_multiprobe,
+    )
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {(r.id_a, r.id_b) for r in cosine_near_dup_pairs_lsh(emb).collect()}
+    mp = [(r.id_a, r.id_b) for r in
+          cosine_near_dup_pairs_lsh_multiprobe(emb, probe_hamming=1).collect()]
+    assert len(mp) == len(set(mp))  # dropDuplicates really deduped
+    assert exact <= set(mp)
+    # probe 0 reduces to the exact-bucket join
+    mp0 = {(r.id_a, r.id_b) for r in
+           cosine_near_dup_pairs_lsh_multiprobe(emb, probe_hamming=0).collect()}
+    assert mp0 == exact
