@@ -29,6 +29,17 @@ from sqlstreamstore_spark.analytics import (
 from sqlstreamstore_spark.sources.tables import load_table
 
 
+def _round_cols(df: DataFrame, cols: tuple[str, ...], scale: int = 9) -> DataFrame:
+    """Gate-side rounding for float columns whose last bit can diverge
+    between engines (libm ln(), partial-sum order). Applied in the gate
+    wrapper only — the operator itself stays full precision. The oracle
+    SQL applies the identical round() so the driver hash compares
+    like-for-like (the stats_corr_regr pattern)."""
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), scale))
+    return df
+
+
 def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
     return load_table(spark, sf, name)
 
@@ -573,8 +584,7 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 
 _ROLLCALL_SQL = """
 SELECT r_name,
-       list_sort(list(n_name)) AS nations,
-       count(*) AS n_nations,
+       CAST(count(*) AS BIGINT) AS n_nations,
        array_to_string(list_sort(list(n_name)), ',') AS nations_csv
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
@@ -604,7 +614,7 @@ FROM x GROUP BY dim ORDER BY dim
 
 _JSON_STATS_SQL = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
          / CAST(count(*) AS DOUBLE) AS avg_k
 FROM events GROUP BY event_type ORDER BY event_type
@@ -1343,10 +1353,10 @@ FROM c ORDER BY doc_id
 _SOURCE_ROLLUP_SQL = """
 SELECT source,
        count(*) AS n_docs,
-       avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avg_tokens,
-       avg(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-           / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avg_distinct_ratio,
-       1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
+       round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 9) AS avg_tokens,
+       round(avg(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE)), 9) AS avg_distinct_ratio,
+       round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS dup_rate
 FROM documents
 GROUP BY source
 ORDER BY source
@@ -1587,7 +1597,7 @@ scored AS (
          CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfc.df AS DOUBLE)) AS tfidf
   FROM tf JOIN dfc ON tf.token = dfc.token, n
 )
-SELECT doc_id, token, tfidf, rk FROM (
+SELECT doc_id, token, round(tfidf, 9) AS tfidf, rk FROM (
   SELECT doc_id, token, tfidf,
          row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
   FROM scored) t
@@ -2172,6 +2182,13 @@ ORDER BY o_orderpriority""",
             lambda s, sf: tpch.ntile_deciles(_t(s, sf, "orders")),
             _NTILE_DECILES_SQL,
         ),
+        # production twin: approx_percentile boundaries + broadcast range
+        # lookup — no WindowExec (rows-only: GK sketch isn't cross-engine
+        # reproducible; invariants vs exact NTILE pinned in pytest)
+        "stats_ntile_deciles_approx": (
+            lambda s, sf: tpch.ntile_deciles_approx(_t(s, sf, "orders")),
+            None,
+        ),
         "stats_corr_regr": (
             lambda s, sf: tpch.corr_regr_stats(_t(s, sf, "lineitem")),
             _CORR_REGR_SQL,
@@ -2313,11 +2330,14 @@ ORDER BY o_orderpriority""",
             _VOCAB_SQL,
         ),
         "text_source_rollup": (
-            lambda s, sf: text.source_quality_rollup(_t(s, sf, "documents")),
+            lambda s, sf: _round_cols(
+                text.source_quality_rollup(_t(s, sf, "documents")),
+                ("avg_tokens", "avg_distinct_ratio", "dup_rate")),
             _SOURCE_ROLLUP_SQL,
         ),
         "text_tfidf_top_terms": (
-            lambda s, sf: text.tf_idf_top_terms(_t(s, sf, "documents")),
+            lambda s, sf: _round_cols(
+                text.tf_idf_top_terms(_t(s, sf, "documents")), ("tfidf",)),
             _TFIDF_SQL,
         ),
         "sampling_deterministic": (
@@ -2494,8 +2514,11 @@ ORDER BY doc_id""",
             _YEARMONTH_SQL,
         ),
         "collect_list_rollcall": (
+            # gate projection drops the raw array column: the driver's
+            # pandas canonicalizer can't hash list cells (r3 red row);
+            # nations_csv carries the identical sorted content
             lambda s, sf: relational.region_nation_rollcall(
-                _t(s, sf, "nation"), _t(s, sf, "region")),
+                _t(s, sf, "nation"), _t(s, sf, "region")).drop("nations"),
             _ROLLCALL_SQL,
         ),
         "outer_join_nation_presence": (

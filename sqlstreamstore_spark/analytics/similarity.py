@@ -157,21 +157,40 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35) -> Dat
     )
 
 
+def derive_lsh_bits(n: int, target_bucket: int = 32, floor: int = 4, cap: int = 24) -> int:
+    """bits ≈ log2(N / target_bucket) — the rule that keeps the banded
+    self-join sub-quadratic as the corpus grows (2^bits buckets must
+    track N, else the bucket join degrades toward all-pairs; measured:
+    20k vectors at bits=4 → 71.7 s vs bits=10 → 2.3 s). Floor keeps
+    tiny fixtures deterministic (N=500 → 4); cap bounds the hyperplane
+    literal tree."""
+    import math
+
+    if n <= target_bucket:
+        return floor
+    return max(floor, min(cap, math.ceil(math.log2(n / target_bucket))))
+
+
 def cosine_near_dup_pairs_lsh(
-    embeddings: DataFrame, threshold: float = 0.35, dim: int = 64, bits: int = 4, seed: int = 42,
-    sort: bool = True,
+    embeddings: DataFrame, threshold: float = 0.35, dim: int = 64,
+    bits: int | None = None, seed: int = 42, sort: bool = True,
 ) -> DataFrame:
     """LSH-bucketed near-dup: candidates share a random-hyperplane
     bucket; exact cosine verifies. Sub-quadratic ONLY while the bucket
     count tracks the corpus: with b bits there are 2^b buckets, so at
-    fixed b the bucket self-join degrades toward all-pairs as N grows —
-    pick bits ≈ log2(N / target_bucket_size). Measured (scale probe,
-    20k vectors): bits=4 → 71.7 s, bits=10 → 2.3 s, with every
+    fixed b the bucket self-join degrades toward all-pairs as N grows.
+    ``bits=None`` (the default) derives bits ≈ log2(N / 32) from one
+    cheap count() — parquet footer metadata, no data scan — so the
+    DEFAULT stays linear at any corpus size instead of hiding the rule
+    in a docstring. Measured (scale probe, 20k vectors): bits=4 →
+    71.7 s, bits=10 (what auto picks) → 2.3 s, with every
     exact-duplicate clique still intact (identical vectors share every
     bucket). Recall < 1 for long-range near-dups by construction —
-    tune bits down / add multi-probe when recall matters more than
-    cost. ``sort=False`` skips the presentation-only global sort for
-    internal consumers (CC, recall counting)."""
+    pass explicit bits down / add multi-probe when recall matters more
+    than cost. ``sort=False`` skips the presentation-only global sort
+    for internal consumers (CC, recall counting)."""
+    if bits is None:
+        bits = derive_lsh_bits(embeddings.count())
     # both self-join sides read the signature frame — localCheckpoint so
     # the b-bit hyperplane projections run once (GC-reclaimed blocks,
     # not a cache-manager pin)
@@ -190,7 +209,7 @@ def cosine_near_dup_pairs_lsh(
 
 
 def cosine_near_dup_pairs_lsh_multiprobe(
-    embeddings: DataFrame, threshold: float = 0.35, dim: int = 64, bits: int = 4,
+    embeddings: DataFrame, threshold: float = 0.35, dim: int = 64, bits: int | None = None,
     seed: int = 42, probe_hamming: int = 1, sort: bool = True,
 ) -> DataFrame:
     """Multi-probe LSH near-dup: candidates' buckets may differ by up
@@ -202,9 +221,13 @@ def cosine_near_dup_pairs_lsh_multiprobe(
     while candidates grow only ~(1 + Σ C(bits, i)) per vector — the
     recall/cost knob that works WITHOUT retuning the bit count.
     Verification is the same exact cosine on candidates only; output
-    schema matches cosine_near_dup_pairs_lsh.
+    schema matches cosine_near_dup_pairs_lsh (incl. bits=None ⇒
+    auto-derived from a count).
     """
     from itertools import combinations
+
+    if bits is None:
+        bits = derive_lsh_bits(embeddings.count())
 
     sigs = lsh_bucket_signatures(embeddings, dim=dim, bits=bits, seed=seed).localCheckpoint()
     masks = [0]
@@ -577,7 +600,8 @@ def cosine_topk_ivf_static(
 
 
 def embedding_dedup_keepers(
-    embeddings: DataFrame, threshold: float = 0.35, dim: int = 64, bits: int = 4, seed: int = 42
+    embeddings: DataFrame, threshold: float = 0.35, dim: int = 64,
+    bits: int | None = None, seed: int = 42
 ) -> DataFrame:
     """End-to-end embedding (semantic) deduplication: LSH-bucketed
     candidate pairs → exact cosine verify → connected components →
@@ -610,8 +634,8 @@ def embedding_dedup_keepers(
 
 
 def embedding_lsh_recall(
-    embeddings: DataFrame, threshold: float = 0.35, dim: int = 64, bits: int = 4, seed: int = 42,
-    probe_hamming: int = 0,
+    embeddings: DataFrame, threshold: float = 0.35, dim: int = 64, bits: int = 4,
+    seed: int = 42, probe_hamming: int = 0,
 ) -> DataFrame:
     """LSH quality report for the embedding near-dup path (the cosine
     twin of dedup.minhash_lsh_recall): exact pair count, LSH-surviving

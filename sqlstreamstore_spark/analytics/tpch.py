@@ -821,6 +821,52 @@ def ntile_deciles(orders: DataFrame) -> DataFrame:
     )
 
 
+def ntile_deciles_approx(orders: DataFrame) -> DataFrame:
+    """Production-scale equi-depth deciles — the 100 TB twin of
+    ``ntile_deciles``. NTILE needs a GLOBAL ordering (a single-partition
+    window: the ``WindowExec: No Partition Defined`` warning, a
+    guaranteed OOM at scale). The scale shape is two passes, neither of
+    which sorts globally:
+
+      1. decile BOUNDARIES from ``approx_percentile`` (GK sketch,
+         partial-aggregable, bounded memory — one 9-double row);
+      2. broadcast the boundary row and assign each order its bucket
+         with a pure expression (count of boundaries below the price),
+         then an ordinary partial-aggregable groupBy.
+
+    No WindowExec in the plan at all (pinned in tests/test_plans.py).
+    Bucket sizes are approximately N/10 (rank error <= N/accuracy);
+    the exact-NTILE variant stays alongside as the oracle-scale twin.
+    """
+    acc = 10_000  # rank error <= N * 1e-4
+    price = F.col("o_totalprice").cast("double")
+    bounds = orders.agg(
+        F.percentile_approx(
+            price, F.array([F.lit(i / 10.0) for i in range(1, 10)]), F.lit(acc)
+        ).alias("bounds")
+    )
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "decile",
+            (
+                F.lit(1)
+                + F.size(
+                    F.filter("bounds", lambda b: price > b)
+                )
+            ).cast("int"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.sum(_dec("o_totalprice", _EP)).cast("double").alias("sum_price"),
+        )
+        .orderBy("decile")
+    )
+
+
 def corr_regr_stats(lineitem: DataFrame) -> DataFrame:
     """Bivariate statistics per return flag: Pearson correlation,
     sample covariance, and the least-squares fit of extendedprice on

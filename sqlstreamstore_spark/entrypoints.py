@@ -343,45 +343,42 @@ def build_oracle_sql() -> dict[str, str]:
 
 
 # The driver evaluates queries in dict order and caps CORRECTNESS at ~50
-# rows per round. Round-3 rotation (VERDICT r2 "What's missing" #1): the
-# 28 queries that never produced a driver row across r1+r2 go FIRST, then
-# 22 core-§2/regression canaries (including events_funnel, r2's one red
-# row, now cast-fixed, and the rewritten dedup_minhash_lsh) fill the cap.
-# Everything after slot 50 was driver-green in r1 or r2 and stays pinned
-# by tools/driver_sim.py + pytest until rotated back in.
+# rows per round. Round-4 rotation (VERDICT r3 "Next round" #1/#2): the
+# two r3 reds — both canonicalizer-representation bugs, now fixed
+# (rollcall's array column dropped from the gate projection;
+# json_payload_stats oracle CAST ... AS BIGINT) — go first so the fixes
+# get driver proof; then ALL 33 session-3/4 queries that have never had
+# a driver row (COVERAGE.md provenance list), then dedup_simhash (oracled
+# in r2 but only ever driver-run rows-only in r1), then the four
+# regression canaries. 40 slots used; the remainder of the ~50 cap is
+# available to round-4 additions (appended below as they land).
 _GATE_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (r1 ∪ r2) --
-    "pipeline_decontaminate", "sim_cosine_topk_lsh", "sim_cosine_topk_ivf_static",
-    "sim_cosine_near_dup", "sim_cosine_near_dup_lsh", "setop_intersect",
-    "setop_except", "antijoin_customers_without_orders", "pivot_event_types",
-    "cube_returns", "grouping_sets", "unpivot_stack", "scalar_subquery_above_avg",
-    "string_functions", "date_extract_groupby", "collect_list_rollcall",
-    "outer_join_nation_presence", "explode_dimension_stats", "json_payload_stats",
-    "stats_quantiles", "text_rolling_hash", "text_regex_tokens",
-    "multimodal_payload_stats", "multimodal_decode", "multimodal_frame_sample",
-    "multimodal_resize", "sim_cosine_topk_ivf", "stats_approx_sketches",
-    # -- new in round 3 (never checked by construction) --
-    "text_repetition_signals", "pipeline_pack_sequences",
-    "sim_cosine_topk_ivf_index", "sim_embedding_dedup_keepers",
-    "tpch_q2_min_cost", "tpch_q12_priority", "tpch_q16_supplier_count",
-    "tpch_q21_waiting", "tpch_q22_no_orders", "window_order_gaps",
-    "stats_ntile_deciles", "stats_corr_regr", "pipeline_chunk_documents",
-    "sampling_stratified_sources", "text_scrub_redact", "dedup_incremental_new",
-    "sim_cosine_topk_pq_static", "sim_cosine_topk_pq",
-    # -- §2-core + regression canaries, INSIDE the 50-row cap: the
-    # verdict's r3 "done" criteria are a green events_funnel row (the
-    # one r2 red, now BIGINT-cast) and the rewritten dedup_minhash_lsh
-    # staying green; read_all_forwards + store_bulk_roundtrip pin the
-    # read/commit paths every round --
+    # -- r3 reds, fixed this round --
+    "collect_list_rollcall", "json_payload_stats",
+    # -- never driver-checked (sessions 3/4; sim-verified + pytest-pinned) --
+    "dedup_jaccard_prefix", "dq_duplicate_keys", "dq_profile_orders",
+    "dq_referential_orphans", "events_cumulative_reach", "events_daily_anomaly",
+    "events_gap_fill", "events_transitions", "fuzzy_name_matches",
+    "graph_bfs_distances", "graph_pagerank", "graph_triangles",
+    "multimodal_audio_features", "multimodal_extract_frames",
+    "multimodal_image_ahash", "multimodal_image_near_dup",
+    "multimodal_video_near_dup", "sampling_fixed_size", "sampling_pps_systematic",
+    "sim_embedding_lsh_recall", "stats_higher_moments", "stats_kmv_by_source",
+    "stats_kmv_distinct", "stats_window_ranks", "store_time_travel",
+    "text_bpe_stats", "text_compression_signals", "text_hashed_features",
+    "text_heavy_hitters", "text_ngram_novelty", "tpch_bucketed_join_revenue",
+    "tpch_q11_important_stock", "tpch_q20_dominant_supp",
+    # -- oracled in r2 but never driver-checked with its oracle --
+    "dedup_simhash",
+    # -- round-4 additions (never checked by construction) --
+    "stats_ntile_deciles_approx", "multimodal_mp4_metadata",
+    # re-check: its default bits are now AUTO-derived (bits=None ⇒
+    # log2(N/32) from a count) — same bits=4 at the fixture's N=500, so
+    # the oracle hash is unchanged, but the code path is new
+    "sim_cosine_near_dup_lsh",
+    # -- §2-core + regression canaries, inside the cap every round --
     "read_all_forwards", "store_bulk_roundtrip",
     "events_funnel", "dedup_minhash_lsh",
-    # -- session-3+ additions past the cap (locally sim-verified +
-    # pytest-pinned; rotate into the gate across r4+) --
-    "graph_pagerank", "graph_triangles", "graph_bfs_distances", "events_transitions",
-    "multimodal_video_near_dup", "stats_window_ranks", "stats_higher_moments", "text_hashed_features", "fuzzy_name_matches",
-    "multimodal_image_near_dup", "multimodal_extract_frames",
-    "multimodal_image_ahash", "multimodal_audio_features",
-    "text_bpe_stats", "text_compression_signals", "text_heavy_hitters",
 )
 
 

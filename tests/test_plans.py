@@ -453,3 +453,36 @@ def test_profile_columns_is_single_scan(tables):
     assert tree.count("Scan parquet") == 1, tree
     # the multi-distinct strategy: one scan feeding an Expand
     assert "Expand" in tree
+
+
+def test_ntile_approx_no_window_no_single_partition(tables):
+    """The production-decile claim: approx_percentile boundaries +
+    broadcast range lookup — the plan must contain NO window at all
+    (exact NTILE's global window is the OOM at 100 TB) and never funnel
+    the fact table through one partition. The 1-row boundary side must
+    broadcast."""
+    p = plan_of(tpch.ntile_deciles_approx(tables["orders"]))
+    tree = p.split("\n\n")[0]
+    assert "Window" not in tree, tree
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree, tree
+    # partial aggregation on the fact side (two HashAggregates around an
+    # Exchange) — the decile rollup combines map-side, like any groupBy;
+    # the only global funnel is the 1-row boundary aggregate + the final
+    # 10-row orderBy, both O(1)
+    assert tree.count("HashAggregate") >= 2, tree
+
+
+def test_ntile_approx_matches_exact_invariants(tables):
+    """Equi-depth invariants vs the exact NTILE twin: same total count,
+    10 buckets, every bucket within 5% of N/10 (GK rank error is 1e-4),
+    boundaries monotone (min_price of decile d+1 >= max is not required
+    at ties, but min >= previous min strictly ordered by construction)."""
+    approx = {r["decile"]: r for r in tpch.ntile_deciles_approx(tables["orders"]).collect()}
+    exact = {r["decile"]: r for r in tpch.ntile_deciles(tables["orders"]).collect()}
+    n_total = sum(r["n_orders"] for r in exact.values())
+    assert sum(r["n_orders"] for r in approx.values()) == n_total
+    assert set(approx) == set(range(1, 11))
+    for d, r in approx.items():
+        assert abs(r["n_orders"] - n_total / 10) <= max(2, 0.05 * n_total), (d, r)
+    mins = [approx[d]["min_price"] for d in range(1, 11)]
+    assert mins == sorted(mins)

@@ -160,3 +160,32 @@ def test_multiprobe_pairs_superset_of_exact_bucket(spark):
     mp0 = {(r.id_a, r.id_b) for r in
            cosine_near_dup_pairs_lsh_multiprobe(emb, probe_hamming=0).collect()}
     assert mp0 == exact
+
+
+def test_derive_lsh_bits_tracks_corpus():
+    """bits ≈ log2(N/32): floor at tiny N, grows with the corpus, capped.
+    The scale-probe numbers behind it: 20k vectors, bits=4 → 71.7 s
+    (quadratic bucket join) vs bits=10 (what auto picks) → 2.3 s."""
+    from sqlstreamstore_spark.analytics.similarity import derive_lsh_bits
+
+    assert derive_lsh_bits(10) == 4
+    assert derive_lsh_bits(500) == 4          # the sf0.01 fixture: oracle-stable
+    assert derive_lsh_bits(2000) == 6
+    assert derive_lsh_bits(20_000) == 10      # the measured 31x win
+    assert derive_lsh_bits(10**9) == 24       # capped
+    # monotone non-decreasing in N
+    vals = [derive_lsh_bits(n) for n in (10, 100, 1000, 10**4, 10**6, 10**9)]
+    assert vals == sorted(vals)
+
+
+def test_near_dup_lsh_auto_bits_matches_explicit(spark):
+    """bits=None on the fixture derives 4 (N=500 ≤ 32·2^4) — byte-identical
+    pairs to the explicit bits=4 call the oracles were built against."""
+    from sqlstreamstore_spark.analytics.similarity import cosine_near_dup_pairs_lsh
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    auto = {(r.id_a, r.id_b) for r in cosine_near_dup_pairs_lsh(emb, 0.35).collect()}
+    explicit = {(r.id_a, r.id_b)
+                for r in cosine_near_dup_pairs_lsh(emb, 0.35, bits=4).collect()}
+    assert auto == explicit and auto

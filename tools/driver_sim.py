@@ -18,27 +18,50 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def norm(v):
-    """Normalize any cell to a string so rows sort/compare uniformly."""
+def _cell(v):
+    """Dtype-sensitive cell repr, mirroring the real driver's pandas
+    value-hash strictness (r3 lesson): int64 99111 and float64 99111.0
+    MUST differ (DuckDB HUGEINT→float64 broke json_payload_stats), and
+    floats compare at full precision, not %.10g."""
     import datetime
     import decimal
-    import math
 
-    if v is None:
-        return "\x00none"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.10g}"
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return "\x00na"
+    if isinstance(v, (bool, np.bool_)):
+        return repr(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return repr(int(v))
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))  # full precision; nan -> 'nan'
     if isinstance(v, decimal.Decimal):
-        return f"{float(v):.10g}"
+        return "dec:" + str(v)
+    if isinstance(v, pd.Timestamp):
+        return v.tz_localize(None).isoformat() if v.tzinfo else v.isoformat()
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):
         return datetime.datetime(v.year, v.month, v.day).isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return "hex:" + bytes(v).hex()
     return str(v)
+
+
+def canon(pdf):
+    """Canonicalize a pandas frame the way the driver does: sort columns
+    by name, factorize each column (raises TypeError on unhashable list
+    cells — the collect_list_rollcall r3 failure mode), then emit sorted
+    rows of dtype-sensitive cell reprs."""
+    import pandas as pd
+
+    pdf = pdf[sorted(pdf.columns)]
+    for c in pdf.columns:
+        pd.factorize(pdf[c])  # driver's hash path dies here on list cells
+    rows = [tuple(_cell(v) for v in r) for r in pdf.itertuples(index=False, name=None)]
+    return sorted(rows)
 
 
 def main(sf_dir: str, only: list[str] | None = None) -> int:
@@ -93,33 +116,40 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
         try:
             sdf = fn(spark, sf_dir)
             sp_cols = sdf.columns
-            sp = sorted(tuple(norm(v) for v in r) for r in sdf.collect())
+            sp_pdf = sdf.toPandas()
         except Exception as e:
             failures.append(name)
             print(f"  {name}: SPARK ERROR {e}")
             continue
         if name not in oracles:
-            print(f"  {name}: rows-only check, {len(sp)} rows, {time.time()-t0:.1f}s")
+            print(f"  {name}: rows-only check, {len(sp_pdf)} rows, {time.time()-t0:.1f}s")
             continue
         try:
             res = con.execute(oracles[name])
-            dk_cols = [d[0] for d in res.description]
-            dk = sorted(tuple(norm(v) for v in r) for r in res.fetchall())
+            dk_pdf = res.fetchdf()
+            dk_cols = list(dk_pdf.columns)
         except Exception as e:
             failures.append(name)
             print(f"  {name}: ORACLE ERROR {e}")
             continue
-        # driver sorts columns by name before hashing
-        sp_idx = [sp_cols.index(c) for c in sorted(sp_cols)]
-        dk_idx = [dk_cols.index(c) for c in sorted(dk_cols)]
-        sp_s = [tuple(r[i] for i in sp_idx) for r in sp]
-        dk_s = [tuple(r[i] for i in dk_idx) for r in dk]
         ok_cols = sorted(sp_cols) == sorted(dk_cols)
+        try:
+            sp_s = canon(sp_pdf)
+        except Exception as e:
+            failures.append(name)
+            print(f"  {name}: SPARK CANON ERROR {type(e).__name__}: {e}")
+            continue
+        try:
+            dk_s = canon(dk_pdf)
+        except Exception as e:
+            failures.append(name)
+            print(f"  {name}: ORACLE CANON ERROR {type(e).__name__}: {e}")
+            continue
         ok_vals = sp_s == dk_s
         status = "OK" if (ok_cols and ok_vals) else "MISMATCH"
         if status != "OK":
             failures.append(name)
-        print(f"  {name}: {status} rows={len(sp)}/{len(dk)} cols_ok={ok_cols} {time.time()-t0:.1f}s")
+        print(f"  {name}: {status} rows={len(sp_s)}/{len(dk_s)} cols_ok={ok_cols} {time.time()-t0:.1f}s")
         if not ok_vals and ok_cols:
             for a, b in zip(sp_s, dk_s):
                 if a != b:
