@@ -247,26 +247,27 @@ def main() -> int:
         timings["append_unique_200x5"] = round(dt, 3)
         timings["append_unique_msgs_per_sec"] = round(1_000 / dt, 1)
 
-        # -- two concurrent writer PROCESSES on one store (the documented
+        # -- concurrent writer PROCESSES on one store (the documented
         # multi-writer regime: flock+CAS serializes commits; the loser
         # catches ConcurrentWriteError, refresh()es, retries — README
-        # "Write concurrency"). Measures the contended-commit ceiling;
-        # shard stores by tenant when this is the bottleneck.
+        # "Write concurrency"). Fixed TOTAL work (10k messages) across
+        # 2/4/8 writers gives the contention CURVE: flat ⇒ retries are
+        # cheap; rising ⇒ the serialized-commit ceiling — shard stores
+        # by tenant when that's the bottleneck.
         import subprocess
         import sys as _sys
 
-        xw_path = os.path.join(tmp, "xwriters")
-        SparkParquetStreamStore(None, xw_path)  # init store dir
         worker_src = """
 import sys, uuid
 sys.path.insert(0, {repo!r})
 from sqlstreamstore_spark.exceptions import ConcurrentWriteError
 from sqlstreamstore_spark.schema import ExpectedVersion
 from sqlstreamstore_spark.store import NewStreamMessage, SparkParquetStreamStore
-wid = int(sys.argv[1]); path = sys.argv[2]
+wid = int(sys.argv[1]); path = sys.argv[2]; n_batches = int(sys.argv[3])
 s = SparkParquetStreamStore(None, path)
 k = wid * 10_000_000
-for b in range(50):
+retries = 0
+for b in range(n_batches):
     batch = [NewStreamMessage(str(uuid.UUID(int=k + b * 100 + i + 1)), "xw", '{{"x":1}}')
              for i in range(100)]
     while True:
@@ -274,25 +275,35 @@ for b in range(50):
             s.append_to_stream(f"w{{wid}}-{{b % 5}}", ExpectedVersion.ANY, batch)
             break
         except ConcurrentWriteError:
+            retries += 1
             s.refresh()
-print("done")
+print("done", retries)
 """.format(repo=os.path.dirname(os.path.abspath(__file__)))
-        t0 = time.time()
-        procs = [
-            subprocess.Popen(
-                [_sys.executable, "-c", worker_src, str(w), xw_path],
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            )
-            for w in (1, 2)
-        ]
-        for p in procs:
-            out, err = p.communicate(timeout=600)
-            assert "done" in out, err[-2000:]
-        dt = time.time() - t0
-        check = SparkParquetStreamStore(None, xw_path)
-        assert check.read_head_position() == 9_999, check.read_head_position()
-        timings["append_2writers_100x100"] = round(dt, 3)
-        timings["append_2writers_msgs_per_sec"] = round(10_000 / dt, 1)
+        for n_writers in (2, 4, 8):
+            per_writer = 10_000 // (100 * n_writers)  # ~10k msgs total
+            total = n_writers * per_writer * 100
+            xw_path = os.path.join(tmp, f"xwriters{n_writers}")
+            SparkParquetStreamStore(None, xw_path)  # init store dir
+            t0 = time.time()
+            procs = [
+                subprocess.Popen(
+                    [_sys.executable, "-c", worker_src,
+                     str(w), xw_path, str(per_writer)],
+                    stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                )
+                for w in range(1, n_writers + 1)
+            ]
+            retries = 0
+            for p in procs:
+                out, err = p.communicate(timeout=600)
+                assert "done" in out, err[-2000:]
+                retries += int(out.split()[1])
+            dt = time.time() - t0
+            check = SparkParquetStreamStore(None, xw_path)
+            assert check.read_head_position() == total - 1, check.read_head_position()
+            timings[f"append_{n_writers}writers_total10k"] = round(dt, 3)
+            timings[f"append_{n_writers}writers_msgs_per_sec"] = round(total / dt, 1)
+            timings[f"append_{n_writers}writers_cas_retries"] = retries
 
         # -- commit cost at high stream cardinality: the delta-log
         # manifest makes single-message appends O(change) instead of

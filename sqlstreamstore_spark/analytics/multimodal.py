@@ -8,9 +8,14 @@ GIF (own LZW, ``analytics/gif.py``), baseline JPEG (own Huffman+IDCT
 codec, ``analytics/jpeg.py``), WAV (PCM via ``wave``) and MJPEG-AVI
 video (``analytics/avi.py``) — no external libs — including real
 nearest-neighbor resize with re-encode in the source format and real
-sampled-frame extraction. Only MP4/H.264 still goes through the
-deterministic FAKEMEDIA stub header; swap in pyav in production — the
-dataflow does not change.
+sampled-frame extraction. MP4 is a real ISO-BMFF container walk
+(``analytics/mp4.py``: moov/trak/stbl parse, general stsc sample
+location, bounds-checked random access) — container-level metadata,
+frame timing and per-sample byte ranges are real; only the H.264
+BITSTREAM inside the samples stays a deterministic stub (pixel decode
+needs a codec library; swap in pyav in production — the dataflow does
+not change). The legacy FAKEMEDIA header format remains decodable for
+synthetic corner-case tests.
 
 Scale design: media bytes never pass through the driver; rows flow
 partition-by-partition through mapInPandas with a bounded Arrow batch
@@ -128,7 +133,11 @@ def make_media_payload(i: int, kind: str, w: int, h: int, d: int) -> tuple[bytes
         n_frames = max(1, round(d * 4 / 1000))
         frames = [_synth_image(i * 8 + f, 32, 24) for f in range(n_frames)]
         return avi_encode(frames, fps=4), "video/x-msvideo", "mjpeg"
-    return encode_fake_media(i, kind, w, h, d), "video/mp4", "fake"
+    # real ISO-BMFF container (stub H.264 sample payloads — see mp4.py)
+    from sqlstreamstore_spark.analytics.mp4 import mp4_encode
+
+    n_frames = max(1, round(d * 4 / 1000))
+    return mp4_encode(i, w, h, n_frames, fps=4), "video/mp4", "avc1"
 
 
 _MEDIA_ROWS_CACHE: dict[int, list] = {}
@@ -408,10 +417,29 @@ def _decode_one(payload: bytes) -> dict:
             "n_bytes": len(p),
             "checksum": sum(pcm) % 65536,
         }
+    from sqlstreamstore_spark.analytics.mp4 import is_mp4, mp4_probe
+
+    if is_mp4(p):
+        info = mp4_probe(p)
+        # checksum over the located sample bytes proves the stsc/stco/
+        # stsz walk ran and every range was in-bounds (pixels would need
+        # an H.264 decoder — honestly out of scope)
+        csum = 0
+        for off, sz in info["sample_ranges"]:
+            csum = (csum + sum(p[off : off + sz])) % 65536
+        return {
+            "decoded_kind": "video",
+            "width": info["width"],
+            "height": info["height"],
+            "duration_ms": info["duration_ms"],
+            "n_bytes": len(p),
+            "checksum": csum,
+        }
     raise NotImplementedError(
-        "no decoder for this payload: PNG/BMP/WAV (stdlib) and baseline "
-        "JPEG (analytics/jpeg.py) decode for real; MP4/other video needs "
-        "pyav (unavailable in this environment)"
+        "no decoder for this payload: PNG/BMP/GIF/WAV (stdlib), baseline "
+        "JPEG (analytics/jpeg.py), MJPEG-AVI and ISO-BMFF MP4 metadata "
+        "(analytics/mp4.py) decode for real; other formats need external "
+        "codecs (unavailable in this environment)"
     )
 
 
@@ -646,6 +674,32 @@ def _extract_frames_one(mid: int, p: bytes, every_ms: int) -> list[dict]:
                 }
             )
         return out
+    from sqlstreamstore_spark.analytics.mp4 import is_mp4, mp4_probe, mp4_sample
+
+    if is_mp4(p):
+        # container-level extraction: frame index/timing from stts, dims
+        # from tkhd, random access into mdat via the validated sample
+        # table. Checksum is over the SAMPLE BYTES (an H.264 access
+        # unit in a real file) — pixel decode stays stubbed.
+        info = mp4_probe(p)
+        nf = info["n_frames"]
+        if nf == 0 or info["duration_ms"] <= 0:
+            return out
+        ms_per_frame = info["duration_ms"] / nf
+        for ts in range(0, info["duration_ms"], every_ms):
+            idx = min(int(ts / ms_per_frame), nf - 1)
+            sample = mp4_sample(p, info, idx)
+            out.append(
+                {
+                    "media_id": mid,
+                    "frame_ts_ms": ts,
+                    "frame_index": idx,
+                    "width": info["width"],
+                    "height": info["height"],
+                    "checksum": sum(sample) % 65536,
+                }
+            )
+        return out
     if p.startswith(_MAGIC):
         kind_b, w, h, d = struct.unpack_from("<BIII", p, len(_MAGIC))
         body = p[len(_MAGIC) + 13 :]
@@ -662,7 +716,7 @@ def _extract_frames_one(mid: int, p: bytes, every_ms: int) -> list[dict]:
                 }
             )
         return out
-    raise NotImplementedError("frame extraction: MJPEG-AVI or FAKEMEDIA only")
+    raise NotImplementedError("frame extraction: MJPEG-AVI, MP4 or FAKEMEDIA only")
 
 
 def extract_video_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
@@ -863,13 +917,31 @@ def _video_frame_hashes_one(mid: int, p: bytes, every_ms: int) -> list[tuple[int
                 v = (v << 1) | int(b)
             out.append((mid, ts, int(np.int64(np.uint64(v)))))
         return out
+    from sqlstreamstore_spark.analytics.mp4 import is_mp4, mp4_probe, mp4_sample
+
+    if is_mp4(p):
+        # container-level stand-in fingerprint: 62-bit md5 of the
+        # sample's bytes. Identical samples (true duplicates) collide
+        # exactly; it is NOT perceptual (that needs H.264 pixel decode).
+        import hashlib
+
+        info = mp4_probe(p)
+        nf = info["n_frames"]
+        if nf == 0 or info["duration_ms"] <= 0:
+            return out
+        ms_per_frame = info["duration_ms"] / nf
+        for ts in range(0, info["duration_ms"], every_ms):
+            idx = min(int(ts / ms_per_frame), nf - 1)
+            digest = hashlib.md5(mp4_sample(p, info, idx)).digest()
+            out.append((mid, ts, int.from_bytes(digest[:8], "big") % (1 << 62)))
+        return out
     if p.startswith(_MAGIC):
         kind_b, w, h, d = struct.unpack_from("<BIII", p, len(_MAGIC))
         base = sum(p[len(_MAGIC) + 13 :]) % (1 << 62)
         for i, ts in enumerate(range(0, d, every_ms)):
             out.append((mid, ts, (base * 31 + i) % (1 << 62)))
         return out
-    raise NotImplementedError("video frame hash: MJPEG-AVI or FAKEMEDIA only")
+    raise NotImplementedError("video frame hash: MJPEG-AVI, MP4 or FAKEMEDIA only")
 
 
 def video_frame_ahashes(media: DataFrame, every_ms: int = 500) -> DataFrame:
@@ -942,4 +1014,52 @@ def video_near_dup_pairs(
         )
         .filter(F.col("n_shared_frames") >= min_shared_frames)
         .orderBy("id_a", "id_b")
+    )
+
+
+MP4_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("brand", T.StringType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("duration_ms", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("data_bytes", T.LongType(), False),
+    ]
+)
+
+
+def mp4_container_metadata(media: DataFrame) -> DataFrame:
+    """ISO-BMFF metadata extraction as a Spark operator: MP4 payloads
+    in, one narrow container-fact row out (mapInPandas; non-MP4 rows
+    are filtered by mime before the Python worker sees them). The walk
+    is the real 14496-12 parse (analytics/mp4.py): movie duration from
+    mvhd, dimensions from tkhd, codec fourcc from stsd, frame count
+    from stsz, and data_bytes as the sum of every located-and-validated
+    sample range — a training-data pipeline's 'probe' pass (ffprobe
+    shape) without decoding a single pixel."""
+    from sqlstreamstore_spark.analytics.mp4 import mp4_probe
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                info = mp4_probe(bytes(p))
+                rows.append(
+                    (
+                        int(mid), info["brand"], info["codec"], info["width"],
+                        info["height"], info["duration_ms"], info["n_frames"],
+                        sum(sz for _, sz in info["sample_ranges"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MP4_METADATA_SCHEMA.fields]
+            )
+
+    return (
+        media.filter(F.col("mime") == "video/mp4")
+        .select("media_id", "payload")
+        .mapInPandas(run, MP4_METADATA_SCHEMA)
     )

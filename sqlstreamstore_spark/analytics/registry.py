@@ -1041,8 +1041,9 @@ def _bpe_stats_query(spark: SparkSession, sf: str) -> DataFrame:
 
 def _multimodal_golden_sqls() -> tuple[str, str, str]:
     """Golden-VALUES oracles for the media pipeline: the synthetic
-    payloads are deterministic REAL media (PNG/JPEG/BMP/WAV via
-    ``make_media_payload``; video stays the FAKEMEDIA stub), so the
+    payloads are deterministic REAL media (PNG/JPEG/BMP/GIF/WAV,
+    MJPEG-AVI, and real ISO-BMFF MP4 containers via
+    ``make_media_payload``), so the
     expected output of each mapInPandas/explode stage is computable
     here, driver-side, with the same pure codecs the executors run. The
     gate then verifies the DISTRIBUTED execution path (Arrow batches,
@@ -1166,6 +1167,33 @@ def _multimodal_phash_golden_sqls(max_hamming: int = 16) -> tuple[str, str]:
     return hash_sql, pair_sql
 
 
+def _multimodal_mp4_golden_sql() -> str:
+    """Golden oracle for the ISO-BMFF probe: rebuild each MP4 row's
+    container driver-side with the same writer and re-parse it with the
+    same mp4_probe the executors run — a golden snapshot proving the
+    distributed mapInPandas path returns the real container facts."""
+    from sqlstreamstore_spark.analytics.mp4 import mp4_probe
+    from sqlstreamstore_spark.analytics.multimodal import make_media_payload
+
+    rows = []
+    for i in range(100):
+        if i % 3 == 2 and (i // 3) % 2 == 1:  # the video rows that encode as MP4
+            w, h, d = (64 + i % 32, 48 + i % 24, 1000 + i * 10)
+            payload, mime, _c = make_media_payload(i, "video", w, h, d)
+            assert mime == "video/mp4", (i, mime)
+            info = mp4_probe(payload)
+            rows.append(
+                f"({i}, '{info['brand']}', '{info['codec']}', {info['width']}, "
+                f"{info['height']}, {info['duration_ms']}, {info['n_frames']}, "
+                f"{sum(sz for _, sz in info['sample_ranges'])})"
+            )
+    return (
+        "SELECT * FROM (VALUES\n" + ",\n".join(rows)
+        + ") AS t(media_id, brand, codec, width, height, duration_ms, "
+        + "n_frames, data_bytes)\nORDER BY media_id"
+    )
+
+
 def _multimodal_video_dedup_golden_sql(
     every_ms: int = 500, max_hamming: int = 3, min_shared_frames: int = 2
 ) -> str:
@@ -1217,6 +1245,7 @@ def _multimodal_video_dedup_golden_sql(
 
 (_MM_DECODE_SQL, _MM_FRAMES_SQL, _MM_RESIZE_SQL, _MM_EXTRACT_SQL,
  _MM_AUDIO_SQL) = _multimodal_golden_sqls()
+_MM_MP4_META_SQL = _multimodal_mp4_golden_sql()
 _MM_AHASH_SQL, _MM_PHASH_PAIRS_SQL = _multimodal_phash_golden_sqls()
 _MM_VIDEO_DEDUP_SQL = _multimodal_video_dedup_golden_sql()
 
@@ -2685,11 +2714,20 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
         ),
         "multimodal_extract_frames": (
             # REAL video frame extraction: MJPEG-AVI rows random-access
-            # + JPEG-decode only the sampled frames (mapInPandas);
-            # FAKEMEDIA (mp4 stub) rows emit deterministic pseudo-frames
+            # + JPEG-decode only the sampled frames (mapInPandas); MP4
+            # rows random-access samples via the real ISO-BMFF tables
+            # (checksums over sample bytes — H.264 pixels stay stubbed)
             lambda s, sf: multimodal.extract_video_frames(
                 multimodal.make_fake_media_df(s, 100), every_ms=500
             ).orderBy("media_id", "frame_ts_ms"),
             _MM_EXTRACT_SQL,
+        ),
+        "multimodal_mp4_metadata": (
+            # real ISO-BMFF container walk (mvhd/tkhd/stsd/stsz + the
+            # general stsc sample-location algorithm), ffprobe-shaped
+            lambda s, sf: multimodal.mp4_container_metadata(
+                multimodal.make_fake_media_df(s, 100)
+            ).orderBy("media_id"),
+            _MM_MP4_META_SQL,
         ),
     }

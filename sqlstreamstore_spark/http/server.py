@@ -25,12 +25,16 @@ continuation):
   GET    /streams/{id}/metadata              GetStreamMetadata
   POST   /streams/{id}/metadata              SetStreamMetadata
   GET    /streams?p=&t=&m=&c=                ListStreams
-  GET    /docs/{rel}                         write-relation docs (markdown)
+  GET    /docs/{rel}                         write-relation docs — markdown,
+                                             or the rel's draft-07 JSON
+                                             schema under Accept:
+                                             application/schema+json
 
 HEAD mirrors every GET route's headers with no body; wrong verbs get
 405 with the route's own Allow set; a non-matching Accept header gets
-406 (HAL routes speak application/hal+json, docs text/markdown); feed
-pages carry the reference's first/last/previous/next navigation links.
+406 (HAL routes speak application/hal+json, docs negotiate
+text/markdown | application/schema+json); feed pages carry the
+reference's first/last/previous/next navigation links.
 
 Canonical URLs (AllStream/ReadAllStreamOperation.cs:47-59,
 AllStreamResource.cs:29-31, CanonicalUrlTests.cs): a feed GET whose
@@ -157,6 +161,102 @@ DOCS: dict[str, str] = {
         "message ids. Retention applies lazily on read and via\n"
         "scavenge on write.\n"
     ),
+    "find": (
+        "# find\n\n"
+        "`GET /streams/{streamId}` reads a stream's feed page. Query:\n"
+        "`d` (f|b), `p` (version), `m` (page size), `e=1` (prefetch\n"
+        "json_data inline).\n"
+    ),
+    "feed-browser": (
+        "# feed-browser\n\n"
+        "`GET /streams?p=&t=&m=&c=` lists stream ids: `p` pattern, `t`\n"
+        "pattern type (`s` startsWith, `e` endsWith, absent = any), `m`\n"
+        "max results, `c` continuation token from the previous page.\n"
+    ),
+}
+
+# JSON hyper-schemas for the write/browse relations (reference:
+# SqlStreamStore.HAL/SchemaSet.cs:1-40 serves embedded
+# `Schema.{rel}.schema.json` resources under Accept:
+# application/schema+json, markdown otherwise
+# [s_mediaTypeToExtension]; tests/SqlStreamStore.HAL.Tests/
+# AllJsonSchemasTests.cs pins draft-07 + BOM-free). These describe
+# THIS server's wire contract — draft-07, additionalProperties:false,
+# the same six rels the reference embeds.
+SCHEMA_MEDIA_TYPE = "application/schema+json"
+
+_UUID_PATTERN = (
+    "^[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-"
+    "[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}$"
+)
+
+SCHEMAS: dict[str, dict] = {
+    "append": {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "title": "Append to Stream",
+        "type": "array",
+        "items": {
+            "type": "object",
+            "required": ["messageId", "type", "jsonData"],
+            "properties": {
+                "messageId": {"type": "string", "pattern": _UUID_PATTERN},
+                "type": {"type": "string"},
+                "jsonData": {"type": "string"},
+                "jsonMetadata": {"type": "string"},
+            },
+            "additionalProperties": False,
+        },
+    },
+    "delete-stream": {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "title": "Delete Stream",
+        "type": "object",
+        "additionalProperties": False,
+    },
+    "delete-message": {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "title": "Delete Stream Message",
+        "type": "object",
+        "additionalProperties": False,
+    },
+    "metadata": {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "title": "Set Stream Metadata",
+        "type": "object",
+        "properties": {
+            "maxAge": {"type": "integer", "minimum": 1},
+            "maxCount": {"type": "integer", "minimum": 1},
+            "metadataJson": {"type": "string"},
+            "expectedStreamMetadataVersion": {"type": "integer", "minimum": -2},
+        },
+        "additionalProperties": False,
+    },
+    "find": {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "title": "Find a Stream",
+        "type": "object",
+        "required": ["streamId"],
+        "properties": {
+            "streamId": {"type": "string", "description": "The stream's id."},
+        },
+        "additionalProperties": False,
+    },
+    "feed-browser": {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "title": "Browse Streams",
+        "type": "object",
+        "properties": {
+            "p": {"type": "string", "description": "The pattern to search for."},
+            "t": {
+                "type": "string",
+                "enum": ["s", "e"],
+                "description": "Pattern type: s (startsWith) or e (endsWith).",
+            },
+            "m": {"type": "integer", "minimum": 1, "maximum": 100},
+            "c": {"type": "string", "description": "Continuation token."},
+        },
+        "additionalProperties": False,
+    },
 }
 
 
@@ -388,9 +488,15 @@ def _make_handler(store: StreamStore):
         def _get(self):
             parts, q = self._route()
             is_docs = len(parts) == 2 and parts[0] == "docs"
-            want = "text/markdown" if is_docs else HAL_CONTENT_TYPE
-            if not self._acceptable(want):
-                self._not_acceptable(want)
+            if is_docs:
+                # the docs resource negotiates two representations
+                # (SchemaSet.cs s_mediaTypeToExtension: schema+json →
+                # .json, markdown/any → .md)
+                if not self._acceptable("text/markdown", SCHEMA_MEDIA_TYPE):
+                    self._not_acceptable("text/markdown", SCHEMA_MEDIA_TYPE)
+                    return
+            elif not self._acceptable(HAL_CONTENT_TYPE):
+                self._not_acceptable(HAL_CONTENT_TYPE)
                 return
             if parts == []:
                 self._send(200, {
@@ -403,18 +509,32 @@ def _make_handler(store: StreamStore):
                     }
                 })
             elif len(parts) == 2 and parts[0] == "docs":
-                doc = DOCS.get(parts[1])
-                if doc is None:
-                    self._send(404)
+                # schema+json explicitly requested wins; markdown (or
+                # wildcard/absent Accept) gets the markdown — mirroring
+                # the reference's quality-ordered mediaType→extension map
+                raw = self.headers.get("Accept") or ""
+                vals = {v.split(";")[0].strip() for v in raw.split(",") if v.strip()}
+                if SCHEMA_MEDIA_TYPE in vals:
+                    schema = SCHEMAS.get(parts[1])
+                    if schema is None:
+                        self._send(404)
+                        return
+                    payload = json.dumps(schema, indent=2).encode()
+                    ctype = SCHEMA_MEDIA_TYPE + "; charset=utf-8"
                 else:
+                    doc = DOCS.get(parts[1])
+                    if doc is None:
+                        self._send(404)
+                        return
                     payload = doc.encode()
-                    self.send_response(200)
-                    self.send_header("Content-Type", "text/markdown; charset=utf-8")
-                    self.send_header("Content-Length", str(len(payload)))
-                    self.send_header("Access-Control-Allow-Origin", "*")
-                    self.end_headers()
-                    if self.command != "HEAD":
-                        self.wfile.write(payload)
+                    ctype = "text/markdown; charset=utf-8"
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(payload)))
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.end_headers()
+                if self.command != "HEAD":
+                    self.wfile.write(payload)
             elif parts == ["stream"]:
                 self._read_all(q)
             elif parts == ["streams"]:

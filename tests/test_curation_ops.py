@@ -270,3 +270,29 @@ def test_jsonl_export_roundtrip_and_fingerprints(spark, tmp_path):
 
     out2 = export_jsonl_shards(docs, str(tmp_path / "jsonl2"), shard_rows=200)
     assert out2["manifest"] == out["manifest"]
+
+
+def test_kmv_error_shrinks_as_inverse_sqrt_k(spark):
+    """The accuracy CLAIM, not just determinism: KMV's relative error
+    is ~1/sqrt(k-2), so quadrupling k should roughly halve it. Build
+    salted synthetic corpora with a large known distinct-gram domain,
+    measure mean |rel_err| at k = 16 / 64 / 256 over the salts, and pin
+    (a) each mean inside 2.5x the theoretical standard error and
+    (b) the k=256 mean strictly below the k=16 mean."""
+    ks = (16, 64, 256)
+    salts = ("p", "q", "r")
+    mean_err = {}
+    for k in ks:
+        errs = []
+        for salt in salts:
+            docs = spark.createDataFrame(
+                [(i, " ".join(f"{salt}{i}x{j}" for j in range(30)))
+                 for i in range(200)],
+                "doc_id long, text string",
+            )
+            row = kmv_distinct_ngrams(docs, k=k).first()
+            assert row.n_exact == 200 * 28  # all grams distinct by construction
+            errs.append(abs(row.rel_err))
+        mean_err[k] = sum(errs) / len(errs)
+        assert mean_err[k] <= 2.5 / (k - 2) ** 0.5, (k, errs)
+    assert mean_err[256] < mean_err[16], mean_err

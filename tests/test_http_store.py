@@ -666,3 +666,58 @@ def test_http_feed_navigation_links(duo):
     assert l["previous"]["href"] == "/streams/s?d=b&p=9&m=10&e=1"
     assert l["next"]["href"] == "/streams/s?d=f&p=20&m=10&e=1"
     assert l["streamStore:metadata"]["href"] == "/streams/s/metadata"
+
+
+def test_http_json_schemas_served_for_all_rels(duo):
+    """SchemaSet.cs + AllJsonSchemasTests.cs parity: every relation
+    serves a draft-07 JSON schema under Accept: application/schema+json
+    (markdown otherwise — same resource, negotiated), the schema bytes
+    are BOM-free, every schema pins $schema/title/additionalProperties,
+    and the doc/schema rel sets coincide."""
+    import json as _json
+
+    from sqlstreamstore_spark.http.server import DOCS, SCHEMAS
+
+    _backend, client, _clock = duo
+    assert set(SCHEMAS) == set(DOCS) == {
+        "append", "delete-stream", "delete-message", "metadata",
+        "find", "feed-browser",
+    }
+    for rel in SCHEMAS:
+        status, h, raw = _raw_get(
+            client.base_url, f"/docs/{rel}",
+            {"Accept": "application/schema+json"})
+        assert status == 200, rel
+        assert h.get("Content-Type", "").startswith("application/schema+json")
+        assert not raw.startswith(b"\xef\xbb\xbf")  # byte_order_mark_not_present
+        schema = _json.loads(raw)
+        # json_schema_is_compatible_with_markdown_generator
+        assert schema["$schema"] == "http://json-schema.org/draft-07/schema#"
+        assert schema["title"]
+        inner = schema["items"] if schema["type"] == "array" else schema
+        assert inner["additionalProperties"] is False
+        # markdown twin still served without the schema Accept
+        status, h, raw = _raw_get(client.base_url, f"/docs/{rel}")
+        assert status == 200 and h.get("Content-Type", "").startswith("text/markdown")
+    # unknown rel 404s in both representations
+    status, _h, _b = _raw_get(client.base_url, "/docs/nope",
+                              {"Accept": "application/schema+json"})
+    assert status == 404
+
+
+def test_http_schema_accept_negotiation_precedence(duo):
+    """schema+json explicitly in Accept wins; markdown or wildcard gets
+    markdown; a docs Accept naming neither still 406es."""
+    _backend, client, _clock = duo
+    cases = [
+        ("application/schema+json", 200, "application/schema+json"),
+        ("application/schema+json, text/markdown", 200, "application/schema+json"),
+        ("text/markdown", 200, "text/markdown"),
+        ("*/*", 200, "text/markdown"),
+        ("application/hal+json", 406, None),
+    ]
+    for accept, want_status, want_ctype in cases:
+        status, h, _b = _raw_get(client.base_url, "/docs/metadata", {"Accept": accept})
+        assert status == want_status, (accept, status)
+        if want_ctype:
+            assert h.get("Content-Type", "").startswith(want_ctype), accept

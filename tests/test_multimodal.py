@@ -50,9 +50,12 @@ def test_frame_sampling_counts(media):
 
 
 def test_codec_formats_raise_not_implemented(spark):
-    # MP4/unknown containers need an external codec — the honest stub
-    # boundary (JPEG decodes for real now, see test_real_jpeg_* below)
+    # unknown containers need an external codec — the honest stub
+    # boundary (JPEG and the MP4 container walk decode for real now)
     with pytest.raises(NotImplementedError):
+        mm._decode_one(b"\x1a\x45\xdf\xa3" + bytes(40))  # Matroska magic
+    # MP4 magic with a broken container is a parse ERROR, not a stub
+    with pytest.raises(ValueError):
         mm._decode_one(b"\x00\x00\x00\x18ftypmp42" + bytes(32))
 
 
@@ -435,3 +438,115 @@ def test_video_near_dup_detects_shared_frames(spark):
     assert (0, 1) in got
     assert got[(0, 1)][1] == 0  # identical frames -> hamming 0
     assert all(2 not in k for k in got), got
+
+
+def test_mp4_container_roundtrip():
+    """The ISO-BMFF writer's container facts parse back exactly:
+    duration from mvhd, dims from tkhd, fourcc from stsd, count from
+    stsz, timing from stts, and every sample range locates the exact
+    bytes written."""
+    from sqlstreamstore_spark.analytics.mp4 import (
+        fake_sample_bytes,
+        mp4_encode,
+        mp4_probe,
+        mp4_sample,
+    )
+
+    p = mp4_encode(9, 320, 240, 7, fps=4)
+    info = mp4_probe(p)
+    assert (info["brand"], info["codec"]) == ("isom", "avc1")
+    assert (info["width"], info["height"]) == (320, 240)
+    assert info["n_frames"] == 7
+    assert info["duration_ms"] == 7 * 250
+    assert info["frame_times_ms"] == [0, 250, 500, 750, 1000, 1250, 1500]
+    for i in range(7):
+        assert mp4_sample(p, info, i) == fake_sample_bytes(9, i)
+
+
+def test_mp4_probe_rejects_corrupt_tables():
+    """The parser validates, not just reads: a sample range running
+    past EOF and a box overrunning its container both raise."""
+    import struct
+
+    import pytest as _pytest
+
+    from sqlstreamstore_spark.analytics.mp4 import mp4_encode, mp4_probe
+
+    p = mp4_encode(1, 16, 16, 3)
+    # corrupt stco: point the chunk at the end of the file
+    i = p.find(b"stco")
+    bad = bytearray(p)
+    struct.pack_into(">I", bad, i + 12, len(p) - 4)
+    with _pytest.raises(ValueError, match="overruns the file"):
+        mp4_probe(bytes(bad))
+    # truncated file: moov cut off
+    with _pytest.raises(ValueError):
+        mp4_probe(p[: len(p) // 2])
+
+
+def test_mp4_multi_chunk_stsc_general_walk():
+    """The stsc→chunk→offset algorithm is the general one: hand-build a
+    two-chunk layout (2 samples in chunk 1, 1 in chunk 2) and check all
+    three samples locate correctly."""
+    import struct
+
+    from sqlstreamstore_spark.analytics import mp4 as M
+
+    s0, s1, s2 = b"AAAA", b"BBBBBB", b"CC"
+    ftyp = M._box(b"ftyp", b"isom", struct.pack(">I", 512), b"isom")
+    gap = M._box(b"free", b"\x00" * 4)  # chunks need not be adjacent
+    mdat = M._box(b"mdat", s0 + s1 + b"XX" + s2)  # XX = unreferenced junk
+    c1 = len(ftyp) + len(gap) + 8
+    c2 = c1 + len(s0) + len(s1) + 2
+    stsd = M._full(b"stsd", 0, 0, struct.pack(">I", 1),
+                   M._box(b"mp4v", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 70))
+    stts = M._full(b"stts", 0, 0, struct.pack(">I", 1), struct.pack(">II", 3, 100))
+    stsc = M._full(b"stsc", 0, 0, struct.pack(">I", 2),
+                   struct.pack(">III", 1, 2, 1), struct.pack(">III", 2, 1, 1))
+    stsz = M._full(b"stsz", 0, 0, struct.pack(">II", 0, 3),
+                   struct.pack(">III", 4, 6, 2))
+    stco = M._full(b"stco", 0, 0, struct.pack(">I", 2), struct.pack(">II", c1, c2))
+    stbl = M._box(b"stbl", stsd, stts, stsc, stsz, stco)
+    minf = M._box(b"minf", M._full(b"vmhd", 0, 1, struct.pack(">Hhhh", 0, 0, 0, 0)), stbl)
+    mdhd = M._full(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, 1000, 300),
+                   struct.pack(">Hh", 0x55C4, 0))
+    mdia = M._box(b"mdia", mdhd, M._full(b"hdlr", 0, 0, struct.pack(">I", 0),
+                                         b"vide", b"\x00" * 12, b"x\x00"), minf)
+    tkhd = M._full(b"tkhd", 0, 3, struct.pack(">IIIII", 0, 0, 1, 0, 300),
+                   b"\x00" * 8, struct.pack(">hhhh", 0, 0, 0, 0),
+                   M._UNITY_MATRIX, struct.pack(">II", 8 << 16, 8 << 16))
+    trak = M._box(b"trak", tkhd, mdia)
+    mvhd = M._full(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, 1000, 300),
+                   struct.pack(">i", 0x00010000), struct.pack(">h", 0x0100),
+                   b"\x00" * 10, M._UNITY_MATRIX, b"\x00" * 24, struct.pack(">I", 2))
+    p = ftyp + gap + mdat + M._box(b"moov", mvhd, trak)
+    info = M.mp4_probe(p)
+    assert info["codec"] == "mp4v" and info["n_frames"] == 3
+    assert [M.mp4_sample(p, info, i) for i in range(3)] == [s0, s1, s2]
+
+
+def test_mp4_metadata_operator(spark):
+    """Distributed probe == driver-side probe for every MP4 row in the
+    synthetic media table; non-MP4 rows are filtered out by mime."""
+    from sqlstreamstore_spark.analytics.mp4 import mp4_probe
+    from sqlstreamstore_spark.analytics.multimodal import (
+        make_fake_media_df,
+        make_media_payload,
+        mp4_container_metadata,
+    )
+
+    got = {r.media_id: r for r in mp4_container_metadata(make_fake_media_df(spark, 30)).collect()}
+    expect = {}
+    for i in range(30):
+        if i % 3 == 2 and (i // 3) % 2 == 1:
+            w, h, d = (64 + i % 32, 48 + i % 24, 1000 + i * 10)
+            payload, mime, codec = make_media_payload(i, "video", w, h, d)
+            assert (mime, codec) == ("video/mp4", "avc1")
+            expect[i] = mp4_probe(payload)
+    assert set(got) == set(expect) and got
+    for i, info in expect.items():
+        r = got[i]
+        assert (r.brand, r.codec, r.width, r.height, r.duration_ms, r.n_frames) == (
+            info["brand"], info["codec"], info["width"], info["height"],
+            info["duration_ms"], info["n_frames"])
+        assert r.data_bytes == sum(sz for _, sz in info["sample_ranges"])

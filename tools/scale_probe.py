@@ -99,6 +99,28 @@ def main() -> int:
         t0 = time.time()
         n = sampling.pps_systematic_sample(docs).count()
         res["pps_sample"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        # graph trio (VERDICT r3 #7): the only gate family with no
+        # sf1-synthetic row; triangles' wedge fan-out is the shape with
+        # a plausible skew blow-up. Edges derive from lineitem so they
+        # grow with the replicated corpus.
+        from sqlstreamstore_spark.analytics import graph
+
+        edges = graph.supplier_cooccurrence_edges(lineitem).localCheckpoint()
+        res["graph_edges"] = edges.count()
+
+        t0 = time.time()
+        n = graph.pagerank(edges, iters=3).count()
+        res["graph_pagerank"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        n = graph.triangle_count(edges).count()
+        res["graph_triangles"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        src = edges.agg(F.min("src")).collect()[0][0]
+        n = graph.bfs_distances(edges, int(src), max_depth=3).count()
+        res["graph_bfs"] = {"rows": n, "s": round(time.time() - t0, 2)}
         return res
 
     out = []
