@@ -375,7 +375,8 @@ print("done", retries)
         shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(
-        sum(v for k, v in timings.items() if not k.endswith("_per_sec")), 3
+        sum(v for k, v in timings.items()
+            if not k.endswith(("_per_sec", "_cas_retries"))), 3
     )
     full = {
         "metric": "total_wall_clock",
@@ -393,7 +394,8 @@ print("done", retries)
         json.dump(full, f, indent=1)
     slowest = dict(
         sorted(
-            ((k, v) for k, v in timings.items() if not k.endswith("_per_sec")),
+            ((k, v) for k, v in timings.items()
+             if not k.endswith(("_per_sec", "_cas_retries"))),
             key=lambda kv: -kv[1],
         )[:12]
     )

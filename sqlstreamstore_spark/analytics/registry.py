@@ -2073,6 +2073,61 @@ ORDER BY l_returnflag
 """
 
 
+def _zorder_values_query(spark: SparkSession, sf: str) -> DataFrame:
+    from sqlstreamstore_spark.sources.zorder import z_values
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long").alias("cents"),
+    )
+    return (
+        z_values(o, "o_custkey", "cents", bits=16)
+        .select("o_orderkey", "z")
+        .orderBy("o_orderkey")
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    from sqlstreamstore_spark.sources.zorder import z_values_oracle_sql
+
+    return z_values_oracle_sql(
+        "zsrc", "o_custkey", "cents", "o_orderkey", bits=16,
+        with_cte=(
+            "zsrc AS (SELECT o_orderkey, o_custkey, "
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents "
+            "FROM orders)"
+        ),
+    )
+
+
+def _incremental_rollup_query(spark: SparkSession, sf: str) -> DataFrame:
+    from sqlstreamstore_spark.analytics.incremental import (
+        daily_rollup,
+        merge_rollups,
+        present_rollup,
+    )
+
+    ev = _t(spark, sf, "events")
+    prev = daily_rollup(ev.filter(F.col("event_id") % 10 < 8))
+    delta = daily_rollup(ev.filter(F.col("event_id") % 10 >= 8))
+    return present_rollup(merge_rollups(prev, delta))
+
+
+_INCR_ROLLUP_SQL = """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_k
+FROM events
+GROUP BY event_type, date_trunc('day', ts)
+ORDER BY event_type, day
+"""
+
+
 def analytics_queries():
     """name → (spark_fn, oracle_sql | None). None = rows-only check
     (non-SQL-expressible: engine-specific hash families)."""
@@ -2218,6 +2273,15 @@ ORDER BY o_orderpriority""",
             lambda s, sf: tpch.ntile_deciles_approx(_t(s, sf, "orders")),
             None,
         ),
+        # Z-order layout: the Morton value both engines compute with
+        # identical integer scaling + bit interleave — the clustering
+        # key behind multi-column data skipping (sources/zorder.py;
+        # write/prune path pinned in tests/test_zorder.py)
+        "layout_zorder_values": (_zorder_values_query, _zorder_oracle_sql()),
+        # incremental aggregate maintenance: rollup(80%) merged with
+        # rollup(20%) must hash-equal the full recompute (monoid state,
+        # presentation derived at read time)
+        "incremental_rollup_merge": (_incremental_rollup_query, _INCR_ROLLUP_SQL),
         "stats_corr_regr": (
             lambda s, sf: tpch.corr_regr_stats(_t(s, sf, "lineitem")),
             _CORR_REGR_SQL,

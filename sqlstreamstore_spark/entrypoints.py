@@ -372,6 +372,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     # -- round-4 additions (never checked by construction) --
     "stats_ntile_deciles_approx", "multimodal_mp4_metadata",
+    "layout_zorder_values", "incremental_rollup_merge",
     # re-check: its default bits are now AUTO-derived (bits=None ⇒
     # log2(N/32) from a count) — same bits=4 at the fixture's N=500, so
     # the oracle hash is unchanged, but the code path is new

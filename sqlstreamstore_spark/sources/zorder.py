@@ -1,0 +1,217 @@
+"""Z-order (Morton-curve) physical layout — multi-column data skipping.
+
+The 100 TB problem: partitioning or sorting by ONE column makes that
+column's per-file min/max stats tight (scans skip files), but leaves
+every OTHER column's stats spanning the whole domain. Interleaving the
+bits of two columns' normalized values (the Morton/Z curve) and
+clustering by that single value makes BOTH columns' per-bucket ranges
+narrow — the layout trick behind Delta's OPTIMIZE ZORDER BY — so a scan
+filtered on either column (or both) can skip most buckets using only
+min/max stats.
+
+Everything here is deterministic integer arithmetic (no RNG, no
+floats): values scale to q = ((v - min) * (2^bits - 1)) DIV (max - min)
+and interleave via shift/mask sums, so the DuckDB oracle reproduces the
+z-values bit-for-bit (the expression generator emits both dialects from
+one template).
+
+Skipping is honest stats-based pruning: the writer records per-bucket
+min/max of BOTH raw columns in a sidecar manifest (what a lakehouse
+keeps per file); ``read_pruned`` intersects query ranges with the
+manifest and lists only surviving bucket directories. The z-ordering is
+WHY the ranges are tight — ``tests/test_zorder.py`` pins that the
+bucket extents under z-order are a fraction of what a single-column
+sort leaves for the other column, and that pruned reads return exactly
+the full-scan-filter rows.
+
+Reference parity: none (the reference is a stream store, not a
+lakehouse); this belongs to the training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "_zorder_manifest.json"
+
+
+def _interleave_template(bits: int, shl, shr) -> str:
+    """Morton interleave of pre-scaled {a}, {b} (each in [0, 2^bits)):
+    a's bit i lands at 2i, b's at 2i+1. ``shl``/``shr`` render the
+    dialect's shift syntax, so one template serves Spark and DuckDB."""
+    terms = []
+    for i in range(bits):
+        terms.append(shl(f"({shr('{a}', i)} & 1)", 2 * i))
+        terms.append(shl(f"({shr('{b}', i)} & 1)", 2 * i + 1))
+    return "(" + " + ".join(terms) + ")"
+
+
+def z_expr_spark(a: str, b: str, bits: int = 16) -> str:
+    t = _interleave_template(
+        bits,
+        lambda x, n: f"shiftleft({x}, {n})",
+        lambda x, n: f"shiftright({x}, {n})",
+    )
+    return t.format(a=a, b=b)
+
+
+def z_expr_duckdb(a: str, b: str, bits: int = 16) -> str:
+    t = _interleave_template(
+        bits,
+        lambda x, n: f"(({x}) << {n})",
+        lambda x, n: f"(({x}) >> {n})",
+    )
+    return t.format(a=a, b=b)
+
+
+def _scale_spark(col: str, lo: str, hi: str, bits: int) -> str:
+    """q = ((v - lo) * maxq) DIV (hi - lo), exact BIGINT; degenerate
+    single-value domains map to 0."""
+    maxq = (1 << bits) - 1
+    return (
+        f"CASE WHEN {hi} = {lo} THEN CAST(0 AS BIGINT) ELSE "
+        f"((CAST({col} AS BIGINT) - {lo}) * {maxq}) DIV ({hi} - {lo}) END"
+    )
+
+
+def _scale_duckdb(col: str, lo: str, hi: str, bits: int) -> str:
+    maxq = (1 << bits) - 1
+    return (
+        f"CASE WHEN {hi} = {lo} THEN CAST(0 AS BIGINT) ELSE "
+        f"((CAST({col} AS BIGINT) - {lo}) * {maxq}) // ({hi} - {lo}) END"
+    )
+
+
+def z_values(df: DataFrame, col_a: str, col_b: str, bits: int = 16) -> DataFrame:
+    """Append ``z`` — the Morton value of the two columns, scaled by the
+    frame's own min/max. One plan: a 1-row min/max aggregate broadcast
+    onto the frame (the ntile_deciles_approx shape — no collect, no
+    second driver pass), then pure codegen'd integer expressions."""
+    stats = df.agg(
+        F.min(F.col(col_a).cast("long")).alias("__alo"),
+        F.max(F.col(col_a).cast("long")).alias("__ahi"),
+        F.min(F.col(col_b).cast("long")).alias("__blo"),
+        F.max(F.col(col_b).cast("long")).alias("__bhi"),
+    )
+    qa = _scale_spark(col_a, "__alo", "__ahi", bits)
+    qb = _scale_spark(col_b, "__blo", "__bhi", bits)
+    z = z_expr_spark(qa, qb, bits)
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("z", F.expr(z))
+        .drop("__alo", "__ahi", "__blo", "__bhi")
+    )
+
+
+def z_values_oracle_sql(
+    table: str, col_a: str, col_b: str, key: str, bits: int = 16,
+    with_cte: str = "",
+) -> str:
+    """DuckDB twin of ``z_values`` over a registered view (or a CTE
+    passed via ``with_cte``): identical scaling and interleave, keyed
+    for the hash compare."""
+    qa = _scale_duckdb(col_a, "__alo", "__ahi", bits)
+    qb = _scale_duckdb(col_b, "__blo", "__bhi", bits)
+    z = z_expr_duckdb(qa, qb, bits)
+    cte = f"{with_cte}, " if with_cte else ""
+    return f"""
+WITH {cte}s AS (
+  SELECT CAST(min(CAST({col_a} AS BIGINT)) AS BIGINT) AS __alo,
+         CAST(max(CAST({col_a} AS BIGINT)) AS BIGINT) AS __ahi,
+         CAST(min(CAST({col_b} AS BIGINT)) AS BIGINT) AS __blo,
+         CAST(max(CAST({col_b} AS BIGINT)) AS BIGINT) AS __bhi
+  FROM {table})
+SELECT {key}, CAST({z} AS BIGINT) AS z
+FROM {table} CROSS JOIN s
+ORDER BY {key}
+"""
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_buckets: int = 64,
+    bits: int = 16,
+) -> dict:
+    """Cluster by z-value into ``n_buckets`` equal z-range buckets,
+    write one partition directory per bucket, and record each bucket's
+    min/max of BOTH raw columns in a sidecar manifest (the per-file
+    stats a lakehouse table format keeps). Returns the manifest dict.
+
+    At cluster scale the same plan holds: the z computation is narrow,
+    the single repartition-by-bucket shuffle replaces a global sort
+    (equal z-ranges, not equal counts — ranges are what pruning needs),
+    and the stats aggregate is n_buckets rows."""
+    shift = max(0, 2 * bits - (n_buckets - 1).bit_length())
+    zdf = z_values(df, col_a, col_b, bits).withColumn(
+        "zbucket", (F.col("z") / F.lit(1 << shift)).cast("long")
+    )
+    zdf = zdf.repartition(n_buckets, "zbucket").sortWithinPartitions("z")
+    zdf.write.mode("overwrite").partitionBy("zbucket").parquet(path)
+    stats_rows = (
+        zdf.groupBy("zbucket")
+        .agg(
+            F.min(col_a).alias("a_min"), F.max(col_a).alias("a_max"),
+            F.min(col_b).alias("b_min"), F.max(col_b).alias("b_max"),
+            F.count("*").alias("n_rows"),
+        )
+        .collect()
+    )
+    manifest = {
+        "col_a": col_a,
+        "col_b": col_b,
+        "bits": bits,
+        "buckets": {
+            str(r["zbucket"]): {
+                "a_min": r["a_min"], "a_max": r["a_max"],
+                "b_min": r["b_min"], "b_max": r["b_max"],
+                "n_rows": r["n_rows"],
+            }
+            for r in stats_rows
+        },
+    }
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    return manifest
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    a_range: tuple | None = None,
+    b_range: tuple | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Stats-based bucket skipping: list only the bucket directories
+    whose recorded [min, max] intersects the query ranges, exactly like
+    file skipping over lakehouse stats. Returns (df, read, total);
+    callers still apply their row-level filter — skipping is a superset
+    guarantee, never a substitute for the predicate."""
+    with open(os.path.join(path, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+
+    def survives(st) -> bool:
+        if a_range is not None and (
+            float(st["a_max"]) < a_range[0] or float(st["a_min"]) > a_range[1]
+        ):
+            return False
+        if b_range is not None and (
+            float(st["b_max"]) < b_range[0] or float(st["b_min"]) > b_range[1]
+        ):
+            return False
+        return True
+
+    keep = [b for b, st in manifest["buckets"].items() if survives(st)]
+    total = len(manifest["buckets"])
+    if not keep:
+        empty = spark.read.parquet(path).limit(0)
+        return empty, 0, total
+    df = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, f"zbucket={b}") for b in keep]
+    )
+    return df, len(keep), total

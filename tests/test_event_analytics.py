@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from sqlstreamstore_spark.analytics.events import cohort_retention, funnel_conversion
 
 
@@ -56,3 +58,46 @@ def test_cohort_retention_weeks(spark):
     }
     w0, w1 = T("2024-01-01"), T("2024-01-08")
     assert got == {(w0, 0): 2, (w0, 2): 1, (w1, 0): 1}
+
+
+def test_incremental_rollup_merge_equals_recompute(spark):
+    """The incremental-maintenance contract: any split of the log,
+    rolled up separately and monoid-merged, equals the full recompute —
+    including a three-way split merged in two different orders
+    (associativity is what lets a pipeline fold in one batch at a
+    time)."""
+    from sqlstreamstore_spark.analytics.incremental import (
+        daily_rollup,
+        merge_rollups,
+        present_rollup,
+    )
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    full = present_rollup(daily_rollup(ev)).collect()
+
+    p1 = daily_rollup(ev.filter(F.col("event_id") % 3 == 0))
+    p2 = daily_rollup(ev.filter(F.col("event_id") % 3 == 1))
+    p3 = daily_rollup(ev.filter(F.col("event_id") % 3 == 2))
+
+    left = present_rollup(merge_rollups(merge_rollups(p1, p2), p3)).collect()
+    right = present_rollup(merge_rollups(p1, merge_rollups(p2, p3))).collect()
+    assert [tuple(r) for r in left] == [tuple(r) for r in full]
+    assert [tuple(r) for r in right] == [tuple(r) for r in full]
+
+
+def test_incremental_rollup_empty_delta_is_identity(spark):
+    """Merging an empty batch changes nothing (the identity element) —
+    the no-new-data pipeline tick must be a no-op, not a corruption."""
+    from sqlstreamstore_spark.analytics.incremental import (
+        daily_rollup,
+        merge_rollups,
+        present_rollup,
+    )
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    state = daily_rollup(ev)
+    empty = daily_rollup(ev.filter(F.lit(False)))
+    merged = present_rollup(merge_rollups(state, empty)).collect()
+    assert [tuple(r) for r in merged] == [tuple(r) for r in present_rollup(state).collect()]

@@ -486,3 +486,38 @@ def test_ntile_approx_matches_exact_invariants(tables):
         assert abs(r["n_orders"] - n_total / 10) <= max(2, 0.05 * n_total), (d, r)
     mins = [approx[d]["min_price"] for d in range(1, 11)]
     assert mins == sorted(mins)
+
+
+def test_zorder_values_single_broadcast_no_sort(tables):
+    """z_values is narrow: one 1-row min/max aggregate broadcast onto
+    the frame, then pure codegen'd integer expressions — no global
+    sort, no window, no fact-side exchange beyond the final agg."""
+    from sqlstreamstore_spark.sources.zorder import z_values
+
+    o = tables["orders"].select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+    )
+    p = plan_of(z_values(o, "o_custkey", "cents"))
+    tree = p.split("\n\n")[0]
+    assert "Window" not in tree and "SortMergeJoin" not in tree, tree
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree, tree
+    # interleave is pure JVM expressions — no Python evaluation node
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, tree
+
+
+def test_incremental_merge_shuffles_groups_not_events(tables):
+    """merge_rollups aggregates partially before its exchange and its
+    input is two STATE tables (group-sized), never the raw event scan —
+    the whole point of incremental maintenance."""
+    from sqlstreamstore_spark.analytics.incremental import daily_rollup, merge_rollups
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    ev = load_table(tables["orders"].sparkSession, SF, "events")
+    prev = daily_rollup(ev.filter(F.col("event_id") % 2 == 0))
+    delta = daily_rollup(ev.filter(F.col("event_id") % 2 == 1))
+    p = plan_of(merge_rollups(prev, delta))
+    tree = p.split("\n\n")[0]
+    # partial agg on each branch before the union's final exchange
+    assert tree.count("HashAggregate") >= 3, tree
+    assert "Union" in tree, tree

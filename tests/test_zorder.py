@@ -1,0 +1,108 @@
+"""Z-order layout: the locality claim (clustering by the Morton value
+makes BOTH columns' per-bucket ranges narrow), the skipping contract
+(pruned read ∪ filter == full scan ∪ filter), and the oracle parity of
+the z computation itself (gate query `layout_zorder_values`)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sqlstreamstore_spark.sources.tables import load_table
+from sqlstreamstore_spark.sources.zorder import (
+    read_pruned,
+    write_zordered,
+    z_values,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _orders_cents(spark):
+    return load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+    )
+
+
+def test_z_interleave_bit_exact(spark):
+    """Hand-checkable Morton values: scaled a=0b0011, b=0b0101 at
+    bits=4 interleave to 0b00100111 = 39 (a bits at even positions)."""
+    df = spark.createDataFrame(
+        [(0, 0, 0), (1, 3, 5), (2, 15, 15)], "id long, a long, b long"
+    )
+    rows = {r["id"]: r["z"] for r in z_values(df, "a", "b", bits=4).collect()}
+    # min/max scaling maps a: 0,3,15 -> 0,3,15 (domain is 0..15)
+    assert rows[0] == 0
+    assert rows[1] == 0b00100111  # a=0011 even bits, b=0101 odd bits
+    assert rows[2] == 0b11111111
+
+
+def test_zorder_locality_beats_single_column_sort(spark, tmp_path):
+    """The reason skipping works: under z-order, the SECOND column's
+    per-bucket extent is a small fraction of its domain; under a plain
+    sort by the first column it spans ~the whole domain. Compare the
+    mean extent of `cents` across buckets."""
+    df = _orders_cents(spark)
+    zpath = str(tmp_path / "z")
+    manifest = write_zordered(df, zpath, "o_custkey", "cents", n_buckets=16)
+
+    lo = df.agg(F.min("cents")).collect()[0][0]
+    hi = df.agg(F.max("cents")).collect()[0][0]
+    domain = hi - lo
+
+    def mean_extent(buckets):
+        exts = [
+            (float(st["b_max"]) - float(st["b_min"])) / domain
+            for st in buckets.values()
+            if st["n_rows"] > 1
+        ]
+        return sum(exts) / len(exts)
+
+    z_extent = mean_extent(manifest["buckets"])
+
+    # naive layout: sort by o_custkey alone, same bucket count
+    naive = (
+        df.withColumn("zbucket", F.ntile(16).over(Window.orderBy("o_custkey")))
+        .groupBy("zbucket")
+        .agg(F.min("cents").alias("b_min"), F.max("cents").alias("b_max"),
+             F.count("*").alias("n_rows"))
+        .collect()
+    )
+    naive_extent = mean_extent({str(r["zbucket"]): r.asDict() for r in naive})
+    # custkey and price are independent, so a custkey sort leaves price
+    # spanning ~the full domain per bucket; z-order cuts it sharply
+    assert naive_extent > 0.8, naive_extent
+    assert z_extent < 0.5 * naive_extent, (z_extent, naive_extent)
+
+
+def test_zorder_pruned_read_exact_and_skips(spark, tmp_path):
+    """Skipping is a superset guarantee: pruned-read + filter returns
+    exactly full-scan + filter, while reading strictly fewer buckets
+    for a selective two-sided rectangle."""
+    df = _orders_cents(spark)
+    zpath = str(tmp_path / "z")
+    write_zordered(df, zpath, "o_custkey", "cents", n_buckets=16)
+
+    a_lo, a_hi = 100, 300
+    b_lo, b_hi = 5_000_000, 10_000_000
+    pred = (
+        (F.col("o_custkey") >= a_lo) & (F.col("o_custkey") <= a_hi)
+        & (F.col("cents") >= b_lo) & (F.col("cents") <= b_hi)
+    )
+    expect = sorted(r["o_orderkey"] for r in df.filter(pred).collect())
+
+    pruned, read, total = read_pruned(
+        spark, zpath, a_range=(a_lo, a_hi), b_range=(b_lo, b_hi))
+    got = sorted(r["o_orderkey"] for r in pruned.filter(pred).collect())
+    assert got == expect and expect
+    assert read < total, (read, total)
+
+    # single-sided ranges prune too (either column — the z-order point)
+    for kw in ({"a_range": (a_lo, a_hi)}, {"b_range": (b_lo, b_hi)}):
+        pruned, read, total = read_pruned(spark, zpath, **kw)
+        assert read < total, (kw, read, total)
+
+    # empty rectangle: zero buckets, empty frame with the right schema
+    pruned, read, _ = read_pruned(spark, zpath, a_range=(10**9, 2 * 10**9))
+    assert read == 0 and pruned.count() == 0
