@@ -10,8 +10,10 @@ TEXT:   clean corpus → BPE fertility stats → compression-ratio cuts →
 MEDIA:  synthetic real-media table (PNG/JPEG/GIF/BMP/WAV/MJPEG-AVI) →
         decode features → perceptual-hash image dedup → video near-dup →
         audio DSP features → sampled-frame extraction
-VECTOR: embeddings → LSH near-dup keepers → IVF-PQ deployed index →
-        pruned ANN query
+VECTOR: embeddings → LSH near-dup keepers (auto-tuned bits) →
+        IVF-PQ deployed index → pruned ANN query
+OPS:    MP4 container probe → drift check between sources →
+        Z-ordered layout + pruned scan → incremental rollup tick
 
 Every stage is the same operator the correctness gate hash-checks; this
 file only wires them together.
@@ -70,6 +72,44 @@ def main() -> None:
         top = similarity.cosine_topk_ivfpq(spark, path, qvec, cents, cbs, k=5)
         print("IVF-PQ pruned ANN top-5 (partition-pruned scan, codes-only ADC):")
         top.show()
+
+    print("== OPS ==")
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.analytics import drift, incremental, multimodal as mm
+    from sqlstreamstore_spark.sources import zorder
+
+    # MP4 probe: the ffprobe pass, no pixel decode
+    mm.mp4_container_metadata(media).select(
+        "media_id", "codec", "duration_ms", "n_frames").show(3)
+
+    # distribution drift between two sources of the corpus
+    srcs = [r[0] for r in docs.select("source").distinct().limit(2).collect()]
+    if len(srcs) == 2:
+        tok = docs.withColumn("n_tokens", F.size(F.split("text", " ")))
+        d = drift.ks_drift(
+            tok.filter(F.col("source") == srcs[0]),
+            tok.filter(F.col("source") == srcs[1]), "n_tokens").collect()[0]
+        print(f"KS drift {srcs[0]} vs {srcs[1]} on doc length: D={d.ks_d:.4f}")
+
+    # Z-ordered layout: write once, skip buckets on either column
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long").alias("cents"))
+    with tempfile.TemporaryDirectory() as d:
+        zorder.write_zordered(orders, os.path.join(d, "z"), "o_custkey", "cents",
+                              n_buckets=16)
+        _, read, total = zorder.read_pruned(
+            spark, os.path.join(d, "z"), a_range=(100, 300))
+        print(f"z-order pruned scan: read {read}/{total} buckets")
+
+    # incremental rollup: one merge tick == full recompute
+    ev = load_table(spark, SF_DIR, "events")
+    prev = incremental.daily_rollup(ev.filter(F.col("event_id") % 10 < 8))
+    delta = incremental.daily_rollup(ev.filter(F.col("event_id") % 10 >= 8))
+    merged = incremental.present_rollup(incremental.merge_rollups(prev, delta))
+    print("incremental rollup groups:", merged.count())
 
 
 if __name__ == "__main__":

@@ -2128,6 +2128,69 @@ ORDER BY event_type, day
 """
 
 
+def _drift_ks_query(spark: SparkSession, sf: str) -> DataFrame:
+    from sqlstreamstore_spark.analytics.drift import ks_drift
+
+    ev = _t(spark, sf, "events")
+    out = ks_drift(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+    )
+    # gate projection: the exact DECIMAL numerator casts to DOUBLE for
+    # the hash compare (DuckDB's pandas bridge renders every DECIMAL as
+    # float64; the operator itself stays integer-exact)
+    return out.withColumn("d_num", F.col("d_num").cast("double"))
+
+
+def _drift_ks_binned_query(spark: SparkSession, sf: str) -> DataFrame:
+    from sqlstreamstore_spark.analytics.drift import ks_drift_binned
+
+    ev = _t(spark, sf, "events")
+    return ks_drift_binned(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+    )
+
+
+def _drift_chi2_query(spark: SparkSession, sf: str) -> DataFrame:
+    from sqlstreamstore_spark.analytics.drift import chi2_drift
+
+    ev = _t(spark, sf, "events")
+    return chi2_drift(
+        ev.filter(F.col("value") < 100), ev.filter(F.col("value") >= 100),
+        "event_type",
+    )
+
+
+def _drift_ks_oracle() -> str:
+    from sqlstreamstore_spark.analytics.drift import ks_drift_oracle_sql
+
+    return ks_drift_oracle_sql(
+        "event_type = 'click'", "event_type = 'purchase'", "value", "events")
+
+
+_CHI2_DRIFT_SQL = """
+WITH per_c AS (
+  SELECT event_type AS v,
+         CAST(sum(CASE WHEN value < 100 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM events GROUP BY event_type),
+tot AS (SELECT CAST(sum(na) AS DOUBLE) AS tot_a, CAST(sum(nb) AS DOUBLE) AS tot_b
+        FROM per_c)
+SELECT CAST(sum(na) AS BIGINT) AS n_a,
+       CAST(sum(nb) AS BIGINT) AS n_b,
+       CAST(count(*) AS BIGINT) AS n_categories,
+       round(sum(
+         pow(CAST(na AS DOUBLE) - (na + nb) * tot_a / (tot_a + tot_b), 2)
+           / ((na + nb) * tot_a / (tot_a + tot_b))
+         + pow(CAST(nb AS DOUBLE) - (na + nb) * tot_b / (tot_a + tot_b), 2)
+           / ((na + nb) * tot_b / (tot_a + tot_b))), 6) AS chi2
+FROM per_c CROSS JOIN tot
+"""
+
+
 def analytics_queries():
     """name → (spark_fn, oracle_sql | None). None = rows-only check
     (non-SQL-expressible: engine-specific hash families)."""
@@ -2282,6 +2345,14 @@ ORDER BY o_orderpriority""",
         # rollup(20%) must hash-equal the full recompute (monoid state,
         # presentation derived at read time)
         "incremental_rollup_merge": (_incremental_rollup_query, _INCR_ROLLUP_SQL),
+        # distribution drift: exact two-sample KS with an INTEGER-exact
+        # numerator (two-phase cumsum, no single-partition window over
+        # values), its bounded-state binned production twin (rows-only;
+        # binned<=exact pinned in pytest), and Pearson chi2 over a
+        # categorical contingency table (analytics/drift.py)
+        "drift_ks_exact": (_drift_ks_query, _drift_ks_oracle()),
+        "drift_ks_binned": (_drift_ks_binned_query, None),
+        "drift_chi2_types": (_drift_chi2_query, _CHI2_DRIFT_SQL),
         "stats_corr_regr": (
             lambda s, sf: tpch.corr_regr_stats(_t(s, sf, "lineitem")),
             _CORR_REGR_SQL,

@@ -107,6 +107,59 @@ def with_global_cumsum(
     )
 
 
+def with_global_cumsums(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_cols: dict[str, str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-column form of ``with_global_cumsum``: running totals of
+    SEVERAL value columns over one global order in a SINGLE two-phase
+    pass (one range partition, one totals collect, one window) —
+    callers that need cumulative counts per side (e.g. the exact KS
+    CDFs) pay one shuffle instead of one per column.
+    ``value_cols`` maps value column → output column."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals_rows = (
+        parted.groupBy("__pid")
+        .agg(*[F.sum(v).alias(v) for v in value_cols])
+        .collect()
+    )
+    per_col_offsets: dict[str, dict[int, int]] = {}
+    for v in value_cols:
+        acc = 0
+        offs: dict[int, int] = {}
+        for r in sorted(totals_rows, key=lambda r: r["__pid"]):
+            offs[r["__pid"]] = acc
+            acc += r[v] or 0
+        per_col_offsets[v] = offs
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = parted
+    for v, out_col in value_cols.items():
+        offs = per_col_offsets[v]
+        offset_expr = (
+            F.element_at(
+                F.create_map(*[F.lit(x) for kv in offs.items() for x in kv]),
+                F.col("__pid"),
+            )
+            if offs
+            else F.lit(0)
+        )
+        out = out.withColumn(out_col, (F.sum(v).over(w) + offset_expr).cast("long"))
+    return out.drop("__pid")
+
+
 def dense_global_index_pinned(
     df: DataFrame,
     order_cols: list[str | Column],

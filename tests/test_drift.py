@@ -1,0 +1,80 @@
+"""Drift operators: known-answer exact KS, the binned<=exact bound,
+chi2 on a planted contingency shift, and the no-single-partition-
+over-values plan property."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sqlstreamstore_spark.analytics.drift import (
+    chi2_drift,
+    ks_drift,
+    ks_drift_binned,
+)
+from sqlstreamstore_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ks_known_answer(spark):
+    """Hand-computed two-sample KS: a = {1,2,3,4}, b = {3,4,5,6}.
+    At v=2: F_a=2/4, F_b=0 -> D=0.5 (the max). d_num = |2*4 - 0*4| = 8."""
+    a = spark.createDataFrame([(v,) for v in (1, 2, 3, 4)], "x long")
+    b = spark.createDataFrame([(v,) for v in (3, 4, 5, 6)], "x long")
+    r = ks_drift(a, b, "x").collect()[0]
+    assert (r.n_a, r.n_b) == (4, 4)
+    assert int(r.d_num) == 8 and abs(r.ks_d - 0.5) < 1e-12
+
+
+def test_ks_identical_samples_zero(spark):
+    a = spark.createDataFrame([(v,) for v in range(50)], "x long")
+    r = ks_drift(a, a, "x").collect()[0]
+    assert int(r.d_num) == 0 and r.ks_d == 0.0
+
+
+def test_ks_binned_bounded_by_exact(spark):
+    """Binning can only merge CDF crossings, never create them:
+    binned D <= exact D, and with fine bins on a real column it lands
+    close (>= half the exact statistic here)."""
+    ev = load_table(spark, SF, "events")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "purchase")
+    exact = ks_drift(a, b, "value").collect()[0].ks_d
+    binned = ks_drift_binned(a, b, "value", n_bins=128).collect()[0].ks_d
+    assert binned <= exact + 1e-12, (binned, exact)
+    assert binned >= 0.5 * exact, (binned, exact)
+
+
+def test_chi2_planted_shift(spark):
+    """A planted categorical shift: sample a is 90/10 over {x,y},
+    sample b is 10/90 — chi2 for the 2x2 table with all margins 100 is
+    sum((40)^2/50 * 4) = 128. Identical samples give chi2 = 0."""
+    rows_a = [("x",)] * 90 + [("y",)] * 10
+    rows_b = [("x",)] * 10 + [("y",)] * 90
+    a = spark.createDataFrame(rows_a, "c string")
+    b = spark.createDataFrame(rows_b, "c string")
+    r = chi2_drift(a, b, "c").collect()[0]
+    assert (r.n_a, r.n_b, r.n_categories) == (100, 100, 2)
+    assert abs(r.chi2 - 128.0) < 1e-9
+    same = chi2_drift(a, a, "c").collect()[0]
+    assert same.chi2 == 0.0
+
+
+def test_ks_exact_no_single_partition_window_over_values(spark):
+    """The exact KS cumulative pass must be the two-phase cumsum —
+    every Window node in the plan is partitioned (__pid), never a
+    global single-partition window over the value axis."""
+    import re
+
+    ev = load_table(spark, SF, "events")
+    df = ks_drift(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+    )
+    p = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    # every Window detail block must carry a partition spec
+    for m in re.finditer(r"Arguments: \[sum\(.*?windowspecdefinition\((.*?)\)", p):
+        assert "__pid" in m.group(1), m.group(0)[:200]
