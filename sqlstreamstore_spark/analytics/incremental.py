@@ -82,3 +82,77 @@ def present_rollup(state: DataFrame) -> DataFrame:
         "max_k",
         (F.col("sum_k").cast("double") / F.col("n").cast("double")).alias("avg_k"),
     ).orderBy("event_type", "day")
+
+
+def histogram_state(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    bounds: list[float],
+) -> DataFrame:
+    """Mergeable HISTOGRAM state per group: fixed explicit bin
+    boundaries (len(bounds)+1 bins), one partial-agg scan. Quantiles
+    are NOT a monoid on raw values — but bin counts are, so an
+    incremental pipeline carries this state and derives quantile
+    estimates at read time (``histogram_quantiles``), the same way
+    engines maintain approximate percentiles incrementally. Boundaries
+    must be fixed up front (derive once from a reference snapshot —
+    changing them mid-stream would need a rebin scan)."""
+    v = F.col(col).cast("double")
+    bin_expr = F.lit(0)
+    for b in bounds:
+        bin_expr = bin_expr + F.when(v > F.lit(float(b)), 1).otherwise(0)
+    return (
+        df.select(*group_cols, bin_expr.cast("int").alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def merge_histogram_states(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Monoid merge: union + sum per (group, bin). Shuffle size is
+    #groups × #bins, never the event count."""
+    cols = a.columns
+    key = [c for c in cols if c != "n"]
+    return (
+        a.unionByName(b.select(*cols))
+        .groupBy(*key)
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def histogram_quantile_bins(
+    state: DataFrame, group_cols: list[str], p: float
+) -> DataFrame:
+    """Locate the p-quantile bin per group from the state: the first
+    bin whose cumulative count reaches ceil(p·N). All-integer output
+    (quantile bin index, exact cumulative-below and in-bin counts) so
+    the result is engine-exact; callers map the index back to bin
+    edges for a value estimate. The cumulative window is partitioned
+    per group and bounded by the bin count — O(n_bins) state."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy(*group_cols)
+    cum = (
+        state.withColumn("cum", F.sum("n").over(w))
+        .withColumn("total", F.sum("n").over(tot_w))
+        .withColumn("target", F.ceil(F.lit(p) * F.col("total")).cast("long"))
+    )
+    hit = cum.filter(F.col("cum") >= F.col("target"))
+    w_first = Window.partitionBy(*group_cols).orderBy("bin")
+    return (
+        hit.withColumn("rk", F.row_number().over(w_first))
+        .filter(F.col("rk") == 1)
+        .select(
+            *group_cols,
+            F.col("bin").alias("q_bin"),
+            (F.col("cum") - F.col("n")).cast("long").alias("cum_below"),
+            F.col("n").alias("bin_n"),
+            F.col("total").cast("long").alias("total"),
+        )
+    )

@@ -2191,6 +2191,48 @@ FROM per_c CROSS JOIN tot
 """
 
 
+_HIST_BOUNDS = [50.0 * i for i in range(1, 10)]  # 10 bins over value
+
+
+def _incr_hist_query(spark: SparkSession, sf: str) -> DataFrame:
+    from sqlstreamstore_spark.analytics.incremental import (
+        histogram_state,
+        histogram_quantile_bins,
+        merge_histogram_states,
+    )
+
+    ev = _t(spark, sf, "events")
+    a = histogram_state(
+        ev.filter(F.col("event_id") % 10 < 8), ["event_type"], "value", _HIST_BOUNDS)
+    b = histogram_state(
+        ev.filter(F.col("event_id") % 10 >= 8), ["event_type"], "value", _HIST_BOUNDS)
+    merged = merge_histogram_states(a, b)
+    return histogram_quantile_bins(merged, ["event_type"], 0.9).orderBy("event_type")
+
+
+def _incr_hist_oracle() -> str:
+    case_sum = " + ".join(
+        f"(CASE WHEN value > {b} THEN 1 ELSE 0 END)" for b in _HIST_BOUNDS)
+    return f"""
+WITH state AS (
+  SELECT event_type, CAST({case_sum} AS INTEGER) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS total
+  FROM state)
+SELECT event_type, CAST(bin AS INTEGER) AS q_bin,
+       CAST(cum - n AS BIGINT) AS cum_below,
+       CAST(n AS BIGINT) AS bin_n, CAST(total AS BIGINT) AS total
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bin) AS rk
+      FROM cum WHERE cum >= ceil(0.9 * total)) t
+WHERE rk = 1 ORDER BY event_type
+"""
+
+
 def analytics_queries():
     """name → (spark_fn, oracle_sql | None). None = rows-only check
     (non-SQL-expressible: engine-specific hash families)."""
@@ -2351,6 +2393,11 @@ ORDER BY o_orderpriority""",
         # binned<=exact pinned in pytest), and Pearson chi2 over a
         # categorical contingency table (analytics/drift.py)
         "drift_ks_exact": (_drift_ks_query, _drift_ks_oracle()),
+        # incremental QUANTILES: mergeable histogram state (bin counts
+        # are a monoid even though quantiles aren't) — 80/20 split,
+        # state-merge, p90 bin per group; integer-exact vs the full
+        # recompute
+        "incremental_histogram_p90": (_incr_hist_query, _incr_hist_oracle()),
         "drift_ks_binned": (_drift_ks_binned_query, None),
         "drift_chi2_types": (_drift_chi2_query, _CHI2_DRIFT_SQL),
         "stats_corr_regr": (

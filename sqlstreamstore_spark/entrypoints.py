@@ -374,6 +374,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stats_ntile_deciles_approx", "multimodal_mp4_metadata",
     "layout_zorder_values", "incremental_rollup_merge",
     "drift_ks_exact", "drift_chi2_types", "drift_ks_binned",
+    "incremental_histogram_p90",
     # re-check: its default bits are now AUTO-derived (bits=None ⇒
     # log2(N/32) from a count) — same bits=4 at the fixture's N=500, so
     # the oracle hash is unchanged, but the code path is new

@@ -166,3 +166,79 @@ def rebuild_dedup_index(
     os.replace(tmp, index_dir)
     n = store.spark.read.parquet(index_dir).count()
     return n
+
+
+# ------------------------------------------------------------------
+# Incremental ROLLUP maintenance as a streaming sink: the materialized-
+# view shape — each micro-batch's delta rollup merges into a persisted
+# state table, so the metrics table is always current and the raw log
+# is never rescanned (analytics/incremental.py holds the monoid
+# algebra; this file adds the exactly-once persistence loop).
+
+
+def read_rollup_state(spark, state_path: str):
+    """(epoch, DataFrame | None) — the current committed rollup state.
+    The _CURRENT pointer names the live version directory; versions are
+    immutable, the pointer swap is the commit point (same sidecar-
+    rename discipline as the store's delta log)."""
+    import json as _json
+    import os
+
+    cur = os.path.join(state_path, "_CURRENT")
+    if not os.path.exists(cur):
+        return -1, None
+    with open(cur) as f:
+        meta = _json.load(f)
+    return meta["epoch"], spark.read.parquet(os.path.join(state_path, meta["dir"]))
+
+
+def rollup_sink(
+    events_stream: DataFrame,
+    state_path: str,
+    query_name: str = "sqlstreamstore_rollup_sink",
+    trigger: dict | None = None,
+):
+    """Start a streaming query maintaining the daily rollup state at
+    ``state_path`` from a stream of raw events (ts, event_type, props).
+
+    Each epoch: delta = daily_rollup(batch); new state = monoid merge
+    of (current state ∪ delta); write the new state as an immutable
+    version dir; atomically swap the _CURRENT pointer (tmp + rename).
+    Epoch replays after a crash are detected from the committed
+    pointer and skipped — merge is NOT idempotent (double-merging a
+    delta double-counts), so the epoch guard is correctness, not an
+    optimization. A crash between the version write and the pointer
+    swap leaves an unreferenced orphan dir; the replayed epoch
+    rewrites it.
+
+    Scale: the state table is #groups rows; each epoch shuffles the
+    delta's groups, never the raw event history."""
+    import json as _json
+    import os
+
+    from sqlstreamstore_spark.analytics.incremental import daily_rollup, merge_rollups
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur_epoch, prev = read_rollup_state(spark, state_path)
+        if cur_epoch >= epoch_id:
+            return  # replay of a committed epoch
+        if batch_df.isEmpty():
+            return
+        delta = daily_rollup(batch_df)
+        new_state = merge_rollups(prev, delta) if prev is not None else delta
+        vdir = f"v{epoch_id}"
+        os.makedirs(state_path, exist_ok=True)
+        new_state.write.mode("overwrite").parquet(os.path.join(state_path, vdir))
+        tmp = os.path.join(state_path, "_CURRENT.tmp")
+        with open(tmp, "w") as f:
+            _json.dump({"epoch": epoch_id, "dir": vdir}, f)
+        os.replace(tmp, os.path.join(state_path, "_CURRENT"))
+
+    return (
+        events_stream.writeStream.foreachBatch(handle)
+        .queryName(query_name)
+        .option("checkpointLocation", f"{state_path}/checkpoints/{query_name}")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

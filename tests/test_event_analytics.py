@@ -101,3 +101,32 @@ def test_incremental_rollup_empty_delta_is_identity(spark):
     empty = daily_rollup(ev.filter(F.lit(False)))
     merged = present_rollup(merge_rollups(state, empty)).collect()
     assert [tuple(r) for r in merged] == [tuple(r) for r in present_rollup(state).collect()]
+
+
+def test_histogram_state_merge_and_quantile_bins(spark):
+    """Mergeable-histogram contract: split-state merge equals the
+    full-recompute state, and the located p-quantile bin is the true
+    one on a hand-checkable distribution (100 values 0..99, bounds at
+    9.5, 19.5, ... — p50 lands in bin 5, p90 in bin 9)."""
+    from sqlstreamstore_spark.analytics.incremental import (
+        histogram_quantile_bins,
+        histogram_state,
+        merge_histogram_states,
+    )
+
+    rows = [("g", float(v)) for v in range(100)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    bounds = [9.5 + 10 * i for i in range(9)]
+
+    full = histogram_state(df, ["g"], "x", bounds)
+    a = histogram_state(df.filter("x < 37"), ["g"], "x", bounds)
+    b = histogram_state(df.filter("x >= 37"), ["g"], "x", bounds)
+    merged = merge_histogram_states(a, b)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+    p50 = histogram_quantile_bins(merged, ["g"], 0.5).collect()[0]
+    assert (p50.q_bin, p50.cum_below, p50.bin_n, p50.total) == (4, 40, 10, 100)
+    p90 = histogram_quantile_bins(merged, ["g"], 0.9).collect()[0]
+    assert (p90.q_bin, p90.cum_below, p90.bin_n, p90.total) == (8, 80, 10, 100)
+    p100 = histogram_quantile_bins(merged, ["g"], 1.0).collect()[0]
+    assert p100.q_bin == 9
