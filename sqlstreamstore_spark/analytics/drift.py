@@ -40,10 +40,15 @@ _DEC = "decimal(38,0)"
 
 
 def _per_value_counts(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
+    """NULLs are dropped on BOTH sides: a NULL has no place on a CDF
+    axis, and the engines even disagree on where it would sort (Spark
+    ASC is NULLS FIRST, DuckDB is NULLS LAST) — silently binning it
+    would make the statistic engine-dependent."""
     va = a.select(F.col(col).alias("v"), F.lit(1).alias("ca"), F.lit(0).alias("cb"))
     vb = b.select(F.col(col).alias("v"), F.lit(0).alias("ca"), F.lit(1).alias("cb"))
     return (
         va.unionByName(vb)
+        .filter(F.col("v").isNotNull())
         .groupBy("v")
         .agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     )
@@ -77,8 +82,11 @@ def ks_drift(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
         )
         .withColumn(
             "ks_d",
-            F.col("d_num").cast("double")
-            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.col("d_num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            ),  # an empty side has no CDF — ks_d is NULL, not NaN
         )
     )
 
@@ -92,7 +100,7 @@ WITH per_v AS (
   SELECT {col} AS v,
          CAST(sum(CASE WHEN {a_pred} THEN 1 ELSE 0 END) AS BIGINT) AS na,
          CAST(sum(CASE WHEN {b_pred} THEN 1 ELSE 0 END) AS BIGINT) AS nb
-  FROM {table} WHERE ({a_pred}) OR ({b_pred})
+  FROM {table} WHERE (({a_pred}) OR ({b_pred})) AND {col} IS NOT NULL
   GROUP BY {col}),
 cum AS (
   SELECT v,

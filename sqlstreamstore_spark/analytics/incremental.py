@@ -103,7 +103,10 @@ def histogram_state(
     for b in bounds:
         bin_expr = bin_expr + F.when(v > F.lit(float(b)), 1).otherwise(0)
     return (
-        df.select(*group_cols, bin_expr.cast("int").alias("bin"))
+        # NULL values are dropped, not silently binned at 0 (a NULL
+        # comparison is NULL, and otherwise(0) would have counted it)
+        df.filter(v.isNotNull())
+        .select(*group_cols, bin_expr.cast("int").alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count("*").cast("long").alias("n"))
     )

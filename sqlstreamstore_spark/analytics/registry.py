@@ -2176,7 +2176,7 @@ WITH per_c AS (
   SELECT event_type AS v,
          CAST(sum(CASE WHEN value < 100 THEN 1 ELSE 0 END) AS BIGINT) AS na,
          CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS nb
-  FROM events GROUP BY event_type),
+  FROM events WHERE event_type IS NOT NULL GROUP BY event_type),
 tot AS (SELECT CAST(sum(na) AS DOUBLE) AS tot_a, CAST(sum(nb) AS DOUBLE) AS tot_b
         FROM per_c)
 SELECT CAST(sum(na) AS BIGINT) AS n_a,
@@ -2217,7 +2217,7 @@ def _incr_hist_oracle() -> str:
 WITH state AS (
   SELECT event_type, CAST({case_sum} AS INTEGER) AS bin,
          CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
 cum AS (
   SELECT event_type, bin, n,
          sum(n) OVER (PARTITION BY event_type ORDER BY bin

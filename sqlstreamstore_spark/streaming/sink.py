@@ -192,6 +192,22 @@ def read_rollup_state(spark, state_path: str):
     return meta["epoch"], spark.read.parquet(os.path.join(state_path, meta["dir"]))
 
 
+def _prune_rollup_versions(state_path: str, keep: int = 3) -> None:
+    import os
+    import shutil
+
+    try:
+        versions = sorted(
+            (int(d[1:]), d)
+            for d in os.listdir(state_path)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+        for _, d in versions[:-keep]:
+            shutil.rmtree(os.path.join(state_path, d), ignore_errors=True)
+    except OSError:
+        pass  # pruning is best-effort; the pointer defines correctness
+
+
 def rollup_sink(
     events_stream: DataFrame,
     state_path: str,
@@ -234,6 +250,11 @@ def rollup_sink(
         with open(tmp, "w") as f:
             _json.dump({"epoch": epoch_id, "dir": vdir}, f)
         os.replace(tmp, os.path.join(state_path, "_CURRENT"))
+        # bounded history: immutable version dirs accumulate one per
+        # epoch — keep the last few (the current one plus grace for
+        # lazy readers still scanning a just-superseded version) and
+        # drop the rest, the store-compact discipline
+        _prune_rollup_versions(state_path, keep=3)
 
     return (
         events_stream.writeStream.foreachBatch(handle)

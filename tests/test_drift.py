@@ -78,3 +78,25 @@ def test_ks_exact_no_single_partition_window_over_values(spark):
     # every Window detail block must carry a partition spec
     for m in re.finditer(r"Arguments: \[sum\(.*?windowspecdefinition\((.*?)\)", p):
         assert "__pid" in m.group(1), m.group(0)[:200]
+
+
+def test_ks_nulls_dropped_and_empty_side_null(spark):
+    """NULLs never reach the CDF axis (Spark and DuckDB even order
+    them differently), and an empty side yields ks_d NULL, not NaN."""
+    a = spark.createDataFrame([(1,), (2,), (None,)], "x int")
+    b = spark.createDataFrame([(1,), (2,), (None,), (None,)], "x int")
+    r = ks_drift(a, b, "x").collect()[0]
+    assert (r.n_a, r.n_b) == (2, 2) and int(r.d_num) == 0
+
+    empty = spark.createDataFrame([], "x int")
+    r = ks_drift(a, empty, "x").collect()[0]
+    assert r.ks_d is None
+
+
+def test_histogram_state_drops_nulls(spark):
+    from sqlstreamstore_spark.analytics.incremental import histogram_state
+
+    df = spark.createDataFrame([("g", 1.0), ("g", None), ("g", 99.0)],
+                               "g string, x double")
+    rows = histogram_state(df, ["g"], "x", [50.0]).collect()
+    assert sum(r.n for r in rows) == 2  # the NULL row is gone, not bin 0
