@@ -100,3 +100,22 @@ def test_histogram_state_drops_nulls(spark):
                                "g string, x double")
     rows = histogram_state(df, ["g"], "x", [50.0]).collect()
     assert sum(r.n for r in rows) == 2  # the NULL row is gone, not bin 0
+
+
+def test_ks_invariant_under_monotone_transform(spark):
+    """Exact-KS property: D depends only on value RANKS, so any strictly
+    monotone transform (x -> 2x+1) leaves n, d_num, ks_d identical."""
+    import random
+
+    rng = random.Random(7)
+    a_vals = [rng.randint(0, 400) for _ in range(300)]
+    b_vals = [rng.randint(100, 500) for _ in range(250)]
+    a = spark.createDataFrame([(v,) for v in a_vals], "x long")
+    b = spark.createDataFrame([(v,) for v in b_vals], "x long")
+    base = ks_drift(a, b, "x").collect()[0]
+    a2 = a.selectExpr("x * 2 + 1 AS x")
+    b2 = b.selectExpr("x * 2 + 1 AS x")
+    mono = ks_drift(a2, b2, "x").collect()[0]
+    assert (base.n_a, base.n_b, int(base.d_num), base.ks_d) == (
+        mono.n_a, mono.n_b, int(mono.d_num), mono.ks_d)
+    assert base.ks_d > 0  # the planted shift is detectable
