@@ -95,3 +95,52 @@ def duplicate_keys(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("check")
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, key: str = "doc_id",
+                content: str = "text") -> DataFrame:
+    """Snapshot-to-snapshot corpus diff — the "what changed between
+    crawls" pass. Classifies every key as added / removed / changed /
+    unchanged by comparing content digests across a full-outer join on
+    the key (one shuffle keyed on the id; only 16-byte digests and the
+    key move — content never shuffles). Output: one count row per
+    status, the shape a pipeline logs per ingest."""
+    o = old.select(F.col(key).alias("k"), F.md5(F.col(content)).alias("do"))
+    n = new.select(F.col(key).alias("k"), F.md5(F.col(content)).alias("dn"))
+    joined = o.join(n, "k", "full_outer")
+    status = (
+        F.when(F.col("do").isNull(), F.lit("added"))
+        .when(F.col("dn").isNull(), F.lit("removed"))
+        .when(F.col("do") == F.col("dn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("status")
+    )
+
+
+def key_skew_report(df: DataFrame, key: str, top_n: int = 5) -> DataFrame:
+    """Join-key skew diagnosis — the numbers that justify a salting or
+    AQE-skew-join decision BEFORE the shuffle blows up: per-key counts
+    reduced to (total rows, distinct keys, max key count, skew factor =
+    max/avg) plus the top-N heaviest keys as a CSV. One partial-agg
+    scan + a top-k over the key counts (TakeOrderedAndProject, never a
+    global sort)."""
+    counts = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("c"))
+    top = [
+        f"{r['k']}:{r['c']}"
+        for r in counts.orderBy(F.col("c").desc(), F.col("k")).limit(top_n).collect()
+    ]
+    return counts.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_key_rows"),
+        F.round(
+            F.max("c").cast("double")
+            / (F.sum("c").cast("double") / F.count("*").cast("double")),
+            6,
+        ).alias("skew_factor"),
+    ).withColumn("top_keys", F.lit(",".join(top)))

@@ -2233,6 +2233,59 @@ WHERE rk = 1 ORDER BY event_type
 """
 
 
+def _corpus_diff_query(spark: SparkSession, sf: str) -> DataFrame:
+    from sqlstreamstore_spark.analytics.quality import corpus_diff
+
+    docs = _t(spark, sf, "documents")
+    # simulate two crawls: "old" is missing every 10th doc and has every
+    # 7th doc's text perturbed; "new" is missing every 13th doc — all
+    # four statuses (added/removed/changed/unchanged) are exercised
+    old = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit("X")))
+        .otherwise(F.col("text")),
+    )
+    new = docs.filter(F.col("doc_id") % 13 != 0)
+    return corpus_diff(old, new)
+
+
+_CORPUS_DIFF_SQL = """
+WITH o AS (
+  SELECT doc_id AS k,
+         md5(text || CASE WHEN doc_id % 7 = 0 THEN 'X' ELSE '' END) AS dg
+  FROM documents WHERE doc_id % 10 <> 0),
+nn AS (SELECT doc_id AS k, md5(text) AS dg FROM documents WHERE doc_id % 13 <> 0)
+SELECT status, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT CASE WHEN o.k IS NULL THEN 'added'
+              WHEN nn.k IS NULL THEN 'removed'
+              WHEN o.dg = nn.dg THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM o FULL OUTER JOIN nn ON o.k = nn.k) t
+GROUP BY status ORDER BY status
+"""
+
+
+def _key_skew_query(spark: SparkSession, sf: str) -> DataFrame:
+    from sqlstreamstore_spark.analytics.quality import key_skew_report
+
+    return key_skew_report(_t(spark, sf, "lineitem"), "l_orderkey")
+
+
+_KEY_SKEW_SQL = """
+WITH c AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+top AS (SELECT string_agg(k || ':' || c, ',' ORDER BY c DESC, k) AS tk
+        FROM (SELECT * FROM c ORDER BY c DESC, k LIMIT 5))
+SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(c) AS BIGINT) AS max_key_rows,
+       round(CAST(max(c) AS DOUBLE)
+             / (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6)
+         AS skew_factor,
+       (SELECT tk FROM top) AS top_keys
+FROM c
+"""
+
+
 def analytics_queries():
     """name → (spark_fn, oracle_sql | None). None = rows-only check
     (non-SQL-expressible: engine-specific hash families)."""
@@ -2398,6 +2451,11 @@ ORDER BY o_orderpriority""",
         # state-merge, p90 bin per group; integer-exact vs the full
         # recompute
         "incremental_histogram_p90": (_incr_hist_query, _incr_hist_oracle()),
+        # snapshot-to-snapshot corpus diff (added/removed/changed/
+        # unchanged by digest over a key-only full-outer join) and the
+        # join-key skew report that justifies salting decisions
+        "dq_corpus_diff": (_corpus_diff_query, _CORPUS_DIFF_SQL),
+        "dq_key_skew": (_key_skew_query, _KEY_SKEW_SQL),
         "drift_ks_binned": (_drift_ks_binned_query, None),
         "drift_chi2_types": (_drift_chi2_query, _CHI2_DRIFT_SQL),
         "stats_corr_regr": (

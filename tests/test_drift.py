@@ -119,3 +119,29 @@ def test_ks_invariant_under_monotone_transform(spark):
     assert (base.n_a, base.n_b, int(base.d_num), base.ks_d) == (
         mono.n_a, mono.n_b, int(mono.d_num), mono.ks_d)
     assert base.ks_d > 0  # the planted shift is detectable
+
+
+def test_corpus_diff_planted_statuses(spark):
+    """Planted diff: 2 added, 1 removed, 1 changed, 2 unchanged."""
+    from sqlstreamstore_spark.analytics.quality import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "C"), (5, "e"), (6, "f")],
+        "doc_id long, text string")
+    got = {r.status: r.n for r in corpus_diff(old, new).collect()}
+    assert got == {"added": 2, "removed": 1, "changed": 1, "unchanged": 2}
+
+
+def test_key_skew_report_planted_hot_key(spark):
+    """A key holding half the rows reports skew_factor = max/avg and
+    leads the top-keys CSV."""
+    from sqlstreamstore_spark.analytics.quality import key_skew_report
+
+    rows = [(7,)] * 50 + [(i,) for i in range(10)]  # 60 rows, 10 keys, key 7 = 51
+    df = spark.createDataFrame(rows, "k long")
+    r = key_skew_report(df, "k", top_n=3).collect()[0]
+    assert (r.n_rows, r.n_keys, r.max_key_rows) == (60, 10, 51)
+    assert abs(r.skew_factor - 51 / (60 / 10)) < 1e-6
+    assert r.top_keys.startswith("7:51,")
