@@ -52,7 +52,7 @@ def main() -> int:
     spark = get_spark(app_name="scale-probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    def workloads(docs, emb, lineitem, label):
+    def workloads(docs, emb, lineitem, events, label):
         res = {"scale": label}
         t0 = time.time()
         res["rows_docs"] = docs.count()
@@ -121,6 +121,38 @@ def main() -> int:
         src = edges.agg(F.min("src")).collect()[0][0]
         n = graph.bfs_distances(edges, int(src), max_depth=3).count()
         res["graph_bfs"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        # round-4 operator families: drift (per-value shuffle + two-
+        # phase cumsum), z-order write (one range shuffle + stats agg),
+        # incremental state merge (group-sized shuffle)
+        import tempfile
+
+        from sqlstreamstore_spark.analytics import drift, incremental
+        from sqlstreamstore_spark.sources import zorder
+
+        t0 = time.time()
+        r = drift.ks_drift(
+            events.filter(F.col("event_type") == "click"),
+            events.filter(F.col("event_type") == "purchase"), "value",
+        ).collect()[0]
+        res["drift_ks_exact"] = {
+            "ks_d": round(r.ks_d, 4), "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        orders_like = lineitem.select(
+            F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"),
+            (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long").alias("b"))
+        with tempfile.TemporaryDirectory() as zd:
+            m = zorder.write_zordered(orders_like, zd + "/z", "a", "b", n_buckets=64)
+            res["zorder_write"] = {
+                "buckets": len(m["buckets"]), "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        a = incremental.daily_rollup(events.filter(F.col("event_id") % 2 == 0))
+        b = incremental.daily_rollup(events.filter(F.col("event_id") % 2 == 1))
+        n = incremental.merge_rollups(a, b).count()
+        res["incremental_merge"] = {"rows": n, "s": round(time.time() - t0, 2)}
         return res
 
     out = []
@@ -129,7 +161,8 @@ def main() -> int:
         docs = load_table(spark, d, "documents").localCheckpoint()
         emb = load_table(spark, d, "embeddings").localCheckpoint()
         li = load_table(spark, d, "lineitem").localCheckpoint()
-        out.append(workloads(docs, emb, li, f"sf{sf}"))
+        ev = load_table(spark, d, "events").localCheckpoint()
+        out.append(workloads(docs, emb, li, ev, f"sf{sf}"))
         print(json.dumps(out[-1]), flush=True)
 
     # synthetic sf1: replicate sf0.1 10x with shifted keys
@@ -139,7 +172,10 @@ def main() -> int:
     li = replicated(
         load_table(spark, d, "lineitem"), 10, {"l_orderkey": 10_000_000}
     ).localCheckpoint()
-    out.append(workloads(docs, emb, li, "sf1-synthetic"))
+    ev = replicated(
+        load_table(spark, d, "events"), 10, {"event_id": 10_000_000}
+    ).localCheckpoint()
+    out.append(workloads(docs, emb, li, ev, "sf1-synthetic"))
     print(json.dumps(out[-1]), flush=True)
     return 0
 
