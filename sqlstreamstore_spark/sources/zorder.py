@@ -11,7 +11,8 @@ min/max stats.
 
 Everything here is deterministic integer arithmetic (no RNG, no
 floats): values scale to q = ((v - min) * (2^bits - 1)) DIV (max - min)
-and interleave via shift/mask sums, so the DuckDB oracle reproduces the
+(in wide integers — overflow-free for the full BIGINT domain) and
+interleave via shift/mask sums, so the DuckDB oracle reproduces the
 z-values bit-for-bit (the expression generator emits both dialects from
 one template).
 
@@ -68,21 +69,36 @@ def z_expr_duckdb(a: str, b: str, bits: int = 16) -> str:
     return t.format(a=a, b=b)
 
 
+# Scaling: q = ((v - lo) * (2^bits - 1)) DIV (hi - lo), carried in
+# WIDE integers — DECIMAL(38,0) with Spark's integral `div` on one
+# side, HUGEINT `//` on the other. In plain BIGINT the multiply
+# overflows whenever the column's domain exceeds ~2^47 (nanosecond
+# timestamps span ~2^60; hash columns the full 2^64 — ANSI mode then
+# throws ARITHMETIC_OVERFLOW), and the obvious overflow-free
+# alternative q = (v-lo) DIV width does NOT stretch small domains onto
+# the full 2^bits range, which collapses the Morton bucket space (only
+# the wide column's bits reach the z high bits — measured: either-
+# column pruning stops working). Wide-integer multiply keeps both the
+# full-range stretch and exactness for the entire BIGINT domain; both
+# engines floor a non-negative exact rational, so values hash-match.
+
+
 def _scale_spark(col: str, lo: str, hi: str, bits: int) -> str:
-    """q = ((v - lo) * maxq) DIV (hi - lo), exact BIGINT; degenerate
-    single-value domains map to 0."""
     maxq = (1 << bits) - 1
+    d = "DECIMAL(21,0)"
+    v, l, h = (f"CAST({x} AS {d})" for x in (col, lo, hi))
     return (
         f"CASE WHEN {hi} = {lo} THEN CAST(0 AS BIGINT) ELSE "
-        f"((CAST({col} AS BIGINT) - {lo}) * {maxq}) DIV ({hi} - {lo}) END"
+        f"CAST((({v} - {l}) * {maxq}) div ({h} - {l}) AS BIGINT) END"
     )
 
 
 def _scale_duckdb(col: str, lo: str, hi: str, bits: int) -> str:
     maxq = (1 << bits) - 1
+    v, l, h = (f"CAST({x} AS HUGEINT)" for x in (col, lo, hi))
     return (
         f"CASE WHEN {hi} = {lo} THEN CAST(0 AS BIGINT) ELSE "
-        f"((CAST({col} AS BIGINT) - {lo}) * {maxq}) // ({hi} - {lo}) END"
+        f"CAST((({v} - {l}) * {maxq}) // ({h} - {l}) AS BIGINT) END"
     )
 
 
@@ -150,7 +166,7 @@ def write_zordered(
     and the stats aggregate is n_buckets rows."""
     shift = max(0, 2 * bits - (n_buckets - 1).bit_length())
     zdf = z_values(df, col_a, col_b, bits).withColumn(
-        "zbucket", (F.col("z") / F.lit(1 << shift)).cast("long")
+        "zbucket", F.shiftright(F.col("z"), shift).cast("long")
     )
     zdf = zdf.repartition(n_buckets, "zbucket").sortWithinPartitions("z")
     zdf.write.mode("overwrite").partitionBy("zbucket").parquet(path)

@@ -106,3 +106,17 @@ def test_zorder_pruned_read_exact_and_skips(spark, tmp_path):
     # empty rectangle: zero buckets, empty frame with the right schema
     pruned, read, _ = read_pruned(spark, zpath, a_range=(10**9, 2 * 10**9))
     assert read == 0 and pruned.count() == 0
+
+
+def test_z_values_survive_full_bigint_domain(spark):
+    """The 100 TB overflow trap: a column spanning the BIGINT domain
+    (nanosecond timestamps, hash values). The division-only scaling
+    must produce in-range z-values with no overflow error."""
+    big = 2**62
+    df = spark.createDataFrame(
+        [(0, -big, -big), (1, 0, 5), (2, big, big)], "id long, a long, b long"
+    )
+    rows = {r["id"]: r["z"] for r in z_values(df, "a", "b", bits=16).collect()}
+    assert rows[0] == 0
+    assert all(0 <= v < (1 << 32) for v in rows.values())
+    assert rows[0] < rows[1] < rows[2]
