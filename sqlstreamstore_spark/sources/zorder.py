@@ -231,3 +231,37 @@ def read_pruned(
         *[os.path.join(path, f"zbucket={b}") for b in keep]
     )
     return df, len(keep), total
+
+
+def z_values_multi(
+    df: DataFrame, cols: list[str], bits: int | None = None
+) -> DataFrame:
+    """k-column Morton value (ZORDER BY (a, b, c, ...)): round-robin
+    bit interleave — column j's bit i lands at position i·k + j — over
+    the same wide-integer full-range scaling as the 2-column form. Each
+    column gets ``bits`` bits (default: as many as fit 63 total, so a
+    BIGINT holds the value: 2 cols → 16 capped, 3 → 21, 4 → 15).
+    Same plan shape: one 1-row stats aggregate broadcast, then pure
+    codegen'd expressions."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("z-order needs at least 2 columns")
+    if bits is None:
+        bits = min(16, 63 // k)
+    aggs = []
+    for j, c in enumerate(cols):
+        aggs.append(F.min(F.col(c).cast("long")).alias(f"__lo{j}"))
+        aggs.append(F.max(F.col(c).cast("long")).alias(f"__hi{j}"))
+    stats = df.agg(*aggs)
+    scaled = [
+        _scale_spark(c, f"__lo{j}", f"__hi{j}", bits) for j, c in enumerate(cols)
+    ]
+    terms = []
+    for i in range(bits):
+        for j in range(k):
+            terms.append(
+                f"shiftleft((shiftright({scaled[j]}, {i}) & 1), {i * k + j})"
+            )
+    z = "(" + " + ".join(terms) + ")"
+    out = df.crossJoin(F.broadcast(stats)).withColumn("z", F.expr(z))
+    return out.drop(*[f"__lo{j}" for j in range(k)], *[f"__hi{j}" for j in range(k)])

@@ -120,3 +120,45 @@ def test_z_values_survive_full_bigint_domain(spark):
     assert rows[0] == 0
     assert all(0 <= v < (1 << 32) for v in rows.values())
     assert rows[0] < rows[1] < rows[2]
+
+
+def test_z_values_multi_matches_python_twin(spark):
+    """3-column Morton parity against a pure-Python twin of the same
+    scale+interleave arithmetic (floor of exact rationals)."""
+    from sqlstreamstore_spark.sources.zorder import z_values_multi
+
+    rows = [(i, i * 7 % 50, (i * 13) % 29 - 14, i * i % 101) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, a long, b long, c long")
+    bits = 8
+    got = {r["id"]: r["z"] for r in z_values_multi(df, ["a", "b", "c"], bits).collect()}
+
+    cols = list(zip(*rows))[1:]
+    los = [min(c) for c in cols]
+    his = [max(c) for c in cols]
+    maxq = (1 << bits) - 1
+
+    def scale(v, lo, hi):
+        return 0 if hi == lo else ((v - lo) * maxq) // (hi - lo)
+
+    for i, a, b, c in rows:
+        qs = [scale(v, lo, hi) for v, lo, hi in zip((a, b, c), los, his)]
+        z = 0
+        for bit in range(bits):
+            for j in range(3):
+                z |= ((qs[j] >> bit) & 1) << (bit * 3 + j)
+        assert got[i] == z, (i, got[i], z)
+
+
+def test_z_values_multi_default_bits_fit_bigint(spark):
+    """Default bits keep the z value inside a signed 64-bit long for
+    2/3/4 columns, even at full-domain inputs."""
+    from sqlstreamstore_spark.sources.zorder import z_values_multi
+
+    big = 2**62
+    df = spark.createDataFrame(
+        [(0, -big, -big, -big, -big), (1, big, big, big, big)],
+        "id long, a long, b long, c long, d long")
+    for cols in (["a", "b"], ["a", "b", "c"], ["a", "b", "c", "d"]):
+        vals = [r["z"] for r in z_values_multi(df, cols).collect()]
+        assert all(0 <= v < 2**63 for v in vals), (cols, vals)
+        assert vals[0] < vals[1] or vals[0] == 0
