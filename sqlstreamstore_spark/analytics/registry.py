@@ -2101,6 +2101,37 @@ def _zorder_oracle_sql() -> str:
     )
 
 
+def _zorder3_values_query(spark: SparkSession, sf: str) -> DataFrame:
+    from sqlstreamstore_spark.sources.zorder import z_values_multi
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long").alias("cents"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
+        .alias("epoch_day"),
+    )
+    return (
+        z_values_multi(o, ["o_custkey", "cents", "epoch_day"])
+        .select("o_orderkey", "z")
+        .orderBy("o_orderkey")
+    )
+
+
+def _zorder3_oracle_sql() -> str:
+    from sqlstreamstore_spark.sources.zorder import z_values_multi_oracle_sql
+
+    return z_values_multi_oracle_sql(
+        "zsrc3", ["o_custkey", "cents", "epoch_day"], "o_orderkey",
+        with_cte=(
+            "zsrc3 AS (SELECT o_orderkey, o_custkey, "
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents, "
+            "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) "
+            "AS epoch_day FROM orders)"
+        ),
+    )
+
+
 def _incremental_rollup_query(spark: SparkSession, sf: str) -> DataFrame:
     from sqlstreamstore_spark.analytics.incremental import (
         daily_rollup,
@@ -2436,6 +2467,8 @@ ORDER BY o_orderpriority""",
         # key behind multi-column data skipping (sources/zorder.py;
         # write/prune path pinned in tests/test_zorder.py)
         "layout_zorder_values": (_zorder_values_query, _zorder_oracle_sql()),
+        # the k-column generalization (ZORDER BY three columns)
+        "layout_zorder3_values": (_zorder3_values_query, _zorder3_oracle_sql()),
         # incremental aggregate maintenance: rollup(80%) merged with
         # rollup(20%) must hash-equal the full recompute (monoid state,
         # presentation derived at read time)

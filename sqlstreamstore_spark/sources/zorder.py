@@ -256,12 +256,49 @@ def z_values_multi(
     scaled = [
         _scale_spark(c, f"__lo{j}", f"__hi{j}", bits) for j, c in enumerate(cols)
     ]
+    z = _z_multi_expr(
+        scaled, bits,
+        lambda x, n: f"shiftleft({x}, {n})",
+        lambda x, n: f"shiftright({x}, {n})",
+    )
+    out = df.crossJoin(F.broadcast(stats)).withColumn("z", F.expr(z))
+    return out.drop(*[f"__lo{j}" for j in range(k)], *[f"__hi{j}" for j in range(k)])
+
+
+def _z_multi_expr(scaled: list[str], bits: int, shl, shr) -> str:
+    k = len(scaled)
     terms = []
     for i in range(bits):
         for j in range(k):
-            terms.append(
-                f"shiftleft((shiftright({scaled[j]}, {i}) & 1), {i * k + j})"
-            )
-    z = "(" + " + ".join(terms) + ")"
-    out = df.crossJoin(F.broadcast(stats)).withColumn("z", F.expr(z))
-    return out.drop(*[f"__lo{j}" for j in range(k)], *[f"__hi{j}" for j in range(k)])
+            terms.append(shl(f"({shr(scaled[j], i)} & 1)", i * k + j))
+    return "(" + " + ".join(terms) + ")"
+
+
+def z_values_multi_oracle_sql(
+    table: str, cols: list[str], key: str, bits: int | None = None,
+    with_cte: str = "",
+) -> str:
+    """DuckDB twin of ``z_values_multi`` (same default bit budget)."""
+    k = len(cols)
+    if bits is None:
+        bits = min(16, 63 // k)
+    stats_sel = ", ".join(
+        f"CAST(min(CAST({c} AS BIGINT)) AS BIGINT) AS __lo{j}, "
+        f"CAST(max(CAST({c} AS BIGINT)) AS BIGINT) AS __hi{j}"
+        for j, c in enumerate(cols)
+    )
+    scaled = [
+        _scale_duckdb(c, f"__lo{j}", f"__hi{j}", bits) for j, c in enumerate(cols)
+    ]
+    z = _z_multi_expr(
+        scaled, bits,
+        lambda x, n: f"(({x}) << {n})",
+        lambda x, n: f"(({x}) >> {n})",
+    )
+    cte = f"{with_cte}, " if with_cte else ""
+    return f"""
+WITH {cte}s AS (SELECT {stats_sel} FROM {table})
+SELECT {key}, CAST({z} AS BIGINT) AS z
+FROM {table} CROSS JOIN s
+ORDER BY {key}
+"""
