@@ -14,12 +14,20 @@ continuation):
 
   GET    /                                   index (HAL links)
   GET    /stream?d=f|b&p=&m=[&e=1]           ReadAll page
+  GET    /stream/{position}                  single $all message by exact
+                                             position (404 when absent)
   HEAD   /stream                             head position header
   GET    /streams/{id}?d=f|b&p=&m=[&e=1]     ReadStream page
   POST   /streams/{id}      body=[messages]  AppendToStream
                             header SSS-ExpectedVersion
   DELETE /streams/{id}                       DeleteStream
                             header SSS-ExpectedVersion
+  GET    /streams/{id}/{version}             single message by stream
+                                             version (-1 -> 307 redirect
+                                             to the head version; hits
+                                             carry the version ETag +
+                                             one-year Cache-Control)
+  DELETE /streams/{id}/{version}             delete that version's message
   GET    /streams/{id}/messages/{mid}/data   lazy json_data point read
   DELETE /streams/{id}/messages/{mid}        DeleteMessage
   GET    /streams/{id}/metadata              GetStreamMetadata
@@ -416,7 +424,14 @@ def _make_handler(store: StreamStore):
         def _allowed_for(self, parts) -> tuple[str, ...] | None:
             """Per-route method sets (ClientErrorTests.cs
             s_ResourceConfigurations); None = unknown route (404)."""
+            def _is_int(x: str) -> bool:
+                return x.lstrip("-").isdigit()
+
             if parts == [] or parts == ["stream"] or parts == ["streams"]:
+                return ("GET", "HEAD")
+            if len(parts) == 2 and parts[0] == "stream" and _is_int(parts[1]):
+                # single all-stream message by position
+                # (AllStreamMessageMiddleware; OptionsTests "/stream/123")
                 return ("GET", "HEAD")
             if len(parts) == 2 and parts[0] == "docs":
                 return ("GET", "HEAD")
@@ -425,6 +440,10 @@ def _make_handler(store: StreamStore):
                     return ("GET", "HEAD", "POST", "DELETE")
                 if len(parts) == 3 and parts[2] == "metadata":
                     return ("GET", "HEAD", "POST")
+                if len(parts) == 3 and _is_int(parts[2]):
+                    # single message by stream version
+                    # (StreamMessageByVersionMiddleware: GET + DELETE)
+                    return ("GET", "HEAD", "DELETE")
                 if len(parts) >= 4 and parts[2] == "messages":
                     return ("GET", "HEAD", "DELETE")
             return None
@@ -537,6 +556,17 @@ def _make_handler(store: StreamStore):
                     self.wfile.write(payload)
             elif parts == ["stream"]:
                 self._read_all(q)
+            elif len(parts) == 2 and parts[0] == "stream":
+                # single all-stream message by EXACT position
+                # (ReadAllStreamMessageOperation.cs: ReadAllForwards(pos,
+                # 1, prefetch) filtered to Position == pos; absent -> 404)
+                pos = self._parse(lambda: int(parts[1]))
+                page = store.read_all_forwards(pos, 1, prefetch_json_data=True)
+                hit = [m for m in page.messages if m.position == pos]
+                if not hit:
+                    self._send(404, {"_links": {"self": {"href": self.path}}})
+                else:
+                    self._send(200, _msg_json(hit[0]))
             elif parts == ["streams"]:
                 # LinkFormatter.ListStreams: p=pattern, t=s|e, m, c
                 ids, token = store.list_streams(
@@ -562,6 +592,31 @@ def _make_handler(store: StreamStore):
                     "maxCount": m.max_count,
                     "metadataJson": m.metadata_json,
                 }, {"ETag": _etag(m.metadata_stream_version)})
+            elif len(parts) == 3 and parts[0] == "streams" and parts[2] != "metadata":
+                # single message by stream version
+                # (StreamMessageResource.cs Get: version -1 resolves to a
+                # 307 redirect at the head version; hits carry the
+                # version ETag + one-year Cache-Control — messages are
+                # immutable; misses 404 WITH a {streamId, streamVersion}
+                # body)
+                version = self._parse(lambda: int(parts[2]))
+                if version == -1:
+                    head = store.read_stream_head_version(parts[1])
+                    if head < 0:
+                        self._send(404, {"streamId": parts[1], "streamVersion": -1})
+                    else:
+                        self._send(307, None, {
+                            "Location": f"/streams/{parts[1]}/{head}"})
+                    return
+                page = store.read_stream_forwards(parts[1], version, 1, prefetch_json_data=True)
+                hit = [m for m in page.messages if m.stream_version == version]
+                if page.status == "StreamNotFound" or not hit:
+                    self._send(404, {"streamId": parts[1], "streamVersion": version})
+                else:
+                    self._send_cached(200, _msg_json(hit[0]), {
+                        "ETag": _etag(version),
+                        "Cache-Control": CACHE_CONTROL_ONE_YEAR,
+                    })
             elif (len(parts) == 5 and parts[0] == "streams" and parts[2] == "messages"
                   and parts[4] == "data"):
                 data = store._point_json_data(parts[1], parts[3])
@@ -729,6 +784,16 @@ def _make_handler(store: StreamStore):
                 self._send(204)
             elif len(parts) == 4 and parts[0] == "streams" and parts[2] == "messages":
                 store.delete_message(parts[1], parts[3])
+                self._send(204)
+            elif len(parts) == 3 and parts[0] == "streams":
+                # delete by stream VERSION: resolve to the message id,
+                # then the ordinary delete; absent message is a no-op 204
+                # (DeleteStreamMessageByVersionOperation.cs)
+                version = self._parse(lambda: int(parts[2]))
+                page = store.read_stream_forwards(parts[1], version, 1)
+                hit = [m for m in page.messages if m.stream_version == version]
+                if hit:
+                    store.delete_message(parts[1], hit[0].message_id)
                 self._send(204)
             else:
                 self._send(404)

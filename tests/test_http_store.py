@@ -721,3 +721,77 @@ def test_http_schema_accept_negotiation_precedence(duo):
         assert status == want_status, (accept, status)
         if want_ctype:
             assert h.get("Content-Type", "").startswith(want_ctype), accept
+
+
+def test_http_single_message_resources(duo):
+    """AllStreamMessageTests.cs + StreamMessageTests.cs parity: single
+    $all message by position, single stream message by version (with
+    -1 -> 307 to the head version, immutable-cache headers, 304 on
+    If-None-Match, 404-with-body), and delete-by-version."""
+    import json as _json
+    import urllib.request
+
+    backend, client, _clock = duo
+    from sqlstreamstore_spark.schema import ExpectedVersion
+    from sqlstreamstore_spark.store import NewStreamMessage
+
+    import uuid as _uuid
+    msgs = [NewStreamMessage(str(_uuid.UUID(int=900 + i)), "sm", f'{{"i":{i}}}')
+            for i in range(3)]
+    backend.append_to_stream("sm-stream", ExpectedVersion.ANY, msgs)
+    base = client.base_url
+
+    # single $all message by exact position
+    head = backend.read_head_position()
+    s, _h, raw = _raw_get(base, f"/stream/{head}")
+    assert s == 200
+    body = _json.loads(raw)
+    assert body["position"] == head and body["jsonData"] == '{"i":2}'
+    s, _h, _b = _raw_get(base, f"/stream/{head + 1000}")
+    assert s == 404
+
+    # single stream message by version: hit + immutable caching + 304
+    s, h, raw = _raw_get(base, "/streams/sm-stream/1")
+    assert s == 200
+    body = _json.loads(raw)
+    assert (body["streamVersion"], body["jsonData"]) == (1, '{"i":1}')
+    assert h.get("ETag") == '"1"'
+    assert h.get("Cache-Control") == "max-age=31536000"
+    s, _h, _b = _raw_get(base, "/streams/sm-stream/1", {"If-None-Match": '"1"'})
+    assert s == 304
+
+    # version -1 redirects (307) to the resolved head version
+    req = urllib.request.Request(base + "/streams/sm-stream/-1")
+
+    class NoRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, *a, **k):
+            return None
+
+    opener = urllib.request.build_opener(NoRedirect)
+    try:
+        opener.open(req, timeout=10)
+        raise AssertionError("expected 307")
+    except urllib.error.HTTPError as e:
+        e.read()
+        assert e.code == 307
+        assert e.headers.get("Location") == "/streams/sm-stream/2"
+
+    # miss 404s WITH the {streamId, streamVersion} body
+    s, _h, raw = _raw_get(base, "/streams/sm-stream/99")
+    assert s == 404
+    assert _json.loads(raw) == {"streamId": "sm-stream", "streamVersion": 99}
+    s, _h, raw = _raw_get(base, "/streams/ghost/0")
+    assert s == 404 and _json.loads(raw)["streamId"] == "ghost"
+
+    # delete by version: message gone, other versions keep numbering
+    req = urllib.request.Request(base + "/streams/sm-stream/1", method="DELETE")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert r.status == 204
+    s, _h, _b = _raw_get(base, "/streams/sm-stream/1")
+    assert s == 404
+    s, _h, raw = _raw_get(base, "/streams/sm-stream/2")
+    assert s == 200 and _json.loads(raw)["streamVersion"] == 2
+    # deleting an absent version is a no-op 204
+    req = urllib.request.Request(base + "/streams/sm-stream/99", method="DELETE")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert r.status == 204
