@@ -427,6 +427,15 @@ def _make_handler(store: StreamStore):
             def _is_int(x: str) -> bool:
                 return x.lstrip("-").isdigit()
 
+            def _is_guid(x: str) -> bool:
+                import uuid as _u
+
+                try:
+                    _u.UUID(x)
+                    return True
+                except ValueError:
+                    return False
+
             if parts == [] or parts == ["stream"] or parts == ["streams"]:
                 return ("GET", "HEAD")
             if len(parts) == 2 and parts[0] == "stream" and _is_int(parts[1]):
@@ -443,6 +452,12 @@ def _make_handler(store: StreamStore):
                 if len(parts) == 3 and _is_int(parts[2]):
                     # single message by stream version
                     # (StreamMessageByVersionMiddleware: GET + DELETE)
+                    return ("GET", "HEAD", "DELETE")
+                if len(parts) == 3 and _is_guid(parts[2]):
+                    # single message by MESSAGE ID — the reference's
+                    # canonical delete-message path
+                    # (StreamMessageByMessageIdMiddleware; OptionsTests
+                    # "/streams/a-stream/{guid}" → GET/HEAD/DELETE)
                     return ("GET", "HEAD", "DELETE")
                 if len(parts) >= 4 and parts[2] == "messages":
                     return ("GET", "HEAD", "DELETE")
@@ -484,11 +499,14 @@ def _make_handler(store: StreamStore):
             self._method_ok("PATCH")
 
         def do_OPTIONS(self):
-            # CORS preflight (AllowedMethodsMiddleware.cs Options): the
-            # allowed method set + header allowlist, origin *
+            # CORS preflight (AllowedMethodsMiddleware.cs Options +
+            # OptionsTests.cs): the ROUTE's method set, not a global one
+            parts, _q = self._route()
+            allowed = self._allowed_for(parts)
+            methods = (allowed + ("OPTIONS",)) if allowed else (
+                "GET", "HEAD", "OPTIONS", "POST", "DELETE")
             self.send_response(204)
-            self.send_header("Access-Control-Allow-Methods",
-                             "GET, HEAD, OPTIONS, POST, DELETE")
+            self.send_header("Access-Control-Allow-Methods", ", ".join(methods))
             self.send_header("Access-Control-Allow-Headers",
                              "Content-Type, X-Requested-With, Authorization, "
                              + EXPECTED_VERSION_HEADER + ", If-None-Match")
@@ -592,6 +610,33 @@ def _make_handler(store: StreamStore):
                     "maxCount": m.max_count,
                     "metadataJson": m.metadata_json,
                 }, {"ETag": _etag(m.metadata_stream_version)})
+            elif (len(parts) == 3 and parts[0] == "streams"
+                  and parts[2] != "metadata" and not parts[2].lstrip("-").isdigit()):
+                # single message by MESSAGE ID (guid segment): page the
+                # stream until the id is found — the HTTP tier runs on
+                # ms-latency backends, and ids are stream-scoped
+                mid = parts[2]
+                found = None
+                v = 0
+                while True:
+                    page = store.read_stream_forwards(parts[1], v, 100,
+                                                      prefetch_json_data=True)
+                    if page.status == "StreamNotFound":
+                        break
+                    for m in page.messages:
+                        if m.message_id == mid:
+                            found = m
+                            break
+                    if found is not None or page.is_end:
+                        break
+                    v = page.next_stream_version
+                if found is None:
+                    self._send(404, {"streamId": parts[1], "messageId": mid})
+                else:
+                    self._send_cached(200, _msg_json(found), {
+                        "ETag": _etag(found.stream_version),
+                        "Cache-Control": CACHE_CONTROL_ONE_YEAR,
+                    })
             elif len(parts) == 3 and parts[0] == "streams" and parts[2] != "metadata":
                 # single message by stream version
                 # (StreamMessageResource.cs Get: version -1 resolves to a
@@ -784,6 +829,11 @@ def _make_handler(store: StreamStore):
                 self._send(204)
             elif len(parts) == 4 and parts[0] == "streams" and parts[2] == "messages":
                 store.delete_message(parts[1], parts[3])
+                self._send(204)
+            elif (len(parts) == 3 and parts[0] == "streams"
+                  and not parts[2].lstrip("-").isdigit()):
+                # delete by MESSAGE ID on the reference's canonical path
+                store.delete_message(parts[1], parts[2])
                 self._send(204)
             elif len(parts) == 3 and parts[0] == "streams":
                 # delete by stream VERSION: resolve to the message id,

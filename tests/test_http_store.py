@@ -446,10 +446,16 @@ def test_cors_preflight_and_headers():
     req = urllib.request.Request(f"{server.url}/stream", method="OPTIONS")
     resp = urllib.request.urlopen(req)
     assert resp.status == 204
-    methods = resp.headers["Access-Control-Allow-Methods"]
-    for m in ("GET", "POST", "DELETE", "OPTIONS"):
-        assert m in methods
+    # per-route method set (OptionsTests.cs: "/stream" is read-only)
+    methods = {m.strip() for m in
+               resp.headers["Access-Control-Allow-Methods"].split(",")}
+    assert methods == {"GET", "HEAD", "OPTIONS"}
     assert "SSS-ExpectedVersion" in resp.headers["Access-Control-Allow-Headers"]
+    req = urllib.request.Request(f"{server.url}/streams/x", method="OPTIONS")
+    resp = urllib.request.urlopen(req)
+    methods = {m.strip() for m in
+               resp.headers["Access-Control-Allow-Methods"].split(",")}
+    assert methods == {"GET", "HEAD", "POST", "DELETE", "OPTIONS"}
     assert resp.headers["Access-Control-Allow-Origin"] == "*"
     getr = urllib.request.urlopen(f"{server.url}/stream?d=f&position=0&m=1")
     assert getr.headers["Access-Control-Allow-Origin"] == "*"
@@ -795,3 +801,52 @@ def test_http_single_message_resources(duo):
     req = urllib.request.Request(base + "/streams/sm-stream/99", method="DELETE")
     with urllib.request.urlopen(req, timeout=10) as r:
         assert r.status == 204
+
+
+def test_http_message_by_guid_and_per_route_options(duo):
+    """OptionsTests.cs matrix + the canonical /streams/{id}/{guid}
+    message-id route: GET serves the message, DELETE removes it, and
+    OPTIONS advertises each route's own method set."""
+    import json as _json
+    import urllib.request
+    import uuid as _uuid
+
+    backend, client, _clock = duo
+    from sqlstreamstore_spark.schema import ExpectedVersion
+    from sqlstreamstore_spark.store import NewStreamMessage
+
+    mid = str(_uuid.UUID(int=7777))
+    backend.append_to_stream("gm", ExpectedVersion.ANY,
+                             [NewStreamMessage(mid, "g", '{"g":1}')])
+    base = client.base_url
+
+    s, h, raw = _raw_get(base, f"/streams/gm/{mid}")
+    assert s == 200
+    body = _json.loads(raw)
+    assert body["messageId"] == mid and h.get("ETag") == '"0"'
+    s, _h, _b = _raw_get(base, f"/streams/gm/{_uuid.UUID(int=1)}")
+    assert s == 404
+
+    # per-route OPTIONS method sets (reference matrix)
+    cases = [
+        ("/stream", {"GET", "HEAD", "OPTIONS"}),
+        ("/stream/123", {"GET", "HEAD", "OPTIONS"}),
+        ("/streams/gm", {"GET", "HEAD", "POST", "DELETE", "OPTIONS"}),
+        ("/streams/gm/0", {"GET", "HEAD", "DELETE", "OPTIONS"}),
+        (f"/streams/gm/{mid}", {"GET", "HEAD", "DELETE", "OPTIONS"}),
+        ("/streams/gm/metadata", {"GET", "HEAD", "POST", "OPTIONS"}),
+        ("/docs/append", {"GET", "HEAD", "OPTIONS"}),
+    ]
+    for path, want in cases:
+        req = urllib.request.Request(base + path, method="OPTIONS")
+        with urllib.request.urlopen(req, timeout=10) as r:
+            got = {m.strip() for m in
+                   r.headers["Access-Control-Allow-Methods"].split(",")}
+            assert got == want, (path, got)
+
+    # DELETE by guid removes the message
+    req = urllib.request.Request(base + f"/streams/gm/{mid}", method="DELETE")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert r.status == 204
+    s, _h, _b = _raw_get(base, f"/streams/gm/{mid}")
+    assert s == 404
