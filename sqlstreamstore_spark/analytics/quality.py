@@ -144,3 +144,42 @@ def key_skew_report(df: DataFrame, key: str, top_n: int = 5) -> DataFrame:
             6,
         ).alias("skew_factor"),
     ).withColumn("top_keys", F.lit(",".join(top)))
+
+
+def robust_outlier_bounds(
+    df: DataFrame, group: str, col: str, k: float = 3.0
+) -> DataFrame:
+    """Robust per-group outlier detection: median + MAD (median absolute
+    deviation) instead of mean + stddev, so the bounds themselves don't
+    move when the outliers they're hunting are present (the classic
+    failure of z-scores on heavy tails; events_daily_anomaly is the
+    z-score twin). Two passes: per-group median, then median of
+    |x − med| via a broadcast join back, then count the points beyond
+    k·MAD. Exact interpolated medians (the stats_quantiles arithmetic,
+    hash-stable cross-engine); at open-ended scale swap both
+    percentile() calls for approx_percentile — the ntile_deciles_approx
+    pattern — without touching the shape."""
+    v = F.col(col).cast("double")
+    med = df.groupBy(F.col(group).alias("g")).agg(
+        F.expr(f"percentile({col}, 0.5)").alias("med"),
+        F.count("*").cast("long").alias("n"),
+    )
+    dev = (
+        df.select(F.col(group).alias("g"), v.alias("v"))
+        .join(F.broadcast(med), "g")
+        .withColumn("adev", F.abs(F.col("v") - F.col("med")))
+    )
+    mad = dev.groupBy("g").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    scored = dev.join(F.broadcast(mad), "g")
+    return (
+        scored.groupBy("g")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max("med"), 9).alias("median"),
+            F.round(F.max("mad"), 9).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(k) * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("g")
+    )

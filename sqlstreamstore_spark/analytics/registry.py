@@ -2317,6 +2317,31 @@ FROM c
 """
 
 
+def _robust_outliers_query(spark: SparkSession, sf: str) -> DataFrame:
+    from sqlstreamstore_spark.analytics.quality import robust_outlier_bounds
+
+    return robust_outlier_bounds(_t(spark, sf, "events"), "event_type", "value")
+
+
+_ROBUST_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type AS g, quantile_cont(value, 0.5) AS med,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_type AS g, abs(e.value - m.med) AS adev, m.med, m.n
+  FROM events e JOIN med m ON e.event_type = m.g),
+mad AS (SELECT g, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY g)
+SELECT d.g AS g, CAST(max(d.n) AS BIGINT) AS n,
+       round(max(d.med), 9) AS median,
+       round(max(md.mad), 9) AS mad,
+       CAST(sum(CASE WHEN d.adev > 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad md ON d.g = md.g
+GROUP BY d.g ORDER BY d.g
+"""
+
+
 def analytics_queries():
     """name → (spark_fn, oracle_sql | None). None = rows-only check
     (non-SQL-expressible: engine-specific hash families)."""
@@ -2489,6 +2514,9 @@ ORDER BY o_orderpriority""",
         # join-key skew report that justifies salting decisions
         "dq_corpus_diff": (_corpus_diff_query, _CORPUS_DIFF_SQL),
         "dq_key_skew": (_key_skew_query, _KEY_SKEW_SQL),
+        # robust (median/MAD) per-group outlier bounds — the heavy-tail-
+        # safe twin of the z-score anomaly op
+        "dq_robust_outliers": (_robust_outliers_query, _ROBUST_OUTLIERS_SQL),
         "drift_ks_binned": (_drift_ks_binned_query, None),
         "drift_chi2_types": (_drift_chi2_query, _CHI2_DRIFT_SQL),
         "stats_corr_regr": (

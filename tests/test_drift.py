@@ -145,3 +145,24 @@ def test_key_skew_report_planted_hot_key(spark):
     assert (r.n_rows, r.n_keys, r.max_key_rows) == (60, 10, 51)
     assert abs(r.skew_factor - 51 / (60 / 10)) < 1e-6
     assert r.top_keys.startswith("7:51,")
+
+
+def test_robust_outliers_immune_to_planted_spikes(spark):
+    """The robust-statistics claim: plant 3 extreme spikes in a tight
+    group — median/MAD barely move and exactly the spikes are counted;
+    a mean/stddev z-score at the same k would see a stddev inflated by
+    the spikes themselves. Symmetric tight data yields MAD ~ 1."""
+    from sqlstreamstore_spark.analytics.quality import robust_outlier_bounds
+
+    base = [("g", float(50 + (i % 5) - 2)) for i in range(100)]  # 48..52
+    spikes = [("g", 1000.0), ("g", -500.0), ("g", 2000.0)]
+    df = spark.createDataFrame(base + spikes, "t string, v double")
+    r = robust_outlier_bounds(df, "t", "v", k=3.0).collect()[0]
+    assert r.n == 103
+    assert 48 <= r.median <= 52
+    assert 0 < r.mad <= 2
+    assert r.n_outliers == 3
+
+    clean = spark.createDataFrame(base, "t string, v double")
+    rc = robust_outlier_bounds(clean, "t", "v", k=3.0).collect()[0]
+    assert rc.n_outliers == 0
