@@ -2342,6 +2342,44 @@ GROUP BY d.g ORDER BY d.g
 """
 
 
+_BUDGETS = {"src0": 200, "src1": 10_000}  # src1 effectively unclamped
+
+
+def _budget_mixture_query(spark: SparkSession, sf: str) -> DataFrame:
+    return sampling.budget_mixture_sample(
+        _t(spark, sf, "documents"), _BUDGETS, default_budget=400)
+
+
+def _budget_mixture_oracle() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s_}' THEN {b}" for s_, b in sorted(_BUDGETS.items()))
+    return f"""
+WITH toks AS (
+  SELECT source AS src,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {_HEXBUCKET} % 65536 AS hb,
+         CAST(CASE {cases} ELSE 400 END AS BIGINT) AS budget
+  FROM documents),
+thr AS (
+  SELECT src, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(max(budget) AS BIGINT) AS budget,
+         CAST(least(65536, (CAST(max(budget) AS HUGEINT) * 65536)
+                    // CAST(sum(n_tokens) AS HUGEINT)) AS BIGINT) AS threshold
+  FROM toks GROUP BY src)
+SELECT t.src AS src,
+       CAST(max(h.total_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(h.budget) AS BIGINT) AS budget,
+       CAST(max(h.threshold) AS BIGINT) AS threshold,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN t.hb < h.threshold THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       CAST(sum(CASE WHEN t.hb < h.threshold THEN t.n_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_selected
+FROM toks t JOIN thr h ON t.src = h.src
+GROUP BY t.src ORDER BY t.src
+"""
+
+
 def analytics_queries():
     """name → (spark_fn, oracle_sql | None). None = rows-only check
     (non-SQL-expressible: engine-specific hash families)."""
@@ -2517,6 +2555,11 @@ ORDER BY o_orderpriority""",
         # robust (median/MAD) per-group outlier bounds — the heavy-tail-
         # safe twin of the z-score anomaly op
         "dq_robust_outliers": (_robust_outliers_query, _ROBUST_OUTLIERS_SQL),
+        # token-BUDGET-driven domain mixture: per-source thresholds
+        # derived from measured totals in DECIMAL/HUGEINT (trillion-
+        # token budgets overflow BIGINT*65536), hash-deterministic
+        # selection, per-source accounting summary
+        "sampling_budget_mixture": (_budget_mixture_query, _budget_mixture_oracle()),
         "drift_ks_binned": (_drift_ks_binned_query, None),
         "drift_chi2_types": (_drift_chi2_query, _CHI2_DRIFT_SQL),
         "stats_corr_regr": (

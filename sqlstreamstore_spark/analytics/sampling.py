@@ -132,3 +132,103 @@ def fixed_size_sample(df: DataFrame, key: str, n: int) -> DataFrame:
         .limit(n)
         .drop("__h")
     )
+
+
+def budget_mixture_sample(
+    documents: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int,
+    key: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Token-BUDGET-aware domain mixture: instead of hand-tuned rates
+    (``stratified_sample_by_source``), give each source a token budget
+    and derive its sampling rate from the source's own measured size —
+    the way a pretraining mix is actually specified ("200B tokens of
+    crawl, all of wiki"). Two passes, both scale-shaped:
+
+      1. per-source token totals (one partial-agg scan);
+      2. integer thresholds t_s = min(65536, budget·65536 DIV total)
+         carried in DECIMAL(38,0) (budget·65536 overflows BIGINT past
+         ~1.4e14 tokens — trillion-token budgets are the NORM at this
+         scale), broadcast-joined back, rows kept where the same
+         content-hash bucket every sampler here uses falls under t_s.
+
+    Expected selected tokens per source ≈ min(budget, total); selection
+    stays hash-deterministic (a doc's fate never flips on rerun or
+    arrival order). Returns the per-source accounting summary — the
+    artifact a mixture run logs; the selected rows themselves come from
+    ``selected_by_budget``."""
+    thresholds = _budget_thresholds(documents, budgets, default_budget, strata_col)
+    toks = documents.select(
+        F.col(strata_col).alias("src"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        _hash_bucket(F.col(key)).alias("hb"),
+    )
+    return (
+        toks.join(F.broadcast(thresholds), "src")
+        .groupBy("src")
+        .agg(
+            F.max("total_tokens").alias("total_tokens"),
+            F.max("budget").alias("budget"),
+            F.max("threshold").alias("threshold"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("hb") < F.col("threshold"), 1).otherwise(0))
+            .cast("long").alias("n_selected"),
+            F.sum(
+                F.when(F.col("hb") < F.col("threshold"), F.col("n_tokens"))
+                .otherwise(0)
+            ).cast("long").alias("tokens_selected"),
+        )
+        .orderBy("src")
+    )
+
+
+def _budget_thresholds(
+    documents: DataFrame, budgets: dict[str, int], default_budget: int,
+    strata_col: str,
+) -> DataFrame:
+    budget_expr = F.lit(default_budget).cast("long")
+    for src, b in sorted(budgets.items()):
+        budget_expr = F.when(F.col("src") == src, F.lit(b).cast("long")).otherwise(
+            budget_expr
+        )
+    totals = (
+        documents.select(
+            F.col(strata_col).alias("src"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("src")
+        .agg(F.sum("n_tokens").alias("total_tokens"))
+        .withColumn("budget", budget_expr)
+    )
+    d = "decimal(38,0)"
+    return totals.withColumn(
+        "threshold",
+        F.least(
+            F.lit(65536).cast("long"),
+            F.expr(
+                f"CAST((CAST(budget AS {d}) * 65536) div "
+                f"CAST(total_tokens AS {d}) AS BIGINT)"
+            ),
+        ),
+    )
+
+
+def selected_by_budget(
+    documents: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int,
+    key: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """The selected rows for ``budget_mixture_sample``'s accounting."""
+    thresholds = _budget_thresholds(documents, budgets, default_budget, strata_col)
+    return (
+        documents.join(
+            F.broadcast(thresholds.select("src", "threshold")),
+            documents[strata_col] == F.col("src"),
+        )
+        .filter(_hash_bucket(F.col(key)) < F.col("threshold"))
+        .drop("src", "threshold")
+    )

@@ -296,3 +296,43 @@ def test_kmv_error_shrinks_as_inverse_sqrt_k(spark):
         mean_err[k] = sum(errs) / len(errs)
         assert mean_err[k] <= 2.5 / (k - 2) ** 0.5, (k, errs)
     assert mean_err[256] < mean_err[16], mean_err
+
+
+def test_budget_mixture_accounting_and_selection(spark):
+    """Budget-driven mixture: a tiny budget clamps the source near its
+    budget in expectation; an over-budget source keeps everything
+    (threshold 65536); the accounting summary and the selected rows
+    agree; selection is deterministic across calls."""
+    from sqlstreamstore_spark.analytics.sampling import (
+        budget_mixture_sample,
+        selected_by_budget,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    budgets = {"src0": 50, "src1": 10**6}
+    summary = {r.src: r for r in
+               budget_mixture_sample(docs, budgets, default_budget=200).collect()}
+
+    full = {r.src: r for r in
+            budget_mixture_sample(docs, {}, default_budget=10**9).collect()}
+    # over-budget source keeps everything
+    s1 = summary["src1"]
+    assert s1.threshold == 65536 and s1.n_selected == s1.n_docs
+    assert s1.tokens_selected == full["src1"].total_tokens
+    # tightly budgeted source selects a strict subset, threshold derived
+    s0 = summary["src0"]
+    assert 0 <= s0.threshold < 65536
+    assert s0.threshold == min(65536, s0.budget * 65536 // s0.total_tokens)
+    assert s0.n_selected < s0.n_docs
+
+    # selected rows agree with the accounting
+    sel = selected_by_budget(docs, budgets, default_budget=200)
+    per_src = {r["source"]: r["n"] for r in
+               sel.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, row in summary.items():
+        assert per_src.get(src, 0) == row.n_selected, src
+
+    # deterministic: same inputs, same selection
+    again = {r.src: r.n_selected for r in
+             budget_mixture_sample(docs, budgets, default_budget=200).collect()}
+    assert again == {s: r.n_selected for s, r in summary.items()}
