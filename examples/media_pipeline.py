@@ -104,6 +104,14 @@ def main() -> None:
             spark, os.path.join(d, "z"), a_range=(100, 300))
         print(f"z-order pruned scan: read {read}/{total} buckets")
 
+    # token-budget mixture: derive per-source rates from measured totals
+    from sqlstreamstore_spark.analytics import sampling
+
+    mix = sampling.budget_mixture_sample(
+        docs, {"src0": 200}, default_budget=500).limit(3)
+    mix.select("src", "total_tokens", "budget", "n_selected",
+               "tokens_selected").show(3)
+
     # incremental rollup: one merge tick == full recompute
     ev = load_table(spark, SF_DIR, "events")
     prev = incremental.daily_rollup(ev.filter(F.col("event_id") % 10 < 8))
