@@ -110,6 +110,9 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             return 2
         qs = {n: qs[n] for n in only}
     print(f"{len(qs)} queries, {len(oracles)} oracles")
+    if not only:
+        cap = list(qs)[:50]
+        print(f"driver ~50-row cap window (first 50 in dict order): {cap}")
     failures = []
     for name, fn in qs.items():
         t0 = time.time()
