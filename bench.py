@@ -48,6 +48,18 @@ def main() -> int:
     n_log = log.count()
     timings["events_log_derive"] = round(time.time() - t0, 3)
 
+    # -- warm: build the shared fake-media table BEFORE the query loop
+    # and record the cost as its own row. Eight gate queries share this
+    # memoized table; without the warm-up, whichever multimodal query
+    # runs FIRST absorbs the driver-side codec encodes +
+    # createDataFrame ship (r4: multimodal_audio_features 0.43→4.10 s
+    # was table-build attribution, not audio DSP).
+    from sqlstreamstore_spark.analytics import multimodal as _mm
+
+    t0 = time.time()
+    _mm.make_fake_media_df(spark, 100).count()
+    timings["media_table_build"] = round(time.time() - t0, 3)
+
     # -- declared query set (same code path as the correctness gate)
     queries = build_queries()
     for name, fn in queries.items():
@@ -279,19 +291,29 @@ for b in range(n_batches):
             s.refresh()
 print("done", retries)
 """.format(repo=os.path.dirname(os.path.abspath(__file__)))
+        # Metric naming (r4 verdict "What's wrong" #1): the r4 rework
+        # changed the workload under the old append_2writers_* names
+        # (50 batches/writer → fixed 10k total), making the committed
+        # series read as a regression. The curve now lives under NEW
+        # names append_curve_{n}w_*; fixed total work is exactly 100
+        # batches (10k msgs) — the remainder batches go to the first
+        # writers, so 8 writers run 12/12/12/12/13/13/13/13, not 12×8
+        # (ADVICE r4: 9,600 msgs under a "total10k" key).
         for n_writers in (2, 4, 8):
-            per_writer = 10_000 // (100 * n_writers)  # ~10k msgs total
-            total = n_writers * per_writer * 100
+            base_b, extra = divmod(100, n_writers)
+            batches = [base_b + (1 if w < extra else 0) for w in range(n_writers)]
+            total = sum(batches) * 100
+            assert total == 10_000, total
             xw_path = os.path.join(tmp, f"xwriters{n_writers}")
             SparkParquetStreamStore(None, xw_path)  # init store dir
             t0 = time.time()
             procs = [
                 subprocess.Popen(
                     [_sys.executable, "-c", worker_src,
-                     str(w), xw_path, str(per_writer)],
+                     str(w + 1), xw_path, str(batches[w])],
                     stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
                 )
-                for w in range(1, n_writers + 1)
+                for w in range(n_writers)
             ]
             retries = 0
             for p in procs:
@@ -301,9 +323,32 @@ print("done", retries)
             dt = time.time() - t0
             check = SparkParquetStreamStore(None, xw_path)
             assert check.read_head_position() == total - 1, check.read_head_position()
-            timings[f"append_{n_writers}writers_total10k"] = round(dt, 3)
-            timings[f"append_{n_writers}writers_msgs_per_sec"] = round(total / dt, 1)
-            timings[f"append_{n_writers}writers_cas_retries"] = retries
+            timings[f"append_curve_{n_writers}w_total10k"] = round(dt, 3)
+            timings[f"append_curve_{n_writers}w_msgs_per_sec"] = round(total / dt, 1)
+            timings[f"append_curve_{n_writers}w_cas_retries"] = retries
+
+        # Continuity row, one more round (r4 verdict #1): the ORIGINAL
+        # r3 2-writer workload — 50 batches × 100 msgs PER writer (20k
+        # total) — under the old metric name, so the r3→r5 series is
+        # comparable again before the old name retires.
+        xw_path = os.path.join(tmp, "xwriters2-legacy")
+        SparkParquetStreamStore(None, xw_path)
+        t0 = time.time()
+        procs = [
+            subprocess.Popen(
+                [_sys.executable, "-c", worker_src, str(w), xw_path, "50"],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+            for w in (1, 2)
+        ]
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            assert "done" in out, err[-2000:]
+        dt = time.time() - t0
+        check = SparkParquetStreamStore(None, xw_path)
+        assert check.read_head_position() == 10_000 - 1
+        timings["append_2writers_50x100"] = round(dt, 3)
+        timings["append_2writers_msgs_per_sec"] = round(10_000 / dt, 1)
 
         # -- commit cost at high stream cardinality: the delta-log
         # manifest makes single-message appends O(change) instead of
@@ -324,6 +369,92 @@ print("done", retries)
             )
         dt = time.time() - t0
         timings["append_20kstreams_commits_per_sec"] = round(100 / dt, 1)
+
+        # -- subscription notification LATENCY (r4 verdict #7): the
+        # reference pins a 1 s polling floor
+        # (PollingStreamStoreNotifier.cs:27 — fixed 1 s interval); our
+        # notifier interval is configurable, benched here at the
+        # repo-default 50 ms poll. End-to-end append→callback, one
+        # message at a time, sequential (each append waits for its own
+        # delivery, so the sample is true per-append latency, not
+        # batch amortization). Rows are *_ms and excluded from
+        # total_wall_clock.
+        import statistics
+
+        from sqlstreamstore_spark.streaming import subscribe_to_all as _sub_all
+
+        lat_store = SqliteStreamStore(os.path.join(tmp, "lat.db"))
+        delivered = threading.Event()
+        seen_pos = [-1]
+
+        def on_lat_msg(m):
+            seen_pos[0] = m.position
+            delivered.set()
+
+        lat_sub = _sub_all(lat_store, on_lat_msg, page_size=100, poll_interval=0.05)
+        lats = []
+        for i in range(60):
+            delivered.clear()
+            t0 = time.time()
+            lat_store.append_to_stream(
+                "lat", ExpectedVersion.ANY,
+                [NewStreamMessage(str(uuid.UUID(int=50_000_000 + i)), "t", '{"x":1}')],
+            )
+            # wait for THIS append's delivery (a late event for a prior
+            # message must not record an artificially low latency)
+            while seen_pos[0] < i:
+                assert delivered.wait(timeout=10)
+                delivered.clear()
+            lats.append((time.time() - t0) * 1000)
+        lat_sub.dispose()
+        qs_ = statistics.quantiles(lats, n=100)
+        timings["sub_latency_polling_p50_ms"] = round(statistics.median(lats), 1)
+        timings["sub_latency_polling_p99_ms"] = round(qs_[98], 1)
+
+        # ... and the Structured-Streaming DataSource path: a live
+        # processingTime=0 query over the Parquet store, foreachBatch
+        # on the driver records delivery; latency includes the
+        # microbatch scheduling loop (the honest cost of that path).
+        from sqlstreamstore_spark.streaming.datasource import StreamStoreDataSource
+
+        spark.dataSource.register(StreamStoreDataSource)
+        ds_store = SparkParquetStreamStore(spark, os.path.join(tmp, "lat-ds"))
+        ds_delivered = threading.Event()
+        ds_seen = [-1]
+
+        def ds_sink(df, _epoch):
+            rows = df.select("position").collect()
+            if rows:
+                ds_seen[0] = max(r.position for r in rows)
+                ds_delivered.set()
+
+        q = (
+            spark.readStream.format("sqlstreamstore")
+            .option("path", ds_store.path)
+            .load()
+            .writeStream.foreachBatch(ds_sink)
+            .option("checkpointLocation", os.path.join(tmp, "lat-ds-ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            ds_lats = []
+            for i in range(20):
+                ds_delivered.clear()
+                t0 = time.time()
+                ds_store.append_to_stream(
+                    "lat", ExpectedVersion.ANY,
+                    [NewStreamMessage(str(uuid.UUID(int=60_000_000 + i)), "t", '{"x":1}')],
+                )
+                while ds_seen[0] < i:
+                    assert ds_delivered.wait(timeout=120)
+                    ds_delivered.clear()
+                ds_lats.append((time.time() - t0) * 1000)
+        finally:
+            q.stop()
+        ds_qs = statistics.quantiles(ds_lats, n=100)
+        timings["sub_latency_datasource_p50_ms"] = round(statistics.median(ds_lats), 1)
+        timings["sub_latency_datasource_p99_ms"] = round(ds_qs[98], 1)
 
         # -- HTTP tier: drain a 10k-message feed over the wire (HAL
         # pages of 1000, keyset read_next), then steady-state
@@ -376,7 +507,7 @@ print("done", retries)
 
     total = round(
         sum(v for k, v in timings.items()
-            if not k.endswith(("_per_sec", "_cas_retries"))), 3
+            if not k.endswith(("_per_sec", "_cas_retries", "_ms"))), 3
     )
     full = {
         "metric": "total_wall_clock",
@@ -395,7 +526,7 @@ print("done", retries)
     slowest = dict(
         sorted(
             ((k, v) for k, v in timings.items()
-             if not k.endswith(("_per_sec", "_cas_retries"))),
+             if not k.endswith(("_per_sec", "_cas_retries", "_ms"))),
             key=lambda kv: -kv[1],
         )[:12]
     )

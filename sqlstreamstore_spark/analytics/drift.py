@@ -132,6 +132,13 @@ def ks_drift_binned(
     exact numerator."""
     from pyspark.sql import Window
 
+    # NULL discipline matches ks_drift/_per_value_counts: a NULL has no
+    # place on a CDF axis. Without this filter a NULL value would make
+    # every bounds comparison NULL, F.filter would drop all elements,
+    # and the row would silently land in bin 0 AND count toward n_a/n_b
+    # — which can violate the pinned binned ≤ exact invariant.
+    a = a.filter(F.col(col).isNotNull())
+    b = b.filter(F.col(col).isNotNull())
     pooled = a.select(F.col(col).alias("v")).unionByName(b.select(F.col(col).alias("v")))
     qs = [i / n_bins for i in range(1, n_bins)]
     bounds = pooled.agg(

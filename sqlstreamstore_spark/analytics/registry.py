@@ -1877,6 +1877,34 @@ def _sim_topk_ivf_index_query(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _sim_topk_ivf_upsert_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental index maintenance: build the partitioned IVF index
+    over 80% of the corpus, UPSERT the other 20% into the existing
+    partition layout (O(new) work, no list rewrites), then probe. The
+    result must equal a query over an index holding the FULL corpus —
+    so it shares the static twin's oracle (merge == rebuild, made
+    driver-checkable)."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    path = os.path.join(tempfile.mkdtemp(prefix="sss-ivf-upsert-"), "index")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = similarity.build_ivf_index(base, path, n_clusters=8)
+    similarity.upsert_ivf_index(delta, path, cents)
+    out = similarity.cosine_topk_ivf_index(
+        spark, path, [float(x) for x in qvec], cents, k=10, n_probe=4
+    )
+    # materialize before the temp dir can be cleaned up by the OS later;
+    # the frame is 10 rows
+    rows = out.collect()
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 _CHUNK_SQL = """
 WITH sized AS (
   SELECT doc_id, text,
@@ -2132,6 +2160,56 @@ def _zorder3_oracle_sql() -> str:
     )
 
 
+_ZPS_A = (1, 60)           # o_custkey rectangle (selective at every gate sf)
+_ZPS_B = (1_000_000, 20_000_000)  # cents rectangle
+
+
+def _zorder_pruned_scan_query(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end proof the z-order layout PAYS OFF (r4 verdict #4):
+    write a z-ordered table, prune buckets via the min/max manifest for
+    a 2-D range predicate, assert pruning actually skipped buckets,
+    and return the pruned-scan + filter rows — which must hash-match
+    the oracle's FULL-scan + filter (the superset guarantee made
+    observable). layout_zorder_values oracles the z VALUES; this row
+    oracles the read path."""
+    import os
+    import tempfile
+
+    from sqlstreamstore_spark.sources.zorder import read_pruned, write_zordered
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long").alias("cents"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "sss-zorder-pruned-" + os.path.basename(sf.rstrip("/")),
+    )
+    write_zordered(o, path, "o_custkey", "cents", n_buckets=16)
+    pruned, read, total = read_pruned(spark, path, _ZPS_A, _ZPS_B)
+    if not 0 < read < total:
+        raise AssertionError(f"stats pruning did not prune: read {read}/{total}")
+    return (
+        pruned.filter(
+            F.col("o_custkey").between(*_ZPS_A) & F.col("cents").between(*_ZPS_B)
+        )
+        .select("o_orderkey", "o_custkey", "cents")
+        .orderBy("o_orderkey")
+    )
+
+
+_ZPS_SQL = f"""
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+FROM orders
+WHERE o_custkey BETWEEN {_ZPS_A[0]} AND {_ZPS_A[1]}
+  AND CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        BETWEEN {_ZPS_B[0]} AND {_ZPS_B[1]}
+ORDER BY o_orderkey
+"""
+
+
 def _incremental_rollup_query(spark: SparkSession, sf: str) -> DataFrame:
     from sqlstreamstore_spark.analytics.incremental import (
         daily_rollup,
@@ -2178,11 +2256,100 @@ def _drift_ks_binned_query(spark: SparkSession, sf: str) -> DataFrame:
     from sqlstreamstore_spark.analytics.drift import ks_drift_binned
 
     ev = _t(spark, sf, "events")
+    # Gate accuracy is RANK-EXACT (>= pooled N at every gate sf): the GK
+    # sketch then keeps every sample and query(q) returns exactly the
+    # pooled value at sorted rank ceil(q*N), which the DuckDB twin
+    # reproduces by rank selection (r4 verdict #2 — this row was
+    # rows-only while the boundaries were engine-private). The plan is
+    # identical to the production default (accuracy=10_000, pinned by
+    # pytest invariants binned<=exact); only the sketch's epsilon moves.
     return ks_drift_binned(
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
         "value",
+        accuracy=10_000_000,
     )
+
+
+def _rank_exact_bounds_cte(src: str, val_expr: str, n_bins: int) -> str:
+    """DuckDB CTEs replaying Spark's percentile_approx at rank-exact
+    accuracy: boundary i (1..n_bins-1) is the value at sorted rank
+    ceil((i/n_bins)*N) — the float product/ceil is computed in DOUBLE on
+    both engines (IEEE-identical), and duplicate ranks at small N keep
+    their multiplicity (the bounds ARRAY always has n_bins-1 entries).
+    Emits CTEs: pooled_n, ranked, ranks, bounds(bs)."""
+    return f"""
+pooled_n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM {src}),
+ranked AS (SELECT {val_expr} AS v,
+                  row_number() OVER (ORDER BY {val_expr}) AS rn
+           FROM {src}),
+ranks AS (SELECT i,
+                 CAST(ceil((CAST(i AS DOUBLE) / {n_bins}) * cnt) AS BIGINT) AS r
+          FROM range(1, {n_bins}) t(i), pooled_n),
+bounds AS (SELECT list(v ORDER BY i) AS bs
+           FROM ranks JOIN ranked ON ranked.rn = ranks.r)"""
+
+
+def _drift_ks_binned_oracle(n_bins: int = 128) -> str:
+    """Literal-free twin of the rank-exact-gate ks_drift_binned: same
+    boundary rule, same strict v > bound binning, same integer-exact
+    cumulative D (the drift_ks_exact DECIMAL pattern), same final
+    double division."""
+    bounds_cte = _rank_exact_bounds_cte("pooled", "v", n_bins)
+    return f"""
+WITH a AS (SELECT value AS v FROM events
+           WHERE event_type = 'click' AND value IS NOT NULL),
+b AS (SELECT value AS v FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL),
+pooled AS (SELECT v FROM a UNION ALL SELECT v FROM b),
+{bounds_cte},
+binned AS (
+  SELECT len(list_filter(bs, x -> CAST(v AS DOUBLE) > CAST(x AS DOUBLE))) AS bin,
+         1 AS ca, 0 AS cb
+  FROM a, bounds
+  UNION ALL
+  SELECT len(list_filter(bs, x -> CAST(v AS DOUBLE) > CAST(x AS DOUBLE))) AS bin,
+         0 AS ca, 1 AS cb
+  FROM b, bounds),
+per_bin AS (SELECT bin, CAST(sum(ca) AS BIGINT) AS na,
+                   CAST(sum(cb) AS BIGINT) AS nb
+            FROM binned GROUP BY bin),
+cum AS (SELECT bin,
+               CAST(sum(na) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cna,
+               CAST(sum(nb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cnb
+        FROM per_bin),
+tot AS (SELECT max(cna) AS n_a, max(cnb) AS n_b FROM cum)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(max(abs(CAST(cna AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
+                    - CAST(cnb AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0))))
+            AS DOUBLE)
+         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks_d
+FROM cum CROSS JOIN tot
+GROUP BY n_a, n_b
+"""
+
+
+def _ntile_deciles_approx_oracle() -> str:
+    """Twin of the rank-exact-gate ntile_deciles_approx: decile =
+    1 + count of boundaries strictly below the double-cast price, then
+    the exact-NTILE aggregation conventions (BIGINT counts,
+    DECIMAL(12,2) sum cast to DOUBLE at the end)."""
+    bounds_cte = _rank_exact_bounds_cte(
+        "orders", "CAST(o_totalprice AS DOUBLE)", 10
+    )
+    return f"""
+WITH {bounds_cte.lstrip()}
+SELECT decile, CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM (
+  SELECT o_totalprice,
+         CAST(1 + len(list_filter(bs, x -> CAST(o_totalprice AS DOUBLE) > x))
+              AS INT) AS decile
+  FROM orders, bounds) t
+GROUP BY decile
+ORDER BY decile
+"""
 
 
 def _drift_chi2_query(spark: SparkSession, sf: str) -> DataFrame:
@@ -2519,11 +2686,15 @@ ORDER BY o_orderpriority""",
             _NTILE_DECILES_SQL,
         ),
         # production twin: approx_percentile boundaries + broadcast range
-        # lookup — no WindowExec (rows-only: GK sketch isn't cross-engine
-        # reproducible; invariants vs exact NTILE pinned in pytest)
+        # lookup — no WindowExec. Gate runs at RANK-EXACT accuracy
+        # (sketch keeps all samples; boundary = value at rank ceil(q*N)),
+        # so the whole row is DuckDB-oracled (r4 verdict #2); production
+        # default stays accuracy=10_000, invariants pinned in pytest.
         "stats_ntile_deciles_approx": (
-            lambda s, sf: tpch.ntile_deciles_approx(_t(s, sf, "orders")),
-            None,
+            lambda s, sf: tpch.ntile_deciles_approx(
+                _t(s, sf, "orders"), accuracy=10_000_000
+            ),
+            _ntile_deciles_approx_oracle(),
         ),
         # Z-order layout: the Morton value both engines compute with
         # identical integer scaling + bit interleave — the clustering
@@ -2532,14 +2703,19 @@ ORDER BY o_orderpriority""",
         "layout_zorder_values": (_zorder_values_query, _zorder_oracle_sql()),
         # the k-column generalization (ZORDER BY three columns)
         "layout_zorder3_values": (_zorder3_values_query, _zorder3_oracle_sql()),
+        # the READ path: write z-ordered, prune via the min/max
+        # manifest, assert buckets were skipped, hash-match the
+        # full-scan-filter oracle (r4 verdict #4)
+        "layout_zorder_pruned_scan": (_zorder_pruned_scan_query, _ZPS_SQL),
         # incremental aggregate maintenance: rollup(80%) merged with
         # rollup(20%) must hash-equal the full recompute (monoid state,
         # presentation derived at read time)
         "incremental_rollup_merge": (_incremental_rollup_query, _INCR_ROLLUP_SQL),
         # distribution drift: exact two-sample KS with an INTEGER-exact
         # numerator (two-phase cumsum, no single-partition window over
-        # values), its bounded-state binned production twin (rows-only;
-        # binned<=exact pinned in pytest), and Pearson chi2 over a
+        # values), its bounded-state binned production twin (gate at
+        # rank-exact accuracy, oracled; binned<=exact at production
+        # accuracy pinned in pytest), and Pearson chi2 over a
         # categorical contingency table (analytics/drift.py)
         "drift_ks_exact": (_drift_ks_query, _drift_ks_oracle()),
         # incremental QUANTILES: mergeable histogram state (bin counts
@@ -2560,7 +2736,7 @@ ORDER BY o_orderpriority""",
         # token budgets overflow BIGINT*65536), hash-deterministic
         # selection, per-source accounting summary
         "sampling_budget_mixture": (_budget_mixture_query, _budget_mixture_oracle()),
-        "drift_ks_binned": (_drift_ks_binned_query, None),
+        "drift_ks_binned": (_drift_ks_binned_query, _drift_ks_binned_oracle()),
         "drift_chi2_types": (_drift_chi2_query, _CHI2_DRIFT_SQL),
         "stats_corr_regr": (
             lambda s, sf: tpch.corr_regr_stats(_t(s, sf, "lineitem")),
@@ -2804,6 +2980,9 @@ ORDER BY doc_id""",
         "sim_cosine_topk_ivf_static": (_sim_topk_ivf_static_query, _IVF_STATIC_SQL),
         # identical results via the materialized, partition-pruned index
         "sim_cosine_topk_ivf_index": (_sim_topk_ivf_index_query, _IVF_STATIC_SQL),
+        # incremental maintenance: 80% build + 20% upsert == full-corpus
+        # query, proven against the SAME static oracle (r4 verdict #8)
+        "sim_cosine_topk_ivf_upsert": (_sim_topk_ivf_upsert_query, _IVF_STATIC_SQL),
         # exact all-pairs is the sf-CAPPED oracle baseline (O(N^2) by
         # construction — never the scale path); the LSH entry below is
         # the headline near-dup operator, uncapped and oracled.

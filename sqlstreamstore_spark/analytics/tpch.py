@@ -821,7 +821,7 @@ def ntile_deciles(orders: DataFrame) -> DataFrame:
     )
 
 
-def ntile_deciles_approx(orders: DataFrame) -> DataFrame:
+def ntile_deciles_approx(orders: DataFrame, accuracy: int = 10_000) -> DataFrame:
     """Production-scale equi-depth deciles — the 100 TB twin of
     ``ntile_deciles``. NTILE needs a GLOBAL ordering (a single-partition
     window: the ``WindowExec: No Partition Defined`` warning, a
@@ -837,8 +837,16 @@ def ntile_deciles_approx(orders: DataFrame) -> DataFrame:
     No WindowExec in the plan at all (pinned in tests/test_plans.py).
     Bucket sizes are approximately N/10 (rank error <= N/accuracy);
     the exact-NTILE variant stays alongside as the oracle-scale twin.
+
+    ``accuracy``: GK rank error is <= N/accuracy. When accuracy >= N
+    the sketch keeps every sample exactly (compression merges need
+    g_i + g_j + delta <= 2*eps*N < 2, impossible with g >= 1), and
+    query(q) returns exactly the value at sorted rank ceil(q*N) — so a
+    rank-exact accuracy makes the whole query DuckDB-oracle-able
+    (r4 verdict #2) while keeping the identical bounded-state plan.
+    The production default stays 10_000.
     """
-    acc = 10_000  # rank error <= N * 1e-4
+    acc = accuracy  # rank error <= N / accuracy
     price = F.col("o_totalprice").cast("double")
     bounds = orders.agg(
         F.percentile_approx(

@@ -216,6 +216,14 @@ SELECT * FROM (
   FROM ing2 ORDER BY position LIMIT 100)
 ORDER BY phase, position""",
         ),
+        # CDC over an append/delete-stream/delete-message/scavenge/append
+        # interleaving (r4 verdict #5): the commit-range delta a consumer
+        # at v_final gained since v1 must show appended-then-scavenged
+        # rows ABSENT, deleted streams absent, and every tombstone
+        # present — replayed in SQL including the store's position/
+        # version assignment arithmetic. Deletion-tracking reference
+        # analog: src/SqlStreamStore/Streams/Deleted.cs:14-24.
+        "store_cdc_multi": (_cdc_multi_query, _CDC_MULTI_SQL),
         "store_bulk_roundtrip": (
             _store_roundtrip_query,
             C
@@ -309,6 +317,148 @@ def _time_travel_query(spark: SparkSession, sf: str) -> DataFrame:
     return snap.unionAll(delta).orderBy("phase", "position")
 
 
+# --- store_cdc_multi constants: streams are re-keyed cdc-0..cdc-7 from
+# the log's position (density is then sf-independent: every gate sf has
+# positions 0..649), so the scenario and its SQL replay share literals.
+CDC_K = 8
+CDC_S1, CDC_S2, CDC_END = 300, 600, 650
+CDC_DS = "cdc-5"   # delete_stream target
+CDC_DM = "cdc-1"   # delete_message target (its first batch-2 message)
+CDC_SC = "cdc-2"   # scavenge target (max_count below)
+CDC_MAXC = 20      # keep newest 20 -> victims reach into batch 2
+
+
+def _cdc_multi_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-commit CDC through the real Parquet store: two bulk
+    commits, then DeleteStream + DeleteMessage + a metadata-triggered
+    scavenge, then a third bulk commit; return changes_between(v1,
+    v_final). Deletes-in-CDC is the case most likely to bite a real
+    consumer: scavenged/deleted rows must be ABSENT from the delta while
+    their tombstones (and the metadata message) are PRESENT, at the
+    store's exact position/version assignments."""
+    import tempfile
+
+    from sqlstreamstore_spark.store.spark_store import SparkParquetStreamStore
+
+    log = get_log(spark, sf)
+    path = tempfile.mkdtemp(prefix="gate-store-cdc-")
+    store = SparkParquetStreamStore(spark, path)
+    src = log.filter(F.col("position") < CDC_END).select(
+        F.concat(F.lit("cdc-"), (F.col("position") % CDC_K).cast("string"))
+        .alias("stream_id"),
+        "message_id", "type", "json_data", "json_metadata", "created_utc",
+        F.col("position").alias("seq"),
+    )
+    store.bulk_append(src.filter(F.col("seq") < CDC_S1), order_col="seq")
+    v1 = store.manifest_version
+    store.bulk_append(
+        src.filter((F.col("seq") >= CDC_S1) & (F.col("seq") < CDC_S2)),
+        order_col="seq", allow_existing=True,
+    )
+    store.delete_stream(CDC_DS)
+    n1_dm = src.filter(
+        (F.col("stream_id") == CDC_DM) & (F.col("seq") < CDC_S1)
+    ).count()
+    dm_msg = store.read_stream_forwards(CDC_DM, n1_dm, 1).messages[0]
+    store.delete_message(CDC_DM, dm_msg.message_id)
+    store.set_stream_metadata(CDC_SC, max_count=CDC_MAXC)
+    store.bulk_append(
+        src.filter(F.col("seq") >= CDC_S2), order_col="seq", allow_existing=True
+    )
+    v2 = store.manifest_version
+
+    payload = F.when(
+        F.col("type").startswith("$"),
+        F.get_json_object("json_data", "$.StreamId"),
+    ).otherwise(F.col("json_data"))
+    return (
+        store.changes_between(v1, v2)
+        .select(
+            "position", "stream_id", "stream_version", "type",
+            payload.alias("payload"),
+        )
+        .orderBy("position")
+    )
+
+
+def _cdc_multi_oracle() -> str:
+    """SQL replay of the whole interleaving: the bulk position/version
+    arithmetic (the store_time_travel pattern), the scavenge victim
+    rule (keep newest CDC_MAXC by version), literal tombstone/metadata
+    rows at their deterministic positions, and the final commit's
+    version continuation (deleted stream restarts at 0; delete_message
+    keeps versions)."""
+    return (
+        EVENTS_LOG_ORACLE_CTE
+        + f""", src AS (
+  SELECT 'cdc-' || CAST(position % {CDC_K} AS VARCHAR) AS stream_id,
+         type, json_data, position AS seq
+  FROM events_log WHERE position < {CDC_END}),
+b2 AS (SELECT * FROM src WHERE seq >= {CDC_S1} AND seq < {CDC_S2}),
+b3 AS (SELECT * FROM src WHERE seq >= {CDC_S2}),
+cnt1 AS (SELECT stream_id, count(*) AS c FROM src
+         WHERE seq < {CDC_S1} GROUP BY stream_id),
+cnt2 AS (SELECT stream_id, count(*) AS c FROM src
+         WHERE seq < {CDC_S2} GROUP BY stream_id),
+ing2 AS (
+  SELECT {CDC_S1} + row_number() OVER (ORDER BY s.stream_id, s.seq) - 1 AS position,
+         s.stream_id,
+         CAST(coalesce(c.c, 0)
+              + row_number() OVER (PARTITION BY s.stream_id ORDER BY s.seq) - 1
+           AS INTEGER) AS stream_version,
+         row_number() OVER (PARTITION BY s.stream_id ORDER BY s.seq) AS rn_in_stream,
+         s.type, s.json_data
+  FROM b2 s LEFT JOIN cnt1 c ON s.stream_id = c.stream_id),
+sc_all AS (
+  SELECT row_number() OVER (ORDER BY seq) - 1 AS v, count(*) OVER () AS n
+  FROM src WHERE stream_id = '{CDC_SC}' AND seq < {CDC_S2}),
+victims AS (SELECT v FROM sc_all WHERE v < n - {CDC_MAXC}),
+nv AS (SELECT count(*) AS n FROM victims),
+surv2 AS (
+  SELECT position, stream_id, stream_version, type, json_data AS payload
+  FROM ing2
+  WHERE stream_id <> '{CDC_DS}'
+    AND NOT (stream_id = '{CDC_DM}' AND rn_in_stream = 1)
+    AND NOT (stream_id = '{CDC_SC}'
+             AND stream_version IN (SELECT v FROM victims))),
+tombs AS (
+  SELECT CAST({CDC_S2} AS BIGINT) AS position, '$deleted' AS stream_id,
+         CAST(0 AS INTEGER) AS stream_version,
+         '$stream-deleted' AS type, '{CDC_DS}' AS payload
+  UNION ALL
+  SELECT {CDC_S2} + 1, '$deleted', CAST(1 AS INTEGER),
+         '$message-deleted', '{CDC_DM}'
+  UNION ALL
+  SELECT {CDC_S2} + 2, '$${CDC_SC}', CAST(0 AS INTEGER),
+         '$stream-metadata', '{CDC_SC}'
+  UNION ALL
+  SELECT {CDC_S2} + 2 + row_number() OVER (ORDER BY v),
+         '$deleted',
+         CAST(1 + row_number() OVER (ORDER BY v) AS INTEGER),
+         '$message-deleted', '{CDC_SC}'
+  FROM victims),
+ing3 AS (
+  SELECT (SELECT {CDC_S2} + 2 + n FROM nv)
+           + row_number() OVER (ORDER BY s.stream_id, s.seq) AS position,
+         s.stream_id,
+         CAST(CASE WHEN s.stream_id = '{CDC_DS}' THEN 0
+                   ELSE coalesce(c.c, 0) END
+              + row_number() OVER (PARTITION BY s.stream_id ORDER BY s.seq) - 1
+           AS INTEGER) AS stream_version,
+         s.type, s.json_data AS payload
+  FROM b3 s LEFT JOIN cnt2 c ON s.stream_id = c.stream_id)
+SELECT CAST(position AS BIGINT) AS position, stream_id, stream_version,
+       type, payload
+FROM (SELECT * FROM surv2 UNION ALL SELECT * FROM tombs
+      UNION ALL SELECT * FROM ing3)
+ORDER BY position
+"""
+    )
+
+
+_CDC_MULTI_SQL = _cdc_multi_oracle()
+
+
 def _streams_view_query(spark: SparkSession, sf: str) -> DataFrame:
     from sqlstreamstore_spark.analytics.events import streams_view
 
@@ -343,45 +493,28 @@ def build_oracle_sql() -> dict[str, str]:
 
 
 # The driver evaluates queries in dict order and caps CORRECTNESS at ~50
-# rows per round. Round-4 rotation (VERDICT r3 "Next round" #1/#2): the
-# two r3 reds — both canonicalizer-representation bugs, now fixed
-# (rollcall's array column dropped from the gate projection;
-# json_payload_stats oracle CAST ... AS BIGINT) — go first so the fixes
-# get driver proof; then ALL 33 session-3/4 queries that have never had
-# a driver row (COVERAGE.md provenance list), then dedup_simhash (oracled
-# in r2 but only ever driver-run rows-only in r1), then the four
-# regression canaries. 40 slots used; the remainder of the ~50 cap is
-# available to round-4 additions (appended below as they land).
+# rows per round. Round-5 rotation (VERDICT r4 "Next round" #1): the
+# LAST 7 never-driver-checked queries go first — with them green, every
+# one of the declared queries has had a driver CORRECTNESS row. Then
+# the two former rows-only rows whose gates now carry real rank-exact
+# oracles (r4 #2), the round-5 additions as they land, the four
+# regression canaries, and the remainder of the cap re-confirms rows in
+# dict order (oracled before rows-only via the sort key below).
 _GATE_PRIORITY: tuple[str, ...] = (
-    # -- r3 reds, fixed this round --
-    "collect_list_rollcall", "json_payload_stats",
-    # -- never driver-checked (sessions 3/4; sim-verified + pytest-pinned) --
-    "dedup_jaccard_prefix", "dq_duplicate_keys", "dq_profile_orders",
-    "dq_referential_orphans", "events_cumulative_reach", "events_daily_anomaly",
-    "events_gap_fill", "events_transitions", "fuzzy_name_matches",
-    "graph_bfs_distances", "graph_pagerank", "graph_triangles",
-    "multimodal_audio_features", "multimodal_extract_frames",
-    "multimodal_image_ahash", "multimodal_image_near_dup",
-    "multimodal_video_near_dup", "sampling_fixed_size", "sampling_pps_systematic",
-    "sim_embedding_lsh_recall", "stats_higher_moments", "stats_kmv_by_source",
-    "stats_kmv_distinct", "stats_window_ranks", "store_time_travel",
-    "text_bpe_stats", "text_compression_signals", "text_hashed_features",
-    "text_heavy_hitters", "text_ngram_novelty", "tpch_bucketed_join_revenue",
-    "tpch_q11_important_stock", "tpch_q20_dominant_supp",
-    # -- oracled in r2 but never driver-checked with its oracle --
-    "dedup_simhash",
-    # -- round-4 additions (never checked by construction) --
-    "stats_ntile_deciles_approx", "multimodal_mp4_metadata",
-    "layout_zorder_values", "incremental_rollup_merge",
-    "drift_ks_exact", "drift_chi2_types", "drift_ks_binned",
-    "incremental_histogram_p90",
-    # re-check: its default bits are now AUTO-derived (bits=None ⇒
-    # log2(N/32) from a count) — same bits=4 at the fixture's N=500, so
-    # the oracle hash is unchanged, but the code path is new
-    "sim_cosine_near_dup_lsh",
+    # -- the final 7 never-driver-checked (all judge-sim-green in r4) --
+    "layout_zorder3_values", "dq_corpus_diff", "dq_key_skew",
+    "dq_robust_outliers", "sampling_budget_mixture",
+    "sim_cosine_near_dup_lsh_mp", "sim_embedding_lsh_recall_mp",
+    # -- oracle upgrades: rows-only in r4, rank-exact-oracled in r5 --
+    "stats_ntile_deciles_approx", "drift_ks_binned",
+    # -- round-5 additions (never checked by construction) --
+    "layout_zorder_pruned_scan", "store_cdc_multi",
+    "sim_cosine_topk_ivf_upsert",
     # -- §2-core + regression canaries, inside the cap every round --
     "read_all_forwards", "store_bulk_roundtrip",
     "events_funnel", "dedup_minhash_lsh",
+    # -- r4's fixed reds, re-confirmed one more round --
+    "collect_list_rollcall", "json_payload_stats",
 )
 
 

@@ -278,6 +278,17 @@ class HttpClientStreamStore:
             {EXPECTED_VERSION_HEADER: str(expected_version)},
         )
 
+    def read_message_by_id(self, stream_id: str, message_id: str):
+        """Point lookup of one message by id via the single-message
+        resource (server answers misses from the stored-id index
+        without paging). Returns None on 404."""
+        code, _h, body = self._request(
+            "GET", f"/streams/{self._sid(stream_id)}/{message_id}"
+        )
+        if code != 200:
+            return None
+        return self._message(body)
+
     def delete_message(self, stream_id: str, message_id: str) -> None:
         self._request(
             "DELETE", f"/streams/{self._sid(stream_id)}/messages/{message_id}"

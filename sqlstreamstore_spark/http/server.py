@@ -612,24 +612,11 @@ def _make_handler(store: StreamStore):
                 }, {"ETag": _etag(m.metadata_stream_version)})
             elif (len(parts) == 3 and parts[0] == "streams"
                   and parts[2] != "metadata" and not parts[2].lstrip("-").isdigit()):
-                # single message by MESSAGE ID (guid segment): page the
-                # stream until the id is found — the HTTP tier runs on
-                # ms-latency backends, and ids are stream-scoped
+                # single message by MESSAGE ID (guid segment): store
+                # point lookup — a miss is answered from the stored-id
+                # index without paging the stream (advisor r4)
                 mid = parts[2]
-                found = None
-                v = 0
-                while True:
-                    page = store.read_stream_forwards(parts[1], v, 100,
-                                                      prefetch_json_data=True)
-                    if page.status == "StreamNotFound":
-                        break
-                    for m in page.messages:
-                        if m.message_id == mid:
-                            found = m
-                            break
-                    if found is not None or page.is_end:
-                        break
-                    v = page.next_stream_version
+                found = store.read_message_by_id(parts[1], mid)
                 if found is None:
                     self._send(404, {"streamId": parts[1], "messageId": mid})
                 else:

@@ -70,8 +70,11 @@ def z_expr_duckdb(a: str, b: str, bits: int = 16) -> str:
 
 
 # Scaling: q = ((v - lo) * (2^bits - 1)) DIV (hi - lo), carried in
-# WIDE integers — DECIMAL(38,0) with Spark's integral `div` on one
-# side, HUGEINT `//` on the other. In plain BIGINT the multiply
+# WIDE integers — operands cast to DECIMAL(21,0) (21 digits: holds the
+# full 2^64 BIGINT difference span) with Spark's integral `div`; the
+# ×(2^bits−1) product itself is computed in the automatically-widened
+# result precision (Spark's decimal promotion), HUGEINT `//` on the
+# DuckDB side. In plain BIGINT the multiply
 # overflows whenever the column's domain exceeds ~2^47 (nanosecond
 # timestamps span ~2^60; hash columns the full 2^64 — ANSI mode then
 # throws ARITHMETIC_OVERFLOW), and the obvious overflow-free
@@ -211,13 +214,25 @@ def read_pruned(
     with open(os.path.join(path, MANIFEST_NAME)) as f:
         manifest = json.load(f)
 
+    def _num(x):
+        # Manifest stats round-trip through JSON as strings. Compare as
+        # ints whenever the value is integral: float() on a BIGINT past
+        # 2^53 loses up to hundreds of ULPs, so a boundary bucket whose
+        # true max lies inside the query range could be wrongly skipped
+        # — breaking the superset guarantee on exactly the wide-domain
+        # columns the wide-integer scaling exists for.
+        try:
+            return int(x)
+        except (TypeError, ValueError):
+            return float(x)
+
     def survives(st) -> bool:
         if a_range is not None and (
-            float(st["a_max"]) < a_range[0] or float(st["a_min"]) > a_range[1]
+            _num(st["a_max"]) < a_range[0] or _num(st["a_min"]) > a_range[1]
         ):
             return False
         if b_range is not None and (
-            float(st["b_max"]) < b_range[0] or float(st["b_min"]) > b_range[1]
+            _num(st["b_max"]) < b_range[0] or _num(st["b_min"]) > b_range[1]
         ):
             return False
         return True
@@ -239,8 +254,9 @@ def z_values_multi(
     """k-column Morton value (ZORDER BY (a, b, c, ...)): round-robin
     bit interleave — column j's bit i lands at position i·k + j — over
     the same wide-integer full-range scaling as the 2-column form. Each
-    column gets ``bits`` bits (default: as many as fit 63 total, so a
-    BIGINT holds the value: 2 cols → 16 capped, 3 → 21, 4 → 15).
+    column gets ``bits`` bits (default ``min(16, 63 // k)`` — as many
+    as fit 63 total so a BIGINT holds the value, capped at 16 per
+    column: 2 cols → 16 (capped), 3 → 16 (capped), 4 → 15).
     Same plan shape: one 1-row stats aggregate broadcast, then pure
     codegen'd expressions."""
     k = len(cols)

@@ -288,6 +288,33 @@ class StreamStore:
         head = self._stream_head(stream_id)
         return head[0] if head else StreamVersion.NONE
 
+    def read_message_by_id(self, stream_id: str, message_id: str):
+        """Point lookup of one message by its stream-scoped message id,
+        or None. A miss answers from the stored-id index WITHOUT paging
+        the stream (advisor r4: the HTTP tier's by-id GET previously
+        scanned every page of a long stream on a 404); a hit starts
+        paging at the id's ordinal — versions only grow (DeleteMessage
+        keeps them), so stored ordinal i has stream_version >= i and
+        the id is always at or after that page."""
+        validate_stream_id(stream_id)
+        ids = self._stream_stored_ids(stream_id)
+        try:
+            ordinal = ids.index(message_id)
+        except ValueError:
+            return None
+        v = ordinal
+        while True:
+            page = self.read_stream_forwards(stream_id, v, 100,
+                                             prefetch_json_data=True)
+            if page.status != PageReadStatus.SUCCESS:
+                return None
+            for m in page.messages:
+                if m.message_id == message_id:
+                    return m
+            if page.is_end:
+                return None
+            v = page.next_stream_version
+
     @staticmethod
     def _ensure_read_args(frm: int, max_count: int, allow_end: bool) -> None:
         """Argument guards matching the reference's Ensure checks

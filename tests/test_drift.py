@@ -93,6 +93,18 @@ def test_ks_nulls_dropped_and_empty_side_null(spark):
     assert r.ks_d is None
 
 
+def test_ks_binned_drops_nulls_like_exact(spark):
+    """ADVICE r4: NULLs must not land in bin 0 nor count toward
+    n_a/n_b — the binned twin follows the exact-KS NULL discipline, so
+    binned <= exact holds on data WITH NULLs too."""
+    a = spark.createDataFrame([(v,) for v in (1, 2, 3, 4)] + [(None,)] * 3, "x int")
+    b = spark.createDataFrame([(v,) for v in (3, 4, 5, 6)] + [(None,)] * 5, "x int")
+    rb = ks_drift_binned(a, b, "x", n_bins=4).collect()[0]
+    assert (rb.n_a, rb.n_b) == (4, 4)
+    re = ks_drift(a, b, "x").collect()[0]
+    assert rb.ks_d <= re.ks_d + 1e-12
+
+
 def test_histogram_state_drops_nulls(spark):
     from sqlstreamstore_spark.analytics.incremental import histogram_state
 

@@ -850,3 +850,17 @@ def test_http_message_by_guid_and_per_route_options(duo):
         assert r.status == 204
     s, _h, _b = _raw_get(base, f"/streams/gm/{mid}")
     assert s == 404
+
+
+def test_http_client_read_message_by_id(duo):
+    """Client-side point lookup over the single-message resource:
+    hit returns the message (served via the store's stored-id index,
+    no full-stream paging on a miss), 404 -> None."""
+    backend, client, _clock = duo
+    backend.append_to_stream("pl", ExpectedVersion.ANY, msgs(41, 42, 43))
+    mid = str(uuid.UUID(int=42))
+    m = client.read_message_by_id("pl", mid)
+    assert m is not None
+    assert (m.stream_id, m.stream_version, m.json_data) == ("pl", 1, '{"n":42}')
+    assert client.read_message_by_id("pl", str(uuid.UUID(int=999))) is None
+    assert client.read_message_by_id("absent", mid) is None

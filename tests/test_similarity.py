@@ -92,6 +92,32 @@ def test_ivf_materialized_index_prunes_partitions(spark, emb, qvec, tmp_path):
     assert n_parts == 8
 
 
+def test_ivf_upsert_merge_equals_rebuild(spark, emb, qvec, tmp_path):
+    """r4 verdict #8: 80% build + 20% upsert must hold EXACTLY the
+    rows a full rebuild holds — per cluster, per vector (list-append is
+    the index's monoid merge) — and answer queries identically."""
+    p_inc = str(tmp_path / "ivf_inc")
+    p_full = str(tmp_path / "ivf_full")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = similarity.build_ivf_index(base, p_inc, n_clusters=8)
+    similarity.upsert_ivf_index(delta, p_inc, cents)
+    cents_full = similarity.build_ivf_index(emb, p_full, n_clusters=8)
+    assert cents == cents_full  # same shipped quantizer
+
+    inc = spark.read.parquet(p_inc).select("vec_id", "cluster_id")
+    full = spark.read.parquet(p_full).select("vec_id", "cluster_id")
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+
+    got = similarity.cosine_topk_ivf_index(spark, p_inc, qvec, cents, k=10, n_probe=4)
+    want = similarity.cosine_topk_ivf_index(
+        spark, p_full, qvec, cents_full, k=10, n_probe=4
+    )
+    assert [(r.vec_id, r.cosine) for r in got.collect()] == [
+        (r.vec_id, r.cosine) for r in want.collect()
+    ]
+
+
 def test_ivfpq_index_prunes_and_reads_codes_only(spark, emb, qvec, tmp_path):
     """The composed IVF-PQ index: partition pruning on cluster_id AND
     column pruning — the ADC candidate stage's scan reads (vec_id,

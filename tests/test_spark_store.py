@@ -544,6 +544,50 @@ def test_changes_between_versions(spark, tmp_path):
     assert s.changes_between(v3, v3).count() == 0
 
 
+def test_changes_between_delete_scavenge_interleaving(spark, tmp_path):
+    """r4 verdict #5 — deletes-in-CDC: a consumer reading the commit
+    delta must see appended-then-deleted/scavenged rows ABSENT, the
+    tombstones PRESENT, and a deleted-then-recreated stream restart at
+    version 0."""
+    s = SparkParquetStreamStore(spark, str(tmp_path / "cdcmix"))
+    s.append_to_stream("keep", ExpectedVersion.NO_STREAM, msgs(1, 2))   # pos 0,1
+    s.append_to_stream("gone", ExpectedVersion.NO_STREAM, msgs(3, 4))  # pos 2,3
+    v1 = s.manifest_version
+    head1 = s.read_head_position()
+    # interleaving after v1:
+    s.append_to_stream("keep", ExpectedVersion.ANY, msgs(5, 6, 7))     # pos 4,5,6
+    s.append_to_stream("gone", ExpectedVersion.ANY, msgs(8))           # pos 7
+    s.delete_stream("gone")                       # tombstone pos 8
+    mid6 = str(uuid.UUID(int=6))
+    s.delete_message("keep", mid6)                # tombstone pos 9
+    s.set_stream_metadata("keep", max_count=2)    # $$keep pos 10 + scavenge
+    # keep now holds versions 0..4 minus v3 (deleted): scavenge keeps the
+    # newest 2 of {0,1,2,4} -> victims 0,1 -> tombstones pos 11,12
+    s.append_to_stream("gone", ExpectedVersion.NO_STREAM, msgs(9))     # pos 13, v0
+    v2 = s.manifest_version
+
+    delta = s.changes_between(v1, v2).orderBy("position").collect()
+    got = [(r.position, r.stream_id, r.stream_version, r.type) for r in delta]
+    assert got == [
+        (4, "keep", 2, "t5"),                 # v3 (pos 5) deleted, v0/v1 scavenged
+        (6, "keep", 4, "t7"),                 # newest 2 = versions {2, 4}
+        (8, "$deleted", 0, "$stream-deleted"),
+        (9, "$deleted", 1, "$message-deleted"),
+        (10, "$$keep", 0, "$stream-metadata"),
+        (11, "$deleted", 2, "$message-deleted"),
+        (12, "$deleted", 3, "$message-deleted"),
+        (13, "gone", 0, "t9"),                # recreated stream restarts at 0
+    ], got
+    assert head1 == 3
+    # pre-v1 rows of 'gone' are absent from the delta (position <= head1)
+    # AND from the final view (the stream was deleted)
+    from pyspark.sql import functions as F
+
+    final = s.as_of(v2).log_df()
+    assert final.filter((F.col("stream_id") == "gone")
+                        & (F.col("position") <= head1)).count() == 0
+
+
 def test_delta_log_patch_commits_survive_reopen(spark, tmp_path):
     """Fresh store, patch-only commits (below the snapshot interval),
     possibly no manifest.json cache at all: reopen replays the patch

@@ -171,3 +171,28 @@ def test_read_stream_theories(store, sid, start, size, fwd, expected):
             for m in page.messages] == [
         (str(uuid.UUID(int=n)), v, f"t{n}", f'{{"n":{n}}}') for n, v in exp_msgs
     ]
+
+
+# ------------------------------------------------------ point lookup by id
+
+
+def test_read_message_by_id_hit_and_miss(store):
+    """Point lookup (ADVICE r4): hits return the message; misses answer
+    from the stored-id index without paging the stream."""
+    m = store.read_message_by_id("s1", str(uuid.UUID(int=3)))
+    assert m is not None
+    assert m.stream_version == 2 and m.json_data == '{"n":3}'
+    # miss on an existing stream
+    assert store.read_message_by_id("s1", str(uuid.UUID(int=999))) is None
+    # miss on a nonexistent stream
+    assert store.read_message_by_id("nope", str(uuid.UUID(int=1))) is None
+
+
+def test_read_message_by_id_after_delete_message(store):
+    """After DeleteMessage the id leaves the index; remaining versions
+    keep resolving (versions are kept, so ordinal < version)."""
+    mid2 = str(uuid.UUID(int=2))
+    store.delete_message("s1", mid2)
+    assert store.read_message_by_id("s1", mid2) is None
+    m = store.read_message_by_id("s1", str(uuid.UUID(int=5)))
+    assert m is not None and m.stream_version == 4

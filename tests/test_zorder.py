@@ -162,3 +162,27 @@ def test_z_values_multi_default_bits_fit_bigint(spark):
         vals = [r["z"] for r in z_values_multi(df, cols).collect()]
         assert all(0 <= v < 2**63 for v in vals), (cols, vals)
         assert vals[0] < vals[1] or vals[0] == 0
+
+
+def test_pruning_exact_past_2_53(spark, tmp_path):
+    """ADVICE r4: manifest stats must compare as INTs for integral
+    columns. At 2^62 a double ULP is 512 — float() comparison would
+    wrongly skip a boundary bucket whose true max is inside the query
+    range, breaking the superset guarantee on exactly the wide-domain
+    columns the wide-integer scaling targets."""
+    base = 1 << 62
+    rows = [(i, base + i * 7, i * 3) for i in range(64)]
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    zpath = str(tmp_path / "zwide")
+    write_zordered(df, zpath, "a", "b", n_buckets=8)
+
+    # query range starts 3 above a bucket-boundary value; float() of
+    # the manifest max rounds DOWN across the range start
+    lo, hi = base + 7 * 60 + 1, base + 7 * 63
+    pred = (F.col("a") >= lo) & (F.col("a") <= hi)
+    expect = sorted(r["k"] for r in df.filter(pred).collect())
+    assert expect  # the planted rows exist
+    pruned, read, total = read_pruned(spark, zpath, a_range=(lo, hi))
+    got = sorted(r["k"] for r in pruned.filter(pred).collect())
+    assert got == expect
+    assert 0 < read < total
