@@ -116,6 +116,13 @@ def test_ivf_upsert_merge_equals_rebuild(spark, emb, qvec, tmp_path):
     assert [(r.vec_id, r.cosine) for r in got.collect()] == [
         (r.vec_id, r.cosine) for r in want.collect()
     ]
+    # partition pruning must survive the append — upserted files land
+    # INSIDE the cluster_id directories, so probes still skip the rest
+    import re
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster_id" in m.group(1), plan[:2000]
 
 
 def test_ivfpq_index_prunes_and_reads_codes_only(spark, emb, qvec, tmp_path):

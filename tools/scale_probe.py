@@ -147,6 +147,32 @@ def main() -> int:
             m = zorder.write_zordered(orders_like, zd + "/z", "a", "b", n_buckets=64)
             res["zorder_write"] = {
                 "buckets": len(m["buckets"]), "s": round(time.time() - t0, 2)}
+            # round-5: the pruned READ path — a 10% slice on column a
+            # must scan a minority of buckets at every scale
+            lo, hi = orders_like.agg(F.min("a"), F.max("a")).collect()[0]
+            a_rng = (int(lo), int(lo) + (int(hi) - int(lo)) // 10)
+            t0 = time.time()
+            pr, nread, ntot = zorder.read_pruned(spark, zd + "/z", a_range=a_rng)
+            n = pr.filter(F.col("a").between(*a_rng)).count()
+            res["zorder_pruned_read"] = {
+                "rows": n, "buckets_read": nread, "buckets_total": ntot,
+                "s": round(time.time() - t0, 2)}
+
+        # round-5: incremental IVF maintenance — upsert cost must track
+        # the DELTA size (O(new) assignment + partitioned append),
+        # not the index size
+        t0 = time.time()
+        with tempfile.TemporaryDirectory() as ivd:
+            base = emb.filter(F.col("vec_id") % 5 != 0)
+            delta = emb.filter(F.col("vec_id") % 5 == 0)
+            cents = similarity.build_ivf_index(base, ivd + "/ix", n_clusters=8)
+            build_s = round(time.time() - t0, 2)
+            n_delta = delta.count()
+            t0 = time.time()
+            similarity.upsert_ivf_index(delta, ivd + "/ix", cents)
+            res["ivf_upsert"] = {
+                "rows_delta": n_delta, "build_s": build_s,
+                "s": round(time.time() - t0, 2)}
 
         t0 = time.time()
         a = incremental.daily_rollup(events.filter(F.col("event_id") % 2 == 0))
