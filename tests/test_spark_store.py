@@ -794,3 +794,145 @@ def test_delta_log_legacy_manifest_ahead_of_sidecar_stays_writable(spark, tmp_pa
     assert r.current_version == 2
     s3 = SparkParquetStreamStore(spark, path)
     assert s3.read_stream_head_version("a") == 2
+
+
+def test_changes_between_random_interleavings_model(spark, tmp_path):
+    """Model-based differential for CDC: random append/delete-stream/
+    delete-message/metadata-scavenge interleavings replayed against a
+    pure-Python model of the commit protocol (positions, versions,
+    tombstones, scavenge order). Both the v1 snapshot and the v1→final
+    delta must match the model exactly — the generalization of the
+    hand-built interleaving test above."""
+    import random
+
+    class Model:
+        def __init__(self):
+            self.rows = []    # (pos, sid, ver, type) — alive rows
+            self.head = -1
+            self.vers = {}    # sid -> last assigned version
+            self.maxc = {}    # sid -> max_count
+            self.alive = {}   # sid -> [(mid, ver)] in version order
+
+        def _tomb(self, typ):
+            self.head += 1
+            v = self.vers.get("$deleted", -1) + 1
+            self.vers["$deleted"] = v
+            self.rows.append((self.head, "$deleted", v, typ))
+
+        def _del_row(self, sid, ver):
+            self.rows = [r for r in self.rows if not (r[1] == sid and r[2] == ver)]
+            self.alive[sid] = [(m, v) for m, v in self.alive[sid] if v != ver]
+
+        def _scavenge(self, sid):
+            mc = self.maxc.get(sid)
+            if mc is None:
+                return
+            rows = self.alive.get(sid, [])
+            if len(rows) > mc:
+                victims = rows[: len(rows) - mc]
+                for _mid, ver in victims:
+                    self._del_row(sid, ver)
+                for _ in victims:  # batched tombstones, version order
+                    self._tomb("$message-deleted")
+
+        def append(self, sid, mids, typ):
+            for mid in mids:
+                self.head += 1
+                v = self.vers.get(sid, -1) + 1
+                self.vers[sid] = v
+                self.rows.append((self.head, sid, v, typ))
+                self.alive.setdefault(sid, []).append((mid, v))
+            self._scavenge(sid)
+
+        def delete_stream(self, sid):
+            existed = bool(self.alive.get(sid))
+            self.rows = [r for r in self.rows if r[1] not in (sid, "$$" + sid)]
+            for x in (sid, "$$" + sid):
+                self.alive.pop(x, None)
+                self.vers.pop(x, None)
+            self.maxc.pop(sid, None)
+            if existed:
+                self._tomb("$stream-deleted")
+
+        def delete_message(self, sid, idx):
+            rows = self.alive.get(sid, [])
+            if not rows:
+                return None
+            mid, ver = rows[idx % len(rows)]
+            self._del_row(sid, ver)
+            self._tomb("$message-deleted")
+            return mid
+
+        def set_metadata(self, sid, mc):
+            msid = "$$" + sid
+            # the metadata message id is DETERMINISTIC from (stream,
+            # expected_version, payload) — reference
+            # MetadataMessageIdGenerator.cs:33-36 — so re-setting
+            # identical metadata is an idempotent NOOP append; the
+            # scavenge check still runs
+            key = ("meta", mc)
+            if not any(m == key for m, _v in self.alive.get(msid, [])):
+                self.head += 1
+                v = self.vers.get(msid, -1) + 1
+                self.vers[msid] = v
+                self.rows.append((self.head, msid, v, "$stream-metadata"))
+                self.alive.setdefault(msid, []).append((key, v))
+            self.maxc[sid] = mc
+            self._scavenge(sid)
+
+    for seed in (2, 11, 23, 47):
+        rng = random.Random(seed)
+        s = SparkParquetStreamStore(spark, str(tmp_path / f"cdcprop{seed}"))
+        model = Model()
+        sids = ["pa", "pb", "pc"]
+        mid_counter = [0]
+
+        def mk(n):
+            out = []
+            for _ in range(n):
+                mid_counter[0] += 1
+                out.append(NewStreamMessage(
+                    str(uuid.UUID(int=900_000 + mid_counter[0])), "tp", '{"p":1}'))
+            return out
+
+        def do(op):
+            sid = sids[rng.randrange(3)]
+            if op == 0:
+                batch = mk(rng.randrange(1, 4))
+                s.append_to_stream(sid, ExpectedVersion.ANY, batch)
+                model.append(sid, [m.message_id for m in batch], "tp")
+            elif op == 1:
+                try:
+                    s.delete_stream(sid)
+                except Exception:
+                    pass
+                model.delete_stream(sid)
+            elif op == 2:
+                idx = rng.randrange(5)
+                mid = model.delete_message(sid, idx)
+                if mid is not None:
+                    s.delete_message(sid, mid)
+            else:
+                mc = rng.randrange(1, 4)
+                s.set_stream_metadata(sid, max_count=mc)
+                model.set_metadata(sid, mc)
+
+        for _ in range(3):
+            do(0)  # seed some appends first
+        v1, head1 = s.manifest_version, model.head
+        snap_model = sorted(model.rows)
+        for _ in range(8):
+            do(rng.randrange(4))
+        v2 = s.manifest_version
+
+        snap = sorted(
+            (r.position, r.stream_id, r.stream_version, r.type)
+            for r in s.as_of(v1).log_df().collect()
+        )
+        assert snap == snap_model, (seed, snap, snap_model)
+        delta = sorted(
+            (r.position, r.stream_id, r.stream_version, r.type)
+            for r in s.changes_between(v1, v2).collect()
+        )
+        want = sorted(r for r in model.rows if r[0] > head1)
+        assert delta == want, (seed, delta, want)
