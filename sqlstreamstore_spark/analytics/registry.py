@@ -920,20 +920,10 @@ LIMIT {k}
 _IVF_STATIC_SQL = _ivf_static_sql()
 
 
-def _pq_static_sql(
-    k: int = 10, m: int = 8, n_codes: int = 16, rerank: int = 10,
-    dim: int = 64, seed: int = 11,
-) -> str:
-    """DuckDB twin of similarity.cosine_topk_pq_static. Every float op
-    mirrors the Spark side's sequential-fold order: subspace distances
-    are x·x − 2·(x·c) + (c·c) with list_dot_product (sequential, same
-    as Spark's aggregate fold and Python's sum), so code assignment,
-    ADC scores, the candidate cut and the exact re-rank all match
-    bit-for-bit."""
-    from sqlstreamstore_spark.analytics.similarity import _static_codebooks
-
-    cbs = _static_codebooks(dim=dim, m=m, n_codes=n_codes, seed=seed)
-    sd = dim // m
+def _pq_sql_blocks(cbs, sd: int, m: int) -> tuple[str, str, str, str]:
+    """The four shared SQL fragments of the PQ twins (dl lists, code
+    argmins, ADC dot LUT, ADC norm² LUT) — used by both the flat PQ
+    static oracle and the composed IVF-PQ oracle."""
 
     def lit(vec: list[float]) -> str:
         return "CAST([" + ", ".join(repr(float(x)) for x in vec) + "] AS DOUBLE[])"
@@ -962,7 +952,23 @@ def _pq_static_sql(
         + f"][c{s} + 1]"
         for s in range(m)
     )
-    dls = ",\n    ".join(dist_lists)
+    return ",\n    ".join(dist_lists), code_cols, lut_dot, lut_n2
+
+
+def _pq_static_sql(
+    k: int = 10, m: int = 8, n_codes: int = 16, rerank: int = 10,
+    dim: int = 64, seed: int = 11,
+) -> str:
+    """DuckDB twin of similarity.cosine_topk_pq_static. Every float op
+    mirrors the Spark side's sequential-fold order: subspace distances
+    are x·x − 2·(x·c) + (c·c) with list_dot_product (sequential, same
+    as Spark's aggregate fold and Python's sum), so code assignment,
+    ADC scores, the candidate cut and the exact re-rank all match
+    bit-for-bit."""
+    from sqlstreamstore_spark.analytics.similarity import _static_codebooks
+
+    cbs = _static_codebooks(dim=dim, m=m, n_codes=n_codes, seed=seed)
+    dls, code_cols, lut_dot, lut_n2 = _pq_sql_blocks(cbs, dim // m, m)
     return f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -992,6 +998,113 @@ LIMIT {k}
 
 
 _PQ_STATIC_SQL = _pq_static_sql()
+
+
+def _ivfpq_static_sql(
+    k: int = 10, n_clusters: int = 8, n_probe: int = 4,
+    m: int = 8, n_codes: int = 16, rerank: int = 10,
+    dim: int = 64, seed: int = 11,
+) -> str:
+    """DuckDB twin of the COMPOSED deployed index (cosine_topk_ivfpq
+    over a static-codebook build): the IVF static oracle's probe
+    selection + argmax assignment restricts the corpus to the probed
+    lists, the PQ blocks compute codes + ADC over exactly that subset,
+    then the candidate cut and exact re-rank. Probing, quantization and
+    re-rank all hash-match in one query."""
+    from sqlstreamstore_spark.analytics.similarity import (
+        _static_centroids,
+        _static_codebooks,
+    )
+
+    cent_rows = ",\n    ".join(
+        "({cid}, CAST([{vals}] AS DOUBLE[]))".format(
+            cid=cid, vals=", ".join(repr(x) for x in vec)
+        )
+        for cid, vec in _static_centroids(n_clusters=n_clusters)
+    )
+    cbs = _static_codebooks(dim=dim, m=m, n_codes=n_codes, seed=seed)
+    dls, code_cols, lut_dot, lut_n2 = _pq_sql_blocks(cbs, dim // m, m)
+    return f"""
+WITH cent(cid, cv) AS (VALUES
+    {cent_rows}
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM cent, q
+  ORDER BY list_dot_product(cv, qv)
+             / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
+           cid
+  LIMIT {n_probe}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv)
+                        / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cid
+           ) AS rk
+    FROM e, cent c) t
+  WHERE rk = 1),
+pe AS (SELECT vec_id, v FROM assigned
+       WHERE cid IN (SELECT cid FROM probe)),
+dists AS (
+  SELECT vec_id, v,
+    {dls}
+  FROM pe),
+codes AS (
+  SELECT vec_id, v,
+    {code_cols}
+  FROM dists),
+approx AS (
+  SELECT vec_id, v,
+    ({lut_dot})
+      / ((CASE WHEN sqrt({lut_n2}) = 0 THEN 1.0 ELSE sqrt({lut_n2}) END)
+         * (CASE WHEN sqrt(list_dot_product(qv, qv)) = 0 THEN 1.0
+                 ELSE sqrt(list_dot_product(qv, qv)) END)) AS a
+  FROM codes, q),
+cands AS (SELECT vec_id, v FROM approx ORDER BY a DESC, vec_id LIMIT {rerank * k})
+SELECT vec_id,
+       list_dot_product(v, q.qv)
+         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+FROM cands, q
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""
+
+
+_IVFPQ_STATIC_SQL = _ivfpq_static_sql()
+
+
+def _sim_topk_ivfpq_query(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed deployed index, driver-oracled end to end: build the
+    cluster_id-partitioned IVF-PQ index with the STATIC (shipped)
+    centroids AND codebooks, then probe it — partition pruning + ADC
+    over the codes column + exact re-rank, all replayed in SQL. (The
+    Lloyd-trained-codebook build stays pytest-pinned: training isn't
+    SQL, but the deployed read path now has a hash-matched driver
+    row.)"""
+    import os
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    ]
+    path = os.path.join(tempfile.mkdtemp(prefix="sss-ivfpq-"), "index")
+    cbs = similarity._static_codebooks(dim=64, m=8, n_codes=16, seed=11)
+    cents, _ = similarity.build_ivfpq_index(
+        emb, path, n_clusters=8, codebooks=cbs
+    )
+    out = similarity.cosine_topk_ivfpq(
+        spark, path, qvec, cents, cbs, k=10, n_probe=4, rerank=10
+    )
+    rows = out.collect()
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
 
 
 def _sim_topk_pq_query(spark: SparkSession, sf: str) -> DataFrame:
@@ -2983,6 +3096,9 @@ ORDER BY doc_id""",
         # incremental maintenance: 80% build + 20% upsert == full-corpus
         # query, proven against the SAME static oracle (r4 verdict #8)
         "sim_cosine_topk_ivf_upsert": (_sim_topk_ivf_upsert_query, _IVF_STATIC_SQL),
+        # the composed deployed index: partition-pruned probe + ADC over
+        # codes + exact re-rank, hash-matched end to end (static model)
+        "sim_cosine_topk_ivfpq_static": (_sim_topk_ivfpq_query, _IVFPQ_STATIC_SQL),
         # exact all-pairs is the sf-CAPPED oracle baseline (O(N^2) by
         # construction — never the scale path); the LSH entry below is
         # the headline near-dup operator, uncapped and oracled.

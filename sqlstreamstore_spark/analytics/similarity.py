@@ -946,6 +946,7 @@ def build_ivfpq_index(
     iters: int = 2,
     dim: int = 64,
     seed: int = 7,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> tuple[list[tuple[int, list[float]]], list[list[list[float]]]]:
     """Materialize the composed IVF-PQ index — the standard deployed
     layout for billion-scale vector search: the coarse quantizer prunes
@@ -960,7 +961,11 @@ def build_ivfpq_index(
     build_ivf_index); codebooks are Lloyd-trained on the corpus.
     """
     cents = _static_centroids(dim=dim, n_clusters=n_clusters, seed=seed)
-    codebooks = pq_train(embeddings, m=m, n_codes=n_codes, iters=iters)
+    if codebooks is None:
+        # Lloyd-trained codebooks (iterative — pytest-pinned, not SQL);
+        # pass pre-trained/static codebooks for the deployed-model
+        # configuration, which the gate oracles end to end
+        codebooks = pq_train(embeddings, m=m, n_codes=n_codes, iters=iters)
     enc = pq_encode(ivf_assign(embeddings, cents), codebooks)
     enc.select("vec_id", "embedding", "codes", "cluster_id").repartition(
         "cluster_id"

@@ -509,7 +509,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stats_ntile_deciles_approx", "drift_ks_binned",
     # -- round-5 additions (never checked by construction) --
     "layout_zorder_pruned_scan", "store_cdc_multi",
-    "sim_cosine_topk_ivf_upsert",
+    "sim_cosine_topk_ivf_upsert", "sim_cosine_topk_ivfpq_static",
     # -- §2-core + regression canaries, inside the cap every round --
     "read_all_forwards", "store_bulk_roundtrip",
     "events_funnel", "dedup_minhash_lsh",
