@@ -109,7 +109,23 @@ def main() -> int:
     print(f"streaming sink ingested feed-1 → head={store.read_head_position()}, "
           f"feed-1 head version={store.read_stream_head_version('feed-1')}")
 
-    # 8. analytics over the driver fixtures (optional)
+    # 8. time travel + CDC: snapshot a commit, interleave deletes and a
+    # scavenge, then read the exact delta a consumer gained since —
+    # tombstones included (deletes-in-CDC is the case that bites real
+    # consumers)
+    v_before = store.manifest_version
+    store.append_to_stream("feed-1", ExpectedVersion.ANY, [msg(7001)])
+    store.delete_message("feed-1", str(uuid.UUID(int=5003)))
+    store.set_stream_metadata("feed-1", max_count=10)  # scavenges oldest
+    v_after = store.manifest_version
+    delta = store.changes_between(v_before, v_after)
+    print("CDC delta since the snapshot (tombstones ride along):")
+    delta.select("position", "stream_id", "stream_version", "type") \
+        .orderBy("position").show(8, truncate=False)
+    print(f"as_of({v_before}) still reads the pre-delete view: "
+          f"head={store.as_of(v_before).read_head_position()}")
+
+    # 9. analytics over the driver fixtures (optional)
     import os
 
     sf = "/root/testdata/sf0.001"

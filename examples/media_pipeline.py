@@ -73,6 +73,17 @@ def main() -> None:
         print("IVF-PQ pruned ANN top-5 (partition-pruned scan, codes-only ADC):")
         top.show()
 
+        # incremental index maintenance: new vectors land in the
+        # existing inverted lists — O(delta) work, no rebuild
+        ivf = os.path.join(d, "ivf")
+        base = emb.filter("vec_id % 5 != 0")
+        delta = emb.filter("vec_id % 5 = 0")
+        cents2 = similarity.build_ivf_index(base, ivf, n_clusters=8)
+        similarity.upsert_ivf_index(delta, ivf, cents2)
+        n_ix = spark.read.parquet(ivf).count()
+        print(f"IVF upsert: {base.count()} built + {delta.count()} upserted "
+              f"= {n_ix} indexed (no list rewrites)")
+
     print("== OPS ==")
     from pyspark.sql import functions as F
 
