@@ -183,8 +183,13 @@ def ks_drift_binned(
         )
         .withColumn(
             "ks_d",
-            F.col("d_num").cast("double")
-            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            # same empty-side contract as ks_drift: no CDF -> NULL, not
+            # the NaN an unguarded 0/0 double division would produce
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.col("d_num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            ),
         )
         .select("n_a", "n_b", "ks_d")
     )

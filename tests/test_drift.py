@@ -93,6 +93,18 @@ def test_ks_nulls_dropped_and_empty_side_null(spark):
     assert r.ks_d is None
 
 
+def test_ks_binned_empty_side_null_like_exact(spark):
+    """Empty-side contract parity: binned ks_d is NULL (no CDF), never
+    the NaN of an unguarded 0/0 double division."""
+    import math
+
+    a = spark.createDataFrame([(v,) for v in (1, 2, 3)], "x int")
+    empty = spark.createDataFrame([], "x int")
+    r = ks_drift_binned(a, empty, "x", n_bins=4).collect()[0]
+    assert r.ks_d is None or not math.isnan(r.ks_d)
+    assert r.ks_d is None
+
+
 def test_ks_binned_drops_nulls_like_exact(spark):
     """ADVICE r4: NULLs must not land in bin 0 nor count toward
     n_a/n_b — the binned twin follows the exact-KS NULL discipline, so
