@@ -86,13 +86,22 @@ def z_expr_duckdb(a: str, b: str, bits: int = 16) -> str:
 # engines floor a non-negative exact rational, so values hash-match.
 
 
+# NULL inputs scale to 0 (COALESCE below): a NULL has no place on the
+# curve, so NULL rows cluster into bucket 0 with honest per-bucket
+# stats — min/max ignore the NULLs, and a NULL never matches a range
+# predicate, so pruning's superset guarantee is unaffected. Without
+# the coalesce a NULL z-value creates a NULL partition key (the Hive
+# default-partition directory) that the bucket manifest can't address.
+
+
 def _scale_spark(col: str, lo: str, hi: str, bits: int) -> str:
     maxq = (1 << bits) - 1
     d = "DECIMAL(21,0)"
     v, l, h = (f"CAST({x} AS {d})" for x in (col, lo, hi))
     return (
-        f"CASE WHEN {hi} = {lo} THEN CAST(0 AS BIGINT) ELSE "
-        f"CAST((({v} - {l}) * {maxq}) div ({h} - {l}) AS BIGINT) END"
+        f"COALESCE(CASE WHEN {hi} = {lo} THEN CAST(0 AS BIGINT) ELSE "
+        f"CAST((({v} - {l}) * {maxq}) div ({h} - {l}) AS BIGINT) END, "
+        f"CAST(0 AS BIGINT))"
     )
 
 
@@ -100,8 +109,9 @@ def _scale_duckdb(col: str, lo: str, hi: str, bits: int) -> str:
     maxq = (1 << bits) - 1
     v, l, h = (f"CAST({x} AS HUGEINT)" for x in (col, lo, hi))
     return (
-        f"CASE WHEN {hi} = {lo} THEN CAST(0 AS BIGINT) ELSE "
-        f"CAST((({v} - {l}) * {maxq}) // ({h} - {l}) AS BIGINT) END"
+        f"COALESCE(CASE WHEN {hi} = {lo} THEN CAST(0 AS BIGINT) ELSE "
+        f"CAST((({v} - {l}) * {maxq}) // ({h} - {l}) AS BIGINT) END, "
+        f"CAST(0 AS BIGINT))"
     )
 
 
@@ -226,14 +236,18 @@ def read_pruned(
         except (TypeError, ValueError):
             return float(x)
 
-    def survives(st) -> bool:
-        if a_range is not None and (
-            _num(st["a_max"]) < a_range[0] or _num(st["a_min"]) > a_range[1]
-        ):
+    def _excluded(lo, hi, rng) -> bool:
+        if lo is None or hi is None:
+            # a NULL-stat bucket (all-NULL z inputs land in the default
+            # partition) can never PROVE exclusion — read it; skipping
+            # is a superset guarantee
             return False
-        if b_range is not None and (
-            _num(st["b_max"]) < b_range[0] or _num(st["b_min"]) > b_range[1]
-        ):
+        return _num(hi) < rng[0] or _num(lo) > rng[1]
+
+    def survives(st) -> bool:
+        if a_range is not None and _excluded(st["a_min"], st["a_max"], a_range):
+            return False
+        if b_range is not None and _excluded(st["b_min"], st["b_max"], b_range):
             return False
         return True
 

@@ -186,3 +186,32 @@ def test_pruning_exact_past_2_53(spark, tmp_path):
     got = sorted(r["k"] for r in pruned.filter(pred).collect())
     assert got == expect
     assert 0 < read < total
+
+
+def test_pruning_with_null_rows_never_crashes_or_drops(spark, tmp_path):
+    """Rows with a NULL z-input coalesce into bucket 0 (a NULL
+    partition key would create the unaddressable Hive default
+    directory); stats stay honest, and non-NULL values of SUCH rows
+    remain reachable through the other column's range predicate."""
+    rows = [(i, i * 10, i * 3) for i in range(40)] + [(100, None, 5), (101, 7, None)]
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    zpath = str(tmp_path / "znull")
+    write_zordered(df, zpath, "a", "b", n_buckets=4)
+
+    # the row with a=7 (NULL b) must be reachable via an a-range
+    pred_a = F.col("a").between(5, 10)
+    expect = sorted(r.k for r in df.filter(pred_a).collect())
+    pruned, _read, _tot = read_pruned(spark, zpath, a_range=(5, 10))
+    got = sorted(r.k for r in pruned.filter(pred_a).collect())
+    assert got == expect and 101 in got
+
+    # the row with b=5 (NULL a) must be reachable via a b-range
+    pred_b = F.col("b").between(4, 6)
+    expect = sorted(r.k for r in df.filter(pred_b).collect())
+    pruned, _read, _tot = read_pruned(spark, zpath, b_range=(4, 6))
+    got = sorted(r.k for r in pruned.filter(pred_b).collect())
+    assert got == expect and 100 in got
+
+    # and a selective range on clean data still prunes
+    _p, read, total = read_pruned(spark, zpath, a_range=(300, 390))
+    assert read < total
