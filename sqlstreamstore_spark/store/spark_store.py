@@ -844,8 +844,6 @@ class SparkParquetStreamStore(StreamStore):
     def _bulk_append_locked(
         self, new_messages, order_col: str, allow_existing: bool
     ) -> tuple[int, int]:
-        from pyspark.sql import Window
-
         from sqlstreamstore_spark.operators.positions import dense_global_index_pinned
 
         df = new_messages
@@ -865,15 +863,24 @@ class SparkParquetStreamStore(StreamStore):
             df = df.withColumn("__base_version", F.lit(None).cast("int"))
 
         base = self._manifest["head_position"]
-        w = Window.partitionBy("stream_id").orderBy(order_col)
         indexed, pinned = dense_global_index_pinned(
             df, ["stream_id", order_col], index_col="__idx"
         )
-        positioned = indexed.select(
+        # Stream versions WITHOUT a per-stream window: __idx is dense
+        # over (stream_id, order_col), so each stream's rows occupy a
+        # contiguous __idx block and version = __idx − min(__idx of the
+        # stream) + base. The old Window.partitionBy(stream_id) funneled
+        # a HOT stream's entire batch through one task (the exact skew a
+        # single-feed 100 TB backfill hits); the min-aggregate is
+        # partial-agg + one equi-join that AQE broadcasts when small.
+        firsts = indexed.groupBy("stream_id").agg(
+            F.min("__idx").alias("__first_idx")
+        )
+        positioned = indexed.join(firsts, "stream_id").select(
             (F.col("__idx") + F.lit(base + 1)).alias("position"),
             "stream_id",
             (
-                F.row_number().over(w) - F.lit(1)
+                F.col("__idx") - F.col("__first_idx")
                 + F.coalesce(F.col("__base_version") + F.lit(1), F.lit(0))
             ).cast("int").alias("stream_version"),
             "message_id",

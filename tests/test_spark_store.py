@@ -936,3 +936,47 @@ def test_changes_between_random_interleavings_model(spark, tmp_path):
         )
         want = sorted(r for r in model.rows if r[0] > head1)
         assert delta == want, (seed, delta, want)
+
+
+def test_bulk_append_hot_stream_no_stream_window(spark, tmp_path):
+    """A 100%-skewed bulk ingest (every row one stream) must assign the
+    same versions as the windowed formulation WITHOUT funneling the
+    batch through a single per-stream window partition — versions come
+    from the dense global index minus the stream's first index."""
+    from pyspark.sql import functions as F
+
+    store = SparkParquetStreamStore(spark, str(tmp_path / "hot"))
+    df = spark.range(5_000).select(
+        F.lit("hot").alias("stream_id"),
+        F.concat(F.lit("h-"), F.col("id").cast("string")).alias("message_id"),
+        F.lit("t").alias("type"),
+        F.lit('{"x":1}').alias("json_data"),
+        F.lit("").alias("json_metadata"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("created_utc"),
+        F.col("id").alias("seq"),
+    )
+    n, head = store.bulk_append(df, order_col="seq")
+    assert (n, head) == (5_000, 4_999)
+    got = (
+        store.log_df().select("position", "stream_version")
+        .orderBy("position").collect()
+    )
+    assert [r.stream_version for r in got] == list(range(5_000))
+    assert [r.position for r in got] == list(range(5_000))
+
+    # plan property: no window partitioned by stream_id anywhere in the
+    # bulk path (the dense index's bounded per-__pid window remains)
+    from sqlstreamstore_spark.operators.positions import dense_global_index_pinned
+
+    indexed, pinned = dense_global_index_pinned(
+        df, ["stream_id", "seq"], index_col="__idx"
+    )
+    firsts = indexed.groupBy("stream_id").agg(F.min("__idx").alias("__f"))
+    plan = (
+        indexed.join(firsts, "stream_id")
+        .withColumn("v", F.col("__idx") - F.col("__f"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    if pinned is not None:
+        pinned.unpersist()
+    assert "windowspecdefinition(stream_id" not in plan, plan[:2000]
