@@ -619,3 +619,88 @@ def new_against_corpus(incoming: DataFrame, corpus: DataFrame) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+def substring_dup_spans(documents: DataFrame, k: int = 8) -> DataFrame:
+    """Cross-document duplicated substring spans at token granularity —
+    the exact-substring dedup signal of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (2022), re-expressed
+    relationally instead of via a suffix array: a position is
+    *duplicated* when the k-token gram starting there also occurs in at
+    least one OTHER document; runs of duplicated starts with gap <= k
+    merge into maximal spans (an exact interval union under that break
+    rule, since a gram at p covers [p, p+k-1] and a successor within k
+    starts at or before p+k).
+
+    Returns one row per document that carries at least one duplicated
+    span: span count, tokens covered, longest span, covered-token
+    ratio. A pipeline drops or trims the high-ratio tail.
+
+    Scale shape at 100 TB: grams shuffle once keyed by md5(gram)
+    (16 bytes — the text never shuffles); the cross-doc test is a
+    min!=max partial aggregate per digest; the join back is a linear
+    equi-join on the digest; span merging is a per-document window
+    bounded by document length. No pair joins, no suffix structures,
+    nothing all-pairs. Within-doc-only repeats are intentionally NOT
+    counted (they are `repetition_signals`' job); this operator isolates
+    the inter-document contamination the dedup pass must remove.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col("text"), " ")
+    # positional grams: struct(pos, digest); guarded by size >= k because
+    # sequence(0, size-k) runs DESCENDING when size < k (ANSI gotcha, see
+    # _shingles).
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - F.lit(k)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.array_join(F.slice(toks, i + F.lit(1), k), " ")).alias("h"),
+        ),
+    )
+    # pg feeds both the cross-doc aggregate and the join back — pin it so
+    # the explode+md5 runs once (the ngram_novelty discipline;
+    # localCheckpoint, not persist: blocks die with the plan).
+    pg = (
+        documents.filter(F.size(toks) >= k)
+        .select("doc_id", F.explode(grams).alias("t"))
+        .select("doc_id", F.col("t.pos").alias("pos"), F.col("t.h").alias("h"))
+        .localCheckpoint()
+    )
+    cross_doc = (
+        pg.groupBy("h")
+        .agg(F.min("doc_id").alias("__mn"), F.max("doc_id").alias("__mx"))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .select("h")
+    )
+    dp = pg.join(cross_doc, "h").select("doc_id", "pos")
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    island = F.sum(F.when(gap > k, 1).otherwise(0)).over(w)
+    spans = (
+        dp.withColumn("__g", island)
+        .groupBy("doc_id", "__g")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + F.lit(k - 1)).alias("e"))
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("n_dup_tokens"),
+        F.max(F.col("e") - F.col("s") + 1).cast("bigint").alias("longest_dup_span"),
+    )
+    base = documents.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
+    return (
+        agg.join(base, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_spans",
+            "n_dup_tokens",
+            "longest_dup_span",
+            (
+                F.col("n_dup_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_token_ratio"),
+        )
+        .orderBy("doc_id")
+    )

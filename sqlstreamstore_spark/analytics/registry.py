@@ -1542,6 +1542,66 @@ ORDER BY tf DESC, token
 LIMIT 200
 """
 
+# Exact substring-span dedup (Lee et al. 2022, token granularity):
+# positional 8-gram digests, cross-doc test = min!=max per digest,
+# maximal spans via the gap>k island break — all integer arithmetic
+# except the final exact int/int ratio division.
+_SUBSTRING_SPANS_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pg0 AS (SELECT doc_id, w, unnest(range(0, len(w) - 8 + 1)) AS pos
+        FROM toks WHERE len(w) >= 8),
+pg AS (SELECT doc_id, pos, md5(array_to_string(w[pos+1 : pos+8], ' ')) AS h
+       FROM pg0),
+d AS (SELECT h FROM pg GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+dp AS (SELECT doc_id, pos FROM pg JOIN d USING (h)),
+isl AS (SELECT doc_id, pos,
+        sum(CASE WHEN prev IS NOT NULL AND pos - prev <= 8 THEN 0 ELSE 1 END)
+          OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM (SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM dp) q),
+spans AS (SELECT doc_id, g, min(pos) AS s, max(pos) + 8 - 1 AS e
+          FROM isl GROUP BY doc_id, g),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS n_dup_tokens,
+               CAST(max(e - s + 1) AS BIGINT) AS longest_dup_span
+        FROM spans GROUP BY doc_id)
+SELECT a.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens, n_dup_spans,
+       n_dup_tokens, longest_dup_span,
+       CAST(n_dup_tokens AS DOUBLE) / CAST(len(t.w) AS DOUBLE) AS dup_token_ratio
+FROM agg a JOIN toks t USING (doc_id) ORDER BY a.doc_id
+"""
+
+# Corpus-unigram LM score: single-libm-call values on exact integers,
+# per-doc sum folded over a SORTED contribution list so both engines
+# add in identical order (the sorted-sequential-fold discipline).
+_UNIGRAM_LOGPROB_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+cnts AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_corpus FROM tok),
+per AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS m
+        FROM tok GROUP BY doc_id, token),
+terms AS (
+  SELECT per.doc_id,
+         list_sort(list({'c': c, 'm': m})) AS ts,
+         CAST(sum(m) AS BIGINT) AS n_tokens
+  FROM per JOIN cnts USING (token) GROUP BY per.doc_id),
+folded AS (
+  SELECT doc_id, n_tokens,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(ts,
+               t -> CAST(t.m AS DOUBLE) * ln(CAST(t.c AS DOUBLE)))),
+           (a, x) -> a + x) AS s
+  FROM terms)
+SELECT doc_id, n_tokens,
+       round((s - CAST(n_tokens AS DOUBLE) * ln(n_corpus))
+               / CAST(n_tokens AS DOUBLE), 7) AS avg_logprob,
+       round(exp(-((s - CAST(n_tokens AS DOUBLE) * ln(n_corpus))
+               / CAST(n_tokens AS DOUBLE))), 4) AS ppl_proxy
+FROM folded, nt ORDER BY doc_id
+"""
+
 _NGRAM_NOVELTY_SQL = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS (
@@ -2938,6 +2998,14 @@ ORDER BY o_orderpriority""",
         "text_ngram_novelty": (
             lambda s, sf: text.ngram_novelty(_t(s, sf, "documents")),
             _NGRAM_NOVELTY_SQL,
+        ),
+        "dedup_substring_spans": (
+            lambda s, sf: dedup.substring_dup_spans(_t(s, sf, "documents")),
+            _SUBSTRING_SPANS_SQL,
+        ),
+        "text_unigram_logprob": (
+            lambda s, sf: text.unigram_logprob(_t(s, sf, "documents")),
+            _UNIGRAM_LOGPROB_SQL,
         ),
         "stats_kmv_distinct": (
             lambda s, sf: text.kmv_distinct_ngrams(_t(s, sf, "documents")),

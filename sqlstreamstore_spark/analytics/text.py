@@ -630,3 +630,63 @@ def hashed_embeddings(documents: DataFrame, dim: int = 64) -> DataFrame:
             ).alias("embedding"),
         )
     )
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Corpus-unigram language-model quality score per document — the
+    perplexity-filtering proxy of CCNet/Wenzek et al. (2020): train a
+    unigram LM on the corpus itself (token -> count / N) and score each
+    document by its mean token log-probability; low scores (= high
+    perplexity) flag gibberish, boilerplate, and off-distribution text.
+
+    Float discipline (the gate hash-matches DuckDB): every value that
+    leaves integer space is a single libm call on exact integers
+    (ln(count), ln(N)), and the per-doc sum folds a SORTED array of
+    per-distinct-token contributions sequentially — both engines add in
+    the identical order, so the result is reproducible to the bit
+    modulo libm ulps, absorbed by round(). This is the same
+    sorted-sequential-fold discipline the deployed IVF-PQ ADC uses.
+
+    Scale shape at 100 TB: the vocab is a groupBy(token) partial agg;
+    the doc-side join is a hash equi-join on token (AQE broadcasts when
+    the vocab fits); the corpus total arrives via a broadcast 1-row
+    crossJoin (no collect); the fold is bounded by distinct tokens per
+    document. Nothing is quadratic, nothing funnels to one task.
+    """
+    tok = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    cnts = tok.groupBy("token").agg(F.count("*").cast("bigint").alias("c"))
+    n_corpus = cnts.agg(F.sum("c").cast("double").alias("n_corpus"))
+    per = tok.groupBy("doc_id", "token").agg(
+        F.count("*").cast("bigint").alias("m")
+    )
+    terms = (
+        per.join(cnts, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("c", "m"))).alias("ts"),
+            F.sum("m").cast("bigint").alias("n_tokens"),
+        )
+    )
+    s = F.aggregate(
+        F.transform(
+            F.col("ts"),
+            lambda t: t["m"].cast("double") * F.log(t["c"].cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    avg = (
+        s - F.col("n_tokens").cast("double") * F.log(F.col("n_corpus"))
+    ) / F.col("n_tokens").cast("double")
+    return (
+        terms.crossJoin(F.broadcast(n_corpus))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(avg, 7).alias("avg_logprob"),
+            F.round(F.exp(-avg), 4).alias("ppl_proxy"),
+        )
+        .orderBy("doc_id")
+    )

@@ -510,6 +510,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # -- round-5 additions (never checked by construction) --
     "layout_zorder_pruned_scan", "store_cdc_multi",
     "sim_cosine_topk_ivf_upsert", "sim_cosine_topk_ivfpq_static",
+    "dedup_substring_spans", "text_unigram_logprob",
     # -- §2-core + regression canaries, inside the cap every round --
     "read_all_forwards", "store_bulk_roundtrip",
     "events_funnel", "dedup_minhash_lsh",
