@@ -704,3 +704,82 @@ def substring_dup_spans(documents: DataFrame, k: int = 8) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def bloom_prefilter(
+    corpus: DataFrame, incoming: DataFrame, m_bits: int = 4096, k: int = 4
+) -> DataFrame:
+    """Bloom-filter membership prefilter for incremental dedup: build an
+    m-bit Bloom filter over the corpus's content digests (k hash
+    positions per digest), probe each incoming document, and report the
+    maybe-seen verdict next to the exact one. `maybe_dup` is a strict
+    superset of `exact_dup` (Bloom's no-false-negative guarantee — the
+    pytest pin); the payoff at 100 TB is that the 100-TB corpus
+    compresses to m/8 bytes of filter, so the common case (a genuinely
+    new document) is decided by a broadcast lookup without ever joining
+    against the corpus — only the maybe-dups proceed to the exact
+    digest anti-join (`new_against_corpus`).
+
+    Determinism discipline: the j-th bit position is the j-th 16-bit
+    slice of md5(text) mod m (hex chars 4j+1..4j+4) — replayable
+    bit-for-bit in DuckDB, so the gate hash-matches both verdict
+    columns with zero tolerance, false positives included.
+
+    Scale shape: the filter is a groupBy(word_idx).bit_or(mask) partial
+    aggregate over corpus digests — at most m/32 rows regardless of
+    corpus size — then explicitly broadcast to the probe side; the
+    probe is k word lookups per document and a bool-and. Text never
+    shuffles; 16-byte digests only.
+    """
+    def positions(df: DataFrame, keep: list[str]) -> DataFrame:
+        h = F.md5(F.col("text"))
+        pos = F.array(
+            *[
+                F.conv(F.substring(h, 4 * j + 1, 4), 16, 10).cast("bigint")
+                % m_bits
+                for j in range(k)
+            ]
+        )
+        return df.select(*keep, F.explode(pos).alias("__bit")).select(
+            *keep,
+            (F.col("__bit") / 32).cast("bigint").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__bit % 32 AS INT))").alias(
+                "mask"
+            ),
+        )
+
+    corpus_digests = corpus.select(F.md5(F.col("text")).alias("h")).distinct()
+    words = (
+        positions(corpus, [])
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+    probe = positions(incoming, ["doc_id"])
+    hit = (
+        probe.join(F.broadcast(words), "word_idx", "left")
+        .withColumn(
+            "__set",
+            F.coalesce(
+                (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")).cast(
+                    "int"
+                ),
+                F.lit(0),
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("__set").cast("bigint").alias("maybe_dup"))
+    )
+    exact = incoming.select(
+        "doc_id", F.md5(F.col("text")).alias("h")
+    ).join(
+        corpus_digests.select("h", F.lit(1).alias("__in")), "h", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("__in"), F.lit(0)).cast("bigint").alias("exact_dup"),
+    )
+    return (
+        hit.join(exact, "doc_id")
+        .select("doc_id", "maybe_dup", "exact_dup")
+        .orderBy("doc_id")
+    )

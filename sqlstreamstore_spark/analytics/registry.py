@@ -1602,6 +1602,123 @@ SELECT doc_id, n_tokens,
 FROM folded, nt ORDER BY doc_id
 """
 
+def _hexfold(expr: str, start: int, n: int) -> str:
+    """DuckDB expression: hex chars [start, start+n) of md5(expr) as a
+    BIGINT (the KMV/`_HEXBUCKET` fold idiom, parameterized)."""
+    return f"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(substr(md5({expr}), {start}, {n}), ''),
+        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+      (a, x) -> a * 16 + x)"""
+
+
+# Efraimidis-Spirakis A-ES weighted sample: u = 48-bit md5 fraction
+# (+1 so u > 0), ordering key ln(u)/w — monotone in u^(1/w), one libm
+# call on an exact rational. Selection replayed identically.
+_WEIGHTED_AES_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ln((CAST({_hexfold("'wrs:' || CAST(doc_id AS VARCHAR)", 1, 12)} AS DOUBLE) + 1.0)
+              / 281474976710656.0)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS key
+  FROM documents)
+SELECT doc_id, n_tokens, round(key, 9) AS aes_key
+FROM d ORDER BY key DESC, doc_id LIMIT 100
+"""
+
+
+def _bloom_sql(m_bits: int = 4096, k: int = 4) -> str:
+    """Bit-for-bit DuckDB replay of dedup.bloom_prefilter over the
+    planted incoming batch (every-5th doc verbatim = hits; doc_id%5==1
+    shifted +100000 with mutated text = misses + the odd false
+    positive)."""
+    folds = ", ".join(
+        f"({_hexfold('text', 4 * j + 1, 4)}) % {m_bits}" for j in range(k)
+    )
+    return f"""
+WITH incoming AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' bloomprobe' AS text
+  FROM documents WHERE doc_id % 5 = 1),
+corpus_h AS (SELECT DISTINCT md5(text) AS h FROM documents),
+cor_bits AS (SELECT unnest([{folds}]) AS bit FROM documents),
+words AS (
+  SELECT bit // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER)) AS bits
+  FROM cor_bits GROUP BY 1),
+probe AS (SELECT doc_id, unnest([{folds}]) AS bit FROM incoming),
+hit AS (
+  SELECT p.doc_id,
+         CAST(min(CASE WHEN w.bits IS NOT NULL
+                        AND (w.bits & (CAST(1 AS BIGINT) << CAST(p.bit % 32 AS INTEGER)))
+                            = (CAST(1 AS BIGINT) << CAST(p.bit % 32 AS INTEGER))
+                   THEN 1 ELSE 0 END) AS BIGINT) AS maybe_dup
+  FROM probe p LEFT JOIN words w ON p.bit // 32 = w.word_idx
+  GROUP BY p.doc_id),
+exact AS (
+  SELECT i.doc_id,
+         CAST(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_dup
+  FROM (SELECT doc_id, md5(text) AS h FROM incoming) i
+  LEFT JOIN corpus_h c USING (h))
+SELECT doc_id, maybe_dup, exact_dup
+FROM hit JOIN exact USING (doc_id) ORDER BY doc_id
+"""
+
+
+_BLOOM_PREFILTER_SQL = _bloom_sql()
+
+
+def _bloom_gate(s: SparkSession, sf: str) -> DataFrame:
+    """Bloom prefilter over a planted incoming batch: every-5th doc
+    verbatim (guaranteed hits) plus doc_id%5==1 shifted +100000 with
+    mutated text (guaranteed misses modulo Bloom false positives)."""
+    docs = _t(s, sf, "documents")
+    incoming = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 5 == 1).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" bloomprobe")).alias("text"),
+        )
+    )
+    return dedup.bloom_prefilter(docs, incoming)
+
+
+def _cms_sql(depth: int = 4, width: int = 256) -> str:
+    """Count-min sketch replay: same per-row md5 slice columns, same
+    grid partial-sum, same min-over-rows estimate — all integers."""
+
+    def col_expr(r: int) -> str:
+        seed = "'cms" + str(r) + ":' || token"
+        return f"({_hexfold(seed, 1, 4)}) % {width}"
+
+    cells = "\n  UNION ALL ".join(
+        f"SELECT c, {r} AS r, {col_expr(r)} AS col FROM cnts"
+        for r in range(depth)
+    )
+    probes = "\n  UNION ALL ".join(
+        f"SELECT token, c, {r} AS r, {col_expr(r)} AS col FROM top"
+        for r in range(depth)
+    )
+    return f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+cnts AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+cells AS (
+  {cells}),
+grid AS (SELECT r, col, CAST(sum(c) AS BIGINT) AS cell
+         FROM cells GROUP BY r, col),
+top AS (SELECT token, c FROM cnts ORDER BY c DESC, token LIMIT 20),
+probe AS (
+  {probes})
+SELECT token,
+       CAST(max(c) AS BIGINT) AS c_exact,
+       CAST(min(cell) AS BIGINT) AS c_est
+FROM probe JOIN grid USING (r, col)
+GROUP BY token ORDER BY c_exact DESC, token
+"""
+
+
+_CMS_FREQ_SQL = _cms_sql()
+
 _NGRAM_NOVELTY_SQL = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS (
@@ -3002,6 +3119,15 @@ ORDER BY o_orderpriority""",
         "dedup_substring_spans": (
             lambda s, sf: dedup.substring_dup_spans(_t(s, sf, "documents")),
             _SUBSTRING_SPANS_SQL,
+        ),
+        "dedup_bloom_prefilter": (_bloom_gate, _BLOOM_PREFILTER_SQL),
+        "sampling_weighted_aes": (
+            lambda s, sf: sampling.weighted_sample_aes(_t(s, sf, "documents")),
+            _WEIGHTED_AES_SQL,
+        ),
+        "stats_cms_freq": (
+            lambda s, sf: text.cms_token_freq(_t(s, sf, "documents")),
+            _CMS_FREQ_SQL,
         ),
         "text_unigram_logprob": (
             lambda s, sf: text.unigram_logprob(_t(s, sf, "documents")),

@@ -232,3 +232,50 @@ def selected_by_budget(
         .filter(_hash_bucket(F.col(key)) < F.col("threshold"))
         .drop("src", "threshold")
     )
+
+
+def weighted_sample_aes(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    A-ES scheme ("Weighted random sampling with a reservoir", IPL 2006):
+    each row draws u ~ U(0,1] and gets key u^(1/w); the k largest keys
+    are the sample. Inclusion probability is exactly proportional-to-
+    size without replacement — the sampler a token-weighted corpus
+    subset wants (PPS *systematic* sampling lives in
+    `pps_systematic_sample`; this is its fixed-size reservoir sibling,
+    and the one that composes with a streaming reservoir at 100 TB:
+    per-partition top-k heaps merge by re-taking the top k).
+
+    Determinism discipline: u is the 48-bit md5 fraction of the row key
+    (exact in BIGINT and double on both engines; +1 keeps u > 0), and
+    the ordering key is ln(u)/w — monotone in u^(1/w), so the selected
+    set is identical, but it costs ONE libm call on an exact rational
+    per row. Weight = token count (>= 1 for non-empty text).
+
+    Scale shape: no shuffle and no window — orderBy(key desc).limit(k)
+    is a TakeOrderedAndProject (per-partition k-row heaps, driver
+    merge), the same physical plan as `fixed_size_sample`. At 100 TB
+    the only data movement is k rows per partition.
+    """
+    w = F.size(F.split(F.col("text"), " ")).cast("double")
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("double")
+    u = (v + F.lit(1.0)) / F.lit(float(1 << 48))
+    key = F.log(u) / w
+    return (
+        documents.select(
+            "doc_id",
+            w.cast("bigint").alias("n_tokens"),
+            key.alias("__key"),
+        )
+        .orderBy(F.col("__key").desc(), "doc_id")
+        .limit(k)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("__key"), 9).alias("aes_key"),
+        )
+        .orderBy("doc_id")
+    )

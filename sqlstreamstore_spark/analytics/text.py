@@ -690,3 +690,78 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def cms_token_freq(documents: DataFrame, depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-min sketch (Cormode–Muthukrishnan 2005) over corpus token
+    frequencies, reported for the top tokens next to their exact
+    counts. Completes the sketch triad: Misra-Gries heavy hitters
+    UNDER-count (`text_heavy_hitters`), KMV estimates distincts
+    (`stats_kmv_distinct`), CMS OVER-counts frequencies — est >= exact
+    always (the pytest pin), with error bounded by collisions in a
+    depth x width counter grid that stays a fixed 4x256 cells no matter
+    how large the corpus grows.
+
+    Determinism discipline: row r's column for a token is the first
+    16 bits of md5("cms<r>:" || token) mod width — replayable in
+    DuckDB, so both the estimate column and the exact column hash-match
+    with zero tolerance (all-integer arithmetic end to end).
+
+    Scale shape: token counts are a groupBy partial aggregate; the grid
+    is built from DISTINCT tokens (depth rows each), so the sketch
+    build shuffles at most depth x width cells; the estimate probe
+    joins the 20-row top-token frame against the grid. Sketches of
+    disjoint corpora merge by elementwise cell addition (pinned by
+    pytest: merge == recompute), which is what makes this the
+    streaming/rollup-friendly frequency monitor.
+    """
+    def rc_pairs(df: DataFrame, keep: list[str]) -> DataFrame:
+        """Explode each token into its (row, col) grid coordinates."""
+        rc = F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"cms{r}:"), F.col("token"))),
+                                1,
+                                4,
+                            ),
+                            16,
+                            10,
+                        ).cast("bigint")
+                        % width
+                    ).alias("col"),
+                )
+                for r in range(depth)
+            ]
+        )
+        return df.select(*keep, F.explode(rc).alias("rc")).select(
+            *keep, F.col("rc.r").alias("r"), F.col("rc.col").alias("col")
+        )
+
+    cnts = (
+        documents.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()  # feeds the grid, the top-k, and the probe
+    )
+    grid = (
+        rc_pairs(cnts, ["c"])
+        .groupBy("r", "col")
+        .agg(F.sum("c").cast("bigint").alias("cell"))
+    )
+
+    top = cnts.orderBy(F.col("c").desc(), "token").limit(20)
+    probe = rc_pairs(top, ["token", "c"])
+    return (
+        probe.join(F.broadcast(grid), ["r", "col"])
+        .groupBy("token")
+        .agg(
+            F.max("c").alias("c_exact"),
+            F.min("cell").alias("c_est"),
+        )
+        .select("token", "c_exact", "c_est")
+        .orderBy(F.col("c_exact").desc(), "token")
+    )

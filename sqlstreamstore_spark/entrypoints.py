@@ -511,6 +511,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "layout_zorder_pruned_scan", "store_cdc_multi",
     "sim_cosine_topk_ivf_upsert", "sim_cosine_topk_ivfpq_static",
     "dedup_substring_spans", "text_unigram_logprob",
+    "dedup_bloom_prefilter", "sampling_weighted_aes", "stats_cms_freq",
     # -- §2-core + regression canaries, inside the cap every round --
     "read_all_forwards", "store_bulk_roundtrip",
     "events_funnel", "dedup_minhash_lsh",
