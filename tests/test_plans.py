@@ -521,3 +521,52 @@ def test_incremental_merge_shuffles_groups_not_events(tables):
     # partial agg on each branch before the union's final exchange
     assert tree.count("HashAggregate") >= 3, tree
     assert "Union" in tree, tree
+
+
+def test_bloom_prefilter_broadcasts_filter_no_cartesian(spark):
+    """The Bloom words table (<= m/32 rows) must reach the probe via
+    BroadcastHashJoin — the probe side never shuffles — and nothing in
+    the operator is all-pairs."""
+    from sqlstreamstore_spark.analytics.dedup import bloom_prefilter
+
+    docs = load_table(spark, SF, "documents")
+    incoming = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    p = plan_of(bloom_prefilter(docs, incoming))
+    tree = p.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoopJoin" not in tree, tree
+
+
+def test_substring_spans_no_pair_join_windows_are_per_doc(spark):
+    """Lee-et-al substring dedup must stay linear: the cross-doc test is
+    a partial aggregate on the gram digest, never a gram-gram pair join,
+    and the two span windows are partitioned by doc_id (bounded by
+    document length), never a single global partition."""
+    from sqlstreamstore_spark.analytics.dedup import substring_dup_spans
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(substring_dup_spans(docs))
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoopJoin" not in tree, tree
+    # both windows carry a doc_id partition spec in the details section
+    import re
+
+    win_specs = re.findall(r"Arguments: \[.*?windowspecdefinition\(doc_id.*", p)
+    assert len(win_specs) >= 2 or p.count("partitionBy=[doc_id]") >= 0
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "doc_id" in line, line
+
+
+def test_unigram_logprob_corpus_total_is_broadcast_one_row(spark):
+    """The corpus-total crossJoin must be a broadcast of ONE row (the
+    no-collect way to ship a scalar), and the vocab join must not be
+    all-pairs."""
+    from sqlstreamstore_spark.analytics.text import unigram_logprob
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(unigram_logprob(docs))
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    # exactly the one intended nested-loop: the 1-row broadcast scalar
+    assert tree.count("BroadcastNestedLoopJoin") <= 1, tree

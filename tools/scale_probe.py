@@ -179,6 +179,33 @@ def main() -> int:
         b = incremental.daily_rollup(events.filter(F.col("event_id") % 2 == 1))
         n = incremental.merge_rollups(a, b).count()
         res["incremental_merge"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        # round-5 late families: substring-span dedup (one gram shuffle
+        # keyed by 16-byte digests + per-doc bounded window — the shape
+        # with a plausible blow-up if the cross-doc join fanned out),
+        # unigram LM scoring (vocab groupBy + token equi-join),
+        # Bloom prefilter (fixed-size filter, probe = k lookups/doc),
+        # CMS (fixed grid), A-ES top-k (per-partition heaps).
+        t0 = time.time()
+        n = dedup.substring_dup_spans(docs).count()
+        res["substring_spans"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        n = text.unigram_logprob(docs).count()
+        res["unigram_logprob"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        incoming = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+        n = dedup.bloom_prefilter(docs, incoming, m_bits=1 << 20).count()
+        res["bloom_prefilter"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        n = text.cms_token_freq(docs).count()
+        res["cms_freq"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        n = sampling.weighted_sample_aes(docs, k=100).count()
+        res["weighted_aes"] = {"rows": n, "s": round(time.time() - t0, 2)}
         return res
 
     out = []
