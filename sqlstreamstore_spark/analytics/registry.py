@@ -555,6 +555,61 @@ ORDER BY qid, rk
 """
 
 
+_HARD_NEG_SQL = """
+WITH qs AS (
+  SELECT vec_id AS qid, label AS qlabel, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT qs.qid, qs.qlabel, e.vec_id AS cid, e.label AS clabel,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), qs.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(qs.qv, qs.qv))) AS cosine
+  FROM embeddings e, qs
+),
+best AS (
+  SELECT qid, max(cosine) AS best_pos FROM scored
+  WHERE clabel = qlabel AND cid <> qid GROUP BY qid
+),
+negs AS (
+  SELECT qid, cid, clabel AS neg_label, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+  FROM scored WHERE clabel <> qlabel
+)
+SELECT negs.qid AS qid, cid, neg_label, cosine, rk,
+       best_pos - cosine AS margin
+FROM negs JOIN best ON negs.qid = best.qid
+WHERE rk <= 5
+ORDER BY qid, rk
+"""
+
+_LABEL_CENTROIDS_SQL = """
+WITH ex0 AS (
+  SELECT vec_id, label, unnest(embedding) AS fval,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings
+),
+comp AS (
+  SELECT label, pos, avg(CAST(fval AS DOUBLE)) AS cval
+  FROM ex0 GROUP BY label, pos
+),
+cent AS (SELECT label, list(cval ORDER BY pos) AS cvec FROM comp GROUP BY label),
+mem AS (
+  SELECT e.label, e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(c.cvec, c.cvec))) AS cos,
+         sqrt(list_dot_product(c.cvec, c.cvec)) AS cnorm
+  FROM embeddings e JOIN cent c ON e.label = c.label
+)
+SELECT label, count(*) AS n_vecs,
+       round(any_value(cnorm), 9) AS centroid_norm,
+       round(avg(cos), 9) AS mean_cos_to_centroid,
+       round(min(cos), 9) AS min_cos_to_centroid
+FROM mem GROUP BY label ORDER BY label
+"""
+
+
 # ---------------------------------------------------- relational extras
 
 _UNPIVOT_SQL = """
@@ -3279,6 +3334,26 @@ ORDER BY doc_id""",
         # similarity
         "sim_cosine_topk": (_sim_topk_query, _SIM_TOPK_SQL),
         "sim_knn_join": (_knn_join_query, _KNN_JOIN_SQL),
+        # contrastive-training data prep: per-query top-k cross-label
+        # negatives + margin vs the best same-label positive; cosine
+        # folds are elementwise-deterministic so the floats hash-match
+        # unrounded (the sim_knn_join precedent)
+        "sim_hard_negatives": (
+            lambda s, sf: similarity.hard_negatives(
+                _t(s, sf, "embeddings"), n_queries=5, k=5
+            ),
+            _HARD_NEG_SQL,
+        ),
+        # embedding-space QC: per-label centroid norm / purity / outlier
+        # floor; centroids are float AVERAGES (partial-sum order), so
+        # the gate rounds both engines (stats_corr_regr pattern)
+        "sim_label_centroids": (
+            lambda s, sf: _round_cols(
+                similarity.label_centroids(_t(s, sf, "embeddings")),
+                ("centroid_norm", "mean_cos_to_centroid", "min_cos_to_centroid"),
+            ),
+            _LABEL_CENTROIDS_SQL,
+        ),
         "sim_cosine_topk_lsh": (_sim_topk_lsh_query, _TOPK_LSH_SQL),
         # k-means-trained quantizer (rows-only: Lloyd iterations aren't
         # reasonably SQL-expressible) + deployed-index twin with literal

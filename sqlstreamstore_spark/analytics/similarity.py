@@ -1020,3 +1020,112 @@ def cosine_topk_ivfpq(
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(k)
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each
+    query vector, the k corpus vectors with the HIGHEST cosine among
+    those carrying a DIFFERENT label, plus the margin against the
+    query's best same-label positive (best_pos − neg cosine; a small
+    margin flags the negatives most likely to be label noise or the
+    most informative training pairs).
+
+    Scale shape: the query side is tiny and broadcast; each derivation
+    (negatives rank, best positive) is one columnar corpus scan + a
+    broadcast join — two cheap passes, no all-pairs corpus×corpus join
+    ever forms. Per-query top-k uses WindowGroupLimit (top-k pushdown
+    before the qid exchange), and the margin join ships n_queries rows.
+    """
+    from pyspark.sql import Window
+
+    n = max(1, embeddings.sparkSession.sparkContext.defaultParallelism)
+    c = embeddings.repartition(n).select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("cvec"),
+        _norm(F.col("embedding")).alias("cn"),
+    )
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+        _norm(F.col("embedding")).alias("qn"),
+    )
+    score = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid", "qlabel", "cid", "clabel", score.alias("cosine")
+    )
+    best_pos = (
+        scored.filter(
+            (F.col("clabel") == F.col("qlabel")) & (F.col("cid") != F.col("qid"))
+        )
+        .groupBy("qid")
+        .agg(F.max("cosine").alias("best_pos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    negs = (
+        scored.filter(F.col("clabel") != F.col("qlabel"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+    return (
+        negs.join(F.broadcast(best_pos), "qid")
+        .select(
+            "qid",
+            "cid",
+            F.col("clabel").alias("neg_label"),
+            "cosine",
+            "rk",
+            (F.col("best_pos") - F.col("cosine")).alias("margin"),
+        )
+        .orderBy("qid", "rk")
+    )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid summary — the embedding-space QC report a
+    training pipeline runs before trusting labels: cluster size,
+    centroid norm (near-zero ⇒ the label's vectors cancel out, i.e.
+    no coherent direction), mean member-to-centroid cosine (label
+    purity) and the worst member (outlier floor).
+
+    Scale shape: one posexplode + (label, pos) partial agg — the only
+    shuffle, and its output is |labels|×dim rows regardless of N; the
+    centroid arrays re-assemble per label via collect_list (bounded by
+    dim) and broadcast back to the member scan, where the cosine is
+    pure map-side codegen over the original array column. No
+    per-vector shuffle, no driver collect.
+    """
+    ex = embeddings.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "label", "pos", F.col("val").cast("double").alias("val"))
+    comp = ex.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s.getField("cval"),
+        ).alias("cvec")
+    )
+    m = embeddings.join(F.broadcast(cent), "label")
+    cos = _dot(F.col("embedding"), F.col("cvec")) / (
+        _norm(F.col("embedding")) * _norm(F.col("cvec"))
+    )
+    return (
+        m.select(
+            "label",
+            cos.alias("cos"),
+            _norm(F.col("cvec")).alias("cnorm"),
+        )
+        .groupBy("label")
+        .agg(
+            # count(*) — keeps vec_id out of the member scan (ReadSchema
+            # is then embedding+label only)
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.first("cnorm").alias("centroid_norm"),
+            F.avg("cos").alias("mean_cos_to_centroid"),
+            F.min("cos").alias("min_cos_to_centroid"),
+        )
+        .orderBy("label")
+    )

@@ -570,3 +570,32 @@ def test_unigram_logprob_corpus_total_is_broadcast_one_row(spark):
     assert "CartesianProduct" not in tree, tree
     # exactly the one intended nested-loop: the 1-row broadcast scalar
     assert tree.count("BroadcastNestedLoopJoin") <= 1, tree
+
+
+def test_label_centroids_broadcasts_centroids_prunes_vec_id(spark):
+    """Centroid side must reach the member scan via broadcast (it is
+    |labels| rows), and column pruning must drop vec_id entirely —
+    n_vecs is count(*), so no scan reads the id column."""
+    from sqlstreamstore_spark.analytics.similarity import label_centroids
+
+    emb = load_table(spark, SF, "embeddings")
+    p = plan_of(label_centroids(emb))
+    tree = p.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    assert "vec_id" not in p, "vec_id should be pruned from every scan"
+
+
+def test_hard_negatives_topk_pushdown_no_allpairs(spark):
+    """Per-query top-k must push down (WindowGroupLimit before the qid
+    exchange) and the only nested-loop joins are the two intended
+    broadcast crossJoins with the 5-row query side — never an
+    unbroadcast CartesianProduct."""
+    from sqlstreamstore_spark.analytics.similarity import hard_negatives
+
+    emb = load_table(spark, SF, "embeddings")
+    p = plan_of(hard_negatives(emb))
+    tree = p.split("\n\n")[0]
+    assert "WindowGroupLimit" in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    assert tree.count("BroadcastNestedLoopJoin") <= 2, tree

@@ -222,3 +222,61 @@ def test_near_dup_lsh_auto_bits_matches_explicit(spark):
     explicit = {(r.id_a, r.id_b)
                 for r in cosine_near_dup_pairs_lsh(emb, 0.35, bits=4).collect()}
     assert auto == explicit and auto
+
+
+def test_hard_negatives_cross_label_and_margin(emb):
+    """Every mined negative carries a different label than its query;
+    ranks are dense per qid; margin == best same-label cosine minus the
+    negative's cosine, checked against a numpy recompute."""
+    import numpy as np
+
+    out = similarity.hard_negatives(emb, n_queries=3, k=4).collect()
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    labels = {r.vec_id: r.label for r in rows}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    by_q = {}
+    for r in out:
+        assert labels[r.cid] != labels[r.qid]
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, negs in by_q.items():
+        assert [r.rk for r in sorted(negs, key=lambda r: r.rk)] == list(
+            range(1, len(negs) + 1)
+        )
+        qv, ql = vecs[qid], labels[qid]
+        exact = sorted(
+            ((cos(qv, vecs[c]), c) for c in vecs if labels[c] != ql),
+            key=lambda t: (-t[0], t[1]),
+        )[: len(negs)]
+        assert [c for _, c in exact] == [
+            r.cid for r in sorted(negs, key=lambda r: r.rk)
+        ]
+        best_pos = max(cos(qv, vecs[c]) for c in vecs if labels[c] == ql and c != qid)
+        for r in negs:
+            assert abs(r.margin - (best_pos - r.cosine)) < 1e-9
+
+
+def test_label_centroids_matches_numpy(emb):
+    """Centroid norm / purity / outlier floor against a direct numpy
+    recompute per label; n_vecs partitions the corpus."""
+    import numpy as np
+
+    out = {r.label: r for r in similarity.label_centroids(emb).collect()}
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.label, []).append(np.asarray(r.embedding, np.float64))
+    assert sum(r.n_vecs for r in out.values()) == len(rows)
+    for lab, vs in groups.items():
+        c = np.mean(np.stack(vs), axis=0)
+        r = out[lab]
+        assert r.n_vecs == len(vs)
+        assert abs(r.centroid_norm - np.linalg.norm(c)) < 1e-9
+        cosines = [
+            float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c))) for v in vs
+        ]
+        assert abs(r.mean_cos_to_centroid - np.mean(cosines)) < 1e-9
+        assert abs(r.min_cos_to_centroid - min(cosines)) < 1e-9
