@@ -262,3 +262,43 @@ def event_transitions(events: DataFrame) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+def sliding_value_window(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """Time-RANGE-frame moving aggregate per user: for each event, the
+    count and sum of ``value`` over that user's events in the preceding
+    ``minutes`` (inclusive at both frame ends) — the velocity-feature
+    shape ("how much did this user do in the last hour, as of each
+    event") that rules engines and feature stores backfill in batch.
+
+    RANGE (not ROWS) semantics: peers at equal timestamps all enter the
+    frame regardless of physical row order, so the result is
+    deterministic under shuffle reordering. The frame key is integer
+    epoch MICROseconds (the table's native precision — seconds would
+    silently truncate sub-second gaps); the sum runs in DECIMAL inside
+    the frame (order-independent, hash-exact) and casts to DOUBLE only
+    on the way out.
+
+    Scale shape: one shuffle on user_id + a per-user sort — the minimal
+    plan any per-entity sliding feature needs; frame state is bounded
+    by the window's time span, never the user's full history.
+    """
+    from pyspark.sql import Window
+
+    base = events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-(minutes * 60 * 1_000_000), 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.sum("v").over(w).cast("double").alias("sum_window"),
+    ).orderBy("event_id")

@@ -283,3 +283,42 @@ def chunk_documents(
             F.length(chunk).cast("long").alias("chunk_len"),
         )
     )
+
+
+def quality_percentile_gate(
+    docs: DataFrame, q: float = 0.5, accuracy: int = 10_000
+) -> DataFrame:
+    """Per-source quality gate: keep each source's documents whose
+    lexical-diversity score (distinct-token ratio) is at or above that
+    SOURCE's q-quantile — the "keep the top half of every domain"
+    curation step, which a single global threshold gets wrong because
+    domains have different score distributions.
+
+    Scale shape: thresholds come from GROUPED ``percentile_approx`` (GK
+    sketch — bounded state, partial-aggregable, one row per source), the
+    |sources|-row threshold table broadcasts back, and the filter is a
+    pure column comparison. No per-source global sort, no WindowExec
+    anywhere (pinned in tests/test_plans.py).
+
+    ``accuracy``: GK rank error <= N/accuracy; at accuracy >= N_source
+    the sketch is rank-exact (returns the value at sorted rank
+    ceil(q*N)), which makes the whole gate DuckDB-replayable by rank
+    selection — the stats_ntile_deciles_approx precedent. The production
+    default 10_000 keeps the identical bounded-state plan.
+    """
+    toks = F.split(F.col("text"), " ")
+    score = F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast(
+        "double"
+    )
+    scored = docs.select("doc_id", "source", score.alias("score"))
+    thr = scored.groupBy("source").agg(
+        F.percentile_approx("score", F.lit(float(q)), F.lit(accuracy)).alias(
+            "threshold"
+        )
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .filter(F.col("score") >= F.col("threshold"))
+        .select("doc_id", "source", "score", "threshold")
+        .orderBy("doc_id")
+    )

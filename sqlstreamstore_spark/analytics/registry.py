@@ -555,6 +555,42 @@ ORDER BY qid, rk
 """
 
 
+_SLIDING_1H_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_window,
+       CAST(sum(v) OVER w AS DOUBLE) AS sum_window
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+_QUALITY_GATE_SQL = """
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+  FROM documents
+),
+counts AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt
+           FROM scored GROUP BY source),
+ranked AS (SELECT source, score,
+                  row_number() OVER (PARTITION BY source ORDER BY score) AS rn
+           FROM scored),
+thr AS (SELECT ranked.source AS source, score AS threshold
+        FROM ranked JOIN counts ON ranked.source = counts.source
+        WHERE rn = CAST(ceil(0.5 * cnt) AS BIGINT))
+SELECT s.doc_id, s.source, s.score, t.threshold
+FROM scored s JOIN thr t ON s.source = t.source
+WHERE s.score >= t.threshold
+ORDER BY s.doc_id
+"""
+
 _HARD_NEG_SQL = """
 WITH qs AS (
   SELECT vec_id AS qid, label AS qlabel, CAST(embedding AS DOUBLE[]) AS qv
@@ -3235,6 +3271,24 @@ ORDER BY o_orderpriority""",
         "events_cumulative_reach": (
             lambda s, sf: events.cumulative_reach(_t(s, sf, "events")),
             _CUMULATIVE_REACH_SQL,
+        ),
+        # time-RANGE sliding frame (velocity features): DECIMAL inside
+        # the frame makes the sum order-independent — hash-exact, no
+        # rounding; the frame key is integer epoch micros on both sides
+        "events_sliding_1h": (
+            lambda s, sf: events.sliding_value_window(
+                _t(s, sf, "events"), minutes=60
+            ),
+            _SLIDING_1H_SQL,
+        ),
+        # per-source quality percentile gate: grouped percentile_approx
+        # at rank-exact accuracy (the ntile_deciles_approx precedent);
+        # score is an exact int/int division — hash-exact unrounded
+        "pipeline_quality_gate": (
+            lambda s, sf: pipeline.quality_percentile_gate(
+                _t(s, sf, "documents"), q=0.5, accuracy=1_000_000
+            ),
+            _QUALITY_GATE_SQL,
         ),
         "text_vocabulary": (
             lambda s, sf: text.corpus_vocabulary(_t(s, sf, "documents")),

@@ -130,3 +130,54 @@ def test_histogram_state_merge_and_quantile_bins(spark):
     assert (p90.q_bin, p90.cum_below, p90.bin_n, p90.total) == (8, 80, 10, 100)
     p100 = histogram_quantile_bins(merged, ["g"], 1.0).collect()[0]
     assert p100.q_bin == 9
+
+
+def test_sliding_window_frame_semantics(spark):
+    """RANGE frame: inclusive at both ends, peers at equal ts all in
+    the frame, per-user isolation — checked on handcrafted rows."""
+    from sqlstreamstore_spark.analytics.events import sliding_value_window
+
+    rows = [
+        # user 1: t0, t0+30min, t0+60min (inclusive edge), t0+61min
+        (1, 1, "a", T("2024-01-01 00:00:00"), 1.0),
+        (2, 1, "a", T("2024-01-01 00:30:00"), 2.0),
+        (3, 1, "a", T("2024-01-01 01:00:00"), 4.0),
+        (4, 1, "a", T("2024-01-01 01:01:00"), 8.0),
+        # user 2: two events at the SAME timestamp (peers)
+        (5, 2, "a", T("2024-01-01 00:00:00"), 16.0),
+        (6, 2, "a", T("2024-01-01 00:00:00"), 32.0),
+    ]
+    out = {r.event_id: r for r in sliding_value_window(_events(spark, rows)).collect()}
+    assert (out[1].n_window, out[1].sum_window) == (1, 1.0)
+    assert (out[2].n_window, out[2].sum_window) == (2, 3.0)
+    # t0 is exactly 60 min before event 3 — inclusive lower edge
+    assert (out[3].n_window, out[3].sum_window) == (3, 7.0)
+    # event 4: t0 drops out (61 min), rest stay
+    assert (out[4].n_window, out[4].sum_window) == (3, 14.0)
+    # equal-ts peers see each other in BOTH rows (RANGE, not ROWS)
+    assert (out[5].n_window, out[5].sum_window) == (2, 48.0)
+    assert (out[6].n_window, out[6].sum_window) == (2, 48.0)
+
+
+def test_quality_gate_per_source_rank_semantics(spark):
+    """The gate keeps exactly the docs at/above each source's rank-
+    ceil(q*N) score — differentially checked against a pure-Python
+    per-source recompute on the fixture."""
+    import math
+
+    from sqlstreamstore_spark.analytics.pipeline import quality_percentile_gate
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    kept = {r.doc_id for r in quality_percentile_gate(docs, q=0.5, accuracy=10**6).collect()}
+    rows = docs.select("doc_id", "source", "text").collect()
+    by_src = {}
+    for r in rows:
+        toks = r.text.split(" ")
+        by_src.setdefault(r.source, []).append((r.doc_id, len(set(toks)) / len(toks)))
+    expect = set()
+    for src, pairs in by_src.items():
+        scores = sorted(s for _, s in pairs)
+        thr = scores[math.ceil(0.5 * len(scores)) - 1]
+        expect |= {d for d, s in pairs if s >= thr}
+    assert kept == expect

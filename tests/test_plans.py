@@ -599,3 +599,18 @@ def test_hard_negatives_topk_pushdown_no_allpairs(spark):
     assert "WindowGroupLimit" in tree, tree
     assert "CartesianProduct" not in tree, tree
     assert tree.count("BroadcastNestedLoopJoin") <= 2, tree
+
+
+def test_quality_gate_no_window_thresholds_broadcast(spark):
+    """The per-source threshold must come from a grouped GK sketch agg
+    (ObjectHashAggregate), reach the filter via broadcast, and the plan
+    must contain no WindowExec — a per-source global sort would be the
+    wrong plan at scale."""
+    from sqlstreamstore_spark.analytics.pipeline import quality_percentile_gate
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(quality_percentile_gate(docs))
+    tree = p.split("\n\n")[0]
+    assert "Window" not in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
+    assert "ObjectHashAggregate" in tree, tree
