@@ -555,6 +555,41 @@ ORDER BY qid, rk
 """
 
 
+_BIGRAM_LOGPROB_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS token FROM toks),
+v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS vocab FROM tok),
+bgf AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i])) AS prev,
+         unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS cur
+  FROM toks WHERE len(w) >= 2),
+cbg AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb
+        FROM bgf GROUP BY prev, cur),
+cctx AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cp FROM cbg GROUP BY prev),
+per AS (SELECT doc_id, prev, cur, CAST(count(*) AS BIGINT) AS m
+        FROM bgf GROUP BY doc_id, prev, cur),
+terms AS (
+  SELECT per.doc_id,
+         list_sort(list({'cb': cb, 'cp': cp, 'm': m})) AS ts,
+         CAST(sum(m) AS BIGINT) AS n_bigrams
+  FROM per JOIN cbg USING (prev, cur) JOIN cctx USING (prev)
+  GROUP BY per.doc_id),
+folded AS (
+  SELECT doc_id, n_bigrams,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(ts,
+               t -> CAST(t.m AS DOUBLE)
+                    * (ln(CAST(t.cb AS DOUBLE) + 1.0)
+                       - ln(CAST(t.cp + vocab AS DOUBLE))))),
+           (a, x) -> a + x) AS s
+  FROM terms, v)
+SELECT doc_id, n_bigrams,
+       round(s / CAST(n_bigrams AS DOUBLE), 7) AS avg_logprob,
+       round(exp(-(s / CAST(n_bigrams AS DOUBLE))), 4) AS ppl_proxy
+FROM folded ORDER BY doc_id
+"""
+
 _SLIDING_1H_SQL = """
 WITH base AS (
   SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
@@ -3223,6 +3258,12 @@ ORDER BY o_orderpriority""",
         "text_unigram_logprob": (
             lambda s, sf: text.unigram_logprob(_t(s, sf, "documents")),
             _UNIGRAM_LOGPROB_SQL,
+        ),
+        # add-one-smoothed bigram LM (order-sensitive quality score);
+        # same sorted-sequential-fold float discipline as the unigram
+        "text_bigram_logprob": (
+            lambda s, sf: text.bigram_logprob(_t(s, sf, "documents")),
+            _BIGRAM_LOGPROB_SQL,
         ),
         "stats_kmv_distinct": (
             lambda s, sf: text.kmv_distinct_ngrams(_t(s, sf, "documents")),

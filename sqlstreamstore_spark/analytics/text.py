@@ -765,3 +765,85 @@ def cms_token_freq(documents: DataFrame, depth: int = 4, width: int = 256) -> Da
         .select("token", "c_exact", "c_est")
         .orderBy(F.col("c_exact").desc(), "token")
     )
+
+
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    """Corpus-bigram language-model quality score with add-one (Laplace)
+    smoothing — the next step up from :func:`unigram_logprob`: score
+    each document by its mean ln P(cur | prev) where
+
+        P(cur | prev) = (c(prev,cur) + 1) / (c(prev) + V)
+
+    c(prev,cur) = corpus bigram count, c(prev) = corpus context count
+    (sum of bigram counts starting at prev), V = corpus vocabulary
+    size. Word-order-destroying corruption (shuffled text, template
+    spam) scores far worse here than under the unigram model, which is
+    blind to order.
+
+    Float discipline (hash-matched vs DuckDB): every libm call takes
+    exact integers (ln(c+1), ln(c_prev+V)) and the per-doc fold walks a
+    SORTED array of integer-struct contributions — both engines add in
+    identical order (the unigram_logprob discipline).
+
+    Scale shape: bigrams come from a zip of two array slices (no
+    shuffle, no self-join); counts are groupBy partial aggs keyed on
+    (prev,cur) and prev; the doc-side joins are hash equi-joins; V and
+    nothing else crosses as a 1-row broadcast. Bounded by distinct
+    bigrams, never quadratic.
+    """
+    toks = documents.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    bg = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(w, 1, size(w) - 1)"),
+                    F.expr("slice(w, 2, size(w) - 1)"),
+                    lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    )
+    vocab = (
+        documents.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .agg(F.countDistinct("token").cast("bigint").alias("vocab"))
+    )
+    cbg = bg.groupBy("prev", "cur").agg(F.count("*").cast("bigint").alias("cb"))
+    cctx = cbg.groupBy("prev").agg(F.sum("cb").cast("bigint").alias("cp"))
+    per = bg.groupBy("doc_id", "prev", "cur").agg(
+        F.count("*").cast("bigint").alias("m")
+    )
+    terms = (
+        per.join(cbg, ["prev", "cur"])
+        .join(cctx, "prev")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("cb", "cp", "m"))).alias("ts"),
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    s = F.aggregate(
+        F.transform(
+            F.col("ts"),
+            lambda t: t["m"].cast("double")
+            * (
+                F.log(t["cb"].cast("double") + F.lit(1.0))
+                - F.log((t["cp"] + F.col("vocab")).cast("double"))
+            ),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    avg = s / F.col("n_bigrams").cast("double")
+    return (
+        terms.crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(avg, 7).alias("avg_logprob"),
+            F.round(F.exp(-avg), 4).alias("ppl_proxy"),
+        )
+        .orderBy("doc_id")
+    )

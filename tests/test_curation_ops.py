@@ -336,3 +336,43 @@ def test_budget_mixture_accounting_and_selection(spark):
     again = {r.src: r.n_selected for r in
              budget_mixture_sample(docs, budgets, default_budget=200).collect()}
     assert again == {s: r.n_selected for s, r in summary.items()}
+
+
+def test_bigram_logprob_matches_python_and_is_order_sensitive(spark):
+    """Differential vs a pure-Python add-one bigram LM on a handcrafted
+    corpus, plus the property the unigram model can't have: a document
+    with the corpus's common word ORDER outscores its shuffled twin
+    (identical unigram histogram)."""
+    import math
+
+    from sqlstreamstore_spark.analytics.text import bigram_logprob
+
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the rug"),
+        (3, "the dog sat on the mat"),
+        (4, "mat the on sat cat the"),  # shuffled twin of doc 1
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+
+    # pure-python replay
+    grams, ctx, vocab = {}, {}, set()
+    for _, t in corpus:
+        w = t.split(" ")
+        vocab.update(w)
+        for p, c in zip(w, w[1:]):
+            grams[(p, c)] = grams.get((p, c), 0) + 1
+    for (p, _), n in grams.items():
+        ctx[p] = ctx.get(p, 0) + n
+    for did, t in corpus:
+        w = t.split(" ")
+        lp = [
+            math.log((grams[(p, c)] + 1) / (ctx[p] + len(vocab)))
+            for p, c in zip(w, w[1:])
+        ]
+        exp = sum(lp) / len(lp)
+        assert out[did].n_bigrams == len(lp)
+        assert abs(out[did].avg_logprob - exp) < 1e-6, (did, exp)
+
+    assert out[1].avg_logprob > out[4].avg_logprob + 0.3
