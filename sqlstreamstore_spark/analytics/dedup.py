@@ -783,3 +783,98 @@ def bloom_prefilter(
         .select("doc_id", "maybe_dup", "exact_dup")
         .orderBy("doc_id")
     )
+
+
+def winnow_fingerprints(documents: DataFrame, k: int = 4, w: int = 5) -> DataFrame:
+    """MOSS winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting") at word
+    granularity: hash every k-token gram, then in every window of w
+    consecutive gram hashes select the minimum — rightmost on ties —
+    and fingerprint the document with the distinct selected hashes.
+    Guarantee: any match of at least k+w-1 consecutive tokens between
+    two documents yields at least one SHARED fingerprint, while only
+    ~2/(w+1) of all grams are kept.
+
+    The rightmost-min tie rule is packed into one BIGINT so a single
+    windowed min() implements it exactly: key = h·2^20 + (2^20−1−pos)
+    (40-bit md5-prefix hash, documents bounded at 2^20 grams — 1M
+    tokens; raise the split for longer docs). min(key) picks the
+    smallest hash and, among ties, the LARGEST position. Both engines
+    recover h with integer division, so the selection is replayed
+    bit-for-bit in the oracle.
+
+    Scale shape: gram hashing is a per-row array transform (no
+    shuffle); the windowed min is partitioned by doc_id (bounded by
+    document length); output is the distinct (doc, h) set — the text
+    itself never shuffles.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        # ascending only when size >= k — guaranteed by the filter below
+        F.sequence(F.lit(0), F.size(toks) - F.lit(k)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(toks, i + F.lit(1), k), " ")),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        ),
+    )
+    base = (
+        # at least one FULL window of w grams: n_grams = n−k+1 >= w
+        documents.filter(F.size(toks) >= F.lit(k + w - 1))
+        .select("doc_id", F.explode(grams).alias("t"))
+        .select(
+            "doc_id",
+            F.col("t.pos").alias("pos"),
+            (
+                F.col("t.h") * F.lit(1048576)
+                + (F.lit(1048575) - F.col("t.pos"))
+            ).alias("key"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    return (
+        base.select("doc_id", "pos", F.min("key").over(win).alias("kmin"))
+        .filter(F.col("pos") >= w - 1)
+        .select("doc_id", F.expr("kmin DIV 1048576").alias("h"))
+        .distinct()
+    )
+
+
+def winnow_shared_pairs(
+    documents: DataFrame, k: int = 4, w: int = 5, min_shared: int = 2
+) -> DataFrame:
+    """Cross-document containment report over winnowing fingerprints:
+    pairs sharing at least ``min_shared`` selected hashes, with the
+    shared count — the plagiarism/boilerplate-contamination signal the
+    winnowing guarantee makes sound (a k+w-1-token verbatim overlap
+    CANNOT be missed).
+
+    Scale shape: the join is an equi-join on the fingerprint hash over
+    the WINNOWED set (~2/(w+1) of grams), so join mass is Σdf² over
+    fingerprints, not grams; on skewed corpora drop boilerplate hashes
+    above a df cap first (the max_shingle_df recipe from the Jaccard
+    family) — exactness degrades only for pairs already above every
+    realistic containment threshold.
+    """
+    fps = winnow_fingerprints(documents, k, w)
+    a = fps.select(F.col("doc_id").alias("doc_a"), "h")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("doc_a", "doc_b")
+    )

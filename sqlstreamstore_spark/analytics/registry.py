@@ -1753,6 +1753,40 @@ FROM d ORDER BY key DESC, doc_id LIMIT 100
 """
 
 
+def _winnow_sql(k: int = 4, w: int = 5, min_shared: int = 2) -> str:
+    """Bit-for-bit DuckDB replay of dedup.winnow_shared_pairs: same
+    40-bit md5-prefix gram hash (strpos fold == Spark's conv), same
+    packed rightmost-min key h*2^20 + (2^20-1-pos), same windowed min
+    and integer-division unpack."""
+    gram = f"array_to_string(w[i : i + {k - 1}], ' ')"
+    hexpr = _hexfold(gram, 1, 10)  # first 10 hex chars of md5(gram) = 40 bits
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE len(string_split(text, ' ')) >= {k + w - 1}),
+base AS (
+  SELECT doc_id,
+         unnest(range(1, len(w) - {k} + 2)) - 1 AS pos,
+         unnest(list_transform(range(1, len(w) - {k} + 2),
+                i -> {hexpr})) AS h
+  FROM toks),
+keyed AS (SELECT doc_id, pos,
+                 h * 1048576 + (1048575 - pos) AS key FROM base),
+sel AS (
+  SELECT doc_id, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS kmin
+  FROM keyed),
+fps AS (SELECT DISTINCT doc_id, kmin // 1048576 AS h
+        FROM sel WHERE pos >= {w - 1})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+HAVING count(*) >= {min_shared}
+ORDER BY doc_a, doc_b
+"""
+
+
 def _bloom_sql(m_bits: int = 4096, k: int = 4) -> str:
     """Bit-for-bit DuckDB replay of dedup.bloom_prefilter over the
     planted incoming batch (every-5th doc verbatim = hits; doc_id%5==1
@@ -3247,6 +3281,12 @@ ORDER BY o_orderpriority""",
             _SUBSTRING_SPANS_SQL,
         ),
         "dedup_bloom_prefilter": (_bloom_gate, _BLOOM_PREFILTER_SQL),
+        # MOSS winnowing containment pairs: packed rightmost-min key
+        # makes the selection a single windowed min, replayed exactly
+        "dedup_winnow_pairs": (
+            lambda s, sf: dedup.winnow_shared_pairs(_t(s, sf, "documents")),
+            _winnow_sql(),
+        ),
         "sampling_weighted_aes": (
             lambda s, sf: sampling.weighted_sample_aes(_t(s, sf, "documents")),
             _WEIGHTED_AES_SQL,

@@ -176,3 +176,47 @@ def test_unigram_logprob_matches_python_twin(spark, corpora):
 
 def corpora_tokens(docs):
     return [(d, t.split(" ")) for d, t in docs]
+
+
+def test_winnowing_guarantee_and_python_differential(spark):
+    """The winnowing theorem: a verbatim overlap of k+w-1 tokens (8 at
+    the defaults) between two documents MUST yield a shared
+    fingerprint. Plus a full pure-Python replay (md5 prefix hash,
+    rightmost-min tie rule) on a handcrafted corpus."""
+    import hashlib
+
+    from sqlstreamstore_spark.analytics.dedup import (
+        winnow_fingerprints,
+        winnow_shared_pairs,
+    )
+
+    k, w = 4, 5
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = [
+        (1, "one two three " + shared + " four five six"),
+        (2, "seven eight " + shared + " nine ten eleven twelve"),
+        (3, "completely different words entirely unrelated to both cases here now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b) for r in winnow_shared_pairs(df, k, w, min_shared=1).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+    # pure-python winnowing replay
+    def fps(text):
+        toks = text.split(" ")
+        hs = []
+        for i in range(len(toks) - k + 1):
+            g = " ".join(toks[i : i + k])
+            h = int(hashlib.md5(g.encode()).hexdigest()[:10], 16)
+            hs.append(h * 1048576 + (1048575 - i))
+        out = set()
+        for j in range(w - 1, len(hs)):
+            out.add(min(hs[j - w + 1 : j + 1]) // 1048576)
+        return out
+
+    got = {}
+    for r in winnow_fingerprints(df, k, w).collect():
+        got.setdefault(r.doc_id, set()).add(r.h)
+    for did, text in docs:
+        assert got.get(did, set()) == fps(text), did
