@@ -590,6 +590,29 @@ SELECT doc_id, n_bigrams,
 FROM folded ORDER BY doc_id
 """
 
+_COLLOCATIONS_SQL = """
+WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents
+              WHERE len(string_split(text, ' ')) >= 2),
+bgf AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS prev,
+         unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS cur
+  FROM toks),
+cbg AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb
+        FROM bgf GROUP BY prev, cur),
+cs AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cstart FROM cbg GROUP BY prev),
+ce AS (SELECT cur, CAST(sum(cb) AS BIGINT) AS cend FROM cbg GROUP BY cur),
+nb AS (SELECT CAST(sum(cb) AS BIGINT) AS n_bigrams FROM cbg),
+scored AS (
+  SELECT prev, cur, cb,
+         CAST(cb * n_bigrams AS DOUBLE) / CAST(cstart * cend AS DOUBLE) AS lift
+  FROM cbg JOIN cs USING (prev) JOIN ce USING (cur) CROSS JOIN nb
+  WHERE cb >= 5)
+SELECT prev, cur, cb, round(lift, 9) AS lift, round(ln(lift), 7) AS pmi
+FROM scored
+ORDER BY lift DESC, prev, cur
+LIMIT 30
+"""
+
 _SLIDING_1H_SQL = """
 WITH base AS (
   SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
@@ -3304,6 +3327,12 @@ ORDER BY o_orderpriority""",
         "text_bigram_logprob": (
             lambda s, sf: text.bigram_logprob(_t(s, sf, "documents")),
             _BIGRAM_LOGPROB_SQL,
+        ),
+        # top-k collocations: ranking key is an exact-rational double
+        # (never a libm value), so the cut is engine-stable
+        "text_collocations_pmi": (
+            lambda s, sf: text.collocations_pmi(_t(s, sf, "documents")),
+            _COLLOCATIONS_SQL,
         ),
         "stats_kmv_distinct": (
             lambda s, sf: text.kmv_distinct_ngrams(_t(s, sf, "documents")),

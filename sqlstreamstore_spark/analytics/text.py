@@ -847,3 +847,65 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def collocations_pmi(
+    documents: DataFrame, min_count: int = 5, k: int = 30
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over adjacent
+    token pairs — the classic corpus-exploration signal (which word
+    pairs co-occur far above chance), and the standard input to
+    phrase-merging in tokenizer pipelines ("new york" → one unit).
+
+    PMI is computed in bigram space: with N = total bigrams,
+    c(a,·)/c(·,b) the start/end marginals and c(a,b) the pair count,
+    PMI = ln( c(a,b)·N / (c(a,·)·c(·,b)) ).
+
+    Determinism discipline: the RANKING key is the exact rational
+    c(a,b)·N / (c(a,·)·c(·,b)) evaluated as one correctly-rounded
+    double division of exact integer products (< 2^53) — identical in
+    both engines, so top-k never flips on a libm ulp; ln() is applied
+    once for display and rounded.
+
+    Scale shape: two groupBy partial aggs over bigrams + two marginal
+    aggs (vocab-bounded), equi-joins on single tokens, a 1-row N
+    broadcast, and a global top-k (TakeOrderedAndProject — per-
+    partition heaps, no full sort).
+    """
+    toks = documents.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    bg = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(w, 1, size(w) - 1)"),
+                    F.expr("slice(w, 2, size(w) - 1)"),
+                    lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    )
+    cbg = bg.groupBy("prev", "cur").agg(F.count("*").cast("bigint").alias("cb"))
+    cs = cbg.groupBy("prev").agg(F.sum("cb").cast("bigint").alias("cstart"))
+    ce = cbg.groupBy("cur").agg(F.sum("cb").cast("bigint").alias("cend"))
+    nb = cbg.agg(F.sum("cb").cast("bigint").alias("n_bigrams"))
+    ratio = (F.col("cb") * F.col("n_bigrams")).cast("double") / (
+        F.col("cstart") * F.col("cend")
+    ).cast("double")
+    return (
+        cbg.filter(F.col("cb") >= min_count)
+        .join(cs, "prev")
+        .join(ce, "cur")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "prev",
+            "cur",
+            "cb",
+            ratio.alias("lift"),
+            F.round(F.log(ratio), 7).alias("pmi"),
+        )
+        .orderBy(F.col("lift").desc(), "prev", "cur")
+        .limit(k)
+        .select("prev", "cur", "cb", F.round("lift", 9).alias("lift"), "pmi")
+    )

@@ -376,3 +376,40 @@ def test_bigram_logprob_matches_python_and_is_order_sensitive(spark):
         assert abs(out[did].avg_logprob - exp) < 1e-6, (did, exp)
 
     assert out[1].avg_logprob > out[4].avg_logprob + 0.3
+
+
+def test_collocations_pmi_matches_python(spark):
+    """Full differential vs a pure-Python PMI on a handcrafted corpus;
+    the planted always-adjacent pair must outrank independent fillers."""
+    import math
+
+    from sqlstreamstore_spark.analytics.text import collocations_pmi
+
+    corpus = [
+        (i, "new york " + ("the a of " * 4).strip()) for i in range(1, 6)
+    ] + [(j, "a the of new the york a of the a") for j in range(6, 11)]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = collocations_pmi(docs, min_count=2, k=10).collect()
+
+    grams, cs, ce = {}, {}, {}
+    for _, t in corpus:
+        w = t.split(" ")
+        for p, c in zip(w, w[1:]):
+            grams[(p, c)] = grams.get((p, c), 0) + 1
+    for (p, c), n in grams.items():
+        cs[p] = cs.get(p, 0) + n
+        ce[c] = ce.get(c, 0) + n
+    nb = sum(grams.values())
+    exp = sorted(
+        (
+            ((n * nb) / (cs[p] * ce[c]), p, c, n)
+            for (p, c), n in grams.items()
+            if n >= 2
+        ),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:10]
+    assert [(r.prev, r.cur, r.cb) for r in out] == [(p, c, n) for _, p, c, n in exp]
+    for r, (lift, p, c, n) in zip(out, exp):
+        assert abs(r.pmi - math.log(lift)) < 1e-6
+    # the planted bigram is the top collocation
+    assert (out[0].prev, out[0].cur) == ("new", "york")
