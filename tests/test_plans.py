@@ -614,3 +614,33 @@ def test_quality_gate_no_window_thresholds_broadcast(spark):
     assert "Window" not in tree, tree
     assert "BroadcastHashJoin" in tree, tree
     assert "ObjectHashAggregate" in tree, tree
+
+
+def test_bigram_logprob_no_pair_join_one_scalar_broadcast(spark):
+    """Bigrams come from zipped array slices (no self-join); the only
+    nested-loop is the 1-row vocab broadcast."""
+    from sqlstreamstore_spark.analytics.text import bigram_logprob
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(bigram_logprob(docs))
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    assert tree.count("BroadcastNestedLoopJoin") <= 1, tree
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            raise AssertionError(f"unexpected window: {line}")
+
+
+def test_winnow_window_is_per_doc_join_is_equi(spark):
+    """The winnowing min must run in a doc_id-partitioned window
+    (bounded by document length) and the containment join must be an
+    equi-join on the fingerprint hash — never all-pairs."""
+    from sqlstreamstore_spark.analytics.dedup import winnow_shared_pairs
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(winnow_shared_pairs(docs))
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoopJoin" not in tree, tree
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "doc_id" in line, line

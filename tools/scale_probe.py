@@ -206,6 +206,38 @@ def main() -> int:
         t0 = time.time()
         n = sampling.weighted_sample_aes(docs, k=100).count()
         res["weighted_aes"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        # session-2 round-5 families: per-user RANGE sliding frame (the
+        # one with a real per-entity sort — watch it track events
+        # linearly), per-source quality gate (GK-sketch thresholds,
+        # no sort), bigram LM + PMI (bigram-keyed partial aggs),
+        # winnowing containment (windowed min + fingerprint join),
+        # per-label centroids (|labels|xdim shuffle only).
+        from sqlstreamstore_spark.analytics import events as ev_ops
+
+        t0 = time.time()
+        n = ev_ops.sliding_value_window(events).count()
+        res["sliding_1h"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        n = pipeline.quality_percentile_gate(docs).count()
+        res["quality_gate"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        n = text.bigram_logprob(docs).count()
+        res["bigram_logprob"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        n = text.collocations_pmi(docs).count()
+        res["collocations_pmi"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        n = dedup.winnow_shared_pairs(docs).count()
+        res["winnow_pairs"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        n = similarity.label_centroids(emb).count()
+        res["label_centroids"] = {"rows": n, "s": round(time.time() - t0, 2)}
         return res
 
     out = []
