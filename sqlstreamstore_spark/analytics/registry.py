@@ -1776,6 +1776,19 @@ FROM d ORDER BY key DESC, doc_id LIMIT 100
 """
 
 
+_GROUP_SPLIT_SQL = f"""
+WITH b AS (
+  SELECT event_id, user_id,
+         ({_hexfold("'gsplit:' || CAST(user_id AS VARCHAR)", 1, 4)}) % 65536 AS h
+  FROM events)
+SELECT event_id, user_id,
+       CASE WHEN h < {int(0.8 * 65536)} THEN 'train'
+            WHEN h < {int(0.9 * 65536)} THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY event_id
+"""
+
+
 def _winnow_sql(k: int = 4, w: int = 5, min_shared: int = 2) -> str:
     """Bit-for-bit DuckDB replay of dedup.winnow_shared_pairs: same
     40-bit md5-prefix gram hash (strpos fold == Spark's conv), same
@@ -3309,6 +3322,14 @@ ORDER BY o_orderpriority""",
         "dedup_winnow_pairs": (
             lambda s, sf: dedup.winnow_shared_pairs(_t(s, sf, "documents")),
             _winnow_sql(),
+        ),
+        # leakage-free split: the GROUP key is hashed, never the row —
+        # all of a user's events share a split (GroupShuffleSplit)
+        "sampling_group_split": (
+            lambda s, sf: sampling.group_split(
+                _t(s, sf, "events").select("event_id", "user_id"), "user_id"
+            ).orderBy("event_id"),
+            _GROUP_SPLIT_SQL,
         ),
         "sampling_weighted_aes": (
             lambda s, sf: sampling.weighted_sample_aes(_t(s, sf, "documents")),

@@ -279,3 +279,35 @@ def weighted_sample_aes(documents: DataFrame, k: int = 100) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: tuple[float, float] = (0.8, 0.1),
+    salt: str = "gsplit",
+) -> DataFrame:
+    """Leakage-free train/val/test assignment: hash the GROUP key (user,
+    session, document family), not the row, so EVERY row of a group
+    lands in the same split — the GroupShuffleSplit discipline. A
+    per-row split (hash_split) leaks: a user's behavior appears in both
+    train and test, and the eval overstates generalization.
+
+    ``fractions`` = (train, val); test gets the remainder. The salt
+    namespaces the assignment so re-splitting for a new experiment
+    reshuffles groups deterministically.
+
+    Scale shape: a pure map-side CASE over a content hash — no shuffle,
+    no state, stable under reruns and data growth (a group never flips
+    when OTHER groups arrive; new rows of a known group inherit its
+    split).
+    """
+    b = _hash_bucket(F.concat(F.lit(salt + ":"), F.col(group_col).cast("string")))
+    t_train = int(fractions[0] * 65536)
+    t_val = int((fractions[0] + fractions[1]) * 65536)
+    return df.withColumn(
+        "split",
+        F.when(b < t_train, F.lit("train"))
+        .when(b < t_val, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

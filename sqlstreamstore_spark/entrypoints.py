@@ -514,7 +514,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_bloom_prefilter", "sampling_weighted_aes", "stats_cms_freq",
     "sim_hard_negatives", "sim_label_centroids",
     "events_sliding_1h", "pipeline_quality_gate", "text_bigram_logprob",
-    "dedup_winnow_pairs", "text_collocations_pmi",
+    "dedup_winnow_pairs", "text_collocations_pmi", "sampling_group_split",
     # -- §2-core + regression canaries, inside the cap every round --
     "read_all_forwards", "store_bulk_roundtrip",
     "events_funnel", "dedup_minhash_lsh",

@@ -413,3 +413,35 @@ def test_collocations_pmi_matches_python(spark):
         assert abs(r.pmi - math.log(lift)) < 1e-6
     # the planted bigram is the top collocation
     assert (out[0].prev, out[0].cur) == ("new", "york")
+
+
+def test_group_split_no_leakage_and_stability(spark):
+    """Every group lands in exactly ONE split; assignments are stable
+    when other groups arrive (incremental-arrival property); fractions
+    land near the targets."""
+    from sqlstreamstore_spark.analytics.sampling import group_split
+
+    ev = spark.range(10_000).select(
+        F.col("id").alias("event_id"), (F.col("id") % 1000).alias("user_id")
+    )
+    out = group_split(ev, "user_id")
+    leaks = (
+        out.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert leaks == 0
+    # stability: assignment of the kept half is identical when the
+    # other half of the groups is absent
+    half = ev.filter(F.col("user_id") % 2 == 0)
+    full_map = {r.user_id: r.split for r in out.select("user_id", "split").distinct().collect()}
+    half_map = {
+        r.user_id: r.split
+        for r in group_split(half, "user_id").select("user_id", "split").distinct().collect()
+    }
+    assert all(full_map[u] == s for u, s in half_map.items())
+    fr = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(fr.values())
+    assert 0.6 < fr.get("train", 0) / total < 0.95
+    assert fr.get("val", 0) > 0 and fr.get("test", 0) > 0
