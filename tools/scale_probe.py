@@ -215,9 +215,14 @@ def main() -> int:
         # per-label centroids (|labels|xdim shuffle only).
         from sqlstreamstore_spark.analytics import events as ev_ops
 
+        # force the window/agg columns: a bare count() would let Catalyst
+        # prune the WindowExec (and time nothing)
         t0 = time.time()
-        n = ev_ops.sliding_value_window(events).count()
-        res["sliding_1h"] = {"rows": n, "s": round(time.time() - t0, 2)}
+        sv = ev_ops.sliding_value_window(events)
+        row = sv.agg(
+            F.count("*").alias("n"), F.sum("sum_window").alias("chk")
+        ).collect()[0]
+        res["sliding_1h"] = {"rows": row.n, "s": round(time.time() - t0, 2)}
 
         t0 = time.time()
         n = pipeline.quality_percentile_gate(docs).count()
@@ -236,8 +241,11 @@ def main() -> int:
         res["winnow_pairs"] = {"rows": n, "s": round(time.time() - t0, 2)}
 
         t0 = time.time()
-        n = similarity.label_centroids(emb).count()
-        res["label_centroids"] = {"rows": n, "s": round(time.time() - t0, 2)}
+        lc = similarity.label_centroids(emb)
+        row = lc.agg(
+            F.count("*").alias("n"), F.sum("mean_cos_to_centroid").alias("chk")
+        ).collect()[0]
+        res["label_centroids"] = {"rows": row.n, "s": round(time.time() - t0, 2)}
         return res
 
     out = []
