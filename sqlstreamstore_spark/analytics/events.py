@@ -285,7 +285,9 @@ def sliding_value_window(events: DataFrame, minutes: int = 60) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    base = events.select(
+    base = events.filter(F.col("ts").isNotNull()).select(
+        # NULL ts rows are dropped, not sorted: Spark windows put NULLS
+        # FIRST, DuckDB LAST — frame membership would silently diverge
         "event_id",
         "user_id",
         F.unix_micros(F.col("ts")).alias("ts_us"),

@@ -310,7 +310,12 @@ def quality_percentile_gate(
     score = F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast(
         "double"
     )
-    scored = docs.select("doc_id", "source", score.alias("score"))
+    # NULL-text rows carry no score: drop them BEFORE the quantile so
+    # the sketch's N matches a rank-selection replay (which would
+    # otherwise count NULL rows into ceil(q*N))
+    scored = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", "source", score.alias("score")
+    )
     thr = scored.groupBy("source").agg(
         F.percentile_approx("score", F.lit(float(q)), F.lit(accuracy)).alias(
             "threshold"

@@ -617,7 +617,7 @@ _SLIDING_1H_SQL = """
 WITH base AS (
   SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
          CAST(value AS DECIMAL(12,2)) AS v
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT event_id, user_id,
        CAST(count(*) OVER w AS BIGINT) AS n_window,
@@ -633,7 +633,7 @@ WITH scored AS (
   SELECT doc_id, source,
          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
            / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 counts AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt
            FROM scored GROUP BY source),

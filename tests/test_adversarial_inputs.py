@@ -114,3 +114,52 @@ def test_embedding_dedup_keepers_zero_and_dup_vectors(adv_emb):
     assert rows == {0: 0, 1: 1, 2: 1}
     rep = similarity.embedding_lsh_recall(adv_emb, 0.1).collect()[0]
     assert (rep.n_exact, rep.n_hit) == (1, 1) and rep.recall == 1.0
+
+
+@pytest.mark.parametrize(
+    "name,build",
+    [
+        ("substring_spans", lambda d: dedup.substring_dup_spans(d)),
+        ("winnow_pairs", lambda d: dedup.winnow_shared_pairs(d, min_shared=1)),
+        ("bigram_logprob", lambda d: text.bigram_logprob(d)),
+        ("unigram_logprob", lambda d: text.unigram_logprob(d)),
+        ("collocations", lambda d: text.collocations_pmi(d, min_count=1)),
+        ("quality_gate", lambda d: pipeline.quality_percentile_gate(d)),
+        ("group_split", lambda d: sampling.group_split(d, "source")),
+    ],
+)
+def test_round5_operators_tolerate_edge_rows(adv_docs, name, build):
+    """Empty/single-token/duplicate/unicode rows plus a NULL-text row
+    must not raise under ANSI and must not leak NULL rows into scores."""
+    docs = adv_docs.union(
+        adv_docs.sparkSession.createDataFrame(
+            [(99, None, "en", "web", 0)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+    rows = build(docs).collect()  # must not raise
+    if name != "group_split":  # assignment ops pass every row through
+        for r in rows:
+            if hasattr(r, "doc_id"):
+                assert r.doc_id != 99
+
+
+def test_sliding_window_drops_null_ts(spark):
+    """NULL-ts events are excluded entirely (Spark and DuckDB disagree
+    on NULL placement in window ORDER BY, so they must never enter a
+    frame)."""
+    import datetime as dt
+
+    from sqlstreamstore_spark.analytics.events import sliding_value_window
+
+    rows = [
+        (1, 7, "a", dt.datetime(2024, 1, 1, 0, 0, 0), 1.0),
+        (2, 7, "a", None, 100.0),
+        (3, 7, "a", dt.datetime(2024, 1, 1, 0, 30, 0), 2.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    out = {r.event_id: r for r in sliding_value_window(ev).collect()}
+    assert set(out) == {1, 3}
+    assert (out[3].n_window, out[3].sum_window) == (2, 3.0)
