@@ -327,3 +327,92 @@ def quality_percentile_gate(
         .select("doc_id", "source", "score", "threshold")
         .orderBy("doc_id")
     )
+
+
+def quantile_normalize_scores(docs: DataFrame) -> DataFrame:
+    """Cross-source score CALIBRATION by quantile normalization: map
+    each document's per-source quantile position onto the POOLED score
+    distribution, so "calibrated >= t" means the same thing in every
+    domain — the fix for the per-domain distribution shift that makes a
+    single global threshold over-prune some sources and under-prune
+    others (quality_percentile_gate solves the same problem by moving
+    the threshold; this one moves the SCORES, so downstream consumers
+    keep one threshold).
+
+        calibrated(doc) = pooled value at rank ceil(((r_s − 0.5)/N_s)·N_p)
+
+    with r_s the doc's rank within its source (score, then doc_id — a
+    deterministic tie-break), N_s the source size, N_p the pooled count.
+    All rank arithmetic is exact-integer-in-double (< 2^53), so both
+    engines compute identical ranks; calibrated values are members of
+    the pooled score set — the gate hash-matches with NO rounding.
+
+    Scale shape — no single-partition window anywhere:
+      1. per-source rank: window partitioned by source;
+      2. pooled rank→value table: per-VALUE counts + the two-phase
+         global cumsum (distinct-value cardinality, the ks_drift rule);
+      3. the rank lookup (first pooled value with cum >= k) is the
+         global as-of: one union + ``with_global_last_carry`` over the
+         DESCENDING axis — range partition + broadcast prefix fills,
+         never a funnel. The collects ship one row per partition.
+    """
+    from sqlstreamstore_spark.operators.positions import (
+        with_global_cumsum,
+        with_global_last_carry,
+    )
+
+    toks = F.split(F.col("text"), " ")
+    score = F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast(
+        "double"
+    )
+    scored = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", "source", score.alias("score")
+    )
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    sizes = scored.groupBy("source").agg(F.count("*").cast("long").alias("ns"))
+    npool = scored.agg(F.count("*").cast("long").alias("npool"))
+    ranked = (
+        scored.withColumn("r", F.row_number().over(w))
+        .join(F.broadcast(sizes), "source")
+        .crossJoin(F.broadcast(npool))
+    )
+    k = F.ceil(
+        (
+            (F.col("r").cast("double") - F.lit(0.5))
+            / F.col("ns").cast("double")
+        )
+        * F.col("npool").cast("double")
+    ).cast("long")
+    queries = ranked.select(
+        "doc_id",
+        "source",
+        "score",
+        k.alias("axis"),
+        F.lit(None).cast("double").alias("bval"),
+        F.lit(1).alias("isq"),
+    )
+    pv = scored.groupBy("score").agg(F.count("*").cast("long").alias("c"))
+    cum = with_global_cumsum(pv, ["score"], "c", "cum")
+    bounds = cum.select(
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("double").alias("score"),
+        F.col("cum").alias("axis"),
+        F.col("score").alias("bval"),
+        F.lit(0).alias("isq"),
+    )
+    # DESCENDING axis walk: each query carries the nearest boundary with
+    # cum >= k; at equal axis the boundary sorts first (isq asc) so a
+    # query at k == cum picks it (the interval [cum−c+1, cum] is
+    # inclusive on the right).
+    carried = with_global_last_carry(
+        queries.unionByName(bounds),
+        [(F.col("axis"), False), (F.col("isq"), True)],
+        "bval",
+        out_col="calibrated",
+    )
+    return (
+        carried.filter(F.col("isq") == 1)
+        .select("doc_id", "source", "score", "calibrated")
+        .orderBy("doc_id")
+    )

@@ -590,6 +590,34 @@ SELECT doc_id, n_bigrams,
 FROM folded ORDER BY doc_id
 """
 
+_QNORM_SQL = """
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+  FROM documents WHERE text IS NOT NULL
+),
+ranked AS (
+  SELECT doc_id, source, score,
+         row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS r,
+         count(*) OVER (PARTITION BY source) AS ns,
+         count(*) OVER () AS npool
+  FROM scored),
+q AS (
+  SELECT doc_id, source, score,
+         CAST(ceil(((CAST(r AS DOUBLE) - 0.5) / CAST(ns AS DOUBLE))
+                   * CAST(npool AS DOUBLE)) AS BIGINT) AS k
+  FROM ranked),
+pv AS (SELECT score AS v, CAST(count(*) AS BIGINT) AS c
+       FROM scored GROUP BY score),
+cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS cum
+        FROM pv)
+SELECT q.doc_id, q.source, q.score,
+       (SELECT min(v) FROM cum WHERE cum.cum >= q.k) AS calibrated
+FROM q ORDER BY q.doc_id
+"""
+
 _COLLOCATIONS_SQL = """
 WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents
               WHERE len(string_split(text, ' ')) >= 2),
@@ -3420,6 +3448,16 @@ ORDER BY o_orderpriority""",
                 _t(s, sf, "documents"), q=0.5, accuracy=1_000_000
             ),
             _QUALITY_GATE_SQL,
+        ),
+        # quantile normalization: rank arithmetic is exact-int-in-double
+        # and calibrated values are members of the pooled score set —
+        # hash-exact, no rounding; the rank lookup is the global as-of
+        # (two-phase last-carry, no single-partition window)
+        "pipeline_quantile_normalize": (
+            lambda s, sf: pipeline.quantile_normalize_scores(
+                _t(s, sf, "documents")
+            ),
+            _QNORM_SQL,
         ),
         "text_vocabulary": (
             lambda s, sf: text.corpus_vocabulary(_t(s, sf, "documents")),

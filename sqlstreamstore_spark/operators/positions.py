@@ -200,3 +200,74 @@ def dense_global_index_pinned(
         .drop("__pid")
     )
     return out, parted
+
+
+def with_global_last_carry(
+    df: DataFrame,
+    order_specs: list[tuple[Column, bool]],
+    carry_col: str,
+    out_col: str = "carried",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-row LAST non-null ``carry_col`` over the global order given
+    by ``order_specs`` — ``(column, ascending)`` pairs — inclusive of
+    the current row: the global as-of / gap-fill primitive, without a
+    single-partition window. Same two-phase shape as
+    ``with_global_cumsum``: range partition + in-partition
+    last(ignorenulls); a row whose partition holds no earlier non-null
+    takes the nearest PRECEDING partition's final carried value, shipped
+    back as a broadcast ``__pid → value`` map (one small collect of at
+    most one row per partition, never the data).
+
+    Order columns must be NUMERIC and non-null: the per-partition final
+    carry is extracted with max_by over a struct, and a descending spec
+    is realized by negating the column inside it (structs can't hold
+    SortOrder expressions). Pass a descending axis to carry the NEXT
+    value instead of the previous one.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    order_cols = [c.asc() if asc else c.desc() for c, asc in order_specs]
+    parted = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    # deterministic per-partition FINAL non-null carry: max_by over the
+    # (sign-adjusted) order tuple among non-null rows — agg-order-
+    # independent, unlike a bare last() in an aggregate
+    order_tuple = F.struct(*[(c if asc else -c) for c, asc in order_specs])
+    finals = {
+        r["__pid"]: r["v"]
+        for r in parted.filter(F.col(carry_col).isNotNull())
+        .groupBy("__pid")
+        .agg(F.max_by(F.col(carry_col), order_tuple).alias("v"))
+        .collect()
+    }
+    fills: dict[int, object] = {}
+    last_seen = None
+    for pid in range(parted.rdd.getNumPartitions()):
+        fills[pid] = last_seen
+        if finals.get(pid) is not None:
+            last_seen = finals[pid]
+    fill_pairs = [x for pid, v in fills.items() if v is not None for x in (pid, v)]
+    fill_expr = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for x in fill_pairs]), F.col("__pid")
+        )
+        if fill_pairs
+        else F.lit(None)
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parted.withColumn(
+            out_col,
+            F.coalesce(F.last(F.col(carry_col), ignorenulls=True).over(w), fill_expr),
+        )
+        .drop("__pid")
+    )

@@ -445,3 +445,38 @@ def test_group_split_no_leakage_and_stability(spark):
     total = sum(fr.values())
     assert 0.6 < fr.get("train", 0) / total < 0.95
     assert fr.get("val", 0) > 0 and fr.get("test", 0) > 0
+
+
+def test_quantile_normalize_python_differential(spark):
+    """Full pure-Python replay of the calibration on the fixture: per-
+    source rank → pooled value at ceil(((r-0.5)/Ns)*Np); plus the
+    structural properties (calibrated ⊆ pooled scores, monotone within
+    source)."""
+    import math
+
+    from sqlstreamstore_spark.analytics.pipeline import quantile_normalize_scores
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = {r.doc_id: r for r in quantile_normalize_scores(docs).collect()}
+    rows = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", "source", "text"
+    ).collect()
+    scored = [
+        (r.doc_id, r.source, len(set(r.text.split(" "))) / len(r.text.split(" ")))
+        for r in rows
+    ]
+    pooled = sorted(s for _, _, s in scored)
+    by_src = {}
+    for d, src, s in scored:
+        by_src.setdefault(src, []).append((s, d))
+    for src, pairs in by_src.items():
+        pairs.sort()
+        ns = len(pairs)
+        for r0, (s, d) in enumerate(pairs, start=1):
+            k = math.ceil(((r0 - 0.5) / ns) * len(pooled))
+            exp = pooled[k - 1]
+            got = out[d]
+            assert got.score == s and got.calibrated == exp, (d, got, exp)
+    cal = {r.calibrated for r in out.values()}
+    assert cal <= set(pooled)

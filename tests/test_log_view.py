@@ -47,3 +47,60 @@ def test_global_index_strategies_agree(spark):
     am = {r["event_id"]: r["position"] for r in a.collect()}
     bm = {r["event_id"]: r["position"] for r in b.collect()}
     assert am == bm
+
+
+def test_with_global_last_carry_matches_single_partition_reference(spark):
+    """The two-phase last-carry equals the naive single-partition window
+    on a randomized mixed stream of boundary/query rows — including
+    partitions that contain no boundary at all (prefix fill path)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.operators.positions import with_global_last_carry
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(500):
+        axis = rng.randrange(10_000)
+        is_b = rng.random() < 0.05  # sparse boundaries => empty partitions
+        rows.append((i, axis, float(axis) if is_b else None))
+    df = spark.createDataFrame(rows, "rid long, axis long, bval double")
+
+    got = {
+        r.rid: r.carried
+        for r in with_global_last_carry(
+            df, [(F.col("axis"), True), (F.col("rid"), True)], "bval"
+        ).collect()
+    }
+    w = (
+        Window.orderBy("axis", "rid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = {
+        r.rid: r.c
+        for r in df.withColumn(
+            "c", F.last("bval", ignorenulls=True).over(w)
+        ).collect()
+    }
+    assert got == ref
+
+    # descending walk (the NEXT-boundary form)
+    got_d = {
+        r.rid: r.carried
+        for r in with_global_last_carry(
+            df, [(F.col("axis"), False), (F.col("rid"), False)], "bval"
+        ).collect()
+    }
+    wd = (
+        Window.orderBy(F.col("axis").desc(), F.col("rid").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref_d = {
+        r.rid: r.c
+        for r in df.withColumn(
+            "c", F.last("bval", ignorenulls=True).over(wd)
+        ).collect()
+    }
+    assert got_d == ref_d

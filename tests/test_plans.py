@@ -644,3 +644,19 @@ def test_winnow_window_is_per_doc_join_is_equi(spark):
     for line in p.splitlines():
         if "windowspecdefinition(" in line:
             assert "doc_id" in line, line
+
+
+def test_quantile_normalize_no_global_window(spark):
+    """Every window in the calibration plan must be partitioned (by
+    source or by the two-phase __pid) — an unpartitioned window would be
+    the single-partition funnel the two-phase primitives exist to
+    avoid."""
+    from sqlstreamstore_spark.analytics.pipeline import quantile_normalize_scores
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(quantile_normalize_scores(docs))
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            assert ("source" in line) or ("__pid" in line), line
