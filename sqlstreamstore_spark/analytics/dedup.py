@@ -878,3 +878,62 @@ def winnow_shared_pairs(
         .filter(F.col("n_shared") >= min_shared)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """DIRECTIONAL near-dup: ordered pairs where shingle-set containment
+    |A∩B| / |A| >= threshold — "document A is mostly inside B". Jaccard
+    misses exactly this case (a quote or boilerplate block embedded in a
+    much longer document scores low symmetric similarity but ~1.0
+    containment), which is why dedup pipelines run both: Jaccard for
+    twins, containment for subsets.
+
+    Output: (doc_sub, doc_sup, n_inter, n_sub, containment), both
+    directions of a pair emitted independently when they qualify.
+    Containment is an exact int/int division — bit-identical in the
+    oracle. Same scale shape as ngram_jaccard_pairs (shingle equi-join,
+    never all-pairs); ``max_shingle_df`` drops boilerplate shingles on
+    skewed corpora.
+    """
+    sh = documents.select(
+        "doc_id", F.explode(_shingles(F.col("text"), n)).alias("s")
+    ).localCheckpoint()
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("s").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("s")
+        )
+        sh = sh.join(rare, "s")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_sub"), F.col("b.doc_id").alias("doc_sup")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    cont = F.col("n_inter").cast("double") / F.col("n_sh").cast("double")
+    return (
+        inter.join(sizes, inter.doc_sub == sizes.doc_id)
+        .select(
+            "doc_sub",
+            "doc_sup",
+            "n_inter",
+            F.col("n_sh").alias("n_sub"),
+            cont.alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .orderBy("doc_sub", "doc_sup")
+    )

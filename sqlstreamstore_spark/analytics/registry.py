@@ -590,6 +590,28 @@ SELECT doc_id, n_bigrams,
 FROM folded ORDER BY doc_id
 """
 
+_CONTAINMENT_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE len(string_split(text, ' ')) >= 3),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+  FROM toks),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+          FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY doc_sub, doc_sup)
+SELECT doc_sub, doc_sup, n_inter, n_sh AS n_sub,
+       CAST(n_inter AS DOUBLE) / CAST(n_sh AS DOUBLE) AS containment
+FROM inter JOIN sizes ON inter.doc_sub = sizes.doc_id
+WHERE CAST(n_inter AS DOUBLE) / CAST(n_sh AS DOUBLE) >= 0.5
+ORDER BY doc_sub, doc_sup
+"""
+
 _QNORM_SQL = """
 WITH scored AS (
   SELECT doc_id, source,
@@ -3350,6 +3372,14 @@ ORDER BY o_orderpriority""",
         "dedup_winnow_pairs": (
             lambda s, sf: dedup.winnow_shared_pairs(_t(s, sf, "documents")),
             _winnow_sql(),
+        ),
+        # directional subset detection: |A∩B|/|A| — the quote/boilerplate
+        # case symmetric Jaccard scores low; exact int/int division
+        "dedup_containment": (
+            lambda s, sf: dedup.containment_pairs(
+                _t(s, sf, "documents"), threshold=0.5
+            ),
+            _CONTAINMENT_SQL,
         ),
         # leakage-free split: the GROUP key is hashed, never the row —
         # all of a user's events share a split (GroupShuffleSplit)

@@ -220,3 +220,26 @@ def test_winnowing_guarantee_and_python_differential(spark):
         got.setdefault(r.doc_id, set()).add(r.h)
     for did, text in docs:
         assert got.get(did, set()) == fps(text), did
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short quote embedded verbatim in a long document: containment
+    of the quote is 1.0 while symmetric Jaccard is far below any
+    dedup threshold — the directional operator's reason to exist."""
+    from sqlstreamstore_spark.analytics.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler.upper())],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.doc_sub, r.doc_sup): r.containment
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert cont == {(1, 2): 1.0}
+    assert ngram_jaccard_pairs(docs, threshold=0.2).count() == 0
