@@ -590,6 +590,37 @@ SELECT doc_id, n_bigrams,
 FROM folded ORDER BY doc_id
 """
 
+_BM25_SQL = """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE text IS NOT NULL),
+lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len_d FROM base),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len_d) AS BIGINT) AS total_len FROM lens),
+tok AS (SELECT doc_id, unnest(w) AS t FROM base),
+tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok
+       WHERE t IN ('spark', 'table', 'merge') GROUP BY doc_id, t),
+dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+terms AS (
+  SELECT tf.doc_id,
+         list_sort(list({'df': df, 'tf': tf})) AS ts,
+         CAST(count(*) AS BIGINT) AS n_terms_matched
+  FROM tf JOIN dfreq USING (t) GROUP BY tf.doc_id),
+folded AS (
+  SELECT terms.doc_id, n_terms_matched,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(ts, x ->
+             ln(1.0 + ((CAST(n_docs AS DOUBLE) - CAST(x.df AS DOUBLE) + 0.5)
+                       / (CAST(x.df AS DOUBLE) + 0.5)))
+             * (CAST(x.tf AS DOUBLE) * 2.2)
+             / (CAST(x.tf AS DOUBLE)
+                + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len_d AS DOUBLE)
+                          / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))),
+           (a, x) -> a + x) AS s
+  FROM terms JOIN lens ON terms.doc_id = lens.doc_id CROSS JOIN stats)
+SELECT doc_id, n_terms_matched, round(s, 6) AS bm25
+FROM folded ORDER BY doc_id
+"""
+
 _CONTAINMENT_SQL = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
               WHERE len(string_split(text, ' ')) >= 3),
@@ -3406,6 +3437,12 @@ ORDER BY o_orderpriority""",
         "text_bigram_logprob": (
             lambda s, sf: text.bigram_logprob(_t(s, sf, "documents")),
             _BIGRAM_LOGPROB_SQL,
+        ),
+        # BM25 lexical retrieval vs a literal query; full scored set
+        # ordered by doc_id (a top-k on a libm value could ulp-flip)
+        "text_bm25_scores": (
+            lambda s, sf: text.bm25_scores(_t(s, sf, "documents")),
+            _BM25_SQL,
         ),
         # top-k collocations: ranking key is an exact-rational double
         # (never a libm value), so the cut is engine-stable

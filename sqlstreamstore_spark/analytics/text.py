@@ -909,3 +909,78 @@ def collocations_pmi(
         .limit(k)
         .select("prev", "cur", "cb", F.round("lift", 9).alias("lift"), "pmi")
     )
+
+
+def bm25_scores(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = ("spark", "table", "merge"),
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every matching document against a literal
+    query — the lexical-retrieval scorer (Robertson/Spärck Jones
+    probabilistic model, the BM25+ idf form ln(1 + (N−df+0.5)/(df+0.5))
+    so scores stay positive). Output is EVERY matched doc ordered by
+    doc_id, not a top-k: the score passes through ln(), and a top-k cut
+    on a libm value could flip between engines on the last ulp — the
+    cut belongs to the consumer (or re-rank rounded scores).
+
+    Float discipline: idf inputs are exact integers ±0.5 (exact in
+    binary64); the tf saturation term is IEEE-deterministic arithmetic
+    on exact ints and literals; the per-doc fold walks a SORTED
+    integer-struct array (the unigram_logprob discipline); round() on
+    both engines absorbs libm ulps.
+
+    Scale shape: the token explode filters to the query terms BEFORE
+    any shuffle (a |terms|-size isin — the inverted-index probe, not a
+    corpus scan per term); df and corpus stats are 1-row/|terms|-row
+    broadcasts; per-doc state is bounded by |query_terms|.
+    """
+    toks = F.split(F.col("text"), " ")
+    base = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", toks.alias("w")
+    )
+    lens = base.select("doc_id", F.size("w").cast("bigint").alias("len_d"))
+    stats = lens.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("len_d").cast("bigint").alias("total_len"),
+    )
+    tok = base.select("doc_id", F.explode("w").alias("t")).filter(
+        F.col("t").isin(list(query_terms))
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count("*").cast("bigint").alias("df"))
+    terms = (
+        tf.join(F.broadcast(dfreq), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "tf"))).alias("ts"),
+            F.count("*").cast("bigint").alias("n_terms_matched"),
+        )
+    )
+    joined = terms.join(lens, "doc_id").crossJoin(F.broadcast(stats))
+    avg_len = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    denom_add = F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("len_d").cast("double") / avg_len
+    )
+    score = F.aggregate(
+        F.transform(
+            F.col("ts"),
+            lambda t: F.log(
+                F.lit(1.0)
+                + (
+                    (F.col("n_docs").cast("double") - t["df"].cast("double") + F.lit(0.5))
+                    / (t["df"].cast("double") + F.lit(0.5))
+                )
+            )
+            * (t["tf"].cast("double") * F.lit(k1 + 1.0))
+            / (t["tf"].cast("double") + denom_add),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return joined.select(
+        "doc_id",
+        "n_terms_matched",
+        F.round(score, 6).alias("bm25"),
+    ).orderBy("doc_id")

@@ -480,3 +480,34 @@ def test_quantile_normalize_python_differential(spark):
             assert got.score == s and got.calibrated == exp, (d, got, exp)
     cal = {r.calibrated for r in out.values()}
     assert cal <= set(pooled)
+
+
+def test_bm25_matches_python_and_ranks_relevance(spark):
+    """Pure-Python BM25 replay on a handcrafted corpus; a doc saturated
+    with a rare query term must outscore one with a single mention, and
+    longer docs are length-penalized at equal tf."""
+    import math
+
+    from sqlstreamstore_spark.analytics.text import bm25_scores
+
+    corpus = [
+        (1, "cat cat cat dog"),                      # tf-rich
+        (2, "cat filler filler filler"),             # single mention
+        (3, "cat " + " ".join(["pad"] * 39)),        # long doc, tf=1
+        (4, "dog dog bird"),                         # no query term hit for 'cat' only
+        (5, "bird bird bird"),                       # no match at all
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {r.doc_id: r for r in bm25_scores(docs, query_terms=("cat",)).collect()}
+    assert set(out) == {1, 2, 3}
+
+    k1, b = 1.2, 0.75
+    lens = {d: len(t.split(" ")) for d, t in corpus}
+    n_docs, total = len(corpus), sum(lens.values())
+    avg = total / n_docs
+    dfq = 3  # docs containing 'cat'
+    idf = math.log(1.0 + (n_docs - dfq + 0.5) / (dfq + 0.5))
+    for d, tf in ((1, 3), (2, 1), (3, 1)):
+        exp = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * lens[d] / avg))
+        assert abs(out[d].bm25 - round(exp, 6)) < 1e-6, (d, exp)
+    assert out[1].bm25 > out[2].bm25 > out[3].bm25
