@@ -246,6 +246,26 @@ def main() -> int:
             F.count("*").alias("n"), F.sum("mean_cos_to_centroid").alias("chk")
         ).collect()[0]
         res["label_centroids"] = {"rows": row.n, "s": round(time.time() - t0, 2)}
+
+        # late round-5: quantile normalization (two-phase cumsum +
+        # two-phase last-carry — the global as-of, the family's deepest
+        # composition), directional containment (shingle equi-join),
+        # BM25 (inverted-index probe: term filter before any shuffle)
+        t0 = time.time()
+        qn = pipeline.quantile_normalize_scores(docs)
+        row = qn.agg(
+            F.count("*").alias("n"), F.sum("calibrated").alias("chk")
+        ).collect()[0]
+        res["quantile_normalize"] = {"rows": row.n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        n = dedup.containment_pairs(docs, threshold=0.5).count()
+        res["containment_pairs"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        bm = text.bm25_scores(docs)
+        row = bm.agg(F.count("*").alias("n"), F.sum("bm25").alias("chk")).collect()[0]
+        res["bm25_scores"] = {"rows": row.n, "s": round(time.time() - t0, 2)}
         return res
 
     out = []
