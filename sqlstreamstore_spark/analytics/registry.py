@@ -2042,6 +2042,60 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM hs) AS n_exact,
 FROM est
 """
 
+# HyperLogLog replay: same md5 split (2 hex chars → register, 12 hex
+# chars → 48-bit tail), same string-only first-1-bit rank (no log2,
+# no bit intrinsics), same exact-integer Z·2^49, same literal-constant
+# estimate chain — bit-identical IEEE doubles, zero tolerance.
+_HLL_SQL = """
+WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+  FROM toks WHERE len(w) >= 3
+),
+hx AS (SELECT md5(s) AS h FROM sh),
+rr AS (
+  SELECT CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(substr(h, 1, 2), ''),
+             c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           (a, x) -> a * 16 + x) AS INTEGER) AS reg,
+         regexp_replace(substr(h, 3, 12), '^0+', '') AS stripped
+  FROM hx
+),
+regs AS (
+  SELECT reg,
+         max(CASE WHEN length(stripped) = 0 THEN 49
+                  ELSE 49 - ((length(stripped) - 1) * 4 +
+                             CASE WHEN substr(stripped, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 4
+                                  WHEN substr(stripped, 1, 1) IN ('4','5','6','7') THEN 3
+                                  WHEN substr(stripped, 1, 1) IN ('2','3') THEN 2
+                                  ELSE 1 END)
+             END) AS rho
+  FROM rr GROUP BY reg
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hit,
+         CAST(sum(CAST(1 AS BIGINT) << (49 - rho)) AS BIGINT) AS z_hit
+  FROM regs
+),
+est AS (
+  SELECT n_hit,
+         z_hit + (CAST(256 AS BIGINT) - n_hit) * (CAST(1 AS BIGINT) << 49) AS z_scaled
+  FROM agg
+)
+SELECT (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM sh) AS n_exact,
+       CAST(256 AS BIGINT) AS m,
+       n_hit,
+       z_scaled,
+       (0.7213 / (1.0 + 1.079 / 256)) * 65536.0 * 562949953421312.0
+         / CAST(z_scaled AS DOUBLE) AS hll_estimate,
+       ((0.7213 / (1.0 + 1.079 / 256)) * 65536.0 * 562949953421312.0
+         / CAST(z_scaled AS DOUBLE)
+        - (SELECT CAST(count(DISTINCT s) AS DOUBLE) FROM sh))
+         / (SELECT CAST(count(DISTINCT s) AS DOUBLE) FROM sh) AS rel_err
+FROM est
+"""
+
 _KMV_BY_SOURCE_SQL = """
 WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
 hs AS (
@@ -3457,6 +3511,14 @@ ORDER BY o_orderpriority""",
         "stats_kmv_by_source": (
             lambda s, sf: text.kmv_distinct_ngrams_by_source(_t(s, sf, "documents")),
             _KMV_BY_SOURCE_SQL,
+        ),
+        # HyperLogLog cardinality sketch (fixed 256-register file,
+        # merge-by-max) next to the exact count it estimates; the
+        # whole estimate chain is exact-integer + literal-constant
+        # IEEE arithmetic, so it hash-matches with zero tolerance
+        "stats_hll_distinct": (
+            lambda s, sf: text.hll_distinct_ngrams(_t(s, sf, "documents")),
+            _HLL_SQL,
         ),
         "events_daily_anomaly": (
             lambda s, sf: events.daily_anomaly(_t(s, sf, "events")),

@@ -191,3 +191,101 @@ def test_weighted_aes_is_a_take_ordered_not_a_window(spark):
     plan = weighted_sample_aes(docs, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+# ------------------------------------------------------------ HyperLogLog
+
+
+def _hll_py(values):
+    """Pure-Python HLL twin: same md5 split, same string-free rho."""
+    regs = {}
+    for v in values:
+        h = hashlib.md5(v.encode()).hexdigest()
+        reg = int(h[:2], 16)
+        tail = int(h[2:14], 16)
+        rho = 49 if tail == 0 else 49 - tail.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    z_scaled = sum(1 << (49 - r) for r in regs.values()) + (256 - len(regs)) * (
+        1 << 49
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / 256)
+    return alpha * 65536.0 * float(1 << 49) / float(z_scaled)
+
+
+def test_hll_rho_matches_bit_length_on_every_leading_pattern(spark):
+    """The string-only rho (hex-strip + leading-digit CASE) must equal
+    the arithmetic 49 - bit_length for tails exercising every leading
+    hex digit class and the all-zero corner."""
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.analytics.text import _hll_rho
+
+    tails = [
+        "000000000000",  # rho 49
+        "000000000001",  # rho 48
+        "100000000000",  # leading digit 1 → rho 4
+        "800000000000",  # leading digit 8 → rho 1
+        "400000000000",
+        "200000000000",
+        "0fffffffffff",
+        "03b000000000",
+        "021000000000",
+        "000700000000",
+    ]
+    df = spark.createDataFrame([(t,) for t in tails], "tail string")
+    got = {
+        r.tail: r.rho
+        for r in df.select("tail", _hll_rho(F.col("tail")).alias("rho")).collect()
+    }
+    for t in tails:
+        v = int(t, 16)
+        expect = 49 if v == 0 else 49 - v.bit_length()
+        assert got[t] == expect, t
+
+
+def test_hll_matches_python_twin_and_error_bound(spark):
+    from sqlstreamstore_spark.analytics.text import hll_estimate, hll_registers
+
+    vals = [f"item-{i}" for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    row = hll_estimate(hll_registers(df)).collect()[0]
+    assert row.hll_estimate == pytest.approx(_hll_py(vals), abs=0.0)
+    # 3 sigma at m=256: 3 * 1.04 / 16 = 19.5 %
+    assert abs(row.hll_estimate - 5000) / 5000 < 0.195
+
+
+def test_hll_merge_equals_recompute(spark):
+    """Register files of disjoint halves merged by union+max must give
+    the whole-corpus estimate exactly — the 100 TB rollup property."""
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.analytics.text import hll_estimate, hll_registers
+
+    vals = [f"doc-{i}" for i in range(4000)]
+    df_a = spark.createDataFrame([(v,) for v in vals[:2000]], "s string")
+    df_b = spark.createDataFrame([(v,) for v in vals[2000:]], "s string")
+    merged = (
+        hll_registers(df_a)
+        .unionByName(hll_registers(df_b))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    whole = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = hll_estimate(merged).collect()[0]
+    want = hll_estimate(hll_registers(whole)).collect()[0]
+    assert got.z_scaled == want.z_scaled
+    assert got.hll_estimate == want.hll_estimate
+
+
+def test_hll_duplicates_do_not_move_the_estimate(spark):
+    """HLL counts distincts: replicating every item 5x must leave the
+    register file byte-identical."""
+    from sqlstreamstore_spark.analytics.text import hll_estimate, hll_registers
+
+    vals = [f"v{i}" for i in range(1000)]
+    once = spark.createDataFrame([(v,) for v in vals], "s string")
+    five = spark.createDataFrame([(v,) for v in vals * 5], "s string")
+    assert (
+        hll_estimate(hll_registers(once)).collect()[0].z_scaled
+        == hll_estimate(hll_registers(five)).collect()[0].z_scaled
+    )
