@@ -81,6 +81,66 @@ def range_join_bucketed(
     )
 
 
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_key: str,
+    b_key: str,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket_secs: int = 3_600,
+) -> DataFrame:
+    """Interval × interval overlap join (a ∩ b ≠ ∅ within the same key,
+    inclusive ends: a_start <= b_end AND b_start <= a_end) — the
+    sessions-vs-incidents primitive `range_join_bucketed` (point ∈
+    interval) can't express.
+
+    Shape: explode BOTH sides into the grid cells each interval covers,
+    equi-join on (key, cell) — a plain shuffled hash join whose
+    candidates are same-cell pairs — then verify the exact predicate.
+    A pair sharing several cells would duplicate, so instead of a
+    distinct (a second shuffle over the candidate set) each pair is
+    kept only at its canonical cell, the first cell both intervals
+    occupy: cell == greatest(floor(a_start/w), floor(b_start/w)).
+    ONE shuffle total; replication factor = ceil(len/w) copies per row,
+    so size ``bucket_secs`` near the median interval length. Skew on
+    (key, cell) is bounded by per-key-per-window activity, and AQE's
+    skew-join split applies as for any equi-join.
+
+    Column names must be disjoint across sides (alias one side first),
+    as with any Spark self-join on shared names.
+    """
+    if {a_key, a_start, a_end} & {b_key, b_start, b_end}:
+        raise ValueError("a-side and b-side column names must be disjoint")
+    w = F.lit(bucket_secs)
+    a_lo = (F.unix_timestamp(F.col(a_start)) / w).cast("long")
+    a_hi = (F.unix_timestamp(F.col(a_end)) / w).cast("long")
+    b_lo = (F.unix_timestamp(F.col(b_start)) / w).cast("long")
+    b_hi = (F.unix_timestamp(F.col(b_end)) / w).cast("long")
+
+    lhs = a.withColumn("__a_lo", a_lo).withColumn(
+        "__ac", F.explode(F.sequence(a_lo, a_hi))
+    )
+    rhs = b.withColumn("__b_lo", b_lo).withColumn(
+        "__bc", F.explode(F.sequence(b_lo, b_hi))
+    )
+    return (
+        lhs.join(
+            rhs,
+            (F.col(a_key) == F.col(b_key)) & (F.col("__ac") == F.col("__bc")),
+        )
+        # canonical-cell dedup: emit the pair exactly once, no distinct
+        .filter(F.col("__ac") == F.greatest(F.col("__a_lo"), F.col("__b_lo")))
+        # exact overlap check (cells only bound the candidate set)
+        .filter(
+            (F.col(a_start) <= F.col(b_end)) & (F.col(b_start) <= F.col(a_end))
+        )
+        .drop("__a_lo", "__b_lo", "__ac", "__bc")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

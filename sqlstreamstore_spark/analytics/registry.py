@@ -2331,6 +2331,48 @@ def _sim_topk_lsh_query(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk_lsh(emb, [float(x) for x in qvec], k=10, bits=4)
 
 
+_INTERVAL_OVERLAP_SQL = """
+WITH a AS (
+  SELECT event_id AS a_event_id, user_id AS a_user, ts AS a_s,
+         ts + INTERVAL '30 minutes' AS a_e
+  FROM events WHERE event_type = 'error'
+),
+b AS (
+  SELECT event_id AS b_event_id, user_id AS b_user, ts AS b_s,
+         ts + INTERVAL '45 minutes' AS b_e
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a_event_id, CAST(count(*) AS BIGINT) AS n_overlap
+FROM a JOIN b ON a_user = b_user AND a_s <= b_e AND b_s <= a_e
+GROUP BY a_event_id
+ORDER BY a_event_id
+"""
+
+
+def _interval_overlap_query(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("a_event_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("a_e"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_event_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_s"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("b_e"),
+    )
+    pairs = asof.interval_overlap_join(
+        a, b, "a_user", "b_user", "a_s", "a_e", "b_s", "b_e", bucket_secs=1_800
+    )
+    return (
+        pairs.groupBy("a_event_id")
+        .agg(F.count("*").cast("bigint").alias("n_overlap"))
+        .orderBy("a_event_id")
+    )
+
+
 _RANGE_JOIN_SQL = """
 WITH errors AS (
   SELECT event_id AS error_event_id, user_id, ts AS w_start,
@@ -3407,6 +3449,12 @@ ORDER BY o_orderpriority""",
             _COHORT_SQL,
         ),
         "range_join_error_window": (_range_join_query, _RANGE_JOIN_SQL),
+        # interval x interval overlap (sessions-vs-incidents shape):
+        # grid-cell equi-join + canonical-cell dedup, one shuffle
+        "range_join_interval_overlap": (
+            _interval_overlap_query,
+            _INTERVAL_OVERLAP_SQL,
+        ),
         # text
         "text_token_stats": (lambda s, sf: text.token_stats(_t(s, sf, "documents")), _TOKEN_STATS_SQL),
         "text_quality": (lambda s, sf: text.quality_score(_t(s, sf, "documents")), _QUALITY_SQL),
