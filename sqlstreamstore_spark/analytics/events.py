@@ -304,3 +304,49 @@ def sliding_value_window(events: DataFrame, minutes: int = 60) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_window"),
         F.sum("v").over(w).cast("double").alias("sum_window"),
     ).orderBy("event_id")
+
+
+def ewma_value(events: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """Per-user exponentially-weighted moving average of ``value`` —
+    the decayed-recency feature ("what does this user's activity look
+    like lately") that no fixed-frame window expresses: every prior
+    event contributes, downweighted by (1−α)^age.
+
+    EWMA is a linear recurrence (y_t depends on y_{t−1}), which SQL
+    windows can't express and the closed form Σ x_i(1−α)^{t−i} can't
+    compute stably at scale (the (1−α)^{−i} rescaling overflows doubles
+    past ~2,500 steps). So this is the honest `applyInPandas` case: one
+    shuffle on user_id, each group's sequence scanned once by pandas'
+    C-implemented ewm kernel (adjust=True: weighted-average form,
+    numerator/denominator accumulators — numerically stable at any
+    sequence length). Group state is the user's event history; for
+    keys too hot to materialize you'd segment by time and carry the
+    (num, den) pair across segments — the same monoid-carry shape as
+    analytics/incremental.py.
+
+    Ties on ts break by event_id (stable total order ⇒ deterministic
+    output under shuffle reordering); NULL ts or value rows are
+    dropped per the module's NULL discipline. The oracle replays the
+    closed form in DuckDB by per-user self-join (quadratic, gate-scale
+    only) with both engines rounding to 6 decimals.
+    """
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ewma": pdf["value"].ewm(alpha=alpha, adjust=True).mean(),
+            }
+        )
+
+    base = events.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value"
+    )
+    return base.groupBy("user_id").applyInPandas(
+        fn, "user_id long, event_id long, ewma double"
+    )

@@ -2373,6 +2373,30 @@ def _interval_overlap_query(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# EWMA closed-form replay: per-user quadratic self-join (gate scale
+# only — the engine path is the stable pandas recurrence). Both engines
+# round to 4 decimals: the recurrence-vs-closed-form double drift is
+# ~1e-12 absolute, so a 1e-4 grid makes boundary flips ~1-in-10^8/row.
+_EWMA_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+)
+SELECT a.user_id, a.event_id,
+       round(sum(b.value * pow(0.75, a.rn - b.rn))
+             / sum(pow(0.75, a.rn - b.rn)), 4) AS ewma
+FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn <= a.rn
+GROUP BY a.user_id, a.event_id
+ORDER BY a.user_id, a.event_id
+"""
+
+
+def _events_ewma_query(spark: SparkSession, sf: str) -> DataFrame:
+    out = events.ewma_value(_t(spark, sf, "events"), alpha=0.25)
+    return _round_cols(out, ("ewma",), 4).orderBy("user_id", "event_id")
+
+
 _RANGE_JOIN_SQL = """
 WITH errors AS (
   SELECT event_id AS error_event_id, user_id, ts AS w_start,
@@ -3455,6 +3479,9 @@ ORDER BY o_orderpriority""",
             _interval_overlap_query,
             _INTERVAL_OVERLAP_SQL,
         ),
+        # per-user EWMA (linear recurrence — the honest applyInPandas
+        # case); oracle replays the closed form, both engines round(4)
+        "events_ewma": (_events_ewma_query, _EWMA_SQL),
         # text
         "text_token_stats": (lambda s, sf: text.token_stats(_t(s, sf, "documents")), _TOKEN_STATS_SQL),
         "text_quality": (lambda s, sf: text.quality_score(_t(s, sf, "documents")), _QUALITY_SQL),

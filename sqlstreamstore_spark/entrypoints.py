@@ -516,7 +516,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_sliding_1h", "pipeline_quality_gate", "text_bigram_logprob",
     "dedup_winnow_pairs", "text_collocations_pmi", "sampling_group_split",
     "pipeline_quantile_normalize", "dedup_containment", "text_bm25_scores",
-    "stats_hll_distinct", "range_join_interval_overlap",
+    "stats_hll_distinct", "range_join_interval_overlap", "events_ewma",
     # -- §2-core + regression canaries, inside the cap every round --
     "read_all_forwards", "store_bulk_roundtrip",
     "events_funnel", "dedup_minhash_lsh",

@@ -181,3 +181,81 @@ def test_quality_gate_per_source_rank_semantics(spark):
         thr = scores[math.ceil(0.5 * len(scores)) - 1]
         expect |= {d for d, s in pairs if s >= thr}
     assert kept == expect
+
+
+# ------------------------------------------------------------- EWMA
+
+
+def _ev_df(spark, rows):
+    """rows: (event_id, user_id, epoch_sec, value)."""
+    data = [
+        (e, u, dt.datetime.fromtimestamp(t, dt.timezone.utc).replace(tzinfo=None), v)
+        for e, u, t, v in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+
+def _ewma_py(xs, alpha=0.25):
+    out, num, den = [], 0.0, 0.0
+    for x in xs:
+        num = num * (1 - alpha) + x
+        den = den * (1 - alpha) + 1.0
+        out.append(num / den)
+    return out
+
+
+def test_ewma_matches_closed_form_per_user(spark):
+    from sqlstreamstore_spark.analytics.events import ewma_value
+
+    rows = []
+    seqs = {1: [10.0, 20.0, 0.0, 40.0, 5.0], 2: [100.0], 3: [1.0, 1.0, 1.0, 9.0]}
+    eid = 0
+    for u, xs in seqs.items():
+        for i, x in enumerate(xs):
+            rows.append((eid, u, 1_700_000_000 + i * 60, x))
+            eid += 1
+    got = {
+        (r.user_id, r.event_id): r.ewma
+        for r in ewma_value(_ev_df(spark, rows), alpha=0.25).collect()
+    }
+    eid = 0
+    for u, xs in seqs.items():
+        for i, want in enumerate(_ewma_py(xs)):
+            assert abs(got[(u, eid)] - want) < 1e-9, (u, eid)
+            eid += 1
+
+
+def test_ewma_tie_break_and_null_discipline(spark):
+    """Equal timestamps order by event_id; NULL ts/value rows drop."""
+    from sqlstreamstore_spark.analytics.events import ewma_value
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, 1, t0, 10.0),
+            (2, 1, t0, 30.0),     # same ts: must apply AFTER event 1
+            (3, 1, None, 99.0),   # dropped: NULL ts
+            (4, 1, t0, None),     # dropped: NULL value
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {r.event_id: r.ewma for r in ewma_value(df).collect()}
+    assert set(got) == {1, 2}
+    assert abs(got[1] - 10.0) < 1e-12
+    assert abs(got[2] - _ewma_py([10.0, 30.0])[1]) < 1e-12
+
+
+def test_ewma_plans_as_one_grouped_pandas_exchange(spark):
+    from sqlstreamstore_spark.analytics.events import ewma_value
+
+    rows = [(i, i % 3, 1_700_000_000 + i, float(i)) for i in range(30)]
+    plan = (
+        ewma_value(_ev_df(spark, rows))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") == 1  # one shuffle on user_id, nothing global
