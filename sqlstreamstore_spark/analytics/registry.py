@@ -785,6 +785,47 @@ FROM mem GROUP BY label ORDER BY label
 """
 
 
+# One Lloyd iteration replay: same literal seeds (vec_id < 8), same
+# (|e|^2 - 2e.c) + |c|^2 fold order (bit-identical d2 => identical
+# argmin), partial-sum floats round(9) on both engines.
+_KMEANS_STEP_SQL = """
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id < 8
+),
+s AS (
+  SELECT e.vec_id, c.cid,
+         (list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+          - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec))
+         + list_dot_product(c.cvec, c.cvec) AS d2
+  FROM embeddings e, c
+),
+a AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT vec_id, cid, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+    FROM s) t
+  WHERE rk = 1
+),
+stats AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         round(avg(d2), 9) AS avg_d2
+  FROM a GROUP BY cid
+),
+mem AS (
+  SELECT a.cid, unnest(CAST(e.embedding AS DOUBLE[])) AS fval,
+         unnest(range(1, len(e.embedding) + 1)) AS pos
+  FROM a JOIN embeddings e USING (vec_id)
+),
+comp AS (SELECT cid, pos, avg(fval) AS cval FROM mem GROUP BY cid, pos),
+cent AS (SELECT cid, list(cval ORDER BY pos) AS cvec FROM comp GROUP BY cid)
+SELECT stats.cid, n_members, avg_d2,
+       round(sqrt(list_dot_product(cent.cvec, cent.cvec)), 9) AS new_norm
+FROM stats JOIN cent ON stats.cid = cent.cid
+ORDER BY stats.cid
+"""
+
+
 # ---------------------------------------------------- relational extras
 
 _UNPIVOT_SQL = """
@@ -3780,6 +3821,15 @@ ORDER BY doc_id""",
                 ("centroid_norm", "mean_cos_to_centroid", "min_cos_to_centroid"),
             ),
             _LABEL_CENTROIDS_SQL,
+        ),
+        # one Lloyd k-means iteration with literal seeds — the oracled
+        # differential twin of the rows-only iterative trainer
+        "sim_kmeans_step": (
+            lambda s, sf: _round_cols(
+                similarity.kmeans_lloyd_step(_t(s, sf, "embeddings")),
+                ("avg_d2", "new_norm"),
+            ),
+            _KMEANS_STEP_SQL,
         ),
         "sim_cosine_topk_lsh": (_sim_topk_lsh_query, _TOPK_LSH_SQL),
         # k-means-trained quantizer (rows-only: Lloyd iterations aren't

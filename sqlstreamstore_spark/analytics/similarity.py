@@ -351,6 +351,79 @@ def kmeans_centroids(
     return centroids
 
 
+def kmeans_lloyd_step(embeddings: DataFrame, k: int = 8) -> DataFrame:
+    """One Lloyd iteration with deterministic seeds (vectors vec_id < k),
+    fully SQL-replayable — the oracled differential twin of the
+    iterative :func:`kmeans_centroids` trainer (whose numpy loop is
+    rows-only by nature). Returns per-cluster (cid, n_members, avg_d2,
+    new_norm): the assignment census and the norm of the recomputed
+    mean — enough to pin both halves of the Lloyd step (argmin
+    assignment, centroid update) against an independent engine.
+
+    Scale shape: the k centroids are LITERALS folded into a single
+    map-side `array_min(array(struct(d2_i, cid_i)...))` — assignment
+    costs ZERO shuffles and stays in whole-stage codegen; the only
+    shuffles are the two partial aggs (per-cluster stats, per-(cid,pos)
+    component means: k·dim rows out regardless of N). Squared distance
+    is expanded as (|e|² − 2e·c) + |c|² with every dot a sequential
+    fold, so the doubles are bit-identical in any engine that folds
+    left-to-right (the `_dot`/list_dot_product contract) and ties in
+    the (d2, cid) argmin cannot diverge.
+    """
+    seeds = (
+        embeddings.filter(F.col("vec_id") < k)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # bounded driver collect: k model-sized rows (the single-query-vector idiom)
+    cents = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in seeds]
+    e = F.col("embedding")
+
+    def d2(cv: list[float]) -> Column:
+        c = F.array(*[F.lit(x) for x in cv])
+        return (_dot(e, e) - F.lit(2.0) * _dot(e, c)) + _dot(c, c)
+
+    choice = F.array_min(
+        F.array(
+            *[
+                F.struct(d2(cv).alias("d2"), F.lit(cid).alias("cid"))
+                for cid, cv in cents
+            ]
+        )
+    )
+    assigned = embeddings.select(
+        "vec_id",
+        "embedding",
+        choice.getField("cid").alias("cid"),
+        choice.getField("d2").alias("d2"),
+    )
+    stats = assigned.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.avg("d2").alias("avg_d2"),
+    )
+    comp = (
+        assigned.select("cid", F.posexplode("embedding").alias("pos", "val"))
+        .select("cid", "pos", F.col("val").cast("double").alias("val"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("val").alias("cval"))
+    )
+    cent = comp.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s.getField("cval"),
+        ).alias("cvec")
+    )
+    return (
+        stats.join(cent, "cid")
+        .select(
+            "cid",
+            "n_members",
+            "avg_d2",
+            F.sqrt(_dot(F.col("cvec"), F.col("cvec"))).alias("new_norm"),
+        )
+        .orderBy("cid")
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame, centroids: DataFrame | list[tuple[int, list[float]]]
 ) -> DataFrame:

@@ -280,3 +280,66 @@ def test_label_centroids_matches_numpy(emb):
         ]
         assert abs(r.mean_cos_to_centroid - np.mean(cosines)) < 1e-9
         assert abs(r.min_cos_to_centroid - min(cosines)) < 1e-9
+
+
+def test_kmeans_lloyd_step_matches_numpy(emb):
+    """One Lloyd iteration vs a direct numpy replay: same seeds, same
+    squared-L2 argmin with (d2, cid) tie-break, same mean update."""
+    import numpy as np
+
+    out = {r.cid: r for r in similarity.kmeans_lloyd_step(emb, k=8).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    X = {int(r.vec_id): np.asarray(r.embedding, np.float64) for r in rows}
+    C = {cid: X[cid] for cid in range(8)}
+    groups: dict[int, list] = {cid: [] for cid in range(8)}
+    d2s: dict[int, list] = {cid: [] for cid in range(8)}
+    for v in X.values():
+        best = min(
+            (float(v @ v) - 2.0 * float(v @ c) + float(c @ c), cid)
+            for cid, c in C.items()
+        )
+        groups[best[1]].append(v)
+        d2s[best[1]].append(best[0])
+    assert sum(r.n_members for r in out.values()) == len(X)
+    for cid in range(8):
+        if not groups[cid]:
+            assert cid not in out
+            continue
+        r = out[cid]
+        assert r.n_members == len(groups[cid])
+        assert abs(r.avg_d2 - np.mean(d2s[cid])) < 1e-9
+        mean = np.mean(np.stack(groups[cid]), axis=0)
+        assert abs(r.new_norm - np.linalg.norm(mean)) < 1e-9
+
+
+def test_kmeans_lloyd_step_assignment_is_shuffle_free(emb):
+    """The argmin over literal centroids must be a map-side projection:
+    the assignment subplan contains no Exchange and no Window."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    seeds = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    cents = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in seeds]
+    e = F.col("embedding")
+    from sqlstreamstore_spark.analytics.similarity import _dot
+
+    choice = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    ((_dot(e, e) - F.lit(2.0) * _dot(e, F.array(*[F.lit(x) for x in cv])))
+                     + _dot(F.array(*[F.lit(x) for x in cv]),
+                            F.array(*[F.lit(x) for x in cv]))).alias("d2"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+    )
+    plan = (
+        emb.select("vec_id", choice.getField("cid").alias("cid"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Window" not in plan
