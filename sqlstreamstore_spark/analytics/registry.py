@@ -2123,18 +2123,29 @@ est AS (
   SELECT n_hit,
          z_hit + (CAST(256 AS BIGINT) - n_hit) * (CAST(1 AS BIGINT) << 49) AS z_scaled
   FROM agg
+),
+raws AS (
+  SELECT n_hit, z_scaled,
+         (0.7213 / (1.0 + 1.079 / 256)) * 65536.0 * 562949953421312.0
+           / CAST(z_scaled AS DOUBLE) AS hll_estimate
+  FROM est
+),
+corr AS (
+  SELECT n_hit, z_scaled, hll_estimate,
+         CASE WHEN hll_estimate <= 640.0 AND (CAST(256 AS BIGINT) - n_hit) > 0
+              THEN 256.0 * ln(256.0 / CAST(CAST(256 AS BIGINT) - n_hit AS DOUBLE))
+              ELSE hll_estimate END AS hll_corrected
+  FROM raws
 )
 SELECT (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM sh) AS n_exact,
        CAST(256 AS BIGINT) AS m,
        n_hit,
        z_scaled,
-       (0.7213 / (1.0 + 1.079 / 256)) * 65536.0 * 562949953421312.0
-         / CAST(z_scaled AS DOUBLE) AS hll_estimate,
-       ((0.7213 / (1.0 + 1.079 / 256)) * 65536.0 * 562949953421312.0
-         / CAST(z_scaled AS DOUBLE)
-        - (SELECT CAST(count(DISTINCT s) AS DOUBLE) FROM sh))
+       hll_estimate,
+       hll_corrected,
+       (hll_corrected - (SELECT CAST(count(DISTINCT s) AS DOUBLE) FROM sh))
          / (SELECT CAST(count(DISTINCT s) AS DOUBLE) FROM sh) AS rel_err
-FROM est
+FROM corr
 """
 
 _KMV_BY_SOURCE_SQL = """
@@ -2412,6 +2423,86 @@ def _interval_overlap_query(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_overlap"))
         .orderBy("a_event_id")
     )
+
+
+def _hll_rho_case(stripped: str) -> str:
+    """DuckDB CASE replaying `text._hll_rho`: first-1-bit rank of a
+    12-hex-char tail from its leading-zero-stripped form."""
+    return f"""CASE WHEN length({stripped}) = 0 THEN 49
+         ELSE 49 - ((length({stripped}) - 1) * 4 +
+                    CASE WHEN substr({stripped}, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 4
+                         WHEN substr({stripped}, 1, 1) IN ('4','5','6','7') THEN 3
+                         WHEN substr({stripped}, 1, 1) IN ('2','3') THEN 2
+                         ELSE 1 END)
+    END"""
+
+
+_ROLLING_DISTINCT_SQL = """
+WITH hu AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, user_id
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+hours AS (SELECT DISTINCT h FROM hu),
+contrib AS (
+  SELECT DISTINCT hu.h + o.off AS hour_epoch, user_id
+  FROM hu CROSS JOIN (SELECT unnest(range(0, 24)) AS off) o
+)
+SELECT hour_epoch, CAST(count(*) AS BIGINT) AS n_users
+FROM contrib JOIN hours ON contrib.hour_epoch = hours.h
+GROUP BY hour_epoch
+ORDER BY hour_epoch
+"""
+
+# Rolling-HLL replay: per-hour register build, trailing-window
+# union+max merge, exact-integer estimate — the bounded-state twin.
+_ROLLING_HLL_SQL = f"""
+WITH base AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         md5(CAST(user_id AS VARCHAR)) AS hh
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+rr AS (
+  SELECT h,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(substr(hh, 1, 2), ''),
+             c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           (a, x) -> a * 16 + x) AS INTEGER) AS reg,
+         regexp_replace(substr(hh, 3, 12), '^0+', '') AS stripped
+  FROM base
+),
+regs AS (
+  SELECT h, reg, max({_hll_rho_case("stripped")}) AS rho
+  FROM rr GROUP BY h, reg
+),
+hours AS (SELECT DISTINCT h FROM base),
+merged AS (
+  SELECT regs.h + o.off AS hour_epoch, reg, max(rho) AS rho
+  FROM regs CROSS JOIN (SELECT unnest(range(0, 24)) AS off) o
+  GROUP BY hour_epoch, reg
+),
+agg AS (
+  SELECT hour_epoch, CAST(count(*) AS BIGINT) AS n_hit,
+         CAST(sum(CAST(1 AS BIGINT) << (49 - rho)) AS BIGINT) AS z_hit
+  FROM merged GROUP BY hour_epoch
+),
+est AS (
+  SELECT hour_epoch, n_hit,
+         z_hit + (CAST(256 AS BIGINT) - n_hit) * (CAST(1 AS BIGINT) << 49) AS z_scaled
+  FROM agg
+),
+raws AS (
+  SELECT hour_epoch, n_hit, z_scaled,
+         (0.7213 / (1.0 + 1.079 / 256)) * 65536.0 * 562949953421312.0
+           / CAST(z_scaled AS DOUBLE) AS raw
+  FROM est
+)
+SELECT r.hour_epoch, n_hit, z_scaled,
+       round(CASE WHEN raw <= 640.0 AND (CAST(256 AS BIGINT) - n_hit) > 0
+                  THEN 256.0 * ln(256.0 / CAST(CAST(256 AS BIGINT) - n_hit AS DOUBLE))
+                  ELSE raw END, 6) AS hll_users
+FROM raws r JOIN hours ON r.hour_epoch = hours.h
+ORDER BY r.hour_epoch
+"""
 
 
 # EWMA closed-form replay: per-user quadratic self-join (gate scale
@@ -3523,6 +3614,16 @@ ORDER BY o_orderpriority""",
         # per-user EWMA (linear recurrence — the honest applyInPandas
         # case); oracle replays the closed form, both engines round(4)
         "events_ewma": (_events_ewma_query, _EWMA_SQL),
+        # trailing-24h distinct users per hour: exact (pair explode)
+        # and the bounded-state HLL register-merge twin
+        "events_rolling_distinct": (
+            lambda s, sf: events.rolling_distinct_users(_t(s, sf, "events")),
+            _ROLLING_DISTINCT_SQL,
+        ),
+        "events_rolling_distinct_hll": (
+            lambda s, sf: events.rolling_distinct_users_hll(_t(s, sf, "events")),
+            _ROLLING_HLL_SQL,
+        ),
         # text
         "text_token_stats": (lambda s, sf: text.token_stats(_t(s, sf, "documents")), _TOKEN_STATS_SQL),
         "text_quality": (lambda s, sf: text.quality_score(_t(s, sf, "documents")), _QUALITY_SQL),

@@ -789,7 +789,9 @@ def _hll_rho(hexcol: Column) -> Column:
     ).cast("int")
 
 
-def hll_registers(items: DataFrame, col: str = "s", b: int = 8) -> DataFrame:
+def hll_registers(
+    items: DataFrame, col: str = "s", b: int = 8, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """HyperLogLog register frame (Flajolet et al. 2007) over a column
     of items: md5 splits into a register index (first ``b`` bits via
     2 hex chars) and a 48-bit tail whose first-1-bit position is the
@@ -807,15 +809,18 @@ def hll_registers(items: DataFrame, col: str = "s", b: int = 8) -> DataFrame:
     h = F.md5(F.col(col))
     return (
         items.select(
+            *group_cols,
             F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("reg"),
             _hll_rho(F.substring(h, 3, 12)).alias("rho_i"),
         )
-        .groupBy("reg")
+        .groupBy(*group_cols, "reg")
         .agg(F.max("rho_i").alias("rho"))
     )
 
 
-def hll_estimate(registers: DataFrame, m: int = 256) -> DataFrame:
+def hll_estimate(
+    registers: DataFrame, m: int = 256, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Raw HLL estimate from a register frame: E = α_m·m²/Z with
     Z = Σ 2^−rho over all m registers (missing registers count rho=0).
 
@@ -823,27 +828,44 @@ def hll_estimate(registers: DataFrame, m: int = 256) -> DataFrame:
     Z·2^49 = Σ 2^(49−rho) (max m·2^49 = 2^57, BIGINT-safe), so the
     estimate is one literal-constant multiply-divide chain over exact
     integers — bit-identical IEEE arithmetic on any engine, no libm.
-    The small-range linear-counting branch (E < 2.5m) needs ln() and is
-    deliberately NOT applied here; callers sized so n ≫ 2.5m (pinned).
+    Also emits ``hll_corrected``: the standard small-range branch
+    (raw ≤ 2.5m and some register empty ⇒ linear counting
+    m·ln(m/V), V = empty registers) that fixes raw HLL's heavy bias
+    at low cardinalities. The BRANCH decision compares bit-identical
+    values (raw, integer V), so engines can't disagree about which
+    arm ran; the ln() arm itself passes through libm, so gates that
+    can land in it must round (the `_round_cols` pattern) — gates in
+    the raw regime (n ≫ 2.5m) stay zero-tolerance.
     """
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    agg = registers.agg(
+    aggs = [
         F.count("*").cast("bigint").alias("n_hit"),
         F.sum(F.expr("shiftleft(1L, 49 - rho)"))
         .cast("bigint")
         .alias("z_hit"),
+    ]
+    agg = (
+        registers.groupBy(*group_cols).agg(*aggs) if group_cols else registers.agg(*aggs)
     )
     z = (
         F.col("z_hit")
         + (F.lit(m).cast("bigint") - F.col("n_hit")) * F.lit(1 << 49).cast("bigint")
     )
+    raw = (
+        F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(1 << 49))
+        / z.cast("double")
+    )
+    v = F.lit(m).cast("bigint") - F.col("n_hit")  # empty registers
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
     return agg.select(
+        *group_cols,
         "n_hit",
         z.alias("z_scaled"),
-        (
-            F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(1 << 49))
-            / z.cast("double")
-        ).alias("hll_estimate"),
+        raw.alias("hll_estimate"),
+        corrected.alias("hll_corrected"),
     )
 
 
@@ -878,8 +900,9 @@ def hll_distinct_ngrams(documents: DataFrame, n: int = 3) -> DataFrame:
             "n_hit",
             "z_scaled",
             "hll_estimate",
+            "hll_corrected",
             (
-                (F.col("hll_estimate") - F.col("n_exact").cast("double"))
+                (F.col("hll_corrected") - F.col("n_exact").cast("double"))
                 / F.col("n_exact").cast("double")
             ).alias("rel_err"),
         )

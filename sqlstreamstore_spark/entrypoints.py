@@ -517,7 +517,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_winnow_pairs", "text_collocations_pmi", "sampling_group_split",
     "pipeline_quantile_normalize", "dedup_containment", "text_bm25_scores",
     "stats_hll_distinct", "range_join_interval_overlap", "events_ewma",
-    "sim_kmeans_step",
+    "sim_kmeans_step", "events_rolling_distinct", "events_rolling_distinct_hll",
     # -- §2-core + regression canaries, inside the cap every round --
     "read_all_forwards", "store_bulk_roundtrip",
     "events_funnel", "dedup_minhash_lsh",

@@ -259,3 +259,67 @@ def test_ewma_plans_as_one_grouped_pandas_exchange(spark):
     )
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange") == 1  # one shuffle on user_id, nothing global
+
+
+# ------------------------------------------ rolling distinct users
+
+
+def test_rolling_distinct_matches_bruteforce(spark):
+    from sqlstreamstore_spark.analytics.events import rolling_distinct_users
+
+    # users revisiting across hours, gaps between active hours, and a
+    # user appearing twice in one hour (must count once)
+    raw = [
+        (0, 100), (0, 100), (0, 101),       # hour 0
+        (1, 100),                            # hour 1
+        (5, 102), (5, 103),                  # gap, hour 5
+        (30, 100),                           # outside 24h of hour 0..5
+        (31, 104),
+    ]
+    base = 1_700_000_000 - (1_700_000_000 % 3600)
+    rows = [
+        (i, u, dt.datetime.fromtimestamp(base + h * 3600 + 7, dt.timezone.utc).replace(tzinfo=None), 1.0)
+        for i, (h, u) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r.hour_epoch - base // 3600: r.n_users
+        for r in rolling_distinct_users(df, window_hours=24).collect()
+    }
+    hours = sorted({h for h, _ in raw})
+    want = {
+        t: len({u for h, u in raw if t - 23 <= h <= t}) for t in hours
+    }
+    assert got == want
+
+
+def test_rolling_hll_bounded_state_and_accuracy(spark):
+    from sqlstreamstore_spark.analytics.events import (
+        rolling_distinct_users,
+        rolling_distinct_users_hll,
+    )
+
+    base = 1_704_067_200  # 2024-01-01 00:00 UTC, hour-aligned
+    rows = []
+    eid = 0
+    for h in range(30):
+        for u in range(200 + 37 * h):
+            if (u + h) % 3 == 0:  # overlapping but shifting populations
+                rows.append(
+                    (eid, u, dt.datetime.fromtimestamp(base + h * 3600 + u % 3600, dt.timezone.utc).replace(tzinfo=None), 1.0)
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    exact = {r.hour_epoch: r.n_users for r in rolling_distinct_users(df).collect()}
+    est = {r.hour_epoch: r for r in rolling_distinct_users_hll(df).collect()}
+    assert set(exact) == set(est)
+    for h, n in exact.items():
+        r = est[h]
+        assert r.n_hit <= 256  # bounded state: a register file, not a user set
+        # corrected estimate (linear counting below 2.5m): 3 sigma at
+        # m=256 is ~19.5 %; generous 25 % envelope
+        assert abs(r.hll_users - n) / n < 0.25, (h, n, r.hll_users)
