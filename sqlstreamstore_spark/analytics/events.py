@@ -437,3 +437,43 @@ def rolling_distinct_users_hll(events: DataFrame, window_hours: int = 24) -> Dat
         )
         .orderBy("hour_epoch")
     )
+
+
+def scd2_versions(events: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change log: treat
+    each user's event stream as attribute updates (the attribute being
+    event_type) and emit one row per VERSION — opened when the value
+    changes, closed by the next change — the warehouse-dimension shape
+    (valid_from/valid_to, open rows marked) that turns an append-only
+    log into point-in-time joinable history.
+
+    Consecutive duplicates collapse (an update that doesn't change the
+    value opens no version); validity bounds are integer epoch-micros
+    with -1 for the open (current) version — sentinel instead of NULL
+    so the gate projection has no NULL-ordering or NaT hazards.
+
+    Scale shape: one shuffle on user_id; the change filter and the
+    lead() close share the same (ts, event_id)-sorted partitioning, so
+    Catalyst plans a single Exchange + sort reused by both windows.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        events.filter(F.col("ts").isNotNull())
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        chg.select(
+            "user_id",
+            F.col("event_type"),
+            F.unix_micros(F.col("ts")).alias("valid_from_us"),
+            F.coalesce(
+                F.unix_micros(F.lead("ts").over(w2)), F.lit(-1).cast("bigint")
+            ).alias("valid_to_us"),
+        )
+        .orderBy("user_id", "valid_from_us")
+    )

@@ -2505,6 +2505,45 @@ ORDER BY r.hour_epoch
 """
 
 
+_SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events WHERE ts IS NOT NULL
+),
+chg AS (
+  SELECT user_id, event_id, ts, event_type FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       coalesce(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)),
+                CAST(-1 AS BIGINT)) AS valid_to_us
+FROM chg
+ORDER BY user_id, valid_from_us
+"""
+
+_WEIGHTED_MEDIAN_SQL = """
+WITH base AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+  FROM documents WHERE n_chars IS NOT NULL
+),
+cum AS (
+  SELECT g, v,
+         sum(w) OVER (PARTITION BY g ORDER BY v, w
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+         sum(w) OVER (PARTITION BY g) AS total_w
+  FROM base
+)
+SELECT g AS source,
+       CAST(max(total_w) AS BIGINT) AS total_w,
+       CAST(min(v) AS BIGINT) AS wmedian
+FROM cum WHERE 2 * cum_w >= total_w
+GROUP BY g ORDER BY source
+"""
+
+
 # EWMA closed-form replay: per-user quadratic self-join (gate scale
 # only — the engine path is the stable pandas recurrence). Both engines
 # round to 4 decimals: the recurrence-vs-closed-form double drift is
@@ -3623,6 +3662,18 @@ ORDER BY o_orderpriority""",
         "events_rolling_distinct_hll": (
             lambda s, sf: events.rolling_distinct_users_hll(_t(s, sf, "events")),
             _ROLLING_HLL_SQL,
+        ),
+        # SCD type-2 dimension build from the change log (collapse
+        # no-op updates, lead() closes versions, -1 = open)
+        "events_scd2_versions": (
+            lambda s, sf: events.scd2_versions(_t(s, sf, "events")),
+            _SCD2_SQL,
+        ),
+        # token-weighted median document length per source — integer
+        # threshold arithmetic (2*cum >= total), hash-exact
+        "stats_weighted_median": (
+            lambda s, sf: relational.weighted_median(_t(s, sf, "documents")),
+            _WEIGHTED_MEDIAN_SQL,
         ),
         # text
         "text_token_stats": (lambda s, sf: text.token_stats(_t(s, sf, "documents")), _TOKEN_STATS_SQL),

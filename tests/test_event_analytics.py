@@ -323,3 +323,80 @@ def test_rolling_hll_bounded_state_and_accuracy(spark):
         # corrected estimate (linear counting below 2.5m): 3 sigma at
         # m=256 is ~19.5 %; generous 25 % envelope
         assert abs(r.hll_users - n) / n < 0.25, (h, n, r.hll_users)
+
+
+# ----------------------------------------------------------- SCD-2
+
+
+def test_scd2_versions_semantics(spark):
+    from sqlstreamstore_spark.analytics.events import scd2_versions
+
+    t0 = 1_700_000_000
+    raw = [
+        # user 1: A A B A  -> versions A, B, A (middle A duplicate collapses)
+        (0, 1, t0 + 0, "A"),
+        (1, 1, t0 + 10, "A"),
+        (2, 1, t0 + 20, "B"),
+        (3, 1, t0 + 30, "A"),
+        # user 2: single value, never changes -> one open version
+        (4, 2, t0 + 0, "X"),
+        (5, 2, t0 + 50, "X"),
+    ]
+    df = spark.createDataFrame(
+        [
+            (e, u, dt.datetime.fromtimestamp(t, dt.timezone.utc).replace(tzinfo=None), ty)
+            for e, u, t, ty in raw
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    rows = scd2_versions(df).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert [r.event_type for r in by_user[1]] == ["A", "B", "A"]
+    assert [r.event_type for r in by_user[2]] == ["X"]
+    for u, vs in by_user.items():
+        # chain continuity: each version closes exactly when the next opens
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to_us == b.valid_from_us
+        assert vs[-1].valid_to_us == -1  # exactly one open version
+        assert all(v.valid_to_us != -1 for v in vs[:-1])
+
+
+def test_scd2_point_in_time_reconstruction(spark):
+    """Probing the dimension at any instant must return the value the
+    raw log had then — the property SCD-2 exists for."""
+    from sqlstreamstore_spark.analytics.events import scd2_versions
+
+    t0 = 1_700_000_000
+    raw = [(i, 7, t0 + i * 60, ["p", "q", "q", "r", "p"][i]) for i in range(5)]
+    df = spark.createDataFrame(
+        [
+            (e, u, dt.datetime.fromtimestamp(t, dt.timezone.utc).replace(tzinfo=None), ty)
+            for e, u, t, ty in raw
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    vs = scd2_versions(df).collect()
+    for probe_s, want in [(t0, "p"), (t0 + 90, "q"), (t0 + 185, "r"), (t0 + 1000, "p")]:
+        probe_us = probe_s * 1_000_000
+        hits = [
+            v.event_type
+            for v in vs
+            if v.valid_from_us <= probe_us
+            and (v.valid_to_us == -1 or probe_us < v.valid_to_us)
+        ]
+        assert hits == [want], (probe_s, hits)
+
+
+def test_scd2_single_exchange_plan(spark):
+    from sqlstreamstore_spark.analytics.events import scd2_versions
+
+    df = spark.createDataFrame(
+        [(i, i % 3, dt.datetime(2024, 1, 1, 0, 0, i % 60), "t") for i in range(30)],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    plan = scd2_versions(df)._jdf.queryExecution().executedPlan().toString()
+    # both windows and the change filter share one user_id partitioning
+    # (the final orderBy adds its range exchange; no other shuffles)
+    assert plan.count("hashpartitioning") <= 2

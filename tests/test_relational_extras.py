@@ -116,3 +116,43 @@ def test_pq_encode_zero_vector_and_codes_shape(spark):
     for r in rows:
         assert len(r.codes) == 8
         assert all(0 <= c < 16 for c in r.codes)
+
+
+def test_weighted_median_differential_and_dominance(spark):
+    """Weighted (lower) median vs a pure-Python recompute, including a
+    group where one heavy row outweighs many light ones — the case the
+    unweighted median gets wrong by construction."""
+    from sqlstreamstore_spark.analytics.relational import weighted_median
+
+    rows = [
+        # group a: value 10 x5 (w=1 each), value 1000 x1 (w=10): total 15,
+        # half = 7.5 -> crossing inside the w=10 row => wmedian 1000
+        *[("a", 10, "t " * 0 + "x") for _ in range(5)],
+        ("a", 1000, " ".join(["y"] * 10)),
+        # group b: symmetric weights, lower median on even split
+        ("b", 1, "x x"), ("b", 2, "x x"), ("b", 3, "x x"), ("b", 4, "x x"),
+    ]
+    df = spark.createDataFrame(
+        [(g, v, t) for g, v, t in rows], "source string, n_chars long, text string"
+    )
+    got = {
+        r.source: (r.total_w, r.wmedian)
+        for r in weighted_median(df).collect()
+    }
+
+    def py_wmedian(pairs):
+        pairs = sorted(pairs)
+        total = sum(w for _, w in pairs)
+        cum = 0
+        for v, w in pairs:
+            cum += w
+            if 2 * cum >= total:
+                return total, v
+
+    by_g = {}
+    for g, v, t in rows:
+        by_g.setdefault(g, []).append((v, len(t.split(" "))))
+    for g, pairs in by_g.items():
+        assert got[g] == py_wmedian(pairs), g
+    assert got["a"][1] == 1000  # the heavy row dominates
+    assert got["b"][1] == 2     # lower median of an even split

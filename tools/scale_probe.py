@@ -266,6 +266,47 @@ def main() -> int:
         bm = text.bm25_scores(docs)
         row = bm.agg(F.count("*").alias("n"), F.sum("bm25").alias("chk")).collect()[0]
         res["bm25_scores"] = {"rows": row.n, "s": round(time.time() - t0, 2)}
+
+        # session-4 round-5 families: HLL register build (one 256-row
+        # partial agg over the gram explode), rolling register-merge
+        # (per-hour state bounded at 256 rows however many users),
+        # interval-overlap join (grid-cell equi-join — pair count grows
+        # with genuine window density), per-user EWMA (grouped pandas,
+        # per-key sequences 10x longer at sf1-synthetic), literal-seed
+        # Lloyd step (shuffle-free assignment + k*dim partial agg)
+        from sqlstreamstore_spark.analytics import events as events_ops
+
+        t0 = time.time()
+        row = text.hll_distinct_ngrams(docs).collect()[0]
+        res["hll_distinct"] = {"rows": 1, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        rh = events_ops.rolling_distinct_users_hll(events)
+        row = rh.agg(F.count("*").alias("n"), F.sum("hll_users").alias("chk")).collect()[0]
+        res["rolling_distinct_hll"] = {"rows": row.n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        a = events.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("a_event_id"), F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_s"), (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("a_e"))
+        b = events.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("b_event_id"), F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_s"), (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("b_e"))
+        from sqlstreamstore_spark.analytics import asof as asof_ops
+
+        n = asof_ops.interval_overlap_join(
+            a, b, "a_user", "b_user", "a_s", "a_e", "b_s", "b_e", bucket_secs=1_800
+        ).count()
+        res["interval_overlap"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        ew = events_ops.ewma_value(events)
+        row = ew.agg(F.count("*").alias("n"), F.sum("ewma").alias("chk")).collect()[0]
+        res["ewma"] = {"rows": row.n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        n = similarity.kmeans_lloyd_step(emb).count()
+        res["kmeans_step"] = {"rows": n, "s": round(time.time() - t0, 2)}
         return res
 
     out = []
