@@ -477,3 +477,54 @@ def scd2_versions(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_id", "valid_from_us")
     )
+
+
+def session_table(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Sessionize the log into a SESSION TABLE — one row per (user,
+    session) with start/end, event count and duration — the entity the
+    count-only :func:`sessions_per_user` summarizes away. Same
+    lag-gap-cumsum core: a break opens a new session id (running sum of
+    break flags per user), then one hash aggregate keyed by (user,
+    session). Bounds are integer epoch-micros; single-event sessions
+    have duration 0.
+
+    Scale shape: the window and the aggregate share the user_id
+    shuffle key; nothing global. In streaming the same semantics come
+    from session_window (streaming/windowed.py) — this is the batch
+    backfill twin.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    base = (
+        events.filter(F.col("ts").isNotNull())
+        .withColumn(
+            "brk",
+            F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_no",
+            F.sum("brk").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        base.groupBy("user_id", "session_no")
+        .agg(
+            F.min(F.unix_micros(F.col("ts"))).alias("start_us"),
+            F.max(F.unix_micros(F.col("ts"))).alias("end_us"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("session_no").cast("bigint").alias("session_no"),
+            "start_us",
+            "end_us",
+            (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_no")
+    )

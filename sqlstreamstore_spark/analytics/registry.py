@@ -2505,6 +2505,55 @@ ORDER BY r.hour_epoch
 """
 
 
+_VOCAB_GROWTH_SQL = """
+WITH n AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n FROM documents),
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+firsts AS (
+  SELECT token, min(doc_id) AS first_doc FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS token
+    FROM toks WHERE len(w) >= 3) t
+  GROUP BY token
+),
+per_bucket AS (
+  SELECT (first_doc * 50) // n.n AS bucket,
+         CAST(count(*) AS BIGINT) AS n_new_tokens
+  FROM firsts, n GROUP BY 1
+)
+SELECT bucket, n_new_tokens,
+       CAST(sum(n_new_tokens) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_cum
+FROM per_bucket
+ORDER BY bucket
+"""
+
+_SESSION_TABLE_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events WHERE ts IS NOT NULL
+),
+flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+  FROM base
+),
+numbered AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       min(us) AS start_us, max(us) AS end_us,
+       max(us) - min(us) AS duration_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""
+
 _SCD2_SQL = """
 WITH ordered AS (
   SELECT user_id, event_id, ts, event_type,
@@ -3674,6 +3723,18 @@ ORDER BY o_orderpriority""",
         "stats_weighted_median": (
             lambda s, sf: relational.weighted_median(_t(s, sf, "documents")),
             _WEIGHTED_MEDIAN_SQL,
+        ),
+        # Heaps-law vocabulary growth at 50 fixed checkpoints (the
+        # running total windows over 50 rows at any corpus size)
+        "text_vocab_growth": (
+            lambda s, sf: text.vocab_growth(_t(s, sf, "documents")),
+            _VOCAB_GROWTH_SQL,
+        ),
+        # sessionize into a session TABLE (start/end/duration/count) —
+        # the batch twin of streaming session_window
+        "events_session_table": (
+            lambda s, sf: events.session_table(_t(s, sf, "events")),
+            _SESSION_TABLE_SQL,
         ),
         # text
         "text_token_stats": (lambda s, sf: text.token_stats(_t(s, sf, "documents")), _TOKEN_STATS_SQL),

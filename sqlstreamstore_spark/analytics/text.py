@@ -1126,3 +1126,49 @@ def bm25_scores(
         "n_terms_matched",
         F.round(score, 6).alias("bm25"),
     ).orderBy("doc_id")
+
+
+def vocab_growth(documents: DataFrame, checkpoints: int = 50, n: int = 3) -> DataFrame:
+    """Heaps-law vocabulary growth curve over word n-grams: how many
+    NEW distinct grams each successive slice of the corpus contributes,
+    and the cumulative vocabulary — the saturation signal ("is more
+    data still buying new content?") curation teams read before
+    extending a crawl. (Unit = 3-grams, the same novelty unit as
+    `ngram_novelty`/KMV/HLL — single-word vocabularies saturate in the
+    first slice of any corpus and carry no curve.)
+
+    Each gram is attributed to its first document (min doc_id — one
+    groupBy over the gram explode); first-docs bucket into
+    ``checkpoints`` equal doc_id slices, so the running-total window is
+    over a FIXED 50 rows at any corpus size (the cumulative_reach
+    bounded-axis discipline — never a per-doc global window).
+    All-integer, hash-exact.
+    """
+    from sqlstreamstore_spark.analytics.dedup import _shingles
+
+    nrows = documents.agg((F.max("doc_id") + 1).cast("bigint").alias("n"))
+    firsts = (
+        documents.select(
+            "doc_id", F.explode(_shingles(F.col("text"), n)).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    per_bucket = (
+        firsts.join(nrows)  # 1-row broadcast
+        # integer floor-division on both engines (a double divide could
+        # truncate differently at an exact-quotient boundary)
+        .select(
+            F.expr(f"(first_doc * {checkpoints}) DIV n").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_new_tokens"))
+    )
+    from pyspark.sql import Window
+
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        "bucket",
+        "n_new_tokens",
+        F.sum("n_new_tokens").over(wc).cast("bigint").alias("vocab_cum"),
+    ).orderBy("bucket")

@@ -400,3 +400,63 @@ def test_scd2_single_exchange_plan(spark):
     # both windows and the change filter share one user_id partitioning
     # (the final orderBy adds its range exchange; no other shuffles)
     assert plan.count("hashpartitioning") <= 2
+
+
+# ---------------------------------------------------- session table
+
+
+def test_session_table_semantics(spark):
+    from sqlstreamstore_spark.analytics.events import (
+        session_table,
+        sessions_per_user,
+    )
+
+    t0 = 1_700_000_000
+    raw = [
+        (0, 1, t0),           # session 1 start
+        (1, 1, t0 + 1800),    # exactly the gap: SAME session (> rule)
+        (2, 1, t0 + 1800 + 1801),  # 1801 s gap: new session
+        (3, 2, t0),           # single-event session
+    ]
+    df = spark.createDataFrame(
+        [
+            (e, u, dt.datetime.fromtimestamp(t, dt.timezone.utc).replace(tzinfo=None), "x", 0.0)
+            for e, u, t in raw
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    rows = session_table(df).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    s1 = by_user[1]
+    assert [r.n_events for r in s1] == [2, 1]
+    assert s1[0].duration_us == 1800 * 1_000_000
+    assert s1[1].duration_us == 0
+    assert by_user[2][0].n_events == 1 and by_user[2][0].duration_us == 0
+    # session COUNT agrees with the count-only operator
+    counts = {r.user_id: r.n_sessions for r in sessions_per_user(df).collect()}
+    for u, vs in by_user.items():
+        assert counts[u] == len(vs)
+
+
+def test_vocab_growth_partitions_the_vocabulary(spark):
+    from sqlstreamstore_spark.analytics.dedup import _shingles
+    from sqlstreamstore_spark.analytics.text import vocab_growth
+
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = vocab_growth(docs).collect()
+    # cumulative is the running total and ends at the true distinct count
+    run = 0
+    for r in rows:
+        run += r.n_new_tokens
+        assert r.vocab_cum == run
+    total = (
+        docs.select(F.explode(_shingles(F.col("text"), 3)).alias("s"))
+        .agg(F.count_distinct("s"))
+        .collect()[0][0]
+    )
+    assert run == total
+    assert len(rows) > 10  # a real curve, not a degenerate point
