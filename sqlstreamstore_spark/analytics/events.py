@@ -528,3 +528,62 @@ def session_table(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         )
         .orderBy("user_id", "session_no")
     )
+
+
+def funnel_windowed(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Time-boxed funnel (signup → click within W days → purchase
+    within W days of that click): the product-analytics form where a
+    conversion only counts inside its attribution window — the
+    unbounded :func:`funnel_conversion` can't express "converted, but
+    three months later doesn't count".
+
+    Shape: three chained per-user window minima over ONE user_id
+    Exchange+sort (each stage's anchor is the previous stage's window
+    column, so the three Window operators stack on the same
+    partitioning — Catalyst plans a single shuffle), then one global
+    count-distinct aggregate. No joins, no self-joins on time. Stage
+    timestamps are integer epoch-micros; window arithmetic in BIGINT.
+    """
+    w = Window.partitionBy("user_id")
+    us = F.col("us")
+    w_us = window_days * 86_400 * 1_000_000
+    base = events.filter(F.col("ts").isNotNull()).select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    d1 = base.withColumn(
+        "t_signup",
+        F.min(F.when(F.col("event_type") == "signup", us)).over(w),
+    )
+    d2 = d1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (us > F.col("t_signup"))
+                & (us <= F.col("t_signup") + F.lit(w_us)),
+                us,
+            )
+        ).over(w),
+    )
+    d3 = d2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (us > F.col("t_click"))
+                & (us <= F.col("t_click") + F.lit(w_us)),
+                us,
+            )
+        ).over(w),
+    )
+    return d3.agg(
+        F.count_distinct(F.when(F.col("t_signup").isNotNull(), F.col("user_id")))
+        .cast("bigint")
+        .alias("n_signup"),
+        F.count_distinct(F.when(F.col("t_click").isNotNull(), F.col("user_id")))
+        .cast("bigint")
+        .alias("n_click_w"),
+        F.count_distinct(F.when(F.col("t_purchase").isNotNull(), F.col("user_id")))
+        .cast("bigint")
+        .alias("n_purchase_w"),
+    )

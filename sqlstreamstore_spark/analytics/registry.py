@@ -2554,6 +2554,33 @@ FROM numbered GROUP BY user_id, session_no
 ORDER BY user_id, session_no
 """
 
+_FUNNEL_WINDOWED_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id
+  HAVING min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) IS NOT NULL
+),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click'
+    AND epoch_us(e.ts) > s1.t_signup
+    AND epoch_us(e.ts) <= s1.t_signup + CAST(7 AS BIGINT) * 86400 * 1000000
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) > s2.t_click
+    AND epoch_us(e.ts) <= s2.t_click + CAST(7 AS BIGINT) * 86400 * 1000000
+  GROUP BY e.user_id
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click_w,
+       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase_w
+"""
+
 _SCD2_SQL = """
 WITH ordered AS (
   SELECT user_id, event_id, ts, event_type,
@@ -3735,6 +3762,12 @@ ORDER BY o_orderpriority""",
         "events_session_table": (
             lambda s, sf: events.session_table(_t(s, sf, "events")),
             _SESSION_TABLE_SQL,
+        ),
+        # attribution-window funnel (each stage must land within 7 d
+        # of the previous stage's first hit)
+        "events_funnel_windowed": (
+            lambda s, sf: events.funnel_windowed(_t(s, sf, "events")),
+            _FUNNEL_WINDOWED_SQL,
         ),
         # text
         "text_token_stats": (lambda s, sf: text.token_stats(_t(s, sf, "documents")), _TOKEN_STATS_SQL),

@@ -460,3 +460,47 @@ def test_vocab_growth_partitions_the_vocabulary(spark):
     )
     assert run == total
     assert len(rows) > 10  # a real curve, not a degenerate point
+
+
+def test_funnel_windowed_attribution_edges(spark):
+    """Conversions count only inside the attribution window, anchored
+    on the PREVIOUS stage's first hit; boundary is inclusive."""
+    from sqlstreamstore_spark.analytics.events import funnel_windowed
+
+    day = 86_400
+    t0 = 1_700_000_000
+    raw = [
+        # user 1: full funnel inside windows
+        (1, "signup", t0), (1, "click", t0 + day), (1, "purchase", t0 + 2 * day),
+        # user 2: click AFTER 7d of signup -> stage 2 fails
+        (2, "signup", t0), (2, "click", t0 + 8 * day), (2, "purchase", t0 + 9 * day),
+        # user 3: click at exactly +7d (inclusive), purchase at exactly
+        # +7d of the click (inclusive) -> converts fully
+        (3, "signup", t0), (3, "click", t0 + 7 * day), (3, "purchase", t0 + 14 * day),
+        # user 4: purchase BEFORE the click -> stage 3 fails
+        (4, "signup", t0), (4, "purchase", t0 + day), (4, "click", t0 + 2 * day),
+        # user 5: no signup -> not in the funnel at all
+        (5, "click", t0), (5, "purchase", t0 + day),
+    ]
+    df = spark.createDataFrame(
+        [
+            (i, u, ty, dt.datetime.fromtimestamp(t, dt.timezone.utc).replace(tzinfo=None), 0.0)
+            for i, (u, ty, t) in enumerate(raw)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp, value double",
+    )
+    r = funnel_windowed(df).collect()[0]
+    assert (r.n_signup, r.n_click_w, r.n_purchase_w) == (4, 3, 2)
+
+
+def test_funnel_windowed_single_shuffle_plan(spark):
+    from sqlstreamstore_spark.analytics.events import funnel_windowed
+
+    df = spark.createDataFrame(
+        [(i, i % 5, "signup", dt.datetime(2024, 1, 1), 0.0) for i in range(20)],
+        "event_id long, user_id long, event_type string, ts timestamp, value double",
+    )
+    plan = funnel_windowed(df)._jdf.queryExecution().executedPlan().toString()
+    # the three stage windows share one user_id hashpartitioning; the
+    # final count-distinct agg adds its own exchanges
+    assert plan.count("hashpartitioning(user_id") <= 1
