@@ -263,3 +263,79 @@ def rollup_sink(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def hll_sink(
+    events_stream: DataFrame,
+    state_path: str,
+    query_name: str = "sqlstreamstore_hll_sink",
+    trigger: dict | None = None,
+):
+    """Streaming distinct-users-per-day monitor with BOUNDED state:
+    each epoch folds the batch's (day, user_id) pairs into per-day
+    HyperLogLog register files and merges them into the persisted
+    state by (day, reg) MAX — state is days × ≤256 rows no matter how
+    many users flow through, the property that lets this sink run
+    forever where a distinct-set sink grows without bound.
+
+    Same immutable-version + _CURRENT pointer-swap commit as
+    :func:`rollup_sink`. Unlike the count rollup, max-merge IS
+    idempotent (replaying a committed delta is a no-op algebraically);
+    the epoch guard still skips replays so a crash loop costs nothing.
+    Read the live estimate with :func:`read_hll_daily_estimates`.
+    """
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.analytics.text import hll_registers
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur_epoch, prev = read_rollup_state(spark, state_path)
+        if cur_epoch >= epoch_id:
+            return  # replay of a committed epoch
+        if batch_df.isEmpty():
+            return
+        base = batch_df.filter(
+            F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        ).select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("user_id").cast("string").alias("u"),
+        )
+        delta = hll_registers(base, col="u", group_cols=("day",))
+        new_state = (
+            prev.unionByName(delta).groupBy("day", "reg").agg(
+                F.max("rho").alias("rho")
+            )
+            if prev is not None
+            else delta
+        )
+        vdir = f"v{epoch_id}"
+        os.makedirs(state_path, exist_ok=True)
+        new_state.write.mode("overwrite").parquet(os.path.join(state_path, vdir))
+        tmp = os.path.join(state_path, "_CURRENT.tmp")
+        with open(tmp, "w") as f:
+            _json.dump({"epoch": epoch_id, "dir": vdir}, f)
+        os.replace(tmp, os.path.join(state_path, "_CURRENT"))
+        _prune_rollup_versions(state_path, keep=3)
+
+    return (
+        events_stream.writeStream.foreachBatch(handle)
+        .queryName(query_name)
+        .option("checkpointLocation", f"{state_path}/checkpoints/{query_name}")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def read_hll_daily_estimates(spark, state_path: str):
+    """(epoch, DataFrame | None): per-day corrected HLL distinct-user
+    estimates from the committed register state."""
+    from sqlstreamstore_spark.analytics.text import hll_estimate
+
+    epoch, regs = read_rollup_state(spark, state_path)
+    if regs is None:
+        return epoch, None
+    return epoch, hll_estimate(regs, group_cols=("day",)).orderBy("day")

@@ -244,3 +244,75 @@ def test_rollup_sink_incremental_state_matches_recompute(spark, tmp_path):
     q.awaitTermination(120)
     _, st3 = read_rollup_state(spark, state)
     assert [tuple(r) for r in present_rollup(st3).collect()] == [tuple(r) for r in full]
+
+
+def test_hll_sink_bounded_state_matches_batch_sketch(spark, tmp_path):
+    """Two availableNow passes leave the persisted register state equal
+    to the batch-recomputed sketch over ALL events (max-merge ==
+    recompute), with bounded rows; the committed estimate matches the
+    batch estimate exactly."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.analytics.text import hll_estimate, hll_registers
+    from sqlstreamstore_spark.streaming.sink import (
+        hll_sink,
+        read_hll_daily_estimates,
+        read_rollup_state,
+    )
+
+    src = tmp_path / "ev_src"
+    state = str(tmp_path / "hll_state")
+    schema = "event_id long, ts timestamp, user_id long"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, 1 + d), u) for i, d, u in rows], schema
+        )
+
+    batch1 = [(i, i % 2, i % 500) for i in range(800)]
+    batch2 = [(1000 + i, i % 2, 300 + i % 700) for i in range(900)]
+
+    mk(batch1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    hll_sink(stream, state, query_name="h1").awaitTermination(120)
+
+    mk(batch2).write.mode("append").parquet(str(src))
+    stream2 = spark.readStream.schema(schema).parquet(str(src))
+    hll_sink(stream2, state, query_name="h1").awaitTermination(120)
+
+    epoch, regs = read_rollup_state(spark, state)
+    assert regs is not None
+    # bounded state: <= 256 registers per day
+    per_day = {r.day: r.n for r in regs.groupBy("day").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 256 for n in per_day.values())
+
+    # max-merge across epochs == batch recompute over everything
+    all_rows = mk(batch1 + batch2)
+    want = hll_registers(
+        all_rows.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("user_id").cast("string").alias("u"),
+        ),
+        col="u",
+        group_cols=("day",),
+    )
+    assert sorted(map(tuple, regs.collect())) == sorted(map(tuple, want.collect()))
+
+    _, est = read_hll_daily_estimates(spark, state)
+    got = {r.day: r.hll_corrected for r in est.collect()}
+    want_est = {
+        r.day: r.hll_corrected
+        for r in hll_estimate(want, group_cols=("day",)).collect()
+    }
+    assert got == want_est
+    # and the estimates are sane vs the exact distincts
+    exact = {
+        r.day: r.n
+        for r in all_rows.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for d, n in exact.items():
+        assert abs(got[d] - n) / n < 0.25
