@@ -104,7 +104,8 @@ def interval_overlap_join(
     distinct (a second shuffle over the candidate set) each pair is
     kept only at its canonical cell, the first cell both intervals
     occupy: cell == greatest(floor(a_start/w), floor(b_start/w)).
-    ONE shuffle total; replication factor = ceil(len/w) copies per row,
+    The only shuffle is the equi-join itself (each side hashed once on
+    (key, cell)); replication factor = ceil(len/w) copies per row,
     so size ``bucket_secs`` near the median interval length. Skew on
     (key, cell) is bounded by per-key-per-window activity, and AQE's
     skew-join split applies as for any equi-join.

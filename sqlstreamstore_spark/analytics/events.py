@@ -347,8 +347,17 @@ def ewma_value(events: DataFrame, alpha: float = 0.25) -> DataFrame:
     ).select(
         "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value"
     )
-    return base.groupBy("user_id").applyInPandas(
-        fn, "user_id long, event_id long, ewma double"
+    # pin the shuffle width: AQE sizes partitions by BYTES and will
+    # coalesce this small-byte/high-group shuffle down to 1-2 tasks,
+    # serializing thousands of per-group pandas calls (measured 3x on
+    # the fixture). An explicit repartition-by-key is non-coalescible
+    # and the groupBy reuses its partitioning, so the grouped-pandas
+    # stage keeps the cluster's parallelism.
+    n_parts = events.sparkSession.sparkContext.defaultParallelism
+    return (
+        base.repartition(n_parts, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(fn, "user_id long, event_id long, ewma double")
     )
 
 

@@ -2505,6 +2505,47 @@ ORDER BY r.hour_epoch
 """
 
 
+# Temperature-mixture replay: same pow/share/threshold chain; the one
+# libm product is rounded to 6 dp on both engines before the floor.
+_TEMPERATURE_MIXTURE_SQL = f"""
+WITH toks AS (
+  SELECT source AS src,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ({_hexfold("CAST(doc_id AS VARCHAR)", 1, 4)}) % 65536 AS hb
+  FROM documents
+),
+totals AS (
+  SELECT src, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM toks GROUP BY src
+),
+denom AS (
+  SELECT sum(pow(CAST(total_tokens AS DOUBLE), 0.7)) AS denom FROM totals
+),
+rates AS (
+  SELECT src, total_tokens, n_docs,
+         pow(CAST(total_tokens AS DOUBLE), 0.7) / denom AS q
+  FROM totals, denom
+),
+thr AS (
+  SELECT src, total_tokens, n_docs, q,
+         least(CAST(65536 AS BIGINT),
+               CAST(floor(round(50000.0 * q / CAST(total_tokens AS DOUBLE)
+                                * 65536.0, 6)) AS BIGINT)) AS threshold
+  FROM rates
+)
+SELECT t.src,
+       max(thr.total_tokens) AS total_tokens,
+       max(thr.n_docs) AS n_docs,
+       round(max(thr.q), 9) AS q,
+       max(thr.threshold) AS threshold,
+       CAST(sum(CASE WHEN t.hb < thr.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       CAST(sum(CASE WHEN t.hb < thr.threshold THEN t.n_tokens ELSE 0 END) AS BIGINT) AS tokens_selected
+FROM toks t JOIN thr ON t.src = thr.src
+GROUP BY t.src
+ORDER BY t.src
+"""
+
 _VOCAB_GROWTH_SQL = """
 WITH n AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n FROM documents),
 toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -3750,6 +3791,14 @@ ORDER BY o_orderpriority""",
         "stats_weighted_median": (
             lambda s, sf: relational.weighted_median(_t(s, sf, "documents")),
             _WEIGHTED_MEDIAN_SQL,
+        ),
+        # temperature-scaled domain mixture (XLM-R resampling rule):
+        # q_s ∝ n_s^α, per-source thresholds, content-hash selection
+        "sampling_temperature_mixture": (
+            lambda s, sf: sampling.temperature_mixture_sample(
+                _t(s, sf, "documents")
+            ),
+            _TEMPERATURE_MIXTURE_SQL,
         ),
         # Heaps-law vocabulary growth at 50 fixed checkpoints (the
         # running total windows over 50 rows at any corpus size)

@@ -311,3 +311,87 @@ def group_split(
         .when(b < t_val, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def temperature_mixture_sample(
+    documents: DataFrame,
+    alpha: float = 0.7,
+    target_tokens: int = 50_000,
+    key: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled domain mixture (the multilingual-pretraining
+    resampling rule, XLM-R §3.1): source share q_s ∝ (n_s/N)^α, so
+    α < 1 UPsamples low-resource sources relative to their natural
+    share and α = 1 is proportional sampling. Per-row keep-rates derive
+    from the shares and a token target: rate_s = min(1, T·q_s/n_s) —
+    "fill a T-token mix at temperature α".
+
+    Same two-pass scale shape as `budget_mixture_sample` (per-source
+    totals → broadcast thresholds → one content-hash filter), same
+    hash determinism (a doc's fate never flips on rerun or arrival
+    order). pow() passes through libm, so the 0..65536 threshold is
+    rounded to 6 dp on both engines BEFORE the floor — the only place
+    a ulp could otherwise flip an integer; everything downstream is
+    exact. Returns the per-source accounting (share, threshold,
+    selected docs/tokens); α-monotonicity (smaller α ⇒ flatter mix)
+    is pytest-pinned.
+    """
+    toks = documents.select(
+        F.col(strata_col).alias("src"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        _hash_bucket(F.col(key)).alias("hb"),
+    )
+    totals = toks.groupBy("src").agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    denom = totals.agg(
+        F.sum(F.pow(F.col("total_tokens").cast("double"), F.lit(alpha))).alias(
+            "denom"
+        ),
+        F.sum("total_tokens").cast("long").alias("corpus_tokens"),
+    )
+    rates = totals.join(denom).select(
+        "src",
+        "total_tokens",
+        "n_docs",
+        (
+            F.pow(F.col("total_tokens").cast("double"), F.lit(alpha))
+            / F.col("denom")
+        ).alias("q"),
+    )
+    thr = rates.withColumn(
+        "threshold",
+        F.least(
+            F.lit(65536).cast("long"),
+            F.floor(
+                F.round(
+                    F.lit(float(target_tokens))
+                    * F.col("q")
+                    / F.col("total_tokens").cast("double")
+                    * F.lit(65536.0),
+                    6,
+                )
+            ).cast("long"),
+        ),
+    )
+    return (
+        toks.join(F.broadcast(thr), "src")
+        .groupBy("src")
+        .agg(
+            F.max("total_tokens").alias("total_tokens"),
+            F.max("n_docs").alias("n_docs"),
+            F.round(F.max("q"), 9).alias("q"),
+            F.max("threshold").alias("threshold"),
+            F.sum(F.when(F.col("hb") < F.col("threshold"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_selected"),
+            F.sum(
+                F.when(F.col("hb") < F.col("threshold"), F.col("n_tokens")).otherwise(0)
+            )
+            .cast("long")
+            .alias("tokens_selected"),
+        )
+        .orderBy("src")
+    )

@@ -289,3 +289,57 @@ def test_hll_duplicates_do_not_move_the_estimate(spark):
         hll_estimate(hll_registers(once)).collect()[0].z_scaled
         == hll_estimate(hll_registers(five)).collect()[0].z_scaled
     )
+
+
+# --------------------------------------------- temperature mixture
+
+
+def _tm_docs(spark, sizes):
+    """sizes: {source: (n_docs, tokens_per_doc)}."""
+    rows, i = [], 0
+    for src, (nd, tpd) in sorted(sizes.items()):
+        for _ in range(nd):
+            rows.append((i, src, " ".join(["w"] * tpd)))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_temperature_alpha_flattens_the_mix(spark):
+    """α < 1 upsamples low-resource sources: the selected-token share
+    of the SMALL source must be strictly larger at α=0.3 than at α=1.0
+    (and α=1.0 tracks the natural proportions)."""
+    from sqlstreamstore_spark.analytics.sampling import temperature_mixture_sample
+
+    docs = _tm_docs(spark, {"big": (400, 40), "small": (40, 40)})
+
+    def shares(alpha):
+        rows = {
+            r.src: r
+            for r in temperature_mixture_sample(
+                docs, alpha=alpha, target_tokens=6_000
+            ).collect()
+        }
+        tot = sum(r.tokens_selected for r in rows.values())
+        return {s: r.tokens_selected / tot for s, r in rows.items()}, rows
+
+    s_cold, _ = shares(1.0)
+    s_hot, _ = shares(0.3)
+    assert s_hot["small"] > s_cold["small"]
+    # natural share of 'small' is 1/11; alpha=1 tracks it loosely
+    assert abs(s_cold["small"] - 1 / 11) < 0.08
+
+
+def test_temperature_rate_caps_at_one_and_is_deterministic(spark):
+    """A tiny source whose computed rate exceeds 1 keeps everything
+    (threshold caps at 65536); the selected doc set is identical on
+    recompute (hash determinism)."""
+    from sqlstreamstore_spark.analytics.sampling import temperature_mixture_sample
+
+    docs = _tm_docs(spark, {"big": (300, 50), "tiny": (5, 10)})
+    a = {r.src: r for r in temperature_mixture_sample(docs, alpha=0.2, target_tokens=20_000).collect()}
+    assert a["tiny"].threshold == 65536
+    assert a["tiny"].n_selected == a["tiny"].n_docs  # rate 1: keep all
+    b = {r.src: r for r in temperature_mixture_sample(docs, alpha=0.2, target_tokens=20_000).collect()}
+    assert {(r.src, r.n_selected, r.tokens_selected) for r in a.values()} == {
+        (r.src, r.n_selected, r.tokens_selected) for r in b.values()
+    }
