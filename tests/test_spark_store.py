@@ -980,3 +980,82 @@ def test_bulk_append_hot_stream_no_stream_window(spark, tmp_path):
     if pinned is not None:
         pinned.unpersist()
     assert "windowspecdefinition(stream_id" not in plan, plan[:2000]
+
+
+def test_cdc_view_maintenance_tombstone_rules(spark, tmp_path):
+    """The IVM delete rule: a tombstone decrements the maintained view
+    ONLY if its MessageId exists in the consumer's held v1 snapshot —
+    messages created AND deleted inside the delta never appear in
+    changes_between at all. Exercised directly: (a) delete of a prior
+    message, (b) delete of a delta-internal message, (c) stream
+    delete + re-append inside the delta."""
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.store import NewStreamMessage, SparkParquetStreamStore
+
+    store = SparkParquetStreamStore(spark, str(tmp_path / "ivm"))
+    store.append_to_stream("a", -3, msgs(1, 2, 3))   # a: 3 prior
+    store.append_to_stream("b", -3, msgs(10, 11))    # b: 2 prior
+    store.append_to_stream("c", -3, msgs(20))        # c: 1 prior
+    v1 = store.manifest_version
+
+    # delta: (a) delete a PRIOR message of a
+    store.delete_message("a", str(__import__("uuid").UUID(int=2)))
+    # (b) append then delete a DELTA-INTERNAL message of b
+    store.append_to_stream("b", 1, msgs(12, 13))
+    store.delete_message("b", str(__import__("uuid").UUID(int=12)))
+    # (c) delete stream c entirely, then re-append 2 messages
+    store.delete_stream("c")
+    store.append_to_stream("c", -3, msgs(21, 22))
+    v2 = store.manifest_version
+
+    # maintained view via the gate operator's exact logic
+    prior_msgs = (
+        store.as_of(v1).log_df()
+        .filter(~F.col("stream_id").startswith("$"))
+        .select("stream_id", "message_id")
+    )
+    prior = prior_msgs.groupBy("stream_id").agg(F.count("*").alias("prior_n"))
+    delta = store.changes_between(v1, v2)
+    sid = F.get_json_object("json_data", "$.StreamId")
+    mid = F.get_json_object("json_data", "$.MessageId")
+    ins = delta.filter(~F.col("stream_id").startswith("$")).select("stream_id", "position")
+    sdel = delta.filter(F.col("type") == "$stream-deleted").select(
+        sid.alias("stream_id"), "position")
+    mdel = delta.filter(F.col("type") == "$message-deleted").select(
+        sid.alias("stream_id"), mid.alias("message_id"), "position")
+    last_del = sdel.groupBy("stream_id").agg(F.max("position").alias("dpos"))
+
+    def after_del(df, name):
+        return (
+            df.join(last_del, "stream_id", "left")
+            .filter(F.col("dpos").isNull() | (F.col("position") > F.col("dpos")))
+            .groupBy("stream_id").agg(F.count("*").alias(name))
+        )
+
+    ins_n = after_del(ins, "ins_n")
+    mdel_n = after_del(mdel.join(prior_msgs, ["stream_id", "message_id"], "semi"), "mdel_n")
+    keys = (prior.select("stream_id").union(ins.select("stream_id"))
+            .union(mdel.select("stream_id")).distinct())
+    n = (F.when(F.col("dpos").isNotNull(), F.lit(0))
+         .otherwise(F.coalesce(F.col("prior_n"), F.lit(0)))
+         + F.coalesce(F.col("ins_n"), F.lit(0))
+         - F.coalesce(F.col("mdel_n"), F.lit(0)))
+    maintained = {
+        r.stream_id: r.n
+        for r in keys.join(prior, "stream_id", "left")
+        .join(last_del, "stream_id", "left")
+        .join(ins_n, "stream_id", "left")
+        .join(mdel_n, "stream_id", "left")
+        .select("stream_id", n.cast("bigint").alias("n"))
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    # recompute from the v2 snapshot
+    recomputed = {
+        r.stream_id: r.n
+        for r in store.as_of(v2).log_df()
+        .filter(~F.col("stream_id").startswith("$"))
+        .groupBy("stream_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert maintained == recomputed == {"a": 2, "b": 3, "c": 2}

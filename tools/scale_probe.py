@@ -307,6 +307,31 @@ def main() -> int:
         t0 = time.time()
         n = similarity.kmeans_lloyd_step(emb).count()
         res["kmeans_step"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        n = events_ops.scd2_versions(events).count()
+        res["scd2_versions"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        st = events_ops.session_table(events)
+        row = st.agg(F.count("*").alias("n"), F.sum("duration_us").alias("chk")).collect()[0]
+        res["session_table"] = {"rows": row.n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        n = text.vocab_growth(docs).count()
+        res["vocab_growth"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        from sqlstreamstore_spark.analytics import relational as rel_ops
+
+        n = rel_ops.weighted_median(docs.withColumn("source", F.lit("all")).withColumn("n_chars", F.length("text"))).count()
+        res["weighted_median"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        n = sampling.temperature_mixture_sample(
+            docs.withColumn("source", (F.col("doc_id") % 20).cast("string"))
+        ).count()
+        res["temperature_mixture"] = {"rows": n, "s": round(time.time() - t0, 2)}
         return res
 
     out = []
