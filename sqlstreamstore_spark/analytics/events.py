@@ -556,9 +556,11 @@ def funnel_windowed(events: DataFrame, window_days: int = 7) -> DataFrame:
     w = Window.partitionBy("user_id")
     us = F.col("us")
     w_us = window_days * 86_400 * 1_000_000
-    base = events.filter(F.col("ts").isNotNull()).select(
-        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
-    )
+    base = events.filter(
+        # NULL users would diverge between engines: count_distinct skips
+        # a NULL key while a SQL GROUP BY counts the NULL group
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select("user_id", "event_type", F.unix_micros(F.col("ts")).alias("us"))
     d1 = base.withColumn(
         "t_signup",
         F.min(F.when(F.col("event_type") == "signup", us)).over(w),

@@ -2505,6 +2505,34 @@ ORDER BY r.hour_epoch
 """
 
 
+# Per-source entropy replay: the unigram_logprob sorted-sequential-
+# fold discipline (every libm call on an exact integer, identical fold
+# order, round(7) outputs).
+_ENTROPY_SQL = """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+cnts AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+         FROM tok GROUP BY source, token),
+terms AS (
+  SELECT source, list_sort(list({'c': c})) AS ts,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM cnts GROUP BY source),
+folded AS (
+  SELECT source, n_tokens, vocab,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(ts, t -> CAST(t.c AS DOUBLE) * ln(CAST(t.c AS DOUBLE)))),
+           (a, x) -> a + x) AS s
+  FROM terms)
+SELECT source, n_tokens, vocab,
+       round(ln(CAST(n_tokens AS DOUBLE)) - s / CAST(n_tokens AS DOUBLE), 7) AS entropy,
+       round(CASE WHEN vocab > 1
+                  THEN (ln(CAST(n_tokens AS DOUBLE)) - s / CAST(n_tokens AS DOUBLE))
+                       / ln(CAST(vocab AS DOUBLE))
+                  ELSE 0.0 END, 7) AS entropy_norm
+FROM folded ORDER BY source
+"""
+
+
 # Temperature-mixture replay: same pow/share/threshold chain; the one
 # libm product is rounded to 6 dp on both engines before the floor.
 _TEMPERATURE_MIXTURE_SQL = f"""
@@ -2598,7 +2626,7 @@ ORDER BY user_id, session_no
 _FUNNEL_WINDOWED_SQL = """
 WITH s1 AS (
   SELECT user_id, min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup
-  FROM events WHERE ts IS NOT NULL GROUP BY user_id
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY user_id
   HAVING min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) IS NOT NULL
 ),
 s2 AS (
@@ -3791,6 +3819,12 @@ ORDER BY o_orderpriority""",
         "stats_weighted_median": (
             lambda s, sf: relational.weighted_median(_t(s, sf, "documents")),
             _WEIGHTED_MEDIAN_SQL,
+        ),
+        # per-source token-distribution entropy + ln(V)-normalized
+        # diversity (templated-source detector)
+        "stats_entropy_by_source": (
+            lambda s, sf: text.source_token_entropy(_t(s, sf, "documents")),
+            _ENTROPY_SQL,
         ),
         # temperature-scaled domain mixture (XLM-R resampling rule):
         # q_s ∝ n_s^α, per-source thresholds, content-hash selection

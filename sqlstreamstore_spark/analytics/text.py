@@ -1172,3 +1172,53 @@ def vocab_growth(documents: DataFrame, checkpoints: int = 50, n: int = 3) -> Dat
         "n_new_tokens",
         F.sum("n_new_tokens").over(wc).cast("bigint").alias("vocab_cum"),
     ).orderBy("bucket")
+
+
+def source_token_entropy(documents: DataFrame) -> DataFrame:
+    """Per-source Shannon entropy of the token distribution, plus the
+    ln(vocab)-normalized diversity index — the "is this source
+    templated boilerplate" curation signal: a source whose pages are
+    stamped from one template has low entropy relative to its
+    vocabulary, however large it is.
+
+    H = ln(N) − (Σ c·ln c)/N over the source's token counts; norm =
+    H / ln(V) ∈ [0, 1] (V = vocabulary size; a single-token source
+    maps to 0). Same float discipline as `unigram_logprob`: every libm
+    call is on an exact integer, the per-source sum folds a SORTED
+    array of per-token contributions sequentially, and the outputs
+    round(7). Scale shape: one (source, token) partial agg, then a
+    per-source fold bounded by the source's vocabulary (Heaps-bounded)
+    — no joins, nothing global.
+    """
+    tok = documents.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    cnts = tok.groupBy("source", "token").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    terms = cnts.groupBy("source").agg(
+        F.array_sort(F.collect_list(F.struct("c"))).alias("ts"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab"),
+    )
+    s = F.aggregate(
+        F.transform(
+            F.col("ts"),
+            lambda t: t["c"].cast("double") * F.log(t["c"].cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    h = F.log(F.col("n_tokens").cast("double")) - s / F.col("n_tokens").cast(
+        "double"
+    )
+    norm = F.when(F.col("vocab") > 1, h / F.log(F.col("vocab").cast("double"))).otherwise(
+        F.lit(0.0)
+    )
+    return terms.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.round(h, 7).alias("entropy"),
+        F.round(norm, 7).alias("entropy_norm"),
+    ).orderBy("source")

@@ -659,7 +659,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sim_kmeans_step", "events_rolling_distinct", "events_rolling_distinct_hll",
     "events_scd2_versions", "stats_weighted_median", "text_vocab_growth",
     "events_session_table", "events_funnel_windowed",
-    "sampling_temperature_mixture", "store_cdc_rollup",
+    "sampling_temperature_mixture", "store_cdc_rollup", "stats_entropy_by_source",
     # -- §2-core + regression canaries, inside the cap every round --
     "read_all_forwards", "store_bulk_roundtrip",
     "events_funnel", "dedup_minhash_lsh",

@@ -343,3 +343,45 @@ def test_temperature_rate_caps_at_one_and_is_deterministic(spark):
     assert {(r.src, r.n_selected, r.tokens_selected) for r in a.values()} == {
         (r.src, r.n_selected, r.tokens_selected) for r in b.values()
     }
+
+
+# ------------------------------------------------------------ entropy
+
+
+def test_source_entropy_matches_python_and_ranks_templates_low(spark):
+    import math
+
+    from sqlstreamstore_spark.analytics.text import source_token_entropy
+
+    rows = []
+    # 'template': same 5-word page stamped 30x  -> low normalized entropy
+    for i in range(30):
+        rows.append((i, "template", "buy now click here today"))
+    # 'diverse': every page distinct words     -> high normalized entropy
+    for i in range(30):
+        rows.append((100 + i, "diverse", " ".join(f"w{i}_{j}" for j in range(5))))
+    # 'single': one token only                  -> entropy 0, norm 0
+    rows.append((999, "single", "x"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.source: r for r in source_token_entropy(df).collect()}
+
+    def py_entropy(texts):
+        from collections import Counter
+
+        c = Counter(t for x in texts for t in x.split(" "))
+        n = sum(c.values())
+        h = math.log(n) - sum(v * math.log(v) for v in sorted(c.values())) / n
+        return h, (h / math.log(len(c)) if len(c) > 1 else 0.0)
+
+    by_src = {}
+    for _, s, t in rows:
+        by_src.setdefault(s, []).append(t)
+    for s, texts in by_src.items():
+        h, norm = py_entropy(texts)
+        assert abs(got[s].entropy - h) < 1e-6, s
+        assert abs(got[s].entropy_norm - norm) < 1e-6, s
+    assert got["single"].entropy == 0.0 and got["single"].entropy_norm == 0.0
+    # the template source's tokens are uniform over its tiny vocab, so
+    # its RAW entropy is small while its normalized entropy is 1.0;
+    # the useful comparison is raw entropy vs the diverse source
+    assert got["template"].entropy < got["diverse"].entropy
