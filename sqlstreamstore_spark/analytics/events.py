@@ -598,3 +598,105 @@ def funnel_windowed(events: DataFrame, window_days: int = 7) -> DataFrame:
         .cast("bigint")
         .alias("n_purchase_w"),
     )
+
+
+def top_event_paths(events: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k 3-event paths (the sequential-pattern-mining shape behind
+    "what do users do next" product questions): LEAD the next two event
+    types within each user's time-ordered stream, count complete
+    trigram paths, keep the k most frequent.
+
+    Shape: one window keyed by user_id (same Exchange the other
+    per-user features ride), one groupBy over at most |types|^3 path
+    keys, and a TakeOrderedAndProject for the cut — per-partition
+    k-heaps, never a global sort. The ordering (n DESC, then the path
+    lexicographically) is total, so the top-k set is deterministic on
+    any engine."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+    )
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(k)
+    )
+
+
+def cusum_changepoint(events: DataFrame) -> DataFrame:
+    """CUSUM change-point scan over per-type daily counts (Page 1954,
+    the classic drift alarm): for each event type, the cumulative sum
+    of deviations from that type's mean daily count peaks at the day
+    the level shifts. All-integer arithmetic — instead of c_d - mean
+    (a rational), accumulate D*c_d - total (its numerator scaled by
+    the day count D), which is exact in BIGINT; the reported change
+    day is the |CUSUM| argmax with a deterministic day tie-break.
+
+    Shape: one groupBy to the bounded (type, day) axis, then windows
+    partitioned by type — per-type state is O(days), never O(events);
+    at 100 TB the event scan is the only big stage and it partially
+    aggregates map-side."""
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("c"))
+    wt = Window.partitionBy("event_type")
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        daily.withColumn("n_days", F.count("*").over(wt))
+        .withColumn("total", F.sum("c").over(wt))
+        .withColumn(
+            "cusum",
+            F.sum(F.col("n_days") * F.col("c") - F.col("total")).over(wc),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("day")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            "cusum",
+            "n_days",
+            "total",
+        )
+        .orderBy("event_type")
+    )
+
+
+def seasonal_profile(events: DataFrame) -> DataFrame:
+    """Hour-of-week seasonal profile per event type: the 7x24 cell
+    counts, each cell's share of its type's total, and the cell's
+    rank within the type (rank 1 = the type's peak hour). The share is
+    one IEEE division of two exact BIGINTs — correctly rounded and
+    identical on any engine, no tolerance needed.
+
+    Shape: one partial-aggregating groupBy onto the bounded
+    |types|x168 axis; both windows share the event_type partitioning.
+    Day-of-week is Monday=0 (Spark weekday(); ISO dow - 1 elsewhere)."""
+    cells = events.groupBy(
+        "event_type",
+        F.weekday(F.col("ts")).cast("long").alias("dow"),
+        F.hour(F.col("ts")).cast("long").alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy(F.desc("n"), "dow", "hod")
+    return (
+        cells.withColumn("share", F.col("n") / F.sum("n").over(wt))
+        .withColumn("rank_in_type", F.row_number().over(wr).cast("long"))
+        .orderBy("event_type", "dow", "hod")
+    )

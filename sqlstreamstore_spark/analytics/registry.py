@@ -3550,6 +3550,62 @@ GROUP BY t.src ORDER BY t.src
 """
 
 
+# Top-k 3-event paths: double-LEAD trigram replay; the (n DESC, path)
+# ordering is total so the cut is deterministic on both engines.
+_TOP_PATHS_SQL = """
+WITH tri AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events WHERE user_id IS NOT NULL)
+SELECT e1, e2, e3, count(*) AS n
+FROM tri WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n DESC, e1, e2, e3
+LIMIT 20
+"""
+
+
+# CUSUM change-point replay: the all-integer D*c - total deviation
+# chain; window sums cast back to BIGINT (DuckDB widens to HUGEINT).
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT *, count(*) OVER (PARTITION BY event_type) AS n_days,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM daily),
+s AS (
+  SELECT *, CAST(sum(n_days * c - total) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum
+  FROM t),
+r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY event_type ORDER BY abs(cusum) DESC, day) AS rn
+  FROM s)
+SELECT event_type, day AS change_day, cusum, n_days, total
+FROM r WHERE rn = 1 ORDER BY event_type
+"""
+
+
+# Hour-of-week seasonal profile replay: Monday=0 via isodow-1; share
+# is one IEEE division of exact BIGINTs — no rounding needed.
+_SEASONAL_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n
+  FROM events GROUP BY 1, 2, 3)
+SELECT event_type, dow, hod, n,
+       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS share,
+       CAST(row_number() OVER (
+           PARTITION BY event_type ORDER BY n DESC, dow, hod) AS BIGINT) AS rank_in_type
+FROM cells ORDER BY event_type, dow, hod
+"""
+
+
 def analytics_queries():
     """name → (spark_fn, oracle_sql | None). None = rows-only check
     (non-SQL-expressible: engine-specific hash families)."""
@@ -4443,5 +4499,23 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
                 multimodal.make_fake_media_df(s, 100)
             ).orderBy("media_id"),
             _MM_MP4_META_SQL,
+        ),
+        # top-k 3-event paths (sequential pattern mining): double LEAD
+        # on one user_id window, TakeOrderedAndProject cut
+        "events_top_paths": (
+            lambda s, sf: events.top_event_paths(_t(s, sf, "events")),
+            _TOP_PATHS_SQL,
+        ),
+        # CUSUM change-point scan per type — all-integer deviation
+        # accumulation (D*c - total), |CUSUM| argmax with day tie-break
+        "events_cusum_changepoint": (
+            lambda s, sf: events.cusum_changepoint(_t(s, sf, "events")),
+            _CUSUM_SQL,
+        ),
+        # hour-of-week seasonal profile: bounded 7x24 axis per type,
+        # exact-BIGINT share division, peak ranking
+        "events_seasonal_profile": (
+            lambda s, sf: events.seasonal_profile(_t(s, sf, "events")),
+            _SEASONAL_SQL,
         ),
     }

@@ -504,3 +504,83 @@ def test_funnel_windowed_single_shuffle_plan(spark):
     # the three stage windows share one user_id hashpartitioning; the
     # final count-distinct agg adds its own exchanges
     assert plan.count("hashpartitioning(user_id") <= 1
+
+
+def test_top_event_paths_counts_and_user_boundary(spark):
+    from sqlstreamstore_spark.analytics.events import top_event_paths
+
+    rows = [
+        # user 1: a b c d  -> trigrams (a,b,c), (b,c,d)
+        (0, 1, "a", T("2024-01-01T00:00:00"), 0.0),
+        (1, 1, "b", T("2024-01-01T00:01:00"), 0.0),
+        (2, 1, "c", T("2024-01-01T00:02:00"), 0.0),
+        (3, 1, "d", T("2024-01-01T00:03:00"), 0.0),
+        # user 2: a b c -> (a,b,c); trigram must NOT span users
+        (4, 2, "a", T("2024-01-01T00:00:00"), 0.0),
+        (5, 2, "b", T("2024-01-01T00:01:00"), 0.0),
+        (6, 2, "c", T("2024-01-01T00:02:00"), 0.0),
+        # user 3: only two events -> no trigram
+        (7, 3, "x", T("2024-01-01T00:00:00"), 0.0),
+        (8, 3, "y", T("2024-01-01T00:01:00"), 0.0),
+    ]
+    got = {
+        (r.e1, r.e2, r.e3): r.n
+        for r in top_event_paths(_events(spark, rows)).collect()
+    }
+    assert got == {("a", "b", "c"): 2, ("b", "c", "d"): 1}
+
+
+def test_top_event_paths_tie_break_is_total_order(spark):
+    from sqlstreamstore_spark.analytics.events import top_event_paths
+
+    # two paths with equal counts: cut must pick lexicographically
+    rows = []
+    i = 0
+    for u, seq in [(1, "abc"), (2, "abd")]:
+        for j, t in enumerate(seq):
+            rows.append((i, u, t, T("2024-01-01T00:00:00") + dt.timedelta(minutes=j), 0.0))
+            i += 1
+    out = top_event_paths(_events(spark, rows), k=1).collect()
+    assert [(r.e1, r.e2, r.e3) for r in out] == [("a", "b", "c")]
+
+
+def test_cusum_changepoint_planted_level_shift(spark):
+    from sqlstreamstore_spark.analytics.events import cusum_changepoint
+
+    # type "a": 5 days at 2/day then 5 days at 8/day. D=10, total=50,
+    # dev_d = 10*c - 50: five days of -30 then five of +30 -> CUSUM
+    # bottoms at -150 on day 5 (the last low day) and returns to 0.
+    rows = []
+    i = 0
+    for d in range(10):
+        c = 2 if d < 5 else 8
+        for k in range(c):
+            rows.append(
+                (i, 1, "a", T("2024-03-01T00:00:00") + dt.timedelta(days=d, minutes=k), 0.0)
+            )
+            i += 1
+    r = cusum_changepoint(_events(spark, rows)).collect()
+    assert len(r) == 1
+    assert r[0].change_day == T("2024-03-05T00:00:00")
+    assert r[0].cusum == -150
+    assert (r[0].n_days, r[0].total) == (10, 50)
+
+
+def test_seasonal_profile_dow_mapping_and_shares(spark):
+    from sqlstreamstore_spark.analytics.events import seasonal_profile
+
+    # 2024-01-01 is a Monday -> dow 0; 2024-01-06 a Saturday -> dow 5
+    rows = [
+        (0, 1, "a", T("2024-01-01T09:00:00"), 0.0),
+        (1, 1, "a", T("2024-01-01T09:30:00"), 0.0),
+        (2, 1, "a", T("2024-01-06T23:00:00"), 0.0),
+        (3, 1, "b", T("2024-01-03T12:00:00"), 0.0),
+    ]
+    out = seasonal_profile(_events(spark, rows)).collect()
+    cells = {(r.event_type, r.dow, r.hod): r for r in out}
+    assert set(cells) == {("a", 0, 9), ("a", 5, 23), ("b", 2, 12)}
+    a_peak = cells[("a", 0, 9)]
+    assert a_peak.n == 2 and a_peak.rank_in_type == 1
+    assert abs(a_peak.share - 2 / 3) < 1e-15
+    assert cells[("a", 5, 23)].rank_in_type == 2
+    assert cells[("b", 2, 12)].share == 1.0
