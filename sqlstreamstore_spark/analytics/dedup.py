@@ -21,7 +21,7 @@ Scale design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -936,4 +936,47 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
         .orderBy("doc_sub", "doc_sup")
+    )
+
+
+def golden_records(documents: DataFrame) -> DataFrame:
+    """Survivorship (golden-record) merge over duplicate clusters — the
+    MDM step after duplicate DETECTION: for every cluster sharing a
+    canonical content key, pick one survivor by an explicit rule
+    (longest text wins, lowest doc_id breaks ties) and merge the
+    cluster's provenance (sorted distinct sources). The cluster key is
+    the md5 of the sorted distinct lowercase token set — an order- and
+    multiplicity-invariant content fingerprint, so shuffled or
+    repeated-word variants of one document land in one cluster (the
+    same vocabulary-fingerprint family the near-dup ops target).
+
+    Scale shape: ONE shuffle on the cluster key; the window rank and
+    the merge aggregate stack on the same partitioning. Clusters of
+    size 1 are dropped before the window ranks anything heavy; output
+    is O(#duplicate clusters)."""
+    key = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))),
+            " ",
+        )
+    )
+    keyed = documents.select(
+        key.alias("cluster_key"), "doc_id", "n_chars", "source"
+    )
+    w_cnt = Window.partitionBy("cluster_key")
+    w_rank = Window.partitionBy("cluster_key").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        keyed.withColumn("n_members", F.count("*").over(w_cnt))
+        .filter(F.col("n_members") > 1)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .groupBy("cluster_key")
+        .agg(
+            F.max("n_members").cast("long").alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("survivor_doc_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("survivor_chars"),
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+        )
+        .orderBy("cluster_key")
     )

@@ -416,3 +416,45 @@ def quantile_normalize_scores(docs: DataFrame) -> DataFrame:
         .select("doc_id", "source", "score", "calibrated")
         .orderBy("doc_id")
     )
+
+
+def classifier_score(documents: DataFrame) -> DataFrame:
+    """Apply a trained linear text classifier at corpus scale — the
+    fastText-style quality-filter inference pass (score = mean token
+    weight, keep if positive). The weight table is virtual: each
+    token's weight is derived from a content hash (md5 → int in
+    [-500, 500]), standing in for broadcast-joined learned weights
+    while keeping both engines bit-identical with NO weight file.
+
+    Scale shape: zero shuffles. The per-doc score folds over the token
+    array map-side (F.aggregate — integer sum, order-free); a real
+    deployment swaps the hash for a broadcast map_from_entries lookup
+    and keeps the same plan. The only division is one IEEE divide of
+    two exact BIGINTs at the end, so the gate hash-matches with zero
+    tolerance."""
+    toks = F.split(F.col("text"), " ")
+    w = lambda t: (
+        F.conv(F.substring(F.md5(F.concat(F.lit("clf:"), t)), 1, 8), 16, 10)
+        .cast("long")
+        % 1001
+        - 500
+    )
+    return (
+        documents.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + w(t)).alias(
+                "score_num"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score_num",
+            (F.col("score_num") / F.col("n_tokens")).alias("score"),
+            F.when(F.col("score_num") > 0, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )

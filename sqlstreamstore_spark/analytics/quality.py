@@ -183,3 +183,38 @@ def robust_outlier_bounds(
         )
         .orderBy("g")
     )
+
+
+def k_anonymity_report(
+    documents: DataFrame, k: int = 5, bucket: int = 100
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (the re-identification
+    screen privacy reviews run before a corpus release): group by the
+    quasi-identifier tuple (lang, source, coarse length bucket) and
+    flag equivalence classes smaller than k — each such class's
+    members are re-identifiable by the tuple alone. Emits every class
+    with its size, risk flag, and share of the corpus; the dataset's
+    k-anonymity level is the min class size.
+
+    Scale shape: one partial-aggregating groupBy onto the bounded
+    quasi-identifier axis; the share is an IEEE divide of exact
+    BIGINTs. Suppression/generalization is the caller's next move —
+    this op is the audit, not the mutation."""
+    cells = documents.groupBy(
+        "lang",
+        "source",
+        (F.floor(F.col("n_chars") / bucket) * bucket).cast("long").alias("chars_bucket"),
+    ).agg(F.count("*").alias("class_size"))
+    total = documents.agg(F.count("*").cast("long").alias("__total"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            "chars_bucket",
+            "class_size",
+            (F.col("class_size") < k).alias("risky"),
+            (F.col("class_size") / F.col("__total")).alias("share"),
+        )
+        .orderBy("lang", "source", "chars_bucket")
+    )

@@ -3606,6 +3606,64 @@ FROM cells ORDER BY event_type, dow, hod
 """
 
 
+# Linear-classifier inference replay: identical md5-derived weight per
+# token, integer fold, one exact-BIGINT IEEE division at the end.
+_CLASSIFIER_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ' '),
+               t -> ({_hexfold("'clf:' || t", 1, 8)}) % 1001 - 500)),
+           (a, x) -> a + x) AS score_num
+  FROM documents)
+SELECT doc_id, n_tokens, score_num,
+       CAST(score_num AS DOUBLE) / n_tokens AS score,
+       CASE WHEN score_num > 0 THEN 'keep' ELSE 'drop' END AS verdict
+FROM scored ORDER BY doc_id
+"""
+
+
+# k-anonymity audit replay: bounded quasi-identifier axis, exact
+# BIGINT share division.
+_K_ANON_SQL = """
+WITH cells AS (
+  SELECT lang, source,
+         CAST((n_chars // 100) * 100 AS BIGINT) AS chars_bucket,
+         count(*) AS class_size
+  FROM documents GROUP BY 1, 2, 3),
+tot AS (SELECT count(*) AS total FROM documents)
+SELECT lang, source, chars_bucket, class_size,
+       class_size < 5 AS risky,
+       CAST(class_size AS DOUBLE) / total AS share
+FROM cells, tot
+ORDER BY lang, source, chars_bucket
+"""
+
+
+# Golden-record survivorship replay: same vocabulary-fingerprint
+# cluster key, same (n_chars DESC, doc_id) survivor rule.
+_GOLDEN_SQL = """
+WITH keyed AS (
+  SELECT md5(array_to_string(
+           list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS cluster_key,
+         doc_id, n_chars, source
+  FROM documents),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY cluster_key) AS n_members,
+         row_number() OVER (PARTITION BY cluster_key
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM keyed)
+SELECT cluster_key,
+       CAST(max(n_members) AS BIGINT) AS n_members,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_doc_id,
+       max(CASE WHEN rn = 1 THEN n_chars END) AS survivor_chars,
+       array_to_string(list_sort(list(DISTINCT source)), ',') AS sources
+FROM sized WHERE n_members > 1
+GROUP BY cluster_key ORDER BY cluster_key
+"""
+
+
 def analytics_queries():
     """name → (spark_fn, oracle_sql | None). None = rows-only check
     (non-SQL-expressible: engine-specific hash families)."""
@@ -4517,5 +4575,23 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
         "events_seasonal_profile": (
             lambda s, sf: events.seasonal_profile(_t(s, sf, "events")),
             _SEASONAL_SQL,
+        ),
+        # linear quality-classifier inference: md5-derived weights,
+        # shuffle-free map-side array fold, exact integer score
+        "pipeline_classifier_score": (
+            lambda s, sf: pipeline.classifier_score(_t(s, sf, "documents")),
+            _CLASSIFIER_SQL,
+        ),
+        # k-anonymity audit over (lang, source, length-bucket)
+        # quasi-identifiers: class sizes, risk flags, corpus shares
+        "dq_k_anonymity": (
+            lambda s, sf: quality.k_anonymity_report(_t(s, sf, "documents")),
+            _K_ANON_SQL,
+        ),
+        # survivorship merge per duplicate cluster (vocabulary
+        # fingerprint key; longest-text-wins rule; provenance union)
+        "dedup_golden_record": (
+            lambda s, sf: dedup.golden_records(_t(s, sf, "documents")),
+            _GOLDEN_SQL,
         ),
     }

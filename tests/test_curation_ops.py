@@ -511,3 +511,96 @@ def test_bm25_matches_python_and_ranks_relevance(spark):
         exp = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * lens[d] / avg))
         assert abs(out[d].bm25 - round(exp, 6)) < 1e-6, (d, exp)
     assert out[1].bm25 > out[2].bm25 > out[3].bm25
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_classifier_score_matches_python_replay(spark):
+    import hashlib
+
+    from sqlstreamstore_spark.analytics.pipeline import classifier_score
+
+    rows = [
+        (1, "alpha beta gamma", "en", "web", 16),
+        (2, "alpha alpha", "en", "web", 11),
+        (3, "delta", "en", "web", 5),
+    ]
+
+    def w(tok):
+        return int(hashlib.md5(f"clf:{tok}".encode()).hexdigest()[:8], 16) % 1001 - 500
+
+    got = {r.doc_id: r for r in classifier_score(_docs(spark, rows)).collect()}
+    for doc_id, text, *_ in rows:
+        toks = text.split(" ")
+        num = sum(w(t) for t in toks)
+        assert got[doc_id].score_num == num
+        assert got[doc_id].n_tokens == len(toks)
+        assert got[doc_id].score == num / len(toks)
+        assert got[doc_id].verdict == ("keep" if num > 0 else "drop")
+    # duplicate tokens count with multiplicity
+    assert got[2].score_num == 2 * w("alpha")
+
+
+def test_classifier_score_plan_is_shuffle_free(spark):
+    from sqlstreamstore_spark.analytics.pipeline import classifier_score
+
+    df = _docs(spark, [(1, "a b", "en", "web", 3)])
+    plan = (
+        classifier_score(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # inference is map-side: the only exchange is the final orderBy's
+    # range partitioning — no hash-partition shuffle anywhere
+    assert "hashpartitioning" not in plan
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from sqlstreamstore_spark.analytics.quality import k_anonymity_report
+
+    rows = (
+        # 6 docs in one equivalence class (en, web, bucket 100) -> safe
+        [(i, "x", "en", "web", 150) for i in range(6)]
+        # 2 docs in (fr, web, bucket 100) -> risky at k=5
+        + [(10, "x", "fr", "web", 120), (11, "x", "fr", "web", 199)]
+        # 1 doc alone -> risky
+        + [(20, "x", "de", "api", 730)]
+    )
+    out = {(r.lang, r.source, r.chars_bucket): r for r in
+           k_anonymity_report(_docs(spark, rows)).collect()}
+    assert out[("en", "web", 100)].class_size == 6
+    assert out[("en", "web", 100)].risky is False
+    assert out[("fr", "web", 100)].class_size == 2
+    assert out[("fr", "web", 100)].risky is True
+    assert out[("de", "api", 700)].risky is True
+    assert abs(out[("en", "web", 100)].share - 6 / 9) < 1e-15
+
+
+def test_golden_records_survivorship_rules(spark):
+    from sqlstreamstore_spark.analytics.dedup import golden_records
+
+    rows = [
+        # cluster A: same vocabulary, shuffled order / repeated words;
+        # doc 2 is longest -> survivor; sources merged sorted
+        (1, "red green blue", "en", "web", 14),
+        (2, "blue blue red green red", "en", "api", 23),
+        (3, "green red blue", "en", "web", 14),
+        # cluster B: tie on n_chars -> lowest doc_id survives
+        (10, "solo dup", "en", "web", 8),
+        (11, "dup solo", "en", "web", 8),
+        # singleton: never emitted
+        (20, "unique words here", "en", "web", 17),
+    ]
+    out = golden_records(_docs(spark, rows)).collect()
+    assert len(out) == 2
+    by_members = {r.n_members: r for r in out}
+    a = by_members[3]
+    assert a.survivor_doc_id == 2 and a.survivor_chars == 23
+    assert a.sources == "api,web"
+    b = by_members[2]
+    assert b.survivor_doc_id == 10 and b.sources == "web"
