@@ -660,9 +660,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_scd2_versions", "stats_weighted_median", "text_vocab_growth",
     "events_session_table", "events_funnel_windowed",
     "sampling_temperature_mixture", "store_cdc_rollup", "stats_entropy_by_source",
+    "events_top_paths", "events_cusum_changepoint", "events_seasonal_profile",
+    "pipeline_classifier_score", "dq_k_anonymity", "dedup_golden_record",
     # -- §2-core + regression canaries, inside the cap every round --
-    "read_all_forwards", "store_bulk_roundtrip",
-    "events_funnel", "dedup_minhash_lsh",
+    "read_all_forwards", "events_funnel",
+    # -- below here rides the cap boundary: all ever-green rows --
+    "store_bulk_roundtrip", "dedup_minhash_lsh",
     # -- r4's fixed reds, re-confirmed one more round --
     "collect_list_rollcall", "json_payload_stats",
 )
