@@ -62,9 +62,12 @@ def range_join_bucketed(
         raise ValueError(f"unsupported bucket {bucket!r}")
     b = F.lit(bucket_secs)
 
-    l_bucket = (F.unix_timestamp(F.col(left_time)) / b).cast("long")
-    r_lo = (F.unix_timestamp(F.col(right_start)) / b).cast("long")
-    r_hi = (F.unix_timestamp(F.col(right_end)) / b).cast("long")
+    # floor, not cast-truncation: cast('long') truncates toward zero,
+    # which shifts pre-1970 (negative-epoch) timestamps into the wrong
+    # cell and would break the bucket-equality candidate guarantee
+    l_bucket = F.floor(F.unix_timestamp(F.col(left_time)) / b).cast("long")
+    r_lo = F.floor(F.unix_timestamp(F.col(right_start)) / b).cast("long")
+    r_hi = F.floor(F.unix_timestamp(F.col(right_end)) / b).cast("long")
 
     lhs = left.withColumn("__lb", l_bucket)
     rhs = right.withColumn("__rb", F.explode(F.sequence(r_lo, r_hi)))
@@ -116,10 +119,13 @@ def interval_overlap_join(
     if {a_key, a_start, a_end} & {b_key, b_start, b_end}:
         raise ValueError("a-side and b-side column names must be disjoint")
     w = F.lit(bucket_secs)
-    a_lo = (F.unix_timestamp(F.col(a_start)) / w).cast("long")
-    a_hi = (F.unix_timestamp(F.col(a_end)) / w).cast("long")
-    b_lo = (F.unix_timestamp(F.col(b_start)) / w).cast("long")
-    b_hi = (F.unix_timestamp(F.col(b_end)) / w).cast("long")
+    # floor, not cast-truncation: cast('long') truncates toward zero, so
+    # negative-epoch timestamps would shift cells by one and break the
+    # canonical-cell dedup + candidate-superset guarantee
+    a_lo = F.floor(F.unix_timestamp(F.col(a_start)) / w).cast("long")
+    a_hi = F.floor(F.unix_timestamp(F.col(a_end)) / w).cast("long")
+    b_lo = F.floor(F.unix_timestamp(F.col(b_start)) / w).cast("long")
+    b_hi = F.floor(F.unix_timestamp(F.col(b_end)) / w).cast("long")
 
     lhs = a.withColumn("__a_lo", a_lo).withColumn(
         "__ac", F.explode(F.sequence(a_lo, a_hi))

@@ -484,7 +484,10 @@ def scd2_versions(events: DataFrame) -> DataFrame:
                 F.unix_micros(F.lead("ts").over(w2)), F.lit(-1).cast("bigint")
             ).alias("valid_to_us"),
         )
-        .orderBy("user_id", "valid_from_us")
+        # event_type tie-break: two type-changes for one user in the
+        # same microsecond would otherwise make the order non-total and
+        # cross-engine row order nondeterministic
+        .orderBy("user_id", "valid_from_us", "event_type")
     )
 
 
@@ -614,7 +617,10 @@ def top_event_paths(events: DataFrame, k: int = 20) -> DataFrame:
     any engine."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     tri = (
-        events.filter(F.col("user_id").isNotNull())
+        # ts NOT NULL: Spark orders NULLs FIRST, DuckDB LAST — a NULL ts
+        # would silently reorder the trigram stream per engine (module
+        # NULL discipline; see sessions_per_user).
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .select(
             "user_id",
             F.col("event_type").alias("e1"),
@@ -644,9 +650,14 @@ def cusum_changepoint(events: DataFrame) -> DataFrame:
     partitioned by type — per-type state is O(days), never O(events);
     at 100 TB the event scan is the only big stage and it partially
     aggregates map-side."""
-    daily = events.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.count("*").alias("c"))
+    daily = (
+        # ts NOT NULL: a NULL day cell would order differently per
+        # engine (Spark NULLs FIRST / DuckDB LAST) inside the CUSUM
+        # window — module NULL discipline.
+        events.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
     wt = Window.partitionBy("event_type")
     wc = (
         Window.partitionBy("event_type")
@@ -688,11 +699,17 @@ def seasonal_profile(events: DataFrame) -> DataFrame:
     Shape: one partial-aggregating groupBy onto the bounded
     |types|x168 axis; both windows share the event_type partitioning.
     Day-of-week is Monday=0 (Spark weekday(); ISO dow - 1 elsewhere)."""
-    cells = events.groupBy(
-        "event_type",
-        F.weekday(F.col("ts")).cast("long").alias("dow"),
-        F.hour(F.col("ts")).cast("long").alias("hod"),
-    ).agg(F.count("*").alias("n"))
+    cells = (
+        # ts NOT NULL: NULL dow/hod cells would sort differently per
+        # engine — module NULL discipline.
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.weekday(F.col("ts")).cast("long").alias("dow"),
+            F.hour(F.col("ts")).cast("long").alias("hod"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
     wt = Window.partitionBy("event_type")
     wr = Window.partitionBy("event_type").orderBy(F.desc("n"), "dow", "hod")
     return (

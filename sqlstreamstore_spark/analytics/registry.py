@@ -1191,6 +1191,65 @@ LIMIT {k}
 _IVF_STATIC_SQL = _ivf_static_sql()
 
 
+def _ivf_batch_sql(
+    k: int = 5, n_clusters: int = 8, n_probe: int = 4, n_queries: int = 5
+) -> str:
+    """DuckDB twin of similarity.knn_join_ivf_static: per-query probe
+    selection (a window over queries × literal centroids), the same
+    argmax assignment as the single-query IVF oracle, candidate join on
+    the probed lists, exact cosine re-rank with per-query row_number."""
+    from sqlstreamstore_spark.analytics.similarity import _static_centroids
+
+    cent_rows = ",\n    ".join(
+        "({cid}, CAST([{vals}] AS DOUBLE[]))".format(
+            cid=cid, vals=", ".join(repr(x) for x in vec)
+        )
+        for cid, vec in _static_centroids(n_clusters=n_clusters)
+    )
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+        "* sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+WITH cent(ccid, cv) AS (VALUES
+    {cent_rows}
+),
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {n_queries}),
+probe AS (
+  SELECT qid, ccid FROM (
+    SELECT q.qid, c.ccid,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY {cos.format(a="c.cv", b="q.qv")} DESC, c.ccid) AS pr
+    FROM q, cent c) t
+  WHERE pr <= {n_probe}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+assigned AS (
+  SELECT vec_id, v, ccid FROM (
+    SELECT e.vec_id, e.v, c.ccid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos.format(a="e.v", b="c.cv")} DESC, c.ccid) AS rk
+    FROM e, cent c) t
+  WHERE rk = 1),
+cand AS (
+  SELECT p.qid, a.vec_id AS cid,
+         {cos.format(a="a.v", b="q.qv")} AS cosine
+  FROM assigned a
+  JOIN probe p ON a.ccid = p.ccid
+  JOIN q ON q.qid = p.qid
+  WHERE a.vec_id <> p.qid)
+SELECT qid, cid, cosine, rk FROM (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+  FROM cand) t
+WHERE rk <= {k}
+ORDER BY qid, rk
+"""
+
+
+_IVF_BATCH_SQL = _ivf_batch_sql()
+
+
 def _pq_sql_blocks(cbs, sd: int, m: int) -> tuple[str, str, str, str]:
     """The four shared SQL fragments of the PQ twins (dl lists, code
     argmins, ADC dot LUT, ADC norm² LUT) — used by both the flat PQ
@@ -2665,7 +2724,7 @@ SELECT user_id, event_type,
        coalesce(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)),
                 CAST(-1 AS BIGINT)) AS valid_to_us
 FROM chg
-ORDER BY user_id, valid_from_us
+ORDER BY user_id, valid_from_us, event_type
 """
 
 _WEIGHTED_MEDIAN_SQL = """
@@ -3557,7 +3616,7 @@ WITH tri AS (
   SELECT event_type AS e1,
          lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
          lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
-  FROM events WHERE user_id IS NOT NULL)
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
 SELECT e1, e2, e3, count(*) AS n
 FROM tri WHERE e3 IS NOT NULL
 GROUP BY e1, e2, e3
@@ -3572,7 +3631,7 @@ _CUSUM_SQL = """
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
          count(*) AS c
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
 t AS (
   SELECT *, count(*) OVER (PARTITION BY event_type) AS n_days,
          CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS total
@@ -3597,7 +3656,7 @@ _SEASONAL_SQL = """
 WITH cells AS (
   SELECT event_type, CAST(isodow(ts) - 1 AS BIGINT) AS dow,
          CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n
-  FROM events GROUP BY 1, 2, 3)
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3)
 SELECT event_type, dow, hod, n,
        CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS share,
        CAST(row_number() OVER (

@@ -61,11 +61,26 @@ _COLS = ", ".join(ORACLE_COLUMNS)
 
 
 def get_log(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): CPython reuses ids after GC, which
+    # could hand back a cached DataFrame bound to a dead session
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _LOG_CACHE:
         log = events_to_log(load_table(spark, sf_dir, "events")).cache()
         _LOG_CACHE[key] = log
     return _LOG_CACHE[key]
+
+
+def _gate_tmpdir(prefix: str) -> str:
+    """mkdtemp registered for rmtree at interpreter exit — gate-store
+    scratch dirs must not accumulate across driver runs."""
+    import atexit
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    if not _CDC_TMPDIRS:
+        atexit.register(_cdc_cleanup)
+    _CDC_TMPDIRS.append(path)
+    return path
 
 
 def _proj(df: DataFrame) -> DataFrame:
@@ -265,12 +280,10 @@ def _scavenge_all_query(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _store_roundtrip_query(spark: SparkSession, sf: str) -> DataFrame:
-    import tempfile
-
     from sqlstreamstore_spark.store.spark_store import SparkParquetStreamStore
 
     log = get_log(spark, sf)
-    path = tempfile.mkdtemp(prefix="gate-store-roundtrip-")
+    path = _gate_tmpdir("gate-store-roundtrip-")
     store = SparkParquetStreamStore(spark, path)
     bulk_src = log.select(
         "stream_id", "message_id", "type", "json_data", "json_metadata",
@@ -293,12 +306,10 @@ def _time_travel_query(spark: SparkSession, sf: str) -> DataFrame:
     the canonical log in two bulk commits, then read commit 1's
     snapshot and the 1→2 delta (entrypoints oracle replays the same
     two-phase position/version arithmetic in SQL)."""
-    import tempfile
-
     from sqlstreamstore_spark.store.spark_store import SparkParquetStreamStore
 
     log = get_log(spark, sf)
-    path = tempfile.mkdtemp(prefix="gate-store-timetravel-")
+    path = _gate_tmpdir("gate-store-timetravel-")
     store = SparkParquetStreamStore(spark, path)
     src = log.select(
         "stream_id", "message_id", "type", "json_data", "json_metadata",
@@ -335,23 +346,32 @@ CDC_SC = "cdc-2"   # scavenge target (max_count below)
 CDC_MAXC = 20      # keep newest 20 -> victims reach into batch 2
 
 
-_CDC_STORE_CACHE: dict[tuple[int, str], tuple] = {}
+_CDC_STORE_CACHE: dict[tuple[str, str], tuple] = {}
+_CDC_TMPDIRS: list[str] = []
+
+
+def _cdc_cleanup() -> None:
+    import shutil
+
+    for p in _CDC_TMPDIRS:
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def _cdc_store(spark: SparkSession, sf: str):
     """(store, v1, v2) for the canonical CDC interleaving — memoized
     per (session, sf) so the two CDC gate rows (`store_cdc_multi`,
     `store_cdc_rollup`) share one build instead of paying the five
-    commits twice."""
-    key = (id(spark), sf)
+    commits twice. Keyed on applicationId (stable per session), not
+    id(spark) — CPython can reuse an id after an old session is
+    collected, which would serve a store bound to a dead JVM. Temp
+    store dirs are rmtree'd at interpreter exit."""
+    key = (spark.sparkContext.applicationId, sf)
     if key in _CDC_STORE_CACHE:
         return _CDC_STORE_CACHE[key]
-    import tempfile
-
     from sqlstreamstore_spark.store.spark_store import SparkParquetStreamStore
 
     log = get_log(spark, sf)
-    path = tempfile.mkdtemp(prefix="gate-store-cdc-")
+    path = _gate_tmpdir("gate-store-cdc-")
     store = SparkParquetStreamStore(spark, path)
     src = log.filter(F.col("position") < CDC_END).select(
         F.concat(F.lit("cdc-"), (F.col("position") % CDC_K).cast("string"))
@@ -632,43 +652,46 @@ def build_oracle_sql() -> dict[str, str]:
 
 
 # The driver evaluates queries in dict order and caps CORRECTNESS at ~50
-# rows per round. Round-5 rotation (VERDICT r4 "Next round" #1): the
-# LAST 7 never-driver-checked queries go first — with them green, every
-# one of the declared queries has had a driver CORRECTNESS row. Then
-# the two former rows-only rows whose gates now carry real rank-exact
-# oracles (r4 #2), the round-5 additions as they land, the four
-# regression canaries, and the remainder of the cap re-confirms rows in
-# dict order (oracled before rows-only via the sort key below).
-_GATE_PRIORITY: tuple[str, ...] = (
-    # -- the final 7 never-driver-checked (all judge-sim-green in r4) --
-    "layout_zorder3_values", "dq_corpus_diff", "dq_key_skew",
-    "dq_robust_outliers", "sampling_budget_mixture",
-    "sim_cosine_near_dup_lsh_mp", "sim_embedding_lsh_recall_mp",
-    # -- oracle upgrades: rows-only in r4, rank-exact-oracled in r5 --
-    "stats_ntile_deciles_approx", "drift_ks_binned",
-    # -- round-5 additions (never checked by construction) --
-    "layout_zorder_pruned_scan", "store_cdc_multi",
-    "sim_cosine_topk_ivf_upsert", "sim_cosine_topk_ivfpq_static",
-    "dedup_substring_spans", "text_unigram_logprob",
-    "dedup_bloom_prefilter", "sampling_weighted_aes", "stats_cms_freq",
-    "sim_hard_negatives", "sim_label_centroids",
-    "events_sliding_1h", "pipeline_quality_gate", "text_bigram_logprob",
-    "dedup_winnow_pairs", "text_collocations_pmi", "sampling_group_split",
-    "pipeline_quantile_normalize", "dedup_containment", "text_bm25_scores",
-    "stats_hll_distinct", "range_join_interval_overlap", "events_ewma",
-    "sim_kmeans_step", "events_rolling_distinct", "events_rolling_distinct_hll",
-    "events_scd2_versions", "stats_weighted_median", "text_vocab_growth",
-    "events_session_table", "events_funnel_windowed",
-    "sampling_temperature_mixture", "store_cdc_rollup", "stats_entropy_by_source",
-    "events_top_paths", "events_cusum_changepoint", "events_seasonal_profile",
-    "pipeline_classifier_score", "dq_k_anonymity", "dedup_golden_record",
-    # -- §2-core + regression canaries, inside the cap every round --
+# rows per round. Round-6 rotation (VERDICT r5 "Next round" #1):
+# STALEST-FIRST. Every declared query now has at least one driver row,
+# so the never-checked-first heuristic is exhausted; instead, each
+# round front-loads the queries whose latest driver row is OLDEST
+# (never-checked new queries sort as round 0, i.e. absolute first),
+# after the four regression canaries that stay inside the cap window
+# every round. Shared code changes every round — the stalest green row
+# is the one most likely to be silently stale.
+_GATE_CANARIES: tuple[str, ...] = (
     "read_all_forwards", "events_funnel",
-    # -- below here rides the cap boundary: all ever-green rows --
     "store_bulk_roundtrip", "dedup_minhash_lsh",
-    # -- r4's fixed reds, re-confirmed one more round --
-    "collect_list_rollcall", "json_payload_stats",
 )
+
+
+def gate_last_checked() -> dict[str, int]:
+    """query name -> latest round with a driver CORRECTNESS row, parsed
+    from the repo-root CORRECTNESS_r{N}.json files the driver commits.
+    Queries with no row yet (new this round) are absent (treated as 0)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(f) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name in data:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _all_specs() -> dict[str, QuerySpec]:
@@ -679,12 +702,19 @@ def _all_specs() -> dict[str, QuerySpec]:
         specs.update(analytics_queries())
     except ImportError:
         pass
-    rank = {n: i for i, n in enumerate(_GATE_PRIORITY)}
-    # after the priority block: oracled queries before rows-only ones, so
-    # a cap never spends slots on weaker checks while oracled ones wait
+    canary_rank = {n: i for i, n in enumerate(_GATE_CANARIES)}
+    last = gate_last_checked()
+    # canaries first (always in the cap), then ascending last-checked
+    # round; ties break oracled-before-rows-only, then by name so the
+    # order is total and reproducible
     return dict(
         sorted(
             specs.items(),
-            key=lambda kv: (rank.get(kv[0], len(rank)), kv[1][1] is None),
+            key=lambda kv: (
+                canary_rank.get(kv[0], len(canary_rank)),
+                last.get(kv[0], 0),
+                kv[1][1] is None,
+                kv[0],
+            ),
         )
     )

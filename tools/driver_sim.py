@@ -111,8 +111,16 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
         qs = {n: qs[n] for n in only}
     print(f"{len(qs)} queries, {len(oracles)} oracles")
     if not only:
+        try:
+            from sqlstreamstore_spark.entrypoints import gate_last_checked
+
+            last = gate_last_checked()
+        except Exception:
+            last = {}
         cap = list(qs)[:50]
-        print(f"driver ~50-row cap window (first 50 in dict order): {cap}")
+        print("driver ~50-row cap window (first 50 in dict order, "
+              "name:last-checked-round, r0 = never):")
+        print("  " + " ".join(f"{n}:r{last.get(n, 0)}" for n in cap))
     failures = []
     for name, fn in qs.items():
         t0 = time.time()
