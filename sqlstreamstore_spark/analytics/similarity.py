@@ -1202,3 +1202,130 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def ivf_probe_lists(
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int = 4,
+) -> DataFrame:
+    """Per-query probe lists against a literal centroid model: one row
+    per (query, probed cluster), ``n_probe`` rows per query. The
+    centroid scores compile to ONE map expression (an exploded literal
+    struct array — no join, no corpus scan); the per-query rank is a
+    window over the small query side only.
+
+    Output: qid, qvec, qn (query norm, reused by the re-rank), pcid
+    (probed cluster id), probe_rank."""
+    from pyspark.sql import Window
+
+    norm_e = _norm_sql("embedding")
+    structs = "array(" + ",".join(
+        f"named_struct('cid', {int(cid)}, 'score', "
+        f"{_dot_sql('embedding', _arr_sql(vec))} / ({norm_e} * {_dlit(math_norm(vec))}))"
+        for cid, vec in centroids
+    ) + ")"
+    w = Window.partitionBy("qid").orderBy(F.desc("c.score"), F.asc("c.cid"))
+    return (
+        queries.select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            _norm(F.col("embedding")).alias("qn"),
+            F.explode(F.expr(structs)).alias("c"),
+        )
+        .withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("qid", "qvec", "qn", F.col("c.cid").alias("pcid"), "probe_rank")
+    )
+
+
+def knn_join_ivf_static(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Batched multi-query ANN through the IVF index (VERDICT r5 #2):
+    a query DATAFRAME — not one literal vector — each query probing its
+    ``n_probe`` nearest inverted lists, equi-joined against the
+    cluster-assigned corpus on cluster_id, exact cosine re-rank and
+    per-query top-k. This is how retrieval actually runs at 100 TB:
+    queries arrive in batches, and one corpus pass serves all of them.
+
+    Scale shape — contrast knn_join_bruteforce's crossJoin:
+      - corpus assignment is the literal-argmax map expression
+        (ivf_assign): no shuffle, stays in whole-stage codegen;
+      - probe lists are Q×n_probe rows, BROADCAST to the corpus scan:
+        the join is a BroadcastHashJoin on cluster_id — each corpus row
+        is scored only against the queries probing its list, so the
+        candidate fan-out is ~Q·n_probe/n_clusters per corpus row,
+        never Q;
+      - per-query top-k is rank-limit-pushed (WindowGroupLimit): each
+        map task keeps k rows per query BEFORE the qid exchange, so the
+        only shuffle in the whole plan moves ~Q·k rows.
+    Against the materialized index (build_ivf_index) the same join
+    triggers dynamic partition pruning — see knn_join_ivf_index.
+
+    Self-matches are excluded (cid != qid), mirroring
+    knn_join_bruteforce, the exact twin to measure recall against."""
+    from pyspark.sql import Window
+
+    centroids = _static_centroids(dim=dim, n_clusters=n_clusters, seed=seed)
+    probes = ivf_probe_lists(queries, centroids, n_probe=n_probe)
+    assigned = ivf_assign(embeddings, centroids).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        _norm(F.col("embedding")).alias("cn"),
+        "cluster_id",
+    )
+    score = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        assigned.join(
+            F.broadcast(probes), assigned.cluster_id == probes.pcid, "inner"
+        )
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", score.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .orderBy("qid", "rk")
+    )
+
+
+def knn_join_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Batched ANN against the MATERIALIZED cluster_id-partitioned IVF
+    index (build_ivf_index): the broadcast equi-join between the probe
+    lists and the index's partition column triggers Spark's dynamic
+    partition pruning, so inverted-list directories no query probes are
+    never opened — the scan-level pruning cosine_topk_ivf_index gets
+    from a literal IN filter, generalized to a query batch (pinned by
+    tests/test_similarity.py's dynamicpruning plan check)."""
+    from pyspark.sql import Window
+
+    probes = ivf_probe_lists(queries, centroids, n_probe=n_probe)
+    idx = spark.read.parquet(path).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        _norm(F.col("embedding")).alias("cn"),
+        "cluster_id",
+    )
+    score = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        idx.join(F.broadcast(probes), idx.cluster_id == probes.pcid, "inner")
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", score.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .orderBy("qid", "rk")
+    )

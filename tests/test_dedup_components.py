@@ -133,3 +133,50 @@ def test_jaccard_prefix_handles_tiny_and_identical_docs(spark):
     )
     rows = jaccard_prefix_pairs(docs, threshold=0.9).collect()
     assert [(r.doc_a, r.doc_b, r.jaccard) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_auto_shingle_df_cap_noop_on_fixture(spark):
+    """VERDICT r5 #4: max_shingle_df defaults to 'auto' =
+    max(64, ceil(sqrt(N))). On the closed-vocabulary fixture the cap is
+    64 while max shingle df is single-digit, so the default MUST be a
+    no-op — identical rows to the uncapped run — while still bounding
+    any one shingle's join mass to N pairs on a skewed corpus."""
+    from sqlstreamstore_spark.analytics.dedup import (
+        containment_pairs,
+        derive_shingle_df_cap,
+        ngram_jaccard_pairs,
+    )
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    assert derive_shingle_df_cap(500) == 64       # floor wins
+    assert derive_shingle_df_cap(50_000) == 224   # ceil(sqrt) wins
+    assert derive_shingle_df_cap(49) == 64
+
+    auto_j = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    none_j = ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=None).collect()
+    assert auto_j == none_j and len(auto_j) > 0
+
+    auto_c = containment_pairs(docs, threshold=0.5).collect()
+    none_c = containment_pairs(docs, threshold=0.5, max_shingle_df=None).collect()
+    assert auto_c == none_c and len(auto_c) > 0
+
+
+def test_auto_shingle_df_cap_engages_on_skew(spark):
+    """On a corpus where one boilerplate shingle appears in EVERY doc
+    (df = N > cap), the auto cap drops it: pairs witnessed ONLY by the
+    boilerplate disappear, pairs with rarer shared shingles survive."""
+    from sqlstreamstore_spark.analytics.dedup import containment_pairs
+
+    # 80 docs sharing the boilerplate trigram; docs 0/1 also share a
+    # rare 5-token overlap
+    rows = [(i, f"common boiler plate u{i} v{i} w{i} x{i}") for i in range(2, 80)]
+    rows += [(0, "common boiler plate alpha beta gamma delta"),
+             (1, "common boiler plate alpha beta gamma delta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = containment_pairs(docs, threshold=0.5, max_shingle_df=10)
+    got = {(r.doc_sub, r.doc_sup) for r in capped.collect()}
+    # boilerplate-only pairs are gone; the genuine near-dup remains
+    assert (0, 1) in got and (1, 0) in got
+    assert all({a, b} == {0, 1} for a, b in got), got

@@ -343,3 +343,42 @@ def test_kmeans_lloyd_step_assignment_is_shuffle_free(emb):
     )
     assert "Exchange" not in plan
     assert "Window" not in plan
+
+
+def test_knn_ivf_batch_plan_and_recall(spark, emb):
+    """Batched multi-query ANN (VERDICT r5 #2): the plan must contain NO
+    cartesian/nested-loop join — the corpus is scored only against the
+    queries probing its list via a BroadcastHashJoin on cluster_id —
+    and per-query recall@5 vs the brute-force twin must be substantial
+    with half the lists probed."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = similarity.knn_join_ivf_static(emb, queries, k=5, n_clusters=8, n_probe=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # rank-limit pushdown: the per-query top-k must run as a group-limit
+    # before the qid exchange, not a full sort
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+    exact = similarity.knn_join_bruteforce(emb, queries, k=5)
+    got_set = {(r.qid, r.cid) for r in got.collect()}
+    exact_set = {(r.qid, r.cid) for r in exact.collect()}
+    recall = len(got_set & exact_set) / len(exact_set)
+    assert recall >= 0.5, recall
+
+
+def test_knn_ivf_batch_against_materialized_index_dpp(spark, emb, tmp_path):
+    """The same batch against the MATERIALIZED cluster_id-partitioned
+    index: results identical to the in-memory static path, and the scan
+    must carry a dynamic-partition-pruning filter on cluster_id (the
+    broadcast probe side prunes inverted-list directories at runtime)."""
+    path = str(tmp_path / "ivf_batch_index")
+    cents = similarity.build_ivf_index(emb, path, n_clusters=8)
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = similarity.knn_join_ivf_index(spark, path, queries, cents, k=5, n_probe=4)
+    want = similarity.knn_join_ivf_static(emb, queries, k=5, n_clusters=8, n_probe=4)
+    assert [(r.qid, r.cid, r.cosine) for r in got.collect()] == [
+        (r.qid, r.cid, r.cosine) for r in want.collect()
+    ]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan or "dynamic_pruning" in plan.lower(), plan[:3000]

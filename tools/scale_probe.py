@@ -260,7 +260,20 @@ def main() -> int:
 
         t0 = time.time()
         n = dedup.containment_pairs(docs, threshold=0.5).count()
-        res["containment_pairs"] = {"rows": n, "s": round(time.time() - t0, 2)}
+        # r6: the auto df cap (max(64, ceil(sqrt(N)))) must ENGAGE on the
+        # replicated corpus — record how many hot shingles it drops
+        cap = dedup.derive_shingle_df_cap(docs.count())
+        from sqlstreamstore_spark.analytics.dedup import _shingles
+
+        n_hot = (
+            docs.select(F.explode(_shingles(F.col("text"), 3)).alias("s"))
+            .groupBy("s").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > cap).count()
+        )
+        res["containment_pairs"] = {
+            "rows": n, "s": round(time.time() - t0, 2),
+            "df_cap": cap, "hot_shingles_dropped": n_hot,
+        }
 
         t0 = time.time()
         bm = text.bm25_scores(docs)
@@ -332,6 +345,17 @@ def main() -> int:
             docs.withColumn("source", (F.col("doc_id") % 20).cast("string"))
         ).count()
         res["temperature_mixture"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        # round-6 families: batched multi-query ANN (one corpus pass
+        # serves the whole query batch — query count grows ~0.1% of the
+        # corpus, so both sides scale; the broadcast probe join + rank-
+        # limit-pushed top-k must keep cost ∝ corpus, not corpus×Q)
+        qbatch = emb.filter(F.col("vec_id") % 997 == 0).localCheckpoint()
+        nq = qbatch.count()
+        t0 = time.time()
+        n = similarity.knn_join_ivf_static(emb, qbatch, k=5, n_probe=4).count()
+        res["ivf_batch_knn"] = {
+            "rows": n, "queries": nq, "s": round(time.time() - t0, 2)}
         return res
 
     out = []
@@ -356,6 +380,16 @@ def main() -> int:
     ).localCheckpoint()
     out.append(workloads(docs, emb, li, ev, "sf1-synthetic"))
     print(json.dumps(out[-1]), flush=True)
+
+    # committed artifact: bench.py attaches this as its scale_probe
+    # section so the sf1-synthetic evidence rides along in BENCH_r{N}
+    import os
+
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "SCALE_PROBE.json")
+    with open(art, "w") as f:
+        json.dump({"scales": out}, f, indent=1)
+    print(f"wrote {art}", flush=True)
     return 0
 
 
