@@ -1263,6 +1263,80 @@ ORDER BY qid, rk
 _IVF_BATCH_SQL = _ivf_batch_sql()
 
 
+def _semantic_clusters_sql(
+    k: int = 4,
+    threshold: float = 0.35,
+    n_clusters: int = 8,
+    n_probe: int = 4,
+) -> str:
+    """DuckDB twin of similarity.semantic_clusters: corpus-as-queries
+    batched IVF kNN (same probe/assign/top-k blocks as the batch
+    oracle), cosine-thresholded edges, recursive-CTE reachability for
+    min-label components (the _CC_SQL pattern), singleton fill via LEFT
+    JOIN back to the corpus."""
+    from sqlstreamstore_spark.analytics.similarity import _static_centroids
+
+    cent_rows = ",\n    ".join(
+        "({cid}, CAST([{vals}] AS DOUBLE[]))".format(
+            cid=cid, vals=", ".join(repr(x) for x in vec)
+        )
+        for cid, vec in _static_centroids(n_clusters=n_clusters)
+    )
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+        "* sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+WITH RECURSIVE cent(ccid, cv) AS (VALUES
+    {cent_rows}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+probe AS (
+  SELECT qid, ccid FROM (
+    SELECT e.vec_id AS qid, c.ccid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos.format(a="c.cv", b="e.vec")} DESC, c.ccid) AS pr
+    FROM e, cent c) t
+  WHERE pr <= {n_probe}),
+assigned AS (
+  SELECT vec_id, vec, ccid FROM (
+    SELECT e.vec_id, e.vec, c.ccid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos.format(a="e.vec", b="c.cv")} DESC, c.ccid) AS rk
+    FROM e, cent c) t
+  WHERE rk = 1),
+scored AS (
+  SELECT p.qid, a.vec_id AS cid,
+         {cos.format(a="a.vec", b="q.vec")} AS cosine
+  FROM assigned a
+  JOIN probe p ON a.ccid = p.ccid
+  JOIN e q ON q.vec_id = p.qid
+  WHERE a.vec_id <> p.qid),
+knn AS (
+  SELECT qid, cid, cosine FROM (
+    SELECT qid, cid, cosine,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+    FROM scored) t
+  WHERE rk <= {k}),
+pairs AS (SELECT qid AS u, cid AS w FROM knn WHERE cosine >= {threshold!r}),
+edges AS (SELECT u, w FROM pairs UNION SELECT w AS u, u AS w FROM pairs),
+reach AS (
+  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT g.u, reach.r FROM edges g JOIN reach ON g.w = reach.u),
+lab AS (SELECT u AS vec_id, min(r) AS comp FROM reach GROUP BY u)
+SELECT e.vec_id,
+       CAST(coalesce(lab.comp, e.vec_id) AS BIGINT) AS comp,
+       CAST(count(*) OVER (PARTITION BY coalesce(lab.comp, e.vec_id)) AS BIGINT)
+         AS comp_size
+FROM e LEFT JOIN lab ON e.vec_id = lab.vec_id
+ORDER BY e.vec_id
+"""
+
+
+_SEMANTIC_CLUSTERS_SQL = _semantic_clusters_sql()
+
+
 def _pq_sql_blocks(cbs, sd: int, m: int) -> tuple[str, str, str, str]:
     """The four shared SQL fragments of the PQ twins (dl lists, code
     argmins, ADC dot LUT, ADC norm² LUT) — used by both the flat PQ
@@ -4371,6 +4445,15 @@ ORDER BY doc_id""",
         # batched multi-query ANN: probe lists × cluster-partitioned
         # corpus, one corpus pass serves the whole query batch
         "sim_cosine_topk_ivf_batch": (_sim_knn_ivf_batch_query, _IVF_BATCH_SQL),
+        # SemDeDup-shape curation: corpus-as-queries kNN graph (edge
+        # count ≤ N·k by construction) + connected components, every
+        # vector labeled (singletons filled)
+        "sim_semantic_clusters": (
+            lambda s, sf: similarity.semantic_clusters(
+                _t(s, sf, "embeddings"), k=4, threshold=0.35
+            ),
+            _SEMANTIC_CLUSTERS_SQL,
+        ),
         # the composed deployed index: partition-pruned probe + ADC over
         # codes + exact re-rank, hash-matched end to end (static model)
         "sim_cosine_topk_ivfpq_static": (_sim_topk_ivfpq_query, _IVFPQ_STATIC_SQL),

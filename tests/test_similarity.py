@@ -382,3 +382,33 @@ def test_knn_ivf_batch_against_materialized_index_dpp(spark, emb, tmp_path):
     ]
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan or "dynamic_pruning" in plan.lower(), plan[:3000]
+
+
+def test_semantic_clusters_labels_are_consistent(spark, emb):
+    """Cluster invariants: every thresholded kNN edge's endpoints share
+    a component; each component is labeled by its min member; every
+    corpus vector is labeled (isolated vectors as singletons); sizes
+    match the label multiset."""
+    from collections import Counter
+
+    k, t = 4, 0.35
+    out = similarity.semantic_clusters(emb, k=k, threshold=t).collect()
+    label = {r.vec_id: r.comp for r in out}
+    assert len(label) == emb.count()  # total fill
+    by_comp = Counter(r.comp for r in out)
+    for r in out:
+        assert r.comp_size == by_comp[r.comp]
+    # comp == min member id
+    mins = {}
+    for v, c in label.items():
+        mins[c] = min(mins.get(c, v), v)
+    assert all(c == m for c, m in mins.items())
+    # edges respect labels
+    edges = (
+        similarity.knn_join_ivf_static(emb, emb, k=k, broadcast_probes=False)
+        .filter(F.col("cosine") >= t)
+        .collect()
+    )
+    assert len(edges) > 0
+    for e in edges:
+        assert label[e.qid] == label[e.cid], (e.qid, e.cid)

@@ -356,6 +356,19 @@ def main() -> int:
         n = similarity.knn_join_ivf_static(emb, qbatch, k=5, n_probe=4).count()
         res["ivf_batch_knn"] = {
             "rows": n, "queries": nq, "s": round(time.time() - t0, 2)}
+
+        # corpus-as-queries kNN graph + components (edge count ≤ N·k by
+        # construction; CC runs on the edge graph, not the corpus)
+        t0 = time.time()
+        sc = similarity.semantic_clusters(emb, k=4, threshold=0.35)
+        row = sc.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("comp").alias("n_comps"),
+            F.max("comp_size").alias("max_size"),
+        ).collect()[0]
+        res["semantic_clusters"] = {
+            "rows": row.n, "n_comps": row.n_comps,
+            "max_size": row.max_size, "s": round(time.time() - t0, 2)}
         return res
 
     out = []
