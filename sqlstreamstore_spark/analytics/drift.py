@@ -219,3 +219,72 @@ def chi2_drift(a: DataFrame, b: DataFrame, col: str, round_digits: int = 6) -> D
         F.count("*").cast("long").alias("n_categories"),
         F.round(F.sum(term), round_digits).alias("chi2"),
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    accuracy: int = 10_000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Population Stability Index — the standard production drift alarm
+    (PSI < 0.1 stable / 0.1-0.25 watch / > 0.25 act): bin boundaries
+    from the REFERENCE population's quantiles (the PSI convention — the
+    monitored model saw the reference distribution), both sides counted
+    into those fixed bins, PSI = Σ (p_cur − p_ref)·ln(p_cur / p_ref).
+
+    Empty-bin discipline: half-count smoothing p = (n + 0.5) /
+    (N + 0.5·bins) — deterministic on both engines, no ±∞ terms, and
+    the statistic stays comparable across refreshes (the epsilon-free
+    convention silently drops bins and understates drift).
+
+    Scale shape: identical to ks_drift_binned — the GK sketch for
+    boundaries (rank-exact at gate accuracy), one conditional-agg scan
+    per side, the final fold over ≤ n_bins rows. ln passes through
+    libm, so both engines round (stats_corr_regr pattern).
+
+    Output one row: (n_ref, n_cur, n_bins, psi)."""
+    ref = ref.filter(F.col(col).isNotNull())
+    cur = cur.filter(F.col(col).isNotNull())
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = ref.agg(
+        F.percentile_approx(
+            F.col(col).cast("double"), F.array([F.lit(q) for q in qs]), F.lit(accuracy)
+        ).alias("bounds")
+    )
+
+    def binned(df: DataFrame, cnt: str) -> DataFrame:
+        v = F.col(col).cast("double")
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .withColumn("bin", F.size(F.filter("bounds", lambda x: v > x)))
+            .groupBy("bin")
+            .agg(F.count("*").alias(cnt))
+        )
+
+    per_bin = (
+        binned(ref, "nr").join(binned(cur, "nc"), "bin", "full_outer").select(
+            "bin",
+            F.coalesce("nr", F.lit(0)).alias("nr"),
+            F.coalesce("nc", F.lit(0)).alias("nc"),
+        )
+    )
+    tot = per_bin.agg(
+        F.sum("nr").cast("long").alias("n_ref"), F.sum("nc").cast("long").alias("n_cur")
+    )
+    x = per_bin.crossJoin(F.broadcast(tot))
+    pr = (F.col("nr").cast("double") + F.lit(0.5)) / (
+        F.col("n_ref").cast("double") + F.lit(0.5 * n_bins)
+    )
+    pc = (F.col("nc").cast("double") + F.lit(0.5)) / (
+        F.col("n_cur").cast("double") + F.lit(0.5 * n_bins)
+    )
+    term = (pc - pr) * F.log(pc / pr)
+    return x.agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.round(F.sum(term), round_digits).alias("psi"),
+    )

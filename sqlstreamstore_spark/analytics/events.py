@@ -717,3 +717,77 @@ def seasonal_profile(events: DataFrame) -> DataFrame:
         .withColumn("rank_in_type", F.row_number().over(wr).cast("long"))
         .orderBy("event_type", "dow", "hod")
     )
+
+
+def rfm_segments(events: DataFrame, n_tiles: int = 5) -> DataFrame:
+    """RFM segmentation — the classic user-value triage: per user,
+    Recency (last-activity epoch-micros), Frequency (event count),
+    Monetary (exact integer-cents value sum), each scored into
+    ``n_tiles`` quantile tiles, plus the combined segment code
+    (r_score*100 + f_score*10 + m_score, the "555 = best" convention).
+
+    Tile assignment uses the rank-exact-bounds pattern
+    (stats_ntile_deciles_approx), NOT a global NTILE: boundaries come
+    from percentile_approx over the per-user metric (GK sketch,
+    rank-exact at gate accuracy), and each user's tile is 1 + count of
+    boundaries strictly below their value — a map-side expression, so
+    nothing funnels through a single partition at any scale (a global
+    NTILE sorts every user through one task). Equal metric values share
+    a tile on every engine by construction.
+
+    Monetary is an exact BIGINT sum of value*100 cents — a double sum's
+    partial order would differ legitimately per engine AND per run, and
+    a boundary tie-break on noise would flip tiles nondeterministically.
+
+    One shuffle (user_id groupBy); three broadcast boundary arrays."""
+    base = events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    per_user = base.groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts"))).alias("recency_us"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(
+            F.coalesce(
+                F.round(F.col("value").cast("double") * 100).cast("bigint"),
+                F.lit(0),
+            )
+        ).alias("monetary_cents"),
+    )
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+
+    def tile(metric: str, out: str):
+        b = per_user.agg(
+            F.percentile_approx(
+                F.col(metric).cast("double"),
+                F.array([F.lit(q) for q in qs]),
+                F.lit(10_000),
+            ).alias(f"__b_{out}")
+        )
+        v = F.col(metric).cast("double")
+        score = (
+            F.lit(1)
+            + F.size(F.filter(f"__b_{out}", lambda x: v > x))
+        ).cast("int")
+        return b, score
+
+    br, r_score = tile("recency_us", "r")
+    bf, f_score = tile("frequency", "f")
+    bm, m_score = tile("monetary_cents", "m")
+    scored = (
+        per_user.crossJoin(F.broadcast(br))
+        .crossJoin(F.broadcast(bf))
+        .crossJoin(F.broadcast(bm))
+        .select(
+            "user_id",
+            "recency_us",
+            "frequency",
+            "monetary_cents",
+            r_score.alias("r_score"),
+            f_score.alias("f_score"),
+            m_score.alias("m_score"),
+        )
+    )
+    return scored.withColumn(
+        "segment",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("int"),
+    ).orderBy("user_id")

@@ -218,3 +218,50 @@ def k_anonymity_report(
         )
         .orderBy("lang", "source", "chars_bucket")
     )
+
+
+def benford_first_digit(df: DataFrame, col: str, round_digits: int = 6) -> DataFrame:
+    """Benford's-law first-significant-digit audit — the forensic DQ
+    screen for fabricated or truncated numeric columns: observed share
+    of each leading digit 1-9 vs the Benford expectation log10(1+1/d),
+    plus each digit's χ² contribution ((obs−exp)²/exp, on counts).
+
+    Exactness discipline: the first digit comes from INTEGER/string
+    arithmetic — the value is scaled to integer cents (exact for
+    DECIMAL money columns), stringified, first character taken — never
+    log10/pow on doubles, whose rounding at exact powers of ten could
+    flip a digit on one engine. Expectations are Python-computed
+    literals; the only doubles are two divisions and the χ² fold,
+    rounded on both engines.
+
+    Scale shape: one map expression + a 9-row groupBy (partial-agg
+    friendly); the χ² fold runs over 9 rows."""
+    import math
+
+    cents = F.abs((F.col(col).cast("decimal(18,2)") * 100).cast("long"))
+    d = F.substring(cents.cast("string"), 1, 1).cast("int")
+    per_d = (
+        df.filter(F.col(col).isNotNull() & (cents > 0))
+        .groupBy(d.alias("digit"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = per_d.agg(F.sum("n").cast("long").alias("n_total"))
+    x = per_d.crossJoin(F.broadcast(tot))
+    exp_share = F.lit(0.0)
+    expect = {dd: math.log10(1.0 + 1.0 / dd) for dd in range(1, 10)}
+    exp_share = F.element_at(
+        F.array(*[F.lit(expect[dd]) for dd in range(1, 10)]), F.col("digit")
+    )
+    exp_n = exp_share * F.col("n_total").cast("double")
+    return (
+        x.select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_total").cast("double"),
+                    round_digits).alias("obs_share"),
+            F.round(exp_share, round_digits).alias("benford_share"),
+            F.round((F.col("n").cast("double") - exp_n) ** 2 / exp_n,
+                    round_digits).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -3821,6 +3821,234 @@ GROUP BY cluster_key ORDER BY cluster_key
 """
 
 
+# PSI replay: bin boundaries from the REFERENCE side only (the PSI
+# convention), rank-exact at gate accuracy; half-count smoothing with
+# the literal 0.5*n_bins denominator; ln rounded on both engines.
+def _drift_psi_oracle(n_bins: int = 10) -> str:
+    bounds_cte = _rank_exact_bounds_cte("refv", "v", n_bins)
+    half_bins = 0.5 * n_bins
+    return f"""
+WITH refv AS (SELECT value AS v FROM events
+              WHERE event_type = 'click' AND value IS NOT NULL),
+curv AS (SELECT value AS v FROM events
+         WHERE event_type = 'purchase' AND value IS NOT NULL),
+{bounds_cte.lstrip()},
+binned AS (
+  SELECT len(list_filter(bs, x -> CAST(v AS DOUBLE) > CAST(x AS DOUBLE))) AS bin,
+         1 AS cr, 0 AS cc
+  FROM refv, bounds
+  UNION ALL
+  SELECT len(list_filter(bs, x -> CAST(v AS DOUBLE) > CAST(x AS DOUBLE))) AS bin,
+         0 AS cr, 1 AS cc
+  FROM curv, bounds),
+per_bin AS (SELECT bin, CAST(sum(cr) AS BIGINT) AS nr,
+                   CAST(sum(cc) AS BIGINT) AS nc
+            FROM binned GROUP BY bin),
+tot AS (SELECT CAST(sum(nr) AS BIGINT) AS n_ref,
+               CAST(sum(nc) AS BIGINT) AS n_cur FROM per_bin)
+SELECT n_ref, n_cur, CAST(count(*) AS BIGINT) AS n_bins,
+       round(sum(
+         ((CAST(nc AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + {half_bins!r})
+          - (CAST(nr AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + {half_bins!r}))
+         * ln(((CAST(nc AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + {half_bins!r}))
+              / ((CAST(nr AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + {half_bins!r})))
+       ), 6) AS psi
+FROM per_bin CROSS JOIN tot
+GROUP BY n_ref, n_cur
+"""
+
+
+# Benford replay: integer-cents first digit (string arithmetic, never
+# log10 on doubles), Python-literal expectations shared with the engine.
+def _benford_oracle() -> str:
+    import math
+
+    case = " ".join(
+        f"WHEN {d} THEN {math.log10(1.0 + 1.0 / d)!r}" for d in range(1, 10)
+    )
+    return f"""
+WITH cents AS (
+  SELECT abs(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+  FROM orders WHERE o_totalprice IS NOT NULL),
+perd AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM cents WHERE c > 0 GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM perd)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS obs_share,
+       round(CASE digit {case} END, 6) AS benford_share,
+       round((CAST(n AS DOUBLE) - (CASE digit {case} END) * CAST(n_total AS DOUBLE))
+             * (CAST(n AS DOUBLE) - (CASE digit {case} END) * CAST(n_total AS DOUBLE))
+             / ((CASE digit {case} END) * CAST(n_total AS DOUBLE)), 6) AS chi2_term
+FROM perd CROSS JOIN tot
+ORDER BY digit
+"""
+
+
+# RFM replay: exact BIGINT metrics per user, three rank-exact boundary
+# arrays (the stats_ntile_deciles_approx pattern — no global NTILE).
+def _rfm_oracle(n_tiles: int = 5) -> str:
+    def bounds(metric: str, tag: str) -> str:
+        return f"""
+rkd_{tag} AS (SELECT CAST({metric} AS DOUBLE) AS v,
+                     row_number() OVER (ORDER BY CAST({metric} AS DOUBLE)) AS rn
+              FROM per_user),
+rks_{tag} AS (SELECT i, CAST(ceil((CAST(i AS DOUBLE) / {n_tiles}) * cnt) AS BIGINT) AS r
+              FROM range(1, {n_tiles}) t(i), ucnt),
+b_{tag} AS (SELECT list(v ORDER BY i) AS bs FROM rks_{tag} JOIN rkd_{tag} ON rkd_{tag}.rn = rks_{tag}.r)"""
+
+    return f"""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS us, value FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+per_user AS (
+  SELECT user_id,
+         CAST(max(us) AS BIGINT) AS recency_us,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(coalesce(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT), 0))
+              AS BIGINT) AS monetary_cents
+  FROM base GROUP BY user_id),
+ucnt AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM per_user),
+{bounds("recency_us", "r").lstrip()},
+{bounds("frequency", "f").lstrip()},
+{bounds("monetary_cents", "m").lstrip()}
+SELECT user_id, recency_us, frequency, monetary_cents,
+       CAST(1 + len(list_filter(b_r.bs, x -> CAST(recency_us AS DOUBLE) > x)) AS INTEGER) AS r_score,
+       CAST(1 + len(list_filter(b_f.bs, x -> CAST(frequency AS DOUBLE) > x)) AS INTEGER) AS f_score,
+       CAST(1 + len(list_filter(b_m.bs, x -> CAST(monetary_cents AS DOUBLE) > x)) AS INTEGER) AS m_score,
+       CAST((1 + len(list_filter(b_r.bs, x -> CAST(recency_us AS DOUBLE) > x))) * 100
+          + (1 + len(list_filter(b_f.bs, x -> CAST(frequency AS DOUBLE) > x))) * 10
+          + (1 + len(list_filter(b_m.bs, x -> CAST(monetary_cents AS DOUBLE) > x)))
+          AS INTEGER) AS segment
+FROM per_user, b_r, b_f, b_m
+ORDER BY user_id
+"""
+
+
+# Pairwise Jensen-Shannon replay: per-pair token union built
+# explicitly; absent-side terms contribute exactly p·ln 2 via the CASE
+# guards; the ln fold rounds on both engines.
+_JSD_SQL = """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+counts AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+totals AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+pairs AS (SELECT a.source AS source_a, b.source AS source_b
+          FROM totals a, totals b WHERE a.source < b.source),
+toks AS (SELECT DISTINCT token FROM counts),
+grid AS (SELECT source_a, source_b, token FROM pairs, toks),
+j AS (
+  SELECT g.source_a, g.source_b, g.token,
+         coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+  FROM grid g
+  LEFT JOIN counts ca ON ca.source = g.source_a AND ca.token = g.token
+  LEFT JOIN counts cb ON cb.source = g.source_b AND cb.token = g.token
+  WHERE coalesce(ca.c, 0) > 0 OR coalesce(cb.c, 0) > 0),
+x AS (SELECT j.*, CAST(ta.n AS DOUBLE) AS na, CAST(tb.n AS DOUBLE) AS nb
+      FROM j JOIN totals ta ON ta.source = j.source_a
+             JOIN totals tb ON tb.source = j.source_b)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_tokens_union,
+       round(sum(
+         CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / na)
+              * ln((CAST(ca AS DOUBLE) / na)
+                   / (((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb)) / 2.0))
+              ELSE 0.0 END
+       + CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / nb)
+              * ln((CAST(cb AS DOUBLE) / nb)
+                   / (((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb)) / 2.0))
+              ELSE 0.0 END), 6) AS jsd
+FROM x GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+# TextRank replay: zipped-unnest token positions, banded co-occurrence
+# self-join, weight normalization by weighted degree (exact: integer-
+# valued doubles), 3 unrolled power iterations (the _pr_sql pattern),
+# round-then-rank cut.
+def _textrank_oracle(
+    window: int = 2, iters: int = 3, damping: float = 0.85, k: int = 20
+) -> str:
+    head = f"""WITH tp AS (
+  SELECT doc_id,
+         unnest(range(0, len(w))) AS pos,
+         unnest(list_transform(range(0, len(w)), i -> w[i + 1])) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t),
+co AS (
+  SELECT a.tok AS src, b.tok AS dst, CAST(count(*) AS BIGINT) AS c
+  FROM tp a JOIN tp b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos
+   AND b.pos <= a.pos + {window} AND a.tok <> b.tok
+  GROUP BY 1, 2),
+edges AS (
+  SELECT src, dst, CAST(sum(c) AS DOUBLE) AS wgt FROM (
+    SELECT src, dst, c FROM co
+    UNION ALL
+    SELECT dst AS src, src AS dst, c FROM co) u
+  GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+wdeg AS (SELECT src, sum(wgt) AS wd FROM edges GROUP BY src),
+weighted AS (SELECT e.src, e.dst, e.wgt / w.wd AS w
+             FROM edges e JOIN wdeg w ON e.src = w.src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
+    body = ""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        body += f""", c{i} AS (
+  SELECT w.dst, sum(r.pr * w.w) AS mass
+  FROM weighted w JOIN {prev} r ON w.src = r.node GROUP BY w.dst
+), r{i} AS (
+  SELECT n.node,
+         (1.0 - {damping}) / (SELECT n FROM nn)
+         + {damping} * coalesce(c.mass, 0.0) AS pr
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst
+)"""
+        prev = f"r{i}"
+    return (
+        head + body + f""",
+scored AS (SELECT node AS word, round(pr, 6) AS score FROM {prev}),
+ranked AS (SELECT word, score,
+                  CAST(row_number() OVER (ORDER BY score DESC, word) AS INTEGER) AS rk
+           FROM scored)
+SELECT word, score, rk FROM ranked WHERE rk <= {k} ORDER BY rk
+"""
+    )
+
+
+def _drift_psi_query(spark: SparkSession, sf: str) -> DataFrame:
+    from sqlstreamstore_spark.analytics.drift import psi_drift
+
+    ev = _t(spark, sf, "events")
+    return psi_drift(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+    )
+
+
+def _benford_query(spark: SparkSession, sf: str) -> DataFrame:
+    from sqlstreamstore_spark.analytics.quality import benford_first_digit
+
+    return benford_first_digit(_t(spark, sf, "orders"), "o_totalprice")
+
+
+def _rfm_query(spark: SparkSession, sf: str) -> DataFrame:
+    from sqlstreamstore_spark.analytics.events import rfm_segments
+
+    return rfm_segments(_t(spark, sf, "events"))
+
+
+def _jsd_query(spark: SparkSession, sf: str) -> DataFrame:
+    return text.js_divergence_by_source(_t(spark, sf, "documents"))
+
+
+def _textrank_query(spark: SparkSession, sf: str) -> DataFrame:
+    return text.textrank_keywords(_t(spark, sf, "documents"))
+
+
 def analytics_queries():
     """name → (spark_fn, oracle_sql | None). None = rows-only check
     (non-SQL-expressible: engine-specific hash families)."""
@@ -4011,6 +4239,20 @@ ORDER BY o_orderpriority""",
         # selection, per-source accounting summary
         "sampling_budget_mixture": (_budget_mixture_query, _budget_mixture_oracle()),
         "drift_ks_binned": (_drift_ks_binned_query, _drift_ks_binned_oracle()),
+        # PSI: the production drift score (ref-anchored bins, half-count
+        # smoothing), same rank-exact-bounds machinery as binned KS
+        "drift_psi": (_drift_psi_query, _drift_psi_oracle()),
+        # Benford first-digit forensic audit (integer-cents digit, no
+        # libm in the digit path)
+        "dq_benford": (_benford_query, _benford_oracle()),
+        # RFM quintile segmentation via rank-exact boundary arrays —
+        # no global NTILE funnel
+        "events_rfm": (_rfm_query, _rfm_oracle()),
+        # pairwise source-distribution JSD (corpus-mixing diagnostic)
+        "text_jsd_sources": (_jsd_query, _JSD_SQL),
+        # TextRank keywords: weighted PageRank over the word
+        # co-occurrence graph, 3 unrolled iterations in the oracle
+        "text_textrank": (_textrank_query, _textrank_oracle()),
         "drift_chi2_types": (_drift_chi2_query, _CHI2_DRIFT_SQL),
         "stats_corr_regr": (
             lambda s, sf: tpch.corr_regr_stats(_t(s, sf, "lineitem")),

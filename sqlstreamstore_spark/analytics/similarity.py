@@ -1364,7 +1364,13 @@ def semantic_clusters(
     (broadcast_probes=False): both sides hash-partition on the literal
     cluster assignment, each inverted list joins co-located, and
     WindowGroupLimit caps the per-task output at k rows per query —
-    edge count is ≤ N·k by construction, never N². Components then run
+    edge count is ≤ N·k by construction, never N². The CANDIDATE mass,
+    though, is Σ|list|·|queries probing list| ≈ N²·n_probe/n_clusters,
+    so n_clusters must track the corpus exactly like LSH bits
+    (derive_lsh_bits): pick n_clusters ≈ N/target_list_size, or the
+    self-join degrades toward all-pairs — the default 8 is the
+    gate-fixture/oracle configuration, not the production one (measured
+    in SCALE_PROBE.json: 64 lists at 20k vectors). Components then run
     on the EDGE graph (orders smaller than the corpus): driver
     union-find under the 2M-edge gate, min-label propagation above it
     (dedup.connected_components). One more shuffle joins labels back to

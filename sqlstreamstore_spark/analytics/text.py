@@ -1222,3 +1222,163 @@ def source_token_entropy(documents: DataFrame) -> DataFrame:
         F.round(h, 7).alias("entropy"),
         F.round(norm, 7).alias("entropy_norm"),
     ).orderBy("source")
+
+
+def js_divergence_by_source(
+    documents: DataFrame, round_digits: int = 6
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions — the corpus-mixing diagnostic a training pipeline
+    runs before weighting sources (JSD is symmetric, bounded by ln 2,
+    and 0 iff the vocabularies match; KL alone blows up on any token
+    one source lacks). JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2;
+    a token absent from one side contributes p·ln 2 exactly (its m is
+    p/2), so no smoothing is needed.
+
+    Exactness: token counts and totals are BIGINT; p, q are single
+    divisions; the ln fold is rounded on both engines
+    (stats_corr_regr). One shuffle keyed by (source, token); the pair
+    join fans each token row out to the (tiny) source-pair set.
+
+    Output: (source_a, source_b, n_tokens_union, jsd)."""
+    tok = documents.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    counts = tok.groupBy("source", "token").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    totals = tok.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    a = counts.select(
+        F.col("source").alias("source_a"), "token", F.col("c").alias("ca")
+    )
+    b = counts.select(
+        F.col("source").alias("source_b"), "token", F.col("c").alias("cb")
+    )
+    # per-pair token UNION built explicitly — a plain full-outer on
+    # token can't scope the union to each pair: every (pair, token)
+    # with the token's count in each side (0 when absent)
+    srcs = totals.select(F.col("source").alias("source_a"))
+    pair_frame = (
+        srcs.crossJoin(totals.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    toks_union = (
+        counts.select("token").distinct().crossJoin(F.broadcast(pair_frame))
+    )
+    joined = (
+        toks_union.join(
+            a, ["source_a", "token"], "left"
+        )
+        .join(b, ["source_b", "token"], "left")
+        .select(
+            "source_a", "source_b", "token",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .filter((F.col("ca") > 0) | (F.col("cb") > 0))
+    )
+    ta = totals.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    tb = totals.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    x = joined.join(F.broadcast(ta), "source_a").join(F.broadcast(tb), "source_b")
+    p = F.col("ca").cast("double") / F.col("na").cast("double")
+    q = F.col("cb").cast("double") / F.col("nb").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when(F.col("ca") > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("cb") > 0, F.lit(0.5) * q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    return (
+        x.groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens_union"),
+            F.round(F.sum(term), round_digits).alias("jsd"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def textrank_keywords(
+    documents: DataFrame,
+    window: int = 2,
+    iters: int = 3,
+    damping: float = 0.85,
+    k: int = 20,
+    round_digits: int = 6,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank over the corpus-level word co-occurrence graph — words are
+    nodes, an edge's weight is how often the two words appear within
+    ``window`` positions in a document — then the top-k words by score.
+    The graph-analytics composition: text.* builds the edges,
+    graph.pagerank's power-method shape ranks them (weighted variant
+    inlined here because TextRank normalizes by weighted out-degree,
+    not edge count).
+
+    Scale shape: the edge build is one self-join of the (doc, pos,
+    token) frame on doc with a bounded position band (fan-out ≤ 2·window
+    per token — never all-pairs), aggregated to the |V|² -bounded edge
+    list; each of the fixed ``iters`` power iterations is one
+    broadcast-scale join + groupBy over the vocabulary-sized graph.
+    Scores are rounded on both engines (float fold order), and the
+    top-k cut orders by (rounded score DESC, word) — total, so the cut
+    set is deterministic.
+
+    Output: (word, score, rk)."""
+    from pyspark.sql import Window as W
+
+    tokpos = documents.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    a = tokpos.select("doc_id", F.col("pos").alias("pa"), F.col("w").alias("wa"))
+    b = tokpos.select("doc_id", F.col("pos").alias("pb"), F.col("w").alias("wb"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(
+            (F.col("pb") > F.col("pa"))
+            & (F.col("pb") <= F.col("pa") + window)
+            & (F.col("wa") != F.col("wb"))
+        )
+        .groupBy(F.col("wa").alias("src"), F.col("wb").alias("dst"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    # undirected: symmetrize, merging both directions' counts
+    edges = (
+        co.select("src", "dst", "cnt")
+        .unionByName(co.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cnt"))
+        .groupBy("src", "dst")
+        .agg(F.sum("cnt").cast("double").alias("wgt"))
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    n_nodes = nodes.count()
+    wdeg = edges.groupBy("src").agg(F.sum("wgt").alias("wdeg"))
+    weighted = edges.join(wdeg, "src").select(
+        "src", "dst", (F.col("wgt") / F.col("wdeg")).alias("w")
+    ).localCheckpoint()
+    teleport = (1.0 - damping) / n_nodes
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
+    for _ in range(iters):
+        contrib = (
+            weighted.join(ranks, weighted.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("w")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (F.lit(teleport)
+                 + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    w_rk = W.orderBy(F.desc("score"), F.col("word"))
+    return (
+        ranks.select(
+            F.col("node").alias("word"),
+            F.round("pr", round_digits).alias("score"),
+        )
+        .withColumn("rk", F.row_number().over(w_rk).cast("int"))
+        .filter(F.col("rk") <= k)
+        .orderBy("rk")
+    )

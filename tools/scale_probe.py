@@ -358,16 +358,22 @@ def main() -> int:
             "rows": n, "queries": nq, "s": round(time.time() - t0, 2)}
 
         # corpus-as-queries kNN graph + components (edge count ≤ N·k by
-        # construction; CC runs on the edge graph, not the corpus)
+        # construction; CC runs on the edge graph, not the corpus).
+        # n_clusters tracks N/256 — the derive_lsh_bits rule applied to
+        # inverted lists; at fixed 8 lists the candidate mass is
+        # N²·n_probe/8, the LSH bits=4 blow-up all over again
+        n_emb = emb.count()
+        ncl = min(64, max(8, n_emb // 256))
         t0 = time.time()
-        sc = similarity.semantic_clusters(emb, k=4, threshold=0.35)
+        sc = similarity.semantic_clusters(
+            emb, k=4, threshold=0.35, n_clusters=ncl)
         row = sc.agg(
             F.count("*").alias("n"),
             F.count_distinct("comp").alias("n_comps"),
             F.max("comp_size").alias("max_size"),
         ).collect()[0]
         res["semantic_clusters"] = {
-            "rows": row.n, "n_comps": row.n_comps,
+            "rows": row.n, "n_comps": row.n_comps, "n_lists": ncl,
             "max_size": row.max_size, "s": round(time.time() - t0, 2)}
         return res
 
