@@ -1,0 +1,146 @@
+"""Model-evaluation audits over corpus-scale score columns.
+
+A training-data pipeline doesn't just APPLY a quality classifier
+(`pipeline.classifier_score`) — it has to audit the classifier
+against labels before trusting it to gate 100 TB of documents. The
+two canonical audits are discrimination (ROC-AUC) and calibration
+(reliability bins). Both are exact, one-pass, shuffle-bounded
+computations here — no sklearn, no driver-side sort.
+
+Float discipline (zero-tolerance DuckDB hash-match): every division
+is a single IEEE divide of two exact BIGINTs; every aggregate that
+feeds a reported value is an integer SUM / MIN / MAX (order-free) —
+there is no floating-point accumulation anywhere in this module.
+
+Label convention: the synthetic corpus has no explicit relevance
+label, so the audits use ``lang = 'en'`` as the binary target — the
+classifier's md5-derived token weights are label-blind, which makes
+AUC ≈ 0.5 the *expected* outcome and the audit a null-hypothesis
+check of the whole measurement chain.
+
+Reference parity: the reference engine has no evaluation tier at all
+(its analytics stop at stream reads); these operators extend the
+LLM-pipeline surface the way `analytics/drift.py` does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sqlstreamstore_spark.operators.positions import with_global_cumsum
+
+
+def _classifier_scored(documents: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_tokens, score_num, score, y) — the md5-weight
+    linear classifier of `pipeline.classifier_score`, plus the binary
+    en-label. Kept in exact integer form (score_num, n_tokens) so
+    downstream ops can choose their own float boundary."""
+    toks = F.split(F.col("text"), " ")
+    w = lambda t: (
+        F.conv(F.substring(F.md5(F.concat(F.lit("clf:"), t)), 1, 8), 16, 10)
+        .cast("long")
+        % 1001
+        - 500
+    )
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + w(t)).alias(
+            "score_num"
+        ),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).cast("long").alias("y"),
+    ).withColumn("score", F.col("score_num") / F.col("n_tokens"))
+
+
+def roc_auc(documents: DataFrame) -> DataFrame:
+    """Exact ROC-AUC of the quality-classifier score against the
+    binary en-label, via the Mann-Whitney rank-sum identity with full
+    tie handling:
+
+        AUC = [ Σ_s  p(s) · ( 2·N_neg(<s) + n(s) ) ] / ( 2·P·N )
+
+    where p(s)/n(s) are the positive/negative counts at distinct
+    score s and N_neg(<s) the negatives strictly below s. Ties
+    contribute n(s)/2 each — the 2× numerator keeps the whole sum in
+    BIGINT, so the only float op is the final divide.
+
+    Scale shape: ONE partial-agg shuffle keyed on the score (distinct
+    scores, not rows, cross the wire) + the two-phase global cumsum of
+    `operators/positions.py` — no single-partition window, no sort of
+    the raw corpus. At 100 TB with ~billions of distinct scores the
+    cumsum's range-partitioner still spreads the walk evenly.
+    """
+    g = (
+        _classifier_scored(documents)
+        .groupBy("score")
+        .agg(
+            F.sum("y").cast("long").alias("p"),
+            (F.count("*") - F.sum("y")).cast("long").alias("n"),
+        )
+    )
+    c = with_global_cumsum(g, [F.col("score")], "n", "cum_neg")
+    return (
+        c.select(
+            "p",
+            "n",
+            (F.col("p") * (F.lit(2) * (F.col("cum_neg") - F.col("n")) + F.col("n"))).alias(
+                "term"
+            ),
+        )
+        .agg(
+            F.sum("p").cast("long").alias("n_pos"),
+            F.sum("n").cast("long").alias("n_neg"),
+            F.count("*").cast("long").alias("n_scores"),
+            F.sum("term").cast("long").alias("auc_num_2x"),
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            "n_scores",
+            (
+                F.col("auc_num_2x").cast("double")
+                / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+            ).alias("auc"),
+        )
+    )
+
+
+def calibration_bins(documents: DataFrame) -> DataFrame:
+    """Reliability diagram for the quality-classifier score: bucket
+    the score axis into fixed-width bins (width 100 over the weight
+    range [-500, 500]) and report the observed positive rate per bin.
+    A calibrated score has pos_rate monotone in the bin; the md5
+    classifier is label-blind so the expected shape is flat ≈ P/(P+N)
+    — deviations flag measurement bugs, class imbalance drift, or
+    label leakage into the score.
+
+    Every reported aggregate is order-free (integer counts, MIN/MAX
+    of IEEE-exact score doubles); pos_rate and avg_tokens are single
+    divides of exact BIGINTs. Scale shape: one partial-agg shuffle on
+    ≤ 11 bucket keys — bin stats combine map-side, the reduce sees a
+    handful of rows regardless of corpus size.
+    """
+    s = _classifier_scored(documents)
+    bucket = F.floor(F.col("score") / F.lit(100.0)).cast("long")
+    return (
+        s.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+            F.sum("n_tokens").cast("long").alias("tok_sum"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_pos",
+            (F.col("n_pos").cast("double") / F.col("n_docs")).alias("pos_rate"),
+            "min_score",
+            "max_score",
+            (F.col("tok_sum").cast("double") / F.col("n_docs")).alias("avg_tokens"),
+        )
+        .orderBy("bucket")
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from sqlstreamstore_spark.analytics import (
     asof,
     dedup,
+    evaluation,
     events,
     multimodal,
     pipeline,
@@ -4049,6 +4050,184 @@ def _textrank_query(spark: SparkSession, sf: str) -> DataFrame:
     return text.textrank_keywords(_t(spark, sf, "documents"))
 
 
+# ---------------------------------------------------------- evaluation
+
+# Shared scored-docs CTE: the md5-weight classifier of _CLASSIFIER_SQL
+# plus the binary en-label (evaluation._classifier_scored replay).
+_EVAL_SCORED_CTE = f"""
+scored AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ' '),
+               t -> ({_hexfold("'clf:' || t", 1, 8)}) % 1001 - 500)),
+           (a, x) -> a + x) AS score_num,
+         CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+  FROM documents),
+lab AS (SELECT doc_id, y, n_tokens,
+               CAST(score_num AS DOUBLE) / n_tokens AS score
+        FROM scored)
+"""
+
+_ROC_AUC_SQL = f"""
+WITH {_EVAL_SCORED_CTE},
+g AS (SELECT score, CAST(sum(y) AS BIGINT) AS p,
+             CAST(count(*) - sum(y) AS BIGINT) AS n
+      FROM lab GROUP BY score),
+c AS (SELECT p, n, CAST(sum(n) OVER (ORDER BY score) AS BIGINT) AS cum FROM g)
+SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+       CAST(sum(n) AS BIGINT) AS n_neg,
+       CAST(count(*) AS BIGINT) AS n_scores,
+       CAST(sum(p * (2 * (cum - n) + n)) AS DOUBLE)
+         / (2.0 * CAST(sum(p) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS auc
+FROM c
+"""
+
+_CALIBRATION_SQL = f"""
+WITH {_EVAL_SCORED_CTE}
+SELECT CAST(floor(score / 100.0) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(sum(y) AS DOUBLE) / count(*) AS pos_rate,
+       min(score) AS min_score,
+       max(score) AS max_score,
+       CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
+FROM lab GROUP BY 1 ORDER BY bucket
+"""
+
+_CONTAM_MATRIX_SQL = """
+WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents
+              WHERE len(string_split(text, ' ')) >= 3),
+sg AS (SELECT DISTINCT source,
+              unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+       FROM toks),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM sg GROUP BY source),
+inter AS (SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_inter
+          FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+          GROUP BY 1, 2)
+SELECT src_a, src_b, sa.n_grams AS n_a, sb.n_grams AS n_b, n_inter,
+       CAST(n_inter AS DOUBLE) / sa.n_grams AS contain_a_in_b,
+       CAST(n_inter AS DOUBLE) / sb.n_grams AS contain_b_in_a,
+       CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON src_a = sa.source
+JOIN sizes sb ON src_b = sb.source
+ORDER BY src_a, src_b
+"""
+
+_STUPID_BACKOFF_SQL = """
+WITH toks AS (SELECT doc_id, doc_id % 5 = 0 AS held_out,
+                     string_split(text, ' ') AS w FROM documents),
+tri AS (SELECT doc_id, held_out,
+               unnest(list_transform(range(1, len(w) - 1), i -> w[i])) AS w1,
+               unnest(list_transform(range(1, len(w) - 1), i -> w[i+1])) AS w2,
+               unnest(list_transform(range(1, len(w) - 1), i -> w[i+2])) AS w3
+        FROM toks WHERE len(w) >= 3),
+bi AS (SELECT held_out,
+              unnest(list_transform(range(1, len(w)), i -> w[i])) AS b1,
+              unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS b2
+       FROM toks WHERE len(w) >= 2),
+uni AS (SELECT held_out, unnest(w) AS u FROM toks),
+c3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123
+       FROM tri WHERE NOT held_out GROUP BY 1, 2, 3),
+c2 AS (SELECT b1, b2, CAST(count(*) AS BIGINT) AS cb
+       FROM bi WHERE NOT held_out GROUP BY 1, 2),
+c1 AS (SELECT u, CAST(count(*) AS BIGINT) AS cu
+       FROM uni WHERE NOT held_out GROUP BY 1),
+scal AS (SELECT CAST(count(*) AS BIGINT) AS n_train,
+                CAST(count(DISTINCT u) AS BIGINT) AS vocab
+         FROM uni WHERE NOT held_out),
+ev AS (SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS m
+       FROM tri WHERE held_out GROUP BY 1, 2, 3, 4),
+j AS (SELECT ev.doc_id, ev.m,
+             COALESCE(c3.c123, 0) AS c123,
+             COALESCE(x12.cb, 0) AS c12,
+             COALESCE(x23.cb, 0) AS c23,
+             COALESCE(u2.cu, 0) AS cw2,
+             COALESCE(u3.cu, 0) AS cw3
+      FROM ev
+      LEFT JOIN c3 USING (w1, w2, w3)
+      LEFT JOIN c2 x12 ON ev.w1 = x12.b1 AND ev.w2 = x12.b2
+      LEFT JOIN c2 x23 ON ev.w2 = x23.b1 AND ev.w3 = x23.b2
+      LEFT JOIN c1 u2 ON ev.w2 = u2.u
+      LEFT JOIN c1 u3 ON ev.w3 = u3.u),
+per AS (SELECT doc_id,
+               list_sort(list({'c123': c123, 'c12': c12, 'c23': c23,
+                               'cw2': cw2, 'cw3': cw3, 'm': m})) AS ts,
+               CAST(sum(m) AS BIGINT) AS n_trigrams,
+               CAST(sum(CASE WHEN c123 > 0 THEN m ELSE 0 END) AS BIGINT) AS n_tier1,
+               CAST(sum(CASE WHEN c123 = 0 AND c23 > 0 THEN m ELSE 0 END) AS BIGINT) AS n_tier2,
+               CAST(sum(CASE WHEN c123 = 0 AND c23 = 0 THEN m ELSE 0 END) AS BIGINT) AS n_tier3
+        FROM j GROUP BY doc_id),
+folded AS (SELECT doc_id, n_trigrams, n_tier1, n_tier2, n_tier3,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(ts, t -> CAST(t.m AS DOUBLE) *
+                      (CASE WHEN t.c123 > 0
+                            THEN ln(CAST(t.c123 AS DOUBLE)) - ln(CAST(t.c12 AS DOUBLE))
+                            WHEN t.c23 > 0
+                            THEN ln(0.4) + ln(CAST(t.c23 AS DOUBLE)) - ln(CAST(t.cw2 AS DOUBLE))
+                            ELSE 2.0 * ln(0.4) + ln(CAST(t.cw3 AS DOUBLE) + 1.0)
+                                 - ln(CAST(n_train + vocab AS DOUBLE)) END))),
+                    (a, x) -> a + x) AS s
+           FROM per, scal)
+SELECT doc_id, n_trigrams, n_tier1, n_tier2, n_tier3,
+       round(s / CAST(n_trigrams AS DOUBLE), 7) AS avg_logscore
+FROM folded ORDER BY doc_id
+"""
+
+_KMV_JACCARD_SQL = """
+WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents
+              WHERE len(string_split(text, ' ')) >= 3),
+sg AS (SELECT DISTINCT source, md5(g) AS h FROM (
+         SELECT source,
+                unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+         FROM toks)),
+sk AS (SELECT source, h FROM (
+         SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         FROM sg) WHERE rn <= 32),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_set FROM sg GROUP BY source),
+exact AS (SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_inter
+          FROM sg a JOIN sg b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2),
+pairs AS (SELECT a.source AS src_a, b.source AS src_b
+          FROM (SELECT DISTINCT source FROM sk) a
+          JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+u AS (SELECT src_a, src_b, h FROM pairs JOIN sk ON sk.source = pairs.src_a
+      UNION
+      SELECT src_a, src_b, h FROM pairs JOIN sk ON sk.source = pairs.src_b),
+ranked AS (SELECT src_a, src_b, h,
+                  row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+           FROM u),
+tau AS (SELECT src_a, src_b,
+               max(CASE WHEN rn <= 32 THEN h END) AS tau,
+               CAST(count(*) AS BIGINT) AS n_union_sk
+        FROM ranked GROUP BY 1, 2),
+common AS (SELECT c.src_a, c.src_b, CAST(count(*) AS BIGINT) AS n_common
+           FROM (SELECT a.source AS src_a, b.source AS src_b, a.h
+                 FROM sk a JOIN sk b ON a.h = b.h AND a.source < b.source) c
+           JOIN tau ON c.src_a = tau.src_a AND c.src_b = tau.src_b
+                   AND c.h <= tau.tau
+           GROUP BY 1, 2),
+base AS (SELECT t.src_a, t.src_b,
+                CAST(32 AS BIGINT) AS k,
+                COALESCE(n_common, 0) AS n_common_le_tau,
+                CASE WHEN n_union_sk < 32
+                     THEN CAST(COALESCE(n_common, 0) AS DOUBLE) / n_union_sk
+                     ELSE CAST(COALESCE(n_common, 0) AS DOUBLE) / 32.0 END AS j_est,
+                CAST(COALESCE(n_inter, 0) AS DOUBLE)
+                  / (sa.n_set + sb.n_set - COALESCE(n_inter, 0)) AS j_exact
+         FROM tau t
+         LEFT JOIN common USING (src_a, src_b)
+         LEFT JOIN exact USING (src_a, src_b)
+         JOIN sizes sa ON t.src_a = sa.source
+         JOIN sizes sb ON t.src_b = sb.source)
+SELECT src_a, src_b, k, n_common_le_tau, j_est, j_exact,
+       (j_est - j_exact) AS err
+FROM base ORDER BY src_a, src_b
+"""
+
+
 def analytics_queries():
     """name → (spark_fn, oracle_sql | None). None = rows-only check
     (non-SQL-expressible: engine-specific hash families)."""
@@ -5004,5 +5183,35 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
         "dedup_golden_record": (
             lambda s, sf: dedup.golden_records(_t(s, sf, "documents")),
             _GOLDEN_SQL,
+        ),
+        # exact ROC-AUC via Mann-Whitney rank-sum with tie handling:
+        # BIGINT numerator (2x trick), two-phase cumsum, one divide
+        "stats_roc_auc": (
+            lambda s, sf: evaluation.roc_auc(_t(s, sf, "documents")),
+            _ROC_AUC_SQL,
+        ),
+        # reliability-diagram bins for the classifier score: <=11
+        # bucket keys, order-free aggregates, exact-BIGINT ratios
+        "stats_calibration_bins": (
+            lambda s, sf: evaluation.calibration_bins(_t(s, sf, "documents")),
+            _CALIBRATION_SQL,
+        ),
+        # pairwise cross-source n-gram contamination audit: inverted-
+        # index gram join, exact containment/Jaccard per source pair
+        "text_contamination_matrix": (
+            lambda s, sf: text.contamination_matrix(_t(s, sf, "documents")),
+            _CONTAM_MATRIX_SQL,
+        ),
+        # Stupid Backoff trigram LM scoring of the held-out slice
+        # (doc_id % 5) against counts from the rest; sorted-fold floats
+        "text_stupid_backoff": (
+            lambda s, sf: text.stupid_backoff_scores(_t(s, sf, "documents")),
+            _STUPID_BACKOFF_SQL,
+        ),
+        # KMV sketch set-algebra: pairwise Jaccard estimated from two
+        # k-sketches alone, next to the exact answer it approximates
+        "stats_kmv_jaccard": (
+            lambda s, sf: text.kmv_jaccard_pairs(_t(s, sf, "documents")),
+            _KMV_JACCARD_SQL,
         ),
     }

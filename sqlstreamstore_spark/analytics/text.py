@@ -1382,3 +1382,319 @@ def textrank_keywords(
         .filter(F.col("rk") <= k)
         .orderBy("rk")
     )
+
+
+def contamination_matrix(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Pairwise cross-source n-gram contamination: for every unordered
+    source pair, the exact overlap of their distinct word n-gram sets —
+    |A∩B|, directional containments, and Jaccard. This is the
+    decontamination audit run between corpus slices (train vs eval
+    crawls, vendor A vs vendor B) before mixing them into a training
+    set; `text_jsd_sources` measures distributional drift, this
+    measures literal shared text.
+
+    Scale shape: the pair counts come from an inverted-index equi-join
+    on the gram (each gram contributes #sources-containing-it choose 2
+    pair rows, never |docs|²), partial-agg'd on (src_a, src_b). The
+    per-source set sizes are one groupBy. Both joins key on bounded
+    keys; at 100 TB the gram join's hot keys are boilerplate grams —
+    cap them with the `max_shingle_df` discipline of
+    `dedup.containment_pairs` if the corpus has template spam.
+
+    All reported ratios are single IEEE divides of exact BIGINTs —
+    zero-tolerance oracle.
+    """
+    from sqlstreamstore_spark.analytics.dedup import _shingles
+
+    sg = (
+        documents.select("source", F.explode(_shingles(F.col("text"), n)).alias("g"))
+        .distinct()
+        .localCheckpoint()  # feeds sizes AND the pair join — scan once
+    )
+    sizes = sg.groupBy("source").agg(F.count("*").cast("long").alias("n_grams"))
+    a, b = sg.alias("a"), sg.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("n_grams", "n_a"), "src_a")
+        .join(sizes.withColumnRenamed("source", "src_b").withColumnRenamed("n_grams", "n_b"), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            (F.col("n_inter").cast("double") / F.col("n_a")).alias("contain_a_in_b"),
+            (F.col("n_inter").cast("double") / F.col("n_b")).alias("contain_b_in_a"),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def stupid_backoff_scores(documents: DataFrame, alpha: float = 0.4) -> DataFrame:
+    """Trigram language-model scoring with Stupid Backoff (Brants et
+    al. 2007 — the LM built for corpus-scale MapReduce counting, no
+    normalization, no discounting): score held-out documents against
+    counts from the rest of the corpus,
+
+        S(w3|w1w2) = c(w1w2w3)/c(w1w2)            if c(w1w2w3) > 0
+                   = α · c(w2w3)/c(w2)            elif c(w2w3) > 0
+                   = α² · (c(w3)+1)/(N+V)         otherwise (add-one,
+                                                  so unseen w3 is finite)
+
+    Split: doc_id % 5 == 0 is the held-out slice, the rest train the
+    counts — deterministic in both engines, and the held-out docs DO
+    hit the backoff tiers (self-scoring never would: every trigram
+    would be its own evidence). Per-doc output = mean ln S plus the
+    tier histogram — the LM-quality filter shape used to rank crawl
+    snapshots before training.
+
+    Float discipline: ln() only ever takes exact integers or the
+    literal α; the per-doc fold walks a SORTED array of integer-struct
+    contributions (the `bigram_logprob` discipline), so both engines
+    add identical doubles in identical order.
+
+    Scale shape: counting is three partial-agg shuffles (trigram,
+    bigram, unigram keys); scoring is equi-joins of the eval trigrams
+    against those count tables (inverted-index probes, never
+    quadratic); N and V cross as a one-row broadcast.
+    """
+    toks = documents.select(
+        "doc_id", (F.col("doc_id") % 5 == 0).alias("held_out"), F.split(F.col("text"), " ").alias("w")
+    )
+    tri = toks.filter(F.size("w") >= 3).select(
+        "doc_id",
+        "held_out",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(w, 1, size(w) - 2)"),
+                F.zip_with(
+                    F.expr("slice(w, 2, size(w) - 2)"),
+                    F.expr("slice(w, 3, size(w) - 2)"),
+                    lambda b, c: F.struct(b.alias("w2"), c.alias("w3")),
+                ),
+                lambda a, bc: F.struct(
+                    a.alias("w1"), bc["w2"].alias("w2"), bc["w3"].alias("w3")
+                ),
+            )
+        ).alias("t"),
+    ).select("doc_id", "held_out", "t.w1", "t.w2", "t.w3")
+    bi = toks.filter(F.size("w") >= 2).select(
+        "held_out",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(w, 1, size(w) - 1)"),
+                F.expr("slice(w, 2, size(w) - 1)"),
+                lambda a, b: F.struct(a.alias("b1"), b.alias("b2")),
+            )
+        ).alias("b"),
+    ).select("held_out", "b.b1", "b.b2")
+    uni = toks.select("held_out", F.explode("w").alias("u"))
+
+    c3 = (
+        tri.filter(~F.col("held_out"))
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").cast("long").alias("c123"))
+    )
+    c2 = (
+        bi.filter(~F.col("held_out"))
+        .groupBy("b1", "b2")
+        .agg(F.count("*").cast("long").alias("cb"))
+    )
+    c1 = (
+        uni.filter(~F.col("held_out"))
+        .groupBy("u")
+        .agg(F.count("*").cast("long").alias("cu"))
+    )
+    scal = uni.filter(~F.col("held_out")).agg(
+        F.count("*").cast("long").alias("n_train"),
+        F.countDistinct("u").cast("long").alias("vocab"),
+    )
+
+    ev = (
+        tri.filter(F.col("held_out"))
+        .groupBy("doc_id", "w1", "w2", "w3")
+        .agg(F.count("*").cast("long").alias("m"))
+        .join(c3, ["w1", "w2", "w3"], "left")
+        .join(
+            c2.select(F.col("b1").alias("w1"), F.col("b2").alias("w2"), F.col("cb").alias("c12")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            c2.select(F.col("b1").alias("w2"), F.col("b2").alias("w3"), F.col("cb").alias("c23")),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(c1.select(F.col("u").alias("w2"), F.col("cu").alias("cw2")), ["w2"], "left")
+        .join(c1.select(F.col("u").alias("w3"), F.col("cu").alias("cw3")), ["w3"], "left")
+        .select(
+            "doc_id",
+            "m",
+            F.coalesce("c123", F.lit(0)).alias("c123"),
+            F.coalesce("c12", F.lit(0)).alias("c12"),
+            F.coalesce("c23", F.lit(0)).alias("c23"),
+            F.coalesce("cw2", F.lit(0)).alias("cw2"),
+            F.coalesce("cw3", F.lit(0)).alias("cw3"),
+        )
+    )
+    per = ev.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("c123", "c12", "c23", "cw2", "cw3", "m"))
+        ).alias("ts"),
+        F.sum("m").cast("long").alias("n_trigrams"),
+        F.sum(F.when(F.col("c123") > 0, F.col("m")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_tier1"),
+        F.sum(
+            F.when((F.col("c123") == 0) & (F.col("c23") > 0), F.col("m")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_tier2"),
+        F.sum(
+            F.when((F.col("c123") == 0) & (F.col("c23") == 0), F.col("m")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_tier3"),
+    )
+    la = F.log(F.lit(float(alpha)))
+    contrib = lambda t: t["m"].cast("double") * (
+        F.when(
+            t["c123"] > 0,
+            F.log(t["c123"].cast("double")) - F.log(t["c12"].cast("double")),
+        )
+        .when(
+            t["c23"] > 0,
+            la + F.log(t["c23"].cast("double")) - F.log(t["cw2"].cast("double")),
+        )
+        .otherwise(
+            F.lit(2.0) * la
+            + F.log(t["cw3"].cast("double") + F.lit(1.0))
+            - F.log((F.col("n_train") + F.col("vocab")).cast("double"))
+        )
+    )
+    s = F.aggregate(
+        F.transform(F.col("ts"), contrib), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        per.crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "n_tier1",
+            "n_tier2",
+            "n_tier3",
+            F.round(s / F.col("n_trigrams").cast("double"), 7).alias("avg_logscore"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def kmv_jaccard_pairs(documents: DataFrame, k: int = 32, n: int = 3) -> DataFrame:
+    """Sketch set-ALGEBRA: estimate the pairwise Jaccard similarity of
+    every two sources' n-gram sets from their k-minimum-values sketches
+    alone, next to the exact answer. This is the property that makes
+    KMV the working sketch for corpus governance: `kmv_*_by_source`
+    showed the sketches union; here they INTERSECT — J ≈ |{h ∈ A_k ∩
+    B_k : h ≤ τ}| / k with τ the k-th smallest of A_k ∪ B_k (Beyer et
+    al. 2007). At 100 TB you compare every pair of crawl snapshots
+    from 20 × k hashes without rescanning anything; the exact column
+    exists only as the oracle of the estimate.
+
+    When the merged sketch holds fewer than k hashes the pair's domain
+    is small enough that the sketch IS the union — the estimator falls
+    back to the exact small-set ratio.
+
+    Everything is md5-hex ordering + integer counts + one divide per
+    ratio: deterministic in both engines, zero-tolerance oracle.
+    """
+    from pyspark.sql import Window
+
+    from sqlstreamstore_spark.analytics.dedup import _shingles
+
+    hs = (
+        documents.select("source", F.explode(_shingles(F.col("text"), n)).alias("g"))
+        .select("source", F.md5(F.col("g")).alias("h"))
+        .distinct()
+        .localCheckpoint()  # feeds sketches AND exact pair counts
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    sk = hs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+    # exact pair overlap (the oracle target): inverted-index join on h
+    a, b = hs.alias("a"), hs.alias("b")
+    exact = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sizes = hs.groupBy("source").agg(F.count("*").cast("long").alias("n_set"))
+
+    # sketch-side: per-pair union of the two k-sketches
+    sa, sb = sk.alias("sa"), sk.alias("sb")
+    pairs = (
+        sa.select(F.col("source").alias("src_a"))
+        .distinct()
+        .join(sb.select(F.col("source").alias("src_b")).distinct())
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    u = pairs.join(sk.withColumnRenamed("source", "src_a"), "src_a").select(
+        "src_a", "src_b", "h"
+    ).unionByName(
+        pairs.join(sk.withColumnRenamed("source", "src_b"), "src_b").select(
+            "src_a", "src_b", "h"
+        )
+    )
+    wu = Window.partitionBy("src_a", "src_b").orderBy("h")
+    ranked = u.distinct().withColumn("rn", F.row_number().over(wu))
+    tau = ranked.groupBy("src_a", "src_b").agg(
+        F.max(F.when(F.col("rn") <= k, F.col("h"))).alias("tau"),
+        F.count("*").cast("long").alias("n_union_sk"),
+    )
+    common = (
+        sa.join(
+            sb,
+            (F.col("sa.h") == F.col("sb.h")) & (F.col("sa.source") < F.col("sb.source")),
+        )
+        .select(
+            F.col("sa.source").alias("src_a"),
+            F.col("sb.source").alias("src_b"),
+            F.col("sa.h").alias("h"),
+        )
+        .join(tau, ["src_a", "src_b"])
+        .filter(F.col("h") <= F.col("tau"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_common_le_tau"))
+    )
+    j_est = F.when(
+        F.col("n_union_sk") < k,
+        F.col("n_common_le_tau").cast("double") / F.col("n_union_sk"),
+    ).otherwise(F.col("n_common_le_tau").cast("double") / F.lit(float(k)))
+    j_exact = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        tau.join(common, ["src_a", "src_b"], "left")
+        .withColumn("n_common_le_tau", F.coalesce("n_common_le_tau", F.lit(0)))
+        .join(exact, ["src_a", "src_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .join(sizes.select(F.col("source").alias("src_a"), F.col("n_set").alias("n_a")), "src_a")
+        .join(sizes.select(F.col("source").alias("src_b"), F.col("n_set").alias("n_b")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.lit(k).cast("long").alias("k"),
+            "n_common_le_tau",
+            j_est.alias("j_est"),
+            j_exact.alias("j_exact"),
+            (j_est - j_exact).alias("err"),
+        )
+        .orderBy("src_a", "src_b")
+    )

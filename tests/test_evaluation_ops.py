@@ -1,0 +1,196 @@
+"""Round-6 evaluation/governance family: exact ROC-AUC, calibration
+bins, cross-source contamination matrix, Stupid Backoff LM scoring,
+KMV Jaccard set-algebra — each checked against an independent
+numpy/pure-Python replication on the real fixtures."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import pytest
+
+from sqlstreamstore_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = load_table(spark, SF, "documents").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def raw(docs):
+    return [(r.doc_id, r.text, r.lang, r.source) for r in docs.collect()]
+
+
+def _clf_score(text: str) -> tuple[int, int]:
+    """(score_num, n_tokens) of the md5 linear classifier."""
+    toks = text.split(" ")
+    num = sum(
+        int(hashlib.md5(f"clf:{t}".encode()).hexdigest()[:8], 16) % 1001 - 500
+        for t in toks
+    )
+    return num, len(toks)
+
+
+def test_roc_auc_matches_sklearn_style_replication(docs, raw):
+    from sqlstreamstore_spark.analytics.evaluation import roc_auc
+
+    got = roc_auc(docs).collect()[0]
+    pairs = []
+    for _id, text, lang, _src in raw:
+        num, ntok = _clf_score(text)
+        pairs.append((num / ntok, 1 if lang == "en" else 0))
+    pos = sorted(s for s, y in pairs if y == 1)
+    neg = sorted(s for s, y in pairs if y == 0)
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    # O(P*N) literal AUC: P(score_pos > score_neg) + 0.5 P(==)
+    wins = ties = 0
+    for p in pos:
+        for n in neg:
+            if p > n:
+                wins += 1
+            elif p == n:
+                ties += 1
+    expect = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(got.auc - expect) < 1e-12
+    assert got.n_scores == len({s for s, _ in pairs})
+
+
+def test_calibration_bins_match_replication(docs, raw):
+    from sqlstreamstore_spark.analytics.evaluation import calibration_bins
+
+    rows = {r.bucket: r for r in calibration_bins(docs).collect()}
+    agg = defaultdict(lambda: [0, 0, []])
+    for _id, text, lang, _src in raw:
+        num, ntok = _clf_score(text)
+        s = num / ntok
+        b = math.floor(s / 100.0)
+        agg[b][0] += 1
+        agg[b][1] += 1 if lang == "en" else 0
+        agg[b][2].append(s)
+    assert set(rows) == set(agg)
+    for b, (n, p, ss) in agg.items():
+        r = rows[b]
+        assert (r.n_docs, r.n_pos) == (n, p)
+        assert r.pos_rate == p / n
+        assert r.min_score == min(ss) and r.max_score == max(ss)
+
+
+def _shingle_set(text: str, n: int = 3) -> set[str]:
+    w = text.split(" ")
+    if len(w) < n:
+        return set()
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def test_contamination_matrix_matches_set_replication(docs, raw):
+    from sqlstreamstore_spark.analytics.text import contamination_matrix
+
+    got = {(r.src_a, r.src_b): r for r in contamination_matrix(docs).collect()}
+    per_src = defaultdict(set)
+    for _id, text, _lang, src in raw:
+        per_src[src] |= _shingle_set(text)
+    srcs = sorted(per_src)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(per_src[a] & per_src[b])
+            if inter == 0:
+                assert (a, b) not in got
+                continue
+            r = got[(a, b)]
+            assert (r.n_a, r.n_b, r.n_inter) == (len(per_src[a]), len(per_src[b]), inter)
+            assert r.jaccard == inter / len(per_src[a] | per_src[b])
+            assert r.contain_a_in_b == inter / len(per_src[a])
+
+
+def test_stupid_backoff_matches_replication(docs, raw):
+    from sqlstreamstore_spark.analytics.text import stupid_backoff_scores
+
+    got = {r.doc_id: r for r in stupid_backoff_scores(docs).collect()}
+    c3, c2, c1, n_train = Counter(), Counter(), Counter(), 0
+    for doc_id, text, _lang, _src in raw:
+        w = text.split(" ")
+        if doc_id % 5 == 0:
+            continue
+        n_train += len(w)
+        c1.update(w)
+        c2.update(zip(w, w[1:]))
+        c3.update(zip(w, w[1:], w[2:]))
+    V = len(c1)
+    a = 0.4
+    for doc_id, text, _lang, _src in raw:
+        if doc_id % 5 != 0:
+            continue
+        w = text.split(" ")
+        tris = list(zip(w, w[1:], w[2:]))
+        if not tris:
+            assert doc_id not in got
+            continue
+        t1 = t2 = t3 = 0
+        # fold in the operator's sorted order: sort contributions by
+        # the integer struct so the float walk is identical
+        items = Counter(tris)
+        structs = []
+        for (w1, w2, w3), m in items.items():
+            k123, k23 = c3[(w1, w2, w3)], c2[(w2, w3)]
+            structs.append((k123, c2[(w1, w2)], k23, c1[w2], c1[w3], m))
+        s = 0.0
+        for k123, k12, k23, kw2, kw3, m in sorted(structs):
+            if k123 > 0:
+                t1 += m
+                v = math.log(k123) - math.log(k12)
+            elif k23 > 0:
+                t2 += m
+                v = math.log(a) + math.log(k23) - math.log(kw2)
+            else:
+                t3 += m
+                v = 2.0 * math.log(a) + math.log(kw3 + 1.0) - math.log(n_train + V)
+            s += m * v
+        r = got[doc_id]
+        assert (r.n_trigrams, r.n_tier1, r.n_tier2, r.n_tier3) == (
+            len(tris),
+            t1,
+            t2,
+            t3,
+        )
+        assert abs(r.avg_logscore - s / len(tris)) < 1e-6
+
+
+def test_kmv_jaccard_pairs_match_replication(docs, raw):
+    from sqlstreamstore_spark.analytics.text import kmv_jaccard_pairs
+
+    k = 32
+    got = {(r.src_a, r.src_b): r for r in kmv_jaccard_pairs(docs).collect()}
+    per_src = defaultdict(set)
+    for _id, text, _lang, src in raw:
+        per_src[src] |= {
+            hashlib.md5(g.encode()).hexdigest() for g in _shingle_set(text)
+        }
+    srcs = sorted(per_src)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            A = sorted(per_src[sa])[:k]
+            B = sorted(per_src[sb])[:k]
+            union = sorted(set(A) | set(B))
+            tau = union[k - 1] if len(union) >= k else union[-1]
+            common = len([h for h in set(A) & set(B) if h <= tau])
+            denom = k if len(union) >= k else len(union)
+            j_est = common / denom
+            inter = len(per_src[sa] & per_src[sb])
+            j_exact = inter / len(per_src[sa] | per_src[sb])
+            r = got[(sa, sb)]
+            assert r.n_common_le_tau == common
+            assert r.j_est == j_est
+            assert r.j_exact == j_exact
+            assert r.err == j_est - j_exact
+
+    # sketch estimates track the exact values: mean |err| well under
+    # the k=32 binomial noise floor
+    errs = [abs(r.err) for r in got.values()]
+    assert sum(errs) / len(errs) < 0.1
