@@ -4228,6 +4228,67 @@ FROM base ORDER BY src_a, src_b
 """
 
 
+_ASSOC_RULES_SQL = """
+WITH baskets AS (SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+                 FROM lineitem JOIN part ON l_partkey = p_partkey),
+nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM baskets),
+ci AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM baskets GROUP BY item),
+cp AS (SELECT a.item AS x, b.item AS y, CAST(count(*) AS BIGINT) AS c_both
+       FROM baskets a JOIN baskets b ON a.basket = b.basket AND a.item < b.item
+       GROUP BY 1, 2),
+directed AS (SELECT x, y, c_both FROM cp
+             UNION ALL
+             SELECT y AS x, x AS y, c_both FROM cp)
+SELECT d.x AS antecedent, d.y AS consequent, c_both,
+       ca.c AS c_ante, cc.c AS c_cons, n_baskets,
+       CAST(c_both AS DOUBLE) / n_baskets AS support,
+       CAST(c_both AS DOUBLE) / ca.c AS confidence,
+       CAST(c_both * n_baskets AS DOUBLE) / (ca.c * cc.c) AS lift
+FROM directed d
+JOIN ci ca ON d.x = ca.item
+JOIN ci cc ON d.y = cc.item
+CROSS JOIN nb
+ORDER BY antecedent, consequent
+"""
+
+_BACKLOG_SQL = """
+WITH li AS (SELECT date_trunc('day', o_orderdate) AS open_day,
+                   date_trunc('day', l_shipdate) AS ship_day
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE date_trunc('day', l_shipdate) > date_trunc('day', o_orderdate)),
+deltas AS (SELECT open_day AS day, CAST(1 AS BIGINT) AS opened,
+                  CAST(0 AS BIGINT) AS shipped FROM li
+           UNION ALL
+           SELECT ship_day AS day, CAST(0 AS BIGINT) AS opened,
+                  CAST(1 AS BIGINT) AS shipped FROM li),
+per_day AS (SELECT day, CAST(sum(opened) AS BIGINT) AS n_opened,
+                   CAST(sum(shipped) AS BIGINT) AS n_shipped
+            FROM deltas GROUP BY day)
+SELECT day, n_opened, n_shipped,
+       CAST(sum(n_opened - n_shipped) OVER (ORDER BY day) AS BIGINT) AS open_backlog
+FROM per_day ORDER BY day
+"""
+
+_LOG_ODDS_SQL = """
+WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+yiw AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS y_iw FROM tok GROUP BY 1, 2),
+ni AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_i FROM tok GROUP BY 1),
+yw AS (SELECT token, CAST(count(*) AS BIGINT) AS y_w FROM tok GROUP BY 1),
+scal AS (SELECT CAST(count(*) AS BIGINT) AS n_tot,
+                CAST(count(DISTINCT token) AS BIGINT) AS v FROM tok),
+j AS (SELECT lang, token, y_iw, (y_w - y_iw) AS y_rest,
+             ln((y_iw + 0.5) / (n_i + 0.5 * v - y_iw - 0.5))
+               - ln(((y_w - y_iw) + 0.5)
+                    / (n_tot - n_i + 0.5 * v - (y_w - y_iw) - 0.5)) AS delta,
+             1.0 / (y_iw + 0.5) + 1.0 / ((y_w - y_iw) + 0.5) AS var
+      FROM yiw JOIN ni USING (lang) JOIN yw USING (token) CROSS JOIN scal)
+SELECT lang, token, y_iw, y_rest,
+       round(delta, 6) AS log_odds,
+       round(delta / sqrt(var), 6) AS z
+FROM j ORDER BY lang, token
+"""
+
+
 def analytics_queries():
     """name → (spark_fn, oracle_sql | None). None = rows-only check
     (non-SQL-expressible: engine-specific hash families)."""
@@ -5213,5 +5274,27 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
         "stats_kmv_jaccard": (
             lambda s, sf: text.kmv_jaccard_pairs(_t(s, sf, "documents")),
             _KMV_JACCARD_SQL,
+        ),
+        # market-basket association rules over order baskets on the
+        # bounded brand axis: support/confidence/lift, exact ratios
+        "assoc_rules_brands": (
+            lambda s, sf: relational.brand_assoc_rules(
+                _t(s, sf, "lineitem"), _t(s, sf, "part")
+            ),
+            _ASSOC_RULES_SQL,
+        ),
+        # order-to-ship open-interval count per day via the sweep-line
+        # ±1-delta prefix sum (two-phase cumsum, no per-day join)
+        "backlog_sweepline": (
+            lambda s, sf: relational.open_lineitem_backlog(
+                _t(s, sf, "orders"), _t(s, sf, "lineitem")
+            ),
+            _BACKLOG_SQL,
+        ),
+        # Monroe et-al log-odds-with-prior token enrichment per lang:
+        # full bounded contrast matrix, no top-k cut on a libm value
+        "text_log_odds_enriched": (
+            lambda s, sf: text.log_odds_enrichment(_t(s, sf, "documents")),
+            _LOG_ODDS_SQL,
         ),
     }

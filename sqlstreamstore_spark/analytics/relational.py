@@ -441,3 +441,116 @@ def weighted_median(
         )
         .orderBy(group_col)
     )
+
+
+def brand_assoc_rules(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Market-basket association rules over order baskets: each order
+    is a basket, its items are the distinct part BRANDS it contains
+    (the bounded rollup axis — raw part keys would make the pair space
+    |parts|² while brands keep it ~25²). For every directed rule
+    antecedent → consequent: support, confidence, and lift, all exact
+    BIGINT ratios.
+
+    Scale shape: the basket build is one broadcast join (part is the
+    small dim) + distinct on (order, brand); pair counts come from a
+    self-equi-join ON THE BASKET KEY — each basket contributes at most
+    |distinct brands in it|² pair rows (single-digit for TPC-H
+    baskets), never |orders|². Counts partial-agg on the ≤ brands²
+    axis; the basket total crosses as a one-row broadcast. At 100 TB
+    the only growing shuffle is the distinct on (order, brand), keyed
+    evenly by order.
+    """
+    baskets = (
+        lineitem.join(
+            F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"]
+        )
+        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+        .distinct()
+        .localCheckpoint()  # feeds item counts, pair counts, and the total
+    )
+    n_b = baskets.select(
+        F.countDistinct("basket").cast("long").alias("n_baskets")
+    )
+    c_item = baskets.groupBy("item").agg(F.count("*").cast("long").alias("c"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    c_pair = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("x"), F.col("b.item").alias("y"))
+        .agg(F.count("*").cast("long").alias("c_both"))
+    )
+    directed = c_pair.select("x", "y", "c_both").unionByName(
+        c_pair.select(F.col("y").alias("x"), F.col("x").alias("y"), "c_both")
+    )
+    return (
+        directed.join(c_item.select(F.col("item").alias("x"), F.col("c").alias("c_ante")), "x")
+        .join(c_item.select(F.col("item").alias("y"), F.col("c").alias("c_cons")), "y")
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            F.col("x").alias("antecedent"),
+            F.col("y").alias("consequent"),
+            "c_both",
+            "c_ante",
+            "c_cons",
+            "n_baskets",
+            (F.col("c_both").cast("double") / F.col("n_baskets")).alias("support"),
+            (F.col("c_both").cast("double") / F.col("c_ante")).alias("confidence"),
+            (
+                (F.col("c_both") * F.col("n_baskets")).cast("double")
+                / (F.col("c_ante") * F.col("c_cons"))
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+def open_lineitem_backlog(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Order-to-ship backlog by day via the sweep-line prefix-sum: a
+    lineitem is "open" from its order's o_orderdate (inclusive) until
+    its l_shipdate (exclusive). Instead of joining every lineitem to
+    every day it spans (interval × calendar blow-up), each lineitem
+    emits two ±1 deltas; summing deltas per day and taking the global
+    running total yields the exact open count per day — the standard
+    interval-stabbing-count reduction to a prefix sum.
+
+    Scale shape: one equi-join on orderkey (co-partition/bucket both
+    sides at scale), one partial-agg shuffle onto the bounded calendar
+    axis, then the two-phase global cumsum of `operators/positions.py`
+    — no single-partition window, no per-day join. All values BIGINT.
+    """
+    from sqlstreamstore_spark.operators.positions import with_global_cumsum
+
+    li = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.date_trunc("day", F.col("o_orderdate")).alias("open_day"),
+            F.date_trunc("day", F.col("l_shipdate")).alias("ship_day"),
+        )
+        # positive-duration guard: the synthetic fixture (unlike real
+        # TPC-H) has ship < order rows; a negative interval would push
+        # the sweep's running total below truth between the two deltas
+        .filter(F.col("ship_day") > F.col("open_day"))
+    )
+    deltas = li.select(
+        F.col("open_day").alias("day"),
+        F.lit(1).cast("long").alias("opened"),
+        F.lit(0).cast("long").alias("shipped"),
+    ).unionByName(
+        li.select(
+            F.col("ship_day").alias("day"),
+            F.lit(0).cast("long").alias("opened"),
+            F.lit(1).cast("long").alias("shipped"),
+        )
+    )
+    per_day = deltas.groupBy("day").agg(
+        F.sum("opened").cast("long").alias("n_opened"),
+        F.sum("shipped").cast("long").alias("n_shipped"),
+    ).withColumn("net", F.col("n_opened") - F.col("n_shipped"))
+    return (
+        with_global_cumsum(per_day, [F.col("day")], "net", "open_backlog")
+        .select("day", "n_opened", "n_shipped", "open_backlog")
+        .orderBy("day")
+    )

@@ -1698,3 +1698,60 @@ def kmv_jaccard_pairs(documents: DataFrame, k: int = 32, n: int = 3) -> DataFram
         )
         .orderBy("src_a", "src_b")
     )
+
+
+def log_odds_enrichment(documents: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Which tokens are characteristic of each language slice — the
+    Monroe/Colaresi/Quinn "Fightin' Words" log-odds ratio with a
+    Dirichlet prior (uninformative α here), the statistically-grounded
+    replacement for raw tf-idf contrast when curating per-language
+    corpus mixes:
+
+        δ_iw = ln( (y_iw+α) / (n_i+αV − y_iw−α) )
+             − ln( (y_w−y_iw+α) / (n−n_i+αV − (y_w−y_iw)−α) )
+        z_iw = δ_iw / sqrt( 1/(y_iw+α) + 1/(y_w−y_iw+α) )
+
+    (y_iw token count in slice i, n_i slice total, y_w corpus count,
+    n corpus total, V vocab size.) Emitted for every PRESENT
+    (lang, token) pair — no top-k cut on a libm value (the BM25 ulp
+    discipline); δ and z round to 6 dp on both engines.
+
+    Scale shape: three partial-agg count shuffles (lang×token, lang,
+    token) + equi-joins back; n and V cross as a one-row broadcast.
+    The output axis is |langs| × |vocab| — the bounded contrast
+    matrix, never document-scale.
+    """
+    tok = documents.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    y_iw = tok.groupBy("lang", "token").agg(F.count("*").cast("long").alias("y_iw"))
+    n_i = tok.groupBy("lang").agg(F.count("*").cast("long").alias("n_i"))
+    y_w = tok.groupBy("token").agg(F.count("*").cast("long").alias("y_w"))
+    scal = tok.agg(
+        F.count("*").cast("long").alias("n_tot"),
+        F.countDistinct("token").cast("long").alias("v"),
+    )
+    a = F.lit(float(alpha))
+    av = a * F.col("v")
+    rest = F.col("y_w") - F.col("y_iw")
+    delta = (
+        F.log((F.col("y_iw") + a) / (F.col("n_i") + av - F.col("y_iw") - a))
+        - F.log(
+            (rest + a) / (F.col("n_tot") - F.col("n_i") + av - rest - a)
+        )
+    )
+    var = F.lit(1.0) / (F.col("y_iw") + a) + F.lit(1.0) / (rest + a)
+    return (
+        y_iw.join(n_i, "lang")
+        .join(y_w, "token")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "lang",
+            "token",
+            "y_iw",
+            rest.alias("y_rest"),
+            F.round(delta, 6).alias("log_odds"),
+            F.round(delta / F.sqrt(var), 6).alias("z"),
+        )
+        .orderBy("lang", "token")
+    )

@@ -194,3 +194,96 @@ def test_kmv_jaccard_pairs_match_replication(docs, raw):
     # the k=32 binomial noise floor
     errs = [abs(r.err) for r in got.values()]
     assert sum(errs) / len(errs) < 0.1
+
+
+# ---------------------------------------------------------------- batch 2
+
+
+@pytest.fixture(scope="module")
+def tpch(spark):
+    li = load_table(spark, SF, "lineitem").cache()
+    pt = load_table(spark, SF, "part").cache()
+    od = load_table(spark, SF, "orders").cache()
+    li.count(), pt.count(), od.count()
+    return li, pt, od
+
+
+def test_assoc_rules_match_replication(tpch):
+    from sqlstreamstore_spark.analytics.relational import brand_assoc_rules
+
+    li, pt, _ = tpch
+    got = {(r.antecedent, r.consequent): r for r in brand_assoc_rules(li, pt).collect()}
+    brand = {r.p_partkey: r.p_brand for r in pt.collect()}
+    baskets = defaultdict(set)
+    for r in li.select("l_orderkey", "l_partkey").collect():
+        baskets[r.l_orderkey].add(brand[r.l_partkey])
+    n = len(baskets)
+    c_item, c_pair = Counter(), Counter()
+    for items in baskets.values():
+        c_item.update(items)
+        s = sorted(items)
+        for i, x in enumerate(s):
+            for y in s[i + 1 :]:
+                c_pair[(x, y)] += 1
+    for (x, y), cb in c_pair.items():
+        for a, c in ((x, y), (y, x)):
+            r = got[(a, c)]
+            assert (r.c_both, r.c_ante, r.c_cons, r.n_baskets) == (
+                cb,
+                c_item[a],
+                c_item[c],
+                n,
+            )
+            assert r.support == cb / n
+            assert r.confidence == cb / c_item[a]
+            assert r.lift == (cb * n) / (c_item[a] * c_item[c])
+    assert len(got) == 2 * len(c_pair)
+
+
+def test_backlog_sweepline_matches_interval_replication(tpch):
+    from sqlstreamstore_spark.analytics.relational import open_lineitem_backlog
+
+    li, _, od = tpch
+    rows = open_lineitem_backlog(od, li).collect()
+    odate = {r.o_orderkey: r.o_orderdate.date() for r in od.collect()}
+    intervals = [
+        (odate[r.l_orderkey], r.l_shipdate.date())
+        for r in li.select("l_orderkey", "l_shipdate").collect()
+        if r.l_shipdate.date() > odate[r.l_orderkey]  # operator's guard
+    ]
+    # literal interval-stabbing check on 25 sampled days: the backlog
+    # at day d equals the number of intervals with open <= d < ship
+    sampled = rows[:: max(1, len(rows) // 25)]
+    for r in sampled:
+        d = r.day.date()
+        expect = sum(1 for o, s in intervals if o <= d < s)
+        assert r.open_backlog == expect, (d, r.open_backlog, expect)
+    # conservation: every open interval eventually closes
+    assert rows[-1].open_backlog == 0
+    assert sum(r.n_opened for r in rows) == sum(r.n_shipped for r in rows) == len(intervals)
+
+
+def test_log_odds_enrichment_matches_numpy(docs, raw):
+    from sqlstreamstore_spark.analytics.text import log_odds_enrichment
+
+    got = {(r.lang, r.token): r for r in log_odds_enrichment(docs).collect()}
+    y_iw, n_i, y_w = Counter(), Counter(), Counter()
+    for _id, text, lang, _src in raw:
+        for t in text.split(" "):
+            y_iw[(lang, t)] += 1
+            n_i[lang] += 1
+            y_w[t] += 1
+    n = sum(n_i.values())
+    V = len(y_w)
+    a = 0.5
+    assert set(got) == set(y_iw)
+    for (lang, t), y in y_iw.items():
+        rest = y_w[t] - y
+        delta = math.log((y + a) / (n_i[lang] + a * V - y - a)) - math.log(
+            (rest + a) / (n - n_i[lang] + a * V - rest - a)
+        )
+        z = delta / math.sqrt(1.0 / (y + a) + 1.0 / (rest + a))
+        r = got[(lang, t)]
+        assert (r.y_iw, r.y_rest) == (y, rest)
+        assert abs(r.log_odds - delta) < 1e-5
+        assert abs(r.z - z) < 1e-5
