@@ -791,3 +791,64 @@ def rfm_segments(events: DataFrame, n_tiles: int = 5) -> DataFrame:
         "segment",
         (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("int"),
     ).orderBy("user_id")
+
+
+def user_lifecycle(events: DataFrame) -> DataFrame:
+    """Weekly growth accounting — the new / retained / resurrected /
+    churned decomposition every activity dashboard is built on. A user
+    is NEW in their first active week, RETAINED when active the week
+    right after an active week, RESURRECTED when returning after a gap,
+    and counts as CHURNED in the first week after an active week with
+    no activity (attributed to that empty week, capped at the corpus's
+    last observed week so the dataset edge doesn't fabricate churn).
+
+    Conservation law (pinned in tests): for consecutive weeks,
+    active(w) = new(w) + retained(w) + resurrected(w), and
+    churned(w) = active(w-1) - retained(w).
+
+    Shape: one distinct onto (user, week), one user-keyed window for
+    LAG/LEAD (parallel over users), a union of status rows, and a
+    partial agg onto the bounded week axis. All counts BIGINT — zero-
+    tolerance oracle. NULL user/ts rows are excluded up front (module
+    NULL discipline)."""
+    wk = F.date_trunc("week", F.col("ts"))
+    pres = (
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", wk.alias("week"))
+        .distinct()
+        .localCheckpoint()  # feeds the window pass AND the max-week cap
+    )
+    w = Window.partitionBy("user_id").orderBy("week")
+    seq = pres.select(
+        "user_id",
+        "week",
+        F.lag("week").over(w).alias("prev_week"),
+        F.lead("week").over(w).alias("next_week"),
+    )
+    status = F.when(F.col("prev_week").isNull(), F.lit("new")).when(
+        F.col("prev_week") + F.expr("INTERVAL 7 DAYS") == F.col("week"),
+        F.lit("retained"),
+    ).otherwise(F.lit("resurrected"))
+    active = seq.select(F.col("week"), status.alias("status"))
+    max_wk = pres.agg(F.max("week").alias("max_week"))
+    churn = (
+        seq.filter(
+            F.col("next_week").isNull()
+            | (F.col("next_week") > F.col("week") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .select((F.col("week") + F.expr("INTERVAL 7 DAYS")).alias("week"))
+        .crossJoin(F.broadcast(max_wk))
+        .filter(F.col("week") <= F.col("max_week"))
+        .select("week", F.lit("churned").alias("status"))
+    )
+    return (
+        active.unionByName(churn)
+        .groupBy("week")
+        .agg(
+            F.sum(F.when(F.col("status") == "new", 1).otherwise(0)).cast("long").alias("n_new"),
+            F.sum(F.when(F.col("status") == "retained", 1).otherwise(0)).cast("long").alias("n_retained"),
+            F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0)).cast("long").alias("n_resurrected"),
+            F.sum(F.when(F.col("status") == "churned", 1).otherwise(0)).cast("long").alias("n_churned"),
+        )
+        .orderBy("week")
+    )

@@ -265,3 +265,83 @@ def benford_first_digit(df: DataFrame, col: str, round_digits: int = 6) -> DataF
         )
         .orderBy("digit")
     )
+
+
+def functional_deps(documents: DataFrame) -> DataFrame:
+    """Approximate functional-dependency discovery over the bounded
+    categorical axes of the corpus — the schema-profiling pass that
+    tells a pipeline which columns are (nearly) determined by which
+    (candidate partition keys, redundant columns, leaky joins). For
+    every ordered pair (X → Y) of the profiled axes it reports the
+    conditional entropy H(Y|X) = H(X,Y) − H(X) and the dependency
+    strength 1 − H(Y|X)/H(Y) (1 = exact FD, 0 = independent).
+
+    Axes: lang, source, and the 100-char length bucket — each bounded,
+    so every count shuffle lands on a small axis and the entropy folds
+    walk SORTED count arrays (the bigram_logprob float discipline:
+    identical doubles added in identical order on both engines; the
+    only libm inputs are exact BIGINTs).
+
+    Scale shape: one pass builds the joint counts per pair (partial
+    aggs on ≤ |X|·|Y| keys); n crosses as a one-row broadcast. At
+    100 TB the cost is the scan, not the entropy algebra."""
+    axes = {
+        "lang": F.col("lang").cast("string"),
+        "source": F.col("source").cast("string"),
+        "len_bucket": (F.col("n_chars") - F.col("n_chars") % 100).cast("string"),
+    }
+    base = documents.select(
+        *[expr.alias(name) for name, expr in axes.items()]
+    ).localCheckpoint()
+    n_row = base.agg(F.count("*").cast("long").alias("n"))
+
+    def _h(df: DataFrame, cols: list[str], out: str) -> DataFrame:
+        """One-row frame: Σ c·ln(c) over the grouped counts of `cols`,
+        folded in sorted order. H = ln(n) − Σc·ln(c)/n downstream."""
+        counts = df.groupBy(*cols).agg(F.count("*").cast("long").alias("c"))
+        return counts.agg(F.array_sort(F.collect_list("c")).alias("cs")).select(
+            F.aggregate(
+                F.col("cs"),
+                F.lit(0.0),
+                lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
+            ).alias(out)
+        )
+
+    rows = None
+    names = list(axes)
+    for x in names:
+        for y in names:
+            if x == y:
+                continue
+            hx = _h(base, [x], "sx")
+            hy = _h(base, [y], "sy")
+            hxy = _h(base, [x, y], "sxy")
+            pair = (
+                hx.join(hy)
+                .join(hxy)
+                .join(F.broadcast(n_row))
+                .select(
+                    F.lit(x).alias("x_col"),
+                    F.lit(y).alias("y_col"),
+                    F.col("n"),
+                    # H(A) = ln(n) − S_A/n; H(Y|X) = H(XY) − H(X) = (S_X − S_XY)/n
+                    ((F.col("sx") - F.col("sxy")) / F.col("n")).alias("h_y_given_x"),
+                    (
+                        F.log(F.col("n").cast("double")) - F.col("sy") / F.col("n")
+                    ).alias("h_y"),
+                )
+                .select(
+                    "x_col",
+                    "y_col",
+                    "n",
+                    F.round("h_y_given_x", 6).alias("h_y_given_x"),
+                    F.round("h_y", 6).alias("h_y"),
+                    F.round(
+                        F.when(F.col("h_y") > 0, 1.0 - F.col("h_y_given_x") / F.col("h_y"))
+                        .otherwise(F.lit(1.0)),
+                        6,
+                    ).alias("fd_strength"),
+                )
+            )
+            rows = pair if rows is None else rows.unionByName(pair)
+    return rows.orderBy("x_col", "y_col")

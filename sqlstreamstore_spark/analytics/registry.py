@@ -4289,6 +4289,114 @@ FROM j ORDER BY lang, token
 """
 
 
+_LIFECYCLE_SQL = """
+WITH pres AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+seq AS (SELECT user_id, week,
+               lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+               lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+        FROM pres),
+active AS (SELECT week,
+                  CASE WHEN prev_week IS NULL THEN 'new'
+                       WHEN prev_week + INTERVAL 7 DAY = week THEN 'retained'
+                       ELSE 'resurrected' END AS status
+           FROM seq),
+mw AS (SELECT max(week) AS max_week FROM pres),
+churn AS (SELECT week + INTERVAL 7 DAY AS week, 'churned' AS status
+          FROM seq, mw
+          WHERE (next_week IS NULL OR next_week > week + INTERVAL 7 DAY)
+            AND week + INTERVAL 7 DAY <= max_week),
+allrows AS (SELECT week, status FROM active
+            UNION ALL SELECT week, status FROM churn)
+SELECT week,
+       CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+       CAST(sum(CASE WHEN status = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+FROM allrows GROUP BY week ORDER BY week
+"""
+
+
+def _fd_entropy_sum(group_cols: str) -> str:
+    """Scalar subquery: Σ c·ln(c) over the grouped counts of
+    `group_cols`, folded in sorted order (the Spark twin's
+    array_sort(collect_list) discipline)."""
+    return f"""(SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(list_sort(list(c)),
+          c -> CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))),
+        (a, v) -> a + v)
+      FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM base GROUP BY {group_cols}))"""
+
+
+def _fd_pair_sql(x: str, y: str) -> str:
+    return f"""SELECT '{x}' AS x_col, '{y}' AS y_col, n,
+       round(h_y_given_x_raw, 6) AS h_y_given_x,
+       round(h_y_raw, 6) AS h_y,
+       round(CASE WHEN h_y_raw > 0 THEN 1.0 - h_y_given_x_raw / h_y_raw
+                  ELSE 1.0 END, 6) AS fd_strength
+FROM (SELECT n,
+             (sx - sxy) / n AS h_y_given_x_raw,
+             ln(CAST(n AS DOUBLE)) - sy / n AS h_y_raw
+      FROM (SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n,
+                   {_fd_entropy_sum(x)} AS sx,
+                   {_fd_entropy_sum(y)} AS sy,
+                   {_fd_entropy_sum(x + ", " + y)} AS sxy))"""
+
+
+_FUNCTIONAL_DEPS_SQL = (
+    """
+WITH base AS (SELECT CAST(lang AS VARCHAR) AS lang,
+                     CAST(source AS VARCHAR) AS source,
+                     CAST(n_chars - n_chars % 100 AS VARCHAR) AS len_bucket
+              FROM documents)
+"""
+    + "\nUNION ALL\n".join(
+        _fd_pair_sql(x, y)
+        for x in ("lang", "source", "len_bucket")
+        for y in ("lang", "source", "len_bucket")
+        if x != y
+    )
+    + "\nORDER BY x_col, y_col"
+)
+
+_ZIPF_SQL = """
+WITH counts AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+                GROUP BY token),
+ranked AS (SELECT CAST(row_number() OVER (ORDER BY c DESC, token) AS BIGINT) AS rank, c
+           FROM counts),
+folded AS (SELECT list_sort(list({'rank': rank, 'c': c})) AS ts,
+                  CAST(count(*) AS BIGINT) AS vocab
+           FROM ranked),
+m AS (SELECT vocab,
+  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+    list_transform(ts, t -> ln(CAST(t.rank AS DOUBLE)))), (a, v) -> a + v) AS sx,
+  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+    list_transform(ts, t -> ln(CAST(t.c AS DOUBLE)))), (a, v) -> a + v) AS sy,
+  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+    list_transform(ts, t -> ln(CAST(t.rank AS DOUBLE)) * ln(CAST(t.c AS DOUBLE)))),
+    (a, v) -> a + v) AS sxy,
+  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+    list_transform(ts, t -> ln(CAST(t.rank AS DOUBLE)) * ln(CAST(t.rank AS DOUBLE)))),
+    (a, v) -> a + v) AS sxx,
+  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+    list_transform(ts, t -> ln(CAST(t.c AS DOUBLE)) * ln(CAST(t.c AS DOUBLE)))),
+    (a, v) -> a + v) AS syy
+  FROM folded)
+SELECT vocab,
+       round((CAST(vocab AS DOUBLE) * sxy - sx * sy)
+             / (CAST(vocab AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+       round((sy - ((CAST(vocab AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(vocab AS DOUBLE) * sxx - sx * sx)) * sx)
+             / CAST(vocab AS DOUBLE), 6) AS intercept,
+       round(((CAST(vocab AS DOUBLE) * sxy - sx * sy)
+              * (CAST(vocab AS DOUBLE) * sxy - sx * sy))
+             / ((CAST(vocab AS DOUBLE) * sxx - sx * sx)
+                * (CAST(vocab AS DOUBLE) * syy - sy * sy)), 6) AS r2
+FROM m
+"""
+
+
 def analytics_queries():
     """name → (spark_fn, oracle_sql | None). None = rows-only check
     (non-SQL-expressible: engine-specific hash families)."""
@@ -5296,5 +5404,23 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
         "text_log_odds_enriched": (
             lambda s, sf: text.log_odds_enrichment(_t(s, sf, "documents")),
             _LOG_ODDS_SQL,
+        ),
+        # weekly growth accounting: new/retained/resurrected/churned
+        # per week, churn capped at the last observed week
+        "events_user_lifecycle": (
+            lambda s, sf: events.user_lifecycle(_t(s, sf, "events")),
+            _LIFECYCLE_SQL,
+        ),
+        # approximate functional-dependency discovery: H(Y|X) and FD
+        # strength over the bounded categorical axes, sorted-fold floats
+        "dq_functional_deps": (
+            lambda s, sf: quality.functional_deps(_t(s, sf, "documents")),
+            _FUNCTIONAL_DEPS_SQL,
+        ),
+        # Zipf's-law OLS fit over the token frequency table: exact
+        # ranks, one sorted moment fold, corpus-shape diagnostic
+        "text_zipf_fit": (
+            lambda s, sf: text.zipf_fit(_t(s, sf, "documents")),
+            _ZIPF_SQL,
         ),
     }

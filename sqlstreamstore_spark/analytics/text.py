@@ -1755,3 +1755,62 @@ def log_odds_enrichment(documents: DataFrame, alpha: float = 0.5) -> DataFrame:
         )
         .orderBy("lang", "token")
     )
+
+
+def zipf_fit(documents: DataFrame) -> DataFrame:
+    """Zipf's-law diagnostic: OLS fit of ln(freq) against ln(rank)
+    over the token frequency table — natural corpora fit a slope near
+    −1; template spam, dedup failures, and synthetic filler bend the
+    curve (too flat = suspiciously uniform vocabulary, too steep =
+    few tokens dominating). One row: vocab size, fitted slope,
+    intercept, and r².
+
+    Determinism: ranks are exact (count desc, token tie-break — never
+    a cut on a libm value), ln() takes exact BIGINTs, and the five
+    OLS moment sums fold over ONE sorted struct array so both engines
+    add identical doubles in identical order; the fit rounds to 6 dp.
+
+    Scale shape: the count shuffle is vocab-keyed; the rank pass and
+    the moment fold operate on the VOCAB table, not the corpus — at
+    100 TB vocab is millions of rows, at which point the collected
+    fold should hand off to the two-phase cumsum rank (the
+    with_dense_global_index path) — bounded here by the profiled
+    vocabulary either way."""
+    from pyspark.sql import Window
+
+    counts = (
+        documents.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.col("token"))
+    ranked = counts.select(
+        F.row_number().over(w).cast("long").alias("rank"), "c"
+    )
+    folded = ranked.agg(
+        F.array_sort(F.collect_list(F.struct("rank", "c"))).alias("ts"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    x = lambda t: F.log(t["rank"].cast("double"))
+    y = lambda t: F.log(t["c"].cast("double"))
+    s = lambda f: F.aggregate(
+        F.col("ts"), F.lit(0.0), lambda acc, t: acc + f(t)
+    )
+    m = folded.select(
+        "vocab",
+        s(x).alias("sx"),
+        s(y).alias("sy"),
+        s(lambda t: x(t) * y(t)).alias("sxy"),
+        s(lambda t: x(t) * x(t)).alias("sxx"),
+        s(lambda t: y(t) * y(t)).alias("syy"),
+    )
+    n = F.col("vocab").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "vocab",
+        F.round(cov / varx, 6).alias("slope"),
+        F.round((F.col("sy") - (cov / varx) * F.col("sx")) / n, 6).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+    )

@@ -287,3 +287,102 @@ def test_log_odds_enrichment_matches_numpy(docs, raw):
         assert (r.y_iw, r.y_rest) == (y, rest)
         assert abs(r.log_odds - delta) < 1e-5
         assert abs(r.z - z) < 1e-5
+
+
+# ---------------------------------------------------------------- batch 3
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    df = load_table(spark, SF, "events").cache()
+    df.count()
+    return df
+
+
+def test_user_lifecycle_matches_replication_and_conserves(ev):
+    import datetime
+
+    from sqlstreamstore_spark.analytics.events import user_lifecycle
+
+    rows = user_lifecycle(ev).collect()
+    # replicate growth accounting literally
+    pres = defaultdict(set)  # user -> set of week dates
+    for r in ev.select("user_id", "ts").collect():
+        if r.user_id is None or r.ts is None:
+            continue
+        d = r.ts.date()
+        week = d - datetime.timedelta(days=d.weekday())
+        pres[r.user_id].add(week)
+    counts = defaultdict(lambda: [0, 0, 0, 0])  # week -> new/ret/res/churn
+    max_week = max(w for ws in pres.values() for w in ws)
+    for _u, ws in pres.items():
+        seq = sorted(ws)
+        for i, w in enumerate(seq):
+            if i == 0:
+                counts[w][0] += 1
+            elif seq[i - 1] + datetime.timedelta(days=7) == w:
+                counts[w][1] += 1
+            else:
+                counts[w][2] += 1
+            nxt = seq[i + 1] if i + 1 < len(seq) else None
+            churn_w = w + datetime.timedelta(days=7)
+            if (nxt is None or nxt > churn_w) and churn_w <= max_week:
+                counts[churn_w][3] += 1
+    got = {r.week.date(): (r.n_new, r.n_retained, r.n_resurrected, r.n_churned) for r in rows}
+    assert got == {w: tuple(v) for w, v in counts.items()}
+    # conservation: churned(w) = active(w-1) - retained(w) for interior weeks
+    active = {w: v[0] + v[1] + v[2] for w, v in counts.items()}
+    for w, v in counts.items():
+        prev = w - datetime.timedelta(days=7)
+        if prev in active:
+            assert v[3] == active[prev] - v[1], (w, v)
+
+
+def test_functional_deps_match_numpy(docs, raw):
+    from sqlstreamstore_spark.analytics.quality import functional_deps
+
+    nchars = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    tuples = [
+        {
+            "lang": lang,
+            "source": src,
+            "len_bucket": str(nchars[i] - nchars[i] % 100),
+        }
+        for i, _t, lang, src in raw
+    ]
+    n = len(tuples)
+
+    def H(cols):
+        c = Counter(tuple(t[c] for c in cols) for t in tuples)
+        return math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+
+    got = {(r.x_col, r.y_col): r for r in functional_deps(docs).collect()}
+    assert len(got) == 6
+    for (x, y), r in got.items():
+        hyx = H([x, y]) - H([x])
+        hy = H([y])
+        assert abs(r.h_y_given_x - hyx) < 1e-5
+        assert abs(r.h_y - hy) < 1e-5
+        assert abs(r.fd_strength - (1 - hyx / hy if hy > 0 else 1.0)) < 1e-5
+        assert -1e-9 <= r.h_y_given_x  # conditional entropy is non-negative
+
+
+def test_zipf_fit_matches_numpy(docs, raw):
+    import numpy as np
+
+    from sqlstreamstore_spark.analytics.text import zipf_fit
+
+    got = zipf_fit(docs).collect()[0]
+    c = Counter()
+    for _i, text, _l, _s in raw:
+        c.update(text.split(" "))
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = np.log(np.arange(1, len(ranked) + 1, dtype=float))
+    ys = np.log(np.array([v for _, v in ranked], dtype=float))
+    slope, intercept = np.polyfit(xs, ys, 1)
+    r2 = np.corrcoef(xs, ys)[0, 1] ** 2
+    assert got.vocab == len(ranked)
+    assert abs(got.slope - slope) < 1e-5
+    assert abs(got.intercept - intercept) < 1e-5
+    assert abs(got.r2 - r2) < 1e-5
+    assert got.slope < 0  # frequencies decay with rank

@@ -52,7 +52,7 @@ def main() -> int:
     spark = get_spark(app_name="scale-probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    def workloads(docs, emb, lineitem, events, label):
+    def workloads(docs, emb, lineitem, events, part, orders, label):
         res = {"scale": label}
         t0 = time.time()
         res["rows_docs"] = docs.count()
@@ -375,6 +375,56 @@ def main() -> int:
         res["semantic_clusters"] = {
             "rows": row.n, "n_comps": row.n_comps, "n_lists": ncl,
             "max_size": row.max_size, "s": round(time.time() - t0, 2)}
+
+        # round-6 evaluation/governance families: exact AUC (distinct-
+        # score-keyed partial agg + two-phase cumsum — never a corpus
+        # sort), cross-source contamination (inverted-index gram join,
+        # pair axis bounded by sources², NOT docs²), Stupid Backoff LM
+        # (three count shuffles + equi-join probes), KMV set-algebra
+        # (190 pair rows from 640 sketch rows at ANY corpus size),
+        # basket rules (pairs ≤ items-per-basket² per basket), backlog
+        # sweep-line (calendar-bounded axis + two-phase cumsum),
+        # log-odds contrast (|langs|×|vocab| output)
+        from sqlstreamstore_spark.analytics import evaluation
+
+        t0 = time.time()
+        r = evaluation.roc_auc(docs).collect()[0]
+        res["roc_auc"] = {
+            "n_scores": r.n_scores, "auc": round(r.auc, 4),
+            "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        cm = text.contamination_matrix(docs)
+        row = cm.agg(F.count("*").alias("n"), F.sum("n_inter").alias("chk")).collect()[0]
+        res["contamination_matrix"] = {"rows": row.n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        sb = text.stupid_backoff_scores(docs)
+        row = sb.agg(F.count("*").alias("n"), F.sum("n_tier3").alias("t3")).collect()[0]
+        res["stupid_backoff"] = {"rows": row.n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        kj = text.kmv_jaccard_pairs(docs)
+        row = kj.agg(F.count("*").alias("n"), F.sum("j_est").alias("chk")).collect()[0]
+        res["kmv_jaccard"] = {"rows": row.n, "s": round(time.time() - t0, 2)}
+
+        from sqlstreamstore_spark.analytics import relational as rel6
+
+        t0 = time.time()
+        ar = rel6.brand_assoc_rules(lineitem, part)
+        row = ar.agg(F.count("*").alias("n"), F.sum("c_both").alias("chk")).collect()[0]
+        res["assoc_rules"] = {"rows": row.n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        bl = rel6.open_lineitem_backlog(orders, lineitem)
+        row = bl.agg(F.count("*").alias("n"), F.max("open_backlog").alias("peak")).collect()[0]
+        res["backlog_sweepline"] = {
+            "rows": row.n, "peak": row.peak, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        lo = text.log_odds_enrichment(docs)
+        row = lo.agg(F.count("*").alias("n"), F.sum("z").alias("chk")).collect()[0]
+        res["log_odds"] = {"rows": row.n, "s": round(time.time() - t0, 2)}
         return res
 
     out = []
@@ -384,7 +434,9 @@ def main() -> int:
         emb = load_table(spark, d, "embeddings").localCheckpoint()
         li = load_table(spark, d, "lineitem").localCheckpoint()
         ev = load_table(spark, d, "events").localCheckpoint()
-        out.append(workloads(docs, emb, li, ev, f"sf{sf}"))
+        pt = load_table(spark, d, "part").localCheckpoint()
+        od = load_table(spark, d, "orders").localCheckpoint()
+        out.append(workloads(docs, emb, li, ev, pt, od, f"sf{sf}"))
         print(json.dumps(out[-1]), flush=True)
 
     # synthetic sf1: replicate sf0.1 10x with shifted keys
@@ -397,7 +449,14 @@ def main() -> int:
     ev = replicated(
         load_table(spark, d, "events"), 10, {"event_id": 10_000_000}
     ).localCheckpoint()
-    out.append(workloads(docs, emb, li, ev, "sf1-synthetic"))
+    # part stays unreplicated (l_partkey is NOT shifted, so the small
+    # dim still joins; brands are the bounded item axis either way);
+    # orders replicates on the same orderkey span as lineitem
+    pt = load_table(spark, d, "part").localCheckpoint()
+    od = replicated(
+        load_table(spark, d, "orders"), 10, {"o_orderkey": 10_000_000}
+    ).localCheckpoint()
+    out.append(workloads(docs, emb, li, ev, pt, od, "sf1-synthetic"))
     print(json.dumps(out[-1]), flush=True)
 
     # committed artifact: bench.py attaches this as its scale_probe
