@@ -852,3 +852,43 @@ def user_lifecycle(events: DataFrame) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+def power_users_gini(events: DataFrame) -> DataFrame:
+    """Gini coefficient of per-user activity — the inequality audit
+    that tells you whether "10k users" means 10k contributors or three
+    bots and an audience. Uses the exact rank formula over ascending
+    per-user counts:
+
+        G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n
+
+    Ties in x make the sum order-free (swapping equal values changes
+    nothing), so the user-id tie-break exists only to make the rank
+    assignment total. Every accumulation is BIGINT; G is two correctly-
+    rounded divides and one subtraction — zero-tolerance oracle.
+
+    Scale shape: one user-keyed partial agg, then the two-phase dense
+    rank of `operators/positions.py` over the USER table (never the
+    raw log), then an integer agg. No single-partition window."""
+    from sqlstreamstore_spark.operators.positions import with_dense_global_index
+
+    counts = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    ranked = with_dense_global_index(
+        counts, [F.col("x"), F.col("user_id")], index_col="idx"
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("total_events"),
+        F.sum((F.col("idx") + 1) * F.col("x")).cast("long").alias("rank_sum"),
+    ).select(
+        "n_users",
+        "total_events",
+        (
+            (F.lit(2.0) * F.col("rank_sum")) / (F.col("n_users") * F.col("total_events"))
+            - (F.col("n_users") + F.lit(1)).cast("double") / F.col("n_users")
+        ).alias("gini"),
+    )

@@ -4397,6 +4397,73 @@ FROM m
 """
 
 
+_GINI_SQL = """
+WITH counts AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events
+                WHERE user_id IS NOT NULL GROUP BY user_id),
+ranked AS (SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i
+           FROM counts),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(x) AS BIGINT) AS total_events,
+             CAST(sum(i * x) AS BIGINT) AS rank_sum
+      FROM ranked)
+SELECT n_users, total_events,
+       (2.0 * rank_sum) / (n_users * total_events)
+         - CAST(n_users + 1 AS DOUBLE) / n_users AS gini
+FROM a
+"""
+
+_BURSTINESS_SQL = """
+WITH per_doc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                       FROM documents)
+                 GROUP BY doc_id, token),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+agg AS (SELECT token, CAST(sum(c) AS BIGINT) AS total,
+               CAST(sum(c * c) AS BIGINT) AS sum_sq,
+               CAST(count(*) AS BIGINT) AS df
+        FROM per_doc GROUP BY token)
+SELECT token, total, df,
+       CAST(total AS DOUBLE) / n_docs AS mean_count,
+       CAST(sum_sq AS DOUBLE) / n_docs
+         - (CAST(total AS DOUBLE) / n_docs) * (CAST(total AS DOUBLE) / n_docs) AS var_count,
+       (CAST(sum_sq AS DOUBLE) / n_docs
+         - (CAST(total AS DOUBLE) / n_docs) * (CAST(total AS DOUBLE) / n_docs))
+         / (CAST(total AS DOUBLE) / n_docs) AS fano
+FROM agg, nd ORDER BY token
+"""
+
+_PARETO_ABC_SQL = """
+WITH rev AS (SELECT l_partkey,
+                    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                             * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+                         AS BIGINT) AS rev
+             FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT CAST(sum(rev) AS BIGINT) AS total_rev FROM rev),
+cum AS (SELECT l_partkey, rev,
+               CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS BIGINT) AS cum_rev
+        FROM rev),
+classed AS (SELECT rev, total_rev,
+                   CASE WHEN cum_rev * 5 <= total_rev * 4 THEN 'A'
+                        WHEN cum_rev * 20 <= total_rev * 19 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM cum, tot)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev) AS BIGINT) AS class_rev,
+       CAST(CAST(sum(rev) AS BIGINT) AS DOUBLE) / max(total_rev) AS rev_share
+FROM classed GROUP BY abc_class ORDER BY abc_class
+"""
+
+_ESS_SQL = """
+WITH w AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS w FROM documents),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(w) AS BIGINT) AS sum_w,
+             CAST(sum(w * w) AS BIGINT) AS sum_w2 FROM w)
+SELECT n_docs, sum_w,
+       CAST(sum_w * sum_w AS DOUBLE) / sum_w2 AS ess,
+       CAST(sum_w * sum_w AS DOUBLE) / (sum_w2 * n_docs) AS ess_ratio
+FROM a
+"""
+
+
 def analytics_queries():
     """name → (spark_fn, oracle_sql | None). None = rows-only check
     (non-SQL-expressible: engine-specific hash families)."""
@@ -5422,5 +5489,29 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
         "text_zipf_fit": (
             lambda s, sf: text.zipf_fit(_t(s, sf, "documents")),
             _ZIPF_SQL,
+        ),
+        # Gini coefficient of per-user activity: exact rank formula,
+        # two-phase dense rank over the user table, BIGINT sums
+        "events_power_users_gini": (
+            lambda s, sf: events.power_users_gini(_t(s, sf, "events")),
+            _GINI_SQL,
+        ),
+        # per-token burstiness (Fano factor of per-doc counts): exact
+        # BIGINT moments, vocab-bounded output
+        "text_burstiness": (
+            lambda s, sf: text.token_burstiness(_t(s, sf, "documents")),
+            _BURSTINESS_SQL,
+        ),
+        # Pareto/ABC revenue classes: exact micro-money, two-phase
+        # cumsum on the part table, integer cross-multiplied boundaries
+        "tpch_pareto_abc": (
+            lambda s, sf: relational.pareto_abc_classes(_t(s, sf, "lineitem")),
+            _PARETO_ABC_SQL,
+        ),
+        # Kish effective sample size of the token-count weights: two
+        # BIGINT moments, one divide — the pre-sampling diagnostic
+        "sampling_ess_report": (
+            lambda s, sf: sampling.ess_report(_t(s, sf, "documents")),
+            _ESS_SQL,
         ),
     }

@@ -554,3 +554,58 @@ def open_lineitem_backlog(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         .select("day", "n_opened", "n_shipped", "open_backlog")
         .orderBy("day")
     )
+
+
+def pareto_abc_classes(lineitem: DataFrame) -> DataFrame:
+    """ABC (Pareto) inventory analysis: rank parts by exact revenue,
+    walk the cumulative share, and bucket into A (first 80% of
+    revenue), B (next 15%), C (tail) — the "which 20% of parts earn
+    80%" decomposition. Revenue is exact integer micro-money
+    (price-cents × (100 − discount-cents), the tpch.py decimal
+    strategy), the running total is the two-phase global cumsum over
+    the PART table (never the raw lineitem), and the class boundaries
+    are integer cross-multiplications (cum·5 ≤ total·4, cum·20 ≤
+    total·19) — no float compare anywhere. Shares are final-divide
+    doubles; zero-tolerance oracle.
+
+    Scale shape: one partkey partial agg + the positions.py cumsum on
+    |parts| rows; at 100 TB the lineitem scan dominates and everything
+    downstream is parts-bounded."""
+    from sqlstreamstore_spark.operators.positions import with_global_cumsum
+
+    rev = lineitem.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+            * (
+                F.lit(100)
+                - (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("rev")
+    )
+    cum = with_global_cumsum(
+        rev, [F.col("rev").desc(), F.col("l_partkey")], "rev", "cum_rev"
+    )
+    total = rev.agg(F.sum("rev").cast("long").alias("total_rev"))
+    classed = cum.crossJoin(F.broadcast(total)).withColumn(
+        "abc_class",
+        F.when(F.col("cum_rev") * 5 <= F.col("total_rev") * 4, F.lit("A"))
+        .when(F.col("cum_rev") * 20 <= F.col("total_rev") * 19, F.lit("B"))
+        .otherwise(F.lit("C")),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("rev").cast("long").alias("class_rev"),
+            F.max("total_rev").alias("total_rev"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            "class_rev",
+            (F.col("class_rev").cast("double") / F.col("total_rev")).alias("rev_share"),
+        )
+        .orderBy("abc_class")
+    )

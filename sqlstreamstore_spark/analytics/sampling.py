@@ -395,3 +395,34 @@ def temperature_mixture_sample(
         )
         .orderBy("src")
     )
+
+
+def ess_report(documents: DataFrame) -> DataFrame:
+    """Effective sample size of the token-count importance weights —
+    the one-row diagnostic run before trusting any weighted estimate
+    (PPS totals, temperature mixtures, A-ES draws):
+
+        ESS = (Σw)² / Σw²       (Kish),  ess_ratio = ESS / n
+
+    A ratio near 1 means the weights are benign; a tiny ratio means a
+    few heavy documents dominate every weighted statistic and the
+    sampler needs stratification or weight clipping. Both
+    accumulations are BIGINT (weights are exact token counts); ESS is
+    one divide of two exact integers, the ratio one more — zero
+    tolerance. One partial agg, no shuffle beyond it."""
+    w = F.size(F.split(F.col("text"), " ")).cast("long")
+    return documents.select(w.alias("w")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("sum_w"),
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("sum_w2"),
+    ).select(
+        "n_docs",
+        "sum_w",
+        (
+            (F.col("sum_w") * F.col("sum_w")).cast("double") / F.col("sum_w2")
+        ).alias("ess"),
+        (
+            (F.col("sum_w") * F.col("sum_w")).cast("double")
+            / (F.col("sum_w2") * F.col("n_docs"))
+        ).alias("ess_ratio"),
+    )

@@ -1814,3 +1814,48 @@ def zipf_fit(documents: DataFrame) -> DataFrame:
         F.round((F.col("sy") - (cov / varx) * F.col("sx")) / n, 6).alias("intercept"),
         F.round((cov * cov) / (varx * vary), 6).alias("r2"),
     )
+
+
+def token_burstiness(documents: DataFrame) -> DataFrame:
+    """Per-token burstiness (Church & Gale): the Fano factor
+    var/mean of the token's per-document count, zeros included.
+    Content words are bursty (they recur within the documents that
+    mention them, F >> 1); function words and template boilerplate are
+    Poisson-ish (F ≈ 1) — a signal the tf-idf/stopword heuristics
+    approximate and this measures exactly.
+
+    All accumulations are BIGINT (Σc, Σc² over per-doc counts; zeros
+    contribute nothing to either, so only present (doc, token) pairs
+    are scanned); mean/var/fano are fixed-shape IEEE expressions on
+    those exact sums — zero-tolerance oracle, no rounding.
+
+    Scale shape: one (doc, token) partial agg, one token-keyed agg, a
+    one-row broadcast for N. Output is vocab-bounded."""
+    per_doc = (
+        documents.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n_docs = documents.agg(F.count("*").cast("long").alias("n_docs"))
+    mean = F.col("total").cast("double") / F.col("n_docs")
+    var = F.col("sum_sq").cast("double") / F.col("n_docs") - mean * mean
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.sum("c").cast("long").alias("total"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+            F.count("*").cast("long").alias("df"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "total",
+            "df",
+            mean.alias("mean_count"),
+            var.alias("var_count"),
+            (var / mean).alias("fano"),
+        )
+        .orderBy("token")
+    )

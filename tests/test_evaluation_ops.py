@@ -386,3 +386,81 @@ def test_zipf_fit_matches_numpy(docs, raw):
     assert abs(got.intercept - intercept) < 1e-5
     assert abs(got.r2 - r2) < 1e-5
     assert got.slope < 0  # frequencies decay with rank
+
+
+# ---------------------------------------------------------------- batch 4
+
+
+def test_power_users_gini_matches_replication(ev):
+    from sqlstreamstore_spark.analytics.events import power_users_gini
+
+    got = power_users_gini(ev).collect()[0]
+    c = Counter(
+        r.user_id for r in ev.select("user_id").collect() if r.user_id is not None
+    )
+    xs = sorted(c.values())
+    n = len(xs)
+    gini = 2.0 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * sum(xs)) - (
+        n + 1
+    ) / n
+    assert (got.n_users, got.total_events) == (n, sum(xs))
+    assert abs(got.gini - gini) < 1e-12
+    assert 0.0 <= got.gini < 1.0
+
+
+def test_token_burstiness_matches_replication(docs, raw):
+    from sqlstreamstore_spark.analytics.text import token_burstiness
+
+    got = {r.token: r for r in token_burstiness(docs).collect()}
+    per = defaultdict(Counter)  # token -> doc -> count
+    for i, text, _l, _s in raw:
+        for t in text.split(" "):
+            per[t][i] += 1
+    N = len(raw)
+    assert set(got) == set(per)
+    for t, dc in per.items():
+        total = sum(dc.values())
+        ssq = sum(v * v for v in dc.values())
+        mean = total / N
+        var = ssq / N - mean * mean
+        r = got[t]
+        assert (r.total, r.df) == (total, len(dc))
+        assert abs(r.fano - var / mean) < 1e-9
+    # content tokens recur within their documents: some fano > 1
+    assert max(r.fano for r in got.values()) > 1.0
+
+
+def test_pareto_abc_matches_replication(tpch):
+    from sqlstreamstore_spark.analytics.relational import pareto_abc_classes
+
+    li, _, _ = tpch
+    rows = {r.abc_class: r for r in pareto_abc_classes(li).collect()}
+    rev = Counter()
+    for r in li.select("l_partkey", "l_extendedprice", "l_discount").collect():
+        cents = round(float(r.l_extendedprice) * 100)
+        disc = round(float(r.l_discount) * 100)
+        rev[r.l_partkey] += cents * (100 - disc)
+    total = sum(rev.values())
+    cum, classes = 0, Counter()
+    class_rev = Counter()
+    for k, v in sorted(rev.items(), key=lambda kv: (-kv[1], kv[0])):
+        cum += v
+        cl = "A" if cum * 5 <= total * 4 else ("B" if cum * 20 <= total * 19 else "C")
+        classes[cl] += 1
+        class_rev[cl] += v
+    for cl in classes:
+        assert (rows[cl].n_parts, rows[cl].class_rev) == (classes[cl], class_rev[cl])
+        assert rows[cl].rev_share == class_rev[cl] / total
+    assert sum(r.class_rev for r in rows.values()) == total
+
+
+def test_ess_report_matches_replication(docs, raw):
+    from sqlstreamstore_spark.analytics.sampling import ess_report
+
+    got = ess_report(docs).collect()[0]
+    ws = [len(t.split(" ")) for _i, t, _l, _s in raw]
+    sw, sw2 = sum(ws), sum(w * w for w in ws)
+    assert (got.n_docs, got.sum_w) == (len(ws), sw)
+    assert got.ess == (sw * sw) / sw2
+    assert got.ess_ratio == (sw * sw) / (sw2 * len(ws))
+    assert got.ess <= got.n_docs  # Kish ESS never exceeds n
