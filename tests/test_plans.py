@@ -660,3 +660,128 @@ def test_quantile_normalize_no_global_window(spark):
     for line in p.splitlines():
         if "windowspecdefinition(" in line:
             assert ("source" in line) or ("__pid" in line), line
+
+
+def test_roc_auc_no_global_window_no_cartesian(spark):
+    """AUC's cumulative-negatives walk must run through the two-phase
+    cumsum (__pid-partitioned window), never a global unpartitioned
+    window over the score axis."""
+    from sqlstreamstore_spark.analytics.evaluation import roc_auc
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(roc_auc(docs))
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "__pid" in line, line
+
+
+def test_contamination_matrix_is_equi_join_not_allpairs(spark):
+    """The pair counts must come from an equi-join on the gram (an
+    inverted index), never a Cartesian source-pair walk."""
+    from sqlstreamstore_spark.analytics.text import contamination_matrix
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(contamination_matrix(docs))
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoopJoin" not in tree, tree
+
+
+def test_stupid_backoff_equi_joins_one_scalar_broadcast(spark):
+    """Count-table probes are equi-joins; the only nested-loop is the
+    one-row (N, V) broadcast; no windows anywhere."""
+    from sqlstreamstore_spark.analytics.text import stupid_backoff_scores
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(stupid_backoff_scores(docs))
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    assert tree.count("BroadcastNestedLoopJoin") <= 1, tree
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            raise AssertionError(f"unexpected window: {line}")
+
+
+def test_assoc_rules_broadcasts_part_pairs_via_basket_join(spark):
+    """part is the small dim (broadcast — checked on the basket-build
+    subplan, which the operator then localCheckpoints so the downstream
+    plan sees an RDD scan); pair counts equi-join on the basket key;
+    the only nested-loop is the 1-row basket total."""
+    from sqlstreamstore_spark.analytics.relational import brand_assoc_rules
+
+    li = load_table(spark, SF, "lineitem")
+    pt = load_table(spark, SF, "part")
+    build = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    bp = plan_of(build).split("\n\n")[0]
+    assert "BroadcastHashJoin" in bp and "SortMergeJoin" not in bp, bp
+    p = plan_of(brand_assoc_rules(li, pt))
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    assert tree.count("BroadcastNestedLoopJoin") <= 1, tree
+    # the pair join is an equi-join (hash or sort-merge), never nested
+    assert "Join Inner" in tree or "SortMergeJoin Inner" in tree, tree
+
+
+def test_backlog_sweepline_no_global_window_no_perday_join(spark):
+    """The running total must be the two-phase cumsum (__pid window),
+    and there must be no interval×calendar join anywhere."""
+    from sqlstreamstore_spark.analytics.relational import open_lineitem_backlog
+
+    li = load_table(spark, SF, "lineitem")
+    od = load_table(spark, SF, "orders")
+    p = plan_of(open_lineitem_backlog(od, li))
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoopJoin" not in tree, tree
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "__pid" in line, line
+
+
+def test_user_lifecycle_window_is_per_user(spark):
+    """LAG/LEAD run in a user-partitioned window; the only nested-loop
+    is the 1-row max-week broadcast."""
+    from sqlstreamstore_spark.analytics.events import user_lifecycle
+
+    ev = load_table(spark, SF, "events")
+    p = plan_of(user_lifecycle(ev))
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    assert tree.count("BroadcastNestedLoopJoin") <= 1, tree
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "user_id" in line, line
+
+
+def test_pareto_abc_cumsum_is_two_phase(spark):
+    """The revenue walk must be __pid-partitioned (two-phase cumsum
+    over the part table), never a global window."""
+    from sqlstreamstore_spark.analytics.relational import pareto_abc_classes
+
+    li = load_table(spark, SF, "lineitem")
+    p = plan_of(pareto_abc_classes(li))
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    assert tree.count("BroadcastNestedLoopJoin") <= 1, tree
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "__pid" in line, line
+
+
+def test_burstiness_and_ess_partial_aggs_no_window(spark):
+    """Both are pure partial-agg pipelines: no windows, no joins other
+    than the one-row N broadcast."""
+    from sqlstreamstore_spark.analytics.sampling import ess_report
+    from sqlstreamstore_spark.analytics.text import token_burstiness
+
+    docs = load_table(spark, SF, "documents")
+    for df, max_bnlj in ((token_burstiness(docs), 1), (ess_report(docs), 0)):
+        p = plan_of(df)
+        tree = p.split("\n\n")[0]
+        assert "CartesianProduct" not in tree, tree
+        assert tree.count("BroadcastNestedLoopJoin") <= max_bnlj, tree
+        assert "windowspecdefinition(" not in p
