@@ -892,3 +892,49 @@ def power_users_gini(events: DataFrame) -> DataFrame:
             - (F.col("n_users") + F.lit(1)).cast("double") / F.col("n_users")
         ).alias("gini"),
     )
+
+
+def inter_arrival_burstiness(events: DataFrame) -> DataFrame:
+    """Goh-Barabási burstiness of each event type's inter-arrival
+    times: B = (σ − μ)/(σ + μ) over the gaps between consecutive
+    events — B → −1 for a metronome, 0 for a Poisson process, → 1 for
+    extreme bursts. The operational load-model check: autoscaling
+    tuned on mean rate alone is wrong exactly when B ≫ 0.
+
+    Gaps are exact BIGINT microseconds (ts − LAG(ts) per type, NULL ts
+    excluded, event_id tie-break so equal timestamps gap to zero
+    deterministically); μ and σ come from the two exact moments — the
+    second moment accumulates in DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB) because Σgap² overflows int64 at ~2000 gaps of ~20 min —
+    so the only non-exact steps are two divides, one sqrt (correctly
+    rounded), and the final ratio — zero-tolerance oracle.
+
+    Shape: one type-partitioned window + a partial agg onto the
+    bounded type axis."""
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = (
+        events.filter(F.col("ts").isNotNull())
+        .select("event_type", "event_id", us.alias("us"))
+        .withColumn("gap", F.col("us") - F.lag("us").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    sig = F.sqrt(var)
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("gap").cast("long").alias("s1"),
+            F.sum(F.col("gap").cast("decimal(19,0)") * F.col("gap")).alias("s2"),
+        )
+        .select(
+            "event_type",
+            "n",
+            mean.alias("mean_gap_us"),
+            sig.alias("std_gap_us"),
+            ((sig - mean) / (sig + mean)).alias("burstiness"),
+        )
+        .orderBy("event_type")
+    )

@@ -4464,6 +4464,50 @@ FROM a
 """
 
 
+_SLA_PCTL_SQL = """
+WITH lat AS (SELECT o_orderpriority,
+                    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                   CAST(l_shipdate AS DATE)) AS BIGINT) AS lat
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+ranked AS (SELECT o_orderpriority, lat,
+                  CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY lat) AS BIGINT) AS rn,
+                  CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+           FROM lat)
+SELECT o_orderpriority,
+       max(n) AS n,
+       min(lat) AS min_days,
+       max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN lat END) AS p50_days,
+       max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN lat END) AS p90_days,
+       max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN lat END) AS p99_days,
+       max(lat) AS max_days
+FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+_INTER_ARRIVAL_SQL = """
+WITH g AS (SELECT event_type,
+                  CAST(epoch_us(ts) AS BIGINT)
+                    - lag(CAST(epoch_us(ts) AS BIGINT))
+                      OVER (PARTITION BY event_type
+                            ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) AS gap
+           FROM events WHERE ts IS NOT NULL),
+m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(gap) AS BIGINT) AS s1,
+             sum(CAST(gap AS HUGEINT) * gap) AS s2
+      FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+SELECT event_type, n,
+       CAST(s1 AS DOUBLE) / n AS mean_gap_us,
+       sqrt(CAST(s2 AS DOUBLE) / n
+            - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS std_gap_us,
+       (sqrt(CAST(s2 AS DOUBLE) / n
+             - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        - CAST(s1 AS DOUBLE) / n)
+       / (sqrt(CAST(s2 AS DOUBLE) / n
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+          + CAST(s1 AS DOUBLE) / n) AS burstiness
+FROM m ORDER BY event_type
+"""
+
+
 def analytics_queries():
     """name → (spark_fn, oracle_sql | None). None = rows-only check
     (non-SQL-expressible: engine-specific hash families)."""
@@ -5513,5 +5557,19 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
         "sampling_ess_report": (
             lambda s, sf: sampling.ess_report(_t(s, sf, "documents")),
             _ESS_SQL,
+        ),
+        # grouped EXACT p50/p90/p99 of order→ship latency per priority
+        # via rank-select (parallel over groups, no global sort)
+        "tpch_sla_percentiles": (
+            lambda s, sf: relational.sla_percentiles(
+                _t(s, sf, "orders"), _t(s, sf, "lineitem")
+            ),
+            _SLA_PCTL_SQL,
+        ),
+        # Goh-Barabási burstiness of inter-arrival gaps per type:
+        # exact BIGINT micros moments, two divides + one sqrt
+        "events_inter_arrival": (
+            lambda s, sf: events.inter_arrival_burstiness(_t(s, sf, "events")),
+            _INTER_ARRIVAL_SQL,
         ),
     }

@@ -609,3 +609,49 @@ def pareto_abc_classes(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+def sla_percentiles(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Fulfilment-SLA report: exact p50/p90/p99 of the order→ship
+    latency (whole days, negatives kept — they're the fixture's data-
+    quality signal) per order priority, via grouped rank-select: value
+    at row ceil(q·n) of the group's ascending latency order. Exact
+    grouped quantiles WITHOUT a global sort — each group sorts inside
+    its own window partition, parallel over priorities; ties don't
+    affect the selected VALUE, so the order-by needs no tie-break.
+
+    All outputs are exact BIGINTs (day counts) — zero-tolerance
+    oracle. Scale shape: one equi-join on orderkey + one priority-
+    keyed window; at 100 TB swap the in-group sort for the rank-exact
+    GK-bounds pattern (stats_ntile_deciles_approx) if a single
+    priority outgrows a partition."""
+    from pyspark.sql import Window
+
+    lat = lineitem.join(
+        orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long").alias("lat"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("lat")
+    ranked = lat.select(
+        "o_orderpriority",
+        "lat",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count("*").over(Window.partitionBy("o_orderpriority")).cast("long").alias("n"),
+    )
+    pick = lambda q: F.max(
+        F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"), F.col("lat"))
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n"),
+            F.min("lat").alias("min_days"),
+            pick(0.5).alias("p50_days"),
+            pick(0.9).alias("p90_days"),
+            pick(0.99).alias("p99_days"),
+            F.max("lat").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )

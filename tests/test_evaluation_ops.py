@@ -464,3 +464,51 @@ def test_ess_report_matches_replication(docs, raw):
     assert got.ess == (sw * sw) / sw2
     assert got.ess_ratio == (sw * sw) / (sw2 * len(ws))
     assert got.ess <= got.n_docs  # Kish ESS never exceeds n
+
+
+# ---------------------------------------------------------------- batch 5
+
+
+def test_sla_percentiles_match_replication(tpch):
+    from sqlstreamstore_spark.analytics.relational import sla_percentiles
+
+    li, _, od = tpch
+    got = {r.o_orderpriority: r for r in sla_percentiles(od, li).collect()}
+    odate = {r.o_orderkey: (r.o_orderdate.date(), r.o_orderpriority) for r in od.collect()}
+    per = defaultdict(list)
+    for r in li.select("l_orderkey", "l_shipdate").collect():
+        d0, prio = odate[r.l_orderkey]
+        per[prio].append((r.l_shipdate.date() - d0).days)
+    for prio, lats in per.items():
+        lats.sort()
+        n = len(lats)
+        r = got[prio]
+        assert r.n == n and r.min_days == lats[0] and r.max_days == lats[-1]
+        for q, col in ((0.5, r.p50_days), (0.9, r.p90_days), (0.99, r.p99_days)):
+            assert col == lats[math.ceil(q * n) - 1], (prio, q)
+
+
+def test_inter_arrival_burstiness_matches_numpy(ev):
+    import numpy as np
+
+    from sqlstreamstore_spark.analytics.events import inter_arrival_burstiness
+
+    got = {r.event_type: r for r in inter_arrival_burstiness(ev).collect()}
+    per = defaultdict(list)
+    for r in sorted(
+        ev.select("event_type", "ts", "event_id").collect(),
+        key=lambda r: (r.ts, r.event_id),
+    ):
+        if r.ts is not None:
+            per[r.event_type].append(r.ts)
+    for t, tss in per.items():
+        gaps = np.array(
+            [(b - a).total_seconds() * 1e6 for a, b in zip(tss, tss[1:])]
+        )
+        mu, sig = gaps.mean(), gaps.std()  # population std
+        r = got[t]
+        assert r.n == len(gaps)
+        assert abs(r.mean_gap_us - mu) < 1e-3
+        assert abs(r.std_gap_us - sig) < max(1e-3, sig * 1e-9)
+        assert abs(r.burstiness - (sig - mu) / (sig + mu)) < 1e-9
+        assert -1.0 < r.burstiness < 1.0
