@@ -1,0 +1,193 @@
+"""Property-based differentials for the round-6 operators: the
+sweep-line backlog, exact ROC-AUC, activity Gini, lifecycle growth
+accounting, and basket association rules must agree with independent
+pure-Python twins on arbitrary inputs (examples kept small so each
+Spark job stays fast)."""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import Counter, defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _day(n: int) -> dt.datetime:
+    return dt.datetime(1995, 1, 1) + dt.timedelta(days=n)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ivs=st.lists(
+        st.tuples(st.integers(0, 60), st.integers(1, 30)),  # (open day, len)
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_backlog_sweepline_random_intervals(spark, ivs):
+    """Sweep-line == naive interval stabbing at every emitted day, and
+    opened/shipped totals conserve."""
+    from sqlstreamstore_spark.analytics.relational import open_lineitem_backlog
+
+    orders = spark.createDataFrame(
+        [(i, _day(o)) for i, (o, _l) in enumerate(ivs)],
+        "o_orderkey long, o_orderdate timestamp",
+    )
+    lineitem = spark.createDataFrame(
+        [(i, _day(o + l)) for i, (o, l) in enumerate(ivs)],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    rows = open_lineitem_backlog(orders, lineitem).collect()
+    for r in rows:
+        d = r.day.date()
+        want = sum(1 for o, l in ivs if _day(o).date() <= d < _day(o + l).date())
+        assert r.open_backlog == want, (d, r.open_backlog, want)
+    assert sum(r.n_opened for r in rows) == sum(r.n_shipped for r in rows) == len(ivs)
+    assert rows[-1].open_backlog == 0
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("abcdef"), min_size=1, max_size=6),  # tokens
+            st.booleans(),  # positive label
+        ),
+        min_size=2,
+        max_size=40,
+    ).filter(lambda d: any(y for _t, y in d) and any(not y for _t, y in d))
+)
+def test_roc_auc_random_corpora(spark, docs):
+    """Rank-sum AUC == O(P·N) literal AUC on random token corpora with
+    heavy score ties."""
+    import hashlib
+
+    from sqlstreamstore_spark.analytics.evaluation import roc_auc
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t), "en" if y else "de") for i, (t, y) in enumerate(docs)],
+        "doc_id long, text string, lang string",
+    )
+    got = roc_auc(df).collect()[0]
+
+    def score(toks):
+        return sum(
+            int(hashlib.md5(f"clf:{t}".encode()).hexdigest()[:8], 16) % 1001 - 500
+            for t in toks
+        ) / len(toks)
+
+    pos = [score(t) for t, y in docs if y]
+    neg = [score(t) for t, y in docs if not y]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(got.auc - want) < 1e-12
+    assert 0.0 <= got.auc <= 1.0
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(counts=st.lists(st.integers(1, 50), min_size=1, max_size=30))
+def test_gini_random_activity(spark, counts):
+    """Gini == literal rank formula; 0 for uniform activity; bounded."""
+    from sqlstreamstore_spark.analytics.events import power_users_gini
+
+    rows = [(u, i) for u, c in enumerate(counts) for i in range(c)]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long")
+    got = power_users_gini(ev).collect()[0]
+    xs = sorted(counts)
+    n = len(xs)
+    want = 2.0 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * sum(xs)) - (n + 1) / n
+    assert abs(got.gini - want) < 1e-12
+    assert 0.0 <= got.gini < 1.0
+    if len(set(counts)) == 1:
+        assert abs(got.gini) < 1e-12
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pres=st.lists(
+        st.tuples(st.integers(0, 5), st.sets(st.integers(0, 8), min_size=1, max_size=6)),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_lifecycle_random_presence(spark, pres):
+    """Growth accounting on arbitrary (user, week-set) shapes: statuses
+    match the literal walk and the conservation law holds."""
+    from sqlstreamstore_spark.analytics.events import user_lifecycle
+
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        (u, base + dt.timedelta(weeks=w, days=2))
+        for u, ws in pres
+        for w in ws
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r.week.date(): (r.n_new, r.n_retained, r.n_resurrected, r.n_churned)
+        for r in user_lifecycle(ev).collect()
+    }
+    per = defaultdict(set)
+    for u, ws in pres:
+        per[u] |= ws
+    want = defaultdict(lambda: [0, 0, 0, 0])
+    max_w = max(w for ws in per.values() for w in ws)
+    for _u, ws in per.items():
+        seq = sorted(ws)
+        for i, w in enumerate(seq):
+            if i == 0:
+                want[w][0] += 1
+            elif seq[i - 1] + 1 == w:
+                want[w][1] += 1
+            else:
+                want[w][2] += 1
+            nxt = seq[i + 1] if i + 1 < len(seq) else None
+            if (nxt is None or nxt > w + 1) and w + 1 <= max_w:
+                want[w + 1][3] += 1
+    as_dates = {
+        (base + dt.timedelta(weeks=w)).date(): tuple(v) for w, v in want.items()
+    }
+    assert got == as_dates
+    active = {w: v[0] + v[1] + v[2] for w, v in want.items()}
+    for w, v in want.items():
+        if w - 1 in active:
+            assert v[3] == active[w - 1] - v[1]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    baskets=st.lists(
+        st.sets(st.integers(0, 5), min_size=1, max_size=4),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_assoc_rules_random_baskets(spark, baskets):
+    """Rules match the literal Counter walk; lift is direction-
+    symmetric; confidence ≥ support."""
+    from sqlstreamstore_spark.analytics.relational import brand_assoc_rules
+
+    lineitem = spark.createDataFrame(
+        [(b, item) for b, items in enumerate(baskets) for item in items],
+        "l_orderkey long, l_partkey long",
+    )
+    part = spark.createDataFrame(
+        [(i, f"B{i}") for i in range(6)], "p_partkey long, p_brand string"
+    )
+    got = {(r.antecedent, r.consequent): r for r in brand_assoc_rules(lineitem, part).collect()}
+    n = len(baskets)
+    c_item, c_pair = Counter(), Counter()
+    for items in baskets:
+        names = sorted(f"B{i}" for i in items)
+        c_item.update(names)
+        c_pair.update(
+            (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
+        )
+    assert len(got) == 2 * len(c_pair)
+    for (a, b), cb in c_pair.items():
+        ra, rb = got[(a, b)], got[(b, a)]
+        assert ra.c_both == rb.c_both == cb
+        assert ra.lift == rb.lift  # exact same BIGINT ratio both ways
+        assert ra.support == cb / n
+        assert ra.confidence >= ra.support - 1e-15
