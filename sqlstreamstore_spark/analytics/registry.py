@@ -4507,6 +4507,59 @@ SELECT event_type, n,
 FROM m ORDER BY event_type
 """
 
+_SENTENCE_DEDUP_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, t,
+               unnest(range(CAST(ceil(len(t) / 8.0) AS BIGINT))) AS pos
+        FROM toks),
+chunks AS (SELECT doc_id, pos,
+                  array_to_string(t[(pos * 8 + 1):(pos * 8 + 8)], ' ') AS chunk
+           FROM pos),
+marked AS (SELECT doc_id, pos, chunk,
+                  row_number() OVER (PARTITION BY chunk
+                                     ORDER BY doc_id, pos) AS rk
+           FROM chunks),
+totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+           FROM chunks GROUP BY doc_id),
+kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                string_agg(chunk, ' ' ORDER BY pos) AS kept_text
+         FROM marked WHERE rk = 1 GROUP BY doc_id)
+SELECT t.doc_id, t.n_chunks,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(k.kept_text, '') AS kept_text
+FROM totals t LEFT JOIN kept k USING (doc_id)
+ORDER BY doc_id
+"""
+
+_RULE_VIOLATIONS_SQL = """
+WITH j AS (SELECT (l.l_shipdate < o.o_orderdate) AS v_ship,
+                  (l.l_quantity <= 0) AS v_qty,
+                  (l.l_discount > 0.07) AS v_disc,
+                  (l.l_tax < 0 OR l.l_tax > 0.06) AS v_tax,
+                  (l.l_extendedprice <= 0) AS v_price
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+one AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN v_ship THEN 1 ELSE 0 END) AS BIGINT) AS ship_before_order,
+               CAST(sum(CASE WHEN v_qty THEN 1 ELSE 0 END) AS BIGINT) AS qty_nonpositive,
+               CAST(sum(CASE WHEN v_disc THEN 1 ELSE 0 END) AS BIGINT) AS discount_gt_7pct,
+               CAST(sum(CASE WHEN v_tax THEN 1 ELSE 0 END) AS BIGINT) AS tax_out_of_range,
+               CAST(sum(CASE WHEN v_price THEN 1 ELSE 0 END) AS BIGINT) AS price_nonpositive
+        FROM j),
+long AS (
+  SELECT 'ship_before_order' AS rule, ship_before_order AS n_violations, n_rows FROM one
+  UNION ALL
+  SELECT 'qty_nonpositive', qty_nonpositive, n_rows FROM one
+  UNION ALL
+  SELECT 'discount_gt_7pct', discount_gt_7pct, n_rows FROM one
+  UNION ALL
+  SELECT 'tax_out_of_range', tax_out_of_range, n_rows FROM one
+  UNION ALL
+  SELECT 'price_nonpositive', price_nonpositive, n_rows FROM one)
+SELECT rule, n_violations, n_rows,
+       CAST(n_violations AS DOUBLE) / n_rows AS rate
+FROM long ORDER BY rule
+"""
+
 
 def analytics_queries():
     """name → (spark_fn, oracle_sql | None). None = rows-only check
@@ -5571,5 +5624,20 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
         "events_inter_arrival": (
             lambda s, sf: events.inter_arrival_burstiness(_t(s, sf, "events")),
             _INTER_ARRIVAL_SQL,
+        ),
+        # C4-style sub-document dedup: drop repeated fixed-token chunks
+        # corpus-wide (first occurrence wins), rebuild docs in order —
+        # exact string equality end-to-end, zero-tolerance oracle
+        "dedup_sentence_chunks": (
+            lambda s, sf: pipeline.sentence_dedup(_t(s, sf, "documents")),
+            _SENTENCE_DEDUP_SQL,
+        ),
+        # declarative cross-field business-rule audit: five predicates
+        # in one joined scan, per-rule violation counts + exact rates
+        "dq_rule_violations": (
+            lambda s, sf: quality.rule_violations(
+                _t(s, sf, "orders"), _t(s, sf, "lineitem")
+            ),
+            _RULE_VIOLATIONS_SQL,
         ),
     }

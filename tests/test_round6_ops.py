@@ -150,3 +150,84 @@ def test_textrank_mass_and_structure(spark, docs):
     )
     tr = {r.word: r.score for r in textrank_keywords(tiny, k=100).collect()}
     assert tr["hub"] == max(tr.values())
+
+
+def test_sentence_dedup_matches_python(docs):
+    from sqlstreamstore_spark.analytics.pipeline import sentence_dedup
+
+    rows = {r.doc_id: r for r in sentence_dedup(docs, chunk_tokens=8).collect()}
+    # pure-Python replication: global first-occurrence of each 8-token
+    # chunk in (doc_id, pos) order, docs rebuilt from survivors
+    texts = {
+        r.doc_id: r.text for r in docs.select("doc_id", "text").collect()
+    }
+    first = {}
+    chunks_by_doc = {}
+    for did in sorted(texts):
+        toks = texts[did].split(" ")
+        n = (len(toks) + 7) // 8
+        cs = [" ".join(toks[i * 8 : i * 8 + 8]) for i in range(n)]
+        chunks_by_doc[did] = cs
+        for pos, c in enumerate(cs):
+            first.setdefault(c, (did, pos))
+    assert set(rows) == set(texts)
+    for did, cs in chunks_by_doc.items():
+        kept = [c for pos, c in enumerate(cs) if first[c] == (did, pos)]
+        r = rows[did]
+        assert r.n_chunks == len(cs)
+        assert r.n_kept == len(kept)
+        assert r.kept_text == " ".join(kept)
+    # every chunk survives exactly once corpus-wide
+    total_kept = sum(r.n_kept for r in rows.values())
+    assert total_kept == len(first)
+
+
+def test_sentence_dedup_removes_boilerplate(spark):
+    from sqlstreamstore_spark.analytics.pipeline import sentence_dedup
+
+    boiler = "subscribe to our newsletter now"
+    tiny = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta"),
+            (2, boiler + " gamma delta"),
+            (3, "unique words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in sentence_dedup(tiny, chunk_tokens=5).collect()}
+    # doc 1 keeps the boilerplate (first occurrence); doc 2 loses it
+    assert rows[1].kept_text.startswith(boiler)
+    assert boiler not in rows[2].kept_text
+    assert rows[2].kept_text == "gamma delta"
+    assert rows[3].kept_text == "unique words only here"
+
+
+def test_rule_violations_matches_python(spark):
+    from sqlstreamstore_spark.analytics.quality import rule_violations
+
+    orders = load_table(spark, SF, "orders")
+    lineitem = load_table(spark, SF, "lineitem")
+    got = {r.rule: r for r in rule_violations(orders, lineitem).collect()}
+    od = {r.o_orderkey: r.o_orderdate for r in orders.collect()}
+    li = lineitem.collect()
+    joined = [r for r in li if r.l_orderkey in od]
+    exp = {
+        "ship_before_order": sum(
+            1 for r in joined if r.l_shipdate < od[r.l_orderkey]
+        ),
+        "qty_nonpositive": sum(1 for r in joined if r.l_quantity <= 0),
+        "discount_gt_7pct": sum(1 for r in joined if r.l_discount > 0.07),
+        "tax_out_of_range": sum(
+            1 for r in joined if r.l_tax < 0 or r.l_tax > 0.06
+        ),
+        "price_nonpositive": sum(1 for r in joined if r.l_extendedprice <= 0),
+    }
+    assert set(got) == set(exp)
+    n = len(joined)
+    for rule, cnt in exp.items():
+        assert got[rule].n_violations == cnt
+        assert got[rule].n_rows == n
+        assert got[rule].rate == cnt / n
+    # the fixture must exercise both zero and non-zero rules
+    assert exp["ship_before_order"] > 0 and exp["discount_gt_7pct"] > 0
+    assert exp["qty_nonpositive"] == 0 and exp["price_nonpositive"] == 0

@@ -425,6 +425,32 @@ def main() -> int:
         lo = text.log_odds_enrichment(docs)
         row = lo.agg(F.count("*").alias("n"), F.sum("z").alias("chk")).collect()[0]
         res["log_odds"] = {"rows": row.n, "s": round(time.time() - t0, 2)}
+
+        # chunk-keyed window; on the replicated corpus every chunk
+        # repeats 10x, so kept_frac should collapse toward ~1/10 —
+        # the C4 boilerplate-removal case at its most extreme
+        t0 = time.time()
+        sd = pipeline.sentence_dedup(docs)
+        row = sd.agg(
+            F.count("*").alias("n"),
+            F.sum("n_kept").alias("kept"),
+            F.sum("n_chunks").alias("tot"),
+        ).collect()[0]
+        res["sentence_dedup"] = {
+            "rows": row.n,
+            "kept_frac": round(row.kept / row.tot, 4),
+            "s": round(time.time() - t0, 2),
+        }
+
+        from sqlstreamstore_spark.analytics import quality as qual6
+
+        t0 = time.time()
+        rv = qual6.rule_violations(orders, lineitem)
+        row = rv.agg(
+            F.count("*").alias("n"), F.sum("n_violations").alias("viol")
+        ).collect()[0]
+        res["rule_violations"] = {
+            "rows": row.n, "viol": row.viol, "s": round(time.time() - t0, 2)}
         return res
 
     out = []
