@@ -144,3 +144,59 @@ def calibration_bins(documents: DataFrame) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def classification_report(documents: DataFrame) -> DataFrame:
+    """Thresholded classification metrics of the md5-weight linear
+    classifier against the binary en-label: confusion counts plus
+    accuracy, precision, recall, F1 and Cohen's kappa — the standard
+    model-eval scorecard next to :func:`roc_auc`'s ranking view. The
+    decision rule is score >= 0, tested as ``score_num >= 0`` (exact
+    integer sign — n_tokens > 0 always, so the float score never
+    enters the comparison).
+
+    Every metric is a single divide of exact BIGINTs: F1 via the
+    2tp/(2tp+fp+fn) identity (no compounding of precision/recall
+    floats) and kappa via the cross-multiplied form
+
+        kappa = (N(tp+tn) - [(tp+fp)(tp+fn) + (fn+tn)(fp+tn)])
+              / (N^2     - [(tp+fp)(tp+fn) + (fn+tn)(fp+tn)])
+
+    so both engines compute double(int)/double(int) — zero-tolerance
+    oracle. Shape: one map-side partial agg to a single row."""
+    s = _classifier_scored(documents).select(
+        F.when(F.col("score_num") >= 0, 1).otherwise(0).cast("long").alias("pred"),
+        "y",
+    )
+    cnt = lambda p, t: F.sum(
+        F.when((F.col("pred") == p) & (F.col("y") == t), 1).otherwise(0)
+    ).cast("long")
+    one = s.agg(
+        cnt(1, 1).alias("tp"),
+        cnt(1, 0).alias("fp"),
+        cnt(0, 1).alias("fn"),
+        cnt(0, 0).alias("tn"),
+    )
+    n = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+    pe_num = (F.col("tp") + F.col("fp")) * (F.col("tp") + F.col("fn")) + (
+        F.col("fn") + F.col("tn")
+    ) * (F.col("fp") + F.col("tn"))
+    return one.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        ((F.col("tp") + F.col("tn")).cast("double") / n).alias("accuracy"),
+        (
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+        ).alias("prec"),
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))).alias("recall"),
+        (
+            (F.lit(2) * F.col("tp")).cast("double")
+            / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"))
+        ).alias("f1"),
+        (
+            (n * (F.col("tp") + F.col("tn")) - pe_num).cast("double")
+            / (n * n - pe_num)
+        ).alias("kappa"),
+    )

@@ -938,3 +938,299 @@ def inter_arrival_burstiness(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def km_survival(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve of session duration —
+    THE right way to answer "how long do sessions last" when the
+    observation window truncates the tail: a session still plausibly
+    open at the horizon (its end within one gap of the corpus max) is
+    right-CENSORED — it contributes to the at-risk set up to its
+    observed duration but never counts as an ending. A naive duration
+    histogram biases short; KM is the standard correction
+    (Kaplan & Meier 1958).
+
+        S(t) = prod over event times t_i <= t of (1 - d_i / n_i)
+
+    with d_i = sessions ending at t_i, n_i = sessions with duration
+    >= t_i. Computed from the session table (same lag-gap-cumsum
+    core), grouped by distinct duration, with BOTH running quantities
+    from the two-phase global-cumsum primitive — no single-partition
+    window: n_i = total - cumsum(ended+censored) + own, and ln S from
+    a running double sum of ln((n_i-d_i)/n_i) over event rows. The
+    only float steps are ln/exp (rounded to 9; the S(t)=0 terminal row
+    where n_i = d_i is cased exactly — DuckDB's ln(0) throws, Spark's
+    returns NULL).
+
+    Scale shape: the curve's row count is the number of DISTINCT event
+    durations; both cumsums are range-partitioned two-phase passes, so
+    nothing funnels through one task even when durations are near-
+    unique."""
+    from sqlstreamstore_spark.operators.positions import with_global_cumsum
+
+    s = session_table(events, gap_seconds)
+    horizon = s.agg(F.max("end_us").alias("__h"))
+    gap_us = gap_seconds * 1_000_000
+    durs = s.crossJoin(F.broadcast(horizon)).select(
+        "duration_us",
+        F.when(F.col("end_us") + gap_us > F.col("__h"), 0)
+        .otherwise(1)
+        .cast("long")
+        .alias("is_event"),
+    )
+    g = durs.groupBy("duration_us").agg(
+        F.sum("is_event").cast("long").alias("d"),
+        (F.count("*") - F.sum("is_event")).cast("long").alias("c"),
+    )
+    total = g.agg(F.sum(F.col("d") + F.col("c"))).collect()[0][0] or 0
+    cum = with_global_cumsum(
+        g.withColumn("all_n", F.col("d") + F.col("c")),
+        [F.col("duration_us")],
+        "all_n",
+        "cum_all",
+    ).withColumn("n_risk", F.lit(total) - F.col("cum_all") + F.col("all_n"))
+    terms = cum.withColumn(
+        "lnterm",
+        F.when(
+            (F.col("d") > 0) & (F.col("n_risk") > F.col("d")),
+            F.log((F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk")),
+        ),
+    )
+    lncum = with_global_cumsum(
+        terms, [F.col("duration_us")], "lnterm", "lncum", result_type="double"
+    )
+    return (
+        lncum.filter(F.col("d") > 0)
+        .select(
+            F.col("duration_us").alias("t_us"),
+            "n_risk",
+            F.col("d").alias("n_events"),
+            F.col("c").alias("n_censored"),
+            F.when(F.col("n_risk") == F.col("d"), F.lit(0.0))
+            .otherwise(F.round(F.exp(F.coalesce(F.col("lncum"), F.lit(0.0))), 9))
+            .alias("survival"),
+        )
+        .orderBy("t_us")
+    )
+
+
+def ohlc_bars(events: DataFrame) -> DataFrame:
+    """Hourly OHLC downsampling bars per event type — the candle/
+    time-bucket compaction every metrics pipeline runs before
+    plotting: open = first value in the bucket, close = last, high/low
+    = extremes, n = sample count. All five outputs are PICKS of
+    existing doubles (no float arithmetic) — zero-tolerance oracle.
+
+    First/last are row_number picks over (ts, event_id) — a total
+    order, so ties at the bucket edge resolve identically in both
+    engines. Scale shape: both windows and the final aggregate share
+    the (event_type, hour_id) hash key — ONE Exchange, two in-
+    partition sorts, then a partial agg; bucket count is bounded by
+    time x types, not rows."""
+    us = F.unix_micros(F.col("ts"))
+    base = events.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        F.floor(us / F.lit(3_600_000_000)).cast("long").alias("hour_id"),
+        us.alias("us"),
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("event_type", "hour_id").orderBy("us", "event_id")
+    wd = Window.partitionBy("event_type", "hour_id").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    marked = base.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return (
+        marked.groupBy("event_type", "hour_id")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .orderBy("event_type", "hour_id")
+    )
+
+
+def activity_streaks(events: DataFrame) -> DataFrame:
+    """Consecutive-day activity streaks per user — the gaps-and-
+    islands classic (retention teams call it "current streak / best
+    streak"): distinct active days, island key = day_no - row_number
+    (constant within a run of consecutive days), one aggregate per
+    island, then a per-user report: longest streak, streak count,
+    total active days, and the last streak's length. All-integer —
+    zero-tolerance oracle.
+
+    Scale shape: everything is keyed by user_id (distinct, window,
+    both aggregates share the shuffle); days are floor-divided epoch
+    micros (floor, not cast-truncate — pre-1970 rows bucket
+    correctly)."""
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("long")
+    days = (
+        events.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", day.alias("day_no"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_no")
+    islands = days.withColumn(
+        "grp", F.col("day_no") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count("*").cast("long").alias("len"),
+        F.min("day_no").alias("start_day"),
+        F.max("day_no").alias("end_day"),
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.count("*").cast("long").alias("n_streaks"),
+            F.sum("len").cast("long").alias("n_active_days"),
+            F.max_by("len", "end_day").alias("current_streak"),
+            F.max("end_day").alias("last_active_day"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def clamped_balance(events: DataFrame, debit_types: tuple = ("purchase",)) -> DataFrame:
+    """Clamped-at-zero running balance per user — the prepaid-wallet /
+    token-bucket replay: every event credits its value (in exact
+    cents) except ``debit_types``, which debit; the balance can never
+    go below zero (a debit against an empty wallet burns only what's
+    there). The recurrence
+
+        b_n = max(0, b_{n-1} + delta_n)
+
+    looks inherently sequential (the EWMA trap), but clamp-at-zero
+    from an empty start has the classic Skorokhod-reflection closed
+    form over plain prefix sums:
+
+        b_n = S_n - min(0, min_{k<=n} S_k)
+
+    so it's TWO per-user window passes (running sum + running min of
+    that sum) — no applyInPandas, no recursion, fully inside
+    whole-stage codegen. The pure-recurrence replay is pinned in
+    tests; deltas are round(value*100) BIGINT cents — zero-tolerance
+    oracle.
+
+    Scale shape: both windows and the output share the user_id key;
+    state per user is one running pair."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = events.filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_type").isin(*debit_types),
+            -F.round(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(F.round(F.col("value") * 100).cast("long"))
+        .alias("delta_cents"),
+    )
+    s = base.withColumn("run_sum", F.sum("delta_cents").over(w).cast("long"))
+    return (
+        s.withColumn("run_min", F.min("run_sum").over(w).cast("long"))
+        .select(
+            "user_id",
+            "us",
+            "event_id",
+            "event_type",
+            "delta_cents",
+            (
+                F.col("run_sum") - F.least(F.lit(0).cast("long"), F.col("run_min"))
+            ).alias("balance_cents"),
+        )
+        .orderBy("user_id", "us", "event_id")
+    )
+
+
+def daily_autocorr(events: DataFrame, lags: tuple = (1, 7)) -> DataFrame:
+    """Lag-k autocorrelation of the daily event-count series — the
+    time-series health check behind "is traffic weekly-periodic"
+    (lag 7 high) and "is today like yesterday" (lag 1): Pearson r of
+    (count[day], count[day+k]) over the FULL calendar spine between
+    the first and last active day, absent days counted as genuine
+    zeros (skipping them silently shifts the alignment — the classic
+    gap bug the spine prevents).
+
+    All five moments accumulate in exact BIGINTs via one partial agg
+    per lag; r's numerator/denominator are cross-multiplied integers
+    with two sqrts at the end — identical expression order in both
+    engines. Scale shape: counts aggregate map-side onto the bounded
+    day axis; the spine is generated, not shuffled; lag alignment is
+    an equi-join on day_no."""
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("long")
+    counts = (
+        events.filter(F.col("ts").isNotNull())
+        .select(day.alias("day_no"))
+        .groupBy("day_no")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    bounds = counts.agg(
+        F.min("day_no").alias("d0"), F.max("day_no").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day_no")
+    )
+    filled = (
+        spine.join(counts, "day_no", "left")
+        .select("day_no", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
+    )
+    out = None
+    for k in lags:
+        x = filled.select(F.col("day_no"), F.col("cnt").alias("x"))
+        y = filled.select(
+            (F.col("day_no") - k).alias("day_no"), F.col("cnt").alias("y")
+        )
+        m = (
+            x.join(y, "day_no")
+            .agg(
+                F.count("*").cast("long").alias("n_pairs"),
+                F.sum("x").cast("long").alias("sx"),
+                F.sum("y").cast("long").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            )
+            .select(
+                F.lit(k).cast("long").alias("lag"),
+                "n_pairs",
+                (
+                    (
+                        F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+                    ).cast("double")
+                    / F.nullif(
+                        F.sqrt(
+                            (
+                                F.col("n_pairs") * F.col("sxx")
+                                - F.col("sx") * F.col("sx")
+                            ).cast("double")
+                        )
+                        * F.sqrt(
+                            (
+                                F.col("n_pairs") * F.col("syy")
+                                - F.col("sy") * F.col("sy")
+                            ).cast("double")
+                        ),
+                        F.lit(0.0),
+                    )
+                ).alias("autocorr"),
+            )
+        )
+        out = m if out is None else out.unionByName(m)
+    return out.orderBy("lag")

@@ -396,3 +396,40 @@ def rule_violations(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("rule")
+
+
+def wilson_en_rate(documents: DataFrame, z: float = 1.96) -> DataFrame:
+    """Per-source binomial rate with the Wilson score interval — the
+    statistically honest way to compare "share of English docs" (or
+    any pass-rate) across sources of different sizes: the naive
+    p ± z·SE interval lies badly at small n or extreme p; Wilson
+
+        (p + z²/2n ± z·sqrt(p(1-p)/n + z²/4n²)) / (1 + z²/n)
+
+    stays inside [0,1] and is what proportion monitors should alarm
+    on. k and n are exact BIGINTs; the float expression is written in
+    the identical operation order in both engines (divides and sqrt
+    are IEEE-deterministic), so the oracle is zero-tolerance.
+
+    Scale shape: one map-side partial agg onto the bounded source
+    axis."""
+    g = documents.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("k"),
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    z2 = F.lit(z * z)
+    n = F.col("n").cast("double")
+    center = p + z2 / (F.lit(2.0) * n)
+    margin = F.lit(z) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    denom = F.lit(1.0) + z2 / n
+    return g.select(
+        "source",
+        "n",
+        "k",
+        p.alias("rate"),
+        ((center - margin) / denom).alias("wilson_low"),
+        ((center + margin) / denom).alias("wilson_high"),
+    ).orderBy("source")

@@ -4560,6 +4560,242 @@ SELECT rule, n_violations, n_rows,
 FROM long ORDER BY rule
 """
 
+_KM_SURVIVAL_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events WHERE ts IS NOT NULL
+),
+flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+  FROM base
+),
+numbered AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+),
+sess AS (
+  SELECT max(us) AS end_us, max(us) - min(us) AS duration_us
+  FROM numbered GROUP BY user_id, session_no
+),
+h AS (SELECT max(end_us) AS h FROM sess),
+durs AS (
+  SELECT duration_us,
+         CASE WHEN end_us + 1800 * 1000000 > (SELECT h FROM h)
+              THEN 0 ELSE 1 END AS is_event
+  FROM sess
+),
+g AS (SELECT duration_us, CAST(sum(is_event) AS BIGINT) AS d,
+             CAST(count(*) - sum(is_event) AS BIGINT) AS c
+      FROM durs GROUP BY duration_us),
+r AS (SELECT duration_us, d, c,
+             CAST((SELECT sum(d + c) FROM g)
+                  - sum(d + c) OVER (ORDER BY duration_us
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  + d + c AS BIGINT) AS n_risk
+      FROM g),
+t AS (SELECT duration_us, d, c, n_risk,
+             CASE WHEN d > 0 AND n_risk > d
+                  THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk) END AS lnterm
+      FROM r),
+s AS (SELECT duration_us, d, c, n_risk,
+             sum(lnterm) OVER (ORDER BY duration_us
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lncum
+      FROM t)
+SELECT duration_us AS t_us, n_risk, d AS n_events, c AS n_censored,
+       CASE WHEN n_risk = d THEN 0.0
+            ELSE round(exp(COALESCE(lncum, 0.0)), 9) END AS survival
+FROM s WHERE d > 0 ORDER BY t_us
+"""
+
+_OHLC_SQL = """
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_id,
+         epoch_us(ts) AS us, event_id, value
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+marked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, hour_id
+                            ORDER BY us, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, hour_id
+                            ORDER BY us DESC, event_id DESC) AS rn_d
+  FROM base
+)
+SELECT event_type, hour_id,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM marked GROUP BY event_type, hour_id
+ORDER BY event_type, hour_id
+"""
+
+_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day_no
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+islands AS (
+  SELECT user_id, day_no,
+         day_no - row_number() OVER (PARTITION BY user_id ORDER BY day_no) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+         max(day_no) AS end_day
+  FROM islands GROUP BY user_id, grp
+)
+SELECT user_id,
+       max(len) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       arg_max(len, end_day) AS current_streak,
+       max(end_day) AS last_active_day
+FROM streaks GROUP BY user_id ORDER BY user_id
+"""
+
+_SKYLINE_SQL = """
+SELECT p_partkey, p_name, p_retailprice, p_size
+FROM part a
+WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM part b
+    WHERE b.p_retailprice IS NOT NULL AND b.p_size IS NOT NULL
+      AND b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+      AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+ORDER BY p_retailprice, p_partkey
+"""
+
+_CLAMPED_BALANCE_SQL = """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+         CASE WHEN event_type = 'purchase'
+              THEN -CAST(round(value * 100) AS BIGINT)
+              ELSE CAST(round(value * 100) AS BIGINT) END AS delta_cents
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+),
+s AS (
+  SELECT *,
+         CAST(sum(delta_cents) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_sum
+  FROM base
+),
+m AS (
+  SELECT *,
+         CAST(min(run_sum) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_min
+  FROM s
+)
+SELECT user_id, us, event_id, event_type, delta_cents,
+       run_sum - least(CAST(0 AS BIGINT), run_min) AS balance_cents
+FROM m ORDER BY user_id, us, event_id
+"""
+
+_DAILY_AUTOCORR_SQL = """
+WITH counts AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day_no,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+spine AS (
+  SELECT unnest(range((SELECT min(day_no) FROM counts),
+                      (SELECT max(day_no) FROM counts) + 1)) AS day_no
+),
+filled AS (
+  SELECT s.day_no, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+  FROM spine s LEFT JOIN counts c USING (day_no)
+),
+lagged AS (
+  SELECT l.lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x.cnt) AS BIGINT) AS sx,
+         CAST(sum(y.cnt) AS BIGINT) AS sy,
+         CAST(sum(x.cnt * y.cnt) AS BIGINT) AS sxy,
+         CAST(sum(x.cnt * x.cnt) AS BIGINT) AS sxx,
+         CAST(sum(y.cnt * y.cnt) AS BIGINT) AS syy
+  FROM (SELECT CAST(1 AS BIGINT) AS lag UNION ALL SELECT 7) l,
+       filled x JOIN filled y ON x.day_no = y.day_no - l.lag
+  GROUP BY l.lag
+)
+SELECT lag, n_pairs,
+       CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+         / nullif(sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)), 0.0)
+         AS autocorr
+FROM lagged ORDER BY lag
+"""
+
+_BRAND_COOC_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+sizes AS (SELECT brand, CAST(count(*) AS BIGINT) AS c FROM baskets GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS c_both
+  FROM baskets a JOIN baskets b ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, sa.c AS c_a, sb.c AS c_b, c_both,
+       CAST(c_both AS DOUBLE) / sqrt(CAST(sa.c * sb.c AS DOUBLE)) AS cosine,
+       CAST(c_both AS DOUBLE) / (sa.c + sb.c - c_both) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.brand = pairs.brand_a
+JOIN sizes sb ON sb.brand = pairs.brand_b
+ORDER BY brand_a, brand_b
+"""
+
+_WILSON_SQL = """
+WITH g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM documents GROUP BY source
+)
+SELECT source, n, k,
+       CAST(k AS DOUBLE) / n AS rate,
+       ((CAST(k AS DOUBLE) / n + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+        - 1.96 * sqrt((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n)
+                        / CAST(n AS DOUBLE)
+                      + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+       / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS wilson_low,
+       ((CAST(k AS DOUBLE) / n + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+        + 1.96 * sqrt((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n)
+                        / CAST(n AS DOUBLE)
+                      + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+       / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS wilson_high
+FROM g ORDER BY source
+"""
+
+_CLASS_REPORT_SQL = f"""
+WITH {_EVAL_SCORED_CTE},
+one AS (
+  SELECT CAST(sum(CASE WHEN score_num >= 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN score_num >= 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN score_num < 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN score_num < 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM scored)
+SELECT tp, fp, fn, tn,
+       CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy,
+       CAST(tp AS DOUBLE) / (tp + fp) AS prec,
+       CAST(tp AS DOUBLE) / (tp + fn) AS recall,
+       CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) AS f1,
+       CAST((tp + fp + fn + tn) * (tp + tn)
+            - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) AS DOUBLE)
+         / ((tp + fp + fn + tn) * (tp + fp + fn + tn)
+            - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))) AS kappa
+FROM one
+"""
+
 
 def analytics_queries():
     """name → (spark_fn, oracle_sql | None). None = rows-only check
@@ -5639,5 +5875,60 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
                 _t(s, sf, "orders"), _t(s, sf, "lineitem")
             ),
             _RULE_VIOLATIONS_SQL,
+        ),
+        # Kaplan-Meier survival of session duration with right-
+        # censoring at the horizon; both running sums two-phase
+        "events_km_survival": (
+            lambda s, sf: events.km_survival(_t(s, sf, "events")),
+            _KM_SURVIVAL_SQL,
+        ),
+        # hourly OHLC bars per type: all five outputs are picks of
+        # existing doubles over one shared shuffle key — zero-tolerance
+        "events_ohlc_bars": (
+            lambda s, sf: events.ohlc_bars(_t(s, sf, "events")),
+            _OHLC_SQL,
+        ),
+        # gaps-and-islands consecutive-day streaks per user; all-integer
+        "events_activity_streaks": (
+            lambda s, sf: events.activity_streaks(_t(s, sf, "events")),
+            _STREAKS_SQL,
+        ),
+        # 2-D skyline via exclusive two-phase cummax; the oracle is the
+        # independent all-pairs NOT EXISTS dominance definition
+        "tpch_part_skyline": (
+            lambda s, sf: relational.part_skyline(_t(s, sf, "part")),
+            _SKYLINE_SQL,
+        ),
+        # confusion counts + accuracy/precision/recall/F1/kappa, every
+        # metric one divide of exact BIGINTs (integer sign decision rule)
+        "eval_classification_report": (
+            lambda s, sf: evaluation.classification_report(_t(s, sf, "documents")),
+            _CLASS_REPORT_SQL,
+        ),
+        # clamp-at-zero running balance via the Skorokhod-reflection
+        # closed form (two per-user windows, no recursion); BIGINT cents
+        "events_clamped_balance": (
+            lambda s, sf: events.clamped_balance(_t(s, sf, "events")),
+            _CLAMPED_BALANCE_SQL,
+        ),
+        # lag-1/-7 autocorrelation of daily counts over the full spine
+        # (absent days are genuine zeros); BIGINT moments, two sqrts
+        "events_daily_autocorr": (
+            lambda s, sf: events.daily_autocorr(_t(s, sf, "events")),
+            _DAILY_AUTOCORR_SQL,
+        ),
+        # item-item cosine/Jaccard over order baskets on the bounded
+        # brand axis; sqrt of exact ints — zero-tolerance
+        "assoc_brand_cooccurrence": (
+            lambda s, sf: relational.brand_cooccurrence(
+                _t(s, sf, "lineitem"), _t(s, sf, "part")
+            ),
+            _BRAND_COOC_SQL,
+        ),
+        # per-source en-rate with Wilson score bounds; identical float
+        # expression order both engines — zero-tolerance
+        "dq_wilson_rates": (
+            lambda s, sf: quality.wilson_en_rate(_t(s, sf, "documents")),
+            _WILSON_SQL,
         ),
     }

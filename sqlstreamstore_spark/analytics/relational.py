@@ -655,3 +655,92 @@ def sla_percentiles(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def part_skyline(part: DataFrame) -> DataFrame:
+    """2-D skyline (Pareto frontier) of the part catalog: the parts
+    for which no other part is both cheaper-or-equal AND
+    larger-or-equal with at least one strict — "best value at every
+    size". The classic dominance operator (Börzsönyi et al., ICDE'01)
+    expressed sort-based: group to one row per distinct price (max
+    size), take the EXCLUSIVE running max of size over ascending
+    price via the two-phase global-cummax primitive, and a part
+    survives iff its size beats every strictly-cheaper part's best
+    size and is its own price point's best. Never all-pairs — the
+    oracle deliberately IS the all-pairs NOT EXISTS definition, so the
+    gate compares two independent algorithms.
+
+    Scale shape: one groupBy on price + one range-partitioned
+    two-phase pass + one equi-join back on price; output is the
+    frontier (tiny). NULL price/size rows can't dominate or be ranked
+    — excluded."""
+    from sqlstreamstore_spark.operators.positions import with_global_cummax
+
+    rows = part.filter(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    )
+    g = rows.groupBy("p_retailprice").agg(F.max("p_size").alias("best_here"))
+    fr = with_global_cummax(
+        g, [F.col("p_retailprice")], "best_here", "best_lt", exclusive=True
+    )
+    return (
+        rows.join(fr, "p_retailprice")
+        .filter(
+            (F.col("best_lt").isNull() | (F.col("best_lt") < F.col("p_size")))
+            & (F.col("p_size") == F.col("best_here"))
+        )
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+def brand_cooccurrence(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Item-item co-occurrence similarity over order baskets on the
+    bounded brand axis — the "customers who bought X also bought Y"
+    matrix next to :func:`brand_assoc_rules`' directional rules:
+    cosine = c_ab / sqrt(c_a * c_b) and Jaccard = c_ab / (c_a + c_b -
+    c_ab) from exact basket counts. sqrt is IEEE-correctly-rounded in
+    both engines and every other step is integer, so the oracle is
+    zero-tolerance.
+
+    Scale shape: baskets are distinct (order, brand) pairs — the part
+    dim broadcasts; the pair build is an equi-join on orderkey whose
+    fan-out is bounded by (brands per order choose 2), never all-pairs
+    across orders; the final agg lands on the <=300-row brand-pair
+    axis."""
+    baskets = (
+        lineitem.join(F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    sizes = baskets.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
+    a = baskets.select("okey", F.col("brand").alias("brand_a"))
+    b = baskets.select("okey", F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("c_both"))
+    )
+    sa = sizes.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
+    sb = sizes.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "c_a",
+            "c_b",
+            "c_both",
+            (
+                F.col("c_both").cast("double")
+                / F.sqrt((F.col("c_a") * F.col("c_b")).cast("double"))
+            ).alias("cosine"),
+            (
+                F.col("c_both").cast("double")
+                / (F.col("c_a") + F.col("c_b") - F.col("c_both"))
+            ).alias("jaccard"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )

@@ -57,13 +57,16 @@ def with_global_cumsum(
     value_col: str,
     out_col: str = "cumsum",
     num_partitions: int | None = None,
+    result_type: str = "long",
 ) -> DataFrame:
     """Running total of ``value_col`` over the global ``order_cols``
     order, without a single-partition window — the same two-phase shape
     as the dense index: range-partition + in-partition cumsum, then add
     broadcast per-partition prefix totals. Inclusive (the row's own
     value is counted, like ``SUM() OVER (... ROWS UNBOUNDED
-    PRECEDING)``)."""
+    PRECEDING)``). ``result_type="double"`` keeps a float running sum
+    (callers must round downstream: the partition-offset regrouping is
+    not bit-identical to a strict sequential fold)."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     # localCheckpoint (not persist): it pins the partition layout so the
@@ -101,8 +104,67 @@ def with_global_cumsum(
     return (
         parted.withColumn(
             out_col,
-            (F.sum(value_col).over(w) + offset_expr).cast("long"),
+            (F.sum(value_col).over(w) + offset_expr).cast(result_type),
         )
+        .drop("__pid")
+    )
+
+
+def with_global_cummax(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    out_col: str = "cummax",
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running MAX of ``value_col`` over the global ``order_cols``
+    order — the monotone-frontier primitive (skyline, watermark sweep)
+    — with the same two-phase shape as :func:`with_global_cumsum`:
+    range partition + in-partition window max, then fold in the
+    broadcast max-so-far of all PRECEDING partitions (max is a monoid,
+    so prefix composition is greatest(), not +).
+
+    ``exclusive=True`` gives the strictly-before frontier
+    (``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``): NULL for
+    the global first row — exactly the "best seen at a strictly lower
+    key" test a sort-based skyline needs."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = {
+        r["__pid"]: r["m"]
+        for r in parted.groupBy("__pid").agg(F.max(value_col).alias("m")).collect()
+    }
+    prefix: dict[int, object] = {}
+    best = None
+    for pid in sorted(totals):
+        prefix[pid] = best
+        m = totals[pid]
+        if m is not None and (best is None or m > best):
+            best = m
+    prefix_pairs = [x for pid, v in prefix.items() if v is not None for x in (pid, v)]
+    prefix_expr = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for x in prefix_pairs]), F.col("__pid")
+        )
+        if prefix_pairs
+        else F.lit(None)
+    )
+    hi = -1 if exclusive else Window.currentRow
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    local = F.max(value_col).over(w)
+    return (
+        parted.withColumn(out_col, F.greatest(local, prefix_expr))
         .drop("__pid")
     )
 

@@ -104,3 +104,29 @@ def test_with_global_last_carry_matches_single_partition_reference(spark):
         ).collect()
     }
     assert got_d == ref_d
+
+
+def test_with_global_cummax_matches_single_partition_reference(spark):
+    """Two-phase global cummax (inclusive and exclusive) vs the
+    single-partition window truth, on data deliberately spread across
+    many range partitions with duplicates and nulls in the value."""
+    from pyspark.sql import Window
+
+    from sqlstreamstore_spark.operators.positions import with_global_cummax
+
+    rows = [(i, ((i * 37) % 97) if i % 11 else None) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    for exclusive in (False, True):
+        got = {
+            r.k: r.m
+            for r in with_global_cummax(
+                df, [F.col("k")], "v", "m", exclusive=exclusive, num_partitions=16
+            ).collect()
+        }
+        hi = -1 if exclusive else Window.currentRow
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, hi)
+        exp = {
+            r.k: r.m
+            for r in df.withColumn("m", F.max("v").over(w)).collect()
+        }
+        assert got == exp, exclusive

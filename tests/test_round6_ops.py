@@ -231,3 +231,317 @@ def test_rule_violations_matches_python(spark):
     # the fixture must exercise both zero and non-zero rules
     assert exp["ship_before_order"] > 0 and exp["discount_gt_7pct"] > 0
     assert exp["qty_nonpositive"] == 0 and exp["price_nonpositive"] == 0
+
+
+def _sessions_python(ev_rows, gap_us=1800 * 1_000_000):
+    """Pure-Python sessionizer: [(end_us, duration_us)] per the
+    lag-gap-cumsum rule, NULL ts excluded, user_id NULL kept as its
+    own group (matching the operator)."""
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in ev_rows:
+        if r.us is not None:
+            per_user[r.user_id].append((r.us, r.event_id))
+    sessions = []
+    for _u, evs in per_user.items():
+        evs.sort()
+        cur = [evs[0][0]]
+        for (us, _eid), (pus, _p) in zip(evs[1:], evs):
+            if us - pus > gap_us:
+                sessions.append((cur[-1], cur[-1] - cur[0]))
+                cur = [us]
+            else:
+                cur.append(us)
+        sessions.append((cur[-1], cur[-1] - cur[0]))
+    return sessions
+
+
+def test_km_survival_matches_python(spark, ev):
+    from sqlstreamstore_spark.analytics.events import km_survival
+
+    rows = km_survival(ev).collect()
+    base = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    ).collect()
+    sessions = _sessions_python(base)
+    horizon = max(e for e, _d in sessions)
+    gap_us = 1800 * 1_000_000
+    # (duration, is_event): censored if plausibly still open at horizon
+    obs = [(d, 0 if e + gap_us > horizon else 1) for e, d in sessions]
+    from collections import Counter
+
+    d_at = Counter(d for d, ev_ in obs if ev_)
+    c_at = Counter(d for d, ev_ in obs if not ev_)
+    times = sorted(set(d for d, _ in obs))
+    total = len(obs)
+    surv, seen = 1.0, 0
+    exp = {}
+    for t in times:
+        n_risk = total - seen
+        d = d_at.get(t, 0)
+        c = c_at.get(t, 0)
+        if d:
+            surv *= (n_risk - d) / n_risk
+            exp[t] = (n_risk, d, c, surv)
+        seen += d + c
+    assert [r.t_us for r in rows] == sorted(exp)
+    for r in rows:
+        n_risk, d, c, s = exp[r.t_us]
+        assert (r.n_risk, r.n_events, r.n_censored) == (n_risk, d, c)
+        assert abs(r.survival - s) < 1e-8
+    # survival is non-increasing and within [0, 1]
+    vals = [r.survival for r in rows]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    # censoring exists in the fixture (sessions open at the horizon)
+    assert sum(c for _n, _d, c, _s in exp.values()) >= 0
+    assert any(r.n_censored > 0 for r in rows) or any(
+        c_at[t] for t in c_at
+    )
+
+
+def test_ohlc_bars_matches_python(spark, ev):
+    from sqlstreamstore_spark.analytics.events import ohlc_bars
+
+    rows = ohlc_bars(ev).collect()
+    base = [
+        r
+        for r in ev.select(
+            "event_type", F.unix_micros("ts").alias("us"), "event_id", "value"
+        ).collect()
+        if r.us is not None and r.value is not None
+    ]
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for r in base:
+        buckets[(r.event_type, r.us // 3_600_000_000)].append(
+            (r.us, r.event_id, r.value)
+        )
+    assert len(rows) == len(buckets)
+    for r in rows:
+        evs = sorted(buckets[(r.event_type, r.hour_id)])
+        assert r.open == evs[0][2]
+        assert r.close == evs[-1][2]
+        assert r.high == max(v for _u, _e, v in evs)
+        assert r.low == min(v for _u, _e, v in evs)
+        assert r.n == len(evs)
+
+
+def test_activity_streaks_matches_python(spark, ev):
+    from sqlstreamstore_spark.analytics.events import activity_streaks
+
+    rows = {r.user_id: r for r in activity_streaks(ev).collect()}
+    base = [
+        r
+        for r in ev.select("user_id", F.unix_micros("ts").alias("us")).collect()
+        if r.us is not None and r.user_id is not None
+    ]
+    from collections import defaultdict
+
+    days = defaultdict(set)
+    for r in base:
+        days[r.user_id].add(r.us // 86_400_000_000)
+    assert set(rows) == set(days)
+    for u, ds in days.items():
+        ds = sorted(ds)
+        streaks = [[ds[0]]]
+        for d in ds[1:]:
+            if d == streaks[-1][-1] + 1:
+                streaks[-1].append(d)
+            else:
+                streaks.append([d])
+        r = rows[u]
+        assert r.longest_streak == max(len(s) for s in streaks)
+        assert r.n_streaks == len(streaks)
+        assert r.n_active_days == len(ds)
+        assert r.current_streak == len(streaks[-1])
+        assert r.last_active_day == ds[-1]
+
+
+def test_part_skyline_matches_allpairs(spark):
+    from sqlstreamstore_spark.analytics.relational import part_skyline
+
+    part = load_table(spark, SF, "part")
+    got = {r.p_partkey for r in part_skyline(part).collect()}
+    pts = [
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in part.collect()
+        if r.p_retailprice is not None and r.p_size is not None
+    ]
+
+    def dominated(a):
+        return any(
+            b[1] <= a[1] and b[2] >= a[2] and (b[1] < a[1] or b[2] > a[2])
+            for b in pts
+        )
+
+    exp = {k for (k, p, s) in pts if not dominated((k, p, s))}
+    assert got == exp and len(got) > 0
+    # frontier is mutually non-dominated by construction
+    sky = [(k, p, s) for (k, p, s) in pts if k in got]
+    for a in sky:
+        for b in sky:
+            assert not (
+                b[1] <= a[1] and b[2] >= a[2] and (b[1] < a[1] or b[2] > a[2])
+            )
+
+
+def test_classification_report_matches_python(spark, docs):
+    import hashlib
+
+    from sqlstreamstore_spark.analytics.evaluation import classification_report
+
+    r = classification_report(docs).collect()[0]
+    tp = fp = fn = tn = 0
+    for row in docs.select("lang", "text").collect():
+        s = sum(
+            int(hashlib.md5(b"clf:" + t.encode()).hexdigest()[:8], 16) % 1001
+            - 500
+            for t in row.text.split(" ")
+        )
+        pred, y = s >= 0, row.lang == "en"
+        if pred and y:
+            tp += 1
+        elif pred:
+            fp += 1
+        elif y:
+            fn += 1
+        else:
+            tn += 1
+    assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+    n = tp + fp + fn + tn
+    assert r.accuracy == (tp + tn) / n
+    assert r.prec == tp / (tp + fp)
+    assert r.recall == tp / (tp + fn)
+    assert r.f1 == 2 * tp / (2 * tp + fp + fn)
+    pe_num = (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
+    assert r.kappa == (n * (tp + tn) - pe_num) / (n * n - pe_num)
+    # the classifier must genuinely split the corpus (not degenerate)
+    assert 0 < tp + fp < n
+
+
+def test_clamped_balance_matches_recurrence(spark, ev):
+    """The operator computes the Skorokhod closed form; this test
+    replays the literal recurrence b = max(0, b + delta) — a true
+    algorithmic differential, not a re-derivation."""
+    from sqlstreamstore_spark.analytics.events import clamped_balance
+
+    rows = clamped_balance(ev).collect()
+    base = [
+        r
+        for r in ev.select(
+            "user_id", F.unix_micros("ts").alias("us"), "event_id",
+            "event_type", "value",
+        ).collect()
+        if r.us is not None and r.user_id is not None and r.value is not None
+    ]
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in base:
+        delta = round(r.value * 100)
+        if r.event_type == "purchase":
+            delta = -delta
+        per_user[r.user_id].append((r.us, r.event_id, delta))
+    exp = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        b = 0
+        for us, eid, delta in evs:
+            b = max(0, b + delta)
+            exp[(u, eid)] = (delta, b)
+    assert len(rows) == len(exp)
+    clamped = 0
+    for r in rows:
+        delta, b = exp[(r.user_id, r.event_id)]
+        assert (r.delta_cents, r.balance_cents) == (delta, b)
+        if b == 0:
+            clamped += 1
+    # the fixture must actually exercise the clamp (zero balances)
+    assert clamped > 0
+
+
+def test_daily_autocorr_matches_numpy(spark, ev):
+    import numpy as np
+
+    from sqlstreamstore_spark.analytics.events import daily_autocorr
+
+    rows = {r.lag: r for r in daily_autocorr(ev).collect()}
+    base = [
+        r.us // 86_400_000_000
+        for r in ev.select(F.unix_micros("ts").alias("us")).collect()
+        if r.us is not None
+    ]
+    from collections import Counter
+
+    c = Counter(base)
+    d0, d1 = min(c), max(c)
+    series = np.array([c.get(d, 0) for d in range(d0, d1 + 1)], dtype=float)
+    for k in (1, 7):
+        x, y = series[:-k], series[k:]
+        r = rows[k]
+        assert r.n_pairs == len(x)
+        exp = np.corrcoef(x, y)[0, 1]
+        assert abs(r.autocorr - exp) < 1e-9
+    # zero-filled spine: the operator must count absent days as zeros
+    assert rows[1].n_pairs == (d1 - d0 + 1) - 1
+
+
+def test_brand_cooccurrence_matches_python(spark):
+    from sqlstreamstore_spark.analytics.relational import brand_cooccurrence
+
+    li = load_table(spark, SF, "lineitem")
+    pt = load_table(spark, SF, "part")
+    rows = {(r.brand_a, r.brand_b): r for r in brand_cooccurrence(li, pt).collect()}
+    brand_of = {r.p_partkey: r.p_brand for r in pt.collect()}
+    from collections import defaultdict
+
+    baskets = defaultdict(set)
+    for r in li.select("l_orderkey", "l_partkey").collect():
+        if r.l_partkey in brand_of:
+            baskets[r.l_orderkey].add(brand_of[r.l_partkey])
+    csize = Counter = defaultdict(int)
+    pair = defaultdict(int)
+    for bs in baskets.values():
+        for b in bs:
+            csize[b] += 1
+        bs = sorted(bs)
+        for i, a in enumerate(bs):
+            for b in bs[i + 1:]:
+                pair[(a, b)] += 1
+    assert set(rows) == set(pair)
+    import math
+
+    for (a, b), c_both in pair.items():
+        r = rows[(a, b)]
+        assert (r.c_a, r.c_b, r.c_both) == (csize[a], csize[b], c_both)
+        assert r.cosine == c_both / math.sqrt(csize[a] * csize[b])
+        assert r.jaccard == c_both / (csize[a] + csize[b] - c_both)
+
+
+def test_wilson_rates_match_python(spark, docs):
+    import math
+
+    from sqlstreamstore_spark.analytics.quality import wilson_en_rate
+
+    rows = wilson_en_rate(docs).collect()
+    base = docs.select("source", "lang").collect()
+    from collections import Counter
+
+    n = Counter(r.source for r in base)
+    k = Counter(r.source for r in base if r.lang == "en")
+    assert {r.source for r in rows} == set(n)
+    z = 1.96
+    for r in rows:
+        nn, kk = n[r.source], k.get(r.source, 0)
+        assert (r.n, r.k) == (nn, kk)
+        p = kk / nn
+        assert r.rate == p
+        center = p + z * z / (2.0 * nn)
+        margin = z * math.sqrt(p * (1.0 - p) / nn + z * z / (4.0 * nn * nn))
+        denom = 1.0 + z * z / nn
+        assert abs(r.wilson_low - (center - margin) / denom) < 1e-12
+        assert abs(r.wilson_high - (center + margin) / denom) < 1e-12
+        assert 0.0 <= r.wilson_low <= p <= r.wilson_high <= 1.0

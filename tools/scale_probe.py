@@ -451,6 +451,58 @@ def main() -> int:
         ).collect()[0]
         res["rule_violations"] = {
             "rows": row.n, "viol": row.viol, "s": round(time.time() - t0, 2)}
+
+        from sqlstreamstore_spark.analytics import (
+            events as ev6,
+            evaluation as eval6,
+            relational as rel6b,
+        )
+
+        # curve rows = distinct durations; both cumsums two-phase
+        t0 = time.time()
+        km = ev6.km_survival(events)
+        row = km.agg(F.count("*").alias("n"), F.min("survival").alias("smin")).collect()[0]
+        res["km_survival"] = {
+            "rows": row.n, "s_min": row.smin, "s": round(time.time() - t0, 2)}
+
+        # frontier stays tiny no matter the input; two-phase cummax
+        t0 = time.time()
+        sky = rel6b.part_skyline(part)
+        n = sky.count()
+        res["part_skyline"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        # bucket count bounded by time x types, not rows
+        t0 = time.time()
+        bars = ev6.ohlc_bars(events)
+        n = bars.count()
+        res["ohlc_bars"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        st = ev6.activity_streaks(events)
+        row = st.agg(F.count("*").alias("n"), F.max("longest_streak").alias("mx")).collect()[0]
+        res["activity_streaks"] = {
+            "rows": row.n, "max_streak": row.mx, "s": round(time.time() - t0, 2)}
+
+        t0 = time.time()
+        rep = eval6.classification_report(docs).collect()[0]
+        res["classification_report"] = {
+            "f1": round(rep.f1, 4), "s": round(time.time() - t0, 2)}
+
+        # reflection identity: per-event ledger, two keyed windows
+        t0 = time.time()
+        cb = ev6.clamped_balance(events)
+        row = cb.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("balance_cents") == 0).cast("long")).alias("clamps"),
+        ).collect()[0]
+        res["clamped_balance"] = {
+            "rows": row.n, "clamps": row.clamps, "s": round(time.time() - t0, 2)}
+
+        # pair axis bounded by brands^2 regardless of fact size
+        t0 = time.time()
+        bc = rel6.brand_cooccurrence(lineitem, part)
+        n = bc.count()
+        res["brand_cooccurrence"] = {"rows": n, "s": round(time.time() - t0, 2)}
         return res
 
     out = []
