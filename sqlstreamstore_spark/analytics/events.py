@@ -1234,3 +1234,96 @@ def daily_autocorr(events: DataFrame, lags: tuple = (1, 7)) -> DataFrame:
         )
         out = m if out is None else out.unionByName(m)
     return out.orderBy("lag")
+
+
+def churn_hazard(events: DataFrame) -> DataFrame:
+    """Discrete-time churn hazard by tenure DAY — the retention
+    curve's derivative, the number a growth team actually acts on
+    ("day 28 is where we lose people"): for each tenure day k,
+    hazard(k) = users who churned exactly k days after their first
+    activity / users still at risk at day k. A user whose last
+    activity falls on the final observed day is right-CENSORED (we
+    cannot know they churned — counting them inflates late hazards;
+    the same censoring discipline as :func:`km_survival`, discretized
+    to the day axis — the fixture's 30-day window leaves weekly
+    buckets degenerate, daily ones carry the signal).
+
+    All-integer: tenure = last_day - first_day (floor-div epoch
+    micros), at-risk via the two-phase cumsum countdown, hazard one
+    exact divide. Shape: one user-keyed agg, then the day axis is
+    bounded by the observation span."""
+    from sqlstreamstore_spark.operators.positions import with_global_cumsum
+
+    day = F.floor(
+        F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)
+    ).cast("long")
+    users = (
+        events.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", day.alias("dy"))
+        .groupBy("user_id")
+        .agg(F.min("dy").alias("w0"), F.max("dy").alias("w1"))
+    )
+    horizon = users.agg(F.max("w1").alias("__wmax"))
+    obs = users.crossJoin(F.broadcast(horizon)).select(
+        (F.col("w1") - F.col("w0")).alias("tenure_days"),
+        F.when(F.col("w1") < F.col("__wmax"), 1).otherwise(0).cast("long").alias(
+            "churned"
+        ),
+    )
+    g = obs.groupBy("tenure_days").agg(
+        F.sum("churned").cast("long").alias("d"),
+        (F.count("*") - F.sum("churned")).cast("long").alias("c"),
+    )
+    total = g.agg(F.sum(F.col("d") + F.col("c"))).collect()[0][0] or 0
+    cum = with_global_cumsum(
+        g.withColumn("all_n", F.col("d") + F.col("c")),
+        [F.col("tenure_days")],
+        "all_n",
+        "cum_all",
+    ).withColumn("n_risk", F.lit(total) - F.col("cum_all") + F.col("all_n"))
+    return cum.select(
+        "tenure_days",
+        "n_risk",
+        F.col("d").alias("n_churned"),
+        F.col("c").alias("n_censored"),
+        (F.col("d").cast("double") / F.col("n_risk")).alias("hazard"),
+    ).orderBy("tenure_days")
+
+
+def peak_concurrency(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Peak simultaneous sessions — the capacity-planning number
+    ("size for the worst minute, not the average"): sweep-line over
+    the session table's [start_us, end_us] intervals (+1 at start,
+    -1 just after end, net deltas grouped per timestamp so boundary
+    ties resolve order-independently), running concurrency via the
+    two-phase global cumsum, then one aggregate for the peak and the
+    FIRST time it is reached. Same sweep shape as the order backlog
+    (backlog_sweepline), on the stream the store actually serves.
+
+    All-integer; single-row output. Scale shape: the sweep axis is
+    distinct timestamps; the cumsum is the range-partitioned two-phase
+    pass — nothing global, no interval self-join."""
+    from sqlstreamstore_spark.operators.positions import with_global_cumsum
+
+    s = session_table(events, gap_seconds)
+    deltas = (
+        s.select(F.col("start_us").alias("us"), F.lit(1).alias("delta"))
+        .unionByName(
+            s.select(
+                (F.col("end_us") + 1).alias("us"), F.lit(-1).alias("delta")
+            )
+        )
+        .groupBy("us")
+        .agg(F.sum("delta").cast("long").alias("net"))
+    )
+    run = with_global_cumsum(deltas, [F.col("us")], "net", "running")
+    peak = run.agg(F.max("running").alias("peak"))
+    first_at = (
+        run.crossJoin(F.broadcast(peak))
+        .filter(F.col("running") == F.col("peak"))
+        .agg(F.min("us").alias("first_peak_us"), F.max("peak").alias("peak"))
+    )
+    n = s.agg(F.count("*").cast("long").alias("n_sessions"))
+    return first_at.crossJoin(F.broadcast(n)).select(
+        "n_sessions", "peak", "first_peak_us"
+    )

@@ -433,3 +433,43 @@ def wilson_en_rate(documents: DataFrame, z: float = 1.96) -> DataFrame:
         ((center - margin) / denom).alias("wilson_low"),
         ((center + margin) / denom).alias("wilson_high"),
     ).orderBy("source")
+
+
+def merkle_bucket_checksums(lineitem: DataFrame, bucket_width: int = 256) -> DataFrame:
+    """Range-bucketed table checksums — the anti-entropy primitive for
+    verifying two replicas/engines hold the same rows WITHOUT shipping
+    data: rows digest to 60-bit integers (md5 of a canonical
+    all-integer field encoding), each key-range bucket reduces them
+    with XOR (commutative ⇒ order-independent, no overflow) plus a
+    row count. Two sides compare ~N/width tiny rows; a mismatched
+    bucket pinpoints where to drill down — the Merkle/DynamoDB
+    repair pattern, flattened one level.
+
+    The canonical encoding uses only exactly-representable fields
+    (keys, integer quantity, price cents, ship-date micros) joined
+    with '|' — BIGINT-to-string renders identically in both engines,
+    where raw doubles would not. Shape: one map-side partial agg onto
+    the bucket axis."""
+    s = F.concat_ws(
+        "|",
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_quantity").cast("long"),
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        # parquet NTZ -> session-UTC timestamp: epoch micros == DuckDB's
+        # epoch_us of the same naive value
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")),
+    )
+    h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    return (
+        lineitem.select(
+            F.floor(F.col("l_orderkey") / bucket_width).cast("long").alias("bucket"),
+            h.alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("long").alias("checksum"),
+        )
+        .orderBy("bucket")
+    )

@@ -4776,6 +4776,225 @@ SELECT source, n, k,
 FROM g ORDER BY source
 """
 
+_AB_TEST_SQL = """
+WITH base AS (
+  SELECT user_id % 2 AS arm, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+),
+one AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS s1_a,
+         CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1_b,
+         CAST(sum(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END) AS BIGINT) AS s2_a,
+         CAST(sum(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END) AS BIGINT) AS s2_b
+  FROM base
+),
+m AS (
+  SELECT n_a, n_b,
+         CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+         CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+         (CAST(s2_a AS DOUBLE)
+            - CAST(s1_a AS DOUBLE) * (CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+           / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+         (CAST(s2_b AS DOUBLE)
+            - CAST(s1_b AS DOUBLE) * (CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+           / (CAST(n_b AS DOUBLE) - 1.0) AS vb
+  FROM one
+)
+SELECT n_a, n_b, ma AS mean_a_cents, mb AS mean_b_cents,
+       mb - ma AS diff_cents,
+       (mb - ma) / sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)) AS welch_t,
+       (va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
+         * (va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
+         / ((va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE))
+              / (CAST(n_a AS DOUBLE) - 1.0)
+            + (vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE))
+              / (CAST(n_b AS DOUBLE) - 1.0)) AS welch_df
+FROM m
+"""
+
+_MERKLE_SQL = """
+WITH h AS (
+  SELECT CAST(floor(l_orderkey / 256.0) AS BIGINT) AS bucket,
+         CAST(('0x' || substr(md5(
+            CAST(l_orderkey AS VARCHAR) || '|' ||
+            CAST(l_linenumber AS VARCHAR) || '|' ||
+            CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '|' ||
+            CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+            CAST(epoch_us(l_shipdate) AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM lineitem
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS checksum
+FROM h GROUP BY bucket ORDER BY bucket
+"""
+
+_RRF_SQL = f"""
+WITH {_EVAL_SCORED_CTE},
+ranked AS (
+  SELECT l.doc_id,
+         CAST(row_number() OVER (ORDER BY l.score DESC, l.doc_id) AS BIGINT)
+           AS rank_score,
+         CAST(row_number() OVER (ORDER BY d.n_chars DESC, l.doc_id) AS BIGINT)
+           AS rank_len
+  FROM lab l JOIN documents d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, rank_score, rank_len,
+       1.0 / (60.0 + CAST(rank_score AS DOUBLE))
+         + 1.0 / (60.0 + CAST(rank_len AS DOUBLE)) AS rrf
+FROM ranked ORDER BY doc_id
+"""
+
+_TRENDING_SQL = """
+WITH toks AS (
+  SELECT doc_id % 2 AS epoch, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+g AS (
+  SELECT token,
+         CAST(sum(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM toks GROUP BY token
+)
+SELECT token, c0, c1,
+       round(ln(CAST(c1 + 1 AS DOUBLE) / CAST(c0 + 1 AS DOUBLE)), 9) AS trend_score
+FROM g WHERE c0 + c1 >= 5 ORDER BY token
+"""
+
+_CHURN_HAZARD_SQL = """
+WITH days AS (
+  SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS dy
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+users AS (SELECT user_id, min(dy) AS w0, max(dy) AS w1 FROM days GROUP BY user_id),
+obs AS (
+  SELECT w1 - w0 AS tenure_days,
+         CASE WHEN w1 < (SELECT max(w1) FROM users) THEN 1 ELSE 0 END AS churned
+  FROM users
+),
+g AS (SELECT tenure_days, CAST(sum(churned) AS BIGINT) AS d,
+             CAST(count(*) - sum(churned) AS BIGINT) AS c
+      FROM obs GROUP BY tenure_days),
+r AS (SELECT tenure_days, d, c,
+             CAST((SELECT sum(d + c) FROM g)
+                  - sum(d + c) OVER (ORDER BY tenure_days
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  + d + c AS BIGINT) AS n_risk
+      FROM g)
+SELECT tenure_days, n_risk, d AS n_churned, c AS n_censored,
+       CAST(d AS DOUBLE) / n_risk AS hazard
+FROM r ORDER BY tenure_days
+"""
+
+_AUC_CI_SQL = f"""
+SELECT n_pos, n_neg, auc,
+       sqrt((auc * (1.0 - auc)
+             + (CAST(n_pos AS DOUBLE) - 1.0)
+               * (auc / (2.0 - auc) - auc * auc)
+             + (CAST(n_neg AS DOUBLE) - 1.0)
+               * (2.0 * auc * auc / (1.0 + auc) - auc * auc))
+            / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) AS se,
+       auc - 1.96 * sqrt((auc * (1.0 - auc)
+             + (CAST(n_pos AS DOUBLE) - 1.0)
+               * (auc / (2.0 - auc) - auc * auc)
+             + (CAST(n_neg AS DOUBLE) - 1.0)
+               * (2.0 * auc * auc / (1.0 + auc) - auc * auc))
+            / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) AS ci_low,
+       auc + 1.96 * sqrt((auc * (1.0 - auc)
+             + (CAST(n_pos AS DOUBLE) - 1.0)
+               * (auc / (2.0 - auc) - auc * auc)
+             + (CAST(n_neg AS DOUBLE) - 1.0)
+               * (2.0 * auc * auc / (1.0 + auc) - auc * auc))
+            / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) AS ci_high
+FROM ({_ROC_AUC_SQL}) a
+"""
+
+_BRAND_HHI_SQL = """
+WITH rev AS (
+  SELECT p.p_brand,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+),
+one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_brands,
+         CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+         sum(CAST(rev_cents AS HUGEINT) * rev_cents) AS sq_sum
+  FROM rev
+)
+SELECT n_brands, total_cents,
+       CAST(sq_sum AS DOUBLE)
+         / (CAST(total_cents AS DOUBLE) * CAST(total_cents AS DOUBLE)) AS hhi,
+       (CAST(sq_sum AS DOUBLE)
+          / (CAST(total_cents AS DOUBLE) * CAST(total_cents AS DOUBLE))
+        - 1.0 / CAST(n_brands AS DOUBLE))
+       / (1.0 - 1.0 / CAST(n_brands AS DOUBLE)) AS hhi_normalized
+FROM one
+"""
+
+_PEAK_CONCURRENCY_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events WHERE ts IS NOT NULL
+),
+flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+  FROM base
+),
+numbered AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+),
+sess AS (SELECT min(us) AS start_us, max(us) AS end_us
+         FROM numbered GROUP BY user_id, session_no),
+deltas AS (
+  SELECT us, CAST(sum(delta) AS BIGINT) AS net FROM (
+    SELECT start_us AS us, 1 AS delta FROM sess
+    UNION ALL
+    SELECT end_us + 1, -1 FROM sess) d
+  GROUP BY us
+),
+run AS (
+  SELECT us, CAST(sum(net) OVER (ORDER BY us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+  FROM deltas
+),
+pk AS (SELECT CAST(max(running) AS BIGINT) AS peak FROM run)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_sessions,
+       (SELECT peak FROM pk) AS peak,
+       min(us) AS first_peak_us
+FROM run WHERE running = (SELECT peak FROM pk)
+"""
+
+_VOCAB_COVERAGE_SQL = """
+WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT unnest(list_transform(range(1, len(w)),
+                i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM toks WHERE len(w) >= 2
+),
+freq AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM grams GROUP BY gram),
+ranked AS (
+  SELECT gram, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS BIGINT) AS k,
+         CAST(sum(cnt) OVER (ORDER BY cnt DESC, gram
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS covered
+  FROM freq
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS vocab_size FROM freq)
+SELECT k, vocab_size, covered, total,
+       CAST(covered AS DOUBLE) / total AS coverage
+FROM ranked, tot WHERE k IN (10, 100, 500) ORDER BY k
+"""
+
 _CLASS_REPORT_SQL = f"""
 WITH {_EVAL_SCORED_CTE},
 one AS (
@@ -5930,5 +6149,61 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
         "dq_wilson_rates": (
             lambda s, sf: quality.wilson_en_rate(_t(s, sf, "documents")),
             _WILSON_SQL,
+        ),
+        # Welch two-sample experiment readout on deterministic hash
+        # arms; t and df pure functions of six BIGINT moments
+        "eval_ab_test_welch": (
+            lambda s, sf: evaluation.ab_test_report(_t(s, sf, "events")),
+            _AB_TEST_SQL,
+        ),
+        # anti-entropy range-bucket checksums: 60-bit md5 row digests
+        # XOR-folded per bucket (order-free), all-integer encoding
+        "dq_merkle_checksums": (
+            lambda s, sf: quality.merkle_bucket_checksums(_t(s, sf, "lineitem")),
+            _MERKLE_SQL,
+        ),
+        # reciprocal-rank fusion of classifier + length rankings; both
+        # global ranks via the two-phase dense index
+        "eval_rrf_fusion": (
+            lambda s, sf: evaluation.rrf_fusion(_t(s, sf, "documents")),
+            _RRF_SQL,
+        ),
+        # heavy-hitter CHANGE detection between epochs: add-one log
+        # ratio on exact counts, integer total floor, ln rounded at 9
+        "text_trending_tokens": (
+            lambda s, sf: text.trending_tokens(_t(s, sf, "documents")),
+            _TRENDING_SQL,
+        ),
+        # discrete-time churn hazard by tenure day, censored at the
+        # horizon day; all-integer with one exact divide
+        "events_churn_hazard": (
+            lambda s, sf: events.churn_hazard(_t(s, sf, "events")),
+            _CHURN_HAZARD_SQL,
+        ),
+        # Hanley-McNeil SE + 95% CI on the exact rank-sum AUC; pure
+        # function of three BIGINTs, identical order both engines
+        "eval_auc_ci": (
+            lambda s, sf: evaluation.auc_ci(_t(s, sf, "documents")),
+            _AUC_CI_SQL,
+        ),
+        # HHI revenue concentration in cross-multiplied exact form
+        # (sum of squared cents in DECIMAL(38,0)/HUGEINT)
+        "tpch_brand_hhi": (
+            lambda s, sf: relational.brand_hhi(
+                _t(s, sf, "lineitem"), _t(s, sf, "part")
+            ),
+            _BRAND_HHI_SQL,
+        ),
+        # sweep-line peak simultaneous sessions + first time reached;
+        # all-integer, two-phase running sum, no interval self-join
+        "events_peak_concurrency": (
+            lambda s, sf: events.peak_concurrency(_t(s, sf, "events")),
+            _PEAK_CONCURRENCY_SQL,
+        ),
+        # bigram coverage curve at k cut points: rank and running
+        # totals both two-phase over the vocab table, exact divides
+        "text_vocab_coverage": (
+            lambda s, sf: text.vocab_coverage(_t(s, sf, "documents")),
+            _VOCAB_COVERAGE_SQL,
         ),
     }

@@ -744,3 +744,48 @@ def brand_cooccurrence(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         )
         .orderBy("brand_a", "brand_b")
     )
+
+
+def brand_hhi(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Herfindahl-Hirschman revenue-concentration index over the brand
+    axis — the market-structure audit ("is our corpus/revenue
+    dominated by a few sources?") regulators and data teams share:
+
+        HHI = sum_i share_i^2 = (sum_i rev_i^2) / total^2
+
+    The cross-multiplied form keeps everything exact: per-brand
+    revenue in BIGINT cents, the sum of squares in DECIMAL(38,0)
+    (rev_i^2 overflows int64 once a brand clears ~$92M — the
+    inter_arrival overflow discipline), one divide at the end. Also
+    reports the normalized HHI (0 = perfectly even, 1 = monopoly).
+
+    Shape: broadcast dim join + two nested partial aggs onto the
+    bounded brand axis, single-row output."""
+    rev = (
+        lineitem.join(F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents"),
+        )
+    )
+    one = rev.agg(
+        F.count("*").cast("long").alias("n_brands"),
+        F.sum("rev_cents").cast("long").alias("total_cents"),
+        F.sum(
+            F.col("rev_cents").cast("decimal(38,0)") * F.col("rev_cents")
+        ).alias("sq_sum"),
+    )
+    hhi = F.col("sq_sum").cast("double") / (
+        F.col("total_cents").cast("double") * F.col("total_cents").cast("double")
+    )
+    nb = F.col("n_brands").cast("double")
+    return one.select(
+        "n_brands",
+        "total_cents",
+        hhi.alias("hhi"),
+        ((hhi - F.lit(1.0) / nb) / (F.lit(1.0) - F.lit(1.0) / nb)).alias(
+            "hhi_normalized"
+        ),
+    )

@@ -1859,3 +1859,98 @@ def token_burstiness(documents: DataFrame) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+def trending_tokens(documents: DataFrame, min_total: int = 5) -> DataFrame:
+    """Heavy-hitter CHANGE detection between two corpus epochs — what
+    moved, not what's big (the static top-k is text_heavy_hitters):
+    docs split into epochs by doc_id parity (deterministic, oracle-
+    replayable; swap in an ingest-date column on real data), per-token
+    counts contrasted with the add-one log-ratio
+
+        score = ln((c1 + 1) / (c0 + 1))
+
+    positive = trending up in the later epoch. Counts are exact
+    BIGINTs; the ratio is double(int)/double(int); ln is the one libm
+    call, rounded at 9 (cross-libm last-bit discipline). Low-volume
+    noise is cut by a TOTAL-count floor — a threshold on exact
+    integers, not on the float score, so the row set is engine-
+    independent.
+
+    Shape: one explode + one (token, epoch) partial agg pivoted to the
+    vocab-bounded axis."""
+    toks = documents.select(
+        (F.col("doc_id") % 2).alias("epoch"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    )
+    g = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("epoch") == 0, 1).otherwise(0)).cast("long").alias("c0"),
+        F.sum(F.when(F.col("epoch") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+    )
+    return (
+        g.filter(F.col("c0") + F.col("c1") >= min_total)
+        .select(
+            "token",
+            "c0",
+            "c1",
+            F.round(
+                F.log(
+                    (F.col("c1") + 1).cast("double") / (F.col("c0") + 1).cast("double")
+                ),
+                9,
+            ).alias("trend_score"),
+        )
+        .orderBy("token")
+    )
+
+
+def vocab_coverage(documents: DataFrame, ks: tuple = (10, 100, 500)) -> DataFrame:
+    """Vocabulary coverage curve over corpus BIGRAMS — the tokenizer-
+    sizing question ("how much of the corpus do the top-k entries
+    cover?") answered exactly: bigram frequencies ranked descending
+    (count desc, gram asc — a total order), cumulative coverage via
+    the two-phase global cumsum, reported at the requested k cut
+    points. Coverage ratios are exact BIGINT divides — zero-tolerance
+    oracle.
+
+    Scale shape: one explode + partial agg onto the bigram vocab, then
+    the rank and running totals are BOTH two-phase range-partitioned
+    passes over the vocab table (never a single-partition window over
+    a 100 TB-derived vocabulary)."""
+    from sqlstreamstore_spark.operators.positions import (
+        with_dense_global_index,
+        with_global_cumsum,
+    )
+
+    w = F.split(F.col("text"), " ")
+    # guard: a 1-token doc would make sequence(0, -1) error out
+    grams = documents.filter(F.size(w) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+                ),
+            )
+        ).alias("gram")
+    )
+    freq = grams.groupBy("gram").agg(F.count("*").cast("long").alias("cnt"))
+    order = [F.col("cnt").desc(), F.col("gram")]
+    ranked = with_dense_global_index(freq, order, "ix")
+    cum = with_global_cumsum(ranked, order, "cnt", "covered")
+    totals = freq.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count("*").cast("long").alias("vocab_size"),
+    )
+    return (
+        cum.filter((F.col("ix") + 1).isin(*ks))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            (F.col("ix") + 1).cast("long").alias("k"),
+            "vocab_size",
+            "covered",
+            "total",
+            (F.col("covered").cast("double") / F.col("total")).alias("coverage"),
+        )
+        .orderBy("k")
+    )

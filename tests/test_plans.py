@@ -929,3 +929,104 @@ def test_wilson_rates_single_partial_agg(spark):
     assert "Join" not in tree and "windowspecdefinition" not in p
     # one agg shuffle + the final presentation sort, nothing else
     assert tree.count("Exchange") <= 2, tree
+
+
+def test_ab_test_welch_single_partial_agg(spark):
+    from sqlstreamstore_spark.analytics.evaluation import ab_test_report
+
+    ev = load_table(spark, SF, "events")
+    p = plan_of(ab_test_report(ev))
+    tree = p.split("\n\n")[0]
+    assert "Join" not in tree and "windowspecdefinition" not in p
+    assert tree.count("Exchange") <= 1, tree
+
+
+def test_merkle_checksums_partial_agg_on_bucket(spark):
+    """Row digests fold map-side per bucket; only (bucket, count, xor)
+    triples cross the wire — the payload never shuffles."""
+    from sqlstreamstore_spark.analytics.quality import merkle_bucket_checksums
+
+    li = load_table(spark, SF, "lineitem")
+    p = plan_of(merkle_bucket_checksums(li))
+    tree = p.split("\n\n")[0]
+    assert "Join" not in tree and "windowspecdefinition" not in p
+    # one agg shuffle + the presentation sort
+    assert tree.count("Exchange") <= 2, tree
+    first_agg = p.index("HashAggregate")
+    assert "HashAggregate" in p[first_agg + 13:], p
+
+
+def test_rrf_fusion_ranks_are_two_phase(spark):
+    """Both global rankings come from the __pid two-phase dense index —
+    no single-partition row_number over the corpus."""
+    from sqlstreamstore_spark.analytics.evaluation import rrf_fusion
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(rrf_fusion(docs))
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "__pid" in line, line
+
+
+def test_trending_tokens_one_partial_agg(spark):
+    from sqlstreamstore_spark.analytics.text import trending_tokens
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(trending_tokens(docs))
+    tree = p.split("\n\n")[0]
+    assert "Join" not in tree and "windowspecdefinition" not in p
+    assert "Generate" in p  # the explode stays narrow pre-agg
+    assert tree.count("Exchange") <= 2, tree
+
+
+def test_churn_hazard_two_phase_countdown(spark):
+    from sqlstreamstore_spark.analytics.events import churn_hazard
+
+    ev = load_table(spark, SF, "events")
+    p = plan_of(churn_hazard(ev))
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "__pid" in line, line
+
+
+def test_brand_hhi_broadcast_dim_bounded_aggs(spark):
+    from sqlstreamstore_spark.analytics.relational import brand_hhi
+
+    li = load_table(spark, SF, "lineitem")
+    pt = load_table(spark, SF, "part")
+    p = plan_of(brand_hhi(li, pt))
+    tree = p.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    assert "CartesianProduct" not in tree and "SortMergeJoin" not in tree, tree
+    assert "windowspecdefinition" not in p
+
+
+def test_peak_concurrency_sweep_is_two_phase(spark):
+    """Sweep-line: no interval self-join, the running sum is the
+    __pid two-phase cumsum, session windows are per-user; the only
+    nested-loops are 1-row scalar broadcasts."""
+    from sqlstreamstore_spark.analytics.events import peak_concurrency
+
+    ev = load_table(spark, SF, "events")
+    p = plan_of(peak_concurrency(ev))
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "__pid" in line or "user_id" in line, line
+
+
+def test_vocab_coverage_rank_and_cumsum_two_phase(spark):
+    from sqlstreamstore_spark.analytics.text import vocab_coverage
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(vocab_coverage(docs))
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "__pid" in line, line

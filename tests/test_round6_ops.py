@@ -545,3 +545,268 @@ def test_wilson_rates_match_python(spark, docs):
         assert abs(r.wilson_low - (center - margin) / denom) < 1e-12
         assert abs(r.wilson_high - (center + margin) / denom) < 1e-12
         assert 0.0 <= r.wilson_low <= p <= r.wilson_high <= 1.0
+
+
+def test_ab_test_welch_matches_python(spark, ev):
+    from sqlstreamstore_spark.analytics.evaluation import ab_test_report
+
+    r = ab_test_report(ev).collect()[0]
+    arms = {0: [], 1: []}
+    for row in ev.select("user_id", "value").collect():
+        if row.user_id is not None and row.value is not None:
+            arms[row.user_id % 2].append(round(row.value * 100))
+    a, b = arms[0], arms[1]
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    na, nb = float(len(a)), float(len(b))
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = (sum(x * x for x in a) - sum(a) * ma) / (na - 1.0)
+    vb = (sum(x * x for x in b) - sum(b) * mb) / (nb - 1.0)
+    assert (r.mean_a_cents, r.mean_b_cents) == (ma, mb)
+    assert r.diff_cents == mb - ma
+    import math
+
+    se2a, se2b = va / na, vb / nb
+    assert r.welch_t == (mb - ma) / math.sqrt(se2a + se2b)
+    assert r.welch_df == (se2a + se2b) ** 2 / (
+        se2a * se2a / (na - 1.0) + se2b * se2b / (nb - 1.0)
+    )
+    # hash-split is near-balanced on the fixture
+    assert abs(len(a) - len(b)) < 0.5 * (len(a) + len(b))
+
+
+def test_merkle_checksums_match_hashlib(spark):
+    import calendar
+    import hashlib
+
+    from sqlstreamstore_spark.analytics.quality import merkle_bucket_checksums
+
+    li = load_table(spark, SF, "lineitem")
+    got = {r.bucket: r for r in merkle_bucket_checksums(li).collect()}
+    from collections import defaultdict
+
+    n = defaultdict(int)
+    x = defaultdict(int)
+    for r in li.collect():
+        us = (
+            calendar.timegm(r.l_shipdate.timetuple()) * 1_000_000
+            + r.l_shipdate.microsecond
+        )
+        s = (
+            f"{r.l_orderkey}|{r.l_linenumber}|{int(r.l_quantity)}|"
+            f"{round(r.l_extendedprice * 100)}|{us}"
+        )
+        h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        b = r.l_orderkey // 256
+        n[b] += 1
+        x[b] ^= h
+    assert set(got) == set(n)
+    for b in n:
+        assert (got[b].n_rows, got[b].checksum) == (n[b], x[b])
+    # a single-row perturbation must flip its bucket's checksum only
+    first = li.orderBy("l_orderkey", "l_linenumber").limit(1).collect()[0]
+    li2 = li.withColumn(
+        "l_quantity",
+        F.when(
+            (F.col("l_orderkey") == first.l_orderkey)
+            & (F.col("l_linenumber") == first.l_linenumber),
+            F.col("l_quantity") + 1,
+        ).otherwise(F.col("l_quantity")),
+    )
+    got2 = {r.bucket: r.checksum for r in merkle_bucket_checksums(li2).collect()}
+    diff = [b for b in got2 if got2[b] != got[b].checksum]
+    assert diff == [0]
+
+
+def test_rrf_fusion_matches_python(spark, docs):
+    import hashlib
+
+    from sqlstreamstore_spark.analytics.evaluation import rrf_fusion
+
+    rows = {r.doc_id: r for r in rrf_fusion(docs).collect()}
+    meta = []
+    for row in docs.select("doc_id", "text", "n_chars").collect():
+        s = sum(
+            int(hashlib.md5(b"clf:" + t.encode()).hexdigest()[:8], 16) % 1001
+            - 500
+            for t in row.text.split(" ")
+        )
+        score = s / len(row.text.split(" "))
+        meta.append((row.doc_id, score, row.n_chars))
+    by_score = sorted(meta, key=lambda m: (-m[1], m[0]))
+    by_len = sorted(meta, key=lambda m: (-m[2], m[0]))
+    ra = {d: i + 1 for i, (d, _s, _c) in enumerate(by_score)}
+    rb = {d: i + 1 for i, (d, _s, _c) in enumerate(by_len)}
+    assert set(rows) == set(ra)
+    for d, r in rows.items():
+        assert (r.rank_score, r.rank_len) == (ra[d], rb[d])
+        assert r.rrf == 1.0 / (60.0 + ra[d]) + 1.0 / (60.0 + rb[d])
+
+
+def test_trending_tokens_match_python(spark, docs):
+    import math
+
+    from sqlstreamstore_spark.analytics.text import trending_tokens
+
+    rows = {r.token: r for r in trending_tokens(docs).collect()}
+    from collections import Counter
+
+    c0, c1 = Counter(), Counter()
+    for row in docs.select("doc_id", "text").collect():
+        tgt = c1 if row.doc_id % 2 else c0
+        tgt.update(row.text.split(" "))
+    keep = {t for t in set(c0) | set(c1) if c0[t] + c1[t] >= 5}
+    assert set(rows) == keep
+    for t in keep:
+        r = rows[t]
+        assert (r.c0, r.c1) == (c0[t], c1[t])
+        assert abs(r.trend_score - math.log((c1[t] + 1) / (c0[t] + 1))) < 2e-9
+
+
+def test_churn_hazard_matches_python(spark, ev):
+    from sqlstreamstore_spark.analytics.events import churn_hazard
+
+    rows = {r.tenure_days: r for r in churn_hazard(ev).collect()}
+    base = [
+        r
+        for r in ev.select("user_id", F.unix_micros("ts").alias("us")).collect()
+        if r.us is not None and r.user_id is not None
+    ]
+    from collections import defaultdict
+
+    span = defaultdict(lambda: [1 << 62, -(1 << 62)])
+    for r in base:
+        d = r.us // 86_400_000_000
+        s = span[r.user_id]
+        s[0], s[1] = min(s[0], d), max(s[1], d)
+    wmax = max(s[1] for s in span.values())
+    obs = [(s[1] - s[0], 1 if s[1] < wmax else 0) for s in span.values()]
+    from collections import Counter
+
+    d_at = Counter(t for t, ch in obs if ch)
+    c_at = Counter(t for t, ch in obs if not ch)
+    total = len(obs)
+    seen = 0
+    for t in sorted(set(d_at) | set(c_at)):
+        n_risk = total - seen
+        r = rows[t]
+        assert (r.n_risk, r.n_churned, r.n_censored) == (
+            n_risk,
+            d_at.get(t, 0),
+            c_at.get(t, 0),
+        )
+        assert r.hazard == d_at.get(t, 0) / n_risk
+        seen += d_at.get(t, 0) + c_at.get(t, 0)
+    assert len(rows) == len(set(d_at) | set(c_at))
+
+
+def test_auc_ci_matches_python(spark, docs):
+    import math
+
+    from sqlstreamstore_spark.analytics.evaluation import auc_ci, roc_auc
+
+    r = auc_ci(docs).collect()[0]
+    base = roc_auc(docs).collect()[0]
+    A, P, N = base.auc, float(base.n_pos), float(base.n_neg)
+    q1 = A / (2.0 - A)
+    q2 = 2.0 * A * A / (1.0 + A)
+    se = math.sqrt(
+        (A * (1.0 - A) + (P - 1.0) * (q1 - A * A) + (N - 1.0) * (q2 - A * A))
+        / (P * N)
+    )
+    assert r.auc == A
+    assert r.se == se
+    assert r.ci_low == A - 1.96 * se and r.ci_high == A + 1.96 * se
+    # the interval is well-formed and non-degenerate
+    assert se > 0 and r.ci_low < A < r.ci_high
+
+
+def test_brand_hhi_matches_python(spark):
+    from sqlstreamstore_spark.analytics.relational import brand_hhi
+
+    li = load_table(spark, SF, "lineitem")
+    pt = load_table(spark, SF, "part")
+    r = brand_hhi(li, pt).collect()[0]
+    brand_of = {p.p_partkey: p.p_brand for p in pt.collect()}
+    from collections import defaultdict
+
+    rev = defaultdict(int)
+    for row in li.select("l_partkey", "l_extendedprice").collect():
+        if row.l_partkey in brand_of:
+            rev[brand_of[row.l_partkey]] += round(row.l_extendedprice * 100)
+    total = sum(rev.values())
+    sq = sum(v * v for v in rev.values())
+    assert (r.n_brands, r.total_cents) == (len(rev), total)
+    assert r.hhi == sq / (float(total) * float(total))
+    nb = float(len(rev))
+    assert r.hhi_normalized == (r.hhi - 1.0 / nb) / (1.0 - 1.0 / nb)
+    # 25 near-even brands -> HHI just above the 1/n floor
+    assert 1.0 / nb <= r.hhi < 2.0 / nb
+
+
+def test_peak_concurrency_matches_python(spark, ev):
+    from sqlstreamstore_spark.analytics.events import peak_concurrency
+
+    r = peak_concurrency(ev).collect()[0]
+    base = [
+        x
+        for x in ev.select(
+            "user_id", "event_id", F.unix_micros("ts").alias("us")
+        ).collect()
+        if x.us is not None
+    ]
+    sessions = []  # (start, end) via the same gap rule, per user
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for x in base:
+        per_user[x.user_id].append((x.us, x.event_id))
+    gap_us = 1800 * 1_000_000
+    for evs in per_user.values():
+        evs.sort()
+        start = prev = evs[0][0]
+        for us, _e in evs[1:]:
+            if us - prev > gap_us:
+                sessions.append((start, prev))
+                start = us
+            prev = us
+        sessions.append((start, prev))
+    assert r.n_sessions == len(sessions)
+    # literal sweep replay
+    deltas = defaultdict(int)
+    for s, e in sessions:
+        deltas[s] += 1
+        deltas[e + 1] -= 1
+    running, peak, first_at = 0, -1, None
+    for us in sorted(deltas):
+        running += deltas[us]
+        if running > peak:
+            peak, first_at = running, us
+    assert (r.peak, r.first_peak_us) == (peak, first_at)
+    # cross-check peak against the brute-force definition at peak time
+    live = sum(1 for s, e in sessions if s <= first_at <= e)
+    assert live == peak
+
+
+def test_vocab_coverage_matches_python(spark, docs):
+    from sqlstreamstore_spark.analytics.text import vocab_coverage
+
+    rows = {r.k: r for r in vocab_coverage(docs).collect()}
+    from collections import Counter
+
+    c = Counter()
+    for row in docs.select("text").collect():
+        w = row.text.split(" ")
+        c.update(f"{a} {b}" for a, b in zip(w, w[1:]))
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(c.values())
+    for k, r in rows.items():
+        cov = sum(cnt for _g, cnt in ordered[:k])
+        assert r.vocab_size == len(c)
+        assert (r.covered, r.total) == (cov, total)
+        assert r.coverage == cov / total
+    # the curve is monotone and k=10 already covers a real share
+    ks = sorted(rows)
+    assert all(
+        rows[a].coverage <= rows[b].coverage for a, b in zip(ks, ks[1:])
+    )
+    assert rows[ks[0]].coverage > 0.01

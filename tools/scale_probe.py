@@ -503,6 +503,26 @@ def main() -> int:
         bc = rel6.brand_cooccurrence(lineitem, part)
         n = bc.count()
         res["brand_cooccurrence"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        # anti-entropy checksums: payload never shuffles, bucket axis only
+        from sqlstreamstore_spark.analytics import quality as qual6b
+
+        t0 = time.time()
+        mk = qual6b.merkle_bucket_checksums(lineitem)
+        n = mk.count()
+        res["merkle_checksums"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        # two global rankings via the two-phase dense index
+        t0 = time.time()
+        rf = eval6.rrf_fusion(docs)
+        n = rf.count()
+        res["rrf_fusion"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        # sweep-line peak concurrency: distinct-timestamp axis only
+        t0 = time.time()
+        pc = ev6.peak_concurrency(events).collect()[0]
+        res["peak_concurrency"] = {
+            "peak": pc.peak, "s": round(time.time() - t0, 2)}
         return res
 
     out = []
