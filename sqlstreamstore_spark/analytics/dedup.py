@@ -1006,3 +1006,37 @@ def golden_records(documents: DataFrame) -> DataFrame:
         )
         .orderBy("cluster_key")
     )
+
+
+def duplication_profile(documents: DataFrame, chunk_tokens: int = 8) -> DataFrame:
+    """Corpus duplication PROFILE — the one-page summary of how
+    duplicated the corpus is, built on the same global first-
+    occurrence chunk pass as `pipeline.sentence_dedup`: each doc's
+    duplicate share (1 - kept/total chunks) bucketed into deciles,
+    one row per decile with doc counts and chunk totals. The curve a
+    curation team reads before choosing dedup aggressiveness.
+
+    All-integer (the decile index is floor(10*dup/total) on exact
+    BIGINTs via integer cross-multiplication — no float boundary);
+    zero-tolerance oracle."""
+    from sqlstreamstore_spark.analytics.pipeline import sentence_dedup
+
+    per_doc = sentence_dedup(documents, chunk_tokens).select(
+        "doc_id",
+        "n_chunks",
+        (F.col("n_chunks") - F.col("n_kept")).alias("n_dup"),
+    )
+    # decile = floor(10 * dup / total), with the all-dup doc capped at 9
+    decile = F.least(
+        F.lit(9).cast("long"),
+        F.floor((F.lit(10) * F.col("n_dup")) / F.col("n_chunks")).cast("long"),
+    )
+    return (
+        per_doc.groupBy(decile.alias("dup_decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.sum("n_dup").cast("long").alias("n_dup_chunks"),
+        )
+        .orderBy("dup_decile")
+    )

@@ -1327,3 +1327,50 @@ def peak_concurrency(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     return first_at.crossJoin(F.broadcast(n)).select(
         "n_sessions", "peak", "first_peak_us"
     )
+
+
+def ltv_triangle(events: DataFrame) -> DataFrame:
+    """Cohort LTV triangle — the finance-facing growth artifact: users
+    grouped by signup-cohort week (week of first activity), purchase
+    revenue accumulated by cohort age, one cell per (cohort_week,
+    age_weeks) with the cell's active purchasers, its revenue, and the
+    cohort's running cumulative revenue ("LTV at age k"). Reading a
+    column compares cohort quality at equal age — the triangle shape
+    is why finance calls it that.
+
+    All-integer (BIGINT cents); the cumulative sum is a window keyed
+    by cohort_week over the bounded age axis. Shape: one user-keyed
+    agg for cohorts, one broadcast-joinable cohort map (users are the
+    small side ONLY at fixture scale — at 100 TB the join is a plain
+    user_id equi-join, which is what's written), one partial agg onto
+    the bounded (cohort, age) grid."""
+    week = F.floor(
+        F.unix_micros(F.col("ts")) / F.lit(7 * 86_400_000_000)
+    ).cast("long")
+    base = events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select("user_id", week.alias("wk"), "event_type", "value")
+    cohorts = base.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    cells = (
+        base.join(cohorts, "user_id")
+        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("value").isNotNull())
+        .groupBy("cohort_week", (F.col("wk") - F.col("cohort_week")).alias("age_weeks"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_purchasers"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.withColumn(
+            "cum_revenue_cents", F.sum("revenue_cents").over(w).cast("long")
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )

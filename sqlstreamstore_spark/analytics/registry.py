@@ -4995,6 +4995,61 @@ SELECT k, vocab_size, covered, total,
 FROM ranked, tot WHERE k IN (10, 100, 500) ORDER BY k
 """
 
+_LTV_TRIANGLE_SQL = """
+WITH base AS (
+  SELECT user_id, CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) AS wk,
+         event_type, value
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+cohorts AS (SELECT user_id, min(wk) AS cohort_week FROM base GROUP BY user_id),
+cells AS (
+  SELECT c.cohort_week, b.wk - c.cohort_week AS age_weeks,
+         CAST(count(DISTINCT b.user_id) AS BIGINT) AS n_purchasers,
+         CAST(sum(CAST(round(b.value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM base b JOIN cohorts c USING (user_id)
+  WHERE b.event_type = 'purchase' AND b.value IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT cohort_week, age_weeks, n_purchasers, revenue_cents,
+       CAST(sum(revenue_cents) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_revenue_cents
+FROM cells ORDER BY cohort_week, age_weeks
+"""
+
+_NEYMAN_SQL = """
+WITH g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(n_chars) AS BIGINT) AS s1,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY source
+),
+s AS (
+  SELECT source, n_rows,
+         sqrt(CAST(s2 AS DOUBLE) / CAST(n_rows AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n_rows AS DOUBLE))) AS sigma
+  FROM g
+),
+d AS (SELECT sum(CAST(n_rows AS DOUBLE) * sigma) AS den FROM s)
+SELECT source, n_rows, round(sigma, 9) AS sigma,
+       round(CAST(n_rows AS DOUBLE) * sigma / (SELECT den FROM d), 9) AS alloc_share,
+       CAST(floor(1000.0 * (CAST(n_rows AS DOUBLE) * sigma / (SELECT den FROM d)))
+            AS BIGINT) AS n_alloc
+FROM s ORDER BY source
+"""
+
+_DUP_PROFILE_SQL = f"""
+WITH sd AS ({_SENTENCE_DEDUP_SQL}),
+per AS (SELECT doc_id, n_chunks, n_chunks - n_kept AS n_dup FROM sd)
+SELECT least(CAST(9 AS BIGINT),
+             CAST(floor((10 * n_dup) / n_chunks) AS BIGINT)) AS dup_decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(sum(n_dup) AS BIGINT) AS n_dup_chunks
+FROM per GROUP BY 1 ORDER BY dup_decile
+"""
+
 _CLASS_REPORT_SQL = f"""
 WITH {_EVAL_SCORED_CTE},
 one AS (
@@ -6205,5 +6260,26 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
         "text_vocab_coverage": (
             lambda s, sf: text.vocab_coverage(_t(s, sf, "documents")),
             _VOCAB_COVERAGE_SQL,
+        ),
+        # cohort LTV triangle: BIGINT cents, per-cohort running sum
+        # over the bounded age axis
+        "events_ltv_triangle": (
+            lambda s, sf: events.ltv_triangle(_t(s, sf, "events")),
+            _LTV_TRIANGLE_SQL,
+        ),
+        # Neyman stratified-allocation plan; share rounded at 9 (the
+        # denominator is a cross-row float sum — order-sensitive bits)
+        "sampling_neyman_allocation": (
+            lambda s, sf: _round_cols(
+                sampling.neyman_allocation(_t(s, sf, "documents")),
+                ("alloc_share",),
+            ),
+            _NEYMAN_SQL,
+        ),
+        # duplication deciles on the sentence-dedup chunk pass;
+        # decile boundary is integer cross-multiplied
+        "dedup_duplication_profile": (
+            lambda s, sf: dedup.duplication_profile(_t(s, sf, "documents")),
+            _DUP_PROFILE_SQL,
         ),
     }

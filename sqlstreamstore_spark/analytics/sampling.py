@@ -426,3 +426,44 @@ def ess_report(documents: DataFrame) -> DataFrame:
             / (F.col("sum_w2") * F.col("n_docs"))
         ).alias("ess_ratio"),
     )
+
+
+def neyman_allocation(documents: DataFrame, budget: int = 1000) -> DataFrame:
+    """Neyman-optimal stratified-sample allocation plan — BEFORE
+    drawing a stratified sample, decide how many units each stratum
+    gets: proportional to N_h·σ_h (big AND variable strata earn more
+    slots), the variance-minimizing allocation for a fixed budget
+    (Neyman 1934). This op emits the PLAN (the sampler itself is
+    `stratified_sample`); strata = source, y = n_chars.
+
+    σ_h is the population std from two exact BIGINT moments (one
+    sqrt, correctly rounded); shares and floor-allocations are pure
+    functions of those doubles in identical order both engines —
+    zero-tolerance oracle. Shape: one partial agg onto the bounded
+    source axis + a one-row broadcast of the denominator."""
+    g = documents.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
+    )
+    nd = F.col("n_rows").cast("double")
+    sigma = F.sqrt(
+        F.col("s2").cast("double") / nd
+        - (F.col("s1").cast("double") / nd) * (F.col("s1").cast("double") / nd)
+    )
+    scored = g.select("source", "n_rows", sigma.alias("sigma"))
+    denom = scored.agg(
+        F.sum(F.col("n_rows").cast("double") * F.col("sigma")).alias("__den")
+    )
+    share = F.col("n_rows").cast("double") * F.col("sigma") / F.col("__den")
+    return (
+        scored.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_rows",
+            F.round("sigma", 9).alias("sigma"),
+            share.alias("alloc_share"),
+            F.floor(F.lit(float(budget)) * share).cast("long").alias("n_alloc"),
+        )
+        .orderBy("source")
+    )

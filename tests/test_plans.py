@@ -1030,3 +1030,27 @@ def test_vocab_coverage_rank_and_cumsum_two_phase(spark):
     for line in p.splitlines():
         if "windowspecdefinition(" in line:
             assert "__pid" in line, line
+
+
+def test_ltv_triangle_equi_join_bounded_window(spark):
+    from sqlstreamstore_spark.analytics.events import ltv_triangle
+
+    ev = load_table(spark, SF, "events")
+    p = plan_of(ltv_triangle(ev))
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "cohort_week" in line, line
+
+
+def test_neyman_allocation_bounded_axis_one_broadcast(spark):
+    from sqlstreamstore_spark.analytics.sampling import neyman_allocation
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(neyman_allocation(docs))
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    assert tree.count("BroadcastNestedLoopJoin") <= 1, tree
+    assert "windowspecdefinition" not in p

@@ -810,3 +810,100 @@ def test_vocab_coverage_matches_python(spark, docs):
         rows[a].coverage <= rows[b].coverage for a, b in zip(ks, ks[1:])
     )
     assert rows[ks[0]].coverage > 0.01
+
+
+def test_ltv_triangle_matches_python(spark, ev):
+    from sqlstreamstore_spark.analytics.events import ltv_triangle
+
+    rows = {(r.cohort_week, r.age_weeks): r for r in ltv_triangle(ev).collect()}
+    base = [
+        r
+        for r in ev.select(
+            "user_id", F.unix_micros("ts").alias("us"), "event_type", "value"
+        ).collect()
+        if r.us is not None and r.user_id is not None
+    ]
+    wk = lambda us: us // (7 * 86_400_000_000)
+    cohort = {}
+    for r in base:
+        w = wk(r.us)
+        cohort[r.user_id] = min(cohort.get(r.user_id, w), w)
+    from collections import defaultdict
+
+    rev = defaultdict(int)
+    users = defaultdict(set)
+    for r in base:
+        if r.event_type == "purchase" and r.value is not None:
+            key = (cohort[r.user_id], wk(r.us) - cohort[r.user_id])
+            rev[key] += round(r.value * 100)
+            users[key].add(r.user_id)
+    assert set(rows) == set(rev)
+    for key in rev:
+        r = rows[key]
+        assert (r.n_purchasers, r.revenue_cents) == (len(users[key]), rev[key])
+    # cumulative column replays the per-cohort running sum
+    from itertools import groupby
+
+    for cw, grp in groupby(sorted(rev), key=lambda k: k[0]):
+        run = 0
+        for key in grp:
+            run += rev[key]
+            assert rows[key].cum_revenue_cents == run
+
+
+def test_neyman_allocation_matches_python(spark, docs):
+    import math
+
+    from sqlstreamstore_spark.analytics.sampling import neyman_allocation
+
+    rows = {r.source: r for r in neyman_allocation(docs).collect()}
+    base = docs.select("source", "n_chars").collect()
+    from collections import defaultdict
+
+    g = defaultdict(list)
+    for r in base:
+        g[r.source].append(r.n_chars)
+    sig = {}
+    for s, xs in g.items():
+        n = float(len(xs))
+        sig[s] = math.sqrt(
+            sum(x * x for x in xs) / n - (sum(xs) / n) * (sum(xs) / n)
+        )
+    den = sum(len(g[s]) * sig[s] for s in sorted(g))
+    assert set(rows) == set(g)
+    total_alloc = 0
+    for s in g:
+        r = rows[s]
+        assert r.n_rows == len(g[s])
+        assert abs(r.sigma - sig[s]) < 1e-8
+        share = len(g[s]) * sig[s] / den
+        assert abs(r.alloc_share - share) < 1e-8
+        assert abs(r.n_alloc - math.floor(1000.0 * share)) <= 1
+        total_alloc += r.n_alloc
+    # floors never exceed the budget; shares sum to 1
+    assert total_alloc <= 1000
+    assert abs(sum(r.alloc_share for r in rows.values()) - 1.0) < 1e-6
+
+
+def test_duplication_profile_matches_python(spark, docs):
+    from sqlstreamstore_spark.analytics.dedup import duplication_profile
+    from sqlstreamstore_spark.analytics.pipeline import sentence_dedup
+
+    got = {r.dup_decile: r for r in duplication_profile(docs).collect()}
+    per = sentence_dedup(docs, 8).collect()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in per:
+        dup = r.n_chunks - r.n_kept
+        dec = min(9, (10 * dup) // r.n_chunks)
+        a = agg[dec]
+        a[0] += 1
+        a[1] += r.n_chunks
+        a[2] += dup
+    assert set(got) == set(agg)
+    for dec, (nd, nc, ndup) in agg.items():
+        r = got[dec]
+        assert (r.n_docs, r.n_chunks, r.n_dup_chunks) == (nd, nc, ndup)
+    # totals reconcile with the corpus
+    assert sum(r.n_docs for r in got.values()) == len(per)
