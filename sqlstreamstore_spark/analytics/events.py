@@ -1374,3 +1374,174 @@ def ltv_triangle(events: DataFrame) -> DataFrame:
         )
         .orderBy("cohort_week", "age_weeks")
     )
+
+
+def dau_mau_stickiness(events: DataFrame, window_days: int = 28) -> DataFrame:
+    """DAU / trailing-MAU stickiness per day — the engagement ratio
+    ("what share of the monthly audience shows up daily") every
+    consumer product reports: DAU = distinct users that day, MAU =
+    distinct users in the ``window_days`` ending that day, computed
+    exactly with the same explode-to-target-days shape as
+    :func:`rolling_distinct_users` (a frame-DISTINCT no window can
+    express; the bounded-state twin at 100 TB is the HLL register
+    path). Only observed days are rows; the ratio is one exact
+    divide.
+
+    Scale shape: every step is a keyed partial agg on (day, user);
+    replication factor = window size (28), never a self-join."""
+    d = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("long")
+    du = (
+        events.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(d.alias("d"), "user_id")
+        .distinct()
+    )
+    dau = du.groupBy("d").agg(F.count("*").cast("long").alias("dau"))
+    contrib = (
+        du.select(
+            "d",
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("off"),
+        )
+        .select((F.col("d") + F.col("off")).alias("day_no"), "user_id")
+        .distinct()
+    )
+    mau = (
+        contrib.join(dau.select(F.col("d").alias("day_no")), "day_no")
+        .groupBy("day_no")
+        .agg(F.count("*").cast("long").alias("mau"))
+    )
+    return (
+        dau.withColumnRenamed("d", "day_no")
+        .join(mau, "day_no")
+        .select(
+            "day_no",
+            "dau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+        )
+        .orderBy("day_no")
+    )
+
+
+def session_gap_sweep(
+    events: DataFrame, gaps_seconds: tuple = (300, 1800, 7200)
+) -> DataFrame:
+    """Sessionization parameter sweep — how session counts respond to
+    the inactivity-gap threshold, the table you read BEFORE picking
+    the 30-minute default everyone cargo-cults: per candidate gap, the
+    session count, singleton share, and total/max duration. One pass:
+    the per-user LAG is gap-independent, so it's computed once, the
+    candidate gaps are exploded against it, and ONE window keyed by
+    (gap, user) numbers all three sweeps together.
+
+    All-integer outputs — zero-tolerance oracle. Scale shape: the
+    window and aggregates share the (gap, user) key; cost = one
+    sessionization × the (bounded) number of candidate gaps."""
+    base = events.filter(F.col("ts").isNotNull()).select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+    )
+    wl = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lagged = base.withColumn("prev_us", F.lag("us").over(wl))
+    swept = lagged.select(
+        "*",
+        F.explode(
+            # long, not int: gap_s * 1e6 micros overflows int32 at 2147 s
+            F.array(*[F.lit(g).cast("long") for g in gaps_seconds])
+        ).alias("gap_s"),
+    )
+    brk = F.when(
+        F.col("prev_us").isNull()
+        | ((F.col("us") - F.col("prev_us")) > F.col("gap_s") * 1_000_000),
+        1,
+    ).otherwise(0)
+    w = (
+        Window.partitionBy("gap_s", "user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = swept.withColumn("brk", brk).withColumn(
+        "session_no", F.sum("brk").over(w)
+    )
+    sess = numbered.groupBy("gap_s", "user_id", "session_no").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+    )
+    return (
+        sess.groupBy("gap_s")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_singletons"),
+            F.sum("dur_us").cast("long").alias("total_duration_us"),
+            F.max("dur_us").cast("long").alias("max_duration_us"),
+        )
+        .orderBy("gap_s")
+    )
+
+
+def error_burn_rate(
+    events: DataFrame, slo: float = 0.75, long_hours: int = 6
+) -> DataFrame:
+    """Multiwindow error-budget burn rate — the SRE alerting rule
+    (short AND long window both burning ⇒ page): per hour, the 1-hour
+    error share and the trailing ``long_hours`` share, each divided by
+    the error budget (1 - slo); the alert fires only when both exceed
+    1. The two-window AND is what kills both false pages (short-only
+    spikes) and slow burns missed by short windows.
+
+    Counts are exact; rates are single divides; the trailing window is
+    the explode-to-target-hours shape (factor = long_hours), never a
+    self-join. The budget divide uses the literal (1 - slo) double —
+    identical in both engines."""
+    h = F.floor(F.unix_micros(F.col("ts")) / F.lit(3_600_000_000)).cast("long")
+    base = events.filter(F.col("ts").isNotNull()).select(
+        h.alias("h"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).cast("long").alias(
+            "is_err"
+        ),
+    )
+    hourly = base.groupBy("h").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("is_err").cast("long").alias("n_errors"),
+    )
+    contrib = (
+        hourly.select(
+            "h",
+            "n_total",
+            "n_errors",
+            F.explode(F.sequence(F.lit(0), F.lit(long_hours - 1))).alias("off"),
+        )
+        .select((F.col("h") + F.col("off")).alias("hour_epoch"), "n_total", "n_errors")
+    )
+    trailing = (
+        contrib.join(
+            hourly.select(F.col("h").alias("hour_epoch")), "hour_epoch"
+        )
+        .groupBy("hour_epoch")
+        .agg(
+            F.sum("n_total").cast("long").alias("long_total"),
+            F.sum("n_errors").cast("long").alias("long_errors"),
+        )
+    )
+    budget = 1.0 - slo
+    short_rate = F.col("n_errors").cast("double") / F.col("n_total")
+    long_rate = F.col("long_errors").cast("double") / F.col("long_total")
+    return (
+        hourly.withColumnRenamed("h", "hour_epoch")
+        .join(trailing, "hour_epoch")
+        .select(
+            "hour_epoch",
+            "n_total",
+            "n_errors",
+            (short_rate / F.lit(budget)).alias("short_burn"),
+            (long_rate / F.lit(budget)).alias("long_burn"),
+            (
+                (short_rate / F.lit(budget) > 1.0)
+                & (long_rate / F.lit(budget) > 1.0)
+            ).alias("alert"),
+        )
+        .orderBy("hour_epoch")
+    )

@@ -5050,6 +5050,88 @@ SELECT least(CAST(9 AS BIGINT),
 FROM per GROUP BY 1 ORDER BY dup_decile
 """
 
+_DAU_MAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d,
+         user_id
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d),
+contrib AS (
+  SELECT DISTINCT day_no, user_id FROM (
+    SELECT d + unnest(range(0, 28)) AS day_no, user_id FROM du)
+),
+mau AS (
+  SELECT c.day_no, CAST(count(*) AS BIGINT) AS mau
+  FROM contrib c JOIN (SELECT d FROM dau) o ON c.day_no = o.d
+  GROUP BY c.day_no
+)
+SELECT dau.d AS day_no, dau.dau, mau.mau,
+       CAST(dau.dau AS DOUBLE) / mau.mau AS stickiness
+FROM dau JOIN mau ON dau.d = mau.day_no ORDER BY day_no
+"""
+
+_GAP_SWEEP_SQL = """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id
+  FROM events WHERE ts IS NOT NULL
+),
+lagged AS (
+  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+  FROM base
+),
+swept AS (
+  SELECT l.*, g.gap_s
+  FROM lagged l, (SELECT unnest([300, 1800, 7200]) AS gap_s) g
+),
+numbered AS (
+  SELECT *,
+         sum(CASE WHEN prev_us IS NULL OR us - prev_us > CAST(gap_s AS BIGINT) * 1000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY gap_s, user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM swept
+),
+sess AS (
+  SELECT gap_s, user_id, session_no, CAST(count(*) AS BIGINT) AS n_events,
+         max(us) - min(us) AS dur_us
+  FROM numbered GROUP BY 1, 2, 3
+)
+SELECT CAST(gap_s AS BIGINT) AS gap_s,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+       CAST(sum(dur_us) AS BIGINT) AS total_duration_us,
+       CAST(max(dur_us) AS BIGINT) AS max_duration_us
+FROM sess GROUP BY gap_s ORDER BY gap_s
+"""
+
+_BURN_RATE_SQL = """
+WITH hourly AS (
+  SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+contrib AS (
+  SELECT h + off AS hour_epoch, n_total, n_errors FROM (
+    SELECT h, n_total, n_errors, unnest(range(0, 6)) AS off FROM hourly)
+),
+trail AS (
+  SELECT c.hour_epoch,
+         CAST(sum(c.n_total) AS BIGINT) AS long_total,
+         CAST(sum(c.n_errors) AS BIGINT) AS long_errors
+  FROM contrib c JOIN (SELECT h FROM hourly) o ON c.hour_epoch = o.h
+  GROUP BY c.hour_epoch
+)
+SELECT h.h AS hour_epoch, h.n_total, h.n_errors,
+       (CAST(h.n_errors AS DOUBLE) / h.n_total) / 0.25 AS short_burn,
+       (CAST(t.long_errors AS DOUBLE) / t.long_total) / 0.25 AS long_burn,
+       ((CAST(h.n_errors AS DOUBLE) / h.n_total) / 0.25 > 1.0
+        AND (CAST(t.long_errors AS DOUBLE) / t.long_total) / 0.25 > 1.0) AS alert
+FROM hourly h JOIN trail t ON h.h = t.hour_epoch ORDER BY hour_epoch
+"""
+
 _CLASS_REPORT_SQL = f"""
 WITH {_EVAL_SCORED_CTE},
 one AS (
@@ -6281,5 +6363,23 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
         "dedup_duplication_profile": (
             lambda s, sf: dedup.duplication_profile(_t(s, sf, "documents")),
             _DUP_PROFILE_SQL,
+        ),
+        # DAU / trailing-28d MAU per day, exact frame-DISTINCT via the
+        # explode-to-target-days shape; one exact divide
+        "events_dau_mau_stickiness": (
+            lambda s, sf: events.dau_mau_stickiness(_t(s, sf, "events")),
+            _DAU_MAU_SQL,
+        ),
+        # sessionization gap-parameter sweep in ONE windowed pass over
+        # exploded candidates; all-integer outputs
+        "events_session_gap_sweep": (
+            lambda s, sf: events.session_gap_sweep(_t(s, sf, "events")),
+            _GAP_SWEEP_SQL,
+        ),
+        # SRE multiwindow error-budget burn (1h AND trailing-6h both
+        # over budget => alert); exact counts, literal budget divide
+        "events_error_burn_rate": (
+            lambda s, sf: events.error_burn_rate(_t(s, sf, "events")),
+            _BURN_RATE_SQL,
         ),
     }

@@ -1054,3 +1054,29 @@ def test_neyman_allocation_bounded_axis_one_broadcast(spark):
     assert "CartesianProduct" not in tree, tree
     assert tree.count("BroadcastNestedLoopJoin") <= 1, tree
     assert "windowspecdefinition" not in p
+
+
+def test_dau_mau_no_self_join_of_raw_events(spark):
+    """MAU comes from the explode-replication shape: equi-joins on the
+    day axis only, no raw-event self-join, no window."""
+    from sqlstreamstore_spark.analytics.events import dau_mau_stickiness
+
+    ev = load_table(spark, SF, "events")
+    p = plan_of(dau_mau_stickiness(ev))
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    assert "windowspecdefinition" not in p
+
+
+def test_session_gap_sweep_single_window_pass(spark):
+    """LAG is computed once (user key); the sweep window is keyed by
+    (gap, user) — both distributed, no per-gap re-scan joins."""
+    from sqlstreamstore_spark.analytics.events import session_gap_sweep
+
+    ev = load_table(spark, SF, "events")
+    p = plan_of(session_gap_sweep(ev))
+    tree = p.split("\n\n")[0]
+    assert "Join" not in tree and "CartesianProduct" not in tree, tree
+    wl = [l for l in p.splitlines() if "windowspecdefinition(" in l]
+    assert len(wl) == 2  # one LAG pass + one numbered pass
+    assert any("gap_s" in l for l in wl)

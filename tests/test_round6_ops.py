@@ -907,3 +907,72 @@ def test_duplication_profile_matches_python(spark, docs):
         assert (r.n_docs, r.n_chunks, r.n_dup_chunks) == (nd, nc, ndup)
     # totals reconcile with the corpus
     assert sum(r.n_docs for r in got.values()) == len(per)
+
+
+def test_dau_mau_stickiness_matches_python(spark, ev):
+    from sqlstreamstore_spark.analytics.events import dau_mau_stickiness
+
+    rows = {r.day_no: r for r in dau_mau_stickiness(ev).collect()}
+    base = [
+        (r.us // 86_400_000_000, r.user_id)
+        for r in ev.select(F.unix_micros("ts").alias("us"), "user_id").collect()
+        if r.us is not None and r.user_id is not None
+    ]
+    days = sorted({d for d, _u in base})
+    pairs = set(base)
+    assert set(rows) == set(days)
+    for d in days:
+        dau = len({u for dd, u in pairs if dd == d})
+        mau = len({u for dd, u in pairs if d - 27 <= dd <= d})
+        r = rows[d]
+        assert (r.dau, r.mau) == (dau, mau)
+        assert r.stickiness == dau / mau
+        assert r.dau <= r.mau
+
+
+def test_session_gap_sweep_matches_sessionizer(spark, ev):
+    """Each sweep row must equal an independent single-gap pass (the
+    pure-Python sessionizer already used by the KM test)."""
+    from sqlstreamstore_spark.analytics.events import session_gap_sweep
+
+    rows = {r.gap_s: r for r in session_gap_sweep(ev).collect()}
+    base = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    ).collect()
+    for gap_s in (300, 1800, 7200):
+        sessions = _sessions_python(base, gap_us=gap_s * 1_000_000)
+        r = rows[gap_s]
+        assert r.n_sessions == len(sessions)
+        assert r.total_duration_us == sum(d for _e, d in sessions)
+        assert r.max_duration_us == max(d for _e, d in sessions)
+    # monotonicity: a larger gap can only merge sessions
+    assert rows[300].n_sessions >= rows[1800].n_sessions >= rows[7200].n_sessions
+
+
+def test_error_burn_rate_matches_python(spark, ev):
+    from sqlstreamstore_spark.analytics.events import error_burn_rate
+
+    rows = {r.hour_epoch: r for r in error_burn_rate(ev).collect()}
+    base = [
+        (r.us // 3_600_000_000, r.event_type == "error")
+        for r in ev.select(
+            F.unix_micros("ts").alias("us"), "event_type"
+        ).collect()
+        if r.us is not None
+    ]
+    from collections import defaultdict
+
+    tot = defaultdict(int)
+    err = defaultdict(int)
+    for h, is_err in base:
+        tot[h] += 1
+        err[h] += is_err
+    assert set(rows) == set(tot)
+    for h in tot:
+        lt = sum(tot[g] for g in range(h - 5, h + 1) if g in tot)
+        le = sum(err[g] for g in range(h - 5, h + 1) if g in tot)
+        r = rows[h]
+        assert (r.n_total, r.n_errors) == (tot[h], err[h])
+        assert r.short_burn == (err[h] / tot[h]) / 0.25
+        assert r.long_burn == (le / lt) / 0.25
+        assert r.alert == (r.short_burn > 1.0 and r.long_burn > 1.0)

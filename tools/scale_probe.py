@@ -523,6 +523,19 @@ def main() -> int:
         pc = ev6.peak_concurrency(events).collect()[0]
         res["peak_concurrency"] = {
             "peak": pc.peak, "s": round(time.time() - t0, 2)}
+
+        # exact frame-DISTINCT via 28x explode replication
+        t0 = time.time()
+        st = ev6.dau_mau_stickiness(events)
+        n = st.count()
+        res["dau_mau"] = {"rows": n, "s": round(time.time() - t0, 2)}
+
+        # 3 sessionizations for the price of one keyed window
+        t0 = time.time()
+        sw = ev6.session_gap_sweep(events)
+        row = sw.agg(F.sum("n_sessions").alias("n")).collect()[0]
+        res["gap_sweep"] = {
+            "sessions_all_gaps": row.n, "s": round(time.time() - t0, 2)}
         return res
 
     out = []
