@@ -448,17 +448,23 @@ def merkle_bucket_checksums(lineitem: DataFrame, bucket_width: int = 256) -> Dat
     The canonical encoding uses only exactly-representable fields
     (keys, integer quantity, price cents, ship-date micros) joined
     with '|' — BIGINT-to-string renders identically in both engines,
-    where raw doubles would not. Shape: one map-side partial agg onto
-    the bucket axis."""
+    where raw doubles would not. NULLs are encoded EXPLICITLY
+    (coalesce to a sentinel) because the engines disagree on implicit
+    behavior: Spark's concat_ws silently SKIPS a null field (making
+    (a,NULL,c) collide with a 2-field row) while DuckDB's || nulls the
+    whole string (dropping the row from the XOR) — either way a silent
+    checksum divergence on real data. Shape: one map-side partial agg
+    onto the bucket axis."""
+    enc = lambda c: F.coalesce(c.cast("string"), F.lit("␀null"))
     s = F.concat_ws(
         "|",
-        F.col("l_orderkey"),
-        F.col("l_linenumber"),
-        F.col("l_quantity").cast("long"),
-        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        enc(F.col("l_orderkey")),
+        enc(F.col("l_linenumber")),
+        enc(F.col("l_quantity").cast("long")),
+        enc(F.round(F.col("l_extendedprice") * 100).cast("long")),
         # parquet NTZ -> session-UTC timestamp: epoch micros == DuckDB's
         # epoch_us of the same naive value
-        F.unix_micros(F.col("l_shipdate").cast("timestamp")),
+        enc(F.unix_micros(F.col("l_shipdate").cast("timestamp"))),
     )
     h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     return (

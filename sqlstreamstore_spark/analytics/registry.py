@@ -1335,7 +1335,7 @@ ORDER BY e.vec_id
 """
 
 
-_SEMANTIC_CLUSTERS_SQL = _semantic_clusters_sql()
+_SEMANTIC_CLUSTERS_SQL = _semantic_clusters_sql(n_clusters=16)
 
 
 def _pq_sql_blocks(cbs, sd: int, m: int) -> tuple[str, str, str, str]:
@@ -4818,11 +4818,11 @@ _MERKLE_SQL = """
 WITH h AS (
   SELECT CAST(floor(l_orderkey / 256.0) AS BIGINT) AS bucket,
          CAST(('0x' || substr(md5(
-            CAST(l_orderkey AS VARCHAR) || '|' ||
-            CAST(l_linenumber AS VARCHAR) || '|' ||
-            CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '|' ||
-            CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
-            CAST(epoch_us(l_shipdate) AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+            COALESCE(CAST(l_orderkey AS VARCHAR), '␀null') || '|' ||
+            COALESCE(CAST(l_linenumber AS VARCHAR), '␀null') || '|' ||
+            COALESCE(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), '␀null') || '|' ||
+            COALESCE(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), '␀null') || '|' ||
+            COALESCE(CAST(epoch_us(l_shipdate) AS VARCHAR), '␀null')), 1, 15)) AS BIGINT) AS h
   FROM lineitem
 )
 SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
@@ -5793,10 +5793,12 @@ ORDER BY doc_id""",
         "sim_cosine_topk_ivf_batch": (_sim_knn_ivf_batch_query, _IVF_BATCH_SQL),
         # SemDeDup-shape curation: corpus-as-queries kNN graph (edge
         # count ≤ N·k by construction) + connected components, every
-        # vector labeled (singletons filled)
+        # vector labeled (singletons filled). n_clusters=16 tracks the
+        # gate corpus (N/target_list_size, the docstring rule) — halves
+        # candidate mass vs the old 8-list default, measured 15.2->7.9 s
         "sim_semantic_clusters": (
             lambda s, sf: similarity.semantic_clusters(
-                _t(s, sf, "embeddings"), k=4, threshold=0.35
+                _t(s, sf, "embeddings"), k=4, threshold=0.35, n_clusters=16
             ),
             _SEMANTIC_CLUSTERS_SQL,
         ),

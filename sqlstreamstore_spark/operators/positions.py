@@ -333,3 +333,58 @@ def with_global_last_carry(
         )
         .drop("__pid")
     )
+
+
+def with_global_rank_and_cumsum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    rank_col: str = "ix",
+    cum_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 0-based global rank AND inclusive running total of
+    ``value_col`` over ONE global order, in a SINGLE two-phase pass:
+    one range partition + sort, one totals collect that gathers BOTH
+    per-partition row counts and value sums, one window pass emitting
+    both columns. Callers that need rank and cumsum on the same order
+    (coverage curves, Pareto cuts) pay one localCheckpoint and one
+    shuffle instead of two of each."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    stats = {
+        r["__pid"]: (r["c"], r["s"])
+        for r in parted.groupBy("__pid")
+        .agg(F.count("*").alias("c"), F.sum(value_col).alias("s"))
+        .collect()
+    }
+    cnt_off, sum_off = {}, {}
+    acc_c, acc_s = 0, 0
+    for pid in sorted(stats):
+        cnt_off[pid], sum_off[pid] = acc_c, acc_s
+        c, s = stats[pid]
+        acc_c += c or 0
+        acc_s += s or 0
+    def _map(d):
+        pairs = [x for kv in d.items() for x in kv]
+        return (
+            F.element_at(F.create_map(*[F.lit(x) for x in pairs]), F.col("__pid"))
+            if pairs
+            else F.lit(0)
+        )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        parted.withColumn(
+            rank_col,
+            (F.row_number().over(w) - 1 + _map(cnt_off)).cast("long"),
+        )
+        .withColumn(cum_col, (F.sum(value_col).over(wf) + _map(sum_off)).cast("long"))
+        .drop("__pid")
+    )

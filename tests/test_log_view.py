@@ -130,3 +130,27 @@ def test_with_global_cummax_matches_single_partition_reference(spark):
             for r in df.withColumn("m", F.max("v").over(w)).collect()
         }
         assert got == exp, exclusive
+
+
+def test_with_global_rank_and_cumsum_matches_two_primitives(spark):
+    """The fused pass must equal the separate dense-index + cumsum
+    primitives on data spanning many range partitions, nulls included
+    in the value column."""
+    from sqlstreamstore_spark.operators.positions import (
+        with_dense_global_index,
+        with_global_cumsum,
+        with_global_rank_and_cumsum,
+    )
+
+    rows = [(i, ((i * 13) % 7) if i % 9 else None) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    fused = {
+        r.k: (r.ix, r.c)
+        for r in with_global_rank_and_cumsum(
+            df, [F.col("k")], "v", "ix", "c", num_partitions=16
+        ).collect()
+    }
+    a = with_dense_global_index(df, [F.col("k")], "ix", num_partitions=16)
+    b = with_global_cumsum(a, [F.col("k")], "v", "c", num_partitions=16)
+    exp = {r.k: (r.ix, r.c) for r in b.collect()}
+    assert fused == exp

@@ -191,3 +191,144 @@ def test_assoc_rules_random_baskets(spark, baskets):
         assert ra.lift == rb.lift  # exact same BIGINT ratio both ways
         assert ra.support == cb / n
         assert ra.confidence >= ra.support - 1e-15
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    deltas=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 50)),  # (user, delta)
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_clamped_balance_random_deltas(spark, deltas):
+    """The Skorokhod closed form must equal the literal recurrence
+    b = max(0, b + d) on arbitrary signed streams, per user."""
+    from sqlstreamstore_spark.analytics.events import clamped_balance
+
+    ev = spark.createDataFrame(
+        [
+            (i, _day(i), u, "credit" if d >= 0 else "purchase", abs(d) / 100.0)
+            for i, (u, d) in enumerate(deltas)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    rows = clamped_balance(ev).collect()
+    per_user = defaultdict(list)
+    for i, (u, d) in enumerate(deltas):
+        per_user[u].append((i, d))
+    exp = {}
+    for u, evs in per_user.items():
+        b = 0
+        for i, d in evs:  # event i maps to day i: already time-ordered
+            b = max(0, b + d)
+            exp[i] = b
+    assert len(rows) == len(deltas)
+    for r in rows:
+        assert r.balance_cents == exp[r.event_id], (r.event_id, deltas)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),  # (price, size)
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_skyline_random_points(spark, pts):
+    """Two-phase frontier == all-pairs dominance on arbitrary points,
+    including duplicate coordinates."""
+    from sqlstreamstore_spark.analytics.relational import part_skyline
+
+    part = spark.createDataFrame(
+        [(i, f"p{i}", float(p), s) for i, (p, s) in enumerate(pts)],
+        "p_partkey long, p_name string, p_retailprice double, p_size int",
+    )
+    got = {r.p_partkey for r in part_skyline(part).collect()}
+    exp = {
+        i
+        for i, (p, s) in enumerate(pts)
+        if not any(
+            q <= p and t >= s and (q < p or t > s) for (q, t) in pts
+        )
+    }
+    assert got == exp, (pts, got, exp)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=1, max_size=12),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_sentence_dedup_random_corpora(spark, texts):
+    """Global chunk-dedup invariants on arbitrary corpora: every
+    distinct chunk survives exactly once, first occurrence wins, and
+    reconstruction preserves within-doc order."""
+    from sqlstreamstore_spark.analytics.pipeline import sentence_dedup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in sentence_dedup(docs, chunk_tokens=3).collect()}
+    first = {}
+    for did, toks in enumerate(texts):
+        cs = [" ".join(toks[i : i + 3]) for i in range(0, len(toks), 3)]
+        for pos, c in enumerate(cs):
+            first.setdefault(c, (did, pos))
+        kept = [
+            c
+            for pos, c in enumerate(cs)
+            if first[c] == (did, pos)
+        ]
+        r = rows[did]
+        assert r.n_chunks == len(cs)
+        assert r.kept_text == " ".join(kept)
+    assert sum(r.n_kept for r in rows.values()) == len(first)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    evs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100_000)),  # (user, seconds)
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_gap_sweep_random_streams(spark, evs):
+    """Each sweep row equals an independent sessionization of the same
+    random stream at that gap."""
+    from sqlstreamstore_spark.analytics.events import session_gap_sweep
+
+    base = dt.datetime(1995, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(seconds=s), u, "e", 0.0)
+            for i, (u, s) in enumerate(evs)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    rows = {r.gap_s: r for r in session_gap_sweep(ev, (300, 1800)).collect()}
+    for gap_s in (300, 1800):
+        per_user = defaultdict(list)
+        for i, (u, s) in enumerate(evs):
+            per_user[u].append((s * 1_000_000, i))
+        n_sessions = 0
+        total_dur = 0
+        for u, es in per_user.items():
+            es.sort()
+            start = prev = es[0][0]
+            for us, _i in es[1:]:
+                if us - prev > gap_s * 1_000_000:
+                    n_sessions += 1
+                    total_dur += prev - start
+                    start = us
+                prev = us
+            n_sessions += 1
+            total_dur += prev - start
+        r = rows[gap_s]
+        assert (r.n_sessions, r.total_duration_us) == (n_sessions, total_dur)

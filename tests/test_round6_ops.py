@@ -976,3 +976,22 @@ def test_error_burn_rate_matches_python(spark, ev):
         assert r.short_burn == (err[h] / tot[h]) / 0.25
         assert r.long_burn == (le / lt) / 0.25
         assert r.alert == (r.short_burn > 1.0 and r.long_burn > 1.0)
+
+
+def test_merkle_checksums_null_fields_encoded(spark):
+    """A NULL field must hash as the explicit sentinel, not vanish:
+    Spark's concat_ws skips NULLs and DuckDB's || nulls the string —
+    both silent divergences the encoding forecloses."""
+    import hashlib
+
+    from sqlstreamstore_spark.analytics.quality import merkle_bucket_checksums
+
+    df = spark.createDataFrame(
+        [(1, 1, None, 10.0, None)],
+        "l_orderkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double, l_shipdate timestamp",
+    )
+    r = merkle_bucket_checksums(df).collect()[0]
+    s = "1|1|␀null|1000|␀null"
+    assert r.checksum == int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    assert r.n_rows == 1
