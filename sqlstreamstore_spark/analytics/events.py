@@ -1545,3 +1545,77 @@ def error_burn_rate(
         )
         .orderBy("hour_epoch")
     )
+
+
+def theil_sen_trend(events: DataFrame) -> DataFrame:
+    """Theil-Sen robust trend of the daily event-count series — the
+    slope estimate that shrugs off outlier days (a single traffic
+    spike drags OLS, but the MEDIAN of all pairwise slopes moves only
+    when half the data does; 29.3% breakdown point): slope in
+    events/day, plus the median-of-residuals intercept.
+
+    The day axis is BOUNDED (observation span), so the pairwise-slope
+    set is (days choose 2) — quadratic in DAYS, not rows (30 days =
+    435 pairs; even a decade is ~6.7M — trivial). Counts come from one
+    partial agg over the full zero-filled spine; the medians are exact
+    rank-selects (low+high midpoint for even counts, matching DuckDB's
+    median()) over deterministic rationals. Slope ties order
+    identically in both engines — double division of exact ints."""
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("long")
+    counts = (
+        events.filter(F.col("ts").isNotNull())
+        .select(day.alias("day_no"))
+        .groupBy("day_no")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    bounds = counts.agg(F.min("day_no").alias("d0"), F.max("day_no").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day_no")
+    )
+    filled = spine.join(counts, "day_no", "left").select(
+        "day_no", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+    )
+    a = filled.select(F.col("day_no").alias("da"), F.col("cnt").alias("ca"))
+    b = filled.select(F.col("day_no").alias("db"), F.col("cnt").alias("cb"))
+    slopes = (
+        a.join(b, F.col("da") < F.col("db"))
+        .select(
+            (
+                (F.col("cb") - F.col("ca")).cast("double")
+                / (F.col("db") - F.col("da")).cast("double")
+            ).alias("slope")
+        )
+    )
+    # exact median: average of the values at sorted ranks
+    # floor((n+1)/2) and floor(n/2)+1 (equal when n is odd) — the
+    # DuckDB median() convention; ranks via the two-phase dense index
+    from sqlstreamstore_spark.operators.positions import with_dense_global_index
+
+    def _median(df, col, out):
+        n_df = F.broadcast(df.agg(F.count("*").cast("long").alias("__n")))
+        ranked = with_dense_global_index(df, [F.col(col)], "__ix").crossJoin(n_df)
+        lo = F.floor((F.col("__n") + 1) / 2)
+        hi = F.floor(F.col("__n") / 2) + 1
+        return ranked.filter(
+            (F.col("__ix") + 1 == lo) | (F.col("__ix") + 1 == hi)
+        ).agg(F.avg(col).alias(out), F.max("__n").alias(out + "_n"))
+
+    med = _median(slopes, "slope", "slope_per_day")
+    resid = filled.crossJoin(F.broadcast(med)).select(
+        "slope_per_day",
+        F.col("slope_per_day_n").alias("n_pairs"),
+        (
+            F.col("cnt").cast("double") - F.col("slope_per_day") * F.col("day_no")
+        ).alias("r"),
+    )
+    med_r = _median(resid.select("r"), "r", "intercept")
+    return (
+        med.crossJoin(F.broadcast(med_r))
+        .crossJoin(F.broadcast(filled.agg(F.count("*").cast("long").alias("n_days"))))
+        .select(
+            F.col("slope_per_day_n").alias("n_pairs"),
+            "n_days",
+            "slope_per_day",
+            "intercept",
+        )
+    )

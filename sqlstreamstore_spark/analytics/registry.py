@@ -5132,6 +5132,48 @@ SELECT h.h AS hour_epoch, h.n_total, h.n_errors,
 FROM hourly h JOIN trail t ON h.h = t.hour_epoch ORDER BY hour_epoch
 """
 
+_THEIL_SEN_SQL = """
+WITH counts AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day_no,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+spine AS (
+  SELECT unnest(range((SELECT min(day_no) FROM counts),
+                      (SELECT max(day_no) FROM counts) + 1)) AS day_no
+),
+filled AS (
+  SELECT s.day_no, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+  FROM spine s LEFT JOIN counts c USING (day_no)
+),
+slopes AS (
+  SELECT CAST(b.cnt - a.cnt AS DOUBLE)
+           / CAST(b.day_no - a.day_no AS DOUBLE) AS slope
+  FROM filled a JOIN filled b ON a.day_no < b.day_no
+),
+rs AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rk FROM slopes),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM slopes),
+m1 AS (
+  SELECT avg(slope) AS slope_per_day FROM rs, np
+  WHERE rk = CAST(floor((n + 1) / 2.0) AS BIGINT)
+     OR rk = CAST(floor(n / 2.0) AS BIGINT) + 1
+),
+resid AS (
+  SELECT CAST(f.cnt AS DOUBLE) - m1.slope_per_day * f.day_no AS r
+  FROM filled f, m1
+),
+rr AS (SELECT r, row_number() OVER (ORDER BY r) AS rk FROM resid),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM filled),
+m2 AS (
+  SELECT avg(r) AS intercept FROM rr, nd
+  WHERE rk = CAST(floor((n + 1) / 2.0) AS BIGINT)
+     OR rk = CAST(floor(n / 2.0) AS BIGINT) + 1
+)
+SELECT (SELECT n FROM np) AS n_pairs, (SELECT n FROM nd) AS n_days,
+       m1.slope_per_day, m2.intercept
+FROM m1, m2
+"""
+
 _CLASS_REPORT_SQL = f"""
 WITH {_EVAL_SCORED_CTE},
 one AS (
@@ -6383,5 +6425,11 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
         "events_error_burn_rate": (
             lambda s, sf: events.error_burn_rate(_t(s, sf, "events")),
             _BURN_RATE_SQL,
+        ),
+        # Theil-Sen robust daily-count trend: pairwise slopes on the
+        # bounded day axis, exact rank-avg medians (two-phase index)
+        "events_theil_sen_trend": (
+            lambda s, sf: events.theil_sen_trend(_t(s, sf, "events")),
+            _THEIL_SEN_SQL,
         ),
     }

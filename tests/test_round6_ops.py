@@ -995,3 +995,41 @@ def test_merkle_checksums_null_fields_encoded(spark):
     s = "1|1|␀null|1000|␀null"
     assert r.checksum == int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
     assert r.n_rows == 1
+
+
+def test_theil_sen_matches_python(spark, ev):
+    import statistics
+
+    from sqlstreamstore_spark.analytics.events import theil_sen_trend
+
+    r = theil_sen_trend(ev).collect()[0]
+    base = [
+        x.us // 86_400_000_000
+        for x in ev.select(F.unix_micros("ts").alias("us")).collect()
+        if x.us is not None
+    ]
+    from collections import Counter
+
+    c = Counter(base)
+    d0, d1 = min(c), max(c)
+    series = [(d, c.get(d, 0)) for d in range(d0, d1 + 1)]
+    slopes = sorted(
+        (cb - ca) / (db - da)
+        for i, (da, ca) in enumerate(series)
+        for db, cb in series[i + 1:]
+    )
+    assert r.n_pairs == len(slopes)
+    assert r.n_days == len(series)
+    slope = statistics.median(slopes)
+    assert abs(r.slope_per_day - slope) < 1e-12
+    resid = sorted(cnt - slope * d for d, cnt in series)
+    assert abs(r.intercept - statistics.median(resid)) < 1e-9
+    # robustness: a one-day spike must not move the slope estimate
+    spiked = dict(series)
+    spiked[d0 + 1] = spiked[d0 + 1] + 10_000
+    sp = sorted(
+        (spiked[db] - spiked[da]) / (db - da)
+        for i, da in enumerate(sorted(spiked))
+        for db in sorted(spiked)[i + 1:]
+    )
+    assert abs(statistics.median(sp) - slope) < abs(10_000 / len(series))
