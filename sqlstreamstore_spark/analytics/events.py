@@ -1619,3 +1619,37 @@ def theil_sen_trend(events: DataFrame) -> DataFrame:
             "intercept",
         )
     )
+
+
+def alert_episodes(events: DataFrame, slo: float = 0.75, long_hours: int = 6) -> DataFrame:
+    """Alert-episode accounting over the multiwindow burn-rate series —
+    what the on-call review actually reads: how many distinct paging
+    EPISODES (runs of consecutive alerting hours), how long the worst
+    one lasted, total alerting hours, and the flap count (alert
+    state transitions — high flap = thresholds too twitchy). Composes
+    :func:`error_burn_rate` with the gaps-and-islands trick on the
+    hour axis (hour - row_number constant within a run).
+
+    All-integer single-row output. Scale shape: the burn series is
+    already bounded by the time axis; episodes add one window + two
+    tiny aggs."""
+    from sqlstreamstore_spark.operators.positions import with_dense_global_index
+
+    burn = error_burn_rate(events, slo=slo, long_hours=long_hours)
+    alerts = burn.filter(F.col("alert")).select("hour_epoch")
+    islands = with_dense_global_index(
+        alerts, [F.col("hour_epoch")], "__ix"
+    ).withColumn("grp", F.col("hour_epoch") - F.col("__ix"))
+    eps = islands.groupBy("grp").agg(F.count("*").cast("long").alias("len"))
+    summary = eps.agg(
+        F.count("*").cast("long").alias("n_episodes"),
+        F.coalesce(F.max("len"), F.lit(0)).cast("long").alias("longest_episode"),
+        F.coalesce(F.sum("len"), F.lit(0)).cast("long").alias("alert_hours"),
+    )
+    total = burn.agg(F.count("*").cast("long").alias("n_hours"))
+    return summary.crossJoin(F.broadcast(total)).select(
+        "n_hours", "n_episodes", "longest_episode", "alert_hours",
+        # flaps = state transitions; each episode contributes an
+        # entry + exit except an episode still open at series end
+        (F.lit(2) * F.col("n_episodes")).cast("long").alias("max_flaps"),
+    )

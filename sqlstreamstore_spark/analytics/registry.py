@@ -5174,6 +5174,105 @@ SELECT (SELECT n FROM np) AS n_pairs, (SELECT n FROM nd) AS n_days,
 FROM m1, m2
 """
 
+_ASSORTATIVITY_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+pairs AS (
+  SELECT a.brand AS ba, b.brand AS bb, CAST(count(*) AS BIGINT) AS c
+  FROM baskets a JOIN baskets b ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY 1, 2
+),
+rp AS (SELECT c, row_number() OVER (ORDER BY c) AS rk FROM pairs),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pairs),
+medp AS (
+  SELECT avg(c) AS med_support FROM rp, np
+  WHERE rk = CAST(floor((n + 1) / 2.0) AS BIGINT)
+     OR rk = CAST(floor(n / 2.0) AS BIGINT) + 1
+),
+und AS (
+  SELECT ba, bb FROM pairs, medp WHERE c >= 1.2 * med_support
+),
+directed AS (SELECT ba, bb FROM und UNION ALL SELECT bb, ba FROM und),
+deg AS (SELECT ba, CAST(count(*) AS BIGINT) AS deg FROM directed GROUP BY ba),
+ends AS (
+  SELECT da.deg AS dx, db.deg AS dy
+  FROM directed d JOIN deg da ON d.ba = da.ba JOIN deg db ON d.bb = db.ba
+),
+mm AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy
+  FROM ends
+)
+SELECT CAST(m / 2 AS BIGINT) AS n_edges, m AS n_directed,
+       CAST(m * sxy - sx * sy AS DOUBLE)
+         / nullif(sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(m * syy - sy * sy AS DOUBLE)), 0.0)
+         AS assortativity
+FROM mm
+"""
+
+_ALERT_EPISODES_SQL = """
+WITH hourly AS (
+  SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+contrib AS (
+  SELECT h + off AS hour_epoch, n_total, n_errors FROM (
+    SELECT h, n_total, n_errors, unnest(range(0, 6)) AS off FROM hourly)
+),
+trail AS (
+  SELECT c.hour_epoch,
+         CAST(sum(c.n_total) AS BIGINT) AS long_total,
+         CAST(sum(c.n_errors) AS BIGINT) AS long_errors
+  FROM contrib c JOIN (SELECT h FROM hourly) o ON c.hour_epoch = o.h
+  GROUP BY c.hour_epoch
+),
+alerts AS (
+  SELECT h.h AS hour_epoch
+  FROM hourly h JOIN trail t ON h.h = t.hour_epoch
+  WHERE (CAST(h.n_errors AS DOUBLE) / h.n_total) / 0.25 > 1.0
+    AND (CAST(t.long_errors AS DOUBLE) / t.long_total) / 0.25 > 1.0
+),
+islands AS (
+  SELECT hour_epoch,
+         hour_epoch - row_number() OVER (ORDER BY hour_epoch) AS grp
+  FROM alerts
+),
+eps AS (SELECT grp, CAST(count(*) AS BIGINT) AS len FROM islands GROUP BY grp)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM hourly) AS n_hours,
+       CAST(count(*) AS BIGINT) AS n_episodes,
+       CAST(COALESCE(max(len), 0) AS BIGINT) AS longest_episode,
+       CAST(COALESCE(sum(len), 0) AS BIGINT) AS alert_hours,
+       CAST(2 * count(*) AS BIGINT) AS max_flaps
+FROM eps
+"""
+
+_LEXICAL_RICHNESS_SQL = """
+WITH st AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY source, token
+),
+g AS (
+  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM st GROUP BY source
+)
+SELECT source, n_tokens, n_types, n_hapax,
+       CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+       CAST(n_hapax AS DOUBLE) / n_types AS hapax_share
+FROM g ORDER BY source
+"""
+
 _CLASS_REPORT_SQL = f"""
 WITH {_EVAL_SCORED_CTE},
 one AS (
@@ -6431,5 +6530,24 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
         "events_theil_sen_trend": (
             lambda s, sf: events.theil_sen_trend(_t(s, sf, "events")),
             _THEIL_SEN_SQL,
+        ),
+        # Newman degree assortativity of the brand co-occurrence graph;
+        # exact BIGINT moments over the directed edge list
+        "graph_brand_assortativity": (
+            lambda s, sf: relational.brand_assortativity(
+                _t(s, sf, "lineitem"), _t(s, sf, "part")
+            ),
+            _ASSORTATIVITY_SQL,
+        ),
+        # paging-episode accounting over the burn-rate series:
+        # gaps-and-islands on alerting hours, all-integer
+        "events_alert_episodes": (
+            lambda s, sf: events.alert_episodes(_t(s, sf, "events")),
+            _ALERT_EPISODES_SQL,
+        ),
+        # per-source TTR + hapax share; exact ints + two divides
+        "text_lexical_richness": (
+            lambda s, sf: text.lexical_richness(_t(s, sf, "documents")),
+            _LEXICAL_RICHNESS_SQL,
         ),
     }

@@ -789,3 +789,86 @@ def brand_hhi(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             "hhi_normalized"
         ),
     )
+
+
+def brand_assortativity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the STRONG brand
+    co-occurrence graph — do hub brands co-occur with other hubs
+    (r > 0) or with niche brands (r < 0, hub-and-spoke)? On a dense
+    basket corpus the raw co-occurrence graph is complete (every brand
+    pair shares SOME order — K25 on the fixture, zero degree variance,
+    r undefined), so edges are thresholded at 1.2x the MEDIAN pair
+    support — a relative cut that tracks corpus size, leaving the
+    above-typical ties whose structure the metric measures.
+
+    r = Pearson correlation of endpoint degrees over the DIRECTED
+    edge list (each undirected edge contributes both orientations —
+    the standard convention making endpoints exchangeable). The median
+    support is an exact rank-average (two-phase index, broadcast back);
+    degrees and all five moments are exact BIGINTs; r is
+    cross-multiplied integers with two sqrts in fixed order —
+    zero-tolerance oracle."""
+    from sqlstreamstore_spark.operators.positions import with_dense_global_index
+
+    baskets = (
+        lineitem.join(F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a = baskets.select("okey", F.col("brand").alias("ba"))
+    b = baskets.select("okey", F.col("brand").alias("bb"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n_df = F.broadcast(pairs.agg(F.count("*").cast("long").alias("__n")))
+    ranked = with_dense_global_index(pairs, [F.col("c")], "__ix").crossJoin(n_df)
+    med = (
+        ranked.filter(
+            (F.col("__ix") + 1 == F.floor((F.col("__n") + 1) / 2))
+            | (F.col("__ix") + 1 == F.floor(F.col("__n") / 2) + 1)
+        )
+        .agg(F.avg("c").alias("med_support"))
+    )
+    und = (
+        pairs.crossJoin(F.broadcast(med))
+        .filter(F.col("c") >= F.lit(1.2) * F.col("med_support"))
+        .select("ba", "bb")
+    )
+    directed = und.unionByName(
+        und.select(F.col("bb").alias("ba"), F.col("ba").alias("bb"))
+    )
+    deg = directed.groupBy("ba").agg(F.count("*").cast("long").alias("deg"))
+    da = deg.select(F.col("ba"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("ba").alias("bb"), F.col("deg").alias("dy"))
+    ends = directed.join(F.broadcast(da), "ba").join(F.broadcast(db), "bb")
+    m = ends.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    return m.select(
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.col("m").alias("n_directed"),
+        (
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.nullif(
+                F.sqrt(
+                    (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                        "double"
+                    )
+                )
+                * F.sqrt(
+                    (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                        "double"
+                    )
+                ),
+                F.lit(0.0),
+            )
+        ).alias("assortativity"),
+    )

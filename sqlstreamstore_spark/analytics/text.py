@@ -1954,3 +1954,42 @@ def vocab_coverage(documents: DataFrame, ks: tuple = (10, 100, 500)) -> DataFram
         )
         .orderBy("k")
     )
+
+
+def lexical_richness(documents: DataFrame) -> DataFrame:
+    """Per-source lexical richness — the corpus-health numbers a data
+    curator compares across sources before mixing them: token count,
+    type (distinct-token) count, type-token ratio, and hapax share
+    (fraction of types seen exactly once — high hapax = rich or noisy,
+    near-zero = templated/boilerplate). All exact integers + two
+    divides — zero-tolerance oracle.
+
+    Shape: one explode + (source, token) partial agg; the type/hapax
+    rollup lands on the bounded source axis."""
+    toks = documents.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    st = toks.groupBy("source", "token").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    return (
+        st.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            (F.col("n_types").cast("double") / F.col("n_tokens")).alias("ttr"),
+            (F.col("n_hapax").cast("double") / F.col("n_types")).alias(
+                "hapax_share"
+            ),
+        )
+        .orderBy("source")
+    )

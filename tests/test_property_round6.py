@@ -332,3 +332,115 @@ def test_gap_sweep_random_streams(spark, evs):
             total_dur += prev - start
         r = rows[gap_s]
         assert (r.n_sessions, r.total_duration_us) == (n_sessions, total_dur)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    evs=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50_000)),  # (user, seconds)
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_peak_concurrency_random_streams(spark, evs):
+    """Sweep-line peak == brute-force max over interval-stabbing counts
+    at every session boundary."""
+    from sqlstreamstore_spark.analytics.events import peak_concurrency
+
+    ev = spark.createDataFrame(
+        [
+            (i, dt.datetime(1995, 1, 1) + dt.timedelta(seconds=s), u, "e", 0.0)
+            for i, (u, s) in enumerate(evs)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = peak_concurrency(ev, gap_seconds=600).collect()[0]
+    per_user = defaultdict(list)
+    for i, (u, s) in enumerate(evs):
+        per_user[u].append(s * 1_000_000)
+    sessions = []
+    for u, ss in per_user.items():
+        ss.sort()
+        start = prev = ss[0]
+        for us in ss[1:]:
+            if us - prev > 600 * 1_000_000:
+                sessions.append((start, prev))
+                start = us
+            prev = us
+        sessions.append((start, prev))
+    base_us = int(dt.datetime(1995, 1, 1, tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    peak = max(
+        sum(1 for s2, e2 in sessions if s2 <= t <= e2) for t, _e in sessions
+    )
+    assert r.n_sessions == len(sessions)
+    assert r.peak == peak, (evs, sessions)
+    assert sum(1 for s2, e2 in sessions
+               if s2 + base_us <= r.first_peak_us <= e2 + base_us) == peak
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    days=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)),  # (user, day)
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_dau_mau_random_streams(spark, days):
+    from sqlstreamstore_spark.analytics.events import dau_mau_stickiness
+
+    ev = spark.createDataFrame(
+        [
+            (i, _day(d), u, "e", 0.0)
+            for i, (u, d) in enumerate(days)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    rows = {r.day_no: r for r in dau_mau_stickiness(ev, window_days=7).collect()}
+    pairs = {( _day(d).date().toordinal() - dt.date(1970, 1, 1).toordinal(), u)
+             for u, d in days}
+    obs_days = sorted({d for d, _u in pairs})
+    assert set(rows) == set(obs_days)
+    for d in obs_days:
+        dau = len({u for dd, u in pairs if dd == d})
+        mau = len({u for dd, u in pairs if d - 6 <= dd <= d})
+        assert (rows[d].dau, rows[d].mau) == (dau, mau), (days, d)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    counts=st.lists(st.integers(0, 30), min_size=2, max_size=15)
+)
+def test_theil_sen_random_series(spark, counts):
+    """Fused medians == statistics.median on arbitrary short series
+    (the day axis is dense by construction here)."""
+    import statistics
+
+    from sqlstreamstore_spark.analytics.events import theil_sen_trend
+
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, _day(d), 0, "e", 0.0))
+            eid += 1
+    if not rows:
+        return
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = theil_sen_trend(ev).collect()[0]
+    # the spine spans first..last day WITH events
+    lo = min(d for d, c in enumerate(counts) if c)
+    hi = max(d for d, c in enumerate(counts) if c)
+    series = [(d, counts[d]) for d in range(lo, hi + 1)]
+    if len(series) < 2:
+        return
+    slopes = [
+        (cb - ca) / (db - da)
+        for i, (da, ca) in enumerate(series)
+        for db, cb in series[i + 1:]
+    ]
+    assert r.n_pairs == len(slopes)
+    assert abs(r.slope_per_day - statistics.median(slopes)) < 1e-12, counts

@@ -1033,3 +1033,96 @@ def test_theil_sen_matches_python(spark, ev):
         for db in sorted(spiked)[i + 1:]
     )
     assert abs(statistics.median(sp) - slope) < abs(10_000 / len(series))
+
+
+def test_brand_assortativity_matches_python(spark):
+    import math
+    import statistics
+
+    from sqlstreamstore_spark.analytics.relational import brand_assortativity
+
+    li = load_table(spark, SF, "lineitem")
+    pt = load_table(spark, SF, "part")
+    r = brand_assortativity(li, pt).collect()[0]
+    brand_of = {p.p_partkey: p.p_brand for p in pt.collect()}
+    from collections import defaultdict
+
+    baskets = defaultdict(set)
+    for row in li.select("l_orderkey", "l_partkey").collect():
+        if row.l_partkey in brand_of:
+            baskets[row.l_orderkey].add(brand_of[row.l_partkey])
+    support = defaultdict(int)
+    for bs in baskets.values():
+        bs = sorted(bs)
+        for i, x in enumerate(bs):
+            for y in bs[i + 1:]:
+                support[(x, y)] += 1
+    med = statistics.median(sorted(support.values()))
+    edges = [e for e, c in support.items() if c >= 1.2 * med]
+    deg = defaultdict(int)
+    for x, y in edges:
+        deg[x] += 1
+        deg[y] += 1
+    dpairs = [(deg[x], deg[y]) for x, y in edges] + [
+        (deg[y], deg[x]) for x, y in edges
+    ]
+    m = len(dpairs)
+    sx = sum(x for x, _ in dpairs)
+    sy = sum(y for _, y in dpairs)
+    sxy = sum(x * y for x, y in dpairs)
+    sxx = sum(x * x for x, _ in dpairs)
+    syy = sum(y * y for _, y in dpairs)
+    assert (r.n_edges, r.n_directed) == (len(edges), m)
+    den = math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy)
+    exp = (m * sxy - sx * sy) / den if den else None
+    if exp is None:
+        assert r.assortativity is None
+    else:
+        assert abs(r.assortativity - exp) < 1e-12
+        assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
+    # the threshold must leave a non-complete, non-empty graph
+    assert 0 < len(edges) < len(support)
+
+
+def test_alert_episodes_matches_python(spark, ev):
+    from sqlstreamstore_spark.analytics.events import (
+        alert_episodes,
+        error_burn_rate,
+    )
+
+    r = alert_episodes(ev).collect()[0]
+    burn = error_burn_rate(ev).collect()
+    hours = sorted(b.hour_epoch for b in burn if b.alert)
+    episodes = []
+    for h in hours:
+        if episodes and h == episodes[-1][-1] + 1:
+            episodes[-1].append(h)
+        else:
+            episodes.append([h])
+    assert r.n_hours == len(burn)
+    assert r.n_episodes == len(episodes)
+    assert r.longest_episode == (max(len(e) for e in episodes) if episodes else 0)
+    assert r.alert_hours == len(hours)
+    assert r.max_flaps == 2 * len(episodes)
+    # the fixture genuinely alerts (non-degenerate signal)
+    assert r.n_episodes > 0
+
+
+def test_lexical_richness_matches_python(spark, docs):
+    from sqlstreamstore_spark.analytics.text import lexical_richness
+
+    rows = {r.source: r for r in lexical_richness(docs).collect()}
+    from collections import Counter, defaultdict
+
+    per_src = defaultdict(Counter)
+    for row in docs.select("source", "text").collect():
+        per_src[row.source].update(row.text.split(" "))
+    assert set(rows) == set(per_src)
+    for s, c in per_src.items():
+        r = rows[s]
+        n_tokens = sum(c.values())
+        n_types = len(c)
+        n_hapax = sum(1 for v in c.values() if v == 1)
+        assert (r.n_tokens, r.n_types, r.n_hapax) == (n_tokens, n_types, n_hapax)
+        assert r.ttr == n_types / n_tokens
+        assert r.hapax_share == n_hapax / n_types
