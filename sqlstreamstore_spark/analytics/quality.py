@@ -479,3 +479,41 @@ def merkle_bucket_checksums(lineitem: DataFrame, bucket_width: int = 256) -> Dat
         )
         .orderBy("bucket")
     )
+
+
+def candidate_keys(events: DataFrame) -> DataFrame:
+    """Composite candidate-key discovery — the profiling complement of
+    functional-dependency mining (:func:`functional_deps`): for each
+    candidate column set, the distinct-combination count vs the row
+    count and whether it is a KEY (unique). Run on the events table's
+    plausible identifiers: event_id alone, (user_id, ts), (user_id,
+    ts, event_type) — the audit that catches "we thought (user, ts)
+    was unique" schema assumptions before they become join fan-outs.
+
+    Exact counts only. Shape: one partial-agg scan per candidate onto
+    its own key (count-distinct via groupBy partials), a bounded
+    candidate list."""
+    cands = [
+        ("event_id", ["event_id"]),
+        ("user_id,ts", ["user_id", "ts"]),
+        ("user_id,ts,event_type", ["user_id", "ts", "event_type"]),
+    ]
+    total = events.count()
+    out = None
+    for name, cols in cands:
+        row = (
+            events.select(*cols)
+            .distinct()
+            .agg(F.count("*").cast("long").alias("n_distinct"))
+            .select(
+                F.lit(name).alias("candidate"),
+                F.lit(total).cast("long").alias("n_rows"),
+                "n_distinct",
+                (F.col("n_distinct") == total).alias("is_key"),
+                (F.col("n_distinct").cast("double") / F.lit(float(total))).alias(
+                    "uniqueness"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("candidate")

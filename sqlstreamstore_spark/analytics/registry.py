@@ -5273,6 +5273,48 @@ SELECT source, n_tokens, n_types, n_hapax,
 FROM g ORDER BY source
 """
 
+_HILL_SQL = """
+WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT unnest(list_transform(range(1, len(w)),
+                i -> w[i] || ' ' || w[i+1])) AS token
+  FROM toks WHERE len(w) >= 2
+),
+freq AS (SELECT token, CAST(count(*) AS BIGINT) AS f FROM grams GROUP BY token),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, token) AS rk FROM freq
+),
+th AS (SELECT f AS f_threshold FROM ranked WHERE rk = 51),
+top AS (SELECT r.f, t.f_threshold FROM ranked r, th t WHERE r.rk <= 50)
+SELECT CAST(count(*) AS BIGINT) AS k,
+       CAST(max(f_threshold) AS BIGINT) AS f_threshold,
+       round(count(*) / sum(ln(CAST(f AS DOUBLE) / f_threshold)), 9)
+         AS alpha_hill
+FROM top
+"""
+
+_CANDIDATE_KEYS_SQL = """
+WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+c1 AS (SELECT CAST(count(*) AS BIGINT) AS d
+       FROM (SELECT DISTINCT event_id FROM events)),
+c2 AS (SELECT CAST(count(*) AS BIGINT) AS d
+       FROM (SELECT DISTINCT user_id, ts FROM events)),
+c3 AS (SELECT CAST(count(*) AS BIGINT) AS d
+       FROM (SELECT DISTINCT user_id, ts, event_type FROM events))
+SELECT * FROM (
+  SELECT 'event_id' AS candidate, t.n AS n_rows, c1.d AS n_distinct,
+         c1.d = t.n AS is_key, CAST(c1.d AS DOUBLE) / t.n AS uniqueness
+  FROM t, c1
+  UNION ALL
+  SELECT 'user_id,ts', t.n, c2.d, c2.d = t.n, CAST(c2.d AS DOUBLE) / t.n
+  FROM t, c2
+  UNION ALL
+  SELECT 'user_id,ts,event_type', t.n, c3.d, c3.d = t.n,
+         CAST(c3.d AS DOUBLE) / t.n
+  FROM t, c3
+) ORDER BY candidate
+"""
+
 _CLASS_REPORT_SQL = f"""
 WITH {_EVAL_SCORED_CTE},
 one AS (
@@ -6549,5 +6591,17 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
         "text_lexical_richness": (
             lambda s, sf: text.lexical_richness(_t(s, sf, "documents")),
             _LEXICAL_RICHNESS_SQL,
+        ),
+        # Hill tail-index of bigram frequencies (rank-exact top-k via
+        # the two-phase index; one k-term ln fold rounded at 9)
+        "text_hill_tail_index": (
+            lambda s, sf: text.hill_tail_index(_t(s, sf, "documents")),
+            _HILL_SQL,
+        ),
+        # composite candidate-key audit: distinct-combo counts vs rows
+        # (distinct() combos, nulls included — not count(DISTINCT col))
+        "dq_candidate_keys": (
+            lambda s, sf: quality.candidate_keys(_t(s, sf, "events")),
+            _CANDIDATE_KEYS_SQL,
         ),
     }

@@ -1993,3 +1993,58 @@ def lexical_richness(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def hill_tail_index(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Hill estimator of the token-frequency tail index — the
+    principled check on the Zipf OLS fit (text_zipf_fit): for the
+    top-k order statistics f_(1) >= ... >= f_(k) with threshold
+    f_(k+1),
+
+        alpha_hill = k / sum_{i<=k} ln(f_(i) / f_(k+1))
+
+    Power-law tails give alpha ~= the Zipf slope's inverse; agreement
+    between the two estimators is the corpus-shape sanity test. Top-k
+    selection is rank-exact (two-phase dense index — never a global
+    sort); the one float fold is a k-term ln sum, rounded at 9 (the
+    cross-engine partial-sum discipline).
+
+    Frequencies are BIGRAM counts (the unigram vocab is a closed
+    31-word set on the fixture — no tail to estimate; bigrams give a
+    ~900-type distribution with a real tail). Output: one row
+    (k, f_threshold, alpha_hill)."""
+    from sqlstreamstore_spark.operators.positions import with_dense_global_index
+
+    w = F.split(F.col("text"), " ")
+    freq = (
+        documents.filter(F.size(w) >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(w, 1, F.size(w) - 1),
+                    F.slice(w, 2, F.size(w) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    ranked = with_dense_global_index(
+        freq, [F.col("f").desc(), F.col("token")], "ix"
+    )
+    thresh = F.broadcast(
+        ranked.filter(F.col("ix") == k).select(
+            F.col("f").alias("f_threshold")
+        )
+    )
+    top = ranked.filter(F.col("ix") < k).crossJoin(thresh)
+    return top.agg(
+        F.count("*").cast("long").alias("k"),
+        F.max("f_threshold").alias("f_threshold"),
+        F.round(
+            F.count("*")
+            / F.sum(F.log(F.col("f").cast("double") / F.col("f_threshold"))),
+            9,
+        ).alias("alpha_hill"),
+    )

@@ -1126,3 +1126,46 @@ def test_lexical_richness_matches_python(spark, docs):
         assert (r.n_tokens, r.n_types, r.n_hapax) == (n_tokens, n_types, n_hapax)
         assert r.ttr == n_types / n_tokens
         assert r.hapax_share == n_hapax / n_types
+
+
+def test_hill_tail_index_matches_python(spark, docs):
+    import math
+
+    from sqlstreamstore_spark.analytics.text import hill_tail_index
+
+    r = hill_tail_index(docs).collect()[0]
+    from collections import Counter
+
+    c = Counter()
+    for row in docs.select("text").collect():
+        w = row.text.split(" ")
+        c.update(f"{a} {b}" for a, b in zip(w, w[1:]))
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    top = [f for _g, f in ordered[:50]]
+    thresh = ordered[50][1]
+    alpha = 50 / sum(math.log(f / thresh) for f in top)
+    assert (r.k, r.f_threshold) == (50, thresh)
+    assert abs(r.alpha_hill - alpha) < 2e-9
+    assert r.alpha_hill > 0
+
+
+def test_candidate_keys_matches_python(spark, ev):
+    from sqlstreamstore_spark.analytics.quality import candidate_keys
+
+    rows = {r.candidate: r for r in candidate_keys(ev).collect()}
+    base = ev.select("event_id", "user_id", "ts", "event_type").collect()
+    n = len(base)
+    d1 = len({r.event_id for r in base})
+    d2 = len({(r.user_id, r.ts) for r in base})
+    d3 = len({(r.user_id, r.ts, r.event_type) for r in base})
+    for name, d in (
+        ("event_id", d1),
+        ("user_id,ts", d2),
+        ("user_id,ts,event_type", d3),
+    ):
+        r = rows[name]
+        assert (r.n_rows, r.n_distinct) == (n, d)
+        assert r.is_key == (d == n)
+        assert r.uniqueness == d / n
+    # event_id is the true key; the audit must prove it
+    assert rows["event_id"].is_key
