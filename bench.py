@@ -76,13 +76,27 @@ def main() -> int:
     _mm.make_fake_media_df(spark, 100).count()
     timings["media_table_build"] = round(time.time() - t0, 3)
 
-    # -- declared query set (same code path as the correctness gate)
+    # -- declared query set (same code path as the correctness gate).
+    # Each entry >= 0.3 s cold is immediately re-run and the WARM time
+    # recorded alongside (r6 verdict #3: the committed artifact must
+    # self-attribute whole-stage-codegen compile noise — a cold janino
+    # compile landing on a late-suite entry has shown up as a phantom
+    # 1.5-3x "regression" three rounds running). The warm pass reuses
+    # the generated-source cache, so cold-warm gap ~= compile+JIT cost,
+    # not data cost. total_wall_clock stays the COLD sum (series
+    # continuity with r1-r6); warm rows live under queries_warm.
     queries = build_queries()
+    warm: dict[str, float] = {}
     for name, fn in queries.items():
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.collect()
-        timings[name] = round(time.time() - t0, 3)
+        cold = round(time.time() - t0, 3)
+        timings[name] = cold
+        if cold >= 0.3:
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            warm[name] = round(time.time() - t0, 3)
 
     # -- full-log drain, page size 1000: keyset paged reads served the
     # way a deployed feed server answers them — from an Arrow page cache
@@ -151,6 +165,36 @@ def main() -> int:
         dt = time.time() - t0
         timings["append_100x100"] = round(dt, 3)
         timings["append_msgs_per_sec"] = round(10_000 / dt, 1)
+        # ... and a best-of-3 pinning row (r6 verdict #2): the 100x100
+        # workload runs ~0.35-0.5 s, small enough that one GC pause or
+        # a host scheduling hiccup moves the msgs/s figure 30%+. Three
+        # fresh-store repeats, best wall-clock kept — the jitter-free
+        # commit-path number a cross-round comparison should read.
+        # (Standalone A/B r7: current code 19-29k, r5-era code 12-27k
+        # on the same host — the r5->r6 "0.64x regression" was host
+        # class + run jitter, not a code change; see BASELINE 3f.)
+        best = dt
+        for rep in range(2):
+            rep_store = SparkParquetStreamStore(
+                spark, os.path.join(tmp, f"store-rep{rep}")
+            )
+            t0 = time.time()
+            k2 = 0
+            for b in range(100):
+                batch = [
+                    NewStreamMessage(
+                        str(uuid.UUID(int=90_000_000 + rep * 100_000 + k2 + i + 1)),
+                        "bench", '{"x":1}',
+                    )
+                    for i in range(100)
+                ]
+                k2 += 100
+                rep_store.append_to_stream(
+                    f"bench-{b % 10}", ExpectedVersion.ANY, batch
+                )
+            best = min(best, time.time() - t0)
+        timings["append_100x100_best3"] = round(best, 3)
+        timings["append_best3_msgs_per_sec"] = round(10_000 / best, 1)
 
         # bulk append: 10 batches x 1000 msgs (the wide-batch write path;
         # LoadTests/AppendExpectedVersionAnyParallel.cs analog)
@@ -532,6 +576,11 @@ print("done", retries)
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # warm re-runs of every gate entry >= 0.3 s cold: cold-warm gap
+        # is codegen-compile/JIT attribution, not data cost (r6 verdict
+        # #3). Cross-round perf comparisons should read warm-to-warm.
+        "queries_warm": warm,
+        "warm_rerun_threshold_s": 0.3,
         "sf": float(sf),
         "rows_events_log": n_log,
         "scale_probe": scale_probe,

@@ -215,7 +215,13 @@ def ab_test_report(events: DataFrame) -> DataFrame:
     accumulate integer map-side, so mean/variance/t/df are pure
     functions of six BIGINTs evaluated in identical order in both
     engines — zero-tolerance oracle. Shape: one partial agg to a
-    single row."""
+    single row.
+
+    Degenerate arms are diagnosable, not NaN: an empty arm NULLs its
+    mean (and diff), and an arm with fewer than two users NULLs
+    welch_t / welch_df (variance is undefined at n<=1) — the counts
+    still report, so the caller sees WHY the test is inconclusive
+    instead of a NaN/Infinity propagating downstream."""
     base = events.filter(
         F.col("user_id").isNotNull() & F.col("value").isNotNull()
     ).select(
@@ -241,19 +247,22 @@ def ab_test_report(events: DataFrame) -> DataFrame:
         nb - F.lit(1.0)
     )
     se2a, se2b = va / na, vb / nb
+    both_pop = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    testable = (F.col("n_a") > 1) & (F.col("n_b") > 1)
     return one.select(
         "n_a",
         "n_b",
-        ma.alias("mean_a_cents"),
-        mb.alias("mean_b_cents"),
-        (mb - ma).alias("diff_cents"),
-        ((mb - ma) / F.sqrt(se2a + se2b)).alias("welch_t"),
-        (
+        F.when(F.col("n_a") > 0, ma).alias("mean_a_cents"),
+        F.when(F.col("n_b") > 0, mb).alias("mean_b_cents"),
+        F.when(both_pop, mb - ma).alias("diff_cents"),
+        F.when(testable, (mb - ma) / F.sqrt(se2a + se2b)).alias("welch_t"),
+        F.when(
+            testable,
             (se2a + se2b) * (se2a + se2b)
             / (
                 se2a * se2a / (na - F.lit(1.0))
                 + se2b * se2b / (nb - F.lit(1.0))
-            )
+            ),
         ).alias("welch_df"),
     )
 

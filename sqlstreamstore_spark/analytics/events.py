@@ -810,8 +810,16 @@ def user_lifecycle(events: DataFrame) -> DataFrame:
     LAG/LEAD (parallel over users), a union of status rows, and a
     partial agg onto the bounded week axis. All counts BIGINT — zero-
     tolerance oracle. NULL user/ts rows are excluded up front (module
-    NULL discipline)."""
-    wk = F.date_trunc("week", F.col("ts"))
+    NULL discipline).
+
+    Week arithmetic runs in DATE space (`date_add`, `datediff`), not
+    `timestamp + INTERVAL 7 DAYS`: calendar-day addition is DST-immune,
+    so a non-UTC session timezone with a mid-week DST shift cannot make
+    "the week right after" miscompare (it would under timestamp
+    interval arithmetic, misclassifying retained as resurrected). The
+    output `week` column stays a midnight timestamp — identical values
+    to the old formulation in UTC."""
+    wk = F.to_date(F.date_trunc("week", F.col("ts")))
     pres = (
         events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .select("user_id", wk.alias("week"))
@@ -826,7 +834,7 @@ def user_lifecycle(events: DataFrame) -> DataFrame:
         F.lead("week").over(w).alias("next_week"),
     )
     status = F.when(F.col("prev_week").isNull(), F.lit("new")).when(
-        F.col("prev_week") + F.expr("INTERVAL 7 DAYS") == F.col("week"),
+        F.date_add(F.col("prev_week"), 7) == F.col("week"),
         F.lit("retained"),
     ).otherwise(F.lit("resurrected"))
     active = seq.select(F.col("week"), status.alias("status"))
@@ -834,15 +842,16 @@ def user_lifecycle(events: DataFrame) -> DataFrame:
     churn = (
         seq.filter(
             F.col("next_week").isNull()
-            | (F.col("next_week") > F.col("week") + F.expr("INTERVAL 7 DAYS"))
+            | (F.col("next_week") > F.date_add(F.col("week"), 7))
         )
-        .select((F.col("week") + F.expr("INTERVAL 7 DAYS")).alias("week"))
+        .select(F.date_add(F.col("week"), 7).alias("week"))
         .crossJoin(F.broadcast(max_wk))
         .filter(F.col("week") <= F.col("max_week"))
         .select("week", F.lit("churned").alias("status"))
     )
     return (
         active.unionByName(churn)
+        .withColumn("week", F.col("week").cast("timestamp"))
         .groupBy("week")
         .agg(
             F.sum(F.when(F.col("status") == "new", 1).otherwise(0)).cast("long").alias("n_new"),
@@ -864,8 +873,12 @@ def power_users_gini(events: DataFrame) -> DataFrame:
 
     Ties in x make the sum order-free (swapping equal values changes
     nothing), so the user-id tie-break exists only to make the rank
-    assignment total. Every accumulation is BIGINT; G is two correctly-
-    rounded divides and one subtraction — zero-tolerance oracle.
+    assignment total. rank_sum accumulates in DECIMAL(38,0) — at the
+    1e9-user scale the docstrings target, Σ i·xᵢ overflows int64 (i up
+    to 1e9 times per-user counts), matching the module's widening
+    discipline (inter_arrival_burstiness, brand HHI); the denominator
+    n·Σx is likewise computed in double. G is exact integer/decimal
+    sums followed by two divides and one subtraction.
 
     Scale shape: one user-keyed partial agg, then the two-phase dense
     rank of `operators/positions.py` over the USER table (never the
@@ -880,15 +893,19 @@ def power_users_gini(events: DataFrame) -> DataFrame:
     ranked = with_dense_global_index(
         counts, [F.col("x"), F.col("user_id")], index_col="idx"
     )
+    rank_term = (F.col("idx") + F.lit(1)).cast("decimal(19,0)") * F.col("x").cast(
+        "decimal(19,0)"
+    )
     return ranked.agg(
         F.count("*").cast("long").alias("n_users"),
         F.sum("x").cast("long").alias("total_events"),
-        F.sum((F.col("idx") + 1) * F.col("x")).cast("long").alias("rank_sum"),
+        F.sum(rank_term).cast("decimal(38,0)").alias("rank_sum"),
     ).select(
         "n_users",
         "total_events",
         (
-            (F.lit(2.0) * F.col("rank_sum")) / (F.col("n_users") * F.col("total_events"))
+            (F.lit(2.0) * F.col("rank_sum").cast("double"))
+            / (F.col("n_users").cast("double") * F.col("total_events").cast("double"))
             - (F.col("n_users") + F.lit(1)).cast("double") / F.col("n_users")
         ).alias("gini"),
     )
@@ -982,13 +999,23 @@ def km_survival(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         F.sum("is_event").cast("long").alias("d"),
         (F.count("*") - F.sum("is_event")).cast("long").alias("c"),
     )
-    total = g.agg(F.sum(F.col("d") + F.col("c"))).collect()[0][0] or 0
-    cum = with_global_cumsum(
-        g.withColumn("all_n", F.col("d") + F.col("c")),
-        [F.col("duration_us")],
-        "all_n",
-        "cum_all",
-    ).withColumn("n_risk", F.lit(total) - F.col("cum_all") + F.col("all_n"))
+    # total at-risk carried as a broadcast one-row aggregate (the
+    # horizon/max_wk convention) — no eager driver collect, the plan
+    # stays a single lazy DAG
+    total = g.agg(
+        F.coalesce(F.sum(F.col("d") + F.col("c")), F.lit(0)).cast("long").alias("__total")
+    )
+    cum = (
+        with_global_cumsum(
+            g.withColumn("all_n", F.col("d") + F.col("c")),
+            [F.col("duration_us")],
+            "all_n",
+            "cum_all",
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn("n_risk", F.col("__total") - F.col("cum_all") + F.col("all_n"))
+        .drop("__total")
+    )
     terms = cum.withColumn(
         "lnterm",
         F.when(
@@ -1274,13 +1301,22 @@ def churn_hazard(events: DataFrame) -> DataFrame:
         F.sum("churned").cast("long").alias("d"),
         (F.count("*") - F.sum("churned")).cast("long").alias("c"),
     )
-    total = g.agg(F.sum(F.col("d") + F.col("c"))).collect()[0][0] or 0
-    cum = with_global_cumsum(
-        g.withColumn("all_n", F.col("d") + F.col("c")),
-        [F.col("tenure_days")],
-        "all_n",
-        "cum_all",
-    ).withColumn("n_risk", F.lit(total) - F.col("cum_all") + F.col("all_n"))
+    # total at-risk as a broadcast one-row aggregate (lazy-plan
+    # discipline, mirroring km_survival)
+    total = g.agg(
+        F.coalesce(F.sum(F.col("d") + F.col("c")), F.lit(0)).cast("long").alias("__total")
+    )
+    cum = (
+        with_global_cumsum(
+            g.withColumn("all_n", F.col("d") + F.col("c")),
+            [F.col("tenure_days")],
+            "all_n",
+            "cum_all",
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn("n_risk", F.col("__total") - F.col("cum_all") + F.col("all_n"))
+        .drop("__total")
+    )
     return cum.select(
         "tenure_days",
         "n_risk",
@@ -1649,7 +1685,9 @@ def alert_episodes(events: DataFrame, slo: float = 0.75, long_hours: int = 6) ->
     total = burn.agg(F.count("*").cast("long").alias("n_hours"))
     return summary.crossJoin(F.broadcast(total)).select(
         "n_hours", "n_episodes", "longest_episode", "alert_hours",
-        # flaps = state transitions; each episode contributes an
-        # entry + exit except an episode still open at series end
+        # upper bound on state transitions: 2 per episode (entry +
+        # exit). An episode still open at series end has no exit, so
+        # the true flap count can be max_flaps - 1 — the column is the
+        # bound its name says, not the exact count.
         (F.lit(2) * F.col("n_episodes")).cast("long").alias("max_flaps"),
     )

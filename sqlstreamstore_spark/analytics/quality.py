@@ -492,27 +492,31 @@ def candidate_keys(events: DataFrame) -> DataFrame:
 
     Exact counts only. Shape: one partial-agg scan per candidate onto
     its own key (count-distinct via groupBy partials), a bounded
-    candidate list."""
+    candidate list; the row total rides every branch as a broadcast
+    one-row aggregate — no eager driver-side count(), the returned
+    plan is fully lazy."""
     cands = [
         ("event_id", ["event_id"]),
         ("user_id,ts", ["user_id", "ts"]),
         ("user_id,ts,event_type", ["user_id", "ts", "event_type"]),
     ]
-    total = events.count()
+    total = events.agg(F.count("*").cast("long").alias("__n_rows"))
     out = None
     for name, cols in cands:
         row = (
             events.select(*cols)
             .distinct()
             .agg(F.count("*").cast("long").alias("n_distinct"))
+            .crossJoin(F.broadcast(total))
             .select(
                 F.lit(name).alias("candidate"),
-                F.lit(total).cast("long").alias("n_rows"),
+                F.col("__n_rows").alias("n_rows"),
                 "n_distinct",
-                (F.col("n_distinct") == total).alias("is_key"),
-                (F.col("n_distinct").cast("double") / F.lit(float(total))).alias(
-                    "uniqueness"
-                ),
+                (F.col("n_distinct") == F.col("__n_rows")).alias("is_key"),
+                (
+                    F.col("n_distinct").cast("double")
+                    / F.col("__n_rows").cast("double")
+                ).alias("uniqueness"),
             )
         )
         out = row if out is None else out.unionByName(row)

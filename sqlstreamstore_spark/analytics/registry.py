@@ -4305,7 +4305,7 @@ FROM j ORDER BY lang, token
 
 
 _LIFECYCLE_SQL = """
-WITH pres AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+WITH pres AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
 seq AS (SELECT user_id, week,
                lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
@@ -4313,17 +4313,17 @@ seq AS (SELECT user_id, week,
         FROM pres),
 active AS (SELECT week,
                   CASE WHEN prev_week IS NULL THEN 'new'
-                       WHEN prev_week + INTERVAL 7 DAY = week THEN 'retained'
+                       WHEN prev_week + 7 = week THEN 'retained'
                        ELSE 'resurrected' END AS status
            FROM seq),
 mw AS (SELECT max(week) AS max_week FROM pres),
-churn AS (SELECT week + INTERVAL 7 DAY AS week, 'churned' AS status
+churn AS (SELECT week + 7 AS week, 'churned' AS status
           FROM seq, mw
-          WHERE (next_week IS NULL OR next_week > week + INTERVAL 7 DAY)
-            AND week + INTERVAL 7 DAY <= max_week),
+          WHERE (next_week IS NULL OR next_week > week + 7)
+            AND week + 7 <= max_week),
 allrows AS (SELECT week, status FROM active
             UNION ALL SELECT week, status FROM churn)
-SELECT week,
+SELECT CAST(week AS TIMESTAMP) AS week,
        CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
        CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
        CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
@@ -4419,10 +4419,12 @@ ranked AS (SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS 
            FROM counts),
 a AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
              CAST(sum(x) AS BIGINT) AS total_events,
-             CAST(sum(i * x) AS BIGINT) AS rank_sum
+             CAST(sum(CAST(i AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS rank_sum
       FROM ranked)
 SELECT n_users, total_events,
-       (2.0 * rank_sum) / (n_users * total_events)
+       (2.0 * CAST(rank_sum AS DOUBLE))
+         / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE))
          - CAST(n_users + 1 AS DOUBLE) / n_users AS gini
 FROM a
 """
@@ -4817,15 +4819,21 @@ m AS (
            / (CAST(n_b AS DOUBLE) - 1.0) AS vb
   FROM one
 )
-SELECT n_a, n_b, ma AS mean_a_cents, mb AS mean_b_cents,
-       mb - ma AS diff_cents,
-       (mb - ma) / sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)) AS welch_t,
-       (va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
-         * (va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
-         / ((va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE))
-              / (CAST(n_a AS DOUBLE) - 1.0)
-            + (vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE))
-              / (CAST(n_b AS DOUBLE) - 1.0)) AS welch_df
+SELECT n_a, n_b,
+       CASE WHEN n_a > 0 THEN ma END AS mean_a_cents,
+       CASE WHEN n_b > 0 THEN mb END AS mean_b_cents,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN mb - ma END AS diff_cents,
+       CASE WHEN n_a > 1 AND n_b > 1 THEN
+         (mb - ma) / sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
+       END AS welch_t,
+       CASE WHEN n_a > 1 AND n_b > 1 THEN
+         (va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
+           * (va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
+           / ((va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE))
+                / (CAST(n_a AS DOUBLE) - 1.0)
+              + (vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE))
+                / (CAST(n_b AS DOUBLE) - 1.0))
+       END AS welch_df
 FROM m
 """
 

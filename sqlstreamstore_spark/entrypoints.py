@@ -653,16 +653,28 @@ def build_oracle_sql() -> dict[str, str]:
 
 # The driver evaluates queries in dict order and caps CORRECTNESS at ~50
 # rows per round. Round-6 rotation (VERDICT r5 "Next round" #1):
-# STALEST-FIRST. Every declared query now has at least one driver row,
-# so the never-checked-first heuristic is exhausted; instead, each
-# round front-loads the queries whose latest driver row is OLDEST
-# (never-checked new queries sort as round 0, i.e. absolute first),
-# after the four regression canaries that stay inside the cap window
-# every round. Shared code changes every round — the stalest green row
-# is the one most likely to be silently stale.
+# STALEST-FIRST — each round front-loads the queries whose latest driver
+# row is OLDEST, after the four regression canaries that stay inside the
+# cap window every round. Shared code changes every round — the stalest
+# green row is the one most likely to be silently stale.
+#
+# Round-7 refinement (VERDICT r6 #1: "don't displace the rotation with
+# new queries"): never-checked queries no longer jump the queue as
+# round-0. They sort at the MEDIAN existing vintage — behind the stale
+# backlog being drained, ahead of the freshest half, so brand-new rows
+# neither starve nor displace the scarce resource (fresh evidence on
+# old rows). The only exceptions are _GATE_PINNED_NEW: the specific new
+# rows the current round's verdict explicitly demands driver evidence
+# for; they ride right after the canaries.
 _GATE_CANARIES: tuple[str, ...] = (
     "read_all_forwards", "events_funnel",
     "store_bulk_roundtrip", "dedup_minhash_lsh",
+)
+
+_GATE_PINNED_NEW: tuple[str, ...] = (
+    "pipeline_classifier_train",   # r6 verdict #4
+    "pipeline_e2e_corpus",         # r6 verdict #7
+    "graph_triangles_doulion",     # r6 verdict #8
 )
 
 
@@ -703,16 +715,22 @@ def _all_specs() -> dict[str, QuerySpec]:
     except ImportError:
         pass
     canary_rank = {n: i for i, n in enumerate(_GATE_CANARIES)}
+    pinned = set(_GATE_PINNED_NEW)
     last = gate_last_checked()
-    # canaries first (always in the cap), then ascending last-checked
-    # round; ties break oracled-before-rows-only, then by name so the
-    # order is total and reproducible
+    # never-checked rows sort at the median existing vintage (minus a
+    # half so they precede that round's own rows): mid-queue, not front
+    rounds = sorted(last.values())
+    new_vintage = (rounds[len(rounds) // 2] - 0.5) if rounds else 0.0
+    # canaries first (always in the cap), pinned-new next, then
+    # ascending last-checked round; ties break oracled-before-rows-only,
+    # then by name so the order is total and reproducible
     return dict(
         sorted(
             specs.items(),
             key=lambda kv: (
                 canary_rank.get(kv[0], len(canary_rank)),
-                last.get(kv[0], 0),
+                0 if kv[0] in pinned else 1,
+                last.get(kv[0], new_vintage),
                 kv[1][1] is None,
                 kv[0],
             ),

@@ -574,6 +574,75 @@ def test_ab_test_welch_matches_python(spark, ev):
     assert abs(len(a) - len(b)) < 0.5 * (len(a) + len(b))
 
 
+def test_ab_test_welch_degenerate_arms_null_not_nan(spark):
+    """An empty or single-user arm yields NULL welch_t/welch_df (and a
+    NULL mean for the empty arm) with the counts intact — diagnosable,
+    never NaN/Infinity (ADVICE r6)."""
+    import datetime as dt
+
+    from sqlstreamstore_spark.analytics.evaluation import ab_test_report
+
+    ts = dt.datetime(2024, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(u, ts, v) for u, v in rows],
+            "user_id long, ts timestamp, value double",
+        )
+
+    # arm B (odd user_ids) empty
+    r = ab_test_report(mk([(0, 1.0), (2, 2.0), (4, 3.0)])).collect()[0]
+    assert (r.n_a, r.n_b) == (3, 0)
+    assert r.mean_a_cents == 200.0 and r.mean_b_cents is None
+    assert r.diff_cents is None and r.welch_t is None and r.welch_df is None
+
+    # arm B has exactly one user: means/diff defined, t/df NULL
+    r = ab_test_report(mk([(0, 1.0), (2, 2.0), (1, 5.0)])).collect()[0]
+    assert (r.n_a, r.n_b) == (2, 1)
+    assert r.mean_b_cents == 500.0
+    assert r.diff_cents == 350.0
+    assert r.welch_t is None and r.welch_df is None
+
+    # both arms >= 2 users: fully populated, finite
+    r = ab_test_report(
+        mk([(0, 1.0), (2, 2.0), (1, 5.0), (3, 6.0)])
+    ).collect()[0]
+    assert r.welch_t is not None and math.isfinite(r.welch_t)
+    assert r.welch_df is not None and math.isfinite(r.welch_df)
+
+
+def test_user_lifecycle_dst_timezone_robust(spark):
+    """Consecutive weeks across the US spring-forward DST boundary
+    (2024-03-10) classify as RETAINED even in a non-UTC session
+    timezone: week arithmetic runs in DATE space, so the lost hour
+    cannot break `prev_week + 7 days == week` (ADVICE r6 — the old
+    timestamp-interval formulation misclassified this exact shape
+    as resurrected)."""
+    import datetime as dt
+
+    from sqlstreamstore_spark.analytics.events import user_lifecycle
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        ev = spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 3, 6, 12)),   # week of Mon Mar 4 (EST)
+                (1, dt.datetime(2024, 3, 13, 12)),  # week of Mon Mar 11 (EDT)
+            ],
+            "user_id long, ts timestamp",
+        )
+        rows = {r.week.date(): r for r in user_lifecycle(ev).collect()}
+        wk1, wk2 = dt.date(2024, 3, 4), dt.date(2024, 3, 11)
+        assert rows[wk1].n_new == 1
+        assert rows[wk2].n_retained == 1, (
+            "DST week boundary misclassified as resurrected"
+        )
+        assert rows[wk2].n_resurrected == 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
 def test_merkle_checksums_match_hashlib(spark):
     import calendar
     import hashlib
