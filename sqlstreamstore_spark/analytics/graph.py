@@ -208,6 +208,82 @@ JOIN edges e2 ON e1.dst = e2.src
 JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
 
 
+def triangle_count_doulion(edges: DataFrame, p: float = 0.5) -> DataFrame:
+    """DOULION triangle estimate (Tsourakakis et al., KDD'09): keep
+    each edge independently with probability ``p``, count triangles on
+    the sparsified graph, scale by 1/p³ — an unbiased estimator whose
+    wedge-join cost drops by ~p^1.5 on the m^1.5 bound. This is the
+    scale path when the exact count's binding cost is the densest
+    component's wedge mass (r6 verdict #8); :func:`triangle_count` is
+    its exact twin and the fixture-scale oracle.
+
+    The coin is a CONTENT HASH of the edge (md5 of "src|dst", the
+    engine's sampling convention) — deterministic, replayable in SQL,
+    and an edge's fate never flips across reruns or partitionings.
+    With p a power of two, T_sampled/p³ is an exact double, so the
+    gate hash-matches with zero tolerance. Output also carries the
+    edge census (m, m_kept) so the run is auditable.
+
+    Scale shape: the filter is map-side on the edge list; the count
+    reuses the degree-ordered wedge join; the censuses are one-row
+    partial aggs broadcast onto the result row."""
+    hb = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("src"), F.col("dst"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 65536
+    )
+    kept = edges.filter(hb < int(p * 65536))
+    est = F.col("n_triangles_sampled").cast("double") / F.lit(float(p) ** 3)
+    return (
+        triangle_count(kept)
+        .withColumnRenamed("n_triangles", "n_triangles_sampled")
+        .crossJoin(F.broadcast(edges.agg(F.count("*").cast("long").alias("n_edges"))))
+        .crossJoin(F.broadcast(kept.agg(F.count("*").cast("long").alias("n_kept"))))
+        .select(
+            "n_edges",
+            "n_kept",
+            "n_triangles_sampled",
+            est.alias("n_triangles_est"),
+        )
+    )
+
+
+def doulion_oracle_sql(p: float = 0.5) -> str:
+    """DuckDB twin: identical md5 edge coin, plain id-ordered triangle
+    join (orientation-invariant — same count as the degree-ordered
+    engine plan)."""
+    coin = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(substr(md5("
+        "CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)), 1, 4), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+        "(a, x) -> a * 16 + x) % 65536"
+    )
+    return f"""WITH edges AS MATERIALIZED (
+  SELECT CAST(a.l_suppkey AS BIGINT) AS src,
+         CAST(b.l_suppkey AS BIGINT) AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= 5
+),
+kept AS MATERIALIZED (SELECT src, dst FROM edges WHERE {coin} < {int(p * 65536)}),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles_sampled
+  FROM kept e1
+  JOIN kept e2 ON e1.dst = e2.src
+  JOIN kept e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
+       n_triangles_sampled,
+       CAST(n_triangles_sampled AS DOUBLE) / {float(p) ** 3!r} AS n_triangles_est
+FROM tri"""
+
+
 def bfs_distances(edges: DataFrame, source: int, max_depth: int = 3) -> DataFrame:
     """Breadth-first shortest hop distance from ``source`` over an
     undirected edge list (src < dst normalized), up to ``max_depth``

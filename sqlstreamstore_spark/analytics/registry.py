@@ -472,10 +472,16 @@ ORDER BY doc_id
 """
 
 # hex→int in DuckDB (no from_hex→int cast): fold the 4 hex chars.
-_HEXBUCKET = """list_reduce(list_prepend(CAST(0 AS BIGINT),
-  list_transform(string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), ''),
+def _hexbucket_sql(expr: str) -> str:
+    """DuckDB twin of sampling._hash_bucket (md5 -> first 4 hex ->
+    int) for an arbitrary key expression."""
+    return f"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+  list_transform(string_split(substr(md5(CAST({expr} AS VARCHAR)), 1, 4), ''),
     c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
   (a, x) -> a * 16 + x)"""
+
+
+_HEXBUCKET = _hexbucket_sql("doc_id")
 
 _SAMPLE_SQL = f"""
 SELECT doc_id, lang FROM documents
@@ -1572,6 +1578,17 @@ def _triangles_query(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_count(supplier_cooccurrence_edges(_t(spark, sf, "lineitem")))
 
 
+def _doulion_query(spark: SparkSession, sf: str) -> DataFrame:
+    from sqlstreamstore_spark.analytics.graph import (
+        supplier_cooccurrence_edges,
+        triangle_count_doulion,
+    )
+
+    return triangle_count_doulion(
+        supplier_cooccurrence_edges(_t(spark, sf, "lineitem")), p=0.5
+    )
+
+
 def _pagerank_query(spark: SparkSession, sf: str) -> DataFrame:
     from sqlstreamstore_spark.analytics.graph import customer_supplier_edges, pagerank
 
@@ -1796,6 +1813,9 @@ _MM_AHASH_SQL, _MM_PHASH_PAIRS_SQL = _multimodal_phash_golden_sqls()
 _MM_VIDEO_DEDUP_SQL = _multimodal_video_dedup_golden_sql()
 
 from sqlstreamstore_spark.analytics.graph import TRIANGLE_ORACLE_SQL as _TRIANGLE_SQL
+from sqlstreamstore_spark.analytics.graph import doulion_oracle_sql as _doulion_oracle_sql
+
+_DOULION_SQL = _doulion_oracle_sql(p=0.5)
 from sqlstreamstore_spark.analytics.graph import bfs_oracle_sql as _bfs_sql
 from sqlstreamstore_spark.analytics.graph import pagerank_oracle_sql as _pr_sql
 
@@ -1803,9 +1823,24 @@ _PAGERANK_SQL = _pr_sql(iters=3)
 _BFS_SQL = _bfs_sql("(SELECT min(src) FROM edges)", max_depth=3)
 
 
-def _minhash_ctes(k: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
+def _minhash_ctes(
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    src: str = "documents WHERE doc_id < 300",
+    lead: str = "\nWITH ",
+    cands_only: bool = False,
+) -> str:
     """Shared WITH-clause body for the MinHash oracles (md5 family):
-    shingles -> signatures -> banded candidates -> exact-Jaccard set."""
+    shingles -> signatures -> banded candidates -> exact-Jaccard set.
+    `src` is the FROM source (a table or an earlier CTE — the e2e
+    pipeline oracle chains this off its exact-dedup stage); `lead`
+    lets a caller splice the block into an existing WITH list.
+    `cands_only=True` computes the exact-Jaccard verify ONLY for the
+    banded candidates (what minhash_dedup_pairs does) instead of all
+    co-shingle pairs (what the recall report needs) — `exact` is then
+    already candidate-intersected, and an order of magnitude cheaper
+    on a full corpus."""
     r = k // bands
     mins = ",\n         ".join(f"min(md5('{i}:' || s)) AS h{i}" for i in range(k))
     band_rows = "\n  UNION ALL\n".join(
@@ -1815,9 +1850,8 @@ def _minhash_ctes(k: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
         )
         for bi in range(bands)
     )
-    return f"""
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 300
+    return f"""{lead}toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM {src}
 ),
 sh AS (
   SELECT doc_id,
@@ -1840,9 +1874,13 @@ cands AS (
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+{'''  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY c.doc_a, c.doc_b''' if cands_only else '''  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  GROUP BY a.doc_id, b.doc_id'''}
 ),
 exact AS (
   SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
@@ -4837,6 +4875,140 @@ SELECT n_a, n_b,
 FROM m
 """
 
+def _e2e_corpus_sql(
+    min_tokens: int = 5,
+    min_distinct_ratio: float = 0.3,
+    jacc: float = 0.2,
+    cos: float = 0.35,
+    bits: int = 6,
+    budget: int = 5000,
+    seq_budget: int = 512,
+    n_shards: int = 16,
+) -> str:
+    """Full-chain twin of pipeline.e2e_corpus_pipeline: the stage CTEs
+    are the SAME SQL the individual gates already pin (quality
+    predicates, md5 first-wins, the _minhash_ctes block re-sourced
+    onto the exact-dedup stage, the hyperplane-bucket near-dup, the
+    HUGEINT budget thresholds, the running-sum packer), chained so
+    each stage reads the previous stage's survivors."""
+    mh = _minhash_ctes(threshold=jacc, src="ex", lead="", cands_only=True)
+    lshb = _lsh_bucket_sql("v", bits=bits)
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT doc_id, text, source FROM documents
+  WHERE len(string_split(text, ' ')) >= {min_tokens}
+    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / CAST(len(string_split(text, ' ')) AS DOUBLE) >= {min_distinct_ratio}
+),
+ex AS MATERIALIZED (
+  SELECT doc_id, text, source FROM (
+    SELECT doc_id, text, source,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM q) t WHERE rn = 1
+),
+{mh},
+fz AS MATERIALIZED (
+  SELECT e.* FROM ex e
+  WHERE e.doc_id NOT IN (SELECT x.doc_b FROM exact x)
+),
+se AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       WHERE vec_id IN (SELECT doc_id FROM fz)),
+ssig AS (SELECT vec_id, v, {lshb} AS bucket FROM se),
+spairs AS (
+  SELECT id_b FROM (
+    SELECT b.vec_id AS id_b,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))) AS cosine
+    FROM ssig a JOIN ssig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+  WHERE cosine >= {cos}
+),
+sm AS MATERIALIZED (SELECT f.* FROM fz f WHERE f.doc_id NOT IN (SELECT id_b FROM spairs)),
+bt AS MATERIALIZED (
+  SELECT doc_id, source AS src,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {_hexbucket_sql("doc_id")} % 65536 AS hb
+  FROM sm),
+thr AS (
+  SELECT src,
+         CAST(least(65536, (CAST({budget} AS HUGEINT) * 65536)
+                    // CAST(sum(n_tokens) AS HUGEINT)) AS BIGINT) AS threshold
+  FROM bt GROUP BY src),
+sel AS MATERIALIZED (SELECT bt.doc_id, bt.n_tokens FROM bt JOIN thr USING (src)
+        WHERE bt.hb < thr.threshold),
+pk AS MATERIALIZED (
+  SELECT CAST((sum(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens)
+              // {seq_budget} AS BIGINT) AS seq_id
+  FROM sel),
+shrd AS (SELECT DISTINCT {_hexbucket_sql("seq_id")} % 65536 % {n_shards} AS s
+         FROM pk)
+SELECT stage_no, stage, n_rows FROM (
+  SELECT 0 AS stage_no, 'raw' AS stage,
+         (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows
+  UNION ALL SELECT 1, 'quality', (SELECT CAST(count(*) AS BIGINT) FROM q)
+  UNION ALL SELECT 2, 'exact_dedup', (SELECT CAST(count(*) AS BIGINT) FROM ex)
+  UNION ALL SELECT 3, 'fuzzy_dedup', (SELECT CAST(count(*) AS BIGINT) FROM fz)
+  UNION ALL SELECT 4, 'semantic_dedup', (SELECT CAST(count(*) AS BIGINT) FROM sm)
+  UNION ALL SELECT 5, 'budget_sample', (SELECT CAST(count(*) AS BIGINT) FROM sel)
+  UNION ALL SELECT 6, 'packed',
+    (SELECT CAST(count(DISTINCT seq_id) AS BIGINT) FROM pk)
+  UNION ALL SELECT 7, 'sharded', (SELECT CAST(count(*) AS BIGINT) FROM shrd)
+) u ORDER BY stage_no
+"""
+
+
+_E2E_CORPUS_SQL = _e2e_corpus_sql(budget=800)
+
+
+def _logreg_train_sql(iters: int = 5, eta: float = 0.5) -> str:
+    """Unrolled-CTE twin of pipeline.logreg_train_quality: it0 = zero
+    weights + label census, it{t} = one full-batch gradient step from
+    it{t-1} (cross-joined 1-row weights — the same algebra the Spark
+    plan runs as broadcast crossJoins), then the log-loss pass. The
+    iteration count/step are baked into the string so the oracle
+    replays the trainer step-for-step."""
+    p = "1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2+w3*x3)))"
+    ctes = [
+        """feats AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       1.0 AS x0,
+       CAST(len(string_split(text, ' ')) AS DOUBLE) / 256.0 AS x1,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2,
+       CAST(n_chars AS DOUBLE) / 1000.0 AS x3
+FROM documents)""",
+        """it0 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       min(0.0) AS w0, min(0.0) AS w1, min(0.0) AS w2, min(0.0) AS w3
+FROM feats)""",
+    ]
+    prev = "it0"
+    for t in range(1, iters + 1):
+        grads = ", ".join(
+            f"max(w{j}) - {eta} * avg(({p} - y) * x{j}) AS w{j}" for j in range(4)
+        )
+        ctes.append(
+            f"it{t} AS (SELECT max(n_docs) AS n_docs, max(n_pos) AS n_pos, "
+            f"{grads} FROM feats, {prev})"
+        )
+        prev = f"it{t}"
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+fin AS (SELECT max(n_docs) AS n_docs, max(n_pos) AS n_pos,
+       max(w0) AS w0, max(w1) AS w1, max(w2) AS w2, max(w3) AS w3,
+       avg(-(y * ln({p}) + (1.0 - y) * ln(1.0 - {p}))) AS loss
+FROM feats, {prev})
+SELECT n_docs, n_pos,
+       round(w0, 6) AS w_bias, round(w1, 6) AS w_len,
+       round(w2, 6) AS w_rich, round(w3, 6) AS w_chars,
+       round(loss, 6) AS log_loss
+FROM fin"""
+    )
+
+
+_LOGREG_TRAIN_SQL = _logreg_train_sql()
+
+
 _MERKLE_SQL = """
 WITH h AS (
   SELECT CAST(floor(l_orderkey / 256.0) AS BIGINT) AS bucket,
@@ -6168,6 +6340,14 @@ ORDER BY doc_id""",
             lambda s, sf: _triangles_query(s, sf),
             _TRIANGLE_SQL,
         ),
+        # DOULION edge-sampled triangle estimate (p=1/2, content-hash
+        # coin, x8 scale-up): the approximate twin for graphs where the
+        # densest component's m^1.5 wedge mass binds; exact count is
+        # its oracle at fixture scale (pytest pins the error bound)
+        "graph_triangles_doulion": (
+            lambda s, sf: _doulion_query(s, sf),
+            _DOULION_SQL,
+        ),
         # frontier-expansion BFS (<=3 hops) from the smallest supplier
         # in the thresholded co-occurrence graph; integer-exact oracle
         # via unrolled per-level CTEs
@@ -6637,5 +6817,27 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
                 _t(s, sf, "embeddings").filter(F.col("vec_id") < 5),
             ),
             _IVF_FILTERED_SQL,
+        ),
+        # in-engine quality-classifier TRAINING: full-batch logistic
+        # regression, T fixed gradient steps as chained partial aggs +
+        # broadcast 1-row weight frames — one lazy plan, no collects;
+        # oracle replays the identical unrolled iteration algebra
+        "pipeline_classifier_train": (
+            lambda s, sf: pipeline.logreg_train_quality(_t(s, sf, "documents")),
+            _LOGREG_TRAIN_SQL,
+        ),
+        # FLAGSHIP end-to-end corpus build: clean -> exact -> fuzzy ->
+        # semantic dedup -> budget sample -> pack -> shard, one operator
+        # returning per-stage lineage counts; the oracle chains the
+        # individual gates' own SQL blocks stage-onto-stage
+        "pipeline_e2e_corpus": (
+            lambda s, sf: pipeline.e2e_corpus_pipeline(
+                _t(s, sf, "documents"), _t(s, sf, "embeddings"),
+                # 800-token/source budget: small enough that the
+                # sampling stage visibly bites at BOTH gate (sf0.01)
+                # and bench (sf0.1) scale
+                default_budget=800,
+            ),
+            _E2E_CORPUS_SQL,
         ),
     }

@@ -473,6 +473,116 @@ def math_norm(vec: list[float]) -> float:
     return math.sqrt(sum(x * x for x in vec)) or 1.0
 
 
+# Above this many centroids the literal-expression assign/probe paths
+# stop being the right plan: n_clusters x dim literals make janino
+# compile minutes-long trees (the codegen-hang gotcha), and the
+# broadcast-crossJoin fallback multiplies the corpus by n_clusters.
+# The Arrow path below is the production shape for large lists.
+IVF_LITERAL_MAX_CLUSTERS = 64
+
+
+def ivf_assign_arrow(
+    embeddings: DataFrame, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Arrow-batched numpy cluster assignment — the large-n_clusters
+    twin of the literal-argmax ``ivf_assign`` (same cosine argmax, ties
+    to the lowest cluster id via first-max). ONE mapInPandas pass, no
+    shuffle, no per-centroid literal: the centroid matrix rides the
+    closure (model-sized), each batch does a (B x dim)@(dim x K) GEMM.
+    This is what keeps the IVF family linear when the n_clusters ≈
+    N/list_size rule pushes K into the hundreds at 100x corpora
+    (SCALE_PROBE sf10): K=781 literals would hang whole-stage codegen,
+    and the broadcast-crossJoin fallback multiplies the corpus by K."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    C = np.array([vec for _, vec in centroids], dtype=np.float64)
+    Cn = np.sqrt((C * C).sum(1))
+    Cn[Cn == 0.0] = 1.0
+    ids = np.array([int(cid) for cid, _ in centroids], dtype=np.int64)
+    schema = T.StructType(
+        list(embeddings.schema.fields) + [T.StructField("cluster_id", T.IntegerType())]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            Xn = np.sqrt((X * X).sum(1))
+            Xn[Xn == 0.0] = 1.0
+            cos = (X @ C.T) / (Xn[:, None] * Cn[None, :])
+            pdf = pdf.copy()
+            pdf["cluster_id"] = ids[cos.argmax(1)].astype("int32")
+            yield pdf
+
+    return embeddings.mapInPandas(run, schema)
+
+
+def ivf_probe_lists_arrow(
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int = 4,
+) -> DataFrame:
+    """Arrow-batched numpy twin of ``ivf_probe_lists`` for large
+    centroid sets: per-query top-``n_probe`` lists via one GEMM +
+    argpartition per batch, emitted as (qid, qvec, qn, pcid,
+    probe_rank) rows — n_probe rows per query, computed map-side with
+    no window, no explode of K literal structs."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    C = np.array([vec for _, vec in centroids], dtype=np.float64)
+    Cn = np.sqrt((C * C).sum(1))
+    Cn[Cn == 0.0] = 1.0
+    ids = np.array([int(cid) for cid, _ in centroids], dtype=np.int64)
+    npb = int(n_probe)
+    schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("qvec", T.ArrayType(T.DoubleType())),
+            T.StructField("qn", T.DoubleType()),
+            T.StructField("pcid", T.IntegerType()),
+            T.StructField("probe_rank", T.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            Xn = np.sqrt((X * X).sum(1))
+            Xn[Xn == 0.0] = 1.0
+            cos = (X @ C.T) / (Xn[:, None] * Cn[None, :])
+            # ties to lowest cluster id, matching the literal path's
+            # (score DESC, cid ASC) rank: lexsort on (-score, id order
+            # is implicit because argsort is stable over the id axis)
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :npb]
+            rows = {
+                "qid": np.repeat(pdf["vec_id"].to_numpy(), npb),
+                "qvec": [v for v in pdf["embedding"] for _ in range(npb)],
+                "qn": np.repeat(Xn, npb),
+                "pcid": ids[order].reshape(-1).astype("int32"),
+                "probe_rank": np.tile(np.arange(1, npb + 1), len(pdf)).astype(
+                    "int32"
+                ),
+            }
+            yield pd.DataFrame(rows)
+
+    return queries.mapInPandas(run, schema)
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -1282,10 +1392,18 @@ def knn_join_ivf_static(
     from pyspark.sql import Window
 
     centroids = _static_centroids(dim=dim, n_clusters=n_clusters, seed=seed)
-    probes = ivf_probe_lists(queries, centroids, n_probe=n_probe)
+    # large centroid sets (the n_clusters ≈ N/list_size rule at big N)
+    # switch to the Arrow GEMM assign/probe twins — literal trees past
+    # ~64 clusters hang janino and aren't the plan you'd want anyway
+    if n_clusters > IVF_LITERAL_MAX_CLUSTERS:
+        probes = ivf_probe_lists_arrow(queries, centroids, n_probe=n_probe)
+        assign_fn = ivf_assign_arrow
+    else:
+        probes = ivf_probe_lists(queries, centroids, n_probe=n_probe)
+        assign_fn = ivf_assign
     if broadcast_probes:
         probes = F.broadcast(probes)
-    assigned = ivf_assign(embeddings, centroids).select(
+    assigned = assign_fn(embeddings, centroids).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("cvec"),
         _norm(F.col("embedding")).alias("cn"),
