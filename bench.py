@@ -561,7 +561,16 @@ print("done", retries)
             with open(sp_path) as f:
                 scales = json.load(f)["scales"]
             labels = [s["scale"] for s in scales]
-            ops = [k for k, v in scales[-1].items() if isinstance(v, dict) and "s" in v]
+            # union across scales: the sf10 entry carries only the
+            # three headline knobs, not the full op list
+            ops = sorted(
+                {
+                    k
+                    for s in scales
+                    for k, v in s.items()
+                    if isinstance(v, dict) and "s" in v
+                }
+            )
             scale_probe = {
                 "scales": labels,
                 "seconds": {

@@ -44,6 +44,159 @@ def replicated(df, times: int, key_cols: dict[str, int]):
     return out
 
 
+def sf10_main(which: str) -> int:
+    """r6 verdict #6: one 100x datapoint (sf10-synthetic = sf0.1
+    replicated 100x, 500k docs / 200k vectors) for the three headline
+    scale knobs, so the documented rules become measured ones:
+
+      minhash     — banding candidates; pair output grows with
+                    replica-group² (TRUE near-dups), join stays banded
+      lshbits     — embedding near-dup with AUTO bits
+                    (derive_lsh_bits: log2(N/32) → 13 bits at 200k)
+      semantic    — semantic_clusters with n_clusters = N/256 ≈ 781
+                    (the rule UNCAPPED — this is what forced the Arrow
+                    GEMM assign/probe twins; the 64-literal ceiling was
+                    a codegen limit, not an algorithm one)
+      containment — auto df-cap at 100x replica depth: every posting
+                    list is ≥ replica-count long, so the cap's
+                    engagement (base-df ≥ 8 shingles dropped) is the
+                    rule's stress test
+
+    Each knob runs separately (`--sf10 minhash` etc.) and MERGES its
+    rows into SCALE_PROBE.json's "sf10-synthetic" scale entry, so a
+    wall-budget kill of one knob doesn't lose the others.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.analytics import dedup, similarity
+    from sqlstreamstore_spark.session import get_spark
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="scale-probe-sf10")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    d = "/root/testdata/sf0.1"
+    res: dict = {}
+
+    def need_docs():
+        return replicated(
+            load_table(spark, d, "documents"), 100, {"doc_id": 1_000_000}
+        ).localCheckpoint()
+
+    if which in ("minhash", "all"):
+        docs = need_docs()
+        n_docs = docs.count()
+        t0 = time.time()
+        n = dedup.minhash_lsh_candidates(docs).count()
+        res["minhash_lsh_candidates"] = {
+            "rows": n, "n_docs": n_docs, "s": round(time.time() - t0, 2)}
+        print(json.dumps(res["minhash_lsh_candidates"]), flush=True)
+
+    if which in ("containment", "all"):
+        docs = need_docs()
+        n_docs = docs.count()
+        cap = dedup.derive_shingle_df_cap(n_docs)
+        t0 = time.time()
+        n = dedup.containment_pairs(docs, threshold=0.5).count()
+        dt = round(time.time() - t0, 2)
+        from sqlstreamstore_spark.analytics.dedup import _shingles
+
+        n_hot = (
+            docs.select(F.explode(_shingles(F.col("text"), 3)).alias("s"))
+            .groupBy("s").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > cap).count()
+        )
+        res["containment_pairs"] = {
+            "rows": n, "n_docs": n_docs, "s": dt,
+            "df_cap": cap, "hot_shingles_dropped": n_hot,
+        }
+        print(json.dumps(res["containment_pairs"]), flush=True)
+
+    if which in ("lshbits", "all"):
+        emb = replicated(
+            load_table(spark, d, "embeddings"), 100, {"vec_id": 1_000_000}
+        ).localCheckpoint()
+        n_emb = emb.count()
+        bits = similarity.derive_lsh_bits(n_emb)
+        t0 = time.time()
+        n = similarity.cosine_near_dup_pairs_lsh(emb, sort=False).count()
+        res["near_dup_lsh"] = {
+            "rows": n, "n_vecs": n_emb, "auto_bits": bits,
+            "s": round(time.time() - t0, 2)}
+        print(json.dumps(res["near_dup_lsh"]), flush=True)
+
+    if which in ("semantic", "all"):
+        emb = replicated(
+            load_table(spark, d, "embeddings"), 100, {"vec_id": 1_000_000}
+        ).localCheckpoint()
+        n_emb = emb.count()
+        ncl = max(8, n_emb // 256)  # the rule, uncapped (Arrow path)
+        t0 = time.time()
+        sc = similarity.semantic_clusters(emb, k=4, threshold=0.35, n_clusters=ncl)
+        row = sc.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("comp").alias("n_comps"),
+            F.max("comp_size").alias("max_size"),
+        ).collect()[0]
+        res["semantic_clusters"] = {
+            "rows": row.n, "n_comps": row.n_comps, "n_lists": ncl,
+            "max_size": row.max_size, "s": round(time.time() - t0, 2)}
+        print(json.dumps(res["semantic_clusters"]), flush=True)
+
+    _merge_scale(res, "sf10-synthetic")
+    return 0
+
+
+def _merge_scale(res: dict, label: str) -> None:
+    import os
+
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "SCALE_PROBE.json")
+    with open(art) as f:
+        data = json.load(f)
+    scales = data["scales"]
+    for s in scales:
+        if s.get("scale") == label:
+            s.update(res)
+            break
+    else:
+        scales.append({"scale": label, **res})
+    with open(art, "w") as f:
+        json.dump(data, f, indent=1)
+    print(f"merged {sorted(res)} into {art} [{label}]", flush=True)
+
+
+def e2e_main() -> int:
+    """sf1-synthetic probe for the flagship pipeline_e2e_corpus row
+    (r6 verdict #7): the full clean->dedup³->sample->pack->shard chain
+    on a 10x corpus, per-stage lineage counts recorded."""
+    from sqlstreamstore_spark.analytics import pipeline
+    from sqlstreamstore_spark.session import get_spark
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="scale-probe-e2e")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    d = "/root/testdata/sf0.1"
+    docs = replicated(
+        load_table(spark, d, "documents"), 10, {"doc_id": 1_000_000}
+    ).localCheckpoint()
+    emb = replicated(
+        load_table(spark, d, "embeddings"), 10, {"vec_id": 1_000_000}
+    ).localCheckpoint()
+    t0 = time.time()
+    rows = pipeline.e2e_corpus_pipeline(docs, emb, default_budget=800).collect()
+    res = {
+        "e2e_corpus_pipeline": {
+            "s": round(time.time() - t0, 2),
+            "lineage": {r.stage: r.n_rows for r in rows},
+        }
+    }
+    print(json.dumps(res), flush=True)
+    _merge_scale(res, "sf1-synthetic")
+    return 0
+
+
 def main() -> int:
     from sqlstreamstore_spark.analytics import dedup, pipeline, sampling, similarity, text, tpch
     from sqlstreamstore_spark.session import get_spark
@@ -583,4 +736,8 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--sf10":
+        raise SystemExit(sf10_main(sys.argv[2] if len(sys.argv) > 2 else "all"))
+    if len(sys.argv) > 1 and sys.argv[1] == "--e2e":
+        raise SystemExit(e2e_main())
     raise SystemExit(main())
