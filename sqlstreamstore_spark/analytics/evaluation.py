@@ -228,7 +228,11 @@ def ab_test_report(events: DataFrame) -> DataFrame:
         (F.col("user_id") % 2).alias("arm"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    arm = lambda a, e: F.sum(F.when(F.col("arm") == a, e).otherwise(F.lit(0)))
+    # coalesce: integer moments are 0 on an EMPTY metric table, not
+    # NULL — the counts must stay diagnosable even with no rows at all
+    arm = lambda a, e: F.coalesce(
+        F.sum(F.when(F.col("arm") == a, e).otherwise(F.lit(0))), F.lit(0)
+    )
     one = base.agg(
         arm(0, F.lit(1)).cast("long").alias("n_a"),
         arm(1, F.lit(1)).cast("long").alias("n_b"),

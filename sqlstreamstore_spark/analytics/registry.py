@@ -4837,12 +4837,12 @@ WITH base AS (
   FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
 ),
 one AS (
-  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-         CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS s1_a,
-         CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1_b,
-         CAST(sum(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END) AS BIGINT) AS s2_a,
-         CAST(sum(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END) AS BIGINT) AS s2_b
+  SELECT CAST(COALESCE(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_b,
+         CAST(COALESCE(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END), 0) AS BIGINT) AS s1_a,
+         CAST(COALESCE(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END), 0) AS BIGINT) AS s1_b,
+         CAST(COALESCE(sum(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END), 0) AS BIGINT) AS s2_a,
+         CAST(COALESCE(sum(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END), 0) AS BIGINT) AS s2_b
   FROM base
 ),
 m AS (
