@@ -225,8 +225,11 @@ def triangle_count_doulion(edges: DataFrame, p: float = 0.5) -> DataFrame:
     edge census (m, m_kept) so the run is auditable.
 
     Scale shape: the filter is map-side on the edge list; the count
-    reuses the degree-ordered wedge join; the censuses are one-row
-    partial aggs broadcast onto the result row."""
+    reuses the degree-ordered wedge join; the two censuses fuse into
+    ONE partial agg broadcast onto the result row. The edge list is
+    localCheckpoint'd first — it typically comes from a derivation
+    join (supplier co-occurrence), and without the pin the triangle
+    pass and the census would each re-run it."""
     hb = (
         F.conv(
             F.substring(
@@ -237,13 +240,19 @@ def triangle_count_doulion(edges: DataFrame, p: float = 0.5) -> DataFrame:
         ).cast("long")
         % 65536
     )
-    kept = edges.filter(hb < int(p * 65536))
+    ed = edges.localCheckpoint()
+    kept = ed.filter(hb < int(p * 65536))
+    census = ed.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.coalesce(F.sum((hb < int(p * 65536)).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_kept"),
+    )
     est = F.col("n_triangles_sampled").cast("double") / F.lit(float(p) ** 3)
     return (
         triangle_count(kept)
         .withColumnRenamed("n_triangles", "n_triangles_sampled")
-        .crossJoin(F.broadcast(edges.agg(F.count("*").cast("long").alias("n_edges"))))
-        .crossJoin(F.broadcast(kept.agg(F.count("*").cast("long").alias("n_kept"))))
+        .crossJoin(F.broadcast(census))
         .select(
             "n_edges",
             "n_kept",

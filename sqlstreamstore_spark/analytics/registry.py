@@ -4961,6 +4961,46 @@ SELECT stage_no, stage, n_rows FROM (
 _E2E_CORPUS_SQL = _e2e_corpus_sql(budget=800)
 
 
+def _dsir_sql(target_lang: str = "en", buckets: int = 8192) -> str:
+    """DuckDB twin of sampling.dsir_importance_weights: identical md5
+    bucket family, add-1 smoothing, sorted-sequential float fold
+    (struct key order c_t, c_s, m matches the Spark array_sort)."""
+    hb = _hexbucket_sql("g")
+    return f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+uni AS (SELECT doc_id, lang, unnest(w) AS g FROM t),
+bg AS (SELECT doc_id, lang,
+              unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+       FROM t WHERE len(w) >= 2),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bg),
+gbk AS MATERIALIZED (SELECT doc_id, lang, {hb} % {buckets} AS b FROM grams),
+stats AS MATERIALIZED (
+  SELECT b, CAST(count(*) AS BIGINT) AS c_s,
+         CAST(sum(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+  FROM gbk GROUP BY b),
+tot AS (SELECT CAST(COALESCE(sum(c_s), 0) AS BIGINT) AS n_s,
+               CAST(COALESCE(sum(c_t), 0) AS BIGINT) AS n_t FROM stats),
+per AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS m FROM gbk GROUP BY doc_id, b),
+terms AS (
+  SELECT doc_id,
+         list_sort(list({{'c_t': c_t, 'c_s': c_s, 'm': m}})) AS ts,
+         CAST(sum(m) AS BIGINT) AS n_grams
+  FROM per JOIN stats USING (b) GROUP BY doc_id)
+SELECT doc_id, n_grams,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(ts, s -> CAST(s.m AS DOUBLE)
+                 * (ln(CAST(s.c_t + 1 AS DOUBLE)) - ln(CAST(s.c_s + 1 AS DOUBLE))))),
+               (a, x) -> a + x)
+             + CAST(n_grams AS DOUBLE)
+               * (ln(CAST(n_s + {buckets} AS DOUBLE))
+                  - ln(CAST(n_t + {buckets} AS DOUBLE))), 6) AS log_weight
+FROM terms, tot ORDER BY doc_id
+"""
+
+
+_DSIR_SQL = _dsir_sql()
+
+
 def _logreg_train_sql(iters: int = 5, eta: float = 0.5) -> str:
     """Unrolled-CTE twin of pipeline.logreg_train_quality: it0 = zero
     weights + label census, it{t} = one full-batch gradient step from
@@ -6825,6 +6865,13 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
         "pipeline_classifier_train": (
             lambda s, sf: pipeline.logreg_train_quality(_t(s, sf, "documents")),
             _LOGREG_TRAIN_SQL,
+        ),
+        # DSIR importance-resampling weights: target/source hashed
+        # n-gram LM log-ratio per doc — the model-free data-selection
+        # recipe next to the trained-classifier one; sorted-fold floats
+        "sampling_dsir_weights": (
+            lambda s, sf: sampling.dsir_importance_weights(_t(s, sf, "documents")),
+            _DSIR_SQL,
         ),
         # FLAGSHIP end-to-end corpus build: clean -> exact -> fuzzy ->
         # semantic dedup -> budget sample -> pack -> shard, one operator

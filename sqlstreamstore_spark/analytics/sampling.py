@@ -397,6 +397,103 @@ def temperature_mixture_sample(
     )
 
 
+def dsir_importance_weights(
+    documents: DataFrame, target_lang: str = "en", buckets: int = 8192
+) -> DataFrame:
+    """DSIR data-selection weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by the log likelihood ratio of a TARGET-domain hashed
+    n-gram unigram model over the SOURCE (whole-corpus) model,
+
+        log w(x) = sum_g m_g * [ln p_t(b(g)) - ln p_s(b(g))]
+
+    with unigram+bigram features hashed into ``buckets`` buckets
+    (md5 — the engine's hashing-trick family) and add-1 smoothing.
+    High-weight docs look like the target domain (here: the
+    ``target_lang`` slice standing in for "quality" text); importance
+    resampling then samples proportionally. This is the model-free
+    counterpart of the trained classifier filter
+    (pipeline.logreg_train_quality -> classifier_score): together they
+    close both standard data-selection recipes.
+
+    Float discipline (gate hash-matches DuckDB): every libm call is
+    ln() of an exact integer (+1-smoothed counts, +B totals), per-doc
+    contributions fold over a SORTED struct array sequentially, and
+    the two corpus totals arrive as a broadcast 1-row crossJoin — the
+    unigram_logprob discipline exactly.
+
+    Scale shape at 100 TB: gram explode -> one groupBy(bucket) partial
+    agg (8192-row model, broadcastable by AQE), one (doc, bucket)
+    partial agg, one hash equi-join; fold bounded by distinct buckets
+    per doc (<= 8192 however long the doc). Nothing quadratic, no
+    UDFs, no collect."""
+    toks = documents.select(
+        "doc_id", F.col("lang"), F.split(F.col("text"), " ").alias("w")
+    )
+    uni = toks.select("doc_id", "lang", F.explode("w").alias("g"))
+    bg = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(w, 1, size(w) - 1)"),
+                    F.expr("slice(w, 2, size(w) - 1)"),
+                    lambda p, c: F.concat_ws(" ", p, c),
+                )
+            ).alias("g"),
+        )
+    )
+    grams = uni.unionByName(bg)
+    b = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 4), 16, 10).cast("long")
+        % F.lit(int(buckets))
+    )
+    gb = grams.select("doc_id", "lang", b.alias("b"))
+    stats = gb.groupBy("b").agg(
+        F.count("*").cast("long").alias("c_s"),
+        F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0))
+        .cast("long")
+        .alias("c_t"),
+    )
+    totals = stats.agg(
+        F.coalesce(F.sum("c_s"), F.lit(0)).cast("long").alias("n_s"),
+        F.coalesce(F.sum("c_t"), F.lit(0)).cast("long").alias("n_t"),
+    )
+    per = gb.groupBy("doc_id", "b").agg(F.count("*").cast("long").alias("m"))
+    terms = (
+        per.join(stats, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("c_t", "c_s", "m"))).alias("ts"),
+            F.sum("m").cast("long").alias("n_grams"),
+        )
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.col("ts"),
+            lambda t: t["m"].cast("double")
+            * (
+                F.log((t["c_t"] + F.lit(1)).cast("double"))
+                - F.log((t["c_s"] + F.lit(1)).cast("double"))
+            ),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    bk = F.lit(int(buckets))
+    logw = fold + F.col("n_grams").cast("double") * (
+        F.log((F.col("n_s") + bk).cast("double"))
+        - F.log((F.col("n_t") + bk).cast("double"))
+    )
+    return (
+        terms.crossJoin(F.broadcast(totals))
+        .select("doc_id", "n_grams", F.round(logw, 6).alias("log_weight"))
+        .orderBy("doc_id")
+    )
+
+
 def ess_report(documents: DataFrame) -> DataFrame:
     """Effective sample size of the token-count importance weights —
     the one-row diagnostic run before trusting any weighted estimate

@@ -150,6 +150,62 @@ def test_e2e_corpus_pipeline_lineage_composes(spark, docs):
     )
 
 
+def test_dsir_weights_match_numpy_twin(docs):
+    """DSIR log-importance-weights replicate an independent pure-Python
+    hashed-ngram LM ratio on the real fixture, and the weights actually
+    separate the target domain (mean weight of 'en' docs > others)."""
+    import hashlib
+
+    from sqlstreamstore_spark.analytics.sampling import dsir_importance_weights
+
+    B = 8192
+    raw = [
+        (r.doc_id, r.text, r.lang)
+        for r in docs.select("doc_id", "text", "lang").collect()
+    ]
+
+    def grams(text):
+        toks = text.split(" ")
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % B
+
+    c_s = Counter()
+    c_t = Counter()
+    per_doc = {}
+    for doc_id, text, lang in raw:
+        bs = [bucket(g) for g in grams(text)]
+        per_doc[doc_id] = (bs, lang)
+        for b in bs:
+            c_s[b] += 1
+            if lang == "en":
+                c_t[b] += 1
+    n_s = sum(c_s.values())
+    n_t = sum(c_t.values())
+    want = {}
+    for doc_id, (bs, _lang) in per_doc.items():
+        m = Counter(bs)
+        w = sum(
+            mm * (math.log(c_t[b] + 1) - math.log(c_s[b] + 1))
+            for b, mm in m.items()
+        )
+        want[doc_id] = w + len(bs) * (math.log(n_s + B) - math.log(n_t + B))
+
+    got = {
+        r.doc_id: (r.n_grams, r.log_weight)
+        for r in dsir_importance_weights(docs).collect()
+    }
+    assert set(got) == set(want)
+    for doc_id, (n_grams, lw) in got.items():
+        assert n_grams == len(per_doc[doc_id][0])
+        assert abs(lw - want[doc_id]) < 5.1e-7 + 1e-9 * abs(want[doc_id])
+    # separation: the target slice scores higher on average
+    en = [got[d][1] for d, (_bs, lang) in per_doc.items() if lang == "en"]
+    other = [got[d][1] for d, (_bs, lang) in per_doc.items() if lang != "en"]
+    assert sum(en) / len(en) > sum(other) / len(other)
+
+
 def test_doulion_estimator_bound_and_identity(spark):
     """DOULION at p=1 reproduces the exact triangle count identically;
     at p=1/2 the unbiased estimate lands within the concentration
