@@ -116,7 +116,9 @@ def ngram_jaccard_pairs(
         # one count job, the derive_lsh_bits pattern: default-safe on
         # skewed corpora, no-op on the closed-vocabulary fixture
         max_shingle_df = derive_shingle_df_cap(documents.count())
-    sh = documents.select(
+    from sqlstreamstore_spark.operators.partitioning import with_min_parallelism
+
+    sh = with_min_parallelism(documents).select(
         "doc_id", F.explode(_shingles(F.col("text"), n)).alias("s")
     )
     if pin_shingles:
@@ -253,6 +255,11 @@ def minhash_signatures(
     per-family minima over the shingle set (one shuffle on doc_id with
     partial min combine).
     """
+    from sqlstreamstore_spark.operators.partitioning import with_min_parallelism
+
+    # the shingle explode + k-way partial min is the heavy MAP phase —
+    # don't let a single-file input serialize it (no-op at scale)
+    documents = with_min_parallelism(documents)
     sh = documents.select("doc_id", F.explode(_shingles(F.col("text"), n)).alias("s"))
     if family == "md5":
         mins = [
@@ -926,7 +933,9 @@ def containment_pairs(
         # derive_shingle_df_cap: max(64, ceil(√N)) — bounds any one
         # shingle's join mass to N pairs; no-op on the gate fixture
         max_shingle_df = derive_shingle_df_cap(documents.count())
-    sh = documents.select(
+    from sqlstreamstore_spark.operators.partitioning import with_min_parallelism
+
+    sh = with_min_parallelism(documents).select(
         "doc_id", F.explode(_shingles(F.col("text"), n)).alias("s")
     ).localCheckpoint()
     if max_shingle_df is not None:

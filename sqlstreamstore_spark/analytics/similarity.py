@@ -1500,9 +1500,9 @@ def semantic_clusters(
     # corpus assignment are map-side work that would serialize on that
     # one task (measured: 13.5 s -> 7.7 s at sf0.1 just from this). At
     # scale inputs carry >= cores partitions and this is a no-op.
-    sc_ = embeddings.sparkSession.sparkContext
-    if embeddings.rdd.getNumPartitions() < sc_.defaultParallelism:
-        embeddings = embeddings.repartition(sc_.defaultParallelism)
+    from sqlstreamstore_spark.operators.partitioning import with_min_parallelism
+
+    embeddings = with_min_parallelism(embeddings)
     knn = knn_join_ivf_static(
         embeddings, embeddings, k=k, n_clusters=n_clusters, n_probe=n_probe,
         dim=dim, seed=seed, broadcast_probes=False,
