@@ -557,6 +557,64 @@ def e2e_corpus_pipeline(
     return out.orderBy("stage_no")
 
 
+def _quality_features(documents: DataFrame, with_id: bool = False) -> DataFrame:
+    """The quality classifier's feature projection (shared by the
+    trainer and trained-weight inference): label y = (lang = 'en'),
+    x0 bias, x1 length/256, x2 distinct-token ratio, x3 n_chars/1000.
+    Exact integer inputs, two IEEE divides — identical in DuckDB."""
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks).cast("double")
+    cols = [
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (n_toks / F.lit(256.0)).alias("x1"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_toks).alias("x2"),
+        (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("x3"),
+    ]
+    if with_id:
+        cols.insert(0, F.col("doc_id"))
+    return documents.select(*cols)
+
+
+def classifier_infer_trained(
+    documents: DataFrame, iters: int = 5, eta: float = 0.5
+) -> DataFrame:
+    """Score every document with the weights the IN-ENGINE trainer just
+    learned — the literal train→infer composition closing the curation
+    loop (:func:`logreg_train_quality` is the train half;
+    :func:`classifier_score` is the hash-weight stand-in this
+    replaces once training runs in-engine). One lazy plan: the trained
+    1-row weight frame broadcast-crossJoins the per-doc feature
+    projection; p_keep = sigmoid(w.x).
+
+    Inference uses the ROUNDED (6-decimal) weights — the same values
+    the train gate emits — so the scores are reproducible from the
+    published weight artifact alone, and both engines compute sigmoid
+    on identical doubles (round-6 doubles are exactly representable
+    cross-engine; the only libm call is the final exp, absorbed by the
+    output round)."""
+    w = logreg_train_quality(documents, iters=iters, eta=eta).select(
+        "w_bias", "w_len", "w_rich", "w_chars"
+    )
+    feats = _quality_features(documents, with_id=True)
+    z = (
+        F.col("w_bias") * F.col("x0")
+        + F.col("w_len") * F.col("x1")
+        + F.col("w_rich") * F.col("x2")
+        + F.col("w_chars") * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return (
+        feats.crossJoin(F.broadcast(w))
+        .select(
+            "doc_id",
+            F.col("y").cast("long").alias("label"),
+            F.round(p, 6).alias("p_keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def logreg_train_quality(
     documents: DataFrame, iters: int = 5, eta: float = 0.5
 ) -> DataFrame:
@@ -591,15 +649,7 @@ def logreg_train_quality(
     every integer input (token counts, n_chars, label sums) is exact
     in both engines.
     """
-    toks = F.split(F.col("text"), " ")
-    n_toks = F.size(toks).cast("double")
-    feats = documents.select(
-        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
-        F.lit(1.0).alias("x0"),
-        (n_toks / F.lit(256.0)).alias("x1"),
-        (F.size(F.array_distinct(toks)).cast("double") / n_toks).alias("x2"),
-        (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("x3"),
-    )
+    feats = _quality_features(documents)
     cur = feats.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("y").cast("long").alias("n_pos"),

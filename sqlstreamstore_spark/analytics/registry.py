@@ -5049,6 +5049,36 @@ FROM fin"""
 _LOGREG_TRAIN_SQL = _logreg_train_sql()
 
 
+def _logreg_infer_sql(iters: int = 5, eta: float = 0.5) -> str:
+    """Trained-weight inference twin: replay the train CTE chain, take
+    the ROUNDED weights (the exact doubles the train gate publishes),
+    score every doc with the same left-assoc sigmoid the Spark side
+    builds. MATERIALIZED on the iteration chain so DuckDB does not
+    re-inline the T-step training once per consumer."""
+    train = _logreg_train_sql(iters=iters, eta=eta)
+    head, _tail = train.rsplit("SELECT n_docs", 1)
+    head = head.replace("feats AS (", "feats AS MATERIALIZED (", 1)
+    return (
+        head
+        + """, w AS (SELECT round(w0, 6) AS w_bias, round(w1, 6) AS w_len,
+       round(w2, 6) AS w_rich, round(w3, 6) AS w_chars FROM fin),
+df AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       1.0 AS x0,
+       CAST(len(string_split(text, ' ')) AS DOUBLE) / 256.0 AS x1,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2,
+       CAST(n_chars AS DOUBLE) / 1000.0 AS x3
+FROM documents)
+SELECT doc_id, CAST(y AS BIGINT) AS label,
+       round(1.0 / (1.0 + exp(-(w_bias * x0 + w_len * x1
+                                + w_rich * x2 + w_chars * x3))), 6) AS p_keep
+FROM df, w ORDER BY doc_id"""
+    )
+
+
+_LOGREG_INFER_SQL = _logreg_infer_sql()
+
+
 _MERKLE_SQL = """
 WITH h AS (
   SELECT CAST(floor(l_orderkey / 256.0) AS BIGINT) AS bucket,
@@ -6865,6 +6895,13 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
         "pipeline_classifier_train": (
             lambda s, sf: pipeline.logreg_train_quality(_t(s, sf, "documents")),
             _LOGREG_TRAIN_SQL,
+        ),
+        # the literal train->infer composition: score every doc with
+        # the weights the in-engine trainer just learned (rounded-6
+        # published weights, so scores reproduce from the artifact)
+        "pipeline_classifier_infer": (
+            lambda s, sf: pipeline.classifier_infer_trained(_t(s, sf, "documents")),
+            _LOGREG_INFER_SQL,
         ),
         # DSIR importance-resampling weights: target/source hashed
         # n-gram LM log-ratio per doc — the model-free data-selection

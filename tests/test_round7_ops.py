@@ -68,6 +68,29 @@ def test_logreg_train_matches_numpy_twin(docs):
     assert r.log_loss < math.log(2.0)
 
 
+def test_classifier_infer_trained_matches_numpy(docs):
+    """Trained-weight inference: p_keep = sigmoid of the ROUNDED
+    published weights dotted with the features, replayed in numpy."""
+    from sqlstreamstore_spark.analytics.pipeline import classifier_infer_trained
+
+    raw = [
+        (r.doc_id, r.lang, r.text, r.n_chars)
+        for r in docs.select("doc_id", "lang", "text", "n_chars").collect()
+    ]
+    w, _loss, _np_, _n = _numpy_logreg([(l, t, c) for _d, l, t, c in raw])
+    wr = [round(x, 6) for x in w]
+    got = {r.doc_id: (r.label, r.p_keep) for r in classifier_infer_trained(docs).collect()}
+    assert set(got) == {d for d, *_ in raw}
+    for doc_id, lang, text, n_chars in raw:
+        toks = text.split(" ")
+        x = [1.0, len(toks) / 256.0, len(set(toks)) / len(toks), n_chars / 1000.0]
+        z = ((wr[0] * x[0] + wr[1] * x[1]) + wr[2] * x[2]) + wr[3] * x[3]
+        p = 1.0 / (1.0 + math.exp(-z))
+        label, p_keep = got[doc_id]
+        assert label == (1 if lang == "en" else 0)
+        assert abs(p_keep - p) < 5.1e-7, (doc_id, p_keep, p)
+
+
 def test_logreg_train_iters_monotone_loss(docs):
     """More gradient steps never worsen full-batch train loss on this
     fixture (eta is well inside the stable region)."""
