@@ -687,11 +687,15 @@ def substring_dup_spans(documents: DataFrame, k: int = 8) -> DataFrame:
             F.md5(F.array_join(F.slice(toks, i + F.lit(1), k), " ")).alias("h"),
         ),
     )
+    from sqlstreamstore_spark.operators.partitioning import with_min_parallelism
+
     # pg feeds both the cross-doc aggregate and the join back — pin it so
     # the explode+md5 runs once (the ngram_novelty discipline;
-    # localCheckpoint, not persist: blocks die with the plan).
+    # localCheckpoint, not persist: blocks die with the plan). The
+    # explode+md5 is the heavy MAP phase — spread a single-file input
+    # first (no-op at scale).
     pg = (
-        documents.filter(F.size(toks) >= k)
+        with_min_parallelism(documents).filter(F.size(toks) >= k)
         .select("doc_id", F.explode(grams).alias("t"))
         .select("doc_id", F.col("t.pos").alias("pos"), F.col("t.h").alias("h"))
         .localCheckpoint()

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from sqlstreamstore_spark.operators.partitioning import with_min_parallelism
 from pyspark.sql import types as T
 
 #: Tiny English function-word set for the n-gram-free language heuristic
@@ -148,7 +150,7 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
     # the shingle frame feeds both the min-aggregate and the join side —
     # pin it so the explode runs once (2.4× at sf0.1; localCheckpoint,
     # not persist: blocks die with the plan)
-    sh = documents.select(
+    sh = with_min_parallelism(documents).select(
         "doc_id", F.explode(_shingles(F.col("text"), n)).alias("s")
     ).localCheckpoint()
     firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
@@ -195,7 +197,7 @@ def kmv_distinct_ngrams(documents: DataFrame, k: int = 64, n: int = 3) -> DataFr
     # pin the distinct hash frame: it feeds both the sketch and the
     # exact count — without the pin the corpus explode+md5+distinct
     # runs twice (the ngram_novelty pin discipline)
-    hs = documents.select(
+    hs = with_min_parallelism(documents).select(
         F.explode(_shingles(F.col("text"), n)).alias("s")
     ).select(F.md5(F.col("s")).alias("h")).distinct().localCheckpoint()
     sketch = (
@@ -239,7 +241,7 @@ def kmv_distinct_ngrams_by_source(
     from sqlstreamstore_spark.analytics.dedup import _shingles
 
     hs = (
-        documents.select(
+        with_min_parallelism(documents).select(
             "source", F.explode(_shingles(F.col("text"), n)).alias("s")
         )
         .select("source", F.md5(F.col("s")).alias("h"))
@@ -1407,7 +1409,7 @@ def contamination_matrix(documents: DataFrame, n: int = 3) -> DataFrame:
     from sqlstreamstore_spark.analytics.dedup import _shingles
 
     sg = (
-        documents.select("source", F.explode(_shingles(F.col("text"), n)).alias("g"))
+        with_min_parallelism(documents).select("source", F.explode(_shingles(F.col("text"), n)).alias("g"))
         .distinct()
         .localCheckpoint()  # feeds sizes AND the pair join — scan once
     )
@@ -1620,7 +1622,7 @@ def kmv_jaccard_pairs(documents: DataFrame, k: int = 32, n: int = 3) -> DataFram
     from sqlstreamstore_spark.analytics.dedup import _shingles
 
     hs = (
-        documents.select("source", F.explode(_shingles(F.col("text"), n)).alias("g"))
+        with_min_parallelism(documents).select("source", F.explode(_shingles(F.col("text"), n)).alias("g"))
         .select("source", F.md5(F.col("g")).alias("h"))
         .distinct()
         .localCheckpoint()  # feeds sketches AND exact pair counts
