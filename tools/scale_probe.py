@@ -167,10 +167,13 @@ def _merge_scale(res: dict, label: str) -> None:
     print(f"merged {sorted(res)} into {art} [{label}]", flush=True)
 
 
-def e2e_main() -> int:
-    """sf1-synthetic probe for the flagship pipeline_e2e_corpus row
-    (r6 verdict #7): the full clean->dedup³->sample->pack->shard chain
-    on a 10x corpus, per-stage lineage counts recorded."""
+def e2e_main(times: int = 10) -> int:
+    """sf1-/sf10-synthetic probe for the flagship pipeline_e2e_corpus
+    row (r6 verdict #7): the full clean->dedup³->sample->pack->shard
+    chain on a replicated corpus, per-stage lineage counts recorded.
+    The exact-dedup stage collapses the replicas FIRST, so the
+    expensive fuzzy/semantic stages see the identity count — the stage
+    ordering is the scale strategy the lineage proves."""
     from sqlstreamstore_spark.analytics import pipeline
     from sqlstreamstore_spark.session import get_spark
     from sqlstreamstore_spark.sources.tables import load_table
@@ -179,10 +182,10 @@ def e2e_main() -> int:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     d = "/root/testdata/sf0.1"
     docs = replicated(
-        load_table(spark, d, "documents"), 10, {"doc_id": 1_000_000}
+        load_table(spark, d, "documents"), times, {"doc_id": 1_000_000}
     ).localCheckpoint()
     emb = replicated(
-        load_table(spark, d, "embeddings"), 10, {"vec_id": 1_000_000}
+        load_table(spark, d, "embeddings"), times, {"vec_id": 1_000_000}
     ).localCheckpoint()
     t0 = time.time()
     rows = pipeline.e2e_corpus_pipeline(docs, emb, default_budget=800).collect()
@@ -193,7 +196,7 @@ def e2e_main() -> int:
         }
     }
     print(json.dumps(res), flush=True)
-    _merge_scale(res, "sf1-synthetic")
+    _merge_scale(res, "sf1-synthetic" if times == 10 else f"sf{times // 10}-synthetic")
     return 0
 
 
@@ -739,5 +742,7 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--sf10":
         raise SystemExit(sf10_main(sys.argv[2] if len(sys.argv) > 2 else "all"))
     if len(sys.argv) > 1 and sys.argv[1] == "--e2e":
-        raise SystemExit(e2e_main())
+        raise SystemExit(
+            e2e_main(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        )
     raise SystemExit(main())
