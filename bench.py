@@ -196,21 +196,46 @@ def main() -> int:
         timings["append_100x100_best3"] = round(best, 3)
         timings["append_best3_msgs_per_sec"] = round(10_000 / best, 1)
 
+        # Round 8 (r7 verdict #2): EVERY sub-second throughput row now
+        # carries a best-of-3 twin — the committed r7 curve read 0.5-0.6x
+        # of r6 purely from tiny-denominator host jitter (FEWER CAS
+        # retries, slower wall), the exact noise class §3g pinned for the
+        # single-writer row. rep 0 stays the continuity row; _best3 rows
+        # are instrumentation and EXCLUDED from total_wall_clock.
+        def _best3(run) -> tuple[float, float]:
+            """(rep0_dt, best_dt) across three reps of run(rep)."""
+            d0 = run(0)
+            return d0, min(d0, run(1), run(2))
+
         # bulk append: 10 batches x 1000 msgs (the wide-batch write path;
         # LoadTests/AppendExpectedVersionAnyParallel.cs analog)
-        store2 = SparkParquetStreamStore(spark, os.path.join(tmp, "store2"))
-        t0 = time.time()
-        k = 0
-        for b in range(10):
-            batch = [
-                NewStreamMessage(str(uuid.UUID(int=10_000_000 + k + i)), "bulk", '{"x":1}')
-                for i in range(1000)
-            ]
-            k += 1000
-            store2.append_to_stream("bulk", ExpectedVersion.ANY, batch)
-        dt = time.time() - t0
+        bulk_stores = {}
+
+        def _run_bulk(rep: int) -> float:
+            st = SparkParquetStreamStore(
+                spark, os.path.join(tmp, f"store2-rep{rep}" if rep else "store2")
+            )
+            bulk_stores[rep] = st
+            t0 = time.time()
+            k = 0
+            for b in range(10):
+                batch = [
+                    NewStreamMessage(
+                        str(uuid.UUID(int=10_000_000 + rep * 1_000_000 + k + i)),
+                        "bulk", '{"x":1}',
+                    )
+                    for i in range(1000)
+                ]
+                k += 1000
+                st.append_to_stream("bulk", ExpectedVersion.ANY, batch)
+            return time.time() - t0
+
+        dt, best = _best3(_run_bulk)
+        store2 = bulk_stores[0]
         timings["append_bulk_10x1000"] = round(dt, 3)
         timings["append_bulk_msgs_per_sec"] = round(10_000 / dt, 1)
+        timings["append_bulk_10x1000_best3"] = round(best, 3)
+        timings["append_bulk_best3_msgs_per_sec"] = round(10_000 / best, 1)
 
         # subscription catch-up drain over the just-written log
         # (LoadTests/StreamSubscription.cs analog): time from subscribe to
@@ -219,22 +244,30 @@ def main() -> int:
 
         from sqlstreamstore_spark.streaming import subscribe_to_all
 
-        done = threading.Event()
-        got = []
+        def _run_subscription(_rep: int) -> float:
+            done = threading.Event()
+            got = []
 
-        def on_msg(m):
-            got.append(m)
-            if len(got) >= 10_000:
-                done.set()
+            def on_msg(m):
+                got.append(m)
+                if len(got) >= 10_000:
+                    done.set()
 
-        t0 = time.time()
-        sub = subscribe_to_all(store2, on_msg, page_size=1000, poll_interval=0.05)
-        done.wait(timeout=120)
-        sub.dispose()
-        dt = time.time() - t0
-        assert len(got) == 10_000, len(got)
+            t0 = time.time()
+            sub = subscribe_to_all(
+                store2, on_msg, page_size=1000, poll_interval=0.05
+            )
+            done.wait(timeout=120)
+            sub.dispose()
+            dt = time.time() - t0
+            assert len(got) == 10_000, len(got)
+            return dt
+
+        dt, best = _best3(_run_subscription)
         timings["subscription_catchup_10k"] = round(dt, 3)
         timings["subscription_msgs_per_sec"] = round(10_000 / dt, 1)
+        timings["subscription_catchup_10k_best3"] = round(best, 3)
+        timings["subscription_best3_msgs_per_sec"] = round(10_000 / best, 1)
         # bulk ingestion: the whole canonical log (100k rows at sf0.1)
         # lands in one Spark-side commit — the migration/backfill path
         from pyspark.sql import functions as F
@@ -257,67 +290,109 @@ def main() -> int:
         # reference's InMemory vs SQL backends)
         from sqlstreamstore_spark.store.sqlite_store import SqliteStreamStore
 
-        sq = SqliteStreamStore(os.path.join(tmp, "store.db"))
-        t0 = time.time()
-        k = 0
-        for b in range(100):
-            batch = [
-                NewStreamMessage(str(uuid.UUID(int=20_000_000 + k + i)), "sq", '{"x":1}')
-                for i in range(100)
-            ]
-            k += 100
-            sq.append_to_stream(f"sq-{b % 10}", ExpectedVersion.ANY, batch)
-        dt = time.time() - t0
+        sq_stores = {}
+
+        def _run_sqlite_append(rep: int) -> float:
+            s = SqliteStreamStore(
+                os.path.join(tmp, f"store-rep{rep}.db" if rep else "store.db")
+            )
+            sq_stores[rep] = s
+            t0 = time.time()
+            k = 0
+            for b in range(100):
+                batch = [
+                    NewStreamMessage(
+                        str(uuid.UUID(int=20_000_000 + rep * 1_000_000 + k + i)),
+                        "sq", '{"x":1}',
+                    )
+                    for i in range(100)
+                ]
+                k += 100
+                s.append_to_stream(f"sq-{b % 10}", ExpectedVersion.ANY, batch)
+            return time.time() - t0
+
+        dt, best = _best3(_run_sqlite_append)
+        sq = sq_stores[0]
         timings["sqlite_append_100x100"] = round(dt, 3)
         timings["sqlite_append_msgs_per_sec"] = round(10_000 / dt, 1)
-        t0 = time.time()
-        pos, drained = 0, 0
-        while True:
-            page = sq.read_all_forwards(pos, 1000)
-            drained += len(page.messages)
-            if page.is_end:
-                break
-            pos = page.next_position
-        dt = time.time() - t0
-        assert drained == 10_000, drained
+        timings["sqlite_append_100x100_best3"] = round(best, 3)
+        timings["sqlite_append_best3_msgs_per_sec"] = round(10_000 / best, 1)
+
+        def _run_sqlite_drain(_rep: int) -> float:
+            t0 = time.time()
+            pos, drained = 0, 0
+            while True:
+                page = sq.read_all_forwards(pos, 1000)
+                drained += len(page.messages)
+                if page.is_end:
+                    break
+                pos = page.next_position
+            dt = time.time() - t0
+            assert drained == 10_000, drained
+            return dt
+
+        dt, best = _best3(_run_sqlite_drain)
         timings["sqlite_drain_p1000"] = round(dt, 3)
-        timings["sqlite_read_msgs_per_sec"] = round(drained / dt, 1)
+        timings["sqlite_read_msgs_per_sec"] = round(10_000 / dt, 1)
+        timings["sqlite_drain_p1000_best3"] = round(best, 3)
+        timings["sqlite_read_best3_msgs_per_sec"] = round(10_000 / best, 1)
 
         # -- append under max-count retention on a hot stream — the
         # per-append scavenge overhead (LoadTests/AppendStreamWithMaxCount.cs
         # analog: every append triggers the window-top-N purge check).
-        store4 = SparkParquetStreamStore(spark, os.path.join(tmp, "store4"))
-        store4.set_stream_metadata("hot", max_count=10)
-        t0 = time.time()
-        k = 0
-        for b in range(20):
-            batch = [
-                NewStreamMessage(str(uuid.UUID(int=30_000_000 + k + i)), "hot", '{"x":1}')
-                for i in range(100)
-            ]
-            k += 100
-            store4.append_to_stream("hot", ExpectedVersion.ANY, batch)
-        dt = time.time() - t0
-        assert len(store4.read_stream_forwards("hot", 0, 100).messages) == 10
+        def _run_maxcount(rep: int) -> float:
+            st = SparkParquetStreamStore(
+                spark, os.path.join(tmp, f"store4-rep{rep}" if rep else "store4")
+            )
+            st.set_stream_metadata("hot", max_count=10)
+            t0 = time.time()
+            k = 0
+            for b in range(20):
+                batch = [
+                    NewStreamMessage(
+                        str(uuid.UUID(int=30_000_000 + rep * 1_000_000 + k + i)),
+                        "hot", '{"x":1}',
+                    )
+                    for i in range(100)
+                ]
+                k += 100
+                st.append_to_stream("hot", ExpectedVersion.ANY, batch)
+            dt = time.time() - t0
+            assert len(st.read_stream_forwards("hot", 0, 100).messages) == 10
+            return dt
+
+        dt, best = _best3(_run_maxcount)
         timings["append_maxcount_20x100"] = round(dt, 3)
         timings["append_maxcount_msgs_per_sec"] = round(2_000 / dt, 1)
+        timings["append_maxcount_20x100_best3"] = round(best, 3)
+        timings["append_maxcount_best3_msgs_per_sec"] = round(2_000 / best, 1)
 
         # -- unique-stream creation path (LoadTests/
         # AppendExpectedVersionNoStreamParallel.cs / UniqueStreams.cs
         # analog: every append creates a fresh stream row).
-        store5 = SparkParquetStreamStore(spark, os.path.join(tmp, "store5"))
-        t0 = time.time()
-        k = 0
-        for s in range(200):
-            batch = [
-                NewStreamMessage(str(uuid.UUID(int=40_000_000 + k + i)), "u", '{"x":1}')
-                for i in range(5)
-            ]
-            k += 5
-            store5.append_to_stream(f"u-{s}", ExpectedVersion.NO_STREAM, batch)
-        dt = time.time() - t0
+        def _run_unique(rep: int) -> float:
+            st = SparkParquetStreamStore(
+                spark, os.path.join(tmp, f"store5-rep{rep}" if rep else "store5")
+            )
+            t0 = time.time()
+            k = 0
+            for s in range(200):
+                batch = [
+                    NewStreamMessage(
+                        str(uuid.UUID(int=40_000_000 + rep * 1_000_000 + k + i)),
+                        "u", '{"x":1}',
+                    )
+                    for i in range(5)
+                ]
+                k += 5
+                st.append_to_stream(f"u-{s}", ExpectedVersion.NO_STREAM, batch)
+            return time.time() - t0
+
+        dt, best = _best3(_run_unique)
         timings["append_unique_200x5"] = round(dt, 3)
         timings["append_unique_msgs_per_sec"] = round(1_000 / dt, 1)
+        timings["append_unique_200x5_best3"] = round(best, 3)
+        timings["append_unique_best3_msgs_per_sec"] = round(1_000 / best, 1)
 
         # -- concurrent writer PROCESSES on one store (the documented
         # multi-writer regime: flock+CAS serializes commits; the loser
@@ -359,33 +434,52 @@ print("done", retries)
         # batches (10k msgs) — the remainder batches go to the first
         # writers, so 8 writers run 12/12/12/12/13/13/13/13, not 12×8
         # (ADVICE r4: 9,600 msgs under a "total10k" key).
+        # r7 verdict #2: the curve rows were the noisiest uninstrumented
+        # series (r7 committed 0.5-0.6x of r6 with FEWER retries — pure
+        # host jitter). Three fresh-store reps per writer count; rep 0
+        # is the continuity row, best wall-clock (with its own retry
+        # count) is the jitter-free series a cross-round read should use.
         for n_writers in (2, 4, 8):
             base_b, extra = divmod(100, n_writers)
             batches = [base_b + (1 if w < extra else 0) for w in range(n_writers)]
             total = sum(batches) * 100
             assert total == 10_000, total
-            xw_path = os.path.join(tmp, f"xwriters{n_writers}")
-            SparkParquetStreamStore(None, xw_path)  # init store dir
-            t0 = time.time()
-            procs = [
-                subprocess.Popen(
-                    [_sys.executable, "-c", worker_src,
-                     str(w + 1), xw_path, str(batches[w])],
-                    stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+
+            def _run_curve(rep: int) -> tuple[float, int]:
+                xw_path = os.path.join(tmp, f"xwriters{n_writers}-rep{rep}")
+                SparkParquetStreamStore(None, xw_path)  # init store dir
+                t0 = time.time()
+                procs = [
+                    subprocess.Popen(
+                        [_sys.executable, "-c", worker_src,
+                         str(w + 1), xw_path, str(batches[w])],
+                        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                    )
+                    for w in range(n_writers)
+                ]
+                retries = 0
+                for p in procs:
+                    out, err = p.communicate(timeout=600)
+                    assert "done" in out, err[-2000:]
+                    retries += int(out.split()[1])
+                dt = time.time() - t0
+                check = SparkParquetStreamStore(None, xw_path)
+                assert check.read_head_position() == total - 1, (
+                    check.read_head_position()
                 )
-                for w in range(n_writers)
-            ]
-            retries = 0
-            for p in procs:
-                out, err = p.communicate(timeout=600)
-                assert "done" in out, err[-2000:]
-                retries += int(out.split()[1])
-            dt = time.time() - t0
-            check = SparkParquetStreamStore(None, xw_path)
-            assert check.read_head_position() == total - 1, check.read_head_position()
+                return dt, retries
+
+            runs = [_run_curve(rep) for rep in range(3)]
+            dt, retries = runs[0]
+            best_dt, best_retries = min(runs)
             timings[f"append_curve_{n_writers}w_total10k"] = round(dt, 3)
             timings[f"append_curve_{n_writers}w_msgs_per_sec"] = round(total / dt, 1)
             timings[f"append_curve_{n_writers}w_cas_retries"] = retries
+            timings[f"append_curve_{n_writers}w_total10k_best3"] = round(best_dt, 3)
+            timings[f"append_curve_{n_writers}w_best3_msgs_per_sec"] = round(
+                total / best_dt, 1
+            )
+            timings[f"append_curve_{n_writers}w_best3_cas_retries"] = best_retries
 
         # (the r3-vintage append_2writers_* continuity rows retired this
         # round as planned in BASELINE §3b — the append_curve_{n}w_*
@@ -508,47 +602,77 @@ print("done", retries)
         srv.start()
         try:
             cli = HttpClientStreamStore(srv.url)
-            t0 = time.time()
-            pos, drained = 0, 0
-            while True:
-                page = cli.read_all_forwards(pos, 1000)
-                drained += len(page.messages)
-                if page.is_end:
-                    break
-                pos = page.next_position
-            dt = time.time() - t0
-            assert drained == 10_000, drained
+            final_pos = [0]
+
+            def _run_http_drain(_rep: int) -> float:
+                t0 = time.time()
+                pos, drained = 0, 0
+                while True:
+                    page = cli.read_all_forwards(pos, 1000)
+                    drained += len(page.messages)
+                    if page.is_end:
+                        break
+                    pos = page.next_position
+                dt = time.time() - t0
+                assert drained == 10_000, drained
+                final_pos[0] = pos
+                return dt
+
+            dt, best = _best3(_run_http_drain)
             timings["http_drain_p1000"] = round(dt, 3)
-            timings["http_read_msgs_per_sec"] = round(drained / dt, 1)
+            timings["http_read_msgs_per_sec"] = round(10_000 / dt, 1)
+            timings["http_drain_p1000_best3"] = round(best, 3)
+            timings["http_read_best3_msgs_per_sec"] = round(10_000 / best, 1)
 
             import urllib.request
 
-            url = f"{srv.url}/stream?d=f&p={pos}&m=1000"
+            url = f"{srv.url}/stream?d=f&p={final_pos[0]}&m=1000"
             req = urllib.request.urlopen(url)
             etag = req.headers.get("ETag")
             req.read()
-            t0 = time.time()
-            n304 = 0
-            for _ in range(200):
-                r = urllib.request.Request(url, headers={"If-None-Match": etag})
-                try:
-                    resp = urllib.request.urlopen(r)
-                    resp.read()
-                except urllib.error.HTTPError as e:  # 304 raises in urllib
-                    if e.code == 304:
-                        n304 += 1
-            dt = time.time() - t0
-            assert n304 == 200, n304
+
+            def _run_http_poll(_rep: int) -> float:
+                t0 = time.time()
+                n304 = 0
+                for _ in range(200):
+                    r = urllib.request.Request(
+                        url, headers={"If-None-Match": etag}
+                    )
+                    try:
+                        resp = urllib.request.urlopen(r)
+                        resp.read()
+                    except urllib.error.HTTPError as e:  # 304 raises in urllib
+                        if e.code == 304:
+                            n304 += 1
+                dt = time.time() - t0
+                assert n304 == 200, n304
+                return dt
+
+            dt, best = _best3(_run_http_poll)
             timings["http_poll_304"] = round(dt, 3)
             timings["http_poll_304_per_sec"] = round(200 / dt, 1)
+            timings["http_poll_304_best3"] = round(best, 3)
+            timings["http_poll_304_best3_per_sec"] = round(200 / best, 1)
         finally:
             srv.stop()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    total = round(
-        sum(v for k, v in timings.items()
-            if not k.endswith(("_per_sec", "_cas_retries", "_ms"))), 3
+    # total_wall_clock = cold sum, series-continuous with r1-r7. The
+    # best-of-3 twins are INSTRUMENTATION (extra reps of the same
+    # workload), so their seconds rows are excluded — r7's total
+    # included the single append_100x100_best3 row (0.27 s); the round-8
+    # basis shift is that one row, noted here for the cross-round read.
+    def _timed(k: str) -> bool:
+        return not k.endswith(("_per_sec", "_cas_retries", "_ms", "_best3"))
+
+    total = round(sum(v for k, v in timings.items() if _timed(k)), 3)
+    # r7 verdict #3: the cold total wobbles when ONE janino/GC landing
+    # hits a late entry (events_ewma 19.4 s cold / 1.9 s warm in r7).
+    # total_warm substitutes the warm rerun wherever one exists — the
+    # stable series a cross-round ratchet should read.
+    total_warm = round(
+        sum(warm.get(k, v) for k, v in timings.items() if _timed(k)), 3
     )
     # scale evidence rides along (r5 verdict #7): attach the committed
     # sf1-synthetic probe artifact (tools/scale_probe.py writes it) as a
@@ -584,6 +708,10 @@ print("done", retries)
         "metric": "total_wall_clock",
         "value": total,
         "unit": "sec",
+        # warm-substituted companion (r7 verdict #3): read THIS for
+        # cross-round comparisons; the cold total carries compile/GC
+        # landings that self-attribute via queries_warm
+        "total_warm": total_warm,
         "queries": timings,
         # warm re-runs of every gate entry >= 0.3 s cold: cold-warm gap
         # is codegen-compile/JIT attribution, not data cost (r6 verdict
@@ -602,8 +730,7 @@ print("done", retries)
         json.dump(full, f, indent=1)
     slowest = dict(
         sorted(
-            ((k, v) for k, v in timings.items()
-             if not k.endswith(("_per_sec", "_cas_retries", "_ms"))),
+            ((k, v) for k, v in timings.items() if _timed(k)),
             key=lambda kv: -kv[1],
         )[:12]
     )
@@ -613,6 +740,7 @@ print("done", retries)
                 "metric": "total_wall_clock",
                 "value": total,
                 "unit": "sec",
+                "total_warm": total_warm,
                 "queries": slowest,
                 "n_queries": len(timings),
                 "queries_full": "BENCH_LOCAL.json",

@@ -122,7 +122,7 @@ def ngram_jaccard_pairs(
         "doc_id", F.explode(_shingles(F.col("text"), n)).alias("s")
     )
     if pin_shingles:
-        sh = sh.localCheckpoint()
+        sh = sh.localCheckpoint(eager=False)
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("s").agg(F.count("*").alias("df"))
@@ -194,7 +194,7 @@ def jaccard_prefix_pairs(
 
     sh = documents.select(
         "doc_id", F.explode(_shingles(F.col("text"), n)).alias("s")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     df = sh.groupBy("s").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
     ranked = (
@@ -407,12 +407,12 @@ def connected_components(
         edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("u").alias("node")).distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
         nbr_min = (
@@ -428,7 +428,7 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -600,11 +600,11 @@ def minhash_lsh_recall(
     exact = (
         ngram_jaccard_pairs(documents, n=n, threshold=threshold)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cands = minhash_lsh_candidates(
         documents, k=k, bands=bands, n=n, family=family
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     hit = exact.join(cands, ["doc_a", "doc_b"])
     n_exact = exact.count()
     n_cands = cands.count()
@@ -698,7 +698,7 @@ def substring_dup_spans(documents: DataFrame, k: int = 8) -> DataFrame:
         with_min_parallelism(documents).filter(F.size(toks) >= k)
         .select("doc_id", F.explode(grams).alias("t"))
         .select("doc_id", F.col("t.pos").alias("pos"), F.col("t.h").alias("h"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cross_doc = (
         pg.groupBy("h")
@@ -941,7 +941,7 @@ def containment_pairs(
 
     sh = with_min_parallelism(documents).select(
         "doc_id", F.explode(_shingles(F.col("text"), n)).alias("s")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("s").agg(F.count("*").alias("df"))

@@ -218,8 +218,12 @@ def ab_test_report(events: DataFrame) -> DataFrame:
     single row.
 
     Degenerate arms are diagnosable, not NaN: an empty arm NULLs its
-    mean (and diff), and an arm with fewer than two users NULLs
-    welch_t / welch_df (variance is undefined at n<=1) — the counts
+    mean (and diff), an arm with fewer than two users NULLs welch_t /
+    welch_df (variance is undefined at n<=1), and — ADVICE r7 #4 —
+    all-constant arms (zero pooled variance) also NULL welch_t /
+    welch_df instead of dividing by sqrt(0): Spark's non-ANSI divide
+    yields NULL there while recent DuckDB returns inf/nan, so the
+    guard pins ONE cross-engine behavior for the edge. The counts
     still report, so the caller sees WHY the test is inconclusive
     instead of a NaN/Infinity propagating downstream."""
     base = events.filter(
@@ -252,7 +256,20 @@ def ab_test_report(events: DataFrame) -> DataFrame:
     )
     se2a, se2b = va / na, vb / nb
     both_pop = (F.col("n_a") > 0) & (F.col("n_b") > 0)
-    testable = (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    # zero-pooled-variance guard: the exact-integer identity
+    # n*s2 > s1^2 <=> sample variance > 0, evaluated in DECIMAL(38,0)
+    # (s1^2 overflows BIGINT past ~3e9 summed cents) so the testable
+    # predicate itself is float-free in both engines
+    d = "decimal(38,0)"
+
+    def _vpos(n, s1, s2):
+        return F.expr(
+            f"CAST({n} AS {d}) * CAST({s2} AS {d})"
+            f" > CAST({s1} AS {d}) * CAST({s1} AS {d})"
+        )
+
+    var_pos = _vpos("n_a", "s1_a", "s2_a") | _vpos("n_b", "s1_b", "s2_b")
+    testable = (F.col("n_a") > 1) & (F.col("n_b") > 1) & var_pos
     return one.select(
         "n_a",
         "n_b",

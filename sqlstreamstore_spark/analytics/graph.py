@@ -211,15 +211,23 @@ JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
 def triangle_count_doulion(edges: DataFrame, p: float = 0.5) -> DataFrame:
     """DOULION triangle estimate (Tsourakakis et al., KDD'09): keep
     each edge independently with probability ``p``, count triangles on
-    the sparsified graph, scale by 1/p³ — an unbiased estimator whose
+    the sparsified graph, scale by 1/p³. Under a RANDOM coin the
+    estimator is unbiased with the paper's concentration bound; the
     wedge-join cost drops by ~p^1.5 on the m^1.5 bound. This is the
     scale path when the exact count's binding cost is the densest
     component's wedge mass (r6 verdict #8); :func:`triangle_count` is
     its exact twin and the fixture-scale oracle.
 
-    The coin is a CONTENT HASH of the edge (md5 of "src|dst", the
-    engine's sampling convention) — deterministic, replayable in SQL,
-    and an edge's fate never flips across reruns or partitionings.
+    The coin here is a CONTENT HASH of the edge (md5 of "src|dst",
+    the engine's sampling convention) — deterministic, replayable in
+    SQL, and an edge's fate never flips across reruns or
+    partitionings. That replayability costs the statistical framing
+    (ADVICE r7 #5): with a fixed coin the sample is a fixed function
+    of the graph, so there is no randomness over which "unbiased"
+    holds — the md5 coin behaves LIKE a uniform p-coin on non-
+    adversarial edge sets, and the pytest error bound is an empirical
+    pin on the fixture, not a guarantee. Callers needing the paper's
+    guarantee can salt the hash per run (trading away replay).
     With p a power of two, T_sampled/p³ is an exact double, so the
     gate hash-matches with zero tolerance. Output also carries the
     edge census (m, m_kept) so the run is auditable.

@@ -4847,6 +4847,12 @@ one AS (
 ),
 m AS (
   SELECT n_a, n_b,
+         -- ADVICE r7 #4: zero-pooled-variance guard, exact-integer
+         -- identity n*s2 > s1^2 in HUGEINT (s1^2 overflows BIGINT)
+         (CAST(n_a AS HUGEINT) * CAST(s2_a AS HUGEINT)
+            > CAST(s1_a AS HUGEINT) * CAST(s1_a AS HUGEINT)
+          OR CAST(n_b AS HUGEINT) * CAST(s2_b AS HUGEINT)
+            > CAST(s1_b AS HUGEINT) * CAST(s1_b AS HUGEINT)) AS var_pos,
          CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
          CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
          (CAST(s2_a AS DOUBLE)
@@ -4861,10 +4867,10 @@ SELECT n_a, n_b,
        CASE WHEN n_a > 0 THEN ma END AS mean_a_cents,
        CASE WHEN n_b > 0 THEN mb END AS mean_b_cents,
        CASE WHEN n_a > 0 AND n_b > 0 THEN mb - ma END AS diff_cents,
-       CASE WHEN n_a > 1 AND n_b > 1 THEN
+       CASE WHEN n_a > 1 AND n_b > 1 AND var_pos THEN
          (mb - ma) / sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
        END AS welch_t,
-       CASE WHEN n_a > 1 AND n_b > 1 THEN
+       CASE WHEN n_a > 1 AND n_b > 1 AND var_pos THEN
          (va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
            * (va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
            / ((va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE))
@@ -4884,6 +4890,8 @@ def _e2e_corpus_sql(
     budget: int = 5000,
     seq_budget: int = 512,
     n_shards: int = 16,
+    quality_mode: str = "static",
+    keep_q: float = 0.5,
 ) -> str:
     """Full-chain twin of pipeline.e2e_corpus_pipeline: the stage CTEs
     are the SAME SQL the individual gates already pin (quality
@@ -4893,13 +4901,39 @@ def _e2e_corpus_sql(
     each stage reads the previous stage's survivors."""
     mh = _minhash_ctes(threshold=jacc, src="ex", lead="", cands_only=True)
     lshb = _lsh_bucket_sql("v", bits=bits)
-    return f"""
+    if quality_mode == "trained":
+        # r7 verdict #5: splice the logreg train+infer chain in front
+        # and gate quality on the trained score's rank-exact corpus
+        # keep_q-quantile (value at sorted rank ceil(q*N) — the
+        # quality_percentile_gate rank-selection convention) instead of
+        # the static predicate
+        infer = _logreg_infer_sql()
+        head, tail = infer.rsplit("SELECT doc_id,", 1)
+        tail = tail.rsplit("ORDER BY doc_id", 1)[0]
+        prefix = (
+            head
+            + ", scored AS MATERIALIZED (SELECT doc_id,"
+            + tail
+            + f"""),
+sr AS (SELECT p_keep, row_number() OVER (ORDER BY p_keep) AS rn,
+              count(*) OVER () AS n FROM scored),
+qthr AS (SELECT p_keep AS thr FROM sr
+         WHERE rn = CAST(ceil({keep_q} * n) AS BIGINT)),
+q AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.source FROM documents d
+  JOIN scored s USING (doc_id), qthr WHERE s.p_keep >= qthr.thr
+),"""
+        )
+    else:
+        prefix = f"""
 WITH q AS MATERIALIZED (
   SELECT doc_id, text, source FROM documents
   WHERE len(string_split(text, ' ')) >= {min_tokens}
     AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
         / CAST(len(string_split(text, ' ')) AS DOUBLE) >= {min_distinct_ratio}
-),
+),"""
+    return f"""
+{prefix}
 ex AS MATERIALIZED (
   SELECT doc_id, text, source FROM (
     SELECT doc_id, text, source,
@@ -5001,6 +5035,39 @@ FROM terms, tot ORDER BY doc_id
 _DSIR_SQL = _dsir_sql()
 
 
+def _dsir_resample_sql(
+    target_lang: str = "en", token_budget: int = 2000, buckets: int = 8192
+) -> str:
+    """DuckDB twin of sampling.dsir_importance_resample: the same DSIR
+    weight CTE chain, then the Gumbel-top-k priority (log_weight −
+    ln(−ln u), u = exact 48-bit md5 fraction, ROUNDED to 6 before
+    ordering so ULP wobble cannot flip the selection), then a greedy
+    BIGINT window cumsum under the token budget."""
+    u = (
+        f"(CAST({_hexfold(chr(39) + 'dsir:' + chr(39) + ' || CAST(doc_id AS VARCHAR)', 1, 12)}"
+        " AS DOUBLE) + 1.0) / 281474976710656.0"
+    )
+    return f"""
+WITH w AS ({_dsir_sql(target_lang, buckets)}),
+nt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       FROM documents),
+pri AS (
+  SELECT doc_id, n_tokens, log_weight,
+         round(log_weight - ln(-ln({u})), 6) AS priority
+  FROM w JOIN nt USING (doc_id)),
+cum AS (
+  SELECT *, CAST(sum(n_tokens) OVER (ORDER BY priority DESC, doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM pri)
+SELECT doc_id, n_tokens, log_weight, priority, cum_tokens
+FROM cum WHERE cum_tokens - n_tokens < {int(token_budget)}
+ORDER BY doc_id
+"""
+
+
+_DSIR_RESAMPLE_SQL = _dsir_resample_sql()
+
+
 def _logreg_train_sql(iters: int = 5, eta: float = 0.5) -> str:
     """Unrolled-CTE twin of pipeline.logreg_train_quality: it0 = zero
     weights + label census, it{t} = one full-batch gradient step from
@@ -5077,6 +5144,10 @@ FROM df, w ORDER BY doc_id"""
 
 
 _LOGREG_INFER_SQL = _logreg_infer_sql()
+
+# flagship with the TRAINED quality gate (r7 verdict #5); defined after
+# _logreg_infer_sql because the trained q-CTE splices its chain in
+_E2E_CORPUS_TRAINED_SQL = _e2e_corpus_sql(budget=800, quality_mode="trained")
 
 
 _MERKLE_SQL = """
@@ -6910,6 +6981,13 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
             lambda s, sf: sampling.dsir_importance_weights(_t(s, sf, "documents")),
             _DSIR_SQL,
         ),
+        # DSIR last mile (r7 verdict #4): importance RESAMPLING — docs
+        # drawn ∝ exp(log_weight) via Gumbel-top-k into a token budget;
+        # rounded-then-ordered priorities + BIGINT two-phase cumsum
+        "sampling_dsir_resample": (
+            lambda s, sf: sampling.dsir_importance_resample(_t(s, sf, "documents")),
+            _DSIR_RESAMPLE_SQL,
+        ),
         # FLAGSHIP end-to-end corpus build: clean -> exact -> fuzzy ->
         # semantic dedup -> budget sample -> pack -> shard, one operator
         # returning per-stage lineage counts; the oracle chains the
@@ -6923,5 +7001,16 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
                 default_budget=800,
             ),
             _E2E_CORPUS_SQL,
+        ),
+        # FLAGSHIP variant with the TRAINED quality gate (r7 verdict
+        # #5): train -> score -> filter -> dedup -> sample -> pack as
+        # one lineage row; quality keeps the top half by trained
+        # score (rank-exact corpus median of p_keep)
+        "pipeline_e2e_corpus_trained": (
+            lambda s, sf: pipeline.e2e_corpus_pipeline(
+                _t(s, sf, "documents"), _t(s, sf, "embeddings"),
+                default_budget=800, quality_model="trained",
+            ),
+            _E2E_CORPUS_TRAINED_SQL,
         ),
     }

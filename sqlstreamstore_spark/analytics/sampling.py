@@ -494,6 +494,72 @@ def dsir_importance_weights(
     )
 
 
+def dsir_importance_resample(
+    documents: DataFrame,
+    target_lang: str = "en",
+    token_budget: int = 2000,
+    buckets: int = 8192,
+) -> DataFrame:
+    """The last mile of the DSIR recipe (Xie et al. 2023): importance
+    RESAMPLING — draw documents with probability proportional to the
+    importance weight w(x) = exp(log_weight) from
+    ``dsir_importance_weights``, into a token budget.
+
+    Sampling ∝ w without replacement is the Gumbel-top-k trick (the
+    log-space twin of the A-ES key in ``weighted_sample_aes``):
+    priority = log w + Gumbel noise = log_weight − ln(−ln u), with u
+    the exact 48-bit md5 fraction of the doc key — taking the top
+    priorities is EXACTLY taking the top A-ES keys u^(1/w), but it
+    never materializes exp(log_weight), so huge/tiny weights cannot
+    overflow. Selection fills greedily in priority order until the
+    token budget is spent (a doc is taken iff the budget was not yet
+    exhausted when its turn came).
+
+    Determinism/oracle discipline: the priority is ROUNDED to 6
+    decimals BEFORE ordering (doc_id breaks ties), so the selected set
+    is identical across engines regardless of libm ULP wobble; the
+    running token total is BIGINT-exact via the two-phase global
+    cumsum (operators/positions.py — range-partition + in-partition
+    window + broadcast prefix offsets; no single-partition funnel).
+
+    Scale shape at 100 TB: the weights are one gram-explode + two
+    partial aggs + one equi-join (see dsir_importance_weights); the
+    resample adds ONE range-shuffle (the same shuffle any global sort
+    needs) and a broadcast of per-partition token totals. Nothing
+    quadratic, no UDFs; with a budget much smaller than the corpus
+    you'd pre-filter on a priority threshold estimated from a sample
+    before the cumsum — the cumsum itself stays fully distributed
+    either way."""
+    from sqlstreamstore_spark.operators.positions import with_global_cumsum
+
+    w = dsir_importance_weights(documents, target_lang=target_lang, buckets=buckets)
+    ntok = documents.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (v + F.lit(1.0)) / F.lit(float(1 << 48))
+    pri = F.round(F.col("log_weight") - F.log(-F.log(u)), 6)
+    base = (
+        w.join(ntok, "doc_id")
+        .withColumn("priority", pri)
+        .withColumn("__np", -F.col("priority"))
+    )
+    cum = with_global_cumsum(
+        base, [F.col("__np"), F.col("doc_id")], "n_tokens", out_col="cum_tokens"
+    )
+    return (
+        cum.filter(F.col("cum_tokens") - F.col("n_tokens") < F.lit(int(token_budget)))
+        .select("doc_id", "n_tokens", "log_weight", "priority", "cum_tokens")
+        .orderBy("doc_id")
+    )
+
+
 def ess_report(documents: DataFrame) -> DataFrame:
     """Effective sample size of the token-count importance weights —
     the one-row diagnostic run before trusting any weighted estimate

@@ -199,7 +199,7 @@ def cosine_near_dup_pairs_lsh(
     # both self-join sides read the signature frame — localCheckpoint so
     # the b-bit hyperplane projections run once (GC-reclaimed blocks,
     # not a cache-manager pin)
-    sigs = lsh_bucket_signatures(embeddings, dim=dim, bits=bits, seed=seed).localCheckpoint()
+    sigs = lsh_bucket_signatures(embeddings, dim=dim, bits=bits, seed=seed)
     a = sigs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
                     _norm(F.col("embedding")).alias("na"), F.col("bucket").alias("ba"))
     b = sigs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
@@ -234,7 +234,7 @@ def cosine_near_dup_pairs_lsh_multiprobe(
     if bits is None:
         bits = derive_lsh_bits(embeddings.count())
 
-    sigs = lsh_bucket_signatures(embeddings, dim=dim, bits=bits, seed=seed).localCheckpoint()
+    sigs = lsh_bucket_signatures(embeddings, dim=dim, bits=bits, seed=seed)
     masks = [0]
     for k in range(1, probe_hamming + 1):
         masks += [
@@ -497,11 +497,20 @@ def ivf_assign_arrow(
     This is what keeps the IVF family linear when the n_clusters ≈
     N/list_size rule pushes K into the hundreds at 100x corpora
     (SCALE_PROBE sf10): K=781 literals would hang whole-stage codegen,
-    and the broadcast-crossJoin fallback multiplies the corpus by K."""
+    and the broadcast-crossJoin fallback multiplies the corpus by K.
+
+    Tie discipline (ADVICE r7 #2): the centroid list is SORTED by id
+    here, so the stable argmax's first-max tie-break lands on the
+    LOWEST cluster id regardless of caller ordering — matching the
+    literal path's (score DESC, cid ASC). Caveat: the GEMM's summation
+    order differs from the literal left-fold dot, so scores that tie
+    only within a ULP of each other can still rank differently; exact
+    ties (identical vectors) are safe."""
     import numpy as np
 
     from pyspark.sql import types as T
 
+    centroids = sorted(centroids, key=lambda t: int(t[0]))
     C = np.array([vec for _, vec in centroids], dtype=np.float64)
     Cn = np.sqrt((C * C).sum(1))
     Cn[Cn == 0.0] = 1.0
@@ -538,11 +547,18 @@ def ivf_probe_lists_arrow(
     centroid sets: per-query top-``n_probe`` lists via one GEMM +
     argpartition per batch, emitted as (qid, qvec, qn, pcid,
     probe_rank) rows — n_probe rows per query, computed map-side with
-    no window, no explode of K literal structs."""
+    no window, no explode of K literal structs.
+
+    Tie discipline (ADVICE r7 #2): centroids are SORTED by id before
+    the GEMM, so the stable argsort's tie-break is (score DESC, cid
+    ASC) for any caller ordering — the literal path's rank. ULP-near
+    score ties can still flip vs the literal left-fold dot (different
+    summation order); exact ties are safe."""
     import numpy as np
 
     from pyspark.sql import types as T
 
+    centroids = sorted(centroids, key=lambda t: int(t[0]))
     C = np.array([vec for _, vec in centroids], dtype=np.float64)
     Cn = np.sqrt((C * C).sum(1))
     Cn[Cn == 0.0] = 1.0
@@ -1366,6 +1382,7 @@ def knn_join_ivf_static(
     dim: int = 64,
     seed: int = 7,
     broadcast_probes: bool = True,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Batched multi-query ANN through the IVF index (VERDICT r5 #2):
     a query DATAFRAME — not one literal vector — each query probing its
@@ -1396,10 +1413,17 @@ def knn_join_ivf_static(
     regime (self-kNN graph): when Q ≈ N the probe side no longer fits a
     broadcast, but both sides hash-partition by cluster id, so each
     inverted list joins co-located, and the rank-limit pushdown still
-    caps what leaves each task at k rows per query."""
+    caps what leaves each task at k rows per query.
+
+    ``centroids`` overrides the static hyperplane model with a caller-
+    trained one (kmeans_centroids) — the recall-at-scale probe path;
+    when given, ``n_clusters`` is taken from its length."""
     from pyspark.sql import Window
 
-    centroids = _static_centroids(dim=dim, n_clusters=n_clusters, seed=seed)
+    if centroids is None:
+        centroids = _static_centroids(dim=dim, n_clusters=n_clusters, seed=seed)
+    else:
+        n_clusters = len(centroids)
     # large centroid sets (the n_clusters ≈ N/list_size rule at big N)
     # switch to the Arrow GEMM assign/probe twins — literal trees past
     # ~64 clusters hang janino and aren't the plan you'd want anyway

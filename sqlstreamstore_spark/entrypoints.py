@@ -666,15 +666,36 @@ def build_oracle_sql() -> dict[str, str]:
 # old rows). The only exceptions are _GATE_PINNED_NEW: the specific new
 # rows the current round's verdict explicitly demands driver evidence
 # for; they ride right after the canaries.
+#
+# Round-8 refinement (ADVICE r7 #1): a pin EXPIRES the moment the query
+# gains a driver row — a name counts as pinned only while it is absent
+# from gate_last_checked(), so satisfied pins stop displacing the stale
+# backlog in later rounds automatically.
 _GATE_CANARIES: tuple[str, ...] = (
     "read_all_forwards", "events_funnel",
     "store_bulk_roundtrip", "dedup_minhash_lsh",
 )
 
 _GATE_PINNED_NEW: tuple[str, ...] = (
-    "pipeline_classifier_train",   # r6 verdict #4
-    "pipeline_e2e_corpus",         # r6 verdict #7
-    "graph_triangles_doulion",     # r6 verdict #8
+    # r7 verdict #1: the 13 queries that still owe their FIRST driver row
+    # (all judge-sim OK in r7); pins self-expire once the row lands.
+    "pipeline_classifier_infer",
+    "sampling_dsir_weights",
+    "text_lexical_richness",
+    "text_log_odds_enriched",
+    "text_stupid_backoff",
+    "text_textrank",
+    "text_trending_tokens",
+    "text_vocab_coverage",
+    "text_zipf_fit",
+    "tpch_brand_hhi",
+    "tpch_pareto_abc",
+    "tpch_part_skyline",
+    "tpch_sla_percentiles",
+    # r7 verdict #4/#5: new round-8 compositions that the verdict
+    # explicitly demands green driver rows for.
+    "sampling_dsir_resample",
+    "pipeline_e2e_corpus_trained",
 )
 
 
@@ -715,8 +736,10 @@ def _all_specs() -> dict[str, QuerySpec]:
     except ImportError:
         pass
     canary_rank = {n: i for i, n in enumerate(_GATE_CANARIES)}
-    pinned = set(_GATE_PINNED_NEW)
     last = gate_last_checked()
+    # ADVICE r7 #1: a pin is live only while the query has no driver row
+    # yet; once checked it rejoins the normal stalest-first rotation.
+    pinned = {n for n in _GATE_PINNED_NEW if n not in last}
     # never-checked rows sort at the median existing vintage (minus a
     # half so they precede that round's own rows): mid-queue, not front
     rounds = sorted(last.values())

@@ -9,11 +9,23 @@ many cores the cluster has. The shuffle that follows parallelizes only
 what comes AFTER.
 
 ``with_min_parallelism`` round-robin repartitions ONLY when the input
-has fewer partitions than the session's default parallelism: a cheap
-narrow-input shuffle at fixture scale, a NO-OP at production scale
-(real tables carry >= cores partitions from the scan). Row-level
-results are unaffected — callers are aggregations/joins whose output
-is partition-order independent (and every gate orders explicitly).
+scan would produce fewer partitions than the session's default
+parallelism: a cheap narrow-input shuffle at fixture scale, a NO-OP at
+production scale (real tables carry >= cores partitions from the scan).
+Row-level results are unaffected — callers are aggregations/joins whose
+output is partition-order independent (and every gate orders
+explicitly).
+
+Round 8 (ADVICE r7 #3 fallout): the probe is now METADATA-ONLY. The
+old ``df.rdd.getNumPartitions()`` check materialized AQE query stages
+at plan-BUILD time — the last construction-time job in the flagship's
+lazy chain. The scan-partition count is instead estimated from the
+file listing (``df.inputFiles()`` + Hadoop file sizes against
+``spark.sql.files.maxPartitionBytes``), which touches only the file
+index. Frames with no file source (post-shuffle/in-memory) are
+returned unchanged: AQE already right-sizes shuffle outputs, and
+adding a blind repartition to a derived frame would insert a full
+shuffle at any scale.
 
 Measured (sf0.1, local[32]): semantic_clusters 13.5 s -> 7.7 s,
 minhash candidate generation ~3x, e2e corpus chain ~2x on the
@@ -25,10 +37,49 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728b', '128MB')."""
+    s = str(v).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    for suffix in ("b", ""):
+        for u, mult in units.items():
+            if s.endswith(u + suffix) and s[: -len(u + suffix)].strip().isdigit():
+                return int(s[: -len(u + suffix)].strip()) * mult
+    digits = "".join(c for c in s if c.isdigit())
+    return int(digits) if digits else 128 * (1 << 20)
+
+
 def with_min_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     """Repartition ``df`` up to ``target`` (default: the session's
-    defaultParallelism) iff it currently has fewer partitions."""
-    t = target or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < t:
-        return df.repartition(t)
-    return df
+    defaultParallelism) iff its FILE SCAN would produce fewer
+    partitions. Metadata-only — builds no jobs (see module doc)."""
+    spark = df.sparkSession
+    t = target or spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        # derived / in-memory frame: AQE sizes shuffle outputs; a blind
+        # repartition here would add a full shuffle at any scale
+        return df
+    if len(files) >= t:
+        return df
+    # few files: size them (bounded py4j metadata calls, < t of them)
+    try:
+        sc = spark.sparkContext
+        hconf = sc._jsc.hadoopConfiguration()
+        jpath = sc._jvm.org.apache.hadoop.fs.Path
+        total = 0
+        for f in files:
+            p = jpath(f)
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+        maxpb = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        est = max(len(files), -(-total // maxpb))
+    except Exception:
+        est = len(files)
+    if est >= t:
+        return df
+    return df.repartition(t)

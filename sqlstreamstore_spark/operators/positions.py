@@ -66,35 +66,37 @@ def with_global_cumsum(
     value is counted, like ``SUM() OVER (... ROWS UNBOUNDED
     PRECEDING)``). ``result_type="double"`` keeps a float running sum
     (callers must round downstream: the partition-offset regrouping is
-    not bit-identical to a strict sequential fold)."""
+    not bit-identical to a strict sequential fold).
+
+    Fully LAZY (round 8, ADVICE r7 #3): the per-partition prefix
+    offsets used to be a driver collect at construction time, which
+    executed the caller's whole upstream chain the moment the plan was
+    BUILT. They are now a broadcast-joined frame whose running prefix
+    comes from a window over the n_partitions-row totals — bounded by
+    the partition count, never the data — so building the cumsum runs
+    NOTHING (verified by a statusTracker gate in tests). No pin is
+    needed for layout agreement between the totals pass and the ranked
+    pass: both read the SAME range-exchange subtree, which AQE's
+    runtime exchange reuse computes once (ReusedExchange in the
+    executed plan, pinned in tests), and Spark's RangePartitioner
+    samples with deterministic per-partition seeds, so even an
+    un-reused recomputation lands identical boundaries."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    # localCheckpoint (not persist): it pins the partition layout so the
-    # totals collect and the window pass see identical partitions, and
-    # its blocks are GC-reclaimed with the plan — repeated calls through
-    # this convenience API never accumulate cache-manager entries (the
-    # r1 leak pattern).
     parted = (
         df.repartitionByRange(n, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
     )
-    totals = {
-        r["__pid"]: r["s"]
-        for r in parted.groupBy("__pid").agg(F.sum(value_col).alias("s")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid] or 0
-    offset_expr = (
-        F.element_at(
-            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-            F.col("__pid"),
+    zero = F.lit(0.0) if result_type == "double" else F.lit(0).cast("long")
+    wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        parted.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__ptot"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__ptot").over(wp), zero).alias("__offset"),
         )
-        if offsets
-        else F.lit(0)
     )
     w = (
         Window.partitionBy("__pid")
@@ -102,11 +104,12 @@ def with_global_cumsum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        parted.withColumn(
+        parted.join(F.broadcast(offsets), "__pid")
+        .withColumn(
             out_col,
-            (F.sum(value_col).over(w) + offset_expr).cast(result_type),
+            (F.sum(value_col).over(w) + F.col("__offset")).cast(result_type),
         )
-        .drop("__pid")
+        .drop("__pid", "__offset")
     )
 
 

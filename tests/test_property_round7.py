@@ -131,15 +131,15 @@ def test_ab_test_random_arms_never_nan(spark, vals):
     n_a = sum(1 for u, _ in vals if u % 2 == 0)
     n_b = len(vals) - n_a
     assert (r.n_a, r.n_b) == (n_a, n_b)
-    testable = n_a > 1 and n_b > 1
+    # ADVICE r7 #4: all-constant arms (zero pooled variance) are now
+    # GUARDED — welch_t/welch_df NULL, never inf/nan — so the test can
+    # pin one behavior instead of tolerating non-finite values
+    cents_a = {round(v * 100) for u, v in vals if u % 2 == 0}
+    cents_b = {round(v * 100) for u, v in vals if u % 2 == 1}
+    var_pos = len(cents_a) > 1 or len(cents_b) > 1
+    testable = n_a > 1 and n_b > 1 and var_pos
     for col in (r.welch_t, r.welch_df):
         if testable:
-            # variance can still be 0 with equal cents in an arm ->
-            # division yields nan/inf ONLY if both arms are constant;
-            # guard: value must not be NaN unless variance degenerate
-            if col is not None and not math.isfinite(col):
-                cents_a = sorted(round(v * 100) for u, v in vals if u % 2 == 0)
-                cents_b = sorted(round(v * 100) for u, v in vals if u % 2 == 1)
-                assert len(set(cents_a)) == 1 and len(set(cents_b)) == 1
+            assert col is not None and math.isfinite(col), col
         else:
-            assert col is None
+            assert col is None, col

@@ -200,6 +200,112 @@ def e2e_main(times: int = 10) -> int:
     return 0
 
 
+def train_dsir_main(times: int) -> int:
+    """r7 verdict #6: scale probes for the round-7 additions. Expected
+    shapes — the trainer's cost is T chained pruned-column scans
+    (tracks features, not rows collected); DSIR is one gram explode +
+    two partial aggs bounded by the 8192-bucket model."""
+    from sqlstreamstore_spark.analytics import pipeline, sampling
+    from sqlstreamstore_spark.session import get_spark
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="scale-probe-train-dsir")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    d = "/root/testdata/sf0.1"
+    docs = replicated(
+        load_table(spark, d, "documents"), times, {"doc_id": 1_000_000}
+    ).localCheckpoint()
+    n_docs = docs.count()
+    res: dict = {}
+
+    t0 = time.time()
+    r = pipeline.logreg_train_quality(docs).collect()[0]
+    res["logreg_train_quality"] = {
+        "n_docs": n_docs, "iters": 5, "s": round(time.time() - t0, 2),
+        "log_loss": r.log_loss,
+    }
+    print(json.dumps(res["logreg_train_quality"]), flush=True)
+
+    t0 = time.time()
+    n = sampling.dsir_importance_weights(docs).count()
+    res["dsir_importance_weights"] = {
+        "rows": n, "n_docs": n_docs, "buckets": 8192,
+        "s": round(time.time() - t0, 2),
+    }
+    print(json.dumps(res["dsir_importance_weights"]), flush=True)
+
+    t0 = time.time()
+    n = sampling.dsir_importance_resample(
+        docs, token_budget=max(2000, n_docs)
+    ).count()
+    res["dsir_importance_resample"] = {
+        "rows": n, "n_docs": n_docs, "s": round(time.time() - t0, 2),
+    }
+    print(json.dumps(res["dsir_importance_resample"]), flush=True)
+
+    label = "sf1-synthetic" if times == 10 else f"sf{times // 10}-synthetic"
+    _merge_scale(res, label)
+    return 0
+
+
+def recall_main() -> int:
+    """r7 verdict #7: ANN recall at scale. sf1-synthetic corpus (10x
+    sf0.1 = 20k vectors), kmeans-trained centroids at the uncapped
+    n_clusters = N/256 rule (~78 lists, above the 64-literal ceiling,
+    so the whole run exercises the Arrow GEMM assign/probe twins), a
+    hash-sampled 50-query set, recall@10 of the batched IVF join vs
+    the exact brute-force top-10, with N_PROBE AS THE KNOB (1/2/4/8).
+    """
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.analytics import similarity
+    from sqlstreamstore_spark.session import get_spark
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="scale-probe-recall")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    d = "/root/testdata/sf0.1"
+    emb = replicated(
+        load_table(spark, d, "embeddings"), 10, {"vec_id": 1_000_000}
+    ).localCheckpoint()
+    n_vecs = emb.count()
+    n_lists = max(8, n_vecs // 256)
+
+    t0 = time.time()
+    cents = similarity.kmeans_centroids(emb, n_clusters=n_lists, iters=2)
+    train_s = round(time.time() - t0, 2)
+
+    queries = emb.filter(F.col("vec_id") % 401 == 7).orderBy("vec_id").limit(50)
+    n_q = queries.count()
+
+    exact = {
+        (r.qid, r.cid)
+        for r in similarity.knn_join_bruteforce(emb, queries, k=10).collect()
+    }
+    recalls: dict[str, float] = {}
+    probe_s: dict[str, float] = {}
+    for n_probe in (1, 2, 4, 8):
+        t0 = time.time()
+        got = {
+            (r.qid, r.cid)
+            for r in similarity.knn_join_ivf_static(
+                emb, queries, k=10, n_probe=n_probe, centroids=cents
+            ).collect()
+        }
+        probe_s[f"p{n_probe}"] = round(time.time() - t0, 2)
+        recalls[f"p{n_probe}"] = round(len(got & exact) / len(exact), 4)
+    res = {
+        "ivf_recall_at10": {
+            "n_vecs": n_vecs, "n_lists": n_lists, "n_queries": n_q,
+            "kmeans_train_s": train_s, "recall": recalls, "s": probe_s,
+            "knob": "n_probe",
+        }
+    }
+    print(json.dumps(res), flush=True)
+    _merge_scale(res, "sf1-synthetic")
+    return 0
+
+
 def main() -> int:
     from sqlstreamstore_spark.analytics import dedup, pipeline, sampling, similarity, text, tpch
     from sqlstreamstore_spark.session import get_spark
@@ -745,4 +851,10 @@ if __name__ == "__main__":
         raise SystemExit(
             e2e_main(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
         )
+    if len(sys.argv) > 1 and sys.argv[1] == "--train-dsir":
+        raise SystemExit(
+            train_dsir_main(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        )
+    if len(sys.argv) > 1 and sys.argv[1] == "--recall":
+        raise SystemExit(recall_main())
     raise SystemExit(main())
