@@ -77,10 +77,11 @@ def with_global_cumsum(
     NOTHING (verified by a statusTracker gate in tests). No pin is
     needed for layout agreement between the totals pass and the ranked
     pass: both read the SAME range-exchange subtree, which AQE's
-    runtime exchange reuse computes once (ReusedExchange in the
-    executed plan, pinned in tests), and Spark's RangePartitioner
-    samples with deterministic per-partition seeds, so even an
-    un-reused recomputation lands identical boundaries."""
+    runtime exchange reuse usually computes once (ReusedExchange in
+    the executed plan — opportunistic, timing-dependent), and Spark's
+    RangePartitioner samples with deterministic per-partition seeds,
+    so even an un-reused recomputation lands identical boundaries
+    (cross-layout determinism pinned in tests)."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     parted = (
@@ -89,7 +90,15 @@ def with_global_cumsum(
         .withColumn("__pid", F.spark_partition_id())
     )
     zero = F.lit(0.0) if result_type == "double" else F.lit(0).cast("long")
-    wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    # the totals window runs over ONE ROW PER PARTITION (bounded by the
+    # partition count, never the data); the constant partition key keeps
+    # WindowExec from logging its single-partition warning on every
+    # query — the funnel it warns about cannot occur on this input
+    wp = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = (
         parted.groupBy("__pid")
         .agg(F.sum(value_col).alias("__ptot"))
