@@ -500,23 +500,25 @@ def e2e_corpus_pipeline(
     filter -> dedup -> sample -> pack as ONE lineage row. Scores use the ROUNDED published weights, so the
     stage replays from the weight artifact alone.
 
-    Scale shape (round 8, ADVICE r7 #3): the static chain is ONE pure
-    lazy plan — building this DataFrame runs NOTHING (statusTracker-
-    pinned in tests), and AQE's runtime exchange reuse computes each
-    stage's shuffle once even though eight count branches read it
-    (ReusedExchange in the executed plan) — measured FASTER than the
-    old eager localCheckpoint barriers (6.8 -> 6.0 s warm at sf0.1),
-    which paid materialization without buying optimization. The ONE
-    exception: trained mode pins the quality frame with a lazy
-    localCheckpoint, because the T-iteration trainer's crossJoin tree
-    inlined into all eight branches explodes plan analysis (driver
-    OOM at any data size) — constructing the trained variant therefore
-    executes the train/score shuffle stages up front; only the counts
-    are deferred. A real 100 TB build would still write stage tables
-    between passes; that materialization belongs to the caller
-    (export_training_shards), not to this plan. The heavy passes
-    (minhash banding, LSH bucket join, budget thresholds) keep their
-    own audited sub-quadratic shapes.
+    Scale shape + EXECUTION CONTRACT (round 8, ADVICE r7 #3 — the
+    documented-eager option, chosen on measurement): each stage pins
+    a localCheckpoint barrier, and because Spark materializes query
+    stages when the checkpoint RDD is created, CONSTRUCTING this
+    DataFrame EXECUTES the stage chain up front — only the eight count
+    aggregates defer to the first action. This is deliberate and
+    measured: the pure-lazy variant (no barriers) re-runs all
+    pre-exchange map work per count branch (400 parquet scans in the
+    executed plan — AQE reuses the exchanges but not the map work
+    feeding them) at 11.3 s warm; persist() barriers avoid build-time
+    work but race cache population across the branches of the single
+    union job at 10.0 s; the checkpoint chain is 7.4 s (sf0.1,
+    local[32]) AND is the honest production shape — a real 100 TB
+    build writes stage tables between passes. Trained mode adds one
+    more barrier on the quality frame (the T-iteration trainer's
+    crossJoin tree inlined into eight branches explodes plan analysis
+    — driver OOM at any data size). The heavy passes (minhash
+    banding, LSH bucket join, budget thresholds) keep their own
+    audited sub-quadratic shapes.
     """
     from sqlstreamstore_spark.analytics.dedup import minhash_dedup_pairs
     from sqlstreamstore_spark.analytics.sampling import _hash_bucket, selected_by_budget
@@ -566,13 +568,16 @@ def e2e_corpus_pipeline(
         quality.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        .localCheckpoint(eager=False)
     )
     fuzzy_losers = (
         minhash_dedup_pairs(exact, threshold=jaccard_threshold)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    fuzzy = exact.join(fuzzy_losers, "doc_id", "left_anti")
+    fuzzy = exact.join(fuzzy_losers, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
     emb = embeddings.join(
         fuzzy.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
     )
@@ -581,8 +586,12 @@ def e2e_corpus_pipeline(
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    semantic = fuzzy.join(sem_losers, "doc_id", "left_anti")
-    sampled = selected_by_budget(semantic, {}, default_budget)
+    semantic = fuzzy.join(sem_losers, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
+    sampled = selected_by_budget(semantic, {}, default_budget).localCheckpoint(
+        eager=False
+    )
     packed = pack_sequences(sampled, token_budget)
     shards = packed.select(
         (_hash_bucket(F.col("seq_id")) % n_shards).alias("shard_id")
