@@ -116,6 +116,19 @@ def test_dsir_resample_prefers_high_weight(docs):
     assert sel_mean > all_mean
 
 
+def test_dsir_resample_budget_monotone(docs):
+    """Greedy fill in fixed priority order ⇒ a larger token budget
+    selects a SUPERSET of a smaller one (the property that makes
+    budget sweeps reproducible: raising the budget never evicts a
+    previously selected doc)."""
+    from sqlstreamstore_spark.analytics.sampling import dsir_importance_resample
+
+    small = {r.doc_id for r in dsir_importance_resample(docs, token_budget=300).collect()}
+    big = {r.doc_id for r in dsir_importance_resample(docs, token_budget=900).collect()}
+    assert small <= big
+    assert len(big) > len(small)
+
+
 def test_e2e_trained_quality_gate(docs, emb):
     """The trained variant keeps exactly the docs at/above the corpus
     median trained score, and every downstream stage still flows."""
