@@ -1946,6 +1946,32 @@ ORDER BY train_doc_id
 
 _DECONTAMINATE_SQL = _decontaminate_sql()
 
+_PACK_SPANS_SQL = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+),
+s AS (
+  SELECT doc_id, n_tokens, cum - n_tokens AS gs,
+         unnest(range(CAST((cum - n_tokens) // 512 AS BIGINT),
+                      CAST((cum - 1) // 512 + 1 AS BIGINT))) AS seq_id
+  FROM c
+)
+SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(0, gs - seq_id * 512) AS BIGINT) AS offset_in_seq,
+       CAST(greatest(0, seq_id * 512 - gs) AS BIGINT) AS tok_start,
+       CAST(least(n_tokens, seq_id * 512 + 512 - gs) AS BIGINT) AS tok_end,
+       CAST(least(n_tokens, seq_id * 512 + 512 - gs)
+            - greatest(0, seq_id * 512 - gs) AS BIGINT) AS span_tokens
+FROM s ORDER BY doc_id, seq_id
+"""
+
 _PACK_SEQUENCES_SQL = """
 WITH t AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -6243,6 +6269,13 @@ ORDER BY doc_id""",
         "pipeline_pack_sequences": (
             lambda s, sf: pipeline.pack_sequences(_t(s, sf, "documents")),
             _PACK_SEQUENCES_SQL,
+        ),
+        # zero-waste span packing (r8): every sequence exactly B tokens,
+        # docs split at boundaries with doc-local spans — pure BIGINT
+        # arithmetic on the two-phase cumsum, bounded explode
+        "pipeline_pack_spans": (
+            lambda s, sf: pipeline.pack_sequences_spans(_t(s, sf, "documents")),
+            _PACK_SPANS_SQL,
         ),
         "pipeline_clean_corpus": (
             lambda s, sf: pipeline.clean_corpus(_t(s, sf, "documents")),

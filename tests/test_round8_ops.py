@@ -162,6 +162,43 @@ def test_e2e_trained_quality_gate(docs, emb):
     )
 
 
+def test_pack_spans_zero_waste_and_tiling(docs):
+    """The span packer's two defining invariants: (1) every sequence
+    except the last sums to EXACTLY the token budget (zero padding
+    waste), and (2) each document's spans tile [0, n_tokens) contiguously
+    in sequence order (no token lost or duplicated at boundaries)."""
+    from collections import defaultdict
+
+    from sqlstreamstore_spark.analytics.pipeline import pack_sequences_spans
+
+    budget = 128
+    rows = pack_sequences_spans(docs, token_budget=budget).collect()
+    by_seq = defaultdict(int)
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_seq[r.seq_id] += r.span_tokens
+        by_doc[r.doc_id].append(r)
+        assert 0 <= r.tok_start < r.tok_end
+        assert r.span_tokens == r.tok_end - r.tok_start
+        assert 0 <= r.offset_in_seq < budget
+    last = max(by_seq)
+    for sid, tot in by_seq.items():
+        if sid != last:
+            assert tot == budget, (sid, tot)
+    assert 0 < by_seq[last] <= budget
+    ntok = {
+        r.doc_id: len(r.text.split(" "))
+        for r in docs.select("doc_id", "text").collect()
+    }
+    for doc_id, spans in by_doc.items():
+        spans.sort(key=lambda r: r.seq_id)
+        assert spans[0].tok_start == 0
+        assert spans[-1].tok_end == ntok[doc_id]
+        for a, b in zip(spans, spans[1:]):
+            assert b.seq_id == a.seq_id + 1  # consecutive sequences
+            assert b.tok_start == a.tok_end  # contiguous tiling
+
+
 def test_cumsum_lazy_build_and_exchange_reuse(docs, spark):
     """The round-8 lazy cumsum contract: building the plan runs NO
     jobs (the offsets are a broadcast-joined totals window, not a
