@@ -1510,9 +1510,15 @@ def semantic_clusters(
     ISOLATED vectors (no edge at the threshold) form their own singleton
     component, so every corpus vector is labeled.
 
-    Scale shape: the ANN pass runs corpus-as-queries
-    (broadcast_probes=False): both sides hash-partition on the literal
-    cluster assignment, each inverted list joins co-located, and
+    Scale shape: the ANN pass runs corpus-as-queries, with the probe
+    join picked BY SIZE (round 8): when the probe frame (N·n_probe
+    rows, each carrying the dim-double qvec) fits a broadcast
+    (≤ 100k rows ≈ 50 MB at dim 64) it broadcasts — measured 10.4 s →
+    1.7 s warm at sf0.1's 2k vectors, where the shuffled join's
+    exchange/sort overhead dwarfs the data — and above that it falls
+    back to the shuffled equi-join: both sides hash-partition on the
+    literal cluster assignment, each inverted list joins co-located
+    (the sf10 regime: 200k×4 probes ≈ 400 MB, not broadcastable), and
     WindowGroupLimit caps the per-task output at k rows per query —
     edge count is ≤ N·k by construction, never N². The CANDIDATE mass,
     though, is Σ|list|·|queries probing list| ≈ N²·n_probe/n_clusters,
@@ -1535,9 +1541,12 @@ def semantic_clusters(
     from sqlstreamstore_spark.operators.partitioning import with_min_parallelism
 
     embeddings = with_min_parallelism(embeddings)
+    # size-adaptive probe join (see docstring): one pruned count decides
+    n_vecs = embeddings.count()
     knn = knn_join_ivf_static(
         embeddings, embeddings, k=k, n_clusters=n_clusters, n_probe=n_probe,
-        dim=dim, seed=seed, broadcast_probes=False,
+        dim=dim, seed=seed,
+        broadcast_probes=(n_vecs * n_probe) <= 100_000,
     )
     edges = (
         knn.filter(F.col("cosine") >= threshold)
