@@ -122,6 +122,7 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
               "name:last-checked-round, r0 = never):")
         print("  " + " ".join(f"{n}:r{last.get(n, 0)}" for n in cap))
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         t0 = time.time()
         try:
@@ -130,9 +131,14 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             sp_pdf = sdf.toPandas()
         except Exception as e:
             failures.append(name)
+            report[name] = {"status": "SPARK_ERROR", "err": str(e)[:200]}
             print(f"  {name}: SPARK ERROR {e}")
             continue
         if name not in oracles:
+            report[name] = {
+                "status": "ROWS_ONLY", "rows": len(sp_pdf),
+                "s": round(time.time() - t0, 2),
+            }
             print(f"  {name}: rows-only check, {len(sp_pdf)} rows, {time.time()-t0:.1f}s")
             continue
         try:
@@ -160,6 +166,10 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
         status = "OK" if (ok_cols and ok_vals) else "MISMATCH"
         if status != "OK":
             failures.append(name)
+        report[name] = {
+            "status": status, "rows": len(sp_s), "oracle_rows": len(dk_s),
+            "cols_ok": ok_cols, "s": round(time.time() - t0, 2),
+        }
         print(f"  {name}: {status} rows={len(sp_s)}/{len(dk_s)} cols_ok={ok_cols} {time.time()-t0:.1f}s")
         if not ok_vals and ok_cols:
             for a, b in zip(sp_s, dk_s):
@@ -171,6 +181,20 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
         if not ok_cols:
             print(f"    spark cols: {sorted(sp_cols)}\n    duck cols : {sorted(dk_cols)}")
     print("RESULT:", "ALL OK" if not failures else f"FAILURES: {failures}")
+    # optional JSON artifact (DRIVER_SIM_JSON=path): the self-check the
+    # round can commit — per-query status/rows/seconds with the same
+    # compare the driver runs
+    out_path = os.environ.get("DRIVER_SIM_JSON")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "n_queries": len(qs),
+                 "failures": failures, "queries": report},
+                f, indent=1,
+            )
+        print(f"wrote {out_path}")
     return 1 if failures else 0
 
 
