@@ -1891,6 +1891,53 @@ exact AS (
 )"""
 
 
+def _minhash_incremental_sql(threshold: float = 0.2) -> str:
+    """Twin of dedup.minhash_dedup_incremental on the doc_id%10 split:
+    a MinHash signature depends only on its own document, so the full
+    self-join chain restricted to CROSS-SIDE pairs (exactly one side
+    in the incoming slice) equals delta-bands ⋈ stored-index — and the
+    oracle needs no index materialization."""
+    return _minhash_ctes(threshold=threshold, src="documents", cands_only=True) + """
+SELECT CASE WHEN e.doc_a % 10 = 0 THEN e.doc_a ELSE e.doc_b END AS new_doc,
+       CASE WHEN e.doc_a % 10 = 0 THEN e.doc_b ELSE e.doc_a END AS old_doc,
+       e.n_inter,
+       CASE WHEN e.doc_a % 10 = 0 THEN e.n_a ELSE e.n_b END AS n_new,
+       CASE WHEN e.doc_a % 10 = 0 THEN e.n_b ELSE e.n_a END AS n_old,
+       e.jaccard
+FROM exact e
+WHERE (e.doc_a % 10 = 0) <> (e.doc_b % 10 = 0)
+ORDER BY new_doc, old_doc
+"""
+
+
+_MINHASH_INCREMENTAL_SQL = _minhash_incremental_sql()
+
+_MINHASH_INDEX_CACHE: dict[str, bool] = {}
+
+
+def _dedup_minhash_incremental_query(spark: SparkSession, sf: str) -> DataFrame:
+    """The deployed incremental path: build the corpus LSH index once
+    per sf (driver calls repeat), then probe it with the incoming
+    slice (doc_id % 10 == 0)."""
+    import hashlib
+    import os
+    import tempfile
+
+    docs = _t(spark, sf, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "sss_mh_index_" + hashlib.md5(sf.encode()).hexdigest()[:10],
+    )
+    if path not in _MINHASH_INDEX_CACHE:
+        dedup.build_minhash_index(corpus, path)
+        _MINHASH_INDEX_CACHE[path] = True
+    return dedup.minhash_dedup_incremental(
+        spark, path, incoming, corpus, threshold=0.2
+    )
+
+
 _MINHASH_LSH_SQL = _minhash_ctes() + """
 SELECT e.doc_a, e.doc_b, e.n_inter, e.n_a, e.n_b, e.jaccard
 FROM exact e JOIN cands c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
@@ -6260,6 +6307,15 @@ ORDER BY doc_id""",
         "dedup_incremental_new": (
             lambda s, sf: dedup.incremental_new_docs(_t(s, sf, "documents")),
             _INCREMENTAL_NEW_SQL,
+        ),
+        # fuzzy incremental dedup (r8): delta bands probe the
+        # MATERIALIZED corpus LSH index (build once, check every crawl
+        # delta) — candidates exact-verified; oracle = the self-join
+        # chain restricted to cross-side pairs (signatures are
+        # per-document, so the restriction is an identity)
+        "dedup_minhash_incremental": (
+            _dedup_minhash_incremental_query,
+            _MINHASH_INCREMENTAL_SQL,
         ),
         "dedup_exact_keepers": (
             lambda s, sf: dedup.exact_dedup_keepers(_t(s, sf, "documents"))

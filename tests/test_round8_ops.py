@@ -162,6 +162,48 @@ def test_e2e_trained_quality_gate(docs, emb):
     )
 
 
+def test_minhash_index_upsert_equals_rebuild(docs, spark, tmp_path):
+    """Index maintenance is a monoid: build on 80% + upsert 20% ==
+    full rebuild (same rows), and the incremental probe through either
+    index equals the self-join's cross-side pairs (the gate oracle's
+    identity, checked engine-side here)."""
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.analytics import dedup
+
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    old_part = corpus.filter(F.col("doc_id") % 5 != 1)
+    new_part = corpus.filter(F.col("doc_id") % 5 == 1)
+
+    p_full = str(tmp_path / "idx_full")
+    p_inc = str(tmp_path / "idx_inc")
+    dedup.build_minhash_index(corpus, p_full)
+    dedup.build_minhash_index(old_part, p_inc)
+    dedup.upsert_minhash_index(new_part, p_inc)
+    full_rows = {
+        tuple(r) for r in spark.read.parquet(p_full).collect()
+    }
+    inc_rows = {tuple(r) for r in spark.read.parquet(p_inc).collect()}
+    assert full_rows == inc_rows
+
+    got = {
+        (r.new_doc, r.old_doc, r.jaccard)
+        for r in dedup.minhash_dedup_incremental(
+            spark, p_inc, incoming, corpus, threshold=0.2
+        ).collect()
+    }
+    # cross-side restriction of the self-join over ALL docs
+    self_pairs = dedup.minhash_dedup_pairs(docs, threshold=0.2).collect()
+    expected = set()
+    for r in self_pairs:
+        a_in, b_in = r.doc_a % 10 == 0, r.doc_b % 10 == 0
+        if a_in != b_in:
+            new, old = (r.doc_a, r.doc_b) if a_in else (r.doc_b, r.doc_a)
+            expected.add((new, old, r.jaccard))
+    assert got == expected
+
+
 def test_pack_spans_zero_waste_and_tiling(docs):
     """The span packer's two defining invariants: (1) every sequence
     except the last sums to EXACTLY the token budget (zero padding
