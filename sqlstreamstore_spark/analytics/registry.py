@@ -1270,6 +1270,86 @@ ORDER BY qid, rk
 _IVF_BATCH_SQL = _ivf_batch_sql()
 
 
+def _ivf_incremental_sql(
+    threshold: float = 0.35, n_clusters: int = 8, n_probe: int = 4
+) -> str:
+    """Twin of similarity.near_dup_against_ivf_index on the vec_id%10
+    split: queries = incoming slice, assigned corpus = the rest; same
+    literal-centroid probe/argmax as the batch oracle, threshold
+    filter instead of top-k."""
+    from sqlstreamstore_spark.analytics.similarity import _static_centroids
+
+    cent_rows = ",\n    ".join(
+        "({cid}, CAST([{vals}] AS DOUBLE[]))".format(
+            cid=cid, vals=", ".join(repr(x) for x in vec)
+        )
+        for cid, vec in _static_centroids(n_clusters=n_clusters)
+    )
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+        "* sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+WITH cent(ccid, cv) AS (VALUES
+    {cent_rows}
+),
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 10 = 0),
+probe AS (
+  SELECT qid, ccid FROM (
+    SELECT q.qid, c.ccid,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY {cos.format(a="c.cv", b="q.qv")} DESC, c.ccid) AS pr
+    FROM q, cent c) t
+  WHERE pr <= {n_probe}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id % 10 <> 0),
+assigned AS (
+  SELECT vec_id, v, ccid FROM (
+    SELECT e.vec_id, e.v, c.ccid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos.format(a="e.v", b="c.cv")} DESC, c.ccid) AS rk
+    FROM e, cent c) t
+  WHERE rk = 1)
+SELECT DISTINCT p.qid AS new_vec, a.vec_id AS old_vec,
+       {cos.format(a="a.v", b="q.qv")} AS cosine
+FROM assigned a
+JOIN probe p ON a.ccid = p.ccid
+JOIN q ON q.qid = p.qid
+WHERE a.vec_id <> p.qid
+  AND {cos.format(a="a.v", b="q.qv")} >= {threshold}
+ORDER BY new_vec, old_vec
+"""
+
+
+_IVF_INCREMENTAL_SQL = _ivf_incremental_sql()
+
+_SEM_INDEX_CACHE: dict[str, list] = {}
+
+
+def _sim_embedding_incremental_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Deployed incremental semantic dedup: build the corpus IVF index
+    once per sf, then probe it with the incoming vec_id%10 slice."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = _t(spark, sf, "embeddings")
+    incoming = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "sss_sem_index_" + hashlib.md5(sf.encode()).hexdigest()[:10],
+    )
+    cents = _SEM_INDEX_CACHE.get(path)
+    if cents is None:
+        cents = similarity.build_ivf_index(corpus, path, n_clusters=8)
+        _SEM_INDEX_CACHE[path] = cents
+    return similarity.near_dup_against_ivf_index(
+        spark, path, incoming, threshold=0.35, centroids=cents
+    )
+
+
 def _ivf_filtered_sql(lang: str = "en") -> str:
     """DuckDB twin of similarity.filtered_knn_ivf: the batch oracle
     with its corpus CTE pre-filtered to documents of ``lang`` (the
@@ -6399,6 +6479,14 @@ ORDER BY doc_id""",
         # batched multi-query ANN: probe lists × cluster-partitioned
         # corpus, one corpus pass serves the whole query batch
         "sim_cosine_topk_ivf_batch": (_sim_knn_ivf_batch_query, _IVF_BATCH_SQL),
+        # embedding-side incremental near-dup (r8): delta vectors probe
+        # the MATERIALIZED cluster-partitioned IVF index (DPP prunes to
+        # probed lists), threshold semantics — the semantic twin of
+        # dedup_minhash_incremental
+        "sim_embedding_incremental": (
+            _sim_embedding_incremental_query,
+            _IVF_INCREMENTAL_SQL,
+        ),
         # SemDeDup-shape curation: corpus-as-queries kNN graph (edge
         # count ≤ N·k by construction) + connected components, every
         # vector labeled (singletons filled). n_clusters=16 tracks the

@@ -1491,6 +1491,56 @@ def knn_join_ivf_index(
     )
 
 
+def near_dup_against_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    threshold: float = 0.35,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    n_clusters: int = 8,
+    n_probe: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-side INCREMENTAL near-dup — the semantic twin of
+    dedup.minhash_dedup_incremental: check a delta of new vectors
+    against the MATERIALIZED cluster-partitioned IVF index
+    (build_ivf_index / upsert_ivf_index) instead of re-running the
+    corpus self-join. Each new vector probes its ``n_probe`` nearest
+    inverted lists; candidates are exact-cosine scored and pairs at or
+    above ``threshold`` are reported as (new_vec, old_vec, cosine) —
+    the keep/drop-on-ingest input for semantic dedup.
+
+    Scale shape: probe lists are delta-sized and BROADCAST, so the
+    stored index joins map-side with dynamic partition pruning (only
+    probed cluster directories are read — the knn_join_ivf_index
+    plan); no index shuffle, no top-k window (threshold semantics).
+    Work ∝ delta × probed-list mass. Recall is the IVF probe's
+    (n_probe the knob — SCALE_PROBE ivf_recall_at10)."""
+    cents = centroids or _static_centroids(dim=dim, n_clusters=n_clusters, seed=seed)
+    if len(cents) > IVF_LITERAL_MAX_CLUSTERS:
+        probes = ivf_probe_lists_arrow(queries, cents, n_probe=n_probe)
+    else:
+        probes = ivf_probe_lists(queries, cents, n_probe=n_probe)
+    idx = spark.read.parquet(path).select(
+        F.col("vec_id").alias("old_vec"),
+        F.col("embedding").alias("cvec"),
+        _norm(F.col("embedding")).alias("cn"),
+        "cluster_id",
+    )
+    score = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn"))
+    return (
+        idx.join(F.broadcast(probes), idx.cluster_id == probes.pcid, "inner")
+        .filter(F.col("old_vec") != F.col("qid"))
+        .select(
+            F.col("qid").alias("new_vec"), "old_vec", score.alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+        .orderBy("new_vec", "old_vec")
+    )
+
+
 def semantic_clusters(
     embeddings: DataFrame,
     k: int = 4,
