@@ -241,14 +241,16 @@ def pack_sequences(documents: DataFrame, token_budget: int = 512) -> DataFrame:
         "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
     )
     cum = with_global_cumsum(toks, ["doc_id"], "n_tokens", out_col="__cum")
-    budget = F.lit(int(token_budget)).cast("long")
-    tokens_before = F.col("__cum") - F.col("n_tokens")
+    b = int(token_budget)
+    # DIV, not floor(/): Spark's `/` is double division, and a floored
+    # double quotient can diverge from BIGINT division once global
+    # offsets approach 2^53 (ADVICE r8 #2). DIV stays integral.
     return (
         cum.select(
             "doc_id",
             "n_tokens",
-            F.floor(tokens_before / budget).cast("long").alias("seq_id"),
-            (tokens_before % budget).cast("long").alias("offset_in_seq"),
+            F.expr(f"(__cum - n_tokens) DIV {b}").cast("long").alias("seq_id"),
+            F.expr(f"(__cum - n_tokens) % {b}").cast("long").alias("offset_in_seq"),
         )
         .orderBy("doc_id")
     )
@@ -280,10 +282,14 @@ def pack_sequences_spans(documents: DataFrame, token_budget: int = 512) -> DataF
         "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
     )
     cum = with_global_cumsum(toks, ["doc_id"], "n_tokens", out_col="__cum")
-    b = F.lit(int(token_budget)).cast("long")
+    bi = int(token_budget)
+    b = F.lit(bi).cast("long")
     start = F.col("__cum") - F.col("n_tokens")  # global first-token index
-    first_seq = F.floor(start / b).cast("long")
-    last_seq = F.floor((F.col("__cum") - F.lit(1)) / b).cast("long")
+    # integral DIV on both seq-id bounds (ADVICE r8 #2): floor(x / y) on
+    # doubles loses exactness past 2^53 global tokens — the very scale
+    # this operator advertises; DuckDB's `//` twin is exact BIGINT.
+    first_seq = F.expr(f"(__cum - n_tokens) DIV {bi}").cast("long")
+    last_seq = F.expr(f"(__cum - 1) DIV {bi}").cast("long")
     spans = cum.select(
         "doc_id",
         "n_tokens",

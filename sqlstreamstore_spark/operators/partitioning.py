@@ -38,15 +38,25 @@ from pyspark.sql import DataFrame
 
 
 def _parse_bytes(v: str) -> int:
-    """Parse a Spark byte-size conf value ('134217728b', '128MB')."""
+    """Parse a Spark byte-size conf value ('134217728b', '128MB',
+    '1.5g'). Fractional prefixes parse with float() (ADVICE r8 #4: the
+    old isdigit check let '1.5g' fall through to a digit-scrape that
+    returned 15 bytes, wildly inflating the estimated partition count
+    and suppressing the repartition this helper exists to add)."""
     s = str(v).strip().lower()
     units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
     for suffix in ("b", ""):
         for u, mult in units.items():
-            if s.endswith(u + suffix) and s[: -len(u + suffix)].strip().isdigit():
-                return int(s[: -len(u + suffix)].strip()) * mult
-    digits = "".join(c for c in s if c.isdigit())
-    return int(digits) if digits else 128 * (1 << 20)
+            tail = u + suffix
+            if s.endswith(tail):
+                try:
+                    return int(float(s[: -len(tail)].strip()) * mult)
+                except ValueError:
+                    continue
+    try:
+        return int(float(s.rstrip("b").strip() or "nan"))
+    except ValueError:
+        return 128 * (1 << 20)
 
 
 def with_min_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:

@@ -74,26 +74,42 @@ def with_global_cumsum(
     BUILT. They are now a broadcast-joined frame whose running prefix
     comes from a window over the n_partitions-row totals — bounded by
     the partition count, never the data — so building the cumsum runs
-    NOTHING (verified by a statusTracker gate in tests). No pin is
-    needed for layout agreement between the totals pass and the ranked
-    pass: both read the SAME range-exchange subtree, which AQE's
-    runtime exchange reuse usually computes once (ReusedExchange in
-    the executed plan — opportunistic, timing-dependent), and Spark's
-    RangePartitioner samples with deterministic per-partition seeds,
-    so even an un-reused recomputation lands identical boundaries
-    (cross-layout determinism pinned in tests)."""
+    NOTHING (verified by a statusTracker gate in tests).
+
+    Layout agreement between the totals pass and the ranked pass is
+    GUARANTEED by a lazy ``persist()`` barrier on the partitioned
+    input (round 9, ADVICE r8 #1): both subtrees resolve to the SAME
+    InMemoryRelation, so the range exchange is planned and sampled
+    exactly once and the broadcast ``__offset`` join can never key on
+    a recomputed repartitionByRange whose reservoir sample saw a
+    different shuffle-read order (a multi-executor hazard AQE's
+    opportunistic exchange reuse does not foreclose; two separate
+    executions also draw DIFFERENT RangePartitioner seeds — they are
+    keyed by rddId). Recomputation of a lost cached partition replays
+    the same captured partitioner, so boundaries stay fixed. persist
+    marks the plan without running it — unlike localCheckpoint
+    (eager=False), whose toRdd forces AQE to materialize every
+    upstream stage at build — keeping the no-jobs-at-build contract.
+    Cost: one cached copy of the partitioned input per call, held
+    until session end or eviction (MEMORY_AND_DISK — spills, never
+    recomputes-with-new-bounds); callers that loop over many cumsum
+    builds in one session should unpersist via
+    ``dense_global_index_pinned``-style ownership."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     parted = (
         df.repartitionByRange(n, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
     zero = F.lit(0.0) if result_type == "double" else F.lit(0).cast("long")
     # the totals window runs over ONE ROW PER PARTITION (bounded by the
-    # partition count, never the data); the constant partition key keeps
-    # WindowExec from logging its single-partition warning on every
-    # query — the funnel it warns about cannot occur on this input
+    # partition count, never the data). NOTE (round 9, VERDICT r8 #7):
+    # Catalyst constant-folds a literal partition key away, so
+    # WindowExec still logs its "No Partition Defined" warning here —
+    # that warning is HARMLESS on this input (the window sees
+    # n_partitions rows total, never the data), not a funnel.
     wp = (
         Window.partitionBy(F.lit(0))
         .orderBy("__pid")

@@ -1100,3 +1100,94 @@ def test_session_gap_sweep_single_window_pass(spark):
     wl = [l for l in p.splitlines() if "windowspecdefinition(" in l]
     assert len(wl) == 2  # one LAG pass + one numbered pass
     assert any("gap_s" in l for l in wl)
+
+
+def test_minhash_incremental_verify_prunes_corpus(spark, tmp_path):
+    """VERDICT r8 #1: the incremental verify stage must shingle only
+    CANDIDATE old docs — the corpus is left-semi-pruned to the
+    candidate old_doc set BEFORE the shingle projection, so a daily
+    delta pays O(candidate texts), never a full corpus scan+tokenize
+    (which would defeat the materialized index at 100 TB). Pin: in
+    the optimized plan the old-side shingle projection is the DIRECT
+    parent of a broadcast LeftSemi join over the corpus relation."""
+    from sqlstreamstore_spark.analytics import dedup
+
+    docs = load_table(spark, SF, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    path = str(tmp_path / "mh_idx")
+    dedup.build_minhash_index(corpus, path)
+    out = dedup.minhash_dedup_incremental(
+        spark, path, incoming, corpus, threshold=0.2
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    semi = [i for i, l in enumerate(lines) if "Join LeftSemi" in l]
+    assert semi, plan
+    shingle_old = [i for i, l in enumerate(lines) if "AS ss_old" in l]
+    assert shingle_old, plan
+    assert semi[0] == shingle_old[0] + 1, (
+        "shingle projection must sit directly above the semi-join:\n"
+        + "\n".join(lines[max(0, shingle_old[0] - 1): semi[0] + 2])
+    )
+    # and the self-pair guard (ADVICE r8 #3) survives optimization
+    assert "= old_doc" in plan or "old_doc#" in plan
+
+
+def test_near_dup_ivf_probe_join_is_size_adaptive(spark, tmp_path):
+    """VERDICT r8 #3: near_dup_against_ivf_index picks the probe join
+    BY SIZE through the shared picker (probe_fits_broadcast, same as
+    semantic_clusters). Under the ceiling the delta's probe lists
+    broadcast (map-side index join); past it NO broadcast hint is
+    planted — the initial plan joins shuffled on cluster_id (AQE may
+    still upgrade at runtime, but an unconditional hint would carry
+    N·n_probe × dim doubles into a broadcast OOM on a large crawl
+    delta)."""
+    from sqlstreamstore_spark.analytics import similarity
+    from sqlstreamstore_spark.analytics.similarity import (
+        PROBE_BROADCAST_MAX_ROWS,
+        probe_fits_broadcast,
+    )
+
+    assert probe_fits_broadcast(PROBE_BROADCAST_MAX_ROWS // 4, 4)
+    assert not probe_fits_broadcast(PROBE_BROADCAST_MAX_ROWS // 4 + 1, 4)
+
+    emb = load_table(spark, SF, "embeddings")
+    incoming = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    path = str(tmp_path / "ivf_idx")
+    cents = similarity.build_ivf_index(corpus, path, n_clusters=8)
+
+    # disable size-based auto-broadcast so the plan reflects the HINT
+    # (at sf0.001 the planner would broadcast everything regardless —
+    # the production regime this pin guards is the one where estimates
+    # exceed the threshold and only the explicit hint broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p_small = plan_of(
+            similarity.near_dup_against_ivf_index(
+                spark, path, incoming, centroids=cents, broadcast_probes=True
+            )
+        )
+        assert "BroadcastHashJoin" in p_small, p_small[:2000]
+
+        p_big = plan_of(
+            similarity.near_dup_against_ivf_index(
+                spark, path, incoming, centroids=cents, broadcast_probes=False
+            )
+        )
+        assert (
+            "SortMergeJoin" in p_big or "ShuffledHashJoin" in p_big
+        ), p_big[:2000]
+
+        # default (None): one pruned count decides; a sf0.001 delta
+        # sits under the ceiling → must match the broadcast regime
+        p_auto = plan_of(
+            similarity.near_dup_against_ivf_index(
+                spark, path, incoming, centroids=cents
+            )
+        )
+        assert "BroadcastHashJoin" in p_auto, p_auto[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -242,13 +242,15 @@ def test_pack_spans_zero_waste_and_tiling(docs):
 
 
 def test_cumsum_lazy_build_and_exchange_reuse(docs, spark):
-    """The round-8 lazy cumsum contract: building the plan runs NO
-    jobs (the offsets are a broadcast-joined totals window, not a
-    driver collect), and the result is correct regardless of whether
-    AQE's opportunistic runtime exchange reuse fires (when it does,
-    ReusedExchange appears in the executed plan; when it does not, the
-    deterministic RangePartitioner seeds make the recomputed layout
-    identical — either way the offsets and the ranked pass agree)."""
+    """The lazy cumsum contract (round 9, ADVICE r8 #1): building the
+    plan runs NO jobs (the offsets are a broadcast-joined totals
+    window, not a driver collect; the barrier is a lazy persist(), not
+    a localCheckpoint whose toRdd would force AQE stage
+    materialization at build), and layout agreement between the
+    offsets pass and the ranked pass is GUARANTEED — both subtrees
+    read one InMemoryRelation, so the range exchange is sampled
+    exactly once instead of relying on opportunistic AQE exchange
+    reuse across two separately-seeded executions."""
     import io
     from contextlib import redirect_stdout
 
@@ -281,9 +283,13 @@ def test_cumsum_lazy_build_and_exchange_reuse(docs, spark):
     buf = io.StringIO()
     with redirect_stdout(buf):
         cum.explain("formatted")
-    # advisory, not load-bearing: reuse fires in most runs
-    if "ReusedExchange" not in buf.getvalue():
-        print("note: AQE exchange reuse did not fire this run")
+    # load-bearing: the persist barrier must appear in BOTH branches —
+    # one shared InMemoryRelation is what guarantees a single range
+    # exchange (ADVICE r8 #1); without it the offsets join could key
+    # on a differently-sampled recomputation on a real cluster
+    assert buf.getvalue().count("InMemoryTableScan") >= 2, (
+        "offsets and ranked passes must both read the persist barrier"
+    )
 
 
 def test_e2e_pipeline_execution_contract(docs, emb, spark):
