@@ -677,6 +677,151 @@ def e2e_corpus_pipeline(
     return out.orderBy("stage_no")
 
 
+def e2e_incremental_pipeline(
+    spark,
+    incoming: DataFrame,
+    corpus: DataFrame,
+    incoming_emb: DataFrame,
+    mh_index_path: str,
+    ivf_index_path: str,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    min_tokens: int = 5,
+    min_distinct_ratio: float = 0.3,
+    jaccard_threshold: float = 0.2,
+    cosine_threshold: float = 0.35,
+    default_budget: int = 5000,
+    token_budget: int = 512,
+    n_shards: int = 16,
+) -> DataFrame:
+    """The INCREMENTAL flagship (VERDICT r8 #4) — the daily-crawl twin
+    of :func:`e2e_corpus_pipeline`: instead of re-curating the standing
+    corpus, a DELTA of new documents is checked against the corpus's
+    MATERIALIZED indexes and only the survivors are budgeted, packed
+    and sharded. This is the shape a production crawl pipeline runs
+    every day; total work is ∝ delta (plus index probes), never the
+    corpus.
+
+    Stages, each reusing the exact operator its individual gate pins:
+
+      0 delta_raw       the incoming crawl delta
+      1 quality         static clean predicates (e2e stage 1)
+      2 exact_dedup     md5 first-wins WITHIN the delta
+      3 exact_new       digest anti-join against the corpus
+                        (dedup.new_against_corpus's shape: the corpus
+                        side collapses to DISTINCT 16-byte digests)
+      4 fuzzy_new       dedup.minhash_dedup_incremental — delta bands
+                        probe the materialized banded LSH index;
+                        survivors have no corpus near-dup at
+                        ``jaccard_threshold``
+      5 semantic_new    similarity.near_dup_against_ivf_index — delta
+                        embeddings probe the cluster-partitioned IVF
+                        index (size-adaptive probe join); docs without
+                        an embedding pass untouched
+      6 budget_sample   token-budget mixture sample (HUGEINT-exact
+                        thresholds)
+      7 packed          distinct training sequences (two-phase cumsum)
+      8 sharded         distinct shard ids
+
+    Returns the 9-row lineage frame (stage_no, stage, n_rows) — the run
+    report an incremental ingest logs.
+
+    Correctness note: stages 4 and 5 probe with their stage's SURVIVORS
+    (delta-minimal work), which is value-identical to probing the whole
+    delta and intersecting afterwards — both indexes hold only CORPUS
+    entries, so each new doc's verdict is independent of every other
+    new doc. The DuckDB twin exploits exactly that equivalence (it
+    replays the full cross-side pair sets, then applies them to the
+    survivor chain).
+
+    Scale shape: every per-stage frame is delta-sized; the only
+    corpus-sized inputs are (a) the DISTINCT-digest projection of
+    stage 3 (16 bytes/row, the same anti-join new_against_corpus
+    ships), (b) the map-side index probe of stage 4 (no index
+    shuffle; verify stage semi-join-prunes the corpus to candidate
+    old_docs before shingling), and (c) the partition-pruned IVF scan
+    of stage 5. Same documented-eager lineage contract as the full
+    flagship: stage barriers are lazy localCheckpoints."""
+    from sqlstreamstore_spark.analytics.dedup import minhash_dedup_incremental
+    from sqlstreamstore_spark.analytics.sampling import _hash_bucket, selected_by_budget
+    from sqlstreamstore_spark.analytics.similarity import near_dup_against_ivf_index
+
+    toks = _tokens()
+    n_toks = F.size(toks)
+    quality = incoming.filter(
+        (n_toks >= min_tokens)
+        & (
+            F.size(F.array_distinct(toks)).cast("double") / n_toks.cast("double")
+            >= min_distinct_ratio
+        )
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    exact = (
+        quality.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    corpus_digests = corpus.select(F.md5("text").alias("__h")).distinct()
+    exact_new = (
+        exact.withColumn("__h", F.md5("text"))
+        .join(corpus_digests, "__h", "left_anti")
+        .drop("__h")
+        .localCheckpoint(eager=False)
+    )
+    fuzzy_losers = (
+        minhash_dedup_incremental(
+            spark, mh_index_path, exact_new, corpus, threshold=jaccard_threshold
+        )
+        .select(F.col("new_doc").alias("doc_id"))
+        .distinct()
+    )
+    fuzzy = exact_new.join(fuzzy_losers, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
+    emb_delta = incoming_emb.join(
+        fuzzy.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    sem_losers = (
+        near_dup_against_ivf_index(
+            spark,
+            ivf_index_path,
+            emb_delta,
+            threshold=cosine_threshold,
+            centroids=centroids,
+        )
+        .select(F.col("new_vec").alias("doc_id"))
+        .distinct()
+    )
+    semantic = fuzzy.join(sem_losers, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
+    sampled = selected_by_budget(semantic, {}, default_budget).localCheckpoint(
+        eager=False
+    )
+    packed = pack_sequences(sampled, token_budget)
+    shards = packed.select(
+        (_hash_bucket(F.col("seq_id")) % n_shards).alias("shard_id")
+    ).distinct()
+
+    def stage_count(no: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_rows")).select(
+            F.lit(no).alias("stage_no"), F.lit(name).alias("stage"), "n_rows"
+        )
+
+    out = stage_count(0, "delta_raw", incoming)
+    for no, name, df in (
+        (1, "quality", quality),
+        (2, "exact_dedup", exact),
+        (3, "exact_new", exact_new),
+        (4, "fuzzy_new", fuzzy),
+        (5, "semantic_new", semantic),
+        (6, "budget_sample", sampled),
+        (7, "packed", packed.select("seq_id").distinct()),
+        (8, "sharded", shards),
+    ):
+        out = out.unionByName(stage_count(no, name, df))
+    return out.orderBy("stage_no")
+
+
 def _quality_features(documents: DataFrame, with_id: bool = False) -> DataFrame:
     """The quality classifier's feature projection (shared by the
     trainer and trained-weight inference): label y = (lang = 'en'),

@@ -1347,19 +1347,27 @@ _IVF_INCREMENTAL_SQL = _ivf_incremental_sql()
 _SEM_INDEX_CACHE: dict[str, list] = {}
 
 
-def _sim_embedding_incremental_query(spark: SparkSession, sf: str) -> DataFrame:
-    """Deployed incremental semantic dedup: build the corpus IVF index
-    once per sf, then probe it with the incoming vec_id%10 slice."""
+def _sem_index_for(spark: SparkSession, sf: str) -> tuple[str, list]:
+    """Materialize (once per process per sf) the corpus IVF index over
+    the vec_id%10 != 0 slice — shared by the incremental semantic gate
+    and the incremental flagship. Returns (path, centroids)."""
     import hashlib
 
-    emb = _t(spark, sf, "embeddings")
-    incoming = emb.filter(F.col("vec_id") % 10 == 0)
-    corpus = emb.filter(F.col("vec_id") % 10 != 0)
     path = _scratch("sem_index_" + hashlib.md5(sf.encode()).hexdigest()[:10])
     cents = _SEM_INDEX_CACHE.get(path)
     if cents is None:
+        corpus = _t(spark, sf, "embeddings").filter(F.col("vec_id") % 10 != 0)
         cents = similarity.build_ivf_index(corpus, path, n_clusters=8)
         _SEM_INDEX_CACHE[path] = cents
+    return path, cents
+
+
+def _sim_embedding_incremental_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Deployed incremental semantic dedup: build the corpus IVF index
+    once per sf, then probe it with the incoming vec_id%10 slice."""
+    emb = _t(spark, sf, "embeddings")
+    incoming = emb.filter(F.col("vec_id") % 10 == 0)
+    path, cents = _sem_index_for(spark, sf)
     return similarity.near_dup_against_ivf_index(
         spark, path, incoming, threshold=0.35, centroids=cents
     )
@@ -2010,21 +2018,29 @@ _MINHASH_INCREMENTAL_SQL = _minhash_incremental_sql()
 _MINHASH_INDEX_CACHE: dict[str, bool] = {}
 
 
+def _mh_index_for(spark: SparkSession, sf: str) -> str:
+    """Materialize (once per process per sf) the corpus banded-LSH
+    index over the doc_id%10 != 0 slice — shared by the incremental
+    dedup gate and the incremental flagship."""
+    import hashlib
+
+    path = _scratch("mh_index_" + hashlib.md5(sf.encode()).hexdigest()[:10])
+    if path not in _MINHASH_INDEX_CACHE:
+        corpus = _t(spark, sf, "documents").filter(F.col("doc_id") % 10 != 0)
+        dedup.build_minhash_index(corpus, path)
+        _MINHASH_INDEX_CACHE[path] = True
+    return path
+
+
 def _dedup_minhash_incremental_query(spark: SparkSession, sf: str) -> DataFrame:
     """The deployed incremental path: build the corpus LSH index once
     per sf (driver calls repeat), then probe it with the incoming
     slice (doc_id % 10 == 0)."""
-    import hashlib
-
     docs = _t(spark, sf, "documents")
     incoming = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    path = _scratch("mh_index_" + hashlib.md5(sf.encode()).hexdigest()[:10])
-    if path not in _MINHASH_INDEX_CACHE:
-        dedup.build_minhash_index(corpus, path)
-        _MINHASH_INDEX_CACHE[path] = True
     return dedup.minhash_dedup_incremental(
-        spark, path, incoming, corpus, threshold=0.2
+        spark, _mh_index_for(spark, sf), incoming, corpus, threshold=0.2
     )
 
 
@@ -5147,6 +5163,158 @@ SELECT stage_no, stage, n_rows FROM (
 _E2E_CORPUS_SQL = _e2e_corpus_sql(budget=800)
 
 
+def _e2e_incremental_sql(
+    min_tokens: int = 5,
+    min_distinct_ratio: float = 0.3,
+    jacc: float = 0.2,
+    cos_thr: float = 0.35,
+    n_clusters: int = 8,
+    n_probe: int = 4,
+    budget: int = 800,
+    seq_budget: int = 512,
+    n_shards: int = 16,
+) -> str:
+    """Full-chain twin of pipeline.e2e_incremental_pipeline on the
+    doc_id%10 split: clean → within-delta first-wins → corpus digest
+    anti-join → the cross-side MinHash pair set (== delta-bands ⋈
+    stored index, the dedup_minhash_incremental oracle identity) → the
+    literal-centroid IVF pair set (== sim_embedding_incremental's) →
+    budget/pack/shard (the e2e CTEs re-sourced on the incremental
+    survivors). Loser sets are computed over the FULL delta slice and
+    applied to the survivor chain — value-identical to the operator's
+    probe-with-survivors, because both indexes hold only CORPUS
+    entries, so each new doc's verdict is independent of every other
+    new doc (see the operator docstring)."""
+    from sqlstreamstore_spark.analytics.similarity import _static_centroids
+
+    mh = _minhash_ctes(threshold=jacc, src="documents", lead="", cands_only=True)
+    cent_rows = ",\n    ".join(
+        "({cid}, CAST([{vals}] AS DOUBLE[]))".format(
+            cid=cid, vals=", ".join(repr(x) for x in vec)
+        )
+        for cid, vec in _static_centroids(n_clusters=n_clusters)
+    )
+    cosf = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+        "* sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+WITH inc AS MATERIALIZED (
+  SELECT doc_id, text, source FROM documents WHERE doc_id % 10 = 0
+),
+q AS MATERIALIZED (
+  SELECT doc_id, text, source FROM inc
+  WHERE len(string_split(text, ' ')) >= {min_tokens}
+    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / CAST(len(string_split(text, ' ')) AS DOUBLE) >= {min_distinct_ratio}
+),
+exd AS MATERIALIZED (
+  SELECT doc_id, text, source FROM (
+    SELECT doc_id, text, source,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM q) t WHERE rn = 1
+),
+exn AS MATERIALIZED (
+  SELECT e.* FROM exd e
+  WHERE md5(e.text) NOT IN (
+    SELECT DISTINCT md5(text) FROM documents WHERE doc_id % 10 <> 0)
+),
+{mh},
+mhl AS (
+  SELECT DISTINCT CASE WHEN e.doc_a % 10 = 0 THEN e.doc_a ELSE e.doc_b END AS new_doc
+  FROM exact e WHERE (e.doc_a % 10 = 0) <> (e.doc_b % 10 = 0)
+),
+fz AS MATERIALIZED (
+  SELECT e.* FROM exn e WHERE e.doc_id NOT IN (SELECT new_doc FROM mhl)
+),
+cent(ccid, cv) AS (VALUES
+    {cent_rows}
+),
+sq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       FROM embeddings WHERE vec_id % 10 = 0),
+sprobe AS (
+  SELECT qid, ccid FROM (
+    SELECT sq.qid, c.ccid,
+           row_number() OVER (PARTITION BY sq.qid
+             ORDER BY {cosf.format(a="c.cv", b="sq.qv")} DESC, c.ccid) AS pr
+    FROM sq, cent c) t
+  WHERE pr <= {n_probe}),
+sce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id % 10 <> 0),
+sassigned AS (
+  SELECT vec_id, v, ccid FROM (
+    SELECT sce.vec_id, sce.v, c.ccid,
+           row_number() OVER (PARTITION BY sce.vec_id
+             ORDER BY {cosf.format(a="sce.v", b="c.cv")} DESC, c.ccid) AS rk
+    FROM sce, cent c) t
+  WHERE rk = 1),
+seml AS (
+  SELECT DISTINCT p.qid AS new_vec
+  FROM sassigned a
+  JOIN sprobe p ON a.ccid = p.ccid
+  JOIN sq ON sq.qid = p.qid
+  WHERE a.vec_id <> p.qid
+    AND {cosf.format(a="a.v", b="sq.qv")} >= {cos_thr}
+),
+sm AS MATERIALIZED (
+  SELECT f.* FROM fz f WHERE f.doc_id NOT IN (SELECT new_vec FROM seml)
+),
+bt AS MATERIALIZED (
+  SELECT doc_id, source AS src,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {_hexbucket_sql("doc_id")} % 65536 AS hb
+  FROM sm),
+thr AS (
+  SELECT src,
+         CAST(least(65536, (CAST({budget} AS HUGEINT) * 65536)
+                    // CAST(sum(n_tokens) AS HUGEINT)) AS BIGINT) AS threshold
+  FROM bt GROUP BY src),
+sel AS MATERIALIZED (SELECT bt.doc_id, bt.n_tokens FROM bt JOIN thr USING (src)
+        WHERE bt.hb < thr.threshold),
+pk AS MATERIALIZED (
+  SELECT CAST((sum(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens)
+              // {seq_budget} AS BIGINT) AS seq_id
+  FROM sel),
+shrd AS (SELECT DISTINCT {_hexbucket_sql("seq_id")} % 65536 % {n_shards} AS s
+         FROM pk)
+SELECT stage_no, stage, n_rows FROM (
+  SELECT 0 AS stage_no, 'delta_raw' AS stage,
+         (SELECT CAST(count(*) AS BIGINT) FROM inc) AS n_rows
+  UNION ALL SELECT 1, 'quality', (SELECT CAST(count(*) AS BIGINT) FROM q)
+  UNION ALL SELECT 2, 'exact_dedup', (SELECT CAST(count(*) AS BIGINT) FROM exd)
+  UNION ALL SELECT 3, 'exact_new', (SELECT CAST(count(*) AS BIGINT) FROM exn)
+  UNION ALL SELECT 4, 'fuzzy_new', (SELECT CAST(count(*) AS BIGINT) FROM fz)
+  UNION ALL SELECT 5, 'semantic_new', (SELECT CAST(count(*) AS BIGINT) FROM sm)
+  UNION ALL SELECT 6, 'budget_sample', (SELECT CAST(count(*) AS BIGINT) FROM sel)
+  UNION ALL SELECT 7, 'packed',
+    (SELECT CAST(count(DISTINCT seq_id) AS BIGINT) FROM pk)
+  UNION ALL SELECT 8, 'sharded', (SELECT CAST(count(*) AS BIGINT) FROM shrd)
+) u ORDER BY stage_no
+"""
+
+
+_E2E_INCREMENTAL_SQL = _e2e_incremental_sql()
+
+
+def _pipeline_e2e_incremental_query(spark: SparkSession, sf: str) -> DataFrame:
+    """The daily-crawl flagship: delta = doc_id%10 == 0 slice, standing
+    corpus = the rest; both corpus indexes come from the shared per-sf
+    materializations (the same ones the individual incremental gates
+    probe)."""
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    inc_emb = emb.filter(F.col("vec_id") % 10 == 0)
+    mh_path = _mh_index_for(spark, sf)
+    ivf_path, cents = _sem_index_for(spark, sf)
+    return pipeline.e2e_incremental_pipeline(
+        spark, incoming, corpus, inc_emb, mh_path, ivf_path, cents,
+        default_budget=800,
+    )
+
+
 def _dsir_sql(target_lang: str = "en", buckets: int = 8192) -> str:
     """DuckDB twin of sampling.dsir_importance_weights: identical md5
     bucket family, add-1 smoothing, sorted-sequential float fold
@@ -7188,5 +7356,15 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
                 default_budget=800, quality_model="trained",
             ),
             _E2E_CORPUS_TRAINED_SQL,
+        ),
+        # INCREMENTAL flagship (r8 verdict #4): the daily-crawl twin —
+        # delta -> clean -> within-delta exact -> corpus digest
+        # anti-join -> materialized-LSH-index fuzzy probe ->
+        # materialized-IVF-index semantic probe -> budget sample ->
+        # pack -> shard, one lineage row; the oracle chains the two
+        # incremental oracles onto the e2e stage CTEs
+        "pipeline_e2e_incremental": (
+            _pipeline_e2e_incremental_query,
+            _E2E_INCREMENTAL_SQL,
         ),
     }

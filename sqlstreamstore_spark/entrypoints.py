@@ -677,25 +677,15 @@ _GATE_CANARIES: tuple[str, ...] = (
 )
 
 _GATE_PINNED_NEW: tuple[str, ...] = (
-    # r7 verdict #1: the 13 queries that still owe their FIRST driver row
-    # (all judge-sim OK in r7); pins self-expire once the row lands.
-    "pipeline_classifier_infer",
-    "sampling_dsir_weights",
-    "text_lexical_richness",
-    "text_log_odds_enriched",
-    "text_stupid_backoff",
-    "text_textrank",
-    "text_trending_tokens",
-    "text_vocab_coverage",
-    "text_zipf_fit",
-    "tpch_brand_hhi",
-    "tpch_pareto_abc",
-    "tpch_part_skyline",
-    "tpch_sla_percentiles",
-    # r7 verdict #4/#5: new round-8 compositions that the verdict
-    # explicitly demands green driver rows for.
-    "sampling_dsir_resample",
-    "pipeline_e2e_corpus_trained",
+    # r8 verdict #2: the three round-8 additions that still owe their
+    # FIRST driver row (judge-sim green in r8); pins self-expire once
+    # the row lands. (The r7 pin list landed its rows in r8 and has
+    # expired out.)
+    "dedup_minhash_incremental",
+    "pipeline_pack_spans",
+    "sim_embedding_incremental",
+    # r8 verdict #4: the round-9 incremental flagship.
+    "pipeline_e2e_incremental",
 )
 
 

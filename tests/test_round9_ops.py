@@ -1,0 +1,142 @@
+"""Round-9 additions: the INCREMENTAL flagship (daily-crawl twin of
+e2e_corpus_pipeline — VERDICT r8 #4), the probe-with-survivors
+equivalence both incremental stages rely on, and the re-ingest
+self-pair guard on the maintained LSH index (ADVICE r8 #3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlstreamstore_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = load_table(spark, SF, "documents").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = load_table(spark, SF, "embeddings").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def split(docs, emb):
+    return (
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+        emb.filter(F.col("vec_id") % 10 == 0),
+        emb.filter(F.col("vec_id") % 10 != 0),
+    )
+
+
+@pytest.fixture(scope="module")
+def indexes(spark, split, tmp_path_factory):
+    from sqlstreamstore_spark.analytics import dedup, similarity
+
+    _, corpus, _, corpus_emb = split
+    base = tmp_path_factory.mktemp("r9idx")
+    mh = str(base / "mh")
+    ivf = str(base / "ivf")
+    dedup.build_minhash_index(corpus, mh)
+    cents = similarity.build_ivf_index(corpus_emb, ivf, n_clusters=8)
+    return mh, ivf, cents
+
+
+def test_incremental_flagship_lineage(spark, split, indexes):
+    """9 stages, counts monotone non-increasing through the filter
+    chain, delta_raw = the incoming slice, and the fuzzy/semantic
+    stages actually bite on the fixture (the split was chosen so the
+    corpus holds near-dups of the delta)."""
+    from sqlstreamstore_spark.analytics.pipeline import e2e_incremental_pipeline
+
+    incoming, corpus, inc_emb, _ = split
+    mh, ivf, cents = indexes
+    rows = e2e_incremental_pipeline(
+        spark, incoming, corpus, inc_emb, mh, ivf, cents, default_budget=800
+    ).collect()
+    assert [r.stage_no for r in rows] == list(range(9))
+    assert [r.stage for r in rows] == [
+        "delta_raw", "quality", "exact_dedup", "exact_new", "fuzzy_new",
+        "semantic_new", "budget_sample", "packed", "sharded",
+    ]
+    counts = {r.stage: r.n_rows for r in rows}
+    assert counts["delta_raw"] == incoming.count()
+    chain = ["quality", "exact_dedup", "exact_new", "fuzzy_new",
+             "semantic_new", "budget_sample"]
+    for a, b in zip(chain, chain[1:]):
+        assert counts[b] <= counts[a], (a, b, counts)
+    assert counts["semantic_new"] < counts["exact_new"], (
+        "fixture must exercise the index probes", counts
+    )
+    assert counts["sharded"] <= counts["packed"]
+
+
+def test_probe_with_survivors_equals_probe_all(spark, split, indexes):
+    """The equivalence both incremental stages (and the DuckDB twin)
+    rely on: probing the index with a SUBSET of the delta yields
+    exactly the subset's rows of the full-delta probe — each new doc's
+    verdict is independent of every other new doc because the index
+    holds only corpus entries."""
+    from sqlstreamstore_spark.analytics.dedup import minhash_dedup_incremental
+    from sqlstreamstore_spark.analytics.similarity import near_dup_against_ivf_index
+
+    incoming, corpus, inc_emb, _ = split
+    mh, ivf, cents = indexes
+
+    full = minhash_dedup_incremental(spark, mh, incoming, corpus, threshold=0.2)
+    subset = incoming.filter(F.col("doc_id") % 20 == 0)
+    part = minhash_dedup_incremental(spark, mh, subset, corpus, threshold=0.2)
+    keep = {r.doc_id for r in subset.select("doc_id").collect()}
+    assert {tuple(r) for r in part.collect()} == {
+        tuple(r) for r in full.collect() if r.new_doc in keep
+    }
+
+    sfull = near_dup_against_ivf_index(
+        spark, ivf, inc_emb, threshold=0.35, centroids=cents
+    )
+    ssub_q = inc_emb.filter(F.col("vec_id") % 20 == 0)
+    spart = near_dup_against_ivf_index(
+        spark, ivf, ssub_q, threshold=0.35, centroids=cents
+    )
+    skeep = {r.vec_id for r in ssub_q.select("vec_id").collect()}
+    assert {tuple(r) for r in spart.collect()} == {
+        tuple(r) for r in sfull.collect() if r.new_vec in skeep
+    }
+
+
+def test_reingested_doc_is_not_its_own_near_dup(spark, split, tmp_path):
+    """ADVICE r8 #3: after upsert_minhash_index appends a delta's band
+    rows, re-probing with that same delta must NOT report each doc as
+    a jaccard=1.0 near-dup of itself (the keep/drop-on-ingest poison);
+    true cross-doc near-dups still surface."""
+    from sqlstreamstore_spark.analytics.dedup import (
+        minhash_dedup_incremental,
+        upsert_minhash_index,
+    )
+
+    incoming, corpus, _, _ = split
+    mh = str(tmp_path / "mh2")
+    from sqlstreamstore_spark.analytics.dedup import build_minhash_index
+
+    build_minhash_index(corpus, mh)
+    upsert_minhash_index(incoming, mh)
+    # the maintained index now contains the delta itself
+    rep = minhash_dedup_incremental(
+        spark, mh, incoming, corpus.unionByName(incoming), threshold=0.2
+    )
+    rows = rep.collect()
+    assert all(r.new_doc != r.old_doc for r in rows)
+    # and the guard removed ONLY self-pairs: the corpus-side matches
+    # of the index-without-delta probe all survive
+    base = minhash_dedup_incremental(spark, mh, incoming, corpus, threshold=0.2)
+    base_pairs = {(r.new_doc, r.old_doc) for r in base.collect()
+                  if r.old_doc % 10 != 0}
+    assert base_pairs <= {(r.new_doc, r.old_doc) for r in rows}
