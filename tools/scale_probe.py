@@ -167,6 +167,166 @@ def _merge_scale(res: dict, label: str) -> None:
     print(f"merged {sorted(res)} into {art} [{label}]", flush=True)
 
 
+def incremental_main(times: int = 10) -> int:
+    """r8 verdict #5 (+#4): the incremental pair — and, at sf1, the
+    incremental FLAGSHIP — probed against a HELD corpus scale with the
+    delta swept 1% / 3% / 10%: probe cost must track the DELTA (a
+    constant index-side term plus a delta-proportional slope), never
+    re-pay the corpus, and in the small-delta regime the index side
+    must join map-side (BroadcastHashJoin on the probe broadcast — no
+    index shuffle; the size-adaptive picker flips the big-delta IVF
+    probe to the shuffled co-located join, recorded per row).
+
+    Delta construction: corpus rows re-keyed past the corpus id range
+    with a unique suffix token appended — NEW ids and NEW digests (the
+    exact stage passes them). HALF the delta keeps near-identical
+    shingle sets and IDENTICAL embeddings (fuzzy sees jaccard ≈ 1⁻,
+    semantic sees cosine = 1.0 against every corpus replica — the
+    probes bite, candidate mass ∝ delta × replica-depth); the other
+    half is made genuinely NOVEL — token order reversed (shingles
+    break, fuzzy passes) and embedding negated (cosine −1, semantic
+    passes) — so the flagship's budget/pack/shard stages carry real
+    load too, the realistic mixed-crawl shape.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.analytics import dedup, pipeline, similarity
+    from sqlstreamstore_spark.session import get_spark
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="scale-probe-incremental")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    d = "/root/testdata/sf0.1"
+    docs01 = load_table(spark, d, "documents")
+    emb01 = load_table(spark, d, "embeddings")
+    n_base_docs = docs01.count()
+    n_base_emb = emb01.count()
+    corpus = replicated(docs01, times, {"doc_id": 1_000_000}).localCheckpoint()
+    corpus_emb = replicated(emb01, times, {"vec_id": 1_000_000}).localCheckpoint()
+    n_corpus = corpus.count()
+
+    base = tempfile.mkdtemp(prefix="sss-scale-inc-")
+    mh_path = os.path.join(base, "mh")
+    ivf_path = os.path.join(base, "ivf")
+    t0 = time.time()
+    dedup.build_minhash_index(corpus, mh_path)
+    build_mh_s = round(time.time() - t0, 2)
+    t0 = time.time()
+    cents = similarity.build_ivf_index(
+        corpus_emb, ivf_path, n_clusters=max(8, corpus_emb.count() // 256)
+    )
+    build_ivf_s = round(time.time() - t0, 2)
+
+    def make_delta(k: int):
+        novel = F.col("doc_id") % 2 == 0
+        reps = -(-k // n_base_docs)
+        dd = (
+            replicated(docs01, reps, {"doc_id": 1_000_000})
+            .limit(k)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(100_000_000))
+            .withColumn(
+                "text",
+                F.when(
+                    novel, F.array_join(F.reverse(F.split("text", " ")), " ")
+                ).otherwise(F.col("text")),
+            )
+            .withColumn(
+                "text", F.concat(F.col("text"), F.lit(" zq"), F.col("doc_id"))
+            )
+            .localCheckpoint()
+        )
+        ereps = -(-k // n_base_emb)
+        de = (
+            replicated(emb01, ereps, {"vec_id": 1_000_000})
+            .limit(k)
+            .withColumn("vec_id", F.col("vec_id") + F.lit(100_000_000))
+            .withColumn(
+                "embedding",
+                F.when(
+                    F.col("vec_id") % 2 == 0,
+                    F.transform("embedding", lambda x: -x),
+                ).otherwise(F.col("embedding")),
+            )
+            .localCheckpoint()
+        )
+        return dd, de
+
+    sweep = []
+    for frac in (0.01, 0.03, 0.10):
+        k = max(1, int(n_corpus * frac))
+        delta, delta_emb = make_delta(k)
+        mh = dedup.minhash_dedup_incremental(
+            spark, mh_path, delta, corpus, threshold=0.5
+        )
+        t0 = time.time()
+        mh_pairs = mh.count()
+        mh_s = round(time.time() - t0, 2)
+        mh_plan = mh._jdf.queryExecution().executedPlan().toString()
+        iv = similarity.near_dup_against_ivf_index(
+            spark, ivf_path, delta_emb, threshold=0.9, centroids=cents
+        )
+        t0 = time.time()
+        iv_pairs = iv.count()
+        iv_s = round(time.time() - t0, 2)
+        iv_plan = iv._jdf.queryExecution().executedPlan().toString()
+        # two distinct signals: "picker" = the size-adaptive HINT
+        # decision (what a cluster without AQE-upgrade luck gets);
+        # "executed" = the join AQE actually ran (it may upgrade a
+        # shuffled plan to broadcast at runtime when the measured
+        # shuffle bytes compress under the adaptive threshold — the
+        # replicated fixture compresses ~20x, so the sf10 10% delta
+        # reads "picker shuffled / executed broadcast": the hint is
+        # gone, the OOM risk with it, and AQE still got the fast join)
+        row = {
+            "delta_rows": k,
+            "frac": frac,
+            "mh_pairs": mh_pairs,
+            "mh_s": mh_s,
+            "mh_probe_join": (
+                "broadcast" if "BroadcastHashJoin" in mh_plan else "shuffled"
+            ),
+            "ivf_picker": (
+                "broadcast"
+                if similarity.probe_fits_broadcast(k, 4)
+                else "shuffled"
+            ),
+            "ivf_pairs": iv_pairs,
+            "ivf_s": iv_s,
+            "ivf_probe_join": (
+                "broadcast" if "BroadcastHashJoin" in iv_plan else "shuffled"
+            ),
+        }
+        if times <= 10:
+            t0 = time.time()
+            lineage = pipeline.e2e_incremental_pipeline(
+                spark, delta, corpus, delta_emb, mh_path, ivf_path, cents,
+                jaccard_threshold=0.5, cosine_threshold=0.9,
+                default_budget=100_000,
+            ).collect()
+            row["e2e_s"] = round(time.time() - t0, 2)
+            row["e2e_semantic_new"] = next(
+                r.n_rows for r in lineage if r.stage == "semantic_new"
+            )
+        sweep.append(row)
+        print(json.dumps(row), flush=True)
+
+    res = {
+        "incremental_probe": {
+            "n_corpus": n_corpus,
+            "build_mh_s": build_mh_s,
+            "build_ivf_s": build_ivf_s,
+            "n_ivf_lists": len(cents),
+            "sweep": sweep,
+        }
+    }
+    label = "sf1-synthetic" if times == 10 else f"sf{times // 10}-synthetic"
+    _merge_scale(res, label)
+    return 0
+
+
 def e2e_main(times: int = 10) -> int:
     """sf1-/sf10-synthetic probe for the flagship pipeline_e2e_corpus
     row (r6 verdict #7): the full clean->dedup³->sample->pack->shard
@@ -857,4 +1017,8 @@ if __name__ == "__main__":
         )
     if len(sys.argv) > 1 and sys.argv[1] == "--recall":
         raise SystemExit(recall_main())
+    if len(sys.argv) > 1 and sys.argv[1] == "--incremental":
+        raise SystemExit(
+            incremental_main(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        )
     raise SystemExit(main())
