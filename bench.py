@@ -761,7 +761,10 @@ print("done", retries)
     # included the single append_100x100_best3 row (0.27 s); the round-8
     # basis shift is that one row, noted here for the cross-round read.
     def _timed(k: str) -> bool:
-        return not k.endswith(("_per_sec", "_cas_retries", "_ms", "_best3"))
+        return not k.endswith(
+            ("_per_sec", "_cas_retries", "_ms", "_best3",
+             "_reader_pages", "_anomalies")  # counts, not seconds
+        )
 
     total = round(sum(v for k, v in timings.items() if _timed(k)), 3)
     # r7 verdict #3: the cold total wobbles when ONE janino/GC landing

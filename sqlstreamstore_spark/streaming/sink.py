@@ -144,6 +144,102 @@ def deduped_store_sink(
     )
 
 
+def fuzzy_dedup_ingest_sink(
+    docs_stream: DataFrame,
+    corpus_path: str,
+    mh_index_path: str,
+    threshold: float = 0.5,
+    query_name: str = "sqlstreamstore_fuzzy_ingest",
+    checkpoint_dir: str | None = None,
+    trigger: dict | None = None,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+):
+    """Streaming FUZZY dedup-on-ingest — the Structured Streaming twin
+    of the incremental flagship's exact+fuzzy stages (round 9): each
+    micro-batch of documents
+
+      1. digest-anti-joins the corpus (idempotent replay + exact dedup
+         in one pass — the new_against_corpus shape),
+      2. md5-first-wins within the batch,
+      3. probes the MAINTAINED banded LSH index
+         (dedup.minhash_dedup_incremental) and drops docs with a
+         corpus near-dup at ``threshold``,
+      4. appends the survivors to the corpus parquet, and
+      5. upserts the survivors' band rows into the index,
+
+    so the index and the corpus stay consistent and the NEXT batch
+    checks against everything ingested so far — continuous-crawl
+    dedup-on-ingest as one self-maintaining sink.
+
+    Crash-safety: step 1 makes replays idempotent on the corpus (a
+    re-delivered doc's digest is already there); duplicate band rows
+    from a replayed step 5 are harmless (candidate membership is
+    DISTINCT), and a re-probed batch whose bands already landed cannot
+    report itself as its own near-dup (the new_doc != old_doc guard).
+    A crash between 4 and 5 loses the batch's index membership until
+    the next full rebuild (``dedup.build_minhash_index(corpus)``) —
+    the same best-effort index contract as deduped_store_sink.
+
+    Scale shape per epoch: one digest anti-join (16-byte rows), one
+    delta-signature pass, one map-side broadcast probe of the
+    band-partitioned index, one semi-join-pruned verify — work ∝
+    batch, never the corpus (the verify prune is plan-pinned in
+    tests/test_plans.py)."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.analytics import dedup
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.withColumn("__h", F.md5("text"))
+        have_corpus = os.path.isdir(corpus_path)
+        if have_corpus:
+            corpus = spark.read.parquet(corpus_path)
+            batch = batch.join(
+                corpus.select(F.md5("text").alias("__h")).distinct(),
+                "__h", "left_anti",
+            )
+        w = Window.partitionBy("__h").orderBy("doc_id")
+        fresh = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__h")
+        )
+        if have_corpus and os.path.isdir(mh_index_path):
+            losers = (
+                dedup.minhash_dedup_incremental(
+                    spark, mh_index_path, fresh, corpus,
+                    threshold=threshold, k=k, bands=bands, n=n,
+                )
+                .select(F.col("new_doc").alias("doc_id"))
+                .distinct()
+            )
+            fresh = fresh.join(losers, "doc_id", "left_anti")
+        fresh = fresh.localCheckpoint()  # score once: appended AND indexed
+        if fresh.isEmpty():
+            return
+        fresh.write.mode("append").parquet(corpus_path)
+        dedup.upsert_minhash_index(
+            fresh, mh_index_path, k=k, bands=bands, n=n
+        )
+
+    ckpt = checkpoint_dir or f"{corpus_path}-checkpoints/{query_name}"
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .queryName(query_name)
+        .option("checkpointLocation", ckpt)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
 def rebuild_dedup_index(
     store: SparkParquetStreamStore,
     content_col: str = "json_data",

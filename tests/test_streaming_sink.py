@@ -316,3 +316,67 @@ def test_hll_sink_bounded_state_matches_batch_sketch(spark, tmp_path):
     }
     for d, n in exact.items():
         assert abs(got[d] - n) / n < 0.25
+
+
+def test_fuzzy_dedup_ingest_sink_end_to_end(spark, tmp_path):
+    """Round-9 continuous-crawl shape: micro-batches probe the
+    maintained LSH index — exact dups drop at the digest stage, corpus
+    near-dups drop at the fuzzy probe, novel docs land AND extend the
+    index so the next batch checks against them; replays append
+    nothing."""
+    from sqlstreamstore_spark.streaming.sink import fuzzy_dedup_ingest_sink
+
+    src = str(tmp_path / "crawl")
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "mh-index")
+    schema = "doc_id long, text string"
+
+    def text(i, extra=""):
+        return " ".join(f"t{i}a{j}" for j in range(20)) + extra
+
+    b1 = spark.createDataFrame(
+        [(i, text(i)) for i in (1, 2, 3, 4)], schema
+    )
+    b1.write.parquet(src)
+    q = fuzzy_dedup_ingest_sink(
+        spark.readStream.schema(schema).parquet(src), corpus, idx,
+        threshold=0.5, query_name="fsink",
+    )
+    q.awaitTermination(120)
+    got1 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got1 == {1, 2, 3, 4}
+
+    # batch 2: 11 = exact dup of 1 (digest stage), 12 = near-dup of 2
+    # (fuzzy probe), 13/14 = novel (new-new pairs are out of scope by
+    # the incremental contract — both land)
+    b2 = spark.createDataFrame(
+        [(11, text(1)), (12, text(2, " extra")),
+         (13, text(13)), (14, text(14))], schema
+    )
+    b2.write.mode("append").parquet(src)
+    q2 = fuzzy_dedup_ingest_sink(
+        spark.readStream.schema(schema).parquet(src), corpus, idx,
+        threshold=0.5, query_name="fsink",
+    )
+    q2.awaitTermination(120)
+    got2 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got2 == {1, 2, 3, 4, 13, 14}
+
+    # the index extended itself: only survivors' band rows exist
+    idx_docs = {
+        r.doc_id for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
+    }
+    assert idx_docs == got2
+
+    # batch 3 = batch 2 re-delivered under a FRESH checkpoint (crash
+    # replay): the digest stage makes it a no-op for 13/14, the probe
+    # (self-pair-guarded) for 12
+    b2.write.mode("append").parquet(src)
+    q3 = fuzzy_dedup_ingest_sink(
+        spark.readStream.schema(schema).parquet(src), corpus, idx,
+        threshold=0.5, query_name="fsink-replay",
+        checkpoint_dir=str(tmp_path / "ckpt-replay"),
+    )
+    q3.awaitTermination(120)
+    got3 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got3 == got2
