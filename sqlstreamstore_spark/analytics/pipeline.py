@@ -98,6 +98,62 @@ def decontaminate_report(
     )
 
 
+def build_ngram_index(benchmark: DataFrame, path: str, n: int = 8) -> None:
+    """Materialize the benchmark suite's DISTINCT n-gram digests
+    (16-byte md5 rows) — the decontamination side table a crawl
+    pipeline builds ONCE per eval-suite release and probes with every
+    ingest delta (:func:`decontaminate_incremental`). Eval suites are
+    dim-sized at any corpus scale, so the index is broadcastable by
+    construction."""
+    from sqlstreamstore_spark.analytics.dedup import _shingles
+
+    (
+        benchmark.select(F.explode(_shingles(F.col("text"), n)).alias("s"))
+        .select(F.md5("s").alias("g"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def decontaminate_incremental(
+    spark,
+    path: str,
+    incoming: DataFrame,
+    n: int = 8,
+    broadcast_index: bool = True,
+) -> DataFrame:
+    """Decontamination-ON-INGEST (round 9) — the incremental twin of
+    :func:`decontaminate_report`: which INCOMING documents share any
+    word n-gram with the MATERIALIZED benchmark index
+    (:func:`build_ngram_index`), and how many distinct n-grams leak.
+    A crawl pipeline runs this on every delta so benchmark text never
+    enters the training corpus; the actual filter is a left-anti join
+    of the delta against this report's doc_ids.
+
+    Scale shape: the delta's distinct per-doc grams collapse to 16-byte
+    digests before the join; the index side (dim-sized — an eval
+    suite, not a corpus) BROADCASTS, so the delta never shuffles and
+    the work is one map-side hash probe per delta gram. Per-doc counts
+    are a partial-aggregable groupBy on doc_id. Work ∝ delta tokens,
+    never corpus or benchmark scan cost (the index was materialized
+    once)."""
+    from sqlstreamstore_spark.analytics.dedup import _shingles
+
+    idx = spark.read.parquet(path)
+    if broadcast_index:
+        idx = F.broadcast(idx)
+    inc = incoming.select(
+        "doc_id", F.explode(_shingles(F.col("text"), n)).alias("s")
+    ).select("doc_id", F.md5("s").alias("g"))
+    return (
+        inc.join(idx, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_leaked_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
 def export_training_shards(
     df: DataFrame,
     path: str,

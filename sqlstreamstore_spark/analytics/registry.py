@@ -2099,6 +2099,65 @@ ORDER BY train_doc_id
 
 _DECONTAMINATE_SQL = _decontaminate_sql()
 
+
+def _decontaminate_incremental_sql(n: int = 8) -> str:
+    """Twin of pipeline.decontaminate_incremental on the doc_id%10
+    split: benchmark index = the %10==0 slice's distinct n-grams,
+    incoming = the rest. N-gram digests are per-document, so probing
+    the materialized index equals the two-sided join — no index
+    materialization needed oracle-side (the minhash-incremental
+    identity)."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(n))
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+inc AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(w) - {n - 2}),
+                                             i -> {gram}))) AS s
+  FROM t WHERE doc_id % 10 <> 0 AND len(w) >= {n}
+),
+bm AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w) - {n - 2}),
+                                                      i -> {gram}))) AS s
+  FROM t WHERE doc_id % 10 = 0 AND len(w) >= {n}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_leaked_ngrams
+FROM inc JOIN bm USING (s)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+_DECONTAMINATE_INCREMENTAL_SQL = _decontaminate_incremental_sql()
+
+_NGRAM_INDEX_CACHE: dict[str, bool] = {}
+
+
+def _ngram_index_for(spark: SparkSession, sf: str) -> str:
+    """Materialize (once per process per sf) the benchmark n-gram
+    digest index over the doc_id%10 == 0 slice (the dim-sized 'eval
+    suite' stand-in)."""
+    import hashlib
+
+    path = _scratch("ngram_index_" + hashlib.md5(sf.encode()).hexdigest()[:10])
+    if path not in _NGRAM_INDEX_CACHE:
+        bm = _t(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0)
+        pipeline.build_ngram_index(bm, path)
+        _NGRAM_INDEX_CACHE[path] = True
+    return path
+
+
+def _decontaminate_incremental_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Decontamination-on-ingest: the %10 != 0 slice plays the ingest
+    delta, probing the materialized benchmark-gram index (the %10==0
+    slice — the benchmark is the SMALL, index-once side here, unlike
+    the other incremental gates where %10==0 is the delta)."""
+    docs = _t(spark, sf, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 != 0)
+    return pipeline.decontaminate_incremental(
+        spark, _ngram_index_for(spark, sf), incoming
+    )
+
 _PACK_SPANS_SQL = """
 WITH t AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -6587,6 +6646,13 @@ ORDER BY doc_id""",
         "pipeline_decontaminate": (
             lambda s, sf: pipeline.decontaminate_report(_t(s, sf, "documents")),
             _DECONTAMINATE_SQL,
+        ),
+        # decontamination-ON-INGEST (round 9): delta grams probe the
+        # materialized benchmark n-gram digest index — the incremental
+        # twin of pipeline_decontaminate; work ∝ delta tokens
+        "pipeline_decontaminate_incremental": (
+            _decontaminate_incremental_query,
+            _DECONTAMINATE_INCREMENTAL_SQL,
         ),
         "dedup_components": (
             lambda s, sf: dedup.near_dup_components(

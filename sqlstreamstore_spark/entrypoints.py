@@ -684,8 +684,10 @@ _GATE_PINNED_NEW: tuple[str, ...] = (
     "dedup_minhash_incremental",
     "pipeline_pack_spans",
     "sim_embedding_incremental",
-    # r8 verdict #4: the round-9 incremental flagship.
+    # r8 verdict #4: the round-9 incremental flagship, plus the
+    # round-9 decontamination-on-ingest twin.
     "pipeline_e2e_incremental",
+    "pipeline_decontaminate_incremental",
 )
 
 

@@ -1191,3 +1191,28 @@ def test_near_dup_ivf_probe_join_is_size_adaptive(spark, tmp_path):
         assert "BroadcastHashJoin" in p_auto, p_auto[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_decontaminate_incremental_broadcasts_index_no_delta_shuffle(spark, tmp_path):
+    """Round-9 decontamination-on-ingest: the benchmark digest index
+    (dim-sized) must BROADCAST into the delta's gram stream — the
+    delta never shuffles before the probe; the per-doc leak count is
+    a partial-aggregable groupBy after it."""
+    from sqlstreamstore_spark.analytics.pipeline import (
+        build_ngram_index,
+        decontaminate_incremental,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    build_ngram_index(docs.filter(F.col("doc_id") % 10 == 0), str(tmp_path / "ng"))
+    p = plan_of(
+        decontaminate_incremental(
+            spark, str(tmp_path / "ng"), docs.filter(F.col("doc_id") % 10 != 0)
+        )
+    )
+    assert "BroadcastHashJoin" in p, p[:2000]
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    # map-side partial count before the doc_id exchange
+    assert p.index("HashAggregate") < p.index("BroadcastHashJoin") or (
+        "partial_count" in p or "partial" in p.lower()
+    )

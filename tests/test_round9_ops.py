@@ -140,3 +140,39 @@ def test_reingested_doc_is_not_its_own_near_dup(spark, split, tmp_path):
     base_pairs = {(r.new_doc, r.old_doc) for r in base.collect()
                   if r.old_doc % 10 != 0}
     assert base_pairs <= {(r.new_doc, r.old_doc) for r in rows}
+
+
+def test_pack_seq_bounds_use_integral_div(spark):
+    """ADVICE r8 #2 regression pin: the packers' seq-id bounds use
+    BIGINT DIV, which stays exact where floor(double-division) breaks
+    (global token offsets past 2^53). Pins the exact expression shape
+    the operators build."""
+    # 2^61 - 1 rounds UP to 2^61 as a double, crossing a multiple-of-b
+    # boundary: floor(double/b) reads 2^52 where exact division reads
+    # 2^52 - 1 — a doc shifted one whole sequence
+    x = (1 << 61) - 1
+    b = 512
+    row = (
+        spark.range(1)
+        .selectExpr(
+            f"CAST({x} AS BIGINT) AS cum",
+            f"CAST({x} AS BIGINT) DIV {b} AS div_exact",
+            f"CAST(floor(CAST({x} AS BIGINT) / {b}) AS BIGINT) AS div_float",
+        )
+        .collect()[0]
+    )
+    assert row.div_exact == x // b
+    assert row.div_float != x // b, (
+        "if double division became exact here, the pin is stale"
+    )
+    # and the operator path itself emits no floor(/) on the seq bounds
+    from sqlstreamstore_spark.analytics.pipeline import (
+        pack_sequences,
+        pack_sequences_spans,
+    )
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    for op in (pack_sequences, pack_sequences_spans):
+        plan = op(docs)._jdf.queryExecution().optimizedPlan().toString()
+        assert "FLOOR" not in plan.upper() or "div" in plan, plan[:500]
