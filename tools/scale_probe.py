@@ -299,7 +299,11 @@ def incremental_main(times: int = 10) -> int:
                 "broadcast" if "BroadcastHashJoin" in iv_plan else "shuffled"
             ),
         }
-        if times <= 10:
+        # flagship composition: every frac at sf1; one datapoint (the
+        # 1% daily-delta shape) at sf10 — enough to show the chain's
+        # constant corpus-side term (digest scan) without re-paying
+        # the heavy sweep three times
+        if times <= 10 or frac == 0.01:
             t0 = time.time()
             lineage = pipeline.e2e_incremental_pipeline(
                 spark, delta, corpus, delta_emb, mh_path, ivf_path, cents,
