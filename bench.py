@@ -84,11 +84,18 @@ def main() -> int:
     # query runs FIRST absorbs the index-once build cost (the
     # media_table_build precedent). The build itself is the amortized
     # index-maintenance cost a daily-crawl deployment pays once.
-    from sqlstreamstore_spark.analytics.registry import _mh_index_for, _sem_index_for
+    from sqlstreamstore_spark.analytics.registry import (
+        _lsh_index_for,
+        _mh_index_for,
+        _ngram_index_for,
+        _sem_index_for,
+    )
 
     t0 = time.time()
     _mh_index_for(spark, sf_dir)
     _sem_index_for(spark, sf_dir)
+    _lsh_index_for(spark, sf_dir)
+    _ngram_index_for(spark, sf_dir)
     timings["incremental_index_build"] = round(time.time() - t0, 3)
 
     # -- declared query set (same code path as the correctness gate).

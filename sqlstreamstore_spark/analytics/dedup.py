@@ -421,6 +421,77 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), "comp").orderBy("doc_id")
 
 
+def extend_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    max_iters: int = 25,
+    driver_edge_limit: int = 2_000_000,
+) -> DataFrame:
+    """INCREMENTAL connected-components maintenance (round 9): given
+    the corpus's existing ``(doc_id, comp)`` labeling (comp = min
+    reachable doc_id, the :func:`connected_components` contract) and
+    NEW edges from an ingest delta — (new, old) index-probe pairs plus
+    delta-internal pairs — relabel ONLY the affected subgraph instead
+    of re-running CC over the whole corpus graph.
+
+    Contraction argument: replace each edge endpoint by its current
+    component id (or itself for unlabeled/new nodes) and run CC on
+    that CONTRACTED graph — one node per affected component + the new
+    nodes, edge count ≤ |new_edges|, orders smaller than the corpus.
+    A contracted component's min node id equals the merged component's
+    true min doc_id (old comp ids ARE their components' min ids; new
+    node ids participate directly), so the relabeled output is
+    IDENTICAL to a full recompute over the union graph — pinned by
+    the gate oracle and pytest. New-node ids must not collide with
+    corpus ids (true for any ingest: ids are fresh).
+
+    Returns the updated labeling covering every previously labeled
+    node plus every node appearing in ``new_edges`` (callers fill
+    never-seen singletons with comp = own id, as semantic_clusters
+    does).
+
+    Scale shape: two broadcast-ish lookups of the label frame on the
+    delta edges (the label side is corpus-sized but joins by key —
+    shuffled equi-join at scale), CC on the contracted graph (delta-
+    bounded — almost always the driver union-find fast path), then ONE
+    broadcast relabel join of the affected-comp map against the corpus
+    labels. No corpus-wide iteration, ever."""
+    la = labels.select(F.col("doc_id").alias("doc_a"), F.col("comp").alias("__ca"))
+    lb = labels.select(F.col("doc_id").alias("doc_b"), F.col("comp").alias("__cb"))
+    contracted = (
+        new_edges.join(la, "doc_a", "left")
+        .join(lb, "doc_b", "left")
+        .select(
+            F.coalesce("__ca", "doc_a").alias("doc_a"),
+            F.coalesce("__cb", "doc_b").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    comp_map = connected_components(
+        contracted, max_iters=max_iters, driver_edge_limit=driver_edge_limit
+    ).select(F.col("doc_id").alias("rep"), F.col("comp").alias("newcomp"))
+    relabeled = (
+        labels.join(
+            F.broadcast(comp_map), labels.comp == comp_map.rep, "left"
+        )
+        .select("doc_id", F.coalesce("newcomp", "comp").alias("comp"))
+    )
+    new_nodes = (
+        new_edges.select(F.col("doc_a").alias("doc_id"))
+        .union(new_edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+    )
+    new_labeled = (
+        new_nodes.join(
+            F.broadcast(comp_map), new_nodes.doc_id == comp_map.rep, "left"
+        )
+        .select("doc_id", F.coalesce("newcomp", F.col("doc_id")).alias("comp"))
+    )
+    return relabeled.unionByName(new_labeled)
+
+
 def _driver_union_find(spark, edges_pdf) -> DataFrame:
     """Union-find with path compression over a collected edge frame;
     labels every node with the min id of its component (the exact

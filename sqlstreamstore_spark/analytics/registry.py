@@ -1163,6 +1163,100 @@ FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.vec_id
 ORDER BY emb.vec_id
 """
 
+_SEM_COMPONENTS_INCR_SQL = f"""
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id, v,
+       {_lsh_bucket_sql("v")} AS bucket
+  FROM e
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+    FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+  WHERE cosine >= 0.35
+),
+edges AS (
+  SELECT id_a AS u, id_b AS w FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS w FROM pairs
+),
+reach AS (
+  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON e2.w = reach.u
+),
+cmp AS (SELECT u AS vec_id, min(r) AS comp FROM reach GROUP BY u),
+lab AS (
+  SELECT emb.vec_id, CAST(coalesce(c.comp, emb.vec_id) AS BIGINT) AS comp
+  FROM embeddings emb LEFT JOIN cmp c ON emb.vec_id = c.vec_id
+)
+SELECT vec_id, comp,
+       CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size
+FROM lab ORDER BY vec_id
+"""
+
+_LSH_BUCKET_INDEX_CACHE: dict[str, bool] = {}
+
+
+def _lsh_index_for(spark: SparkSession, sf: str) -> str:
+    """Materialize (once per process per sf) the corpus LSH bucket
+    index over the vec_id%10 != 0 slice at the fixture's bits=4."""
+    import hashlib
+
+    path = _scratch("lsh_index_" + hashlib.md5(sf.encode()).hexdigest()[:10])
+    if path not in _LSH_BUCKET_INDEX_CACHE:
+        corpus = _t(spark, sf, "embeddings").filter(F.col("vec_id") % 10 != 0)
+        similarity.build_lsh_bucket_index(corpus, path, bits=4)
+        _LSH_BUCKET_INDEX_CACHE[path] = True
+    return path
+
+
+def _sem_components_incremental_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental SemDeDup cluster maintenance: the standing corpus's
+    component labeling (LSH near-dup graph at bits=4) is EXTENDED with
+    the delta's edges — cross pairs from the materialized bucket index
+    probe + delta-internal pairs — via dedup.extend_components, which
+    relabels only the affected subgraph. The oracle recomputes CC over
+    the FULL union graph (the contraction identity makes them equal);
+    bucket functions are per-vector, so full-set pairs = corpus pairs
+    ∪ cross pairs ∪ delta pairs exactly."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    path = _lsh_index_for(spark, sf)
+    corpus_edges = similarity.cosine_near_dup_pairs_lsh(
+        corpus, 0.35, bits=4, sort=False
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    labels = dedup.connected_components(corpus_edges)
+    cross = similarity.near_dup_against_lsh_index(
+        spark, path, delta, threshold=0.35, bits=4
+    ).select(F.col("new_vec").alias("doc_a"), F.col("old_vec").alias("doc_b"))
+    dd = similarity.cosine_near_dup_pairs_lsh(
+        delta, 0.35, bits=4, sort=False
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    updated = dedup.extend_components(labels, cross.unionByName(dd))
+    full = (
+        emb.select("vec_id")
+        .join(
+            updated.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            F.coalesce(F.col("comp"), F.col("vec_id")).cast("long").alias("comp"),
+        )
+    )
+    w = Window.partitionBy("comp")
+    return (
+        full.withColumn("comp_size", F.count("*").over(w).cast("long"))
+        .orderBy("vec_id")
+    )
+
+
 _TOPK_LSH_SQL = f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
 qb AS (SELECT qv, {_lsh_bucket_sql("qv")} AS bucket FROM q),
@@ -6730,6 +6824,15 @@ ORDER BY doc_id""",
                 _t(s, sf, "embeddings"), k=4, threshold=0.35, n_clusters=16
             ),
             _SEMANTIC_CLUSTERS_SQL,
+        ),
+        # incremental SemDeDup cluster MAINTENANCE (round 9): corpus
+        # labeling extended with the delta's index-probe + internal
+        # edges via extend_components (affected-subgraph relabel only);
+        # oracle = full-union-graph recursive-CTE CC (the contraction
+        # identity)
+        "sim_semantic_components_incremental": (
+            _sem_components_incremental_query,
+            _SEM_COMPONENTS_INCR_SQL,
         ),
         # the composed deployed index: partition-pruned probe + ADC over
         # codes + exact re-rank, hash-matched end to end (static model)

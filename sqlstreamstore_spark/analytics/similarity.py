@@ -1569,6 +1569,88 @@ def near_dup_against_ivf_index(
     )
 
 
+def build_lsh_bucket_index(
+    embeddings: DataFrame, path: str, dim: int = 64, bits: int = 16,
+    seed: int = 42,
+) -> None:
+    """Materialize the corpus's hyperplane-LSH signatures —
+    (vec_id, embedding, bucket) written partitioned BY BUCKET — the
+    index-once shape for incremental embedding near-dup when THRESHOLD
+    semantics (not top-k) are wanted: a delta's single-bucket probe
+    prunes to its own bucket directories, the exact twin of
+    build_minhash_index on the embedding side. Signature expression is
+    exactly :func:`lsh_bucket_signatures`'s, so a delta probe
+    reproduces the self-join's pairs restricted to (new, old)."""
+    sigs = lsh_bucket_signatures(embeddings, dim=dim, bits=bits, seed=seed)
+    sigs.repartition("bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def upsert_lsh_bucket_index(
+    new_vecs: DataFrame, path: str, dim: int = 64, bits: int = 16,
+    seed: int = 42,
+) -> None:
+    """Incremental index maintenance: signature ONLY the new vectors
+    and append into the bucket-partitioned layout — O(delta), no file
+    rewrites (the upsert_minhash_index monoid pattern)."""
+    sigs = lsh_bucket_signatures(new_vecs, dim=dim, bits=bits, seed=seed)
+    sigs.repartition("bucket").write.partitionBy("bucket").mode(
+        "append"
+    ).parquet(path)
+
+
+def near_dup_against_lsh_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    threshold: float = 0.35,
+    dim: int = 64,
+    bits: int = 16,
+    seed: int = 42,
+    broadcast_probes: bool | None = None,
+) -> DataFrame:
+    """Threshold near-dup of a delta against the MATERIALIZED LSH
+    bucket index (:func:`build_lsh_bucket_index`): each new vector
+    joins its single bucket's stored vectors, exact-cosine scored,
+    pairs at/above ``threshold`` reported as (new_vec, old_vec,
+    cosine). Because the bucket is a PER-VECTOR function, the result
+    is exactly the full-set LSH self-join's pairs restricted to pairs
+    touching the delta — the identity the incremental-components
+    oracle replays.
+
+    Scale shape: probe rows are delta-sized (ONE bucket per query —
+    n_probe=1 by construction) and broadcast under the shared
+    :func:`probe_fits_broadcast` ceiling, so the index joins map-side
+    with dynamic partition pruning on the bucket directories; a large
+    delta falls back to the shuffled co-located join on bucket."""
+    probes = lsh_bucket_signatures(queries, dim=dim, bits=bits, seed=seed).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        _norm(F.col("embedding")).alias("qn"),
+        F.col("bucket").alias("pbucket"),
+    )
+    if broadcast_probes is None:
+        broadcast_probes = probe_fits_broadcast(queries.count(), 1)
+    if broadcast_probes:
+        probes = F.broadcast(probes)
+    idx = spark.read.parquet(path).select(
+        F.col("vec_id").alias("old_vec"),
+        F.col("embedding").alias("cvec"),
+        _norm(F.col("embedding")).alias("cn"),
+        "bucket",
+    )
+    score = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn"))
+    return (
+        idx.join(probes, idx.bucket == probes.pbucket, "inner")
+        .filter(F.col("old_vec") != F.col("qid"))
+        .select(F.col("qid").alias("new_vec"), "old_vec", score.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+        .orderBy("new_vec", "old_vec")
+    )
+
+
 def semantic_clusters(
     embeddings: DataFrame,
     k: int = 4,

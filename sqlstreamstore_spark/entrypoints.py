@@ -685,9 +685,11 @@ _GATE_PINNED_NEW: tuple[str, ...] = (
     "pipeline_pack_spans",
     "sim_embedding_incremental",
     # r8 verdict #4: the round-9 incremental flagship, plus the
-    # round-9 decontamination-on-ingest twin.
+    # round-9 decontamination-on-ingest and incremental-components
+    # twins.
     "pipeline_e2e_incremental",
     "pipeline_decontaminate_incremental",
+    "sim_semantic_components_incremental",
 )
 
 

@@ -176,3 +176,42 @@ def test_pack_seq_bounds_use_integral_div(spark):
     for op in (pack_sequences, pack_sequences_spans):
         plan = op(docs)._jdf.queryExecution().optimizedPlan().toString()
         assert "FLOOR" not in plan.upper() or "div" in plan, plan[:500]
+
+
+def test_extend_components_matches_full_recompute(spark):
+    """The contraction identity behind incremental SemDeDup cluster
+    maintenance: extending a corpus labeling with delta edges equals
+    CC over the union graph — including the two tricky merges: a new
+    node BRIDGING two existing components, and a new node whose id is
+    SMALLER than an existing component's min (it takes over as the
+    component id, exactly as a full recompute would)."""
+    from sqlstreamstore_spark.analytics.dedup import (
+        connected_components,
+        extend_components,
+    )
+
+    schema = "doc_a long, doc_b long"
+    corpus_edges = spark.createDataFrame([(1, 2), (5, 6), (8, 9)], schema)
+    labels = connected_components(corpus_edges)
+    # 3 bridges comps {1,2} and {5,6} -> all become comp 1;
+    # (10,11) is a pure new-new pair -> comp 10;
+    # 0 joins comp {8,9} and, being smaller, becomes its id
+    new_edges = spark.createDataFrame(
+        [(3, 2), (3, 5), (10, 11), (0, 8)], schema
+    )
+    updated = {
+        r.doc_id: r.comp for r in extend_components(labels, new_edges).collect()
+    }
+    full = {
+        r.doc_id: r.comp
+        for r in connected_components(corpus_edges.unionByName(new_edges)).collect()
+    }
+    assert updated == full
+    assert updated[6] == 1 and updated[3] == 1  # bridge merged
+    assert updated[11] == 10                    # new-new pair
+    assert updated[8] == 0 and updated[9] == 0  # id takeover
+
+    # no new edges: labeling unchanged
+    empty = spark.createDataFrame([], schema)
+    same = {r.doc_id: r.comp for r in extend_components(labels, empty).collect()}
+    assert same == {r.doc_id: r.comp for r in labels.collect()}
