@@ -85,6 +85,7 @@ def main() -> int:
     # media_table_build precedent). The build itself is the amortized
     # index-maintenance cost a daily-crawl deployment pays once.
     from sqlstreamstore_spark.analytics.registry import (
+        _digest_index_for,
         _lsh_index_for,
         _mh_index_for,
         _ngram_index_for,
@@ -92,6 +93,7 @@ def main() -> int:
     )
 
     t0 = time.time()
+    _digest_index_for(spark, sf_dir)
     _mh_index_for(spark, sf_dir)
     _sem_index_for(spark, sf_dir)
     _lsh_index_for(spark, sf_dir)

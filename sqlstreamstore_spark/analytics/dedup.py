@@ -868,6 +868,26 @@ def new_against_corpus(incoming: DataFrame, corpus: DataFrame) -> DataFrame:
     )
 
 
+def build_digest_index(corpus: DataFrame, path: str) -> None:
+    """Materialize the corpus's DISTINCT content digests (16-byte md5
+    rows) — the exact-dedup side table for incremental ingest: a daily
+    delta anti-joins this instead of re-hashing the corpus (round 9 —
+    the same index-once lifecycle as build_minhash_index, one tier
+    down). At 100 TB the index is ~billions of 16-byte rows, an
+    ordinary shuffled anti-join input."""
+    corpus.select(F.md5("text").alias("__h")).distinct().write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def upsert_digest_index(new_docs: DataFrame, path: str) -> None:
+    """Append the new docs' digests — O(delta); duplicate digest rows
+    are harmless (membership semantics, the anti-join is set-valued)."""
+    new_docs.select(F.md5("text").alias("__h")).distinct().write.mode(
+        "append"
+    ).parquet(path)
+
+
 def substring_dup_spans(documents: DataFrame, k: int = 8) -> DataFrame:
     """Cross-document duplicated substring spans at token granularity —
     the exact-substring dedup signal of Lee et al., "Deduplicating

@@ -5450,11 +5450,28 @@ SELECT stage_no, stage, n_rows FROM (
 _E2E_INCREMENTAL_SQL = _e2e_incremental_sql()
 
 
+_DIGEST_INDEX_CACHE: dict[str, bool] = {}
+
+
+def _digest_index_for(spark: SparkSession, sf: str) -> str:
+    """Materialize (once per process per sf) the corpus content-digest
+    index over the doc_id%10 != 0 slice."""
+    import hashlib
+
+    path = _scratch("digest_index_" + hashlib.md5(sf.encode()).hexdigest()[:10])
+    if path not in _DIGEST_INDEX_CACHE:
+        corpus = _t(spark, sf, "documents").filter(F.col("doc_id") % 10 != 0)
+        dedup.build_digest_index(corpus, path)
+        _DIGEST_INDEX_CACHE[path] = True
+    return path
+
+
 def _pipeline_e2e_incremental_query(spark: SparkSession, sf: str) -> DataFrame:
     """The daily-crawl flagship: delta = doc_id%10 == 0 slice, standing
-    corpus = the rest; both corpus indexes come from the shared per-sf
-    materializations (the same ones the individual incremental gates
-    probe)."""
+    corpus = the rest; all three corpus indexes (digest, banded LSH,
+    IVF) come from the shared per-sf materializations (the same ones
+    the individual incremental gates probe) — the exact stage reads
+    the digest INDEX, never re-hashing the corpus."""
     docs = _t(spark, sf, "documents")
     emb = _t(spark, sf, "embeddings")
     incoming = docs.filter(F.col("doc_id") % 10 == 0)
@@ -5465,6 +5482,7 @@ def _pipeline_e2e_incremental_query(spark: SparkSession, sf: str) -> DataFrame:
     return pipeline.e2e_incremental_pipeline(
         spark, incoming, corpus, inc_emb, mh_path, ivf_path, cents,
         default_budget=800,
+        corpus_digest_path=_digest_index_for(spark, sf),
     )
 
 

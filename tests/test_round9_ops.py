@@ -215,3 +215,37 @@ def test_extend_components_matches_full_recompute(spark):
     empty = spark.createDataFrame([], schema)
     same = {r.doc_id: r.comp for r in extend_components(labels, empty).collect()}
     assert same == {r.doc_id: r.comp for r in labels.collect()}
+
+
+def test_digest_index_path_equals_corpus_scan(spark, split, indexes, tmp_path):
+    """The materialized digest index (round-9 third index tier) is a
+    pure substitution: the flagship's lineage is identical whether the
+    exact stage reads the index or re-hashes the corpus."""
+    from sqlstreamstore_spark.analytics.dedup import (
+        build_digest_index,
+        upsert_digest_index,
+    )
+    from sqlstreamstore_spark.analytics.pipeline import e2e_incremental_pipeline
+
+    incoming, corpus, inc_emb, _ = split
+    mh, ivf, cents = indexes
+    dpath = str(tmp_path / "digests")
+    build_digest_index(corpus, dpath)
+    via_scan = e2e_incremental_pipeline(
+        spark, incoming, corpus, inc_emb, mh, ivf, cents, default_budget=800
+    ).collect()
+    via_index = e2e_incremental_pipeline(
+        spark, incoming, corpus, inc_emb, mh, ivf, cents, default_budget=800,
+        corpus_digest_path=dpath,
+    ).collect()
+    assert via_scan == via_index
+
+    # upsert is the monoid append: index(corpus) + upsert(delta) covers
+    # corpus ∪ delta — a re-sent delta then dies at the exact stage
+    upsert_digest_index(incoming, dpath)
+    replay = e2e_incremental_pipeline(
+        spark, incoming, corpus, inc_emb, mh, ivf, cents, default_budget=800,
+        corpus_digest_path=dpath,
+    ).collect()
+    counts = {r.stage: r.n_rows for r in replay}
+    assert counts["exact_new"] == 0
