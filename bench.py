@@ -87,9 +87,11 @@ def main() -> int:
     from sqlstreamstore_spark.analytics.registry import (
         _digest_index_for,
         _lsh_index_for,
+        _mh_compacted_index_for,
         _mh_index_for,
         _ngram_index_for,
         _sem_index_for,
+        _term_index_for,
     )
 
     t0 = time.time()
@@ -98,6 +100,8 @@ def main() -> int:
     _sem_index_for(spark, sf_dir)
     _lsh_index_for(spark, sf_dir)
     _ngram_index_for(spark, sf_dir)
+    _mh_compacted_index_for(spark, sf_dir)
+    _term_index_for(spark, sf_dir)
     timings["incremental_index_build"] = round(time.time() - t0, 3)
 
     # -- declared query set (same code path as the correctness gate).

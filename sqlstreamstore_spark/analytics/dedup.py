@@ -888,6 +888,50 @@ def upsert_digest_index(new_docs: DataFrame, path: str) -> None:
     ).parquet(path)
 
 
+def compact_index(
+    spark,
+    path: str,
+    partition_by: str | None = None,
+    target_partitions: int | None = None,
+) -> None:
+    """Compact a materialized index after many upserts — the third
+    verb of the index lifecycle (build → upsert → COMPACT). Upserts
+    append small files, and a re-sent delta appends rows that already
+    exist (the digest/band upserts are idempotent by SET semantics,
+    not by storage); compaction collapses exact duplicate rows and
+    rewrites each partition as few large files, restoring scan
+    efficiency without touching probe results.
+
+    Works on any of the materialized index layouts in this module
+    (banded-LSH rows partitioned by ``band``, flat digest sets) and on
+    the IVF layouts in :mod:`similarity` (pass
+    ``partition_by="list_id"``).
+
+    At 100 TB: one distinct (shuffle on the index row, which is
+    hash-sized — never document text) + one write clustered by the
+    partition column so every output partition directory lands as a
+    single large file per reducer. The rewrite goes to a sibling
+    directory and is swapped in only after it completes, so a crashed
+    compaction leaves the live index untouched (the local-FS stand-in
+    for the object-store version-directory + manifest-pointer
+    pattern)."""
+    import os
+    import shutil
+
+    df = spark.read.parquet(path).distinct()
+    if partition_by:
+        df = df.repartition(partition_by)
+    elif target_partitions:
+        df = df.repartition(target_partitions)
+    tmp = path.rstrip("/") + ".__compacting__"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
 def substring_dup_spans(documents: DataFrame, k: int = 8) -> DataFrame:
     """Cross-document duplicated substring spans at token granularity —
     the exact-substring dedup signal of Lee et al., "Deduplicating

@@ -371,6 +371,44 @@ def pack_sequences_spans(documents: DataFrame, token_budget: int = 512) -> DataF
     )
 
 
+def curriculum_order(documents: DataFrame, stages: int = 4) -> DataFrame:
+    """Curriculum data ordering (Bengio et al., "Curriculum Learning",
+    ICML 2009): schedule training data easy→hard. Difficulty here is
+    document length in whitespace tokens — the classic deterministic
+    proxy (short documents first); production swaps in any scored
+    column. Documents are globally ranked by (difficulty, doc_id) and
+    divided into ``stages`` equal-count curriculum phases:
+    stage = rank·stages DIV N — pure integer arithmetic, no
+    percentile estimation, so the DuckDB twin matches exactly and
+    stage populations differ by at most one document.
+
+    Scale shape: the global rank is the dense two-phase index
+    (operators/positions.py — range partition + in-partition
+    row_number + broadcast prefix counts), never a single-partition
+    window; N arrives as a broadcast one-row aggregate. Output is the
+    training order a data loader consumes."""
+    from sqlstreamstore_spark.operators.positions import with_dense_global_index
+
+    toks = documents.select(
+        "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    ranked = with_dense_global_index(
+        toks, ["n_tokens", "doc_id"], index_col="train_order"
+    )
+    total = toks.agg(F.count("*").cast("long").alias("__n"))
+    s = int(stages)
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            F.col("train_order").cast("long").alias("train_order"),
+            F.expr(f"(train_order * {s}) DIV __n").cast("long").alias("stage"),
+            "doc_id",
+            "n_tokens",
+        )
+        .orderBy("train_order")
+    )
+
+
 def chunk_documents(
     documents: DataFrame, size: int = 200, stride: int = 150
 ) -> DataFrame:
@@ -1082,4 +1120,53 @@ def sentence_dedup(documents: DataFrame, chunk_tokens: int = 8) -> DataFrame:
             F.coalesce("kept_text", F.lit("")).alias("kept_text"),
         )
         .orderBy("doc_id")
+    )
+
+
+def length_bucket_batches(documents: DataFrame, batch_size: int = 32) -> DataFrame:
+    """Length-bucketed batching — the padding-waste minimizer every
+    tokenize/embed/eval pass over a corpus runs: sort documents by
+    token length (doc_id tiebreak), cut the sorted order into
+    fixed-count batches, and pad each batch to ITS max instead of the
+    corpus max. Reports per-batch padding waste, so the gate's output
+    doubles as the measurement that justifies the sort (near-zero
+    waste inside length-homogeneous batches).
+
+    Scale shape: the sorted position is the dense two-phase global
+    index (never a single-partition window); batch_id = position DIV
+    batch_size, then one partial-agg groupBy onto bounded batch rows.
+    waste_frac is one exact BIGINT division per row — zero-tolerance
+    oracle."""
+    from sqlstreamstore_spark.operators.positions import with_dense_global_index
+
+    toks = documents.select(
+        "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    ranked = with_dense_global_index(
+        toks, ["n_tokens", "doc_id"], index_col="__pos"
+    )
+    b = int(batch_size)
+    batches = ranked.select(
+        F.expr(f"__pos DIV {b}").cast("long").alias("batch_id"), "n_tokens"
+    )
+    padded = F.col("batch_max") * F.col("n_docs")
+    return (
+        batches.groupBy("batch_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("n_tokens").cast("long").alias("batch_max"),
+            F.sum("n_tokens").cast("long").alias("batch_tokens"),
+        )
+        .select(
+            "batch_id",
+            "n_docs",
+            "batch_max",
+            "batch_tokens",
+            (padded - F.col("batch_tokens")).alias("padded_waste"),
+            (
+                (padded - F.col("batch_tokens")).cast("double")
+                / padded.cast("double")
+            ).alias("waste_frac"),
+        )
+        .orderBy("batch_id")
     )

@@ -2138,6 +2138,39 @@ def _dedup_minhash_incremental_query(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_MINHASH_COMPACT_CACHE: dict[str, bool] = {}
+
+
+def _mh_compacted_index_for(spark: SparkSession, sf: str) -> str:
+    """Exercise the FULL index lifecycle (build → upsert → compact): a
+    re-sent corpus slice appends band rows that already exist in the
+    index, then compact_index collapses the duplicates and rewrites
+    each band partition. The probe must be unchanged — the gate's
+    oracle is the SAME incremental SQL as the uncompacted path."""
+    import hashlib
+
+    path = _scratch("mh_compact_" + hashlib.md5(sf.encode()).hexdigest()[:10])
+    if path not in _MINHASH_COMPACT_CACHE:
+        corpus = _t(spark, sf, "documents").filter(F.col("doc_id") % 10 != 0)
+        dedup.build_minhash_index(corpus, path)
+        # re-send a tenth of the corpus: pure duplicate band rows
+        dedup.upsert_minhash_index(
+            corpus.filter(F.col("doc_id") % 10 == 5), path
+        )
+        dedup.compact_index(spark, path, partition_by="band")
+        _MINHASH_COMPACT_CACHE[path] = True
+    return path
+
+
+def _dedup_minhash_compacted_query(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.minhash_dedup_incremental(
+        spark, _mh_compacted_index_for(spark, sf), incoming, corpus, threshold=0.2
+    )
+
+
 _MINHASH_LSH_SQL = _minhash_ctes() + """
 SELECT e.doc_a, e.doc_b, e.n_inter, e.n_a, e.n_b, e.jaccard
 FROM exact e JOIN cands c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
@@ -2343,6 +2376,101 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
 GROUP BY token
 ORDER BY tf DESC, token
 LIMIT 200
+"""
+
+_TERM_INDEX_CACHE: dict[str, bool] = {}
+
+
+def _term_index_for(spark: SparkSession, sf: str) -> str:
+    """Materialize (once per process per sf) the incremental
+    vocabulary index: corpus slice (doc_id%10 != 0) builds, the %10==0
+    slice upserts its partial (token, tf, df) rows — disjoint batches,
+    so the merged view equals the full-corpus recompute (the
+    term-count monoid)."""
+    import hashlib
+
+    path = _scratch("term_index_" + hashlib.md5(sf.encode()).hexdigest()[:10])
+    if path not in _TERM_INDEX_CACHE:
+        docs = _t(spark, sf, "documents")
+        text.build_term_index(docs.filter(F.col("doc_id") % 10 != 0), path)
+        text.upsert_term_index(docs.filter(F.col("doc_id") % 10 == 0), path)
+        _TERM_INDEX_CACHE[path] = True
+    return path
+
+
+def _text_vocab_incremental_query(spark: SparkSession, sf: str) -> DataFrame:
+    return text.vocabulary_from_index(spark, _term_index_for(spark, sf))
+
+
+# epoch allocation: BIGINT token totals per source; epochs/alloc/
+# deficit are per-row doubles in identical expression order on both
+# engines (no cross-row float accumulation) — zero-tolerance oracle
+_EPOCH_ALLOC_SQL = """
+WITH g AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_available
+  FROM documents GROUP BY source
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM g)
+SELECT source, tokens_available,
+       1000000.0 / ns AS target_tokens,
+       least(1000000.0 / ns / CAST(tokens_available AS DOUBLE), 4.0) AS epochs,
+       CAST(tokens_available AS DOUBLE)
+         * least(1000000.0 / ns / CAST(tokens_available AS DOUBLE), 4.0)
+         AS alloc_tokens,
+       1000000.0 / ns
+         - CAST(tokens_available AS DOUBLE)
+           * least(1000000.0 / ns / CAST(tokens_available AS DOUBLE), 4.0)
+         AS deficit_tokens,
+       CAST(tokens_available AS DOUBLE)
+         * least(1000000.0 / ns / CAST(tokens_available AS DOUBLE), 4.0)
+         / 1000000.0 AS achieved_share
+FROM g, n
+ORDER BY source
+"""
+
+# length-bucketed batching: all-BIGINT per-batch aggregates + one
+# exact int/int division — zero-tolerance oracle
+_LENGTH_BATCHES_SQL = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT n_tokens,
+         CAST(row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS BIGINT) // 32
+           AS batch_id
+  FROM t
+)
+SELECT batch_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n_tokens) AS BIGINT) AS batch_max,
+       CAST(sum(n_tokens) AS BIGINT) AS batch_tokens,
+       CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT) AS padded_waste,
+       CAST(max(n_tokens) * count(*) - sum(n_tokens) AS DOUBLE)
+         / CAST(max(n_tokens) * count(*) AS DOUBLE) AS waste_frac
+FROM r GROUP BY batch_id ORDER BY batch_id
+"""
+
+# curriculum ordering: rank·stages DIV N is pure BIGINT on both
+# engines (the pack_sequences DIV precedent) — zero-tolerance oracle
+_CURRICULUM_SQL = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         CAST(row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS BIGINT)
+           AS train_order,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM t
+)
+SELECT train_order,
+       CAST((train_order * 4) // n AS BIGINT) AS stage,
+       doc_id, n_tokens
+FROM r
+ORDER BY train_order
 """
 
 # Exact substring-span dedup (Lee et al. 2022, token granularity):
@@ -6734,6 +6862,42 @@ ORDER BY doc_id""",
         "dedup_minhash_incremental": (
             _dedup_minhash_incremental_query,
             _MINHASH_INCREMENTAL_SQL,
+        ),
+        # index-lifecycle compaction (round 9): a re-sent delta appends
+        # duplicate band rows; compact_index collapses them and
+        # rewrites each band partition as few large files — probe
+        # results UNCHANGED, so the oracle is the same incremental SQL
+        "dedup_minhash_compacted": (
+            _dedup_minhash_compacted_query,
+            _MINHASH_INCREMENTAL_SQL,
+        ),
+        # incremental vocabulary maintenance (round 9): per-batch
+        # (token, tf, df) partial counts form a monoid over disjoint
+        # doc batches; the merged index view == full recompute (same
+        # oracle as text_vocabulary)
+        "text_vocab_incremental": (
+            _text_vocab_incremental_query,
+            _VOCAB_SQL,
+        ),
+        # curriculum data ordering (Bengio 2009): easy→hard by token
+        # length, equal-count stages via rank·stages DIV N — dense
+        # two-phase global index, never a single-partition window
+        "pipeline_curriculum_order": (
+            lambda s, sf: pipeline.curriculum_order(_t(s, sf, "documents")),
+            _CURRICULUM_SQL,
+        ),
+        # data-constrained epoch planning (Muennighoff 2023): per-source
+        # repeat factors under a max-epochs cap, deficits reported
+        "sampling_epoch_allocation": (
+            lambda s, sf: sampling.epoch_allocation(_t(s, sf, "documents")),
+            _EPOCH_ALLOC_SQL,
+        ),
+        # length-bucketed batching: sorted-order batches padded to
+        # their own max; the padding-waste report that justifies the
+        # sort — dense two-phase index, bounded-batch groupBy
+        "pipeline_length_batches": (
+            lambda s, sf: pipeline.length_bucket_batches(_t(s, sf, "documents")),
+            _LENGTH_BATCHES_SQL,
         ),
         "dedup_exact_keepers": (
             lambda s, sf: dedup.exact_dedup_keepers(_t(s, sf, "documents"))

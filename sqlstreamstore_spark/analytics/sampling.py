@@ -630,3 +630,49 @@ def neyman_allocation(documents: DataFrame, budget: int = 1000) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def epoch_allocation(
+    documents: DataFrame, budget: int = 1_000_000, max_epochs: float = 4.0
+) -> DataFrame:
+    """Data-constrained mixture planning: given a total training token
+    budget and an equal per-source target, decide how many EPOCHS
+    (repeats) of each source to schedule, capped at ``max_epochs`` —
+    past ~4 repeats extra epochs of the same data stop buying loss
+    (Muennighoff et al., "Scaling Data-Constrained Language Models",
+    2023, arXiv:2305.16264). Low-resource sources hit the cap and
+    leave a DEFICIT the planner reports rather than silently
+    reallocating (redistribution policy is a caller decision; feed the
+    deficit back into ``budget_mixture_sample`` shares).
+
+    Exactness: per-source token totals are one exact BIGINT partial
+    agg onto the bounded source axis; epochs/alloc/deficit are
+    per-row double arithmetic in identical order on both engines (no
+    cross-row float accumulation) — zero-tolerance oracle.
+
+    Columns: source, tokens_available, target_tokens,
+    epochs (min(target/available, max_epochs)), alloc_tokens
+    (available·epochs), deficit_tokens, achieved_share (alloc/budget).
+    """
+    from sqlstreamstore_spark.analytics.text import _tokens
+
+    g = documents.groupBy("source").agg(
+        F.sum(F.size(_tokens()).cast("long")).cast("long").alias("tokens_available")
+    )
+    n_sources = documents.select("source").distinct().count()
+    target = F.lit(float(budget)) / F.lit(float(n_sources))
+    avail = F.col("tokens_available").cast("double")
+    epochs = F.least(target / avail, F.lit(float(max_epochs)))
+    alloc = avail * epochs
+    return (
+        g.select(
+            "source",
+            "tokens_available",
+            target.alias("target_tokens"),
+            epochs.alias("epochs"),
+            alloc.alias("alloc_tokens"),
+            (target - alloc).alias("deficit_tokens"),
+            (alloc / F.lit(float(budget))).alias("achieved_share"),
+        )
+        .orderBy("source")
+    )

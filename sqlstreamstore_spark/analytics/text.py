@@ -134,6 +134,57 @@ def corpus_vocabulary(documents: DataFrame, limit: int = 200) -> DataFrame:
     )
 
 
+def term_counts(documents: DataFrame) -> DataFrame:
+    """(token, tf, df) partial term statistics for ONE batch of
+    documents — the monoid cell of the incremental vocabulary index.
+    Both counters are additive across DISJOINT document batches: tf
+    trivially, df because each doc_id lives in exactly one batch, so
+    per-batch distinct-doc counts partition the global df. One explode
+    + one groupBy (partial agg map-side; only (token, counts)
+    shuffle)."""
+    tok = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return tok.groupBy("token").agg(
+        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+
+
+def build_term_index(documents: DataFrame, path: str) -> None:
+    """Materialize the corpus's term-count rows — the vocabulary tier
+    of the index-once lifecycle (digest / banded-LSH / IVF / TERMS).
+    A daily delta upserts its partial counts instead of re-tokenizing
+    the corpus; the merged view is a groupBy-sum over count rows.
+    At 100 TB the index is vocabulary-sized (tokens × ~24 bytes), far
+    below the corpus, and merge cost is ∝ index + delta."""
+    term_counts(documents).write.mode("overwrite").parquet(path)
+
+
+def upsert_term_index(new_docs: DataFrame, path: str) -> None:
+    """Append the delta batch's partial (token, tf, df) rows —
+    O(delta); existing files are never rewritten. Batches must be
+    doc-disjoint (the df-additivity contract in :func:`term_counts`);
+    a re-sent delta double-counts, which is exactly what
+    :func:`sqlstreamstore_spark.analytics.dedup.compact_index` cannot
+    fix for counters — dedupe deltas upstream (digest anti-join)."""
+    term_counts(new_docs).write.mode("append").parquet(path)
+
+
+def vocabulary_from_index(spark, path: str, limit: int = 200) -> DataFrame:
+    """Merged vocabulary view over the materialized term index:
+    groupBy-sum of the partial rows. merge == rebuild (pytest-pinned
+    and hash-oracled against the full-corpus SQL) because both
+    counters are additive over disjoint batches. Same output contract
+    as :func:`corpus_vocabulary`."""
+    idx = spark.read.parquet(path)
+    return (
+        idx.groupBy("token")
+        .agg(F.sum("tf").alias("tf"), F.sum("df").alias("df"))
+        .orderBy(F.col("tf").desc(), F.col("token"))
+        .limit(limit)
+    )
+
+
 def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
     """Per-document n-gram novelty: the fraction of a doc's distinct
     word n-grams NOT already seen in any lower-doc_id document — the

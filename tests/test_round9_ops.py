@@ -249,3 +249,163 @@ def test_digest_index_path_equals_corpus_scan(spark, split, indexes, tmp_path):
     ).collect()
     counts = {r.stage: r.n_rows for r in replay}
     assert counts["exact_new"] == 0
+
+
+def test_compact_index_collapses_duplicates_and_files(spark, split, tmp_path):
+    """build → upsert(re-sent slice) → compact: duplicate band rows
+    collapse back to the original build's distinct set, the file count
+    shrinks to ~one per band partition, and the probe is unchanged."""
+    import os
+
+    from sqlstreamstore_spark.analytics import dedup
+
+    incoming, corpus, _, _ = split
+    path = str(tmp_path / "mh_compact")
+    dedup.build_minhash_index(corpus, path)
+    baseline = spark.read.parquet(path)
+    n_distinct = baseline.count()
+    assert baseline.distinct().count() == n_distinct  # build is dup-free
+
+    resent = corpus.filter(F.col("doc_id") % 10 == 5)
+    dedup.upsert_minhash_index(resent, path)
+    inflated = spark.read.parquet(path).count()
+    assert inflated > n_distinct  # the re-sent delta really duplicated rows
+
+    def n_files(p):
+        return sum(
+            1
+            for root, _, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    files_before = n_files(path)
+    probe_before = dedup.minhash_dedup_incremental(
+        spark, path, incoming, corpus, threshold=0.2
+    ).collect()
+
+    dedup.compact_index(spark, path, partition_by="band")
+    after = spark.read.parquet(path)
+    assert after.count() == n_distinct
+    # partition column survives the rewrite with the full band range
+    assert after.select("band").distinct().count() == 8
+    assert n_files(path) < files_before
+    probe_after = dedup.minhash_dedup_incremental(
+        spark, path, incoming, corpus, threshold=0.2
+    ).collect()
+    assert probe_after == probe_before
+
+
+def test_compact_index_flat_layout(spark, split, tmp_path):
+    """The flat (unpartitioned) digest index compacts to
+    target_partitions files with set semantics intact."""
+    import os
+
+    from sqlstreamstore_spark.analytics import dedup
+
+    incoming, corpus, _, _ = split
+    path = str(tmp_path / "digests")
+    dedup.build_digest_index(corpus, path)
+    want = {r["__h"] for r in spark.read.parquet(path).collect()}
+    dedup.upsert_digest_index(corpus.filter(F.col("doc_id") % 10 == 7), path)
+    dedup.compact_index(spark, path, target_partitions=1)
+    got = spark.read.parquet(path)
+    assert {r["__h"] for r in got.collect()} == want
+    assert got.count() == len(want)
+    n_files = sum(
+        1
+        for _, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    assert n_files == 1
+
+
+def test_term_index_merge_equals_rebuild(spark, split, tmp_path):
+    """The vocabulary monoid: disjoint-batch partial (token, tf, df)
+    rows merged by groupBy-sum equal the single-pass full recompute —
+    including df, because each doc lives in exactly one batch."""
+    from sqlstreamstore_spark.analytics import text
+
+    incoming, corpus, _, _ = split
+    path = str(tmp_path / "terms")
+    text.build_term_index(corpus, path)
+    text.upsert_term_index(incoming, path)
+    merged = text.vocabulary_from_index(spark, path, limit=10_000).collect()
+    full = text.corpus_vocabulary(corpus.unionByName(incoming), limit=10_000).collect()
+    assert merged == full
+
+
+def test_curriculum_order_properties(spark, docs):
+    """Dense 0-based train_order, stages equal-count (±1), difficulty
+    monotone along the order, deterministic tiebreak by doc_id."""
+    from sqlstreamstore_spark.analytics.pipeline import curriculum_order
+
+    rows = curriculum_order(docs, stages=4).collect()
+    n = len(rows)
+    assert [r["train_order"] for r in rows] == list(range(n))
+    toks = [r["n_tokens"] for r in rows]
+    assert toks == sorted(toks)
+    # ties broken by doc_id ascending within equal n_tokens
+    for a, b in zip(rows, rows[1:]):
+        if a["n_tokens"] == b["n_tokens"]:
+            assert a["doc_id"] < b["doc_id"]
+    from collections import Counter
+
+    sizes = Counter(r["stage"] for r in rows)
+    assert sorted(sizes) == [0, 1, 2, 3]
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sizes[0] >= sizes[3]  # rank·s DIV N rounds the earlier stages up
+
+
+def test_epoch_allocation_caps_and_deficits(spark, docs):
+    """Equal target per source; over-supplied sources get epochs < cap
+    and zero deficit; under-supplied sources pin at the cap and report
+    the shortfall; achieved shares sum to <= 1."""
+    from sqlstreamstore_spark.analytics.sampling import epoch_allocation
+
+    rows = epoch_allocation(docs, budget=1_000_000, max_epochs=4.0).collect()
+    n = len(rows)
+    assert n == docs.select("source").distinct().count()
+    target = 1_000_000.0 / n
+    for r in rows:
+        assert r["target_tokens"] == target
+        assert 0 < r["epochs"] <= 4.0
+        assert abs(r["alloc_tokens"] - r["tokens_available"] * r["epochs"]) < 1e-6
+        if r["epochs"] < 4.0:  # uncapped -> target met exactly
+            assert abs(r["deficit_tokens"]) < 1e-6
+        else:  # capped -> genuine shortfall
+            assert r["deficit_tokens"] > 0
+    assert sum(r["achieved_share"] for r in rows) <= 1.0 + 1e-9
+    assert any(r["epochs"] == 4.0 for r in rows) or all(
+        r["deficit_tokens"] < 1e-6 for r in rows
+    )
+
+
+def test_length_batches_minimize_padding(spark, docs):
+    """Batches tile the sorted order (32 docs each except the tail),
+    per-batch waste is consistent, and total sorted-order padding is
+    strictly below doc_id-order batching on the fixture."""
+    from sqlstreamstore_spark.analytics.pipeline import length_bucket_batches
+
+    rows = length_bucket_batches(docs, batch_size=32).collect()
+    n_docs = sum(r["n_docs"] for r in rows)
+    assert [r["batch_id"] for r in rows] == list(range(len(rows)))
+    assert all(r["n_docs"] == 32 for r in rows[:-1])
+    for r in rows:
+        assert r["padded_waste"] == r["batch_max"] * r["n_docs"] - r["batch_tokens"]
+        assert 0 <= r["waste_frac"] < 1
+    sorted_waste = sum(r["padded_waste"] for r in rows)
+
+    # naive baseline: batch in doc_id order, pad to each batch's max
+    naive = (
+        docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    naive_waste = 0
+    for i in range(0, len(naive), 32):
+        chunk = [r["n"] for r in naive[i : i + 32]]
+        naive_waste += max(chunk) * len(chunk) - sum(chunk)
+    assert n_docs == len(naive)
+    assert sorted_waste < naive_waste
