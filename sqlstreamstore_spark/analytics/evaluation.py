@@ -360,3 +360,50 @@ def auc_ci(documents: DataFrame, z: float = 1.96) -> DataFrame:
         (A - F.lit(z) * se).alias("ci_low"),
         (A + F.lit(z) * se).alias("ci_high"),
     )
+
+
+def pass_at_k(orders: DataFrame, ks: tuple = (1, 5, 10), min_n: int = 10) -> DataFrame:
+    """The unbiased pass@k estimator of Chen et al., "Evaluating Large
+    Language Models Trained on Code" (2021, arXiv:2107.03374 eq. 1):
+    pass@k = 1 − C(n−c, k)/C(n, k), computed per task from n samples
+    with c passes via the numerically-stable product form
+    1 − Π_{i=0..k−1} (n−c−i)/(n−i) (never materializing factorials).
+    Stand-in grounding on the fixture: task = customer, samples = the
+    customer's orders, a "pass" = a 1-URGENT order; tasks need
+    n ≥ min_n so every requested k is defined.
+
+    Exactness: n and c are exact BIGINT counts; the product is a
+    bounded left fold of single IEEE divides/multiplies in identical
+    order on both engines (Spark `aggregate` ↔ DuckDB `list_reduce`)
+    — zero-tolerance oracle. The n−c < k branch returns exactly 1.0
+    (some k-subset must contain a pass)."""
+    g = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_samples"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).cast("long").alias("n_correct"),
+        )
+        .filter(F.col("n_samples") >= min_n)
+    )
+    cols = [F.col("custkey"), F.col("n_samples"), F.col("n_correct")]
+    for k in ks:
+        fold = F.aggregate(
+            F.sequence(F.lit(0), F.lit(int(k) - 1)),
+            F.lit(1.0),
+            lambda acc, i: acc
+            * (
+                (F.col("n_samples") - F.col("n_correct") - i).cast("double")
+                / (F.col("n_samples") - i).cast("double")
+            ),
+        )
+        cols.append(
+            F.when(
+                F.col("n_samples") - F.col("n_correct") < F.lit(int(k)),
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(1.0) - fold)
+            .alias(f"pass_at_{k}")
+        )
+    return g.select(*cols).orderBy("custkey")

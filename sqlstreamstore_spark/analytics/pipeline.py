@@ -1170,3 +1170,23 @@ def length_bucket_batches(documents: DataFrame, batch_size: int = 32) -> DataFra
         )
         .orderBy("batch_id")
     )
+
+
+def interleave_sources(documents: DataFrame) -> DataFrame:
+    """Domain-interleaved training order: rank documents WITHIN each
+    source (deterministic doc_id order), then order globally by
+    (rank_in_source, source) — a round-robin across sources, so every
+    training window sees a domain MIX instead of the source-sorted
+    runs a curated-by-domain corpus naturally arrives in (the
+    determinism-preserving stand-in for a global shuffle; compose
+    with `curriculum_order` by swapping doc_id for the difficulty
+    rank). Scale shape: one source-partitioned window (a single
+    shuffle onto the source axis — never a global single-partition
+    window); the interleave itself is the output ORDER BY, which a
+    sharded writer realizes as its shard assignment."""
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        documents.select("doc_id", "source")
+        .withColumn("rank_in_source", F.row_number().over(w).cast("long"))
+        .orderBy("rank_in_source", "source")
+    )

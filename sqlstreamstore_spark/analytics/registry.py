@@ -2402,6 +2402,75 @@ def _text_vocab_incremental_query(spark: SparkSession, sf: str) -> DataFrame:
     return text.vocabulary_from_index(spark, _term_index_for(spark, sf))
 
 
+# domain interleave: per-source row_number + composite ORDER BY —
+# all-integer, zero-tolerance oracle
+_INTERLEAVE_SQL = """
+SELECT doc_id, source,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+         AS rank_in_source
+FROM documents
+ORDER BY rank_in_source, source
+"""
+
+
+def _pass_at_k_sql(ks=(1, 5, 10), min_n: int = 10) -> str:
+    """pass@k product form as a bounded left fold: Spark `aggregate`
+    init 1.0 ↔ DuckDB `list_reduce` (first element is the init;
+    1.0·x0 ≡ x0 exactly, so the fold orders match IEEE-wise)."""
+    cols = []
+    for k in ks:
+        fold = (
+            f"list_reduce(list_transform(range(0, {k}), i -> "
+            "CAST(n_samples - n_correct - i AS DOUBLE)"
+            " / CAST(n_samples - i AS DOUBLE)), (a, b) -> a * b)"
+        )
+        cols.append(
+            f"CASE WHEN n_samples - n_correct < {k} THEN 1.0 "
+            f"ELSE 1.0 - {fold} END AS pass_at_{k}"
+        )
+    return f"""
+WITH g AS (
+  SELECT o_custkey AS custkey,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_correct
+  FROM orders GROUP BY o_custkey
+  HAVING count(*) >= {min_n}
+)
+SELECT custkey, n_samples, n_correct,
+       {", ".join(cols)}
+FROM g ORDER BY custkey
+"""
+
+
+_PASS_AT_K_SQL = _pass_at_k_sql()
+
+# tokenizer fertility: exact BIGINT sums of the regex token counts
+# (the text_regex_tokens patterns) + single IEEE divides
+_FERTILITY_SQL = """
+WITH t AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS nm,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS sy,
+         CAST(strlen(text) AS BIGINT) AS ch
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       CAST(sum(w) AS BIGINT) AS word_tokens,
+       CAST(sum(w + nm + sy) AS BIGINT) AS bpeish_tokens,
+       CAST(sum(ch) AS BIGINT) AS n_chars,
+       CAST(sum(w + nm + sy) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS fertility,
+       CAST(sum(ch) AS DOUBLE) / CAST(sum(w + nm + sy) AS DOUBLE)
+         AS chars_per_token,
+       CAST(sum(w + nm + sy) AS DOUBLE) / CAST(sum(ws) AS DOUBLE)
+         AS bpe_per_ws_token
+FROM t GROUP BY source ORDER BY source
+"""
+
 # epoch allocation: BIGINT token totals per source; epochs/alloc/
 # deficit are per-row doubles in identical expression order on both
 # engines (no cross-row float accumulation) — zero-tolerance oracle
@@ -6898,6 +6967,24 @@ ORDER BY doc_id""",
         "pipeline_length_batches": (
             lambda s, sf: pipeline.length_bucket_batches(_t(s, sf, "documents")),
             _LENGTH_BATCHES_SQL,
+        ),
+        # domain-interleaved training order: per-source rank window
+        # (one shuffle onto the source axis) + composite order
+        "pipeline_interleave_sources": (
+            lambda s, sf: pipeline.interleave_sources(_t(s, sf, "documents")),
+            _INTERLEAVE_SQL,
+        ),
+        # pass@k (Chen 2021 eq.1, stable product form): bounded fold of
+        # IEEE divides, Spark aggregate ↔ DuckDB list_reduce
+        "eval_pass_at_k": (
+            lambda s, sf: evaluation.pass_at_k(_t(s, sf, "orders")),
+            _PASS_AT_K_SQL,
+        ),
+        # tokenizer fertility per source: the token-budget correction
+        # factor — exact BIGINT sums + single divides
+        "text_tokenizer_fertility": (
+            lambda s, sf: text.tokenizer_fertility(_t(s, sf, "documents")),
+            _FERTILITY_SQL,
         ),
         "dedup_exact_keepers": (
             lambda s, sf: dedup.exact_dedup_keepers(_t(s, sf, "documents"))

@@ -2101,3 +2101,41 @@ def hill_tail_index(documents: DataFrame, k: int = 50) -> DataFrame:
             9,
         ).alias("alpha_hill"),
     )
+
+
+def tokenizer_fertility(documents: DataFrame) -> DataFrame:
+    """Tokenizer fertility per source — the cost model behind every
+    token-budget decision: how many (BPE-ish regex) tokens the
+    tokenizer emits per whitespace word, and how many characters ride
+    in each token. High-fertility sources (code, non-English,
+    symbol-heavy text) consume budget faster than their word counts
+    suggest; this report is the per-source correction factor.
+
+    One partial-agg groupBy onto the bounded source axis; all sums are
+    exact BIGINT, each reported ratio one IEEE divide — zero-tolerance
+    oracle."""
+    words = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z]+"), 0))
+    numbers = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]+"), 0))
+    symbols = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"), 0))
+    bpeish = (words + numbers + symbols).cast("long")
+    g = documents.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(_tokens()).cast("long")).cast("long").alias("ws_tokens"),
+        F.sum(words.cast("long")).cast("long").alias("word_tokens"),
+        F.sum(bpeish).cast("long").alias("bpeish_tokens"),
+        F.sum(F.length("text").cast("long")).cast("long").alias("n_chars"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "ws_tokens",
+        "word_tokens",
+        "bpeish_tokens",
+        "n_chars",
+        (F.col("bpeish_tokens").cast("double") / F.col("word_tokens").cast("double"))
+        .alias("fertility"),
+        (F.col("n_chars").cast("double") / F.col("bpeish_tokens").cast("double"))
+        .alias("chars_per_token"),
+        (F.col("bpeish_tokens").cast("double") / F.col("ws_tokens").cast("double"))
+        .alias("bpe_per_ws_token"),
+    ).orderBy("source")

@@ -409,3 +409,76 @@ def test_length_batches_minimize_padding(spark, docs):
         naive_waste += max(chunk) * len(chunk) - sum(chunk)
     assert n_docs == len(naive)
     assert sorted_waste < naive_waste
+
+
+def test_interleave_sources_round_robin(spark, docs):
+    """Global order is (rank_in_source, source); per-source ranks are
+    dense 1..n_s; the head of the order covers every source once
+    before any source repeats."""
+    from sqlstreamstore_spark.analytics.pipeline import interleave_sources
+
+    rows = interleave_sources(docs).collect()
+    keys = [(r["rank_in_source"], r["source"]) for r in rows]
+    assert keys == sorted(keys)
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r["source"]].append(r["rank_in_source"])
+    for src, ranks in per.items():
+        assert ranks == list(range(1, len(ranks) + 1))
+    n_sources = len(per)
+    head = [r["source"] for r in rows[:n_sources]]
+    assert len(set(head)) == n_sources
+
+
+def test_pass_at_k_matches_exact_combinatorics(spark):
+    """The product fold equals 1 − C(n−c,k)/C(n,k) from exact integer
+    combinatorics, is monotone in k, and hits the 1.0 branch exactly
+    when n−c < k."""
+    import math
+
+    from sqlstreamstore_spark.analytics.evaluation import pass_at_k
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF, "orders")
+    rows = pass_at_k(orders).collect()
+    assert rows
+    for r in rows:
+        n, c = r["n_samples"], r["n_correct"]
+        assert n >= 10
+        for k in (1, 5, 10):
+            got = r[f"pass_at_{k}"]
+            if n - c < k:
+                assert got == 1.0
+            else:
+                want = 1.0 - math.comb(n - c, k) / math.comb(n, k)
+                assert abs(got - want) < 1e-12, (n, c, k, got, want)
+        assert r["pass_at_1"] <= r["pass_at_5"] <= r["pass_at_10"]
+
+
+def test_tokenizer_fertility_consistency(spark, docs):
+    """Per-source sums agree with the per-doc regex token counts, and
+    each ratio is the exact quotient of its two sums."""
+    from sqlstreamstore_spark.analytics.text import (
+        regex_token_count,
+        tokenizer_fertility,
+    )
+
+    per_doc = regex_token_count(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    want = {
+        r["source"]: (r["w"], r["b"])
+        for r in per_doc.groupBy("source")
+        .agg(
+            F.sum("n_word_tokens").alias("w"),
+            F.sum("n_tokens_bpeish").alias("b"),
+        )
+        .collect()
+    }
+    for r in tokenizer_fertility(docs).collect():
+        w, b = want[r["source"]]
+        assert (r["word_tokens"], r["bpeish_tokens"]) == (w, b)
+        assert r["fertility"] == b / w
+        assert r["chars_per_token"] == r["n_chars"] / b

@@ -1008,7 +1008,134 @@ def main() -> int:
     return 0
 
 
+def compaction_main(times: int = 10, n_upserts: int = 20) -> int:
+    """Round 9: does compaction pay for itself at corpus scale? Build
+    the sf1-synthetic banded-LSH index, drip `n_upserts` small daily
+    upserts into it (half re-sent corpus rows — pure duplicate band
+    rows, the idempotent-ingest hazard compact_index exists for), and
+    measure the 1%-delta probe + the index file/row counts BEFORE and
+    AFTER compact_index. Also times the term-index (vocabulary) merge
+    view against a full corpus recompute at the same upsert depth."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.analytics import dedup, text
+    from sqlstreamstore_spark.session import get_spark
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="scale-probe-compaction")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    d = "/root/testdata/sf0.1"
+    docs01 = load_table(spark, d, "documents")
+    n_base = docs01.count()
+    corpus = replicated(docs01, times, {"doc_id": 1_000_000}).localCheckpoint()
+    n_corpus = corpus.count()
+    delta = (
+        corpus.filter(F.col("doc_id") % 100 == 7)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(100_000_000))
+        .withColumn("text", F.concat_ws(" ", F.col("text"), F.lit("zq7")))
+        .localCheckpoint()
+    )
+
+    base = tempfile.mkdtemp(prefix="sss-scale-compact-")
+    mh = os.path.join(base, "mh")
+    t0 = time.time()
+    dedup.build_minhash_index(corpus, mh)
+    build_s = round(time.time() - t0, 2)
+
+    def stats(path):
+        files = rows = 0
+        for root, _, fs in os.walk(path):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    files += 1
+        rows = spark.read.parquet(path).count()
+        return files, rows
+
+    # drip upserts: odd k re-sends an already-indexed corpus slice
+    # (duplicate rows), even k adds genuinely new docs
+    t0 = time.time()
+    for k in range(n_upserts):
+        if k % 2 == 1:
+            batch = corpus.filter(F.col("doc_id") % 200 == k)
+        else:
+            batch = (
+                corpus.filter(F.col("doc_id") % 200 == k)
+                .withColumn("doc_id", F.col("doc_id") + F.lit(200_000_000 + k))
+            )
+        dedup.upsert_minhash_index(batch, mh)
+    upserts_s = round(time.time() - t0, 2)
+    files_b, rows_b = stats(mh)
+
+    def probe():
+        t0 = time.time()
+        n = dedup.minhash_dedup_incremental(
+            spark, mh, delta, corpus, threshold=0.5
+        ).count()
+        return n, round(time.time() - t0, 2)
+
+    probe(); probe()  # codegen warm
+    n_pre, probe_pre_s = probe()
+    t0 = time.time()
+    dedup.compact_index(spark, mh, partition_by="band")
+    compact_s = round(time.time() - t0, 2)
+    files_a, rows_a = stats(mh)
+    n_post, probe_post_s = probe()
+    assert n_pre == n_post, (n_pre, n_post)
+
+    # term-index tier at the same scale: build + drip + merged view
+    terms = os.path.join(base, "terms")
+    t0 = time.time()
+    text.build_term_index(corpus, terms)
+    term_build_s = round(time.time() - t0, 2)
+    t0 = time.time()
+    for k in range(n_upserts):
+        text.upsert_term_index(
+            delta.filter(F.col("doc_id") % n_upserts == k), terms
+        )
+    term_upserts_s = round(time.time() - t0, 2)
+    t0 = time.time()
+    n_vocab = text.vocabulary_from_index(spark, terms, limit=200).count()
+    merge_s = round(time.time() - t0, 2)
+    t0 = time.time()
+    text.corpus_vocabulary(corpus.unionByName(delta), limit=200).count()
+    recompute_s = round(time.time() - t0, 2)
+
+    res = {
+        "index_compaction": {
+            "n_corpus": n_corpus,
+            "n_upserts": n_upserts,
+            "build_s": build_s,
+            "upserts_s": upserts_s,
+            "files_before": files_b,
+            "rows_before": rows_b,
+            "compact_s": compact_s,
+            "files_after": files_a,
+            "rows_after": rows_a,
+            "probe_pairs": n_pre,
+            "probe_before_s": probe_pre_s,
+            "probe_after_s": probe_post_s,
+        },
+        "term_index": {
+            "build_s": term_build_s,
+            "upserts_s": term_upserts_s,
+            "n_vocab": n_vocab,
+            "merge_view_s": merge_s,
+            "full_recompute_s": recompute_s,
+        },
+    }
+    label = "sf1-synthetic" if times == 10 else f"sf{times // 10}-synthetic"
+    _merge_scale(res, label)
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--compaction":
+        raise SystemExit(
+            compaction_main(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        )
     if len(sys.argv) > 1 and sys.argv[1] == "--sf10":
         raise SystemExit(sf10_main(sys.argv[2] if len(sys.argv) > 2 else "all"))
     if len(sys.argv) > 1 and sys.argv[1] == "--e2e":
