@@ -1216,3 +1216,40 @@ def test_decontaminate_incremental_broadcasts_index_no_delta_shuffle(spark, tmp_
     assert p.index("HashAggregate") < p.index("BroadcastHashJoin") or (
         "partial_count" in p or "partial" in p.lower()
     )
+
+
+def test_curriculum_and_length_batches_two_phase_index(spark):
+    """curriculum_order and length_bucket_batches rank via the dense
+    two-phase global index: at most the bounded totals branch is
+    single-partition (one row per partition), every window keys on
+    __pid, the corpus never funnels. curriculum additionally joins its
+    N as a broadcast one-row aggregate."""
+    from sqlstreamstore_spark.analytics.pipeline import (
+        curriculum_order,
+        length_bucket_batches,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    for df in (curriculum_order(docs), length_bucket_batches(docs)):
+        p = plan_of(df)
+        assert p.count("SinglePartition") <= 1, p[:3000]
+        for line in p.splitlines():
+            if "windowspecdefinition(" in line:
+                assert "__pid" in line, line
+    pc = plan_of(curriculum_order(docs))
+    assert "BroadcastNestedLoopJoin" in pc or "BroadcastExchange" in pc
+
+
+def test_vocab_merge_is_partial_aggregation(spark, tmp_path):
+    """vocabulary_from_index: the merged view is one partial-agg
+    groupBy over the stored (token, tf, df) rows — map-side partials
+    before the token shuffle, no join, no window."""
+    from sqlstreamstore_spark.analytics import text
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "terms")
+    text.build_term_index(docs, path)
+    p = plan_of(text.vocabulary_from_index(spark, path))
+    assert "partial_sum" in p or "partial" in p.lower(), p[:2000]
+    assert "Join" not in p
+    assert "Window" not in p
