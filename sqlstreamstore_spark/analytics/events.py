@@ -1691,3 +1691,75 @@ def alert_episodes(events: DataFrame, slo: float = 0.75, long_hours: int = 6) ->
         # bound its name says, not the exact count.
         (F.lit(2) * F.col("n_episodes")).cast("long").alias("max_flaps"),
     )
+
+
+def holt_forecast(
+    events: DataFrame, alpha: float = 0.5, beta: float = 0.3
+) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing over each
+    event type's daily count series — the load-forecast a capacity
+    planner runs over the ingest log (Holt 1957):
+
+        l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    deterministic init l_0 = y_0, b_0 = 0 (the first observation has
+    no forecast error). Emits the final state, the one-step-ahead
+    forecast l_T + b_T, and the in-sample SSE of one-step forecasts.
+
+    Linear recurrences are not window-expressible, but per-type DAILY
+    series are bounded (days, not events): collapse to daily counts
+    (one partial-agg groupBy — the only event-scale pass), collect
+    each type's series (≤ thousands of doubles), and run the fold as
+    one `aggregate` expression. Both engines fold left over the same
+    element order (sort_array ↔ list_sort) with the same IEEE
+    expression tree (the pass_at_k precedent with struct state), so
+    the gate hash-matches at zero tolerance."""
+    a, ia = float(alpha), 1.0 - float(alpha)
+    b, ib = float(beta), 1.0 - float(beta)
+    daily = events.groupBy(
+        F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("double").alias("y"))
+    ser = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("arr0"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    arr = F.transform(
+        F.col("arr0"),
+        lambda x: F.struct(
+            x["y"].alias("l"), F.lit(0.0).alias("b"), F.lit(0.0).alias("sse")
+        ),
+    )
+
+    def step(acc, x):
+        lp, bp = acc["l"], acc["b"]
+        y = x["l"]
+        lnew = F.lit(a) * y + F.lit(ia) * (lp + bp)
+        # l_new inlined twice: neither engine's lambda has let-binding,
+        # and an identical expression tree is what makes the doubles
+        # bit-identical
+        bnew = (
+            F.lit(b) * ((F.lit(a) * y + F.lit(ia) * (lp + bp)) - lp)
+            + F.lit(ib) * bp
+        )
+        err = y - (lp + bp)
+        return F.struct(
+            lnew.alias("l"),
+            bnew.alias("b"),
+            (acc["sse"] + err * err).alias("sse"),
+        )
+
+    ser = ser.withColumn("arr", arr)
+    st = F.aggregate(
+        F.slice(F.col("arr"), 2, F.size("arr") - 1),
+        F.element_at(F.col("arr"), 1),
+        step,
+    )
+    return ser.select(
+        "event_type",
+        "n_days",
+        st["l"].alias("level"),
+        st["b"].alias("trend"),
+        (st["l"] + st["b"]).alias("forecast_next"),
+        st["sse"].alias("sse"),
+    ).orderBy("event_type")

@@ -2402,6 +2402,38 @@ def _text_vocab_incremental_query(spark: SparkSession, sf: str) -> DataFrame:
     return text.vocabulary_from_index(spark, _term_index_for(spark, sf))
 
 
+# Holt linear-trend smoothing: bounded struct-state fold over the
+# per-type daily series; identical IEEE trees + identical element
+# order (sort_array ↔ list_sort) — zero-tolerance oracle
+_HOLT_SQL = """
+WITH RECURSIVE d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+r AS (
+  SELECT event_type, y,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS t
+  FROM d
+),
+nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+       FROM r GROUP BY event_type),
+h AS (
+  SELECT event_type, t, y AS l, 0.0e0 AS b, 0.0e0 AS sse FROM r WHERE t = 1
+  UNION ALL
+  SELECT r.event_type, r.t,
+         0.5e0 * r.y + 0.5e0 * (h.l + h.b),
+         0.3e0 * ((0.5e0 * r.y + 0.5e0 * (h.l + h.b)) - h.l) + 0.7e0 * h.b,
+         h.sse + (r.y - (h.l + h.b)) * (r.y - (h.l + h.b))
+  FROM h JOIN r ON r.event_type = h.event_type AND r.t = h.t + 1
+)
+SELECT h.event_type AS event_type, nn.n_days, h.l AS level, h.b AS trend,
+       h.l + h.b AS forecast_next, h.sse AS sse
+FROM h JOIN nn ON nn.event_type = h.event_type AND h.t = nn.n_days
+ORDER BY event_type
+"""
+
 # domain interleave: per-source row_number + composite ORDER BY —
 # all-integer, zero-tolerance oracle
 _INTERLEAVE_SQL = """
@@ -6973,6 +7005,13 @@ ORDER BY doc_id""",
         "pipeline_interleave_sources": (
             lambda s, sf: pipeline.interleave_sources(_t(s, sf, "documents")),
             _INTERLEAVE_SQL,
+        ),
+        # Holt double-exponential load forecast over per-type daily
+        # counts: event-scale work is ONE partial-agg groupBy; the
+        # recurrence folds over the bounded daily series
+        "events_holt_forecast": (
+            lambda s, sf: events.holt_forecast(_t(s, sf, "events")),
+            _HOLT_SQL,
         ),
         # pass@k (Chen 2021 eq.1, stable product form): bounded fold of
         # IEEE divides, Spark aggregate ↔ DuckDB list_reduce

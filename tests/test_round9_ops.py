@@ -482,3 +482,40 @@ def test_tokenizer_fertility_consistency(spark, docs):
         assert (r["word_tokens"], r["bpeish_tokens"]) == (w, b)
         assert r["fertility"] == b / w
         assert r["chars_per_token"] == r["n_chars"] / b
+
+
+def test_holt_forecast_matches_python_replay(spark):
+    """The distributed struct-state fold replays exactly in pure
+    Python (same IEEE order): level/trend/forecast/sse bit-identical,
+    and the DuckDB-quirk hazard (sequential struct-field update in
+    list_reduce) never enters — the oracle is a recursive CTE."""
+    from sqlstreamstore_spark.analytics.events import holt_forecast
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    got = {r["event_type"]: r for r in holt_forecast(ev).collect()}
+
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["day"], float(r["count"])))
+    for et, pts in series.items():
+        ys = [y for _, y in sorted(pts)]
+        l, b, sse = ys[0], 0.0, 0.0
+        for y in ys[1:]:
+            err = y - (l + b)
+            ln = 0.5 * y + 0.5 * (l + b)
+            bn = 0.3 * ((0.5 * y + 0.5 * (l + b)) - l) + 0.7 * b
+            sse = sse + err * err
+            l, b = ln, bn
+        r = got[et]
+        assert r["n_days"] == len(ys)
+        assert r["level"] == l and r["trend"] == b
+        assert r["forecast_next"] == l + b
+        assert r["sse"] == sse
