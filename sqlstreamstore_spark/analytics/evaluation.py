@@ -407,3 +407,99 @@ def pass_at_k(orders: DataFrame, ks: tuple = (1, 5, 10), min_n: int = 10) -> Dat
             .alias(f"pass_at_{k}")
         )
     return g.select(*cols).orderBy("custkey")
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative e^{-1}/k!), generated
+# once so the Spark literals and the DuckDB oracle literals are the
+# SAME Python doubles (repr round-trips bit-exactly through strtod)
+import math as _math
+
+POISSON1_CUM: list = []
+_s, _term = 0.0, _math.exp(-1.0)
+for _k in range(8):
+    _s += _term
+    POISSON1_CUM.append(_s)
+    _term = _term / (_k + 1)
+
+
+def bootstrap_ci(documents: DataFrame, b: int = 64) -> DataFrame:
+    """Poisson-bootstrap confidence interval for a corpus metric (mean
+    tokens per document, per source) — the one-pass distributed
+    bootstrap (Efron 1979 resampling; the Poisson(1) approximation to
+    multinomial weights is the form that streams, e.g. Chamandy et
+    al., "Estimating Uncertainty for Massive Data Streams", Google
+    2012). Every (doc, replicate) weight is a PURE FUNCTION of
+    md5(doc_id|j): reproducible across runs, engines, partitionings —
+    the sampling.py hash-determinism discipline, so the gate
+    hash-matches the resampled CI itself at zero tolerance.
+
+    Exactness: weights are exact ints from literal double thresholds
+    (identical parses both engines); each replicate mean is one IEEE
+    divide of exact BIGINT sums; the CI bounds are ORDER STATISTICS
+    (rank 2 / rank ceil(.975·B) of the sorted replicate means) —
+    selection, not interpolation, hence exact.
+
+    Scale shape: the ×B explode is narrow (no shuffle) and collapses
+    map-side into (source, j) partial sums — B·n_sources groups
+    shuffle, never B·N rows; the corpus is read once. B=64 gives
+    ~1.6% CI-rank resolution, the standard cheap setting."""
+    B = int(b)
+    lo_rank, hi_rank = int(0.025 * B) + 1, int(_math.ceil(0.975 * B))
+    x = F.size(F.split(F.col("text"), " ")).cast("long")
+    base = documents.select("source", "doc_id", x.alias("x"))
+    rep = base.select(
+        "source", "doc_id", "x",
+        F.explode(F.sequence(F.lit(1), F.lit(B))).alias("j"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("doc_id").cast("string"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(float(2**48))
+    )
+    w = sum(
+        (F.when(u >= F.lit(c), 1).otherwise(0) for c in POISSON1_CUM),
+        F.lit(0),
+    ).cast("long")
+    g = rep.groupBy("source", "j").agg(
+        F.sum(w * F.col("x")).cast("long").alias("sx"),
+        F.sum(w).cast("long").alias("sw"),
+    )
+    means = g.filter(F.col("sw") > 0).select(
+        "source", (F.col("sx").cast("double") / F.col("sw").cast("double")).alias("m")
+    )
+    ci = means.groupBy("source").agg(
+        F.sort_array(F.collect_list("m")).alias("arr")
+    ).select(
+        "source",
+        F.size("arr").cast("long").alias("n_resamples"),
+        F.element_at("arr", lo_rank).alias("boot_lo"),
+        F.element_at("arr", hi_rank).alias("boot_hi"),
+    )
+    point = base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("x").cast("double") / F.count("*").cast("double")).alias(
+            "mean_tokens"
+        ),
+    )
+    return (
+        point.join(ci, "source")
+        .select(
+            "source", "n_docs", "mean_tokens", "n_resamples", "boot_lo", "boot_hi"
+        )
+        .orderBy("source")
+    )

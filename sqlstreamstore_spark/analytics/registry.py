@@ -2434,6 +2434,65 @@ FROM h JOIN nn ON nn.event_type = h.event_type AND h.t = nn.n_days
 ORDER BY event_type
 """
 
+def _bootstrap_sql(b: int = 64) -> str:
+    """Poisson-bootstrap twin: thresholds are the SAME Python doubles
+    as the Spark side (repr round-trips bit-exactly through strtod);
+    weights exact ints, replicate means single IEEE divides of exact
+    BIGINT sums, CI bounds exact order statistics."""
+    import math
+
+    from sqlstreamstore_spark.analytics.evaluation import POISSON1_CUM
+
+    lo, hi = int(0.025 * b) + 1, int(math.ceil(0.975 * b))
+    hexfold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(substr(md5("
+        "CAST(doc_id AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 1, 12), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+        "(a, x) -> a * 16 + x)"
+    )
+    w = " + ".join(
+        f"(CASE WHEN u >= CAST('{c!r}' AS DOUBLE) THEN 1 ELSE 0 END)"
+        for c in POISSON1_CUM
+    )
+    return f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+  FROM documents
+),
+rep AS (
+  SELECT source, doc_id, x, j,
+         CAST({hexfold} AS DOUBLE) / CAST(281474976710656 AS DOUBLE) AS u
+  FROM t, (SELECT unnest(range(1, {b + 1})) AS j)
+),
+wt AS (SELECT source, j, x, CAST({w} AS BIGINT) AS w FROM rep),
+g AS (
+  SELECT source, j,
+         CAST(sum(w * x) AS BIGINT) AS sx, CAST(sum(w) AS BIGINT) AS sw
+  FROM wt GROUP BY source, j
+),
+m AS (SELECT source, CAST(sx AS DOUBLE) / CAST(sw AS DOUBLE) AS m
+      FROM g WHERE sw > 0),
+ci AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_resamples,
+         list_sort(list(m)) AS arr
+  FROM m GROUP BY source
+),
+pt AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tokens
+  FROM t GROUP BY source
+)
+SELECT pt.source AS source, n_docs, mean_tokens, n_resamples,
+       arr[{lo}] AS boot_lo, arr[{hi}] AS boot_hi
+FROM pt JOIN ci ON ci.source = pt.source
+ORDER BY source
+"""
+
+
+_BOOTSTRAP_SQL = _bootstrap_sql()
+
 # domain interleave: per-source row_number + composite ORDER BY —
 # all-integer, zero-tolerance oracle
 _INTERLEAVE_SQL = """
@@ -7012,6 +7071,13 @@ ORDER BY doc_id""",
         "events_holt_forecast": (
             lambda s, sf: events.holt_forecast(_t(s, sf, "events")),
             _HOLT_SQL,
+        ),
+        # one-pass Poisson bootstrap (Chamandy 2012): hash-derived
+        # Poisson(1) weights, replicate means as exact-BIGINT divides,
+        # CI = exact order statistics of the sorted replicate means
+        "stats_bootstrap_ci": (
+            lambda s, sf: evaluation.bootstrap_ci(_t(s, sf, "documents")),
+            _BOOTSTRAP_SQL,
         ),
         # pass@k (Chen 2021 eq.1, stable product form): bounded fold of
         # IEEE divides, Spark aggregate ↔ DuckDB list_reduce

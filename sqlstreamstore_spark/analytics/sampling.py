@@ -659,8 +659,13 @@ def epoch_allocation(
     g = documents.groupBy("source").agg(
         F.sum(F.size(_tokens()).cast("long")).cast("long").alias("tokens_available")
     )
-    n_sources = documents.select("source").distinct().count()
-    target = F.lit(float(budget)) / F.lit(float(n_sources))
+    # source count arrives as a broadcast one-row aggregate — building
+    # this plan runs NOTHING (the no-jobs-at-build discipline of
+    # operators/positions.py); the division is the same single IEEE
+    # divide the oracle performs
+    ns = g.agg(F.count("*").cast("double").alias("__ns"))
+    g = g.crossJoin(F.broadcast(ns))
+    target = F.lit(float(budget)) / F.col("__ns")
     avail = F.col("tokens_available").cast("double")
     epochs = F.least(target / avail, F.lit(float(max_epochs)))
     alloc = avail * epochs

@@ -519,3 +519,50 @@ def test_holt_forecast_matches_python_replay(spark):
         assert r["level"] == l and r["trend"] == b
         assert r["forecast_next"] == l + b
         assert r["sse"] == sse
+
+
+def test_bootstrap_ci_properties(spark, docs):
+    """Order statistics bracket the point estimate on every source,
+    64 resamples survive, and the hash-derived weights are genuinely
+    Poisson(1)-shaped (mean weight ~1 within 5% over 32k draws)."""
+    from sqlstreamstore_spark.analytics.evaluation import (
+        POISSON1_CUM,
+        bootstrap_ci,
+    )
+
+    rows = bootstrap_ci(docs, b=64).collect()
+    assert len(rows) == docs.select("source").distinct().count()
+    for r in rows:
+        assert r["n_resamples"] == 64
+        assert r["boot_lo"] <= r["boot_hi"]
+        assert r["boot_lo"] <= r["mean_tokens"] <= r["boot_hi"]
+
+    # thresholds are the genuine Poisson(1) CDF
+    import math
+
+    want = 0.0
+    for k, c in enumerate(POISSON1_CUM):
+        want += math.exp(-1.0) / math.factorial(k)
+        assert abs(c - want) < 1e-15
+    # empirical mean weight over the fixture's (doc, j) grid
+    n_docs = docs.count()
+    total_w = (
+        docs.selectExpr("doc_id")
+        .selectExpr("doc_id", "explode(sequence(1, 64)) AS j")
+        .selectExpr(
+            "cast(conv(substring(md5(concat_ws('|', cast(doc_id as string),"
+            " cast(j as string))), 1, 12), 16, 10) as double)"
+            " / cast(281474976710656 as double) AS u"
+        )
+        .selectExpr(
+            "+".join(
+                f"(CASE WHEN u >= {c!r} THEN 1 ELSE 0 END)"
+                for c in POISSON1_CUM
+            )
+            + " AS w"
+        )
+        .groupBy()
+        .sum("w")
+        .collect()[0][0]
+    )
+    assert abs(total_w / (n_docs * 64) - 1.0) < 0.05
