@@ -521,3 +521,42 @@ def candidate_keys(events: DataFrame) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("candidate")
+
+
+def l_diversity_report(documents: DataFrame, l: int = 2, bucket: int = 100) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., "l-Diversity:
+    Privacy Beyond k-Anonymity", 2007) — k-anonymity's complement: an
+    equivalence class can be LARGE yet still leak its members'
+    sensitive attribute when that attribute is homogeneous within the
+    class. Quasi-identifiers = (source, coarse length bucket),
+    sensitive attribute = lang: per class, the distinct sensitive
+    value count (distinct l-diversity) and the dominant value's share
+    (the homogeneity-attack exposure); risky = fewer than ``l``
+    distinct values. Composes with :func:`k_anonymity_report` as the
+    pre-release privacy pair.
+
+    Scale shape: two stacked partial-agg groupBys onto the bounded
+    (QI, sensitive) then QI axes — counts shuffle, never text; exact
+    BIGINTs + one IEEE divide (zero-tolerance oracle)."""
+    cell = documents.groupBy(
+        "source",
+        (F.floor(F.col("n_chars") / bucket) * bucket).cast("long").alias("chars_bucket"),
+        "lang",
+    ).agg(F.count("*").cast("long").alias("n"))
+    cls = cell.groupBy("source", "chars_bucket").agg(
+        F.sum("n").cast("long").alias("class_size"),
+        F.count("*").cast("long").alias("l_distinct"),
+        F.max("n").cast("long").alias("top_n"),
+    )
+    return (
+        cls.select(
+            "source",
+            "chars_bucket",
+            "class_size",
+            "l_distinct",
+            (F.col("top_n").cast("double") / F.col("class_size").cast("double"))
+            .alias("top_share"),
+            (F.col("l_distinct") < l).alias("risky"),
+        )
+        .orderBy("source", "chars_bucket")
+    )

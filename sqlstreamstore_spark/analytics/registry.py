@@ -4461,6 +4461,27 @@ ORDER BY lang, source, chars_bucket
 """
 
 
+# l-diversity twin: stacked exact-count groupBys + one divide
+_L_DIVERSITY_SQL = """
+WITH cell AS (
+  SELECT source,
+         CAST((n_chars // 100) * 100 AS BIGINT) AS chars_bucket,
+         lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2, 3),
+cls AS (
+  SELECT source, chars_bucket,
+         CAST(sum(n) AS BIGINT) AS class_size,
+         CAST(count(*) AS BIGINT) AS l_distinct,
+         CAST(max(n) AS BIGINT) AS top_n
+  FROM cell GROUP BY 1, 2)
+SELECT source, chars_bucket, class_size, l_distinct,
+       CAST(top_n AS DOUBLE) / CAST(class_size AS DOUBLE) AS top_share,
+       l_distinct < 2 AS risky
+FROM cls
+ORDER BY source, chars_bucket
+"""
+
+
 # Golden-record survivorship replay: same vocabulary-fingerprint
 # cluster key, same (n_chars DESC, doc_id) survivor rule.
 _GOLDEN_SQL = """
@@ -7518,6 +7539,13 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
         "dq_k_anonymity": (
             lambda s, sf: quality.k_anonymity_report(_t(s, sf, "documents")),
             _K_ANON_SQL,
+        ),
+        # l-diversity audit (Machanavajjhala 2007): per QI class, the
+        # distinct-sensitive-value count + dominant-value share — the
+        # homogeneity-attack complement of dq_k_anonymity
+        "dq_l_diversity": (
+            lambda s, sf: quality.l_diversity_report(_t(s, sf, "documents")),
+            _L_DIVERSITY_SQL,
         ),
         # survivorship merge per duplicate cluster (vocabulary
         # fingerprint key; longest-text-wins rule; provenance union)
