@@ -332,12 +332,26 @@ def pack_sequences_spans(documents: DataFrame, token_budget: int = 512) -> DataF
     Columns: doc_id, seq_id, offset_in_seq (where the span starts
     inside its sequence), tok_start/tok_end (the doc-local slice),
     span_tokens."""
-    from sqlstreamstore_spark.operators.positions import with_global_cumsum
-
     toks = documents.select(
         "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
     )
-    cum = with_global_cumsum(toks, ["doc_id"], "n_tokens", out_col="__cum")
+    return _pack_spans(toks, ["doc_id"], token_budget)
+
+
+def _pack_spans(
+    toks: DataFrame,
+    order_cols: list,
+    token_budget: int,
+    keep: tuple = (),
+) -> DataFrame:
+    """Span-packing core shared by :func:`pack_sequences_spans`
+    (doc_id order) and :func:`curriculum_pack` (curriculum order):
+    global cumsum over ``order_cols``, bounded per-doc explode, pure
+    BIGINT span arithmetic. ``keep`` columns ride along into the
+    output (they must be present on ``toks``)."""
+    from sqlstreamstore_spark.operators.positions import with_global_cumsum
+
+    cum = with_global_cumsum(toks, list(order_cols), "n_tokens", out_col="__cum")
     bi = int(token_budget)
     b = F.lit(bi).cast("long")
     start = F.col("__cum") - F.col("n_tokens")  # global first-token index
@@ -348,6 +362,7 @@ def pack_sequences_spans(documents: DataFrame, token_budget: int = 512) -> DataF
     last_seq = F.expr(f"(__cum - 1) DIV {bi}").cast("long")
     spans = cum.select(
         "doc_id",
+        *keep,
         "n_tokens",
         start.alias("__gs"),
         F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
@@ -360,6 +375,7 @@ def pack_sequences_spans(documents: DataFrame, token_budget: int = 512) -> DataF
     return (
         spans.select(
             "doc_id",
+            *keep,
             "seq_id",
             F.greatest(F.lit(0).cast("long"), F.col("__gs") - seq_lo)
             .alias("offset_in_seq"),
@@ -367,7 +383,28 @@ def pack_sequences_spans(documents: DataFrame, token_budget: int = 512) -> DataF
             tok_end.alias("tok_end"),
             (tok_end - tok_start).alias("span_tokens"),
         )
-        .orderBy("doc_id", "seq_id")
+        .orderBy(*order_cols, "seq_id")
+    )
+
+
+def curriculum_pack(
+    documents: DataFrame, token_budget: int = 512, stages: int = 4
+) -> DataFrame:
+    """The curriculum → packing COMPOSITION a pretraining data loader
+    actually consumes: documents scheduled easy→hard by
+    :func:`curriculum_order`, then packed into exact-budget training
+    sequences along THAT order by the :func:`pack_sequences_spans`
+    span arithmetic — early sequences hold the easiest documents, and
+    every stage boundary falls at a deterministic sequence index. One
+    extra column pair (train_order, stage) rides the span rows so the
+    loader can also resolve stage-scoped sampling.
+
+    Same scale shape as its two parents: one dense two-phase rank +
+    one two-phase cumsum; pure BIGINT — zero-tolerance oracle."""
+    cur = curriculum_order(documents, stages=stages)
+    toks = cur.select("doc_id", "train_order", "stage", "n_tokens")
+    return _pack_spans(
+        toks, ["train_order"], token_budget, keep=("train_order", "stage")
     )
 
 

@@ -2562,6 +2562,46 @@ SELECT source,
 FROM t GROUP BY source ORDER BY source
 """
 
+# curriculum → packing composition: curriculum rank CTE feeding the
+# pack-spans CTE over train_order — all BIGINT, zero tolerance
+_CURRICULUM_PACK_SQL = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         CAST(row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS BIGINT)
+           AS train_order,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM t
+),
+cu AS (
+  SELECT doc_id, n_tokens, train_order,
+         CAST((train_order * 4) // n AS BIGINT) AS stage
+  FROM r
+),
+c AS (
+  SELECT doc_id, train_order, stage, n_tokens,
+         sum(n_tokens) OVER (ORDER BY train_order
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM cu
+),
+s AS (
+  SELECT doc_id, train_order, stage, n_tokens, cum - n_tokens AS gs,
+         unnest(range(CAST((cum - n_tokens) // 512 AS BIGINT),
+                      CAST((cum - 1) // 512 + 1 AS BIGINT))) AS seq_id
+  FROM c
+)
+SELECT doc_id, train_order, stage, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(0, gs - seq_id * 512) AS BIGINT) AS offset_in_seq,
+       CAST(greatest(0, seq_id * 512 - gs) AS BIGINT) AS tok_start,
+       CAST(least(n_tokens, seq_id * 512 + 512 - gs) AS BIGINT) AS tok_end,
+       CAST(least(n_tokens, seq_id * 512 + 512 - gs)
+            - greatest(0, seq_id * 512 - gs) AS BIGINT) AS span_tokens
+FROM s ORDER BY train_order, seq_id
+"""
+
 # epoch allocation: BIGINT token totals per source; epochs/alloc/
 # deficit are per-row doubles in identical expression order on both
 # engines (no cross-row float accumulation) — zero-tolerance oracle
@@ -7066,6 +7106,13 @@ ORDER BY doc_id""",
         "pipeline_curriculum_order": (
             lambda s, sf: pipeline.curriculum_order(_t(s, sf, "documents")),
             _CURRICULUM_SQL,
+        ),
+        # curriculum → zero-waste packing composition: the schedule a
+        # pretraining loader actually consumes (stage ids ride the
+        # span rows)
+        "pipeline_curriculum_pack": (
+            lambda s, sf: pipeline.curriculum_pack(_t(s, sf, "documents")),
+            _CURRICULUM_PACK_SQL,
         ),
         # data-constrained epoch planning (Muennighoff 2023): per-source
         # repeat factors under a max-epochs cap, deficits reported

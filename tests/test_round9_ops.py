@@ -566,3 +566,27 @@ def test_bootstrap_ci_properties(spark, docs):
         .collect()[0][0]
     )
     assert abs(total_w / (n_docs * 64) - 1.0) < 0.05
+
+
+def test_curriculum_pack_composition(spark, docs):
+    """Packing along the curriculum order keeps the span invariants
+    (every non-final sequence sums exactly to B; totals conserved) AND
+    the schedule property (difficulty/stage monotone along the global
+    token stream)."""
+    from collections import defaultdict
+
+    from sqlstreamstore_spark.analytics.pipeline import curriculum_pack
+
+    rows = curriculum_pack(docs, token_budget=512).collect()
+    by_seq = defaultdict(int)
+    for r in rows:
+        by_seq[r["seq_id"]] += r["span_tokens"]
+    n_seqs = len(by_seq)
+    assert sorted(by_seq) == list(range(n_seqs))
+    for sid in range(n_seqs - 1):
+        assert by_seq[sid] == 512
+    # the span stream is emitted in train_order: stages never decrease
+    stages_seq = [r["stage"] for r in rows]
+    assert stages_seq == sorted(stages_seq)
+    orders = [r["train_order"] for r in rows]
+    assert orders == sorted(orders)
