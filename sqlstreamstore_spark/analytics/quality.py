@@ -560,3 +560,62 @@ def l_diversity_report(documents: DataFrame, l: int = 2, bucket: int = 100) -> D
         )
         .orderBy("source", "chars_bucket")
     )
+
+
+def t_closeness_report(documents: DataFrame, t: float = 0.3, bucket: int = 100) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    the third leg of the release-privacy triad (with
+    :func:`k_anonymity_report` and :func:`l_diversity_report`): a
+    class can be large AND diverse yet still leak if its sensitive
+    distribution DIFFERS from the corpus-wide one (skewness attack).
+    For the categorical sensitive attribute (lang) under uniform
+    ground distance, the Earth-Mover distance reduces to total
+    variation: TVD = ½·Σ_v |p_class(v) − p_global(v)|.
+
+    Exactness trick: |n_cv/N_c − n_v/N| = |n_cv·N − n_v·N_c| / (N_c·N),
+    so the per-value summands share one denominator — the Σ runs over
+    exact BIGINT numerators (order-free integer sum), and ONE IEEE
+    divide by 2·N_c·N lands the distance. Zero-tolerance oracle, no
+    float accumulation. Scale: two stacked partial-agg groupBys plus a
+    broadcast of the (bounded) global sensitive histogram."""
+    qi = [
+        F.col("source"),
+        (F.floor(F.col("n_chars") / bucket) * bucket).cast("long").alias("chars_bucket"),
+    ]
+    cell = documents.groupBy(*qi, F.col("lang")).agg(
+        F.count("*").cast("long").alias("n_cv")
+    )
+    cls = cell.groupBy("source", "chars_bucket").agg(
+        F.sum("n_cv").cast("long").alias("n_c")
+    )
+    glob = documents.groupBy("lang").agg(F.count("*").cast("long").alias("n_v"))
+    total = documents.agg(F.count("*").cast("long").alias("n_total"))
+    # every (class, value) pair needs a term even when n_cv = 0: right
+    # join the class×value grid via cross of classes with the global
+    # value histogram, then left-join the observed cell counts
+    grid = cls.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(total))
+    joined = grid.join(cell, ["source", "chars_bucket", "lang"], "left").select(
+        "source",
+        "chars_bucket",
+        "n_c",
+        "n_total",
+        F.abs(
+            F.coalesce(F.col("n_cv"), F.lit(0)).cast("long") * F.col("n_total")
+            - F.col("n_v") * F.col("n_c")
+        ).alias("num"),
+    )
+    return (
+        joined.groupBy("source", "chars_bucket", "n_c", "n_total")
+        .agg(F.sum("num").cast("long").alias("sum_num"))
+        .select(
+            "source",
+            "chars_bucket",
+            F.col("n_c").alias("class_size"),
+            (
+                F.col("sum_num").cast("double")
+                / (F.lit(2.0) * F.col("n_c").cast("double") * F.col("n_total").cast("double"))
+            ).alias("tvd"),
+        )
+        .withColumn("risky", F.col("tvd") > t)
+        .orderBy("source", "chars_bucket")
+    )

@@ -4522,6 +4522,37 @@ ORDER BY source, chars_bucket
 """
 
 
+# t-closeness twin: exact BIGINT numerators share one denominator —
+# order-free integer sum, ONE divide per class
+_T_CLOSENESS_SQL = """
+WITH cell AS (
+  SELECT source, CAST((n_chars // 100) * 100 AS BIGINT) AS chars_bucket,
+         lang, CAST(count(*) AS BIGINT) AS n_cv
+  FROM documents GROUP BY 1, 2, 3),
+cls AS (SELECT source, chars_bucket, CAST(sum(n_cv) AS BIGINT) AS n_c
+        FROM cell GROUP BY 1, 2),
+gstats AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_v
+         FROM documents GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+grid AS (SELECT * FROM cls, gstats, tot),
+j AS (
+  SELECT g.source, g.chars_bucket, g.n_c, g.n_total,
+         abs(COALESCE(c.n_cv, 0) * g.n_total - g.n_v * g.n_c) AS num
+  FROM grid g LEFT JOIN cell c
+    ON c.source = g.source AND c.chars_bucket = g.chars_bucket
+   AND c.lang = g.lang
+)
+SELECT source, chars_bucket, n_c AS class_size,
+       CAST(sum(num) AS DOUBLE)
+         / (2.0e0 * CAST(n_c AS DOUBLE) * CAST(n_total AS DOUBLE)) AS tvd,
+       CAST(sum(num) AS DOUBLE)
+         / (2.0e0 * CAST(n_c AS DOUBLE) * CAST(n_total AS DOUBLE)) > 0.3
+         AS risky
+FROM j GROUP BY source, chars_bucket, n_c, n_total
+ORDER BY source, chars_bucket
+"""
+
+
 # Golden-record survivorship replay: same vocabulary-fingerprint
 # cluster key, same (n_chars DESC, doc_id) survivor rule.
 _GOLDEN_SQL = """
@@ -7593,6 +7624,13 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
         "dq_l_diversity": (
             lambda s, sf: quality.l_diversity_report(_t(s, sf, "documents")),
             _L_DIVERSITY_SQL,
+        ),
+        # t-closeness audit (Li 2007): per-class sensitive-distribution
+        # TVD vs the corpus — skewness-attack leg of the privacy triad;
+        # exact-integer numerators, one divide per class
+        "dq_t_closeness": (
+            lambda s, sf: quality.t_closeness_report(_t(s, sf, "documents")),
+            _T_CLOSENESS_SQL,
         ),
         # survivorship merge per duplicate cluster (vocabulary
         # fingerprint key; longest-text-wins rule; provenance union)

@@ -590,3 +590,32 @@ def test_curriculum_pack_composition(spark, docs):
     assert stages_seq == sorted(stages_seq)
     orders = [r["train_order"] for r in rows]
     assert orders == sorted(orders)
+
+
+def test_t_closeness_exact_tvd(spark, docs):
+    """The integer-numerator TVD equals the textbook ½·Σ|p_c − p_g|
+    computed in Python, every class appears, and TVD ∈ [0, 1)."""
+    from collections import Counter, defaultdict
+
+    from sqlstreamstore_spark.analytics.quality import t_closeness_report
+
+    rows = {
+        (r["source"], r["chars_bucket"]): r
+        for r in t_closeness_report(docs).collect()
+    }
+    data = docs.select("source", "n_chars", "lang").collect()
+    n = len(data)
+    g = Counter(r["lang"] for r in data)
+    cls = defaultdict(Counter)
+    for r in data:
+        cls[(r["source"], (r["n_chars"] // 100) * 100)][r["lang"]] += 1
+    assert set(rows) == set(cls)
+    for key, counts in cls.items():
+        nc = sum(counts.values())
+        want = 0.5 * sum(
+            abs(counts.get(v, 0) / nc - g[v] / n) for v in g
+        )
+        got = rows[key]["tvd"]
+        assert rows[key]["class_size"] == nc
+        assert 0 <= got < 1
+        assert abs(got - want) < 1e-12, (key, got, want)
