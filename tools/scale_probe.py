@@ -1131,7 +1131,48 @@ def compaction_main(times: int = 10, n_upserts: int = 20) -> int:
     return 0
 
 
+def round9b_main(times: int = 10) -> int:
+    """Round-9b additions at sf1-synthetic (10× sf0.1 = 50k docs):
+    the ×64 bootstrap explode must collapse map-side (wall ∝ corpus,
+    not corpus×64 shuffle), curriculum_pack's two stacked two-phase
+    passes must stay near the plain packer's cost, and the per-source
+    reports (fertility, privacy triad) are one-pass groupBys."""
+    import time as _t
+
+    from sqlstreamstore_spark.analytics import evaluation, pipeline, quality, text
+    from sqlstreamstore_spark.session import get_spark
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="scale-probe-r9b")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    docs01 = load_table(spark, "/root/testdata/sf0.1", "documents")
+    docs = replicated(docs01, times, {"doc_id": 1_000_000}).localCheckpoint()
+    n = docs.count()
+
+    res: dict = {}
+
+    def run(name, df):
+        t0 = _t.time()
+        rows = df.count()
+        res[name] = {"rows": rows, "n_docs": n, "s": round(_t.time() - t0, 2)}
+
+    run("bootstrap_ci", evaluation.bootstrap_ci(docs))
+    run("curriculum_pack", pipeline.curriculum_pack(docs))
+    run("pack_spans_plain", pipeline.pack_sequences_spans(docs))
+    run("length_batches", pipeline.length_bucket_batches(docs))
+    run("interleave", pipeline.interleave_sources(docs))
+    run("t_closeness", quality.t_closeness_report(docs))
+    run("tokenizer_fertility", text.tokenizer_fertility(docs))
+    label = "sf1-synthetic" if times == 10 else f"sf{times // 10}-synthetic"
+    _merge_scale({"round9b": res}, label)
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--round9b":
+        raise SystemExit(
+            round9b_main(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        )
     if len(sys.argv) > 1 and sys.argv[1] == "--compaction":
         raise SystemExit(
             compaction_main(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
