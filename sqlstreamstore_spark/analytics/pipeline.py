@@ -1227,3 +1227,47 @@ def interleave_sources(documents: DataFrame) -> DataFrame:
         .withColumn("rank_in_source", F.row_number().over(w).cast("long"))
         .orderBy("rank_in_source", "source")
     )
+
+
+def retention_by_source(documents: DataFrame) -> DataFrame:
+    """Curation accounting per source — the report a data lead reads
+    after every pipeline run: how many documents and tokens each
+    source brought in, how many survived :func:`clean_corpus`
+    (quality gate → exact dedup → near-dup removal), and the
+    doc/token retention rates. A source whose retention collapses is
+    either low-quality or heavily duplicated upstream — this is the
+    feedback signal for crawl prioritization.
+
+    Exact BIGINT counts + single IEEE divides; the survivor set is
+    clean_corpus's own plan, so this gate doubles as a per-source
+    re-verification of the flagship's first three stages."""
+    raw = documents.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_raw"),
+        F.sum(F.size(_tokens()).cast("long")).cast("long").alias("tokens_raw"),
+    )
+    surv = clean_corpus(documents).join(documents, "doc_id")
+    kept = surv.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum(F.size(_tokens()).cast("long")).cast("long").alias("tokens_kept"),
+    )
+    return (
+        raw.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            "tokens_raw",
+            F.coalesce(F.col("tokens_kept"), F.lit(0)).cast("long").alias(
+                "tokens_kept"
+            ),
+            (
+                F.coalesce(F.col("n_kept"), F.lit(0)).cast("double")
+                / F.col("n_raw").cast("double")
+            ).alias("doc_retention"),
+            (
+                F.coalesce(F.col("tokens_kept"), F.lit(0)).cast("double")
+                / F.col("tokens_raw").cast("double")
+            ).alias("token_retention"),
+        )
+        .orderBy("source")
+    )

@@ -491,6 +491,31 @@ WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 ORDER BY doc_id
 """
 
+# curation accounting: per-source retention through clean_corpus —
+# the survivor set is the SAME clean chain (nested CTE), counts exact
+_RETENTION_SQL = f"""
+WITH surv AS ({_CLEAN_CORPUS_SQL}),
+raw AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_raw
+  FROM documents GROUP BY source),
+kept AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_kept
+  FROM documents JOIN surv USING (doc_id) GROUP BY source)
+SELECT raw.source AS source, n_raw,
+       COALESCE(n_kept, 0) AS n_kept,
+       tokens_raw,
+       COALESCE(tokens_kept, 0) AS tokens_kept,
+       CAST(COALESCE(n_kept, 0) AS DOUBLE) / CAST(n_raw AS DOUBLE)
+         AS doc_retention,
+       CAST(COALESCE(tokens_kept, 0) AS DOUBLE) / CAST(tokens_raw AS DOUBLE)
+         AS token_retention
+FROM raw LEFT JOIN kept ON kept.source = raw.source
+ORDER BY source
+"""
+
+
 # hex→int in DuckDB (no from_hex→int cast): fold the 4 hex chars.
 def _hexbucket_sql(expr: str) -> str:
     """DuckDB twin of sampling._hash_bucket (md5 -> first 4 hex ->
@@ -7209,6 +7234,12 @@ ORDER BY doc_id""",
         "pipeline_clean_corpus": (
             lambda s, sf: pipeline.clean_corpus(_t(s, sf, "documents")),
             _CLEAN_CORPUS_SQL,
+        ),
+        # curation accounting: per-source doc/token retention through
+        # the clean chain — the crawl-prioritization feedback signal
+        "pipeline_retention_by_source": (
+            lambda s, sf: pipeline.retention_by_source(_t(s, sf, "documents")),
+            _RETENTION_SQL,
         ),
         "pipeline_decontaminate": (
             lambda s, sf: pipeline.decontaminate_report(_t(s, sf, "documents")),

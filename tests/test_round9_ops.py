@@ -619,3 +619,23 @@ def test_t_closeness_exact_tvd(spark, docs):
         assert rows[key]["class_size"] == nc
         assert 0 <= got < 1
         assert abs(got - want) < 1e-12, (key, got, want)
+
+
+def test_retention_by_source_consistency(spark, docs):
+    """Per-source keeps sum to the clean_corpus survivor count, rates
+    are the exact quotients, and dropped sources report 0 (never
+    null)."""
+    from sqlstreamstore_spark.analytics.pipeline import (
+        clean_corpus,
+        retention_by_source,
+    )
+
+    rows = retention_by_source(docs).collect()
+    surv = clean_corpus(docs).count()
+    assert sum(r["n_kept"] for r in rows) == surv
+    raw_total = docs.count()
+    assert sum(r["n_raw"] for r in rows) == raw_total
+    for r in rows:
+        assert r["doc_retention"] == r["n_kept"] / r["n_raw"]
+        assert r["token_retention"] == r["tokens_kept"] / r["tokens_raw"]
+        assert r["n_kept"] is not None and r["n_kept"] >= 0
