@@ -1271,3 +1271,38 @@ def retention_by_source(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def dataset_card(documents: DataFrame) -> DataFrame:
+    """One-row dataset card — the release-notes summary block every
+    published training corpus ships (docs, tokens, vocabulary axes,
+    language/source composition, duplication): the numbers a consumer
+    reads before anything else. All exact counts + single IEEE
+    divides, computed in ONE pass over the corpus (a single groupBy().
+    agg() — every column is partial-aggregable, including the
+    distinct-digest dup rate which ships 16-byte digests only).
+
+    Columns: n_docs, n_tokens, n_sources, n_langs, pct_en,
+    dup_rate (1 − distinct md5/text docs), mean_tokens_per_doc,
+    max_tokens, total_chars."""
+    toks = F.size(_tokens()).cast("long")
+    return documents.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        (
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("pct_en"),
+        (
+            F.lit(1.0)
+            - F.countDistinct(F.md5("text")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("dup_rate"),
+        (F.sum(toks).cast("double") / F.count("*").cast("double")).alias(
+            "mean_tokens_per_doc"
+        ),
+        F.max(toks).cast("long").alias("max_tokens"),
+        F.sum(F.length("text").cast("long")).cast("long").alias("total_chars"),
+    )

@@ -7241,6 +7241,26 @@ ORDER BY doc_id""",
             lambda s, sf: pipeline.retention_by_source(_t(s, sf, "documents")),
             _RETENTION_SQL,
         ),
+        # one-row dataset card: the release-notes block, one pass,
+        # all partial-aggregable (dup rate ships digests only)
+        "pipeline_dataset_card": (
+            lambda s, sf: pipeline.dataset_card(_t(s, sf, "documents")),
+            """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS pct_en,
+       1.0e0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_rate,
+       CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mean_tokens_per_doc,
+       CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_chars
+FROM documents
+""",
+        ),
         "pipeline_decontaminate": (
             lambda s, sf: pipeline.decontaminate_report(_t(s, sf, "documents")),
             _DECONTAMINATE_SQL,
