@@ -928,8 +928,17 @@ def compact_index(
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(tmp)
-    shutil.rmtree(path)
+    # retire-then-swap: the no-index window shrinks from an O(files)
+    # rmtree to two rename syscalls, and a crash at any point leaves a
+    # COMPLETE index on disk (old at .__retired__ before the second
+    # rename, new at `path` after) — only cleanup is ever lost. POSIX
+    # has no atomic dir exchange; object stores use a manifest pointer
+    old = path.rstrip("/") + ".__retired__"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
 
 
 def substring_dup_spans(documents: DataFrame, k: int = 8) -> DataFrame:

@@ -408,6 +408,45 @@ def curriculum_pack(
     )
 
 
+def interleave_sources(documents: DataFrame) -> DataFrame:
+    """Domain-interleaved training order: rank documents WITHIN each
+    source (deterministic doc_id order), then order globally by
+    (rank_in_source, source) — a round-robin across sources, so every
+    training window sees a domain MIX instead of the source-sorted
+    runs a curated-by-domain corpus naturally arrives in (the
+    determinism-preserving stand-in for a global shuffle; compose
+    with `curriculum_order` by swapping doc_id for the difficulty
+    rank).
+
+    Scale shape (round-9 self-audit fix): a per-source row_number
+    window would funnel EACH ENTIRE SOURCE through one task — with a
+    handful of sources over 100 TB that is the single-partition
+    hazard wearing a disguise. Instead the per-source rank is derived
+    from the dense two-phase GLOBAL index over (source, doc_id):
+    rank_in_source = global_rank − (source's first global rank) + 1,
+    where the per-source minima are a bounded groupBy broadcast back.
+    Identical values, no per-source funnel."""
+    from sqlstreamstore_spark.operators.positions import with_dense_global_index
+
+    ranked = with_dense_global_index(
+        documents.select("doc_id", "source"),
+        ["source", "doc_id"],
+        index_col="__g",
+    )
+    starts = ranked.groupBy("source").agg(F.min("__g").alias("__g0"))
+    return (
+        ranked.join(F.broadcast(starts), "source")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("__g") - F.col("__g0") + F.lit(1)).cast("long").alias(
+                "rank_in_source"
+            ),
+        )
+        .orderBy("rank_in_source", "source")
+    )
+
+
 def curriculum_order(documents: DataFrame, stages: int = 4) -> DataFrame:
     """Curriculum data ordering (Bengio et al., "Curriculum Learning",
     ICML 2009): schedule training data easy→hard. Difficulty here is
@@ -1206,26 +1245,6 @@ def length_bucket_batches(documents: DataFrame, batch_size: int = 32) -> DataFra
             ).alias("waste_frac"),
         )
         .orderBy("batch_id")
-    )
-
-
-def interleave_sources(documents: DataFrame) -> DataFrame:
-    """Domain-interleaved training order: rank documents WITHIN each
-    source (deterministic doc_id order), then order globally by
-    (rank_in_source, source) — a round-robin across sources, so every
-    training window sees a domain MIX instead of the source-sorted
-    runs a curated-by-domain corpus naturally arrives in (the
-    determinism-preserving stand-in for a global shuffle; compose
-    with `curriculum_order` by swapping doc_id for the difficulty
-    rank). Scale shape: one source-partitioned window (a single
-    shuffle onto the source axis — never a global single-partition
-    window); the interleave itself is the output ORDER BY, which a
-    sharded writer realizes as its shard assignment."""
-    w = Window.partitionBy("source").orderBy("doc_id")
-    return (
-        documents.select("doc_id", "source")
-        .withColumn("rank_in_source", F.row_number().over(w).cast("long"))
-        .orderBy("rank_in_source", "source")
     )
 
 

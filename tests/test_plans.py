@@ -1253,3 +1253,19 @@ def test_vocab_merge_is_partial_aggregation(spark, tmp_path):
     assert "partial_sum" in p or "partial" in p.lower(), p[:2000]
     assert "Join" not in p
     assert "Window" not in p
+
+
+def test_interleave_no_per_source_window(spark):
+    """interleave_sources must NOT rank via a per-source window (each
+    whole source through one task); the per-source rank derives from
+    the two-phase global index, so every window keys on __pid and the
+    source starts arrive as a broadcast."""
+    from sqlstreamstore_spark.analytics.pipeline import interleave_sources
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(interleave_sources(docs))
+    assert p.count("SinglePartition") <= 1, p[:3000]
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "__pid" in line, line
+    assert "BroadcastExchange" in p
