@@ -2587,6 +2587,57 @@ SELECT source,
 FROM t GROUP BY source ORDER BY source
 """
 
+# exact waterfilling: prefix-saturation over the capacity-sorted
+# bounded source axis; psat = MAX of the sequential inclusive prefix
+# (order-free), never an unordered float sum — zero tolerance
+_WATERFILL_SQL = """
+WITH g AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_available
+  FROM documents GROUP BY source
+),
+rk AS (
+  SELECT source, tokens_available,
+         CAST(tokens_available AS DOUBLE) * 4.0e0 AS capacity,
+         CAST(row_number() OVER (ORDER BY CAST(tokens_available AS DOUBLE) * 4.0e0,
+                                 source) AS BIGINT) AS k,
+         COALESCE(sum(CAST(tokens_available AS DOUBLE) * 4.0e0)
+                    OVER (ORDER BY CAST(tokens_available AS DOUBLE) * 4.0e0, source
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0.0e0) AS p_prev,
+         sum(CAST(tokens_available AS DOUBLE) * 4.0e0)
+           OVER (ORDER BY CAST(tokens_available AS DOUBLE) * 4.0e0, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_incl,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM g
+),
+sat AS (
+  SELECT *,
+         capacity * CAST(n - k + 1 AS DOUBLE) <= 1000000.0e0 - p_prev AS saturated
+  FROM rk
+),
+lev AS (
+  SELECT CAST(sum(CASE WHEN saturated THEN 1 ELSE 0 END) AS BIGINT) AS ks,
+         COALESCE(max(CASE WHEN saturated THEN p_incl END), 0.0e0) AS psat,
+         CAST(max(n) AS BIGINT) AS nn
+  FROM sat
+)
+SELECT s.source AS source, s.tokens_available, s.capacity, s.saturated,
+       CASE WHEN l.ks < l.nn
+            THEN (1000000.0e0 - l.psat) / CAST(l.nn - l.ks AS DOUBLE) END
+         AS water_level,
+       CASE WHEN s.saturated THEN s.capacity
+            ELSE least(s.capacity,
+                       (1000000.0e0 - l.psat) / CAST(l.nn - l.ks AS DOUBLE)) END
+         AS alloc_tokens,
+       (CASE WHEN s.saturated THEN s.capacity
+             ELSE least(s.capacity,
+                        (1000000.0e0 - l.psat) / CAST(l.nn - l.ks AS DOUBLE)) END)
+         / CAST(s.tokens_available AS DOUBLE) AS epochs
+FROM sat s, lev l
+ORDER BY source
+"""
+
 # curriculum → packing composition: curriculum rank CTE feeding the
 # pack-spans CTE over train_order — all BIGINT, zero tolerance
 _CURRICULUM_PACK_SQL = """
@@ -7175,6 +7226,13 @@ ORDER BY doc_id""",
         "sampling_epoch_allocation": (
             lambda s, sf: sampling.epoch_allocation(_t(s, sf, "documents")),
             _EPOCH_ALLOC_SQL,
+        ),
+        # closed-loop allocation: exact WATERFILLING — capped sources'
+        # unused share spills to uncapped ones at one water level,
+        # found by prefix-saturation on the bounded source axis
+        "sampling_epoch_waterfill": (
+            lambda s, sf: sampling.epoch_waterfill(_t(s, sf, "documents")),
+            _WATERFILL_SQL,
         ),
         # length-bucketed batching: sorted-order batches padded to
         # their own max; the padding-waste report that justifies the

@@ -12,7 +12,7 @@ so the gate hash-matches the sampled sets themselves.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -678,6 +678,87 @@ def epoch_allocation(
             alloc.alias("alloc_tokens"),
             (target - alloc).alias("deficit_tokens"),
             (alloc / F.lit(float(budget))).alias("achieved_share"),
+        )
+        .orderBy("source")
+    )
+
+
+def epoch_waterfill(
+    documents: DataFrame, budget: int = 1_000_000, max_epochs: float = 4.0
+) -> DataFrame:
+    """Deficit-REDISTRIBUTING epoch allocation — the closed loop
+    :func:`epoch_allocation` leaves open: capped (low-resource)
+    sources can't absorb their equal share, so the unused budget
+    spills to uncapped sources at a single WATER LEVEL λ (classic
+    waterfilling): A_i = min(c_i, λ) with Σ A_i = min(B, Σ c_i),
+    where c_i = tokens_i·max_epochs is source i's absorbable
+    capacity. With capacities sorted ascending the saturated set is a
+    prefix, and source k saturates iff c_k·(n−k+1) ≤ B − P_{k−1}
+    (P = capacity prefix sum) — so λ and every allocation fall out of
+    ONE cumulative window over the bounded source axis, no iteration.
+
+    Exactness: capacities are one double product of an exact BIGINT;
+    the prefix sums run over the same (capacity, source) order on
+    both engines (sequential window fold — deterministic float
+    order); saturation tests and λ are identical expression trees.
+    Zero-tolerance oracle. Scale: every window/aggregate here touches
+    n_sources rows (bounded axis), never documents; the only
+    corpus-scale pass is the per-source token sum."""
+    from sqlstreamstore_spark.analytics.text import _tokens
+
+    b = float(budget)
+    me = float(max_epochs)
+    g = documents.groupBy("source").agg(
+        F.sum(F.size(_tokens()).cast("long")).cast("long").alias("tokens_available")
+    )
+    cap = (F.col("tokens_available").cast("double") * F.lit(me)).alias("capacity")
+    ranked = g.select("source", "tokens_available", cap)
+    w = Window.orderBy("capacity", "source")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    wincl = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = ranked.select(
+        "source",
+        "tokens_available",
+        "capacity",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.coalesce(F.sum("capacity").over(wprev), F.lit(0.0)).alias("p_prev"),
+        F.sum("capacity").over(wincl).alias("p_incl"),
+    )
+    n = ranked.agg(F.count("*").cast("long").alias("__n"))
+    ranked = ranked.crossJoin(F.broadcast(n))
+    saturated = (
+        F.col("capacity") * (F.col("__n") - F.col("k") + F.lit(1)).cast("double")
+        <= F.lit(b) - F.col("p_prev")
+    )
+    ranked = ranked.withColumn("saturated", saturated)
+    # __psat is the capacity prefix AT the last saturated rank: the
+    # order-free MAX of the (deterministic, sequentially-folded)
+    # inclusive prefix — never an unordered float SUM, whose
+    # partial-aggregation order could differ between engines
+    level_inputs = ranked.agg(
+        F.sum(F.when(F.col("saturated"), 1).otherwise(0)).cast("long").alias("__ks"),
+        F.coalesce(
+            F.max(F.when(F.col("saturated"), F.col("p_incl"))), F.lit(0.0)
+        ).alias("__psat"),
+    )
+    out = ranked.crossJoin(F.broadcast(level_inputs))
+    lam = F.when(
+        F.col("__ks") < F.col("__n"),
+        (F.lit(b) - F.col("__psat"))
+        / (F.col("__n") - F.col("__ks")).cast("double"),
+    )
+    alloc = F.when(F.col("saturated"), F.col("capacity")).otherwise(
+        F.least(F.col("capacity"), lam)
+    )
+    return (
+        out.select(
+            "source",
+            "tokens_available",
+            "capacity",
+            "saturated",
+            lam.alias("water_level"),
+            alloc.alias("alloc_tokens"),
+            (alloc / F.col("tokens_available").cast("double")).alias("epochs"),
         )
         .orderBy("source")
     )

@@ -639,3 +639,43 @@ def test_retention_by_source_consistency(spark, docs):
         assert r["doc_retention"] == r["n_kept"] / r["n_raw"]
         assert r["token_retention"] == r["tokens_kept"] / r["tokens_raw"]
         assert r["n_kept"] is not None and r["n_kept"] >= 0
+
+
+def test_waterfill_exactness_and_conservation(spark, docs):
+    """The single water level clears the budget exactly when any
+    source is unsaturated (Σ alloc == B up to fold ulp), saturated
+    sources sit at capacity, unsaturated ones at λ ≤ capacity, and the
+    saturated set is exactly the prefix a pure-Python waterfill
+    computes."""
+    from sqlstreamstore_spark.analytics.sampling import epoch_waterfill
+
+    B, cap = 1_000_000.0, 4.0
+    rows = epoch_waterfill(docs, budget=int(B), max_epochs=cap).collect()
+    caps = {r["source"]: r["capacity"] for r in rows}
+
+    # pure-Python replay
+    order = sorted(caps, key=lambda s: (caps[s], s))
+    n, psat, ks = len(order), 0.0, 0
+    saturated = set()
+    run = 0.0
+    for k, s in enumerate(order, 1):
+        if caps[s] * (n - k + 1) <= B - run:
+            saturated.add(s)
+            ks += 1
+            run = run + caps[s]
+            psat = run
+        else:
+            run = run + caps[s]
+    lam = (B - psat) / (n - ks) if ks < n else None
+
+    total = 0.0
+    for r in rows:
+        assert r["saturated"] == (r["source"] in saturated)
+        if r["saturated"]:
+            assert r["alloc_tokens"] == r["capacity"]
+        else:
+            assert r["alloc_tokens"] == min(r["capacity"], lam)
+            assert r["water_level"] == lam
+        total += r["alloc_tokens"]
+    want = sum(caps.values()) if ks == n else B
+    assert abs(total - want) < 1e-6 * max(1.0, want)
