@@ -1763,3 +1763,56 @@ def holt_forecast(
         (st["l"] + st["b"]).alias("forecast_next"),
         st["sse"].alias("sse"),
     ).orderBy("event_type")
+
+
+def dft_periodogram(events: DataFrame, max_k: int = 7) -> DataFrame:
+    """Seasonality detection over each event type's daily count
+    series: single-sided DFT amplitudes at the first ``max_k``
+    harmonics — amp_k = √(C_k² + S_k²)/T with C_k = Σ_t y_t·cos(2πkt/T)
+    (detected period ≈ T/k days). The "is ingest weekly-periodic?"
+    monitor over the event log, and the frequency-domain complement of
+    `seasonal_profile`/`daily_autocorr`.
+
+    Shape: ONE event-scale partial-agg groupBy to daily counts; the
+    DFT folds over each type's bounded series (the holt_forecast
+    pattern). Per-harmonic angular factors 2πk are Python-repr
+    literals shared with the oracle; contributions fold sequentially
+    in identical element order. cos/sin go through each engine's libm
+    (ulp differences amplified by counts), so BOTH engines round the
+    amplitudes to 6 decimals — the stats_corr_regr float pattern."""
+    import math
+
+    daily = events.groupBy(
+        F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("double").alias("y"))
+    ser = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("arr"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    tdub = F.col("n_days").cast("double")
+    cols = [F.col("event_type"), F.col("n_days")]
+    for k in range(1, max_k + 1):
+        w = 2.0 * math.pi * k
+        y_i = lambda i: F.element_at(  # noqa: E731
+            F.col("arr"), (i + 1).cast("int")
+        )["y"]
+        c = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_days") - 1),
+                lambda i: y_i(i) * F.cos(F.lit(w) * i.cast("double") / tdub),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        s = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_days") - 1),
+                lambda i: y_i(i) * F.sin(F.lit(w) * i.cast("double") / tdub),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        cols.append(
+            F.round(F.sqrt(c * c + s * s) / tdub, 6).alias(f"amp_{k}")
+        )
+    return ser.select(*cols).orderBy("event_type")

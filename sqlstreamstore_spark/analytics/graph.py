@@ -359,3 +359,77 @@ def bfs_oracle_sql(source_expr: str, max_depth: int = 3) -> str:
         seen += f" UNION SELECT node FROM d{i}"
     alls = " UNION ALL ".join(f"SELECT * FROM d{i}" for i in range(max_depth + 1))
     return head + body + f"\nSELECT node, dist FROM ({alls}) ORDER BY node"
+
+
+def link_prediction_jaccard(edges: DataFrame, top_n: int = 200) -> DataFrame:
+    """Neighborhood-Jaccard link prediction (Liben-Nowell & Kleinberg,
+    "The Link Prediction Problem for Social Networks", CIKM 2003):
+    score NON-adjacent node pairs by |N(a)∩N(c)| / |N(a)∪N(c)| — the
+    classic "who should be connected" feature, here over the
+    supplier co-occurrence graph (which supplier pairs the order flow
+    says belong together but never co-shipped).
+
+    Candidates are exactly the OPEN wedges: pairs sharing ≥1 common
+    neighbor, minus existing edges — so candidate mass is bounded by
+    the same Σdeg² the triangle count pays on the sparsified graph,
+    never all-pairs. All-integer counts; Jaccard is one exact divide;
+    the top-N cut is deterministic ((score, a, c) order, and scores
+    from exact ints are identical doubles on both engines)."""
+    adj = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = adj.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    w1 = adj.select(F.col("dst").alias("b"), F.col("src").alias("a"))
+    w2 = adj.select(F.col("dst").alias("b"), F.col("src").alias("c"))
+    cand = (
+        w1.join(w2, "b")
+        .filter(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count("*").cast("long").alias("common"))
+        .join(
+            edges.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+            ["a", "c"],
+            "left_anti",
+        )
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a"))
+    dc = deg.select(F.col("src").alias("c"), F.col("deg").alias("deg_c"))
+    jac = F.col("common").cast("double") / (
+        F.col("deg_a") + F.col("deg_c") - F.col("common")
+    ).cast("double")
+    return (
+        cand.join(da, "a")
+        .join(dc, "c")
+        .select("a", "c", "common", "deg_a", "deg_c", jac.alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "a", "c")
+        .limit(top_n)
+    )
+
+
+LINK_PREDICTION_SQL = """WITH edges AS (
+  SELECT CAST(a.l_suppkey AS BIGINT) AS src,
+         CAST(b.l_suppkey AS BIGINT) AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= 20
+),
+adj AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY src),
+cand AS (
+  SELECT w1.src AS a, w2.src AS c, CAST(count(*) AS BIGINT) AS common
+  FROM adj w1 JOIN adj w2 ON w1.dst = w2.dst AND w1.src < w2.src
+  GROUP BY 1, 2
+),
+nonedge AS (
+  SELECT cand.a, cand.c, cand.common
+  FROM cand LEFT JOIN edges e ON e.src = cand.a AND e.dst = cand.c
+  WHERE e.src IS NULL
+)
+SELECT n.a, n.c, n.common, da.deg AS deg_a, dc.deg AS deg_c,
+       CAST(n.common AS DOUBLE) / CAST(da.deg + dc.deg - n.common AS DOUBLE)
+         AS jaccard
+FROM nonedge n
+JOIN deg da ON da.src = n.a
+JOIN deg dc ON dc.src = n.c
+ORDER BY jaccard DESC, n.a, n.c
+LIMIT 200"""

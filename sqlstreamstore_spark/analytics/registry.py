@@ -1800,6 +1800,26 @@ def _triangles_query(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_count(supplier_cooccurrence_edges(_t(spark, sf, "lineitem")))
 
 
+def _link_prediction_query(spark: SparkSession, sf: str) -> DataFrame:
+    """min_orders=20 (not the 5 the triangle gates use): at the gate
+    sf the co-occurrence graph is a COMPLETE clique at ≥5 — zero
+    non-adjacent pairs, a vacuous prediction task; ≥20 keeps 80% of
+    edges, leaving real open wedges to score."""
+    from sqlstreamstore_spark.analytics.graph import (
+        link_prediction_jaccard,
+        supplier_cooccurrence_edges,
+    )
+
+    return link_prediction_jaccard(
+        supplier_cooccurrence_edges(_t(spark, sf, "lineitem"), min_orders=20)
+    )
+
+
+from sqlstreamstore_spark.analytics.graph import (  # noqa: E402
+    LINK_PREDICTION_SQL as _LINK_PREDICTION_SQL,
+)
+
+
 def _doulion_query(spark: SparkSession, sf: str) -> DataFrame:
     from sqlstreamstore_spark.analytics.graph import (
         supplier_cooccurrence_edges,
@@ -2430,6 +2450,47 @@ def _text_vocab_incremental_query(spark: SparkSession, sf: str) -> DataFrame:
 # Holt linear-trend smoothing: bounded struct-state fold over the
 # per-type daily series; identical IEEE trees + identical element
 # order (sort_array ↔ list_sort) — zero-tolerance oracle
+def _periodogram_sql(max_k: int = 7) -> str:
+    """DFT twin: per-harmonic angular factors are the SAME Python
+    doubles as the Spark side; contributions fold sequentially over
+    the day-sorted series (list_prepend-0.0 init mirrors Spark's
+    aggregate init); both engines round amplitudes to 6."""
+    import math
+
+    cols = []
+    for k in range(1, max_k + 1):
+        w = repr(2.0 * math.pi * k)
+        mk = lambda fn: (  # noqa: E731
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            "list_transform(range(0, n_days), i -> "
+            f"arr[i+1].y * {fn}({w} * i / CAST(n_days AS DOUBLE)))), "
+            "(a, b) -> a + b)"
+        )
+        c, s = mk("cos"), mk("sin")
+        cols.append(
+            f"round(sqrt(({c}) * ({c}) + ({s}) * ({s}))"
+            f" / CAST(n_days AS DOUBLE), 6) AS amp_{k}"
+        )
+    return f"""
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+s AS (
+  SELECT event_type,
+         list_transform(list_sort(list(struct_pack(day := day, y := y))),
+                        x -> struct_pack(y := x.y)) AS arr,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM d GROUP BY event_type
+)
+SELECT event_type, n_days, {", ".join(cols)}
+FROM s ORDER BY event_type
+"""
+
+
+_PERIODOGRAM_SQL = _periodogram_sql()
+
 _HOLT_SQL = """
 WITH RECURSIVE d AS (
   SELECT event_type, date_trunc('day', ts) AS day,
@@ -7247,6 +7308,12 @@ ORDER BY doc_id""",
             lambda s, sf: pipeline.interleave_sources(_t(s, sf, "documents")),
             _INTERLEAVE_SQL,
         ),
+        # DFT periodogram over per-type daily counts: amplitude at the
+        # first 7 harmonics, bounded per-type fold, both engines round
+        "events_dft_periodogram": (
+            lambda s, sf: events.dft_periodogram(_t(s, sf, "events")),
+            _PERIODOGRAM_SQL,
+        ),
         # Holt double-exponential load forecast over per-type daily
         # counts: event-scale work is ONE partial-agg groupBy; the
         # recurrence folds over the bounded daily series
@@ -7575,6 +7642,12 @@ FROM documents
         "graph_triangles": (
             lambda s, sf: _triangles_query(s, sf),
             _TRIANGLE_SQL,
+        ),
+        # neighborhood-Jaccard link prediction (Liben-Nowell 2003):
+        # open-wedge candidates minus existing edges, exact-int scores
+        "graph_link_prediction": (
+            lambda s, sf: _link_prediction_query(s, sf),
+            _LINK_PREDICTION_SQL,
         ),
         # DOULION edge-sampled triangle estimate (p=1/2, content-hash
         # coin, x8 scale-up): the approximate twin for graphs where the

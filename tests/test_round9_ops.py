@@ -679,3 +679,87 @@ def test_waterfill_exactness_and_conservation(spark, docs):
         total += r["alloc_tokens"]
     want = sum(caps.values()) if ks == n else B
     assert abs(total - want) < 1e-6 * max(1.0, want)
+
+
+def test_link_prediction_semantics(spark):
+    """Predicted pairs are genuinely non-adjacent, common counts match
+    a brute-force set intersection, Jaccard is the exact set ratio,
+    and no adjacent pair leaks into the candidates."""
+    from sqlstreamstore_spark.analytics.graph import (
+        link_prediction_jaccard,
+        supplier_cooccurrence_edges,
+    )
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    edges_df = supplier_cooccurrence_edges(
+        load_table(spark, "/root/testdata/sf0.01", "lineitem"), min_orders=20
+    )
+    edges = {(r["src"], r["dst"]) for r in edges_df.collect()}
+    from collections import defaultdict
+
+    nbrs = defaultdict(set)
+    for s, d in edges:
+        nbrs[s].add(d)
+        nbrs[d].add(s)
+    rows = link_prediction_jaccard(edges_df, top_n=200).collect()
+    assert rows
+    for r in rows:
+        a, c = r["a"], r["c"]
+        assert a < c and (a, c) not in edges
+        inter = nbrs[a] & nbrs[c]
+        assert r["common"] == len(inter) and r["common"] > 0
+        assert r["deg_a"] == len(nbrs[a]) and r["deg_c"] == len(nbrs[c])
+        assert r["jaccard"] == len(inter) / len(nbrs[a] | nbrs[c])
+
+
+def test_periodogram_matches_numpy_fft(spark):
+    """Amplitudes agree with numpy's rfft on the same daily series
+    (|X_k|/T), and a planted pure sinusoid concentrates its amplitude
+    at the planted harmonic."""
+    import numpy as np
+
+    from sqlstreamstore_spark.analytics.events import dft_periodogram
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    got = {r["event_type"]: r for r in dft_periodogram(ev).collect()}
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["day"], float(r["count"])))
+    for et, pts in series.items():
+        ys = np.array([y for _, y in sorted(pts)])
+        spec = np.abs(np.fft.rfft(ys)) / len(ys)
+        for k in range(1, 8):
+            assert abs(got[et][f"amp_{k}"] - spec[k]) < 1e-5, (et, k)
+
+    # planted sinusoid: amp peaks at k=4 over a 28-day series
+    t = np.arange(28)
+    y = 100 + 10 * np.cos(2 * np.pi * 4 * t / 28)
+    import datetime
+
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(days=int(d)),
+            1,
+            "synth",
+            1.0,
+            "{}",
+        )
+        for d in t
+        for i in range(int(y[d]))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    r = dft_periodogram(df).collect()[0]
+    amps = {k: r[f"amp_{k}"] for k in range(1, 8)}
+    assert max(amps, key=amps.get) == 4
+    assert amps[4] > 4.9  # 10·cos → amplitude 5 single-sided
