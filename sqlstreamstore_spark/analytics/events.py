@@ -1816,3 +1816,66 @@ def dft_periodogram(events: DataFrame, max_k: int = 7) -> DataFrame:
             F.round(F.sqrt(c * c + s * s) / tdub, 6).alias(f"amp_{k}")
         )
     return ser.select(*cols).orderBy("event_type")
+
+
+def mann_kendall_trend(events: DataFrame) -> DataFrame:
+    """Mann-Kendall monotone-trend test over each event type's daily
+    count series (Mann 1945, Kendall's τ form) — the significance
+    companion to `theil_sen_trend`'s slope estimate: S = Σ_{i<j}
+    sign(y_j − y_i) with the tie-corrected variance
+    Var(S) = (n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)) / 18 and the
+    continuity-corrected z = (S∓1)/√Var.
+
+    Exactness: S and both variance numerators are EXACT BIGINTs from
+    a bounded per-type pair join (days², never events²); the only
+    floats are one /18 divide and the final z (sqrt is libm — both
+    engines round z to 6, the corr_regr pattern). One event-scale
+    partial agg; everything after runs on the bounded day axis."""
+    daily = events.groupBy(
+        F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("long").alias("y"))
+    a = daily.select("event_type", F.col("day").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select("event_type", F.col("day").alias("d2"), F.col("y").alias("y2"))
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum(F.col("y2") - F.col("y1")).cast("long"))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = daily.groupBy("event_type").agg(F.count("*").cast("long").alias("n_days"))
+    ties = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("long").alias("tie_term")
+        )
+    )
+    nn = F.col("n_days")
+    var_num = (nn * (nn - 1) * (2 * nn + 5) - F.col("tie_term")).cast("long")
+    var_s = var_num.cast("double") / F.lit(18.0)
+    z = F.when(
+        F.col("s_stat") > 0,
+        (F.col("s_stat") - 1).cast("double") / F.sqrt(var_s),
+    ).when(
+        F.col("s_stat") < 0,
+        (F.col("s_stat") + 1).cast("double") / F.sqrt(var_s),
+    ).otherwise(F.lit(0.0))
+    return (
+        n.join(s, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            var_s.alias("var_s"),
+            F.round(z, 6).alias("z"),
+        )
+        .orderBy("event_type")
+    )

@@ -2491,6 +2491,46 @@ FROM s ORDER BY event_type
 
 _PERIODOGRAM_SQL = _periodogram_sql()
 
+# Mann-Kendall twin: exact-int S and variance numerators over the
+# bounded day axis; one /18 divide; z rounded 6 both engines
+_MANN_KENDALL_SQL = """
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+s AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY a.event_type
+),
+n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+      FROM d GROUP BY event_type),
+ties AS (
+  SELECT event_type,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+        FROM d GROUP BY event_type, y)
+  GROUP BY event_type
+),
+v AS (
+  SELECT n.event_type, n.n_days, s.s_stat,
+         CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS DOUBLE)
+           / 18.0e0 AS var_s
+  FROM n JOIN s ON s.event_type = n.event_type
+  JOIN ties ON ties.event_type = n.event_type
+)
+SELECT event_type, n_days, s_stat, var_s,
+       round(CASE WHEN s_stat > 0
+                  THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+                  WHEN s_stat < 0
+                  THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+                  ELSE 0.0e0 END, 6) AS z
+FROM v ORDER BY event_type
+"""
+
 _HOLT_SQL = """
 WITH RECURSIVE d AS (
   SELECT event_type, date_trunc('day', ts) AS day,
@@ -7307,6 +7347,12 @@ ORDER BY doc_id""",
         "pipeline_interleave_sources": (
             lambda s, sf: pipeline.interleave_sources(_t(s, sf, "documents")),
             _INTERLEAVE_SQL,
+        ),
+        # Mann-Kendall: exact-BIGINT S + tie-corrected variance over the
+        # bounded day axis; z rounded both engines
+        "events_mann_kendall": (
+            lambda s, sf: events.mann_kendall_trend(_t(s, sf, "events")),
+            _MANN_KENDALL_SQL,
         ),
         # DFT periodogram over per-type daily counts: amplitude at the
         # first 7 harmonics, bounded per-type fold, both engines round

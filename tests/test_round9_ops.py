@@ -763,3 +763,64 @@ def test_periodogram_matches_numpy_fft(spark):
     amps = {k: r[f"amp_{k}"] for k in range(1, 8)}
     assert max(amps, key=amps.get) == 4
     assert amps[4] > 4.9  # 10·cos → amplitude 5 single-sided
+
+
+def test_mann_kendall_exact_replay(spark):
+    """S, tie-corrected variance, and z replay exactly in pure Python;
+    a planted strictly-increasing series hits S = n(n-1)/2 with a
+    strongly positive z."""
+    import math
+
+    from sqlstreamstore_spark.analytics.events import mann_kendall_trend
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    got = {r["event_type"]: r for r in mann_kendall_trend(ev).collect()}
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .count()
+        .collect()
+    )
+    from collections import Counter, defaultdict
+
+    series = defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["day"], r["count"]))
+    for et, pts in series.items():
+        ys = [y for _, y in sorted(pts)]
+        n = len(ys)
+        S = sum(
+            (ys[j] > ys[i]) - (ys[j] < ys[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(ys).values()
+        )
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        z = ((S - 1) if S > 0 else (S + 1)) / math.sqrt(var) if S else 0.0
+        r = got[et]
+        assert r["s_stat"] == S and r["n_days"] == n
+        assert r["var_s"] == var
+        assert abs(r["z"] - z) < 1e-6
+
+    # planted monotone series
+    import datetime
+
+    rows = [
+        (
+            d * 1000 + i,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d),
+            1,
+            "mono",
+            1.0,
+            "{}",
+        )
+        for d in range(10)
+        for i in range(d + 1)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    r = mann_kendall_trend(df).collect()[0]
+    assert r["s_stat"] == 45 and r["z"] > 3.5
