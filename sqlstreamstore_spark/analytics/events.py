@@ -1879,3 +1879,52 @@ def mann_kendall_trend(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def hodges_lehmann_location(events: DataFrame) -> DataFrame:
+    """Hodges-Lehmann robust location estimate per event type (Hodges
+    & Lehmann 1963): the median of the Walsh averages (y_i + y_j)/2
+    over all day pairs i ≤ j of the daily count series — the
+    rank-based "typical daily volume" that one spike day cannot drag
+    (breakdown ~29%), the estimation companion to the Mann-Kendall
+    test and the Theil-Sen slope (which is the SAME construction on
+    pairwise slopes).
+
+    Exactness: Walsh SUMS are exact BIGINTs from a bounded per-type
+    pair join (days²); the median is exact SELECTION over the sorted
+    sums (odd count: the middle; even: the mean of the two middles),
+    and every division is by 2 — exact in doubles. Zero-tolerance
+    oracle; one event-scale partial agg, everything else on the
+    bounded day axis."""
+    daily = events.groupBy(
+        F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("long").alias("y"))
+    a = daily.select("event_type", F.col("day").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select("event_type", F.col("day").alias("d2"), F.col("y").alias("y2"))
+    walsh = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") <= F.col("d2"))
+        .select("event_type", (F.col("y1") + F.col("y2")).alias("w"))
+    )
+    g = walsh.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("w")).alias("arr"),
+        F.count("*").cast("long").alias("m"),
+    )
+    mid_hi = (F.col("m") / 2 + 1).cast("int")
+    mid_lo = (F.col("m") / 2).cast("int")
+    odd_mid = ((F.col("m") + 1) / 2).cast("int")
+    median_sum = F.when(
+        F.col("m") % 2 == 1,
+        F.element_at(F.col("arr"), odd_mid).cast("double"),
+    ).otherwise(
+        (
+            F.element_at(F.col("arr"), mid_lo)
+            + F.element_at(F.col("arr"), mid_hi)
+        ).cast("double")
+        / F.lit(2.0)
+    )
+    return g.select(
+        "event_type",
+        F.col("m").alias("n_pairs"),
+        (median_sum / F.lit(2.0)).alias("hl_location"),
+    ).orderBy("event_type")

@@ -2491,6 +2491,32 @@ FROM s ORDER BY event_type
 
 _PERIODOGRAM_SQL = _periodogram_sql()
 
+# Hodges-Lehmann twin: Walsh sums exact BIGINT, median by exact
+# selection over the sorted pair list, divisions by 2 only
+_HODGES_LEHMANN_SQL = """
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+w AS (
+  SELECT a.event_type, a.y + b.y AS w
+  FROM d a JOIN d b ON a.event_type = b.event_type AND a.day <= b.day
+),
+g AS (
+  SELECT event_type, list_sort(list(w)) AS arr,
+         CAST(count(*) AS BIGINT) AS m
+  FROM w GROUP BY event_type
+)
+SELECT event_type, m AS n_pairs,
+       (CASE WHEN m % 2 = 1
+             THEN CAST(arr[CAST((m + 1) // 2 AS INTEGER)] AS DOUBLE)
+             ELSE CAST(arr[CAST(m // 2 AS INTEGER)]
+                       + arr[CAST(m // 2 + 1 AS INTEGER)] AS DOUBLE) / 2.0e0
+        END) / 2.0e0 AS hl_location
+FROM g ORDER BY event_type
+"""
+
 # Mann-Kendall twin: exact-int S and variance numerators over the
 # bounded day axis; one /18 divide; z rounded 6 both engines
 _MANN_KENDALL_SQL = """
@@ -7327,6 +7353,20 @@ ORDER BY doc_id""",
         "sampling_epoch_allocation": (
             lambda s, sf: sampling.epoch_allocation(_t(s, sf, "documents")),
             _EPOCH_ALLOC_SQL,
+        ),
+        # deterministic k-fold CV assignment: content-hash bucket mod k
+        "sampling_kfold": (
+            lambda s, sf: sampling.kfold_assign(_t(s, sf, "documents")),
+            f"""
+SELECT doc_id, CAST(({_HEXBUCKET} % 65536) % 5 AS BIGINT) AS fold
+FROM documents ORDER BY doc_id
+""",
+        ),
+        # Hodges-Lehmann robust location per type: exact median of the
+        # Walsh averages over the bounded day axis
+        "events_hodges_lehmann": (
+            lambda s, sf: events.hodges_lehmann_location(_t(s, sf, "events")),
+            _HODGES_LEHMANN_SQL,
         ),
         # closed-loop allocation: exact WATERFILLING — capped sources'
         # unused share spills to uncapped ones at one water level,

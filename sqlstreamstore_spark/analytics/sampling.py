@@ -762,3 +762,17 @@ def epoch_waterfill(
         )
         .orderBy("source")
     )
+
+
+def kfold_assign(df: DataFrame, key: str = "doc_id", k: int = 5) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    content-hash bucket mod k — the same hash-determinism contract as
+    every sampler here (a row's fold is a pure function of its
+    identity: stable across runs, engines, partitionings, and
+    incremental arrivals, so fold i's model never trains on a row
+    that later drifts into its validation fold). One narrow
+    projection; no shuffle, no RNG."""
+    return df.select(
+        key,
+        (_hash_bucket(F.col(key)) % k).cast("long").alias("fold"),
+    ).orderBy(key)

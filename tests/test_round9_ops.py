@@ -824,3 +824,68 @@ def test_mann_kendall_exact_replay(spark):
     )
     r = mann_kendall_trend(df).collect()[0]
     assert r["s_stat"] == 45 and r["z"] > 3.5
+
+
+def test_kfold_partition_and_balance(spark, docs):
+    """Folds partition the corpus (every doc exactly one fold), all k
+    folds are populated and roughly balanced, and assignment is
+    independent of input partitioning."""
+    from collections import Counter
+
+    from sqlstreamstore_spark.analytics.sampling import kfold_assign
+
+    rows = kfold_assign(docs, k=5).collect()
+    assert len(rows) == docs.count()
+    sizes = Counter(r["fold"] for r in rows)
+    assert sorted(sizes) == [0, 1, 2, 3, 4]
+    assert max(sizes.values()) < 2 * min(sizes.values())
+    again = kfold_assign(docs.repartition(7), k=5).collect()
+    assert {(r["doc_id"], r["fold"]) for r in again} == {
+        (r["doc_id"], r["fold"]) for r in rows
+    }
+
+
+def test_hodges_lehmann_exact_and_robust(spark):
+    """HL equals the pure-Python median of Walsh averages per type,
+    and one planted 100x spike day moves HL far less than the mean."""
+    import statistics
+
+    from sqlstreamstore_spark.analytics.events import hodges_lehmann_location
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    got = {r["event_type"]: r for r in hodges_lehmann_location(ev).collect()}
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["day"], r["count"]))
+    for et, pts in series.items():
+        ys = [y for _, y in sorted(pts)]
+        walsh = [
+            (ys[i] + ys[j]) / 2
+            for i in range(len(ys))
+            for j in range(i, len(ys))
+        ]
+        assert got[et]["n_pairs"] == len(walsh)
+        assert got[et]["hl_location"] == statistics.median(walsh)
+
+    # robustness: spike one day 100x
+    import datetime
+
+    base = [
+        (d * 100 + i, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d), 1, "r", 1.0, "{}")
+        for d in range(10)
+        for i in range(10 if d != 5 else 1000)
+    ]
+    df = spark.createDataFrame(
+        base, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    hl = hodges_lehmann_location(df).collect()[0]["hl_location"]
+    mean = (9 * 10 + 1000) / 10
+    assert abs(hl - 10) < 10 < abs(mean - 10)
