@@ -853,6 +853,41 @@ FROM mem GROUP BY label ORDER BY label
 # One Lloyd iteration replay: same literal seeds (vec_id < 8), same
 # (|e|^2 - 2e.c) + |c|^2 fold order (bit-identical d2 => identical
 # argmin), partial-sum floats round(9) on both engines.
+# centroid-drift twin: per-(label, side) dim averages, bounded
+# reassembly, round(9) on the float averages (label_centroids rule)
+_CENTROID_DRIFT_SQL = """
+WITH ex0 AS (
+  SELECT label, vec_id % 2 AS side, unnest(embedding) AS fval,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings
+),
+comp AS (
+  SELECT label, side, pos, avg(CAST(fval AS DOUBLE)) AS cval,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ex0 GROUP BY label, side, pos
+),
+cent AS (
+  SELECT label, side, list(cval ORDER BY pos) AS cvec,
+         CAST(max(n) AS BIGINT) AS n_vecs
+  FROM comp GROUP BY label, side
+),
+j AS (
+  SELECT a.label, a.n_vecs AS n_a, b.n_vecs AS n_b,
+         a.cvec AS ca, b.cvec AS cb
+  FROM cent a JOIN cent b ON a.label = b.label
+  WHERE a.side = 0 AND b.side = 1
+)
+SELECT label, n_a, n_b,
+       round(list_dot_product(ca, cb)
+             / (sqrt(list_dot_product(ca, ca))
+                * sqrt(list_dot_product(cb, cb))), 9) AS centroid_cos,
+       round(sqrt(list_dot_product(ca, ca)), 9) AS norm_a,
+       round(sqrt(list_dot_product(cb, cb)), 9) AS norm_b,
+       round(sqrt(list_dot_product(cb, cb))
+             / sqrt(list_dot_product(ca, ca)), 9) AS norm_ratio
+FROM j ORDER BY label
+"""
+
 _KMEANS_STEP_SQL = """
 WITH c AS (
   SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
@@ -7520,6 +7555,14 @@ FROM documents
         ),
         # one Lloyd k-means iteration with literal seeds — the oracled
         # differential twin of the rows-only iterative trainer
+        # embedding-space drift between snapshot halves: per-label
+        # centroid cosine + norm ratio — the stale-ANN-index trigger
+        "drift_embedding_centroids": (
+            lambda s, sf: similarity.embedding_centroid_drift(
+                _t(s, sf, "embeddings")
+            ),
+            _CENTROID_DRIFT_SQL,
+        ),
         "sim_kmeans_step": (
             lambda s, sf: _round_cols(
                 similarity.kmeans_lloyd_step(_t(s, sf, "embeddings")),

@@ -1766,3 +1766,59 @@ def filtered_knn_ivf(
         corpus, queries, k=k, n_clusters=n_clusters, n_probe=n_probe,
         dim=dim, seed=seed,
     )
+
+
+def embedding_centroid_drift(embeddings: DataFrame) -> DataFrame:
+    """Embedding-space DRIFT monitor between two snapshots — the
+    embedding-side companion of drift_psi/drift_ks: per label, the
+    cosine between the two snapshots' centroids (direction drift) and
+    their norm ratio (magnitude drift). An embedding-model update
+    that rotates or rescales the space shows up here BEFORE any ANN
+    index quietly goes stale — the signal that triggers an IVF/LSH
+    index rebuild. The deterministic vec_id-parity split stands in
+    for the two snapshots; production passes two real frames through
+    the same per-side aggregation.
+
+    Scale shape: one posexplode + (label, side, pos) partial agg —
+    output is |labels|×2×dim rows regardless of N; centroids
+    re-assemble per (label, side) via bounded collect_list and the
+    final per-label join touches |labels| rows. Centroid components
+    are float AVERAGES (partial-sum order), so both engines round to
+    9 (the label_centroids pattern)."""
+    ex = embeddings.select(
+        "label",
+        (F.col("vec_id") % 2).alias("side"),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select("label", "side", "pos", F.col("val").cast("double").alias("val"))
+    comp = ex.groupBy("label", "side", "pos").agg(
+        F.avg("val").alias("cval"), F.count("*").alias("__n")
+    )
+    cent = comp.groupBy("label", "side").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s.getField("cval"),
+        ).alias("cvec"),
+        F.max("__n").cast("long").alias("n_vecs"),
+    )
+    a = cent.filter(F.col("side") == 0).select(
+        "label", F.col("cvec").alias("ca"), F.col("n_vecs").alias("n_a")
+    )
+    b = cent.filter(F.col("side") == 1).select(
+        "label", F.col("cvec").alias("cb"), F.col("n_vecs").alias("n_b")
+    )
+    cos = _dot(F.col("ca"), F.col("cb")) / (
+        _norm(F.col("ca")) * _norm(F.col("cb"))
+    )
+    return (
+        a.join(b, "label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.round(cos, 9).alias("centroid_cos"),
+            F.round(_norm(F.col("ca")), 9).alias("norm_a"),
+            F.round(_norm(F.col("cb")), 9).alias("norm_b"),
+            F.round(_norm(F.col("cb")) / _norm(F.col("ca")), 9).alias("norm_ratio"),
+        )
+        .orderBy("label")
+    )

@@ -889,3 +889,31 @@ def test_hodges_lehmann_exact_and_robust(spark):
     hl = hodges_lehmann_location(df).collect()[0]["hl_location"]
     mean = (9 * 10 + 1000) / 10
     assert abs(hl - 10) < 10 < abs(mean - 10)
+
+
+def test_centroid_drift_identity_and_rotation(spark):
+    """Identical snapshots drift nowhere (cos 1, ratio 1); a negated
+    second snapshot flips the cosine to -1 with ratio intact."""
+    import numpy as np
+
+    from sqlstreamstore_spark.analytics.similarity import (
+        embedding_centroid_drift,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 8).astype("float32") + 1.0
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v], 0))        # side 0
+        rows.append((2 * i + 1, [float(x) for x in v], 0))    # identical side 1
+        rows.append((1000 + 2 * i, [float(x) for x in v], 1))
+        rows.append((1000 + 2 * i + 1, [float(-x) for x in v], 1))  # negated
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["label"]: r for r in embedding_centroid_drift(df).collect()}
+    assert got[0]["centroid_cos"] == 1.0
+    assert got[0]["norm_ratio"] == 1.0
+    assert got[1]["centroid_cos"] == -1.0
+    assert abs(got[1]["norm_ratio"] - 1.0) < 1e-6
+    assert got[0]["n_a"] == got[0]["n_b"] == 40
