@@ -1269,3 +1269,40 @@ def test_interleave_no_per_source_window(spark):
         if "windowspecdefinition(" in line:
             assert "__pid" in line, line
     assert "BroadcastExchange" in p
+
+
+def test_bounded_axis_trend_ops_single_event_scan(spark):
+    """mann_kendall / hodges_lehmann / dft_periodogram / holt_forecast:
+    the only event-scale work is ONE partial-agg groupBy to daily
+    counts — partial aggregation present, no event-scale join (all
+    joins/pair-joins run on the bounded day axis AFTER the collapse),
+    and at most bounded-axis single-partition branches."""
+    from sqlstreamstore_spark.analytics.events import (
+        dft_periodogram,
+        hodges_lehmann_location,
+        holt_forecast,
+        mann_kendall_trend,
+    )
+
+    ev = load_table(spark, SF, "events")
+    for fn in (mann_kendall_trend, hodges_lehmann_location, holt_forecast, dft_periodogram):
+        p = plan_of(fn(ev))
+        assert "partial_count" in p or "partial" in p.lower(), fn.__name__
+        # the parquet relation appears exactly once per daily-counts
+        # branch; no operator re-scans events after the collapse
+        n_scans = p.count("Relation [event_id")
+        assert n_scans <= 3, (fn.__name__, n_scans)
+
+
+def test_link_prediction_equi_joins_only(spark):
+    """graph_link_prediction: wedge enumeration and degree joins are
+    hash equi-joins — no nested-loop/cartesian anywhere."""
+    from sqlstreamstore_spark.analytics.graph import (
+        link_prediction_jaccard,
+        supplier_cooccurrence_edges,
+    )
+
+    edges = supplier_cooccurrence_edges(load_table(spark, SF, "lineitem"), min_orders=20)
+    p = plan_of(link_prediction_jaccard(edges))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

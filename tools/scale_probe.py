@@ -1168,7 +1168,60 @@ def round9b_main(times: int = 10) -> int:
     return 0
 
 
+def round9c_main(times: int = 10) -> int:
+    """Round-9c: link prediction on the replicated co-occurrence graph
+    (wedge-bounded, never all-pairs) and the bounded-axis trend family
+    (event-scale work = one daily-counts groupBy)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.analytics import events as EV
+    from sqlstreamstore_spark.analytics import graph, similarity
+    from sqlstreamstore_spark.session import get_spark
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="scale-probe-r9c")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    li01 = load_table(spark, "/root/testdata/sf0.1", "lineitem")
+    li = replicated(
+        li01, times, {"l_orderkey": 10_000_000, "l_suppkey": 1_000_000}
+    ).localCheckpoint()
+    ev01 = load_table(spark, "/root/testdata/sf0.1", "events")
+    ev = replicated(ev01, times, {"event_id": 100_000_000, "user_id": 1_000_000})
+    emb01 = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    emb = replicated(emb01, times, {"vec_id": 1_000_000})
+
+    res: dict = {}
+
+    def run(name, df, extra=None):
+        t0 = _t.time()
+        rows = df.count()
+        res[name] = {"rows": rows, "s": round(_t.time() - t0, 2)}
+        if extra:
+            res[name].update(extra)
+
+    edges = graph.supplier_cooccurrence_edges(li, min_orders=5)
+    n_edges = edges.count()
+    run(
+        "link_prediction",
+        graph.link_prediction_jaccard(edges, top_n=200),
+        {"n_edges": n_edges},
+    )
+    run("mann_kendall", EV.mann_kendall_trend(ev))
+    run("hodges_lehmann", EV.hodges_lehmann_location(ev))
+    run("dft_periodogram", EV.dft_periodogram(ev))
+    run("centroid_drift", similarity.embedding_centroid_drift(emb))
+    label = "sf1-synthetic" if times == 10 else f"sf{times // 10}-synthetic"
+    _merge_scale({"round9c": res}, label)
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--round9c":
+        raise SystemExit(
+            round9c_main(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        )
     if len(sys.argv) > 1 and sys.argv[1] == "--round9b":
         raise SystemExit(
             round9b_main(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
