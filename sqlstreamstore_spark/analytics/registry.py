@@ -491,6 +491,36 @@ WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 ORDER BY doc_id
 """
 
+# SIF twin: floor-scaled integer weights shared with the Spark side;
+# exact BIGINT accumulation, one divide per cell
+_SIF_FEATURES_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+),
+tk AS (SELECT doc_id, t FROM toks WHERE t <> ''),
+freq AS (SELECT t, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY t),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tk),
+w AS (
+  SELECT t,
+         CAST(floor(1000000.0e0 * 0.001e0
+                    / (0.001e0 + CAST(tf AS DOUBLE) / CAST(total AS DOUBLE)))
+              AS BIGINT) AS ws
+  FROM freq, tot
+),
+feats AS (
+  SELECT tk.doc_id,
+         ((instr('0123456789abcdef', substring(md5(tk.t), 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substring(md5(tk.t), 2, 1)) - 1)) % 64
+           AS bucket,
+         (CASE WHEN instr('0123456789abcdef', substring(md5(tk.t), 3, 1)) - 1 < 8
+               THEN 1 ELSE -1 END) * w.ws AS c
+  FROM tk JOIN w ON w.t = tk.t
+)
+SELECT doc_id, CAST(bucket AS INT) AS bucket,
+       CAST(sum(c) AS DOUBLE) / 1000000.0e0 AS weight
+FROM feats GROUP BY doc_id, bucket ORDER BY doc_id, bucket
+"""
+
 # curation accounting: per-source retention through clean_corpus —
 # the survivor set is the SAME clean chain (nested CTE), counts exact
 _RETENTION_SQL = f"""
@@ -7820,6 +7850,13 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
         ),
         # feature-hashing vectorizer (HashingVectorizer): model-free
         # text embeddings, md5 family => exactly oracled in long format
+        # SIF-weighted hashing (Arora 2017): integer-scaled weights
+        # make the (doc, bucket) accumulation exact BIGINT — zero
+        # tolerance despite float weights
+        "text_sif_features": (
+            lambda s, sf: text.sif_hashed_features(_t(s, sf, "documents")),
+            _SIF_FEATURES_SQL,
+        ),
         "text_hashed_features": (
             lambda s, sf: text.hashed_embedding_features(_t(s, sf, "documents")),
             text.HASHED_FEATURES_SQL_TMPL.format(dim=64),

@@ -2139,3 +2139,63 @@ def tokenizer_fertility(documents: DataFrame) -> DataFrame:
         (F.col("bpeish_tokens").cast("double") / F.col("ws_tokens").cast("double"))
         .alias("bpe_per_ws_token"),
     ).orderBy("source")
+
+
+def sif_hashed_features(
+    documents: DataFrame, dim: int = 64, a: float = 1e-3
+) -> DataFrame:
+    """SIF-weighted feature hashing (Arora et al., "A Simple but
+    Tough-to-Beat Baseline for Sentence Embeddings", ICLR 2017): the
+    hashing-trick vectorizer with every token downweighted by
+    w(t) = a/(a + p(t)) — frequent tokens (stopwords) contribute
+    almost nothing, rare content words dominate, which is what makes
+    SIF vectors a strong model-free retrieval baseline. Same md5
+    bucket/sign family as :func:`hashed_embedding_features`, so the
+    whole ANN stack runs on the weighted vectors unchanged.
+
+    Exactness: the per-token weight is INTEGER-SCALED —
+    floor(10⁶·w(t)), a deterministic scalar on both engines — so the
+    per-(doc, bucket) accumulation is an EXACT BIGINT sum (immune to
+    float partial-sum order) and one divide per output cell restores
+    the scale: zero-tolerance oracle despite float weights. Scale
+    shape: the weight table is VOCABULARY-sized and broadcasts (the
+    tf-idf precedent); token explode collapses map-side into
+    (doc, bucket) partials."""
+    hexs = "0123456789abcdef"
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    freq = toks.groupBy("t").agg(F.count("*").cast("long").alias("tf"))
+    tot = toks.agg(F.count("*").cast("long").alias("__tot"))
+    ws = (
+        freq.crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.lit(float(a))
+                / (
+                    F.lit(float(a))
+                    + F.col("tf").cast("double") / F.col("__tot").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("ws"),
+        )
+    )
+    h = F.md5(F.col("t"))
+    v = [
+        F.instr(F.lit(hexs), F.substring(h, i, 1)) - 1
+        for i in (1, 2, 3)
+    ]
+    bucket = ((v[0] * 16 + v[1]) % dim).cast("int")
+    sign = F.when(v[2] < 8, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+    return (
+        toks.join(F.broadcast(ws), "t")
+        .select("doc_id", bucket.alias("bucket"), (sign * F.col("ws")).alias("c"))
+        .groupBy("doc_id", "bucket")
+        .agg(
+            (F.sum("c").cast("double") / F.lit(1_000_000.0)).alias("weight")
+        )
+        .orderBy("doc_id", "bucket")
+    )

@@ -917,3 +917,43 @@ def test_centroid_drift_identity_and_rotation(spark):
     assert got[1]["centroid_cos"] == -1.0
     assert abs(got[1]["norm_ratio"] - 1.0) < 1e-6
     assert got[0]["n_a"] == got[0]["n_b"] == 40
+
+
+def test_sif_downweights_stopwords(spark, docs):
+    """SIF semantics on the fixture: a token's weight magnitude is
+    floor-scaled a/(a+p) exactly; the most frequent token's per-use
+    weight is far below a rare token's, and the feature values replay
+    from pure Python."""
+    from collections import defaultdict
+
+    from sqlstreamstore_spark.analytics.text import sif_hashed_features
+
+    rows = sif_hashed_features(docs).collect()
+    got = {(r["doc_id"], r["bucket"]): r["weight"] for r in rows}
+
+    import hashlib
+
+    data = docs.select("doc_id", "text").collect()
+    tf = defaultdict(int)
+    for r in data:
+        for t in r["text"].lower().split(" "):
+            if t:
+                tf[t] += 1
+    total = sum(tf.values())
+    a = 1e-3
+    ws = {
+        t: int(1_000_000.0 * a / (a + c / total) // 1) for t, c in tf.items()
+    }
+    want = defaultdict(int)
+    for r in data:
+        for t in r["text"].lower().split(" "):
+            if not t:
+                continue
+            h = hashlib.md5(t.encode()).hexdigest()
+            bucket = (int(h[0], 16) * 16 + int(h[1], 16)) % 64
+            sign = 1 if int(h[2], 16) < 8 else -1
+            want[(r["doc_id"], bucket)] += sign * ws[t]
+    assert got == {k: v / 1_000_000.0 for k, v in want.items()}
+    hot = max(tf, key=tf.get)
+    rare = min(tf, key=tf.get)
+    assert ws[hot] * 5 < ws[rare]
