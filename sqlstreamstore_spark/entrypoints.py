@@ -671,25 +671,46 @@ def build_oracle_sql() -> dict[str, str]:
 # gains a driver row — a name counts as pinned only while it is absent
 # from gate_last_checked(), so satisfied pins stop displacing the stale
 # backlog in later rounds automatically.
+#
+# Round-10 one-off (VERDICT r9 #1): the r10 window must close the whole
+# evidence queue — 23 never-driver-checked r9 gates + ALL 25 r4-vintage
+# rows. 23+25+4 canaries = 52 > 50, so the canary set is trimmed to TWO
+# for this round only (the two dropped canaries, events_funnel and
+# store_bulk_roundtrip, have fresh r9 rows and rejoin in r11 — restore
+# the 4-tuple below once CORRECTNESS_r10 lands). 2+23+25 = exactly 50:
+# after r10, zero never-checked gates and no row older than r5.
 _GATE_CANARIES: tuple[str, ...] = (
-    "read_all_forwards", "events_funnel",
-    "store_bulk_roundtrip", "dedup_minhash_lsh",
+    "read_all_forwards", "dedup_minhash_lsh",
+    # r11: restore "events_funnel", "store_bulk_roundtrip" here.
 )
 
 _GATE_PINNED_NEW: tuple[str, ...] = (
-    # r8 verdict #2: the three round-8 additions that still owe their
-    # FIRST driver row (judge-sim green in r8); pins self-expire once
-    # the row lands. (The r7 pin list landed its rows in r8 and has
-    # expired out.)
-    "dedup_minhash_incremental",
-    "pipeline_pack_spans",
-    "sim_embedding_incremental",
-    # r8 verdict #4: the round-9 incremental flagship, plus the
-    # round-9 decontamination-on-ingest and incremental-components
-    # twins.
-    "pipeline_e2e_incremental",
-    "pipeline_decontaminate_incremental",
-    "sim_semantic_components_incremental",
+    # r9 verdict #1: the 23 round-9 additions with no driver row yet
+    # (judge-sim ALL OK in r9); pins self-expire once the row lands.
+    # (The r8 pin list landed its rows in r9 and has expired out.)
+    "dedup_minhash_compacted",
+    "dq_l_diversity",
+    "dq_t_closeness",
+    "drift_embedding_centroids",
+    "eval_pass_at_k",
+    "events_dft_periodogram",
+    "events_hodges_lehmann",
+    "events_holt_forecast",
+    "events_mann_kendall",
+    "graph_link_prediction",
+    "pipeline_curriculum_order",
+    "pipeline_curriculum_pack",
+    "pipeline_dataset_card",
+    "pipeline_interleave_sources",
+    "pipeline_length_batches",
+    "pipeline_retention_by_source",
+    "sampling_epoch_allocation",
+    "sampling_epoch_waterfill",
+    "sampling_kfold",
+    "stats_bootstrap_ci",
+    "text_sif_features",
+    "text_tokenizer_fertility",
+    "text_vocab_incremental",
 )
 
 
