@@ -957,3 +957,50 @@ def test_sif_downweights_stopwords(spark, docs):
     hot = max(tf, key=tf.get)
     rare = min(tf, key=tf.get)
     assert ws[hot] * 5 < ws[rare]
+
+
+def test_l_diversity_exact_replay(spark, docs):
+    """Per-class distinct-sensitive counts, dominant share, and the
+    risky flag all match a pure-Python replay on the same corpus."""
+    from collections import Counter, defaultdict
+
+    from sqlstreamstore_spark.analytics.quality import l_diversity_report
+
+    rows = {
+        (r["source"], r["chars_bucket"]): r
+        for r in l_diversity_report(docs, l=2).collect()
+    }
+    cls = defaultdict(Counter)
+    for r in docs.select("source", "n_chars", "lang").collect():
+        cls[(r["source"], (r["n_chars"] // 100) * 100)][r["lang"]] += 1
+    assert set(rows) == set(cls)
+    for key, counts in cls.items():
+        r = rows[key]
+        nc = sum(counts.values())
+        assert r["class_size"] == nc
+        assert r["l_distinct"] == len(counts)
+        assert r["top_share"] == max(counts.values()) / nc
+        assert r["risky"] == (len(counts) < 2)
+
+
+def test_dataset_card_exact_replay(spark, docs):
+    """Every card column matches an exact pure-Python recompute —
+    counts as ints, shares as single IEEE divides of exact sums."""
+    from sqlstreamstore_spark.analytics.pipeline import dataset_card
+
+    card = dataset_card(docs).collect()[0]
+    data = docs.select("source", "lang", "text").collect()
+    toks = [len(r["text"].split(" ")) for r in data]
+    import hashlib
+
+    digests = {hashlib.md5(r["text"].encode()).hexdigest() for r in data}
+    n = len(data)
+    assert card["n_docs"] == n
+    assert card["n_tokens"] == sum(toks)
+    assert card["n_sources"] == len({r["source"] for r in data})
+    assert card["n_langs"] == len({r["lang"] for r in data})
+    assert card["pct_en"] == sum(r["lang"] == "en" for r in data) / n
+    assert card["dup_rate"] == 1.0 - len(digests) / n
+    assert card["mean_tokens_per_doc"] == sum(toks) / n
+    assert card["max_tokens"] == max(toks)
+    assert card["total_chars"] == sum(len(r["text"]) for r in data)
