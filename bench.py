@@ -115,6 +115,8 @@ def main() -> int:
     # continuity with r1-r6); warm rows live under queries_warm.
     queries = build_queries()
     warm: dict[str, float] = {}
+    from sqlstreamstore_spark.operators.positions import release_pins
+
     for name, fn in queries.items():
         t0 = time.time()
         df = fn(spark, sf_dir)
@@ -125,6 +127,12 @@ def main() -> int:
             t0 = time.time()
             fn(spark, sf_dir).collect()
             warm[name] = round(time.time() - t0, 3)
+        # ADVICE r9 #4: two-phase layout pins (positions.py) would
+        # otherwise accumulate cached partitions for the whole 360-entry
+        # run; release after each query's actions so every row is
+        # self-contained (cold→warm reuse within a query is preserved —
+        # the release happens after the warm pass).
+        release_pins()
 
     # -- full-log drain, page size 1000: keyset paged reads served the
     # way a deployed feed server answers them — from an Arrow page cache

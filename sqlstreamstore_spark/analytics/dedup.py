@@ -902,10 +902,23 @@ def compact_index(
     rewrites each partition as few large files, restoring scan
     efficiency without touching probe results.
 
-    Works on any of the materialized index layouts in this module
-    (banded-LSH rows partitioned by ``band``, flat digest sets) and on
-    the IVF layouts in :mod:`similarity` (pass
-    ``partition_by="list_id"``).
+    Works on the SET-SEMANTICS index layouts: banded-LSH rows
+    partitioned by ``band``, flat digest sets, and the IVF layouts in
+    :mod:`similarity` (pass ``partition_by="list_id"``). It is
+    explicitly UNSUPPORTED for counter-valued indexes such as the
+    (token, tf, df) term index (`text.build_term_index`): those hold
+    legitimately identical partial rows from different batches whose
+    duplicates carry count mass, and ``distinct()`` would silently
+    corrupt the merged sums — use `text.compact_term_index` (a
+    groupBy-sum rewrite) instead. A schema guard below refuses such
+    paths.
+
+    Local-FS constraint: the retire-then-swap below uses
+    ``os.rename``/``shutil`` and therefore requires a POSIX local
+    filesystem (the test/bench environment). On an object store or
+    HDFS, route the swap through the Hadoop FileSystem API or a
+    manifest pointer instead; build/upsert themselves accept any
+    Hadoop-compatible URI.
 
     At 100 TB: one distinct (shuffle on the index row, which is
     hash-sized — never document text) + one write clustered by the
@@ -918,7 +931,25 @@ def compact_index(
     import os
     import shutil
 
+    old = path.rstrip("/") + ".__retired__"
+    # crash recovery (ADVICE r9 #1): a crash between the two renames
+    # below leaves the complete pre-compaction index at .__retired__
+    # and nothing at `path` — restore it on entry so no data is ever
+    # stranded and a re-run starts from a live index.
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+
     df = spark.read.parquet(path).distinct()
+    # refuse counter-valued layouts (ADVICE r9 #3): distinct() on a
+    # (token, tf, df) term index would collapse identical partial rows
+    # whose duplicates carry count mass.
+    banned = {"tf", "df"}
+    if banned & set(df.columns):
+        raise ValueError(
+            f"compact_index is set-semantics only; {sorted(banned & set(df.columns))} "
+            "columns indicate a counter-valued index — use "
+            "text.compact_term_index instead"
+        )
     if partition_by:
         df = df.repartition(partition_by)
     elif target_partitions:
@@ -931,9 +962,10 @@ def compact_index(
     # retire-then-swap: the no-index window shrinks from an O(files)
     # rmtree to two rename syscalls, and a crash at any point leaves a
     # COMPLETE index on disk (old at .__retired__ before the second
-    # rename, new at `path` after) — only cleanup is ever lost. POSIX
-    # has no atomic dir exchange; object stores use a manifest pointer
-    old = path.rstrip("/") + ".__retired__"
+    # rename, new at `path` after) — only cleanup is ever lost (the
+    # entry-time recovery above restores a stranded .__retired__).
+    # POSIX has no atomic dir exchange; object stores use a manifest
+    # pointer (see the local-FS note in the docstring).
     if os.path.exists(old):
         shutil.rmtree(old)
     os.rename(path, old)

@@ -2299,6 +2299,9 @@ SELECT (SELECT count(*) FROM exact) AS n_exact,
          / (SELECT count(*) FROM exact) AS recall
 """
 
+# strlen (BYTE length) is intentional here: the Spark twin measures
+# len(payload) of the utf-8 payload bytes, so byte semantics match on
+# both sides. Char-count oracles elsewhere use length() (ADVICE r9 #2).
 _PAYLOAD_STATS_SQL = """
 SELECT doc_id AS media_id,
        strlen(text) AS n_bytes,
@@ -2452,7 +2455,7 @@ ORDER BY source
 
 _REPETITION_SQL = """
 WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS w, strlen(text) AS nch FROM documents
+  SELECT doc_id, string_split(text, ' ') AS w, length(text) AS nch FROM documents
 ),
 wc AS (
   SELECT doc_id, t, count(*) AS c
@@ -2762,7 +2765,7 @@ WITH t AS (
          CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS w,
          CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS nm,
          CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS sy,
-         CAST(strlen(text) AS BIGINT) AS ch
+         CAST(length(text) AS BIGINT) AS ch
   FROM documents
 )
 SELECT source,
@@ -7533,7 +7536,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
          / CAST(count(*) AS DOUBLE) AS mean_tokens_per_doc,
        CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
-       CAST(sum(strlen(text)) AS BIGINT) AS total_chars
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM documents
 """,
         ),

@@ -185,6 +185,36 @@ def vocabulary_from_index(spark, path: str, limit: int = 200) -> DataFrame:
     )
 
 
+def compact_term_index(spark, path: str, target_partitions: int = 8) -> None:
+    """Compact the COUNTER-VALUED term index: unlike the set-semantics
+    indexes (`dedup.compact_index`, which refuses this layout), the
+    partial (token, tf, df) rows merge by groupBy-SUM — duplicates
+    carry count mass, so the rewrite collapses each token to one fully
+    merged row (idempotent: re-compacting is a no-op by the monoid).
+    Same retire-then-swap discipline as `dedup.compact_index`,
+    including entry-time recovery of a stranded ``.__retired__``
+    (local-FS only; see that docstring's Hadoop-FS note)."""
+    import os
+    import shutil
+
+    old = path.rstrip("/") + ".__retired__"
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("token")
+        .agg(F.sum("tf").alias("tf"), F.sum("df").alias("df"))
+        .repartition(target_partitions)
+    )
+    tmp = path.rstrip("/") + ".__compacting__"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
 def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
     """Per-document n-gram novelty: the fraction of a doc's distinct
     word n-grams NOT already seen in any lower-doc_id document — the

@@ -23,6 +23,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# ---------------------------------------------------------------- pins
+# Every offsets-strategy call persists its range-partitioned input (the
+# load-bearing layout barrier — see with_global_cumsum's docstring).
+# Unpersisting BEFORE the caller's downstream action is never safe: a
+# re-execution draws a new RangePartitioner seed and the collected
+# offset map goes stale. So pins are tracked here and released by the
+# REPEATED callers (bench.py, tools/driver_sim.py) via release_pins()
+# AFTER each query's action completes — repeated invocations no longer
+# accumulate session-lifetime cached partitions (ADVICE r9 #4); one-off
+# callers may simply never release and keep the old behavior.
+_PIN_REGISTRY: list[DataFrame] = []
+
+
+def _track_pin(df: DataFrame) -> DataFrame:
+    _PIN_REGISTRY.append(df)
+    return df
+
+
+def release_pins() -> int:
+    """Unpersist every layout pin created since the last release. Call
+    ONLY at a quiescent point: after the downstream action on every
+    frame built from these pins has run, with no later re-collection
+    of those frames (a re-execution after release recomputes the range
+    exchange under a new partitioner seed). Returns the pin count."""
+    n = len(_PIN_REGISTRY)
+    for df in _PIN_REGISTRY:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _PIN_REGISTRY.clear()
+    return n
+
 
 def with_dense_global_index(
     df: DataFrame,
@@ -39,11 +72,11 @@ def with_dense_global_index(
       - "offsets": the scalable two-phase plan described above.
       - "auto": "offsets" (scale-safe default).
 
-    The offsets plan pins (persists) the repartitioned input; call
-    ``dense_global_index_pinned`` instead when you want to unpersist it
-    after your downstream action (repeated ingestions through this
-    convenience wrapper would otherwise accumulate cached partitions
-    for the session lifetime).
+    The offsets plan pins (persists) the repartitioned input. The pin
+    is tracked in the module registry: repeated callers (bench, the
+    gate harness) free accumulated pins at quiescent points via
+    :func:`release_pins`; call ``dense_global_index_pinned`` instead
+    when you want per-call unpersist ownership.
     """
     out, _pinned = dense_global_index_pinned(
         df, order_cols, index_col=index_col, strategy=strategy, num_partitions=num_partitions
@@ -103,6 +136,7 @@ def with_global_cumsum(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
+    _track_pin(parted)
     zero = F.lit(0.0) if result_type == "double" else F.lit(0).cast("long")
     # the totals window runs over ONE ROW PER PARTITION (bounded by the
     # partition count, never the data). NOTE (round 9, VERDICT r8 #7):
@@ -272,6 +306,7 @@ def dense_global_index_pinned(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
+    _track_pin(parted)
     counts = {r["__pid"]: r["cnt"] for r in parted.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):

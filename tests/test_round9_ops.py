@@ -1004,3 +1004,62 @@ def test_dataset_card_exact_replay(spark, docs):
     assert card["mean_tokens_per_doc"] == sum(toks) / n
     assert card["max_tokens"] == max(toks)
     assert card["total_chars"] == sum(len(r["text"]) for r in data)
+
+
+def test_compact_index_refuses_counter_index(spark, docs, tmp_path):
+    """distinct() on a (token, tf, df) counter index would corrupt the
+    merged sums — compact_index must refuse it (ADVICE r9 #3)."""
+    from sqlstreamstore_spark.analytics import dedup, text
+
+    path = str(tmp_path / "terms")
+    text.build_term_index(docs, path)
+    with pytest.raises(ValueError, match="set-semantics"):
+        dedup.compact_index(spark, path)
+
+
+def test_compact_index_recovers_stranded_retired(spark, docs, tmp_path):
+    """A crash between the two swap renames leaves the index at
+    .__retired__ with no live path; the next compact_index call must
+    restore it before doing anything (ADVICE r9 #1)."""
+    import os
+
+    from sqlstreamstore_spark.analytics import dedup
+
+    path = str(tmp_path / "dig")
+    dedup.build_digest_index(docs, path)
+    before = {r["__h"] for r in spark.read.parquet(path).collect()}
+    os.rename(path, path + ".__retired__")  # simulate the crash window
+    dedup.compact_index(spark, path, target_partitions=1)
+    after = {r["__h"] for r in spark.read.parquet(path).collect()}
+    assert after == before
+    assert not os.path.exists(path + ".__retired__")
+
+
+def test_compact_term_index_merges_counts(spark, split, tmp_path):
+    """The counter-index compactor: groupBy-sum rewrite equals the
+    lazy merged view, one row per token, and re-compacting is a
+    no-op (the monoid's idempotence on merged rows)."""
+    from sqlstreamstore_spark.analytics import text
+
+    delta, corpus, _, _ = split
+    path = str(tmp_path / "terms")
+    text.build_term_index(corpus, path)
+    text.upsert_term_index(delta, path)
+    want = {
+        r["token"]: (r["tf"], r["df"])
+        for r in text.vocabulary_from_index(spark, path, limit=10_000).collect()
+    }
+    text.compact_term_index(spark, path, target_partitions=2)
+    raw = spark.read.parquet(path)
+    assert raw.count() == raw.select("token").distinct().count()
+    got = {
+        r["token"]: (r["tf"], r["df"])
+        for r in text.vocabulary_from_index(spark, path, limit=10_000).collect()
+    }
+    assert got == want
+    text.compact_term_index(spark, path, target_partitions=2)
+    got2 = {
+        r["token"]: (r["tf"], r["df"])
+        for r in text.vocabulary_from_index(spark, path, limit=10_000).collect()
+    }
+    assert got2 == want

@@ -123,7 +123,12 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
         print("  " + " ".join(f"{n}:r{last.get(n, 0)}" for n in cap))
     failures = []
     report: dict[str, dict] = {}
+    from sqlstreamstore_spark.operators.positions import release_pins
+
     for name, fn in qs.items():
+        release_pins()  # ADVICE r9 #4: previous gate's layout pins are
+        # quiescent once its toPandas returned; don't accumulate cache
+        # across a 285-gate selfcheck run.
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
