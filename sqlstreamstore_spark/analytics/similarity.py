@@ -1917,6 +1917,7 @@ def rebalance_ivf_index(
     n_clusters: int = 8,
     iters: int = 3,
     sample_mod: int | None = None,
+    max_share: float | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Repair a skewed / stale IVF index: retrain the coarse quantizer
     with distributed Lloyd's (:func:`kmeans_centroids`) on the index's
@@ -1934,7 +1935,18 @@ def rebalance_ivf_index(
     (after N upsert rounds), not per query. Contents are preserved
     exactly: only ``cluster_id`` changes (pytest pins the vec_id set;
     the gate oracles a full-probe query against brute force, which is
-    centroid-independent)."""
+    centroid-independent).
+
+    ``max_share``: optional SIZE-based hot-list split. Lloyd alone
+    never splits a TIGHT hot ball (it is already low-distortion — the
+    concentrated-crawl failure mode), but a hot list taxes every probe
+    that touches it with its full scan mass. Any retrained list whose
+    size exceeds ``max_share``·N is sub-clustered (a second Lloyd run
+    on its members into ceil(size/cap) sublists with fresh centroid
+    ids) — the classic balanced-IVF repair. The driver loop is over
+    the few hot lists (bounded by 1/max_share), each a model-sized
+    Lloyd run over one list's members."""
+    import math
     import os
     import shutil
 
@@ -1947,10 +1959,55 @@ def rebalance_ivf_index(
     )
     cents = kmeans_centroids(train, n_clusters=n_clusters, iters=iters)
     assigned = ivf_assign(idx, cents)
+    pinned = None
+    if max_share is not None:
+        # iterative size-capped split (bounded depth): a single Lloyd
+        # sub-split can come out uneven, so re-check up to 3 passes.
+        # The cap is BEST-EFFORT under geometric separability — a ball
+        # of literal near-duplicates cannot be meaningfully split by a
+        # cosine quantizer (and is the exact-dedup stage's job anyway).
+        assigned = assigned.persist()
+        pinned = assigned
+        next_id = max(c for c, _ in cents) + 1
+        for _pass in range(3):
+            sizes = {
+                r["cluster_id"]: r["n"]
+                for r in assigned.groupBy("cluster_id")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            total = sum(sizes.values())
+            cap = max(1, int(max_share * total))
+            hot = sorted(cid for cid, n in sizes.items() if n > cap)
+            if not hot:
+                break
+            keep = assigned.filter(~F.col("cluster_id").isin(hot))
+            parts = [keep]
+            new_cents = [(c, v) for c, v in cents if c not in set(hot)]
+            for cid in hot:
+                members = assigned.filter(F.col("cluster_id") == cid).drop(
+                    "cluster_id"
+                )
+                k_sub = min(
+                    math.ceil(sizes[cid] / cap) + (1 if _pass else 0),
+                    IVF_LITERAL_MAX_CLUSTERS,
+                )
+                sub = kmeans_centroids(members, n_clusters=k_sub, iters=iters)
+                remap = [(next_id + i, vec) for i, (_j, vec) in enumerate(sub)]
+                next_id += k_sub
+                parts.append(ivf_assign(members, remap))
+                new_cents.extend(remap)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            assigned = out.persist()
+            cents = sorted(new_cents)
     tmp = path.rstrip("/") + ".__compacting__"
     assigned.repartition("cluster_id").write.partitionBy("cluster_id").mode(
         "overwrite"
     ).parquet(tmp)
+    if pinned is not None:
+        pinned.unpersist()
     if os.path.exists(old):
         shutil.rmtree(old)
     os.rename(path, old)

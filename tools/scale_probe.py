@@ -470,6 +470,159 @@ def recall_main() -> int:
     return 0
 
 
+def ivf_lifecycle_main(times: int = 10, rounds: int = 8) -> int:
+    """r9 verdict #5: the production failure mode of the IVF headline —
+    upsert_ivf_index appends into FIXED lists, so repeated skewed
+    deltas grow one hot list and drift its centroid; recall at fixed
+    n_probe quietly degrades. Measure the degradation AND the repair:
+
+      sf1-synthetic corpus (times=10 → 20k vectors), kmeans-trained
+      quantizer, 80/20 build/holdout; `rounds` skewed upsert rounds
+      (each delta pulled 80% toward one anchor vector — the
+      concentrated-crawl shape); health (list-size Gini + mean/min
+      shipped-centroid-vs-list-mean cosine) and recall@10 at n_probe=4
+      before vs after rebalance_ivf_index (Lloyd retrain on the
+      index's own vectors + swap rewrite).
+    """
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.analytics import similarity
+    from sqlstreamstore_spark.session import get_spark
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    import os
+    import tempfile
+
+    spark = get_spark(app_name="scale-probe-ivf-lifecycle")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    d = "/root/testdata/sf0.1"
+    emb = replicated(
+        load_table(spark, d, "embeddings"), times, {"vec_id": 1_000_000}
+    ).localCheckpoint()
+    n_clusters = 32
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    held = emb.filter(F.col("vec_id") % 5 == 0).localCheckpoint()
+    n_held = held.count()
+
+    path = tempfile.mkdtemp(prefix="sss-ivf-life-") + "/index"
+    t0 = time.time()
+    cents = similarity.kmeans_centroids(base, n_clusters=n_clusters, iters=2)
+    similarity.build_ivf_index(base, path, centroids=cents)
+    build_s = round(time.time() - t0, 2)
+
+    # each round upserts 1/rounds of the holdout pulled 70% toward one
+    # anchor — the concentrated-crawl shape (a new dense topic region).
+    # Under the STALE quantizer all of it lands in the anchor's list:
+    # the list grows to ~6x its balanced size, every probe that touches
+    # it scans that mass (latency), and its centroid stops representing
+    # either the old or the new residents (staleness). Lloyd retraining
+    # SPLITS the hot region across several lists — the verdict's
+    # "split hot lists" repair — restoring per-probe scan mass.
+    anchor = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+    ]
+    a = F.array(*[F.lit(x) for x in anchor])
+    t0 = time.time()
+    for r in range(rounds):
+        delta = held.filter(F.col("vec_id") % rounds == r).select(
+            "vec_id",
+            F.zip_with(
+                F.col("embedding").cast("array<double>"), a,
+                lambda v, c: 0.3 * v + 0.7 * c,
+            ).cast("array<float>").alias("embedding"),
+            "label",
+        )
+        similarity.upsert_ivf_index(delta, path, cents)
+    upsert_s = round(time.time() - t0, 2)
+
+    def health(cs):
+        rows = similarity.ivf_index_health(spark, path, cs).collect()
+        pop = [r["centroid_cos"] for r in rows if r["n_vecs"] > 0]
+        return {
+            "gini": round(rows[0]["size_gini"], 4),
+            "mean_cos": round(sum(pop) / len(pop), 4),
+            "min_cos": round(min(pop), 4),
+            "max_share": round(max(r["size_share"] for r in rows), 4),
+        }
+
+    # queries from the DELTA region (held-out ids are the upserted
+    # rows) — the fresh-crawl queries a production pipeline runs right
+    # after ingest, exactly the neighborhoods the stale quantizer split
+    queries = (
+        spark.read.parquet(path)
+        .filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 173 == 10))
+        .select("vec_id", "embedding")
+        .limit(40)
+        .localCheckpoint()
+    )
+    idx_vecs = spark.read.parquet(path).select("vec_id", "embedding")
+    exact = {
+        (r.qid, r.cid)
+        for r in similarity.knn_join_bruteforce(idx_vecs, queries, k=10).collect()
+    }
+
+    def recall(cs):
+        """recall@10 AND mean scanned rows per query at each n_probe —
+        the skew cost is the scan mass: a hot list makes every probe
+        that touches it pay its size."""
+        from sqlstreamstore_spark.analytics.similarity import ivf_probe_lists
+
+        sizes = {
+            r["cluster_id"]: r["n"]
+            for r in spark.read.parquet(path)
+            .groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+        }
+        out = {}
+        for np_ in (1, 2, 4):
+            got = {
+                (r.qid, r.cid)
+                for r in similarity.knn_join_ivf_index(
+                    spark, path, queries, cs, k=10, n_probe=np_
+                ).collect()
+            }
+            probes = ivf_probe_lists(queries, cs, n_probe=np_).collect()
+            scan = sum(sizes.get(r["pcid"], 0) for r in probes) / max(
+                1, len({r["qid"] for r in probes})
+            )
+            out[f"p{np_}"] = {
+                "recall": round(len(got & exact) / len(exact), 4),
+                "scanned_rows_per_query": round(scan, 1),
+            }
+        return out
+
+    t0 = time.time()
+    h_before = health(cents)
+    health_s = round(time.time() - t0, 2)
+    r_before = recall(cents)
+
+    t0 = time.time()
+    new_cents = similarity.rebalance_ivf_index(
+        spark, path, n_clusters=n_clusters, iters=2, max_share=0.06
+    )
+    rebalance_s = round(time.time() - t0, 2)
+    h_after = health(new_cents)
+    r_after = recall(new_cents)
+
+    res = {
+        "ivf_lifecycle": {
+            "n_vecs": base.count() + n_held, "n_lists": n_clusters,
+            "upsert_rounds": rounds, "build_s": build_s,
+            "upserts_s": upsert_s, "health_s": health_s,
+            "rebalance_s": rebalance_s,
+            "n_lists_after": len(new_cents),
+            "before": {**h_before, "recall_at10": r_before},
+            "after": {**h_after, "recall_at10": r_after},
+        }
+    }
+    print(json.dumps(res), flush=True)
+    _merge_scale(res, "sf1-synthetic")
+    import shutil
+
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return 0
+
+
 def main() -> int:
     from sqlstreamstore_spark.analytics import dedup, pipeline, sampling, similarity, text, tpch
     from sqlstreamstore_spark.session import get_spark
@@ -1242,6 +1395,10 @@ if __name__ == "__main__":
         )
     if len(sys.argv) > 1 and sys.argv[1] == "--recall":
         raise SystemExit(recall_main())
+    if len(sys.argv) > 1 and sys.argv[1] == "--ivf-lifecycle":
+        raise SystemExit(
+            ivf_lifecycle_main(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        )
     if len(sys.argv) > 1 and sys.argv[1] == "--incremental":
         raise SystemExit(
             incremental_main(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
