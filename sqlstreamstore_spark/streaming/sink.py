@@ -155,9 +155,13 @@ def fuzzy_dedup_ingest_sink(
     k: int = 32,
     bands: int = 8,
     n: int = 3,
+    ivf_index_path: str | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    cosine_threshold: float = 0.35,
+    emb_col: str = "embedding",
 ):
-    """Streaming FUZZY dedup-on-ingest — the Structured Streaming twin
-    of the incremental flagship's exact+fuzzy stages (round 9): each
+    """Streaming dedup-on-ingest — the Structured Streaming twin
+    of the incremental flagship's exact+fuzzy+semantic stages: each
     micro-batch of documents
 
       1. digest-anti-joins the corpus (idempotent replay + exact dedup
@@ -166,33 +170,42 @@ def fuzzy_dedup_ingest_sink(
       3. probes the MAINTAINED banded LSH index
          (dedup.minhash_dedup_incremental) and drops docs with a
          corpus near-dup at ``threshold``,
+      3b. (round 10, VERDICT r9 #6 — when ``ivf_index_path`` is set
+         and the batch carries ``emb_col``) probes the MAINTAINED
+         cluster-partitioned IVF index
+         (similarity.near_dup_against_ivf_index, size-adaptive probe
+         join, self-pair guarded) and drops docs with a corpus
+         SEMANTIC near-dup at ``cosine_threshold``,
       4. appends the survivors to the corpus parquet, and
-      5. upserts the survivors' band rows into the index,
+      5. upserts the survivors' band rows into the LSH index and
+         their embeddings into the IVF index (upsert_ivf_index),
 
-    so the index and the corpus stay consistent and the NEXT batch
-    checks against everything ingested so far — continuous-crawl
-    dedup-on-ingest as one self-maintaining sink.
+    so all indexes and the corpus stay consistent and the NEXT batch
+    checks against everything ingested so far — the full
+    e2e_incremental_pipeline dedup chain as one self-maintaining sink.
 
     Crash-safety: step 1 makes replays idempotent on the corpus (a
-    re-delivered doc's digest is already there); duplicate band rows
-    from a replayed step 5 are harmless (candidate membership is
-    DISTINCT), and a re-probed batch whose bands already landed cannot
-    report itself as its own near-dup (the new_doc != old_doc guard).
-    A crash between 4 and 5 loses the batch's index membership until
-    the next full rebuild (``dedup.build_minhash_index(corpus)``) —
-    the same best-effort index contract as deduped_store_sink.
+    re-delivered doc's digest is already there); duplicate band rows /
+    embedding rows from a replayed step 5 are harmless (candidate
+    membership is DISTINCT, and both probes self-pair-guard on
+    new != old), so a re-probed batch whose index rows already landed
+    cannot report itself as its own near-dup. A crash between 4 and 5
+    loses the batch's index membership until the next full rebuild
+    (``dedup.build_minhash_index(corpus)`` /
+    ``similarity.build_ivf_index(corpus_emb)``) — the same best-effort
+    index contract as deduped_store_sink.
 
     Scale shape per epoch: one digest anti-join (16-byte rows), one
     delta-signature pass, one map-side broadcast probe of the
-    band-partitioned index, one semi-join-pruned verify — work ∝
-    batch, never the corpus (the verify prune is plan-pinned in
-    tests/test_plans.py)."""
+    band-partitioned index, one semi-join-pruned verify, one
+    partition-pruned IVF probe — work ∝ batch, never the corpus (the
+    verify prune is plan-pinned in tests/test_plans.py)."""
     import os
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from sqlstreamstore_spark.analytics import dedup
+    from sqlstreamstore_spark.analytics import dedup, similarity
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -222,6 +235,26 @@ def fuzzy_dedup_ingest_sink(
                 .distinct()
             )
             fresh = fresh.join(losers, "doc_id", "left_anti")
+        sem_on = (
+            ivf_index_path is not None
+            and emb_col in fresh.columns
+            and have_corpus
+            and os.path.isdir(ivf_index_path)
+        )
+        if sem_on:
+            q = fresh.filter(F.col(emb_col).isNotNull()).select(
+                F.col("doc_id").alias("vec_id"),
+                F.col(emb_col).alias("embedding"),
+            )
+            sem_losers = (
+                similarity.near_dup_against_ivf_index(
+                    spark, ivf_index_path, q,
+                    threshold=cosine_threshold, centroids=centroids,
+                )
+                .select(F.col("new_vec").alias("doc_id"))
+                .distinct()
+            )
+            fresh = fresh.join(sem_losers, "doc_id", "left_anti")
         fresh = fresh.localCheckpoint()  # score once: appended AND indexed
         if fresh.isEmpty():
             return
@@ -229,6 +262,18 @@ def fuzzy_dedup_ingest_sink(
         dedup.upsert_minhash_index(
             fresh, mh_index_path, k=k, bands=bands, n=n
         )
+        if ivf_index_path is not None and emb_col in fresh.columns:
+            from sqlstreamstore_spark.analytics.similarity import (
+                _static_centroids,
+            )
+
+            emb_fresh = fresh.filter(F.col(emb_col).isNotNull()).select(
+                F.col("doc_id").alias("vec_id"),
+                F.col(emb_col).alias("embedding"),
+            )
+            similarity.upsert_ivf_index(
+                emb_fresh, ivf_index_path, centroids or _static_centroids()
+            )
 
     ckpt = checkpoint_dir or f"{corpus_path}-checkpoints/{query_name}"
     return (
