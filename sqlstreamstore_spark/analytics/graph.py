@@ -361,7 +361,9 @@ def bfs_oracle_sql(source_expr: str, max_depth: int = 3) -> str:
     return head + body + f"\nSELECT node, dist FROM ({alls}) ORDER BY node"
 
 
-def link_prediction_jaccard(edges: DataFrame, top_n: int = 200) -> DataFrame:
+def link_prediction_jaccard(
+    edges: DataFrame, top_n: int = 200, max_degree: int | None = None
+) -> DataFrame:
     """Neighborhood-Jaccard link prediction (Liben-Nowell & Kleinberg,
     "The Link Prediction Problem for Social Networks", CIKM 2003):
     score NON-adjacent node pairs by |N(a)∩N(c)| / |N(a)∪N(c)| — the
@@ -374,13 +376,32 @@ def link_prediction_jaccard(edges: DataFrame, top_n: int = 200) -> DataFrame:
     the same Σdeg² the triangle count pays on the sparsified graph,
     never all-pairs. All-integer counts; Jaccard is one exact divide;
     the top-N cut is deterministic ((score, a, c) order, and scores
-    from exact ints are identical doubles on both engines)."""
+    from exact ints are identical doubles on both engines).
+
+    ``max_degree`` (round 10, VERDICT r9 #7): a wedge CENTER of degree
+    d contributes d² candidate pairs, so one hub can quadratically
+    dominate a dense co-occurrence graph (BASELINE §3d regime notes).
+    With the cap set, nodes of degree > max_degree are excluded as
+    wedge centers — the standard hub-suppression approximation (their
+    NEIGHBORS still pair via any shared non-hub neighbor, and Jaccard
+    denominators keep full degrees): `common` undercounts pairs whose
+    only shared neighbors are hubs, which is usually desirable — a
+    hub's co-occurrence is weak evidence precisely because everyone
+    shares it. Default None = exact (the gate's oracle mode)."""
     adj = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = adj.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    centers = (
+        deg.filter(F.col("deg") <= max_degree).select(F.col("src").alias("b"))
+        if max_degree is not None
+        else None
+    )
     w1 = adj.select(F.col("dst").alias("b"), F.col("src").alias("a"))
     w2 = adj.select(F.col("dst").alias("b"), F.col("src").alias("c"))
+    if centers is not None:
+        w1 = w1.join(centers, "b", "left_semi")
+        w2 = w2.join(centers, "b", "left_semi")
     cand = (
         w1.join(w2, "b")
         .filter(F.col("a") < F.col("c"))

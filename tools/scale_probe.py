@@ -1442,6 +1442,20 @@ def round9c_main(times: int = 10) -> int:
         graph.link_prediction_jaccard(edges, top_n=200),
         {"n_edges": n_edges},
     )
+    # round 10 (VERDICT r9 #7): the degree-capped twin — hubs excluded
+    # as wedge centers bound the d² term a dense co-occurrence graph
+    # pays; record the wall-clock and the cap actually engaging
+    from pyspark.sql import functions as _F
+
+    adj = edges.select("src").union(edges.select(_F.col("dst").alias("src")))
+    degs = adj.groupBy("src").count()
+    cap = 64
+    n_hubs = degs.filter(_F.col("count") > cap).count()
+    run(
+        "link_prediction_capped",
+        graph.link_prediction_jaccard(edges, top_n=200, max_degree=cap),
+        {"n_edges": n_edges, "max_degree": cap, "hubs_excluded": n_hubs},
+    )
     run("mann_kendall", EV.mann_kendall_trend(ev))
     run("hodges_lehmann", EV.hodges_lehmann_location(ev))
     run("dft_periodogram", EV.dft_periodogram(ev))
