@@ -722,6 +722,40 @@ print("done", retries)
         timings["sub_latency_datasource_p50_ms"] = round(statistics.median(ds_lats), 1)
         timings["sub_latency_datasource_p99_ms"] = round(ds_qs[98], 1)
 
+        # -- sf1-scale catch-up drain through the DataSource (r9
+        # verdict #8): 100k messages (10x the subscription_catchup_10k
+        # row — store3 already holds the whole canonical log), one
+        # availableNow query from position 0; pins the micro-batch
+        # floor at 10x log size and asserts global ordering across
+        # micro-batches (no gaps, no regressions).
+        drain_state = {"n": 0, "last": -1, "anomalies": 0}
+
+        def ds_drain_sink(df, _epoch):
+            rows = sorted(r.position for r in df.select("position").collect())
+            for p in rows:
+                if p != drain_state["last"] + 1:
+                    drain_state["anomalies"] += 1
+                drain_state["last"] = p
+            drain_state["n"] += len(rows)
+
+        t0 = time.time()
+        qd = (
+            spark.readStream.format("sqlstreamstore")
+            .option("path", store3.path)
+            .option("startposition", -1)
+            .load()
+            .writeStream.foreachBatch(ds_drain_sink)
+            .option("checkpointLocation", os.path.join(tmp, "ds-drain-ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qd.awaitTermination(600)
+        dt = time.time() - t0
+        assert drain_state["n"] == n_bulk, drain_state
+        assert drain_state["anomalies"] == 0, drain_state
+        timings["subscription_catchup_ds_100k"] = round(dt, 3)
+        timings["subscription_ds_msgs_per_sec"] = round(n_bulk / dt, 1)
+
         # -- HTTP tier: drain a 10k-message feed over the wire (HAL
         # pages of 1000, keyset read_next), then steady-state
         # conditional polls (If-None-Match → 304, what a caught-up
