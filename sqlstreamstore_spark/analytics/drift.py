@@ -288,3 +288,70 @@ def psi_drift(
         F.count("*").cast("long").alias("n_bins"),
         F.round(F.sum(term), round_digits).alias("psi"),
     )
+
+
+def lsh_histogram_drift(embeddings: DataFrame, bits: int = 8) -> DataFrame:
+    """Embedding-distribution drift via LSH-bucket HISTOGRAMS (round
+    10): bucket both snapshots with the SHARED random-hyperplane
+    signature (similarity.lsh_bucket_signatures' expression) and
+    report the total-variation distance between the two bucket
+    distributions — the whole-space complement of
+    `drift_embedding_centroids` (per-label means miss a drift that
+    reshuffles mass between modes while every centroid stays put).
+    The deterministic vec_id-parity split stands in for the two
+    snapshots, as in the centroid monitor.
+
+    Exactness: the t-closeness integer-numerator trick — per bucket
+    |n_a·N_b − n_b·N_a| sums order-free in exact BIGINT, ONE divide
+    by 2·N_a·N_b lands the distance; zero tolerance, no float
+    accumulation. Scale: one signature projection + one (side,
+    bucket) partial-agg count; output is one row regardless of N
+    (bucket axis bounded by 2^bits)."""
+    from sqlstreamstore_spark.analytics.similarity import (
+        lsh_bucket_signatures,
+    )
+
+    dim = len(embeddings.select("embedding").first()[0])
+    sides = lsh_bucket_signatures(
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ),
+        dim=dim,
+        bits=bits,
+    ).select((F.col("vec_id") % 2).alias("side"), "bucket")
+    cell = sides.groupBy("side", "bucket").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a = cell.filter(F.col("side") == 0).select(
+        "bucket", F.col("n").alias("n_a")
+    )
+    bfr = cell.filter(F.col("side") == 1).select(
+        "bucket", F.col("n").alias("n_b")
+    )
+    tot = cell.groupBy("side").agg(F.sum("n").cast("long").alias("t"))
+    ta = tot.filter(F.col("side") == 0).select(F.col("t").alias("t_a"))
+    tb = tot.filter(F.col("side") == 1).select(F.col("t").alias("t_b"))
+    grid = (
+        a.join(bfr, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        )
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+    )
+    num = F.abs(F.col("n_a") * F.col("t_b") - F.col("n_b") * F.col("t_a"))
+    return grid.agg(
+        F.max("t_a").alias("n_vecs_a"),
+        F.max("t_b").alias("n_vecs_b"),
+        F.count("*").cast("long").alias("n_buckets"),
+        (
+            F.sum(num).cast("double")
+            / (
+                F.lit(2.0)
+                * F.max("t_a").cast("double")
+                * F.max("t_b").cast("double")
+            )
+        ).alias("tvd"),
+    )

@@ -1325,3 +1325,49 @@ def dataset_card(documents: DataFrame) -> DataFrame:
         F.max(toks).cast("long").alias("max_tokens"),
         F.sum(F.length("text").cast("long")).cast("long").alias("total_chars"),
     )
+
+
+def mix_entropy(documents: DataFrame) -> DataFrame:
+    """Training-mix diagnostics (round 10): Shannon entropy of the
+    source distribution in docs AND tokens, the effective source count
+    exp(H), and the dominant share — the one-row summary a mixture
+    designer reads next to `budget_mixture_sample`'s plan (a corpus
+    can have 30 sources and the diversity of 3). Exactness: counts
+    are exact BIGINTs and H uses the sum identity
+    −Σ p·ln p = ln(T) − (Σ n·ln n)/T, so the only float aggregation is
+    a plain SUM of per-source n·ln(n) terms over the bounded source
+    axis — rounded 6 on both engines (the stats_corr_regr sum
+    discipline)."""
+    toks = F.size(_tokens()).cast("long")
+    per = documents.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+    )
+    nlogn = lambda c: F.col(c).cast("double") * F.log(  # noqa: E731
+        F.col(c).cast("double")
+    )
+    g = per.agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.sum("n_docs").cast("long").alias("tot_docs"),
+        F.sum("n_tokens").cast("long").alias("tot_tokens"),
+        F.max("n_docs").cast("long").alias("max_docs"),
+        F.sum(nlogn("n_docs")).alias("sd"),
+        F.sum(nlogn("n_tokens")).alias("st"),
+    )
+    hd = F.log(F.col("tot_docs").cast("double")) - F.col("sd") / F.col(
+        "tot_docs"
+    ).cast("double")
+    ht = F.log(F.col("tot_tokens").cast("double")) - F.col("st") / F.col(
+        "tot_tokens"
+    ).cast("double")
+    return g.select(
+        "n_sources",
+        "tot_docs",
+        "tot_tokens",
+        F.round(hd, 6).alias("doc_entropy"),
+        F.round(F.exp(hd), 6).alias("effective_sources_docs"),
+        F.round(ht, 6).alias("token_entropy"),
+        F.round(F.exp(ht), 6).alias("effective_sources_tokens"),
+        (F.col("max_docs").cast("double") / F.col("tot_docs").cast("double"))
+        .alias("max_doc_share"),
+    )

@@ -6930,6 +6930,7 @@ def analytics_queries():
     """name → (spark_fn, oracle_sql | None). None = rows-only check
     (non-SQL-expressible: engine-specific hash families)."""
     return {
+        **round10b_queries(),
         # TPC-H
         "tpch_q1": (lambda s, sf: tpch.q1_pricing_summary(_t(s, sf, "lineitem")), _Q1_SQL),
         "tpch_q3": (
@@ -8493,5 +8494,118 @@ FROM counts ORDER BY n DESC, token LIMIT 20""",
         "pipeline_e2e_incremental": (
             _pipeline_e2e_incremental_query,
             _E2E_INCREMENTAL_SQL,
+        ),
+    }
+
+
+# ------------------------------------------------------ round-10b tier
+
+_READABILITY_SQL = """
+WITH per AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl
+  FROM documents
+),
+g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS words,
+         CAST(sum(s) AS BIGINT) AS sentences,
+         CAST(sum(syl) AS BIGINT) AS syllables
+  FROM per GROUP BY source
+)
+SELECT source, n_docs, words, sentences, syllables,
+       206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+               - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+         AS flesch
+FROM g ORDER BY source
+"""
+
+def _lsh_hist_drift_sql(bits: int = 8) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id % 2 AS side, {_lsh_bucket_sql("v", bits=bits)} AS bucket FROM e),
+cell AS (
+  SELECT side, bucket, CAST(count(*) AS BIGINT) AS n
+  FROM s GROUP BY side, bucket
+),
+a AS (SELECT bucket, n AS n_a FROM cell WHERE side = 0),
+b2 AS (SELECT bucket, n AS n_b FROM cell WHERE side = 1),
+ta AS (SELECT CAST(sum(n) AS BIGINT) AS t_a FROM cell WHERE side = 0),
+tb AS (SELECT CAST(sum(n) AS BIGINT) AS t_b FROM cell WHERE side = 1),
+grid AS (
+  SELECT CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+         CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+  FROM a FULL JOIN b2 ON a.bucket = b2.bucket
+)
+SELECT ta.t_a AS n_vecs_a, tb.t_b AS n_vecs_b,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(abs(n_a * tb.t_b - n_b * ta.t_a)) AS DOUBLE)
+         / (2.0 * CAST(ta.t_a AS DOUBLE) * CAST(tb.t_b AS DOUBLE)) AS tvd
+FROM grid, ta, tb GROUP BY ta.t_a, tb.t_b
+"""
+
+
+_LSH_HIST_DRIFT_SQL = _lsh_hist_drift_sql()
+
+_MIX_ENTROPY_SQL = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sources,
+         CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         CAST(max(n_docs) AS BIGINT) AS max_docs,
+         sum(CAST(n_docs AS DOUBLE) * ln(CAST(n_docs AS DOUBLE))) AS sd,
+         sum(CAST(n_tokens AS DOUBLE) * ln(CAST(n_tokens AS DOUBLE))) AS st
+  FROM per
+)
+SELECT n_sources, tot_docs, tot_tokens,
+       round(ln(CAST(tot_docs AS DOUBLE)) - sd / CAST(tot_docs AS DOUBLE), 6)
+         AS doc_entropy,
+       round(exp(ln(CAST(tot_docs AS DOUBLE)) - sd / CAST(tot_docs AS DOUBLE)), 6)
+         AS effective_sources_docs,
+       round(ln(CAST(tot_tokens AS DOUBLE)) - st / CAST(tot_tokens AS DOUBLE), 6)
+         AS token_entropy,
+       round(exp(ln(CAST(tot_tokens AS DOUBLE)) - st / CAST(tot_tokens AS DOUBLE)), 6)
+         AS effective_sources_tokens,
+       CAST(max_docs AS DOUBLE) / CAST(tot_docs AS DOUBLE) AS max_doc_share
+FROM g
+"""
+
+
+def round10b_queries():
+    """Round-10b additions: readability, LSH-histogram embedding
+    drift, training-mix (source-axis) entropy. (Zipf fit, vocabulary
+    coverage and BM25 already exist as text_zipf_fit /
+    text_vocab_coverage / text_bm25_scores.)"""
+    from sqlstreamstore_spark.analytics import drift, pipeline, text
+
+    return {
+        # Flesch reading-ease per source (vowel-group syllable proxy);
+        # exact BIGINT sums + identical literal expression tree
+        "text_readability": (
+            lambda s, sf: text.readability_by_source(_t(s, sf, "documents")),
+            _READABILITY_SQL,
+        ),
+        # whole-space embedding drift via shared-hyperplane bucket
+        # histograms; integer-numerator TVD (zero tolerance) — the
+        # mass-reshuffle complement of drift_embedding_centroids
+        "drift_lsh_histogram": (
+            lambda s, sf: drift.lsh_histogram_drift(
+                _t(s, sf, "embeddings"), bits=8
+            ),
+            _LSH_HIST_DRIFT_SQL,
+        ),
+        # SOURCE-axis mix entropy / effective source count (sum
+        # identity) — the mixture-design twin of
+        # stats_entropy_by_source (which is the token axis)
+        "pipeline_mix_entropy": (
+            lambda s, sf: pipeline.mix_entropy(_t(s, sf, "documents")),
+            _MIX_ENTROPY_SQL,
         ),
     }

@@ -2229,3 +2229,43 @@ def sif_hashed_features(
         )
         .orderBy("doc_id", "bucket")
     )
+
+
+# --------------------------------------------------- round-10b tier
+
+
+def readability_by_source(documents: DataFrame) -> DataFrame:
+    """Flesch reading-ease per source with a vowel-group syllable
+    proxy — the classic curation heuristic (very low scores flag
+    boilerplate/code, implausibly high ones flag token soup): 206.835
+    − 1.015·(words/sentences) − 84.6·(syllables/words), sentences from
+    the [.!?]+ terminator count (min 1), syllables = [aeiouy]+ group
+    count. All exact BIGINT sums per source + single divides and the
+    identical literal expression tree in the oracle — zero-tolerance.
+    Scale: one regexp pass per doc, one bounded-axis groupBy."""
+    toks = _tokens()
+    per = documents.select(
+        "source",
+        F.size(toks).cast("long").alias("w"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+            F.lit(1),
+        ).cast("long").alias("s"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)
+        ).cast("long").alias("syl"),
+    )
+    g = per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("words"),
+        F.sum("s").cast("long").alias("sentences"),
+        F.sum("syl").cast("long").alias("syllables"),
+    )
+    wps = F.col("words").cast("double") / F.col("sentences").cast("double")
+    spw = F.col("syllables").cast("double") / F.col("words").cast("double")
+    return g.select(
+        "source", "n_docs", "words", "sentences", "syllables",
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias(
+            "flesch"
+        ),
+    ).orderBy("source")

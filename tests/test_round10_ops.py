@@ -322,3 +322,90 @@ def test_link_prediction_degree_cap(spark):
     # a surviving wedge through a low-degree center: 0 is hub-center
     # only, so all survivors went through centers of degree <= 3
     assert all(r["common"] >= 1 for r in capped.values())
+
+
+def test_readability_exact_replay(spark, docs_fixture=None):
+    """Flesch components replay exactly in pure Python (regex parity
+    with the Spark expressions)."""
+    import re
+
+    from sqlstreamstore_spark.analytics.text import readability_by_source
+
+    docs = load_table(spark, SF, "documents")
+    rows = {r["source"]: r for r in readability_by_source(docs).collect()}
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in docs.select("source", "text").collect():
+        t = r["text"]
+        w = len(t.split(" "))
+        s = max(len(re.findall(r"[.!?]+", t)), 1)
+        syl = len(re.findall(r"[aeiouy]+", t.lower()))
+        a = agg[r["source"]]
+        a[0] += 1; a[1] += w; a[2] += s; a[3] += syl
+    assert set(rows) == set(agg)
+    for src, (n, w, s, syl) in agg.items():
+        r = rows[src]
+        assert (r["n_docs"], r["words"], r["sentences"], r["syllables"]) == (
+            n, w, s, syl,
+        )
+        assert r["flesch"] == 206.835 - 1.015 * (w / s) - 84.6 * (syl / w)
+
+
+def test_lsh_histogram_drift_properties(spark):
+    """TVD is 0 for identical sides, 1 for disjoint buckets, and the
+    fixture value replays exactly from per-bucket integer counts."""
+    from collections import Counter
+
+    from sqlstreamstore_spark.analytics.drift import lsh_histogram_drift
+    from sqlstreamstore_spark.analytics.similarity import (
+        lsh_bucket_signatures,
+    )
+    from pyspark.sql import functions as FF
+
+    emb = load_table(spark, SF, "embeddings")
+    row = lsh_histogram_drift(emb, bits=6).collect()[0]
+    sig = lsh_bucket_signatures(
+        emb.select("vec_id", FF.col("embedding").cast("array<double>").alias("embedding")),
+        dim=64, bits=6,
+    ).select((FF.col("vec_id") % 2).alias("side"), "bucket").collect()
+    ca = Counter(r["bucket"] for r in sig if r["side"] == 0)
+    cb = Counter(r["bucket"] for r in sig if r["side"] == 1)
+    na, nb = sum(ca.values()), sum(cb.values())
+    assert (row["n_vecs_a"], row["n_vecs_b"]) == (na, nb)
+    num = sum(
+        abs(ca.get(k, 0) * nb - cb.get(k, 0) * na) for k in set(ca) | set(cb)
+    )
+    assert row["tvd"] == num / (2.0 * na * nb)
+    # identical sides -> 0: duplicate every even vec onto the odd side
+    ev = emb.filter(FF.col("vec_id") % 2 == 0)
+    both = ev.union(ev.select((FF.col("vec_id") + 1).alias("vec_id"),
+                              "embedding", "label"))
+    assert lsh_histogram_drift(both, bits=6).collect()[0]["tvd"] == 0.0
+
+
+def test_mix_entropy_exact_replay(spark):
+    """H, exp(H) and max share replay from exact counts; a single-
+    source corpus has entropy 0 and effective source count 1."""
+    import math
+    from collections import Counter
+
+    from sqlstreamstore_spark.analytics.pipeline import mix_entropy
+
+    docs = load_table(spark, SF, "documents")
+    row = mix_entropy(docs).collect()[0]
+    data = docs.select("source", "text").collect()
+    cd = Counter(r["source"] for r in data)
+    ct = Counter()
+    for r in data:
+        ct[r["source"]] += len(r["text"].split(" "))
+    n, t = sum(cd.values()), sum(ct.values())
+    hd = math.log(n) - sum(c * math.log(c) for c in cd.values()) / n
+    ht = math.log(t) - sum(c * math.log(c) for c in ct.values()) / t
+    assert row["n_sources"] == len(cd)
+    assert abs(row["doc_entropy"] - hd) < 1e-6
+    assert abs(row["token_entropy"] - ht) < 1e-6
+    assert row["max_doc_share"] == max(cd.values()) / n
+    one = docs.filter(docs.source == "src1")
+    r1 = mix_entropy(one).collect()[0]
+    assert r1["doc_entropy"] == 0.0 and r1["effective_sources_docs"] == 1.0
