@@ -619,3 +619,51 @@ def t_closeness_report(documents: DataFrame, t: float = 0.3, bucket: int = 100) 
         .withColumn("risky", F.col("tvd") > t)
         .orderBy("source", "chars_bucket")
     )
+
+
+def dp_noisy_counts(documents: DataFrame, epsilon: float = 1.0) -> DataFrame:
+    """ε-differentially-private per-source release counts (Dwork et
+    al. 2006): the Laplace mechanism over the bounded source axis —
+    the fourth leg of the release-privacy toolkit (k-anonymity /
+    l-diversity / t-closeness audit the raw release; DP counts are
+    what you publish when even exact marginals leak). Sensitivity 1
+    (one document moves one count), noise ~ Laplace(1/ε) via the
+    inverse CDF of the DETERMINISTIC 48-bit md5 fraction of the
+    source key (the weighted-reservoir u discipline — reproducible
+    releases, and the gate hash-matches because both engines compute
+    the identical rational → one libm ln → round 6).
+
+    NOTE the determinism trade-off, stated for honesty: a FIXED seed
+    per source means repeated releases don't accumulate privacy loss
+    but also never average out — production rotates the salt per
+    release window and accounts ε per rotation. The mechanism and
+    accounting shape are exactly this; only the salt policy differs.
+
+    Scale: one partial-agg groupBy onto the bounded source axis."""
+    per = documents.groupBy("source").agg(
+        F.count("*").cast("long").alias("__n")
+    )
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dp:"), F.col("source"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (v + F.lit(1.0)) / F.lit(float(1 << 48))
+    p = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / epsilon)
+        * F.signum(p)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(p))
+    )
+    return (
+        per.select(
+            "source",
+            F.round(F.col("__n").cast("double") + noise, 6).alias(
+                "noisy_docs"
+            ),
+            F.lit(float(epsilon)).alias("epsilon"),
+        )
+        .orderBy("source")
+    )

@@ -8578,12 +8578,33 @@ FROM g
 """
 
 
+_DP_COUNTS_SQL = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+),
+d AS (
+  SELECT source, n,
+         (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(substr(md5('dp:' || source), 1, 12), ''),
+              c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+            (a, x) -> a * 16 + x) AS DOUBLE) + 1.0) / 281474976710656.0 AS u
+  FROM per
+)
+SELECT source,
+       round(CAST(n AS DOUBLE)
+             + (-1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+         AS noisy_docs,
+       1.0 AS epsilon
+FROM d ORDER BY source
+"""
+
+
 def round10b_queries():
     """Round-10b additions: readability, LSH-histogram embedding
     drift, training-mix (source-axis) entropy. (Zipf fit, vocabulary
     coverage and BM25 already exist as text_zipf_fit /
     text_vocab_coverage / text_bm25_scores.)"""
-    from sqlstreamstore_spark.analytics import drift, pipeline, text
+    from sqlstreamstore_spark.analytics import drift, pipeline, quality, text
 
     return {
         # Flesch reading-ease per source (vowel-group syllable proxy);
@@ -8607,5 +8628,12 @@ def round10b_queries():
         "pipeline_mix_entropy": (
             lambda s, sf: pipeline.mix_entropy(_t(s, sf, "documents")),
             _MIX_ENTROPY_SQL,
+        ),
+        # epsilon-DP Laplace release counts (deterministic hash-
+        # uniform inverse CDF — the weighted-reservoir u discipline);
+        # completes the release-privacy toolkit (audit triad + publish)
+        "dq_dp_noisy_counts": (
+            lambda s, sf: quality.dp_noisy_counts(_t(s, sf, "documents")),
+            _DP_COUNTS_SQL,
         ),
     }

@@ -409,3 +409,30 @@ def test_mix_entropy_exact_replay(spark):
     one = docs.filter(docs.source == "src1")
     r1 = mix_entropy(one).collect()[0]
     assert r1["doc_entropy"] == 0.0 and r1["effective_sources_docs"] == 1.0
+
+
+def test_dp_noisy_counts_mechanism(spark):
+    """The Laplace mechanism replays exactly from the hash-uniform; a
+    smaller epsilon widens the noise; noise is zero-mean-symmetric in
+    the inverse-CDF sense (sign depends only on u vs 0.5)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from sqlstreamstore_spark.analytics.quality import dp_noisy_counts
+
+    docs = load_table(spark, SF, "documents")
+    rows = {r["source"]: r for r in dp_noisy_counts(docs, 1.0).collect()}
+    true = Counter(r["source"] for r in docs.select("source").collect())
+    for src, n in true.items():
+        v = int(hashlib.md5(f"dp:{src}".encode()).hexdigest()[:12], 16)
+        u = (v + 1.0) / float(1 << 48)
+        p = u - 0.5
+        noise = -1.0 * math.copysign(1.0, p) * math.log(1.0 - 2.0 * abs(p))
+        assert abs(rows[src]["noisy_docs"] - (n + noise)) < 1e-6, src
+    tight = {r["source"]: r["noisy_docs"] for r in dp_noisy_counts(docs, 0.1).collect()}
+    # eps 0.1 noise is exactly 10x the eps 1.0 noise per source
+    for src, n in true.items():
+        n1 = rows[src]["noisy_docs"] - n
+        n01 = tight[src] - n
+        assert abs(n01 - 10.0 * n1) < 1e-4, src
