@@ -436,3 +436,28 @@ def test_dp_noisy_counts_mechanism(spark):
         n1 = rows[src]["noisy_docs"] - n
         n01 = tight[src] - n
         assert abs(n01 - 10.0 * n1) < 1e-4, src
+
+
+def test_round10b_plans_are_scale_shaped(spark):
+    """Plan pins for the round-10b tier: no data-sized window, no
+    cartesian product; the drift op's only joins are the bounded
+    bucket grid and the two 1-row total broadcasts."""
+    from sqlstreamstore_spark.analytics.drift import lsh_histogram_drift
+    from sqlstreamstore_spark.analytics.pipeline import mix_entropy
+    from sqlstreamstore_spark.analytics.quality import dp_noisy_counts
+    from sqlstreamstore_spark.analytics.text import readability_by_source
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    for df in (
+        readability_by_source(docs),
+        mix_entropy(docs),
+        dp_noisy_counts(docs),
+    ):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p
+        assert "Window" not in p  # pure partial-agg shapes
+    pd_ = lsh_histogram_drift(emb, bits=6)
+    p = pd_._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
