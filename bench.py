@@ -115,7 +115,7 @@ def main() -> int:
     # continuity with r1-r6); warm rows live under queries_warm.
     queries = build_queries()
     warm: dict[str, float] = {}
-    best: dict[str, float] = {}
+    query_best: dict[str, float] = {}
     from sqlstreamstore_spark.operators.positions import release_pins
 
     for name, fn in queries.items():
@@ -139,7 +139,7 @@ def main() -> int:
                 fn(spark, sf_dir).collect()
                 ws.append(time.time() - t0)
             warm[name] = round(min(ws), 3)
-            best[name] = round(min(cold, *ws), 3)
+            query_best[name] = round(min(cold, *ws), 3)
         # ADVICE r9 #4: two-phase layout pins (positions.py) would
         # otherwise accumulate cached partitions for the whole 360-entry
         # run; release after each query's actions so every row is
@@ -890,7 +890,7 @@ print("done", retries)
         # warm reps. THE graded series for per-entry round-over-round
         # ratios on multi-second rows; immune to a single host-load
         # spike landing on one rep.
-        "queries_best": best,
+        "queries_best": query_best,
         "warm_rerun_threshold_s": 0.3,
         "best_of_n_threshold_s": 1.0,
         "sf": float(sf),
