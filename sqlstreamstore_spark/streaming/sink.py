@@ -159,11 +159,18 @@ def fuzzy_dedup_ingest_sink(
     centroids: list[tuple[int, list[float]]] | None = None,
     cosine_threshold: float = 0.35,
     emb_col: str = "embedding",
+    ngram_index_path: str | None = None,
+    decontaminate_n: int = 8,
+    min_tokens: int | None = None,
+    min_distinct_ratio: float | None = None,
 ):
     """Streaming dedup-on-ingest — the Structured Streaming twin
-    of the incremental flagship's exact+fuzzy+semantic stages: each
+    of the incremental flagship's FULL curation chain: each
     micro-batch of documents
 
+      0. (round 10 — when ``min_tokens``/``min_distinct_ratio`` are
+         set) applies the static quality predicates (clean_corpus's
+         stage 1) so junk never reaches the index probes,
       1. digest-anti-joins the corpus (idempotent replay + exact dedup
          in one pass — the new_against_corpus shape),
       2. md5-first-wins within the batch,
@@ -176,6 +183,11 @@ def fuzzy_dedup_ingest_sink(
          (similarity.near_dup_against_ivf_index, size-adaptive probe
          join, self-pair guarded) and drops docs with a corpus
          SEMANTIC near-dup at ``cosine_threshold``,
+      3c. (round 10 — when ``ngram_index_path`` is set) DECONTAMINATES:
+         drops docs sharing any word ``decontaminate_n``-gram with the
+         materialized benchmark index
+         (pipeline.decontaminate_incremental — broadcast probe, work
+         ∝ batch tokens),
       4. appends the survivors to the corpus parquet, and
       5. upserts the survivors' band rows into the LSH index and
          their embeddings into the IVF index (upsert_ivf_index),
@@ -211,6 +223,18 @@ def fuzzy_dedup_ingest_sink(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        if min_tokens is not None or min_distinct_ratio is not None:
+            toks = F.split(F.col("text"), " ")
+            pred = F.lit(True)
+            if min_tokens is not None:
+                pred = pred & (F.size(toks) >= min_tokens)
+            if min_distinct_ratio is not None:
+                pred = pred & (
+                    F.size(F.array_distinct(toks)).cast("double")
+                    / F.size(toks).cast("double")
+                    >= min_distinct_ratio
+                )
+            batch_df = batch_df.filter(pred)
         batch = batch_df.withColumn("__h", F.md5("text"))
         have_corpus = os.path.isdir(corpus_path)
         if have_corpus:
@@ -255,6 +279,15 @@ def fuzzy_dedup_ingest_sink(
                 .distinct()
             )
             fresh = fresh.join(sem_losers, "doc_id", "left_anti")
+        if ngram_index_path is not None and os.path.isdir(ngram_index_path):
+            from sqlstreamstore_spark.analytics.pipeline import (
+                decontaminate_incremental,
+            )
+
+            contaminated = decontaminate_incremental(
+                spark, ngram_index_path, fresh, n=decontaminate_n
+            ).select("doc_id")
+            fresh = fresh.join(contaminated, "doc_id", "left_anti")
         fresh = fresh.localCheckpoint()  # score once: appended AND indexed
         if fresh.isEmpty():
             return

@@ -461,3 +461,65 @@ def test_round10b_plans_are_scale_shaped(spark):
     p = pd_._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
     assert "Window" not in p
+
+
+def test_full_curation_chain_in_ingest_sink(spark, tmp_path):
+    """The sink's complete chain — quality predicates, exact digest,
+    fuzzy LSH, semantic IVF, DECONTAMINATION — each stage drops
+    exactly its target doc, parity with the batch operators on the
+    same delta."""
+    from sqlstreamstore_spark.analytics import pipeline as P
+    from sqlstreamstore_spark.streaming.sink import fuzzy_dedup_ingest_sink
+
+    src = str(tmp_path / "crawl")
+    corpus = str(tmp_path / "corpus")
+    mh_idx = str(tmp_path / "mh-index")
+    ng_idx = str(tmp_path / "ngram-index")
+    schema = "doc_id long, text string"
+
+    def text(i, extra=""):
+        return " ".join(f"t{i}a{j}" for j in range(20)) + extra
+
+    bench_text = "the secret eval question about unusual aardvark " \
+        "migration patterns in polar regions during solstice"
+    bench = spark.createDataFrame([(0, bench_text)], schema)
+    P.build_ngram_index(bench, ng_idx, n=8)
+
+    b1 = spark.createDataFrame(
+        [(1, text(1)), (2, text(2))], schema
+    )
+    b1.write.parquet(src)
+    kw = dict(
+        threshold=0.5, ngram_index_path=ng_idx, decontaminate_n=8,
+        min_tokens=5, min_distinct_ratio=0.3,
+    )
+    q = fuzzy_dedup_ingest_sink(
+        spark.readStream.schema(schema).parquet(src), corpus, mh_idx,
+        query_name="csink", **kw,
+    )
+    q.awaitTermination(120)
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 2}
+
+    # batch 2: 11 = too short (quality), 12 = low distinct ratio
+    # (quality), 13 = exact dup of 1 (digest), 14 = fuzzy near-dup of 2,
+    # 15 = CONTAMINATED (contains the benchmark 8-gram), 16 = clean
+    b2 = spark.createDataFrame(
+        [(11, "too short text"), (12, "dup " * 19 + "dup"),
+         (13, text(1)), (14, text(2, " extra")),
+         (15, "prefix words then " + bench_text + " trailing content here"),
+         (16, text(16))], schema
+    )
+    b2.write.mode("append").parquet(src)
+    q2 = fuzzy_dedup_ingest_sink(
+        spark.readStream.schema(schema).parquet(src), corpus, mh_idx,
+        query_name="csink", **kw,
+    )
+    q2.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 2, 16}, got
+    # parity: the batch decontaminator flags exactly doc 15
+    leaked = P.decontaminate_incremental(
+        spark, ng_idx,
+        b2.filter(F.col("doc_id").isin(15, 16)), n=8,
+    ).collect()
+    assert {r["doc_id"] for r in leaked} == {15}
