@@ -756,6 +756,53 @@ print("done", retries)
         timings["subscription_catchup_ds_100k"] = round(dt, 3)
         timings["subscription_ds_msgs_per_sec"] = round(n_bulk / dt, 1)
 
+        # -- full-chain streaming CURATION sink (round 10): the sf0.1
+        # documents table streamed through fuzzy_dedup_ingest_sink with
+        # every stage on — quality predicates, digest anti-join, LSH
+        # fuzzy probe, IVF semantic probe, benchmark decontamination —
+        # building its own corpus + indexes as it ingests (the
+        # continuous-crawl cold-start shape). Embeddings attach by
+        # doc_id = vec_id so the semantic stage engages.
+        from sqlstreamstore_spark.analytics.registry import _ngram_index_for
+        from sqlstreamstore_spark.sources.tables import load_table as _lt
+        from sqlstreamstore_spark.streaming.sink import (
+            fuzzy_dedup_ingest_sink,
+        )
+
+        cur_src = os.path.join(tmp, "curation-src")
+        docs_df = _lt(spark, sf_dir, "documents")
+        emb_df = _lt(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        cur_in = docs_df.join(emb_df, "doc_id", "left").select(
+            "doc_id", "text", "source", "embedding"
+        )
+        n_in = cur_in.count()
+        cur_in.write.parquet(cur_src)
+        cur_schema = spark.read.parquet(cur_src).schema
+        cur_corpus = os.path.join(tmp, "curation-corpus")
+        cur_mh = os.path.join(tmp, "curation-mh")
+        cur_ivf = os.path.join(tmp, "curation-ivf")
+        t0 = time.time()
+        qcur = fuzzy_dedup_ingest_sink(
+            spark.readStream.schema(cur_schema)
+            .option("maxFilesPerTrigger", 8)  # several micro-batches:
+            # later batches probe the indexes the earlier ones extended
+            .parquet(cur_src),
+            cur_corpus, cur_mh,
+            threshold=0.5, query_name="bench-curation",
+            checkpoint_dir=os.path.join(tmp, "curation-ckpt"),
+            ivf_index_path=cur_ivf, cosine_threshold=0.995,
+            ngram_index_path=_ngram_index_for(spark, sf_dir),
+            min_tokens=5, min_distinct_ratio=0.3,
+        )
+        qcur.awaitTermination(600)
+        dt = time.time() - t0
+        n_kept = spark.read.parquet(cur_corpus).count()
+        timings["streaming_curation_sink"] = round(dt, 3)
+        timings["streaming_curation_docs_per_sec"] = round(n_in / dt, 1)
+        timings["streaming_curation_kept"] = n_kept
+
         # -- HTTP tier: drain a 10k-message feed over the wire (HAL
         # pages of 1000, keyset read_next), then steady-state
         # conditional polls (If-None-Match → 304, what a caught-up
