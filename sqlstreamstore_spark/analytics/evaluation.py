@@ -503,3 +503,70 @@ def bootstrap_ci(documents: DataFrame, b: int = 64) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def token_f1(documents: DataFrame) -> DataFrame:
+    """SQuAD-style token-overlap F1 between (reference, candidate)
+    document pairs — the standard extractive-QA / summarization-lite
+    eval metric (Rajpurkar et al. 2016): P = overlap/|cand|,
+    R = overlap/|ref|, F1 = 2PR/(P+R), where overlap is the MULTISET
+    token intersection Σ_t min(tf_ref(t), tf_cand(t)). The
+    deterministic pairing (ref = even doc_id, cand = odd, paired by
+    doc_id DIV 2) stands in for a real (gold, model-output) table —
+    production swaps in any two-column pair frame.
+
+    Exactness: per-token tf counts and the Σ min(...) overlap are
+    exact BIGINTs; P/R are single IEEE divides and F1 one more —
+    identical expression tree both engines, zero tolerance. Scale:
+    one explode + (pair, side, token) partial agg; the min-sum joins
+    per (pair, token) — never a doc×doc cross; output one row per
+    pair."""
+    base = documents.select(
+        (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    )
+    tf = base.groupBy("pair_id", "side", "token").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    ref = tf.filter(F.col("side") == 0).select(
+        "pair_id", "token", F.col("c").alias("cr")
+    )
+    cand = tf.filter(F.col("side") == 1).select(
+        "pair_id", "token", F.col("c").alias("cc")
+    )
+    ov = (
+        ref.join(cand, ["pair_id", "token"])
+        .groupBy("pair_id")
+        .agg(F.sum(F.least("cr", "cc")).cast("long").alias("overlap"))
+    )
+    lens = tf.groupBy("pair_id", "side").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    nref = lens.filter(F.col("side") == 0).select(
+        "pair_id", F.col("n").alias("n_ref")
+    )
+    ncand = lens.filter(F.col("side") == 1).select(
+        "pair_id", F.col("n").alias("n_cand")
+    )
+    p = F.col("overlap").cast("double") / F.col("n_cand").cast("double")
+    r = F.col("overlap").cast("double") / F.col("n_ref").cast("double")
+    return (
+        nref.join(ncand, "pair_id")
+        .join(ov, "pair_id", "left")
+        .select(
+            "pair_id",
+            "n_ref",
+            "n_cand",
+            F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap"),
+        )
+        .select(
+            "pair_id", "n_ref", "n_cand", "overlap",
+            p.alias("precision"),
+            r.alias("recall"),
+            F.when(
+                F.col("overlap") > 0, F.lit(2.0) * p * r / (p + r)
+            ).otherwise(F.lit(0.0)).alias("f1"),
+        )
+        .orderBy("pair_id")
+    )

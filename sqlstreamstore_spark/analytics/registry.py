@@ -8599,12 +8599,53 @@ FROM d ORDER BY source
 """
 
 
+_TOKEN_F1_SQL = """
+WITH base AS (
+  SELECT CAST(doc_id // 2 AS BIGINT) AS pair_id, doc_id % 2 AS side,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT pair_id, side, token, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY pair_id, side, token
+),
+ov AS (
+  SELECT r.pair_id, CAST(sum(least(r.c, cd.c)) AS BIGINT) AS overlap
+  FROM tf r JOIN tf cd
+    ON r.pair_id = cd.pair_id AND r.token = cd.token
+  WHERE r.side = 0 AND cd.side = 1
+  GROUP BY r.pair_id
+),
+lens AS (
+  SELECT pair_id, side, CAST(sum(c) AS BIGINT) AS n
+  FROM tf GROUP BY pair_id, side
+),
+j AS (
+  SELECT nr.pair_id, nr.n AS n_ref, nc.n AS n_cand,
+         CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap
+  FROM (SELECT pair_id, n FROM lens WHERE side = 0) nr
+  JOIN (SELECT pair_id, n FROM lens WHERE side = 1) nc USING (pair_id)
+  LEFT JOIN ov USING (pair_id)
+)
+SELECT pair_id, n_ref, n_cand, overlap,
+       CAST(overlap AS DOUBLE) / CAST(n_cand AS DOUBLE) AS precision,
+       CAST(overlap AS DOUBLE) / CAST(n_ref AS DOUBLE) AS recall,
+       CASE WHEN overlap > 0 THEN
+         2.0 * (CAST(overlap AS DOUBLE) / CAST(n_cand AS DOUBLE))
+             * (CAST(overlap AS DOUBLE) / CAST(n_ref AS DOUBLE))
+             / ((CAST(overlap AS DOUBLE) / CAST(n_cand AS DOUBLE))
+                + (CAST(overlap AS DOUBLE) / CAST(n_ref AS DOUBLE)))
+       ELSE 0.0 END AS f1
+FROM j ORDER BY pair_id
+"""
+
+
 def round10b_queries():
     """Round-10b additions: readability, LSH-histogram embedding
     drift, training-mix (source-axis) entropy. (Zipf fit, vocabulary
     coverage and BM25 already exist as text_zipf_fit /
     text_vocab_coverage / text_bm25_scores.)"""
-    from sqlstreamstore_spark.analytics import drift, pipeline, quality, text
+    from sqlstreamstore_spark.analytics import drift, evaluation, pipeline, quality, text
 
     return {
         # Flesch reading-ease per source (vowel-group syllable proxy);
@@ -8635,5 +8676,11 @@ def round10b_queries():
         "dq_dp_noisy_counts": (
             lambda s, sf: quality.dp_noisy_counts(_t(s, sf, "documents")),
             _DP_COUNTS_SQL,
+        ),
+        # SQuAD-style token-overlap F1 between (ref, cand) pairs —
+        # exact multiset intersection, never a doc×doc cross
+        "eval_token_f1": (
+            lambda s, sf: evaluation.token_f1(_t(s, sf, "documents")),
+            _TOKEN_F1_SQL,
         ),
     }

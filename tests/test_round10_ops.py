@@ -523,3 +523,32 @@ def test_full_curation_chain_in_ingest_sink(spark, tmp_path):
         b2.filter(F.col("doc_id").isin(15, 16)), n=8,
     ).collect()
     assert {r["doc_id"] for r in leaked} == {15}
+
+
+def test_token_f1_exact_replay(spark):
+    """Multiset-overlap P/R/F1 replay exactly in pure Python; the
+    degenerate zero-overlap pair reports f1 = 0."""
+    from collections import Counter
+
+    from sqlstreamstore_spark.analytics.evaluation import token_f1
+
+    docs = load_table(spark, SF, "documents")
+    rows = {r["pair_id"]: r for r in token_f1(docs).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for pid, r in rows.items():
+        ref = Counter(texts[2 * pid].split(" "))
+        cand = Counter(texts[2 * pid + 1].split(" "))
+        ov = sum((ref & cand).values())
+        nr, nc = sum(ref.values()), sum(cand.values())
+        assert (r["n_ref"], r["n_cand"], r["overlap"]) == (nr, nc, ov), pid
+        assert r["precision"] == ov / nc and r["recall"] == ov / nr
+        if ov:
+            p_, r_ = ov / nc, ov / nr
+            assert r["f1"] == 2.0 * p_ * r_ / (p_ + r_)
+        else:
+            assert r["f1"] == 0.0
+    disjoint = spark.createDataFrame(
+        [(0, "aa bb cc"), (1, "xx yy zz")], "doc_id long, text string"
+    )
+    z = token_f1(disjoint).collect()[0]
+    assert z["overlap"] == 0 and z["f1"] == 0.0
