@@ -878,7 +878,7 @@ print("done", retries)
     def _timed(k: str) -> bool:
         return not k.endswith(
             ("_per_sec", "_cas_retries", "_ms", "_best3",
-             "_reader_pages", "_anomalies")  # counts, not seconds
+             "_reader_pages", "_anomalies", "_kept")  # counts, not seconds
         )
 
     total = round(sum(v for k, v in timings.items() if _timed(k)), 3)
