@@ -570,3 +570,85 @@ def token_f1(documents: DataFrame) -> DataFrame:
         )
         .orderBy("pair_id")
     )
+
+
+def ab_test_mann_whitney(events: DataFrame) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) A/B readout — the
+    NONPARAMETRIC twin of :func:`ab_test_report`: same deterministic
+    ``user_id % 2`` arms and exact-cents metric, but the test statistic
+    ranks values instead of trusting means, so a heavy-tailed or
+    skewed metric (latency, spend) can't fake or hide a shift the way
+    it can under Welch's t. Tie-corrected normal approximation.
+
+    Exactness: ranks never materialize per row — per distinct value v
+    the average rank is N_before(v) + (n_v+1)/2, so DOUBLED rank sums
+    are pure integers: 2R_b = Σ_v n_bv·(2·N_before + n_v + 1), and
+    z = (2U_b − n_a·n_b) / (2·√var) with
+    var = n_a·n_b·((N+1)·N·(N−1) − Σ(t³−t)) / (12·N·(N−1)) — every
+    numerator exact (DECIMAL(38,0) for the cube and the doubled rank
+    sum, the power_users_gini widening discipline), ONE libm sqrt,
+    rounded 6. Degenerate cases stay diagnosable, not NaN: an empty
+    arm or an all-tied metric NULLs u_b / z, counts still report
+    (the ab_test_report ADVICE-r7-#4 contract).
+
+    Scale shape: one partial agg onto the (distinct cents) value
+    axis, the two-phase global cumsum for N_before (never a
+    single-partition window over the value table), one final 1-row
+    agg."""
+    from sqlstreamstore_spark.operators.positions import with_global_cumsum
+
+    base = events.filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    per = base.groupBy("cents").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("na_v"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("nb_v"),
+    ).withColumn("n_v", (F.col("na_v") + F.col("nb_v")).cast("long"))
+    cum = with_global_cumsum(per, ["cents"], "n_v", out_col="cum_incl")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    terms = cum.select(
+        "na_v", "nb_v", "n_v",
+        (
+            dec(F.col("nb_v"))
+            * dec(
+                F.lit(2) * (F.col("cum_incl") - F.col("n_v"))
+                + F.col("n_v")
+                + F.lit(1)
+            )
+        ).alias("two_rb_v"),
+        (dec(F.col("n_v")) * dec(F.col("n_v")) * dec(F.col("n_v"))
+         - dec(F.col("n_v"))).alias("tie_v"),
+    )
+    g = terms.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+        F.sum("n_v").cast("long").alias("n_total"),
+        F.sum("two_rb_v").alias("two_rb"),
+        F.sum("tie_v").alias("ties"),
+        F.count("*").cast("long").alias("n_distinct_values"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    n = F.col("n_total").cast("double")
+    two_ub = (
+        F.col("two_rb").cast("double")
+        - n_b * (n_b + F.lit(1.0))
+    )
+    var_num = (n + F.lit(1.0)) * n * (n - F.lit(1.0)) - F.col("ties").cast(
+        "double"
+    )
+    var = n_a * n_b * var_num / (F.lit(12.0) * n * (n - F.lit(1.0)))
+    testable = (
+        (F.col("n_a") > 0) & (F.col("n_b") > 0)
+        & (F.col("n_distinct_values") > 1) & (F.col("n_total") > 1)
+    )
+    return g.select(
+        "n_total", "n_a", "n_b", "n_distinct_values",
+        F.when(testable, two_ub / F.lit(2.0)).alias("u_b"),
+        F.when(testable, F.round(
+            (two_ub - n_a * n_b) / (F.lit(2.0) * F.sqrt(var)), 6
+        )).alias("z"),
+    )

@@ -8640,6 +8640,58 @@ FROM j ORDER BY pair_id
 """
 
 
+_MANN_WHITNEY_SQL = """
+WITH base AS (
+  SELECT user_id % 2 AS arm, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+),
+per AS (
+  SELECT cents,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb_v,
+         CAST(count(*) AS BIGINT) AS n_v
+  FROM base GROUP BY cents
+),
+cum AS (
+  SELECT na_v, nb_v, n_v,
+         CAST(sum(n_v) OVER (ORDER BY cents
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_incl
+  FROM per
+),
+terms AS (
+  SELECT na_v, nb_v, n_v,
+         CAST(nb_v AS DECIMAL(38,0))
+           * CAST(2 * (cum_incl - n_v) + n_v + 1 AS DECIMAL(38,0)) AS two_rb_v,
+         CAST(n_v AS DECIMAL(38,0)) * CAST(n_v AS DECIMAL(38,0))
+           * CAST(n_v AS DECIMAL(38,0)) - CAST(n_v AS DECIMAL(38,0)) AS tie_v
+  FROM cum
+),
+g AS (
+  SELECT CAST(sum(na_v) AS BIGINT) AS n_a, CAST(sum(nb_v) AS BIGINT) AS n_b,
+         CAST(sum(n_v) AS BIGINT) AS n_total,
+         sum(two_rb_v) AS two_rb, sum(tie_v) AS ties,
+         CAST(count(*) AS BIGINT) AS n_distinct_values
+  FROM terms
+)
+SELECT n_total, n_a, n_b, n_distinct_values,
+  CASE WHEN n_a > 0 AND n_b > 0 AND n_distinct_values > 1 AND n_total > 1 THEN
+    (CAST(two_rb AS DOUBLE) - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0)) / 2.0
+  END AS u_b,
+  CASE WHEN n_a > 0 AND n_b > 0 AND n_distinct_values > 1 AND n_total > 1 THEN
+    round(
+      ((CAST(two_rb AS DOUBLE) - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0))
+       - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+      / (2.0 * sqrt(
+          CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+          * ((CAST(n_total AS DOUBLE) + 1.0) * CAST(n_total AS DOUBLE)
+             * (CAST(n_total AS DOUBLE) - 1.0) - CAST(ties AS DOUBLE))
+          / (12.0 * CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) - 1.0))
+        )), 6)
+  END AS z
+FROM g
+"""
+
+
 def round10b_queries():
     """Round-10b additions: readability, LSH-histogram embedding
     drift, training-mix (source-axis) entropy. (Zipf fit, vocabulary
@@ -8682,5 +8734,12 @@ def round10b_queries():
         "eval_token_f1": (
             lambda s, sf: evaluation.token_f1(_t(s, sf, "documents")),
             _TOKEN_F1_SQL,
+        ),
+        # Mann-Whitney U: the nonparametric twin of eval_ab_test_welch
+        # — doubled rank sums stay exact-integer via the per-value
+        # average-rank identity; tie-corrected z
+        "eval_ab_test_mann_whitney": (
+            lambda s, sf: evaluation.ab_test_mann_whitney(_t(s, sf, "events")),
+            _MANN_WHITNEY_SQL,
         ),
     }

@@ -552,3 +552,55 @@ def test_token_f1_exact_replay(spark):
     )
     z = token_f1(disjoint).collect()[0]
     assert z["overlap"] == 0 and z["f1"] == 0.0
+
+
+def test_mann_whitney_matches_scipy_or_replay(spark):
+    """U and tie-corrected z replay from first principles (and match
+    scipy when available); an all-tied metric and an empty arm NULL
+    the statistic but keep counts."""
+    from collections import Counter
+
+    from sqlstreamstore_spark.analytics.evaluation import ab_test_mann_whitney
+
+    ev = load_table(spark, SF, "events")
+    row = ab_test_mann_whitney(ev).collect()[0]
+    vals = [
+        (r["user_id"] % 2, round(r["value"] * 100))
+        for r in ev.select("user_id", "value").collect()
+        if r["user_id"] is not None and r["value"] is not None
+    ]
+    import math
+
+    n_a = sum(1 for a, _ in vals if a == 0)
+    n_b = len(vals) - n_a
+    cnt = Counter(v for _, v in vals)
+    # average ranks per distinct value
+    ranks = {}
+    before = 0
+    for v in sorted(cnt):
+        ranks[v] = before + (cnt[v] + 1) / 2
+        before += cnt[v]
+    rb = sum(ranks[v] for a, v in vals if a == 1)
+    ub = rb - n_b * (n_b + 1) / 2
+    n = len(vals)
+    ties = sum(t**3 - t for t in cnt.values())
+    var = n_a * n_b * ((n + 1) * n * (n - 1) - ties) / (12 * n * (n - 1))
+    z = (ub - n_a * n_b / 2) / math.sqrt(var)
+    assert (row["n_a"], row["n_b"], row["n_total"]) == (n_a, n_b, n)
+    assert row["u_b"] == ub
+    assert abs(row["z"] - z) < 1e-6
+    try:
+        from scipy.stats import mannwhitneyu
+
+        a = [v for g, v in vals if g == 0]
+        b = [v for g, v in vals if g == 1]
+        res = mannwhitneyu(b, a, alternative="two-sided", method="asymptotic")
+        assert abs(res.statistic - ub) < 1e-9
+    except ImportError:
+        pass
+    # degenerate: all-tied metric -> NULL z, counts intact
+    allsame = spark.createDataFrame(
+        [(i, 5.0) for i in range(10)], "user_id long, value double"
+    )
+    d = ab_test_mann_whitney(allsame).collect()[0]
+    assert d["n_total"] == 10 and d["z"] is None and d["u_b"] is None
