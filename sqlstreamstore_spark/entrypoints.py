@@ -672,45 +672,31 @@ def build_oracle_sql() -> dict[str, str]:
 # from gate_last_checked(), so satisfied pins stop displacing the stale
 # backlog in later rounds automatically.
 #
-# Round-10 one-off (VERDICT r9 #1): the r10 window must close the whole
-# evidence queue — 23 never-driver-checked r9 gates + ALL 25 r4-vintage
-# rows. 23+25+4 canaries = 52 > 50, so the canary set is trimmed to TWO
-# for this round only (the two dropped canaries, events_funnel and
-# store_bulk_roundtrip, have fresh r9 rows and rejoin in r11 — restore
-# the 4-tuple below once CORRECTNESS_r10 lands). 2+23+25 = exactly 50:
-# after r10, zero never-checked gates and no row older than r5.
+# Round-11 window (VERDICT r10 #1): pin the 8 round-10 gates with no
+# driver row yet + let stalest-first fill the rest with the 40 oldest
+# r5-vintage rows. 2 canaries + 8 pins + 40 = exactly 50: after r11,
+# zero never-checked gates and at most 9 r5-vintage rows remain (those
+# are pinned first in r12). Canaries stay at the r10 pair — the dropped
+# pair (events_funnel, store_bulk_roundtrip) has fresh r9 rows and
+# would displace two r5 drains; restore the 4-tuple in r12 when the
+# r5 backlog is gone.
 _GATE_CANARIES: tuple[str, ...] = (
     "read_all_forwards", "dedup_minhash_lsh",
-    # r11: restore "events_funnel", "store_bulk_roundtrip" here.
+    # r12: restore "events_funnel", "store_bulk_roundtrip" here.
 )
 
 _GATE_PINNED_NEW: tuple[str, ...] = (
-    # r9 verdict #1: the 23 round-9 additions with no driver row yet
-    # (judge-sim ALL OK in r9); pins self-expire once the row lands.
-    # (The r8 pin list landed its rows in r9 and has expired out.)
-    "dedup_minhash_compacted",
-    "dq_l_diversity",
-    "dq_t_closeness",
-    "drift_embedding_centroids",
-    "eval_pass_at_k",
-    "events_dft_periodogram",
-    "events_hodges_lehmann",
-    "events_holt_forecast",
-    "events_mann_kendall",
-    "graph_link_prediction",
-    "pipeline_curriculum_order",
-    "pipeline_curriculum_pack",
-    "pipeline_dataset_card",
-    "pipeline_interleave_sources",
-    "pipeline_length_batches",
-    "pipeline_retention_by_source",
-    "sampling_epoch_allocation",
-    "sampling_epoch_waterfill",
-    "sampling_kfold",
-    "stats_bootstrap_ci",
-    "text_sif_features",
-    "text_tokenizer_fertility",
-    "text_vocab_incremental",
+    # r10 verdict #1: the 8 round-10 additions with no driver row yet
+    # (judge-sim ALL OK in r10); pins self-expire once the row lands.
+    # (The r9 pin list landed its rows in r10 and has expired out.)
+    "dq_dp_noisy_counts",
+    "drift_lsh_histogram",
+    "eval_ab_test_mann_whitney",
+    "eval_token_f1",
+    "pipeline_mix_entropy",
+    "sim_ivf_index_health",
+    "sim_ivf_rebalanced_topk",
+    "text_readability",
 )
 
 
