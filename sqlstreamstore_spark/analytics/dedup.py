@@ -913,31 +913,26 @@ def compact_index(
     groupBy-sum rewrite) instead. A schema guard below refuses such
     paths.
 
-    Local-FS constraint: the retire-then-swap below uses
-    ``os.rename``/``shutil`` and therefore requires a POSIX local
-    filesystem (the test/bench environment). On an object store or
-    HDFS, route the swap through the Hadoop FileSystem API or a
-    manifest pointer instead; build/upsert themselves accept any
-    Hadoop-compatible URI.
+    Filesystem: the retire-then-swap goes through the Hadoop
+    FileSystem resolved from the path's scheme
+    (:mod:`sqlstreamstore_spark.sources.hadoopfs`), so it works on
+    ``file:``/HDFS/object stores alike; see that module's atomicity
+    note (S3A rename is copy-based — constant-time swaps at scale
+    layer a manifest pointer on top).
 
     At 100 TB: one distinct (shuffle on the index row, which is
     hash-sized — never document text) + one write clustered by the
     partition column so every output partition directory lands as a
     single large file per reducer. The rewrite goes to a sibling
     directory and is swapped in only after it completes, so a crashed
-    compaction leaves the live index untouched (the local-FS stand-in
-    for the object-store version-directory + manifest-pointer
-    pattern)."""
-    import os
-    import shutil
+    compaction leaves the live index untouched."""
+    from sqlstreamstore_spark.sources.hadoopfs import recover_retired, retire_swap
 
-    old = path.rstrip("/") + ".__retired__"
-    # crash recovery (ADVICE r9 #1): a crash between the two renames
-    # below leaves the complete pre-compaction index at .__retired__
-    # and nothing at `path` — restore it on entry so no data is ever
+    # crash recovery (ADVICE r9 #1): a crash between the swap renames
+    # leaves the complete pre-compaction index at .__retired__ and
+    # nothing at `path` — restore it on entry so no data is ever
     # stranded and a re-run starts from a live index.
-    if os.path.exists(old) and not os.path.exists(path):
-        os.rename(old, path)
+    recover_retired(spark, path)
 
     df = spark.read.parquet(path).distinct()
     # refuse counter-valued layouts (ADVICE r9 #3): distinct() on a
@@ -959,18 +954,12 @@ def compact_index(
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(tmp)
-    # retire-then-swap: the no-index window shrinks from an O(files)
-    # rmtree to two rename syscalls, and a crash at any point leaves a
-    # COMPLETE index on disk (old at .__retired__ before the second
-    # rename, new at `path` after) — only cleanup is ever lost (the
-    # entry-time recovery above restores a stranded .__retired__).
-    # POSIX has no atomic dir exchange; object stores use a manifest
-    # pointer (see the local-FS note in the docstring).
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    # retire-then-swap (Hadoop FS): the no-index window shrinks to two
+    # renames, and a crash at any point leaves a COMPLETE index (old
+    # at .__retired__ before the promote, new at `path` after) — only
+    # cleanup is ever lost (the entry-time recovery above restores a
+    # stranded .__retired__).
+    retire_swap(spark, path, tmp)
 
 
 def substring_dup_spans(documents: DataFrame, k: int = 8) -> DataFrame:

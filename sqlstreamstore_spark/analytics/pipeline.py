@@ -425,7 +425,13 @@ def interleave_sources(documents: DataFrame) -> DataFrame:
     from the dense two-phase GLOBAL index over (source, doc_id):
     rank_in_source = global_rank − (source's first global rank) + 1,
     where the per-source minima are a bounded groupBy broadcast back.
-    Identical values, no per-source funnel."""
+    Identical values, no per-source funnel.
+
+    Pin lifecycle: the two-phase index persists its range-partitioned
+    input (the layout barrier). Callers that invoke this repeatedly in
+    one session wrap each call + its action in
+    ``operators.positions.pin_scope()`` (harnesses use
+    ``release_pins()``) so cached partitions don't accumulate."""
     from sqlstreamstore_spark.operators.positions import with_dense_global_index
 
     ranked = with_dense_global_index(
@@ -462,7 +468,12 @@ def curriculum_order(documents: DataFrame, stages: int = 4) -> DataFrame:
     (operators/positions.py — range partition + in-partition
     row_number + broadcast prefix counts), never a single-partition
     window; N arrives as a broadcast one-row aggregate. Output is the
-    training order a data loader consumes."""
+    training order a data loader consumes.
+
+    Pin lifecycle: the two-phase index persists its range-partitioned
+    input; looping callers scope each call + action with
+    ``operators.positions.pin_scope()`` (harnesses use
+    ``release_pins()``)."""
     from sqlstreamstore_spark.operators.positions import with_dense_global_index
 
     toks = documents.select(
@@ -1212,7 +1223,12 @@ def length_bucket_batches(documents: DataFrame, batch_size: int = 32) -> DataFra
     index (never a single-partition window); batch_id = position DIV
     batch_size, then one partial-agg groupBy onto bounded batch rows.
     waste_frac is one exact BIGINT division per row — zero-tolerance
-    oracle."""
+    oracle.
+
+    Pin lifecycle: the two-phase index persists its range-partitioned
+    input; looping callers scope each call + action with
+    ``operators.positions.pin_scope()`` (harnesses use
+    ``release_pins()``)."""
     from sqlstreamstore_spark.operators.positions import with_dense_global_index
 
     toks = documents.select(

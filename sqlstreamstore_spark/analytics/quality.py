@@ -621,36 +621,60 @@ def t_closeness_report(documents: DataFrame, t: float = 0.3, bucket: int = 100) 
     )
 
 
-def dp_noisy_counts(documents: DataFrame, epsilon: float = 1.0) -> DataFrame:
-    """ε-differentially-private per-source release counts (Dwork et
-    al. 2006): the Laplace mechanism over the bounded source axis —
-    the fourth leg of the release-privacy toolkit (k-anonymity /
-    l-diversity / t-closeness audit the raw release; DP counts are
-    what you publish when even exact marginals leak). Sensitivity 1
-    (one document moves one count), noise ~ Laplace(1/ε) via the
-    inverse CDF of the DETERMINISTIC 48-bit md5 fraction of the
-    source key (the weighted-reservoir u discipline — reproducible
-    releases, and the gate hash-matches because both engines compute
-    the identical rational → one libm ln → round 6).
+#: Publicly-known salt for oracle-reproducible DEMOS of the Laplace
+#: mechanism shape. A public salt yields ZERO privacy (anyone can
+#: recompute and subtract the noise) — production callers MUST pass
+#: their own secret, per-release-window salt instead.
+DP_PUBLIC_DEMO_SALT = "dp:"
 
-    NOTE the determinism trade-off, stated for honesty: a FIXED seed
-    per source means repeated releases don't accumulate privacy loss
-    but also never average out — production rotates the salt per
-    release window and accounts ε per rotation. The mechanism and
-    accounting shape are exactly this; only the salt policy differs.
+
+def dp_noisy_counts(
+    documents: DataFrame,
+    epsilon: float = 1.0,
+    salt: str | None = None,
+) -> DataFrame:
+    """Laplace-mechanism per-source release counts (Dwork et al.
+    2006) — the fourth leg of the release-privacy toolkit
+    (k-anonymity / l-diversity / t-closeness audit the raw release;
+    noisy counts are what you publish when even exact marginals
+    leak). Sensitivity 1 (one document moves one count), noise ~
+    Laplace(1/ε) via the inverse CDF of the 48-bit md5 fraction of
+    ``salt || source``. The midpoint fraction ``(v + 0.5) / 2^48``
+    keeps u strictly inside (0, 1), so ``ln(1 - 2|u - 0.5|)`` can
+    never see 0 (v = 2^48 - 1 previously drove u to exactly 1.0 and
+    the noise to -inf).
+
+    PRIVACY CONTRACT (the honest version): the release is ε-DP ONLY
+    while ``salt`` stays secret. The noise is a deterministic
+    function of (salt, source) — with a public or guessable salt
+    anyone recomputes it and subtracts it, recovering exact counts.
+    Callers must supply a secret salt and rotate it per release
+    window, accounting ε per rotation (a fixed secret salt means
+    repeat releases don't compound ε but also never average out).
+    Passing no salt raises; pass ``DP_PUBLIC_DEMO_SALT`` explicitly
+    to run the mechanism-shape demo (what the registry gate does so
+    the DuckDB oracle can hash-match the identical rational → one
+    libm ln → round 6).
 
     Scale: one partial-agg groupBy onto the bounded source axis."""
+    if salt is None:
+        raise ValueError(
+            "dp_noisy_counts requires an explicit salt: a SECRET "
+            "per-release-window value for a real ε-DP release, or "
+            "DP_PUBLIC_DEMO_SALT to run the reproducible (zero-"
+            "privacy) mechanism demo."
+        )
     per = documents.groupBy("source").agg(
         F.count("*").cast("long").alias("__n")
     )
     v = F.conv(
         F.substring(
-            F.md5(F.concat(F.lit("dp:"), F.col("source"))), 1, 12
+            F.md5(F.concat(F.lit(salt), F.col("source"))), 1, 12
         ),
         16,
         10,
     ).cast("double")
-    u = (v + F.lit(1.0)) / F.lit(float(1 << 48))
+    u = (v + F.lit(0.5)) / F.lit(float(1 << 48))
     p = u - F.lit(0.5)
     noise = (
         F.lit(-1.0 / epsilon)

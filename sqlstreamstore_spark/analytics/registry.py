@@ -8587,7 +8587,7 @@ d AS (
          (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
             list_transform(string_split(substr(md5('dp:' || source), 1, 12), ''),
               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
-            (a, x) -> a * 16 + x) AS DOUBLE) + 1.0) / 281474976710656.0 AS u
+            (a, x) -> a * 16 + x) AS DOUBLE) + 0.5) / 281474976710656.0 AS u
   FROM per
 )
 SELECT source,
@@ -8722,11 +8722,14 @@ def round10b_queries():
             lambda s, sf: pipeline.mix_entropy(_t(s, sf, "documents")),
             _MIX_ENTROPY_SQL,
         ),
-        # epsilon-DP Laplace release counts (deterministic hash-
-        # uniform inverse CDF — the weighted-reservoir u discipline);
+        # Laplace-mechanism release counts run with the PUBLIC demo
+        # salt (explicitly zero-privacy — see the dp_noisy_counts
+        # privacy contract; real releases pass a secret rotated salt);
         # completes the release-privacy toolkit (audit triad + publish)
         "dq_dp_noisy_counts": (
-            lambda s, sf: quality.dp_noisy_counts(_t(s, sf, "documents")),
+            lambda s, sf: quality.dp_noisy_counts(
+                _t(s, sf, "documents"), salt=quality.DP_PUBLIC_DEMO_SALT
+            ),
             _DP_COUNTS_SQL,
         ),
         # SQuAD-style token-overlap F1 between (ref, cand) pairs —

@@ -1898,14 +1898,22 @@ def ivf_index_health(
         rows.select(
             F.col("cluster_id").alias("list_id"),
             "n_vecs",
-            (F.col("n_vecs").cast("double") / F.col("__tot").cast("double")).alias(
-                "size_share"
-            ),
+            # empty-index guard (ADVICE r10): __tot = 0 would make the
+            # shares/Gini NaN — report zeros so the row stays diagnosable
+            F.when(
+                F.col("__tot") > 0,
+                F.col("n_vecs").cast("double") / F.col("__tot").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("size_share"),
             F.when(F.col("n_vecs") > 0, F.round(cos, 9)).alias("centroid_cos"),
-            (
+            F.when(
+                F.col("__tot") > 0,
                 F.col("__gnum").cast("double")
-                / (F.lit(float(k)) * F.col("__tot").cast("double"))
-            ).alias("size_gini"),
+                / (F.lit(float(k)) * F.col("__tot").cast("double")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("size_gini"),
         )
         .orderBy("list_id")
     )
@@ -1927,8 +1935,10 @@ def rebalance_ivf_index(
     assigned to the NEW centroids with the same retire-then-swap
     discipline as ``dedup.compact_index`` (crash leaves a complete
     index; entry-time recovery restores a stranded ``.__retired__``;
-    local-FS only — see that docstring's Hadoop-FS note). Returns the
-    new centroid model to ship alongside the index.
+    the swap runs through the Hadoop FileSystem of the path's scheme —
+    :mod:`sqlstreamstore_spark.sources.hadoopfs` — so it works on
+    ``file:``/HDFS/object stores alike). Returns the new centroid
+    model to ship alongside the index.
 
     The rewrite is ONE assignment pass + one clustered write — the
     same cost as the original build, paid on the rebalance cadence
@@ -1947,19 +1957,20 @@ def rebalance_ivf_index(
     the few hot lists (bounded by 1/max_share), each a model-sized
     Lloyd run over one list's members."""
     import math
-    import os
-    import shutil
 
-    old = path.rstrip("/") + ".__retired__"
-    if os.path.exists(old) and not os.path.exists(path):
-        os.rename(old, path)
+    from sqlstreamstore_spark.sources.hadoopfs import recover_retired, retire_swap
+
+    recover_retired(spark, path)
     idx = spark.read.parquet(path).drop("cluster_id")
     train = idx if sample_mod is None else idx.filter(
         F.col("vec_id") % sample_mod == 0
     )
     cents = kmeans_centroids(train, n_clusters=n_clusters, iters=iters)
     assigned = ivf_assign(idx, cents)
-    pinned = None
+    # every frame this op persists, unpersisted before return (ADVICE
+    # r10 #2: earlier rounds pinned only the FIRST frame and leaked
+    # each split pass's re-persist for the session lifetime)
+    pinned: list = []
     if max_share is not None:
         # iterative size-capped split (bounded depth): a single Lloyd
         # sub-split can come out uneven, so re-check up to 3 passes.
@@ -1967,7 +1978,7 @@ def rebalance_ivf_index(
         # of literal near-duplicates cannot be meaningfully split by a
         # cosine quantizer (and is the exact-dedup stage's job anyway).
         assigned = assigned.persist()
-        pinned = assigned
+        pinned.append(assigned)
         next_id = max(c for c, _ in cents) + 1
         for _pass in range(3):
             sizes = {
@@ -2001,16 +2012,17 @@ def rebalance_ivf_index(
             for p in parts[1:]:
                 out = out.unionByName(p)
             assigned = out.persist()
+            # materialize the new pin, then release the superseded one
+            # (the split filters above have already consumed it)
+            assigned.count()
+            pinned.append(assigned)
+            pinned.pop(0).unpersist()
             cents = sorted(new_cents)
     tmp = path.rstrip("/") + ".__compacting__"
     assigned.repartition("cluster_id").write.partitionBy("cluster_id").mode(
         "overwrite"
     ).parquet(tmp)
-    if pinned is not None:
-        pinned.unpersist()
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    for frame in pinned:
+        frame.unpersist()
+    retire_swap(spark, path, tmp)
     return cents

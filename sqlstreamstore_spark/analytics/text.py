@@ -192,14 +192,13 @@ def compact_term_index(spark, path: str, target_partitions: int = 8) -> None:
     carry count mass, so the rewrite collapses each token to one fully
     merged row (idempotent: re-compacting is a no-op by the monoid).
     Same retire-then-swap discipline as `dedup.compact_index`,
-    including entry-time recovery of a stranded ``.__retired__``
-    (local-FS only; see that docstring's Hadoop-FS note)."""
-    import os
-    import shutil
+    including entry-time recovery of a stranded ``.__retired__``;
+    the swap goes through the Hadoop FileSystem of the path's scheme
+    (:mod:`sqlstreamstore_spark.sources.hadoopfs`), so it works on
+    ``file:``/HDFS/object stores alike."""
+    from sqlstreamstore_spark.sources.hadoopfs import recover_retired, retire_swap
 
-    old = path.rstrip("/") + ".__retired__"
-    if os.path.exists(old) and not os.path.exists(path):
-        os.rename(old, path)
+    recover_retired(spark, path)
     merged = (
         spark.read.parquet(path)
         .groupBy("token")
@@ -208,11 +207,7 @@ def compact_term_index(spark, path: str, target_partitions: int = 8) -> None:
     )
     tmp = path.rstrip("/") + ".__compacting__"
     merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    retire_swap(spark, path, tmp)
 
 
 def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:

@@ -33,11 +33,29 @@ from pyspark.sql.window import Window
 # AFTER each query's action completes — repeated invocations no longer
 # accumulate session-lifetime cached partitions (ADVICE r9 #4); one-off
 # callers may simply never release and keep the old behavior.
+#
+# Round-11 ownership + safety rules (ADVICE r10 #3):
+#   - dense_global_index_pinned's frames are NOT registered — its
+#     documented contract hands unpersist ownership to the caller, and
+#     a harness release_pins() firing between that caller's actions
+#     would drop the layout barrier mid-use (a later re-collection
+#     would re-draw the RangePartitioner sample against the already-
+#     collected offset map → silently wrong indexes).
+#   - registry mutation is guarded by a lock (streaming foreachBatch
+#     threads may append while the driver loop releases); release
+#     swaps the list out atomically before unpersisting.
+#   - library callers that loop over the LAZY convenience wrappers
+#     (with_dense_global_index / with_global_cumsum and the pipeline
+#     ops built on them) scope their pins with :func:`pin_scope`.
+import threading
+
+_PIN_LOCK = threading.Lock()
 _PIN_REGISTRY: list[DataFrame] = []
 
 
 def _track_pin(df: DataFrame) -> DataFrame:
-    _PIN_REGISTRY.append(df)
+    with _PIN_LOCK:
+        _PIN_REGISTRY.append(df)
     return df
 
 
@@ -46,15 +64,50 @@ def release_pins() -> int:
     ONLY at a quiescent point: after the downstream action on every
     frame built from these pins has run, with no later re-collection
     of those frames (a re-execution after release recomputes the range
-    exchange under a new partitioner seed). Returns the pin count."""
-    n = len(_PIN_REGISTRY)
-    for df in _PIN_REGISTRY:
+    exchange under a new partitioner seed). Returns the pin count.
+    Frames returned by :func:`dense_global_index_pinned` are caller-
+    owned and never touched here."""
+    with _PIN_LOCK:
+        drained = list(_PIN_REGISTRY)
+        _PIN_REGISTRY.clear()
+    for df in drained:
         try:
             df.unpersist()
         except Exception:
             pass
-    _PIN_REGISTRY.clear()
-    return n
+    return len(drained)
+
+
+class pin_scope:
+    """Context manager giving a library caller exact ownership of the
+    layout pins its own code creates::
+
+        with pin_scope():
+            batches = curriculum_order(docs, ...)
+            batches.collect()        # the action that needs the pins
+        # pins created inside the block are now released; pins owned
+        # by other threads / outer scopes are untouched
+
+    Exit releases ONLY the registry entries added after entry that are
+    still present (identity-compared under the lock), so concurrent
+    scopes and a global release_pins() compose safely. The quiescence
+    rule still applies inside the block: don't re-collect a frame
+    after its scope closed."""
+
+    def __enter__(self) -> "pin_scope":
+        with _PIN_LOCK:
+            self._before = {id(df) for df in _PIN_REGISTRY}
+        return self
+
+    def __exit__(self, *exc) -> None:
+        with _PIN_LOCK:
+            mine = [df for df in _PIN_REGISTRY if id(df) not in self._before]
+            _PIN_REGISTRY[:] = [df for df in _PIN_REGISTRY if id(df) in self._before]
+        for df in mine:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 def with_dense_global_index(
@@ -73,14 +126,18 @@ def with_dense_global_index(
       - "auto": "offsets" (scale-safe default).
 
     The offsets plan pins (persists) the repartitioned input. The pin
-    is tracked in the module registry: repeated callers (bench, the
-    gate harness) free accumulated pins at quiescent points via
-    :func:`release_pins`; call ``dense_global_index_pinned`` instead
-    when you want per-call unpersist ownership.
+    is tracked in the module registry: repeated callers free
+    accumulated pins at quiescent points via :func:`release_pins` (the
+    bench/gate harness) or scope them with :func:`pin_scope` (library
+    loops); call ``dense_global_index_pinned`` instead when you want
+    per-call unpersist ownership (those frames are NOT registered —
+    the caller alone releases them).
     """
-    out, _pinned = dense_global_index_pinned(
+    out, pinned = dense_global_index_pinned(
         df, order_cols, index_col=index_col, strategy=strategy, num_partitions=num_partitions
     )
+    if pinned is not None:
+        _track_pin(pinned)
     return out
 
 
@@ -126,8 +183,9 @@ def with_global_cumsum(
     Cost: one cached copy of the partitioned input per call, held
     until session end or eviction (MEMORY_AND_DISK — spills, never
     recomputes-with-new-bounds); callers that loop over many cumsum
-    builds in one session should unpersist via
-    ``dense_global_index_pinned``-style ownership."""
+    builds in one session scope each iteration's pins with
+    :func:`pin_scope` (or run the harness-level :func:`release_pins`
+    at quiescent points)."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     parted = (
@@ -293,7 +351,11 @@ def dense_global_index_pinned(
 ) -> tuple[DataFrame, DataFrame | None]:
     """Like with_dense_global_index but also returns the persisted
     intermediate (or None for the window strategy) so the caller can
-    ``unpersist()`` once its downstream action has run."""
+    ``unpersist()`` once its downstream action has run. The frame is
+    deliberately NOT registered with the module pin registry (ADVICE
+    r10 #3): the caller owns it exclusively, so a concurrent
+    ``release_pins()`` can never drop the layout barrier between this
+    caller's actions."""
     if strategy == "window":
         w = Window.orderBy(*order_cols)
         return df.withColumn(index_col, F.row_number().over(w) - F.lit(1)), None
@@ -306,7 +368,6 @@ def dense_global_index_pinned(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
-    _track_pin(parted)
     counts = {r["__pid"]: r["cnt"] for r in parted.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):

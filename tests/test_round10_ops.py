@@ -414,28 +414,61 @@ def test_mix_entropy_exact_replay(spark):
 def test_dp_noisy_counts_mechanism(spark):
     """The Laplace mechanism replays exactly from the hash-uniform; a
     smaller epsilon widens the noise; noise is zero-mean-symmetric in
-    the inverse-CDF sense (sign depends only on u vs 0.5)."""
+    the inverse-CDF sense (sign depends only on u vs 0.5); the salt
+    changes the noise (so a secret salt is what carries the privacy)
+    and omitting it raises."""
     import hashlib
     import math
     from collections import Counter
 
-    from sqlstreamstore_spark.analytics.quality import dp_noisy_counts
+    import pytest
+
+    from sqlstreamstore_spark.analytics.quality import (
+        DP_PUBLIC_DEMO_SALT,
+        dp_noisy_counts,
+    )
 
     docs = load_table(spark, SF, "documents")
-    rows = {r["source"]: r for r in dp_noisy_counts(docs, 1.0).collect()}
+    with pytest.raises(ValueError, match="salt"):
+        dp_noisy_counts(docs, 1.0)
+    rows = {
+        r["source"]: r
+        for r in dp_noisy_counts(docs, 1.0, salt=DP_PUBLIC_DEMO_SALT).collect()
+    }
     true = Counter(r["source"] for r in docs.select("source").collect())
-    for src, n in true.items():
-        v = int(hashlib.md5(f"dp:{src}".encode()).hexdigest()[:12], 16)
-        u = (v + 1.0) / float(1 << 48)
+
+    def stdlib_noise(salt: str, src: str, eps: float) -> float:
+        v = int(hashlib.md5(f"{salt}{src}".encode()).hexdigest()[:12], 16)
+        # midpoint fraction keeps u strictly inside (0, 1)
+        u = (v + 0.5) / float(1 << 48)
         p = u - 0.5
-        noise = -1.0 * math.copysign(1.0, p) * math.log(1.0 - 2.0 * abs(p))
+        return (-1.0 / eps) * math.copysign(1.0, p) * math.log(1.0 - 2.0 * abs(p))
+
+    for src, n in true.items():
+        noise = stdlib_noise(DP_PUBLIC_DEMO_SALT, src, 1.0)
         assert abs(rows[src]["noisy_docs"] - (n + noise)) < 1e-6, src
-    tight = {r["source"]: r["noisy_docs"] for r in dp_noisy_counts(docs, 0.1).collect()}
+    tight = {
+        r["source"]: r["noisy_docs"]
+        for r in dp_noisy_counts(docs, 0.1, salt=DP_PUBLIC_DEMO_SALT).collect()
+    }
     # eps 0.1 noise is exactly 10x the eps 1.0 noise per source
     for src, n in true.items():
         n1 = rows[src]["noisy_docs"] - n
         n01 = tight[src] - n
         assert abs(n01 - 10.0 * n1) < 1e-4, src
+    # a different (secret) salt draws different noise — matching the
+    # stdlib twin with the same secret, differing from the demo salt
+    secret = {
+        r["source"]: r["noisy_docs"]
+        for r in dp_noisy_counts(docs, 1.0, salt="s3cr3t|2026-08|").collect()
+    }
+    diff = 0
+    for src, n in true.items():
+        noise = stdlib_noise("s3cr3t|2026-08|", src, 1.0)
+        assert abs(secret[src] - (n + noise)) < 1e-6, src
+        if abs(secret[src] - rows[src]["noisy_docs"]) > 1e-9:
+            diff += 1
+    assert diff > 0
 
 
 def test_round10b_plans_are_scale_shaped(spark):
@@ -444,7 +477,10 @@ def test_round10b_plans_are_scale_shaped(spark):
     bucket grid and the two 1-row total broadcasts."""
     from sqlstreamstore_spark.analytics.drift import lsh_histogram_drift
     from sqlstreamstore_spark.analytics.pipeline import mix_entropy
-    from sqlstreamstore_spark.analytics.quality import dp_noisy_counts
+    from sqlstreamstore_spark.analytics.quality import (
+        DP_PUBLIC_DEMO_SALT,
+        dp_noisy_counts,
+    )
     from sqlstreamstore_spark.analytics.text import readability_by_source
 
     docs = load_table(spark, SF, "documents")
@@ -452,7 +488,7 @@ def test_round10b_plans_are_scale_shaped(spark):
     for df in (
         readability_by_source(docs),
         mix_entropy(docs),
-        dp_noisy_counts(docs),
+        dp_noisy_counts(docs, salt=DP_PUBLIC_DEMO_SALT),
     ):
         p = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p

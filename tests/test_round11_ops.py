@@ -1,0 +1,283 @@
+"""Round-11 hardening: Hadoop-FS retire-swap for index maintenance
+(VERDICT r10 #4), the rebalance persist-leak fix (#6 / ADVICE r10 #2),
+caller-scoped pin ownership (#7 / ADVICE r10 #3), and the
+ivf_index_health empty-index guard (ADVICE r10 #4)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlstreamstore_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = load_table(spark, SF, "embeddings").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = load_table(spark, SF, "documents").cache()
+    df.count()
+    return df
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+# ------------------------------------------------- hadoopfs primitives
+
+
+def test_hadoopfs_primitives_file_scheme(spark, tmp_path):
+    """exists/rename/delete through the Hadoop FileSystem resolved
+    from an explicit file:-scheme URI."""
+    from sqlstreamstore_spark.sources import hadoopfs as H
+
+    d = tmp_path / "a"
+    d.mkdir()
+    (d / "x.txt").write_text("hello")
+    a = f"file://{d}"
+    b = f"file://{tmp_path / 'b'}"
+    assert H.fs_exists(spark, a)
+    assert not H.fs_exists(spark, b)
+    H.fs_rename(spark, a, b)
+    assert not os.path.exists(d)
+    assert (tmp_path / "b" / "x.txt").read_text() == "hello"
+    H.fs_delete(spark, b)
+    assert not os.path.exists(tmp_path / "b")
+
+
+def test_hadoopfs_retire_swap_and_recovery(spark, tmp_path):
+    """retire_swap promotes the rewrite and drops the retired copy; a
+    stranded .__retired__ (crash between the two renames) is restored
+    by recover_retired — both through file:-scheme Hadoop paths."""
+    from sqlstreamstore_spark.sources import hadoopfs as H
+
+    live = tmp_path / "idx"
+    tmp = tmp_path / "idx.__compacting__"
+    live.mkdir()
+    tmp.mkdir()
+    (live / "old.parquet").write_text("old")
+    (tmp / "new.parquet").write_text("new")
+    H.retire_swap(spark, f"file://{live}", f"file://{tmp}")
+    assert (live / "new.parquet").read_text() == "new"
+    assert not os.path.exists(str(live) + ".__retired__")
+    assert not os.path.exists(tmp)
+    # crash window: live retired, nothing promoted
+    os.rename(live, str(live) + ".__retired__")
+    H.recover_retired(spark, f"file://{live}")
+    assert (live / "new.parquet").read_text() == "new"
+    assert not os.path.exists(str(live) + ".__retired__")
+    # no stranded copy -> recovery is a no-op
+    H.recover_retired(spark, f"file://{live}")
+    assert (live / "new.parquet").read_text() == "new"
+
+
+def test_compact_index_via_file_scheme(spark, docs, tmp_path):
+    """compact_index's whole lifecycle through an explicit file:
+    scheme URI — the object-store code path (VERDICT r10 #4 'Done'
+    condition), plus idempotent re-compaction."""
+    from sqlstreamstore_spark.analytics.dedup import (
+        build_digest_index,
+        compact_index,
+        upsert_digest_index,
+    )
+
+    path = f"file://{tmp_path / 'digests'}"
+    build_digest_index(docs.limit(120), path)
+    upsert_digest_index(docs.limit(40), path)  # duplicate rows on disk
+    raw = spark.read.parquet(path).count()
+    distinct = spark.read.parquet(path).distinct().count()
+    assert raw > distinct
+    compact_index(spark, path)
+    assert spark.read.parquet(path).count() == distinct
+    compact_index(spark, path)  # idempotent
+    assert spark.read.parquet(path).count() == distinct
+    local = str(tmp_path / "digests")
+    assert not os.path.exists(local + ".__retired__")
+    assert not os.path.exists(local + ".__compacting__")
+
+
+def test_compact_term_index_via_file_scheme(spark, docs, tmp_path):
+    """The counter-valued compaction merges partial rows by sum
+    through a file:-scheme Hadoop path."""
+    from sqlstreamstore_spark.analytics.text import (
+        build_term_index,
+        compact_term_index,
+    )
+
+    path = f"file://{tmp_path / 'terms'}"
+    build_term_index(docs.limit(60), path)
+    before = {
+        r["token"]: (r["tf"], r["df"])
+        for r in spark.read.parquet(path)
+        .groupBy("token")
+        .agg(F.sum("tf").alias("tf"), F.sum("df").alias("df"))
+        .collect()
+    }
+    compact_term_index(spark, path)
+    after_rows = spark.read.parquet(path).collect()
+    after = {r["token"]: (r["tf"], r["df"]) for r in after_rows}
+    assert len(after_rows) == len(after)  # fully merged: one row/token
+    assert after == before
+    local = str(tmp_path / "terms")
+    assert not os.path.exists(local + ".__retired__")
+
+
+def test_rebalance_via_file_scheme_no_persist_leak(spark, emb, tmp_path):
+    """rebalance_ivf_index through a file:-scheme URI, with the
+    multi-pass hot-list split exercised, leaves ZERO cached frames
+    behind (VERDICT r10 #6: every superseded `assigned` persist is
+    released, not just the first)."""
+    from sqlstreamstore_spark.analytics import similarity as S
+
+    local = str(tmp_path / "ivf")
+    path = f"file://{local}"
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    cents = S.build_ivf_index(base, path, n_clusters=8)
+    anchor = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    a = F.array(*[F.lit(x) for x in anchor])
+    delta = (
+        emb.filter(F.col("vec_id") % 5 == 0)
+        .limit(300)
+        .select(
+            (F.col("vec_id") + 100_000).alias("vec_id"),
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                a,
+                lambda v, c: 0.3 * v + 0.7 * c,
+            )
+            .cast("array<float>")
+            .alias("embedding"),
+            "label",
+        )
+    )
+    S.upsert_ivf_index(delta, path, cents)
+    before_ids = {
+        r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
+    }
+    n0 = _n_persistent(spark)
+    new_cents = S.rebalance_ivf_index(
+        spark, path, n_clusters=8, iters=2, max_share=0.2
+    )
+    assert _n_persistent(spark) == n0  # no leaked split-pass persists
+    assert len(new_cents) > 8  # the hot list actually split (multi-pass ran)
+    assert {
+        r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
+    } == before_ids
+    assert not os.path.exists(local + ".__retired__")
+    assert not os.path.exists(local + ".__compacting__")
+
+
+# -------------------------------------------------- ivf health guards
+
+
+def test_ivf_index_health_empty_index(spark, tmp_path):
+    """An empty index reports zero shares/Gini and null staleness —
+    diagnosable, never NaN (ADVICE r10 #4)."""
+    import math
+
+    from sqlstreamstore_spark.analytics import similarity as S
+
+    path = str(tmp_path / "empty_ivf")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, cluster_id int"
+    ).write.parquet(path)
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    rows = S.ivf_index_health(spark, path, cents).collect()
+    assert [r["list_id"] for r in rows] == [0, 1]
+    for r in rows:
+        assert r["n_vecs"] == 0
+        assert r["size_share"] == 0.0 and not math.isnan(r["size_share"])
+        assert r["size_gini"] == 0.0 and not math.isnan(r["size_gini"])
+        assert r["centroid_cos"] is None
+
+
+# --------------------------------------------------- pin ownership
+
+
+def test_pinned_index_frames_not_in_registry(spark, docs):
+    """dense_global_index_pinned hands the pin to the caller and does
+    NOT register it: a harness release_pins() between the caller's
+    actions can never drop its layout barrier (ADVICE r10 #3)."""
+    from sqlstreamstore_spark.operators import positions as P
+
+    P.release_pins()  # quiesce
+    toks = docs.select("doc_id", F.length("text").alias("n"))
+    out, pinned = P.dense_global_index_pinned(toks, ["n", "doc_id"])
+    assert pinned is not None
+    first = out.orderBy("position").limit(5).collect()
+    assert P.release_pins() == 0  # nothing registered by the pinned API
+    # the barrier survived: re-collection sees identical indexes
+    again = out.orderBy("position").limit(5).collect()
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in first]
+    pinned.unpersist()
+
+
+def test_pin_scope_releases_only_its_own(spark, docs):
+    """pin_scope releases exactly the pins created inside the block;
+    outer pins survive, and repeated scoped invocations of the three
+    lazy pipeline ops show NO cache growth (VERDICT r10 #7 'Done'
+    condition, without relying on the harness registry)."""
+    from sqlstreamstore_spark.analytics.pipeline import (
+        curriculum_order,
+        interleave_sources,
+        length_bucket_batches,
+    )
+    from sqlstreamstore_spark.operators import positions as P
+
+    P.release_pins()
+    base = _n_persistent(spark)
+    # an outer pin that must survive inner scopes
+    toks = docs.select("doc_id", F.length("text").alias("n"))
+    outer = P.with_dense_global_index(toks, ["n", "doc_id"])
+    outer.limit(1).collect()
+    outer_count = _n_persistent(spark)
+    assert outer_count > base
+    for _ in range(3):
+        with P.pin_scope():
+            curriculum_order(docs, stages=4).limit(3).collect()
+            length_bucket_batches(docs, batch_size=64).limit(3).collect()
+            interleave_sources(docs).limit(3).collect()
+        assert _n_persistent(spark) == outer_count  # no growth per loop
+    assert P.release_pins() == 1  # only the outer pin remained registered
+    assert _n_persistent(spark) == base
+
+
+def test_pin_scope_threadsafe_registry(spark, docs):
+    """Concurrent scoped workers mutate the registry under the lock:
+    every worker's pins release cleanly, total cache returns to
+    baseline, no lost or doubly-released entries."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sqlstreamstore_spark.operators import positions as P
+
+    P.release_pins()
+    base = _n_persistent(spark)
+    toks = docs.select("doc_id", F.length("text").alias("n"))
+
+    def worker(i: int) -> int:
+        with P.pin_scope():
+            out = P.with_dense_global_index(
+                toks.filter(F.col("doc_id") % 4 == i), ["n", "doc_id"]
+            )
+            return len(out.limit(5).collect())
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        counts = list(ex.map(worker, range(4)))
+    assert all(c > 0 for c in counts)
+    assert _n_persistent(spark) == base
+    assert P.release_pins() == 0
