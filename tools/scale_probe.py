@@ -1465,7 +1465,201 @@ def round9c_main(times: int = 10) -> int:
     return 0
 
 
+def sink_horizon_main(batches: int = 50, batch_docs: int = 200) -> int:
+    """r10 verdict #5: the long-horizon sink curve. Drives
+    fuzzy_dedup_ingest_sink — the FULL curation chain (quality
+    predicates → digest anti-join → LSH probe → IVF semantic probe →
+    decontamination → corpus append → index upserts) — for O(50)
+    fixed-size micro-batches in ONE streaming query
+    (maxFilesPerTrigger=1), with the round-11 HEALTH-DRIVEN rebalance
+    wired in (ivf_index_health every 5 batches; Gini/min-cos
+    thresholds fire rebalance_ivf_index and the retrained centroids
+    flow into subsequent probes via centroid_state). Records each
+    batch's trigger wall-clock from the query's own progress events:
+    the 'work ∝ batch, never corpus' claim becomes a measured curve —
+    per-batch cost must stay flat (or log-bounded) while the corpus
+    and both indexes grow ~11x over the horizon.
+
+    Batch composition (fixed size): 75% novel docs (md5-counter
+    synthetic text — never near-dups of anything; embeddings are
+    seed-vector perturbations, pulled 50% toward one anchor from
+    batch 15 on — the concentrated-crawl shape that skews the IVF
+    index and fires the health trigger), 12.5% exact duplicates of
+    seed docs (digest-stage drops), 12.5% near-duplicates (one token
+    appended — LSH-stage drops)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.analytics import dedup, pipeline, similarity
+    from sqlstreamstore_spark.session import get_spark
+    from sqlstreamstore_spark.sources.tables import load_table
+    from sqlstreamstore_spark.streaming.sink import fuzzy_dedup_ingest_sink
+
+    spark = get_spark(app_name="scale-probe-sink-horizon")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    base = tempfile.mkdtemp(prefix="sss-sink-horizon-")
+    input_dir = os.path.join(base, "input")
+    corpus_path = os.path.join(base, "corpus")
+    mh_path = os.path.join(base, "mh_index")
+    ivf_path = os.path.join(base, "ivf_index")
+    ngram_path = os.path.join(base, "ngram_index")
+    os.makedirs(input_dir)
+
+    d = "/root/testdata/sf0.1"
+    emb = load_table(spark, d, "embeddings")
+    seed = (
+        load_table(spark, d, "documents")
+        .join(emb, F.col("doc_id") == F.col("vec_id"))
+        .select("doc_id", "text", "embedding")
+        .localCheckpoint()
+    )
+    seed.write.parquet(corpus_path)
+    dedup.build_minhash_index(seed, mh_path)
+    cents = similarity.kmeans_centroids(
+        seed.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        n_clusters=16, iters=2,
+    )
+    similarity.build_ivf_index(
+        seed.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        ivf_path, centroids=cents,
+    )
+    # tiny benchmark for the decontamination stage: 5 seed docs
+    pipeline.build_ngram_index(seed.limit(5), ngram_path, n=8)
+
+    seed_rows = seed.limit(60).collect()
+    seed_vecs = [list(map(float, r["embedding"])) for r in seed_rows]
+    anchor = seed_vecs[0]
+    vocab = [f"w{j:02d}" for j in range(48)]
+
+    def novel_text(b: int, i: int) -> str:
+        ws = []
+        for j in range(60):
+            h = hashlib.md5(f"sink:{b}:{i}:{j}".encode()).digest()[0]
+            ws.append(vocab[h % len(vocab)])
+        return " ".join(ws)
+
+    def perturb(v, b, i, pull):
+        h = hashlib.md5(f"vec:{b}:{i}".encode()).digest()
+        noise = [(h[j % 16] - 127.5) / 127.5 for j in range(len(v))]
+        return [
+            float((1 - pull) * (0.7 * x + 0.3 * nz) + pull * a)
+            for x, nz, a in zip(v, noise, anchor)
+        ]
+
+    n_novel = int(batch_docs * 0.75)
+    n_dup = (batch_docs - n_novel) // 2
+    t_gen = time.time()
+    for b in range(batches):
+        pull = 0.5 if b >= 15 else 0.0
+        rows = []
+        for i in range(n_novel):
+            did = 1_000_000 + b * batch_docs + i
+            v = seed_vecs[(b * 31 + i) % len(seed_vecs)]
+            rows.append((did, novel_text(b, i), perturb(v, b, i, pull)))
+        for i in range(n_dup):  # exact dups → digest drop
+            r = seed_rows[(b + i) % len(seed_rows)]
+            rows.append(
+                (2_000_000 + b * batch_docs + i, r["text"],
+                 list(map(float, r["embedding"])))
+            )
+        for i in range(n_dup):  # near-dups → LSH drop
+            r = seed_rows[(b + i + 7) % len(seed_rows)]
+            rows.append(
+                (3_000_000 + b * batch_docs + i,
+                 r["text"] + f" sinktail{b}",
+                 perturb(list(map(float, r["embedding"])), b, 9999 + i, 0.0))
+            )
+        bdf = spark.createDataFrame(
+            rows, "doc_id long, text string, embedding array<float>"
+        ).coalesce(1)
+        tmp = os.path.join(base, f"stage_{b}")
+        bdf.write.parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(input_dir, f"batch_{b:03d}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+    gen_s = round(time.time() - t_gen, 2)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    state: dict = {"centroids": cents}
+    t0 = time.time()
+    q = fuzzy_dedup_ingest_sink(
+        stream, corpus_path, mh_path,
+        threshold=0.5,
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        ivf_index_path=ivf_path, centroids=cents,
+        cosine_threshold=0.98,
+        ngram_index_path=ngram_path, decontaminate_n=8,
+        min_tokens=3,
+        centroid_state=state,
+        ivf_health_every=5,
+        ivf_gini_threshold=0.45,
+        ivf_min_cos_threshold=0.85,
+        ivf_rebalance_max_share=0.15,
+    )
+    q.awaitTermination()
+    total_s = round(time.time() - t0, 2)
+    prog = sorted(q.recentProgress, key=lambda p: p["batchId"])
+    durs = [
+        round(p["durationMs"].get("triggerExecution", 0) / 1000.0, 3)
+        for p in prog
+        if p.get("numInputRows", 0) > 0
+    ]
+
+    corpus_rows = spark.read.parquet(corpus_path).count()
+    mh_rows = spark.read.parquet(mh_path).count()
+    ivf_rows = spark.read.parquet(ivf_path).count()
+    h = similarity.ivf_index_health(spark, ivf_path, state["centroids"]).collect()
+    pop = [r["centroid_cos"] for r in h if r["n_vecs"] > 0 and r["centroid_cos"] is not None]
+
+    def mean(xs):
+        return round(sum(xs) / max(1, len(xs)), 3)
+
+    res = {
+        "sink_horizon": {
+            "batches": len(durs), "batch_docs": batch_docs,
+            "gen_s": gen_s, "total_s": total_s,
+            "per_batch_s": durs,
+            "mean_b1_10": mean(durs[1:10]),
+            "mean_b20_30": mean(durs[20:30]),
+            "mean_last10": mean(durs[-10:]),
+            "last10_over_first10": round(
+                mean(durs[-10:]) / mean(durs[1:10]), 3
+            ),
+            "corpus_rows_final": corpus_rows,
+            "mh_index_rows_final": mh_rows,
+            "ivf_index_rows_final": ivf_rows,
+            "rebalances": state.get("rebalances", []),
+            "final_health": {
+                "gini": round(float(h[0]["size_gini"]), 4),
+                "min_cos": round(float(min(pop)), 4) if pop else None,
+                "n_lists": len(state["centroids"]),
+            },
+        }
+    }
+    print(json.dumps(res), flush=True)
+    _merge_scale(res, "sf1-synthetic")
+    shutil.rmtree(base, ignore_errors=True)
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--sink-horizon":
+        raise SystemExit(
+            sink_horizon_main(
+                int(sys.argv[2]) if len(sys.argv) > 2 else 50,
+                int(sys.argv[3]) if len(sys.argv) > 3 else 200,
+            )
+        )
     if len(sys.argv) > 1 and sys.argv[1] == "--round9c":
         raise SystemExit(
             round9c_main(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
