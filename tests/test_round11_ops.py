@@ -281,3 +281,110 @@ def test_pin_scope_threadsafe_registry(spark, docs):
     assert all(c > 0 for c in counts)
     assert _n_persistent(spark) == base
     assert P.release_pins() == 0
+
+
+# -------------------------------------------- health-driven sink repair
+
+
+def test_sink_health_driven_rebalance(spark, emb, tmp_path):
+    """The round-11 lifecycle closure: fuzzy_dedup_ingest_sink with
+    ivf_health_every set monitors its own IVF index and repairs it
+    when the skew/staleness thresholds fire; the retrained centroids
+    flow into subsequent probes/upserts via centroid_state, and the
+    index contents survive the retire-swap exactly."""
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.analytics import dedup, similarity
+    from sqlstreamstore_spark.streaming.sink import fuzzy_dedup_ingest_sink
+
+    base = tmp_path
+    src = str(base / "src")
+    corpus = str(base / "corpus")
+    mh_idx = str(base / "mh")
+    ivf_idx = str(base / "ivf")
+    schema = "doc_id long, text string, embedding array<float>"
+
+    seed = (
+        emb.limit(400)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.concat(F.lit("seed document body number "), F.col("vec_id").cast("string"),
+                     F.lit(" with enough distinct tokens to pass quality")).alias("text"),
+            "embedding",
+        )
+        .localCheckpoint()
+    )
+    seed.write.parquet(corpus)
+    dedup.build_minhash_index(seed, mh_idx)
+    cents = similarity.kmeans_centroids(
+        seed.select(F.col("doc_id").alias("vec_id"), "embedding"), n_clusters=4, iters=2
+    )
+    similarity.build_ivf_index(
+        seed.select(F.col("doc_id").alias("vec_id"), "embedding"), ivf_idx,
+        centroids=cents,
+    )
+
+    # 3 skewed batches: novel text, embeddings pulled 70% toward one
+    # anchor — the concentrated-crawl shape that drifts one list
+    anchor = [float(x) for x in emb.filter(F.col("vec_id") == 1)
+              .select("embedding").collect()[0][0]]
+    a = F.array(*[F.lit(x) for x in anchor])
+    for b in range(3):
+        batch = (
+            emb.filter(F.col("vec_id") % 3 == b)
+            .limit(60)
+            .select(
+                (F.col("vec_id") + 10_000 * (b + 1)).alias("doc_id"),
+                F.concat(F.lit(f"novel batch {b} doc "),
+                         F.col("vec_id").cast("string"),
+                         F.lit(" unique content words alpha beta gamma delta")).alias("text"),
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"), a,
+                    lambda v, c: 0.3 * v + 0.7 * c,
+                ).cast("array<float>").alias("embedding"),
+            )
+        )
+        batch.write.mode("append").parquet(src)
+
+    before_ids = None
+    state: dict = {"centroids": cents}
+    q = fuzzy_dedup_ingest_sink(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        corpus, mh_idx,
+        threshold=0.5,
+        checkpoint_dir=str(base / "ckpt"),
+        ivf_index_path=ivf_idx, centroids=cents,
+        cosine_threshold=0.999,  # only exact copies drop — survivors flow
+        centroid_state=state,
+        ivf_health_every=2,
+        ivf_gini_threshold=0.05,        # aggressive: must fire on the skew
+        ivf_min_cos_threshold=0.999,
+        ivf_rebalance_max_share=0.5,
+        query_name="hsink",
+    )
+    q.awaitTermination(180)
+
+    rebs = state.get("rebalances", [])
+    assert rebs, "health trigger never fired"
+    assert state["centroids"] is not cents  # retrained quantizer shipped
+    assert all(r["gini"] >= 0 and r["n_lists_after"] >= 4 for r in rebs)
+    # index contents == corpus embeddings ids (swap lost nothing)
+    idx_ids = {r["vec_id"] for r in spark.read.parquet(ivf_idx).select("vec_id").collect()}
+    corpus_ids = {r["doc_id"] for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    assert idx_ids == corpus_ids
+    # probes against the repaired index still find exact duplicates:
+    # re-sending batch 1 drops everything (digest stage) — and a NEW
+    # doc whose embedding copies an indexed one drops at the IVF stage
+    dup_vec = [float(x) for x in spark.read.parquet(ivf_idx)
+               .filter(F.col("vec_id") >= 10_000).limit(1)
+               .select("embedding").collect()[0][0]]
+    probe = spark.createDataFrame(
+        [(999_999, "completely new text payload never seen before anywhere", dup_vec)],
+        schema,
+    )
+    losers = similarity.near_dup_against_ivf_index(
+        spark, ivf_idx,
+        probe.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        threshold=0.999, centroids=state["centroids"],
+    ).collect()
+    assert {r["new_vec"] for r in losers} == {999_999}
