@@ -652,3 +652,91 @@ def ab_test_mann_whitney(events: DataFrame) -> DataFrame:
             (two_ub - n_a * n_b) / (F.lit(2.0) * F.sqrt(var)), 6
         )).alias("z"),
     )
+
+
+# ------------------------------------------- Bradley-Terry (round 11)
+
+
+def bt_win_matrix(events: DataFrame) -> DataFrame:
+    """Pairwise preference matrix from per-user matchups: each user's
+    engagement total per event type (EXACT integer cents — value·100
+    rounded to BIGINT, so the winner decision is order-free) decides
+    every (type, type) matchup for that user; ties are skipped.
+    Output: (i, j, wij) — wins of i over j, bounded by the type axis
+    squared. Scale shape: one partial-agg groupBy onto
+    (user, type) — bounded fan-out per user since the type axis is
+    bounded — then a per-user self-join on that bounded axis and one
+    count onto the k² matrix. The corpus shuffles once, keyed by
+    user."""
+    s = events.groupBy("user_id", F.col("event_type").alias("t")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sc")
+    )
+    a = s.select("user_id", F.col("t").alias("t1"), F.col("sc").alias("s1"))
+    b = s.select("user_id", F.col("t").alias("t2"), F.col("sc").alias("s2"))
+    m = a.join(b, "user_id").filter(F.col("t1") < F.col("t2")).filter(
+        F.col("s1") != F.col("s2")
+    )
+    wl = m.select(
+        F.when(F.col("s1") > F.col("s2"), F.col("t1")).otherwise(F.col("t2")).alias("i"),
+        F.when(F.col("s1") > F.col("s2"), F.col("t2")).otherwise(F.col("t1")).alias("j"),
+    )
+    return wl.groupBy("i", "j").agg(F.count("*").cast("long").alias("wij"))
+
+
+def bradley_terry(events: DataFrame, iters: int = 5) -> DataFrame:
+    """Arena-style pairwise-preference ranking — the Bradley-Terry
+    model fit with Hunter's MM updates (Hunter, "MM algorithms for
+    generalized Bradley-Terry models", Annals of Statistics 2004):
+    the aggregation every LLM-eval arena runs to turn pairwise
+    human/judge preferences into per-model scores.
+
+        p_i ← W_i / Σ_{j≠i, n_ij>0} n_ij / (p_i + p_j),  then normalize
+
+    The win matrix is computed DISTRIBUTED (:func:`bt_win_matrix` —
+    the corpus shuffles once); the MM solve runs driver-side over the
+    model-sized item axis (the kmeans_centroids / bpe_train
+    discipline — items are models/systems under comparison, never
+    data) with SORTED-fold float discipline: denominators fold over
+    opponents in item order and the normalizer folds over items in
+    item order, so the DuckDB twin replays the identical IEEE
+    sequence and the gate hash-matches to round 9.
+
+    Zero-win items converge to score 0 (their games still shape the
+    winners' denominators); items with no games are excluded. Output:
+    (item, wins, games, bt_score), scores summing to 1."""
+    rows = bt_win_matrix(events).collect()  # bounded: k² matrix rows
+    w: dict[tuple[str, str], int] = {(r["i"], r["j"]): int(r["wij"]) for r in rows}
+    items = sorted({i for i, _ in w} | {j for _, j in w})
+    n = {
+        (i, j): w.get((i, j), 0) + w.get((j, i), 0)
+        for i in items
+        for j in items
+        if i != j
+    }
+    wins = {i: sum(w.get((i, j), 0) for j in items if j != i) for i in items}
+    games = {i: sum(n[(i, j)] for j in items if j != i) for i in items}
+    items = [i for i in items if games[i] > 0]
+    p = {i: 1.0 / len(items) for i in items}
+    for _t in range(iters):
+        praw = {}
+        for i in items:
+            d = 0.0
+            for j in items:
+                if j != i and n[(i, j)] > 0:
+                    d += n[(i, j)] / (p[i] + p[j])
+            praw[i] = (wins[i] / d) if d > 0 else 0.0
+        tot = 0.0
+        for i in items:
+            tot += praw[i]
+        p = {i: praw[i] / tot for i in items}
+    spark = events.sparkSession
+    out = [(i, int(wins[i]), int(games[i]), float(p[i])) for i in items]
+    return (
+        spark.createDataFrame(
+            out, "item string, wins long, games long, bt_score double"
+        )
+        # round engine-side (HALF_UP), matching the DuckDB twin —
+        # Python's round() is banker's and could disagree at a .5 tail
+        .select("item", "wins", "games", F.round("bt_score", 9).alias("bt_score"))
+        .orderBy("item")
+    )

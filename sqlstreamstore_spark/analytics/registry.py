@@ -7131,6 +7131,7 @@ def analytics_queries():
     (non-SQL-expressible: engine-specific hash families)."""
     return {
         **round10b_queries(),
+        **round11_queries(),
         # TPC-H
         "tpch_q1": (lambda s, sf: tpch.q1_pricing_summary(_t(s, sf, "lineitem")), _Q1_SQL),
         "tpch_q3": (
@@ -8957,5 +8958,173 @@ def round10b_queries():
         "eval_ab_test_mann_whitney": (
             lambda s, sf: evaluation.ab_test_mann_whitney(_t(s, sf, "events")),
             _MANN_WHITNEY_SQL,
+        ),
+    }
+
+
+# ------------------------------------------------- round-11 additions
+
+
+def _sq8_topk_sql(k: int = 10, mult: int = 4) -> str:
+    """DuckDB twin of cosine_topk_sq8: recompute the per-dim min/max
+    model from the table, replay the same quantize → decode →
+    approx-rank → exact-rerank arithmetic (identical IEEE sequence:
+    list_dot_product folds sequentially like F.aggregate; round() is
+    HALF_UP on the non-negative code argument in both engines)."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+ex AS (SELECT vec_id, unnest(v) AS x,
+              unnest(range(1, len(v) + 1)) AS pos FROM e),
+dims AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM ex GROUP BY pos),
+dec AS (
+  SELECT vec_id,
+         list(CASE WHEN hi = lo THEN lo
+                   ELSE CAST(round(255.0 * (x - lo) / (hi - lo)) AS INT)
+                        * ((hi - lo) / 255.0) + lo END
+              ORDER BY pos) AS dv
+  FROM ex JOIN dims USING (pos) GROUP BY vec_id
+),
+scored AS (
+  SELECT d.vec_id,
+         list_dot_product(d.dv, q.qv)
+           / ((CASE WHEN sqrt(list_dot_product(d.dv, d.dv)) = 0.0 THEN 1.0
+                    ELSE sqrt(list_dot_product(d.dv, d.dv)) END)
+              * (CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) = 0.0 THEN 1.0
+                      ELSE sqrt(list_dot_product(q.qv, q.qv)) END)) AS approx
+  FROM dec d, q
+),
+cand AS (SELECT * FROM scored ORDER BY approx DESC, vec_id LIMIT {k * mult}),
+rer AS (
+  SELECT c.vec_id, round(c.approx, 9) AS approx_cosine,
+         round(list_dot_product(e.v, q.qv)
+           / ((CASE WHEN sqrt(list_dot_product(e.v, e.v)) = 0.0 THEN 1.0
+                    ELSE sqrt(list_dot_product(e.v, e.v)) END)
+              * (CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) = 0.0 THEN 1.0
+                      ELSE sqrt(list_dot_product(q.qv, q.qv)) END)), 9) AS cosine
+  FROM cand c JOIN e USING (vec_id), q
+)
+SELECT vec_id, approx_cosine, cosine
+FROM rer ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+
+
+def _bt_sql(iters: int = 5) -> str:
+    """DuckDB twin of evaluation.bradley_terry: the win matrix in
+    plain SQL (exact integer cents decide matchups), then ``iters``
+    UNROLLED MM iterations (the pagerank oracle discipline) with the
+    same sorted folds — denominators fold over opponents in item
+    order, the normalizer folds over items in item order — so every
+    IEEE add/divide replays in the Python solver's exact sequence."""
+    head = """
+WITH ev AS MATERIALIZED (
+  SELECT user_id, event_type AS t,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+s AS MATERIALIZED (SELECT user_id, t, CAST(sum(cents) AS BIGINT) AS sc
+      FROM ev GROUP BY user_id, t),
+m AS MATERIALIZED (
+  SELECT a.t AS t1, b.t AS t2, a.sc AS s1, b.sc AS s2
+  FROM s a JOIN s b ON a.user_id = b.user_id AND a.t < b.t
+  WHERE a.sc <> b.sc
+),
+wm AS MATERIALIZED (
+  SELECT CASE WHEN s1 > s2 THEN t1 ELSE t2 END AS i,
+         CASE WHEN s1 > s2 THEN t2 ELSE t1 END AS j,
+         CAST(count(*) AS BIGINT) AS wij
+  FROM m GROUP BY 1, 2
+),
+items AS MATERIALIZED (
+  SELECT DISTINCT i FROM (SELECT i FROM wm UNION ALL SELECT j AS i FROM wm)),
+pairs AS MATERIALIZED (
+  SELECT a.i, b.i AS j,
+         CAST(coalesce(w1.wij, 0) + coalesce(w2.wij, 0) AS BIGINT) AS nij
+  FROM items a JOIN items b ON a.i <> b.i
+  LEFT JOIN wm w1 ON w1.i = a.i AND w1.j = b.i
+  LEFT JOIN wm w2 ON w2.i = b.i AND w2.j = a.i
+),
+wins AS MATERIALIZED (
+  SELECT p.i,
+         CAST(coalesce(max(tw.twij), 0) AS BIGINT) AS wi,
+         CAST(sum(p.nij) AS BIGINT) AS gi
+  FROM pairs p
+  LEFT JOIN (SELECT i, sum(wij) AS twij FROM wm GROUP BY i) tw ON tw.i = p.i
+  GROUP BY p.i
+),
+live AS MATERIALIZED (SELECT i, wi, gi FROM wins WHERE gi > 0),
+p0 AS MATERIALIZED (
+  SELECT i, 1.0 / (SELECT count(*) FROM live) AS p FROM live)"""
+    blocks = []
+    prev = "p0"
+    for t in range(1, iters + 1):
+        blocks.append(f"""
+d{t} AS MATERIALIZED (
+  SELECT pr.i,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(pa.nij / (pr.p + pj.p) ORDER BY pa.j)
+             FILTER (WHERE pa.nij > 0)),
+           (a, x) -> a + x) AS d
+  FROM {prev} pr
+  JOIN pairs pa ON pa.i = pr.i
+  JOIN {prev} pj ON pj.i = pa.j
+  GROUP BY pr.i
+),
+r{t} AS MATERIALIZED (
+  SELECT live.i,
+         CASE WHEN d{t}.d > 0 THEN live.wi / d{t}.d ELSE 0.0 END AS praw
+  FROM live JOIN d{t} ON d{t}.i = live.i
+),
+n{t} AS MATERIALIZED (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(praw ORDER BY i)), (a, x) -> a + x) AS tot
+  FROM r{t}
+),
+p{t} AS MATERIALIZED (
+  SELECT i, praw / (SELECT tot FROM n{t}) AS p FROM r{t})""")
+        prev = f"p{t}"
+    tail = f"""
+SELECT live.i AS item, live.wi AS wins, live.gi AS games,
+       round({prev}.p, 9) AS bt_score
+FROM live JOIN {prev} ON {prev}.i = live.i
+ORDER BY item
+"""
+    return head + "," + ",".join(blocks) + tail
+
+
+_SQ8_TOPK_SQL = _sq8_topk_sql()
+_BT_SQL = _bt_sql()
+
+
+def round11_queries():
+    """Round-11 additions: SQ8 scalar-quantized ANN (the third
+    compression tier next to IVF/PQ — fully hash-oracled, no Lloyd
+    training anywhere) and Bradley-Terry pairwise-preference ranking
+    (the arena-style eval aggregation). Collision-checked against the
+    existing sim_*/eval_* families before claiming (round-10 process
+    note)."""
+    from sqlstreamstore_spark.analytics import evaluation
+
+    def _sq8_gate(s: SparkSession, sf: str) -> DataFrame:
+        emb = _t(s, sf, "embeddings")
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .collect()[0][0]
+        ]
+        return similarity.cosine_topk_sq8(emb, qvec, k=10, candidate_mult=4)
+
+    return {
+        # uint8 scalar-quantized ANN: quantize -> decoded-cosine rank
+        # -> exact rerank, every stage deterministic arithmetic ->
+        # full value-hash oracle (unlike the Lloyd-trained IVF/PQ)
+        "sim_cosine_topk_sq8": (_sq8_gate, _SQ8_TOPK_SQL),
+        # arena-style pairwise-preference ranking: distributed win
+        # matrix, MM solve on the bounded item axis, sorted-fold float
+        # discipline; oracle = unrolled-CTE MM (pagerank discipline)
+        "eval_bradley_terry": (
+            lambda s, sf: evaluation.bradley_terry(_t(s, sf, "events"), iters=5),
+            _BT_SQL,
         ),
     }

@@ -388,3 +388,75 @@ def test_sink_health_driven_rebalance(spark, emb, tmp_path):
         threshold=0.999, centroids=state["centroids"],
     ).collect()
     assert {r["new_vec"] for r in losers} == {999_999}
+
+
+# ------------------------------------------------ round-11b operators
+
+
+def test_sq8_quantize_and_topk(spark, emb):
+    """SQ8: codes bounded to [0,255]; reconstruction error bounded by
+    half a quantization step per dimension; ANN top-10 recall vs
+    brute force is essentially exact (255 levels/dim)."""
+    from sqlstreamstore_spark.analytics import similarity as S
+
+    model = S.sq8_train(emb)
+    assert all(h >= l for l, h in model)
+    codes = S.sq8_quantize(emb, model)
+    stats = codes.select(
+        F.min(F.array_min("codes")).alias("mn"),
+        F.max(F.array_max("codes")).alias("mx"),
+    ).collect()[0]
+    assert stats["mn"] >= 0 and stats["mx"] <= 255
+    # reconstruction bound on one row
+    row = emb.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0]
+    crow = codes.filter(F.col("vec_id") == 3).collect()[0]["codes"]
+    for j, (x, c) in enumerate(zip(row, crow)):
+        lo, hi = model[j]
+        scale = (hi - lo) / 255.0
+        dec = lo + c * scale
+        assert abs(float(x) - dec) <= scale / 2 + 1e-9, j
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+          .select("embedding").collect()[0][0]]
+    got = [r["vec_id"] for r in S.cosine_topk_sq8(emb, qv, k=10).collect()]
+    want = [r["vec_id"] for r in S.cosine_topk_bruteforce(emb, qv, k=10).collect()]
+    assert len(set(got) & set(want)) >= 9
+    # approx tracks exact closely
+    rows = S.cosine_topk_sq8(emb, qv, k=10).collect()
+    for r in rows:
+        assert abs(r["approx_cosine"] - r["cosine"]) < 0.02
+
+
+def test_bradley_terry_transitive_and_symmetric(spark):
+    """BT on a constructed tournament: a transitive dominance chain
+    orders the scores; a perfectly symmetric round-robin gives every
+    item the same score (1/k); wins/games columns are exact."""
+    from sqlstreamstore_spark.analytics.evaluation import bradley_terry
+
+    # users express A > B, B > C, A > C via engagement value sums
+    rows = []
+    eid = 0
+    for u in range(6):
+        # values: A=3.0, B=2.0, C=1.0 for every user -> A beats B beats C
+        for t, v in (("A", 3.0), ("B", 2.0), ("C", 1.0)):
+            rows.append((eid, u, t, v))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    out = {r["item"]: r for r in bradley_terry(ev, iters=8).collect()}
+    assert out["A"]["bt_score"] > out["B"]["bt_score"] > out["C"]["bt_score"]
+    assert out["A"]["wins"] == 12 and out["C"]["wins"] == 0
+    assert out["A"]["games"] == 12 and out["B"]["games"] == 12
+
+    # symmetric: half the users prefer A, half prefer B
+    rows = []
+    eid = 0
+    for u in range(4):
+        va, vb = (2.0, 1.0) if u % 2 == 0 else (1.0, 2.0)
+        rows.append((eid, u, "A", va)); eid += 1
+        rows.append((eid, u, "B", vb)); eid += 1
+    ev2 = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    out2 = {r["item"]: r["bt_score"] for r in bradley_terry(ev2, iters=8).collect()}
+    assert abs(out2["A"] - 0.5) < 1e-9 and abs(out2["B"] - 0.5) < 1e-9
