@@ -9092,8 +9092,86 @@ ORDER BY item
     return head + "," + ",".join(blocks) + tail
 
 
+def _ivfsq8_static_sql(
+    k: int = 10, n_clusters: int = 8, n_probe: int = 4, mult: int = 4
+) -> str:
+    """DuckDB twin of cosine_topk_ivfsq8_static: literal-centroid
+    probe selection + argmax assignment (the _ivf_static_sql CTEs)
+    composed with the SQ8 quantize→decode→rank→rerank chain (the
+    _sq8_topk_sql CTEs) — the full deployed IVF-SQ index replayed."""
+    from sqlstreamstore_spark.analytics.similarity import _static_centroids
+
+    cent_rows = ",\n    ".join(
+        "({cid}, CAST([{vals}] AS DOUBLE[]))".format(
+            cid=cid, vals=", ".join(repr(x) for x in vec)
+        )
+        for cid, vec in _static_centroids(n_clusters=n_clusters)
+    )
+    return f"""
+WITH cent(cid, cv) AS (VALUES
+    {cent_rows}
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM cent, q
+  ORDER BY list_dot_product(cv, qv)
+             / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
+           cid
+  LIMIT {n_probe}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+assigned AS (
+  SELECT vec_id, v FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv)
+                        / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cid
+           ) AS rk
+    FROM e, cent c) t
+  WHERE rk = 1 AND cid IN (SELECT cid FROM probe)
+),
+ex AS (SELECT vec_id, unnest(v) AS x,
+              unnest(range(1, len(v) + 1)) AS pos FROM e),
+dims AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM ex GROUP BY pos),
+sx AS (SELECT vec_id, unnest(v) AS x,
+             unnest(range(1, len(v) + 1)) AS pos FROM assigned),
+dec AS (
+  SELECT vec_id,
+         list(CASE WHEN hi = lo THEN lo
+                   ELSE CAST(round(255.0 * (x - lo) / (hi - lo)) AS INT)
+                        * ((hi - lo) / 255.0) + lo END
+              ORDER BY pos) AS dv
+  FROM sx JOIN dims USING (pos) GROUP BY vec_id
+),
+scored AS (
+  SELECT d.vec_id,
+         list_dot_product(d.dv, q.qv)
+           / ((CASE WHEN sqrt(list_dot_product(d.dv, d.dv)) = 0.0 THEN 1.0
+                    ELSE sqrt(list_dot_product(d.dv, d.dv)) END)
+              * (CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) = 0.0 THEN 1.0
+                      ELSE sqrt(list_dot_product(q.qv, q.qv)) END)) AS approx
+  FROM dec d, q
+),
+cand AS (SELECT * FROM scored ORDER BY approx DESC, vec_id LIMIT {k * mult}),
+rer AS (
+  SELECT c.vec_id, round(c.approx, 9) AS approx_cosine,
+         round(list_dot_product(e.v, q.qv)
+           / ((CASE WHEN sqrt(list_dot_product(e.v, e.v)) = 0.0 THEN 1.0
+                    ELSE sqrt(list_dot_product(e.v, e.v)) END)
+              * (CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) = 0.0 THEN 1.0
+                      ELSE sqrt(list_dot_product(q.qv, q.qv)) END)), 9) AS cosine
+  FROM cand c JOIN e USING (vec_id), q
+)
+SELECT vec_id, approx_cosine, cosine
+FROM rer ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+
+
 _SQ8_TOPK_SQL = _sq8_topk_sql()
 _BT_SQL = _bt_sql()
+_IVFSQ8_STATIC_SQL = _ivfsq8_static_sql()
 
 
 def round11_queries():
@@ -9120,6 +9198,24 @@ def round11_queries():
         # -> exact rerank, every stage deterministic arithmetic ->
         # full value-hash oracle (unlike the Lloyd-trained IVF/PQ)
         "sim_cosine_topk_sq8": (_sq8_gate, _SQ8_TOPK_SQL),
+        # composed IVF-SQ8 deployed index: coarse prune + SQ8 rank +
+        # exact rerank — the one COMPOSED ANN index whose every stage
+        # is deterministic, so it hash-oracles at full value (the
+        # IVFPQ composition can't: trained codebooks)
+        "sim_cosine_topk_ivfsq8_static": (
+            lambda s, sf: similarity.cosine_topk_ivfsq8_static(
+                _t(s, sf, "embeddings"),
+                [
+                    float(x)
+                    for x in _t(s, sf, "embeddings")
+                    .filter(F.col("vec_id") == 0)
+                    .select("embedding")
+                    .collect()[0][0]
+                ],
+                k=10,
+            ),
+            _IVFSQ8_STATIC_SQL,
+        ),
         # arena-style pairwise-preference ranking: distributed win
         # matrix, MM solve on the bounded item axis, sorted-fold float
         # discipline; oracle = unrolled-CTE MM (pagerank discipline)

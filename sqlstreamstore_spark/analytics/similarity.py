@@ -2129,3 +2129,68 @@ def cosine_topk_sq8(
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(k)
     )
+
+
+def cosine_topk_ivfsq8_static(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 8,
+    n_probe: int = 4,
+    candidate_mult: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    model: list[tuple[float, float]] | None = None,
+) -> DataFrame:
+    """IVF-SQ8 composed index (the FAISS IVF-SQ shape): coarse-
+    quantizer partition prune (static literal centroids — no join,
+    no shuffle for the assignment), SQ8 decoded-cosine rank WITHIN
+    the probed inverted lists, exact rerank of the top
+    ``k·candidate_mult``. The memory story compounds: the probed
+    scan touches 1-byte-per-dim codes over ~n_probe/n_clusters of
+    the corpus. And unlike the IVFPQ composition (Lloyd-trained
+    codebooks → inequality gate), every stage here is deterministic
+    arithmetic, so the composed index hash-oracles at FULL value.
+    Output: (vec_id, approx_cosine, cosine), bruteforce tie-break."""
+    import math
+
+    centroids = _static_centroids(dim=dim, n_clusters=n_clusters, seed=seed)
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return d / (na * nb)
+
+    probe_ids = [
+        cid
+        for cid, _ in sorted(
+            centroids,
+            key=lambda c: (-cos(c[1], [float(x) for x in query_vec]), c[0]),
+        )[:n_probe]
+    ]
+    model = model if model is not None else sq8_train(embeddings)
+    sub = ivf_assign(embeddings, centroids).filter(
+        F.col("cluster_id").isin(probe_ids)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    codes = sq8_quantize(sub, model)
+    dec = _sq8_decode(F.col("codes"), model)
+    approx = _dot(dec, q) / (_norm(dec) * _norm(q))
+    cand = (
+        codes.select("vec_id", approx.alias("__approx"))
+        .orderBy(F.col("__approx").desc(), "vec_id")
+        .limit(k * candidate_mult)
+    )
+    emb = F.col("embedding")
+    exact = _dot(emb, q) / (_norm(emb) * _norm(q))
+    return (
+        embeddings.join(F.broadcast(cand), "vec_id")
+        .select(
+            "vec_id",
+            F.round(F.col("__approx"), 9).alias("approx_cosine"),
+            F.round(exact, 9).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(k)
+    )

@@ -460,3 +460,35 @@ def test_bradley_terry_transitive_and_symmetric(spark):
     )
     out2 = {r["item"]: r["bt_score"] for r in bradley_terry(ev2, iters=8).collect()}
     assert abs(out2["A"] - 0.5) < 1e-9 and abs(out2["B"] - 0.5) < 1e-9
+
+
+def test_ivfsq8_static_composed_index(spark, emb):
+    """IVF-SQ8 composition: results come only from probed lists, and
+    with n_probe = n_clusters (no pruning) the composed index equals
+    the plain SQ8 ranker exactly — the composition adds pruning,
+    never different arithmetic."""
+    from sqlstreamstore_spark.analytics import similarity as S
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+          .select("embedding").collect()[0][0]]
+    full = S.cosine_topk_ivfsq8_static(emb, qv, k=10, n_clusters=8, n_probe=8)
+    plain = S.cosine_topk_sq8(emb, qv, k=10)
+    assert [tuple(r) for r in full.collect()] == [tuple(r) for r in plain.collect()]
+    pruned = S.cosine_topk_ivfsq8_static(emb, qv, k=10, n_clusters=8, n_probe=4)
+    rows = pruned.collect()
+    assert len(rows) == 10
+    # pruned results are a subset of the probed lists' members
+    cents = S._static_centroids(n_clusters=8)
+    assigned = {r["vec_id"]: r["cluster_id"]
+                for r in S.ivf_assign(emb, cents).collect()}
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return d / (na * nb)
+
+    probe = [cid for cid, _ in sorted(
+        cents, key=lambda c: (-cos(c[1], qv), c[0]))[:4]]
+    assert all(assigned[r["vec_id"]] in probe for r in rows)
