@@ -1306,3 +1306,43 @@ def test_link_prediction_equi_joins_only(spark):
     p = plan_of(link_prediction_jaccard(edges))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_sq8_plans_are_scale_shaped(spark):
+    """Round-11 ANN tier: SQ8 and IVF-SQ8 compile to the shape that
+    survives 100x — no cartesian product, the candidate cut is a
+    TakeOrderedAndProject (never a global sort), and the exact rerank
+    joins via BroadcastHashJoin (corpus never shuffles); the
+    quantize/decode/dot chain is plain projected expressions (no
+    Python, no exchange before the cut)."""
+    from sqlstreamstore_spark.analytics import similarity as S
+
+    emb = load_table(spark, SF, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+          .select("embedding").collect()[0][0]]
+    for df in (
+        S.cosine_topk_sq8(emb, qv, k=10),
+        S.cosine_topk_ivfsq8_static(emb, qv, k=10),
+    ):
+        p = plan_of(df)
+        assert "CartesianProduct" not in p
+        assert "TakeOrderedAndProject" in p
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+        # no data-sized window anywhere (rank comes from the top-k cut)
+        assert "Window" not in p
+        # candidate scoring runs scan-side: no shuffle below the cut
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_bradley_terry_matrix_plan(spark):
+    """The BT win matrix is the only data-sized computation: one
+    shuffle keyed by user, partial aggregation before every exchange,
+    no cartesian product (the per-user type pairing is an equi-join
+    on user_id)."""
+    from sqlstreamstore_spark.analytics.evaluation import bt_win_matrix
+
+    ev = load_table(spark, SF, "events")
+    p = plan_of(bt_win_matrix(ev))
+    assert "CartesianProduct" not in p
+    assert "partial" in p.lower()  # map-side combine before exchange
