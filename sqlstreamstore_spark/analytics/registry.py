@@ -9172,6 +9172,7 @@ FROM rer ORDER BY cosine DESC, vec_id LIMIT {k}
 _SQ8_TOPK_SQL = _sq8_topk_sql()
 _BT_SQL = _bt_sql()
 _IVFSQ8_STATIC_SQL = _ivfsq8_static_sql()
+_SQ8_INDEX_CACHE: dict[str, list] = {}
 
 
 def round11_queries():
@@ -9193,11 +9194,34 @@ def round11_queries():
         ]
         return similarity.cosine_topk_sq8(emb, qvec, k=10, candidate_mult=4)
 
+    def _sq8_index_gate(s: SparkSession, sf: str) -> DataFrame:
+        import hashlib
+
+        emb = _t(s, sf, "embeddings")
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .collect()[0][0]
+        ]
+        path = _scratch("sq8_index_" + hashlib.md5(sf.encode()).hexdigest()[:10])
+        model = _SQ8_INDEX_CACHE.get(path)
+        if model is None:
+            model = similarity.build_sq8_index(emb, path)
+            _SQ8_INDEX_CACHE[path] = model
+        return similarity.cosine_topk_sq8_index(
+            s, path, emb, qvec, model, k=10, candidate_mult=4
+        )
+
     return {
         # uint8 scalar-quantized ANN: quantize -> decoded-cosine rank
         # -> exact rerank, every stage deterministic arithmetic ->
         # full value-hash oracle (unlike the Lloyd-trained IVF/PQ)
         "sim_cosine_topk_sq8": (_sq8_gate, _SQ8_TOPK_SQL),
+        # deployed SQ8 index: codes materialized once per sf, probed
+        # per query (scan touches only 1-byte-per-dim codes); build ==
+        # quantize by construction, so it shares the SQ8 oracle
+        "sim_cosine_topk_sq8_index": (_sq8_index_gate, _SQ8_TOPK_SQL),
         # composed IVF-SQ8 deployed index: coarse prune + SQ8 rank +
         # exact rerank — the one COMPOSED ANN index whose every stage
         # is deterministic, so it hash-oracles at full value (the

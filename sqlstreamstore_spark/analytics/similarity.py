@@ -2194,3 +2194,56 @@ def cosine_topk_ivfsq8_static(
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(k)
     )
+
+
+def build_sq8_index(
+    embeddings: DataFrame,
+    path: str,
+    model: list[tuple[float, float]] | None = None,
+) -> list[tuple[float, float]]:
+    """Materialize the SQ8 codes column (vec_id, codes) — the deployed
+    form: quantize ONCE, probe every query against the 1-byte-per-dim
+    parquet (4x the vectors per scan vs float32). Returns the model to
+    ship alongside, exactly like build_ivf_index returns centroids."""
+    model = model if model is not None else sq8_train(embeddings)
+    sq8_quantize(embeddings, model).write.mode("overwrite").parquet(path)
+    return model
+
+
+def cosine_topk_sq8_index(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    model: list[tuple[float, float]],
+    k: int = 10,
+    candidate_mult: int = 4,
+) -> DataFrame:
+    """Probe a materialized SQ8 index: rank the stored codes by
+    decoded cosine (scan touches ONLY the codes parquet), exact-rerank
+    the k·candidate_mult winners against the raw ``embeddings`` table
+    (the source-of-truth storage — FAISS-SQ keeps only codes too; the
+    rerank reads a bounded broadcast set, never the corpus). Same
+    output and same results as cosine_topk_sq8 by construction
+    (build == quantize), so the gate shares its oracle."""
+    codes = spark.read.parquet(path)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    dec = _sq8_decode(F.col("codes"), model)
+    approx = _dot(dec, q) / (_norm(dec) * _norm(q))
+    cand = (
+        codes.select("vec_id", approx.alias("__approx"))
+        .orderBy(F.col("__approx").desc(), "vec_id")
+        .limit(k * candidate_mult)
+    )
+    emb = F.col("embedding")
+    exact = _dot(emb, q) / (_norm(emb) * _norm(q))
+    return (
+        embeddings.join(F.broadcast(cand), "vec_id")
+        .select(
+            "vec_id",
+            F.round(F.col("__approx"), 9).alias("approx_cosine"),
+            F.round(exact, 9).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(k)
+    )

@@ -492,3 +492,22 @@ def test_ivfsq8_static_composed_index(spark, emb):
     probe = [cid for cid, _ in sorted(
         cents, key=lambda c: (-cos(c[1], qv), c[0]))[:4]]
     assert all(assigned[r["vec_id"]] in probe for r in rows)
+
+
+def test_sq8_index_equals_inline(spark, emb, tmp_path):
+    """build_sq8_index == quantize by construction: probing the
+    materialized codes returns exactly the inline ranker's rows, and
+    the probe's code scan reads only (vec_id, codes)."""
+    from sqlstreamstore_spark.analytics import similarity as S
+
+    path = str(tmp_path / "sq8")
+    model = S.build_sq8_index(emb, path)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+          .select("embedding").collect()[0][0]]
+    via_index = S.cosine_topk_sq8_index(spark, path, emb, qv, model, k=10)
+    inline = S.cosine_topk_sq8(emb, qv, k=10, model=model)
+    assert [tuple(r) for r in via_index.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

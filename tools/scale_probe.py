@@ -1652,7 +1652,73 @@ def sink_horizon_main(batches: int = 50, batch_docs: int = 200) -> int:
     return 0
 
 
+def sq8_main(times: int = 10) -> int:
+    """r11: SQ8 recall/fidelity at sf1-synthetic (times=10 → 20k
+    vectors). Measures what the 4x memory cut costs: recall@10 of the
+    SQ8 ranker and of the composed IVF-SQ8 (n_probe=4) against brute
+    force over 20 query vectors, plus the approx-vs-exact cosine gap
+    and the bytes/vector accounting."""
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.analytics import similarity as S
+    from sqlstreamstore_spark.session import get_spark
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="scale-probe-sq8")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    emb = replicated(
+        load_table(spark, "/root/testdata/sf0.1", "embeddings"),
+        times, {"vec_id": 1_000_000},
+    ).localCheckpoint()
+    n = emb.count()
+    dim = len(emb.limit(1).collect()[0]["embedding"])
+    t0 = time.time()
+    model = S.sq8_train(emb)
+    train_s = round(time.time() - t0, 2)
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") % 997 == 3).limit(20).collect()
+    ]
+    hit_sq8 = hit_ivfsq8 = 0
+    gaps = []
+    t_sq8 = t_brute = 0.0
+    for _qid, qv in queries:
+        t0 = time.time()
+        rows = S.cosine_topk_sq8(emb, qv, k=10, model=model).collect()
+        t_sq8 += time.time() - t0
+        got = {r["vec_id"] for r in rows}
+        gaps.extend(abs(r["approx_cosine"] - r["cosine"]) for r in rows)
+        t0 = time.time()
+        want = {r["vec_id"] for r in S.cosine_topk_bruteforce(emb, qv, k=10).collect()}
+        t_brute += time.time() - t0
+        hit_sq8 += len(got & want)
+        got2 = {
+            r["vec_id"]
+            for r in S.cosine_topk_ivfsq8_static(
+                emb, qv, k=10, n_probe=4, model=model
+            ).collect()
+        }
+        hit_ivfsq8 += len(got2 & want)
+    res = {
+        "sq8": {
+            "n_vecs": n, "dim": dim, "train_s": train_s,
+            "recall_at10_sq8": round(hit_sq8 / (10 * len(queries)), 4),
+            "recall_at10_ivfsq8_p4": round(hit_ivfsq8 / (10 * len(queries)), 4),
+            "max_approx_gap": round(max(gaps), 6),
+            "mean_query_s_sq8": round(t_sq8 / len(queries), 3),
+            "mean_query_s_brute": round(t_brute / len(queries), 3),
+            "bytes_per_vec_codes": dim,
+            "bytes_per_vec_float32": 4 * dim,
+        }
+    }
+    print(json.dumps(res), flush=True)
+    _merge_scale(res, "sf1-synthetic")
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--sq8":
+        raise SystemExit(sq8_main(int(sys.argv[2]) if len(sys.argv) > 2 else 10))
     if len(sys.argv) > 1 and sys.argv[1] == "--sink-horizon":
         raise SystemExit(
             sink_horizon_main(
