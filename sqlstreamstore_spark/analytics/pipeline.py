@@ -1387,3 +1387,86 @@ def mix_entropy(documents: DataFrame) -> DataFrame:
         (F.col("max_docs").cast("double") / F.col("tot_docs").cast("double"))
         .alias("max_doc_share"),
     )
+
+
+def domain_reweight(
+    documents: DataFrame,
+    eta: float = 1.0,
+    loss_col: str | None = None,
+) -> DataFrame:
+    """DoReMi-style domain mixture reweighting (Xie et al., "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    NeurIPS 2023) — ONE multiplicative-weights step: domains whose
+    loss exceeds the corpus baseline get up-weighted
+
+        w_new_s ∝ w_old_s · exp(η · max(loss_s − baseline, 0))
+
+    with w_old the document-count share. ``loss_col`` names a per-doc
+    proxy-loss column; when None the gate-friendly default is mean
+    document length in kilochars (a deterministic stand-in whose
+    arithmetic both engines replay exactly — production passes the
+    reference-model loss). In production the step iterates with a
+    proxy-model retrain between steps (the part that cannot live in
+    one query); each step is exactly this operator.
+
+    Float discipline: per-domain loss and baseline are single IEEE
+    divisions of exact BIGINT sums; exp is one libm call on identical
+    doubles; the normalizer folds the tilted weights in SOURCE ORDER
+    (sorted-collect fold over the bounded domain axis — the text.py
+    handoff pattern), so the DuckDB twin replays the identical IEEE
+    sequence. Scale: one partial-agg groupBy onto the bounded source
+    axis; nothing data-sized past the first aggregate."""
+    if loss_col is None:
+        per = documents.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("__mass"),
+        )
+        loss = (
+            F.col("__mass").cast("double") / F.col("n_docs").cast("double")
+        ) / F.lit(1000.0)
+        base_loss_expr = (
+            F.col("__tot_mass").cast("double") / F.col("__tot_docs").cast("double")
+        ) / F.lit(1000.0)
+    else:
+        per = documents.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col(loss_col)).alias("__mass"),
+        )
+        loss = F.col("__mass") / F.col("n_docs").cast("double")
+        base_loss_expr = F.col("__tot_mass") / F.col("__tot_docs").cast("double")
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("__tot_docs"),
+        F.sum("__mass").alias("__tot_mass"),
+    )
+    tilted = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("loss", loss)
+        .withColumn("baseline", base_loss_expr)
+        .withColumn("excess", F.greatest(F.col("loss") - F.col("baseline"), F.lit(0.0)))
+        .withColumn(
+            "w_old",
+            F.col("n_docs").cast("double") / F.col("__tot_docs").cast("double"),
+        )
+        .withColumn("__tilt", F.col("w_old") * F.exp(F.lit(float(eta)) * F.col("excess")))
+    )
+    # normalizer: sorted fold over the bounded domain axis — the
+    # deterministic-summation handoff (identical order in the oracle)
+    z = tilted.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "__tilt"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("__tilt"),
+        ).alias("__z")
+    )
+    return (
+        tilted.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            F.round("w_old", 9).alias("w_old"),
+            F.round("loss", 9).alias("loss"),
+            F.round("excess", 9).alias("excess"),
+            F.round(F.col("__tilt") / F.col("__z"), 9).alias("w_new"),
+        )
+        .orderBy("source")
+    )

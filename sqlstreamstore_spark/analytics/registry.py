@@ -9174,15 +9174,50 @@ _BT_SQL = _bt_sql()
 _IVFSQ8_STATIC_SQL = _ivfsq8_static_sql()
 _SQ8_INDEX_CACHE: dict[str, list] = {}
 
+# DoReMi one-step mixture reweight: BIGINT sums → single divides, one
+# libm exp, normalizer folded in source order (the text.py handoff) —
+# identical IEEE sequence in both engines, rounded 9
+_DOMAIN_REWEIGHT_SQL = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS mass
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+               CAST(sum(mass) AS BIGINT) AS tm FROM per),
+t AS (
+  SELECT source, n_docs,
+         (CAST(mass AS DOUBLE) / CAST(n_docs AS DOUBLE)) / 1000.0 AS loss,
+         (CAST(tm AS DOUBLE) / CAST(td AS DOUBLE)) / 1000.0 AS baseline,
+         CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE) AS w_old
+  FROM per, tot
+),
+t2 AS (
+  SELECT source, n_docs, loss, w_old,
+         greatest(loss - baseline, 0.0) AS excess,
+         w_old * exp(1.0 * greatest(loss - baseline, 0.0)) AS tilt
+  FROM t
+),
+z AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(tilt ORDER BY source)), (a, x) -> a + x) AS z FROM t2)
+SELECT source, n_docs, round(w_old, 9) AS w_old, round(loss, 9) AS loss,
+       round(excess, 9) AS excess,
+       round(tilt / (SELECT z FROM z), 9) AS w_new
+FROM t2 ORDER BY source
+"""
+
 
 def round11_queries():
     """Round-11 additions: SQ8 scalar-quantized ANN (the third
     compression tier next to IVF/PQ — fully hash-oracled, no Lloyd
-    training anywhere) and Bradley-Terry pairwise-preference ranking
-    (the arena-style eval aggregation). Collision-checked against the
-    existing sim_*/eval_* families before claiming (round-10 process
-    note)."""
+    training anywhere; inline, deployed-index, and IVF-composed
+    variants), Bradley-Terry pairwise-preference ranking (the
+    arena-style eval aggregation), and the DoReMi one-step mixture
+    reweight. Collision-checked against the existing
+    sim_*/eval_*/pipeline_* families before claiming (round-10
+    process note)."""
     from sqlstreamstore_spark.analytics import evaluation
+    from sqlstreamstore_spark.analytics import pipeline as pipeline_mod
 
     def _sq8_gate(s: SparkSession, sf: str) -> DataFrame:
         emb = _t(s, sf, "embeddings")
@@ -9246,5 +9281,12 @@ def round11_queries():
         "eval_bradley_terry": (
             lambda s, sf: evaluation.bradley_terry(_t(s, sf, "events"), iters=5),
             _BT_SQL,
+        ),
+        # DoReMi one-step loss-tilted mixture reweight — the
+        # mixture-DESIGN verb next to sampling_temperature (apply) and
+        # pipeline_mix_entropy (audit)
+        "pipeline_domain_reweight": (
+            lambda s, sf: pipeline_mod.domain_reweight(_t(s, sf, "documents")),
+            _DOMAIN_REWEIGHT_SQL,
         ),
     }

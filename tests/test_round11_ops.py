@@ -511,3 +511,23 @@ def test_sq8_index_equals_inline(spark, emb, tmp_path):
     ]
     plan = via_index._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_domain_reweight_invariants(spark, docs):
+    """DoReMi step: new weights sum to 1; eta=0 is the identity
+    (w_new == w_old); only above-baseline domains tilt up, so their
+    w_new/w_old ratio strictly exceeds every below-baseline domain's."""
+    from sqlstreamstore_spark.analytics.pipeline import domain_reweight
+
+    rows = domain_reweight(docs, eta=1.0).collect()
+    assert abs(sum(r["w_new"] for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r["w_old"] for r in rows) - 1.0) < 1e-6
+    hot = [r for r in rows if r["excess"] > 0]
+    cold = [r for r in rows if r["excess"] == 0.0]
+    assert hot and cold
+    worst_hot = min(r["w_new"] / r["w_old"] for r in hot)
+    best_cold = max(r["w_new"] / r["w_old"] for r in cold)
+    assert worst_hot > best_cold
+    ident = domain_reweight(docs, eta=0.0).collect()
+    for r in ident:
+        assert abs(r["w_new"] - r["w_old"]) < 1e-9, r["source"]
