@@ -314,3 +314,80 @@ def test_read_stream_page_arithmetic_empty_after_delete_all(store):
     assert p.messages == [] and p.is_end
     b = store.read_stream_backwards(sid, -1, 3)
     assert b.messages == [] and b.is_end and b.next_stream_version == -1
+
+
+# -------------------------------------------- ReadAll exhaustive sweep
+# (round 11, the ReadAllPage twin of the stream sweep above): every
+# (from, count, direction) cell on dense AND gapped position axes.
+# Same modeling split: the reference InMemory walks a LINKED LIST
+# (InMemoryStreamStore.cs:300-480), which on gapped axes (deleted
+# messages) has index/position artifacts its own SQL backends don't
+# share; this store implements the SQL filter semantics (position >=
+# from ASC / <= from DESC, LIMIT k+1 look-ahead). Dense cells pin the
+# exact next/isEnd integers; gapped cells pin the row sets, is_end,
+# and the resume-walk totality (no overlap, no skips).
+
+
+def _fwd_pos(positions, start, count):
+    cand = [p for p in positions if p >= start]
+    return cand[:count], len(cand) <= count
+
+
+def _bwd_pos(positions, frm, count):
+    cand = [p for p in reversed(positions) if frm == -1 or p <= frm]
+    return cand[:count], len(cand) <= count
+
+
+@pytest.mark.parametrize("gapped", [False, True])
+def test_read_all_page_arithmetic_sweep(store, gapped):
+    # base store fixture: s1 holds positions 0-4, s2 positions 5-7
+    positions = list(range(8))
+    if gapped:
+        # delete two messages -> gaps at positions 2 and 5 (tracking
+        # off, else the $deleted tombstones append NEW positions and
+        # the axis isn't gapped any more — that behavior is pinned by
+        # the deletion-tracking tests, not this sweep)
+        store.track_deletions = False
+        store.delete_message("s1", str(uuid.UUID(int=3)))
+        store.delete_message("s2", str(uuid.UUID(int=6)))
+        positions = [0, 1, 3, 4, 6, 7]
+    head = positions[-1]
+    for count in range(1, 10):
+        for start in range(0, 10):
+            p = store.read_all_forwards(start, count)
+            ret, is_end = _fwd_pos(positions, start, count)
+            assert [m.position for m in p.messages] == ret, ("fwd", start, count)
+            assert p.is_end == is_end
+            if not gapped:
+                if start > head:
+                    assert p.next_position == start  # poll-at-tail cell
+                elif is_end:
+                    assert p.next_position == (ret[-1] + 1 if ret else start)
+                else:
+                    assert p.next_position == ret[-1] + 1
+            # resume walk: totality without overlap
+            seen = list(ret)
+            steps = 0
+            while not p.is_end:
+                p = p.read_next()
+                seen.extend(m.position for m in p.messages)
+                steps += 1
+                assert steps < 12
+            assert seen == [x for x in positions if x >= start], (
+                "fwd-walk", gapped, start, count)
+        for frm in [-1, *range(0, 10)]:
+            p = store.read_all_backwards(frm, count)
+            ret, is_end = _bwd_pos(positions, frm, count)
+            assert [m.position for m in p.messages] == ret, ("bwd", frm, count)
+            assert p.is_end == is_end
+            if not gapped:
+                assert p.next_position == (0 if is_end else ret[-1] - 1)
+            seen = list(ret)
+            steps = 0
+            while not p.is_end:
+                p = p.read_next()
+                seen.extend(m.position for m in p.messages)
+                steps += 1
+                assert steps < 12
+            assert seen == [x for x in reversed(positions) if frm == -1 or x <= frm], (
+                "bwd-walk", gapped, frm, count)
