@@ -740,3 +740,100 @@ def bradley_terry(events: DataFrame, iters: int = 5) -> DataFrame:
         .select("item", "wins", "games", F.round("bt_score", 9).alias("bt_score"))
         .orderBy("item")
     )
+
+
+# ------------------------------------------ Fleiss' kappa (round 11)
+
+
+def fleiss_kappa(events: DataFrame, bucket_cents: int = 3000, n_cats: int = 3) -> DataFrame:
+    """Multi-rater chance-corrected agreement — Fleiss' kappa (Fleiss,
+    "Measuring nominal scale agreement among many raters", 1971): THE
+    agreement statistic for LLM-judge panels (k judges each assign one
+    of c categories to every item; kappa corrects raw agreement for
+    the category base rates). Cohen's kappa (two raters) ships in
+    classification_report; this is the k-rater generalization.
+
+    Fixture derivation (deterministic, exact): items = users, raters =
+    event types, rating = the rater's average engagement bucket
+    ``least(n_cats-1, (sum_cents DIV n_events) DIV bucket_cents)`` —
+    integer DIV on exact BIGINT cents, so both engines agree bit-for-
+    bit. Only items rated by ALL raters participate (Fleiss requires
+    constant r per item).
+
+    Float discipline: with N items, r raters, n_ij the raters placing
+    item i in category j, S2 = ΣΣ n_ij² and Q = Σ_j (Σ_i n_ij)²,
+
+        kappa = (A·(Nr)² − Q·Nr(r−1)) / (Nr(r−1)·((Nr)² − Q)),
+        A = S2 − N·r
+
+    — every term an exact BIGINT, ONE final IEEE division (plus one
+    each for the reported p_bar / p_e), zero-tolerance oracle.
+
+    Scale: two partial-agg groupBys (user×type, then user×rating) and
+    two bounded reductions — the corpus shuffles once, keyed by user."""
+    per = events.groupBy("user_id", F.col("event_type").alias("rater")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        F.count("*").cast("long").alias("n_ev"),
+    )
+    r_expr = per.groupBy("user_id").agg(F.count("*").alias("__r"))
+    r_max = r_expr.agg(F.max("__r").alias("m")).collect()[0]["m"]
+    full = per.join(
+        r_expr.filter(F.col("__r") == r_max).select("user_id"), "user_id"
+    )
+    rated = full.select(
+        "user_id",
+        F.least(
+            F.lit(n_cats - 1),
+            F.expr(f"(cents DIV n_ev) DIV {int(bucket_cents)}"),
+        ).cast("long").alias("rating"),
+    )
+    nij = rated.groupBy("user_id", "rating").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    stats = nij.agg(
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+        F.countDistinct("user_id").cast("long").alias("n_items"),
+    )
+    colq = (
+        nij.groupBy("rating")
+        .agg(F.sum("n").cast("long").alias("cs"))
+        .agg(F.sum(F.col("cs") * F.col("cs")).cast("long").alias("q"),
+             F.count("*").cast("long").alias("n_cats_seen"))
+    )
+    r = int(r_max)
+    out = stats.crossJoin(F.broadcast(colq)).select(
+        F.col("n_items"),
+        F.lit(r).cast("long").alias("n_raters"),
+        "n_cats_seen",
+        F.round(
+            (F.col("s2") - F.col("n_items") * r).cast("double")
+            / (F.col("n_items") * r * (r - 1)).cast("double"),
+            9,
+        ).alias("p_bar"),
+        F.round(
+            F.col("q").cast("double")
+            / ((F.col("n_items") * r) * (F.col("n_items") * r)).cast("double"),
+            9,
+        ).alias("p_e"),
+        F.when(
+            # degenerate: every rating in ONE category -> p_e = 1 and
+            # kappa is undefined; report NULL instead of divide-by-zero
+            (F.col("n_items") * r) * (F.col("n_items") * r) != F.col("q"),
+            F.round(
+                (
+                    (F.col("s2") - F.col("n_items") * r)
+                    * (F.col("n_items") * r) * (F.col("n_items") * r)
+                    - F.col("q") * F.col("n_items") * r * (r - 1)
+                ).cast("double")
+                / (
+                    (F.col("n_items") * r * (r - 1))
+                    * (
+                        (F.col("n_items") * r) * (F.col("n_items") * r)
+                        - F.col("q")
+                    )
+                ).cast("double"),
+                9,
+            ),
+        ).alias("fleiss_kappa"),
+    )
+    return out

@@ -9174,6 +9174,46 @@ _BT_SQL = _bt_sql()
 _IVFSQ8_STATIC_SQL = _ivfsq8_static_sql()
 _SQ8_INDEX_CACHE: dict[str, list] = {}
 
+# Fleiss' kappa: every term exact BIGINT (S2, column-sum squares),
+# three single divides at the end — zero-tolerance oracle. All cents
+# and ratings are non-negative, so DuckDB's floor-// and Spark's
+# truncating DIV agree.
+_FLEISS_KAPPA_SQL = """
+WITH per AS (
+  SELECT user_id, event_type AS rater,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n_ev
+  FROM events GROUP BY user_id, event_type
+),
+rc AS (SELECT user_id, count(*) AS r FROM per GROUP BY user_id),
+rmax AS (SELECT max(r) AS m FROM rc),
+full_items AS (SELECT user_id FROM rc, rmax WHERE r = m),
+rated AS (
+  SELECT p.user_id, least(2, (cents // n_ev) // 3000) AS rating
+  FROM per p JOIN full_items USING (user_id)
+),
+nij AS (SELECT user_id, rating, CAST(count(*) AS BIGINT) AS n
+        FROM rated GROUP BY user_id, rating),
+stats AS (SELECT CAST(sum(n * n) AS BIGINT) AS s2,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_items FROM nij),
+colq AS (SELECT CAST(sum(cs * cs) AS BIGINT) AS q,
+                CAST(count(*) AS BIGINT) AS n_cats_seen
+         FROM (SELECT rating, CAST(sum(n) AS BIGINT) AS cs
+               FROM nij GROUP BY rating))
+SELECT n_items, CAST(m AS BIGINT) AS n_raters, n_cats_seen,
+  round(CAST(s2 - n_items * m AS DOUBLE)
+        / CAST(n_items * m * (m - 1) AS DOUBLE), 9) AS p_bar,
+  round(CAST(q AS DOUBLE)
+        / CAST((n_items * m) * (n_items * m) AS DOUBLE), 9) AS p_e,
+  CASE WHEN (n_items * m) * (n_items * m) <> q THEN
+    round(CAST((s2 - n_items * m) * (n_items * m) * (n_items * m)
+               - q * n_items * m * (m - 1) AS DOUBLE)
+          / CAST((n_items * m * (m - 1))
+                 * ((n_items * m) * (n_items * m) - q) AS DOUBLE), 9)
+  END AS fleiss_kappa
+FROM stats, colq, rmax
+"""
+
 # DoReMi one-step mixture reweight: BIGINT sums → single divides, one
 # libm exp, normalizer folded in source order (the text.py handoff) —
 # identical IEEE sequence in both engines, rounded 9
@@ -9288,5 +9328,13 @@ def round11_queries():
         "pipeline_domain_reweight": (
             lambda s, sf: pipeline_mod.domain_reweight(_t(s, sf, "documents")),
             _DOMAIN_REWEIGHT_SQL,
+        ),
+        # Fleiss' kappa: k-rater chance-corrected agreement (the
+        # LLM-judge-panel statistic; Cohen's 2-rater kappa lives in
+        # eval_classification_report) — exact-BIGINT terms, three
+        # final divides
+        "eval_fleiss_kappa": (
+            lambda s, sf: evaluation.fleiss_kappa(_t(s, sf, "events")),
+            _FLEISS_KAPPA_SQL,
         ),
     }

@@ -531,3 +531,43 @@ def test_domain_reweight_invariants(spark, docs):
     ident = domain_reweight(docs, eta=0.0).collect()
     for r in ident:
         assert abs(r["w_new"] - r["w_old"]) < 1e-9, r["source"]
+
+
+def test_fleiss_kappa_known_cases(spark):
+    """Fleiss' kappa on constructed panels: perfect agreement across
+    two used categories -> kappa = 1; a hand-computed mixed panel
+    matches the textbook formula; a single-category degenerate panel
+    reports NULL (p_e = 1), never a divide-by-zero."""
+    from sqlstreamstore_spark.analytics.evaluation import fleiss_kappa
+
+    def panel(assign):  # item -> per-rater mean cents
+        rows = []
+        eid = 0
+        for item, per_rater in assign.items():
+            for rater, cents in enumerate(per_rater):
+                rows.append((eid, item, f"r{rater}", cents / 100.0))
+                eid += 1
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, value double"
+        )
+
+    # perfect agreement, two categories used (buckets: 0 = <3000, 1 = 3000+)
+    perfect = panel({1: [1000] * 3, 2: [1000] * 3, 3: [4000] * 3, 4: [4000] * 3})
+    row = fleiss_kappa(perfect).collect()[0]
+    assert (row["n_items"], row["n_raters"]) == (4, 3)
+    assert row["p_bar"] == 1.0 and row["fleiss_kappa"] == 1.0
+
+    # mixed: item1 all cat0, item2 2x cat0 + 1x cat1, item3 all cat1
+    mixed = panel({1: [1000] * 3, 2: [1000, 1000, 4000], 3: [4000] * 3})
+    row = fleiss_kappa(mixed).collect()[0]
+    # hand computation: N=3 r=3; n_ij rows (3,0),(2,1),(0,3)
+    # S2 = 9+4+1+9 = 23, A = 23-9 = 14, P_bar = 14/18
+    # colsums: cat0=5, cat1=4 -> Q = 25+16 = 41; (Nr)^2 = 81
+    # kappa = (14*81 - 41*18) / (18*(81-41)) = (1134-738)/720 = 0.55
+    assert abs(row["p_bar"] - 14 / 18) < 1e-9
+    assert abs(row["fleiss_kappa"] - 396 / 720) < 1e-9
+
+    # degenerate: one category everywhere -> NULL kappa, p_bar = 1
+    degen = panel({1: [1000] * 3, 2: [1000] * 3})
+    row = fleiss_kappa(degen).collect()[0]
+    assert row["p_bar"] == 1.0 and row["fleiss_kappa"] is None
