@@ -689,11 +689,15 @@ _GATE_PINNED_NEW: tuple[str, ...] = (
     # r10 verdict #1: the 8 round-10 additions with no driver row yet
     # (judge-sim ALL OK in r10); pins self-expire once the row lands.
     # (The r9 pin list landed its rows in r10 and has expired out.)
-    # r12: pin the two r11 additions ("sim_cosine_topk_sq8",
-    # "eval_bradley_terry") here, plus the 9 remaining r5-vintage
-    # rows — deliberately NOT pinned in r11 so they don't displace
-    # the planned 40-row r5 drain (they sit mid-queue at the median
-    # vintage and are covered by SELFCHECK_r11 + judge-sim).
+    # r12: pin the SIX r11 additions here — "sim_cosine_topk_sq8",
+    # "sim_cosine_topk_sq8_index", "sim_cosine_topk_ivfsq8_static",
+    # "eval_bradley_terry", "pipeline_domain_reweight",
+    # "eval_fleiss_kappa" — plus the 9 remaining r5-vintage rows
+    # (6 + 9 + 4 restored canaries = 19, leaving ~31 slots for the
+    # r6-vintage drain). Deliberately NOT pinned in r11 so they don't
+    # displace the planned 40-row r5 drain (they sit mid-queue at the
+    # median vintage and are covered by the two-scale SELFCHECK_r11
+    # sweeps + judge-sim).
     "dq_dp_noisy_counts",
     "drift_lsh_histogram",
     "eval_ab_test_mann_whitney",
