@@ -672,41 +672,46 @@ def build_oracle_sql() -> dict[str, str]:
 # from gate_last_checked(), so satisfied pins stop displacing the stale
 # backlog in later rounds automatically.
 #
-# Round-11 window (VERDICT r10 #1): pin the 8 round-10 gates with no
-# driver row yet + let stalest-first fill the rest with the 40 oldest
-# r5-vintage rows. 2 canaries + 8 pins + 40 = exactly 50: after r11,
-# zero never-checked gates and at most 9 r5-vintage rows remain (those
-# are pinned first in r12). Canaries stay at the r10 pair — the dropped
-# pair (events_funnel, store_bulk_roundtrip) has fresh r9 rows and
-# would displace two r5 drains; restore the 4-tuple in r12 when the
-# r5 backlog is gone.
+# Round-12 window (VERDICT r11 #1): pin the 20 stale/unevidenced gates
+# — the 6 r11 additions with no driver row at all, the 5 flipped-oracle
+# gates whose LATEST driver rows are stale `no_oracle` entries from
+# r9/r10 (the r11 golden/inequality oracles have never been
+# driver-confirmed), and the 9 remaining r5-vintage rows (those sort
+# first under stalest-first anyway, no pin needed). 2 canaries + 6 new
+# pins + 5 refresh pins + 9 r5 + 28 oldest r6 = exactly 50. Canaries
+# stay at the r11 pair — restoring the 4-tuple would displace two r6
+# drains; restore once the r6 backlog (46 rows) is gone (~r13).
 _GATE_CANARIES: tuple[str, ...] = (
     "read_all_forwards", "dedup_minhash_lsh",
-    # r12: restore "events_funnel", "store_bulk_roundtrip" here.
+    # r13+: restore "events_funnel", "store_bulk_roundtrip" here.
 )
 
 _GATE_PINNED_NEW: tuple[str, ...] = (
-    # r10 verdict #1: the 8 round-10 additions with no driver row yet
-    # (judge-sim ALL OK in r10); pins self-expire once the row lands.
-    # (The r9 pin list landed its rows in r10 and has expired out.)
-    # r12: pin the SIX r11 additions here — "sim_cosine_topk_sq8",
-    # "sim_cosine_topk_sq8_index", "sim_cosine_topk_ivfsq8_static",
-    # "eval_bradley_terry", "pipeline_domain_reweight",
-    # "eval_fleiss_kappa" — plus the 9 remaining r5-vintage rows
-    # (6 + 9 + 4 restored canaries = 19, leaving ~31 slots for the
-    # r6-vintage drain). Deliberately NOT pinned in r11 so they don't
-    # displace the planned 40-row r5 drain (they sit mid-queue at the
-    # median vintage and are covered by the two-scale SELFCHECK_r11
-    # sweeps + judge-sim).
-    "dq_dp_noisy_counts",
-    "drift_lsh_histogram",
-    "eval_ab_test_mann_whitney",
-    "eval_token_f1",
-    "pipeline_mix_entropy",
-    "sim_ivf_index_health",
-    "sim_ivf_rebalanced_topk",
-    "text_readability",
+    # r11 verdict #1: the 6 round-11 additions with no driver row yet
+    # (judge-sim ALL OK in r11); pins self-expire once the row lands.
+    # (The r10 pin list landed its rows in r11 and has expired out.)
+    "eval_bradley_terry",
+    "eval_fleiss_kappa",
+    "pipeline_domain_reweight",
+    "sim_cosine_topk_sq8",
+    "sim_cosine_topk_sq8_index",
+    "sim_cosine_topk_ivfsq8_static",
 )
+
+# Refresh pins: gates that HAVE driver rows, but whose oracle semantics
+# changed after that row landed (r11 flipped these from rows-only to
+# golden/inequality oracles — the latest official record still reads
+# `no_oracle`). A refresh pin is live while the gate's newest driver
+# row is OLDER than the named round; it expires automatically the
+# round a fresh row lands.
+_GATE_PINNED_REFRESH: dict[str, int] = {
+    # oracle flipped in r11 → needs a row from r12 or later
+    "sim_cosine_topk_ivf": 12,
+    "sim_cosine_topk_pq": 12,
+    "stats_approx_sketches": 12,
+    "text_bpe_stats": 12,
+    "text_compression_signals": 12,
+}
 
 
 def gate_last_checked() -> dict[str, int]:
@@ -749,7 +754,12 @@ def _all_specs() -> dict[str, QuerySpec]:
     last = gate_last_checked()
     # ADVICE r7 #1: a pin is live only while the query has no driver row
     # yet; once checked it rejoins the normal stalest-first rotation.
+    # r12: refresh pins stay live until a row lands at/after the named
+    # round (oracle-semantics changes invalidate the old evidence).
     pinned = {n for n in _GATE_PINNED_NEW if n not in last}
+    pinned |= {
+        n for n, rnd in _GATE_PINNED_REFRESH.items() if last.get(n, 0) < rnd
+    }
     # never-checked rows sort at the median existing vintage (minus a
     # half so they precede that round's own rows): mid-queue, not front
     rounds = sorted(last.values())
