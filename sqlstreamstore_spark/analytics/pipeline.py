@@ -948,17 +948,23 @@ def e2e_incremental_pipeline(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    corpus_digests = (
-        spark.read.parquet(corpus_digest_path)
-        if corpus_digest_path
-        else corpus.select(F.md5("text").alias("__h")).distinct()
-    )
-    exact_new = (
-        exact.withColumn("__h", F.md5("text"))
-        .join(corpus_digests, "__h", "left_anti")
-        .drop("__h")
-        .localCheckpoint(eager=False)
-    )
+    if corpus_digest_path:
+        # r12: partition-pruned index probe — the delta's distinct
+        # 2-hex digest prefixes become literal partition filters, so
+        # the index read is O(delta-prefix share), not O(index)
+        from sqlstreamstore_spark.analytics.dedup import probe_digest_index
+
+        exact_new = probe_digest_index(
+            spark, corpus_digest_path, exact
+        ).localCheckpoint(eager=False)
+    else:
+        corpus_digests = corpus.select(F.md5("text").alias("__h")).distinct()
+        exact_new = (
+            exact.withColumn("__h", F.md5("text"))
+            .join(corpus_digests, "__h", "left_anti")
+            .drop("__h")
+            .localCheckpoint(eager=False)
+        )
     fuzzy_losers = (
         minhash_dedup_incremental(
             spark, mh_index_path, exact_new, corpus, threshold=jaccard_threshold

@@ -23,6 +23,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _live(spark, path: str) -> str:
+    """The parquet dir to scan for an index path: resolves pointer-mode
+    roots (hadoopfs manifest-pointer layout, r12) to the live version
+    dir; flat paths pass through. One exists-check per probe."""
+    from sqlstreamstore_spark.sources.hadoopfs import resolved
+
+    return resolved(spark, path)
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -693,7 +702,7 @@ def upsert_ivf_index(
     assigned = ivf_assign(embeddings, centroids)
     assigned.repartition("cluster_id").write.partitionBy("cluster_id").mode(
         "append"
-    ).parquet(path)
+    ).parquet(_live(embeddings.sparkSession, path))
 
 
 def cosine_topk_ivf_index(
@@ -724,7 +733,7 @@ def cosine_topk_ivf_index(
             centroids, key=lambda c: (-cos(c[1], [float(x) for x in query_vec]), c[0])
         )[:n_probe]
     ]
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(_live(spark, path))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     emb = F.col("embedding")
     score = _dot(emb, q) / (_norm(emb) * _norm(q))
@@ -1209,7 +1218,7 @@ def cosine_topk_ivfpq(
             centroids, key=lambda c: (-cos(c[1], [float(x) for x in query_vec]), c[0])
         )[:n_probe]
     ]
-    probed = spark.read.parquet(path).filter(F.col("cluster_id").isin(probe_ids))
+    probed = spark.read.parquet(_live(spark, path)).filter(F.col("cluster_id").isin(probe_ids))
     cand_ids = (
         probed.select(
             "vec_id", _pq_approx_cosine(query_vec, codebooks).alias("__approx")
@@ -1473,7 +1482,7 @@ def knn_join_ivf_index(
     from pyspark.sql import Window
 
     probes = ivf_probe_lists(queries, centroids, n_probe=n_probe)
-    idx = spark.read.parquet(path).select(
+    idx = spark.read.parquet(_live(spark, path)).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("cvec"),
         _norm(F.col("embedding")).alias("cn"),
@@ -1550,7 +1559,7 @@ def near_dup_against_ivf_index(
         broadcast_probes = probe_fits_broadcast(queries.count(), n_probe)
     if broadcast_probes:
         probes = F.broadcast(probes)
-    idx = spark.read.parquet(path).select(
+    idx = spark.read.parquet(_live(spark, path)).select(
         F.col("vec_id").alias("old_vec"),
         F.col("embedding").alias("cvec"),
         _norm(F.col("embedding")).alias("cn"),
@@ -1634,7 +1643,7 @@ def near_dup_against_lsh_index(
         broadcast_probes = probe_fits_broadcast(queries.count(), 1)
     if broadcast_probes:
         probes = F.broadcast(probes)
-    idx = spark.read.parquet(path).select(
+    idx = spark.read.parquet(_live(spark, path)).select(
         F.col("vec_id").alias("old_vec"),
         F.col("embedding").alias("cvec"),
         _norm(F.col("embedding")).alias("cn"),
@@ -1857,7 +1866,7 @@ def ivf_index_health(
     the bounded centroid axis (k rows), never the data."""
     from pyspark.sql import Window
 
-    idx = spark.read.parquet(path)
+    idx = spark.read.parquet(_live(spark, path))
     k = len(centroids)
     cent_df = spark.createDataFrame(
         [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
@@ -1956,12 +1965,61 @@ def rebalance_ivf_index(
     ids) — the classic balanced-IVF repair. The driver loop is over
     the few hot lists (bounded by 1/max_share), each a model-sized
     Lloyd run over one list's members."""
+    from sqlstreamstore_spark.sources.hadoopfs import (
+        next_version_dir,
+        pointer_commit,
+        pointer_resolve,
+        prune_pointer_versions,
+        recover_retired,
+        retire_swap,
+    )
+
+    ptr = pointer_resolve(spark, path)
+    if ptr is None:
+        recover_retired(spark, path)
+    idx = spark.read.parquet(_live(spark, path)).drop("cluster_id")
+    assigned, cents, pinned = _rebalance_core(
+        spark, idx, n_clusters=n_clusters, iters=iters,
+        sample_mod=sample_mod, max_share=max_share,
+    )
+    if ptr is None:
+        tmp = path.rstrip("/") + ".__compacting__"
+        assigned.repartition("cluster_id").write.partitionBy("cluster_id").mode(
+            "overwrite"
+        ).parquet(tmp)
+        for frame in pinned:
+            frame.unpersist()
+        retire_swap(spark, path, tmp)
+    else:
+        # pointer mode (r12): the rewrite goes DIRECTLY into the next
+        # version dir and commits via the one-line _CURRENT replace —
+        # constant-time on object stores, no data rename ever.
+        v, vdir = next_version_dir(spark, path)
+        assigned.repartition("cluster_id").write.partitionBy("cluster_id").mode(
+            "overwrite"
+        ).parquet(vdir)
+        for frame in pinned:
+            frame.unpersist()
+        pointer_commit(spark, path, v, f"v{v}")
+        prune_pointer_versions(spark, path, keep=2)
+    return cents
+
+
+def _rebalance_core(
+    spark,
+    idx: DataFrame,
+    n_clusters: int,
+    iters: int,
+    sample_mod: int | None,
+    max_share: float | None,
+) -> tuple[DataFrame, list[tuple[int, list[float]]], list]:
+    """Retrain + reassign (+ optional hot-list split) over ``idx``
+    (vec_id, embedding) — shared by the in-place rebalance and the
+    out-of-band build. Returns (assigned frame, centroid model, list
+    of persisted frames the CALLER must unpersist after materializing
+    the write)."""
     import math
 
-    from sqlstreamstore_spark.sources.hadoopfs import recover_retired, retire_swap
-
-    recover_retired(spark, path)
-    idx = spark.read.parquet(path).drop("cluster_id")
     train = idx if sample_mod is None else idx.filter(
         F.col("vec_id") % sample_mod == 0
     )
@@ -2018,14 +2076,102 @@ def rebalance_ivf_index(
             pinned.append(assigned)
             pinned.pop(0).unpersist()
             cents = sorted(new_cents)
-    tmp = path.rstrip("/") + ".__compacting__"
+    return assigned, cents, pinned
+
+
+def list_index_files(spark, path: str) -> list[str]:
+    """The index's current parquet data files (recursive, sorted;
+    metadata/_-prefixed files skipped) — the SNAPSHOT unit for
+    out-of-band maintenance: an async rebuild reads a fixed file list
+    while upserts keep appending NEW files, and finalize catches up
+    exactly the difference."""
+    from sqlstreamstore_spark.sources.hadoopfs import _fs_for, _jpath, resolved
+
+    jp = _jpath(spark, resolved(spark, path))
+    fs = _fs_for(spark, jp)
+    out = []
+    it = fs.listFiles(jp, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            out.append(st.getPath().toString())
+    return sorted(out)
+
+
+def rebalance_ivf_build(
+    spark,
+    snapshot_files: list[str],
+    out_dir: str,
+    n_clusters: int = 8,
+    iters: int = 3,
+    sample_mod: int | None = None,
+    max_share: float | None = None,
+) -> list[tuple[int, list[float]]]:
+    """OUT-OF-BAND repair, phase 1 (round 12, VERDICT r11 #3): retrain
+    the quantizer and rewrite a SNAPSHOT of the index (an explicit
+    file list from :func:`list_index_files`) into ``out_dir`` —
+    NO swap, the live index is untouched and fully probe-able
+    throughout. Safe to run on a worker thread concurrently with a
+    streaming sink that keeps probing AND upserting: appends only ever
+    create new files, never mutate the snapshot's, and
+    :func:`rebalance_finalize` re-assigns exactly the files that
+    appeared after the snapshot before swapping. This moves the Lloyd
+    retrain — the 25-49 s spikes the r11 sink_horizon measured inside
+    repair micro-batches — off the ingest critical path; the batch
+    that finalizes pays only a delta-sized catch-up plus the swap."""
+    idx = spark.read.parquet(*snapshot_files).drop("cluster_id")
+    assigned, cents, pinned = _rebalance_core(
+        spark, idx, n_clusters=n_clusters, iters=iters,
+        sample_mod=sample_mod, max_share=max_share,
+    )
     assigned.repartition("cluster_id").write.partitionBy("cluster_id").mode(
         "overwrite"
-    ).parquet(tmp)
+    ).parquet(out_dir)
     for frame in pinned:
         frame.unpersist()
-    retire_swap(spark, path, tmp)
     return cents
+
+
+def rebalance_finalize(
+    spark,
+    path: str,
+    out_dir: str,
+    cents: list[tuple[int, list[float]]],
+    snapshot_files: list[str],
+) -> None:
+    """OUT-OF-BAND repair, phase 2 — run at a SAFE POINT (no
+    concurrent probe/upsert; in a streaming sink that is the start of
+    the serial foreachBatch handler): assign the files appended since
+    the snapshot to the new centroids and append them into
+    ``out_dir``, then swap it live (pointer commit on pointer-mode
+    roots, retire-swap otherwise). Cost ∝ post-snapshot delta + one
+    swap — never the corpus."""
+    from sqlstreamstore_spark.sources.hadoopfs import (
+        next_version_dir,
+        pointer_commit,
+        pointer_resolve,
+        prune_pointer_versions,
+        retire_swap,
+    )
+
+    seen = set(snapshot_files)
+    delta = [f for f in list_index_files(spark, path) if f not in seen]
+    if delta:
+        late = spark.read.parquet(*delta).drop("cluster_id")
+        ivf_assign(late, cents).repartition("cluster_id").write.partitionBy(
+            "cluster_id"
+        ).mode("append").parquet(out_dir)
+    ptr = pointer_resolve(spark, path)
+    if ptr is None:
+        retire_swap(spark, path, out_dir)
+    else:
+        from sqlstreamstore_spark.sources.hadoopfs import fs_rename
+
+        v, vdir = next_version_dir(spark, path)
+        fs_rename(spark, out_dir, vdir)
+        pointer_commit(spark, path, v, f"v{v}")
+        prune_pointer_versions(spark, path, keep=2)
 
 
 # --------------------------------------- SQ8 scalar quantization (r11)
@@ -2226,7 +2372,7 @@ def cosine_topk_sq8_index(
     rerank reads a bounded broadcast set, never the corpus). Same
     output and same results as cosine_topk_sq8 by construction
     (build == quantize), so the gate shares its oracle."""
-    codes = spark.read.parquet(path)
+    codes = spark.read.parquet(_live(spark, path))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     dec = _sq8_decode(F.col("codes"), model)
     approx = _dot(dec, q) / (_norm(dec) * _norm(q))

@@ -169,6 +169,9 @@ def fuzzy_dedup_ingest_sink(
     ivf_min_cos_threshold: float = 0.85,
     ivf_rebalance_max_share: float | None = None,
     ivf_rebalance_iters: int = 2,
+    digest_index_path: str | None = None,
+    ivf_repair_async: bool = False,
+    corpus_files_per_batch: int | None = 1,
 ):
     """Streaming dedup-on-ingest — the Structured Streaming twin
     of the incremental flagship's FULL curation chain: each
@@ -238,8 +241,46 @@ def fuzzy_dedup_ingest_sink(
     sized aggregate (one count per list + one |lists|x dim mean), so
     the cadence check costs far less than the batch's own probes;
     rebalance itself costs one assignment pass + clustered rewrite,
-    paid only when the monitor actually fires."""
+    paid only when the monitor actually fires.
+
+    BOUNDED PER-BATCH PROBE COST (round 12, VERDICT r11 #2): with
+    ``digest_index_path`` set, the exact-dedup stage probes a
+    MAINTAINED prefix-partitioned digest index
+    (dedup.build_digest_index → probe_digest_index) instead of
+    re-hashing the whole corpus text every batch — the scan prunes to
+    the partitions the batch's own digests hash to, O(min(|batch|,
+    256)/256 · index) instead of O(corpus). The index bootstraps from
+    the corpus on first use and survivors upsert into it right after
+    the corpus append. Contract: the digest index is the same
+    BEST-EFFORT side structure as the LSH/IVF indexes — a crash in the
+    one-statement window between corpus append and digest upsert can
+    re-admit that batch's rows on replay (duplicate corpus rows, which
+    every downstream probe tolerates by set semantics); rebuild with
+    ``dedup.build_digest_index(corpus, digest_index_path)`` for the
+    hard guarantee. Without ``digest_index_path`` the sink keeps the
+    corpus-scan anti-join (exact replay idempotency, O(corpus)/batch).
+
+    OUT-OF-BAND REPAIR (round 12, VERDICT r11 #3): with
+    ``ivf_repair_async=True`` a fired health check SNAPSHOTS the index
+    file list and runs the Lloyd retrain + rewrite on a daemon thread
+    (similarity.rebalance_ivf_build) while ingest continues against
+    the untouched live index; the first handler after the build
+    completes finalizes at the serial safe point
+    (similarity.rebalance_finalize: delta catch-up of files appended
+    since the snapshot + swap). The 25-49 s in-trigger retrain stalls
+    the r11 sink_horizon measured become a delta-sized catch-up +
+    two renames inside the batch. While a repair is in flight the
+    monitor does not re-fire. A failed build is recorded in
+    ``centroid_state["repair_errors"]`` and the sink continues on the
+    old index (next cadence can re-trigger).
+
+    ``corpus_files_per_batch`` coalesces the survivors' corpus append
+    (default 1 — a micro-batch is far below one parquet file's worth;
+    None keeps the upstream partitioning for large-delta deployments).
+    """
     import os
+    import threading
+    import time as _time
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -249,10 +290,16 @@ def fuzzy_dedup_ingest_sink(
     state = centroid_state if centroid_state is not None else {}
     state.setdefault("centroids", centroids)
 
+    def _finalize_repair_if_ready(spark) -> None:
+        finalize_ivf_repair(spark, state, ivf_index_path)
+
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # safe point: the handler is serial, so a completed async
+        # repair swaps in before this batch's probes touch the index
+        _finalize_repair_if_ready(spark)
         if min_tokens is not None or min_distinct_ratio is not None:
             toks = F.split(F.col("text"), " ")
             pred = F.lit(True)
@@ -265,14 +312,25 @@ def fuzzy_dedup_ingest_sink(
                     >= min_distinct_ratio
                 )
             batch_df = batch_df.filter(pred)
-        batch = batch_df.withColumn("__h", F.md5("text"))
         have_corpus = os.path.isdir(corpus_path)
         if have_corpus:
             corpus = spark.read.parquet(corpus_path)
-            batch = batch.join(
-                corpus.select(F.md5("text").alias("__h")).distinct(),
-                "__h", "left_anti",
+        if digest_index_path is not None and have_corpus:
+            if not os.path.isdir(digest_index_path):
+                # one-time bootstrap from the existing corpus; every
+                # later batch pays only the pruned probe + its own
+                # O(delta) upsert
+                dedup.build_digest_index(corpus, digest_index_path)
+            batch = dedup.probe_digest_index(
+                spark, digest_index_path, batch_df, keep_digest=True
             )
+        else:
+            batch = batch_df.withColumn("__h", F.md5("text"))
+            if have_corpus:
+                batch = batch.join(
+                    corpus.select(F.md5("text").alias("__h")).distinct(),
+                    "__h", "left_anti",
+                )
         w = Window.partitionBy("__h").orderBy("doc_id")
         fresh = (
             batch.withColumn("__rn", F.row_number().over(w))
@@ -322,7 +380,19 @@ def fuzzy_dedup_ingest_sink(
         fresh = fresh.localCheckpoint()  # score once: appended AND indexed
         if fresh.isEmpty():
             return
-        fresh.write.mode("append").parquet(corpus_path)
+        out = (
+            fresh.coalesce(corpus_files_per_batch)
+            if corpus_files_per_batch
+            else fresh
+        )
+        out.write.mode("append").parquet(corpus_path)
+        if digest_index_path is not None:
+            # immediately after the corpus append — the best-effort
+            # crash window is this one statement (docstring contract)
+            if os.path.isdir(digest_index_path):
+                dedup.upsert_digest_index(fresh, digest_index_path)
+            else:  # first-ever batch: corpus was empty, index is born here
+                dedup.build_digest_index(fresh, digest_index_path)
         dedup.upsert_minhash_index(
             fresh, mh_index_path, k=k, bands=bands, n=n
         )
@@ -359,7 +429,53 @@ def fuzzy_dedup_ingest_sink(
             ]
             gini = float(rows[0]["size_gini"]) if rows else 0.0
             min_cos = float(min(pop)) if pop else 1.0
-            if gini > ivf_gini_threshold or min_cos < ivf_min_cos_threshold:
+            fire = gini > ivf_gini_threshold or min_cos < ivf_min_cos_threshold
+            if fire and ivf_repair_async and not state.get("repair"):
+                # OUT-OF-BAND: snapshot the file list, retrain off the
+                # critical path; the live index keeps serving probes
+                # and upserts untouched until finalize's safe point
+                snapshot = similarity.list_index_files(spark, ivf_index_path)
+                tmp = ivf_index_path.rstrip("/") + ".__rebalancing__"
+                from sqlstreamstore_spark.sources.hadoopfs import (
+                    fs_delete,
+                    fs_exists,
+                )
+
+                if fs_exists(spark, tmp):  # stale crashed build
+                    fs_delete(spark, tmp)
+                rec: dict = {
+                    "status": "running",
+                    "tmp": tmp,
+                    "snapshot": snapshot,
+                    "trigger": {
+                        "batch": state["batches"],
+                        "epoch": int(epoch_id),
+                        "gini": round(gini, 4),
+                        "min_cos": round(min_cos, 4),
+                    },
+                }
+                state["repair"] = rec
+                n_lists = len(cur)
+
+                def _build() -> None:
+                    t0 = _time.time()
+                    try:
+                        rec["cents"] = similarity.rebalance_ivf_build(
+                            spark, snapshot, tmp,
+                            n_clusters=n_lists,
+                            iters=ivf_rebalance_iters,
+                            max_share=ivf_rebalance_max_share,
+                        )
+                        rec["build_s"] = round(_time.time() - t0, 2)
+                        rec["status"] = "ready"
+                    except BaseException as e:  # surfaced via repair_errors
+                        rec["err"] = f"{type(e).__name__}: {e}"
+                        rec["status"] = "failed"
+
+                threading.Thread(
+                    target=_build, name="ivf-rebalance-build", daemon=True
+                ).start()
+            elif fire and not ivf_repair_async:
                 new_cents = similarity.rebalance_ivf_index(
                     spark,
                     ivf_index_path,
@@ -374,6 +490,7 @@ def fuzzy_dedup_ingest_sink(
                         "epoch": int(epoch_id),
                         "gini": round(gini, 4),
                         "min_cos": round(min_cos, 4),
+                        "mode": "inline",
                         "n_lists_after": len(new_cents),
                     }
                 )
@@ -386,6 +503,57 @@ def fuzzy_dedup_ingest_sink(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def finalize_ivf_repair(
+    spark, centroid_state: dict, ivf_index_path: str, wait_s: float = 0.0
+) -> bool:
+    """Finalize an out-of-band IVF repair recorded in
+    ``centroid_state["repair"]`` — catch up files appended since the
+    snapshot, swap the rebuilt index live, ship the retrained
+    centroids, and log the repair record. The sink calls this at the
+    start of every handler (the serial safe point); callers invoke it
+    directly after an ``availableNow`` stream terminates with a build
+    still in flight (``wait_s`` polls for the build thread to finish).
+    Returns True if a repair was finalized. Failed builds are drained
+    into ``centroid_state["repair_errors"]`` and return False."""
+    import time as _time
+
+    from sqlstreamstore_spark.analytics import similarity
+
+    deadline = _time.time() + wait_s
+    while True:
+        rep = centroid_state.get("repair")
+        if not rep:
+            return False
+        if rep["status"] == "failed":
+            centroid_state.setdefault("repair_errors", []).append(
+                rep.get("err", "")
+            )
+            centroid_state["repair"] = None
+            return False
+        if rep["status"] == "ready":
+            break
+        if _time.time() >= deadline:
+            return False
+        _time.sleep(0.1)
+    t0 = _time.time()
+    similarity.rebalance_finalize(
+        spark, ivf_index_path, rep["tmp"], rep["cents"], rep["snapshot"]
+    )
+    centroid_state["centroids"] = rep["cents"]
+    centroid_state.setdefault("rebalances", []).append(
+        {
+            **rep["trigger"],
+            "mode": "async",
+            "n_lists_after": len(rep["cents"]),
+            "build_s": rep.get("build_s"),
+            "finalize_s": round(_time.time() - t0, 2),
+            "finalized_at_batch": centroid_state.get("batches", 0),
+        }
+    )
+    centroid_state["repair"] = None
+    return True
 
 
 def rebuild_dedup_index(

@@ -1,0 +1,384 @@
+"""Round-12 hardening: bounded per-batch probe cost via the
+prefix-partitioned digest index + bucketed band index (VERDICT r11
+#2), out-of-band IVF repair (#3), and the manifest-pointer swap mode
+for object stores (#4)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlstreamstore_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = load_table(spark, SF, "embeddings").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = load_table(spark, SF, "documents").cache()
+    df.count()
+    return df
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+# ------------------------------------ prefix-partitioned digest index
+
+
+def test_digest_index_prefix_probe_matches_full_antijoin(spark, docs, tmp_path):
+    """probe_digest_index (pruned) returns exactly the rows the plain
+    corpus anti-join returns; the index layout is hp-partitioned."""
+    from sqlstreamstore_spark.analytics import dedup
+
+    path = str(tmp_path / "digest")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    incoming = docs.filter(F.col("doc_id") % 10 == 0).unionByName(
+        corpus.limit(25)  # re-sent rows must drop
+    )
+    dedup.build_digest_index(corpus, path)
+    # layout: hp=XX partition dirs
+    dirs = [d for d in os.listdir(path) if d.startswith("hp=")]
+    assert dirs and all(len(d) == len("hp=") + 2 for d in dirs)
+
+    got = sorted(
+        r["doc_id"]
+        for r in dedup.probe_digest_index(spark, path, incoming).collect()
+    )
+    want = sorted(
+        r["doc_id"] for r in dedup.new_against_corpus(incoming, corpus).collect()
+    )
+    assert got == want and want  # non-degenerate
+
+
+def test_digest_index_probe_plan_partition_pruned(spark, docs, tmp_path):
+    """The probe's index scan carries the delta's prefixes as literal
+    PartitionFilters — the scan is pruned at planning time, the
+    VERDICT r11 #2 fix shape."""
+    from sqlstreamstore_spark.analytics import dedup
+
+    path = str(tmp_path / "digest")
+    dedup.build_digest_index(docs.filter(F.col("doc_id") % 10 != 0), path)
+    delta = docs.filter(F.col("doc_id") % 100 == 0).limit(3)
+    plan = _plan(dedup.probe_digest_index(spark, path, delta))
+    scan = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "hp" in ln
+    ]
+    assert scan, f"no hp PartitionFilters in probe plan:\n{plan[:2000]}"
+    # a 3-doc delta has ≤3 prefixes: the filter must be a literal IN,
+    # not a catch-all
+    assert any("hp" in ln and "IN (" in ln.replace("in(", "IN (") for ln in scan)
+
+
+def test_digest_index_upsert_follows_layout_and_compact_preserves(
+    spark, docs, tmp_path
+):
+    from sqlstreamstore_spark.analytics import dedup
+
+    path = str(tmp_path / "digest")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    dedup.build_digest_index(corpus, path)
+    dedup.upsert_digest_index(delta, path)  # must land inside hp= dirs
+    idx = spark.read.parquet(path)
+    assert "hp" in idx.columns
+    n_all = idx.select("__h").distinct().count()
+    assert n_all == docs.select(F.md5("text")).distinct().count()
+    # probe after upsert: everything is now known
+    assert dedup.probe_digest_index(spark, path, docs).count() == 0
+    # bare compact auto-preserves the hp partitioning
+    dedup.compact_index(spark, path)
+    dirs = [d for d in os.listdir(path) if d.startswith("hp=")]
+    assert dirs
+    assert spark.read.parquet(path).select("__h").distinct().count() == n_all
+    assert dedup.probe_digest_index(spark, path, docs).count() == 0
+
+
+# --------------------------------------- bucketed banded-LSH index
+
+
+def test_minhash_bucketed_index_same_results_and_pruned_plan(
+    spark, docs, tmp_path
+):
+    """bh_buckets layout: identical incremental near-dup results to the
+    flat band layout, with the index scan pruned to the delta's bucket
+    ids; upsert self-configures from the sidecar."""
+    from sqlstreamstore_spark.analytics import dedup
+
+    corpus = docs.filter(F.col("doc_id") % 10 != 0).limit(300)
+    incoming = (
+        corpus.limit(12)
+        .select("doc_id", F.concat(F.col("text"), F.lit(" tail")).alias("text"))
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    flat, buck = str(tmp_path / "flat"), str(tmp_path / "buck")
+    dedup.build_minhash_index(corpus, flat)
+    dedup.build_minhash_index(corpus, buck, bh_buckets=8)
+    assert (dedup.read_index_layout(spark, buck) or {}).get("bh_buckets") == 8
+    a = sorted(
+        map(
+            tuple,
+            dedup.minhash_dedup_incremental(
+                spark, flat, incoming, corpus
+            ).collect(),
+        )
+    )
+    b_df = dedup.minhash_dedup_incremental(spark, buck, incoming, corpus)
+    b = sorted(map(tuple, b_df.collect()))
+    assert a == b and a  # same pairs, non-degenerate
+    plan = _plan(b_df)
+    assert any(
+        "PartitionFilters" in ln and "bb" in ln for ln in plan.splitlines()
+    ), "bucketed probe scan not partition-pruned on bb"
+    # upsert reads the sidecar: bucketed layout preserved
+    dedup.upsert_minhash_index(incoming, buck)
+    assert any(
+        d.startswith("bb=")
+        for d in os.listdir(os.path.join(buck, "band=0"))
+    )
+    # compact of the bucketed layout keeps dirs AND the sidecar
+    dedup.compact_index(spark, buck)
+    assert (dedup.read_index_layout(spark, buck) or {}).get("bh_buckets") == 8
+    assert any(
+        d.startswith("bb=") for d in os.listdir(os.path.join(buck, "band=0"))
+    )
+
+
+# ------------------------------------------------ pointer-mode swaps
+
+
+def test_pointer_mode_compact_lifecycle(spark, docs, tmp_path):
+    """init_pointer_index converts in place; compact_index auto-detects
+    the layout, writes the NEXT version dir (no data rename), commits
+    the one-line pointer, prunes old versions; probes resolve through
+    the pointer transparently."""
+    from sqlstreamstore_spark.analytics import dedup
+    from sqlstreamstore_spark.sources import hadoopfs as H
+
+    path = str(tmp_path / "digest")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    dedup.build_digest_index(corpus, path)
+    full = dedup.probe_digest_index(spark, path, docs).count()
+
+    live0 = H.init_pointer_index(spark, path)
+    assert live0.endswith("/v0") and H.resolved(spark, path) == live0
+    # probe through the pointer: same result
+    assert dedup.probe_digest_index(spark, path, docs).count() == full
+    # upsert lands in the live version dir
+    dedup.upsert_digest_index(docs.filter(F.col("doc_id") % 10 == 0), path)
+    assert dedup.probe_digest_index(spark, path, docs).count() == 0
+    n = spark.read.parquet(H.resolved(spark, path)).select("__h").distinct().count()
+
+    dedup.compact_index(spark, path)
+    v1 = H.pointer_resolve(spark, path)
+    assert v1 is not None and v1[0] == 1 and v1[1].endswith("/v1")
+    assert (
+        spark.read.parquet(H.resolved(spark, path)).select("__h").distinct().count()
+        == n
+    )
+    dedup.compact_index(spark, path)  # second rewrite → v2, v0 pruned
+    assert H.pointer_resolve(spark, path)[0] == 2
+    names = set(os.listdir(path))
+    assert "v2" in names and "v1" in names and "v0" not in names
+    assert dedup.probe_digest_index(spark, path, docs).count() == 0
+
+
+def test_pointer_mode_rebalance_ivf(spark, emb, tmp_path):
+    """rebalance_ivf_index on a pointer-mode root: rewrite goes into
+    the next version, pointer commit swaps it, contents preserved."""
+    from sqlstreamstore_spark.analytics import similarity as S
+    from sqlstreamstore_spark.sources import hadoopfs as H
+
+    path = str(tmp_path / "ivf")
+    vecs = emb.limit(300)
+    cents = S.kmeans_centroids(vecs, n_clusters=4, iters=2)
+    S.build_ivf_index(vecs, path, centroids=cents)
+    H.init_pointer_index(spark, path)
+    before = {
+        r["vec_id"]
+        for r in spark.read.parquet(H.resolved(spark, path)).select("vec_id").collect()
+    }
+    new_cents = S.rebalance_ivf_index(spark, path, n_clusters=4, iters=2)
+    assert H.pointer_resolve(spark, path)[0] == 1
+    after = {
+        r["vec_id"]
+        for r in spark.read.parquet(H.resolved(spark, path)).select("vec_id").collect()
+    }
+    assert after == before and len(new_cents) >= 4
+    # probes resolve the pointer transparently
+    got = S.near_dup_against_ivf_index(
+        spark, path, vecs.limit(5), threshold=0.999, centroids=new_cents
+    )
+    assert got.count() >= 0  # runs against the live version
+
+
+# ------------------------------------------- out-of-band IVF repair
+
+
+def test_rebalance_build_finalize_catches_concurrent_upserts(
+    spark, emb, tmp_path
+):
+    """The async-repair protocol: build on a SNAPSHOT while an upsert
+    appends new vectors, then finalize — the rebuilt index must contain
+    snapshot ∪ late vectors, assigned to the NEW centroids."""
+    from sqlstreamstore_spark.analytics import similarity as S
+
+    path = str(tmp_path / "ivf")
+    base = emb.filter(F.col("vec_id") % 5 != 0).limit(240)
+    late = emb.filter(F.col("vec_id") % 5 == 0).limit(40)
+    cents = S.kmeans_centroids(base, n_clusters=4, iters=2)
+    S.build_ivf_index(base, path, centroids=cents)
+
+    snapshot = S.list_index_files(spark, path)
+    tmp = path + ".__rebalancing__"
+    new_cents = S.rebalance_ivf_build(
+        spark, snapshot, tmp, n_clusters=4, iters=2
+    )
+    # a batch lands between snapshot and finalize (the race the
+    # protocol exists for)
+    S.upsert_ivf_index(late, path, cents)
+    S.rebalance_finalize(spark, path, tmp, new_cents, snapshot)
+
+    idx = spark.read.parquet(path)
+    want = {r["vec_id"] for r in base.select("vec_id").collect()} | {
+        r["vec_id"] for r in late.select("vec_id").collect()
+    }
+    assert {r["vec_id"] for r in idx.select("vec_id").collect()} == want
+    # every row is assigned to a NEW centroid id
+    new_ids = {c for c, _ in new_cents}
+    assert {
+        r["cluster_id"] for r in idx.select("cluster_id").distinct().collect()
+    } <= new_ids
+    assert not os.path.exists(tmp)
+
+
+def test_sink_async_repair_and_digest_index(spark, emb, tmp_path):
+    """fuzzy_dedup_ingest_sink with digest_index_path +
+    ivf_repair_async: exact dups still drop across batches via the
+    maintained prefix-partitioned index (never re-hashing the corpus),
+    the health trigger builds off-thread, and the repair finalizes at
+    a safe point with nothing lost."""
+    from sqlstreamstore_spark.analytics import dedup, similarity
+    from sqlstreamstore_spark.streaming.sink import (
+        finalize_ivf_repair,
+        fuzzy_dedup_ingest_sink,
+    )
+
+    base = tmp_path
+    src = str(base / "src")
+    corpus = str(base / "corpus")
+    mh_idx = str(base / "mh")
+    ivf_idx = str(base / "ivf")
+    dg_idx = str(base / "digest")
+    schema = "doc_id long, text string, embedding array<float>"
+
+    seed = (
+        emb.limit(400)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.concat(
+                F.lit("seed document body number "),
+                F.col("vec_id").cast("string"),
+                F.lit(" with enough distinct tokens to pass quality"),
+            ).alias("text"),
+            "embedding",
+        )
+        .localCheckpoint()
+    )
+    seed.write.parquet(corpus)
+    dedup.build_minhash_index(seed, mh_idx, bh_buckets=8)
+    cents = similarity.kmeans_centroids(
+        seed.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        n_clusters=4, iters=2,
+    )
+    similarity.build_ivf_index(
+        seed.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        ivf_idx, centroids=cents,
+    )
+
+    anchor = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+    ]
+    a = F.array(*[F.lit(x) for x in anchor])
+    for b in range(4):
+        novel = (
+            emb.filter(F.col("vec_id") % 4 == b)
+            .limit(50)
+            .select(
+                (F.col("vec_id") + 10_000 * (b + 1)).alias("doc_id"),
+                F.concat(
+                    F.lit(f"novel batch {b} doc "),
+                    F.col("vec_id").cast("string"),
+                    F.lit(" unique content words alpha beta gamma delta"),
+                ).alias("text"),
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"), a,
+                    lambda v, c: 0.3 * v + 0.7 * c,
+                ).cast("array<float>").alias("embedding"),
+            )
+        )
+        dup = seed.limit(10).select(
+            (F.col("doc_id") + 900_000 * (b + 1)).alias("doc_id"),
+            "text", "embedding",
+        )  # exact text dups: MUST drop at the digest stage every batch
+        novel.unionByName(dup).write.mode("append").parquet(src)
+
+    state: dict = {"centroids": cents}
+    q = fuzzy_dedup_ingest_sink(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        corpus, mh_idx,
+        threshold=0.5,
+        checkpoint_dir=str(base / "ckpt"),
+        ivf_index_path=ivf_idx, centroids=cents,
+        cosine_threshold=0.999,
+        centroid_state=state,
+        ivf_health_every=2,
+        ivf_gini_threshold=0.05,  # must fire on the skewed ingest
+        ivf_min_cos_threshold=0.999,
+        ivf_rebalance_max_share=0.5,
+        digest_index_path=dg_idx,
+        ivf_repair_async=True,
+        query_name="hsink12",
+    )
+    q.awaitTermination(240)
+    # a build may still be in flight when availableNow drains — the
+    # documented post-stream finalize path
+    finalize_ivf_repair(spark, state, ivf_idx, wait_s=120.0)
+
+    assert not state.get("repair_errors"), state["repair_errors"]
+    rebs = state.get("rebalances", [])
+    assert rebs and all(r.get("mode") == "async" for r in rebs)
+    assert state["centroids"] is not cents
+
+    # exact dups never landed: corpus text is globally unique
+    cdf = spark.read.parquet(corpus)
+    assert cdf.count() == cdf.select("text").distinct().count()
+    # the digest index exists, is prefix-partitioned, and covers the
+    # corpus exactly
+    assert any(d.startswith("hp=") for d in os.listdir(dg_idx))
+    assert (
+        spark.read.parquet(dg_idx).select("__h").distinct().count()
+        == cdf.select(F.md5("text")).distinct().count()
+    )
+    # the repaired index lost nothing: ids == corpus ids
+    idx_ids = {
+        r["vec_id"] for r in spark.read.parquet(ivf_idx).select("vec_id").collect()
+    }
+    assert idx_ids == {r["doc_id"] for r in cdf.select("doc_id").collect()}
