@@ -952,6 +952,22 @@ print("done", retries)
         # equal entry count), never the last run.
         "loadavg_start": [round(x, 2) for x in load0],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        # gate-semantics change markers (round 12, VERDICT r11 #5):
+        # rows whose MEASURED WORK changed in a given round — trend
+        # tooling must not read their round-over-round ratio as a
+        # plan regression/speedup. r11: ivf/pq/sketches run their
+        # brute-force/exact twins IN-GATE for the flipped oracles;
+        # bpe/compression moved to the 240-doc golden corpus (full
+        # narratives: BASELINE §3s).
+        "gate_changed": {
+            "r11": [
+                "sim_cosine_topk_ivf",
+                "sim_cosine_topk_pq",
+                "stats_approx_sketches",
+                "text_bpe_stats",
+                "text_compression_signals",
+            ],
+        },
     }
     # Full per-query timings go to a file; the stdout line stays compact
     # (top slowest queries only) so a bounded tail capture still parses

@@ -6429,6 +6429,31 @@ def _digest_index_for(spark: SparkSession, sf: str) -> str:
     return path
 
 
+def _dedup_digest_prefix_probe_query(spark: SparkSession, sf: str) -> DataFrame:
+    """r12 (VERDICT r11 #2): partition-PRUNED probe of the materialized
+    prefix-partitioned digest index — the delta's distinct 2-hex-char
+    digest prefixes become literal PartitionFilters on the index scan
+    (plan-pinned in tests/test_round12_ops.py), so a streaming batch's
+    exact-dedup read is O(prefix share of index), never O(corpus).
+    Results are identical to the corpus anti-join by construction —
+    the oracle replays the plain anti-join."""
+    docs = _t(spark, sf, "documents")
+    path = _digest_index_for(spark, sf)
+    return (
+        dedup.probe_digest_index(spark, path, docs)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_DIGEST_PREFIX_PROBE_SQL = """
+SELECT doc_id FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM documents c
+                  WHERE c.doc_id % 10 != 0 AND md5(c.text) = md5(d.text))
+ORDER BY doc_id
+"""
+
+
 def _pipeline_e2e_incremental_query(spark: SparkSession, sf: str) -> DataFrame:
     """The daily-crawl flagship: delta = doc_id%10 == 0 slice, standing
     corpus = the rest; all three corpus indexes (digest, banded LSH,
@@ -7692,6 +7717,13 @@ ORDER BY doc_id""",
         "dedup_incremental_new": (
             lambda s, sf: dedup.incremental_new_docs(_t(s, sf, "documents")),
             _INCREMENTAL_NEW_SQL,
+        ),
+        # r12: the INDEX-backed exact-dedup probe with partition-pruned
+        # scan (delta prefixes -> literal PartitionFilters); identical
+        # results to the corpus anti-join, which is the oracle
+        "dedup_digest_prefix_probe": (
+            _dedup_digest_prefix_probe_query,
+            _DIGEST_PREFIX_PROBE_SQL,
         ),
         # fuzzy incremental dedup (r8): delta bands probe the
         # MATERIALIZED corpus LSH index (build once, check every crawl

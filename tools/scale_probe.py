@@ -1510,6 +1510,7 @@ def sink_horizon_main(batches: int = 50, batch_docs: int = 200) -> int:
     os.makedirs(input_dir)
 
     d = "/root/testdata/sf0.1"
+    digest_path = os.path.join(base, "digest_index")
     emb = load_table(spark, d, "embeddings")
     seed = (
         load_table(spark, d, "documents")
@@ -1605,9 +1606,18 @@ def sink_horizon_main(batches: int = 50, batch_docs: int = 200) -> int:
         ivf_gini_threshold=0.45,
         ivf_min_cos_threshold=0.85,
         ivf_rebalance_max_share=0.15,
+        # round 12 (VERDICT r11 #2/#3): maintained prefix-partitioned
+        # digest index (pruned probe instead of re-hashing the corpus
+        # every batch) + Lloyd retrain off the ingest critical path
+        digest_index_path=digest_path,
+        ivf_repair_async=True,
     )
     q.awaitTermination()
     total_s = round(time.time() - t0, 2)
+    # a build still in flight when availableNow drains finalizes here
+    from sqlstreamstore_spark.streaming.sink import finalize_ivf_repair
+
+    finalize_ivf_repair(spark, state, ivf_path, wait_s=300.0)
     prog = sorted(q.recentProgress, key=lambda p: p["batchId"])
     durs = [
         round(p["durationMs"].get("triggerExecution", 0) / 1000.0, 3)
@@ -1638,7 +1648,10 @@ def sink_horizon_main(batches: int = 50, batch_docs: int = 200) -> int:
             "corpus_rows_final": corpus_rows,
             "mh_index_rows_final": mh_rows,
             "ivf_index_rows_final": ivf_rows,
+            "digest_index_rows_final": spark.read.parquet(digest_path)
+            .select("__h").distinct().count(),
             "rebalances": state.get("rebalances", []),
+            "repair_errors": state.get("repair_errors", []),
             "final_health": {
                 "gini": round(float(h[0]["size_gini"]), 4),
                 "min_cos": round(float(min(pop)), 4) if pop else None,
