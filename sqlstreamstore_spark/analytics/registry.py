@@ -644,6 +644,69 @@ ORDER BY qid, rk
 """
 
 
+def _knn_descent_sql(k: int = 5, seed_a: int = 42, seed_b: int = 7) -> str:
+    """DuckDB twin of the two-table knn_graph_lsh seed →
+    knn_descent_step: per-table same-bucket top-k, edge union
+    (distinct), symmetrize, 2-hop candidate expansion, exact-cosine
+    rescore, per-vertex top-k. TWO hash tables matter: a single
+    table's bucket top-k is CLOSED under 2-hop expansion (all
+    candidates stay in the bucket), so descent would be a fixed
+    point; cross-table hops are what discover new neighbors (measured
+    0.24 -> 0.48 recall@5 in one step at sf0.001). Cosine expression
+    order mirrors the Spark side (dot(c,q) / (norm_c * norm_q));
+    unrounded doubles ride the hash (the sim_knn_join precedent)."""
+    cos_ab = (
+        "list_dot_product(b.v, a.v) / (sqrt(list_dot_product(b.v, b.v))"
+        " * sqrt(list_dot_product(a.v, a.v)))"
+    )
+    cos_qc = (
+        "list_dot_product(ec.v, eq.v) / (sqrt(list_dot_product(ec.v, ec.v))"
+        " * sqrt(list_dot_product(eq.v, eq.v)))"
+    )
+
+    def table(name: str, seed: int) -> str:
+        return f"""
+{name}_sigs AS MATERIALIZED (
+  SELECT vec_id, v, {_lsh_bucket_sql("v", seed=seed)} AS bucket FROM e),
+{name} AS MATERIALIZED (
+  SELECT qid, cid FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS cid,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos_ab} DESC, b.vec_id) AS rk
+    FROM {name}_sigs a JOIN {name}_sigs b
+      ON a.bucket = b.bucket AND a.vec_id <> b.vec_id) t
+  WHERE rk <= {k})"""
+
+    return f"""
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings),
+{table("ga", seed_a)},
+{table("gb", seed_b)},
+g0 AS MATERIALIZED (
+  SELECT DISTINCT qid, cid FROM (
+    SELECT qid, cid FROM ga UNION ALL SELECT qid, cid FROM gb) u),
+sym AS MATERIALIZED (
+  SELECT qid, cid FROM g0 UNION ALL SELECT cid AS qid, qid AS cid FROM g0),
+cand AS MATERIALIZED (
+  SELECT DISTINCT qid, cid FROM (
+    SELECT qid, cid FROM sym
+    UNION ALL
+    SELECT g1.qid AS qid, g2.cid AS cid
+    FROM sym g1 JOIN sym g2 ON g1.cid = g2.qid) u
+  WHERE qid <> cid),
+scored AS (
+  SELECT cand.qid, cand.cid, {cos_qc} AS cosine
+  FROM cand JOIN e eq ON eq.vec_id = cand.qid
+            JOIN e ec ON ec.vec_id = cand.cid)
+SELECT qid, cid, cosine, rk FROM (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, cid) AS rk
+  FROM scored) t
+WHERE rk <= {k} ORDER BY qid, rk
+"""
+
+
 _BIGRAM_LOGPROB_SQL = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 tok AS (SELECT doc_id, unnest(w) AS token FROM toks),
@@ -673,6 +736,51 @@ folded AS (
                        - ln(CAST(t.cp + vocab AS DOUBLE))))),
            (a, x) -> a + x) AS s
   FROM terms, v)
+SELECT doc_id, n_bigrams,
+       round(s / CAST(n_bigrams AS DOUBLE), 7) AS avg_logprob,
+       round(exp(-(s / CAST(n_bigrams AS DOUBLE))), 4) AS ppl_proxy
+FROM folded ORDER BY doc_id
+"""
+
+# Interpolated Kneser-Ney (r12): same fold discipline as
+# _BIGRAM_LOGPROB_SQL; struct key order cb,cp,n1p,n1f,m matches the
+# Spark array_sort; D = 0.75 is exactly representable so the IEEE
+# expression tree hash-matches.
+_KNESER_NEY_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bgf AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i])) AS prev,
+         unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS cur
+  FROM toks WHERE len(w) >= 2),
+cbg AS MATERIALIZED (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb
+        FROM bgf GROUP BY prev, cur),
+cctx AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cp,
+                CAST(count(*) AS BIGINT) AS n1p
+         FROM cbg GROUP BY prev),
+cont AS (SELECT cur, CAST(count(*) AS BIGINT) AS n1f FROM cbg GROUP BY cur),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS nbt FROM cbg),
+per AS (SELECT doc_id, prev, cur, CAST(count(*) AS BIGINT) AS m
+        FROM bgf GROUP BY doc_id, prev, cur),
+terms AS (
+  SELECT per.doc_id,
+         list_sort(list({'cb': cb, 'cp': cp, 'n1p': n1p, 'n1f': n1f, 'm': m})) AS ts,
+         CAST(sum(m) AS BIGINT) AS n_bigrams
+  FROM per JOIN cbg USING (prev, cur) JOIN cctx USING (prev)
+           JOIN cont USING (cur)
+  GROUP BY per.doc_id),
+folded AS (
+  SELECT doc_id, n_bigrams,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(ts,
+               t -> CAST(t.m AS DOUBLE)
+                    * ln(greatest(CAST(t.cb AS DOUBLE) - 0.75, 0.0)
+                           / CAST(t.cp AS DOUBLE)
+                         + ((0.75 * CAST(t.n1p AS DOUBLE))
+                            / CAST(t.cp AS DOUBLE))
+                           * (CAST(t.n1f AS DOUBLE) / CAST(nbt AS DOUBLE))))),
+           (a, x) -> a + x) AS s
+  FROM terms, nb)
 SELECT doc_id, n_bigrams,
        round(s / CAST(n_bigrams AS DOUBLE), 7) AS avg_logprob,
        round(exp(-(s / CAST(n_bigrams AS DOUBLE))), 4) AS ppl_proxy
@@ -1178,6 +1286,22 @@ SELECT CAST(count(*) AS BIGINT) AS n_exact,
             ELSE CAST(coalesce(sum(hit), 0) AS DOUBLE) / count(*) END AS recall
 FROM pairs
 """
+
+_KNN_DESCENT_SQL = _knn_descent_sql()
+
+
+def _knn_descent_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-table LSH seed graph (single-table bucket top-k is CLOSED
+    under 2-hop expansion — descent needs cross-table hops to find
+    anything new) → one NN-descent round."""
+    emb = _t(spark, sf, "embeddings")
+    g0 = (
+        similarity.knn_graph_lsh(emb, k=5, seed=42)
+        .unionByName(similarity.knn_graph_lsh(emb, k=5, seed=7))
+        .select("qid", "cid")
+        .distinct()
+    )
+    return similarity.knn_descent_step(emb, g0, k=5)
 
 _COS_PAIRS_LSH_MP_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -7550,6 +7674,13 @@ ORDER BY o_orderpriority""",
         ),
         # add-one-smoothed bigram LM (order-sensitive quality score);
         # same sorted-sequential-fold float discipline as the unigram
+        # interpolated Kneser-Ney bigram scoring (r12): the CCNet-class
+        # perplexity-filter smoothing — absolute discount + continuation
+        # backoff, exact-count arithmetic, sorted fold
+        "text_kneser_ney_bigram": (
+            lambda s, sf: text.kneser_ney_bigram(_t(s, sf, "documents")),
+            _KNESER_NEY_SQL,
+        ),
         "text_bigram_logprob": (
             lambda s, sf: text.bigram_logprob(_t(s, sf, "documents")),
             _BIGRAM_LOGPROB_SQL,
@@ -7914,6 +8045,15 @@ FROM documents
         # similarity
         "sim_cosine_topk": (_sim_topk_query, _SIM_TOPK_SQL),
         "sim_knn_join": (_knn_join_query, _KNN_JOIN_SQL),
+        # one NN-descent refinement round (r12, Dong et al. 2011) over
+        # a TWO-table LSH-seeded kNN graph: symmetrize + 2-hop
+        # candidates, exact rescore, top-k — monotone recall (measured
+        # 0.24 -> 0.48 @5 in one step), work ∝ N·k², never all-pairs;
+        # full-value oracle replays the whole chain
+        "sim_knn_descent_step": (
+            _knn_descent_query,
+            _KNN_DESCENT_SQL,
+        ),
         # contrastive-training data prep: per-query top-k cross-label
         # negatives + margin vs the best same-label positive; cosine
         # folds are elementwise-deterministic so the floats hash-match

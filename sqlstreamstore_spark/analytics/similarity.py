@@ -1578,6 +1578,98 @@ def near_dup_against_ivf_index(
     )
 
 
+def knn_graph_lsh(
+    embeddings: DataFrame, k: int = 5, bits: int = 4, dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Initial approximate kNN GRAPH from LSH buckets — per vector, its
+    top-k exact-cosine neighbors among same-bucket vectors (the cheap
+    seed graph NN-descent then refines). Vectors alone in their bucket
+    get no edges (the descent step recovers them through reverse
+    edges). Deterministic: seeded hyperplanes, exact scores, ties by
+    cid. Scale: candidates only within buckets (the sub-quadratic LSH
+    contract); per-vertex top-k via a window partitioned by qid."""
+    from pyspark.sql import Window
+
+    sigs = lsh_bucket_signatures(embeddings, dim=dim, bits=bits, seed=seed)
+    a = sigs.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
+        _norm(F.col("embedding")).alias("qn"), "bucket",
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"),
+        _norm(F.col("embedding")).alias("cn"), "bucket",
+    )
+    score = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", score.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def knn_descent_step(
+    embeddings: DataFrame, graph: DataFrame, k: int = 5
+) -> DataFrame:
+    """ONE NN-descent refinement iteration (Dong, Moses & Li, WWW
+    2011) re-expressed relationally: a vertex's candidate set is its
+    SYMMETRIZED neighborhood plus its symmetrized neighbors'
+    neighbors ("a neighbor of my neighbor is probably my neighbor"),
+    exact-cosine scored, per-vertex top-k kept. Returns (qid, cid,
+    cosine, rk). MONOTONE by construction — the candidate set contains
+    the current neighbors, so recall@k never drops; iterating this
+    step to a fixed point is how production graph-ANN builds (NGT,
+    NN-descent proper) converge without ever going all-pairs.
+
+    Scale shape: two self-equi-joins of the edge list (|E| = N·k rows
+    — never the vectors) to form candidates, one distinct, two hash
+    joins back to the vector table for scoring (embeddings shuffle at
+    most twice, keyed by id), one partitioned window for top-k.
+    Work ∝ N·k² candidate rows; nothing quadratic in N, nothing
+    driver-side."""
+    from pyspark.sql import Window
+
+    edges = graph.select("qid", "cid")
+    sym = edges.unionByName(
+        edges.select(F.col("cid").alias("qid"), F.col("qid").alias("cid"))
+    )
+    hop2 = (
+        sym.alias("g1")
+        .join(
+            sym.alias("g2"),
+            F.col("g1.cid") == F.col("g2.qid"),
+        )
+        .select(F.col("g1.qid").alias("qid"), F.col("g2.cid").alias("cid"))
+    )
+    cand = (
+        sym.unionByName(hop2)
+        .filter(F.col("qid") != F.col("cid"))
+        .distinct()
+    )
+    q = embeddings.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
+        _norm(F.col("embedding")).alias("qn"),
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"),
+        _norm(F.col("embedding")).alias("cn"),
+    )
+    score = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        cand.join(q, "qid")
+        .join(c, "cid")
+        .select("qid", "cid", score.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .orderBy("qid", "rk")
+    )
+
+
 def build_lsh_bucket_index(
     embeddings: DataFrame, path: str, dim: int = 64, bits: int = 16,
     seed: int = 42,

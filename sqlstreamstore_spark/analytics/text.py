@@ -1069,6 +1069,102 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+def kneser_ney_bigram(documents: DataFrame, discount: float = 0.75) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.23) — the smoothing the CCNet-class
+    perplexity filters actually use, one tier above the Laplace
+    :func:`bigram_logprob`:
+
+        P(cur | prev) = max(c(prev,cur) − D, 0) / c(prev)
+                        + D·N1+(prev,·)/c(prev) · N1+(·,cur)/N1+(··)
+
+    where N1+(prev,·) counts distinct continuations of ``prev``,
+    N1+(·,cur) counts distinct CONTEXTS of ``cur`` (the continuation
+    probability — "how novel are the places this word appears", the KN
+    insight that demotes words frequent only inside one collocation),
+    and N1+(··) is the total number of distinct bigram types. D = 0.75
+    is the standard absolute discount (exactly representable in
+    binary, so the arithmetic hash-matches the oracle).
+
+    Scoring the corpus's own documents means every scored bigram has
+    c ≥ 1 — the discounted term can hit zero but the continuation
+    backoff never does, so ln is always defined.
+
+    Float discipline: every input to the IEEE expression tree is an
+    exact BIGINT (counts) or 0.75; the per-doc fold walks a SORTED
+    array of integer-struct contributions — identical add order in
+    both engines (the bigram_logprob discipline).
+
+    Scale shape: identical to bigram_logprob — bigrams from a zip of
+    two array slices (no shuffle), four partial-agg groupBys keyed on
+    bigram/prev/cur (bounded by distinct types), hash equi-joins back
+    to the doc axis, one 1-row broadcast (N1+(··)). Nothing quadratic,
+    nothing driver-side."""
+    toks = documents.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    bg = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(w, 1, size(w) - 1)"),
+                    F.expr("slice(w, 2, size(w) - 1)"),
+                    lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    )
+    cbg = bg.groupBy("prev", "cur").agg(F.count("*").cast("bigint").alias("cb"))
+    cctx = cbg.groupBy("prev").agg(
+        F.sum("cb").cast("bigint").alias("cp"),
+        F.count("*").cast("bigint").alias("n1p"),  # N1+(prev,·)
+    )
+    cont = cbg.groupBy("cur").agg(
+        F.count("*").cast("bigint").alias("n1f")  # N1+(·,cur)
+    )
+    nbt = cbg.agg(F.count("*").cast("bigint").alias("nbt"))  # N1+(··)
+    per = bg.groupBy("doc_id", "prev", "cur").agg(
+        F.count("*").cast("bigint").alias("m")
+    )
+    terms = (
+        per.join(cbg, ["prev", "cur"])
+        .join(cctx, "prev")
+        .join(cont, "cur")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cb", "cp", "n1p", "n1f", "m"))
+            ).alias("ts"),
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    d = F.lit(float(discount))
+
+    def contrib(t):
+        disc = F.greatest(t["cb"].cast("double") - d, F.lit(0.0)) / t[
+            "cp"
+        ].cast("double")
+        lam = (d * t["n1p"].cast("double")) / t["cp"].cast("double")
+        pcont = t["n1f"].cast("double") / F.col("nbt").cast("double")
+        return t["m"].cast("double") * F.log(disc + lam * pcont)
+
+    s = F.aggregate(
+        F.transform(F.col("ts"), contrib), F.lit(0.0), lambda a, x: a + x
+    )
+    avg = s / F.col("n_bigrams").cast("double")
+    return (
+        terms.crossJoin(F.broadcast(nbt))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(avg, 7).alias("avg_logprob"),
+            F.round(F.exp(-avg), 4).alias("ppl_proxy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def collocations_pmi(
     documents: DataFrame, min_count: int = 5, k: int = 30
 ) -> DataFrame:

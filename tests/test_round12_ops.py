@@ -382,3 +382,127 @@ def test_sink_async_repair_and_digest_index(spark, emb, tmp_path):
         r["vec_id"] for r in spark.read.parquet(ivf_idx).select("vec_id").collect()
     }
     assert idx_ids == {r["doc_id"] for r in cdf.select("doc_id").collect()}
+
+
+# ------------------------------------------- Kneser-Ney bigram (r12)
+
+
+def test_kneser_ney_bigram_known_values(spark):
+    """Stdlib-twin check on a corpus small enough to verify by hand:
+    interpolated KN with D=0.75 — discounted ML term + continuation
+    backoff — matches an independent pure-Python implementation."""
+    import math
+    from collections import Counter
+
+    from sqlstreamstore_spark.analytics.text import kneser_ney_bigram
+
+    rows = [
+        (1, "a b a b c"),
+        (2, "a b c c"),
+        (3, "b a b a"),
+        (4, "x"),  # < 2 tokens: no output row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in kneser_ney_bigram(docs).collect()}
+    assert set(got) == {1, 2, 3}
+
+    # pure-Python twin
+    bgs = {}
+    for did, txt in rows:
+        w = txt.split(" ")
+        bgs[did] = [(w[i], w[i + 1]) for i in range(len(w) - 1)]
+    cbg = Counter(b for lst in bgs.values() for b in lst)
+    cp = Counter()
+    n1p = Counter()
+    n1f = Counter()
+    for (p, c), n in cbg.items():
+        cp[p] += n
+        n1p[p] += 1
+        n1f[c] += 1
+    nbt = len(cbg)
+    D = 0.75
+    for did in (1, 2, 3):
+        if not bgs[did]:
+            continue
+        s = 0.0
+        # same sorted-fold order as the operator: sort contributions by
+        # (cb, cp, n1p, n1f, m)
+        per = Counter(bgs[did])
+        terms = sorted(
+            (cbg[b], cp[b[0]], n1p[b[0]], n1f[b[1]], m)
+            for b, m in per.items()
+        )
+        for cb, cpp, np_, nf, m in terms:
+            p = max(cb - D, 0.0) / cpp + ((D * np_) / cpp) * (nf / nbt)
+            s += m * math.log(p)
+        avg = s / len(bgs[did])
+        assert got[did]["n_bigrams"] == len(bgs[did])
+        assert abs(got[did]["avg_logprob"] - round(avg, 7)) < 1e-12
+        assert abs(got[did]["ppl_proxy"] - round(math.exp(-avg), 4)) < 1e-12
+    # order corruption scores worse than natural order: a doc that is a
+    # scrambled version of common bigrams has lower avg_logprob
+    assert got[3]["avg_logprob"] <= got[1]["avg_logprob"] + 1e-9
+
+
+# --------------------------------------------- NN-descent step (r12)
+
+
+def test_knn_descent_monotone_recall(spark, emb):
+    """One NN-descent round must not lose recall vs the LSH seed graph
+    (candidates ⊇ current neighbors), and in the LSH-bucketed regime
+    it should strictly improve it; both measured against brute-force
+    kNN."""
+    from pyspark.sql import Window
+
+    from sqlstreamstore_spark.analytics import similarity as S
+
+    k = 5
+    vecs = emb.limit(300).localCheckpoint()
+    # TWO hash tables: a single table's bucket top-k is closed under
+    # 2-hop expansion (descent would be a fixed point); cross-table
+    # hops are what discover new neighbors
+    g0 = (
+        S.knn_graph_lsh(vecs, k=k, seed=42)
+        .unionByName(S.knn_graph_lsh(vecs, k=k, seed=7))
+        .select("qid", "cid")
+        .distinct()
+        .localCheckpoint()
+    )
+    g1 = S.knn_descent_step(vecs, g0, k=k).localCheckpoint()
+
+    # brute-force truth
+    e1 = vecs.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    e2 = vecs.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    truth = (
+        e1.crossJoin(e2)
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", (dot / (nrm(F.col("qv")) * nrm(F.col("cv")))).alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "cid")
+    )
+    n_truth = truth.count()
+
+    def recall(g):
+        return g.select("qid", "cid").join(truth, ["qid", "cid"]).count() / n_truth
+
+    r0, r1 = recall(g0), recall(g1)
+    assert r1 >= r0 - 1e-12, (r0, r1)
+    assert r1 > r0, f"descent step did not improve recall ({r0} -> {r1})"
+    assert r1 >= 1.5 * r0  # one round roughly doubles it (0.24 -> 0.48 here)
+    # every vertex keeps <= k edges, ranked 1..k
+    from pyspark.sql import functions as _F
+
+    bad = g1.groupBy("qid").agg(_F.count("*").alias("n")).filter(_F.col("n") > k)
+    assert bad.count() == 0
