@@ -745,6 +745,108 @@ def bradley_terry(events: DataFrame, iters: int = 5) -> DataFrame:
 # ------------------------------------------ Fleiss' kappa (round 11)
 
 
+def krippendorff_alpha(
+    events: DataFrame, bucket_cents: int = 3000, n_cats: int = 3
+) -> DataFrame:
+    """Krippendorff's alpha (nominal) — the agreement statistic that,
+    unlike :func:`fleiss_kappa`, handles MISSING ratings: any unit
+    rated by >= 2 raters participates with its own rating count m_u
+    (Krippendorff, "Content Analysis", ch. 12). For LLM-judge panels
+    this is the realistic regime — judges time out or abstain, and
+    Fleiss' constant-r requirement throws those units away.
+
+        Do = (1/n) Σ_u (m_u² − Σ_c n_uc²) / (m_u − 1)
+        De = (n² − Σ_c n_c²) / (n(n−1))
+        α  = 1 − Do/De
+             = 1 − (n−1)·Σ_u[(m_u²−Σn_uc²)/(m_u−1)] / (n² − Σ_c n_c²)
+
+    Exactness: the per-unit denominators (m_u − 1) are bounded by the
+    rater axis, so multiplying through by L = lcm(1..max_m−1) turns
+    the whole numerator into exact BIGINT arithmetic —
+    α = 1 − ((n−1)·S_L) / (L·(n² − Σn_c²)) with ONE final IEEE
+    division (the fleiss_kappa discipline, extended to ragged panels;
+    BIGINT headroom holds through sf1-scale fixtures). Degenerate
+    panels (all ratings in one category → De = 0) report NULL.
+
+    Fixture derivation matches fleiss_kappa exactly (items = users,
+    raters = event types, rating = integer-DIV engagement bucket) —
+    MINUS the constant-r filter: units keep whatever raters they have.
+
+    Scale: two partial-agg groupBys keyed by user (the corpus
+    shuffles once), bounded reductions; the only collect is max(m_u),
+    an int off the bounded rater axis."""
+    import math
+
+    per = events.groupBy("user_id", F.col("event_type").alias("rater")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        F.count("*").cast("long").alias("n_ev"),
+    )
+    rated = per.select(
+        "user_id",
+        F.least(
+            F.lit(n_cats - 1),
+            F.expr(f"(cents DIV n_ev) DIV {int(bucket_cents)}"),
+        ).cast("long").alias("rating"),
+    )
+    nuc = rated.groupBy("user_id", "rating").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    unit = nuc.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("m"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("ssq"),
+    ).filter(F.col("m") >= 2)
+    max_m = unit.agg(F.max("m")).collect()[0][0]
+    if max_m is None:
+        spark = events.sparkSession
+        return spark.createDataFrame(
+            [(0, 0, 0, None, None, None)],
+            "n_units long, n_ratings long, n_cats_seen long, "
+            "do double, de double, alpha double",
+        )
+    L = math.lcm(*range(1, int(max_m)))  # lcm(1..max_m-1); m>=2 so >=1
+    s_l = unit.agg(
+        F.sum(
+            (F.col("m") * F.col("m") - F.col("ssq"))
+            * F.expr(f"CAST({L} AS BIGINT) DIV (m - 1)")
+        ).cast("long").alias("s_l"),
+        F.count("*").cast("long").alias("n_units"),
+        F.sum("m").cast("long").alias("n"),
+    )
+    # category marginals over participating units only
+    cat = (
+        nuc.join(unit.select("user_id"), "user_id", "left_semi")
+        .groupBy("rating")
+        .agg(F.sum("n").cast("long").alias("nc"))
+        .agg(
+            F.sum(F.col("nc") * F.col("nc")).cast("long").alias("q"),
+            F.count("*").cast("long").alias("n_cats_seen"),
+        )
+    )
+    ll = F.lit(int(L)).cast("long")
+    return s_l.crossJoin(F.broadcast(cat)).select(
+        "n_units",
+        F.col("n").alias("n_ratings"),
+        "n_cats_seen",
+        F.round(
+            F.col("s_l").cast("double") / (ll * F.col("n")).cast("double"), 9
+        ).alias("do"),
+        F.round(
+            (F.col("n") * F.col("n") - F.col("q")).cast("double")
+            / (F.col("n") * (F.col("n") - 1)).cast("double"),
+            9,
+        ).alias("de"),
+        F.when(
+            F.col("n") * F.col("n") != F.col("q"),
+            F.round(
+                F.lit(1.0)
+                - ((F.col("n") - 1) * F.col("s_l")).cast("double")
+                / (ll * (F.col("n") * F.col("n") - F.col("q"))).cast("double"),
+                9,
+            ),
+        ).alias("alpha"),
+    )
+
+
 def fleiss_kappa(events: DataFrame, bucket_cents: int = 3000, n_cats: int = 3) -> DataFrame:
     """Multi-rater chance-corrected agreement — Fleiss' kappa (Fleiss,
     "Measuring nominal scale agreement among many raters", 1971): THE

@@ -9386,6 +9386,47 @@ SELECT n_items, CAST(m AS BIGINT) AS n_raters, n_cats_seen,
 FROM stats, colq, rmax
 """
 
+# Krippendorff's alpha, nominal (r12): the ragged-panel statistic —
+# every unit with >= 2 ratings participates with its own m_u. The
+# per-unit 1/(m_u−1) denominators clear through L = lcm(1..max_m−1);
+# on this fixture max_m = 5 at every sf (verified 0.001/0.01/0.1), so
+# L = 12 here while the Spark side computes the same value
+# dynamically. All terms exact BIGINT, single final divides —
+# zero-tolerance oracle (the fleiss discipline on ragged panels).
+_KRIPPENDORFF_SQL = """
+WITH per AS (
+  SELECT user_id, event_type AS rater,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n_ev
+  FROM events GROUP BY user_id, event_type
+),
+rated AS (
+  SELECT user_id, least(2, (cents // n_ev) // 3000) AS rating FROM per
+),
+nuc AS (SELECT user_id, rating, CAST(count(*) AS BIGINT) AS n
+        FROM rated GROUP BY user_id, rating),
+unit AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS m,
+                CAST(sum(n * n) AS BIGINT) AS ssq
+         FROM nuc GROUP BY user_id
+         HAVING sum(n) >= 2),
+sl AS (SELECT CAST(sum((m * m - ssq) * (12 // (m - 1))) AS BIGINT) AS s_l,
+              CAST(count(*) AS BIGINT) AS n_units,
+              CAST(sum(m) AS BIGINT) AS n
+       FROM unit),
+cat AS (SELECT CAST(sum(nc * nc) AS BIGINT) AS q,
+               CAST(count(*) AS BIGINT) AS n_cats_seen
+        FROM (SELECT rating, CAST(sum(n) AS BIGINT) AS nc
+              FROM nuc JOIN unit USING (user_id) GROUP BY rating))
+SELECT n_units, n AS n_ratings, n_cats_seen,
+  round(CAST(s_l AS DOUBLE) / CAST(12 * n AS DOUBLE), 9) AS do,
+  round(CAST(n * n - q AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 9) AS de,
+  CASE WHEN n * n <> q THEN
+    round(1.0 - CAST((n - 1) * s_l AS DOUBLE)
+                / CAST(12 * (n * n - q) AS DOUBLE), 9)
+  END AS alpha
+FROM sl, cat
+"""
+
 # DoReMi one-step mixture reweight: BIGINT sums → single divides, one
 # libm exp, normalizer folded in source order (the text.py handoff) —
 # identical IEEE sequence in both engines, rounded 9
@@ -9505,6 +9546,12 @@ def round11_queries():
         # LLM-judge-panel statistic; Cohen's 2-rater kappa lives in
         # eval_classification_report) — exact-BIGINT terms, three
         # final divides
+        # ragged-panel agreement (r12): units keep whatever raters they
+        # have (>= 2) — the missing-ratings regime Fleiss throws away
+        "eval_krippendorff_alpha": (
+            lambda s, sf: evaluation.krippendorff_alpha(_t(s, sf, "events")),
+            _KRIPPENDORFF_SQL,
+        ),
         "eval_fleiss_kappa": (
             lambda s, sf: evaluation.fleiss_kappa(_t(s, sf, "events")),
             _FLEISS_KAPPA_SQL,

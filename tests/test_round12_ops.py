@@ -506,3 +506,68 @@ def test_knn_descent_monotone_recall(spark, emb):
 
     bad = g1.groupBy("qid").agg(_F.count("*").alias("n")).filter(_F.col("n") > k)
     assert bad.count() == 0
+
+
+# ------------------------------------- Krippendorff's alpha (r12)
+
+
+def test_krippendorff_alpha_known_values(spark):
+    """Ragged-panel alpha against an independent pure-Python twin:
+    units with >= 2 ratings participate with their own m_u (the
+    missing-data regime Fleiss drops); single-rater units are
+    excluded entirely."""
+    from collections import Counter
+
+    from sqlstreamstore_spark.analytics.evaluation import krippendorff_alpha
+
+    # value -> rating under the fixture bucketing: 10->0, 40->1, 70->2
+    panel = {
+        1: {"A": 0, "B": 0, "C": 0},
+        2: {"A": 0, "B": 1},
+        3: {"A": 1, "B": 1, "C": 2, "D": 2},
+        4: {"A": 2},  # m=1: dropped
+        5: {"A": 2, "B": 2},
+    }
+    val = {0: 10.0, 1: 40.0, 2: 70.0}
+    rows = [
+        (u, r, val[c], "2024-01-01T00:00:00")
+        for u, rc in panel.items()
+        for r, c in rc.items()
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = krippendorff_alpha(ev).collect()[0]
+
+    # pure-Python twin (exact rational arithmetic via fractions)
+    from fractions import Fraction
+
+    units = {u: rc for u, rc in panel.items() if len(rc) >= 2}
+    n = sum(len(rc) for rc in units.values())
+    do = Fraction(0)
+    ncat = Counter()
+    for rc in units.values():
+        m = len(rc)
+        cnt = Counter(rc.values())
+        ncat.update(cnt)
+        do += Fraction(m * m - sum(v * v for v in cnt.values()), m - 1)
+    do /= n
+    de = Fraction(n * n - sum(v * v for v in ncat.values()), n * (n - 1))
+    alpha = 1 - do / de
+    assert got["n_units"] == 4 and got["n_ratings"] == n
+    assert abs(got["do"] - float(do)) < 1e-9
+    assert abs(got["de"] - float(de)) < 1e-9
+    assert abs(got["alpha"] - float(alpha)) < 1e-9
+    # perfect agreement on a 2-category ragged panel -> alpha == 1
+    perfect = spark.createDataFrame(
+        [(1, "A", 10.0), (1, "B", 10.0), (2, "A", 70.0), (2, "B", 70.0),
+         (2, "C", 70.0)],
+        "user_id long, event_type string, value double",
+    )
+    assert krippendorff_alpha(perfect).collect()[0]["alpha"] == 1.0
+    # degenerate one-category panel -> NULL (De = 0)
+    degen = spark.createDataFrame(
+        [(1, "A", 10.0), (1, "B", 10.0), (2, "A", 10.0), (2, "B", 10.0)],
+        "user_id long, event_type string, value double",
+    )
+    assert krippendorff_alpha(degen).collect()[0]["alpha"] is None
