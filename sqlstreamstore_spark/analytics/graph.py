@@ -208,6 +208,89 @@ JOIN edges e2 ON e1.dst = e2.src
 JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
 
 
+def label_propagation(
+    edges: DataFrame, iters: int = 2, checkpoint: bool = True
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007) made DETERMINISTIC: labels init to the node
+    id; each round every node adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label (the paper breaks
+    ties randomly — fine for exploration, useless for an oracle).
+    Fixed ``iters`` rounds, unrolled — the pagerank/BFS oracle
+    pattern; every vertex in the edge list has >= 1 neighbor, so there
+    is no keep-own-label branch to special-case.
+
+    Output: (node, label) — nodes sharing a label are one community.
+
+    Scale shape per round: one equi-join of the symmetrized edge list
+    against the |V|-row label frame (shuffle keyed by node id, ∝ |E|),
+    one (node, label) partial-agg count, one per-node window top-1.
+    Synchronous updates on BIPARTITE graphs can oscillate (known LPA
+    property) — use co-occurrence projections, not raw bipartite
+    edges, as this module's fixtures do."""
+    from pyspark.sql import Window
+
+    sym = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+
+    def ckpt(df):
+        return df.localCheckpoint(eager=False) if checkpoint else df
+
+    w = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(iters):
+        votes = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = ckpt(
+            votes.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(F.col("u").alias("node"), "label")
+        )
+    return labels.orderBy("node")
+
+
+def label_propagation_oracle_sql(iters: int = 2, min_orders: int = 5) -> str:
+    """Unrolled-iteration DuckDB twin over the supplier co-occurrence
+    edges (CTEs MATERIALIZED — plain CTEs inline and re-derive the
+    edge self-join exponentially)."""
+    parts = [
+        f"""WITH edges AS MATERIALIZED (
+  SELECT CAST(a.l_suppkey AS BIGINT) AS src,
+         CAST(b.l_suppkey AS BIGINT) AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= {min_orders}
+),
+sym AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM edges
+  UNION ALL SELECT dst AS u, src AS v FROM edges),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""v{i} AS (
+  SELECT s.u, l.label, count(*) AS c
+  FROM sym s JOIN l{i - 1} l ON l.node = s.v
+  GROUP BY s.u, l.label),
+l{i} AS MATERIALIZED (
+  SELECT u AS node, label FROM (
+    SELECT u, label,
+           row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rk
+    FROM v{i}) t
+  WHERE rk = 1)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, label FROM l{iters} ORDER BY node"
+    )
+
+
 def triangle_count_doulion(edges: DataFrame, p: float = 0.5) -> DataFrame:
     """DOULION triangle estimate (Tsourakakis et al., KDD'09): keep
     each edge independently with probability ``p``, count triangles on

@@ -2067,6 +2067,21 @@ def _triangles_query(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_count(supplier_cooccurrence_edges(_t(spark, sf, "lineitem")))
 
 
+def _label_propagation_query(spark: SparkSession, sf: str) -> DataFrame:
+    """min_orders=30: the >=5 graph is a complete clique at gate sf
+    (one community after one round — vacuous); >=30 keeps 686 edges /
+    100 nodes at sf0.01 and LPA finds 8 communities in 2 rounds."""
+    from sqlstreamstore_spark.analytics.graph import (
+        label_propagation,
+        supplier_cooccurrence_edges,
+    )
+
+    return label_propagation(
+        supplier_cooccurrence_edges(_t(spark, sf, "lineitem"), min_orders=30),
+        iters=2,
+    )
+
+
 def _link_prediction_query(spark: SparkSession, sf: str) -> DataFrame:
     """min_orders=20 (not the 5 the triangle gates use): at the gate
     sf the co-occurrence graph is a COMPLETE clique at ≥5 — zero
@@ -2490,6 +2505,9 @@ _ANN_PQ_RECALL_SQL = (
 )
 
 from sqlstreamstore_spark.analytics.graph import TRIANGLE_ORACLE_SQL as _TRIANGLE_SQL
+from sqlstreamstore_spark.analytics.graph import label_propagation_oracle_sql
+
+_LABEL_PROP_SQL = label_propagation_oracle_sql(iters=2, min_orders=30)
 from sqlstreamstore_spark.analytics.graph import doulion_oracle_sql as _doulion_oracle_sql
 
 _DOULION_SQL = _doulion_oracle_sql(p=0.5)
@@ -8306,6 +8324,15 @@ FROM documents
         "graph_triangles": (
             lambda s, sf: _triangles_query(s, sf),
             _TRIANGLE_SQL,
+        ),
+        # deterministic synchronous label propagation (r12, Raghavan
+        # 2007 with min-label tie-break): 2 unrolled rounds over the
+        # >=30-order co-occurrence graph (8 communities at sf0.01;
+        # >=5 saturates to a clique -> 1 label); integer-exact oracle
+        # via MATERIALIZED per-round CTEs
+        "graph_label_propagation": (
+            lambda s, sf: _label_propagation_query(s, sf),
+            _LABEL_PROP_SQL,
         ),
         # neighborhood-Jaccard link prediction (Liben-Nowell 2003):
         # open-wedge candidates minus existing edges, exact-int scores

@@ -571,3 +571,27 @@ def test_krippendorff_alpha_known_values(spark):
         "user_id long, event_type string, value double",
     )
     assert krippendorff_alpha(degen).collect()[0]["alpha"] is None
+
+
+# ------------------------------------ label propagation (r12)
+
+
+def test_label_propagation_known_communities(spark):
+    """Two dense K4 cliques joined by one bridge edge: 2 rounds of
+    deterministic LPA label each clique with its minimum node id."""
+    from sqlstreamstore_spark.analytics.graph import label_propagation
+
+    k4a = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    k4b = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    edges = spark.createDataFrame(
+        k4a + k4b + [(4, 10)], "src long, dst long"
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(edges, iters=2).collect()}
+    assert {got[n] for n in (1, 2, 3)} == {1}
+    assert {got[n] for n in (11, 12, 13)} == {10}
+    # the bridge endpoints stay with their own cliques (3 same-clique
+    # neighbors vs 1 across)
+    assert got[4] == 1 and got[10] == 10
+    # determinism: re-run is identical
+    again = {r["node"]: r["label"] for r in label_propagation(edges, iters=2).collect()}
+    assert again == got
