@@ -991,26 +991,113 @@ def build_digest_index(corpus: DataFrame, path: str) -> None:
     )
 
 
+DIGEST_TAIL_DIR = "_tail"
+
+
+def _has_prefix_layout(spark, live: str) -> bool:
+    """One directory listing (O(partition dirs), never O(files)): does
+    the index carry hp= partition directories?"""
+    from sqlstreamstore_spark.sources.hadoopfs import _fs_for, _jpath
+
+    jp = _jpath(spark, live)
+    fs = _fs_for(spark, jp)
+    if not fs.exists(jp):
+        return False
+    for st in fs.listStatus(jp):
+        if st.getPath().getName().startswith("hp="):
+            return True
+    return False
+
+
 def upsert_digest_index(new_docs: DataFrame, path: str) -> None:
     """Append the new docs' digests — O(delta); duplicate digest rows
     are harmless (membership semantics, the anti-join is set-valued).
-    Appends into the live dir of a pointer-mode index and follows the
-    index's layout (prefix-partitioned or legacy flat)."""
+
+    Prefix-partitioned indexes get the LSM shape (r12 — the first
+    sink_horizon rerun showed why): appending a micro-batch's digests
+    INTO 256 hp= dirs writes one tiny file per touched prefix (~115
+    files per 150-doc batch — 6k files over a 50-batch horizon, and
+    every probe pays the listing+footer tax). Instead the delta lands
+    as ONE flat file in ``live/_tail`` (underscore → invisible to the
+    partitioned read); probes scan pruned-main ∪ tail, and
+    :func:`roll_digest_tail` folds the tail into the partitions when
+    it exceeds a file budget — exactly a Delta/Iceberg-style delta log
+    over the base layout. Legacy flat indexes keep the direct append
+    (their readers scan the root unpartitioned)."""
     from sqlstreamstore_spark.sources.hadoopfs import resolved
 
     spark = new_docs.sparkSession
     live = resolved(spark, path)
     digests = new_docs.select(F.md5("text").alias("__h")).distinct()
-    if "hp" in spark.read.parquet(live).columns:
-        (
-            digests.withColumn("hp", F.substring("__h", 1, DIGEST_PREFIX_LEN))
-            .coalesce(1)
-            .write.partitionBy("hp")
-            .mode("append")
-            .parquet(live)
+    if _has_prefix_layout(spark, live):
+        digests.coalesce(1).write.mode("append").parquet(
+            live.rstrip("/") + "/" + DIGEST_TAIL_DIR
         )
     else:
         digests.write.mode("append").parquet(live)
+
+
+def _tail_dir_of(spark, live: str) -> str | None:
+    from sqlstreamstore_spark.sources.hadoopfs import fs_exists
+
+    t = live.rstrip("/") + "/" + DIGEST_TAIL_DIR
+    return t if fs_exists(spark, t) else None
+
+
+def read_digest_index(spark, path: str) -> DataFrame:
+    """The index's full digest set (``__h`` column): partitioned main ∪
+    un-rolled tail. Use this — not a bare ``read.parquet`` — whenever
+    you need every member; the bare read silently skips ``_tail``."""
+    from sqlstreamstore_spark.sources.hadoopfs import resolved
+
+    live = resolved(spark, path)
+    out = spark.read.parquet(live).select("__h")
+    tail = _tail_dir_of(spark, live)
+    if tail:
+        out = out.unionByName(spark.read.parquet(tail).select("__h"))
+    return out
+
+
+def roll_digest_tail(spark, path: str, max_tail_files: int = 64) -> bool:
+    """Fold the tail into the hp= partitions once it holds more than
+    ``max_tail_files`` files (≈ that many upsert batches). One job ∝
+    tail rows; crash-safe by append-then-delete (a crash leaves
+    duplicate membership rows — harmless by set semantics). Returns
+    True when a roll ran. Probe cost stays O(pruned main + tail), and
+    total file count stays O(256 + tail budget) instead of growing by
+    ~touched-prefixes per batch."""
+    from sqlstreamstore_spark.sources.hadoopfs import (
+        _fs_for,
+        _jpath,
+        fs_delete,
+        resolved,
+    )
+
+    live = resolved(spark, path)
+    tail = _tail_dir_of(spark, live)
+    if tail is None:
+        return False
+    jp = _jpath(spark, tail)
+    fs = _fs_for(spark, jp)
+    n_files = sum(
+        1
+        for st in fs.listStatus(jp)
+        if st.getPath().getName().endswith(".parquet")
+    )
+    if n_files <= max_tail_files:
+        return False
+    (
+        spark.read.parquet(tail)
+        .select("__h")
+        .distinct()
+        .withColumn("hp", F.substring("__h", 1, DIGEST_PREFIX_LEN))
+        .coalesce(1)
+        .write.partitionBy("hp")
+        .mode("append")
+        .parquet(live)
+    )
+    fs_delete(spark, tail)
+    return True
 
 
 def probe_digest_index(
@@ -1046,7 +1133,11 @@ def probe_digest_index(
             .collect()
         ]
         idx = idx.filter(F.col("hp").isin(prefixes))
-    out = delta_h.join(idx.select("__h"), "__h", "left_anti")
+    members = idx.select("__h")
+    tail = _tail_dir_of(spark, live)
+    if tail:  # un-rolled recent upserts: few flat files, full scan
+        members = members.unionByName(spark.read.parquet(tail).select("__h"))
+    out = delta_h.join(members, "__h", "left_anti")
     return out if keep_digest else out.drop("__h")
 
 
@@ -1109,7 +1200,19 @@ def compact_index(
     src = path if ptr is None else ptr[1]
     layout = read_index_layout(spark, path)
 
-    df = spark.read.parquet(src).distinct()
+    df = spark.read.parquet(src)
+    # digest-index tail (r12 LSM shape): the bare read skips the
+    # underscore-prefixed _tail dir — fold un-rolled digests in so
+    # compaction never drops membership
+    tail = _tail_dir_of(spark, src)
+    if tail and "__h" in df.columns:
+        df = df.unionByName(
+            spark.read.parquet(tail)
+            .select("__h")
+            .withColumn("hp", F.substring("__h", 1, DIGEST_PREFIX_LEN)),
+            allowMissingColumns=True,
+        )
+    df = df.distinct()
     # refuse counter-valued layouts (ADVICE r9 #3): distinct() on a
     # (token, tf, df) term index would collapse identical partial rows
     # whose duplicates carry count mass.

@@ -391,6 +391,11 @@ def fuzzy_dedup_ingest_sink(
             # crash window is this one statement (docstring contract)
             if os.path.isdir(digest_index_path):
                 dedup.upsert_digest_index(fresh, digest_index_path)
+                # LSM hygiene: fold the flat tail into the hp=
+                # partitions once it exceeds the file budget — keeps
+                # total index file count O(256 + budget) instead of
+                # O(prefixes × batches)
+                dedup.roll_digest_tail(spark, digest_index_path)
             else:  # first-ever batch: corpus was empty, index is born here
                 dedup.build_digest_index(fresh, digest_index_path)
         dedup.upsert_minhash_index(

@@ -95,18 +95,32 @@ def test_digest_index_upsert_follows_layout_and_compact_preserves(
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     delta = docs.filter(F.col("doc_id") % 10 == 0)
     dedup.build_digest_index(corpus, path)
-    dedup.upsert_digest_index(delta, path)  # must land inside hp= dirs
-    idx = spark.read.parquet(path)
-    assert "hp" in idx.columns
-    n_all = idx.select("__h").distinct().count()
-    assert n_all == docs.select(F.md5("text")).distinct().count()
-    # probe after upsert: everything is now known
+    # upsert lands as ONE flat tail file (the LSM shape), not as a
+    # file per touched hp= dir
+    dedup.upsert_digest_index(delta, path)
+    tail = os.path.join(path, "_tail")
+    assert os.path.isdir(tail)
+    assert (
+        sum(1 for f in os.listdir(tail) if f.endswith(".parquet")) == 1
+    )
+    n_want = docs.select(F.md5("text")).distinct().count()
+    assert dedup.read_digest_index(spark, path).distinct().count() == n_want
+    # probe after upsert sees main ∪ tail: everything is now known
     assert dedup.probe_digest_index(spark, path, docs).count() == 0
-    # bare compact auto-preserves the hp partitioning
+    # below the file budget the roll is a no-op; forcing it folds the
+    # tail into the partitions and clears it
+    assert dedup.roll_digest_tail(spark, path) is False
+    assert dedup.roll_digest_tail(spark, path, max_tail_files=0) is True
+    assert not os.path.isdir(tail)
+    assert dedup.read_digest_index(spark, path).distinct().count() == n_want
+    assert dedup.probe_digest_index(spark, path, docs).count() == 0
+    # bare compact auto-preserves the hp partitioning (and folds any
+    # tail in — exercised via one more upsert)
+    dedup.upsert_digest_index(delta, path)
     dedup.compact_index(spark, path)
     dirs = [d for d in os.listdir(path) if d.startswith("hp=")]
-    assert dirs
-    assert spark.read.parquet(path).select("__h").distinct().count() == n_all
+    assert dirs and not os.path.isdir(tail)
+    assert spark.read.parquet(path).select("__h").distinct().count() == n_want
     assert dedup.probe_digest_index(spark, path, docs).count() == 0
 
 
@@ -180,14 +194,16 @@ def test_pointer_mode_compact_lifecycle(spark, docs, tmp_path):
     assert live0.endswith("/v0") and H.resolved(spark, path) == live0
     # probe through the pointer: same result
     assert dedup.probe_digest_index(spark, path, docs).count() == full
-    # upsert lands in the live version dir
+    # upsert lands in the live version dir (tail file inside it)
     dedup.upsert_digest_index(docs.filter(F.col("doc_id") % 10 == 0), path)
     assert dedup.probe_digest_index(spark, path, docs).count() == 0
-    n = spark.read.parquet(H.resolved(spark, path)).select("__h").distinct().count()
+    n = dedup.read_digest_index(spark, path).distinct().count()
 
     dedup.compact_index(spark, path)
     v1 = H.pointer_resolve(spark, path)
     assert v1 is not None and v1[0] == 1 and v1[1].endswith("/v1")
+    # the compacted version has folded the tail into its partitions
+    assert not os.path.isdir(os.path.join(v1[1], "_tail"))
     assert (
         spark.read.parquet(H.resolved(spark, path)).select("__h").distinct().count()
         == n
@@ -374,7 +390,7 @@ def test_sink_async_repair_and_digest_index(spark, emb, tmp_path):
     # corpus exactly
     assert any(d.startswith("hp=") for d in os.listdir(dg_idx))
     assert (
-        spark.read.parquet(dg_idx).select("__h").distinct().count()
+        dedup.read_digest_index(spark, dg_idx).distinct().count()
         == cdf.select(F.md5("text")).distinct().count()
     )
     # the repaired index lost nothing: ids == corpus ids

@@ -1648,8 +1648,9 @@ def sink_horizon_main(batches: int = 50, batch_docs: int = 200) -> int:
             "corpus_rows_final": corpus_rows,
             "mh_index_rows_final": mh_rows,
             "ivf_index_rows_final": ivf_rows,
-            "digest_index_rows_final": spark.read.parquet(digest_path)
-            .select("__h").distinct().count(),
+            "digest_index_rows_final": dedup.read_digest_index(
+                spark, digest_path
+            ).distinct().count(),
             "rebalances": state.get("rebalances", []),
             "repair_errors": state.get("repair_errors", []),
             "final_health": {
