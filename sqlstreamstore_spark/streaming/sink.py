@@ -336,6 +336,14 @@ def fuzzy_dedup_ingest_sink(
             batch.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__h")
+            # materialize the exact stage ONCE (r12): the probe stages
+            # below each fire 1-2 actions (broadcast builds, size
+            # counts), and without this barrier every action re-runs
+            # the batch read + quality filter + digest anti-join +
+            # first-wins window — ~5x redundant upstream evaluation
+            # per micro-batch, growing with the index it probes. The
+            # checkpoint is one batch-sized write.
+            .localCheckpoint()
         )
         if have_corpus and os.path.isdir(mh_index_path):
             losers = (

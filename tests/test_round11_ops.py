@@ -91,13 +91,17 @@ def test_compact_index_via_file_scheme(spark, docs, tmp_path):
         upsert_digest_index,
     )
 
+    from sqlstreamstore_spark.analytics.dedup import read_digest_index
+
     path = f"file://{tmp_path / 'digests'}"
     build_digest_index(docs.limit(120), path)
-    upsert_digest_index(docs.limit(40), path)  # duplicate rows on disk
-    raw = spark.read.parquet(path).count()
-    distinct = spark.read.parquet(path).distinct().count()
+    # r12: the re-sent delta lands as duplicate membership rows in the
+    # LSM _tail (the partitioned main is untouched until a roll)
+    upsert_digest_index(docs.limit(40), path)
+    raw = read_digest_index(spark, path).count()
+    distinct = read_digest_index(spark, path).distinct().count()
     assert raw > distinct
-    compact_index(spark, path)
+    compact_index(spark, path)  # folds the tail in + collapses dups
     assert spark.read.parquet(path).count() == distinct
     compact_index(spark, path)  # idempotent
     assert spark.read.parquet(path).count() == distinct
