@@ -9164,6 +9164,40 @@ def round10b_queries():
 # ------------------------------------------------- round-11 additions
 
 
+def _matryoshka_sql(k: int = 10, prefix: int = 16, mult: int = 4) -> str:
+    """DuckDB twin of cosine_topk_matryoshka: prefix-dim cosine rank
+    (list slice v[1:prefix] == Spark slice(embedding, 1, prefix)),
+    bounded exact rerank. Same norm zero→1.0 guard, same sequential
+    dot folds, round 9."""
+
+    def cos(a: str, b: str) -> str:
+        na = f"sqrt(list_dot_product({a}, {a}))"
+        nb = f"sqrt(list_dot_product({b}, {b}))"
+        return (
+            f"list_dot_product({a}, {b}) / "
+            f"((CASE WHEN {na} = 0.0 THEN 1.0 ELSE {na} END)"
+            f" * (CASE WHEN {nb} = 0.0 THEN 1.0 ELSE {nb} END))"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv, v[1:{prefix}] AS qp FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, {cos("e.v[1:" + str(prefix) + "]", "q.qp")} AS approx
+  FROM e, q),
+cand AS (SELECT * FROM scored ORDER BY approx DESC, vec_id LIMIT {k * mult}),
+rer AS (
+  SELECT c.vec_id, round(c.approx, 9) AS approx_cosine,
+         round({cos("e.v", "q.qv")}, 9) AS cosine
+  FROM cand c JOIN e USING (vec_id), q)
+SELECT vec_id, approx_cosine, cosine
+FROM rer ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+
+
+_MATRYOSHKA_SQL = _matryoshka_sql()
+
+
 def _sq8_topk_sql(k: int = 10, mult: int = 4) -> str:
     """DuckDB twin of cosine_topk_sq8: recompute the per-dim min/max
     model from the table, replay the same quantize → decode →
@@ -9509,6 +9543,18 @@ def round11_queries():
         ]
         return similarity.cosine_topk_sq8(emb, qvec, k=10, candidate_mult=4)
 
+    def _matryoshka_gate(s: SparkSession, sf: str) -> DataFrame:
+        emb = _t(s, sf, "embeddings")
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .collect()[0][0]
+        ]
+        return similarity.cosine_topk_matryoshka(
+            emb, qvec, k=10, prefix_dim=16, candidate_mult=4
+        )
+
     def _sq8_index_gate(s: SparkSession, sf: str) -> DataFrame:
         import hashlib
 
@@ -9533,6 +9579,11 @@ def round11_queries():
         # -> exact rerank, every stage deterministic arithmetic ->
         # full value-hash oracle (unlike the Lloyd-trained IVF/PQ)
         "sim_cosine_topk_sq8": (_sq8_gate, _SQ8_TOPK_SQL),
+        # Matryoshka prefix-dim ANN (r12, Kusupati 2022): rank on the
+        # first 16 of 64 dims (quarter the vector bytes), exact rerank
+        # the bounded candidate set — the dimension-cut compression
+        # tier, training-free at query time, fully hash-oracled
+        "sim_cosine_topk_matryoshka": (_matryoshka_gate, _MATRYOSHKA_SQL),
         # deployed SQ8 index: codes materialized once per sf, probed
         # per query (scan touches only 1-byte-per-dim codes); build ==
         # quantize by construction, so it shares the SQ8 oracle

@@ -2327,6 +2327,54 @@ def _sq8_decode(codes: Column, model: list[tuple[float, float]]) -> Column:
     return F.zip_with(dec, lo, lambda d, l: d + l)
 
 
+def cosine_topk_matryoshka(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    prefix_dim: int = 16,
+    candidate_mult: int = 4,
+) -> DataFrame:
+    """Matryoshka prefix-dimension ANN (Kusupati et al., NeurIPS 2022):
+    rank the corpus by cosine over only the FIRST ``prefix_dim``
+    dimensions — MRL-trained embeddings pack coarse semantics into the
+    prefix, so a 16-of-64 prefix scan reads a quarter of the vector
+    bytes — then exact-rerank the top ``k·candidate_mult`` on full
+    dimensions. The fourth compression tier next to IVF (prune), SQ8
+    (narrow), PQ (lossy codes): this one cuts DIMENSIONS, composes
+    with all three, and needs no training artifact at all at query
+    time. Deterministic ties (score DESC, vec_id ASC) at both stages;
+    output (vec_id, approx_cosine, cosine) — the prefix error rides
+    in the gate hash.
+
+    At 100 TB: store the prefix as its own parquet column (or rely on
+    Parquet array-chunk pruning) and the candidate scan touches
+    prefix_dim/dim of the vector bytes; the exact rerank reads a
+    bounded broadcast set, never the corpus. Everything is plain
+    deterministic arithmetic — fully hash-oracled like SQ8, unlike
+    the Lloyd-trained tiers."""
+    qp = F.array(*[F.lit(float(x)) for x in query_vec[:prefix_dim]])
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    pref = F.slice(F.col("embedding"), 1, prefix_dim)
+    approx = _dot(pref, qp) / (_norm(pref) * _norm(qp))
+    cand = (
+        embeddings.select("vec_id", approx.alias("__approx"))
+        .orderBy(F.col("__approx").desc(), "vec_id")
+        .limit(k * candidate_mult)
+    )
+    emb = F.col("embedding")
+    exact = _dot(emb, q) / (_norm(emb) * _norm(q))
+    return (
+        embeddings.join(F.broadcast(cand), "vec_id")
+        .select(
+            "vec_id",
+            F.round(F.col("__approx"), 9).alias("approx_cosine"),
+            F.round(exact, 9).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(k)
+    )
+
+
 def cosine_topk_sq8(
     embeddings: DataFrame,
     query_vec: list[float],

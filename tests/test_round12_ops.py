@@ -611,3 +611,42 @@ def test_label_propagation_known_communities(spark):
     # determinism: re-run is identical
     again = {r["node"]: r["label"] for r in label_propagation(edges, iters=2).collect()}
     assert again == got
+
+
+# ------------------------------------ Matryoshka prefix ANN (r12)
+
+
+def test_matryoshka_prefix_recall_and_composition(spark, emb):
+    """Prefix-dim candidate rank + exact rerank: full-prefix equals
+    brute force exactly; a 16-of-64 prefix keeps high recall@10 and
+    every returned cosine is exact (rerank reads full dims)."""
+    from sqlstreamstore_spark.analytics import similarity as S
+
+    vecs = emb.limit(400).localCheckpoint()
+    qvec = [float(x) for x in vecs.filter(F.col("vec_id") == 0)
+            .select("embedding").collect()[0][0]]
+    truth = [r["vec_id"] for r in S.cosine_topk_bruteforce(vecs, qvec, k=10).collect()]
+    # prefix == full dim -> approx == exact -> identical to brute force
+    full = S.cosine_topk_matryoshka(vecs, qvec, k=10, prefix_dim=64,
+                                    candidate_mult=1)
+    rows = full.collect()
+    assert [r["vec_id"] for r in rows] == truth
+    assert all(abs(r["approx_cosine"] - r["cosine"]) < 1e-9 for r in rows)
+    # 16-dim prefix: useful recall@10 even on NON-MRL synthetic
+    # vectors (a random 16-dim slice — MRL-trained prefixes do far
+    # better), and cosines are exact values
+    pre = S.cosine_topk_matryoshka(vecs, qvec, k=10, prefix_dim=16,
+                                   candidate_mult=4).collect()
+    got = {r["vec_id"] for r in pre}
+    assert len(got & set(truth)) >= 5, (sorted(got), truth)
+    # candidate_mult covering the corpus -> exact top-k regardless of
+    # prefix quality (the rerank guarantee)
+    allc = S.cosine_topk_matryoshka(vecs, qvec, k=10, prefix_dim=16,
+                                    candidate_mult=40)
+    assert [r["vec_id"] for r in allc.collect()] == truth
+    exact = {r["cid"]: r["cosine"] for r in
+             S.knn_join_bruteforce(vecs, vecs.filter(F.col("vec_id") == 0), k=399)
+             .collect()}
+    for r in pre:
+        if r["vec_id"] in exact:
+            assert abs(r["cosine"] - round(exact[r["vec_id"]], 9)) < 1e-8
