@@ -690,6 +690,13 @@ _GATE_PINNED_NEW: tuple[str, ...] = (
     # r11 verdict #1: the 6 round-11 additions with no driver row yet
     # (judge-sim ALL OK in r11); pins self-expire once the row lands.
     # (The r10 pin list landed its rows in r11 and has expired out.)
+    # r13: pin the SIX r12 additions here — "dedup_digest_prefix_probe",
+    # "text_kneser_ney_bigram", "sim_knn_descent_step",
+    # "eval_krippendorff_alpha", "graph_label_propagation",
+    # "sim_cosine_topk_matryoshka" — deliberately NOT pinned in r12 so
+    # they don't displace the planned 20-gate stale/flip drain (they
+    # sit mid-queue at the median vintage and are covered by the
+    # two-scale SELFCHECK_r12 sweeps).
     "eval_bradley_terry",
     "eval_fleiss_kappa",
     "pipeline_domain_reweight",
