@@ -939,3 +939,70 @@ def fleiss_kappa(events: DataFrame, bucket_cents: int = 3000, n_cats: int = 3) -
         ).alias("fleiss_kappa"),
     )
     return out
+
+
+def retrieval_metrics(
+    ranked: DataFrame, rel_totals: DataFrame, k: int = 10
+) -> DataFrame:
+    """Per-query retrieval evaluation — MRR, precision@k, recall@k,
+    NDCG@k (Järvelin & Kekäläinen 2002, binary gains) — THE metric row
+    a RAG/embedding pipeline reports for every retriever change.
+    Complements the label-free ANN recall gates: those compare an
+    index against brute force; this scores a ranking against ground-
+    truth relevance labels.
+
+    Inputs: ``ranked`` = (qid, rk 1-based, rel 0/1) — any retriever's
+    output joined to labels; ``rel_totals`` = (qid, n_rel_total) —
+    corpus-wide relevant counts (recall/IDCG need the denominator the
+    candidate list can't see).
+
+    Float discipline: MRR (1/first-hit-rank), precision (hits/k) and
+    recall (hits/n_rel_total) are single divisions of exact BIGINTs —
+    bit-deterministic. DCG/IDCG pass through log2 (libm) and a
+    row-order-dependent partial sum, so BOTH engines round them to 6
+    decimals (the stats_corr_regr float pattern). No-hit queries emit
+    first_rel_rank 0 / mrr 0.0 (never NULL — NULL value cells hash
+    engine-dependently).
+
+    Scale shape: one partial-agg groupBy over the ranked rows (which
+    are already bounded: queries × candidate-list length, regardless
+    of corpus size); IDCG folds over a ≤k-element sequence per query
+    — no corpus-scale term anywhere."""
+    kd = float(k)
+    per = ranked.groupBy("qid").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rk"))).alias("__first"),
+        F.sum(
+            F.when((F.col("rel") == 1) & (F.col("rk") <= k), 1).otherwise(0)
+        ).cast("long").alias("hits_at_k"),
+        F.sum(
+            F.when(
+                (F.col("rel") == 1) & (F.col("rk") <= k),
+                F.lit(1.0) / F.log2(F.col("rk").cast("double") + F.lit(1.0)),
+            ).otherwise(F.lit(0.0))
+        ).alias("__dcg"),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.least(F.lit(k), F.col("n_rel_total")))),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + F.lit(1.0)),
+    )
+    return (
+        per.join(rel_totals, "qid")
+        .select(
+            "qid",
+            F.col("n_rel_total").cast("long").alias("n_rel_total"),
+            F.coalesce(F.col("__first"), F.lit(0)).cast("long").alias("first_rel_rank"),
+            F.when(F.col("__first").isNull(), F.lit(0.0))
+            .otherwise(F.lit(1.0) / F.col("__first").cast("double"))
+            .alias("mrr"),
+            (F.col("hits_at_k").cast("double") / F.lit(kd)).alias("precision_at_k"),
+            (
+                F.col("hits_at_k").cast("double")
+                / F.col("n_rel_total").cast("double")
+            ).alias("recall_at_k"),
+            F.when(F.col("n_rel_total") == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("__dcg") / idcg, 6))
+            .alias("ndcg_at_k"),
+        )
+        .orderBy("qid")
+    )

@@ -291,6 +291,93 @@ l{i} AS MATERIALIZED (
     )
 
 
+def k_core(
+    edges: DataFrame, k: int = 8, rounds: int = 5, checkpoint: bool = True
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983; the
+    Batagelj–Zaveršnik peel made synchronous): each round drops every
+    node whose CURRENT degree is below ``k``, then induces the
+    subgraph on the survivors — the dense-subgraph extractor a
+    curation pipeline runs over a near-duplicate graph to find
+    template/boilerplate clusters, and the standard preprocessing cut
+    for community detection.
+
+    Fixed ``rounds`` synchronous rounds, unrolled — the
+    pagerank/BFS/label-propagation oracle pattern; callers pick
+    ``rounds`` ≥ the peel depth (cascade depth is the graph's
+    degeneracy ordering length, typically a handful of rounds — 4 at
+    this module's sf0.01 fixture) and the fixture fixpoint is pinned
+    by pytest (one extra round changes nothing). Output:
+    (node, degree) over the final induced subgraph — at fixpoint this
+    is exactly the k-core with in-core degrees.
+
+    Scale shape per round: one (node) partial-agg count over the
+    symmetrized edge list and two semi-joins of the edge list against
+    the surviving-node frame (both keyed by node id, shuffle ∝ |E|,
+    monotonically shrinking). Rounds are bounded by the caller, and
+    each round's output is localCheckpointed so lineage stays flat —
+    no all-pairs term anywhere."""
+    sym = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+
+    def ckpt(df):
+        return df.localCheckpoint(eager=False) if checkpoint else df
+
+    cur = sym
+    for _ in range(rounds):
+        keep = (
+            cur.groupBy("u")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select("u")
+        )
+        cur = ckpt(
+            cur.join(keep, "u")
+            .join(keep.withColumnRenamed("u", "v"), "v")
+            .select("u", "v")
+        )
+    return (
+        cur.groupBy("u")
+        .agg(F.count("*").alias("degree"))
+        .select(F.col("u").alias("node"), "degree")
+        .orderBy("node")
+    )
+
+
+def k_core_oracle_sql(k: int = 8, rounds: int = 5, min_orders: int = 30) -> str:
+    """Unrolled-iteration DuckDB twin of :func:`k_core` over the
+    supplier co-occurrence edges (CTEs MATERIALIZED — the
+    label-propagation precedent: plain CTEs inline and re-derive the
+    edge self-join exponentially). Integer-exact: degrees are counts,
+    so the hash compare carries zero float risk."""
+    parts = [
+        f"""WITH edges AS MATERIALIZED (
+  SELECT CAST(a.l_suppkey AS BIGINT) AS src,
+         CAST(b.l_suppkey AS BIGINT) AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= {min_orders}
+),
+g0 AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM edges
+  UNION ALL SELECT dst AS u, src AS v FROM edges)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""keep{i} AS MATERIALIZED (
+  SELECT u FROM g{i - 1} GROUP BY u HAVING count(*) >= {k}),
+g{i} AS MATERIALIZED (
+  SELECT g.u, g.v FROM g{i - 1} g
+  JOIN keep{i} a ON g.u = a.u JOIN keep{i} b ON g.v = b.u)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT u AS node, count(*) AS degree FROM g{rounds}"
+        + " GROUP BY u ORDER BY node"
+    )
+
+
 def triangle_count_doulion(edges: DataFrame, p: float = 0.5) -> DataFrame:
     """DOULION triangle estimate (Tsourakakis et al., KDD'09): keep
     each edge independently with probability ``p``, count triangles on

@@ -2082,6 +2082,23 @@ def _label_propagation_query(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _k_core_query(spark: SparkSession, sf: str) -> DataFrame:
+    """min_orders=30 (the label-propagation graph), k=8, rounds=5:
+    at sf0.01 the peel cascades 4 rounds (100 -> 81 nodes, 686 -> 575
+    edges) and round 5 confirms the fixpoint; at sf0.001 the >=30
+    graph is a K10 clique (all degrees 9 >= 8 — stable, non-empty)."""
+    from sqlstreamstore_spark.analytics.graph import (
+        k_core,
+        supplier_cooccurrence_edges,
+    )
+
+    return k_core(
+        supplier_cooccurrence_edges(_t(spark, sf, "lineitem"), min_orders=30),
+        k=8,
+        rounds=5,
+    )
+
+
 def _link_prediction_query(spark: SparkSession, sf: str) -> DataFrame:
     """min_orders=20 (not the 5 the triangle gates use): at the gate
     sf the co-occurrence graph is a COMPLETE clique at ≥5 — zero
@@ -2508,6 +2525,9 @@ from sqlstreamstore_spark.analytics.graph import TRIANGLE_ORACLE_SQL as _TRIANGL
 from sqlstreamstore_spark.analytics.graph import label_propagation_oracle_sql
 
 _LABEL_PROP_SQL = label_propagation_oracle_sql(iters=2, min_orders=30)
+from sqlstreamstore_spark.analytics.graph import k_core_oracle_sql
+
+_K_CORE_SQL = k_core_oracle_sql(k=8, rounds=5, min_orders=30)
 from sqlstreamstore_spark.analytics.graph import doulion_oracle_sql as _doulion_oracle_sql
 
 _DOULION_SQL = _doulion_oracle_sql(p=0.5)
@@ -3900,6 +3920,125 @@ def _sim_topk_lsh_query(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return similarity.cosine_topk_lsh(emb, [float(x) for x in qvec], k=10, bits=4)
+
+
+def _sem_decontam_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Held-out suite = vec_id < 20 (same bounded-query-side convention
+    as sim_knn_join's vec_id < 5); τ=0.35 matches the near-dup gates'
+    threshold and flags ~5% of the corpus at both gate scales (q95 of
+    the max-cosine distribution — measured, not guessed)."""
+    return similarity.semantic_decontaminate(
+        _t(spark, sf, "embeddings"), n_heldout=20, threshold=0.35
+    )
+
+
+_SEM_DECONTAM_SQL = similarity.semantic_decontaminate_oracle_sql(
+    n_heldout=20, threshold=0.35
+)
+
+
+def _mmr_rerank_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Query = vec 0 (the sim_cosine_topk convention), candidates =
+    exact top-20 excluding the query, select 5 at λ=0.7 (the paper's
+    relevance-leaning default)."""
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.mmr_rerank(
+        emb, [float(x) for x in qvec], n_candidates=20, n_select=5, lam=0.7
+    )
+
+
+_MMR_RERANK_SQL = similarity.mmr_rerank_oracle_sql(
+    n_candidates=20, n_select=5, lam=0.7
+)
+
+
+_KCENTER_SQL = similarity.kcenter_coreset_oracle_sql(m=8, seed_id=0)
+
+
+def _retrieval_metrics_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Queries = vec_id < 5 (the sim_knn_join convention), candidate
+    lists = exact top-20 by cosine, relevance = same label as the
+    query (each label holds ~10% of the corpus, so n_rel_total ≈ 50
+    at gate scale — recall@10 is a real fraction, never saturated)."""
+    from sqlstreamstore_spark.analytics import evaluation as _ev
+
+    emb = _t(spark, sf, "embeddings")
+    lab = emb.select("vec_id", "label")
+    ranked = similarity.knn_join_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 5), k=20
+    )
+    rel = (
+        ranked.join(
+            lab.select(F.col("vec_id").alias("cid"), F.col("label").alias("cl")),
+            "cid",
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("qid"), F.col("label").alias("ql")),
+            "qid",
+        )
+        .select(
+            "qid", "rk",
+            F.when(F.col("cl") == F.col("ql"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("ql")
+    )
+    tot = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter((F.col("label") == F.col("ql")) & (F.col("vec_id") != F.col("qid")))
+        .groupBy("qid")
+        .agg(F.count("*").cast("long").alias("n_rel_total"))
+    )
+    return _ev.retrieval_metrics(rel, tot, k=10)
+
+
+_RETRIEVAL_METRICS_SQL = """
+WITH qs AS MATERIALIZED (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+  FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT qs.qid, qs.ql, e.vec_id AS cid, e.label AS cl,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), qs.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(qs.qv, qs.qv))) AS cosine
+  FROM embeddings e, qs WHERE e.vec_id <> qs.qid),
+ranked AS (
+  SELECT qid, CASE WHEN cl = ql THEN 1 ELSE 0 END AS rel, rk FROM (
+    SELECT qid, ql, cl, cosine,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+    FROM scored) t
+  WHERE rk <= 20),
+per AS (
+  SELECT qid,
+         min(CASE WHEN rel = 1 THEN rk END) AS first0,
+         count(*) FILTER (WHERE rel = 1 AND rk <= 10) AS hits,
+         sum(CASE WHEN rel = 1 AND rk <= 10
+                  THEN 1.0 / log2(CAST(rk AS DOUBLE) + 1.0) ELSE 0.0 END) AS dcg
+  FROM ranked GROUP BY qid),
+tot AS MATERIALIZED (
+  SELECT q.qid, CAST(count(*) AS BIGINT) AS n_rel_total
+  FROM embeddings e, qs q
+  WHERE e.label = q.ql AND e.vec_id <> q.qid GROUP BY q.qid),
+nums AS (SELECT unnest(range(1, 11)) AS i),
+idcg AS (
+  -- range() can't take lateral column args in this DuckDB build:
+  -- theta-join a static 1..k numbers CTE instead
+  SELECT t.qid, sum(1.0 / log2(CAST(n.i AS DOUBLE) + 1.0)) AS v
+  FROM tot t JOIN nums n ON n.i <= greatest(1, least(10, t.n_rel_total))
+  GROUP BY t.qid)
+SELECT p.qid, t.n_rel_total,
+       CAST(coalesce(p.first0, 0) AS BIGINT) AS first_rel_rank,
+       CASE WHEN p.first0 IS NULL THEN 0.0
+            ELSE 1.0 / CAST(p.first0 AS DOUBLE) END AS mrr,
+       CAST(p.hits AS DOUBLE) / 10.0 AS precision_at_k,
+       CAST(p.hits AS DOUBLE) / CAST(t.n_rel_total AS DOUBLE) AS recall_at_k,
+       CASE WHEN t.n_rel_total = 0 THEN 0.0
+            ELSE round(p.dcg / i.v, 6) END AS ndcg_at_k
+FROM per p JOIN tot t ON p.qid = t.qid JOIN idcg i ON p.qid = i.qid
+ORDER BY p.qid
+"""
 
 
 _INTERVAL_OVERLAP_SQL = """
@@ -8063,6 +8202,30 @@ FROM documents
         # similarity
         "sim_cosine_topk": (_sim_topk_query, _SIM_TOPK_SQL),
         "sim_knn_join": (_knn_join_query, _KNN_JOIN_SQL),
+        # MMR diversity rerank over the exact top-20 (r12, Carbonell &
+        # Goldstein 1998): greedy λ·rel − (1−λ)·max-sim selection,
+        # unrolled-CTE oracle, unrounded doubles ride the hash (the
+        # sim_knn_join precedent)
+        "sim_mmr_rerank": (_mmr_rerank_query, _MMR_RERANK_SQL),
+        # embedding-space decontamination vs the vec_id<20 held-out
+        # suite (r12): the semantic complement of the n-gram
+        # pipeline_decontaminate — broadcast-literal map-only probe,
+        # brute-force oracle twin
+        "pipeline_decontaminate_semantic": (_sem_decontam_query, _SEM_DECONTAM_SQL),
+        # per-query MRR/precision/recall/NDCG@10 against same-label
+        # ground truth (r12): exact-integer divisions ride the hash
+        # raw; DCG/IDCG pass libm log2 -> round 6 on both engines
+        # (the stats_corr_regr float pattern)
+        "eval_retrieval_metrics": (_retrieval_metrics_query, _RETRIEVAL_METRICS_SQL),
+        # greedy farthest-point k-center coreset (r12, Gonzalez 1985):
+        # m=8 map-side scans + k=1 top-of-heap per step; unrolled-CTE
+        # oracle replays the greedy chain
+        "sampling_kcenter_coreset": (
+            lambda s, sf: similarity.kcenter_coreset(
+                _t(s, sf, "embeddings"), m=8, seed_id=0
+            ),
+            _KCENTER_SQL,
+        ),
         # one NN-descent refinement round (r12, Dong et al. 2011) over
         # a TWO-table LSH-seeded kNN graph: symmetrize + 2-hop
         # candidates, exact rescore, top-k — monotone recall (measured
@@ -8333,6 +8496,15 @@ FROM documents
         "graph_label_propagation": (
             lambda s, sf: _label_propagation_query(s, sf),
             _LABEL_PROP_SQL,
+        ),
+        # k-core by iterative peeling (r12, Seidman 1983): 5 unrolled
+        # rounds over the >=30-order co-occurrence graph (fixpoint at
+        # round 4 at sf0.01: 100 -> 81 nodes; sf0.001's K10 clique is
+        # all-core at k=8). Integer-exact degrees; oracle via
+        # MATERIALIZED per-round CTEs
+        "graph_k_core": (
+            lambda s, sf: _k_core_query(s, sf),
+            _K_CORE_SQL,
         ),
         # neighborhood-Jaccard link prediction (Liben-Nowell 2003):
         # open-wedge candidates minus existing edges, exact-int scores

@@ -171,6 +171,308 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35) -> Dat
     )
 
 
+def semantic_decontaminate(
+    embeddings: DataFrame, n_heldout: int = 20, threshold: float = 0.35
+) -> DataFrame:
+    """Embedding-space decontamination: flag every corpus vector
+    (vec_id >= ``n_heldout``) whose cosine to ANY held-out benchmark
+    vector (vec_id < ``n_heldout``) reaches ``threshold`` — the
+    semantic complement of the n-gram `pipeline.decontaminate` (which
+    misses paraphrased/reworded test leakage; embedding cosine is the
+    standard second net, e.g. the phrasing-robust decontamination pass
+    in open LLM data pipelines).
+
+    100 TB shape: the held-out suite is SMALL BY DEFINITION (a
+    benchmark, not a corpus) — it is collected once (bounded model
+    axis: the Bradley-Terry win-matrix / SQ8-min-max precedent) and
+    embedded as one array<struct> literal, so the probe is a MAP-ONLY
+    corpus scan: no join, no shuffle, argmax folded per-row inside
+    whole-stage codegen (the IVF centroid-literal pattern, built as
+    one SQL string — the py4j-per-node tax documented above). Rows
+    out: only the contaminated ids + their nearest test vector.
+
+    Output: (vec_id, test_id, cosine) for flagged rows, vec_id order;
+    ties on bit-equal cosine break to the smallest test_id. Cosines
+    fold in DOUBLE left-to-right in both engines (module float
+    discipline), so the gate hash-matches at zero tolerance."""
+    rows = (
+        embeddings.filter(F.col("vec_id") < n_heldout)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    tests = ",".join(
+        f"named_struct('tid', CAST({int(r['vec_id'])} AS BIGINT), "
+        f"'tv', {_arr_sql(r['embedding'])})"
+        for r in rows
+    )
+    nc = _norm_sql("embedding")
+    scored = (
+        f"transform(array({tests}), t -> named_struct("
+        f"'c', {_dot_sql('embedding', 't.tv')} / (({nc}) * ({_norm_sql('t.tv')})), "
+        f"'tid', t.tid))"
+    )
+    best = (
+        f"aggregate({scored}, "
+        f"named_struct('c', CAST(-2.0 AS DOUBLE), 'tid', CAST(-1 AS BIGINT)), "
+        f"(acc, s) -> CASE WHEN s.c > acc.c OR (s.c = acc.c AND s.tid < acc.tid) "
+        f"THEN s ELSE acc END)"
+    )
+    return (
+        embeddings.filter(F.col("vec_id") >= n_heldout)
+        .select("vec_id", F.expr(best).alias("b"))
+        .filter(F.col("b.c") >= float(threshold))
+        .select("vec_id", F.col("b.tid").alias("test_id"), F.col("b.c").alias("cosine"))
+        .orderBy("vec_id")
+    )
+
+
+def semantic_decontaminate_oracle_sql(
+    n_heldout: int = 20, threshold: float = 0.35
+) -> str:
+    """DuckDB twin of :func:`semantic_decontaminate`: brute cross join
+    of corpus × held-out (oracle-scale only — production takes the
+    broadcast-literal map-only path), same DOUBLE fold, argmax via the
+    mirrored (cosine DESC, test_id ASC) window order."""
+    return f"""
+WITH q AS (SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {n_heldout}),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id >= {n_heldout}),
+scored AS (
+  SELECT c.vec_id, q.tid,
+         list_dot_product(cv, qv)
+           / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+           AS cosine
+  FROM c, q),
+best AS (
+  SELECT vec_id, tid, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, tid) AS rk
+  FROM scored)
+SELECT vec_id, tid AS test_id, cosine FROM best
+WHERE rk = 1 AND cosine >= {threshold!r}
+ORDER BY vec_id
+"""
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    n_candidates: int = 20,
+    n_select: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein,
+    SIGIR'98): from the exact top-``n_candidates`` by cosine to the
+    query, greedily select ``n_select`` items maximizing
+
+        mmr(c) = λ·rel(c) − (1−λ)·max_{s ∈ selected} cos(c, s)
+
+    (max over the empty set = 0, so rank 1 scores λ·rel) — the
+    diversity-aware exemplar selector a pipeline runs after ANN
+    retrieval (diverse few-shot pools, dedup-aware context packing).
+    Ties break (score DESC, vec_id ASC); selection is greedy-exact,
+    matching the unrolled-CTE oracle step for step.
+
+    100 TB shape: MMR only ever reranks a BOUNDED candidate list
+    (whatever top-k the ANN tier returned), so every step is
+    candidate-sized regardless of corpus size: the corpus-scale work
+    is the one exact top-k scan (or any indexed tier above), and the
+    ``n_select`` greedy steps join the shrinking pool against the
+    ≤ n_select-row selected frame. No driver-side math — scores stay
+    in the same JVM fold the oracle mirrors.
+
+    Output: (rk, vec_id, relevance, mmr_score), rk = 1..n_select."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    emb = F.col("embedding")
+    rel = _dot(emb, q) / (_norm(emb) * _norm(q))
+    cand = (
+        embeddings.filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", rel.alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(n_candidates)
+        .localCheckpoint(eager=False)
+    )
+    lam = float(lam)
+    mmr0 = F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.lit(0.0)
+    sel = (
+        cand.select(
+            F.lit(1).cast("long").alias("rk"), "vec_id", "embedding",
+            F.col("rel").alias("relevance"), mmr0.alias("mmr_score"),
+        )
+        .orderBy(F.col("mmr_score").desc(), F.col("vec_id"))
+        .limit(1)
+    )
+    pair = _dot(F.col("embedding"), F.col("sv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("sv"))
+    )
+    for step in range(2, n_select + 1):
+        pool = cand.join(sel.select("vec_id"), "vec_id", "left_anti")
+        ms = (
+            pool.crossJoin(
+                F.broadcast(sel.select(F.col("embedding").alias("sv")))
+            )
+            .groupBy("vec_id")
+            .agg(F.max(pair).alias("max_sim"))
+        )
+        score = F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("max_sim")
+        nxt = (
+            pool.join(ms, "vec_id")
+            .select(
+                F.lit(step).cast("long").alias("rk"), "vec_id", "embedding",
+                F.col("rel").alias("relevance"), score.alias("mmr_score"),
+            )
+            .orderBy(F.col("mmr_score").desc(), F.col("vec_id"))
+            .limit(1)
+        )
+        sel = sel.unionByName(nxt).localCheckpoint(eager=False)
+    return sel.select("rk", "vec_id", "relevance", "mmr_score").orderBy("rk")
+
+
+def mmr_rerank_oracle_sql(
+    n_candidates: int = 20, n_select: int = 5, lam: float = 0.7
+) -> str:
+    """Unrolled-greedy DuckDB twin of :func:`mmr_rerank` for query
+    vec_id = 0 (CTEs MATERIALIZED — the label-propagation precedent).
+    Same DOUBLE expression tree: rel and pairwise cosines are
+    sequential list_dot_product folds, mmr = λ·rel − (1−λ)·max_sim
+    with λ as the identical repr literal, ties (score DESC, id)."""
+    lam = float(lam)
+    cos_cq = (
+        "list_dot_product(c.cv, q.qv) / (sqrt(list_dot_product(c.cv, c.cv))"
+        " * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    cos_ps = (
+        "list_dot_product(p.cv, s.cv) / (sqrt(list_dot_product(p.cv, p.cv))"
+        " * sqrt(list_dot_product(s.cv, s.cv)))"
+    )
+    parts = [
+        f"""WITH q AS MATERIALIZED (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+cand AS MATERIALIZED (
+  SELECT vec_id, cv, rel FROM (
+    SELECT c.vec_id, c.cv, {cos_cq} AS rel
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id <> 0) c, q)
+  ORDER BY rel DESC, vec_id LIMIT {n_candidates}),
+sel1 AS MATERIALIZED (
+  SELECT CAST(1 AS BIGINT) AS rk, vec_id, cv, rel,
+         {lam!r} * rel - {1.0 - lam!r} * 0.0 AS mmr
+  FROM cand ORDER BY {lam!r} * rel - {1.0 - lam!r} * 0.0 DESC, vec_id
+  LIMIT 1)"""
+    ]
+    for i in range(2, n_select + 1):
+        parts.append(
+            f"""ms{i} AS MATERIALIZED (
+  SELECT p.vec_id, max({cos_ps}) AS max_sim
+  FROM cand p JOIN sel{i - 1} s ON true
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+  GROUP BY p.vec_id),
+pick{i} AS MATERIALIZED (
+  SELECT CAST({i} AS BIGINT) AS rk, p.vec_id, p.cv, p.rel,
+         {lam!r} * p.rel - {1.0 - lam!r} * m.max_sim AS mmr
+  FROM cand p JOIN ms{i} m ON p.vec_id = m.vec_id
+  ORDER BY mmr DESC, p.vec_id LIMIT 1),
+sel{i} AS MATERIALIZED (
+  SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM pick{i})"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT rk, vec_id, rel AS relevance, mmr AS mmr_score
+FROM sel{n_select} ORDER BY rk"""
+    )
+
+
+def kcenter_coreset(
+    embeddings: DataFrame, m: int = 5, seed_id: int = 0
+) -> DataFrame:
+    """Greedy farthest-point k-center coreset (Gonzalez 1985, the
+    2-approximation): seed at ``seed_id``, then ``m−1`` times pick the
+    vector maximizing its MINIMUM cosine distance (1 − cos) to the
+    selected set — the classic diverse-subset selector for
+    training-data curation (maximally-spread exemplars, cluster-seed
+    initialization, eval-set carving). Ties break (distance DESC,
+    vec_id ASC); the seed emits distance 0.0.
+
+    Scale shape: the honest algorithm IS m passes — each step is one
+    map-side scan of the corpus against the ≤m-row selected frame
+    (broadcast), a (vec_id)-keyed partial-agg min, and a global top-1
+    (TakeOrderedAndProject, k=1 — per-partition max + driver merge,
+    never a sort). m is a model-sized constant, so total work is
+    m·|corpus| with no pairwise term. The oracle replays the greedy
+    chain step for step (unrolled MATERIALIZED CTEs).
+
+    Output: (rk 1..m, vec_id, dist) — dist = the max-min distance at
+    the moment of selection (the k-center radius curve; unrounded
+    doubles ride the hash, the sim_knn_join precedent)."""
+    base = embeddings.select("vec_id", "embedding").localCheckpoint(eager=False)
+    sel = base.filter(F.col("vec_id") == seed_id).select(
+        F.lit(1).cast("long").alias("rk"), "vec_id", "embedding",
+        F.lit(0.0).alias("dist"),
+    )
+    pair = F.lit(1.0) - _dot(F.col("embedding"), F.col("sv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("sv"))
+    )
+    for step in range(2, m + 1):
+        pool = base.join(sel.select("vec_id"), "vec_id", "left_anti")
+        md = (
+            pool.crossJoin(
+                F.broadcast(sel.select(F.col("embedding").alias("sv")))
+            )
+            .groupBy("vec_id")
+            .agg(F.min(pair).alias("mind"))
+        )
+        nxt = (
+            pool.join(md, "vec_id")
+            .select(
+                F.lit(step).cast("long").alias("rk"), "vec_id", "embedding",
+                F.col("mind").alias("dist"),
+            )
+            .orderBy(F.col("dist").desc(), F.col("vec_id"))
+            .limit(1)
+        )
+        sel = sel.unionByName(nxt).localCheckpoint(eager=False)
+    return sel.select("rk", "vec_id", "dist").orderBy("rk")
+
+
+def kcenter_coreset_oracle_sql(m: int = 5, seed_id: int = 0) -> str:
+    """Unrolled-greedy DuckDB twin of :func:`kcenter_coreset` (CTEs
+    MATERIALIZED — the label-propagation precedent). Same DOUBLE tree:
+    dist = 1.0 − the sequential list_dot_product cosine fold; min over
+    the selected set is order-independent; ties (dist DESC, id)."""
+    cos_ps = (
+        "list_dot_product(p.cv, s.cv) / (sqrt(list_dot_product(p.cv, p.cv))"
+        " * sqrt(list_dot_product(s.cv, s.cv)))"
+    )
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+sel1 AS MATERIALIZED (
+  SELECT CAST(1 AS BIGINT) AS rk, vec_id, cv, 0.0 AS dist
+  FROM e WHERE vec_id = {seed_id})"""
+    ]
+    for i in range(2, m + 1):
+        parts.append(
+            f"""md{i} AS MATERIALIZED (
+  SELECT p.vec_id, min(1.0 - ({cos_ps})) AS mind
+  FROM e p JOIN sel{i - 1} s ON true
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+  GROUP BY p.vec_id),
+pick{i} AS MATERIALIZED (
+  SELECT CAST({i} AS BIGINT) AS rk, p.vec_id, p.cv, m.mind AS dist
+  FROM e p JOIN md{i} m ON p.vec_id = m.vec_id
+  ORDER BY m.mind DESC, p.vec_id LIMIT 1),
+sel{i} AS MATERIALIZED (
+  SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM pick{i})"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT rk, vec_id, dist FROM sel{m} ORDER BY rk"
+    )
+
+
 def derive_lsh_bits(n: int, target_bucket: int = 32, floor: int = 4, cap: int = 24) -> int:
     """bits ≈ log2(N / target_bucket) — the rule that keeps the banded
     self-join sub-quadratic as the corpus grows (2^bits buckets must

@@ -650,3 +650,195 @@ def test_matryoshka_prefix_recall_and_composition(spark, emb):
     for r in pre:
         if r["vec_id"] in exact:
             assert abs(r["cosine"] - round(exact[r["vec_id"]], 9)) < 1e-8
+
+
+# ------------------------------------ round-12b additions
+
+
+def test_k_core_peels_known_graph(spark):
+    """Triangle {1,2,3} + pendant chain 3-4-5: the 2-core is exactly
+    the triangle (peeling cascades: 5 drops round 1, 4 drops round 2),
+    and in-core degrees are 2."""
+    from sqlstreamstore_spark.analytics.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    rows = k_core(edges, k=2, rounds=3).collect()
+    assert [(r["node"], r["degree"]) for r in rows] == [(1, 2), (2, 2), (3, 2)]
+    # not yet a fixpoint after ONE round: 4 still has degree 2 via 3-4
+    one = {r["node"] for r in k_core(edges, k=2, rounds=1).collect()}
+    assert one == {1, 2, 3, 4}
+
+
+def test_k_core_gate_fixpoint_and_clique(spark):
+    """Gate parameters (min_orders=30, k=8): sf0.001's graph is a K10
+    clique — all ten nodes are core with degree 9 — and one round is
+    already the fixpoint (rounds=5 == rounds=6 output)."""
+    from sqlstreamstore_spark.analytics.graph import (
+        k_core,
+        supplier_cooccurrence_edges,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    edges = supplier_cooccurrence_edges(li, min_orders=30).localCheckpoint()
+    five = [tuple(r) for r in k_core(edges, k=8, rounds=5).collect()]
+    six = [tuple(r) for r in k_core(edges, k=8, rounds=6).collect()]
+    assert five == six
+    assert len(five) == 10 and all(d == 9 for _, d in five)
+
+
+def test_mmr_prefers_diverse_over_near_duplicate(spark):
+    """Hand-built regime where MMR diverges from pure relevance:
+    b is a near-copy of a (rel rank 2) but MMR rank 2 goes to the
+    diverse c; rank-1 score is exactly λ·rel."""
+    from sqlstreamstore_spark.analytics.similarity import mmr_rerank
+
+    rows = [
+        # geometry note: the query must NOT coincide with the top pick,
+        # else sim-to-selected == relevance for every candidate and MMR
+        # can never reorder. Here all three have rel = 0.8 to q=(1,0,0);
+        # b is an exact copy of a (sim 1.0, penalized hard), c mirrors
+        # a across the query axis (sim(c,a) = 0.28, barely penalized).
+        (1, [0.8, 0.6, 0.0]),    # a: rank 1 by id tie-break
+        (2, [0.8, 0.6, 0.0]),    # b: exact dup of a
+        (3, [0.8, -0.6, 0.0]),   # c: diverse mirror
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    out = mmr_rerank(emb, [1.0, 0.0, 0.0], n_candidates=3, n_select=3,
+                     lam=0.7).collect()
+    # step 2: score(b) = 0.7*0.8 - 0.3*1.0 = 0.26,
+    #         score(c) = 0.7*0.8 - 0.3*0.28 = 0.476 -> c before b
+    assert [r["vec_id"] for r in out] == [1, 3, 2]
+    assert abs(out[0]["mmr_score"] - 0.7 * out[0]["relevance"]) < 1e-12
+    # selected ids are distinct and ranks are 1..n
+    assert [r["rk"] for r in out] == [1, 2, 3]
+
+
+def test_mmr_gate_shape(spark, emb):
+    """Gate-parameter invariants on real embeddings: 5 distinct picks
+    from the top-20 candidate pool, rank 1 = the relevance argmax
+    (excluding the query itself), every pick's relevance is a real
+    top-20 relevance."""
+    from sqlstreamstore_spark.analytics.similarity import (
+        cosine_topk_bruteforce,
+        mmr_rerank,
+    )
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+            .select("embedding").collect()[0][0]]
+    out = mmr_rerank(emb, qvec, n_candidates=20, n_select=5, lam=0.7).collect()
+    assert len({r["vec_id"] for r in out}) == 5
+    top = cosine_topk_bruteforce(emb.filter(F.col("vec_id") != 0), qvec,
+                                 k=20).collect()
+    assert out[0]["vec_id"] == top[0]["vec_id"]
+    pool = {r["vec_id"] for r in top}
+    assert {r["vec_id"] for r in out} <= pool
+
+
+def test_semantic_decontaminate_flags_and_tiebreak(spark):
+    """Hand-built: an exact copy of test vec 1 is flagged with
+    test_id=1/cosine=1; an orthogonal vector is not; a vector equally
+    close to test 0 and test 1 resolves to the SMALLEST test id."""
+    from sqlstreamstore_spark.analytics.similarity import semantic_decontaminate
+
+    data = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # held-out 0
+        (1, [0.0, 1.0, 0.0, 0.0]),          # held-out 1
+        (2, [0.0, 1.0, 0.0, 0.0]),          # copy of test 1 -> flagged
+        (3, [0.0, 0.0, 0.0, 2.0]),          # orthogonal -> clean
+        (4, [1.0, 1.0, 0.0, 0.0]),          # tie vs tests 0 and 1 -> tid 0
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in data],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_decontaminate(emb, n_heldout=2, threshold=0.5).collect()
+    got = {r["vec_id"]: (r["test_id"], r["cosine"]) for r in out}
+    assert set(got) == {2, 4}
+    assert got[2][0] == 1 and abs(got[2][1] - 1.0) < 1e-12
+    assert got[4][0] == 0 and abs(got[4][1] - 0.5 ** 0.5) < 1e-12
+
+
+def test_semantic_decontaminate_map_only_plan(spark, emb):
+    """The 100 TB claim, pinned: the probe plan contains NO exchange
+    and NO join — the held-out suite rides as a literal, so the scan
+    is map-only (filter + project + local sort for presentation)."""
+    from sqlstreamstore_spark.analytics.similarity import semantic_decontaminate
+
+    out = semantic_decontaminate(emb, n_heldout=20, threshold=0.35)
+    plan = _plan(out.limit(50))
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in body, body
+    # the only exchange allowed is the final presentation orderBy's
+    # range partitioning; the PROBE itself (pre-sort) must be map-only
+    pre = body.split("Sort")[0]
+    assert "Exchange" not in pre, pre
+
+
+def test_retrieval_metrics_known_values(spark):
+    """Hand-built ranking: q1 has hits at ranks 1 and 3 (of 4 shown,
+    5 relevant corpus-wide), q2 has no hits. Exact MRR/precision/
+    recall; NDCG checked against the closed form."""
+    import math
+
+    from sqlstreamstore_spark.analytics.evaluation import retrieval_metrics
+
+    ranked = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 0), (1, 3, 1), (1, 4, 0),
+         (2, 1, 0), (2, 2, 0)],
+        "qid long, rk long, rel int",
+    )
+    tot = spark.createDataFrame([(1, 5), (2, 3)], "qid long, n_rel_total long")
+    out = {r["qid"]: r for r in retrieval_metrics(ranked, tot, k=10).collect()}
+    q1, q2 = out[1], out[2]
+    assert q1["first_rel_rank"] == 1 and q1["mrr"] == 1.0
+    assert q1["precision_at_k"] == 0.2  # 2 hits / k=10
+    assert q1["recall_at_k"] == 0.4     # 2 / 5
+    dcg = 1.0 / math.log2(2.0) + 1.0 / math.log2(4.0)
+    idcg = sum(1.0 / math.log2(i + 1.0) for i in range(1, 6))  # min(k, 5)
+    assert abs(q1["ndcg_at_k"] - round(dcg / idcg, 6)) < 1e-9
+    assert q2["first_rel_rank"] == 0 and q2["mrr"] == 0.0
+    assert q2["precision_at_k"] == 0.0 and q2["recall_at_k"] == 0.0
+    assert q2["ndcg_at_k"] == 0.0
+
+
+def test_kcenter_coreset_known_geometry(spark):
+    """Axis-aligned unit vectors are mutually at distance 1.0; a
+    near-copy of the seed is at ~0. Greedy from the seed must pick
+    the three other axes (max-min 1.0 each, id order via ties) before
+    ever touching the near-copy."""
+    from sqlstreamstore_spark.analytics.similarity import kcenter_coreset
+
+    data = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),  # near-copy of the seed
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in data],
+        "vec_id long, embedding array<double>",
+    )
+    out = kcenter_coreset(emb, m=4, seed_id=0).collect()
+    assert [r["vec_id"] for r in out] == [0, 2, 3, 4]
+    assert out[0]["dist"] == 0.0
+    assert all(abs(r["dist"] - 1.0) < 1e-12 for r in out[1:])
+    # radius curve is non-increasing once the near-dup is all that's left
+    out5 = kcenter_coreset(emb, m=5, seed_id=0).collect()
+    assert out5[4]["vec_id"] == 1 and out5[4]["dist"] < 0.01
+
+
+def test_kcenter_radius_curve_non_increasing(spark, emb):
+    """Gonzalez greedy invariant on real embeddings: the selection
+    radius (max-min distance) is non-increasing in rank."""
+    from sqlstreamstore_spark.analytics.similarity import kcenter_coreset
+
+    out = kcenter_coreset(emb, m=8, seed_id=0).collect()
+    dists = [r["dist"] for r in out[1:]]
+    assert all(a >= b - 1e-12 for a, b in zip(dists, dists[1:])), dists
+    assert len({r["vec_id"] for r in out}) == 8
