@@ -378,6 +378,108 @@ g{i} AS MATERIALIZED (
     )
 
 
+def k_truss(
+    edges: DataFrame, k: int = 5, rounds: int = 8, checkpoint: bool = True
+) -> DataFrame:
+    """k-truss decomposition (Cohen 2008): iteratively remove every
+    edge supported by fewer than ``k−2`` triangles, then recompute
+    support on the survivors — the EDGE-level dense-subgraph sibling
+    of :func:`k_core` (a k-truss is cohesive through shared triangles,
+    not mere degree, so it rejects hub-and-spoke noise k-core keeps).
+
+    Fixed ``rounds`` synchronous rounds, unrolled (the k-core/LPA
+    oracle pattern); callers pick ``rounds`` ≥ the peel depth (8 at
+    this module's sf0.01 fixture, where the ≥30-order graph cascades
+    301 → 26 edges) and pytest pins the fixture fixpoint. Edges in no
+    triangle have support 0 and drop on the first round (they vanish
+    from the inner support join — the same semantics both engines
+    share).
+
+    Output: (src, dst, support) over the final graph, edge order.
+
+    Scale shape per round: support is the ordered wedge join
+    (edge ⋈ adjacency ⋈ adjacency — the triangle_count shape, bounded
+    by wedge mass, never all-pairs) plus one (src, dst) partial-agg
+    count; the edge set shrinks monotonically and each round is
+    localCheckpointed so lineage stays flat."""
+
+    def ckpt(df):
+        return df.localCheckpoint(eager=False) if checkpoint else df
+
+    def support(cur: DataFrame) -> DataFrame:
+        sym = cur.select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        ).unionByName(cur.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        a = sym.select(F.col("u").alias("src"), F.col("v").alias("w"))
+        b = sym.select(F.col("u").alias("dst"), F.col("v").alias("w"))
+        return (
+            cur.join(a, "src")
+            .join(b, ["dst", "w"])
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("support"))
+        )
+
+    cur = edges.select("src", "dst")
+    for _ in range(rounds):
+        cur = ckpt(
+            support(cur)
+            .filter(F.col("support") >= k - 2)
+            .select("src", "dst")
+        )
+    return support(cur).select("src", "dst", "support").orderBy("src", "dst")
+
+
+def k_truss_oracle_sql(k: int = 5, rounds: int = 8, min_orders: int = 30) -> str:
+    """Unrolled-iteration DuckDB twin of :func:`k_truss` over the
+    supplier co-occurrence edges (CTEs MATERIALIZED). Integer-exact:
+    supports are counts — zero float risk on the hash."""
+    parts = [
+        f"""WITH g0 AS MATERIALIZED (
+  SELECT CAST(a.l_suppkey AS BIGINT) AS src,
+         CAST(b.l_suppkey AS BIGINT) AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= {min_orders}
+)"""
+    ]
+
+    def sym(i: int) -> str:
+        return (
+            f"sym{i} AS MATERIALIZED (\n"
+            f"  SELECT src AS u, dst AS v FROM g{i}\n"
+            f"  UNION ALL SELECT dst AS u, src AS v FROM g{i})"
+        )
+
+    def sup(i: int, src_g: int) -> str:
+        return (
+            f"SELECT g.src, g.dst, count(*) AS support\n"
+            f"  FROM g{src_g} g\n"
+            f"  JOIN sym{src_g} a ON a.u = g.src\n"
+            f"  JOIN sym{src_g} b ON b.u = g.dst AND b.v = a.v\n"
+            f"  GROUP BY g.src, g.dst"
+        )
+
+    parts.append(sym(0))
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+  {sup(i, i - 1)}),
+g{i} AS MATERIALIZED (
+  SELECT src, dst FROM s{i} WHERE support >= {k - 2})"""
+        )
+        parts.append(sym(i))
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT g.src, g.dst, count(*) AS support
+FROM g{rounds} g
+JOIN sym{rounds} a ON a.u = g.src
+JOIN sym{rounds} b ON b.u = g.dst AND b.v = a.v
+GROUP BY g.src, g.dst
+ORDER BY g.src, g.dst"""
+    )
+
+
 def triangle_count_doulion(edges: DataFrame, p: float = 0.5) -> DataFrame:
     """DOULION triangle estimate (Tsourakakis et al., KDD'09): keep
     each edge independently with probability ``p``, count triangles on

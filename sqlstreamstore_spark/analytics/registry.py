@@ -2099,6 +2099,24 @@ def _k_core_query(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _k_truss_query(spark: SparkSession, sf: str) -> DataFrame:
+    """min_orders=30 (the k-core/LPA graph), k=5, rounds=8: at sf0.01
+    the edge peel cascades the full 8 rounds (301 → 142 → 82 → 54 →
+    36 → 28 → 26 → 26 edges — fixpoint confirmed in-round); at
+    sf0.001 the K10 clique has every edge at support 8 ≥ 3 (stable,
+    non-empty)."""
+    from sqlstreamstore_spark.analytics.graph import (
+        k_truss,
+        supplier_cooccurrence_edges,
+    )
+
+    return k_truss(
+        supplier_cooccurrence_edges(_t(spark, sf, "lineitem"), min_orders=30),
+        k=5,
+        rounds=8,
+    )
+
+
 def _link_prediction_query(spark: SparkSession, sf: str) -> DataFrame:
     """min_orders=20 (not the 5 the triangle gates use): at the gate
     sf the co-occurrence graph is a COMPLETE clique at ≥5 — zero
@@ -2528,6 +2546,9 @@ _LABEL_PROP_SQL = label_propagation_oracle_sql(iters=2, min_orders=30)
 from sqlstreamstore_spark.analytics.graph import k_core_oracle_sql
 
 _K_CORE_SQL = k_core_oracle_sql(k=8, rounds=5, min_orders=30)
+from sqlstreamstore_spark.analytics.graph import k_truss_oracle_sql
+
+_K_TRUSS_SQL = k_truss_oracle_sql(k=5, rounds=8, min_orders=30)
 from sqlstreamstore_spark.analytics.graph import doulion_oracle_sql as _doulion_oracle_sql
 
 _DOULION_SQL = _doulion_oracle_sql(p=0.5)
@@ -8505,6 +8526,14 @@ FROM documents
         "graph_k_core": (
             lambda s, sf: _k_core_query(s, sf),
             _K_CORE_SQL,
+        ),
+        # k-truss by iterative edge peeling (r12, Cohen 2008): the
+        # triangle-cohesion sibling of k_core — 8 unrolled rounds,
+        # wedge-join support per round, integer-exact oracle via
+        # MATERIALIZED per-round CTEs
+        "graph_k_truss": (
+            lambda s, sf: _k_truss_query(s, sf),
+            _K_TRUSS_SQL,
         ),
         # neighborhood-Jaccard link prediction (Liben-Nowell 2003):
         # open-wedge candidates minus existing edges, exact-int scores

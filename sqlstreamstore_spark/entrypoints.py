@@ -690,11 +690,12 @@ _GATE_PINNED_NEW: tuple[str, ...] = (
     # r11 verdict #1: the 6 round-11 additions with no driver row yet
     # (judge-sim ALL OK in r11); pins self-expire once the row lands.
     # (The r10 pin list landed its rows in r11 and has expired out.)
-    # r13: pin the ELEVEN r12 additions here — "dedup_digest_prefix_probe",
+    # r13: pin the TWELVE r12 additions here — "dedup_digest_prefix_probe",
     # "text_kneser_ney_bigram", "sim_knn_descent_step",
     # "eval_krippendorff_alpha", "graph_label_propagation",
     # "sim_cosine_topk_matryoshka", "graph_k_core", "sim_mmr_rerank",
     # "pipeline_decontaminate_semantic", "eval_retrieval_metrics",
+    # "graph_k_truss",
     # "sampling_kcenter_coreset" — deliberately NOT pinned in r12 so
     # they don't displace the planned 20-gate stale/flip drain (they
     # sit mid-queue at the median vintage and are covered by the

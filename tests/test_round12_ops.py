@@ -842,3 +842,37 @@ def test_kcenter_radius_curve_non_increasing(spark, emb):
     dists = [r["dist"] for r in out[1:]]
     assert all(a >= b - 1e-12 for a, b in zip(dists, dists[1:])), dists
     assert len({r["vec_id"] for r in out}) == 8
+
+
+def test_k_truss_peels_known_graph(spark):
+    """K4 {1..4} plus a triangle {4,5,6} hanging off node 4: in the
+    4-truss (support >= 2) the K4 survives (every edge closes 2
+    triangles) and the pendant triangle's edges (support 1) peel in
+    round 1."""
+    from sqlstreamstore_spark.analytics.graph import k_truss
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    pendant = [(4, 5), (4, 6), (5, 6)]
+    edges = spark.createDataFrame(k4 + pendant, "src long, dst long")
+    rows = k_truss(edges, k=4, rounds=3).collect()
+    assert [(r["src"], r["dst"]) for r in rows] == k4
+    assert all(r["support"] == 2 for r in rows)
+    # k=6 (support >= 4): nothing in a K4 qualifies -> empty
+    assert k_truss(edges, k=6, rounds=3).count() == 0
+
+
+def test_k_truss_gate_fixpoint_and_clique(spark):
+    """Gate parameters (min_orders=30, k=5): sf0.001's K10 clique has
+    every edge at support 8 >= 3 — all 45 edges survive — and
+    rounds=8 is already the fixpoint (== rounds=9 output)."""
+    from sqlstreamstore_spark.analytics.graph import (
+        k_truss,
+        supplier_cooccurrence_edges,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    edges = supplier_cooccurrence_edges(li, min_orders=30).localCheckpoint()
+    eight = [tuple(r) for r in k_truss(edges, k=5, rounds=8).collect()]
+    nine = [tuple(r) for r in k_truss(edges, k=5, rounds=9).collect()]
+    assert eight == nine
+    assert len(eight) == 45 and all(s == 8 for _, _, s in eight)
