@@ -172,6 +172,7 @@ def fuzzy_dedup_ingest_sink(
     digest_index_path: str | None = None,
     ivf_repair_async: bool = False,
     corpus_files_per_batch: int | None = 1,
+    index_compact_files: int | None = None,
 ):
     """Streaming dedup-on-ingest — the Structured Streaming twin
     of the incremental flagship's FULL curation chain: each
@@ -507,6 +508,58 @@ def fuzzy_dedup_ingest_sink(
                         "n_lists_after": len(new_cents),
                     }
                 )
+        # LSM hygiene for the APPEND-accreting indexes (round 12b):
+        # every upsert lands one file per band (mh) / per touched list
+        # (ivf), so at a long horizon the per-batch probe pays an
+        # O(batches) tiny-file listing+footer tax — the 500-batch
+        # probe measured the curve collapsing ~8 s → ~57 s/batch near
+        # b100 from exactly this. With ``index_compact_files`` set,
+        # any index tree over the budget is compacted in-handler
+        # (dedup.compact_index — distinct + clustered rewrite +
+        # retire-swap, probe results unchanged). Amortized: the
+        # rewrite is O(corpus) on a fixed file cadence, one stalled
+        # trigger per firing, the same amortization the digest tail
+        # roll above uses. The IVF tree is skipped while an async
+        # repair is in flight (finalize diffs the live file list
+        # against its snapshot; a concurrent swap would break the
+        # catch-up), and the repair's own rewrite compacts anyway.
+        if index_compact_files:
+            def _n_parquet(p: str) -> int:
+                from sqlstreamstore_spark.sources.hadoopfs import resolved
+
+                root = resolved(spark, p)
+                if root.startswith("file:"):
+                    root = root[len("file:"):]
+                return sum(
+                    1
+                    for _, _, fs in os.walk(root)
+                    for f in fs
+                    if f.endswith(".parquet")
+                )
+
+            todo: list[tuple[str, dict]] = []
+            if os.path.isdir(mh_index_path):
+                todo.append((mh_index_path, {}))
+            if (
+                ivf_index_path is not None
+                and os.path.isdir(ivf_index_path)
+                and not state.get("repair")
+            ):
+                todo.append((ivf_index_path, {"partition_by": "cluster_id"}))
+            for pth, kw in todo:
+                nf = _n_parquet(pth)
+                if nf > index_compact_files:
+                    t0 = _time.time()
+                    dedup.compact_index(spark, pth, **kw)
+                    state.setdefault("compactions", []).append(
+                        {
+                            "batch": state["batches"],
+                            "path": os.path.basename(pth.rstrip("/")),
+                            "files_before": nf,
+                            "files_after": _n_parquet(pth),
+                            "s": round(_time.time() - t0, 2),
+                        }
+                    )
 
     ckpt = checkpoint_dir or f"{corpus_path}-checkpoints/{query_name}"
     return (

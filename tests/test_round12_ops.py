@@ -876,3 +876,133 @@ def test_k_truss_gate_fixpoint_and_clique(spark):
     nine = [tuple(r) for r in k_truss(edges, k=5, rounds=9).collect()]
     assert eight == nine
     assert len(eight) == 45 and all(s == 8 for _, _, s in eight)
+
+
+def test_harmonic_centrality_path_graph(spark):
+    """Path 1-2-3-4-5, D=3: closed-form level sets per node
+    (endpoints see 1/1/1, the center sees 2/2/0)."""
+    from sqlstreamstore_spark.analytics.graph import harmonic_centrality
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    rows = {r["node"]: r for r in harmonic_centrality(edges).collect()}
+    assert (rows[1]["n1"], rows[1]["n2"], rows[1]["n3"]) == (1, 1, 1)
+    assert (rows[3]["n1"], rows[3]["n2"], rows[3]["n3"]) == (2, 2, 0)
+    assert abs(rows[1]["harmonic3"] - (1 + 0.5 + 1 / 3)) < 1e-12
+    assert rows[3]["harmonic3"] == 3.0
+    # symmetry of the path: 1==5, 2==4
+    assert rows[1]["harmonic3"] == rows[5]["harmonic3"]
+    assert rows[2]["harmonic3"] == rows[4]["harmonic3"]
+
+
+def test_harmonic_centrality_star_vs_leaf(spark):
+    """Star K1,4: the hub reaches everything in 1 hop (H=4); each
+    leaf reaches the hub at 1 and the other leaves at 2 (H=2.5) —
+    and the hub ranks strictly higher."""
+    from sqlstreamstore_spark.analytics.graph import harmonic_centrality
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "src long, dst long"
+    )
+    rows = {r["node"]: r for r in harmonic_centrality(edges).collect()}
+    assert rows[0]["harmonic3"] == 4.0
+    assert all(rows[i]["harmonic3"] == 1 + 3 / 2.0 for i in (1, 2, 3, 4))
+
+
+def test_sink_index_compaction_budget(spark, emb, tmp_path):
+    """index_compact_files: the sink folds append-accreted small files
+    back into few-per-partition once an index tree exceeds the budget
+    — results unchanged (dups still drop, indexes still cover the
+    corpus), file counts bounded, compactions recorded in state."""
+    from sqlstreamstore_spark.analytics import dedup, similarity
+    from sqlstreamstore_spark.streaming.sink import fuzzy_dedup_ingest_sink
+
+    base = tmp_path
+    src, corpus = str(base / "src"), str(base / "corpus")
+    mh_idx, ivf_idx, dg_idx = (
+        str(base / "mh"), str(base / "ivf"), str(base / "digest")
+    )
+    schema = "doc_id long, text string, embedding array<float>"
+
+    seed = (
+        emb.limit(200)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.concat(
+                F.lit("compaction seed body "), F.col("vec_id").cast("string"),
+                F.lit(" alpha beta gamma delta epsilon"),
+            ).alias("text"),
+            "embedding",
+        )
+        .localCheckpoint()
+    )
+    seed.write.parquet(corpus)
+    dedup.build_minhash_index(seed, mh_idx)
+    dedup.build_digest_index(seed, dg_idx)
+    cents = similarity.kmeans_centroids(
+        seed.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        n_clusters=4, iters=2,
+    )
+    similarity.build_ivf_index(
+        seed.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        ivf_idx, centroids=cents,
+    )
+
+    for b in range(6):
+        # vec_ids 200+ only: vectors IDENTICAL to a corpus row would
+        # (correctly) die at the semantic probe and starve the test
+        lo = 200 + 30 * b
+        novel = emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 30)
+        ).select(
+            (F.col("vec_id") + 10_000 * (b + 1)).alias("doc_id"),
+            F.concat(
+                F.lit(f"fresh b{b} "), F.col("vec_id").cast("string"),
+                F.lit(" zeta eta theta iota kappa"),
+            ).alias("text"),
+            "embedding",
+        )
+        dup = seed.limit(8).select(
+            (F.col("doc_id") + 900_000 * (b + 1)).alias("doc_id"),
+            "text", "embedding",
+        )
+        novel.unionByName(dup).write.mode("append").parquet(src)
+
+    def nfiles(p):
+        return sum(
+            1 for _, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+        )
+
+    state: dict = {"centroids": cents}
+    q = fuzzy_dedup_ingest_sink(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        corpus, mh_idx,
+        threshold=0.5,
+        checkpoint_dir=str(base / "ckpt"),
+        ivf_index_path=ivf_idx, centroids=cents,
+        cosine_threshold=0.999,
+        centroid_state=state,
+        digest_index_path=dg_idx,
+        index_compact_files=12,
+        query_name="csink12",
+    )
+    q.awaitTermination(240)
+
+    comps = state.get("compactions", [])
+    assert comps, "budget 12 never fired across 6 appending batches"
+    assert {c["path"] for c in comps} >= {"mh"}
+    assert all(c["files_after"] <= c["files_before"] for c in comps)
+    # bounded: post-run trees sit near the budget, not at O(batches)
+    assert nfiles(mh_idx) <= 12 + 8  # one batch of appends past a compact
+    # correctness unchanged: dups never landed, indexes cover corpus
+    cdf = spark.read.parquet(corpus)
+    assert cdf.count() == cdf.select("text").distinct().count()
+    assert (
+        dedup.read_digest_index(spark, dg_idx).distinct().count()
+        == cdf.select(F.md5("text")).distinct().count()
+    )
+    idx_ids = {
+        r["vec_id"] for r in spark.read.parquet(ivf_idx).select("vec_id").collect()
+    }
+    assert idx_ids == {r["doc_id"] for r in cdf.select("doc_id").collect()}

@@ -1465,7 +1465,9 @@ def round9c_main(times: int = 10) -> int:
     return 0
 
 
-def sink_horizon_main(batches: int = 50, batch_docs: int = 200) -> int:
+def sink_horizon_main(
+    batches: int = 50, batch_docs: int = 200, key: str = "sink_horizon"
+) -> int:
     """r10 verdict #5: the long-horizon sink curve. Drives
     fuzzy_dedup_ingest_sink — the FULL curation chain (quality
     predicates → digest anti-join → LSH probe → IVF semantic probe →
@@ -1500,6 +1502,13 @@ def sink_horizon_main(batches: int = 50, batch_docs: int = 200) -> int:
     from sqlstreamstore_spark.streaming.sink import fuzzy_dedup_ingest_sink
 
     spark = get_spark(app_name="scale-probe-sink-horizon")
+    # recentProgress keeps only the LAST N progress events (default
+    # 100): a horizon longer than that would silently drop its early
+    # batches and fake the first10-vs-last10 comparison — size the
+    # buffer to the horizon
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(batches + 20)
+    )
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     base = tempfile.mkdtemp(prefix="sss-sink-horizon-")
     input_dir = os.path.join(base, "input")
@@ -1574,15 +1583,25 @@ def sink_horizon_main(batches: int = 50, batch_docs: int = 200) -> int:
                  r["text"] + f" sinktail{b}",
                  perturb(list(map(float, r["embedding"])), b, 9999 + i, 0.0))
             )
-        bdf = spark.createDataFrame(
-            rows, "doc_id long, text string, embedding array<float>"
-        ).coalesce(1)
-        tmp = os.path.join(base, f"stage_{b}")
-        bdf.write.parquet(tmp)
-        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        # direct pyarrow write (no Spark job per file): a 500-file
+        # horizon at ~6 s/Spark-write spent 45 min GENERATING input —
+        # the same bytes land in milliseconds, and the streamed schema
+        # (doc_id long, text string, embedding array<float>) is
+        # identical
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "embedding": pa.array(
+                    [r[2] for r in rows], pa.list_(pa.float32())
+                ),
+            }
+        )
         dst = os.path.join(input_dir, f"batch_{b:03d}.parquet")
-        os.rename(os.path.join(tmp, part), dst)
-        shutil.rmtree(tmp)
+        pq.write_table(tbl, dst)
         os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
     gen_s = round(time.time() - t_gen, 2)
 
@@ -1611,8 +1630,41 @@ def sink_horizon_main(batches: int = 50, batch_docs: int = 200) -> int:
         # every batch) + Lloyd retrain off the ingest critical path
         digest_index_path=digest_path,
         ivf_repair_async=True,
+        # round 12b: LSM hygiene for the append-accreting indexes —
+        # without it the 500-batch curve collapsed ~8 → ~57 s/batch
+        # near b100 on the O(batches) tiny-file listing tax
+        index_compact_files=192,
     )
-    q.awaitTermination()
+    # live per-batch feed (diagnosis + early-kill visibility): poll
+    # recentProgress while the query drains and print each batch's
+    # trigger time with the index file counts and the persistent-RDD
+    # census (the two growth suspects at long horizons)
+    def _nfiles(p):
+        return sum(
+            1 for _, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+        )
+
+    def _nrdds():
+        try:
+            return len(spark.sparkContext._jsc.getPersistentRDDs())
+        except Exception:
+            return -1
+
+    seen = -1
+    while q.isActive:  # property in pyspark 4, NOT a method
+        time.sleep(5)
+        for p in sorted(q.recentProgress, key=lambda p: p["batchId"]):
+            if p["batchId"] > seen and p.get("numInputRows", 0) > 0:
+                seen = p["batchId"]
+                print(
+                    f"b{seen} {p['durationMs'].get('triggerExecution', 0) / 1000.0:.2f}s"
+                    f" lists={len(state['centroids'])}"
+                    f" files mh={_nfiles(mh_path)} ivf={_nfiles(ivf_path)}"
+                    f" dig={_nfiles(digest_path)}"
+                    f" rdds={_nrdds()}",
+                    flush=True,
+                )
+    q.awaitTermination(10)
     total_s = round(time.time() - t0, 2)
     # a build still in flight when availableNow drains finalizes here
     from sqlstreamstore_spark.streaming.sink import finalize_ivf_repair
@@ -1635,7 +1687,7 @@ def sink_horizon_main(batches: int = 50, batch_docs: int = 200) -> int:
         return round(sum(xs) / max(1, len(xs)), 3)
 
     res = {
-        "sink_horizon": {
+        key: {
             "batches": len(durs), "batch_docs": batch_docs,
             "gen_s": gen_s, "total_s": total_s,
             "per_batch_s": durs,
@@ -1653,6 +1705,7 @@ def sink_horizon_main(batches: int = 50, batch_docs: int = 200) -> int:
             ).distinct().count(),
             "rebalances": state.get("rebalances", []),
             "repair_errors": state.get("repair_errors", []),
+            "compactions": state.get("compactions", []),
             "final_health": {
                 "gini": round(float(h[0]["size_gini"]), 4),
                 "min_cos": round(float(min(pop)), 4) if pop else None,
@@ -1738,6 +1791,7 @@ if __name__ == "__main__":
             sink_horizon_main(
                 int(sys.argv[2]) if len(sys.argv) > 2 else 50,
                 int(sys.argv[3]) if len(sys.argv) > 3 else 200,
+                sys.argv[4] if len(sys.argv) > 4 else "sink_horizon",
             )
         )
     if len(sys.argv) > 1 and sys.argv[1] == "--round9c":
