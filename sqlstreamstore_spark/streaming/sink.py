@@ -298,6 +298,27 @@ def fuzzy_dedup_ingest_sink(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # localCheckpoint hygiene (round 12b): the PREVIOUS batch's
+        # exact-stage checkpoint blocks are dead by construction (this
+        # batch re-reads every index from parquet), but py4j's lazy
+        # weak-ref release leaks them at long horizons — measured
+        # +1.3 persistent RDDs/batch, monotone, with per-batch cost
+        # creeping 7 → 10 s by b73 on the 500-batch probe. Release
+        # exactly the RDDs that FIRST APPEARED during the previous
+        # handler call (entry-snapshot diff — caller-cached frames are
+        # never touched), then snapshot for this one.
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            cur = set(jmap.keySet().toArray())
+            for rid in set(state.get("__ckpt_rdds") or []) & cur:
+                jr = jmap.get(rid)
+                if jr is not None:
+                    jr.unpersist(False)
+            state["__rdds_at_entry"] = set(
+                spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+            )
+        except Exception:
+            state["__rdds_at_entry"] = set()
         # safe point: the handler is serial, so a completed async
         # repair swaps in before this batch's probes touch the index
         _finalize_repair_if_ready(spark)
@@ -537,18 +558,29 @@ def fuzzy_dedup_ingest_sink(
                     if f.endswith(".parquet")
                 )
 
-            todo: list[tuple[str, dict]] = []
+            todo: list[tuple[str, dict, int]] = []
             if os.path.isdir(mh_index_path):
-                todo.append((mh_index_path, {}))
+                todo.append((mh_index_path, {}, index_compact_files))
             if (
                 ivf_index_path is not None
                 and os.path.isdir(ivf_index_path)
                 and not state.get("repair")
             ):
-                todo.append((ivf_index_path, {"partition_by": "cluster_id"}))
-            for pth, kw in todo:
+                todo.append(
+                    (ivf_index_path, {"partition_by": "cluster_id"},
+                     index_compact_files)
+                )
+            if digest_index_path is not None and os.path.isdir(digest_index_path):
+                # every tail ROLL appends one file per touched hp=
+                # partition (~256), so the digest tree regrows the
+                # listing tax on the roll cadence; its floor is one
+                # file per prefix dir, hence the +256 budget offset
+                todo.append(
+                    (digest_index_path, {}, index_compact_files + 256)
+                )
+            for pth, kw, budget in todo:
                 nf = _n_parquet(pth)
-                if nf > index_compact_files:
+                if nf > budget:
                     t0 = _time.time()
                     dedup.compact_index(spark, pth, **kw)
                     state.setdefault("compactions", []).append(
@@ -560,6 +592,16 @@ def fuzzy_dedup_ingest_sink(
                             "s": round(_time.time() - t0, 2),
                         }
                     )
+        # record the RDDs that first appeared during THIS handler call
+        # (entry-snapshot diff) — the next call's hygiene pass at the
+        # top of handle() unpersists exactly these and nothing else
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            state["__ckpt_rdds"] = sorted(
+                set(jmap.keySet().toArray()) - state.pop("__rdds_at_entry", set())
+            )
+        except Exception:  # census hygiene must never fail a batch
+            pass
 
     ckpt = checkpoint_dir or f"{corpus_path}-checkpoints/{query_name}"
     return (
