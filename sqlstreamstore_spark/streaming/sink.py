@@ -334,6 +334,15 @@ def fuzzy_dedup_ingest_sink(
                     >= min_distinct_ratio
                 )
             batch_df = batch_df.filter(pred)
+        if not os.path.isdir(corpus_path):
+            # a crash between a corpus compaction's two renames parks
+            # the complete corpus at .__retired__ with nothing live —
+            # restore it BEFORE the have_corpus probe, else this batch
+            # would silently treat a populated store as first-ever
+            # ingest and rebuild the digest index from nothing
+            from sqlstreamstore_spark.sources.hadoopfs import recover_retired
+
+            recover_retired(spark, corpus_path)
         have_corpus = os.path.isdir(corpus_path)
         if have_corpus:
             corpus = spark.read.parquet(corpus_path)
@@ -578,6 +587,21 @@ def fuzzy_dedup_ingest_sink(
                 todo.append(
                     (digest_index_path, {}, index_compact_files + 256)
                 )
+            if os.path.isdir(corpus_path):
+                # the CORPUS fragments too (one appended file per
+                # batch) and the LSH verify stage scans it every
+                # batch — measured +~5 s/batch by b150 on the 500-
+                # batch probe from task count ∝ file count alone.
+                # Tighter budget than the indexes: its per-batch
+                # growth is 1 file, so 96 keeps the scan small while
+                # compacting only ~every 90 batches. Doc-id
+                # uniqueness makes distinct() a no-op on rows. At
+                # 100 TB a full corpus rewrite is not viable — there
+                # the fold is incremental (rewrite only the recent
+                # small-file tail, the store's by-position compact()
+                # discipline); a crash between the swap renames is
+                # recovered at the next batch's entry guard above.
+                todo.append((corpus_path, {}, min(index_compact_files, 96)))
             for pth, kw, budget in todo:
                 nf = _n_parquet(pth)
                 if nf > budget:
