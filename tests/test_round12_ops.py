@@ -878,38 +878,6 @@ def test_k_truss_gate_fixpoint_and_clique(spark):
     assert len(eight) == 45 and all(s == 8 for _, _, s in eight)
 
 
-def test_harmonic_centrality_path_graph(spark):
-    """Path 1-2-3-4-5, D=3: closed-form level sets per node
-    (endpoints see 1/1/1, the center sees 2/2/0)."""
-    from sqlstreamstore_spark.analytics.graph import harmonic_centrality
-
-    edges = spark.createDataFrame(
-        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
-    )
-    rows = {r["node"]: r for r in harmonic_centrality(edges).collect()}
-    assert (rows[1]["n1"], rows[1]["n2"], rows[1]["n3"]) == (1, 1, 1)
-    assert (rows[3]["n1"], rows[3]["n2"], rows[3]["n3"]) == (2, 2, 0)
-    assert abs(rows[1]["harmonic3"] - (1 + 0.5 + 1 / 3)) < 1e-12
-    assert rows[3]["harmonic3"] == 3.0
-    # symmetry of the path: 1==5, 2==4
-    assert rows[1]["harmonic3"] == rows[5]["harmonic3"]
-    assert rows[2]["harmonic3"] == rows[4]["harmonic3"]
-
-
-def test_harmonic_centrality_star_vs_leaf(spark):
-    """Star K1,4: the hub reaches everything in 1 hop (H=4); each
-    leaf reaches the hub at 1 and the other leaves at 2 (H=2.5) —
-    and the hub ranks strictly higher."""
-    from sqlstreamstore_spark.analytics.graph import harmonic_centrality
-
-    edges = spark.createDataFrame(
-        [(0, 1), (0, 2), (0, 3), (0, 4)], "src long, dst long"
-    )
-    rows = {r["node"]: r for r in harmonic_centrality(edges).collect()}
-    assert rows[0]["harmonic3"] == 4.0
-    assert all(rows[i]["harmonic3"] == 1 + 3 / 2.0 for i in (1, 2, 3, 4))
-
-
 def test_sink_index_compaction_budget(spark, emb, tmp_path):
     """index_compact_files: the sink folds append-accreted small files
     back into few-per-partition once an index tree exceeds the budget
