@@ -985,6 +985,10 @@ def km_survival(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     unique."""
     from sqlstreamstore_spark.operators.positions import with_global_cumsum
 
+    # (r12 optimization note: materializing the session table here —
+    # persist or localCheckpoint — measured SLOWER than letting the
+    # branches recompute it as parallel stages of the one job; see
+    # OPTIMIZATION_r12.md "barrier A/B".)
     s = session_table(events, gap_seconds)
     horizon = s.agg(F.max("end_us").alias("__h"))
     gap_us = gap_seconds * 1_000_000
@@ -1542,7 +1546,10 @@ def error_burn_rate(
     hourly = base.groupBy("h").agg(
         F.count("*").cast("long").alias("n_total"),
         F.sum("is_err").cast("long").alias("n_errors"),
-    )
+    ).localCheckpoint(eager=False)
+    # barrier (r12 optimization): the hourly census is referenced three
+    # times (window explode, trailing membership join, final join) —
+    # bounded by the hour axis, lineage scans the full event set
     contrib = (
         hourly.select(
             "h",
@@ -1610,7 +1617,12 @@ def theil_sen_trend(events: DataFrame) -> DataFrame:
     )
     filled = spine.join(counts, "day_no", "left").select(
         "day_no", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
-    )
+    ).localCheckpoint(eager=False)
+    # barrier (r12 optimization): the zero-filled day spine is bounded
+    # by the observation span but its lineage scans the full event set;
+    # it feeds both slope sides, the residual pass and the n_days agg —
+    # without the barrier the event aggregation re-ran in every branch
+    # (measured plan: 88 exchanges / 50 scans).
     a = filled.select(F.col("day_no").alias("da"), F.col("cnt").alias("ca"))
     b = filled.select(F.col("day_no").alias("db"), F.col("cnt").alias("cb"))
     slopes = (
@@ -1621,6 +1633,9 @@ def theil_sen_trend(events: DataFrame) -> DataFrame:
                 / (F.col("db") - F.col("da")).cast("double")
             ).alias("slope")
         )
+        # barrier: (days choose 2) rows, read by the median's rank pass
+        # and its count agg
+        .localCheckpoint(eager=False)
     )
     # exact median: average of the values at sorted ranks
     # floor((n+1)/2) and floor(n/2)+1 (equal when n is odd) — the
@@ -1671,7 +1686,11 @@ def alert_episodes(events: DataFrame, slo: float = 0.75, long_hours: int = 6) ->
     tiny aggs."""
     from sqlstreamstore_spark.operators.positions import with_dense_global_index
 
-    burn = error_burn_rate(events, slo=slo, long_hours=long_hours)
+    # barrier (r12 optimization): the burn series feeds the alert
+    # filter AND the n_hours agg — bounded by the hour axis
+    burn = error_burn_rate(events, slo=slo, long_hours=long_hours).localCheckpoint(
+        eager=False
+    )
     alerts = burn.filter(F.col("alert")).select("hour_epoch")
     islands = with_dense_global_index(
         alerts, [F.col("hour_epoch")], "__ix"

@@ -662,7 +662,11 @@ def link_prediction_jaccard(
     shares it. Default None = exact (the gate's oracle mode)."""
     adj = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=False)
+    # barrier (r12 optimization): the symmetrized adjacency feeds the
+    # degree census and both wedge sides — without it the upstream
+    # co-occurrence edge derivation re-ran in every branch (measured
+    # plan before: 32 exchanges / 36 scans)
     deg = adj.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
     centers = (
         deg.filter(F.col("deg") <= max_degree).select(F.col("src").alias("b"))

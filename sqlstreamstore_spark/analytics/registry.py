@@ -2064,7 +2064,11 @@ def _triangles_query(spark: SparkSession, sf: str) -> DataFrame:
         triangle_count,
     )
 
-    return triangle_count(supplier_cooccurrence_edges(_t(spark, sf, "lineitem")))
+    return triangle_count(
+        supplier_cooccurrence_edges(_t(spark, sf, "lineitem")).localCheckpoint(
+            eager=False
+        )
+    )
 
 
 def _label_propagation_query(spark: SparkSession, sf: str) -> DataFrame:
@@ -2077,7 +2081,9 @@ def _label_propagation_query(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return label_propagation(
-        supplier_cooccurrence_edges(_t(spark, sf, "lineitem"), min_orders=30),
+        supplier_cooccurrence_edges(
+            _t(spark, sf, "lineitem"), min_orders=30
+        ).localCheckpoint(eager=False),
         iters=2,
     )
 
@@ -2093,7 +2099,9 @@ def _k_core_query(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return k_core(
-        supplier_cooccurrence_edges(_t(spark, sf, "lineitem"), min_orders=30),
+        supplier_cooccurrence_edges(
+            _t(spark, sf, "lineitem"), min_orders=30
+        ).localCheckpoint(eager=False),
         k=8,
         rounds=5,
     )
@@ -2111,7 +2119,9 @@ def _k_truss_query(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return k_truss(
-        supplier_cooccurrence_edges(_t(spark, sf, "lineitem"), min_orders=30),
+        supplier_cooccurrence_edges(
+            _t(spark, sf, "lineitem"), min_orders=30
+        ).localCheckpoint(eager=False),
         k=5,
         rounds=8,
     )
@@ -2128,7 +2138,9 @@ def _link_prediction_query(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return link_prediction_jaccard(
-        supplier_cooccurrence_edges(_t(spark, sf, "lineitem"), min_orders=20)
+        supplier_cooccurrence_edges(
+            _t(spark, sf, "lineitem"), min_orders=20
+        ).localCheckpoint(eager=False)
     )
 
 
@@ -2144,14 +2156,19 @@ def _doulion_query(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return triangle_count_doulion(
-        supplier_cooccurrence_edges(_t(spark, sf, "lineitem")), p=0.5
+        supplier_cooccurrence_edges(_t(spark, sf, "lineitem")).localCheckpoint(
+            eager=False
+        ),
+        p=0.5,
     )
 
 
 def _pagerank_query(spark: SparkSession, sf: str) -> DataFrame:
     from sqlstreamstore_spark.analytics.graph import customer_supplier_edges, pagerank
 
-    edges = customer_supplier_edges(_t(spark, sf, "orders"), _t(spark, sf, "lineitem"))
+    edges = customer_supplier_edges(
+        _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    ).localCheckpoint(eager=False)
     return pagerank(edges, iters=3)
 
 

@@ -822,6 +822,13 @@ def brand_assortativity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         .filter(F.col("ba") < F.col("bb"))
         .groupBy("ba", "bb")
         .agg(F.count("*").cast("long").alias("c"))
+        # Materialize ONCE (r12 optimization): this brand-pair support
+        # frame is bounded (brands choose 2) but its lineage is the
+        # basket self-join over lineitem; it feeds the median rank, the
+        # edge threshold and (transitively) the degree/moment branches —
+        # without a barrier the self-join re-runs in every branch (the
+        # measured plan held 136 parquet scans / 232 exchanges).
+        .localCheckpoint(eager=False)
     )
     n_df = F.broadcast(pairs.agg(F.count("*").cast("long").alias("__n")))
     ranked = with_dense_global_index(pairs, [F.col("c")], "__ix").crossJoin(n_df)
@@ -836,6 +843,9 @@ def brand_assortativity(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         pairs.crossJoin(F.broadcast(med))
         .filter(F.col("c") >= F.lit(1.2) * F.col("med_support"))
         .select("ba", "bb")
+        # barrier: und feeds directed twice (both orientations) which
+        # feeds deg + the endpoint join — 6 downstream references
+        .localCheckpoint(eager=False)
     )
     directed = und.unionByName(
         und.select(F.col("bb").alias("ba"), F.col("ba").alias("bb"))

@@ -1800,7 +1800,15 @@ def kmv_jaccard_pairs(documents: DataFrame, k: int = 32, n: int = 3) -> DataFram
         .localCheckpoint()  # feeds sketches AND exact pair counts
     )
     w = Window.partitionBy("source").orderBy("h")
-    sk = hs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+    sk = (
+        hs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        # barrier (r12 optimization): the k-sketch (k rows per source)
+        # is referenced by both union sides, both common sides and the
+        # pair spine — one rank pass instead of five
+        .localCheckpoint(eager=False)
+    )
 
     # exact pair overlap (the oracle target): inverted-index join on h
     a, b = hs.alias("a"), hs.alias("b")

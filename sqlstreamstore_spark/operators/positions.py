@@ -78,6 +78,25 @@ def release_pins() -> int:
     return len(drained)
 
 
+def cache_pin(df: DataFrame) -> DataFrame:
+    """Lazy shared-subtree cache (r12 optimization): ``persist()`` the
+    frame and register it with the pin registry so the repeated-caller
+    harnesses (bench / driver sim) free it at their per-query quiescent
+    points via :func:`release_pins`.
+
+    Use this — not ``localCheckpoint`` — when a frame is referenced by
+    several branches of ONE downstream action: persist lets the branches
+    share the first materialization without inserting a sequential job
+    boundary (localCheckpoint materializes every upstream stage at
+    build, serializing work the scheduler would otherwise overlap),
+    while still collapsing the duplicated subtree in the compiled plan.
+    Unlike the layout pins, releasing a cache_pin mid-use is harmless —
+    a re-execution recomputes the same values, just slower."""
+    with _PIN_LOCK:
+        _PIN_REGISTRY.append(df.persist())
+    return df
+
+
 class pin_scope:
     """Context manager giving a library caller exact ownership of the
     layout pins its own code creates::
