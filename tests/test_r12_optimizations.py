@@ -1,0 +1,111 @@
+"""Round-12 optimization-round tests: the optimizations must not change
+what any operator computes.
+
+- warm_shared_indexes: the thread-pool-overlapped build of the seven
+  shared per-sf index artifacts (bench's incremental_index_build row)
+  must produce a usable artifact at every path, memoize (second call =
+  no-op), and serve the same probe results the lazily-built indexes do.
+- make_fake_media_df: the fork-pool payload encode + Arrow-path ship
+  must yield a table row-identical to the serial pickled-row build.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from sqlstreamstore_spark.session import get_spark
+
+    return get_spark(app_name="test_r12_opt")
+
+
+def test_warm_shared_indexes_builds_all_and_memoizes(spark):
+    from sqlstreamstore_spark.analytics import registry as R
+
+    R.warm_shared_indexes(spark, SF)
+    paths = [
+        R._digest_index_for(spark, SF),
+        R._mh_index_for(spark, SF),
+        R._sem_index_for(spark, SF)[0],
+        R._lsh_index_for(spark, SF),
+        R._ngram_index_for(spark, SF),
+        R._mh_compacted_index_for(spark, SF),
+        R._term_index_for(spark, SF),
+    ]
+    assert len(set(paths)) == 7
+    for p in paths:
+        assert os.path.isdir(p), p
+        # every artifact tree holds at least one parquet part
+        found = any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(p)
+            for f in files
+        )
+        assert found, p
+
+    # the warmed banded-LSH index serves the SAME incremental verdicts
+    # as an index built directly from the corpus slice
+    import tempfile
+
+    from sqlstreamstore_spark.analytics import dedup
+    from sqlstreamstore_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    via_warm = sorted(
+        tuple(r)
+        for r in dedup.minhash_dedup_incremental(
+            spark, R._mh_index_for(spark, SF), incoming, corpus, threshold=0.2
+        ).collect()
+    )
+    with tempfile.TemporaryDirectory() as td:
+        fresh = os.path.join(td, "mh")
+        dedup.build_minhash_index(corpus, fresh)
+        via_fresh = sorted(
+            tuple(r)
+            for r in dedup.minhash_dedup_incremental(
+                spark, fresh, incoming, corpus, threshold=0.2
+            ).collect()
+        )
+    assert via_warm == via_fresh
+
+
+def test_media_table_parallel_build_identical_to_serial(spark):
+    from sqlstreamstore_spark.analytics import multimodal as mm
+
+    n = 30
+    df = mm.make_fake_media_df(spark, n)
+    got = [tuple(r) for r in df.orderBy("media_id").collect()]
+
+    kinds = ["image", "audio", "video"]
+    want = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        w, h, d = (64 + i % 32, 48 + i % 24, 1000 + i * 10)
+        payload, mime, codec = mm.make_media_payload(i, kind, w, h, d)
+        want.append(
+            (
+                i,
+                kind,
+                mime,
+                bytearray(payload),
+                (
+                    w if kind == "image" else None,
+                    h if kind == "image" else None,
+                    d if kind != "image" else None,
+                    codec,
+                ),
+            )
+        )
+    norm = lambda rows: [
+        (i, k, m, bytes(p), tuple(meta)) for i, k, m, p, meta in rows
+    ]
+    assert norm(got) == norm(want)
