@@ -456,6 +456,14 @@ def extend_components(
     bounded — almost always the driver union-find fast path), then ONE
     broadcast relabel join of the affected-comp map against the corpus
     labels. No corpus-wide iteration, ever."""
+    # barriers (r12 optimization): the delta edge set is referenced by
+    # the contraction AND both new-node projections, and the label
+    # frame by four branches (two contraction lookups, the relabel,
+    # the anti-join) — without them each reference re-ran the upstream
+    # LSH probes / label derivation (measured: the incremental
+    # semantic-components gate re-executed its index probe ~4x)
+    new_edges = new_edges.localCheckpoint(eager=False)
+    labels = labels.localCheckpoint(eager=False)
     la = labels.select(F.col("doc_id").alias("doc_a"), F.col("comp").alias("__ca"))
     lb = labels.select(F.col("doc_id").alias("doc_b"), F.col("comp").alias("__cb"))
     contracted = (
@@ -517,7 +525,13 @@ def _driver_union_find(spark, edges_pdf) -> DataFrame:
             lo, hi = (ru, rv) if ru < rv else (rv, ru)
             parent[hi] = lo
     rows = sorted((n, find(n)) for n in parent)
-    return spark.createDataFrame(rows or [], "doc_id long, comp long")
+    # Arrow ship (r12 optimization): the label frame is re-shipped to
+    # the JVM on EVERY downstream reference; the pickled-row path paid
+    # that per-row, the pandas input goes as one Arrow batch.
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "comp"]).astype("int64")
+    return spark.createDataFrame(pdf, "doc_id long, comp long")
 
 
 def near_dup_components(

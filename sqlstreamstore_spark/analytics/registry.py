@@ -1300,6 +1300,11 @@ def _knn_descent_query(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(similarity.knn_graph_lsh(emb, k=5, seed=7))
         .select("qid", "cid")
         .distinct()
+        # barrier (r12 optimization): the descent step references the
+        # seed graph three times (both 2-hop sides + the direct union)
+        # — one materialization of the N·k edge list instead of three
+        # LSH bucket-join rebuilds (measured plan before: 52 scans)
+        .localCheckpoint(eager=False)
     )
     return similarity.knn_descent_step(emb, g0, k=5)
 

@@ -847,8 +847,12 @@ class SparkParquetStreamStore(StreamStore):
         from sqlstreamstore_spark.operators.positions import dense_global_index_pinned
 
         df = new_messages
+        # collect(), not toLocalIterator (r12 optimization): the distinct
+        # stream-id set is O(#streams) — the same bound the manifest
+        # already holds driver-side — and toLocalIterator pays one job
+        # round-trip per partition fetch (~2x the wall time here).
         existing = [
-            s[0] for s in df.select("stream_id").distinct().toLocalIterator()
+            s[0] for s in df.select("stream_id").distinct().collect()
             if s[0] in self._manifest["streams"]
         ]
         if existing and not allow_existing:
