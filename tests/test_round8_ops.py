@@ -301,9 +301,22 @@ def test_e2e_pipeline_execution_contract(docs, emb, spark):
     build did (the counts read checkpointed blocks, not the chain)."""
     from sqlstreamstore_spark.analytics.pipeline import e2e_corpus_pipeline
 
-    tracker = spark.sparkContext.statusTracker()
-    before = len(tracker.getJobIdsForGroup(None) or [])
-    df = e2e_corpus_pipeline(docs, emb)
-    built = len(tracker.getJobIdsForGroup(None) or []) - before
+    # Count construction jobs in a DEDICATED job group: the status
+    # tracker retains a bounded window of jobs, so a before/after
+    # len() delta on the default group goes NEGATIVE once the suite
+    # has run enough jobs for eviction to outpace the build (observed
+    # r12: -86 on a long session). Jobs launched during construction
+    # are the newest in the window, so the fresh group's count is
+    # eviction-proof.
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    group = "e2e-exec-contract-pin"
+    sc.setJobGroup(group, "pin: construction executes the barrier chain")
+    try:
+        df = e2e_corpus_pipeline(docs, emb)
+        built = len(tracker.getJobIdsForGroup(group) or [])
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
     assert built > 0, "stage barriers materialize at construction (documented)"
     assert df.count() == 8
