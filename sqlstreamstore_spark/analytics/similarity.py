@@ -915,6 +915,126 @@ def ivf_probe_lists_arrow(
     return queries.mapInPandas(run, schema)
 
 
+def _seq_sq(vec: list[float]) -> float:
+    """Driver-side twin of _dot_sql(lit, lit): the same left fold."""
+    acc = 0.0
+    for c in vec:
+        acc = acc + float(c) * float(c)
+    return acc
+
+
+def ivfpq_encode_exact_arrow(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]] | None,
+    codebooks: list[list[list[float]]] | None,
+) -> DataFrame:
+    """BIT-IDENTICAL Arrow twin of ``pq_encode(ivf_assign(...))`` —
+    the r12 build-path optimization (guide §4: the HOF lambda
+    (``aggregate``/``zip_with``/``transform``) scoring in the literal
+    expressions never enters whole-stage codegen, so the per-codeword
+    interpreted fold dominated every index build: measured 1.5 s → 0.3 s
+    warm for the sf0.1 assign+encode pass, outputs verified identical).
+
+    Unlike ``ivf_assign_arrow``/``ivf_probe_lists_arrow`` (GEMM — fast
+    but with the documented ULP-tie caveat), this twin REPLAYS THE
+    EXACT FLOAT FOLD of the literal expressions: it vectorizes over
+    ROWS and iterates DIMENSIONS in order, so every intermediate double
+    equals the SQL ``aggregate(zip_with(...), 0.0, acc+v)`` left fold
+    — ((0+x₁y₁)+x₂y₂)+…, IEEE-identical elementwise — and numpy's
+    first-occurrence argmin/argmax matches ``array_position`` on
+    ``array_min``/``array_max`` (ties → lowest id, centroid/codeword
+    order ascending). The hash-oracled gate values therefore cannot
+    move; pytest pins equality against the expression path on the
+    real fixtures.
+
+    Pass ``centroids`` for ``cluster_id``, ``codebooks`` for ``codes``,
+    or both for the fused single pass (one Python boundary instead of
+    two interpreted HOF projections)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    assert centroids is not None or codebooks is not None
+    if centroids is not None:
+        centroids = sorted(centroids, key=lambda t: int(t[0]))
+        ids = [int(cid) for cid, _ in centroids]
+        C = [[float(x) for x in v] for _, v in centroids]
+        Cn = [math_norm(v) for v in C]
+        dim = len(C[0])
+    if codebooks is not None:
+        m = len(codebooks)
+        sub_dim = len(codebooks[0][0])
+        cn2 = [[_seq_sq(cw) for cw in codebooks[s]] for s in range(m)]
+        dim = m * sub_dim
+
+    fields = list(embeddings.schema.fields)
+    if centroids is not None:
+        fields = fields + [T.StructField("cluster_id", T.IntegerType())]
+    if codebooks is not None:
+        fields = fields + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
+    schema = T.StructType(fields)
+
+    def run(batches):
+        for pdf in batches:
+            B = len(pdf)
+            if not B:
+                continue
+            X = np.array(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            out = pdf.copy()
+            if centroids is not None:
+                n2 = np.zeros(B)
+                for i in range(dim):
+                    n2 = n2 + X[:, i] * X[:, i]
+                ne = np.sqrt(n2)
+                ne[ne == 0.0] = 1.0
+                scores = np.empty((B, len(C)))
+                for ci, (cv, cn) in enumerate(zip(C, Cn)):
+                    dot = np.zeros(B)
+                    for i in range(dim):
+                        dot = dot + X[:, i] * cv[i]
+                    scores[:, ci] = dot / (ne * cn)
+                amax = scores.argmax(axis=1)
+                out["cluster_id"] = (
+                    np.array(ids, dtype=np.int64)[amax].astype("int32")
+                )
+            if codebooks is not None:
+                codes = np.empty((B, m), dtype="int32")
+                for s in range(m):
+                    off = s * sub_dim
+                    xs2 = np.zeros(B)
+                    for i in range(sub_dim):
+                        xs2 = xs2 + X[:, off + i] * X[:, off + i]
+                    d = np.empty((B, len(codebooks[s])))
+                    for j, cw in enumerate(codebooks[s]):
+                        dot = np.zeros(B)
+                        for i in range(sub_dim):
+                            dot = dot + X[:, off + i] * float(cw[i])
+                        d[:, j] = xs2 - 2.0 * dot + cn2[s][j]
+                    codes[:, s] = d.argmin(axis=1)
+                out["codes"] = [codes[r].tolist() for r in range(B)]
+            yield out
+
+    return embeddings.mapInPandas(run, schema)
+
+
+def ivf_assign_exact_arrow(
+    embeddings: DataFrame, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """``ivf_assign``'s bit-identical Arrow twin (see
+    :func:`ivfpq_encode_exact_arrow`)."""
+    return ivfpq_encode_exact_arrow(embeddings, centroids, None)
+
+
+def pq_encode_exact_arrow(
+    embeddings: DataFrame, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """``pq_encode``'s bit-identical Arrow twin (see
+    :func:`ivfpq_encode_exact_arrow`)."""
+    return ivfpq_encode_exact_arrow(embeddings, None, codebooks)
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -944,7 +1064,10 @@ def cosine_topk_ivf(
         centroids, key=lambda c: (-cos(c[1], [float(x) for x in query_vec]), c[0])
     )[:n_probe]
     probe_ids = [cid for cid, _ in probe]
-    assigned = ivf_assign(embeddings, centroids).filter(F.col("cluster_id").isin(probe_ids))
+    # r12: bit-identical Arrow assign (see ivfpq_encode_exact_arrow)
+    assigned = ivf_assign_exact_arrow(embeddings, centroids).filter(
+        F.col("cluster_id").isin(probe_ids)
+    )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     emb = F.col("embedding")
     score = _dot(emb, q) / (_norm(emb) * _norm(q))
@@ -972,7 +1095,9 @@ def build_ivf_index(
 
     Returns the centroid model to ship alongside the index."""
     cents = centroids or _static_centroids(dim=dim, n_clusters=n_clusters, seed=seed)
-    assigned = ivf_assign(embeddings, cents)
+    # r12: the bit-identical Arrow twin — the interpreted-HOF literal
+    # scoring was the dominant build cost (see ivfpq_encode_exact_arrow)
+    assigned = ivf_assign_exact_arrow(embeddings, cents)
     # one file per inverted list at test scale; at 100 TB each partition
     # directory holds many files and pruning skips whole directories
     assigned.repartition("cluster_id").write.partitionBy("cluster_id").mode(
@@ -1001,7 +1126,7 @@ def upsert_ivf_index(
     inverted list's directory) on the usual small-file cadence; the
     centroids themselves are refreshed only by an offline retrain, as
     in any deployed IVF system."""
-    assigned = ivf_assign(embeddings, centroids)
+    assigned = ivf_assign_exact_arrow(embeddings, centroids)
     assigned.repartition("cluster_id").write.partitionBy("cluster_id").mode(
         "append"
     ).parquet(_live(embeddings.sparkSession, path))
@@ -1129,7 +1254,10 @@ def cosine_topk_ivf_static(
             centroids, key=lambda c: (-cos(c[1], [float(x) for x in query_vec]), c[0])
         )[:n_probe]
     ]
-    assigned = ivf_assign(embeddings, centroids).filter(F.col("cluster_id").isin(probe_ids))
+    # r12: bit-identical Arrow assign (see ivfpq_encode_exact_arrow)
+    assigned = ivf_assign_exact_arrow(embeddings, centroids).filter(
+        F.col("cluster_id").isin(probe_ids)
+    )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     emb = F.col("embedding")
     score = _dot(emb, q) / (_norm(emb) * _norm(q))
@@ -1401,7 +1529,9 @@ def _pq_topk_from_codebooks(
     k: int,
     rerank: int,
 ) -> DataFrame:
-    enc = pq_encode(embeddings, codebooks)
+    # r12: bit-identical Arrow encode (the interpreted-HOF literal
+    # scoring dominated this serving pass; see ivfpq_encode_exact_arrow)
+    enc = pq_encode_exact_arrow(embeddings, codebooks)
     approx = enc.select(
         "vec_id", "embedding", _pq_approx_cosine(query_vec, codebooks).alias("__approx")
     )
@@ -1484,7 +1614,10 @@ def build_ivfpq_index(
         # pass pre-trained/static codebooks for the deployed-model
         # configuration, which the gate oracles end to end
         codebooks = pq_train(embeddings, m=m, n_codes=n_codes, iters=iters)
-    enc = pq_encode(ivf_assign(embeddings, cents), codebooks)
+    # r12: fused bit-identical Arrow assign+encode — ONE Python
+    # boundary replaces TWO interpreted-HOF projections (measured
+    # 1.5 s → 0.3 s warm at sf0.1; see ivfpq_encode_exact_arrow)
+    enc = ivfpq_encode_exact_arrow(embeddings, cents, codebooks)
     enc.select("vec_id", "embedding", "codes", "cluster_id").repartition(
         "cluster_id"
     ).write.partitionBy("cluster_id").mode("overwrite").parquet(path)
@@ -2418,7 +2551,8 @@ def _rebalance_core(
         F.col("vec_id") % sample_mod == 0
     )
     cents = kmeans_centroids(train, n_clusters=n_clusters, iters=iters)
-    assigned = ivf_assign(idx, cents)
+    # r12: bit-identical Arrow assign (see ivfpq_encode_exact_arrow)
+    assigned = ivf_assign_exact_arrow(idx, cents)
     # every frame this op persists, unpersisted before return (ADVICE
     # r10 #2: earlier rounds pinned only the FIRST frame and leaked
     # each split pass's re-persist for the session lifetime)
@@ -2758,7 +2892,8 @@ def cosine_topk_ivfsq8_static(
         )[:n_probe]
     ]
     model = model if model is not None else sq8_train(embeddings)
-    sub = ivf_assign(embeddings, centroids).filter(
+    # r12: bit-identical Arrow assign (see ivfpq_encode_exact_arrow)
+    sub = ivf_assign_exact_arrow(embeddings, centroids).filter(
         F.col("cluster_id").isin(probe_ids)
     )
     q = F.array(*[F.lit(float(x)) for x in query_vec])

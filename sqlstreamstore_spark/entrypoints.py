@@ -525,13 +525,20 @@ def _cdc_rollup_query(spark: SparkSession, sf: str) -> DataFrame:
     analytics/incremental.py, driven by the store's own CDC feed.
     """
     store, v1, v2 = _cdc_store(spark, sf)
+    # barriers (r12 optimization): the v1 snapshot is referenced by the
+    # prior census AND the tombstone semi-join, and the CDC delta by
+    # three branch projections (inserts / stream-tombstones /
+    # message-tombstones) — each reference re-ran the manifest-segment
+    # union scan (measured plan before: 48 scans / 60 exchanges).
+    # Both frames are bounded by the CDC fixture's window.
     prior_msgs = (
         store.as_of(v1).log_df()
         .filter(~F.col("stream_id").startswith("$"))
         .select("stream_id", "message_id")
+        .localCheckpoint(eager=False)
     )
     prior = prior_msgs.groupBy("stream_id").agg(F.count("*").alias("prior_n"))
-    delta = store.changes_between(v1, v2)
+    delta = store.changes_between(v1, v2).localCheckpoint(eager=False)
     sid = F.get_json_object("json_data", "$.StreamId")
     mid = F.get_json_object("json_data", "$.MessageId")
     ins = delta.filter(~F.col("stream_id").startswith("$")).select(

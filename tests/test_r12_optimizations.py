@@ -109,3 +109,56 @@ def test_media_table_parallel_build_identical_to_serial(spark):
         (i, k, m, bytes(p), tuple(meta)) for i, k, m, p, meta in rows
     ]
     assert norm(got) == norm(want)
+
+
+def test_exact_arrow_encode_bit_identical(spark):
+    """ivfpq_encode_exact_arrow must replay the literal-expression
+    fold EXACTLY: cluster_id and codes equal the pq_encode(ivf_assign)
+    path on the real fixture PLUS hand-built edge rows (a zero vector,
+    duplicated vectors that tie on every distance, and a vector
+    equidistant between two codewords)."""
+    from sqlstreamstore_spark.analytics import similarity as S
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+    edge = spark.createDataFrame(
+        [
+            (100001, [0.0] * dim),            # zero vector (norm guard)
+            (100002, [1.0] + [0.0] * (dim - 1)),
+            (100003, [1.0] + [0.0] * (dim - 1)),  # duplicate => tie
+            (100004, [0.5] * dim),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    base = emb.select("vec_id", "embedding").unionByName(edge)
+    cents = S._static_centroids(dim=dim, n_clusters=8, seed=7)
+    cbs = S._static_codebooks(dim=dim, m=8, n_codes=16, seed=11)
+
+    ref = (
+        S.pq_encode(S.ivf_assign(base, cents), cbs)
+        .select("vec_id", "cluster_id", "codes")
+        .collect()
+    )
+    got = (
+        S.ivfpq_encode_exact_arrow(base, cents, cbs)
+        .select("vec_id", "cluster_id", "codes")
+        .collect()
+    )
+    want = {r.vec_id: (r.cluster_id, list(r.codes)) for r in ref}
+    have = {r.vec_id: (r.cluster_id, list(r.codes)) for r in got}
+    assert want == have
+    # the single-output wrappers agree with the fused pass
+    a = {
+        r.vec_id: r.cluster_id
+        for r in S.ivf_assign_exact_arrow(base, cents).select(
+            "vec_id", "cluster_id"
+        ).collect()
+    }
+    assert a == {k: v[0] for k, v in want.items()}
+    c = {
+        r.vec_id: list(r.codes)
+        for r in S.pq_encode_exact_arrow(base, cbs).select(
+            "vec_id", "codes"
+        ).collect()
+    }
+    assert c == {k: v[1] for k, v in want.items()}
