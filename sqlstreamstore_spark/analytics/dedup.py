@@ -316,8 +316,15 @@ def minhash_dedup_pairs(
     The intersection arithmetic is the same int/int division as
     ngram_jaccard_pairs, so the md5-family oracle stays bit-identical.
     """
+    from sqlstreamstore_spark.operators.partitioning import with_min_parallelism
+
     cands = minhash_lsh_candidates(documents, k=k, bands=bands, n=n, family=family)
-    sets = documents.select("doc_id", _shingles(F.col("text"), n).alias("ss"))
+    # the per-doc shingle-SET build (transform + slice + array_join +
+    # array_distinct over every token) is the verify side's heavy map —
+    # spread it like the signature pass (r12; no-op at scale)
+    sets = with_min_parallelism(documents).select(
+        "doc_id", _shingles(F.col("text"), n).alias("ss")
+    )
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
     n_inter = F.size(F.array_intersect(F.col("ss_a"), F.col("ss_b"))).cast("bigint")

@@ -59,6 +59,31 @@ def _parse_bytes(v: str) -> int:
         return 128 * (1 << 20)
 
 
+def _rdd_leaf_partitions(df: DataFrame) -> int | None:
+    """Known partition count of an RDD-backed frame (a localCheckpoint
+    barrier, possibly under narrow Project/Filter wrappers), or None.
+
+    Metadata-only: the checkpoint RDD already exists (Dataset.checkpoint
+    builds it at construction), so ``rdd().getNumPartitions()`` reads
+    its partition array without planning or running anything. Lazy
+    derived plans (which would force AQE stage materialization — the r8
+    regression this module's doc records) never reach the LogicalRDD
+    arm and return None."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        for _ in range(16):
+            cn = node.getClass().getSimpleName()
+            if cn == "LogicalRDD":
+                return int(node.rdd().getNumPartitions())
+            if cn in ("Project", "Filter", "SubqueryAlias", "Deduplicate"):
+                node = node.child()
+                continue
+            return None
+    except Exception:
+        return None
+    return None
+
+
 def with_min_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     """Repartition ``df`` up to ``target`` (default: the session's
     defaultParallelism) iff its FILE SCAN would produce fewer
@@ -70,7 +95,17 @@ def with_min_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     except Exception:
         files = []
     if not files:
-        # derived / in-memory frame: AQE sizes shuffle outputs; a blind
+        # RDD-backed barrier (localCheckpoint): partition count is
+        # already known — AQE coalesces those exchanges by BYTES, so a
+        # tiny-but-compute-dense frame (k x md5 per row downstream)
+        # lands on 1-2 tasks and serializes the heavy map phase (r12:
+        # the e2e fuzzy stage ran its 8.3M-digest signature pass on ONE
+        # core). Repartition up to t; at scale the barrier already
+        # carries >= t partitions and this is a no-op.
+        parts = _rdd_leaf_partitions(df)
+        if parts is not None and parts < t:
+            return df.repartition(t)
+        # lazy derived frame: AQE sizes shuffle outputs; a blind
         # repartition here would add a full shuffle at any scale
         return df
     if len(files) >= t:

@@ -162,3 +162,35 @@ def test_exact_arrow_encode_bit_identical(spark):
         ).collect()
     }
     assert c == {k: v[1] for k, v in want.items()}
+
+
+def test_min_parallelism_sees_checkpointed_frames(spark):
+    """A localCheckpoint barrier coalesced to few partitions must be
+    spread back to defaultParallelism before a heavy map phase (the
+    e2e fuzzy stage ran its whole signature pass on ONE task), with
+    rows unchanged; lazy derived frames stay untouched."""
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.operators.partitioning import (
+        _rdd_leaf_partitions,
+        with_min_parallelism,
+    )
+
+    base = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.md5(F.col("id").cast("string")).alias("text")
+    )
+    ck = base.repartition(1).localCheckpoint(eager=True)
+    assert _rdd_leaf_partitions(ck) == 1
+    # narrow wrappers over the barrier are still seen through
+    assert _rdd_leaf_partitions(ck.select("doc_id", "text")) == 1
+    out = with_min_parallelism(ck)
+    t = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() == t
+    assert sorted(r.doc_id for r in out.collect()) == list(range(1000))
+    # a frame already at/above target is returned as-is (no-op at scale)
+    wide = base.repartition(t).localCheckpoint(eager=True)
+    assert with_min_parallelism(wide) is wide
+    # lazy shuffle-bearing plans never reach the RDD arm
+    lazy = base.groupBy("text").count()
+    assert _rdd_leaf_partitions(lazy) is None
+    assert with_min_parallelism(lazy) is lazy
