@@ -308,11 +308,13 @@ def lsh_histogram_drift(embeddings: DataFrame, bits: int = 8) -> DataFrame:
     bucket) partial-agg count; output is one row regardless of N
     (bucket axis bounded by 2^bits)."""
     from sqlstreamstore_spark.analytics.similarity import (
-        lsh_bucket_signatures,
+        lsh_sigs_norm_exact_arrow,
     )
 
     dim = len(embeddings.select("embedding").first()[0])
-    sides = lsh_bucket_signatures(
+    # r12 (guide §4): bit-identical Arrow signature pass (the bucket is
+    # integer-exact under the same sign folds; norm column unused)
+    sides = lsh_sigs_norm_exact_arrow(
         embeddings.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         ),

@@ -98,11 +98,12 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k by cosine similarity to a literal query vector.
     Deterministic tie-break (score DESC, vec_id ASC)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    emb = F.col("embedding")
-    score = _dot(emb, q) / (_norm(emb) * _norm(q))
+    # r12 (guide §4): one bit-identical Arrow pass for the corpus scan
+    scored = cosine_literal_exact_arrow(
+        embeddings.select("vec_id", "embedding"), query_vec
+    )
     return (
-        embeddings.select("vec_id", score.alias("cosine"))
+        scored.select("vec_id", "cosine")
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
@@ -124,9 +125,12 @@ def knn_join_bruteforce(
     )
     qd = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
                         _norm(F.col("embedding")).alias("qn"))
-    score = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn"))
-    scored = c.crossJoin(F.broadcast(qd)).filter(F.col("cid") != F.col("qid")).select(
-        "qid", "cid", score.alias("cosine")
+    cand = c.crossJoin(F.broadcast(qd)).filter(F.col("cid") != F.col("qid")).select(
+        "qid", "cid", "cvec", "cn", "qvec", "qn"
+    )
+    # r12 (guide §4): N·Q exact scores in one bit-identical Arrow pass
+    scored = pair_cosine_exact_arrow(
+        cand, a_col="cvec", b_col="qvec", na_col="cn", nb_col="qn"
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
     return (
@@ -164,6 +168,11 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35) -> Dat
         # side instead and streams the single-partition one, putting
         # the whole O(N²) loop back on one task (measured 9.8 s -> 2 s
         # on the recall report, same shape)
+        # r12 note: the Arrow pair twin was MEASURED SLOWER here
+        # (1.5 -> 2.3 s warm) — the nested-loop join scores inline
+        # without materializing the N²/2 pair arrays, so the Arrow
+        # boundary pays full-array shipping for the whole cross
+        # product; expression scoring stays (guide §1.6/§4)
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", score.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
@@ -507,20 +516,25 @@ def cosine_near_dup_pairs_lsh(
     for internal consumers (CC, recall counting)."""
     if bits is None:
         bits = derive_lsh_bits(embeddings.count())
-    # both self-join sides read the signature frame — localCheckpoint so
-    # the b-bit hyperplane projections run once (GC-reclaimed blocks,
-    # not a cache-manager pin)
-    sigs = lsh_bucket_signatures(embeddings, dim=dim, bits=bits, seed=seed)
+    # r12 (guide §4): signatures + norms in ONE bit-identical Arrow pass
+    # behind a lazy barrier — before, each self-join side re-ran the
+    # interpreted b-plane HOF folds; spread first so the map pass and
+    # the barrier carry >= cores partitions (no-op at scale)
+    from sqlstreamstore_spark.operators.partitioning import with_min_parallelism
+
+    sigs = lsh_sigs_norm_exact_arrow(
+        with_min_parallelism(embeddings), dim=dim, bits=bits, seed=seed
+    ).localCheckpoint(eager=False)
     a = sigs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
-                    _norm(F.col("embedding")).alias("na"), F.col("bucket").alias("ba"))
+                    F.col("norm").alias("na"), F.col("bucket").alias("ba"))
     b = sigs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
-                    _norm(F.col("embedding")).alias("nb"), F.col("bucket").alias("bb"))
-    score = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    out = (
+                    F.col("norm").alias("nb"), F.col("bucket").alias("bb"))
+    cand = (
         a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b", score.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "va", "vb", "na", "nb")
     )
+    # candidate verify: the same exact cosine, one Arrow pass per batch
+    out = pair_cosine_exact_arrow(cand).filter(F.col("cosine") >= threshold)
     return out.orderBy("id_a", "id_b") if sort else out
 
 
@@ -545,7 +559,17 @@ def cosine_near_dup_pairs_lsh_multiprobe(
     if bits is None:
         bits = derive_lsh_bits(embeddings.count())
 
-    sigs = lsh_bucket_signatures(embeddings, dim=dim, bits=bits, seed=seed)
+    # r12 (guide §4): one bit-identical Arrow pass for signatures+norms
+    # behind a lazy barrier (both the probe explode and the plain bucket
+    # side read it), and the candidate verify scored in one Arrow pass
+    # AFTER the id-pair dedup (a pair reached through several probe
+    # buckets is scored once — cosine is functionally determined by the
+    # pair, so dedup-then-score equals score-then-dedup)
+    from sqlstreamstore_spark.operators.partitioning import with_min_parallelism
+
+    sigs = lsh_sigs_norm_exact_arrow(
+        with_min_parallelism(embeddings), dim=dim, bits=bits, seed=seed
+    ).localCheckpoint(eager=False)
     masks = [0]
     for k in range(1, probe_hamming + 1):
         masks += [
@@ -553,20 +577,19 @@ def cosine_near_dup_pairs_lsh_multiprobe(
         ]
     probes = sigs.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
-        _norm(F.col("embedding")).alias("na"),
+        F.col("norm").alias("na"),
         F.explode(
             F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("pb"),
     )
     b = sigs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
-                    _norm(F.col("embedding")).alias("nb"), F.col("bucket").alias("bb"))
-    score = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    out = (
+                    F.col("norm").alias("nb"), F.col("bucket").alias("bb"))
+    cand = (
         probes.join(b, (F.col("pb") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b", score.alias("cosine"))
+        .select("id_a", "id_b", "va", "vb", "na", "nb")
         .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("cosine") >= threshold)
     )
+    out = pair_cosine_exact_arrow(cand).filter(F.col("cosine") >= threshold)
     return out.orderBy("id_a", "id_b") if sort else out
 
 
@@ -577,6 +600,166 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
 
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def lsh_sigs_norm_exact_arrow(
+    embeddings: DataFrame, dim: int = 64, bits: int = 16, seed: int = 42
+) -> DataFrame:
+    """BIT-IDENTICAL Arrow twin of ``lsh_bucket_signatures`` + ``_norm``
+    in one pass (r12, guide §4): the b per-plane sign dots and the norm
+    are interpreted HOF folds that never enter codegen, and the LSH
+    self-join paths evaluate them on BOTH join sides. Like
+    :func:`ivfpq_encode_exact_arrow`, this twin vectorizes over ROWS
+    and iterates DIMENSIONS in order, so every intermediate double
+    equals the SQL left fold; ``dot >= 0`` then flips the same bits and
+    the bucket (a sum of distinct powers of two) is integer-exact, and
+    the norm carries the same zero→1.0 guard. Output: (vec_id,
+    embedding, bucket, norm) — the ``lsh_bucket_signatures`` contract
+    plus the norm."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    planes = _hyperplanes(dim, bits, seed)
+    embeddings = embeddings.select("vec_id", "embedding")
+    schema = T.StructType(
+        list(embeddings.schema.fields)
+        + [T.StructField("bucket", T.LongType()),
+           T.StructField("norm", T.DoubleType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            B = len(pdf)
+            if not B:
+                continue
+            X = np.array(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            bucket = np.zeros(B, dtype=np.int64)
+            for i, p in enumerate(planes):
+                dot = np.zeros(B)
+                for d in range(dim):
+                    dot = dot + X[:, d] * p[d]
+                bucket = bucket + np.where(
+                    dot >= 0.0, np.int64(1 << i), np.int64(0)
+                )
+            n2 = np.zeros(B)
+            for d in range(dim):
+                n2 = n2 + X[:, d] * X[:, d]
+            nrm = np.sqrt(n2)
+            nrm[nrm == 0.0] = 1.0
+            out = pdf.copy()
+            out["bucket"] = bucket
+            out["norm"] = nrm
+            yield out
+
+    return embeddings.mapInPandas(run, schema)
+
+
+def pair_cosine_exact_arrow(
+    pairs: DataFrame,
+    a_col: str = "va",
+    b_col: str = "vb",
+    na_col: str | None = "na",
+    nb_col: str | None = "nb",
+    out: str = "cosine",
+) -> DataFrame:
+    """BIT-IDENTICAL Arrow twin of the post-join pair score
+    ``_dot(a, b) / (na * nb)`` (r12, guide §4): candidate scoring is
+    the dominant cost of every verify/re-rank join (LSH buckets, IVF
+    probe lists, brute-force baselines) and the interpreted
+    ``aggregate(zip_with(...))`` fold never enters codegen. Sequential
+    dimension-order fold (see :func:`ivfpq_encode_exact_arrow`), then
+    ``dot / (na * nb)`` with the same operand order as the SQL
+    expression. ``na_col=None`` computes the norm from the array with
+    the identical fold + zero→1.0 guard (same doubles as ``_norm``).
+    Output: the input frame minus the array/norm columns, plus ``out``."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    drop = {a_col, b_col, na_col, nb_col} - {None}
+    keep = [f for f in pairs.schema.fields if f.name not in drop]
+    keep_names = [f.name for f in keep]
+    schema = T.StructType(keep + [T.StructField(out, T.DoubleType())])
+
+    def _seq_norm(M: "np.ndarray") -> "np.ndarray":
+        n2 = np.zeros(M.shape[0])
+        for d in range(M.shape[1]):
+            n2 = n2 + M[:, d] * M[:, d]
+        n = np.sqrt(n2)
+        n[n == 0.0] = 1.0
+        return n
+
+    def run(batches):
+        for pdf in batches:
+            B = len(pdf)
+            if not B:
+                continue
+            A = np.array([np.asarray(e, dtype=np.float64) for e in pdf[a_col]])
+            Bm = np.array([np.asarray(e, dtype=np.float64) for e in pdf[b_col]])
+            dot = np.zeros(B)
+            for d in range(A.shape[1]):
+                dot = dot + A[:, d] * Bm[:, d]
+            na = pdf[na_col].to_numpy() if na_col else _seq_norm(A)
+            nb = pdf[nb_col].to_numpy() if nb_col else _seq_norm(Bm)
+            o = pdf[keep_names].copy()
+            o[out] = dot / (na * nb)
+            yield o
+
+    return pairs.mapInPandas(run, schema)
+
+
+def cosine_literal_exact_arrow(
+    df: DataFrame,
+    query_vec: list[float],
+    emb_col: str = "embedding",
+    norm_col: str | None = None,
+    out: str = "cosine",
+) -> DataFrame:
+    """BIT-IDENTICAL Arrow twin of the literal-query score
+    ``_dot(emb, q) / (_norm(emb) * _norm(q))`` (r12, guide §4) — the
+    single-query re-rank in the ``cosine_topk_*`` family. Sequential
+    dimension-order folds for the dot and the row norm (zero→1.0
+    guard); the literal query's norm is the same Python left fold the
+    SQL evaluates on the literal array (``math_norm``). Output: input
+    columns minus the embedding/norm, plus ``out``."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    q = [float(x) for x in query_vec]
+    qn = math_norm(q)
+    drop = {emb_col, norm_col} - {None}
+    keep = [f for f in df.schema.fields if f.name not in drop]
+    keep_names = [f.name for f in keep]
+    schema = T.StructType(keep + [T.StructField(out, T.DoubleType())])
+
+    def run(batches):
+        for pdf in batches:
+            B = len(pdf)
+            if not B:
+                continue
+            X = np.array(
+                [np.asarray(e, dtype=np.float64) for e in pdf[emb_col]]
+            )
+            dot = np.zeros(B)
+            for d in range(len(q)):
+                dot = dot + X[:, d] * q[d]
+            if norm_col:
+                ne = pdf[norm_col].to_numpy()
+            else:
+                n2 = np.zeros(B)
+                for d in range(len(q)):
+                    n2 = n2 + X[:, d] * X[:, d]
+                ne = np.sqrt(n2)
+                ne[ne == 0.0] = 1.0
+            o = pdf[keep_names].copy()
+            o[out] = dot / (ne * qn)
+            yield o
+
+    return df.mapInPandas(run, schema)
 
 
 def lsh_bucket_signatures(
@@ -927,6 +1110,7 @@ def ivfpq_encode_exact_arrow(
     embeddings: DataFrame,
     centroids: list[tuple[int, list[float]]] | None,
     codebooks: list[list[list[float]]] | None,
+    with_norm: bool = False,
 ) -> DataFrame:
     """BIT-IDENTICAL Arrow twin of ``pq_encode(ivf_assign(...))`` —
     the r12 build-path optimization (guide §4: the HOF lambda
@@ -949,7 +1133,11 @@ def ivfpq_encode_exact_arrow(
 
     Pass ``centroids`` for ``cluster_id``, ``codebooks`` for ``codes``,
     or both for the fused single pass (one Python boundary instead of
-    two interpreted HOF projections)."""
+    two interpreted HOF projections). ``with_norm=True`` additionally
+    emits the row's L2 ``norm`` (the same sequential fold + zero→1.0
+    guard as ``_norm`` — it is already computed for the assignment, so
+    consumers that re-rank by cosine get it for free instead of paying
+    the interpreted fold again)."""
     import numpy as np
 
     from pyspark.sql import types as T
@@ -972,6 +1160,8 @@ def ivfpq_encode_exact_arrow(
         fields = fields + [T.StructField("cluster_id", T.IntegerType())]
     if codebooks is not None:
         fields = fields + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
+    if with_norm:
+        fields = fields + [T.StructField("norm", T.DoubleType())]
     schema = T.StructType(fields)
 
     def run(batches):
@@ -983,12 +1173,14 @@ def ivfpq_encode_exact_arrow(
                 [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
             )
             out = pdf.copy()
-            if centroids is not None:
+            ne = None
+            if centroids is not None or with_norm:
                 n2 = np.zeros(B)
                 for i in range(dim):
                     n2 = n2 + X[:, i] * X[:, i]
                 ne = np.sqrt(n2)
                 ne[ne == 0.0] = 1.0
+            if centroids is not None:
                 scores = np.empty((B, len(C)))
                 for ci, (cv, cn) in enumerate(zip(C, Cn)):
                     dot = np.zeros(B)
@@ -1014,6 +1206,8 @@ def ivfpq_encode_exact_arrow(
                         d[:, j] = xs2 - 2.0 * dot + cn2[s][j]
                     codes[:, s] = d.argmin(axis=1)
                 out["codes"] = [codes[r].tolist() for r in range(B)]
+            if with_norm:
+                out["norm"] = ne
             yield out
 
     return embeddings.mapInPandas(run, schema)
@@ -1064,15 +1258,19 @@ def cosine_topk_ivf(
         centroids, key=lambda c: (-cos(c[1], [float(x) for x in query_vec]), c[0])
     )[:n_probe]
     probe_ids = [cid for cid, _ in probe]
-    # r12: bit-identical Arrow assign (see ivfpq_encode_exact_arrow)
-    assigned = ivf_assign_exact_arrow(embeddings, centroids).filter(
-        F.col("cluster_id").isin(probe_ids)
+    # r12: bit-identical Arrow assign with norms in the same pass, then
+    # an Arrow re-rank of the probed lists only (see
+    # ivfpq_encode_exact_arrow / cosine_literal_exact_arrow)
+    assigned = ivfpq_encode_exact_arrow(
+        embeddings, centroids, None, with_norm=True
+    ).filter(F.col("cluster_id").isin(probe_ids))
+    scored = cosine_literal_exact_arrow(
+        assigned.select("vec_id", "embedding", "norm"),
+        query_vec,
+        norm_col="norm",
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    emb = F.col("embedding")
-    score = _dot(emb, q) / (_norm(emb) * _norm(q))
     return (
-        assigned.select("vec_id", score.alias("cosine"))
+        scored.select("vec_id", "cosine")
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
@@ -1161,12 +1359,15 @@ def cosine_topk_ivf_index(
         )[:n_probe]
     ]
     df = spark.read.parquet(_live(spark, path))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    emb = F.col("embedding")
-    score = _dot(emb, q) / (_norm(emb) * _norm(q))
+    # r12 (guide §4): exact re-rank of the probed lists in one Arrow pass
+    scored = cosine_literal_exact_arrow(
+        df.filter(F.col("cluster_id").isin(probe_ids)).select(
+            "vec_id", "embedding"
+        ),
+        query_vec,
+    )
     return (
-        df.filter(F.col("cluster_id").isin(probe_ids))
-        .select("vec_id", score.alias("cosine"))
+        scored.select("vec_id", "cosine")
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
@@ -1201,13 +1402,18 @@ def cosine_topk_lsh(
     for _ in range(multi_probe):
         ring = {b ^ (1 << i) for b in ring for i in range(bits)}
         probes |= ring
-    sigs = lsh_bucket_signatures(embeddings, dim=dim, bits=bits, seed=seed)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    emb = F.col("embedding")
-    score = _dot(emb, q) / (_norm(emb) * _norm(q))
+    # r12 (guide §4): Arrow signature pass (norms ride along) + Arrow
+    # re-rank of the probed buckets
+    sigs = lsh_sigs_norm_exact_arrow(embeddings, dim=dim, bits=bits, seed=seed)
+    scored = cosine_literal_exact_arrow(
+        sigs.filter(F.col("bucket").isin([int(b) for b in probes])).select(
+            "vec_id", "embedding", "norm"
+        ),
+        query_vec,
+        norm_col="norm",
+    )
     return (
-        sigs.filter(F.col("bucket").isin([int(b) for b in probes]))
-        .select("vec_id", score.alias("cosine"))
+        scored.select("vec_id", "cosine")
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
@@ -1254,15 +1460,19 @@ def cosine_topk_ivf_static(
             centroids, key=lambda c: (-cos(c[1], [float(x) for x in query_vec]), c[0])
         )[:n_probe]
     ]
-    # r12: bit-identical Arrow assign (see ivfpq_encode_exact_arrow)
-    assigned = ivf_assign_exact_arrow(embeddings, centroids).filter(
-        F.col("cluster_id").isin(probe_ids)
+    # r12: bit-identical Arrow assign with norms in the same pass, then
+    # an Arrow re-rank of the probed lists only (see
+    # ivfpq_encode_exact_arrow / cosine_literal_exact_arrow)
+    assigned = ivfpq_encode_exact_arrow(
+        embeddings, centroids, None, with_norm=True
+    ).filter(F.col("cluster_id").isin(probe_ids))
+    scored = cosine_literal_exact_arrow(
+        assigned.select("vec_id", "embedding", "norm"),
+        query_vec,
+        norm_col="norm",
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    emb = F.col("embedding")
-    score = _dot(emb, q) / (_norm(emb) * _norm(q))
     return (
-        assigned.select("vec_id", score.alias("cosine"))
+        scored.select("vec_id", "cosine")
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
@@ -1318,18 +1528,20 @@ def embedding_lsh_recall(
     equality as a flag, instead of running the exact join, the LSH
     join, and an intersection join (r2 shape: 3 jobs, 2 of them N²).
     """
-    sigs = lsh_bucket_signatures(embeddings, dim=dim, bits=bits, seed=seed)
+    # r12 (guide §4): signatures + norms in one bit-identical Arrow
+    # pass; pair scoring likewise (the O(N²) interpreted fold was the
+    # whole cost of this report)
+    sigs = lsh_sigs_norm_exact_arrow(embeddings, dim=dim, bits=bits, seed=seed)
     # spread the streamed side of the theta-join (see cosine_near_dup_pairs)
     n = max(1, embeddings.sparkSession.sparkContext.defaultParallelism)
     a = sigs.repartition(n).select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
-        _norm(F.col("embedding")).alias("na"), F.col("bucket").alias("ba"),
+        F.col("norm").alias("na"), F.col("bucket").alias("ba"),
     )
     b = sigs.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
-        _norm(F.col("embedding")).alias("nb"), F.col("bucket").alias("bb"),
+        F.col("norm").alias("nb"), F.col("bucket").alias("bb"),
     )
-    score = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     # probe_hamming=0 ⇒ exact-bucket LSH; k ⇒ multi-probe over buckets
     # within Hamming distance k (the standard recall knob: probing the
     # 1-bit neighbors multiplies candidates by ~(1+bits) but recovers
@@ -1337,13 +1549,16 @@ def embedding_lsh_recall(
     found = (
         F.bit_count(F.col("ba").bitwiseXOR(F.col("bb"))) <= probe_hamming
     )
-    row = (
+    cand = (
         # broadcast the 1-partition side explicitly — else Spark may
         # stream IT and serialize the O(N²) loop on one task (the
         # cosine_near_dup_pairs note; measured 9.8 s -> ~2 s here)
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .filter(score >= threshold)
-        .select(found.cast("long").alias("same_bucket"))
+        .select("va", "vb", "na", "nb", found.cast("long").alias("same_bucket"))
+    )
+    row = (
+        pair_cosine_exact_arrow(cand)
+        .filter(F.col("cosine") >= threshold)
         .agg(
             F.count("*").alias("n_exact"),
             F.coalesce(F.sum("same_bucket"), F.lit(0)).alias("n_hit"),
@@ -1873,18 +2088,31 @@ def knn_join_ivf_static(
     # ~64 clusters hang janino and aren't the plan you'd want anyway
     if n_clusters > IVF_LITERAL_MAX_CLUSTERS:
         probes = ivf_probe_lists_arrow(queries, centroids, n_probe=n_probe)
-        assign_fn = ivf_assign_arrow
+        assigned = ivf_assign_arrow(embeddings, centroids).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cvec"),
+            _norm(F.col("embedding")).alias("cn"),
+            "cluster_id",
+        )
     else:
         probes = ivf_probe_lists(queries, centroids, n_probe=n_probe)
-        assign_fn = ivf_assign
+        # r12 (guide §4): bit-identical Arrow assign, norm in the same
+        # pass (ivf_assign + _norm were two interpreted HOF projections)
+        assigned = ivfpq_encode_exact_arrow(
+            embeddings, centroids, None, with_norm=True
+        ).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cvec"),
+            F.col("norm").alias("cn"),
+            "cluster_id",
+        )
     if broadcast_probes:
         probes = F.broadcast(probes)
-    assigned = assign_fn(embeddings, centroids).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("cvec"),
-        _norm(F.col("embedding")).alias("cn"),
-        "cluster_id",
-    )
+    # r12 note: the Arrow pair twin on the candidate join was MEASURED
+    # SLOWER in the corpus-as-queries regime (semantic_clusters 3.8 ->
+    # 4.1 s warm) — the join scores inline in one stage while the
+    # boundary pays per-candidate array shipping; expression scoring
+    # stays, only the assign+norm pass is Arrow (guide §1.6/§4)
     score = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn"))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
     return (
@@ -1920,16 +2148,23 @@ def knn_join_ivf_index(
     idx = spark.read.parquet(_live(spark, path)).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("cvec"),
-        _norm(F.col("embedding")).alias("cn"),
         "cluster_id",
     )
-    score = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn"))
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
-    return (
+    cand = (
         idx.join(F.broadcast(probes), idx.cluster_id == probes.pcid, "inner")
         .filter(F.col("cid") != F.col("qid"))
-        .select("qid", "cid", score.alias("cosine"))
-        .withColumn("rk", F.row_number().over(w))
+        .select("qid", "cid", "cvec", "qvec", "qn")
+    )
+    # r12 (guide §4): exact re-rank in one Arrow pass; the corpus norm
+    # is recomputed inside the twin (same fold + zero→1.0 guard as
+    # _norm, so the doubles cannot move) — cheaper than an interpreted
+    # per-row HOF norm on the scan side
+    scored = pair_cosine_exact_arrow(
+        cand, a_col="cvec", b_col="qvec", na_col=None, nb_col="qn"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .orderBy("qid", "rk")
     )
@@ -1997,15 +2232,18 @@ def near_dup_against_ivf_index(
     idx = spark.read.parquet(_live(spark, path)).select(
         F.col("vec_id").alias("old_vec"),
         F.col("embedding").alias("cvec"),
-        _norm(F.col("embedding")).alias("cn"),
         "cluster_id",
     )
-    score = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn"))
-    return (
+    cand = (
         idx.join(probes, idx.cluster_id == probes.pcid, "inner")
         .filter(F.col("old_vec") != F.col("qid"))
-        .select(
-            F.col("qid").alias("new_vec"), "old_vec", score.alias("cosine")
+        .select(F.col("qid").alias("new_vec"), "old_vec", "cvec", "qvec", "qn")
+    )
+    # r12 (guide §4): exact verify in one Arrow pass (index norm
+    # recomputed in-twin — same fold as _norm, identical doubles)
+    return (
+        pair_cosine_exact_arrow(
+            cand, a_col="cvec", b_col="qvec", na_col=None, nb_col="qn"
         )
         .filter(F.col("cosine") >= threshold)
         .distinct()
@@ -2026,22 +2264,30 @@ def knn_graph_lsh(
     contract); per-vertex top-k via a window partitioned by qid."""
     from pyspark.sql import Window
 
-    sigs = lsh_bucket_signatures(embeddings, dim=dim, bits=bits, seed=seed)
+    # r12 (guide §4): one bit-identical Arrow pass for sigs+norms behind
+    # a lazy barrier (both self-join sides), Arrow pair scoring after
+    sigs = lsh_sigs_norm_exact_arrow(
+        embeddings, dim=dim, bits=bits, seed=seed
+    ).localCheckpoint(eager=False)
     a = sigs.select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
-        _norm(F.col("embedding")).alias("qn"), "bucket",
+        F.col("norm").alias("qn"), "bucket",
     )
     b = sigs.select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"),
-        _norm(F.col("embedding")).alias("cn"), "bucket",
+        F.col("norm").alias("cn"), "bucket",
     )
-    score = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn"))
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
-    return (
+    cand = (
         a.join(b, "bucket")
         .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", score.alias("cosine"))
-        .withColumn("rk", F.row_number().over(w))
+        .select("qid", "cid", "cvec", "cn", "qvec", "qn")
+    )
+    scored = pair_cosine_exact_arrow(
+        cand, a_col="cvec", b_col="qvec", na_col="cn", nb_col="qn"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .drop("rk")
     )
@@ -2093,13 +2339,15 @@ def knn_descent_step(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"),
         _norm(F.col("embedding")).alias("cn"),
     )
-    score = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn"))
+    # r12 (guide §4): the N·k² candidate scores in one Arrow pass
+    scored = pair_cosine_exact_arrow(
+        cand.join(q, "qid").join(c, "cid")
+        .select("qid", "cid", "cvec", "cn", "qvec", "qn"),
+        a_col="cvec", b_col="qvec", na_col="cn", nb_col="qn",
+    )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
     return (
-        cand.join(q, "qid")
-        .join(c, "cid")
-        .select("qid", "cid", score.alias("cosine"))
-        .withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .orderBy("qid", "rk")
     )
@@ -2117,7 +2365,13 @@ def build_lsh_bucket_index(
     build_minhash_index on the embedding side. Signature expression is
     exactly :func:`lsh_bucket_signatures`'s, so a delta probe
     reproduces the self-join's pairs restricted to (new, old)."""
-    sigs = lsh_bucket_signatures(embeddings, dim=dim, bits=bits, seed=seed)
+    # r12 (guide §4): bit-identical Arrow signature pass for the bulk
+    # build (the norm column is dropped — the written schema is the
+    # index contract); the delta upsert keeps the HOF expressions (a
+    # handful of rows doesn't amortize a Python boundary)
+    sigs = lsh_sigs_norm_exact_arrow(
+        embeddings, dim=dim, bits=bits, seed=seed
+    ).drop("norm")
     sigs.repartition("bucket").write.partitionBy("bucket").mode(
         "overwrite"
     ).parquet(path)
@@ -2173,14 +2427,19 @@ def near_dup_against_lsh_index(
     idx = spark.read.parquet(_live(spark, path)).select(
         F.col("vec_id").alias("old_vec"),
         F.col("embedding").alias("cvec"),
-        _norm(F.col("embedding")).alias("cn"),
         "bucket",
     )
-    score = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn"))
-    return (
+    # r12 (guide §4): exact verify in one Arrow pass (index norm
+    # recomputed in-twin — same fold as _norm, identical doubles)
+    cand = (
         idx.join(probes, idx.bucket == probes.pbucket, "inner")
         .filter(F.col("old_vec") != F.col("qid"))
-        .select(F.col("qid").alias("new_vec"), "old_vec", score.alias("cosine"))
+        .select(F.col("qid").alias("new_vec"), "old_vec", "cvec", "qvec", "qn")
+    )
+    return (
+        pair_cosine_exact_arrow(
+            cand, a_col="cvec", b_col="qvec", na_col=None, nb_col="qn"
+        )
         .filter(F.col("cosine") >= threshold)
         .distinct()
         .orderBy("new_vec", "old_vec")

@@ -164,6 +164,95 @@ def test_exact_arrow_encode_bit_identical(spark):
     assert c == {k: v[1] for k, v in want.items()}
 
 
+def test_lsh_and_pair_arrow_twins_bit_identical(spark):
+    """The wave-6 Arrow twins must replay their expression paths
+    EXACTLY on the real fixture plus edge rows: (a) bucket+norm from
+    lsh_sigs_norm_exact_arrow vs lsh_bucket_signatures + _norm,
+    (b) pair cosine from pair_cosine_exact_arrow (both carried and
+    in-twin norms) vs the _dot/_norm expression, (c) the literal-query
+    score from cosine_literal_exact_arrow vs the expression."""
+    from pyspark.sql import functions as F
+
+    from sqlstreamstore_spark.analytics import similarity as S
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+    edge = spark.createDataFrame(
+        [
+            (100001, [0.0] * dim),                 # zero vector (norm guard)
+            (100002, [1.0] + [0.0] * (dim - 1)),
+            (100003, [-1.0] + [0.0] * (dim - 1)),  # sign flip on plane dots
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    base = emb.select("vec_id", "embedding").unionByName(edge)
+
+    # (a) signatures + norms
+    ref = {
+        (r.vec_id): (r.bucket, r.norm)
+        for r in S.lsh_bucket_signatures(base, dim=dim, bits=8, seed=42)
+        .select("vec_id", "bucket", S._norm(F.col("embedding")).alias("norm"))
+        .collect()
+    }
+    got = {
+        (r.vec_id): (r.bucket, r.norm)
+        for r in S.lsh_sigs_norm_exact_arrow(base, dim=dim, bits=8, seed=42)
+        .select("vec_id", "bucket", "norm")
+        .collect()
+    }
+    assert ref == got  # exact equality incl. the float norms
+
+    # (b) pair scores, carried norms and in-twin norms
+    a = base.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        S._norm(F.col("embedding")).alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        S._norm(F.col("embedding")).alias("nb"),
+    )
+    cand = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).filter(
+        (F.col("id_a") % 7 == 0) | (F.col("id_a") > 100000)
+    )
+    expr = cand.select(
+        "id_a", "id_b",
+        (S._dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+    )
+    want = {(r.id_a, r.id_b): r.cosine for r in expr.collect()}
+    have = {
+        (r.id_a, r.id_b): r.cosine
+        for r in S.pair_cosine_exact_arrow(
+            cand.select("id_a", "id_b", "va", "vb", "na", "nb")
+        ).collect()
+    }
+    assert want == have
+    have2 = {
+        (r.id_a, r.id_b): r.cosine
+        for r in S.pair_cosine_exact_arrow(
+            cand.select("id_a", "id_b", "va", "vb"),
+            na_col=None, nb_col=None,
+        ).collect()
+    }
+    assert want == have2
+
+    # (c) literal-query scores
+    qv = [float(x) for x in emb.select("embedding").first()[0]]
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    wantq = {
+        r.vec_id: r.cosine
+        for r in base.select(
+            "vec_id",
+            (S._dot(F.col("embedding"), q)
+             / (S._norm(F.col("embedding")) * S._norm(q))).alias("cosine"),
+        ).collect()
+    }
+    haveq = {
+        r.vec_id: r.cosine
+        for r in S.cosine_literal_exact_arrow(base, qv).collect()
+    }
+    assert wantq == haveq
+
+
 def test_min_parallelism_sees_checkpointed_frames(spark):
     """A localCheckpoint barrier coalesced to few partitions must be
     spread back to defaultParallelism before a heavy map phase (the
