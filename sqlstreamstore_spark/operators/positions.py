@@ -367,17 +367,29 @@ def dense_global_index_pinned(
     index_col: str = "position",
     strategy: str = "auto",
     num_partitions: int | None = None,
-) -> tuple[DataFrame, DataFrame | None]:
+    collect_distinct: str | None = None,
+) -> tuple[DataFrame, DataFrame | None] | tuple[DataFrame, DataFrame | None, set]:
     """Like with_dense_global_index but also returns the persisted
     intermediate (or None for the window strategy) so the caller can
     ``unpersist()`` once its downstream action has run. The frame is
     deliberately NOT registered with the module pin registry (ADVICE
     r10 #3): the caller owns it exclusively, so a concurrent
     ``release_pins()`` can never drop the layout barrier between this
-    caller's actions."""
+    caller's actions.
+
+    ``collect_distinct="col"`` additionally returns the column's
+    distinct values as a third element, gathered as a bounded
+    ``collect_set`` INSIDE the partition-counts job (r12, guide §5.3:
+    bulk_append paid a whole extra delta-lineage pass for its
+    distinct-stream check; the set is O(#streams), the same bound the
+    manifest already holds driver-side)."""
     if strategy == "window":
         w = Window.orderBy(*order_cols)
-        return df.withColumn(index_col, F.row_number().over(w) - F.lit(1)), None
+        out = df.withColumn(index_col, F.row_number().over(w) - F.lit(1))
+        if collect_distinct is not None:
+            vals = {r[0] for r in df.select(collect_distinct).distinct().collect()}
+            return out, None, vals
+        return out, None
 
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
@@ -387,7 +399,11 @@ def dense_global_index_pinned(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
-    counts = {r["__pid"]: r["cnt"] for r in parted.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+    aggs = [F.count("*").alias("cnt")]
+    if collect_distinct is not None:
+        aggs.append(F.collect_set(collect_distinct).alias("__vals"))
+    stat_rows = parted.groupBy("__pid").agg(*aggs).collect()
+    counts = {r["__pid"]: r["cnt"] for r in stat_rows}
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -404,6 +420,11 @@ def dense_global_index_pinned(
         )
         .drop("__pid")
     )
+    if collect_distinct is not None:
+        vals: set = set()
+        for r in stat_rows:
+            vals.update(r["__vals"])
+        return out, parted, vals
     return out, parted
 
 

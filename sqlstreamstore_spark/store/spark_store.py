@@ -847,29 +847,33 @@ class SparkParquetStreamStore(StreamStore):
         from sqlstreamstore_spark.operators.positions import dense_global_index_pinned
 
         df = new_messages
-        # collect(), not toLocalIterator (r12 optimization): the distinct
-        # stream-id set is O(#streams) — the same bound the manifest
-        # already holds driver-side — and toLocalIterator pays one job
-        # round-trip per partition fetch (~2x the wall time here).
-        existing = [
-            s[0] for s in df.select("stream_id").distinct().collect()
-            if s[0] in self._manifest["streams"]
-        ]
+        base = self._manifest["head_position"]
+        # r12 (guide §5.3): the distinct-stream check rides the dense
+        # index's partition-counts job as a bounded collect_set — the
+        # set is O(#streams), the same bound the manifest already holds
+        # driver-side — instead of paying a whole extra delta-lineage
+        # pass. The index depends only on (stream_id, order_col), so
+        # the base-version join moves AFTER it (broadcast onto the
+        # already-partitioned frame; versions are unchanged).
+        indexed, pinned, seen_streams = dense_global_index_pinned(
+            df, ["stream_id", order_col], index_col="__idx",
+            collect_distinct="stream_id",
+        )
+        existing = sorted(
+            s for s in seen_streams if s in self._manifest["streams"]
+        )
         if existing and not allow_existing:
+            if pinned is not None:
+                pinned.unpersist()
             raise ValueError(f"bulk_append targets existing streams: {existing[:5]}")
         if existing:
             bases = self.spark.createDataFrame(
                 [(sid, self._manifest["streams"][sid]["version"]) for sid in existing],
                 "stream_id string, __base_version int",
             )
-            df = df.join(F.broadcast(bases), "stream_id", "left")
+            indexed = indexed.join(F.broadcast(bases), "stream_id", "left")
         else:
-            df = df.withColumn("__base_version", F.lit(None).cast("int"))
-
-        base = self._manifest["head_position"]
-        indexed, pinned = dense_global_index_pinned(
-            df, ["stream_id", order_col], index_col="__idx"
-        )
+            indexed = indexed.withColumn("__base_version", F.lit(None).cast("int"))
         # Stream versions WITHOUT a per-stream window: __idx is dense
         # over (stream_id, order_col), so each stream's rows occupy a
         # contiguous __idx block and version = __idx − min(__idx of the

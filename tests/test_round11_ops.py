@@ -231,6 +231,28 @@ def test_pinned_index_frames_not_in_registry(spark, docs):
     pinned.unpersist()
 
 
+def test_pinned_index_collect_distinct_rides_counts_job(spark, docs):
+    """collect_distinct (r12: bulk_append's distinct-stream check folds
+    into the partition-counts job) returns the exact distinct set and
+    leaves the dense index unchanged vs the plain two-tuple API."""
+    from sqlstreamstore_spark.operators import positions as P
+
+    toks = docs.select("doc_id", (F.col("doc_id") % 7).alias("g"),
+                       F.length("text").alias("n"))
+    out3, pinned3, vals = P.dense_global_index_pinned(
+        toks, ["n", "doc_id"], collect_distinct="g"
+    )
+    want = {r[0] for r in toks.select("g").distinct().collect()}
+    assert vals == want
+    got = [(r["doc_id"], r["position"]) for r in out3.orderBy("position").collect()]
+    out2, pinned2 = P.dense_global_index_pinned(toks, ["n", "doc_id"])
+    ref = [(r["doc_id"], r["position"]) for r in out2.orderBy("position").collect()]
+    assert got == ref
+    for p in (pinned3, pinned2):
+        if p is not None:
+            p.unpersist()
+
+
 def test_pin_scope_releases_only_its_own(spark, docs):
     """pin_scope releases exactly the pins created inside the block;
     outer pins survive, and repeated scoped invocations of the three
