@@ -576,8 +576,14 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     (partial agg map-side). md5 (not xxhash64) so DuckDB computes
     bit-identical signatures for the oracle.
     """
-    toks = documents.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
-    h = F.md5(F.col("t"))
+    # r12: hash in the explode projection — one md5 per token by
+    # construction (the 64 vote expressions then read hex chars of the
+    # materialized column instead of leaning on codegen CSE inside the
+    # partial aggregate), and the token string drops before the agg
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).select("doc_id", F.md5(F.col("t")).alias("__h"))
+    h = F.col("__h")
     # bit b of hex char p via a branch-free character translate (one
     # table lookup per vote; an instr+shift+mask formulation costs ~2x
     # in the per-token hot loop)
@@ -611,7 +617,9 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
     16-bit (4-hex-char) quarters: a pair within Hamming <= 3·4 shares at
     least one quarter by pigeonhole — used as the candidate filter, then
     exact per-digit popcount verify."""
-    sig = simhash_signatures(documents)
+    # r12 (guide §2.1): both quarter-banded self-join sides read the
+    # signature frame — barrier it so the 64-vote aggregate runs once
+    sig = simhash_signatures(documents).localCheckpoint(eager=False)
     quarters = sig.select(
         "doc_id",
         "simhash",

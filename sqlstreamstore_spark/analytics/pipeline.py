@@ -45,6 +45,11 @@ def clean_corpus(
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__h", "__rn")
+        # r12 (guide §2.1): referenced by BOTH n-gram self-join sides
+        # and the final anti-join — the quality+first-wins subtree ran
+        # three times per consumer (retention_by_source doubled it
+        # again); one lazy barrier, all branches read it
+        .localCheckpoint(eager=False)
     )
 
     pairs = ngram_jaccard_pairs(exact_keepers, n=ngram, threshold=jaccard_threshold)
