@@ -58,8 +58,10 @@ def pagerank(
     """
     def ckpt(df):
         # checkpoint=False exposes the full iteration plan (plan gates);
-        # production keeps lineage O(1) per round
-        return df.localCheckpoint() if checkpoint else df
+        # production keeps lineage O(1) per round. Lazy (r12): each
+        # per-iteration frame has a single consumer, so materialization
+        # folds into the consuming job instead of one extra job per round
+        return df.localCheckpoint(eager=False) if checkpoint else df
 
     nodes = ckpt(
         edges.select(F.col("src").alias("node"))
@@ -127,6 +129,27 @@ weighted AS (
     )
 
 
+def supplier_pair_counts(lineitem: DataFrame) -> DataFrame:
+    """The UNFILTERED supplier co-occurrence pair counts
+    (src < dst, __n = co-shipped line pairs) — the shared upstream of
+    every ``supplier_cooccurrence_edges`` threshold. r12: the basket
+    self-join + groupBy is the dominant cost of all seven graph gates,
+    and the three thresholds they use (5/20/30) are plain filters over
+    this one frame, so the registry materializes it once per sf as an
+    index artifact and each gate filters (integer counts → the filtered
+    edge sets are identical to the inline derivation by construction)."""
+    a = lineitem.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sa"))
+    b = lineitem.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sb"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy(
+            F.col("sa").cast("long").alias("src"), F.col("sb").cast("long").alias("dst")
+        )
+        .agg(F.count("*").alias("__n"))
+    )
+
+
 def supplier_cooccurrence_edges(lineitem: DataFrame, min_orders: int = 5) -> DataFrame:
     """Undirected supplier–supplier edges: two suppliers are connected
     when they ship lines of the SAME order in at least ``min_orders``
@@ -137,15 +160,8 @@ def supplier_cooccurrence_edges(lineitem: DataFrame, min_orders: int = 5) -> Dat
     per-order pair explosion is bounded by order width (≈7 lines), so
     the derivation is an equi-self-join on l_orderkey + one groupBy —
     never a global cross product."""
-    a = lineitem.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sa"))
-    b = lineitem.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sb"))
     return (
-        a.join(b, "k")
-        .filter(F.col("sa") < F.col("sb"))
-        .groupBy(
-            F.col("sa").cast("long").alias("src"), F.col("sb").cast("long").alias("dst")
-        )
-        .agg(F.count("*").alias("__n"))
+        supplier_pair_counts(lineitem)
         .filter(F.col("__n") >= min_orders)
         .drop("__n")
     )
@@ -601,7 +617,7 @@ def bfs_distances(edges: DataFrame, source: int, max_depth: int = 3) -> DataFram
         )
         if not nxt.take(1):
             break
-        visited = visited.union(nxt).localCheckpoint()
+        visited = visited.union(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited.orderBy("node")
 

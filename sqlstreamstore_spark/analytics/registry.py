@@ -2053,42 +2053,27 @@ def _sim_topk_pq_static_query(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _bfs_query(spark: SparkSession, sf: str) -> DataFrame:
-    from sqlstreamstore_spark.analytics.graph import (
-        bfs_distances,
-        supplier_cooccurrence_edges,
-    )
+    from sqlstreamstore_spark.analytics.graph import bfs_distances
 
-    edges = supplier_cooccurrence_edges(_t(spark, sf, "lineitem")).localCheckpoint()
+    edges = _coocc_edges(spark, sf).localCheckpoint()
     source = edges.agg(F.min("src")).collect()[0][0]
     return bfs_distances(edges, int(source), max_depth=3)
 
 
 def _triangles_query(spark: SparkSession, sf: str) -> DataFrame:
-    from sqlstreamstore_spark.analytics.graph import (
-        supplier_cooccurrence_edges,
-        triangle_count,
-    )
+    from sqlstreamstore_spark.analytics.graph import triangle_count
 
-    return triangle_count(
-        supplier_cooccurrence_edges(_t(spark, sf, "lineitem")).localCheckpoint(
-            eager=False
-        )
-    )
+    return triangle_count(_coocc_edges(spark, sf).localCheckpoint(eager=False))
 
 
 def _label_propagation_query(spark: SparkSession, sf: str) -> DataFrame:
     """min_orders=30: the >=5 graph is a complete clique at gate sf
     (one community after one round — vacuous); >=30 keeps 686 edges /
     100 nodes at sf0.01 and LPA finds 8 communities in 2 rounds."""
-    from sqlstreamstore_spark.analytics.graph import (
-        label_propagation,
-        supplier_cooccurrence_edges,
-    )
+    from sqlstreamstore_spark.analytics.graph import label_propagation
 
     return label_propagation(
-        supplier_cooccurrence_edges(
-            _t(spark, sf, "lineitem"), min_orders=30
-        ).localCheckpoint(eager=False),
+        _coocc_edges(spark, sf, min_orders=30).localCheckpoint(eager=False),
         iters=2,
     )
 
@@ -2098,15 +2083,10 @@ def _k_core_query(spark: SparkSession, sf: str) -> DataFrame:
     at sf0.01 the peel cascades 4 rounds (100 -> 81 nodes, 686 -> 575
     edges) and round 5 confirms the fixpoint; at sf0.001 the >=30
     graph is a K10 clique (all degrees 9 >= 8 — stable, non-empty)."""
-    from sqlstreamstore_spark.analytics.graph import (
-        k_core,
-        supplier_cooccurrence_edges,
-    )
+    from sqlstreamstore_spark.analytics.graph import k_core
 
     return k_core(
-        supplier_cooccurrence_edges(
-            _t(spark, sf, "lineitem"), min_orders=30
-        ).localCheckpoint(eager=False),
+        _coocc_edges(spark, sf, min_orders=30).localCheckpoint(eager=False),
         k=8,
         rounds=5,
     )
@@ -2118,15 +2098,10 @@ def _k_truss_query(spark: SparkSession, sf: str) -> DataFrame:
     36 → 28 → 26 → 26 edges — fixpoint confirmed in-round); at
     sf0.001 the K10 clique has every edge at support 8 ≥ 3 (stable,
     non-empty)."""
-    from sqlstreamstore_spark.analytics.graph import (
-        k_truss,
-        supplier_cooccurrence_edges,
-    )
+    from sqlstreamstore_spark.analytics.graph import k_truss
 
     return k_truss(
-        supplier_cooccurrence_edges(
-            _t(spark, sf, "lineitem"), min_orders=30
-        ).localCheckpoint(eager=False),
+        _coocc_edges(spark, sf, min_orders=30).localCheckpoint(eager=False),
         k=5,
         rounds=8,
     )
@@ -2137,15 +2112,10 @@ def _link_prediction_query(spark: SparkSession, sf: str) -> DataFrame:
     sf the co-occurrence graph is a COMPLETE clique at ≥5 — zero
     non-adjacent pairs, a vacuous prediction task; ≥20 keeps 80% of
     edges, leaving real open wedges to score."""
-    from sqlstreamstore_spark.analytics.graph import (
-        link_prediction_jaccard,
-        supplier_cooccurrence_edges,
-    )
+    from sqlstreamstore_spark.analytics.graph import link_prediction_jaccard
 
     return link_prediction_jaccard(
-        supplier_cooccurrence_edges(
-            _t(spark, sf, "lineitem"), min_orders=20
-        ).localCheckpoint(eager=False)
+        _coocc_edges(spark, sf, min_orders=20).localCheckpoint(eager=False)
     )
 
 
@@ -2155,17 +2125,9 @@ from sqlstreamstore_spark.analytics.graph import (  # noqa: E402
 
 
 def _doulion_query(spark: SparkSession, sf: str) -> DataFrame:
-    from sqlstreamstore_spark.analytics.graph import (
-        supplier_cooccurrence_edges,
-        triangle_count_doulion,
-    )
+    from sqlstreamstore_spark.analytics.graph import triangle_count_doulion
 
-    return triangle_count_doulion(
-        supplier_cooccurrence_edges(_t(spark, sf, "lineitem")).localCheckpoint(
-            eager=False
-        ),
-        p=0.5,
-    )
+    return triangle_count_doulion(_coocc_edges(spark, sf).localCheckpoint(eager=False), p=0.5)
 
 
 def _pagerank_query(spark: SparkSession, sf: str) -> DataFrame:
@@ -6737,6 +6699,40 @@ SELECT stage_no, stage, n_rows FROM (
 _E2E_INCREMENTAL_SQL = _e2e_incremental_sql()
 
 
+_COOCC_INDEX_CACHE: dict[str, bool] = {}
+
+
+def _coocc_counts_for(spark: SparkSession, sf: str) -> str:
+    """Materialize (once per process per sf) the unfiltered supplier
+    co-occurrence pair counts (src, dst, __n) — the shared upstream of
+    the seven co-occurrence graph gates (r12, guide §2.1: the lineitem
+    basket self-join ran once PER GATE; the three thresholds in use
+    are plain filters over this one integer-count frame, so the edge
+    sets are identical by construction)."""
+    import hashlib
+
+    path = _scratch("coocc_counts_" + hashlib.md5(sf.encode()).hexdigest()[:10])
+    if path not in _COOCC_INDEX_CACHE:
+        from sqlstreamstore_spark.analytics.graph import supplier_pair_counts
+
+        supplier_pair_counts(_t(spark, sf, "lineitem")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _COOCC_INDEX_CACHE[path] = True
+    return path
+
+
+def _coocc_edges(spark: SparkSession, sf: str, min_orders: int = 5) -> DataFrame:
+    """Thresholded edge view over the shared pair-count index — the
+    drop-in replacement for the per-gate supplier_cooccurrence_edges
+    derivation (same rows: integer counts filter identically)."""
+    return (
+        spark.read.parquet(_coocc_counts_for(spark, sf))
+        .filter(F.col("__n") >= min_orders)
+        .drop("__n")
+    )
+
+
 _DIGEST_INDEX_CACHE: dict[str, bool] = {}
 
 
@@ -6780,6 +6776,7 @@ def warm_shared_indexes(spark: SparkSession, sf: str, max_workers: int = 4) -> N
         _ngram_index_for,
         _mh_compacted_index_for,
         _term_index_for,
+        _coocc_counts_for,
     )
 
     def _run(fn):

@@ -415,32 +415,46 @@ def kcenter_coreset(
 
     Output: (rk 1..m, vec_id, dist) — dist = the max-min distance at
     the moment of selection (the k-center radius curve; unrounded
-    doubles ride the hash, the sim_knn_join precedent)."""
-    base = embeddings.select("vec_id", "embedding").localCheckpoint(eager=False)
+    doubles ride the hash, the sim_knn_join precedent).
+
+    r12: norms are computed ONCE into the base frame (same ``_norm``
+    fold, so every per-pair quotient sees the identical operands)
+    instead of per pair row per step, and the next center is fetched
+    by joining only the top-1 row back to base instead of re-joining
+    the whole pool. The per-step dot stays the HOF expression — an
+    Arrow twin was measured SLOWER here (m per-step Python boundaries
+    over a corpus-sized scan don't amortize; the wave-3/4 rule)."""
+    base = embeddings.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("__nrm")
+    ).localCheckpoint(eager=False)
     sel = base.filter(F.col("vec_id") == seed_id).select(
-        F.lit(1).cast("long").alias("rk"), "vec_id", "embedding",
+        F.lit(1).cast("long").alias("rk"), "vec_id", "embedding", "__nrm",
         F.lit(0.0).alias("dist"),
     )
     pair = F.lit(1.0) - _dot(F.col("embedding"), F.col("sv")) / (
-        _norm(F.col("embedding")) * _norm(F.col("sv"))
+        F.col("__nrm") * F.col("svn")
     )
     for step in range(2, m + 1):
         pool = base.join(sel.select("vec_id"), "vec_id", "left_anti")
         md = (
             pool.crossJoin(
-                F.broadcast(sel.select(F.col("embedding").alias("sv")))
+                F.broadcast(
+                    sel.select(
+                        F.col("embedding").alias("sv"),
+                        F.col("__nrm").alias("svn"),
+                    )
+                )
             )
             .groupBy("vec_id")
             .agg(F.min(pair).alias("mind"))
         )
+        top1 = md.orderBy(F.col("mind").desc(), F.col("vec_id")).limit(1)
         nxt = (
-            pool.join(md, "vec_id")
+            base.join(F.broadcast(top1), "vec_id")
             .select(
                 F.lit(step).cast("long").alias("rk"), "vec_id", "embedding",
-                F.col("mind").alias("dist"),
+                "__nrm", F.col("mind").alias("dist"),
             )
-            .orderBy(F.col("dist").desc(), F.col("vec_id"))
-            .limit(1)
         )
         sel = sel.unionByName(nxt).localCheckpoint(eager=False)
     return sel.select("rk", "vec_id", "dist").orderBy("rk")

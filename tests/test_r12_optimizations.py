@@ -283,3 +283,58 @@ def test_min_parallelism_sees_checkpointed_frames(spark):
     lazy = base.groupBy("text").count()
     assert _rdd_leaf_partitions(lazy) is None
     assert with_min_parallelism(lazy) is lazy
+
+
+def test_kcenter_arrow_path_bit_identical_to_hof(spark):
+    """Wave 8: kcenter_coreset's Arrow-scored greedy loop must replay
+    the original interpreted-HOF shape EXACTLY (same vec_ids, same
+    unrounded dists) on the real fixture plus edge rows — a zero
+    vector (norm guard) and an exact duplicate of the seed (cosine 1,
+    dist 0 tie handling)."""
+    from sqlstreamstore_spark.analytics import similarity as S
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+    seed_vec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    edge = spark.createDataFrame(
+        [
+            (100001, [0.0] * dim),          # zero vector → norm guard
+            (100002, list(seed_vec)),       # exact duplicate of the seed
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    base = emb.select("vec_id", "embedding").unionByName(edge)
+
+    def hof_reference(embeddings, m, seed_id):
+        # the pre-wave-8 shape, verbatim
+        b = embeddings.select("vec_id", "embedding").localCheckpoint(eager=False)
+        sel = b.filter(F.col("vec_id") == seed_id).select(
+            F.lit(1).cast("long").alias("rk"), "vec_id", "embedding",
+            F.lit(0.0).alias("dist"),
+        )
+        pair = F.lit(1.0) - S._dot(F.col("embedding"), F.col("sv")) / (
+            S._norm(F.col("embedding")) * S._norm(F.col("sv"))
+        )
+        for step in range(2, m + 1):
+            pool = b.join(sel.select("vec_id"), "vec_id", "left_anti")
+            md = (
+                pool.crossJoin(F.broadcast(sel.select(F.col("embedding").alias("sv"))))
+                .groupBy("vec_id")
+                .agg(F.min(pair).alias("mind"))
+            )
+            nxt = (
+                pool.join(md, "vec_id")
+                .select(
+                    F.lit(step).cast("long").alias("rk"), "vec_id", "embedding",
+                    F.col("mind").alias("dist"),
+                )
+                .orderBy(F.col("dist").desc(), F.col("vec_id"))
+                .limit(1)
+            )
+            sel = sel.unionByName(nxt).localCheckpoint(eager=False)
+        return sel.select("rk", "vec_id", "dist").orderBy("rk")
+
+    for m, seed in ((8, 0), (4, 100002)):
+        ref = [tuple(r) for r in hof_reference(base, m, seed).collect()]
+        got = [tuple(r) for r in S.kcenter_coreset(base, m=m, seed_id=seed).collect()]
+        assert ref == got  # exact equality incl. unrounded float dists
