@@ -25,15 +25,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of a text column (built-in transform over
-    the token array — no UDF). Documents with fewer than n tokens yield
-    an empty set — guarded with a CASE branch because
-    ``sequence(0, size-n)`` runs DESCENDING when size < n and the
-    out-of-range ``element_at`` then throws under ANSI mode (Spark 4
-    default); the oracle twin's ``WHERE len(w) >= n`` has the same
-    semantics."""
-    toks = F.split(col, " ")
+def _shingles_arr(toks: Column, n: int = 3) -> Column:
+    """:func:`_shingles` over a PRE-SPLIT token-array column (r12 wave
+    9, guide §1.6): referencing ``split(text)`` inside the transform
+    lambda re-evaluates the split once PER GRAM under interpreted
+    expression eval — callers project the split once and shingle the
+    array (identical expression tree below the split → identical
+    grams; measured 2.7× on the full-corpus gram explode)."""
     # slice + array_join beats n element_at calls ~5x: one ranged copy
     # per gram instead of n independent bounds-checked lookups.
     grams = F.transform(
@@ -43,6 +41,40 @@ def _shingles(col: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def _shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a text column (built-in transform over
+    the token array — no UDF). Documents with fewer than n tokens yield
+    an empty set — guarded with a CASE branch because
+    ``sequence(0, size-n)`` runs DESCENDING when size < n and the
+    out-of-range ``element_at`` then throws under ANSI mode (Spark 4
+    default); the oracle twin's ``WHERE len(w) >= n`` has the same
+    semantics. Hot call sites pre-split and use :func:`_shingles_arr`
+    directly."""
+    return _shingles_arr(F.split(col, " "), n)
+
+
+def exploded_shingles(
+    documents: DataFrame, n: int = 3, alias: str = "s",
+    keys: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """(keys…, gram) explode with the split projected ONCE below the
+    Generate (r12 wave 9 — see :func:`_shingles_arr`)."""
+    return documents.select(
+        *keys, F.split(F.col("text"), " ").alias("_toks")
+    ).select(*keys, F.explode(_shingles_arr(F.col("_toks"), n)).alias(alias))
+
+
+def shingle_sets(
+    documents: DataFrame, n: int = 3, alias: str = "ss",
+    keys: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """(keys…, gram-set) projection with the split projected ONCE
+    below the shingle transform (r12 wave 9)."""
+    return documents.select(
+        *keys, F.split(F.col("text"), " ").alias("_toks")
+    ).select(*keys, _shingles_arr(F.col("_toks"), n).alias(alias))
 
 
 def exact_dedup_groups(documents: DataFrame, limit: int = 500) -> DataFrame:
@@ -118,9 +150,7 @@ def ngram_jaccard_pairs(
         max_shingle_df = derive_shingle_df_cap(documents.count())
     from sqlstreamstore_spark.operators.partitioning import with_min_parallelism
 
-    sh = with_min_parallelism(documents).select(
-        "doc_id", F.explode(_shingles(F.col("text"), n)).alias("s")
-    )
+    sh = exploded_shingles(with_min_parallelism(documents), n)
     if pin_shingles:
         sh = sh.localCheckpoint(eager=False)
     if max_shingle_df is not None:
@@ -192,9 +222,7 @@ def jaccard_prefix_pairs(
     """
     from pyspark.sql import Window
 
-    sh = documents.select(
-        "doc_id", F.explode(_shingles(F.col("text"), n)).alias("s")
-    ).localCheckpoint(eager=False)
+    sh = exploded_shingles(documents, n).localCheckpoint(eager=False)
     df = sh.groupBy("s").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
     ranked = (
@@ -214,7 +242,7 @@ def jaccard_prefix_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = documents.select("doc_id", _shingles(F.col("text"), n).alias("ss"))
+    sets = shingle_sets(documents, n)
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
     n_inter = F.size(F.array_intersect(F.col("ss_a"), F.col("ss_b"))).cast("bigint")
@@ -260,7 +288,7 @@ def minhash_signatures(
     # the shingle explode + k-way partial min is the heavy MAP phase —
     # don't let a single-file input serialize it (no-op at scale)
     documents = with_min_parallelism(documents)
-    sh = documents.select("doc_id", F.explode(_shingles(F.col("text"), n)).alias("s"))
+    sh = exploded_shingles(documents, n)
     if family == "md5":
         mins = [
             F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("s")))).alias(f"h{i}")
@@ -322,9 +350,7 @@ def minhash_dedup_pairs(
     # the per-doc shingle-SET build (transform + slice + array_join +
     # array_distinct over every token) is the verify side's heavy map —
     # spread it like the signature pass (r12; no-op at scale)
-    sets = with_min_parallelism(documents).select(
-        "doc_id", _shingles(F.col("text"), n).alias("ss")
-    )
+    sets = shingle_sets(with_min_parallelism(documents), n)
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
     n_inter = F.size(F.array_intersect(F.col("ss_a"), F.col("ss_b"))).cast("bigint")
@@ -920,8 +946,9 @@ def minhash_dedup_incremental(
         .persist()
     )
     new_sets = incoming.select(
-        F.col("doc_id").alias("new_doc"), _shingles(F.col("text"), n).alias("ss_new")
-    )
+        F.col("doc_id").alias("new_doc"),
+        F.split(F.col("text"), " ").alias("_toks"),
+    ).select("new_doc", _shingles_arr(F.col("_toks"), n).alias("ss_new"))
     # VERDICT r8 #1: semi-join-prune the corpus to candidate old_docs
     # BEFORE shingling — the verify stage pays O(candidate texts), not a
     # full corpus scan+tokenize per delta (which would defeat the
@@ -929,8 +956,9 @@ def minhash_dedup_incremental(
     # the semi-join (plan-pinned in tests/test_plans.py).
     cand_old = cands.select(F.col("old_doc").alias("doc_id")).distinct()
     old_sets = corpus.join(F.broadcast(cand_old), "doc_id", "left_semi").select(
-        F.col("doc_id").alias("old_doc"), _shingles(F.col("text"), n).alias("ss_old")
-    )
+        F.col("doc_id").alias("old_doc"),
+        F.split(F.col("text"), " ").alias("_toks"),
+    ).select("old_doc", _shingles_arr(F.col("_toks"), n).alias("ss_old"))
     n_inter = F.size(F.array_intersect(F.col("ss_new"), F.col("ss_old"))).cast(
         "bigint"
     )
@@ -1588,9 +1616,9 @@ def containment_pairs(
         max_shingle_df = derive_shingle_df_cap(documents.count())
     from sqlstreamstore_spark.operators.partitioning import with_min_parallelism
 
-    sh = with_min_parallelism(documents).select(
-        "doc_id", F.explode(_shingles(F.col("text"), n)).alias("s")
-    ).localCheckpoint(eager=False)
+    sh = exploded_shingles(with_min_parallelism(documents), n).localCheckpoint(
+        eager=False
+    )
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("s").agg(F.count("*").alias("df"))

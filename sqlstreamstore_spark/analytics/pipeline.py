@@ -80,19 +80,16 @@ def decontaminate_report(
     ``broadcast_held_out=False`` for the shuffled equi-join if the
     held-out set is genuinely large).
     """
-    from sqlstreamstore_spark.analytics.dedup import _shingles
+    from sqlstreamstore_spark.analytics.dedup import exploded_shingles
     from sqlstreamstore_spark.analytics.sampling import hash_split
 
     split = hash_split(documents, key, train_fraction)
     train = split.filter(F.col("split") == "train")
     held_out = split.filter(F.col("split") == "val")
-    tr_sh = train.select(
-        F.col("doc_id").alias("train_doc_id"),
-        F.explode(_shingles(F.col("text"), n)).alias("s"),
+    tr_sh = exploded_shingles(train, n).select(
+        F.col("doc_id").alias("train_doc_id"), "s"
     )
-    te_sh = held_out.select(
-        F.explode(_shingles(F.col("text"), n)).alias("s")
-    ).distinct()
+    te_sh = exploded_shingles(held_out, n, keys=()).distinct()
     if broadcast_held_out:
         te_sh = F.broadcast(te_sh)
     return (
@@ -110,10 +107,10 @@ def build_ngram_index(benchmark: DataFrame, path: str, n: int = 8) -> None:
     ingest delta (:func:`decontaminate_incremental`). Eval suites are
     dim-sized at any corpus scale, so the index is broadcastable by
     construction."""
-    from sqlstreamstore_spark.analytics.dedup import _shingles
+    from sqlstreamstore_spark.analytics.dedup import exploded_shingles
 
     (
-        benchmark.select(F.explode(_shingles(F.col("text"), n)).alias("s"))
+        exploded_shingles(benchmark, n, keys=())
         .select(F.md5("s").alias("g"))
         .distinct()
         .write.mode("overwrite")
@@ -143,14 +140,14 @@ def decontaminate_incremental(
     are a partial-aggregable groupBy on doc_id. Work ∝ delta tokens,
     never corpus or benchmark scan cost (the index was materialized
     once)."""
-    from sqlstreamstore_spark.analytics.dedup import _shingles
+    from sqlstreamstore_spark.analytics.dedup import exploded_shingles
 
     idx = spark.read.parquet(path)
     if broadcast_index:
         idx = F.broadcast(idx)
-    inc = incoming.select(
-        "doc_id", F.explode(_shingles(F.col("text"), n)).alias("s")
-    ).select("doc_id", F.md5("s").alias("g"))
+    inc = exploded_shingles(incoming, n).select(
+        "doc_id", F.md5("s").alias("g")
+    )
     return (
         inc.join(idx, "g")
         .groupBy("doc_id")

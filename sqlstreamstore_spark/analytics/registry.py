@@ -1295,17 +1295,14 @@ def _knn_descent_query(spark: SparkSession, sf: str) -> DataFrame:
     under 2-hop expansion — descent needs cross-table hops to find
     anything new) → one NN-descent round."""
     emb = _t(spark, sf, "embeddings")
-    g0 = (
-        similarity.knn_graph_lsh(emb, k=5, seed=42)
-        .unionByName(similarity.knn_graph_lsh(emb, k=5, seed=7))
-        .select("qid", "cid")
-        .distinct()
-        # barrier (r12 optimization): the descent step references the
-        # seed graph three times (both 2-hop sides + the direct union)
-        # — one materialization of the N·k edge list instead of three
-        # LSH bucket-join rebuilds (measured plan before: 52 scans)
-        .localCheckpoint(eager=False)
-    )
+    # r12 wave 9 (guide §4/§2.1): both seeds' buckets in ONE Arrow
+    # signature pass, candidates deduped across seeds before the
+    # vectors attach, ONE scoring pass — bit-identical edge set to
+    # unioning two knn_graph_lsh builds (same folds, same windows).
+    # The barrier stays: the descent references the seed graph thrice.
+    g0 = similarity.knn_graph_lsh_multi(
+        emb, k=5, seeds=(42, 7)
+    ).localCheckpoint(eager=False)
     return similarity.knn_descent_step(emb, g0, k=5)
 
 _COS_PAIRS_LSH_MP_SQL = f"""

@@ -725,6 +725,75 @@ def pair_cosine_exact_arrow(
     return pairs.mapInPandas(run, schema)
 
 
+# Ceiling for the broadcast-matrix pair scorer: vectors × dim × 8 B
+# must stay a small task-side broadcast (65 536 × 64 dims ≈ 32 MB).
+# Above it the callers keep the general join + Arrow-pair path.
+PAIR_BCAST_MAX_VECS = 65536
+
+
+def pair_cosine_by_id_exact_bcast(
+    pairs: DataFrame,
+    embeddings: DataFrame,
+    a_id: str = "cid",
+    b_id: str = "qid",
+    out: str = "cosine",
+) -> DataFrame | None:
+    """BIT-IDENTICAL twin of ``join vectors then pair_cosine_exact_arrow``
+    for id-keyed pairs (r12 wave 9, guide §4/§2.2): the pair frames of
+    the kNN-graph family ship two 64-double arrays per candidate row
+    through the Python boundary (~1 KB/row for 16 B of ids). When the
+    VECTOR TABLE fits a task-side broadcast (``PAIR_BCAST_MAX_VECS``),
+    ship the matrix once, send ONLY the int id-pairs through Arrow, and
+    gather+fold inside the worker: the same sequential dimension-order
+    fold over the same doubles (gather is exact), the same ``_norm``
+    zero→1.0 guard, the same ``dot / (na * nb)`` operand order — so
+    every cosine is the identical double. Returns ``None`` when the
+    vector table exceeds the ceiling (caller falls back to the join
+    path — the probe_fits_broadcast pattern)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .limit(PAIR_BCAST_MAX_VECS + 1)
+        .collect()
+    )
+    if len(rows) > PAIR_BCAST_MAX_VECS:
+        return None
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    order = np.argsort(ids)
+    ids, M = ids[order], M[order]
+    n2 = np.zeros(len(ids))
+    for d in range(M.shape[1]):
+        n2 = n2 + M[:, d] * M[:, d]
+    nrm = np.sqrt(n2)
+    nrm[nrm == 0.0] = 1.0
+    bc = pairs.sparkSession.sparkContext.broadcast((ids, M, nrm))
+    schema = T.StructType(
+        list(pairs.schema.fields) + [T.StructField(out, T.DoubleType())]
+    )
+
+    def run(batches):
+        bids, bM, bn = bc.value
+        for pdf in batches:
+            B = len(pdf)
+            if not B:
+                continue
+            ai = np.searchsorted(bids, pdf[a_id].to_numpy())
+            bi = np.searchsorted(bids, pdf[b_id].to_numpy())
+            A, Bm = bM[ai], bM[bi]
+            dot = np.zeros(B)
+            for d in range(A.shape[1]):
+                dot = dot + A[:, d] * Bm[:, d]
+            o = pdf.copy()
+            o[out] = dot / (bn[ai] * bn[bi])
+            yield o
+
+    return pairs.mapInPandas(run, schema)
+
+
 def cosine_literal_exact_arrow(
     df: DataFrame,
     query_vec: list[float],
@@ -2307,6 +2376,118 @@ def knn_graph_lsh(
     )
 
 
+def knn_graph_lsh_multi(
+    embeddings: DataFrame, k: int = 5, bits: int = 4, dim: int = 64,
+    seeds: tuple[int, ...] = (42, 7),
+) -> DataFrame:
+    """Union of :func:`knn_graph_lsh` edge lists over several seeds in
+    ONE signature pass + ONE scoring pass (r12, guide §4/§2.1): the
+    per-seed builds each paid an Arrow signature pass and an Arrow
+    scoring pass over their full bucket-join candidate product, and the
+    products overlap heavily across seeds. Here the single Arrow pass
+    emits every seed's bucket (identical per-plane sign folds) + the
+    norm; candidate (qid, cid) pairs are deduped ACROSS seeds before
+    the vectors are attached, scored once (identical cosine fold), and
+    each seed's top-k window runs over the shared scored frame — the
+    same doubles through the same window order, so the returned edge
+    set is bit-identical to unioning the per-seed builds. Returns
+    distinct (qid, cid)."""
+    import numpy as np
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    planes_by_seed = [_hyperplanes(dim, bits, s) for s in seeds]
+    base = embeddings.select("vec_id", "embedding")
+    bcols = [f"bucket_{i}" for i in range(len(seeds))]
+    schema = T.StructType(
+        list(base.schema.fields)
+        + [T.StructField(c, T.LongType()) for c in bcols]
+        + [T.StructField("norm", T.DoubleType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            B = len(pdf)
+            if not B:
+                continue
+            X = np.array(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            out = pdf.copy()
+            for ci, planes in zip(bcols, planes_by_seed):
+                bucket = np.zeros(B, dtype=np.int64)
+                for i, p in enumerate(planes):
+                    dot = np.zeros(B)
+                    for d in range(dim):
+                        dot = dot + X[:, d] * p[d]
+                    bucket = bucket + np.where(
+                        dot >= 0.0, np.int64(1 << i), np.int64(0)
+                    )
+                out[ci] = bucket
+            n2 = np.zeros(B)
+            for d in range(dim):
+                n2 = n2 + X[:, d] * X[:, d]
+            nrm = np.sqrt(n2)
+            nrm[nrm == 0.0] = 1.0
+            out["norm"] = nrm
+            yield out
+
+    sigs = base.mapInPandas(run, schema).localCheckpoint(eager=False)
+
+    # per-seed candidate id-pairs (ints only — the arrays stay behind),
+    # then one flag column per seed after the cross-seed dedup
+    cand = None
+    for i, ci in enumerate(bcols):
+        a = sigs.select(F.col("vec_id").alias("qid"), F.col(ci).alias("bk"))
+        b = sigs.select(F.col("vec_id").alias("cid"), F.col(ci).alias("bk"))
+        pi = (
+            a.join(b, "bk")
+            .filter(F.col("qid") != F.col("cid"))
+            .select("qid", "cid", F.lit(i).alias("src"))
+        )
+        cand = pi if cand is None else cand.unionByName(pi)
+    flags = [
+        F.max(F.when(F.col("src") == i, 1).otherwise(0)).alias(f"in_{i}")
+        for i in range(len(seeds))
+    ]
+    dedup = cand.groupBy("qid", "cid").agg(*flags)
+
+    # id-pairs only through the Python boundary when the vector table
+    # fits the broadcast-matrix ceiling; join + Arrow-pair fallback
+    scored = pair_cosine_by_id_exact_bcast(
+        dedup, embeddings, a_id="cid", b_id="qid"
+    )
+    if scored is None:
+        q = sigs.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
+            F.col("norm").alias("qn"),
+        )
+        c = sigs.select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"),
+            F.col("norm").alias("cn"),
+        )
+        scored = pair_cosine_exact_arrow(
+            dedup.join(q, "qid").join(c, "cid")
+            .select("qid", "cid", *[f"in_{i}" for i in range(len(seeds))],
+                    "cvec", "cn", "qvec", "qn"),
+            a_col="cvec", b_col="qvec", na_col="cn", nb_col="qn",
+        )
+    scored = scored.localCheckpoint(eager=False)
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    edges = None
+    for i in range(len(seeds)):
+        ei = (
+            scored.filter(F.col(f"in_{i}") == 1)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("qid", "cid")
+        )
+        edges = ei if edges is None else edges.unionByName(ei)
+    return edges.distinct()
+
+
 def knn_descent_step(
     embeddings: DataFrame, graph: DataFrame, k: int = 5
 ) -> DataFrame:
@@ -2345,20 +2526,26 @@ def knn_descent_step(
         .filter(F.col("qid") != F.col("cid"))
         .distinct()
     )
-    q = embeddings.select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
-        _norm(F.col("embedding")).alias("qn"),
+    # r12 (guide §4): the N·k² candidate scores in one Arrow pass;
+    # wave 9: id-pairs only through the boundary when the vector table
+    # fits the broadcast-matrix ceiling (same folds — identical doubles)
+    scored = pair_cosine_by_id_exact_bcast(
+        cand, embeddings, a_id="cid", b_id="qid"
     )
-    c = embeddings.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"),
-        _norm(F.col("embedding")).alias("cn"),
-    )
-    # r12 (guide §4): the N·k² candidate scores in one Arrow pass
-    scored = pair_cosine_exact_arrow(
-        cand.join(q, "qid").join(c, "cid")
-        .select("qid", "cid", "cvec", "cn", "qvec", "qn"),
-        a_col="cvec", b_col="qvec", na_col="cn", nb_col="qn",
-    )
+    if scored is None:
+        q = embeddings.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
+            _norm(F.col("embedding")).alias("qn"),
+        )
+        c = embeddings.select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"),
+            _norm(F.col("embedding")).alias("cn"),
+        )
+        scored = pair_cosine_exact_arrow(
+            cand.join(q, "qid").join(c, "cid")
+            .select("qid", "cid", "cvec", "cn", "qvec", "qn"),
+            a_col="cvec", b_col="qvec", na_col="cn", nb_col="qn",
+        )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
     return (
         scored.withColumn("rk", F.row_number().over(w))

@@ -221,14 +221,12 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
     per-doc aggregate — no pair joins anywhere. Novelty is an exact
     int/int division, bit-identical in the oracle.
     """
-    from sqlstreamstore_spark.analytics.dedup import _shingles
+    from sqlstreamstore_spark.analytics.dedup import exploded_shingles
 
     # the shingle frame feeds both the min-aggregate and the join side —
     # pin it so the explode runs once (2.4× at sf0.1; localCheckpoint,
     # not persist: blocks die with the plan)
-    sh = with_min_parallelism(documents).select(
-        "doc_id", F.explode(_shingles(F.col("text"), n)).alias("s")
-    ).localCheckpoint()
+    sh = exploded_shingles(with_min_parallelism(documents), n).localCheckpoint()
     firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     return (
         sh.join(firsts, "s")
@@ -268,14 +266,14 @@ def kmv_distinct_ngrams(documents: DataFrame, k: int = 64, n: int = 3) -> DataFr
     estimate); at 100 TB you'd drop it and keep only the k-row sketch,
     which also merges across partitions/snapshots by union + re-limit.
     """
-    from sqlstreamstore_spark.analytics.dedup import _shingles
+    from sqlstreamstore_spark.analytics.dedup import exploded_shingles
 
     # pin the distinct hash frame: it feeds both the sketch and the
     # exact count — without the pin the corpus explode+md5+distinct
     # runs twice (the ngram_novelty pin discipline)
-    hs = with_min_parallelism(documents).select(
-        F.explode(_shingles(F.col("text"), n)).alias("s")
-    ).select(F.md5(F.col("s")).alias("h")).distinct().localCheckpoint()
+    hs = exploded_shingles(with_min_parallelism(documents), n, keys=()).select(
+        F.md5(F.col("s")).alias("h")
+    ).distinct().localCheckpoint()
     sketch = (
         hs.orderBy("h")
         .limit(k)
@@ -314,12 +312,10 @@ def kmv_distinct_ngrams_by_source(
     without rescanning the corpus."""
     from pyspark.sql import Window
 
-    from sqlstreamstore_spark.analytics.dedup import _shingles
+    from sqlstreamstore_spark.analytics.dedup import exploded_shingles
 
     hs = (
-        with_min_parallelism(documents).select(
-            "source", F.explode(_shingles(F.col("text"), n)).alias("s")
-        )
+        exploded_shingles(with_min_parallelism(documents), n, keys=("source",))
         .select("source", F.md5(F.col("s")).alias("h"))
         .distinct()
         .localCheckpoint()  # feeds both the per-group rank and the exact counts
@@ -963,11 +959,9 @@ def hll_distinct_ngrams(documents: DataFrame, n: int = 3) -> DataFrame:
     The exact count runs alongside as the oracle of the estimate (at
     100 TB you drop it and keep the 256-row sketch).
     """
-    from sqlstreamstore_spark.analytics.dedup import _shingles
+    from sqlstreamstore_spark.analytics.dedup import exploded_shingles
 
-    grams = documents.select(
-        F.explode(_shingles(F.col("text"), n)).alias("s")
-    ).localCheckpoint()  # feeds both the register build and the exact count
+    grams = exploded_shingles(documents, n, keys=()).localCheckpoint()  # feeds both the register build and the exact count
     est = hll_estimate(hll_registers(grams), m=256)
     exact = grams.agg(F.count_distinct("s").cast("bigint").alias("n_exact"))
     return (
@@ -1318,13 +1312,11 @@ def vocab_growth(documents: DataFrame, checkpoints: int = 50, n: int = 3) -> Dat
     bounded-axis discipline — never a per-doc global window).
     All-integer, hash-exact.
     """
-    from sqlstreamstore_spark.analytics.dedup import _shingles
+    from sqlstreamstore_spark.analytics.dedup import exploded_shingles
 
     nrows = documents.agg((F.max("doc_id") + 1).cast("bigint").alias("n"))
     firsts = (
-        documents.select(
-            "doc_id", F.explode(_shingles(F.col("text"), n)).alias("token")
-        )
+        exploded_shingles(documents, n, alias="token")
         .groupBy("token")
         .agg(F.min("doc_id").alias("first_doc"))
     )
@@ -1578,10 +1570,10 @@ def contamination_matrix(documents: DataFrame, n: int = 3) -> DataFrame:
     All reported ratios are single IEEE divides of exact BIGINTs —
     zero-tolerance oracle.
     """
-    from sqlstreamstore_spark.analytics.dedup import _shingles
+    from sqlstreamstore_spark.analytics.dedup import exploded_shingles
 
     sg = (
-        with_min_parallelism(documents).select("source", F.explode(_shingles(F.col("text"), n)).alias("g"))
+        exploded_shingles(with_min_parallelism(documents), n, alias="g", keys=("source",))
         .distinct()
         .localCheckpoint()  # feeds sizes AND the pair join — scan once
     )
@@ -1791,10 +1783,10 @@ def kmv_jaccard_pairs(documents: DataFrame, k: int = 32, n: int = 3) -> DataFram
     """
     from pyspark.sql import Window
 
-    from sqlstreamstore_spark.analytics.dedup import _shingles
+    from sqlstreamstore_spark.analytics.dedup import exploded_shingles
 
     hs = (
-        with_min_parallelism(documents).select("source", F.explode(_shingles(F.col("text"), n)).alias("g"))
+        exploded_shingles(with_min_parallelism(documents), n, alias="g", keys=("source",))
         .select("source", F.md5(F.col("g")).alias("h"))
         .distinct()
         .localCheckpoint()  # feeds sketches AND exact pair counts

@@ -1126,10 +1126,17 @@ def test_minhash_incremental_verify_prunes_corpus(spark, tmp_path):
     assert semi, plan
     shingle_old = [i for i, l in enumerate(lines) if "AS ss_old" in l]
     assert shingle_old, plan
-    assert semi[0] == shingle_old[0] + 1, (
-        "shingle projection must sit directly above the semi-join:\n"
+    # r12 wave 9: the split is projected once BELOW the shingle
+    # transform (see dedup._shingles_arr), so the shingle projection
+    # sits at most two Projects above the semi-join — the pin's intent
+    # (shingling happens AFTER the candidate prune, O(candidates) not
+    # O(corpus)) is the ordering, not adjacency
+    assert shingle_old[0] < semi[0] <= shingle_old[0] + 2, (
+        "shingle projection must sit above the semi-join:\n"
         + "\n".join(lines[max(0, shingle_old[0] - 1): semi[0] + 2])
     )
+    between = lines[shingle_old[0] + 1: semi[0]]
+    assert all("split(" in l for l in between), between
     # and the self-pair guard (ADVICE r8 #3) survives optimization
     assert "= old_doc" in plan or "old_doc#" in plan
 

@@ -338,3 +338,61 @@ def test_kcenter_arrow_path_bit_identical_to_hof(spark):
         ref = [tuple(r) for r in hof_reference(base, m, seed).collect()]
         got = [tuple(r) for r in S.kcenter_coreset(base, m=m, seed_id=seed).collect()]
         assert ref == got  # exact equality incl. unrounded float dists
+
+
+def test_knn_seed_graph_multi_and_bcast_scorer_bit_identical(spark):
+    """Wave 9: (a) knn_graph_lsh_multi must return EXACTLY the distinct
+    union of the per-seed knn_graph_lsh edge lists, and (b) the
+    broadcast-matrix id-pair scorer must reproduce the join+Arrow pair
+    cosines EXACTLY (unrounded doubles), incl. a zero vector (norm
+    guard) and a duplicate pair (cosine 1 ties)."""
+    from sqlstreamstore_spark.analytics import similarity as S
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+    v0 = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    edge = spark.createDataFrame(
+        [(900001, [0.0] * dim), (900002, list(v0))],
+        "vec_id long, embedding array<float>",
+    )
+    base = emb.select("vec_id", "embedding").unionByName(edge)
+
+    # (a) multi-seed seed graph == union of per-seed builds
+    ref = set(
+        map(
+            tuple,
+            S.knn_graph_lsh(base, k=5, seed=42)
+            .unionByName(S.knn_graph_lsh(base, k=5, seed=7))
+            .select("qid", "cid")
+            .distinct()
+            .collect(),
+        )
+    )
+    got = set(map(tuple, S.knn_graph_lsh_multi(base, k=5, seeds=(42, 7)).collect()))
+    assert ref == got
+
+    # (b) bcast scorer == join + Arrow pair scorer, exact doubles
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 0), (900001, 2), (900002, 0), (3, 3)],
+        "qid long, cid long",
+    )
+    q = base.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
+        S._norm(F.col("embedding")).alias("qn"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"),
+        S._norm(F.col("embedding")).alias("cn"),
+    )
+    ref2 = {
+        (r["qid"], r["cid"]): r["cosine"]
+        for r in S.pair_cosine_exact_arrow(
+            pairs.join(q, "qid").join(c, "cid")
+            .select("qid", "cid", "cvec", "cn", "qvec", "qn"),
+            a_col="cvec", b_col="qvec", na_col="cn", nb_col="qn",
+        ).collect()
+    }
+    got_df = S.pair_cosine_by_id_exact_bcast(pairs, base, a_id="cid", b_id="qid")
+    assert got_df is not None
+    got2 = {(r["qid"], r["cid"]): r["cosine"] for r in got_df.collect()}
+    assert ref2 == got2  # exact float equality, no rounding
