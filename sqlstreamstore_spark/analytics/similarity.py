@@ -194,44 +194,85 @@ def semantic_decontaminate(
     100 TB shape: the held-out suite is SMALL BY DEFINITION (a
     benchmark, not a corpus) — it is collected once (bounded model
     axis: the Bradley-Terry win-matrix / SQ8-min-max precedent) and
-    embedded as one array<struct> literal, so the probe is a MAP-ONLY
-    corpus scan: no join, no shuffle, argmax folded per-row inside
-    whole-stage codegen (the IVF centroid-literal pattern, built as
-    one SQL string — the py4j-per-node tax documented above). Rows
-    out: only the contaminated ids + their nearest test vector.
+    shipped into ONE Arrow corpus pass (r12 wave 9, guide §4): no
+    join, no shuffle, the tests×dim score matrix accumulated in
+    dimension order per batch. Rows out: only the contaminated ids +
+    their nearest test vector.
 
     Output: (vec_id, test_id, cosine) for flagged rows, vec_id order;
     ties on bit-equal cosine break to the smallest test_id. Cosines
     fold in DOUBLE left-to-right in both engines (module float
     discipline), so the gate hash-matches at zero tolerance."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
     rows = (
         embeddings.filter(F.col("vec_id") < n_heldout)
         .select("vec_id", "embedding")
         .orderBy("vec_id")
         .collect()
     )
-    tests = ",".join(
-        f"named_struct('tid', CAST({int(r['vec_id'])} AS BIGINT), "
-        f"'tv', {_arr_sql(r['embedding'])})"
-        for r in rows
+    # r12 wave 9 (guide §4): the probe used to be ONE interpreted SQL
+    # expression per corpus row — a transform over n_heldout structs,
+    # each a 2·dim HOF fold (tests × dim × corpus interpreted-eval
+    # multiplies). Same math in one Arrow pass: per (row, test) the
+    # cosine accumulates IN DIMENSION ORDER (outer-product partial sums
+    # — each cell is the same left fold), norms carry the same zero→1.0
+    # guard, denominator keeps the (norm_v * norm_t) operand order, and
+    # the argmax takes the FIRST max over tests in ascending-tid order
+    # — exactly the SQL fold's `s.c > acc.c` first-wins semantics. Same
+    # doubles, same rows; still map-only, no join, no shuffle.
+    tids = np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
+    Tm = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    tn2 = np.zeros(len(tids))
+    for d in range(Tm.shape[1]):
+        tn2 = tn2 + Tm[:, d] * Tm[:, d]
+    tn = np.sqrt(tn2)
+    tn[tn == 0.0] = 1.0
+    thr = float(threshold)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("test_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    nc = _norm_sql("embedding")
-    scored = (
-        f"transform(array({tests}), t -> named_struct("
-        f"'c', {_dot_sql('embedding', 't.tv')} / (({nc}) * ({_norm_sql('t.tv')})), "
-        f"'tid', t.tid))"
-    )
-    best = (
-        f"aggregate({scored}, "
-        f"named_struct('c', CAST(-2.0 AS DOUBLE), 'tid', CAST(-1 AS BIGINT)), "
-        f"(acc, s) -> CASE WHEN s.c > acc.c OR (s.c = acc.c AND s.tid < acc.tid) "
-        f"THEN s ELSE acc END)"
-    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            B = len(pdf)
+            if not B:
+                continue
+            X = np.array(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            n2 = np.zeros(B)
+            for d in range(X.shape[1]):
+                n2 = n2 + X[:, d] * X[:, d]
+            xn = np.sqrt(n2)
+            xn[xn == 0.0] = 1.0
+            C = np.zeros((B, Tm.shape[0]))
+            for d in range(X.shape[1]):
+                C = C + np.outer(X[:, d], Tm[:, d])
+            C = C / (xn[:, None] * tn[None, :])
+            bj = np.argmax(C, axis=1)
+            bc = C[np.arange(B), bj]
+            keep = bc >= thr
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "test_id": tids[bj[keep]],
+                    "cosine": bc[keep],
+                }
+            )
+
     return (
         embeddings.filter(F.col("vec_id") >= n_heldout)
-        .select("vec_id", F.expr(best).alias("b"))
-        .filter(F.col("b.c") >= float(threshold))
-        .select("vec_id", F.col("b.tid").alias("test_id"), F.col("b.c").alias("cosine"))
+        .select("vec_id", "embedding")
+        .mapInPandas(run, schema)
         .orderBy("vec_id")
     )
 
@@ -945,8 +986,8 @@ def kmeans_lloyd_step(embeddings: DataFrame, k: int = 8) -> DataFrame:
     Scale shape: the k centroids are LITERALS folded into a single
     map-side `array_min(array(struct(d2_i, cid_i)...))` — assignment
     costs ZERO shuffles and stays in whole-stage codegen; the only
-    shuffles are the two partial aggs (per-cluster stats, per-(cid,pos)
-    component means: k·dim rows out regardless of N). Squared distance
+    shuffle is ONE partial agg (per-cluster count/avg_d2 + dim per-dim
+    component sums: k·(dim+2) cells out regardless of N). Squared distance
     is expanded as (|e|² − 2e·c) + |c|² with every dot a sequential
     fold, so the doubles are bit-identical in any engine that folds
     left-to-right (the `_dot`/list_dot_product contract) and ties in
@@ -960,50 +1001,62 @@ def kmeans_lloyd_step(embeddings: DataFrame, k: int = 8) -> DataFrame:
     cents = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in seeds]
     e = F.col("embedding")
 
-    def d2(cv: list[float]) -> Column:
-        c = F.array(*[F.lit(x) for x in cv])
-        return (_dot(e, e) - F.lit(2.0) * _dot(e, c)) + _dot(c, c)
+    dim = len(cents[0][1])
 
-    choice = F.array_min(
-        F.array(
-            *[
-                F.struct(d2(cv).alias("d2"), F.lit(cid).alias("cid"))
-                for cid, cv in cents
-            ]
+    # r12 wave 9 (guide §2.1 — one corpus pass, fewer stages): |e|² is
+    # projected ONCE below the assignment (it used to re-fold inside
+    # every cluster's d2 struct), each centroid's |c|² folds
+    # driver-side with the same left fold over the same float64 values
+    # (bit-identical literal), and the per-(cid, pos) component-mean
+    # branch (posexplode + second corpus pass + join) collapses into
+    # the SAME groupBy('cid') as dim per-dim sums: cval = sum/count is
+    # Spark avg's own evaluation, and new_norm's square chain adds in
+    # dimension order — the _dot fold's order. The round-9 gate
+    # contract (both engines) absorbs partial-merge order, exactly as
+    # it did for the old two-groupBy shape.
+    def py_sq(cv: list[float]) -> float:
+        acc = 0.0
+        for x in cv:
+            acc = acc + x * x
+        return acc
+
+    # whole expression tree as SQL strings (the module's _dot_sql
+    # pattern — py4j charges one round trip per Column node, ~1 000
+    # nodes here); the parsed tree is the Column API's, so the doubles
+    # are unchanged. The choice struct is projected ONCE (__ch) — the
+    # old shape re-evaluated the full k×dim assignment fold for each
+    # of its two getField references.
+    structs = ",".join(
+        f"named_struct('d2', ((__ee - (CAST(2.0 AS DOUBLE) * "
+        f"{_dot_sql('embedding', _arr_sql(cv))})) + {_dlit(py_sq(cv))}), "
+        f"'cid', {int(cid)})"
+        for cid, cv in cents
+    )
+    choice = f"array_min(array({structs}))"
+    assigned = (
+        embeddings.selectExpr(
+            "embedding", f"{_dot_sql('embedding', 'embedding')} AS __ee"
         )
+        .selectExpr("embedding", f"{choice} AS __ch")
+        .selectExpr("embedding", "__ch.cid AS cid", "__ch.d2 AS d2")
     )
-    assigned = embeddings.select(
-        "vec_id",
-        "embedding",
-        choice.getField("cid").alias("cid"),
-        choice.getField("d2").alias("d2"),
-    )
-    stats = assigned.groupBy("cid").agg(
+    per = assigned.groupBy("cid").agg(
         F.count("*").cast("bigint").alias("n_members"),
         F.avg("d2").alias("avg_d2"),
+        *[
+            F.expr(f"sum(CAST(element_at(embedding, {i + 1}) AS DOUBLE))").alias(
+                f"__s{i}"
+            )
+            for i in range(dim)
+        ],
     )
-    comp = (
-        assigned.select("cid", F.posexplode("embedding").alias("pos", "val"))
-        .select("cid", "pos", F.col("val").cast("double").alias("val"))
-        .groupBy("cid", "pos")
-        .agg(F.avg("val").alias("cval"))
-    )
-    cent = comp.groupBy("cid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-            lambda s: s.getField("cval"),
-        ).alias("cvec")
-    )
-    return (
-        stats.join(cent, "cid")
-        .select(
-            "cid",
-            "n_members",
-            "avg_d2",
-            F.sqrt(_dot(F.col("cvec"), F.col("cvec"))).alias("new_norm"),
-        )
-        .orderBy("cid")
-    )
+    sq_chain = "CAST(0.0 AS DOUBLE)"
+    for i in range(dim):
+        cv = f"(__s{i} / CAST(n_members AS DOUBLE))"
+        sq_chain = f"({sq_chain} + ({cv} * {cv}))"
+    return per.selectExpr(
+        "cid", "n_members", "avg_d2", f"sqrt({sq_chain}) AS new_norm"
+    ).orderBy("cid")
 
 
 def ivf_assign(
@@ -2193,9 +2246,11 @@ def knn_join_ivf_static(
         probes = F.broadcast(probes)
     # r12 note: the Arrow pair twin on the candidate join was MEASURED
     # SLOWER in the corpus-as-queries regime (semantic_clusters 3.8 ->
-    # 4.1 s warm) — the join scores inline in one stage while the
-    # boundary pays per-candidate array shipping; expression scoring
-    # stays, only the assign+norm pass is Arrow (guide §1.6/§4)
+    # 4.1 s warm), and so was the wave-9 id-only broadcast-matrix
+    # variant (2.62 -> 3.08 s warm) — the join scores inline in one
+    # stage where the rank-limit pushdown prunes before anything
+    # moves; expression scoring stays, only the assign+norm pass is
+    # Arrow (guide §1.6/§4)
     score = _dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn"))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
     return (
@@ -2699,6 +2754,11 @@ def semantic_clusters(
     embeddings = with_min_parallelism(embeddings)
     # size-adaptive probe join (see docstring): one pruned count decides
     n_vecs = embeddings.count()
+    # r12 wave 9 note: the id-only bcast_vectors scoring path was
+    # MEASURED SLOWER here too (2.62 -> 3.08 s warm at sf0.1's 2k
+    # vectors) — like the Arrow pair twin before it, the inline
+    # expression join keeps scoring inside the join stage where the
+    # rank-limit pushdown prunes before anything moves; not passed.
     knn = knn_join_ivf_static(
         embeddings, embeddings, k=k, n_clusters=n_clusters, n_probe=n_probe,
         dim=dim, seed=seed,
