@@ -780,7 +780,10 @@ def e2e_corpus_pipeline(
         # (value at sorted rank ceil(q*N) — DuckDB-replayable by rank
         # selection, the quality_percentile_gate precedent); at 100 TB
         # the same plan is the bounded-state GK sketch.
-        scored = classifier_infer_trained(documents)
+        # r12 wave 10: scored embeds the whole train+infer plan and
+        # feeds BOTH the threshold agg and the keep filter — barrier it
+        # so the trainer runs once, not once per consumer
+        scored = classifier_infer_trained(documents).localCheckpoint(eager=False)
         thr = scored.agg(
             F.percentile_approx(
                 "p_keep", F.lit(float(keep_q)), F.lit(1_000_000)
@@ -1104,17 +1107,18 @@ def logreg_train_quality(
     boundaries. A final pass scores the train log-loss at the learned
     weights.
 
-    Scale shape: per-iteration cost is one pruned column scan
-    (text/lang/n_chars) + d partial sums — cost tracks FEATURES, not
-    rows collected; at 100 TB you persist() the feature projection
-    once and the loop reuses the cached columnar block (callers own
-    that choice; the lazy plan here recomputes the cheap projection).
+    Scale shape: per-iteration cost is one scan of the MATERIALIZED
+    feature projection (r12 wave 10: the lazy plan re-tokenized the
+    corpus — split + array_distinct per doc — once per iteration, T+2
+    times in all; the projection is 5 doubles/row, so the lazy
+    localCheckpoint barrier costs ~40 B/row once and the T loop scans
+    that) + d partial sums — cost tracks FEATURES, not rows collected.
     Floats: sigmoid/exp pass through libm, so the gate projection
     rounds weights and loss to 6 (the stats_corr_regr discipline);
     every integer input (token counts, n_chars, label sums) is exact
     in both engines.
     """
-    feats = _quality_features(documents)
+    feats = _quality_features(documents).localCheckpoint(eager=False)
     cur = feats.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("y").cast("long").alias("n_pos"),

@@ -578,16 +578,34 @@ def cosine_near_dup_pairs_lsh(
     sigs = lsh_sigs_norm_exact_arrow(
         with_min_parallelism(embeddings), dim=dim, bits=bits, seed=seed
     ).localCheckpoint(eager=False)
-    a = sigs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
-                    F.col("norm").alias("na"), F.col("bucket").alias("ba"))
-    b = sigs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
-                    F.col("norm").alias("nb"), F.col("bucket").alias("bb"))
-    cand = (
-        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b", "va", "vb", "na", "nb")
+    # r12 wave 10: id-only bucket join + broadcast-matrix verify when
+    # the vector table fits the ceiling (no window here, so nothing
+    # like the rank-limit pushdown is lost — unlike knn_join_ivf_static
+    # where the same swap measured slower); identical folds → identical
+    # cosines, join fallback above the ceiling
+    cand_ids = (
+        sigs.select(F.col("vec_id").alias("id_a"), F.col("bucket").alias("ba"))
+        .join(
+            sigs.select(F.col("vec_id").alias("id_b"), F.col("bucket").alias("bb")),
+            (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
     )
-    # candidate verify: the same exact cosine, one Arrow pass per batch
-    out = pair_cosine_exact_arrow(cand).filter(F.col("cosine") >= threshold)
+    out = pair_cosine_by_id_exact_bcast(
+        cand_ids, embeddings, a_id="id_a", b_id="id_b"
+    )
+    if out is None:
+        a = sigs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+                        F.col("norm").alias("na"), F.col("bucket").alias("ba"))
+        b = sigs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+                        F.col("norm").alias("nb"), F.col("bucket").alias("bb"))
+        cand = (
+            a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+            .select("id_a", "id_b", "va", "vb", "na", "nb")
+        )
+        # candidate verify: the same exact cosine, one Arrow pass per batch
+        out = pair_cosine_exact_arrow(cand)
+    out = out.filter(F.col("cosine") >= threshold)
     return out.orderBy("id_a", "id_b") if sort else out
 
 
