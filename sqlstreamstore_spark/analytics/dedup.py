@@ -1353,15 +1353,17 @@ def substring_dup_spans(documents: DataFrame, k: int = 8) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    toks = F.split(F.col("text"), " ")
     # positional grams: struct(pos, digest); guarded by size >= k because
     # sequence(0, size-k) runs DESCENDING when size < k (ANSI gotcha, see
-    # _shingles).
+    # _shingles). The split is projected ONCE below the gram transform
+    # (r12 wave 10 — the _shingles_arr rule: an inline split re-evaluates
+    # once per gram).
+    tk = F.col("_toks")
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - F.lit(k)),
+        F.sequence(F.lit(0), F.size(tk) - F.lit(k)),
         lambda i: F.struct(
             i.alias("pos"),
-            F.md5(F.array_join(F.slice(toks, i + F.lit(1), k), " ")).alias("h"),
+            F.md5(F.array_join(F.slice(tk, i + F.lit(1), k), " ")).alias("h"),
         ),
     )
     from sqlstreamstore_spark.operators.partitioning import with_min_parallelism
@@ -1372,7 +1374,9 @@ def substring_dup_spans(documents: DataFrame, k: int = 8) -> DataFrame:
     # explode+md5 is the heavy MAP phase — spread a single-file input
     # first (no-op at scale).
     pg = (
-        with_min_parallelism(documents).filter(F.size(toks) >= k)
+        with_min_parallelism(documents)
+        .select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+        .filter(F.size(tk) >= k)
         .select("doc_id", F.explode(grams).alias("t"))
         .select("doc_id", F.col("t.pos").alias("pos"), F.col("t.h").alias("h"))
         .localCheckpoint(eager=False)
@@ -1398,7 +1402,10 @@ def substring_dup_spans(documents: DataFrame, k: int = 8) -> DataFrame:
         F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("n_dup_tokens"),
         F.max(F.col("e") - F.col("s") + 1).cast("bigint").alias("longest_dup_span"),
     )
-    base = documents.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
+    base = documents.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
     return (
         agg.join(base, "doc_id")
         .select(
@@ -1520,15 +1527,17 @@ def winnow_fingerprints(documents: DataFrame, k: int = 4, w: int = 5) -> DataFra
     """
     from pyspark.sql import Window
 
-    toks = F.split(F.col("text"), " ")
+    # split projected ONCE below the gram transform (r12 wave 10 —
+    # the _shingles_arr rule: an inline split re-evaluates per gram)
+    tk = F.col("_toks")
     grams = F.transform(
         # ascending only when size >= k — guaranteed by the filter below
-        F.sequence(F.lit(0), F.size(toks) - F.lit(k)),
+        F.sequence(F.lit(0), F.size(tk) - F.lit(k)),
         lambda i: F.struct(
             i.alias("pos"),
             F.conv(
                 F.substring(
-                    F.md5(F.array_join(F.slice(toks, i + F.lit(1), k), " ")),
+                    F.md5(F.array_join(F.slice(tk, i + F.lit(1), k), " ")),
                     1,
                     10,
                 ),
@@ -1541,7 +1550,8 @@ def winnow_fingerprints(documents: DataFrame, k: int = 4, w: int = 5) -> DataFra
     )
     base = (
         # at least one FULL window of w grams: n_grams = n−k+1 >= w
-        documents.filter(F.size(toks) >= F.lit(k + w - 1))
+        documents.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+        .filter(F.size(tk) >= F.lit(k + w - 1))
         .select("doc_id", F.explode(grams).alias("t"))
         .select(
             "doc_id",

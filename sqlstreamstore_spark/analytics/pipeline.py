@@ -1180,15 +1180,19 @@ def sentence_dedup(documents: DataFrame, chunk_tokens: int = 8) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    toks = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("long")
+    # split projected ONCE below the chunk transform (r12 wave 10 —
+    # the _shingles_arr rule: an inline split re-evaluates per chunk)
+    tk = F.col("_toks")
+    n_chunks = F.ceil(F.size(tk) / F.lit(chunk_tokens)).cast("long")
     chunks = documents.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_toks")
+    ).select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n_chunks - 1),
                 lambda i: F.array_join(
-                    F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+                    F.slice(tk, i * chunk_tokens + 1, chunk_tokens), " "
                 ),
             )
         ).alias("pos", "chunk"),

@@ -424,17 +424,22 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
     the DuckDB oracle.
     """
     toks = _tokens()
+    # split projected ONCE below the 2-gram transform (r12 wave 10 —
+    # the _shingles_arr rule: an inline split re-evaluates per gram)
+    tk = F.col("_toks")
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - F.lit(2)),
-        lambda i: F.array_join(F.slice(toks, i + F.lit(1), 2), " "),
+        F.sequence(F.lit(0), F.size(tk) - F.lit(2)),
+        lambda i: F.array_join(F.slice(tk, i + F.lit(1), 2), " "),
     )
     per_row = documents.select(
+        "doc_id", "text", _tokens().alias("_toks")
+    ).select(
         "doc_id",
         F.length("text").alias("__nch"),
-        F.when(F.size(toks) >= 2, (F.size(toks) - F.lit(1)).cast("bigint"))
+        F.when(F.size(tk) >= 2, (F.size(tk) - F.lit(1)).cast("bigint"))
         .otherwise(F.lit(None))
         .alias("__n_g"),
-        F.when(F.size(toks) >= 2, F.size(F.array_distinct(grams)).cast("bigint"))
+        F.when(F.size(tk) >= 2, F.size(F.array_distinct(grams)).cast("bigint"))
         .otherwise(F.lit(None))
         .alias("__n_gd"),
     )
