@@ -633,15 +633,30 @@ def sla_percentiles(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         "o_orderpriority",
         F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long").alias("lat"),
     )
-    w = Window.partitionBy("o_orderpriority").orderBy("lat")
-    ranked = lat.select(
+    # r12 wave 10 (guide §2.3 — shuffle fewer bytes): latency is a
+    # small-domain integer, so the grouped rank-select runs on the
+    # (priority, lat) COUNT frame instead of window-sorting every
+    # joined row: value at rank ceil(q·n) ascending == the smallest
+    # lat whose running count reaches that rank (ties can't affect
+    # the selected VALUE, exactly as before). The window now orders
+    # ~|domain| rows per priority, and only partial-agg counts
+    # shuffle. Outputs are the same exact BIGINTs.
+    cnt = lat.groupBy("o_orderpriority", "lat").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    wc = wp.orderBy("lat").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = cnt.select(
         "o_orderpriority",
         "lat",
-        F.row_number().over(w).cast("long").alias("rn"),
-        F.count("*").over(Window.partitionBy("o_orderpriority")).cast("long").alias("n"),
+        F.sum("c").over(wc).cast("long").alias("cum"),
+        F.sum("c").over(wp).cast("long").alias("n"),
     )
-    pick = lambda q: F.max(
-        F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"), F.col("lat"))
+    pick = lambda q: F.min(
+        F.when(
+            F.col("cum") >= F.ceil(F.lit(q) * F.col("n")).cast("long"),
+            F.col("lat"),
+        )
     )
     return (
         ranked.groupBy("o_orderpriority")
