@@ -331,5 +331,12 @@ def test_logreg_train_plan_is_lazy_broadcast_partial_agg(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "HashAggregate" in p
     # column pruning on at least one parquet scan: only text/lang/
-    # n_chars feed the features (doc_id/source unused)
-    assert "doc_id" not in p.split("ReadSchema")[1][:400]
+    # n_chars feed the features (doc_id/source unused). The trainer
+    # itself now reads the materialized feature barrier (r12 wave 10:
+    # a lazy localCheckpoint, so its plan leaf is an ExistingRDD scan,
+    # not the parquet scan) — the pruning property lives in the
+    # feature projection's OWN plan, asserted here.
+    from sqlstreamstore_spark.analytics.pipeline import _quality_features
+
+    fp = plan_of(_quality_features(df))
+    assert "doc_id" not in fp.split("ReadSchema")[1][:400]
