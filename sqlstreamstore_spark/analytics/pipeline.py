@@ -839,7 +839,9 @@ def e2e_corpus_pipeline(
     sampled = selected_by_budget(semantic, {}, default_budget).localCheckpoint(
         eager=False
     )
-    packed = pack_sequences(sampled, token_budget)
+    # packed feeds BOTH the stage count and the shard projection — the
+    # two-phase global cumsum would run twice without a barrier (r12)
+    packed = pack_sequences(sampled, token_budget).localCheckpoint(eager=False)
     shards = packed.select(
         (_hash_bucket(F.col("seq_id")) % n_shards).alias("shard_id")
     ).distinct()
@@ -948,10 +950,15 @@ def e2e_incremental_pipeline(
         )
     )
     w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    # barriered (r12): the window feeds the digest probe's construction
+    # job (distinct-prefix collect), the stage-2 count AND the probe's
+    # anti-join — without a barrier the tokenize-filter + window runs
+    # once per reference
     exact = (
         quality.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        .localCheckpoint(eager=False)
     )
     if corpus_digest_path:
         # r12: partition-pruned index probe — the delta's distinct
@@ -1000,7 +1007,9 @@ def e2e_incremental_pipeline(
     sampled = selected_by_budget(semantic, {}, default_budget).localCheckpoint(
         eager=False
     )
-    packed = pack_sequences(sampled, token_budget)
+    # packed feeds BOTH the stage count and the shard projection — the
+    # two-phase global cumsum would run twice without a barrier (r12)
+    packed = pack_sequences(sampled, token_budget).localCheckpoint(eager=False)
     shards = packed.select(
         (_hash_bucket(F.col("seq_id")) % n_shards).alias("shard_id")
     ).distinct()
