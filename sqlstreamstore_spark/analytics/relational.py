@@ -727,6 +727,9 @@ def brand_cooccurrence(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         lineitem.join(F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"])
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
+        # r12 barrier: feeds both self-join sides AND both size
+        # broadcasts — the basket join + distinct ran once per branch
+        .localCheckpoint(eager=False)
     )
     sizes = baskets.groupBy("brand").agg(F.count("*").cast("long").alias("c"))
     a = baskets.select("okey", F.col("brand").alias("brand_a"))

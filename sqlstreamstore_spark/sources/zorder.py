@@ -128,11 +128,21 @@ def z_values(df: DataFrame, col_a: str, col_b: str, bits: int = 16) -> DataFrame
     )
     qa = _scale_spark(col_a, "__alo", "__ahi", bits)
     qb = _scale_spark(col_b, "__blo", "__bhi", bits)
-    z = z_expr_spark(qa, qb, bits)
+    # r12: project the scaled quantized value ONCE per column, then
+    # interleave over the projected BIGINTs — inlining the decimal
+    # scale expression into every one of the 2·bits shift terms made
+    # the z expression too large for whole-stage codegen, so the
+    # interpreted eval re-ran the decimal arithmetic per term.
+    # CollapseProject's multi-reference guard keeps the projection
+    # materialized (each __q is referenced ``bits`` times). Same
+    # arithmetic → identical z values.
+    z = z_expr_spark("__qa", "__qb", bits)
     return (
         df.crossJoin(F.broadcast(stats))
+        .withColumn("__qa", F.expr(qa))
+        .withColumn("__qb", F.expr(qb))
         .withColumn("z", F.expr(z))
-        .drop("__alo", "__ahi", "__blo", "__bhi")
+        .drop("__alo", "__ahi", "__blo", "__bhi", "__qa", "__qb")
     )
 
 
@@ -183,8 +193,14 @@ def write_zordered(
     )
     zdf = zdf.repartition(n_buckets, "zbucket").sortWithinPartitions("z")
     zdf.write.mode("overwrite").partitionBy("zbucket").parquet(path)
+    # r12: compute the manifest stats from the JUST-WRITTEN table
+    # (pruned to the two stat columns + the partition value) instead of
+    # re-running zdf's lineage — the groupBy previously re-executed the
+    # whole z computation AND the repartition shuffle a second time.
+    # Same rows by construction → identical stats.
+    written = zdf.sparkSession.read.parquet(path)
     stats_rows = (
-        zdf.groupBy("zbucket")
+        written.groupBy("zbucket")
         .agg(
             F.min(col_a).alias("a_min"), F.max(col_a).alias("a_max"),
             F.min(col_b).alias("b_min"), F.max(col_b).alias("b_max"),
@@ -286,13 +302,22 @@ def z_values_multi(
     scaled = [
         _scale_spark(c, f"__lo{j}", f"__hi{j}", bits) for j, c in enumerate(cols)
     ]
+    # r12: one projected BIGINT per column, interleave over the
+    # references (see z_values) — k·bits inlined copies of the decimal
+    # scale expression defeated codegen and re-evaluated per term
     z = _z_multi_expr(
-        scaled, bits,
+        [f"__q{j}" for j in range(k)], bits,
         lambda x, n: f"shiftleft({x}, {n})",
         lambda x, n: f"shiftright({x}, {n})",
     )
-    out = df.crossJoin(F.broadcast(stats)).withColumn("z", F.expr(z))
-    return out.drop(*[f"__lo{j}" for j in range(k)], *[f"__hi{j}" for j in range(k)])
+    out = df.crossJoin(F.broadcast(stats))
+    for j in range(k):
+        out = out.withColumn(f"__q{j}", F.expr(scaled[j]))
+    out = out.withColumn("z", F.expr(z))
+    return out.drop(
+        *[f"__lo{j}" for j in range(k)], *[f"__hi{j}" for j in range(k)],
+        *[f"__q{j}" for j in range(k)],
+    )
 
 
 def _z_multi_expr(scaled: list[str], bits: int, shl, shr) -> str:
