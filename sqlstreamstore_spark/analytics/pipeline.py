@@ -839,9 +839,12 @@ def e2e_corpus_pipeline(
     sampled = selected_by_budget(semantic, {}, default_budget).localCheckpoint(
         eager=False
     )
-    # packed feeds BOTH the stage count and the shard projection — the
-    # two-phase global cumsum would run twice without a barrier (r12)
-    packed = pack_sequences(sampled, token_budget).localCheckpoint(eager=False)
+    # NOT barriered (r12, measured): packed feeds the stage count and
+    # the shard projection, but a 5th nested lazy checkpoint costs
+    # +9 s COLD (fresh-process A/B: 11.6 -> 20.7 s) against ~0 warm
+    # gain — the duplicated cumsum is budget-sized (post-sample), so
+    # recompute is cheaper than another barrier materialization level.
+    packed = pack_sequences(sampled, token_budget)
     shards = packed.select(
         (_hash_bucket(F.col("seq_id")) % n_shards).alias("shard_id")
     ).distinct()
@@ -1007,9 +1010,10 @@ def e2e_incremental_pipeline(
     sampled = selected_by_budget(semantic, {}, default_budget).localCheckpoint(
         eager=False
     )
-    # packed feeds BOTH the stage count and the shard projection — the
-    # two-phase global cumsum would run twice without a barrier (r12)
-    packed = pack_sequences(sampled, token_budget).localCheckpoint(eager=False)
+    # NOT barriered (r12, measured): see e2e_corpus_pipeline — another
+    # nested lazy checkpoint level costs cold-compile seconds against a
+    # budget-sized duplicated cumsum.
+    packed = pack_sequences(sampled, token_budget)
     shards = packed.select(
         (_hash_bucket(F.col("seq_id")) % n_shards).alias("shard_id")
     ).distinct()
