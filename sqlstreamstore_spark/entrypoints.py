@@ -690,29 +690,31 @@ def build_oracle_sql() -> dict[str, str]:
 # drains; restore once the r6 backlog (46 rows) is gone (~r13).
 _GATE_CANARIES: tuple[str, ...] = (
     "read_all_forwards", "dedup_minhash_lsh",
-    # r13+: restore "events_funnel", "store_bulk_roundtrip" here.
+    # r14+: restore "events_funnel", "store_bulk_roundtrip" here (the
+    # r6 backlog still held 18 rows at r13 start — restore once it and
+    # the r7 tail drain; the r13 plan's "~r13" estimate assumed a
+    # 46-row r6 drain in r12 that only landed 28).
 )
 
 _GATE_PINNED_NEW: tuple[str, ...] = (
-    # r11 verdict #1: the 6 round-11 additions with no driver row yet
-    # (judge-sim ALL OK in r11); pins self-expire once the row lands.
-    # (The r10 pin list landed its rows in r11 and has expired out.)
-    # r13: pin the TWELVE r12 additions here — "dedup_digest_prefix_probe",
-    # "text_kneser_ney_bigram", "sim_knn_descent_step",
-    # "eval_krippendorff_alpha", "graph_label_propagation",
-    # "sim_cosine_topk_matryoshka", "graph_k_core", "sim_mmr_rerank",
-    # "pipeline_decontaminate_semantic", "eval_retrieval_metrics",
-    # "graph_k_truss",
-    # "sampling_kcenter_coreset" — deliberately NOT pinned in r12 so
-    # they don't displace the planned 20-gate stale/flip drain (they
-    # sit mid-queue at the median vintage and are covered by the
-    # two-scale SELFCHECK_r12 sweeps).
-    "eval_bradley_terry",
-    "eval_fleiss_kappa",
-    "pipeline_domain_reweight",
-    "sim_cosine_topk_sq8",
-    "sim_cosine_topk_sq8_index",
-    "sim_cosine_topk_ivfsq8_static",
+    # r13 (per the r12 plan): the TWELVE r12 additions with no driver
+    # row yet — deliberately not pinned in r12 so they wouldn't
+    # displace that round's 20-gate stale/flip drain; judge-sim ALL OK
+    # at both SFs in r12 and again at r13 start. Pins self-expire once
+    # the rows land. (The r11 pin list landed its rows in r12 and has
+    # expired out.)
+    "dedup_digest_prefix_probe",
+    "text_kneser_ney_bigram",
+    "sim_knn_descent_step",
+    "eval_krippendorff_alpha",
+    "graph_label_propagation",
+    "sim_cosine_topk_matryoshka",
+    "graph_k_core",
+    "sim_mmr_rerank",
+    "pipeline_decontaminate_semantic",
+    "eval_retrieval_metrics",
+    "graph_k_truss",
+    "sampling_kcenter_coreset",
 )
 
 # Refresh pins: gates that HAVE driver rows, but whose oracle semantics

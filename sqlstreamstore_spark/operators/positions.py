@@ -368,7 +368,8 @@ def dense_global_index_pinned(
     strategy: str = "auto",
     num_partitions: int | None = None,
     collect_distinct: str | None = None,
-) -> tuple[DataFrame, DataFrame | None] | tuple[DataFrame, DataFrame | None, set]:
+    group_counts: str | None = None,
+) -> tuple[DataFrame, DataFrame | None] | tuple[DataFrame, DataFrame | None, set] | tuple[DataFrame, DataFrame | None, list]:
     """Like with_dense_global_index but also returns the persisted
     intermediate (or None for the window strategy) so the caller can
     ``unpersist()`` once its downstream action has run. The frame is
@@ -382,13 +383,30 @@ def dense_global_index_pinned(
     ``collect_set`` INSIDE the partition-counts job (r12, guide §5.3:
     bulk_append paid a whole extra delta-lineage pass for its
     distinct-stream check; the set is O(#streams), the same bound the
-    manifest already holds driver-side)."""
+    manifest already holds driver-side).
+
+    ``group_counts="col"`` (r13, VERDICT r12 #4 — mutually exclusive
+    with ``collect_distinct``) instead returns, as the third element,
+    the per-(partition, col) row counts as a sorted list of
+    ``(pid, value, count)`` tuples, gathered INSIDE the same
+    partition-counts job (the per-pid offsets are their sums, so the
+    job count is unchanged). When ``col`` is a PREFIX of
+    ``order_cols``, each value's rows occupy one contiguous index
+    block, so a caller can derive every per-group first-index / count
+    / head aggregate driver-side instead of paying follow-up jobs —
+    bulk_append's whole heads read-back job folds into this one."""
     if strategy == "window":
         w = Window.orderBy(*order_cols)
         out = df.withColumn(index_col, F.row_number().over(w) - F.lit(1))
         if collect_distinct is not None:
             vals = {r[0] for r in df.select(collect_distinct).distinct().collect()}
             return out, None, vals
+        if group_counts is not None:
+            rows = [
+                (0, r[0], r[1])
+                for r in df.groupBy(group_counts).agg(F.count("*")).collect()
+            ]
+            return out, None, _sorted_group_counts(rows)
         return out, None
 
     spark = df.sparkSession
@@ -399,11 +417,22 @@ def dense_global_index_pinned(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
-    aggs = [F.count("*").alias("cnt")]
-    if collect_distinct is not None:
-        aggs.append(F.collect_set(collect_distinct).alias("__vals"))
-    stat_rows = parted.groupBy("__pid").agg(*aggs).collect()
-    counts = {r["__pid"]: r["cnt"] for r in stat_rows}
+    if group_counts is not None:
+        grp_rows = (
+            parted.groupBy("__pid", group_counts)
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        counts: dict[int, int] = {}
+        for r in grp_rows:
+            counts[r["__pid"]] = counts.get(r["__pid"], 0) + r["cnt"]
+        stat_rows = None
+    else:
+        aggs = [F.count("*").alias("cnt")]
+        if collect_distinct is not None:
+            aggs.append(F.collect_set(collect_distinct).alias("__vals"))
+        stat_rows = parted.groupBy("__pid").agg(*aggs).collect()
+        counts = {r["__pid"]: r["cnt"] for r in stat_rows}
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -420,12 +449,26 @@ def dense_global_index_pinned(
         )
         .drop("__pid")
     )
+    if group_counts is not None:
+        return out, parted, _sorted_group_counts(
+            [(r["__pid"], r[group_counts], r["cnt"]) for r in grp_rows]
+        )
     if collect_distinct is not None:
         vals: set = set()
         for r in stat_rows:
             vals.update(r["__vals"])
         return out, parted, vals
     return out, parted
+
+
+def _sorted_group_counts(rows: list) -> list:
+    """(pid, value, count) tuples in GLOBAL index order: ascending pid,
+    then ascending value within the pid (rows inside a partition are
+    sorted by the order columns, whose first column is the group key).
+    NULLs sort first, matching Spark's NULLS FIRST default; non-null
+    string values compare identically in Python (code-point order) and
+    Spark (UTF-8 byte order — UTF-8 preserves code-point order)."""
+    return sorted(rows, key=lambda r: (r[0], r[1] is not None, r[1]))
 
 
 def with_global_last_carry(

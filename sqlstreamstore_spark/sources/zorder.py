@@ -119,7 +119,12 @@ def z_values(df: DataFrame, col_a: str, col_b: str, bits: int = 16) -> DataFrame
     """Append ``z`` — the Morton value of the two columns, scaled by the
     frame's own min/max. One plan: a 1-row min/max aggregate broadcast
     onto the frame (the ntile_deciles_approx shape — no collect, no
-    second driver pass), then pure codegen'd integer expressions."""
+    second driver pass), then pure codegen'd integer expressions.
+
+    Reserved temp names (ADVICE r12 #2): ``__alo``/``__ahi``/``__blo``/
+    ``__bhi``/``__qa``/``__qb`` are projected and dropped internally —
+    a caller column with one of these names would be silently replaced
+    and lost. Rename such columns before calling."""
     stats = df.agg(
         F.min(F.col(col_a).cast("long")).alias("__alo"),
         F.max(F.col(col_a).cast("long")).alias("__ahi"),
@@ -197,8 +202,12 @@ def write_zordered(
     # (pruned to the two stat columns + the partition value) instead of
     # re-running zdf's lineage — the groupBy previously re-executed the
     # whole z computation AND the repartition shuffle a second time.
-    # Same rows by construction → identical stats.
-    written = zdf.sparkSession.read.parquet(path)
+    # Same rows by construction → identical stats. r13 (ADVICE r12 #1):
+    # read back with an EXPLICIT schema — an empty input writes no data
+    # files, where a schemaless read raises UNABLE_TO_INFER_SCHEMA; the
+    # schema'd read returns an empty frame (and pins zbucket's type
+    # instead of relying on partition-column inference).
+    written = zdf.sparkSession.read.schema(zdf.schema).parquet(path)
     stats_rows = (
         written.groupBy("zbucket")
         .agg(
@@ -288,7 +297,12 @@ def z_values_multi(
     as fit 63 total so a BIGINT holds the value, capped at 16 per
     column: 2 cols → 16 (capped), 3 → 16 (capped), 4 → 15).
     Same plan shape: one 1-row stats aggregate broadcast, then pure
-    codegen'd expressions."""
+    codegen'd expressions.
+
+    Reserved temp names (ADVICE r12 #2): ``__lo{j}``/``__hi{j}``/
+    ``__q{j}`` for j in 0..k-1 are projected and dropped internally —
+    caller columns with these names would be silently replaced and
+    lost. Rename such columns before calling."""
     k = len(cols)
     if k < 2:
         raise ValueError("z-order needs at least 2 columns")

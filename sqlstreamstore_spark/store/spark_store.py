@@ -848,43 +848,57 @@ class SparkParquetStreamStore(StreamStore):
 
         df = new_messages
         base = self._manifest["head_position"]
-        # r12 (guide §5.3): the distinct-stream check rides the dense
-        # index's partition-counts job as a bounded collect_set — the
-        # set is O(#streams), the same bound the manifest already holds
-        # driver-side — instead of paying a whole extra delta-lineage
-        # pass. The index depends only on (stream_id, order_col), so
-        # the base-version join moves AFTER it (broadcast onto the
-        # already-partitioned frame; versions are unchanged).
-        indexed, pinned, seen_streams = dense_global_index_pinned(
+        # r13 (VERDICT r12 #4 — fold the per-commit jobs): the dense
+        # index's partition-counts job now returns per-(pid, stream)
+        # counts instead of a distinct-stream set. stream_id is the
+        # FIRST order column, so each stream's rows occupy a contiguous
+        # __idx block whose first index and length are derivable
+        # driver-side from those counts alone — which kills BOTH
+        # follow-up jobs the commit used to pay: the per-stream
+        # min(__idx) aggregate inside the write job (replaced by one
+        # broadcast of the driver-computed plan) and the whole
+        # heads READ-BACK job after the write (heads are pure
+        # arithmetic over (first_idx, count, base)). Per-commit jobs:
+        # 3 → 2; the remaining two are the layout job and the write.
+        indexed, pinned, pid_stream_counts = dense_global_index_pinned(
             df, ["stream_id", order_col], index_col="__idx",
-            collect_distinct="stream_id",
+            group_counts="stream_id",
         )
+        # (pid, stream, count) rows arrive in GLOBAL index order —
+        # running total = each stream's first global index
+        stream_first: dict = {}
+        stream_count: dict = {}
+        acc = 0
+        for _pid, sid, cnt in pid_stream_counts:
+            if sid not in stream_first:
+                stream_first[sid] = acc
+            stream_count[sid] = stream_count.get(sid, 0) + int(cnt)
+            acc += int(cnt)
         existing = sorted(
-            s for s in seen_streams if s in self._manifest["streams"]
+            s for s in stream_count if s in self._manifest["streams"]
         )
         if existing and not allow_existing:
             if pinned is not None:
                 pinned.unpersist()
             raise ValueError(f"bulk_append targets existing streams: {existing[:5]}")
-        if existing:
-            bases = self.spark.createDataFrame(
-                [(sid, self._manifest["streams"][sid]["version"]) for sid in existing],
-                "stream_id string, __base_version int",
-            )
-            indexed = indexed.join(F.broadcast(bases), "stream_id", "left")
-        else:
-            indexed = indexed.withColumn("__base_version", F.lit(None).cast("int"))
-        # Stream versions WITHOUT a per-stream window: __idx is dense
-        # over (stream_id, order_col), so each stream's rows occupy a
-        # contiguous __idx block and version = __idx − min(__idx of the
-        # stream) + base. The old Window.partitionBy(stream_id) funneled
-        # a HOT stream's entire batch through one task (the exact skew a
-        # single-feed 100 TB backfill hits); the min-aggregate is
-        # partial-agg + one equi-join that AQE broadcasts when small.
-        firsts = indexed.groupBy("stream_id").agg(
-            F.min("__idx").alias("__first_idx")
+        base_versions = {
+            sid: self._manifest["streams"][sid]["version"] for sid in existing
+        }
+        # Stream versions WITHOUT a per-stream window OR a per-stream
+        # aggregate: version = __idx − first_idx + base, with first_idx
+        # from the driver-side plan (contiguous-block arithmetic above).
+        # The old Window.partitionBy(stream_id) funneled a HOT stream's
+        # entire batch through one task (the exact skew a single-feed
+        # 100 TB backfill hits); the plan broadcast is O(#streams) —
+        # the same bound the manifest already holds driver-side.
+        plan = self.spark.createDataFrame(
+            [
+                (sid, stream_first[sid], base_versions.get(sid))
+                for sid in stream_count
+            ],
+            "stream_id string, __first_idx long, __base_version int",
         )
-        positioned = indexed.join(firsts, "stream_id").select(
+        positioned = indexed.join(F.broadcast(plan), "stream_id").select(
             (F.col("__idx") + F.lit(base + 1)).alias("position"),
             "stream_id",
             (
@@ -920,36 +934,34 @@ class SparkParquetStreamStore(StreamStore):
             for fn in sorted(os.listdir(sub))
             if fn.endswith(".parquet")
         ]
-        heads = (
-            self.spark.read.parquet(sub)
-            .groupBy("stream_id")
-            .agg(
-                F.max("stream_version").alias("v"),
-                F.max("position").alias("p"),
-                F.min("position").alias("f"),
-                F.count("*").alias("c"),
-            )
-            .collect()
-        )
+        # r13: heads are ARITHMETIC over the already-collected per-stream
+        # (first_idx, count) plan — position block [first+base+1,
+        # first+count+base], version block ends at count−1+base_version+1
+        # — so the read-back job over the just-written parquet is gone.
         n_rows = 0
         new_head = base
-        for r in heads:
-            old = self._manifest["streams"].get(r.stream_id)
-            self._manifest["streams"][r.stream_id] = {
-                "version": int(r.v),
-                "position": int(r.p),
-                "first_position": old["first_position"] if old else int(r.f),
-                "count": (old["count"] if old else 0) + int(r.c),
+        for sid, c in stream_count.items():
+            fi = stream_first[sid]
+            bv = base_versions.get(sid)
+            v = (bv + 1 if bv is not None else 0) + c - 1
+            p_min = fi + base + 1
+            p_max = fi + c + base
+            old = self._manifest["streams"].get(sid)
+            self._manifest["streams"][sid] = {
+                "version": int(v),
+                "position": int(p_max),
+                "first_position": old["first_position"] if old else int(p_min),
+                "count": (old["count"] if old else 0) + int(c),
             }
-            self._ids_cache.pop(r.stream_id, None)
-            n_rows += int(r.c)
-            new_head = max(new_head, int(r.p))
+            self._ids_cache.pop(sid, None)
+            n_rows += int(c)
+            new_head = max(new_head, int(p_max))
         self._manifest["files"].extend(files)
         self._manifest["head_position"] = new_head
         self._save_manifest(patch={
             "streams": {
-                r.stream_id: dict(self._manifest["streams"][r.stream_id])
-                for r in heads
+                sid: dict(self._manifest["streams"][sid])
+                for sid in stream_count
             },
             "files_add": files,
             "head_position": new_head,

@@ -60,7 +60,11 @@ def main() -> int:
     queries = build_queries()
     if not names:
         names = list(queries)
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("OPT_PROBE_ROUND", "r13"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     summary_path = f"/tmp/opt_probe_{tag}.json"
     summary = {}
